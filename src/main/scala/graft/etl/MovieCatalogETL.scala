@@ -1,0 +1,94 @@
+package graft.etl
+
+import graft.functions.ExtractPrice
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's batch ETL (SURVEY.md §3.1;
+  * /root/reference/services/spark_batch_processor.py:23-76) rebuilt
+  * Spark-first: `Movies.txt` (`ITEM n` / `Key = Value` line blocks) → one row
+  * per item, one column per distinct key.
+  *
+  * Scale design (SURVEY.md §7.4 #1): the reference assigns ItemIDs with a
+  * running sum over `Window.partitionBy(spark_partition_id)`, which silently
+  * merges blocks that straddle input-split boundaries. Here the per-split
+  * running count is combined with exact cross-split prefix offsets: a tiny
+  * per-partition marker-count aggregate (one long per split) is turned into
+  * offsets on the driver and broadcast back. Lines before a split's first
+  * marker then inherit the previous split's last ItemID — exact at any split
+  * layout, no global sort, and the only full shuffle left is the pivot's.
+  */
+object MovieCatalogETL {
+
+  /** Columns the reference fillna's
+    * (/root/reference/services/spark_batch_processor.py:69-73). */
+  val FillTitle = "Unknown"
+  val FillGenre = "Unknown Genre"
+
+  /** Parse the block-structured text into long form:
+    * (item_id, key, value, line_order). */
+  def parseLines(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(
+        col("value"),
+        spark_partition_id().as("pid"),
+        monotonically_increasing_id().as("mid"))
+      .filter(col("value").isNotNull && col("value") =!= "")
+      .withColumn("is_item",
+        when(col("value").startsWith("ITEM "), 1L).otherwise(0L))
+
+    // Per-split running marker count (shuffle-light: one window keyed by the
+    // originating split; mid preserves within-split line order).
+    val w = Window.partitionBy("pid").orderBy("mid")
+    val local = lines.withColumn("local_ord", sum(col("is_item")).over(w))
+
+    // Exact cross-split repair: marker totals per split → prefix offsets.
+    // O(#splits) rows to the driver — bounded and tiny even at 100 TB.
+    val totals = local.groupBy("pid").agg(max(col("local_ord")).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
+
+    local.join(broadcast(offsetDf), "pid")
+      .withColumn("item_id", (col("local_ord") + col("offset")).cast("string"))
+      .drop("pid", "offset", "local_ord")
+  }
+
+  /** Long → wide pivot (reference A1,
+    * /root/reference/services/spark_batch_processor.py:40). Duplicate keys in
+    * a block resolve to the first occurrence in file order — the reference
+    * relies on arrival order for `first(Value)`; `min_by(value, line order)`
+    * makes that deterministic under any shuffle. */
+  def pivotCatalog(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("is_item") === 0L && col("value").contains("="))
+      .withColumn("k", trim(split(col("value"), "=").getItem(0)))
+      .withColumn("v", trim(split(col("value"), "=").getItem(1)))
+      .groupBy("item_id")
+      .pivot("k")
+      .agg(min_by(col("v"), col("mid")))
+
+  /** Price normalization + fillna (reference clean_data,
+    * /root/reference/services/spark_batch_processor.py:43-76). Only
+    * Title/ListPrice/Genre are filled; all other columns stay null
+    * (SURVEY.md §8.4). */
+  def clean(catalog: DataFrame): DataFrame = {
+    val priced =
+      if (catalog.columns.contains("ListPrice"))
+        catalog.withColumn("ListPrice", ExtractPrice.of(col("ListPrice")))
+      else catalog.withColumn("ListPrice", lit(0.0f))
+    val df1 =
+      if (priced.columns.contains("Title")) priced
+      else priced.withColumn("Title", lit(null).cast("string"))
+    val df2 =
+      if (df1.columns.contains("Genre")) df1
+      else df1.withColumn("Genre", lit(null).cast("string"))
+    df2.na.fill(Map("Title" -> FillTitle, "Genre" -> FillGenre))
+  }
+
+  /** Full pipeline: text path → cleaned wide catalog. */
+  def run(spark: SparkSession, path: String): DataFrame =
+    clean(pivotCatalog(parseLines(spark, path)))
+}

@@ -1,0 +1,25 @@
+package graft.streaming
+
+import graft.model.Schemas
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's streaming decode (ST1–ST2,
+  * /root/reference/services/spark_streaming_processor.py:44-51): Kafka binary
+  * `value` → string → `from_json` against the 9-field union schema.
+  *
+  * Works identically on a batch or streaming DataFrame — the caller picks the
+  * source. Upgrade over the reference (SURVEY.md §1.2): the ISO-8601 string
+  * timestamp is additionally parsed to a typed `event_ts` so watermarks and
+  * event-time windows downstream are possible at all.
+  */
+object EventDecode {
+
+  /** `df` must carry a binary or string `value` column (Kafka shape). */
+  def decode(df: DataFrame): DataFrame =
+    df.select(col("value").cast("string").as("value"))
+      .select(from_json(col("value"), Schemas.eventUnion).as("data"))
+      .select("data.*")
+      .withColumn("event_ts",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Consumer-segmentation analytics — the reference's stated purpose
+  * (README.md:2 "consumer segmentation … real-time and batch") that its
+  * streaming job never implements (ST4 gap: no writeStream, no watermark, no
+  * state — /root/reference/services/spark_streaming_processor.py:38-59).
+  * Completed here with watermarked event-time operators; each works on a
+  * streaming OR batch DataFrame carrying `event_ts` + union-schema columns.
+  *
+  * State design for scale: all operators key state by (window ∨ session,
+  * user) — state size is bounded by the watermark horizon, not the stream
+  * length; Spark drops expired state at each trigger.
+  */
+object Segmentation {
+
+  /** Tumbling event-time counts per event type. Late data beyond `watermark`
+    * is dropped (the reference had no late-data story at all). */
+  def windowedCounts(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLen), col("event_name"))
+      .count()
+
+  /** Sessionization: gap-based session per user (sign_in → … → sign_out with
+    * `gap` of inactivity closing the session). Uses the native session_window
+    * operator — merging-window state, watermark-expired. */
+  def sessions(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withWatermark("event_ts", watermark)
+      .groupBy(session_window(col("event_ts"), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_name") === "item_view", 1).otherwise(0)).as("n_views"),
+        sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("n_cart_adds"),
+        sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("n_checkouts"))
+
+  /** Cart-funnel conversion per event-time window:
+    * item_view → added_to_cart → checkout_to_cart. */
+  def funnel(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), windowLen))
+      .agg(
+        sum(when(col("event_name") === "item_view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("cart_adds"),
+        sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("checkouts"))
+      .withColumn("view_to_cart",
+        when(col("views") > 0, col("cart_adds").cast("double") / col("views")))
+      .withColumn("cart_to_checkout",
+        when(col("cart_adds") > 0, col("checkouts").cast("double") / col("cart_adds")))
+}

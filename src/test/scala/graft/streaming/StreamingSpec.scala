@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.gen.EventGen
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("decode: JSON union → typed columns + parsed event_ts (batch path)") {
+    val events = EventGen.batch(spark, 500, seed = 7)
+    val decoded = EventDecode.decode(EventGen.asJson(events)).cache()
+    assert(decoded.count() == 500)
+    assert(decoded.schema.fieldNames.toSeq.take(9).toSet == Set(
+      "timestamp", "event_name", "user_id", "item_id", "cart_id",
+      "payment_method", "title", "genre", "list_price"))
+    // every row's ISO string parses
+    assert(decoded.filter(col("event_ts").isNull).count() == 0)
+    // quirk preserved: checkout arrives as checkout_to_cart, never "checkout"
+    assert(decoded.filter(col("event_name") === "checkout").count() == 0)
+    assert(decoded.filter(col("event_name") === "checkout_to_cart").count() > 0)
+    decoded.unpersist()
+  }
+
+  test("decode + windowed counts run as a real streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val jsons = EventGen.asJson(EventGen.batch(spark, 200, seed = 11))
+      .collect().map(_.getString(0))
+    mem.addData(jsons.toSeq)
+    val counts = Segmentation.windowedCounts(
+      EventDecode.decode(mem.toDF().withColumnRenamed("value", "value")),
+      watermark = "1 day", windowLen = "1 hour")
+    val q = counts.writeStream.format("memory")
+      .queryName("win_counts").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.map(_.getLong(2)).sum == 200L)
+      assert(rows.forall(_.getLong(2) > 0))
+    } finally q.stop()
+  }
+
+  test("sessionization groups a user's burst into one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // one user, 3 events within 30min gap, then one far later → 2 sessions
+    def ev(ts: String, name: String) =
+      s"""{"timestamp":"$ts","event_name":"$name","user_id":"u1"}"""
+    mem.addData(Seq(
+      ev("2024-01-01T10:00:00.000000", "sign_in"),
+      ev("2024-01-01T10:10:00.000000", "item_view"),
+      ev("2024-01-01T10:20:00.000000", "sign_out"),
+      ev("2024-01-01T15:00:00.000000", "sign_in")))
+    val sess = Segmentation.sessions(
+      EventDecode.decode(mem.toDF()), watermark = "1 day", gap = "30 minutes")
+    val q = sess.writeStream.format("memory")
+      .queryName("sessions").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+      assert(rows.length == 2)
+      assert(rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sorted.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
+  test("funnel conversion ratios") {
+    val events = EventGen.batch(spark, 2000, seed = 13)
+      .withColumn("event_ts", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    val f = Segmentation.funnel(events, windowLen = "1 day").collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val views = r.getLong(r.fieldIndex("views"))
+      val adds = r.getLong(r.fieldIndex("cart_adds"))
+      if (views > 0) {
+        val conv = r.getDouble(r.fieldIndex("view_to_cart"))
+        assert(math.abs(conv - adds.toDouble / views) < 1e-12)
+      }
+    }
+  }
+}
