@@ -15,8 +15,8 @@ object SparkEntry {
     graft.queries.CoreQueries.q3JoinRevenue(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++ graft.queries.ExtQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracleSql
+    graft.queries.CoreQueries.oracleSql ++ graft.queries.ExtQueries.oracleSql
 }

@@ -21,8 +21,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
+    // integer DIV, not `/` — double division rounds 19-digit nano longs
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else df
   }
 

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for LLM-scale data pipelines.
+  *
+  * Scale design: every variant is shuffle-bounded by a *blocking* key —
+  * LSH band keys (MinHash), the minimum shingle hash (n-gram Jaccard), or
+  * the full text hash (exact) — so candidate generation is an equi-join, not
+  * an all-pairs cross join. At 100 TB the band/bucket join shuffles only
+  * (key, docId, signature) tuples, never document bodies.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row per distinct text (lowest doc_id wins).
+    * At scale, group on h60(text) first and only compare bodies within a
+    * colliding bucket; here the direct groupBy is the oracle-checked form. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash+LSH near-dup candidate pairs with estimated similarity.
+    *
+    * shingle(3-gram) → k-row MinHash signature → `bands`×`rowsPerBand`
+    * banding → equi-join on (band index, band key) → estimate = fraction of
+    * agreeing signature rows, filtered at `minEst`.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    val sigs = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", TextOps.minhashSignature(
+        TextOps.shingles3(col("toks")), k))
+      .select(col("doc_id"), col("sig"),
+        posexplode(TextOps.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+
+    val a = sigs.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, lit(1)).otherwise(lit(null)))
+          , x => x.isNotNull)).cast("double") / k)
+      .filter(col("est_sim") >= minEst)
+      .select("doc_a", "doc_b", "est_sim")
+  }
+
+  /** Per-document 32-bit SimHash (near-dup = small Hamming distance; the
+    * companion pairing is a bucket join on rotated prefixes at scale). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("th", TextOps.shingleHashes(TextOps.tokens(col("text"))))
+      .withColumn("simhash", TextOps.simhash32("th"))
+      .select("doc_id", "simhash")
+
+  /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle
+    * hash (documents sharing their rarest-hashed shingle collide; a cheap
+    * single-key block that catches all high-Jaccard pairs with 3-gram
+    * overlap on the min element). */
+  def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", TextOps.shingles3(col("toks")))
+      .withColumn("minh", array_min(TextOps.shingleHashes(col("sh"))))
+      .select("doc_id", "sh", "minh")
+    val a = sh.select(col("minh"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("minh"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, "minh")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jac", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= minJaccard)
+      .select("doc_a", "doc_b", "jac")
+      .distinct()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators.
+  *
+  * Scale design: brute force is the correctness baseline (probe side
+  * broadcast, scan side streamed — never a shuffled cross join); the LSH
+  * path buckets vectors by random-hyperplane sign bits so candidate
+  * generation becomes an equi-join on the bucket id. Hyperplane components
+  * are derived from a closed-form integer formula (no RNG state), so any
+  * engine — and the DuckDB oracle — derives the identical planes.
+  */
+object Similarity {
+
+  /** In-order double-precision dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit LSH bucket id over `bits` pseudo-random hyperplanes for a
+    * `dim`-dimensional array<double> column named `vCol`. Plane j component i
+    * is `(1103515245*(j*dim+i) + 12345) % 2001 - 1000` — engine-agnostic
+    * integer arithmetic (cf. ExtQueries oracle SQL). */
+  def lshBucket(vCol: String, bits: Int = 8, dim: Int = 64): Column =
+    expr(
+      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + if(
+         |  aggregate(sequence(0, ${dim - 1}), cast(0.0 as double), (a, i) ->
+         |    a + cast((1103515245L * (j*$dim + i) + 12345) % 2001 - 1000 as double)
+         |      * element_at($vCol, i + 1)) > cast(0.0 as double),
+         |  shiftleft(1L, j), 0L))""".stripMargin)
+
+  /** Brute-force top-k cosine neighbors for a (small) probe set. Similarity
+    * is rounded to 6dp before ranking so rank order is engine-stable. */
+  def bruteTopK(vectors: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = vectors
+      .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim", "rn")
+  }
+
+  /** LSH-bucketed top-k: probes only compare against vectors in their own
+    * sign-bit bucket. Recall < 1 by construction; at scale this turns a
+    * full scan per probe into a bucket-local one (multi-probe or fewer bits
+    * widen recall). */
+  def lshTopK(vectors: DataFrame, probeIds: Column, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = vectors
+      .withColumn("bucket", lshBucket("v", bits, dim))
+    val probes = bucketed.filter(probeIds)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("bucket"))
+    val scored = bucketed.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim", "rn")
+  }
+
+  /** Near-duplicate vector pairs above a cosine threshold (brute pairwise —
+    * the LSH bucket join is the scale path, this is the oracle-checked
+    * reference form). */
+  def nearDupPairs(vectors: DataFrame, minCos: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= minCos)
+      .select("id_a", "id_b", "sim")
+  }
+}

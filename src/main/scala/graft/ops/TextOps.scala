@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives shared by the dedup / text-analysis
+  * operators. Everything here is built from codegen'd Spark SQL functions
+  * (no UDFs), and every hash is *engine-agnostic*: `h60(s)` =
+  * `int(md5(s)[:15], 16)` computes the identical 60-bit value in Spark
+  * (`conv(substring(md5(s),1,15),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(s),1,15))::BIGINT`), which is what lets the driver's
+  * oracle verify MinHash/SimHash/fingerprint results bit-for-bit.
+  */
+object TextOps {
+
+  /** 60-bit engine-agnostic hash of a string column (non-negative). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word 3-gram shingles of a token array (assumes ≥3 tokens). */
+  def shingles3(toks: Column): Column =
+    transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+
+  /** Hashes of the shingle array. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => h60(s))
+
+  /** MinHash signature of k permutations over a shingle array: permutation i
+    * is the re-hash h60(i ++ ":" ++ shingle) (salted md5 — no (a*x+b) mod p
+    * overflow concerns, identical in both engines). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), lit(k)),
+      i => array_min(transform(sh, s => h60(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys for a MinHash signature: bands of `rowsPerBand` rows,
+    * keyed by the comma-joined row values. Returns array of band-key strings;
+    * band index is the array position. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",",
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)).cast("array<string>")))
+
+  /** 32-bit SimHash over token hashes: bit j is set when the ±1 vote sum of
+    * the tokens' j-th hash bits is positive. Implemented as a SQL expression
+    * so the shift amounts can be lambda variables (the Scala `shiftleft`
+    * helper only takes literal shifts). `tokenHashesCol` must name an
+    * array<bigint> column. */
+  def simhash32(tokenHashesCol: String): Column =
+    expr(
+      s"""aggregate(sequence(0, 31), 0L, (acc, j) -> acc + if(
+         |  aggregate($tokenHashesCol, 0L,
+         |    (a, t) -> a + if(((t >> j) & 1) = 1, 1L, -1L)) > 0L,
+         |  shiftleft(1L, j), 0L))""".stripMargin)
+
+  /** Exact Jaccard similarity of two array columns (on distinct elements). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db))
+    (inter.cast("double") / (size(da) + size(db) - inter))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: language id, quality scoring, token counting,
+  * fingerprinting. All single-pass, per-row, codegen-friendly — embarrassingly
+  * parallel at any scale (no shuffle at all until an aggregation is asked). */
+object TextStats {
+
+  /** Tiny per-language stopword lists for the n-gram-free heuristic
+    * language id. (Real pipelines plug fastText etc. — the operator shape,
+    * argmax over per-language evidence counts, is what matters here.) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** (doc_id, en_hits, es_hits, de_hits, lang_pred): strict-argmax language
+    * with ties → "und". */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("en_hits", hits(toks, stopwords("en")))
+      .withColumn("es_hits", hits(toks, stopwords("es")))
+      .withColumn("de_hits", hits(toks, stopwords("de")))
+      .withColumn("lang_pred",
+        when(col("en_hits") > col("es_hits") && col("en_hits") > col("de_hits"), "en")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") > col("de_hits"), "es")
+          .when(col("de_hits") > col("en_hits") && col("de_hits") > col("es_hits"), "de")
+          .otherwise("und"))
+      .select("doc_id", "en_hits", "es_hits", "de_hits", "lang_pred")
+  }
+
+  /** Heuristic quality score from length / uniqueness / stopword-density
+    * signals (rounded to 6dp for cross-engine stability). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_uniq", size(array_distinct(toks)))
+      .withColumn("n_stop", hits(toks, stopwords("en")))
+      .withColumn("uniq_ratio",
+        col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(col("n_tokens").cast("double") / 64.0, lit(1.0)))
+      .withColumn("score", round(
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("stop_ratio")
+          + lit(0.3) * col("len_score"), 6))
+      .select("doc_id", "n_tokens", "n_uniq", "n_stop", "score")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish subword pieces (letter runs,
+    * digit runs, single other symbols), and byte length. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(TextOps.tokens(col("text"))))
+      .withColumn("bpe_pieces",
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")))
+      .withColumn("n_bytes", octet_length(col("text")))
+      .select("doc_id", "ws_tokens", "bpe_pieces", "n_bytes")
+
+  /** Rolling-hash document fingerprint over word 4-gram windows: min / max /
+    * xor-fold of the window hashes (winnowing-style content signature, order-
+    * independent folds so partitioning never changes the result). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("toks", toks)
+      .filter(size(col("toks")) >= 4)
+      .withColumn("wh", transform(
+        sequence(lit(0), size(col("toks")) - 4),
+        i => TextOps.h60(concat_ws(" ",
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+          element_at(col("toks"), i + 3), element_at(col("toks"), i + 4)))))
+      .withColumn("fp_min", array_min(col("wh")))
+      .withColumn("fp_max", array_max(col("wh")))
+      .withColumn("fp_xor", aggregate(col("wh"), lit(0L), (a, x) => a.bitwiseXOR(x)))
+      .select("doc_id", "fp_min", "fp_max", "fp_xor")
+  }
+}

@@ -1,0 +1,376 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Extension operator surface: batch sessionization / running windows over
+  * events, the LLM-pipeline dedup family, similarity search, text analysis,
+  * multimodal plumbing, and rollup aggregates — each with a DuckDB oracle.
+  *
+  * Near-dup queries augment the (fully distinct) testdata with deterministic
+  * perturbed copies (`doc_id % 50 == 0` → id+1,000,000, last token dropped;
+  * `vec_id % 100 == 0` → id+1,000,000, first component +0.05) so the dedup
+  * result set is non-empty at every scale factor — both engines apply the
+  * same augmentation.
+  */
+object ExtQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared deterministic near-dup augmentation for documents. */
+  private def augDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val synth = docs.filter(col("doc_id") % 50 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks, lit(1), size(toks) - 1), " ").as("text"))
+    docs.union(synth)
+  }
+
+  private val augDocsSql =
+    """aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, array_to_string(t[1:len(t)-1], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** Shared augmentation for embeddings (cast to double, perturbed copies). */
+  private def augVecs(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val synth = vecs.filter(col("vec_id") % 100 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        concat(
+          array(element_at(col("v"), 1) + 0.05),
+          slice(col("v"), lit(2), lit(63))).as("v"))
+    vecs.union(synth)
+  }
+
+  private val augVecsSql =
+    """aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000,
+      |    list_concat([v[1] + 0.05], v[2:64])
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |  WHERE vec_id % 100 = 0)""".stripMargin
+
+  // ---------------------------------------------------------------- Q13
+  /** Batch sessionization (gaps-and-islands, 30-min inactivity gap) — the
+    * batch mirror of streaming.Segmentation.sessions. */
+  def q13Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(w))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  val q13Sql: String =
+    """SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+      |  MAX(ts_us) - MIN(ts_us) AS dur_us
+      |FROM (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq
+      |  FROM (
+      |    SELECT user_id, event_id, ts_us,
+      |      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |        LAG(epoch_ns(ts) // 1000) OVER (
+      |          PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  // ---------------------------------------------------------------- Q14
+  /** Running decimal-exact revenue + lag per user (frame-explicit window). */
+  def q14RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(18,2)")).over(frame).cast("double"))
+      .withColumn("prev_value", lag(col("value"), 1).over(order))
+      .withColumn("rn", row_number().over(order))
+      .select("event_id", "user_id", "running_value", "prev_value", "rn")
+      .orderBy("user_id", "rn")
+  }
+
+  val q14Sql: String =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+      |  LAG(value) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS prev_value,
+      |  ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+      |FROM events
+      |ORDER BY user_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- Q15
+  def q15MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(augDocs(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  val q15Sql: String =
+    s"""WITH $augDocsSql,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |sh AS (SELECT doc_id,
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+      |  FROM toks WHERE len(t) >= 3),
+      |sig AS (SELECT doc_id,
+      |    list_transform(range(1, 17), i -> list_min(list_transform(shingles,
+      |      s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, sig, b,
+      |    sig[4*b+1]::VARCHAR || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4] AS key
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+      |est AS (SELECT doc_a, doc_b,
+      |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_sim
+      |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+      |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- Q16
+  def q16Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  val q16Sql: String =
+    """SELECT doc_id,
+      |  list_sum(list_transform(range(0, 32), j -> CASE WHEN
+      |    list_sum(list_transform(th, t -> CASE WHEN ((t >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS simhash
+      |FROM (SELECT doc_id,
+      |    list_transform(string_split(text, ' '),
+      |      w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS th
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q17
+  def q17NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(augDocs(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  val q17Sql: String =
+    s"""WITH $augDocsSql,
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+      |sh AS (SELECT doc_id,
+      |    list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+      |  FROM toks WHERE len(t) >= 3),
+      |keyed AS (SELECT doc_id, sh,
+      |    list_min(list_transform(sh, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minh
+      |  FROM sh),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.sh AS sh_a, b.sh AS sh_b
+      |  FROM keyed a JOIN keyed b ON a.minh = b.minh AND a.doc_id < b.doc_id),
+      |jacs AS (SELECT doc_a, doc_b,
+      |    len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))::DOUBLE
+      |      / (len(list_distinct(sh_a)) + len(list_distinct(sh_b))
+      |         - len(list_intersect(list_distinct(sh_a), list_distinct(sh_b)))) AS jac
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, jac FROM jacs WHERE jac >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- Q18
+  def q18EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(augVecs(s, dir), minCos = 0.9)
+      .orderBy("id_a", "id_b")
+
+  val q18Sql: String =
+    s"""WITH $augVecsSql
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- Q19
+  def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.lshTopK(vecs, col("vec_id") < 10, k = 3)
+      .orderBy("query_id", "rn")
+  }
+
+  val q19Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |bucketed AS (SELECT vec_id, v,
+      |  list_sum(list_transform(range(0, 8), j -> CASE WHEN
+      |    list_sum(list_transform(range(0, 64), i ->
+      |      ((1103515245::BIGINT * (j*64 + i) + 12345) % 2001 - 1000)::DOUBLE * v[i+1])) > 0.0
+      |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS bucket
+      |  FROM e),
+      |probes AS (SELECT vec_id AS query_id, v AS q, bucket FROM bucketed WHERE vec_id < 10),
+      |scored AS (SELECT p.query_id, c.vec_id,
+      |    ROUND(list_dot_product(p.q, c.v)
+      |      / (sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+      |  FROM probes p JOIN bucketed c ON p.bucket = c.bucket AND c.vec_id <> p.query_id),
+      |ranked AS (SELECT query_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
+      |ORDER BY query_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- Q20
+  def q20LangId(s: SparkSession, dir: String): DataFrame =
+    TextStats.languageId(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val q20Sql: String = {
+    def hits(lang: String): String = {
+      val words = TextStats.stopwords(lang).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), x -> x IN ($words)))"
+    }
+    s"""SELECT doc_id,
+      |  ${hits("en")} AS en_hits,
+      |  ${hits("es")} AS es_hits,
+      |  ${hits("de")} AS de_hits,
+      |  CASE
+      |    WHEN ${hits("en")} > ${hits("es")} AND ${hits("en")} > ${hits("de")} THEN 'en'
+      |    WHEN ${hits("es")} > ${hits("en")} AND ${hits("es")} > ${hits("de")} THEN 'es'
+      |    WHEN ${hits("de")} > ${hits("en")} AND ${hits("de")} > ${hits("es")} THEN 'de'
+      |    ELSE 'und' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q21
+  def q21Quality(s: SparkSession, dir: String): DataFrame =
+    TextStats.quality(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val q21Sql: String = {
+    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tokens, n_uniq, n_stop,
+      |  ROUND(0.4 * (n_uniq::DOUBLE / n_tokens) + 0.3 * (n_stop::DOUBLE / n_tokens)
+      |    + 0.3 * least(n_tokens::DOUBLE / 64.0, 1.0), 6) AS score
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($en))) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q22
+  def q22TokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCounts(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val q22Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_pieces,
+      |  octet_length(text::BLOB) AS n_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q23
+  def q23Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprint(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val q23Sql: String =
+    """SELECT doc_id,
+      |  list_min(wh) AS fp_min,
+      |  list_max(wh) AS fp_max,
+      |  list_reduce(wh, (a, x) -> xor(a, x)) AS fp_xor
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(t) - 2),
+      |      i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))::BIGINT) AS wh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 4)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q24
+  def q24Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(t(s, dir, "documents"))
+    import s.implicits._
+    Multimodal.decodeBatch(media)
+      .select("doc_id", "n_bytes", "first_byte", "n_pixels")
+      .orderBy("doc_id")
+  }
+
+  val q24Sql: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB) AS n_bytes,
+      |  ascii(text) AS first_byte,
+      |  octet_length(text::BLOB) // 3 AS n_pixels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q25
+  def q25Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  val q25Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ----------------------------------------------------------------
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_sessionize" -> (q13Sessionize _),
+    "q14_running_window" -> (q14RunningWindow _),
+    "q15_minhash_lsh" -> (q15MinhashLsh _),
+    "q16_simhash" -> (q16Simhash _),
+    "q17_ngram_jaccard" -> (q17NgramJaccard _),
+    "q18_embed_neardup" -> (q18EmbedNearDup _),
+    "q19_ann_lsh" -> (q19AnnLsh _),
+    "q20_langid" -> (q20LangId _),
+    "q21_quality" -> (q21Quality _),
+    "q22_token_counts" -> (q22TokenCounts _),
+    "q23_fingerprint" -> (q23Fingerprint _),
+    "q24_multimodal" -> (q24Multimodal _),
+    "q25_rollup" -> (q25Rollup _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_sessionize" -> q13Sql,
+    "q14_running_window" -> q14Sql,
+    "q15_minhash_lsh" -> q15Sql,
+    "q16_simhash" -> q16Sql,
+    "q17_ngram_jaccard" -> q17Sql,
+    "q18_embed_neardup" -> q18Sql,
+    "q19_ann_lsh" -> q19Sql,
+    "q20_langid" -> q20Sql,
+    "q21_quality" -> q21Sql,
+    "q22_token_counts" -> q22Sql,
+    "q23_fingerprint" -> q23Sql,
+    "q24_multimodal" -> q24Sql,
+    "q25_rollup" -> q25Sql)
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.queries.ExtQueries
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  test("every extension query runs non-empty at sf0.001") {
+    ExtQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("minhash LSH finds every synthetic near-dup pair") {
+    val pairs = ExtQueries.q15MinhashLsh(spark, sfDir).collect()
+    // doc_id % 50 == 0 → perturbed copy at id+1,000,000 (sf0.001: 10 docs)
+    val synthetic = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(synthetic.length == 10, s"expected 10 synth pairs, got ${synthetic.length}")
+    assert(synthetic.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("ngram jaccard: synthetic pairs have near-1 similarity") {
+    val pairs = ExtQueries.q17NgramJaccard(spark, sfDir).collect()
+    val synthetic = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(synthetic.length == 10)
+    assert(synthetic.forall(_.getDouble(2) > 0.8))
+  }
+
+  test("embedding near-dup finds exactly the 5 perturbed vectors at sf0.001") {
+    val pairs = ExtQueries.q18EmbedNearDup(spark, sfDir).collect()
+    assert(pairs.length == 5)
+    assert(pairs.forall(r => r.getLong(1) == r.getLong(0) + 1000000L))
+    assert(pairs.forall(_.getDouble(2) > 0.99))
+  }
+
+  test("simhash of near-identical docs has small hamming distance") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 8)
+  }
+
+  test("LSH ANN returns correctly-ranked bucket-mates only") {
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val buckets = vecs.withColumn("bucket", Similarity.lshBucket("v"))
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(vecs, col("vec_id") < 10, 3).collect()
+    assert(lsh.nonEmpty)
+    // every neighbor shares its probe's bucket (the candidate-set contract)
+    assert(lsh.forall(r => buckets(r.getLong(1)) == buckets(r.getLong(0))))
+    // ranks are 1..n per probe, sims non-increasing within a probe
+    lsh.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).sameElements(1 to g.length))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)))
+    }
+    // candidate generation ≡ bucket equality: lshTopK must never exceed
+    // the per-bucket population minus the probe itself
+    val popByBucket = buckets.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    lsh.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.length <= math.min(3, popByBucket(buckets(q)) - 1))
+    }
+  }
+
+  test("multimodal: metadata-only path prunes the payload column at the scan") {
+    val media = Multimodal.asMedia(graft.Tables.load(spark, sfDir, "documents"))
+    val plan = Multimodal.metadataOnly(media).queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), "payload should be pruned:\n" + plan)
+  }
+
+  test("multimodal: stub decode computes per-batch byte stats") {
+    val media = Multimodal.asMedia(graft.Tables.load(spark, sfDir, "documents"))
+    val decoded = Multimodal.decodeBatch(media).collect()
+    assert(decoded.length == 500)
+    assert(decoded.forall(d => d.mean_byte > 0 && d.first_byte >= 0))
+    assert(decoded.forall(d => d.n_pixels == d.n_bytes / 3))
+  }
+
+  test("exact dedup collapses duplicates to the lowest doc_id") {
+    import spark.implicits._
+    val docs = Seq((5L, "a b c"), (9L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(5L -> 2L, 2L -> 1L))
+  }
+}
