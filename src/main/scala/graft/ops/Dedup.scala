@@ -74,16 +74,19 @@ object Dedup {
     val sh = docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", TextOps.shingles3(col("toks")))
-      .withColumn("minh", array_min(TextOps.shingleHashes(col("sh"))))
-      .select("doc_id", "sh", "minh")
-    val a = sh.select(col("minh"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("minh"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      // Jaccard runs on hashed shingles (array<long>) — set-equivalent to
+      // the string shingles modulo 60-bit collisions, far cheaper to
+      // intersect. One blocking key per doc ⇒ each pair appears exactly
+      // once, so no distinct is needed.
+      .withColumn("hs", graft.functions.NgramHashes.of(col("toks"), 3))
+      .withColumn("minh", array_min(col("hs")))
+      .select("doc_id", "hs", "minh")
+    val a = sh.select(col("minh"), col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sh.select(col("minh"), col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     a.join(b, "minh")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jac", TextOps.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jac", TextOps.jaccard(col("hs_a"), col("hs_b")))
       .filter(col("jac") >= minJaccard)
       .select("doc_a", "doc_b", "jac")
-      .distinct()
   }
 }

@@ -22,19 +22,17 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd cosine — bit-identical to `dot(a,b)/(norm(a)*norm(b))`
+    * (independent in-order folds) but ~50× faster on wide fan-outs because
+    * Spark's higher-order functions are CodegenFallback. */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim.of(a, b)
 
   /** Sign-bit LSH bucket id over `bits` pseudo-random hyperplanes for a
     * `dim`-dimensional array<double> column named `vCol`. Plane j component i
     * is `(1103515245*(j*dim+i) + 12345) % 2001 - 1000` — engine-agnostic
     * integer arithmetic (cf. ExtQueries oracle SQL). */
   def lshBucket(vCol: String, bits: Int = 8, dim: Int = 64): Column =
-    expr(
-      s"""aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + if(
-         |  aggregate(sequence(0, ${dim - 1}), cast(0.0 as double), (a, i) ->
-         |    a + cast((1103515245L * (j*$dim + i) + 12345) % 2001 - 1000 as double)
-         |      * element_at($vCol, i + 1)) > cast(0.0 as double),
-         |  shiftleft(1L, j), 0L))""".stripMargin)
+    graft.functions.LshBucket.of(col(vCol), bits, dim)
 
   /** Brute-force top-k cosine neighbors for a (small) probe set. Similarity
     * is rounded to 6dp before ranking so rank order is engine-stable. */
@@ -71,10 +69,18 @@ object Similarity {
     * the LSH bucket join is the scale path, this is the oracle-checked
     * reference form). */
   def nearDupPairs(vectors: DataFrame, minCos: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("id_a"), col("v").as("va"))
-    val b = vectors.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    // Precompute each vector's norm once — per-pair work drops to one dot
+    // product; sqrt(Σx²) is the same fold as in cosine(), so results are
+    // bit-identical to the naive per-pair form.
+    import graft.functions.Dot
+    val withNorm = vectors.withColumn("nrm", sqrt(Dot.of(col("v"), col("v"))))
+    val a = withNorm.select(
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("sim",
+        round(Dot.of(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= minCos)
       .select("id_a", "id_b", "sim")
   }

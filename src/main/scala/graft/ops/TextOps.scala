@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** 60-bit engine-agnostic hash of a string column (non-negative). */
-  def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+  /** 60-bit engine-agnostic hash of a string column (non-negative).
+    * Digest-direct codegen'd form; value-identical to
+    * `conv(substring(md5(s),1,15),16,10)::long` (see [[graft.functions.H60]]). */
+  def h60(c: Column): Column = graft.functions.H60.of(c)
 
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
@@ -32,11 +33,10 @@ object TextOps {
 
   /** MinHash signature of k permutations over a shingle array: permutation i
     * is the re-hash h60(i ++ ":" ++ shingle) (salted md5 — no (a*x+b) mod p
-    * overflow concerns, identical in both engines). */
+    * overflow concerns, identical in both engines). One-pass native form;
+    * see [[graft.functions.MinHashSig]]. */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), lit(k)),
-      i => array_min(transform(sh, s => h60(concat(i.cast("string"), lit(":"), s)))))
+    graft.functions.MinHashSig.of(sh, k)
 
   /** LSH band keys for a MinHash signature: bands of `rowsPerBand` rows,
     * keyed by the comma-joined row values. Returns array of band-key strings;

@@ -73,11 +73,7 @@ object TextStats {
     docs
       .withColumn("toks", toks)
       .filter(size(col("toks")) >= 4)
-      .withColumn("wh", transform(
-        sequence(lit(0), size(col("toks")) - 4),
-        i => TextOps.h60(concat_ws(" ",
-          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
-          element_at(col("toks"), i + 3), element_at(col("toks"), i + 4)))))
+      .withColumn("wh", graft.functions.NgramHashes.of(col("toks"), 4))
       .withColumn("fp_min", array_min(col("wh")))
       .withColumn("fp_max", array_max(col("wh")))
       .withColumn("fp_xor", aggregate(col("wh"), lit(0L), (a, x) => a.bitwiseXOR(x)))

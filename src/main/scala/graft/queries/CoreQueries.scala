@@ -248,16 +248,7 @@ object CoreQueries {
       col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val probes = emb.filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "q")
-    val dot = aggregate(zip_with(col("q"), col("v"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0), (a, x) => a + x * x))
-    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("query_id"))
-      .withColumn("sim", round(dot / (norm(col("q")) * norm(col("v"))), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select("query_id", "vec_id", "sim", "rn")
+    graft.ops.Similarity.bruteTopK(emb, probes, 5)
       .orderBy("query_id", "rn")
   }
 
