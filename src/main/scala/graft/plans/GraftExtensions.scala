@@ -1,0 +1,69 @@
+package graft.plans
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions, so
+  * `spark.sql("SELECT extract_price(p) ...")` works next to the Column API.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `withExtensions` in code). This is the supported seam for shipping
+  * engine extensions — no Spark internals are patched.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (name, info, builder) triples for every registered SQL function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("extract_price",
+      info("extract_price",
+        "extract_price(str) - last $-delimited token as float, else 0.0"),
+      (args: Seq[Expression]) => ExtractPrice(args.head)),
+    ("cosine_sim",
+      info("cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two array<double>"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) => Dot(args(0), args(1))),
+    ("h60",
+      info("h60", "h60(str) - engine-agnostic 60-bit md5 hash"),
+      (args: Seq[Expression]) => H60(args.head)),
+    ("minhash_sig",
+      info("minhash_sig",
+        "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args(0), args(1).eval().asInstanceOf[Int])),
+    ("ngram_hashes",
+      info("ngram_hashes", "ngram_hashes(tokens, n) - hashed word n-grams"),
+      (args: Seq[Expression]) =>
+        NgramHashes(args(0), args(1).eval().asInstanceOf[Int])),
+    ("lsh_bucket",
+      info("lsh_bucket",
+        "lsh_bucket(v, bits, dim) - sign-bit LSH bucket id for array<double>"),
+      (args: Seq[Expression]) => LshBucket(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+
+  /** Imperative registration on an existing session (same builders). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), i, builder)
+    }
+}
