@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -9,23 +7,24 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
-/** One-pass k-permutation MinHash signature over an array<string> of
-  * shingles.
+/** k-permutation MinHash signature over an array<long> of (already hashed)
+  * shingles — one base hash per shingle, k affine re-permutations:
   *
-  * Value-identical to the declarative
-  * `transform(sequence(1,k), i -> array_min(transform(sh, s -> h60(i||':'||s))))`
-  * (the salted digest consumes the identical `"i:shingle"` byte stream), but
-  * computes all k minima in a single pass per row with a reused MessageDigest
-  * and no per-salt string allocation — the nested-HOF form interprets
-  * k×|shingles| lambda closures per row and fences whole-stage codegen.
+  *   h_i(x) = ((2i+1)·(x mod 4294967291) + i·12345) mod 1000000007,  i ∈ 1..k
+  *
+  * All intermediates stay below 2^38, so the identical BIGINT arithmetic runs
+  * overflow-free in DuckDB (which errors on overflow) and Spark (which would
+  * wrap silently) — the oracle in ExtQueries.q15Sql is this exact formula.
+  * One md5 per shingle (via [[NgramHashes]]) replaces the k-salted-digest
+  * variant: same banding behavior, 16× less hashing.
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(sh: Any): Any =
-    MinHashSigUtil.sig(sh.asInstanceOf[ArrayData], k)
+  override def nullSafeEval(hs: Any): Any =
+    MinHashSigUtil.sig(hs.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val util = MinHashSigUtil.getClass.getName.stripSuffix("$")
@@ -37,30 +36,19 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSigUtil {
-  private val digests = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest =
-      MessageDigest.getInstance("MD5")
-  }
+  final val P32 = 4294967291L // largest 32-bit prime
+  final val P = 1000000007L
 
-  def sig(shingles: ArrayData, k: Int): ArrayData = {
-    val md = digests.get()
-    val n = shingles.numElements()
+  def sig(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
-    val salts = Array.tabulate(k)(i => s"${i + 1}:".getBytes("UTF-8"))
     var j = 0
     while (j < n) {
-      val sBytes = shingles.getUTF8String(j).getBytes
-      var i = 0
-      while (i < k) {
-        md.reset()
-        md.update(salts(i))
-        md.update(sBytes)
-        val d = md.digest()
-        var v = 0L
-        var b = 0
-        while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-        v = (v << 4) | ((d(7) >> 4) & 0xfL)
-        if (v < mins(i)) mins(i) = v
+      val x32 = hashes.getLong(j) % P32
+      var i = 1
+      while (i <= k) {
+        val v = ((2L * i + 1L) * x32 + i * 12345L) % P
+        if (v < mins(i - 1)) mins(i - 1) = v
         i += 1
       }
       j += 1
@@ -70,6 +58,6 @@ object MinHashSigUtil {
 }
 
 object MinHashSig {
-  def of(shingles: Column, k: Int): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
+  def of(hashedShingles: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(hashedShingles), k))
 }

@@ -37,7 +37,7 @@ object Dedup {
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", TextOps.minhashSignature(
-        TextOps.shingles3(col("toks")), k))
+        graft.functions.NgramHashes.of(col("toks"), 3), k))
       .select(col("doc_id"), col("sig"),
         posexplode(TextOps.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))

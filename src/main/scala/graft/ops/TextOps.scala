@@ -31,12 +31,11 @@ object TextOps {
   /** Hashes of the shingle array. */
   def shingleHashes(sh: Column): Column = transform(sh, s => h60(s))
 
-  /** MinHash signature of k permutations over a shingle array: permutation i
-    * is the re-hash h60(i ++ ":" ++ shingle) (salted md5 — no (a*x+b) mod p
-    * overflow concerns, identical in both engines). One-pass native form;
-    * see [[graft.functions.MinHashSig]]. */
-  def minhashSignature(sh: Column, k: Int): Column =
-    graft.functions.MinHashSig.of(sh, k)
+  /** MinHash signature of k affine permutations over an array of hashed
+    * shingles (see [[graft.functions.MinHashSig]] for the closed-form
+    * engine-agnostic permutation family). */
+  def minhashSignature(hashedShingles: Column, k: Int): Column =
+    graft.functions.MinHashSig.of(hashedShingles, k)
 
   /** LSH band keys for a MinHash signature: bands of `rowsPerBand` rows,
     * keyed by the comma-joined row values. Returns array of band-key strings;

@@ -47,7 +47,7 @@ object GraftExtensions {
       (args: Seq[Expression]) => H60(args.head)),
     ("minhash_sig",
       info("minhash_sig",
-        "minhash_sig(shingles, k) - k-permutation MinHash signature"),
+        "minhash_sig(hashed_shingles, k) - k-permutation MinHash signature"),
       (args: Seq[Expression]) =>
         MinHashSig(args(0), args(1).eval().asInstanceOf[Int])),
     ("ngram_hashes",

@@ -142,10 +142,14 @@ object ExtQueries {
       |    list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
       |  FROM toks WHERE len(t) >= 3),
-      |sig AS (SELECT doc_id,
-      |    list_transform(range(1, 17), i -> list_min(list_transform(shingles,
-      |      s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS sig
+      |hs AS (SELECT doc_id,
+      |    list_transform(shingles,
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
       |  FROM sh),
+      |sig AS (SELECT doc_id,
+      |    list_transform(range(1, 17), i -> list_min(list_transform(hs,
+      |      x -> ((2*i + 1) * (x % 4294967291) + i * 12345) % 1000000007))) AS sig
+      |  FROM hs),
       |bands AS (SELECT doc_id, sig, b,
       |    sig[4*b+1]::VARCHAR || ',' || sig[4*b+2] || ',' || sig[4*b+3] || ',' || sig[4*b+4] AS key
       |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),

@@ -12,7 +12,7 @@ class ExtensionsSpec extends SparkSpec {
         |  cosine_sim(array(1d, 0d), array(1d, 0d)) AS cs,
         |  dot_product(array(1d, 2d), array(3d, 4d)) AS dp,
         |  h60('hello') AS h,
-        |  minhash_sig(array('a b c', 'b c d'), 4) AS sig,
+        |  minhash_sig(ngram_hashes(array('a','b','c','d'), 3), 4) AS sig,
         |  ngram_hashes(array('a','b','c','d'), 3) AS ng,
         |  lsh_bucket(array_repeat(1.0d, 64), 8, 64) AS bkt
         |""".stripMargin).collect()(0)
