@@ -36,23 +36,28 @@ object TextStats {
   }
 
   /** Heuristic quality score from length / uniqueness / stopword-density
-    * signals (rounded to 6dp for cross-engine stability). */
+    * signals: `0.4·uniq_ratio + 0.3·stop_ratio + 0.3·min(n_tokens/64, 1)`,
+    * emitted in exact integer micro-units (ppm).
+    *
+    * Integer-exact on purpose: the ratios are rationals over n_tokens and a
+    * dyadic /64, which land exactly on ROUND(x,6) half-way boundaries —
+    * where Spark (decimal half-up) and DuckDB (×1e6 in double, then
+    * half-away) disagree. One shared integer formula,
+    * `(2·num + den) div (2·den)` over a common denominator, removes floats
+    * from the comparison entirely. */
   def quality(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     docs
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_uniq", size(array_distinct(toks)))
-      .withColumn("n_stop", hits(toks, stopwords("en")))
-      .withColumn("uniq_ratio",
-        col("n_uniq").cast("double") / col("n_tokens"))
-      .withColumn("stop_ratio",
-        col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn("len_score",
-        least(col("n_tokens").cast("double") / 64.0, lit(1.0)))
-      .withColumn("score", round(
-        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("stop_ratio")
-          + lit(0.3) * col("len_score"), 6))
-      .select("doc_id", "n_tokens", "n_uniq", "n_stop", "score")
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop", hits(toks, stopwords("en")).cast("long"))
+      // score_ppm = round(1e6 · (0.4·u/t + 0.3·s/t + 0.3·min(t,64)/64))
+      .withColumn("num",
+        lit(64L) * (lit(400000L) * col("n_uniq") + lit(300000L) * col("n_stop"))
+          + lit(300000L) * least(col("n_tokens"), lit(64L)) * col("n_tokens"))
+      .withColumn("den", lit(64L) * col("n_tokens"))
+      .withColumn("score_ppm", expr("(2 * num + den) DIV (2 * den)"))
+      .select("doc_id", "n_tokens", "n_uniq", "n_stop", "score_ppm")
   }
 
   /** Token counting: whitespace tokens, BPE-ish subword pieces (letter runs,

@@ -275,13 +275,14 @@ object ExtQueries {
   val q21Sql: String = {
     val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""SELECT doc_id, n_tokens, n_uniq, n_stop,
-      |  ROUND(0.4 * (n_uniq::DOUBLE / n_tokens) + 0.3 * (n_stop::DOUBLE / n_tokens)
-      |    + 0.3 * least(n_tokens::DOUBLE / 64.0, 1.0), 6) AS score
+      |  (2 * (64 * (400000 * n_uniq + 300000 * n_stop)
+      |        + 300000 * least(n_tokens, 64) * n_tokens)
+      |   + 64 * n_tokens) // (2 * 64 * n_tokens) AS score_ppm
       |FROM (
       |  SELECT doc_id,
-      |    len(string_split(text, ' ')) AS n_tokens,
-      |    len(list_distinct(string_split(text, ' '))) AS n_uniq,
-      |    len(list_filter(string_split(text, ' '), x -> x IN ($en))) AS n_stop
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+      |    len(list_filter(string_split(text, ' '), x -> x IN ($en)))::BIGINT AS n_stop
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
   }
