@@ -65,6 +65,57 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rn")
   }
 
+  /** Closed-form IVF coarse-quantizer centroids: centroid j component i is
+    * `((1103515245*(j*dim+i) + 12345) % 2001 - 1000) / 1000.0` — fixed
+    * random directions, derivable identically by any engine (the DuckDB
+    * oracle regenerates them from the same formula). A data-adaptive
+    * refinement (k-means step via [[graft.functions.CentroidAgg]]) can
+    * replace these engine-side; the fixed form is the oracle-checked path. */
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
+      nlist: Int = 16, dim: Int = 64): DataFrame = {
+    val rows = (0 until nlist).map { j =>
+      (j.toLong, (0 until dim).map(i =>
+        ((1103515245L * (j * dim + i) + 12345L) % 2001L - 1000L) / 1000.0))
+    }
+    spark.createDataFrame(rows).toDF("cid", "c")
+  }
+
+  /** Cell assignment: argmax cosine over the centroid set (rounded, tie on
+    * cid — the engine-stable rank pattern). Returns top-`nprobe` cells. */
+  private def nearestCells(vectors: DataFrame, cents: DataFrame,
+      vCol: String, nprobe: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
+      .withColumn("csim", round(cosine(col(vCol), col("c")), 6))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= nprobe)
+      .drop("c", "csim", "crn")
+  }
+
+  /** IVF top-k: vectors live in their nearest centroid cell; probes search
+    * their `nprobe` nearest cells. At scale the index side is partitioned by
+    * cell (one shuffle at build), probes touch nprobe/nlist of the data. */
+  def ivfTopK(vectors: DataFrame, probeIds: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+    val cents = ivfCentroids(vectors.sparkSession, nlist, dim)
+    val indexed = nearestCells(vectors, cents, "v", 1)
+      .withColumnRenamed("cid", "cell")
+    val probes = nearestCells(
+      vectors.filter(probeIds)
+        .select(col("vec_id"), col("v")), cents, "v", nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("cid").as("cell"))
+    val scored = indexed.join(probes, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .distinct() // a candidate may appear via both probed cells
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Near-duplicate vector pairs above a cosine threshold (brute pairwise —
     * the LSH bucket join is the scale path, this is the oracle-checked
     * reference form). */

@@ -245,6 +245,41 @@ object ExtQueries {
       |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
       |ORDER BY query_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q26
+  /** IVF-indexed ANN: closed-form coarse centroids, nprobe=2, top-3. */
+  def q26AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.ivfTopK(vecs, col("vec_id") < 10, k = 3)
+      .orderBy("query_id", "rn")
+  }
+
+  val q26Sql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cents AS (SELECT j AS cid,
+      |    list_transform(range(0, 64),
+      |      i -> ((1103515245::BIGINT * (j*64 + i) + 12345) % 2001 - 1000) / 1000.0) AS c
+      |  FROM (SELECT unnest(range(0, 16)) AS j)),
+      |vc AS (SELECT vec_id, v, cid,
+      |    ROUND(list_dot_product(v, c)
+      |      / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 6) AS csim
+      |  FROM e CROSS JOIN cents),
+      |assigned AS (SELECT vec_id, v, cid AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+      |    FROM vc) WHERE crn = 1),
+      |probes AS (SELECT vec_id AS query_id, v AS q, cid AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+      |    FROM vc WHERE vec_id < 10) WHERE crn <= 2),
+      |cand AS (SELECT DISTINCT p.query_id, a.vec_id,
+      |    ROUND(list_dot_product(p.q, a.v)
+      |      / (sqrt(list_dot_product(p.q, p.q)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+      |  FROM probes p JOIN assigned a ON p.cell = a.cell AND a.vec_id <> p.query_id),
+      |ranked AS (SELECT query_id, vec_id, sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM cand)
+      |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
+      |ORDER BY query_id, rn""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -362,7 +397,8 @@ object ExtQueries {
     "q22_token_counts" -> (q22TokenCounts _),
     "q23_fingerprint" -> (q23Fingerprint _),
     "q24_multimodal" -> (q24Multimodal _),
-    "q25_rollup" -> (q25Rollup _))
+    "q25_rollup" -> (q25Rollup _),
+    "q26_ann_ivf" -> (q26AnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -377,5 +413,6 @@ object ExtQueries {
     "q22_token_counts" -> q22Sql,
     "q23_fingerprint" -> q23Sql,
     "q24_multimodal" -> q24Sql,
-    "q25_rollup" -> q25Sql)
+    "q25_rollup" -> q25Sql,
+    "q26_ann_ivf" -> q26Sql)
 }
