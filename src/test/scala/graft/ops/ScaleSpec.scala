@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation matches plain aggregation exactly") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+
+    val salted = Scale.saltedAggregate(
+      li, col("l_returnflag"), salts = 7,
+      partials = Seq(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("q")),
+      merges = Seq(c => sum(c), c => sum(c)))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toString)).toSet
+
+    assert(salted == plain)
+  }
+
+  test("skew join matches plain join exactly (including multiplicity)") {
+    val li = Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+    val orders = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy().agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    val skewed = Scale.skewJoin(li, orders, "l_orderkey", "o_orderkey", salts = 5)
+      .groupBy().agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,2)")))
+      .collect()(0)
+    assert(plain.getLong(0) == skewed.getLong(0))
+    assert(plain.getDecimal(1) == skewed.getDecimal(1))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse dir is a static conf, set in SparkSpec's builder
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val orders = Tables.load(spark, sfDir, "orders")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("li_bucketed")
+      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("orders_bucketed")
+      val joined = spark.table("li_bucketed").join(
+        spark.table("orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join should not shuffle:\n" + plan)
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}
