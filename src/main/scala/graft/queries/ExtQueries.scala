@@ -280,6 +280,35 @@ object ExtQueries {
       |SELECT query_id, vec_id, sim, rn FROM ranked WHERE rn <= 3
       |ORDER BY query_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q27
+  /** CUBE over two dimensions with decimal-exact measures. */
+  def q27Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  val q27Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- Q28
+  /** Approximate distinct users per event type (HyperLogLog++). No oracle
+    * SQL on purpose: DuckDB's approx sketch differs — the driver records the
+    * weaker rows-only check, and the exact counterpart is q7. */
+  def q28ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -398,7 +427,9 @@ object ExtQueries {
     "q23_fingerprint" -> (q23Fingerprint _),
     "q24_multimodal" -> (q24Multimodal _),
     "q25_rollup" -> (q25Rollup _),
-    "q26_ann_ivf" -> (q26AnnIvf _))
+    "q26_ann_ivf" -> (q26AnnIvf _),
+    "q27_cube" -> (q27Cube _),
+    "q28_approx_distinct" -> (q28ApproxDistinct _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -414,5 +445,8 @@ object ExtQueries {
     "q23_fingerprint" -> q23Sql,
     "q24_multimodal" -> q24Sql,
     "q25_rollup" -> q25Sql,
-    "q26_ann_ivf" -> q26Sql)
+    "q26_ann_ivf" -> q26Sql,
+    "q27_cube" -> q27Sql)
+    // q28_approx_distinct intentionally has no oracle (approx sketches differ
+    // across engines) — the driver records its weaker rows-only check.
 }

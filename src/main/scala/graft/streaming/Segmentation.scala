@@ -44,6 +44,21 @@ object Segmentation {
         sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("n_cart_adds"),
         sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("n_checkouts"))
 
+  /** Stream-static enrichment (J2 — the reference's intended
+    * `movies_catalog_enriched` join that never got built): left-join the
+    * event stream against a static catalog dimension, broadcast so each
+    * microbatch avoids a shuffle. */
+  def enrich(events: DataFrame, catalog: DataFrame): DataFrame =
+    events.join(
+      broadcast(catalog.select(
+        col("ItemID").as("catalog_item_id"),
+        col("Title").as("title_enriched"),
+        col("Genre").as("genre_enriched"),
+        col("ListPrice").as("list_price_enriched"))),
+      col("item_id") === col("catalog_item_id"),
+      "left_outer")
+      .drop("catalog_item_id")
+
   /** Cart-funnel conversion per event-time window:
     * item_view → added_to_cart → checkout_to_cart. */
   def funnel(

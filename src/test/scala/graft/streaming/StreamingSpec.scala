@@ -66,6 +66,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the catalog without shuffling the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val catalog = Seq(
+      ("1", "Movie One", "Drama", 9.99f),
+      ("2", "Movie Two", "Comedy", 4.99f))
+      .toDF("ItemID", "Title", "Genre", "ListPrice")
+    val mem = MemoryStream[String]
+    mem.addData(Seq(
+      """{"timestamp":"2024-01-01T10:00:00.000000","event_name":"item_view","user_id":"u1","item_id":"1"}""",
+      """{"timestamp":"2024-01-01T10:01:00.000000","event_name":"item_view","user_id":"u2","item_id":"77"}"""))
+    val enriched = Segmentation.enrich(EventDecode.decode(mem.toDF()), catalog)
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getString(r.fieldIndex("item_id")) ->
+          Option(r.getString(r.fieldIndex("title_enriched")))).toMap
+      assert(rows("1").contains("Movie One"))
+      assert(rows("77").isEmpty) // left outer: unknown items survive, null-enriched
+    } finally q.stop()
+  }
+
   test("funnel conversion ratios") {
     val events = EventGen.batch(spark, 2000, seed = 13)
       .withColumn("event_ts", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
