@@ -309,6 +309,51 @@ object ExtQueries {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  // ---------------------------------------------------------------- Q29
+  /** Temporal bucketing + arithmetic: monthly revenue with a 90-day recency
+    * filter relative to the data's own max date (self-contained — no wall
+    * clock, so both engines see the same cutoff). */
+  def q29DateArith(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    // cutoff stays in-plan (broadcast scalar), no driver round-trip
+    val cutoff = o.agg(
+      date_sub(max(col("o_orderdate")).cast("date"), 365).as("cutoff"))
+    o.crossJoin(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("cutoff"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("month")
+  }
+
+  val q29Sql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= (SELECT CAST(MAX(o_orderdate) AS DATE) - INTERVAL 365 DAY FROM orders)
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  // ---------------------------------------------------------------- Q30
+  /** String-function surface: LIKE, upper, substring, length, replace. */
+  def q30StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("c_name").like("%1%"), 1L).otherwise(0L)).as("with_one"),
+        min(upper(substring(col("c_name"), 1, 12))).as("min_prefix"),
+        max(length(regexp_replace(col("c_name"), "[0-9]", ""))).as("max_alpha_len"))
+      .orderBy("c_mktsegment")
+
+  val q30Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END) AS BIGINT) AS with_one,
+      |  MIN(upper(substring(c_name, 1, 12))) AS min_prefix,
+      |  MAX(length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS max_alpha_len
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -429,7 +474,9 @@ object ExtQueries {
     "q25_rollup" -> (q25Rollup _),
     "q26_ann_ivf" -> (q26AnnIvf _),
     "q27_cube" -> (q27Cube _),
-    "q28_approx_distinct" -> (q28ApproxDistinct _))
+    "q28_approx_distinct" -> (q28ApproxDistinct _),
+    "q29_date_arith" -> (q29DateArith _),
+    "q30_string_funcs" -> (q30StringFuncs _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -446,7 +493,9 @@ object ExtQueries {
     "q24_multimodal" -> q24Sql,
     "q25_rollup" -> q25Sql,
     "q26_ann_ivf" -> q26Sql,
-    "q27_cube" -> q27Sql)
+    "q27_cube" -> q27Sql,
+    "q29_date_arith" -> q29Sql,
+    "q30_string_funcs" -> q30Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
