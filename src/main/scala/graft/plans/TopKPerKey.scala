@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+
+import scala.collection.mutable
+
+/** Exact top-k-per-key as a first-class operator: logical node + planner
+  * strategy + physical exec (the (c) rung of the extension ladder —
+  * SURVEY.md §2.10 / builder brief).
+  *
+  * Semantics are identical to
+  * `row_number().over(Window.partitionBy(keys).orderBy(order)) <= k`
+  * for a *total* ordering — but the physical plan keeps a size-k bounded
+  * heap per key instead of sorting whole partitions the way `WindowExec`
+  * must: per-partition memory is O(#keys·k) rows rather than O(partition),
+  * and spill pressure disappears for small k. At 100 TB the shuffle still
+  * clusters by key (required distribution), but nothing is ever fully
+  * sorted.
+  */
+object TopKPerKey {
+
+  /** Sort key: column name + direction (desc=true ⇒ descending). */
+  case class Order(name: String, desc: Boolean = false)
+
+  /** DataFrame API: rank rows per key, keep ranks 1..k (rank column
+    * appended as `rankName`). Ordering must be total for deterministic
+    * output — add a unique tie-break column, as with any window rank.
+    * Keys/order are resolved eagerly against the analyzed child (Spark 4
+    * Column nodes don't resolve inside foreign logical nodes). */
+  def apply(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Order],
+      k: Int,
+      rankName: String = "rn"): DataFrame = {
+    val spark = df.sparkSession
+    // idempotently register the planner strategy
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+    val plan = TopKPerKeyNode(
+      keys.map(attr),
+      order.map(o => SortOrder(attr(o.name), if (o.desc) Descending else Ascending)),
+      k,
+      AttributeReference(rankName, IntegerType, nullable = false)(),
+      analyzed)
+    DatasetBridge.ofRows(spark, plan)
+  }
+}
+
+case class TopKPerKeyNode(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: AttributeReference,
+    child: LogicalPlan) extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+class TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(keys))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val kLocal = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keys, childOutput)
+      val ordering = GenerateOrdering.generate(order, childOutput)
+      // max-heap under `ordering` so the worst kept row is on top
+      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row).copy()
+        val heap = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[InternalRow](ordering))
+        if (heap.size < kLocal) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(output, output)
+      heaps.valuesIterator.flatMap { heap =>
+        val worstFirst: Seq[InternalRow] = heap.dequeueAll
+        worstFirst.reverse.iterator.zipWithIndex.map { case (r, i) =>
+          rankRow.setInt(0, i + 1)
+          outProj(joined(r, rankRow))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

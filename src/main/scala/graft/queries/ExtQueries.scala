@@ -354,6 +354,32 @@ object ExtQueries {
       |  MAX(length(regexp_replace(c_name, '[0-9]', '', 'g'))) AS max_alpha_len
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- Q31
+  /** Top-2 lineitems per supplier via the custom TopKPerKey operator
+    * (logical node + strategy + bounded-heap exec — graft.plans). The oracle
+    * checks it against the standard ROW_NUMBER window formulation. */
+  def q31TopKCustom(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerKey
+    TopKPerKey(
+      t(s, dir, "lineitem"),
+      keys = Seq("l_suppkey"),
+      order = Seq(
+        TopKPerKey.Order("l_extendedprice", desc = true),
+        TopKPerKey.Order("l_orderkey"),
+        TopKPerKey.Order("l_linenumber")),
+      k = 2)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice", "rn")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q31Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+      |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem) WHERE rn <= 2
+      |ORDER BY l_suppkey, rn""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -476,7 +502,8 @@ object ExtQueries {
     "q27_cube" -> (q27Cube _),
     "q28_approx_distinct" -> (q28ApproxDistinct _),
     "q29_date_arith" -> (q29DateArith _),
-    "q30_string_funcs" -> (q30StringFuncs _))
+    "q30_string_funcs" -> (q30StringFuncs _),
+    "q31_topk_custom" -> (q31TopKCustom _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -495,7 +522,8 @@ object ExtQueries {
     "q26_ann_ivf" -> q26Sql,
     "q27_cube" -> q27Sql,
     "q29_date_arith" -> q29Sql,
-    "q30_string_funcs" -> q30Sql)
+    "q30_string_funcs" -> q30Sql,
+    "q31_topk_custom" -> q31Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

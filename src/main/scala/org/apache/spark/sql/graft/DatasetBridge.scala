@@ -1,0 +1,12 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+
+/** Bridge to the `private[sql]` Dataset.ofRows — the constructor a library
+  * needs to hand Catalyst a custom LogicalPlan and get a DataFrame back. */
+object DatasetBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}

@@ -1,0 +1,50 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TopKPerKeySpec extends SparkSpec {
+
+  test("custom TopKPerKey matches window row_number exactly") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .collect().map(_.toSeq).toSet
+    }
+    val viaCustom = TopKPerKey(
+      orders,
+      keys = Seq("o_custkey"),
+      order = Seq(TopKPerKey.Order("o_totalprice", desc = true),
+        TopKPerKey.Order("o_orderkey")),
+      k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    assert(viaCustom == viaWindow)
+    assert(viaCustom.nonEmpty)
+  }
+
+  test("physical plan uses TopKPerKeyExec, not WindowExec or Sort") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val df = TopKPerKey(orders, Seq("o_custkey"),
+      Seq(TopKPerKey.Order("o_totalprice", desc = true),
+        TopKPerKey.Order("o_orderkey")), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("!TopKPerKey"), "plan marked invalid (!):\n" + plan)
+    assert(!plan.contains("Window"), "should not fall back to WindowExec:\n" + plan)
+    assert(!plan.contains("Sort "), "no partition sort expected:\n" + plan)
+  }
+
+  test("k larger than group size emits whole groups, ranked") {
+    import spark.implicits._
+    val df = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("k", "v")
+    val out = TopKPerKey(df, Seq("k"), Seq(TopKPerKey.Order("v", desc = true)), 5)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(out == Set((1, 30.0, 1), (1, 10.0, 2), (2, 20.0, 1)))
+  }
+}
