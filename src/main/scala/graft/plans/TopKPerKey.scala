@@ -81,9 +81,67 @@ case class TopKPerKeyNode(
 class TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
-      TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
+      // map-side partial top-k below the exchange: each input partition
+      // forwards at most k rows per key, so the shuffle moves ≤ k·keys·parts
+      // rows instead of everything (the aggregate partial/final pattern,
+      // applied to ranking)
+      TopKPerKeyExec(keys, order, k, rankAttr,
+        TopKPartialExec(keys, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
+}
+
+/** Shared bounded per-key heap accumulation. Returns per-key rows,
+  * best-first. */
+private[plans] object TopKHeaps {
+  def topKPerKey(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      k: Int): Iterator[Seq[InternalRow]] = {
+    val keyProj = UnsafeProjection.create(keys, childOutput)
+    val ordering = GenerateOrdering.generate(order, childOutput)
+    // max-heap under `ordering` so the worst kept row is on top
+    val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
+    iter.foreach { row =>
+      val key = keyProj(row).copy()
+      val heap = heaps.getOrElseUpdate(key,
+        mutable.PriorityQueue.empty[InternalRow](ordering))
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ordering.compare(row, heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue(row.copy())
+      }
+    }
+    heaps.valuesIterator.map { heap =>
+      val worstFirst: Seq[InternalRow] = heap.dequeueAll
+      worstFirst.reverse
+    }
+  }
+}
+
+/** Pre-shuffle pruning: emits each input partition's local top-k per key
+  * (no rank — ranks are only meaningful after the final merge). */
+case class TopKPartialExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val (ks, os, kk) = (keys, order, k)
+    child.execute().mapPartitions { iter =>
+      TopKHeaps.topKPerKey(iter, ks, os, childOutput, kk).flatten
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
 }
 
 case class TopKPerKeyExec(
@@ -105,28 +163,14 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val kLocal = k
+    val (ks, os, kk) = (keys, order, k)
+    val outputLocal = output
     child.execute().mapPartitions { iter =>
-      val keyProj = UnsafeProjection.create(keys, childOutput)
-      val ordering = GenerateOrdering.generate(order, childOutput)
-      // max-heap under `ordering` so the worst kept row is on top
-      val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row).copy()
-        val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty[InternalRow](ordering))
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (ordering.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
-        }
-      }
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(output, output)
-      heaps.valuesIterator.flatMap { heap =>
-        val worstFirst: Seq[InternalRow] = heap.dequeueAll
-        worstFirst.reverse.iterator.zipWithIndex.map { case (r, i) =>
+      val outProj = UnsafeProjection.create(outputLocal, outputLocal)
+      TopKHeaps.topKPerKey(iter, ks, os, childOutput, kk).flatMap { bestFirst =>
+        bestFirst.iterator.zipWithIndex.map { case (r, i) =>
           rankRow.setInt(0, i + 1)
           outProj(joined(r, rankRow))
         }

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object EventDecode {
 
-  /** `df` must carry a binary or string `value` column (Kafka shape). */
+  /** `df` must carry a binary or string `value` column (Kafka shape).
+    * try_to_timestamp, not to_timestamp: under Spark 4's default ANSI mode a
+    * single malformed timestamp would otherwise fail the whole microbatch —
+    * corrupt records must degrade to null event_ts, never kill the stream. */
   def decode(df: DataFrame): DataFrame =
     df.select(col("value").cast("string").as("value"))
       .select(from_json(col("value"), Schemas.eventUnion).as("data"))
       .select("data.*")
       .withColumn("event_ts",
-        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
 }

@@ -40,6 +40,19 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), "no partition sort expected:\n" + plan)
   }
 
+  test("map-side partial top-k sits below the shuffle") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val plan = TopKPerKey(orders, Seq("o_custkey"),
+      Seq(TopKPerKey.Order("o_totalprice", desc = true),
+        TopKPerKey.Order("o_orderkey")), 3)
+      .queryExecution.executedPlan.toString
+    // expected shape: TopKPerKey <- Exchange <- TopKPartial <- Scan
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPartial")
+    assert(iFinal >= 0 && iExchange > iFinal && iPartial > iExchange, plan)
+  }
+
   test("k larger than group size emits whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("k", "v")

@@ -66,6 +66,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decode tolerates corrupt and non-JSON input (nulls, not crashes)") {
+    import spark.implicits._
+    val mixed = Seq(
+      """{"timestamp":"2024-01-01T10:00:00.000000","event_name":"sign_in","user_id":"u1"}""",
+      """{"broken json""",
+      "not json at all",
+      "",
+      """{"timestamp":"oops-not-a-ts","event_name":"sign_in","user_id":"u2"}""")
+      .toDF("value")
+    val out = EventDecode.decode(mixed).collect()
+    assert(out.length == 5) // row-preserving: bad rows become null columns
+    val byUser = out.flatMap(r => Option(r.getString(r.fieldIndex("user_id"))))
+    assert(byUser.toSet == Set("u1", "u2"))
+    // unparsable timestamp string → null event_ts, row survives
+    val u2 = out.find(r => r.getString(r.fieldIndex("user_id")) == "u2").get
+    assert(u2.isNullAt(u2.fieldIndex("event_ts")))
+  }
+
   test("stream-static enrichment joins the catalog without shuffling the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
