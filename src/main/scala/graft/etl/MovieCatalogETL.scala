@@ -28,8 +28,14 @@ object MovieCatalogETL {
 
   /** Parse the block-structured text into long form:
     * (item_id, key, value, line_order). */
-  def parseLines(spark: SparkSession, path: String): DataFrame = {
-    val lines = spark.read.text(path)
+  def parseLines(spark: SparkSession, path: String): DataFrame =
+    parseLinesDf(spark.read.text(path))
+
+  /** Same, over an existing one-column (`value`) lines DataFrame — shared by
+    * the batch path and the streaming foreachBatch path. */
+  def parseLinesDf(linesRaw: DataFrame): DataFrame = {
+    val spark = linesRaw.sparkSession
+    val lines = linesRaw
       .select(
         col("value"),
         spark_partition_id().as("pid"),

@@ -1,0 +1,46 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming variant of the catalog ETL — the reference's `while True /
+  * sleep(60)` re-run loop (services/spark_batch_processor.py:104-111)
+  * replaced by a file-source stream: new `*.txt` drops in `inDir` are
+  * discovered by the source, each batch is pivoted with the full batch ETL
+  * and appended to a parquet catalog, with checkpointed exactly-once file
+  * handling (no re-reads, no timer).
+  *
+  * Block atomicity is per-file: a catalog text file contains whole ITEM
+  * blocks (the reference's input is one such file), so running the block
+  * parser over a batch of complete files is exact. Rows carry `batch_id`;
+  * (batch_id, item_id) is the globally unique key across appends.
+  */
+object StreamingCatalogETL {
+
+  def start(
+      spark: SparkSession,
+      inDir: String,
+      outDir: String,
+      checkpoint: String): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .option("maxFilesPerTrigger", 8)
+      .text(inDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // the batch carries raw lines of complete files; run the exact
+          // batch pipeline on them (parse → pivot → clean)
+          val parsed = MovieCatalogETL.pivotCatalog(
+            MovieCatalogETL.parseLinesDf(batch))
+          val cleaned = MovieCatalogETL.clean(parsed)
+            .withColumn("batch_id", lit(batchId))
+          cleaned.write.mode("append").parquet(outDir)
+        }
+      }
+      .start()
+  }
+}

@@ -92,6 +92,23 @@ object Similarity {
       .drop("c", "csim", "crn")
   }
 
+  /** One Lloyd refinement step over the closed-form centroids: assign every
+    * vector to its nearest fixed centroid, then recompute each cell's mean
+    * with the typed [[graft.functions.CentroidAgg]] (map-side combined).
+    * Engine-side path — the oracle-checked q26 keeps the closed-form
+    * centroids; refined centroids are for recall, not for parity. */
+  def refineCentroids(vectors: DataFrame,
+      nlist: Int = 16, dim: Int = 64): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val cents = ivfCentroids(vectors.sparkSession, nlist, dim)
+    val assigned = nearestCells(vectors, cents, "v", 1)
+      .select(col("cid"), col("v").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    assigned.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.CentroidAgg(dim).toColumn.name("c"))
+      .toDF("cid", "c")
+  }
+
   /** IVF top-k: vectors live in their nearest centroid cell; probes search
     * their `nprobe` nearest cells. At scale the index side is partitioned by
     * cell (one shuffle at build), probes touch nprobe/nlist of the data. */

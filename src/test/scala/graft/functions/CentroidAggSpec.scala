@@ -31,6 +31,28 @@ class CentroidAggSpec extends SparkSpec {
     assert(dist > 0.01, s"label centroids unexpectedly identical (d=$dist)")
   }
 
+  test("Lloyd-refined centroids reduce mean assignment distance") {
+    import spark.implicits._
+    val vecs = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fixed = Similarity.ivfCentroids(spark, 16, 64).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val refined = Similarity.refineCentroids(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(refined.nonEmpty && refined.keySet.subsetOf(fixed.keySet))
+
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val sample = vecs.limit(100).collect()
+      .map(r => r.getSeq[Double](1))
+    def meanBestSim(cents: Map[Long, Seq[Double]]): Double =
+      sample.map(v => cents.values.map(c => cos(v, c)).max).sum / sample.length
+    // the refined centroids sit inside the data; fixed ones are random
+    assert(meanBestSim(refined) > meanBestSim(fixed))
+  }
+
   test("IVF top-k returns ranked candidates from probed cells only") {
     val vecs = graft.Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
