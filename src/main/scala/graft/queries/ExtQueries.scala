@@ -380,6 +380,58 @@ object ExtQueries {
       |  FROM lineitem) WHERE rn <= 2
       |ORDER BY l_suppkey, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q32
+  /** As-of attribution: each purchase matched to the user's latest preceding
+    * view (ops/AsOfJoin: union + one keyed window pass, no subqueries). */
+  def q32Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_us")
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts_us")
+    graft.ops.AsOfJoin.latestPreceding(
+      purchases, views, key = "user_id", tsCol = "ts_us", idCol = "event_id")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us"), col("asof_id").as("view_id"))
+      .orderBy("purchase_id")
+  }
+
+  val q32Sql: String =
+    """SELECT purchase_id, user_id, ts_us, view_id FROM (
+      |  SELECT event_id AS purchase_id, user_id, ts_us, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+      |  FROM (
+      |    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |      CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      |    FROM events WHERE event_type IN ('view', 'purchase')))
+      |WHERE kind = 1 ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q33
+  /** The SQL-interface surface: the same engine consumed through
+    * `spark.sql` over registered views (Tables.register). */
+  def q33SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q33Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -503,7 +555,9 @@ object ExtQueries {
     "q28_approx_distinct" -> (q28ApproxDistinct _),
     "q29_date_arith" -> (q29DateArith _),
     "q30_string_funcs" -> (q30StringFuncs _),
-    "q31_topk_custom" -> (q31TopKCustom _))
+    "q31_topk_custom" -> (q31TopKCustom _),
+    "q32_asof" -> (q32Asof _),
+    "q33_sql_surface" -> (q33SqlSurface _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -523,7 +577,9 @@ object ExtQueries {
     "q27_cube" -> q27Sql,
     "q29_date_arith" -> q29Sql,
     "q30_string_funcs" -> q30Sql,
-    "q31_topk_custom" -> q31Sql)
+    "q31_topk_custom" -> q31Sql,
+    "q32_asof" -> q32Sql,
+    "q33_sql_surface" -> q33Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
