@@ -432,6 +432,69 @@ object ExtQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- Q34
+  /** Deterministic hash-based dataset splitting (stable train/val/test —
+    * the split must not depend on row order, partitioning, or a seed that
+    * other engines can't reproduce; h60(doc_id) % 100 gives every engine
+    * the same assignment forever). */
+  def q34HashSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(graft.functions.H60.of(col("doc_id").cast("string")), lit(100))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val q34Sql: String =
+    """SELECT split, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT lang, n_chars,
+      |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT lang, n_chars,
+      |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+      |    FROM documents))
+      |GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  // ---------------------------------------------------------------- Q35
+  /** Sequence packing for training batches: documents in doc_id order are
+    * packed into fixed token-budget bins; a doc belongs to the bin where it
+    * starts (running-sum assignment — the streaming-friendly packing rule,
+    * one window pass, no iteration). */
+  def q35Pack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr("(cum - n_tokens) DIV 1024"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
+  val q35Sql: String =
+    """SELECT bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM (
+      |  SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 1024 AS BIGINT) AS bin
+      |  FROM (
+      |    SELECT doc_id, n_tokens,
+      |      SUM(n_tokens) OVER (ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM (
+      |      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+      |      FROM documents)))
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -557,7 +620,9 @@ object ExtQueries {
     "q30_string_funcs" -> (q30StringFuncs _),
     "q31_topk_custom" -> (q31TopKCustom _),
     "q32_asof" -> (q32Asof _),
-    "q33_sql_surface" -> (q33SqlSurface _))
+    "q33_sql_surface" -> (q33SqlSurface _),
+    "q34_hash_split" -> (q34HashSplit _),
+    "q35_pack" -> (q35Pack _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -579,7 +644,9 @@ object ExtQueries {
     "q30_string_funcs" -> q30Sql,
     "q31_topk_custom" -> q31Sql,
     "q32_asof" -> q32Sql,
-    "q33_sql_surface" -> q33Sql)
+    "q33_sql_surface" -> q33Sql,
+    "q34_hash_split" -> q34Sql,
+    "q35_pack" -> q35Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
