@@ -31,6 +31,35 @@ object Scale {
       .agg(merged.head, merged.tail: _*)
   }
 
+  /** Scalable global running sum over a total order: range-partition by the
+    * order column, compute per-partition running sums with a local window,
+    * then add broadcast prefix offsets (one long per partition to the
+    * driver) — the same two-pass shape as MovieCatalogETL's block-ordinal
+    * repair. Avoids the single-task global window Spark would otherwise
+    * plan for `Window.orderBy` with no partitionBy. */
+  def prefixSum(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      outCol: String,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__local", sum(col(valueCol)).over(w))
+    val totals = local.groupBy("__pid").agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.map(_._1).zip(
+      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val offsetDf = broadcast(
+      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
+    local.join(offsetDf, "__pid")
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__pid", "__local", "__off")
+  }
+
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each
     * right-side row across all salts, join on (key, salt). Row multiplicity
     * is identical to the plain join; the hot key's rows spread over `salts`

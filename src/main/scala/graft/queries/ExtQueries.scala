@@ -466,11 +466,10 @@ object ExtQueries {
     * starts (running-sum assignment — the streaming-friendly packing rule,
     * one window pass, no iteration). */
   def q35Pack(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, dir, "documents")
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    val withTokens = t(s, dir, "documents")
+      .withColumn("n_tokens",
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long"))
+    graft.ops.Scale.prefixSum(withTokens, "doc_id", "n_tokens", "cum")
       .withColumn("bin", expr("(cum - n_tokens) DIV 1024"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"),
