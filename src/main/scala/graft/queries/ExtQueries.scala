@@ -494,6 +494,37 @@ object ExtQueries {
       |      FROM documents)))
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- Q36
+  /** Generator surface: explode tokens → corpus term frequencies, top-20. */
+  def q36ExplodeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  val q36Sql: String =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- Q37
+  /** Set-op completion (q9 covers UNION/EXCEPT): INTERSECT — users who both
+    * clicked and purchased. */
+  def q37Intersect(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  val q37Sql: String =
+    """SELECT user_id FROM events WHERE event_type = 'click'
+      |INTERSECT
+      |SELECT user_id FROM events WHERE event_type = 'purchase'
+      |ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -621,7 +652,9 @@ object ExtQueries {
     "q32_asof" -> (q32Asof _),
     "q33_sql_surface" -> (q33SqlSurface _),
     "q34_hash_split" -> (q34HashSplit _),
-    "q35_pack" -> (q35Pack _))
+    "q35_pack" -> (q35Pack _),
+    "q36_explode_tokens" -> (q36ExplodeTokens _),
+    "q37_intersect" -> (q37Intersect _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -645,7 +678,9 @@ object ExtQueries {
     "q32_asof" -> q32Sql,
     "q33_sql_surface" -> q33Sql,
     "q34_hash_split" -> q34Sql,
-    "q35_pack" -> q35Sql)
+    "q35_pack" -> q35Sql,
+    "q36_explode_tokens" -> q36Sql,
+    "q37_intersect" -> q37Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
