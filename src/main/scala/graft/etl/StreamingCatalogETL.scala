@@ -18,11 +18,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingCatalogETL {
 
+  /** `schemaKeys`: the declared attribute-column superset. The pivot
+    * discovers columns per batch, so two batches with different key sets
+    * would append divergent parquet schemas that a plain read silently
+    * narrows; aligning every batch to the declared set keeps the output a
+    * single stable table (at 100 TB the catalog schema is a contract, not
+    * a per-batch discovery — same reasoning as q6's explicit pivot values).
+    * Keys discovered in a batch but missing from `schemaKeys` still appear —
+    * alignment only adds, never drops. */
   def start(
       spark: SparkSession,
       inDir: String,
       outDir: String,
-      checkpoint: String): StreamingQuery = {
+      checkpoint: String,
+      schemaKeys: Seq[String] = Seq("Title", "Genre", "ListPrice")): StreamingQuery = {
     import org.apache.spark.sql.functions._
     spark.readStream
       .option("maxFilesPerTrigger", 8)
@@ -38,7 +47,12 @@ object StreamingCatalogETL {
             MovieCatalogETL.parseLinesDf(batch))
           val cleaned = MovieCatalogETL.clean(parsed)
             .withColumn("batch_id", lit(batchId))
-          cleaned.write.mode("append").parquet(outDir)
+          val aligned = schemaKeys.foldLeft(cleaned) { (df, c) =>
+            if (df.columns.contains(c)) df
+            else df.withColumn(c, lit(null).cast("string"))
+          }
+          aligned.write.mode("append")
+            .option("mergeSchema", "true").parquet(outDir)
         }
       }
       .start()

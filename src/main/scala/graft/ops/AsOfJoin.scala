@@ -28,14 +28,16 @@ object AsOfJoin {
       tsCol: String,
       idCol: String): DataFrame = {
     val leftCols = left.columns
+    val idType = right.schema(idCol).dataType // keep the id's own type —
+    // a lossy cast (e.g. string UUIDs to long) would null every match
     val l = left.withColumn("__kind", lit(1))
-      .withColumn("__rid", lit(null).cast("long"))
+      .withColumn("__rid", lit(null).cast(idType))
     val r = right.select(
       right.columns.collect {
         case c if c == key || c == tsCol || c == idCol => col(c)
       }.toSeq: _*)
       .withColumn("__kind", lit(0))
-      .withColumn("__rid", col(idCol).cast("long"))
+      .withColumn("__rid", col(idCol))
     // align schemas: right side carries nulls for left-only columns
     val rAligned = leftCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df

@@ -31,33 +31,42 @@ object Scale {
       .agg(merged.head, merged.tail: _*)
   }
 
-  /** Scalable global running sum over a total order: range-partition by the
-    * order column, compute per-partition running sums with a local window,
-    * then add broadcast prefix offsets (one long per partition to the
-    * driver) — the same two-pass shape as MovieCatalogETL's block-ordinal
-    * repair. Avoids the single-task global window Spark would otherwise
-    * plan for `Window.orderBy` with no partitionBy. */
+  /** Scalable global running sum over a total numeric order: bucket by
+    * fixed-width ranges of the order column (min/max from one small agg —
+    * fully deterministic, unlike `repartitionByRange`, whose sampled
+    * boundaries can differ between the offsets job and the join job and
+    * silently misalign prefix sums), compute per-bucket running sums with a
+    * local window, then add broadcast prefix offsets (one long per bucket
+    * to the driver) — the same two-pass shape as MovieCatalogETL's
+    * block-ordinal repair. Avoids the single-task global window Spark plans
+    * for `Window.orderBy` with no partitionBy. */
   def prefixSum(
       df: DataFrame,
       orderCol: String,
       valueCol: String,
       outCol: String,
-      partitions: Int = 32): DataFrame = {
+      buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = df.repartitionByRange(partitions, col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val Array(lo, hi) = df.agg(
+      min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val width = math.max((hi - lo) / buckets, 1e-9)
+    val bucketed = df.withColumn("__b",
+      least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+        lit(buckets - 1)).cast("int"))
+    val w = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__local", sum(col(valueCol)).over(w))
-    val totals = local.groupBy("__pid").agg(sum(col(valueCol)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.map(_._1).zip(
-      totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
+    val local = bucketed.withColumn("__local", sum(col(valueCol)).over(w))
+    val totals = bucketed.groupBy("__b").agg(sum(col(valueCol)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets).map { b =>
+      b -> (0 until b).map(totals.getOrElse(_, 0L)).sum
+    }
     val offsetDf = broadcast(
-      df.sparkSession.createDataFrame(offsets.toSeq).toDF("__pid", "__off"))
-    local.join(offsetDf, "__pid")
+      df.sparkSession.createDataFrame(offsets).toDF("__b", "__off"))
+    local.join(offsetDf, "__b")
       .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__pid", "__local", "__off")
+      .drop("__b", "__local", "__off")
   }
 
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each

@@ -29,6 +29,22 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Evaluate a foldable int parameter (k/n/bits/dim) with a real error
+    * message — `eval().asInstanceOf[Int]` would throw an opaque CCE on a
+    * BIGINT literal and crash on non-foldable arguments. */
+  private def intArg(fn: String, pos: Int, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a literal integer, got $other")
+    }
+  }
+
   /** (name, info, builder) triples for every registered SQL function. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("extract_price",
@@ -49,16 +65,16 @@ object GraftExtensions {
       info("minhash_sig",
         "minhash_sig(hashed_shingles, k) - k-permutation MinHash signature"),
       (args: Seq[Expression]) =>
-        MinHashSig(args(0), args(1).eval().asInstanceOf[Int])),
+        MinHashSig(args(0), intArg("minhash_sig", 1, args(1)))),
     ("ngram_hashes",
       info("ngram_hashes", "ngram_hashes(tokens, n) - hashed word n-grams"),
       (args: Seq[Expression]) =>
-        NgramHashes(args(0), args(1).eval().asInstanceOf[Int])),
+        NgramHashes(args(0), intArg("ngram_hashes", 1, args(1)))),
     ("lsh_bucket",
       info("lsh_bucket",
         "lsh_bucket(v, bits, dim) - sign-bit LSH bucket id for array<double>"),
       (args: Seq[Expression]) => LshBucket(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+        intArg("lsh_bucket", 1, args(1)), intArg("lsh_bucket", 2, args(2)))))
 
   /** Imperative registration on an existing session (same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

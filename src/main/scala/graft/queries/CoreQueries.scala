@@ -228,9 +228,7 @@ object CoreQueries {
     * keeper). At scale this is a single hash-shuffle on a 64-bit text hash
     * prefix; here the full text is the grouping key for oracle parity. */
   def q11DedupExact(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .groupBy("text")
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    graft.ops.Dedup.exact(t(s, dir, "documents"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 

@@ -599,17 +599,23 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- Q24
   def q24Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val media = Multimodal.asMedia(t(s, dir, "documents"))
-    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = Multimodal.asMedia(docs)
+    // decode stats come from the binary stub; first_char is a code point
+    // (DuckDB ascii() returns code points, not UTF-8 bytes — the stub's
+    // byte-level first_byte would diverge on any non-ASCII-leading text)
     Multimodal.decodeBatch(media)
-      .select("doc_id", "n_bytes", "first_byte", "n_pixels")
+      .select("doc_id", "n_bytes", "n_pixels")
+      .join(docs.select(col("doc_id"), ascii(col("text")).as("first_char")),
+        "doc_id")
+      .select("doc_id", "n_bytes", "first_char", "n_pixels")
       .orderBy("doc_id")
   }
 
   val q24Sql: String =
     """SELECT doc_id,
       |  octet_length(text::BLOB) AS n_bytes,
-      |  ascii(text) AS first_byte,
+      |  ascii(text) AS first_char,
       |  octet_length(text::BLOB) // 3 AS n_pixels
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -72,8 +72,12 @@ object StatefulSessions {
                     user, s.startMs, s.lastMs, s.nEvents, s.nViews, "gap")
                   Some(SessionState(ts, ts, 1, if (isView) 1 else 0))
                 case Some(s) =>
+                  // late (within-watermark) events from an earlier batch may
+                  // arrive with ts < lastMs — fold them in without moving
+                  // the session boundaries backwards
                   Some(s.copy(
-                    lastMs = ts,
+                    startMs = math.min(s.startMs, ts),
+                    lastMs = math.max(s.lastMs, ts),
                     nEvents = s.nEvents + 1,
                     nViews = s.nViews + (if (isView) 1 else 0)))
                 case None =>

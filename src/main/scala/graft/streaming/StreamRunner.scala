@@ -32,9 +32,11 @@ object StreamRunner {
     var restarts = 0
     var done = false
     while (!done) {
-      val q = start()
       try {
-        q.awaitTermination()
+        // start() inside the try: a failure while (re)creating the query —
+        // exactly the transient condition a supervisor exists for — must
+        // consume a restart attempt, not escape the loop
+        start().awaitTermination()
         done = true // clean stop
       } catch {
         case e: Exception if restarts < maxRestarts =>

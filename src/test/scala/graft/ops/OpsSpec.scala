@@ -87,6 +87,24 @@ class OpsSpec extends SparkSpec {
     assert(decoded.forall(d => d.n_pixels == d.n_bytes / 3))
   }
 
+  test("NgramHashes is value-identical to the declarative shingles3+h60 chain") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps",
+      "a b c",
+      "spark native engine with many tokens for shingling coverage")
+      .toDF("text")
+    val toks = TextOps.tokens(col("text"))
+    val rows = docs
+      .withColumn("native", graft.functions.NgramHashes.of(toks, 3))
+      .withColumn("declarative", TextOps.shingleHashes(TextOps.shingles3(toks)))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"divergence for '${r.getString(0)}'")
+    }
+  }
+
   test("exact dedup collapses duplicates to the lowest doc_id") {
     import spark.implicits._
     val docs = Seq((5L, "a b c"), (9L, "a b c"), (2L, "x y z"))
