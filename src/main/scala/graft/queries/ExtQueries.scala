@@ -525,6 +525,60 @@ object ExtQueries {
       |SELECT user_id FROM events WHERE event_type = 'purchase'
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q38
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`: same linear interpolation over the same sorted
+    * doubles — verified bit-identical). */
+  def q38Percentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  val q38Sql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median,
+      |  quantile_cont(o_totalprice, 0.9) AS p90,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q39
+  /** Variance/stddev via the moment formula over exact decimal sums —
+    * built-in stddev is an order-dependent float fold that can't
+    * hash-match across engines; Σx and Σx² as decimals are exact, and the
+    * final double arithmetic is one deterministic expression. */
+  def q39MomentStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sum_x"),
+        sum(x * x).cast("double").as("sum_x2"))
+      .withColumn("variance", round(
+        (col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1), 6))
+      .withColumn("stddev", round(sqrt(
+        (col("sum_x2") - col("sum_x") * col("sum_x") / col("n"))
+          / (col("n") - 1)), 6))
+      .select("l_returnflag", "n", "sum_x", "variance", "stddev")
+      .orderBy("l_returnflag")
+  }
+
+  val q39Sql: String =
+    """SELECT l_returnflag, n, sum_x,
+      |  ROUND((sum_x2 - sum_x * sum_x / n) / (n - 1), 6) AS variance,
+      |  ROUND(sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)), 6) AS stddev
+      |FROM (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -660,7 +714,9 @@ object ExtQueries {
     "q34_hash_split" -> (q34HashSplit _),
     "q35_pack" -> (q35Pack _),
     "q36_explode_tokens" -> (q36ExplodeTokens _),
-    "q37_intersect" -> (q37Intersect _))
+    "q37_intersect" -> (q37Intersect _),
+    "q38_percentile" -> (q38Percentile _),
+    "q39_moment_stats" -> (q39MomentStats _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -686,7 +742,9 @@ object ExtQueries {
     "q34_hash_split" -> q34Sql,
     "q35_pack" -> q35Sql,
     "q36_explode_tokens" -> q36Sql,
-    "q37_intersect" -> q37Sql)
+    "q37_intersect" -> q37Sql,
+    "q38_percentile" -> q38Sql,
+    "q39_moment_stats" -> q39Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
