@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // top-k-per-key: optimizer rewrite of Filter(row_number <= k, Window)
+    // plus the strategy that plans the substituted logical node
+    ext.injectOptimizerRule(_ => TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => new TopKStrategy)
   }
 }
 
