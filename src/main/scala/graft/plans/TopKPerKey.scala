@@ -66,7 +66,7 @@ case class TopKPerKeyNode(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    rankAttr: AttributeReference,
+    rankAttr: Attribute,
     child: LogicalPlan) extends UnaryNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr

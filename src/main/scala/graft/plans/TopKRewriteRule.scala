@@ -53,18 +53,21 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Above this k the bounded heaps stop being a win over WindowExec's
+    * spillable sort (they hold k row copies per key in memory, no spill). */
+  val MaxRewriteK = 1024
+
   private def asTopK(w: Window, rankAttr: Attribute, k: Int): Option[LogicalPlan] =
     w.windowExpressions match {
       case Seq(alias @ Alias(WindowExpression(_: RowNumber, spec), _))
           if alias.exprId == rankAttr.exprId && rowNumberFrame(spec) &&
-            spec.orderSpec.nonEmpty =>
+            spec.orderSpec.nonEmpty &&
+            // empty partitionSpec = global top-k: ClusteredDistribution(Nil)
+            // is illegal, and a single giant heap is the wrong plan anyway
+            spec.partitionSpec.nonEmpty &&
+            k <= MaxRewriteK =>
         Some(TopKPerKeyNode(
-          spec.partitionSpec,
-          spec.orderSpec,
-          k,
-          AttributeReference(alias.name, IntegerType, nullable = false)(
-            exprId = alias.exprId),
-          w.child))
+          spec.partitionSpec, spec.orderSpec, k, alias.toAttribute, w.child))
       case _ => None
     }
 
@@ -73,11 +76,4 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) => true
       case _ => false
     }
-}
-
-private object IntegerLiteral {
-  def unapply(e: Expression): Option[Int] = e match {
-    case Literal(v: Int, IntegerType) => Some(v)
-    case _ => None
-  }
 }

@@ -76,6 +76,26 @@ class TopKRewriteRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("TopKPerKey"), plan)
   }
 
+  test("global top-k (no partitionBy) keeps the stock plan") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("TopKPerKey"), plan)
+    assert(df.count() == 10) // and it still executes
+  }
+
+  test("huge k keeps the stock (spillable) plan") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10000000)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
+  }
+
   test("rank used beyond the limit predicate still works (projection on top)") {
     val df = ranked(2).groupBy("rn").count().orderBy("rn")
     val rows = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
