@@ -44,6 +44,39 @@ object Segmentation {
         sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("n_cart_adds"),
         sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("n_checkouts"))
 
+  /** Streaming deduplication: drop events with a duplicate id arriving
+    * within the watermark horizon (at-least-once sources like Kafka emit
+    * duplicates on retry; state is bounded by the watermark, the 100 TB
+    * posture for streaming dedup — an unbounded `dropDuplicates` would
+    * grow state forever). */
+  def dedupStream(
+      events: DataFrame,
+      idCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream attribution join: purchases matched to the same user's
+    * views within `horizonMinutes` before the purchase. Both sides are
+    * watermarked; the time-range predicate bounds the join state Spark
+    * must retain on each side. */
+  def streamAttribution(
+      views: DataFrame,
+      purchases: DataFrame,
+      watermark: String = "10 minutes",
+      horizonMinutes: Int = 60): DataFrame = {
+    val v = views.withWatermark("event_ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_ts").as("v_ts"),
+        col("item_id").as("viewed_item"))
+    val p = purchases.withWatermark("event_ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_ts").as("p_ts"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") <= col("p_ts") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+  }
+
   /** Stream-static enrichment (J2 — the reference's intended
     * `movies_catalog_enriched` join that never got built): left-join the
     * event stream against a static catalog dimension, broadcast so each

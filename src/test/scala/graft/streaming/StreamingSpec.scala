@@ -108,6 +108,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    def ev(id: String, ts: String) =
+      s"""{"timestamp":"$ts","event_name":"item_view","user_id":"$id"}"""
+    mem.addData(Seq(
+      ev("u1", "2024-01-01T10:00:00.000000"),
+      ev("u1", "2024-01-01T10:00:00.000000"), // exact duplicate
+      ev("u2", "2024-01-01T10:01:00.000000")))
+    val deduped = Segmentation.dedupStream(
+      EventDecode.decode(mem.toDF()), Seq("user_id", "timestamp"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // duplicate arrives again in a later batch, still within watermark
+      mem.addData(Seq(ev("u1", "2024-01-01T10:00:00.000000")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      assert(rows.length == 2, s"expected 2 deduped rows, got ${rows.length}")
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches views within the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[String]
+    val pMem = MemoryStream[String]
+    def ev(name: String, user: String, ts: String, item: String = "i1") =
+      s"""{"timestamp":"$ts","event_name":"$name","user_id":"$user","item_id":"$item"}"""
+    vMem.addData(Seq(
+      ev("item_view", "u1", "2024-01-01T10:00:00.000000", "早"),
+      ev("item_view", "u1", "2024-01-01T11:30:00.000000", "late"),
+      ev("item_view", "u2", "2024-01-01T10:00:00.000000")))
+    pMem.addData(Seq(
+      ev("checkout_to_cart", "u1", "2024-01-01T12:00:00.000000")))
+    val joined = Segmentation.streamAttribution(
+      EventDecode.decode(vMem.toDF()),
+      EventDecode.decode(pMem.toDF()),
+      horizonMinutes = 60)
+    val q = joined.writeStream.format("memory")
+      .queryName("attribution").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attribution").collect()
+      // only u1's 11:30 view is within 60min of the 12:00 purchase
+      assert(rows.length == 1)
+      assert(rows(0).getString(rows(0).fieldIndex("viewed_item")) == "late")
+    } finally q.stop()
+  }
+
   test("funnel conversion ratios") {
     val events = EventGen.batch(spark, 2000, seed = 13)
       .withColumn("event_ts", to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
