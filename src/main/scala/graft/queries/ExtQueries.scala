@@ -579,6 +579,62 @@ object ExtQueries {
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- Q40
+  /** Full-outer join + null-handling functions (coalesce over both
+    * unmatched sides). */
+  def q40FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val ordAgg = t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    cust.join(ordAgg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("custkey")
+  }
+
+  val q40Sql: String =
+    """SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+      |  COALESCE(c_acctbal, 0.0) AS acctbal,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(spend, 0.0) AS spend
+      |FROM (SELECT c_custkey, c_acctbal FROM customer) c
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey) o
+      |ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q41
+  /** Array-function surface over embeddings: element access, slices,
+    * in-order folds (all per-row — no cross-row float accumulation). */
+  def q41ArrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(
+        col("vec_id"),
+        size(col("v")).as("dim"),
+        round(element_at(col("v"), 1), 6).as("first"),
+        round(array_max(slice(col("v"), lit(1), lit(8))), 6).as("max_head"),
+        round(sqrt(aggregate(slice(col("v"), lit(1), lit(16)),
+          lit(0.0), (a, x) => a + x * x)), 6).as("head_norm"))
+      .orderBy("vec_id")
+
+  val q41Sql: String =
+    """SELECT vec_id,
+      |  len(v) AS dim,
+      |  ROUND(v[1], 6) AS first,
+      |  ROUND(list_max(v[1:8]), 6) AS max_head,
+      |  ROUND(sqrt(list_sum(list_transform(v[1:16], x -> x * x))), 6) AS head_norm
+      |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- Q20
   def q20LangId(s: SparkSession, dir: String): DataFrame =
     TextStats.languageId(t(s, dir, "documents"))
@@ -716,7 +772,9 @@ object ExtQueries {
     "q36_explode_tokens" -> (q36ExplodeTokens _),
     "q37_intersect" -> (q37Intersect _),
     "q38_percentile" -> (q38Percentile _),
-    "q39_moment_stats" -> (q39MomentStats _))
+    "q39_moment_stats" -> (q39MomentStats _),
+    "q40_full_outer" -> (q40FullOuter _),
+    "q41_array_funcs" -> (q41ArrayFuncs _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -744,7 +802,9 @@ object ExtQueries {
     "q36_explode_tokens" -> q36Sql,
     "q37_intersect" -> q37Sql,
     "q38_percentile" -> q38Sql,
-    "q39_moment_stats" -> q39Sql)
+    "q39_moment_stats" -> q39Sql,
+    "q40_full_outer" -> q40Sql,
+    "q41_array_funcs" -> q41Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
