@@ -33,6 +33,14 @@ object GraftExtensions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Arity guard — positional args(i) on a short Seq would otherwise throw
+    * an IndexOutOfBoundsException with no function name. */
+  private def arity(fn: String, n: Int, args: Seq[Expression]): Seq[Expression] = {
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n argument(s), got ${args.length}")
+    args
+  }
+
   /** Evaluate a foldable int parameter (k/n/bits/dim) with a real error
     * message — `eval().asInstanceOf[Int]` would throw an opaque CCE on a
     * BIGINT literal and crash on non-foldable arguments. */
@@ -54,31 +62,32 @@ object GraftExtensions {
     ("extract_price",
       info("extract_price",
         "extract_price(str) - last $-delimited token as float, else 0.0"),
-      (args: Seq[Expression]) => ExtractPrice(args.head)),
+      (args: Seq[Expression]) => ExtractPrice(arity("extract_price", 1, args).head)),
     ("cosine_sim",
       info("cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two array<double>"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("cosine_sim", 2, args); CosineSim(args(0), args(1)) }),
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
-      (args: Seq[Expression]) => Dot(args(0), args(1))),
+      (args: Seq[Expression]) => { arity("dot_product", 2, args); Dot(args(0), args(1)) }),
     ("h60",
       info("h60", "h60(str) - engine-agnostic 60-bit md5 hash"),
-      (args: Seq[Expression]) => H60(args.head)),
+      (args: Seq[Expression]) => H60(arity("h60", 1, args).head)),
     ("minhash_sig",
       info("minhash_sig",
         "minhash_sig(hashed_shingles, k) - k-permutation MinHash signature"),
-      (args: Seq[Expression]) =>
-        MinHashSig(args(0), intArg("minhash_sig", 1, args(1)))),
+      (args: Seq[Expression]) => { arity("minhash_sig", 2, args)
+        MinHashSig(args(0), intArg("minhash_sig", 1, args(1))) }),
     ("ngram_hashes",
       info("ngram_hashes", "ngram_hashes(tokens, n) - hashed word n-grams"),
-      (args: Seq[Expression]) =>
-        NgramHashes(args(0), intArg("ngram_hashes", 1, args(1)))),
+      (args: Seq[Expression]) => { arity("ngram_hashes", 2, args)
+        NgramHashes(args(0), intArg("ngram_hashes", 1, args(1))) }),
     ("lsh_bucket",
       info("lsh_bucket",
         "lsh_bucket(v, bits, dim) - sign-bit LSH bucket id for array<double>"),
-      (args: Seq[Expression]) => LshBucket(args(0),
-        intArg("lsh_bucket", 1, args(1)), intArg("lsh_bucket", 2, args(2)))))
+      (args: Seq[Expression]) => { arity("lsh_bucket", 3, args)
+        LshBucket(args(0),
+          intArg("lsh_bucket", 1, args(1)), intArg("lsh_bucket", 2, args(2))) }))
 
   /** Imperative registration on an existing session (same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

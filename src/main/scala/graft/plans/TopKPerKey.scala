@@ -7,9 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.DatasetBridge
 import org.apache.spark.sql.types.IntegerType
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
 
 import scala.collection.mutable
 
@@ -22,9 +22,12 @@ import scala.collection.mutable
   * for a *total* ordering — but the physical plan keeps a size-k bounded
   * heap per key instead of sorting whole partitions the way `WindowExec`
   * must: per-partition memory is O(#keys·k) rows rather than O(partition),
-  * and spill pressure disappears for small k. At 100 TB the shuffle still
-  * clusters by key (required distribution), but nothing is ever fully
-  * sorted.
+  * and spill pressure disappears for small k.
+  *
+  * Known limit (round-2 item, documented in COVERAGE.md): the heaps do not
+  * spill — with near-unique keys, per-partition state approaches the
+  * partition size where WindowExec's external sort would spill. Use the
+  * stock window plan (or raise partition counts) for high-cardinality keys.
   */
 object TopKPerKey {
 
@@ -42,15 +45,29 @@ object TopKPerKey {
       order: Seq[Order],
       k: Int,
       rankName: String = "rn"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(keys.nonEmpty && order.nonEmpty, "keys and order must be non-empty")
     val spark = df.sparkSession
-    // idempotently register the planner strategy
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKStrategy]))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ new TopKStrategy
+    // register the planner strategy (synchronized: the read-modify-write on
+    // extraStrategies is not atomic; a duplicate would only waste planner
+    // work, but there is no reason to allow one)
+    TopKPerKey.synchronized {
+      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKStrategy]))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ new TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${analyzed.output.map(_.name).mkString(",")}"))
+    // session-conf resolver: case-insensitive by default, and ambiguity is
+    // an error rather than a silent first-match bind
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute =
+      analyzed.output.filter(a => resolver(a.name, n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${analyzed.output.map(_.name).mkString(",")}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: ${many.mkString(", ")}")
+      }
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
     val plan = TopKPerKeyNode(
       keys.map(attr),
@@ -105,9 +122,15 @@ private[plans] object TopKHeaps {
     // max-heap under `ordering` so the worst kept row is on top
     val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
     iter.foreach { row =>
-      val key = keyProj(row).copy()
-      val heap = heaps.getOrElseUpdate(key,
-        mutable.PriorityQueue.empty[InternalRow](ordering))
+      // probe with the reused projection row; copy the key only on a miss
+      val probe = keyProj(row)
+      val heap = heaps.get(probe) match {
+        case Some(h) => h
+        case None =>
+          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(probe.copy(), h)
+          h
+      }
       if (heap.size < k) heap.enqueue(row.copy())
       else if (ordering.compare(row, heap.head) < 0) {
         heap.dequeue()

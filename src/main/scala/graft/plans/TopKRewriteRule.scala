@@ -3,7 +3,6 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
 
 /** Optimizer rule: rewrite the ubiquitous top-k-per-key idiom
   *
@@ -39,16 +38,26 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     } yield node
   }
 
-  /** Match `rn <= k` / `rn < k+1` against the window's single rank attr. */
+  /** Match the rank-limit predicate shapes against the window's single rank
+    * attribute: `rn <= k`, `rn < k+1`, their flipped forms, and `rn = 1`
+    * (the dominant keep-latest-per-key dedup idiom — Spark's own
+    * InferWindowGroupLimit matches it for the same reason). */
   private def rankLimit(cond: Expression, w: Window): Option[(Attribute, Int)] = {
     val rankAttrs = w.windowExpressions.map(_.toAttribute)
+    def isRank(a: AttributeReference) = rankAttrs.exists(_.exprId == a.exprId)
     cond match {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
-          if rankAttrs.exists(_.exprId == a.exprId) && k >= 1 =>
-        Some((a, k))
+          if isRank(a) && k >= 1 => Some((a, k))
+      case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference)
+          if isRank(a) && k >= 1 => Some((a, k))
       case LessThan(a: AttributeReference, IntegerLiteral(k))
-          if rankAttrs.exists(_.exprId == a.exprId) && k >= 2 =>
-        Some((a, k - 1))
+          if isRank(a) && k >= 2 => Some((a, k - 1))
+      case GreaterThan(IntegerLiteral(k), a: AttributeReference)
+          if isRank(a) && k >= 2 => Some((a, k - 1))
+      case EqualTo(a: AttributeReference, IntegerLiteral(1)) if isRank(a) =>
+        Some((a, 1))
+      case EqualTo(IntegerLiteral(1), a: AttributeReference) if isRank(a) =>
+        Some((a, 1))
       case _ => None
     }
   }

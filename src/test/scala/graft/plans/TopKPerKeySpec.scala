@@ -53,6 +53,20 @@ class TopKPerKeySpec extends SparkSpec {
     assert(iFinal >= 0 && iExchange > iFinal && iPartial > iExchange, plan)
   }
 
+  test("invalid arguments fail fast with clear messages") {
+    import spark.implicits._
+    val df = Seq((1, 10.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("k"), Seq(TopKPerKey.Order("v")), 0)
+    }
+    intercept[IllegalArgumentException] {
+      TopKPerKey(df, Seq("nope"), Seq(TopKPerKey.Order("v")), 1)
+    }
+    // case-insensitive resolution follows the session conf (default off)
+    val resolved = TopKPerKey(df, Seq("K"), Seq(TopKPerKey.Order("V")), 1)
+    assert(resolved.count() == 1)
+  }
+
   test("k larger than group size emits whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("k", "v")

@@ -76,6 +76,19 @@ class TopKRewriteRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("TopKPerKey"), plan)
   }
 
+  test("rn = 1 (keep-latest-per-key dedup idiom) is rewritten too") {
+    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    val df = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+    // one row per customer
+    val n = df.count()
+    assert(n == orders.select("o_custkey").distinct().count())
+  }
+
   test("global top-k (no partitionBy) keeps the stock plan") {
     val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
