@@ -37,6 +37,21 @@ class ScaleSpec extends SparkSpec {
     assert(plain.getDecimal(1) == skewed.getDecimal(1))
   }
 
+  test("prefixSum equals the single-partition window cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("n", col("n_chars"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs.withColumn("cum", sum(col("n")).over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Scale.prefixSum(docs, "doc_id", "n", "cum", buckets = 7)
+      .select("doc_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpec's builder
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
