@@ -32,7 +32,15 @@ object MovieCatalogETL {
     parseLinesDf(spark.read.text(path))
 
   /** Same, over an existing one-column (`value`) lines DataFrame — shared by
-    * the batch path and the streaming foreachBatch path. */
+    * the batch path and the streaming foreachBatch path.
+    *
+    * `linesRaw` must have a deterministic partition layout (a file scan or a
+    * materialized batch — NOT a freshly shuffled/repartitioned plan):
+    * pid/mid are evaluated in two jobs (the offsets collect and the final
+    * join) and must agree between them. The `cache()` below pins one
+    * evaluation for the common case; a nondeterministic source that is also
+    * evicted mid-run would still be unsafe, so the requirement stays part of
+    * the contract. */
   def parseLinesDf(linesRaw: DataFrame): DataFrame = {
     val spark = linesRaw.sparkSession
     val lines = linesRaw
@@ -43,6 +51,7 @@ object MovieCatalogETL {
       .filter(col("value").isNotNull && col("value") =!= "")
       .withColumn("is_item",
         when(col("value").startsWith("ITEM "), 1L).otherwise(0L))
+      .cache()
 
     // Per-split running marker count (shuffle-light: one window keyed by the
     // originating split; mid preserves within-split line order).

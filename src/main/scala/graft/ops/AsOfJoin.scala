@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Returns the left rows (original columns) + `asof_id` = the matched
-    * right `idCol` (null when no right row precedes). `tsCol` must be a
-    * numeric/orderable column present in both sides; `idCol` must be unique
-    * per side (total tie-break). */
+    * right `idCol` (null when no right row precedes). `key` and `tsCol` must
+    * be present in both sides; `idCol` only needs to exist on the RIGHT and
+    * must be unique per (key, ts) there — it tie-breaks which right row wins
+    * when several share a timestamp (ordering among left rows is irrelevant:
+    * they carry null `__rid` and cannot affect each other's carried value). */
   def latestPreceding(
       left: DataFrame,
       right: DataFrame,
@@ -47,7 +49,7 @@ object AsOfJoin {
       .union(rAligned)
 
     val w = Window.partitionBy(key)
-      .orderBy(col(tsCol), col("__kind"), col(idCol))
+      .orderBy(col(tsCol), col("__kind"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
       .withColumn("asof_id", last(col("__rid"), ignoreNulls = true).over(w))

@@ -39,7 +39,10 @@ object Scale {
     * local window, then add broadcast prefix offsets (one long per bucket
     * to the driver) — the same two-pass shape as MovieCatalogETL's
     * block-ordinal repair. Avoids the single-task global window Spark plans
-    * for `Window.orderBy` with no partitionBy. */
+    * for `Window.orderBy` with no partitionBy.
+    *
+    * `valueCol` must be integral (the per-bucket offsets are exact longs);
+    * for money use a fixed-point integer column (e.g. cents) upstream. */
   def prefixSum(
       df: DataFrame,
       orderCol: String,
@@ -57,7 +60,10 @@ object Scale {
     val w = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed.withColumn("__local", sum(col(valueCol)).over(w))
-    val totals = bucketed.groupBy("__b").agg(sum(col(valueCol)).as("t"))
+    // cast keeps the driver-side read type-stable for any integral valueCol;
+    // non-integral running sums would lose exactness here, so reject them
+    val totals = bucketed.groupBy("__b")
+      .agg(sum(col(valueCol)).cast("long").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until buckets).map { b =>
       b -> (0 until b).map(totals.getOrElse(_, 0L)).sum

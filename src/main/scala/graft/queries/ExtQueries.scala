@@ -90,7 +90,8 @@ object ExtQueries {
       |  MAX(ts_us) - MIN(ts_us) AS dur_us
       |FROM (
       |  SELECT user_id, ts_us,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq
+      |    CAST(SUM(is_new) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_seq
       |  FROM (
       |    SELECT user_id, event_id, ts_us,
       |      CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
@@ -310,7 +311,7 @@ object ExtQueries {
       .orderBy("event_type")
 
   // ---------------------------------------------------------------- Q29
-  /** Temporal bucketing + arithmetic: monthly revenue with a 90-day recency
+  /** Temporal bucketing + arithmetic: monthly revenue with a 365-day recency
     * filter relative to the data's own max date (self-contained — no wall
     * clock, so both engines see the same cutoff). */
   def q29DateArith(s: SparkSession, dir: String): DataFrame = {
