@@ -65,63 +65,110 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rn")
   }
 
-  /** Closed-form IVF coarse-quantizer centroids: centroid j component i is
+  /** Closed-form IVF coarse-quantizer centroids (driver-side arrays):
+    * centroid j component i is
     * `((1103515245*(j*dim+i) + 12345) % 2001 - 1000) / 1000.0` — fixed
     * random directions, derivable identically by any engine (the DuckDB
     * oracle regenerates them from the same formula). A data-adaptive
-    * refinement (k-means step via [[graft.functions.CentroidAgg]]) can
-    * replace these engine-side; the fixed form is the oracle-checked path. */
+    * refinement ([[kMeans]]) can replace these engine-side; the fixed form
+    * is the oracle-checked path. */
+  def ivfCentroidArrays(nlist: Int = 16, dim: Int = 64): Seq[Seq[Double]] =
+    (0 until nlist).map { j =>
+      (0 until dim).map(i =>
+        ((1103515245L * (j * dim + i) + 12345L) % 2001L - 1000L) / 1000.0)
+    }
+
+  /** Same centroids as a (cid, c) DataFrame — for callers that want to join
+    * or inspect them; assignment itself never joins (see [[assignCells]]). */
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession,
       nlist: Int = 16, dim: Int = 64): DataFrame = {
-    val rows = (0 until nlist).map { j =>
-      (j.toLong, (0 until dim).map(i =>
-        ((1103515245L * (j * dim + i) + 12345L) % 2001L - 1000L) / 1000.0))
+    val rows = ivfCentroidArrays(nlist, dim).zipWithIndex.map {
+      case (c, j) => (j.toLong, c)
     }
     spark.createDataFrame(rows).toDF("cid", "c")
   }
 
-  /** Cell assignment: argmax cosine over the centroid set (rounded, tie on
-    * cid — the engine-stable rank pattern). Returns top-`nprobe` cells. */
-  private def nearestCells(vectors: DataFrame, cents: DataFrame,
-      vCol: String, nprobe: Int): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(cents))
-      .withColumn("csim", round(cosine(col(vCol), col("c")), 6))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    scored.withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= nprobe)
-      .drop("c", "csim", "crn")
-  }
+  /** Cell assignment: top-`nprobe` cells by (rounded cosine desc, cid asc),
+    * as a per-row codegen'd expression over plan-time centroids
+    * ([[graft.functions.NearestCells]]) — zero joins, zero shuffles; the
+    * previous crossJoin+window argmax shuffled nlist×n rows for a per-row
+    * decision. Output: input columns + `cid` (one row per probed cell). */
+  private def assignCells(vectors: DataFrame, cents: Seq[Seq[Double]],
+      vCol: String, nprobe: Int): DataFrame =
+    if (nprobe == 1)
+      vectors.withColumn("cid",
+        graft.functions.NearestCells.of(col(vCol), cents, 1).getItem(0))
+    else
+      vectors.withColumn("cid",
+        explode(graft.functions.NearestCells.of(col(vCol), cents, nprobe)))
 
-  /** One Lloyd refinement step over the closed-form centroids: assign every
-    * vector to its nearest fixed centroid, then recompute each cell's mean
-    * with the typed [[graft.functions.CentroidAgg]] (map-side combined).
+  /** One Lloyd refinement step over the closed-form centroids — kept as the
+    * single-step named entry point; see [[kMeans]] for the iterated form.
     * Engine-side path — the oracle-checked q26 keeps the closed-form
     * centroids; refined centroids are for recall, not for parity. */
   def refineCentroids(vectors: DataFrame,
       nlist: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = vectors.sparkSession
+    val cents = lloydStep(vectors, ivfCentroidArrays(nlist, dim), dim)
+    spark.createDataFrame(cents.zipWithIndex.map { case (c, j) => (j.toLong, c) })
+      .toDF("cid", "c")
+  }
+
+  /** One Lloyd assignment+mean pass: nearest plan-time centroid per vector
+    * (shuffle-free expression), then per-cell mean via the typed
+    * [[graft.functions.CentroidAgg]] (map-side combined — one shuffle of
+    * nlist partial sums per input partition). Cells that lose every vector
+    * keep their previous centroid. */
+  private def lloydStep(vectors: DataFrame, cents: Seq[Seq[Double]],
+      dim: Int): Seq[Seq[Double]] = {
     import vectors.sparkSession.implicits._
-    val cents = ivfCentroids(vectors.sparkSession, nlist, dim)
-    val assigned = nearestCells(vectors, cents, "v", 1)
+    val assigned = assignCells(vectors, cents, "v", 1)
       .select(col("cid"), col("v").cast("array<double>"))
       .as[(Long, Seq[Double])]
-    assigned.groupByKey(_._1).mapValues(_._2)
+    val means = assigned.groupByKey(_._1).mapValues(_._2)
       .agg(new graft.functions.CentroidAgg(dim).toColumn.name("c"))
+      .collect().toMap // nlist rows — bounded, driver-side by design
+    cents.indices.map(j => means.getOrElse(j.toLong, cents(j)))
+  }
+
+  /** Iterated Lloyd k-means over the closed-form seed centroids, stopping
+    * after `maxIters` or when the max centroid shift (L∞ over all
+    * components) drops below `tol`. Each iteration is one Spark job: a
+    * shuffle-free assignment expression + a map-side-combined mean; only
+    * nlist×dim doubles cross the driver per iteration. Returns (cid, c). */
+  def kMeans(vectors: DataFrame, nlist: Int = 16, dim: Int = 64,
+      maxIters: Int = 10, tol: Double = 1e-4): DataFrame = {
+    var cents = ivfCentroidArrays(nlist, dim)
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIters && moved >= tol) {
+      val next = lloydStep(vectors, cents, dim)
+      moved = cents.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      cents = next
+      it += 1
+    }
+    vectors.sparkSession
+      .createDataFrame(cents.zipWithIndex.map { case (c, j) => (j.toLong, c) })
       .toDF("cid", "c")
   }
 
   /** IVF top-k: vectors live in their nearest centroid cell; probes search
-    * their `nprobe` nearest cells. At scale the index side is partitioned by
-    * cell (one shuffle at build), probes touch nprobe/nlist of the data. */
+    * their `nprobe` nearest cells. Assignment is a per-row expression (no
+    * exchange); the only shuffle is the candidate equi-join on `cell`. At
+    * scale the index side is partitioned by cell (one shuffle at build),
+    * probes touch nprobe/nlist of the data. */
   def ivfTopK(vectors: DataFrame, probeIds: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame = {
-    val cents = ivfCentroids(vectors.sparkSession, nlist, dim)
-    val indexed = nearestCells(vectors, cents, "v", 1)
+    val cents = ivfCentroidArrays(nlist, dim)
+    val indexed = assignCells(vectors, cents, "v", 1)
       .withColumnRenamed("cid", "cell")
-    val probes = nearestCells(
+    val probes = assignCells(
       vectors.filter(probeIds)
-        .select(col("vec_id"), col("v")), cents, "v", nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("q"),
-        col("cid").as("cell"))
+        .select(col("vec_id").as("query_id"), col("v").as("q")),
+      cents, "q", nprobe)
+      .withColumnRenamed("cid", "cell")
     val scored = indexed.join(probes, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q"), col("v")), 6))
@@ -133,9 +180,79 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
-  /** Near-duplicate vector pairs above a cosine threshold (brute pairwise —
-    * the LSH bucket join is the scale path, this is the oracle-checked
-    * reference form). */
+  /** LSH-bucketed top-k with XOR-1-bit multi-probe: each probe searches its
+    * own bucket plus the `bits` neighbor buckets differing in exactly one
+    * sign bit — the standard multi-probe trick (one flipped hyperplane is
+    * the likeliest way a true neighbor lands elsewhere). Deterministic, so
+    * the oracle mirrors it exactly. Buckets partition the index side, so a
+    * candidate appears via at most one probed bucket — no dedup needed.
+    * Candidate volume is (bits+1)× the single-probe cost; recall at
+    * bits=8/k=3 measured ≥0.8 vs [[bruteTopK]] (SimilaritySpec). */
+  def lshTopKMultiProbe(vectors: DataFrame, probeIds: Column, k: Int,
+      bits: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = vectors
+      .withColumn("bucket", lshBucket("v", bits, dim))
+    val probeBuckets = (lit(0L) +: (0 until bits).map(j => lit(1L << j)))
+      .map(mask => col("b0").bitwiseXOR(mask))
+    val probes = bucketed.filter(probeIds)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        col("bucket").as("b0"))
+      .withColumn("bucket", explode(array(probeBuckets: _*)))
+      .drop("b0")
+    val scored = bucketed.join(probes, "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q"), col("v")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim", "rn")
+  }
+
+  /** Banded-LSH near-duplicate vector pairs — the scale path for
+    * [[nearDupPairs]]: one `bands×bandBits`-plane signature per vector, one
+    * band-key equi-join per band (ids only — vector payloads are re-attached
+    * once after pair dedup, so the band fan-out never shuffles embeddings),
+    * then an exact rounded-cosine refine. All joins are equi-joins: no
+    * BroadcastNestedLoopJoin anywhere in the plan (asserted in
+    * SimilaritySpec).
+    *
+    * Recall: a pair collides in one band with prob (1−θ/π)^bandBits; with
+    * the 8×4 default and cos ≥ 0.9 (θ ≤ 0.144π) that is ≥ 1−(1−0.54)^8
+    * ≈ 0.998, and ≈ 1 for the ≥ 0.99-cosine duplicates dedup targets.
+    * The DuckDB oracle replicates the identical banding (q18 SQL), so
+    * results stay engine-identical even where recall < 1. */
+  def bandedNearDupPairs(vectors: DataFrame, minCos: Double,
+      bands: Int = 8, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.Dot
+    val mask = (1L << bandBits) - 1
+    val sig = vectors.select(col("vec_id"),
+      lshBucket("v", bands * bandBits, dim).as("sig"))
+    val keyed = sig
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("vec_id"), col("band"),
+        expr(s"shiftright(sig, band * $bandBits) & $mask").as("key"))
+    val cand = keyed.select(col("band"), col("key"), col("vec_id").as("id_a"))
+      .join(keyed.select(col("band"), col("key"), col("vec_id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val withNorm = vectors.withColumn("nrm", sqrt(Dot.of(col("v"), col("v"))))
+    val a = withNorm.select(
+      col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(
+      col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("sim",
+        round(Dot.of(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= minCos)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** Near-duplicate vector pairs above a cosine threshold (brute pairwise).
+    * O(n²) — correctness baseline for tests and small sets ONLY; use
+    * [[bandedNearDupPairs]] for any real corpus. */
   def nearDupPairs(vectors: DataFrame, minCos: Double): DataFrame = {
     // Precompute each vector's norm once — per-pair work drops to one dot
     // product; sqrt(Σx²) is the same fold as in cosine(), so results are

@@ -24,10 +24,11 @@ import scala.collection.mutable
   * must: per-partition memory is O(#keys·k) rows rather than O(partition),
   * and spill pressure disappears for small k.
   *
-  * Known limit (round-2 item, documented in COVERAGE.md): the heaps do not
-  * spill — with near-unique keys, per-partition state approaches the
-  * partition size where WindowExec's external sort would spill. Use the
-  * stock window plan (or raise partition counts) for high-cardinality keys.
+  * Memory safety: both stages run under a hard held-row budget
+  * (`graft.topk.budgetRows` SQL conf, default 2^20). The partial stage
+  * flushes-and-resets past the budget (output is a candidate superset —
+  * still correct); the final stage falls back to an external sort-merge
+  * rank ([[TopKSpill]]) so near-unique keys complete in O(budget) memory.
   */
 object TopKPerKey {
 
@@ -102,44 +103,232 @@ class TopKStrategy extends SparkStrategy {
       // forwards at most k rows per key, so the shuffle moves ≤ k·keys·parts
       // rows instead of everything (the aggregate partial/final pattern,
       // applied to ranking)
-      TopKPerKeyExec(keys, order, k, rankAttr,
-        TopKPartialExec(keys, order, k, planLater(child))) :: Nil
+      val budget = org.apache.spark.sql.internal.SQLConf.get.getConfString(
+        "graft.topk.budgetRows", TopKHeaps.DefaultBudgetRows.toString).toInt
+      TopKPerKeyExec(keys, order, k, rankAttr, budget,
+        TopKPartialExec(keys, order, k, budget, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-/** Shared bounded per-key heap accumulation. Returns per-key rows,
-  * best-first. */
+/** Shared bounded per-key heap accumulation with a hard memory budget.
+  *
+  * Both exec nodes hold at most `budgetRows` copied rows in heaps. What
+  * happens past the budget differs by stage:
+  *  - partial stage ([[TopKPartialExec]]): flush-and-reset. Emitting the
+  *    current heaps and starting fresh is correct because partial output is
+  *    only a *candidate superset* — the final stage re-ranks. Degrades
+  *    gracefully toward "forward everything" (stock-window shuffle volume)
+  *    as key cardinality approaches partition size.
+  *  - final stage ([[TopKPerKeyExec]]): external sort-based ranking. Heap
+  *    contents (a provably rank-safe subset: every dropped row was beaten
+  *    by k better rows of its key) plus the remaining input are spilled to
+  *    sorted local chunk files keyed by the UnsafeProjection key bytes, then
+  *    k-way merged; ranks stream out of the merge with O(budget) memory.
+  */
 private[plans] object TopKHeaps {
-  def topKPerKey(
+
+  /** Default per-task row budget (heap rows, not bytes). Override with the
+    * SQL conf `graft.topk.budgetRows` (read at planning time). */
+  val DefaultBudgetRows: Int = 1 << 20
+
+  private type Heaps = mutable.LinkedHashMap[InternalRow, mutable.PriorityQueue[InternalRow]]
+
+  private def accumulate(
+      row: InternalRow,
+      heaps: Heaps,
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int,
+      heldRows: Long): Long = {
+    // probe with the reused projection row; copy the key only on a miss
+    val probe = keyProj(row)
+    val heap = heaps.get(probe) match {
+      case Some(h) => h
+      case None =>
+        val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+        heaps.put(probe.copy(), h)
+        h
+    }
+    if (heap.size < k) { heap.enqueue(row.copy()); heldRows + 1 }
+    else if (ordering.compare(row, heap.head) < 0) {
+      heap.dequeue()
+      heap.enqueue(row.copy())
+      heldRows
+    } else heldRows
+  }
+
+  private def drain(heaps: Heaps): Iterator[Seq[InternalRow]] =
+    heaps.valuesIterator.map { heap =>
+      val worstFirst: Seq[InternalRow] = heap.dequeueAll
+      worstFirst.reverse
+    }
+
+  /** Partial-stage accumulation: per-key top-k heaps, flushed whenever the
+    * held-row budget is hit (each flush is a correct candidate superset). */
+  def partialTopK(
       iter: Iterator[InternalRow],
       keys: Seq[Expression],
       order: Seq[SortOrder],
       childOutput: Seq[Attribute],
-      k: Int): Iterator[Seq[InternalRow]] = {
+      k: Int,
+      budgetRows: Int): Iterator[InternalRow] = {
     val keyProj = UnsafeProjection.create(keys, childOutput)
     val ordering = GenerateOrdering.generate(order, childOutput)
-    // max-heap under `ordering` so the worst kept row is on top
-    val heaps = mutable.LinkedHashMap.empty[InternalRow, mutable.PriorityQueue[InternalRow]]
-    iter.foreach { row =>
-      // probe with the reused projection row; copy the key only on a miss
-      val probe = keyProj(row)
-      val heap = heaps.get(probe) match {
-        case Some(h) => h
-        case None =>
-          val h = mutable.PriorityQueue.empty[InternalRow](ordering)
-          heaps.put(probe.copy(), h)
-          h
-      }
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ordering.compare(row, heap.head) < 0) {
-        heap.dequeue()
-        heap.enqueue(row.copy())
+    val budget = math.max(budgetRows, k).toLong
+    var heaps: Heaps = mutable.LinkedHashMap.empty
+    var held = 0L
+    var flushed: Iterator[InternalRow] = Iterator.empty
+    val chunks = new Iterator[Iterator[InternalRow]] {
+      override def hasNext: Boolean = iter.hasNext || heaps.nonEmpty
+      override def next(): Iterator[InternalRow] = {
+        while (iter.hasNext && held < budget)
+          held = accumulate(iter.next(), heaps, keyProj, ordering, k, held)
+        val out = drain(heaps).flatten
+        heaps = mutable.LinkedHashMap.empty
+        held = 0L
+        out
       }
     }
-    heaps.valuesIterator.map { heap =>
-      val worstFirst: Seq[InternalRow] = heap.dequeueAll
-      worstFirst.reverse
+    chunks.flatten
+  }
+
+  /** Final-stage accumulation: exact per-key top-k with ranks. Stays on the
+    * heap fast path while the budget holds; switches to an external
+    * sort-merge past it. */
+  def finalTopK(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      childOutput: Seq[Attribute],
+      k: Int,
+      budgetRows: Int): Iterator[(InternalRow, Int)] = {
+    val keyProj = UnsafeProjection.create(keys, childOutput)
+    val ordering = GenerateOrdering.generate(order, childOutput)
+    val budget = math.max(budgetRows, k).toLong
+    val heaps: Heaps = mutable.LinkedHashMap.empty
+    var held = 0L
+    var overflow = false
+    while (iter.hasNext && !overflow) {
+      held = accumulate(iter.next(), heaps, keyProj, ordering, k, held)
+      overflow = held >= budget && iter.hasNext
+    }
+    if (!overflow) {
+      drain(heaps).flatMap(_.iterator.zipWithIndex.map { case (r, i) => (r, i + 1) })
+    } else {
+      // rank-safe: heap contents are each key's best-so-far; dropped rows
+      // were beaten by ≥ k better rows of the same key, so the spill input
+      // still contains every true top-k row with its true rank
+      TopKSpill.sortedRank(
+        drain(heaps).flatten ++ iter, keyProj, ordering, childOutput, k,
+        math.max(budgetRows, k))
+    }
+  }
+}
+
+/** External sort-merge fallback for [[TopKHeaps.finalTopK]]: chunks of at
+  * most `chunkRows` rows are sorted by (key bytes, order) and spilled to
+  * local temp files; a loser-tree-style priority-queue merge streams rows
+  * grouped by key, emitting ranks 1..k per key group. Key equality uses the
+  * UnsafeProjection byte image (deterministic per value), so byte-order is
+  * an arbitrary-but-consistent grouping order — semantic key order is not
+  * required, only that equal keys are adjacent. */
+private[plans] object TopKSpill {
+
+  private final case class Spilled(file: java.io.File, rows: Int)
+
+  def sortedRank(
+      input: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      childOutput: Seq[Attribute],
+      k: Int,
+      chunkRows: Int): Iterator[(InternalRow, Int)] = {
+    val numFields = childOutput.size
+    val toUnsafe = UnsafeProjection.create(
+      childOutput.map(_.asInstanceOf[Expression]), childOutput)
+
+    // total per-row comparator: key bytes, then the rank ordering
+    def cmp(a: (Array[Byte], InternalRow), b: (Array[Byte], InternalRow)): Int = {
+      val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+      if (c != 0) c else ordering.compare(a._2, b._2)
+    }
+
+    val files = mutable.ArrayBuffer.empty[Spilled]
+    val buf = mutable.ArrayBuffer.empty[(Array[Byte], InternalRow)]
+    def flush(): Unit = if (buf.nonEmpty) {
+      val sorted = buf.sortWith(cmp(_, _) < 0)
+      val f = java.io.File.createTempFile("graft-topk-", ".spill")
+      f.deleteOnExit()
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(f), 1 << 16))
+      try {
+        sorted.foreach { case (kb, row) =>
+          val u = row.asInstanceOf[org.apache.spark.sql.catalyst.expressions.UnsafeRow]
+          val rb = u.getBytes
+          out.writeInt(kb.length); out.write(kb)
+          out.writeInt(rb.length); out.write(rb)
+        }
+      } finally out.close()
+      files += Spilled(f, sorted.length)
+      buf.clear()
+    }
+
+    input.foreach { row =>
+      val u = toUnsafe(row).copy()
+      buf += ((keyProj(u).copy().getBytes, u))
+      if (buf.length >= chunkRows) flush()
+    }
+    flush()
+
+    val cleanup = () => files.foreach(s => { s.file.delete(); () })
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => cleanup()))
+
+    final class ChunkIter(s: Spilled) {
+      private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        new java.io.FileInputStream(s.file), 1 << 16))
+      private var remaining = s.rows
+      var head: (Array[Byte], InternalRow) = _
+      def advance(): Boolean =
+        if (remaining == 0) { in.close(); head = null; false }
+        else {
+          val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+          val rb = new Array[Byte](in.readInt()); in.readFully(rb)
+          val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(numFields)
+          row.pointTo(rb, rb.length)
+          head = (kb, row)
+          remaining -= 1
+          true
+        }
+    }
+
+    val pq = mutable.PriorityQueue.empty[ChunkIter](
+      Ordering.fromLessThan[ChunkIter]((x, y) => cmp(x.head, y.head) > 0))
+    files.foreach { s => val c = new ChunkIter(s); if (c.advance()) pq.enqueue(c) }
+
+    new Iterator[(InternalRow, Int)] {
+      private var curKey: Array[Byte] = null
+      private var rank = 0
+      private var nextOut: (InternalRow, Int) = null
+      private def computeNext(): Unit = {
+        nextOut = null
+        while (nextOut == null && pq.nonEmpty) {
+          val c = pq.dequeue()
+          val (kb, row) = c.head
+          if (c.advance()) pq.enqueue(c)
+          if (curKey == null || java.util.Arrays.compareUnsigned(curKey, kb) != 0) {
+            curKey = kb; rank = 1
+          } else rank += 1
+          if (rank <= k) nextOut = (row, rank)
+        }
+        if (nextOut == null) cleanup()
+      }
+      computeNext()
+      override def hasNext: Boolean = nextOut != null
+      override def next(): (InternalRow, Int) = {
+        val r = nextOut; computeNext(); r
+      }
     }
   }
 }
@@ -150,6 +339,7 @@ case class TopKPartialExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
+    budgetRows: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -157,9 +347,9 @@ case class TopKPartialExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (ks, os, kk) = (keys, order, k)
+    val (ks, os, kk, budget) = (keys, order, k, budgetRows)
     child.execute().mapPartitions { iter =>
-      TopKHeaps.topKPerKey(iter, ks, os, childOutput, kk).flatten
+      TopKHeaps.partialTopK(iter, ks, os, childOutput, kk, budget)
     }
   }
 
@@ -172,6 +362,7 @@ case class TopKPerKeyExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    budgetRows: Int,
     child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -186,17 +377,16 @@ case class TopKPerKeyExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
-    val (ks, os, kk) = (keys, order, k)
+    val (ks, os, kk, budget) = (keys, order, k, budgetRows)
     val outputLocal = output
     child.execute().mapPartitions { iter =>
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new JoinedRow
       val outProj = UnsafeProjection.create(outputLocal, outputLocal)
-      TopKHeaps.topKPerKey(iter, ks, os, childOutput, kk).flatMap { bestFirst =>
-        bestFirst.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.setInt(0, i + 1)
+      TopKHeaps.finalTopK(iter, ks, os, childOutput, kk, budget).map {
+        case (r, rank) =>
+          rankRow.setInt(0, rank)
           outProj(joined(r, rankRow))
-        }
       }
     }
   }

@@ -67,6 +67,36 @@ class TopKPerKeySpec extends SparkSpec {
     assert(resolved.count() == 1)
   }
 
+  test("near-unique keys complete under a tiny heap budget, results equal " +
+    "the window formulation (both stages forced past the budget)") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("g", pmod(col("o_orderkey"), lit(1000)))
+    def run(): Set[Seq[Any]] = TopKPerKey(orders,
+      keys = Seq("g"),
+      order = Seq(TopKPerKey.Order("o_totalprice", desc = true),
+        TopKPerKey.Order("o_orderkey")),
+      k = 2)
+      .select("g", "o_orderkey", "o_totalprice", "rn")
+      .collect().map(_.toSeq).toSet
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("g", "o_orderkey", "o_totalprice", "rn")
+        .collect().map(_.toSeq).toSet
+    }
+    val unbudgeted = run()
+    // ~1000 distinct keys vs a 64-row budget: the partial stage must
+    // flush-and-reset and the final stage must take the external
+    // sort-merge path — results must not change
+    spark.conf.set("graft.topk.budgetRows", "64")
+    try assert(run() == viaWindow && unbudgeted == viaWindow)
+    finally spark.conf.unset("graft.topk.budgetRows")
+    assert(viaWindow.size > 900, s"want near-unique keys, got ${viaWindow.size}")
+  }
+
   test("k larger than group size emits whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("k", "v")
