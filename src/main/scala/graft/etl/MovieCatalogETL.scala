@@ -41,7 +41,14 @@ object MovieCatalogETL {
     * evaluation for the common case; a nondeterministic source that is also
     * evicted mid-run would still be unsafe, so the requirement stays part of
     * the contract. */
-  def parseLinesDf(linesRaw: DataFrame): DataFrame = {
+  def parseLinesDf(linesRaw: DataFrame): DataFrame =
+    parseLinesDfCached(linesRaw)._1
+
+  /** As [[parseLinesDf]], additionally returning the cached lines plan so
+    * per-batch callers (the streaming foreachBatch path) can `unpersist()`
+    * it once the batch output is materialized — otherwise every micro-batch
+    * would leave one CacheManager entry behind for the life of the stream. */
+  def parseLinesDfCached(linesRaw: DataFrame): (DataFrame, DataFrame) = {
     val spark = linesRaw.sparkSession
     val lines = linesRaw
       .select(
@@ -66,9 +73,10 @@ object MovieCatalogETL {
       totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
     val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("pid", "offset")
 
-    local.join(broadcast(offsetDf), "pid")
+    val parsed = local.join(broadcast(offsetDf), "pid")
       .withColumn("item_id", (col("local_ord") + col("offset")).cast("string"))
       .drop("pid", "offset", "local_ord")
+    (parsed, lines)
   }
 
   /** Long → wide pivot (reference A1,

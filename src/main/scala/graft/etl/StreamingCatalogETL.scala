@@ -43,16 +43,23 @@ object StreamingCatalogETL {
         if (!batch.isEmpty) {
           // the batch carries raw lines of complete files; run the exact
           // batch pipeline on them (parse → pivot → clean)
-          val parsed = MovieCatalogETL.pivotCatalog(
-            MovieCatalogETL.parseLinesDf(batch))
-          val cleaned = MovieCatalogETL.clean(parsed)
-            .withColumn("batch_id", lit(batchId))
-          val aligned = schemaKeys.foldLeft(cleaned) { (df, c) =>
-            if (df.columns.contains(c)) df
-            else df.withColumn(c, lit(null).cast("string"))
+          val (parsedLong, cachedLines) =
+            MovieCatalogETL.parseLinesDfCached(batch)
+          try {
+            val parsed = MovieCatalogETL.pivotCatalog(parsedLong)
+            val cleaned = MovieCatalogETL.clean(parsed)
+              .withColumn("batch_id", lit(batchId))
+            val aligned = schemaKeys.foldLeft(cleaned) { (df, c) =>
+              if (df.columns.contains(c)) df
+              else df.withColumn(c, lit(null).cast("string"))
+            }
+            aligned.write.mode("append")
+              .option("mergeSchema", "true").parquet(outDir)
+          } finally {
+            // the write above materialized the batch; drop the per-batch
+            // cache entry so a long-running stream doesn't accumulate them
+            cachedLines.unpersist()
           }
-          aligned.write.mode("append")
-            .option("mergeSchema", "true").parquet(outDir)
         }
       }
       .start()

@@ -89,7 +89,18 @@ object NearestCellsUtil {
       var dot = 0.0
       i = 0
       while (i < n) { dot += flat(j * dim + i) * vec(i); i += 1 }
-      sims(j) = round6(dot / (nv * norms(j)))
+      // for vectors shorter than dim, the window/CosineSim formulation this
+      // expression mirrors zips to the shorter length — so the centroid norm
+      // must also cover only the truncated prefix, not the full dim
+      val cn =
+        if (n == dim) norms(j)
+        else {
+          var s = 0.0
+          i = 0
+          while (i < n) { val x = flat(j * dim + i); s += x * x; i += 1 }
+          math.sqrt(s)
+        }
+      sims(j) = round6(dot / (nv * cn))
       j += 1
     }
 

@@ -50,6 +50,13 @@ object Scale {
       outCol: String,
       buckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => // exact long sums
+      case dt => throw new IllegalArgumentException(
+        s"prefixSum requires an integral valueCol (got $valueCol: $dt); " +
+          "use a fixed-point integer column (e.g. cents) upstream")
+    }
     val Array(lo, hi) = df.agg(
       min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double"))
       .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
@@ -60,10 +67,8 @@ object Scale {
     val w = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed.withColumn("__local", sum(col(valueCol)).over(w))
-    // cast keeps the driver-side read type-stable for any integral valueCol;
-    // non-integral running sums would lose exactness here, so reject them
     val totals = bucketed.groupBy("__b")
-      .agg(sum(col(valueCol)).cast("long").as("t"))
+      .agg(sum(col(valueCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until buckets).map { b =>
       b -> (0 until b).map(totals.getOrElse(_, 0L)).sum

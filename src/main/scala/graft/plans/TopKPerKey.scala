@@ -178,7 +178,6 @@ private[plans] object TopKHeaps {
     val budget = math.max(budgetRows, k).toLong
     var heaps: Heaps = mutable.LinkedHashMap.empty
     var held = 0L
-    var flushed: Iterator[InternalRow] = Iterator.empty
     val chunks = new Iterator[Iterator[InternalRow]] {
       override def hasNext: Boolean = iter.hasNext || heaps.nonEmpty
       override def next(): Iterator[InternalRow] = {
@@ -259,7 +258,6 @@ private[plans] object TopKSpill {
     def flush(): Unit = if (buf.nonEmpty) {
       val sorted = buf.sortWith(cmp(_, _) < 0)
       val f = java.io.File.createTempFile("graft-topk-", ".spill")
-      f.deleteOnExit()
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16))
       try {
@@ -281,17 +279,15 @@ private[plans] object TopKSpill {
     }
     flush()
 
-    val cleanup = () => files.foreach(s => { s.file.delete(); () })
-    Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit](_ => cleanup()))
-
     final class ChunkIter(s: Spilled) {
       private val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
         new java.io.FileInputStream(s.file), 1 << 16))
       private var remaining = s.rows
+      private var closed = false
       var head: (Array[Byte], InternalRow) = _
+      def close(): Unit = if (!closed) { closed = true; in.close() }
       def advance(): Boolean =
-        if (remaining == 0) { in.close(); head = null; false }
+        if (remaining == 0) { close(); head = null; false }
         else {
           val kb = new Array[Byte](in.readInt()); in.readFully(kb)
           val rb = new Array[Byte](in.readInt()); in.readFully(rb)
@@ -305,7 +301,21 @@ private[plans] object TopKSpill {
 
     val pq = mutable.PriorityQueue.empty[ChunkIter](
       Ordering.fromLessThan[ChunkIter]((x, y) => cmp(x.head, y.head) > 0))
-    files.foreach { s => val c = new ChunkIter(s); if (c.advance()) pq.enqueue(c) }
+    val iters = mutable.ArrayBuffer.empty[ChunkIter]
+    files.foreach { s =>
+      val c = new ChunkIter(s); iters += c; if (c.advance()) pq.enqueue(c)
+    }
+
+    // close every chunk stream (not only exhausted ones — a downstream
+    // LIMIT may stop the merge early) and delete the spill files; runs on
+    // merge exhaustion and again from the task-completion listener, which
+    // is the cleanup authority for partially-consumed iterators
+    val cleanup = () => {
+      iters.foreach(_.close())
+      files.foreach(s => { s.file.delete(); () })
+    }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => cleanup()))
 
     new Iterator[(InternalRow, Int)] {
       private var curKey: Array[Byte] = null
