@@ -116,4 +116,36 @@ object ConfluentAvro {
         }
       }.toDF("key", "value")
   }
+
+  /** Produce path against the registry seam: the schema id is whatever the
+    * resolver assigns for the subject (Confluent naming: `<topic>-value`) —
+    * the reference's register-then-cache flow
+    * (/root/reference/services/kafka_event_publisher.py:24-40). */
+  def catalogFramesResolved(
+      events: DataFrame,
+      resolver: SchemaResolver,
+      topic: String = "catalog_update"): DataFrame =
+    catalogFrames(events,
+      resolver.register(s"$topic-value", schemaFor(Event.CatalogName)))
+
+  /** Consume path: unframe each message, resolve its embedded schema id
+    * through the seam (cached per partition — one resolver hit per distinct
+    * id, the client-cache behavior), deserialize, and project back to typed
+    * catalog columns. */
+  def decodeCatalogFrames(frames: DataFrame, resolver: SchemaResolver): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.select("value").as[Array[Byte]]
+      .mapPartitions { it =>
+        val schemaCache = scala.collection.mutable.Map.empty[Int, Schema]
+        it.map { msg =>
+          val (id, body) = unframe(msg)
+          val schema = schemaCache.getOrElseUpdate(id, resolver.schemaById(id))
+          val rec = deserialize(schema, body)
+          def s(f: String): String =
+            Option(rec.get(f)).map(_.toString).orNull
+          (s("timestamp"), s("event_name"), s("movie_id"), s("title"),
+            s("genre"), rec.get("list_price").asInstanceOf[Float])
+        }
+      }.toDF("timestamp", "event_name", "movie_id", "title", "genre", "list_price")
+  }
 }

@@ -62,4 +62,41 @@ class AvroSpec extends SparkSpec {
     assert(rec.get("title").toString == "Movie #7")
     assert(rec.get("list_price") == 7.25f)
   }
+
+  test("registry seam: stable ids per (subject, schema); unknown id rejected") {
+    val reg = new InMemorySchemaRegistry
+    val catalog = ConfluentAvro.schemaFor(Event.CatalogName)
+    val signIn = ConfluentAvro.schemaFor(Event.SignInName)
+    val id1 = reg.register("catalog_update-value", catalog)
+    val id2 = reg.register("catalog_update-value", catalog) // re-register = same id
+    val id3 = reg.register("events-value", signIn)
+    assert(id1 == id2 && id1 != id3)
+    assert(reg.schemaById(id3).getFields.toString == signIn.getFields.toString)
+    assertThrows[IllegalArgumentException](reg.schemaById(9999))
+  }
+
+  test("produce→log→consume round-trip: resolver-framed messages through the graft-log source") {
+    import spark.implicits._
+    val reg = new InMemorySchemaRegistry
+    val events = (1 to 5).map(i =>
+      (s"2024-01-01T00:00:00.00000$i", "movie_catalog_enriched", s"$i",
+        s"Movie #$i", "Drama", i.toFloat))
+      .toDF("timestamp", "event_name", "movie_id", "title", "genre", "list_price")
+
+    // produce: executor-side framing, registry-assigned id, one log segment
+    val dir = Files.createTempDirectory("graftlog-avro").toFile.getAbsolutePath
+    val n = graft.sources.FileLogSink.publish(
+      ConfluentAvro.catalogFramesResolved(events, reg), dir)
+    assert(n == 5)
+
+    // consume: DSv2 batch read + resolver-driven unframe/deserialize
+    val read = spark.read.format("graft-log").load(dir)
+    val decoded = ConfluentAvro.decodeCatalogFrames(read, reg)
+      .orderBy("movie_id").collect()
+    assert(decoded.length == 5)
+    assert(decoded.map(_.getAs[String]("title")).toSeq ==
+      (1 to 5).map(i => s"Movie #$i"))
+    assert(decoded.map(_.getAs[Float]("list_price")).toSeq ==
+      (1 to 5).map(_.toFloat))
+  }
 }
