@@ -58,6 +58,26 @@ object TextOps {
          |    (a, t) -> a + if(((t >> j) & 1) = 1, 1L, -1L)) > 0L,
          |  shiftleft(1L, j), 0L))""".stripMargin)
 
+  /** Email pattern shared by Spark (java.util.regex) and DuckDB (RE2) —
+    * restricted to syntax both engines interpret identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone pattern (optional +1, separators - or .). */
+  val PhoneRe = "\\+?1?[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub for training corpora: emails → `[EMAIL]`, phone numbers →
+    * `[PHONE]`. Per-row, codegen'd, no UDF; patterns deliberately live in
+    * the cross-engine regex subset so redaction is oracle-verifiable. */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  /** Count of pattern matches in a string column (cross-engine:
+    * size(regexp_extract_all) ≡ DuckDB len(regexp_extract_all)). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Exact Jaccard similarity of two array columns (on distinct elements). */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a)

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TextStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -845,6 +845,162 @@ object ExtQueries {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- Q45
+  /** Interval join via [[RangeJoin.binned]]: lineitems shipped inside each
+    * sampled order's 7-day window. A pure range predicate would plan as
+    * BroadcastNestedLoopJoin (O(n·m)); binning turns it into a bin
+    * equi-join with a residual filter — asserted nested-loop-free in
+    * RangeJoinSpec. */
+  def q45RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val points = t(s, dir, "lineitem")
+      .select(datediff(col("l_shipdate").cast("date"), epoch).as("ship_day"))
+    val intervals = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("lo_day"),
+        (datediff(col("o_orderdate").cast("date"), epoch) + 7).as("hi_day"))
+    RangeJoin.binned(points, "ship_day", intervals, "lo_day", "hi_day", binWidth = 7)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_shipped"))
+      .orderBy("o_orderkey")
+  }
+
+  val q45Sql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_shipped
+      |FROM (SELECT o_orderkey,
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS lo_day,
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 7 AS hi_day
+      |      FROM orders WHERE o_orderkey % 100 = 0) iv
+      |JOIN (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS ship_day
+      |      FROM lineitem) p
+      |  ON p.ship_day >= iv.lo_day AND p.ship_day < iv.hi_day
+      |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q46
+  /** Deterministic stratified sampling ([[Sampling.stratifiedHashSample]]):
+    * per-language keep rates gated on h60(doc_id) — identical sample on
+    * every engine, run, and partitioning (corpus rebalancing for training
+    * mixes; the antidote to seed- and layout-dependent `df.sample`). */
+  def q46StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedHashSample(
+        t(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        ratesBp = Map("en" -> 2500, "zh" -> 10000), defaultBp = 5000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy("lang")
+
+  val q46Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (SELECT lang, n_chars,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS h
+      |      FROM documents)
+      |WHERE h < (CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 10000 ELSE 5000 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- Q47
+  /** PII redaction ([[TextOps.redactPII]]): deterministic synthetic
+    * emails/phones appended per doc (both engines build the same string),
+    * then regex-scrubbed; match counts + the scrubbed tail are verified.
+    * Patterns live in the Java-regex ∩ RE2 subset so Spark and DuckDB
+    * redact identically. */
+  def q47PiiRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-123-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("text2"))
+      .select(
+        col("doc_id"),
+        TextOps.matchCount(col("text2"), TextOps.EmailRe).as("n_emails"),
+        TextOps.matchCount(col("text2"), TextOps.PhoneRe).as("n_phones"),
+        TextOps.redactPII(col("text2")).as("redacted"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_phones"),
+        expr("substring(redacted, greatest(1, length(redacted) - 59), 60)")
+          .as("redacted_tail"))
+      .orderBy("doc_id")
+
+  // DuckDB regexp_replace is first-match-only without the 'g' flag; Spark's
+  // is always global — the flag keeps the two scrubs identical
+  val q47Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id::VARCHAR ||
+       |    '@mail.example.com or call 555-123-' ||
+       |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text2
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text2, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+       |    CAST(len(regexp_extract_all(text2, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+       |    regexp_replace(regexp_replace(text2, '${TextOps.EmailRe}', '[EMAIL]', 'g'),
+       |      '${TextOps.PhoneRe}', '[PHONE]', 'g') AS redacted
+       |  FROM p)
+       |SELECT doc_id, n_emails, n_phones,
+       |  substr(redacted, greatest(1, length(redacted) - 59), 60) AS redacted_tail
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q48
+  /** Repetition / type-token-ratio quality signals (Gopher-style): distinct
+    * share and top-token share in integer ppm (exact cross-engine — no
+    * float rounding at the boundary). */
+  def q48Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).cast("long").as("n_toks"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_c"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_distinct"),
+        expr("CAST(n_distinct * 1000000 DIV n_toks AS BIGINT)").as("ttr_ppm"),
+        expr("CAST(top_c * 1000000 DIV n_toks AS BIGINT)").as("top_tok_ppm"))
+      .orderBy("doc_id")
+
+  val q48Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_toks,
+      |  COUNT(*) AS n_distinct,
+      |  CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+      |  CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS top_tok_ppm
+      |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q49
+  /** GROUPING SETS (the surface rollup/cube can't express: disjoint
+    * single-dimension groupings + grand total in one pass), consumed
+    * through the SQL interface like q33. */
+  def q49GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q49Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -878,7 +1034,12 @@ object ExtQueries {
     "q41_array_funcs" -> (q41ArrayFuncs _),
     "q42_ann_multiprobe" -> (q42AnnMultiprobe _),
     "q43_salted_agg" -> (q43SaltedAgg _),
-    "q44_skew_join" -> (q44SkewJoin _))
+    "q44_skew_join" -> (q44SkewJoin _),
+    "q45_range_join" -> (q45RangeJoin _),
+    "q46_stratified_sample" -> (q46StratifiedSample _),
+    "q47_pii_redact" -> (q47PiiRedact _),
+    "q48_repetition" -> (q48Repetition _),
+    "q49_grouping_sets" -> (q49GroupingSets _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -911,7 +1072,12 @@ object ExtQueries {
     "q41_array_funcs" -> q41Sql,
     "q42_ann_multiprobe" -> q42Sql,
     "q43_salted_agg" -> q43Sql,
-    "q44_skew_join" -> q44Sql)
+    "q44_skew_join" -> q44Sql,
+    "q45_range_join" -> q45Sql,
+    "q46_stratified_sample" -> q46Sql,
+    "q47_pii_redact" -> q47Sql,
+    "q48_repetition" -> q48Sql,
+    "q49_grouping_sets" -> q49Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+
+  private def points = {
+    import spark.implicits._
+    (0L until 500L).map(i => (i, i * 3 % 997)).toDF("p_id", "p")
+  }
+
+  private def intervals = {
+    import spark.implicits._
+    (0L until 40L).map(i => (i, i * 25, i * 25 + 40)).toDF("iv_id", "lo", "hi")
+  }
+
+  test("binned range join ≡ naive range join, at several bin widths") {
+    val naive = points.join(intervals, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    Seq(1L, 7L, 40L, 1000L).foreach { w =>
+      val binned = RangeJoin.binned(points, "p", intervals, "lo", "hi", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"binWidth=$w diverges from naive join")
+    }
+  }
+
+  test("plan is an equi-join on the bin — no nested-loop/cartesian node") {
+    val plan = RangeJoin.binned(points, "p", intervals, "lo", "hi", 40L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join planned a nested loop:\n$plan")
+  }
+
+  test("empty intervals and out-of-range points produce empty results, not errors") {
+    import spark.implicits._
+    val none = RangeJoin.binned(
+      points, "p",
+      Seq((0L, -100L, -50L)).toDF("iv_id", "lo", "hi"), "lo", "hi", 7L)
+    assert(none.count() == 0)
+  }
+}
