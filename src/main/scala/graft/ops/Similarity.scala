@@ -34,6 +34,38 @@ object Similarity {
   def lshBucket(vCol: String, bits: Int = 8, dim: Int = 64): Column =
     graft.functions.LshBucket.of(col(vCol), bits, dim)
 
+  /** Int8 scalar quantization: per-vector scale = 127/max|component|,
+    * components rounded half-away-from-zero — the standard 8×-memory-cut
+    * for candidate scoring (score quantized, refine exact on the short
+    * list). `qv` stays array<double> of integral values so the codegen'd
+    * [[graft.functions.Dot]] applies unchanged and stays *exact*: |q|≤127
+    * ⇒ a 64-dim integer dot ≤ ~10^6, far inside double exactness, so the
+    * quantized similarity is engine-reproducible bit-for-bit. Adds `qv`
+    * and the quantized norm `qn` to `vectors`. */
+  def quantize(vectors: DataFrame, vCol: String = "v"): DataFrame =
+    vectors
+      .withColumn("__scale",
+        lit(127.0) / array_max(transform(col(vCol), x => abs(x))))
+      .withColumn("qv", transform(col(vCol), x => round(x * col("__scale"))))
+      .withColumn("qn", sqrt(graft.functions.Dot.of(col("qv"), col("qv"))))
+      .drop("__scale")
+
+  /** Top-k neighbors by quantized cosine: quantization runs once per vector
+    * (the only higher-order-function work); every pairwise score is the
+    * codegen'd native Dot over precomputed norms. */
+  def quantizedTopK(vectors: DataFrame, probeIds: Column, k: Int): DataFrame = {
+    val q = quantize(vectors)
+    val probes = q.filter(probeIds)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qna"))
+    val w = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id"))
+    q.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("qsim",
+        round(graft.functions.Dot.of(col("qa"), col("qv")) / (col("qna") * col("qn")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "qsim", "rn")
+  }
+
   /** Brute-force top-k cosine neighbors for a (small) probe set. Similarity
     * is rounded to 6dp before ranking so rank order is engine-stable. */
   def bruteTopK(vectors: DataFrame, probes: DataFrame, k: Int): DataFrame = {

@@ -1001,6 +1001,40 @@ object ExtQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------- Q50
+  /** Int8-quantized similarity search ([[Similarity.quantizedTopK]]):
+    * per-vector scalar quantization (127/max|c|, round-half-away), then
+    * top-3 by quantized cosine. Quantized dots are exact integer sums in
+    * double, so both engines rank identically. */
+  def q50QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    Similarity.quantizedTopK(vecs, col("vec_id") < 5, k = 3)
+      .orderBy("query_id", "rn")
+  }
+
+  val q50Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    127.0 / list_max(list_transform(v, x -> abs(x))) AS scale FROM v),
+      |q AS (
+      |  SELECT vec_id, list_transform(v, x -> round(x * scale)) AS qv,
+      |    sqrt(list_dot_product(list_transform(v, x -> round(x * scale)),
+      |                          list_transform(v, x -> round(x * scale)))) AS qn
+      |  FROM m),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+      |    ROUND(list_dot_product(a.qv, b.qv) / (a.qn * b.qn), 6) AS qsim
+      |  FROM q a CROSS JOIN q b
+      |  WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id)
+      |SELECT query_id, vec_id, qsim, rn FROM (
+      |  SELECT query_id, vec_id, qsim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qsim DESC, vec_id) AS rn
+      |  FROM scored)
+      |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1039,7 +1073,8 @@ object ExtQueries {
     "q46_stratified_sample" -> (q46StratifiedSample _),
     "q47_pii_redact" -> (q47PiiRedact _),
     "q48_repetition" -> (q48Repetition _),
-    "q49_grouping_sets" -> (q49GroupingSets _))
+    "q49_grouping_sets" -> (q49GroupingSets _),
+    "q50_quantized_topk" -> (q50QuantizedTopK _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1077,7 +1112,8 @@ object ExtQueries {
     "q46_stratified_sample" -> q46Sql,
     "q47_pii_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
-    "q49_grouping_sets" -> q49Sql)
+    "q49_grouping_sets" -> q49Sql,
+    "q50_quantized_topk" -> q50Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
