@@ -4,7 +4,8 @@ import java.nio.file.{Files, Paths}
 
 import graft.etl.{CatalogDiff, MovieCatalogETL}
 import graft.gen.EventGen
-import graft.io.ConfluentAvro
+import graft.io.{ConfluentAvro, InMemorySchemaRegistry}
+import graft.sources.{FileLog, FileLogSink}
 import graft.streaming.{EventDecode, Segmentation}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -47,16 +48,34 @@ object PipelineDemo {
     val published = (1 to 300).map(_.toString).toDF("movie_id")
     val fresh = CatalogDiff.newItems(
       catalog.withColumnRenamed("item_id", "ItemID"), published)
-    val frames = ConfluentAvro.catalogFrames(
-      CatalogDiff.enrichedEvents(fresh), schemaId = 1)
-    println(s"[demo] new items=${fresh.count()} framed=${frames.count()}")
+    // registry-assigned schema id → framed executor-side → one atomic log
+    // segment → consumed back through the DSv2 source + the same registry
+    val registry = new InMemorySchemaRegistry
+    val catalogLog = Files.createTempDirectory(dir, "catalog-log").toString
+    val nPublished = FileLogSink.publish(
+      ConfluentAvro.catalogFramesResolved(
+        CatalogDiff.enrichedEvents(fresh), registry), catalogLog)
+    val consumed = ConfluentAvro.decodeCatalogFrames(
+      spark.read.format("graft-log").load(catalogLog), registry)
+    println(s"[demo] new items=${fresh.count()} published=$nPublished " +
+      s"consumed=${consumed.count()} via graft-log")
 
-    // --- event stream: generate → decode → segment ---------------------
+    // --- event stream: generate → graft-log → decode → segment ---------
     val events = EventGen.batch(spark, 20000, seed = 42)
-    val decoded = EventDecode.decode(EventGen.asJson(events)).cache()
-    println(s"[demo] decoded events=${decoded.count()}")
+    val eventLog = Files.createTempDirectory(dir, "events-log").toString
+    EventGen.asJson(events).collect().map(_.getString(0))
+      .grouped(5000).foreach(batch => FileLog.appendStrings(eventLog, batch.toSeq))
+    val stream = EventDecode.decode(
+      spark.readStream.format("graft-log")
+        .option("maxRecordsPerTrigger", "5000").load(eventLog))
+    val q = stream.writeStream.format("memory").queryName("demo_events")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val decoded = spark.table("demo_events").cache()
+    println(s"[demo] decoded events=${decoded.count()} (streamed off graft-log)")
     decoded.groupBy("event_name").count().orderBy("event_name").show()
-    Segmentation.funnel(decoded, windowLen = "6 hours")
+    Segmentation.funnel(
+      decoded.withColumn("event_ts", col("event_ts")), windowLen = "6 hours")
       .orderBy("window").show(truncate = false)
 
     spark.stop()

@@ -25,6 +25,11 @@ object Dedup {
     * shingle(3-gram) → k-row MinHash signature → `bands`×`rowsPerBand`
     * banding → equi-join on (band index, band key) → estimate = fraction of
     * agreeing signature rows, filtered at `minEst`.
+    *
+    * The band join carries only (band, key, doc_id) — signatures are
+    * re-attached to the deduplicated pair list afterwards, so the shuffle
+    * never amplifies the k-long signature payload bands× (each band key is
+    * itself derived from the signature, making the slim join lossless).
     */
   def minhashPairs(
       docs: DataFrame,
@@ -38,18 +43,23 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", TextOps.minhashSignature(
         graft.functions.NgramHashes.of(col("toks"), 3), k))
-      .select(col("doc_id"), col("sig"),
+      .select(col("doc_id"), col("sig"))
+    val keyed = sigs
+      .select(col("doc_id"),
         posexplode(TextOps.bandKeys(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "key")))
 
-    val a = sigs.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+    val cand = keyed
+      .select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .distinct()
+
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
       .withColumn("est_sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, lit(1)).otherwise(lit(null)))
