@@ -84,4 +84,26 @@ object TextStats {
       .withColumn("fp_xor", aggregate(col("wh"), lit(0L), (a, x) => a.bitwiseXOR(x)))
       .select("doc_id", "fp_min", "fp_max", "fp_xor")
   }
+
+  /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    * ln(N/df) over the corpus, score rounded to 6dp before ranking (ties →
+    * lexicographic term) so rankings are engine-stable. Two shuffles — the
+    * (doc, term) count and the per-term document frequency — both keyed by
+    * the term; N travels as one broadcast scalar. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("doc_id", "tok", "tf", "score", "rn")
+  }
 }

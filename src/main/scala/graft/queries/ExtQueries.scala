@@ -1035,6 +1035,65 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q51
+  /** Overlapping-window document chunking (training-example construction):
+    * token windows of 20 with stride 15. Chunk counts use non-negative
+    * floor division, identical across engines; slices truncate at the tail
+    * in both. One generator per doc — no joins, no shuffle. */
+  def q51Chunking(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, CAST((size(toks) - 1) DIV 15 AS INT))"))
+          .as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("chunk_id") * 15 + 1, lit(20)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("chunk_id") * 15 + 1, lit(20)))
+          .cast("long").as("n_chunk_toks"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q51Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |c AS (
+      |  SELECT doc_id, t, unnest(range(0, ((len(t) - 1) // 15) + 1)) AS chunk_id
+      |  FROM d)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(t[chunk_id * 15 + 1 : chunk_id * 15 + 20], ' ') AS chunk_text,
+      |  CAST(len(t[chunk_id * 15 + 1 : chunk_id * 15 + 20]) AS BIGINT) AS n_chunk_toks
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q52
+  /** Per-document top-3 TF-IDF terms ([[TextStats.tfidfTopTerms]]). The
+    * only float at the boundary is tf·ln(N/df), rounded to 6dp before
+    * ranking (the q12 cosine rule). */
+  def q52Tfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(t(s, dir, "documents"), k = 3)
+      .filter(col("doc_id") % 25 === 0)
+      .orderBy("doc_id", "rn")
+
+  val q52Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, tf.tok AS tok, tf.tf AS tf,
+      |    ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+      |  FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n)
+      |SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf, score, rn FROM (
+      |  SELECT doc_id, tok, tf, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+      |  FROM scored)
+      |WHERE rn <= 3 AND doc_id % 25 = 0 ORDER BY doc_id, rn""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1074,7 +1133,9 @@ object ExtQueries {
     "q47_pii_redact" -> (q47PiiRedact _),
     "q48_repetition" -> (q48Repetition _),
     "q49_grouping_sets" -> (q49GroupingSets _),
-    "q50_quantized_topk" -> (q50QuantizedTopK _))
+    "q50_quantized_topk" -> (q50QuantizedTopK _),
+    "q51_chunking" -> (q51Chunking _),
+    "q52_tfidf" -> (q52Tfidf _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1113,7 +1174,9 @@ object ExtQueries {
     "q47_pii_redact" -> q47Sql,
     "q48_repetition" -> q48Sql,
     "q49_grouping_sets" -> q49Sql,
-    "q50_quantized_topk" -> q50Sql)
+    "q50_quantized_topk" -> q50Sql,
+    "q51_chunking" -> q51Sql,
+    "q52_tfidf" -> q52Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
