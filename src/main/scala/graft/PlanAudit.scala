@@ -8,11 +8,16 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q1_filter_project", "q3_join_revenue", "q6_pivot", "q8_sort_limit", "q18_embed_neardup")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_filter_project", "q3_join_revenue", "q6_pivot", "q8_sort_limit",
+        "q18_embed_neardup", "q45_range_join", "q48_repetition", "q50_quantized_topk",
+        "q52_tfidf", "q15_minhash_lsh", "q17_ngram_jaccard", "q13_sessionize")
+    for (name <- names) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       // summarize: operator lines only
-      plan.linesIterator.filter(l => l.matches(".*(Scan|Join|Exchange|Aggregate|TakeOrdered|WholeStageCodegen|Window|Sort|PushedFilters).*")).take(25).foreach(println)
+      plan.linesIterator.filter(l => l.matches(".*(Scan|Join|Exchange|Aggregate|TakeOrdered|WholeStageCodegen|Window|Sort|PushedFilters|Generate).*")).take(30).foreach(println)
     }
     spark.stop()
   }

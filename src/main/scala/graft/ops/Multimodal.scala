@@ -67,4 +67,43 @@ object Multimodal {
     * (verified in MultimodalSpec via the physical plan). */
   def metadataOnly(media: DataFrame): DataFrame =
     media.select("doc_id", "format", "n_bytes")
+
+  /** Frame sampling over a "video" payload: the payload is a sequence of
+    * fixed-size `frameBytes` frames; emit every `everyNth` frame as its own
+    * row with a content digest. Pure binary slicing per row (one generator,
+    * no shuffle) — the frame-extraction plumbing is real; only the
+    * interpretation of the bytes as video frames is the stand-in (a codec
+    * would replace the fixed-stride slicing with container parsing). */
+  def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
+    require(frameBytes >= 1 && everyNth >= 1, "frameBytes/everyNth must be >= 1")
+    media
+      .withColumn("frame_idx",
+        explode(expr(
+          s"sequence(0, CAST((n_bytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1)")))
+      .filter(col("frame_idx") % everyNth === 0)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)"))
+          .as("frame_md5"),
+        expr(s"octet_length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
+          .cast("long").as("frame_bytes"))
+  }
+
+  /** STUB resize: keep every `factor`-th payload byte (a real kernel would
+    * decode + interpolate — ??? without codecs); the executor-side batched
+    * shape and the metadata rewrite are the real parts. */
+  def resizeBatch(media: DataFrame, factor: Int): Dataset[(Long, Array[Byte], Long)] = {
+    require(factor >= 1, "factor must be >= 1")
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload", "format", "n_bytes").as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val small = r.payload.indices.collect {
+            case i if i % factor == 0 => r.payload(i)
+          }.toArray
+          (r.doc_id, small, small.length.toLong)
+        }
+      }
+  }
 }

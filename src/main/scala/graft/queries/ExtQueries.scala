@@ -1094,6 +1094,31 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rn <= 3 AND doc_id % 25 = 0 ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q53
+  /** Multimodal frame sampling ([[Multimodal.frameSample]]): every 2nd
+    * 64-byte frame of each binary payload, digested. The Spark side slices
+    * real binary; the oracle mirrors it on the text (the corpus is ASCII,
+    * so byte and char offsets coincide — asserted cheap in the SQL via
+    * octet_length = length). */
+  def q53FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.asMedia(t(s, dir, "documents").filter(col("doc_id") % 20 === 0)),
+        frameBytes = 64, everyNth = 2)
+      .orderBy("doc_id", "frame_idx")
+
+  val q53Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS n
+      |  FROM documents WHERE doc_id % 20 = 0 AND octet_length(encode(text)) = length(text)),
+      |f AS (
+      |  SELECT doc_id, text, unnest(range(0, (n + 63) // 64)) AS frame_idx
+      |  FROM d)
+      |SELECT doc_id, frame_idx,
+      |  md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5,
+      |  CAST(length(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS BIGINT)
+      |    AS frame_bytes
+      |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1135,7 +1160,8 @@ object ExtQueries {
     "q49_grouping_sets" -> (q49GroupingSets _),
     "q50_quantized_topk" -> (q50QuantizedTopK _),
     "q51_chunking" -> (q51Chunking _),
-    "q52_tfidf" -> (q52Tfidf _))
+    "q52_tfidf" -> (q52Tfidf _),
+    "q53_frame_sample" -> (q53FrameSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1176,7 +1202,8 @@ object ExtQueries {
     "q49_grouping_sets" -> q49Sql,
     "q50_quantized_topk" -> q50Sql,
     "q51_chunking" -> q51Sql,
-    "q52_tfidf" -> q52Sql)
+    "q52_tfidf" -> q52Sql,
+    "q53_frame_sample" -> q53Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -87,6 +87,28 @@ class OpsSpec extends SparkSpec {
     assert(decoded.forall(d => d.n_pixels == d.n_bytes / 3))
   }
 
+  test("multimodal: frame sampling reassembles to the payload; resize keeps every kth byte") {
+    import spark.implicits._
+    val media = Multimodal.asMedia(
+      Seq((1L, "x" * 100), (2L, "abcdefgh" * 20)).toDF("doc_id", "text")
+        .withColumn("text", col("text")))
+    // every frame (everyNth=1): lengths must sum back to n_bytes
+    val frames = Multimodal.frameSample(media, frameBytes = 64, everyNth = 1)
+      .groupBy("doc_id").agg(sum("frame_bytes").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(frames(1L) == ((100L, 2L))) // 64 + 36
+    assert(frames(2L) == ((160L, 3L))) // 64 + 64 + 32
+    // every 2nd frame: indices 0, 2, ...
+    val sampled = Multimodal.frameSample(media, 64, 2)
+      .select("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sampled.forall(_._2 % 2 == 0))
+    // resize by 2: ceil(n/2) bytes survive, and they are the even offsets
+    val resized = Multimodal.resizeBatch(media, 2).collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(resized == Map(1L -> 50L, 2L -> 80L))
+  }
+
   test("NgramHashes is value-identical to the declarative shingles3+h60 chain") {
     import spark.implicits._
     val docs = Seq(
