@@ -97,6 +97,26 @@ class TopKPerKeySpec extends SparkSpec {
     assert(viaWindow.size > 900, s"want near-unique keys, got ${viaWindow.size}")
   }
 
+  test("early-terminated consumption (LIMIT) over the spill path completes cleanly") {
+    val orders = Tables.load(spark, sfDir, "orders")
+      .withColumn("g", pmod(col("o_orderkey"), lit(1000)))
+    spark.conf.set("graft.topk.budgetRows", "64")
+    try {
+      // LIMIT stops the merge iterator mid-stream on every task; the
+      // task-completion listener must close chunk streams + delete spills
+      val few = TopKPerKey(orders, Seq("g"),
+        Seq(TopKPerKey.Order("o_totalprice", desc = true),
+          TopKPerKey.Order("o_orderkey")), 2)
+        .limit(7).collect()
+      assert(few.length == 7)
+      // a second full run in the same JVM still works (no leaked state)
+      val full = TopKPerKey(orders, Seq("g"),
+        Seq(TopKPerKey.Order("o_totalprice", desc = true),
+          TopKPerKey.Order("o_orderkey")), 2).count()
+      assert(full > 1000)
+    } finally spark.conf.unset("graft.topk.budgetRows")
+  }
+
   test("k larger than group size emits whole groups, ranked") {
     import spark.implicits._
     val df = Seq((1, 10.0), (1, 30.0), (2, 20.0)).toDF("k", "v")
