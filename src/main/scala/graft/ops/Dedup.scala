@@ -73,7 +73,7 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     docs
       .withColumn("th", TextOps.shingleHashes(TextOps.tokens(col("text"))))
-      .withColumn("simhash", TextOps.simhash32("th"))
+      .withColumn("simhash", graft.functions.SimHash32.of(col("th")))
       .select("doc_id", "simhash")
 
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plus the strategy that plans the substituted logical node
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
+    // opt-in (graft.rangejoin.binWidth) rewrite of pure range-predicate
+    // inner joins into the binned equi-join form
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 }
 
@@ -87,7 +90,11 @@ object GraftExtensions {
         "lsh_bucket(v, bits, dim) - sign-bit LSH bucket id for array<double>"),
       (args: Seq[Expression]) => { arity("lsh_bucket", 3, args)
         LshBucket(args(0),
-          intArg("lsh_bucket", 1, args(1)), intArg("lsh_bucket", 2, args(2))) }))
+          intArg("lsh_bucket", 1, args(1)), intArg("lsh_bucket", 2, args(2))) }),
+    ("simhash32",
+      info("simhash32",
+        "simhash32(token_hashes) - 32-bit SimHash over array<bigint>"),
+      (args: Seq[Expression]) => SimHash32(arity("simhash32", 1, args).head)))
 
   /** Imperative registration on an existing session (same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

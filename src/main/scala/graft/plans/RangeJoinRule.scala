@@ -1,0 +1,131 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: rewrite a pure range-predicate inner join
+  *
+  *   Join(a, b, a.p >= b.lo AND a.p < b.hi [AND rest...])
+  *
+  * — which Spark can only plan as BroadcastNestedLoopJoin / CartesianProduct
+  * (O(n·m) comparisons) — into the binned equi-join [[graft.ops.RangeJoin]]
+  * computes by hand: intervals replicated once per overlapped bin, points
+  * mapped to their bin, equi-join on the bin id with the original predicate
+  * kept as a residual. SQL queries get the scalable plan without being
+  * rewritten.
+  *
+  * The rule fires only when `graft.rangejoin.binWidth` is set to a positive
+  * long — bin width is domain knowledge (≈ the typical interval length), not
+  * something an optimizer can infer without interval statistics, so it is
+  * deliberately an opt-in, like AQE's skew-join thresholds.
+  *
+  * Conservative matching: inner join; point/lo/hi are integral-typed
+  * attributes (fractional bounds would make the `hi-1` upper-bin arithmetic
+  * wrong); the range pair references opposite sides; no equi-conjunct
+  * between the sides already exists (if one does, Spark hash-joins on it
+  * and binning would only add replication). Null bounds behave identically:
+  * a null bin/sequence drops the row exactly where the null range predicate
+  * would.
+  */
+object RangeJoinRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "graft.rangejoin.binWidth"
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(ConfKey, "0").toLong
+    if (width <= 0) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) =>
+        rewrite(j, cond, width).getOrElse(j)
+    }
+  }
+
+  private case class RangePair(point: Attribute, lo: Attribute, hi: Attribute,
+      pointOnLeft: Boolean)
+
+  private def rewrite(j: Join, cond: Expression, width: Long): Option[LogicalPlan] = {
+    val conjuncts = splitConjuncts(cond)
+    // an existing cross-side equi-conjunct means a hash join is already
+    // available — leave the plan alone
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        crossSides(j, a, b)
+      case _ => false
+    }
+    if (hasEqui) return None
+    for (pair <- findRangePair(j, conjuncts)) yield {
+      val (pointSide, intervalSide) =
+        if (pair.pointOnLeft) (j.left, j.right) else (j.right, j.left)
+
+      def overW(e: Expression): Expression =
+        Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+
+      val pbin = Alias(overW(pair.point), "__pbin")()
+      val newPointSide = Project(pointSide.output :+ pbin, pointSide)
+
+      val ibinAttr = AttributeReference("__ibin", LongType, nullable = false)()
+      // Sequence is TimeZoneAwareExpression: without an explicit zone it
+      // stays unresolved (ResolveTimeZone only runs during analysis)
+      val seq = new Sequence(
+        overW(pair.lo),
+        overW(Subtract(pair.hi, Cast(Literal(1), pair.hi.dataType))),
+        None).withTimeZone(conf.sessionLocalTimeZone)
+      val newIntervalSide = Generate(
+        Explode(seq), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(ibinAttr), child = intervalSide)
+
+      val (newLeft, newRight) =
+        if (pair.pointOnLeft) (newPointSide, newIntervalSide)
+        else (newIntervalSide, newPointSide)
+      val binEq = EqualTo(pbin.toAttribute, ibinAttr)
+      val rejoined = Join(newLeft, newRight, Inner,
+        Some(And(binEq, cond)), j.hint)
+      Project(j.output, rejoined)
+    }
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def crossSides(j: Join, a: Attribute, b: Attribute): Boolean =
+    (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
+      (j.right.outputSet.contains(a) && j.left.outputSet.contains(b))
+
+  /** One `p >= lo` (or flipped) + one `p < hi` (or flipped) conjunct pair
+    * over the same integral point attribute, bounds both from the opposite
+    * side. */
+  private def findRangePair(j: Join, conjuncts: Seq[Expression]): Option[RangePair] = {
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(p: AttributeReference, lo: AttributeReference) => (p, lo)
+      case LessThanOrEqual(lo: AttributeReference, p: AttributeReference) => (p, lo)
+    }
+    val uppers = conjuncts.collect {
+      case LessThan(p: AttributeReference, hi: AttributeReference) => (p, hi)
+      case GreaterThan(hi: AttributeReference, p: AttributeReference) => (p, hi)
+    }
+    val pairs = for {
+      (p1, lo) <- lowers
+      (p2, hi) <- uppers
+      if p1.exprId == p2.exprId
+      if integral(p1) && integral(lo) && integral(hi)
+      pointOnLeft =
+        if (j.left.outputSet.contains(p1)) Some(true)
+        else if (j.right.outputSet.contains(p1)) Some(false)
+        else None
+      side <- pointOnLeft
+      intervalSide = if (side) j.right else j.left
+      if intervalSide.outputSet.contains(lo) && intervalSide.outputSet.contains(hi)
+    } yield RangePair(p1, lo, hi, side)
+    pairs.headOption
+  }
+}

@@ -109,6 +109,23 @@ class OpsSpec extends SparkSpec {
     assert(resized == Map(1L -> 50L, 2L -> 80L))
   }
 
+  test("SimHash32 expression is value-identical to the declarative nested-fold form") {
+    import spark.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one",
+      "spark native engine with many tokens for simhash voting coverage today")
+      .toDF("text")
+      .withColumn("th", TextOps.shingleHashes(TextOps.tokens(col("text"))))
+    val rows = docs
+      .withColumn("native", graft.functions.SimHash32.of(col("th")))
+      .withColumn("declarative", TextOps.simhash32("th"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("native")) == r.getLong(r.fieldIndex("declarative")))
+    }
+  }
+
   test("NgramHashes is value-identical to the declarative shingles3+h60 chain") {
     import spark.implicits._
     val docs = Seq(

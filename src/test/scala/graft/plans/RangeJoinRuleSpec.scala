@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Own extensions-bearing session, same discipline as TopKRewriteRuleSpec
+  * (never the JVM default, never stops the shared context). */
+class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-rangejoin-rule-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def fixtures(): Unit = {
+    import spark.implicits._
+    (0L until 400L).map(i => (i, i * 3 % 997)).toDF("p_id", "p")
+      .createOrReplaceTempView("pts")
+    (0L until 30L).map(i => (i, i * 30, i * 30 + 45)).toDF("iv_id", "lo", "hi")
+      .createOrReplaceTempView("ivs")
+  }
+
+  private val rangeSql =
+    """SELECT p_id, iv_id FROM pts JOIN ivs ON p >= lo AND p < hi"""
+
+  test("opt-in rewrite: SQL range join plans as a bin equi-join and matches the naive result") {
+    fixtures()
+    val naive = spark.sql(rangeSql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naivePlan = spark.sql(rangeSql).queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      s"baseline should be a nested loop:\n$naivePlan")
+
+    spark.conf.set(RangeJoinRule.ConfKey, "45")
+    try {
+      val df = spark.sql(rangeSql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"rewrite did not fire:\n$plan")
+      val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rewritten == naive)
+      assert(naive.nonEmpty)
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+
+  test("no rewrite without the conf, with an equi-conjunct, or for fractional bounds") {
+    fixtures()
+    import spark.implicits._
+    // conf unset → untouched
+    assert(spark.sql(rangeSql).queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+
+    spark.conf.set(RangeJoinRule.ConfKey, "45")
+    try {
+      // equi-conjunct present → hash join, no binning replication
+      val equi = spark.sql(
+        "SELECT p_id, iv_id FROM pts JOIN ivs ON p_id = iv_id AND p >= lo AND p < hi")
+        .queryExecution.executedPlan.toString
+      assert(!equi.contains("__pbin"), s"should not bin an equi-join:\n$equi")
+
+      // fractional bounds → (hi-1) bin math would be wrong; must not fire
+      (0L until 50L).map(i => (i, i / 2.0)).toDF("q_id", "q")
+        .createOrReplaceTempView("fpts")
+      (0L until 5L).map(i => (i, i * 5.0, i * 5.0 + 7.5)).toDF("fiv_id", "flo", "fhi")
+        .createOrReplaceTempView("fivs")
+      val frac = spark.sql(
+        "SELECT q_id, fiv_id FROM fpts JOIN fivs ON q >= flo AND q < fhi")
+        .queryExecution.executedPlan.toString
+      assert(!frac.contains("__pbin"), s"fractional rewrite must not fire:\n$frac")
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+
+  test("extra conjuncts survive the rewrite as residual predicates") {
+    fixtures()
+    spark.conf.set(RangeJoinRule.ConfKey, "45")
+    try {
+      val sql =
+        """SELECT p_id, iv_id FROM pts JOIN ivs
+          |ON p >= lo AND p < hi AND p_id % 2 = iv_id % 2""".stripMargin
+      val withRule = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset(RangeJoinRule.ConfKey)
+      val naive = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(withRule == naive && naive.nonEmpty)
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+}
