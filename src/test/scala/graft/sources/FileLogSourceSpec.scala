@@ -74,6 +74,39 @@ class FileLogSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming relay: a producer stream publishes each micro-batch as one segment; a consumer stream follows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val dir = tmpDir("graftlog-relay")
+    val ckpt = tmpDir("graftlog-relay-ckpt")
+
+    // producer: arbitrary upstream stream → kafka-shaped frames → log
+    val producer = mem.toDF()
+      .select(col("value").cast("binary").as("key"),
+        col("value").cast("binary").as("value"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        FileLogSink.publish(batch, dir); ()
+      }.start()
+
+    try {
+      mem.addData("a", "b", "c")
+      producer.processAllAvailable()
+      mem.addData("d", "e")
+      producer.processAllAvailable()
+
+      // two micro-batches → two atomic segments, offsets contiguous
+      assert(FileLog.segments(dir).map(_.records) == Seq(3L, 2L))
+
+      // consumer: the downstream stream replays exactly what was produced
+      val seen = spark.read.format("graft-log").load(dir)
+        .select(col("value").cast("string")).collect().map(_.getString(0)).toSet
+      assert(seen == Set("a", "b", "c", "d", "e"))
+    } finally producer.stop()
+  }
+
   test("maxRecordsPerTrigger splits a backlog into multiple whole-segment batches") {
     val dir = tmpDir("graftlog-cap")
     val ckpt = tmpDir("graftlog-cap-ckpt")
