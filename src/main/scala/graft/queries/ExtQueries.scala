@@ -136,8 +136,10 @@ object ExtQueries {
     Dedup.minhashPairs(augDocs(s, dir))
       .orderBy("doc_a", "doc_b")
 
-  val q15Sql: String =
-    s"""WITH $augDocsSql,
+  /** The q15 MinHash CTE chain up through per-pair estimates — shared with
+    * q54, which clusters the same pairs. */
+  private val minhashCtesSql: String =
+    s"""$augDocsSql,
       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
       |sh AS (SELECT doc_id,
       |    list_transform(range(1, len(t) - 1),
@@ -158,7 +160,10 @@ object ExtQueries {
       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
       |est AS (SELECT doc_a, doc_b,
       |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_sim
-      |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)
+      |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  val q15Sql: String =
+    s"""WITH $minhashCtesSql
       |SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -1119,6 +1124,30 @@ object ExtQueries {
       |    AS frame_bytes
       |FROM f WHERE frame_idx % 2 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- Q54
+  /** Near-dup cluster assignment ([[graft.ops.Cluster.connectedComponents]]
+    * over the q15 MinHash pairs): the transitive closure that turns pair
+    * lists into keep-one-per-group dedup decisions. The oracle computes the
+    * same components as min-reachable-id via a recursive CTE over the
+    * identical pair set. */
+  def q54DedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cluster.connectedComponents(
+        Dedup.minhashPairs(augDocs(s, dir)), "doc_a", "doc_b")
+      .orderBy("id")
+
+  val q54Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |good AS (SELECT doc_a, doc_b FROM est WHERE est_sim >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM good
+      |  UNION SELECT doc_b, doc_a FROM good),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
+      |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1161,7 +1190,8 @@ object ExtQueries {
     "q50_quantized_topk" -> (q50QuantizedTopK _),
     "q51_chunking" -> (q51Chunking _),
     "q52_tfidf" -> (q52Tfidf _),
-    "q53_frame_sample" -> (q53FrameSample _))
+    "q53_frame_sample" -> (q53FrameSample _),
+    "q54_dedup_clusters" -> (q54DedupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1203,7 +1233,8 @@ object ExtQueries {
     "q50_quantized_topk" -> q50Sql,
     "q51_chunking" -> q51Sql,
     "q52_tfidf" -> q52Sql,
-    "q53_frame_sample" -> q53Sql)
+    "q53_frame_sample" -> q53Sql,
+    "q54_dedup_clusters" -> q54Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
