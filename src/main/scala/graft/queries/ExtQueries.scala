@@ -1148,6 +1148,75 @@ object ExtQueries {
       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src)
       |SELECT id, MIN(label) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- Q55
+  /** Ranking-window breadth beyond row_number/lag: ntile, percent_rank,
+    * cume_dist, lead — all over a total order so both engines agree;
+    * percent_rank/cume_dist are exact small-integer ratios in double. */
+  def q55WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 200 === 0)
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val q55Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  NTILE(4) OVER w AS quartile,
+      |  PERCENT_RANK() OVER w AS pct_rank,
+      |  CUME_DIST() OVER w AS cume,
+      |  LEAD(o_orderkey, 1) OVER w AS next_key
+      |FROM orders WHERE o_orderkey % 200 = 0
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q56
+  /** Edit-distance fuzzy matching: near-identical doc pairs from the
+    * augmented corpus re-scored by exact levenshtein (integer, identical
+    * dynamic program in both engines) — the string-similarity complement
+    * to the hash-based dedup family. Candidates come from the same
+    * min-shingle block as q17, so the plan is an equi-join, never all-pairs. */
+  def q56Levenshtein(s: SparkSession, dir: String): DataFrame = {
+    val docs = augDocs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("minh",
+        array_min(graft.functions.NgramHashes.of(col("toks"), 3)))
+      .select(col("doc_id"), col("text"), col("minh"))
+    val a = docs.select(col("minh"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val b = docs.select(col("minh"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    a.join(b, Seq("minh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 40)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q56Sql: String =
+    s"""WITH $augDocsSql,
+      |d AS (
+      |  SELECT doc_id, text,
+      |    list_min(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM aug)
+      |  WHERE len(t) >= 3)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+      |FROM d a JOIN d b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.text, b.text) <= 40
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1191,7 +1260,9 @@ object ExtQueries {
     "q51_chunking" -> (q51Chunking _),
     "q52_tfidf" -> (q52Tfidf _),
     "q53_frame_sample" -> (q53FrameSample _),
-    "q54_dedup_clusters" -> (q54DedupClusters _))
+    "q54_dedup_clusters" -> (q54DedupClusters _),
+    "q55_window_suite" -> (q55WindowSuite _),
+    "q56_levenshtein" -> (q56Levenshtein _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1234,7 +1305,9 @@ object ExtQueries {
     "q51_chunking" -> q51Sql,
     "q52_tfidf" -> q52Sql,
     "q53_frame_sample" -> q53Sql,
-    "q54_dedup_clusters" -> q54Sql)
+    "q54_dedup_clusters" -> q54Sql,
+    "q55_window_suite" -> q55Sql,
+    "q56_levenshtein" -> q56Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

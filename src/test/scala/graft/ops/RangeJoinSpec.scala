@@ -33,6 +33,26 @@ class RangeJoinSpec extends SparkSpec {
       s"range join planned a nested loop:\n$plan")
   }
 
+  test("seeded fuzz: random intervals/points/widths always equal the naive join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { trial =>
+      val pts = Seq.fill(300)(rnd.between(-500L, 500L)).zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("p_id", "p")
+      val ivs = Seq.fill(25) {
+        val lo = rnd.between(-500L, 500L)
+        (lo, lo + rnd.between(0L, 120L))
+      }.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+        .toDF("iv_id", "lo", "hi")
+      val naive = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = rnd.between(1L, 200L)
+      val binned = RangeJoin.binned(pts, "p", ivs, "lo", "hi", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"trial $trial width=$w diverged")
+    }
+  }
+
   test("empty intervals and out-of-range points produce empty results, not errors") {
     import spark.implicits._
     val none = RangeJoin.binned(
