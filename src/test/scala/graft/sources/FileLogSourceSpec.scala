@@ -107,6 +107,46 @@ class FileLogSourceSpec extends SparkSpec {
     } finally producer.stop()
   }
 
+  test("custom flatMapGroupsWithState session state survives a checkpointed restart over graft-log") {
+    val dir = tmpDir("graftlog-sess")
+    val ckpt = tmpDir("graftlog-sess-ckpt")
+    val out = tmpDir("graftlog-sess-out")
+    def ev(ts: String, name: String, user: String = "u1") =
+      s"""{"timestamp":"$ts","event_name":"$name","user_id":"$user"}"""
+
+    // session opens in run 1...
+    FileLog.appendStrings(dir, Seq(
+      ev("2024-01-01T10:00:00.000000", "sign_in"),
+      ev("2024-01-01T10:05:00.000000", "item_view")))
+
+    def startQuery() = graft.streaming.StatefulSessions.sessionize(
+        EventDecode.decode(spark.readStream.format("graft-log").load(dir)),
+        watermark = "5 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // ...and is CLOSED by a sign_out that only arrives after the restart —
+    // possible only if the per-user state round-tripped the checkpoint
+    FileLog.appendStrings(dir, Seq(
+      ev("2024-01-01T10:10:00.000000", "item_view"),
+      ev("2024-01-01T10:12:00.000000", "sign_out"),
+      // a late watermark-driver event so the closed session is emitted
+      ev("2024-01-01T12:00:00.000000", "sign_in", user = "u2")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val sessions = spark.read.parquet(out)
+      .filter(col("user_id") === "u1").collect()
+    assert(sessions.length == 1, s"expected one closed u1 session, got ${sessions.toSeq}")
+    val s = sessions(0)
+    assert(s.getAs[String]("closed_by") == "sign_out")
+    assert(s.getAs[Long]("n_events") == 4L,
+      s"state lost across restart: ${s.toString}") // 2 pre-restart + 2 post
+  }
+
   test("maxRecordsPerTrigger splits a backlog into multiple whole-segment batches") {
     val dir = tmpDir("graftlog-cap")
     val ckpt = tmpDir("graftlog-cap-ckpt")
