@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static guards over the oracle SQL — the regression class that shipped
+  * round 1's only red row (q13: one un-cast window `SUM` → DuckDB HUGEINT →
+  * pandas float64 → driver hash mismatch while values were equal).
+  *
+  * Rules encoded from COVERAGE.md "Cross-engine determinism rules":
+  *  - every DuckDB `SUM(`/`sum(` must sit inside a `CAST(... AS BIGINT/
+  *    DOUBLE)` (HUGEINT never reaches the driver's dataframe hash);
+  *  - no bare `/` between plain integer aggregates (DuckDB `/` yields
+  *    DOUBLE, Spark integer `/` yields DOUBLE too, but `//` vs `DIV`
+  *    truncation must be deliberate — so int division must use `//`);
+  *  - no raw timestamp emission (`SELECT ... ts` without CAST/epoch).
+  */
+class OracleSqlGuardSpec extends AnyFunSuite {
+
+  private def sqls: Map[String, String] = SparkEntry.oracleSql
+
+  test("every SUM in every oracle SQL is explicitly CAST (HUGEINT guard)") {
+    val offenders = sqls.flatMap { case (name, sql) =>
+      var bad = List.empty[String]
+      val upper = sql.toUpperCase
+      var idx = upper.indexOf("SUM(")
+      while (idx >= 0) {
+        // word boundary: exclude per-row list folds like list_sum(
+        val isAggregate = idx == 0 || !(upper(idx - 1).isLetterOrDigit || upper(idx - 1) == '_')
+        if (!isAggregate) { idx = upper.indexOf("SUM(", idx + 1) }
+        else {
+          // walk outward: a CAST( must open before this SUM and still be
+          // unclosed at it (i.e. the SUM is inside the CAST's parens)
+          val prefix = upper.substring(0, idx)
+          val lastCast = prefix.lastIndexOf("CAST(")
+          val covered = lastCast >= 0 && {
+            val between = prefix.substring(lastCast + 5)
+            // the CAST is still open iff its parens haven't balanced out
+            between.count(_ == '(') >= between.count(_ == ')')
+          }
+          if (!covered) bad ::= s"$name @char $idx"
+          idx = upper.indexOf("SUM(", idx + 1)
+        }
+      }
+      bad
+    }
+    assert(offenders.isEmpty,
+      s"un-CAST SUM in oracle SQL (DuckDB HUGEINT → float64 hash trap): $offenders")
+  }
+
+  test("oracle SQL never emits a raw timestamp column") {
+    // the parquet ts columns are NANOS; any direct emission hash-mismatches.
+    // every `ts`/`o_orderdate`/`l_shipdate` use must be wrapped (CAST/epoch/
+    // datediff/date_trunc) — heuristic: the token never follows 'SELECT ' or
+    // ', ' bare at top level. Cheap proxy: forbid the exact fragments that
+    // would project them raw.
+    val raw = Seq("SELECT ts,", "SELECT ts ", ", ts,", ", ts ")
+    val offenders = sqls.collect {
+      case (name, sql) if raw.exists(sql.contains) => name
+    }
+    assert(offenders.isEmpty, s"raw timestamp projection: $offenders")
+  }
+
+  test("every query name has matching queries and oracleSql keys (or is the documented rows-only one)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
+    assert((q -- o) == Set("q28_approx_distinct"),
+      s"queries without oracle (only q28 is rows-only by design): ${q -- o}")
+  }
+}
