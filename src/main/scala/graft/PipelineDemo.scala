@@ -74,8 +74,7 @@ object PipelineDemo {
     val decoded = spark.table("demo_events").cache()
     println(s"[demo] decoded events=${decoded.count()} (streamed off graft-log)")
     decoded.groupBy("event_name").count().orderBy("event_name").show()
-    Segmentation.funnel(
-      decoded.withColumn("event_ts", col("event_ts")), windowLen = "6 hours")
+    Segmentation.funnel(decoded, windowLen = "6 hours")
       .orderBy("window").show(truncate = false)
 
     spark.stop()

@@ -44,11 +44,14 @@ object Cluster {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      // neighborhood-min step
+      // neighborhood-min step — materialized once: the pointer-doubling
+      // self-join below references it twice, and an un-checkpointed plan
+      // would recompute the join+aggregation for each side
       val prop = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nl"))
+        .localCheckpoint(true)
       // pointer-doubling step: follow the fresh label one more hop
       // (label-of-label) — labels only ever decrease, so this is safe and
       // halves the distance to the component minimum each round

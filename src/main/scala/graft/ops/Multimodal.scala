@@ -77,6 +77,10 @@ object Multimodal {
   def frameSample(media: DataFrame, frameBytes: Int, everyNth: Int): DataFrame = {
     require(frameBytes >= 1 && everyNth >= 1, "frameBytes/everyNth must be >= 1")
     media
+      // empty payloads have zero frames; without this guard the sequence
+      // upper bound (ceil(0/fb) - 1 = -1) would generate a DESCENDING
+      // [0, -1] array and emit phantom frames
+      .filter(col("n_bytes") > 0)
       .withColumn("frame_idx",
         explode(expr(
           s"sequence(0, CAST((n_bytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1)")))

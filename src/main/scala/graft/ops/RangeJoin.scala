@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join without a nested-loop plan.
@@ -32,11 +32,19 @@ object RangeJoin {
       hiCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
-    val p = points.withColumn("__pbin", floor(col(pointCol) / binWidth))
-    val iv = intervals.withColumn("__ibin",
-      explode(sequence(
-        floor(col(loCol) / binWidth),
-        floor((col(hiCol) - 1) / binWidth))))
+    // integral floor division, NOT floor(x / w) in double: longs above 2^53
+    // (e.g. h60 hash keys) collapse in double and a boundary-adjacent value
+    // can land in the wrong bin, silently dropping its matches. pmod is
+    // non-negative, so (x - pmod(x, w)) is exactly floor(x/w)·w and the DIV
+    // is exact long arithmetic at any magnitude.
+    def bin(c: String): Column =
+      expr(s"(($c - pmod($c, ${binWidth}L)) DIV ${binWidth}L)")
+    val p = points.withColumn("__pbin", bin(pointCol))
+    val iv = intervals
+      .withColumn("__himinus1", col(hiCol) - 1)
+      .withColumn("__ibin",
+        explode(sequence(bin(loCol), bin("__himinus1"))))
+      .drop("__himinus1")
     p.join(iv,
         p("__pbin") === iv("__ibin") &&
           col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

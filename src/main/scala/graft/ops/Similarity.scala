@@ -44,17 +44,23 @@ object Similarity {
     * and the quantized norm `qn` to `vectors`. */
   def quantize(vectors: DataFrame, vCol: String = "v"): DataFrame =
     vectors
+      // zero vectors get scale 0 (→ qv all zeros, qn 0) instead of a
+      // divide-by-zero scale poisoning qv with nulls/NaN
+      .withColumn("__maxabs", array_max(transform(col(vCol), x => abs(x))))
       .withColumn("__scale",
-        lit(127.0) / array_max(transform(col(vCol), x => abs(x))))
+        when(col("__maxabs") === 0.0, lit(0.0))
+          .otherwise(lit(127.0) / col("__maxabs")))
       .withColumn("qv", transform(col(vCol), x => round(x * col("__scale"))))
       .withColumn("qn", sqrt(graft.functions.Dot.of(col("qv"), col("qv"))))
-      .drop("__scale")
+      .drop("__scale", "__maxabs")
 
   /** Top-k neighbors by quantized cosine: quantization runs once per vector
     * (the only higher-order-function work); every pairwise score is the
     * codegen'd native Dot over precomputed norms. */
   def quantizedTopK(vectors: DataFrame, probeIds: Column, k: Int): DataFrame = {
-    val q = quantize(vectors)
+    // zero vectors have no defined cosine (qn = 0 would divide by zero) —
+    // drop them from both sides, as any cosine ranking must
+    val q = quantize(vectors).filter(col("qn") > 0.0)
     val probes = q.filter(probeIds)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qna"))
     val w = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite a pure range-predicate inner join
   *
@@ -65,8 +65,15 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val (pointSide, intervalSide) =
         if (pair.pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
-      def overW(e: Expression): Expression =
-        Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+      // integral floor division — floor(x / w) in double mis-bins longs
+      // above 2^53 (boundary values round across bins and silently drop
+      // matches). (x - pmod(x, w)) is exactly floor(x/w)·w, then the
+      // integral divide is exact at any magnitude.
+      def overW(e: Expression): Expression = {
+        val x = Cast(e, LongType)
+        val w = Literal(width)
+        IntegralDivide(Subtract(x, Pmod(x, w)), w)
+      }
 
       val pbin = Alias(overW(pair.point), "__pbin")()
       val newPointSide = Project(pointSide.output :+ pbin, pointSide)

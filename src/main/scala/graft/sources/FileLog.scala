@@ -30,12 +30,14 @@ object FileLog {
 
   final case class Segment(file: File, seq: Long, records: Long)
 
-  /** Committed segments in offset order. */
+  /** Committed segments in offset order. listFiles can return null (dir
+    * vanished after the check, transient I/O error) — treated as empty so a
+    * polling streaming query reports no progress instead of dying on NPE. */
   def segments(dir: String): Seq[Segment] = {
     val d = new File(dir)
     if (!d.isDirectory) Seq.empty
     else
-      d.listFiles().toSeq.flatMap { f =>
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap { f =>
         f.getName match {
           case SegmentName(seq, n) => Some(Segment(f, seq.toLong, n.toLong))
           case _ => None
@@ -47,27 +49,32 @@ object FileLog {
   def latestOffset(dir: String): Long = segments(dir).map(_.records).sum
 
   /** Atomically append one segment holding `records`; returns its path.
-    * No-op (returns None) for an empty batch — zero-record segments would
-    * add listing noise without moving any offset. */
-  def append(dir: String, records: Seq[Record]): Option[File] = {
-    if (records.isEmpty) return None
+    * Streams the iterator to the temp file (one record resident at a time —
+    * the record count lands in the file name only at rename time, so
+    * unboundedly large batches never buffer). No-op (returns None) for an
+    * empty batch — zero-record segments would add listing noise without
+    * moving any offset. */
+  def append(dir: String, records: IterableOnce[Record]): Option[File] = {
+    val it = records.iterator
+    if (!it.hasNext) return None
     val d = new File(dir)
     if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
     val seq = segments(dir).lastOption.map(_.seq + 1).getOrElse(0L)
-    val name = f"$seq%020d-${records.size}%d.seg"
     val tmp = File.createTempFile(".tmp-seg-", "", d)
     val out = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+    var n = 0L
     try {
-      records.foreach { r =>
+      it.foreach { r =>
         if (r.key == null) out.writeInt(-1)
         else { out.writeInt(r.key.length); out.write(r.key) }
         if (r.value == null) out.writeInt(-1)
         else { out.writeInt(r.value.length); out.write(r.value) }
         out.writeLong(r.tsMicros)
+        n += 1
       }
     } finally out.close()
-    val target = new File(d, name)
+    val target = new File(d, f"$seq%020d-$n%d.seg")
     Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     Some(target)
   }

@@ -20,16 +20,22 @@ import org.apache.spark.sql.DataFrame
 object FileLogSink {
 
   /** Append every (key, value) row as one segment; returns the record
-    * count (0 appends nothing). */
+    * count (0 appends nothing). Rows stream straight from the partition
+    * iterator into the segment file — nothing beyond the in-flight
+    * partition is ever resident on the driver. */
   def publish(frames: DataFrame, dir: String, tsMicros: Long = 0L): Long = {
-    val records = new scala.collection.mutable.ArrayBuffer[FileLog.Record]()
-    val it = frames.select("key", "value").toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      records += FileLog.Record(
-        r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), tsMicros)
+    var n = 0L
+    val it = new Iterator[FileLog.Record] {
+      private val rows = frames.select("key", "value").toLocalIterator()
+      override def hasNext: Boolean = rows.hasNext
+      override def next(): FileLog.Record = {
+        val r = rows.next()
+        n += 1
+        FileLog.Record(
+          r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), tsMicros)
+      }
     }
-    FileLog.append(dir, records.toSeq)
-    records.size.toLong
+    FileLog.append(dir, it)
+    n
   }
 }

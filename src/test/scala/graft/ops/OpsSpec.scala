@@ -90,8 +90,10 @@ class OpsSpec extends SparkSpec {
   test("multimodal: frame sampling reassembles to the payload; resize keeps every kth byte") {
     import spark.implicits._
     val media = Multimodal.asMedia(
-      Seq((1L, "x" * 100), (2L, "abcdefgh" * 20)).toDF("doc_id", "text")
-        .withColumn("text", col("text")))
+      Seq((1L, "x" * 100), (2L, "abcdefgh" * 20), (3L, "")).toDF("doc_id", "text"))
+    // empty payload → zero frames (NOT a phantom [0,-1] descending sequence)
+    assert(Multimodal.frameSample(media, 64, 1)
+      .filter(col("doc_id") === 3L).count() == 0)
     // every frame (everyNth=1): lengths must sum back to n_bytes
     val frames = Multimodal.frameSample(media, frameBytes = 64, everyNth = 1)
       .groupBy("doc_id").agg(sum("frame_bytes").as("total"), count(lit(1)).as("n"))
@@ -106,7 +108,7 @@ class OpsSpec extends SparkSpec {
     // resize by 2: ceil(n/2) bytes survive, and they are the even offsets
     val resized = Multimodal.resizeBatch(media, 2).collect()
       .map(t => t._1 -> t._3).toMap
-    assert(resized == Map(1L -> 50L, 2L -> 80L))
+    assert(resized == Map(1L -> 50L, 2L -> 80L, 3L -> 0L))
   }
 
   test("SimHash32 expression is value-identical to the declarative nested-fold form") {

@@ -53,6 +53,18 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("long keys above 2^53 bin exactly (double floor-division would collapse them)") {
+    import spark.implicits._
+    val base = 1L << 60
+    // two adjacent points around a bin boundary that double arithmetic
+    // cannot distinguish (2^60 and 2^60+1 are equal as doubles)
+    val pts = Seq((1L, base), (2L, base + 1), (3L, base + 99)).toDF("p_id", "p")
+    val ivs = Seq((10L, base + 1, base + 50)).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.binned(pts, "p", ivs, "lo", "hi", 50L)
+      .select("p_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L), s"expected only the in-range point, got $got")
+  }
+
   test("empty intervals and out-of-range points produce empty results, not errors") {
     import spark.implicits._
     val none = RangeJoin.binned(

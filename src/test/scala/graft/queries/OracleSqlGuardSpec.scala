@@ -29,15 +29,17 @@ class OracleSqlGuardSpec extends AnyFunSuite {
         val isAggregate = idx == 0 || !(upper(idx - 1).isLetterOrDigit || upper(idx - 1) == '_')
         if (!isAggregate) { idx = upper.indexOf("SUM(", idx + 1) }
         else {
-          // walk outward: a CAST( must open before this SUM and still be
-          // unclosed at it (i.e. the SUM is inside the CAST's parens)
+          // covered iff ANY earlier CAST( is still paren-open at this SUM
+          // (checking only the lexically nearest CAST false-flags the
+          // nested shape CAST(CAST(a AS BIGINT) + SUM(c) AS DOUBLE))
           val prefix = upper.substring(0, idx)
-          val lastCast = prefix.lastIndexOf("CAST(")
-          val covered = lastCast >= 0 && {
-            val between = prefix.substring(lastCast + 5)
-            // the CAST is still open iff its parens haven't balanced out
-            between.count(_ == '(') >= between.count(_ == ')')
-          }
+          val covered = Iterator.iterate(prefix.indexOf("CAST("))(p =>
+              prefix.indexOf("CAST(", p + 1))
+            .takeWhile(_ >= 0)
+            .exists { castAt =>
+              val between = prefix.substring(castAt + 5)
+              between.count(_ == '(') >= between.count(_ == ')')
+            }
           if (!covered) bad ::= s"$name @char $idx"
           idx = upper.indexOf("SUM(", idx + 1)
         }
