@@ -1217,6 +1217,41 @@ object ExtQueries {
       |WHERE levenshtein(a.text, b.text) <= 40
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- Q57
+  /** Correlated-subquery surface: a correlated scalar subquery (max order
+    * date per customer) and a NOT EXISTS anti-join predicate in one
+    * statement — Catalyst de-correlates both (RewriteCorrelatedScalarSubquery
+    * → left outer join; NOT EXISTS → left anti join), so the physical plan
+    * is joins, not per-row subquery execution. */
+  def q57CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS last_order,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE c_custkey % 10 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q57Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS last_order,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE c_custkey % 10 = 0
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1262,7 +1297,8 @@ object ExtQueries {
     "q53_frame_sample" -> (q53FrameSample _),
     "q54_dedup_clusters" -> (q54DedupClusters _),
     "q55_window_suite" -> (q55WindowSuite _),
-    "q56_levenshtein" -> (q56Levenshtein _))
+    "q56_levenshtein" -> (q56Levenshtein _),
+    "q57_correlated_subquery" -> (q57CorrelatedSubquery _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1307,7 +1343,8 @@ object ExtQueries {
     "q53_frame_sample" -> q53Sql,
     "q54_dedup_clusters" -> q54Sql,
     "q55_window_suite" -> q55Sql,
-    "q56_levenshtein" -> q56Sql)
+    "q56_levenshtein" -> q56Sql,
+    "q57_correlated_subquery" -> q57Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
