@@ -1232,8 +1232,7 @@ object ExtQueries {
         |  (SELECT COUNT(*) FROM orders o
         |   WHERE o.o_custkey = c.c_custkey) AS n_orders
         |FROM customer c
-        |WHERE c_custkey % 10 = 0
-        |  AND NOT EXISTS (
+        |WHERE NOT EXISTS (
         |    SELECT 1 FROM orders o
         |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin)
@@ -1246,8 +1245,7 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM orders o
       |   WHERE o.o_custkey = c.c_custkey) AS n_orders
       |FROM customer c
-      |WHERE c_custkey % 10 = 0
-      |  AND NOT EXISTS (
+      |WHERE NOT EXISTS (
       |    SELECT 1 FROM orders o
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
