@@ -22,7 +22,11 @@ object ExtQueries {
     Tables.load(s, dir, name)
 
   /** Shared deterministic near-dup augmentation for documents. */
+  /** Test/probe hook for the shared augmentation. */
+  def testAugDocs(s: SparkSession, dir: String): DataFrame = augDocs(s, dir)
+
   private def augDocs(s: SparkSession, dir: String): DataFrame = {
+    // (exposed for perf probes via testAugDocs)
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val toks = split(col("text"), " ")
     val synth = docs.filter(col("doc_id") % 50 === 0)
@@ -1190,14 +1194,28 @@ object ExtQueries {
       .filter(size(col("toks")) >= 3)
       .withColumn("minh",
         array_min(graft.functions.NgramHashes.of(col("toks"), 3)))
-      .select(col("doc_id"), col("text"), col("minh"))
-    val a = docs.select(col("minh"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = docs.select(col("minh"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"),
+        col("minh"))
+    // the corpus reads as ~1 input partition at test scale, which would
+    // serialize the (CPU-heavy) per-pair DP into one task — spread the
+    // stream side of the broadcast join across the cluster first
+    val par = s.sparkContext.defaultParallelism
+    val a = docs.select(col("minh"), col("doc_id").as("doc_a"),
+      col("text").as("text_a"), col("len").as("len_a")).repartition(par)
+    val b = docs.select(col("minh"), col("doc_id").as("doc_b"),
+      col("text").as("text_b"), col("len").as("len_b"))
     a.join(b, Seq("minh"))
       .filter(col("doc_a") < col("doc_b"))
+      // sound prune: edit distance >= |length difference|, so pairs further
+      // than the threshold apart in length can never qualify — kills the
+      // big-common-block pairs before any DP runs
+      .filter(abs(col("len_a") - col("len_b")) <= 40)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= 40)
+        // thresholded levenshtein: banded DP, O(len·40) not O(len²);
+        // returns the true distance when <= 40 (and -1 above, filtered)
+        levenshtein(col("text_a"), col("text_b"), 40).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist").between(0, 40))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1214,6 +1232,7 @@ object ExtQueries {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
       |FROM d a JOIN d b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      |  AND abs(length(a.text) - length(b.text)) <= 40
       |WHERE levenshtein(a.text, b.text) <= 40
       |ORDER BY doc_a, doc_b""".stripMargin
 
