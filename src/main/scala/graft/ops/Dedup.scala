@@ -38,7 +38,7 @@ object Dedup {
       rowsPerBand: Int = 4,
       minEst: Double = 0.5): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    val sigs = docs
+    val sigs = Scale.ensureParallelism(docs)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sig", TextOps.minhashSignature(
@@ -81,7 +81,7 @@ object Dedup {
     * single-key block that catches all high-Jaccard pairs with 3-gram
     * overlap on the min element). */
   def jaccardPairs(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val sh = docs
+    val sh = Scale.ensureParallelism(docs)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       // Jaccard runs on hashed shingles (array<long>) — set-equivalent to

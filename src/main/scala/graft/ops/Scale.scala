@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Spread per-row compute: a sub-row-group parquet file is unsplittable,
+    * so a small-file corpus arrives as 1–2 input partitions and serializes
+    * expensive per-row expressions (shingle hashing, MinHash signatures,
+    * quantization, edit-distance DPs) into one task. No-op when the input
+    * is already parallel enough — at real scale inputs carry thousands of
+    * partitions and the extra shuffle would be pure waste. */
+  def ensureParallelism(df: DataFrame, min: Int = 0): DataFrame = {
+    val target =
+      if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
+    else df.repartition(target)
+  }
+
   /** Two-phase aggregation for skewed group keys: partial-aggregate on
     * (key, salt), then merge per key. `merges` maps each partial column to
     * its re-aggregation (e.g. partial counts re-SUM, partial mins re-MIN). */

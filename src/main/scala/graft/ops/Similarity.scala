@@ -43,7 +43,7 @@ object Similarity {
     * quantized similarity is engine-reproducible bit-for-bit. Adds `qv`
     * and the quantized norm `qn` to `vectors`. */
   def quantize(vectors: DataFrame, vCol: String = "v"): DataFrame =
-    vectors
+    Scale.ensureParallelism(vectors)
       // zero vectors get scale 0 (→ qv all zeros, qn 0) instead of a
       // divide-by-zero scale poisoning qv with nulls/NaN
       .withColumn("__maxabs", array_max(transform(col(vCol), x => abs(x))))
@@ -263,7 +263,8 @@ object Similarity {
       bands: Int = 8, bandBits: Int = 4, dim: Int = 64): DataFrame = {
     import graft.functions.Dot
     val mask = (1L << bandBits) - 1
-    val sig = vectors.select(col("vec_id"),
+    val spread = Scale.ensureParallelism(vectors)
+    val sig = spread.select(col("vec_id"),
       lshBucket("v", bands * bandBits, dim).as("sig"))
     val keyed = sig
       .select(col("vec_id"),
@@ -276,7 +277,7 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val withNorm = vectors.withColumn("nrm", sqrt(Dot.of(col("v"), col("v"))))
+    val withNorm = spread.withColumn("nrm", sqrt(Dot.of(col("v"), col("v"))))
     val a = withNorm.select(
       col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = withNorm.select(
