@@ -20,6 +20,7 @@ object Scale {
     * is already parallel enough — at real scale inputs carry thousands of
     * partitions and the extra shuffle would be pure waste. */
   def ensureParallelism(df: DataFrame, min: Int = 0): DataFrame = {
+    if (df.isStreaming) return df // .rdd is illegal on a streaming plan
     val target =
       if (min > 0) min else df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= math.max(1, target / 2)) df
