@@ -76,6 +76,31 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHash32.of(col("th")))
       .select("doc_id", "simhash")
 
+  /** Benchmark decontamination: per training document, the number of
+    * distinct word n-gram shingles it shares with an evaluation/benchmark
+    * corpus (n_shared > 0 ⇒ contaminated; the caller drops or audits them).
+    *
+    * Both sides reduce to distinct (doc_id, shingle-hash) pairs, so the
+    * only shuffle is the equi-join on the 60-bit shingle hash — at 100 TB
+    * the eval side (benchmarks are small) collapses to a broadcast set and
+    * the training corpus streams through it; document bodies never move.
+    * Cf. /root/reference — no decontamination exists there; this is part of
+    * the training-pipeline surface the rebuild adds.
+    */
+  def shingleOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
+          .as("h"))
+    val evalHashes = hashes(evalDocs).select("h").distinct()
+    hashes(train)
+      .join(evalHashes, "h") // per-doc hashes already distinct ⇒ count = distinct shared
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle
     * hash (documents sharing their rarest-hashed shingle collide; a cheap
     * single-key block that catches all high-Jaccard pairs with 3-gram

@@ -50,4 +50,23 @@ object RangeJoin {
           col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__pbin", "__ibin")
   }
+
+  /** Date-typed variant: `pointCol`/`loCol`/`hiCol` are DATE columns,
+    * `binWidthDays` bins the day number line. Dates are epoch-day integers
+    * underneath, so this is [[binned]] over `unix_date` with the residual
+    * containment predicate re-checked on the raw dates. */
+  def binnedDates(
+      points: DataFrame,
+      pointCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidthDays: Long): DataFrame = {
+    val p = points.withColumn("__pday", unix_date(col(pointCol)))
+    val iv = intervals
+      .withColumn("__loday", unix_date(col(loCol)))
+      .withColumn("__hiday", unix_date(col(hiCol)))
+    binned(p, "__pday", iv, "__loday", "__hiday", binWidthDays)
+      .drop("__pday", "__loday", "__hiday")
+  }
 }

@@ -54,6 +54,22 @@ object Similarity {
       .withColumn("qn", sqrt(graft.functions.Dot.of(col("qv"), col("qv"))))
       .drop("__scale", "__maxabs")
 
+  /** Per-group pooled (mean) embedding over int8-quantized components —
+    * average-pooling for cluster summaries / group centroids. Sums run over
+    * integral quantized values (|q| ≤ 127 ⇒ exact in double at any
+    * realistic group size, order-independent), so the pooled means are
+    * engine-reproducible where a float mean is not. One explode + one
+    * (grp, component) aggregation: partial sums combine map-side, shuffle
+    * volume is O(groups × dim), independent of corpus size. */
+  def pooledQuantizedCentroids(vectors: DataFrame, grpCol: Column,
+      vCol: String = "v"): DataFrame =
+    quantize(vectors, vCol)
+      .select(grpCol.as("grp"), posexplode(col("qv")).as(Seq("i", "qc")))
+      .groupBy("grp", "i")
+      .agg(count(lit(1)).as("n"), sum(col("qc")).as("qsum"))
+      .select(col("grp"), (col("i") + 1).cast("long").as("i"),
+        round(col("qsum") / col("n"), 6).as("mean_q"))
+
   /** Top-k neighbors by quantized cosine: quantization runs once per vector
     * (the only higher-order-function work); every pairwise score is the
     * codegen'd native Dot over precomputed norms. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: rewrite a pure range-predicate inner join
   *
@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   *
   * Conservative matching: inner join; point/lo/hi are integral-typed
   * attributes (fractional bounds would make the `hi-1` upper-bin arithmetic
-  * wrong); the range pair references opposite sides; no equi-conjunct
+  * wrong) or all DateType (binned on epoch days — `binWidth` is then a
+  * width in days); the range pair references opposite sides; no equi-conjunct
   * between the sides already exists (if one does, Spark hash-joins on it
   * and binning would only add replication). Null bounds behave identically:
   * a null bin/sequence drops the row exactly where the null range predicate
@@ -37,6 +38,20 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   private def integral(e: Expression): Boolean = e.dataType match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
+  }
+
+  /** Dates are epoch-day integers underneath (`unix_date`), so a date range
+    * join bins the day number line; `binWidth` is then a width in days.
+    * Mixing date and integral attributes in one range pair is rejected —
+    * their bin domains are incomparable. */
+  private def binnable(p: Expression, lo: Expression, hi: Expression): Boolean =
+    (integral(p) && integral(lo) && integral(hi)) ||
+      (p.dataType == DateType && lo.dataType == DateType && hi.dataType == DateType)
+
+  /** Epoch-day/identity bridge to LongType for bin arithmetic. */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case _ => Cast(e, LongType)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -68,22 +83,22 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       // integral floor division — floor(x / w) in double mis-bins longs
       // above 2^53 (boundary values round across bins and silently drop
       // matches). (x - pmod(x, w)) is exactly floor(x/w)·w, then the
-      // integral divide is exact at any magnitude.
-      def overW(e: Expression): Expression = {
-        val x = Cast(e, LongType)
+      // integral divide is exact at any magnitude. Input is pre-bridged to
+      // LongType (epoch days for DateType).
+      def overW(x: Expression): Expression = {
         val w = Literal(width)
         IntegralDivide(Subtract(x, Pmod(x, w)), w)
       }
 
-      val pbin = Alias(overW(pair.point), "__pbin")()
+      val pbin = Alias(overW(asLong(pair.point)), "__pbin")()
       val newPointSide = Project(pointSide.output :+ pbin, pointSide)
 
       val ibinAttr = AttributeReference("__ibin", LongType, nullable = false)()
       // Sequence is TimeZoneAwareExpression: without an explicit zone it
       // stays unresolved (ResolveTimeZone only runs during analysis)
       val seq = new Sequence(
-        overW(pair.lo),
-        overW(Subtract(pair.hi, Cast(Literal(1), pair.hi.dataType))),
+        overW(asLong(pair.lo)),
+        overW(Subtract(asLong(pair.hi), Literal(1L))),
         None).withTimeZone(conf.sessionLocalTimeZone)
       val newIntervalSide = Generate(
         Explode(seq), unrequiredChildIndex = Nil, outer = false,
@@ -124,7 +139,7 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       (p1, lo) <- lowers
       (p2, hi) <- uppers
       if p1.exprId == p2.exprId
-      if integral(p1) && integral(lo) && integral(hi)
+      if binnable(p1, lo, hi)
       pointOnLeft =
         if (j.left.outputSet.contains(p1)) Some(true)
         else if (j.right.outputSet.contains(p1)) Some(false)

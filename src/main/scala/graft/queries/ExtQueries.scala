@@ -1269,6 +1269,167 @@ object ExtQueries {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q58
+  /** Benchmark decontamination ([[graft.ops.Dedup.shingleOverlap]]): eval
+    * set = original docs with doc_id % 7 == 0; every other (training) doc
+    * is scored by how many distinct 3-gram shingles it shares with the eval
+    * corpus. The augmented near-dup copies of eval docs surface as heavily
+    * contaminated — exactly the leak this op exists to catch before
+    * training. Only (doc_id, shingle-hash) pairs shuffle. */
+  def q58Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val aug = augDocs(s, dir)
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 1000000L
+    graft.ops.Dedup.shingleOverlap(aug.filter(!isEval), aug.filter(isEval))
+      .orderBy("doc_id")
+  }
+
+  val q58Sql: String =
+    s"""WITH $augDocsSql,
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)
+      |  WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+      |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 7 = 0 AND doc_id < 1000000),
+      |tr AS (SELECT doc_id, h FROM ex
+      |       WHERE NOT (doc_id % 7 = 0 AND doc_id < 1000000))
+      |SELECT tr.doc_id AS doc_id, COUNT(*) AS n_shared
+      |FROM tr JOIN ev USING (h)
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q59
+  /** Wide→long melt (unpivot/stack): per-priority order measures unpivoted
+    * into (measure, value) rows — the reshape every metrics export needs.
+    * Spark's native `unpivot` is a Generate (one pass, no join/shuffle
+    * beyond the feeding aggregate); the decimal-exact sum keeps the double
+    * values engine-identical. */
+  def q59Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("total_price")),
+        "measure", "value")
+      .orderBy("o_orderpriority", "measure")
+  }
+
+  val q59Sql: String =
+    """WITH w AS (
+      |  SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, measure, value FROM (
+      |  SELECT o_orderpriority, 'n_orders' AS measure, n_orders AS value FROM w
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'total_price', total_price FROM w)
+      |ORDER BY o_orderpriority, measure""".stripMargin
+
+  // ---------------------------------------------------------------- Q60
+  /** Per-group pooled embeddings ([[graft.ops.Similarity.pooledQuantizedCentroids]]):
+    * mean vector per group (vec_id % 8) over int8-quantized components —
+    * cluster-summary average-pooling whose integer sums stay exact and
+    * order-independent cross-engine (a raw float mean is neither). */
+  def q60PooledCentroids(s: SparkSession, dir: String): DataFrame = {
+    val vecs = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    graft.ops.Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 8)
+      .orderBy("grp", "i")
+  }
+
+  val q60Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 0.0
+      |         ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id, list_transform(v, x -> round(x * scale)) AS qv FROM m)
+      |SELECT vec_id % 8 AS grp, i,
+      |  ROUND(CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*), 6) AS mean_q
+      |FROM q, range(1, 65) r(i)
+      |GROUP BY grp, i
+      |ORDER BY grp, i""".stripMargin
+
+  // ---------------------------------------------------------------- Q61
+  /** Batch funnel analysis (the batch mirror of
+    * [[graft.streaming.Segmentation]]'s funnel): per-user first-touch times
+    * for view → click → purchase, then ordered-stage completion counts.
+    * One groupBy(user) shuffle; timestamps only compared (as truncated
+    * micros), never emitted. */
+  def q61Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val stage = ev.groupBy("user_id").agg(
+      min(when(col("event_type") === "view", col("us"))).as("t_view"),
+      min(when(col("event_type") === "click", col("us"))).as("t_click"),
+      min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+    stage.agg(
+      sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("t_click") >= col("t_view"), 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("t_click") >= col("t_view") &&
+          col("t_purchase") >= col("t_click"), 1L).otherwise(0L))
+        .as("n_purchase"))
+  }
+
+  val q61Sql: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+      |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------- Q62
+  /** Date-typed range join ([[graft.ops.RangeJoin.binnedDates]]): lineitem
+    * ship dates binned into deterministic 91-day promo windows — the binned
+    * equi-join on epoch days, never a nested-loop plan; residual containment
+    * re-checked on the raw dates. */
+  def q62DateRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val promos = s.range(28).select(
+      col("id").as("promo_id"),
+      date_add(to_date(lit("1992-01-01")), (col("id") * 91).cast("int"))
+        .as("lo_date"),
+      date_add(to_date(lit("1992-01-01")), ((col("id") + 1) * 91).cast("int"))
+        .as("hi_date"))
+    val points = t(s, dir, "lineitem")
+      .select(col("l_shipdate").cast("date").as("ship_date"), col("l_quantity"))
+    RangeJoin.binnedDates(points, "ship_date", promos, "lo_date", "hi_date",
+        binWidthDays = 91)
+      .groupBy("promo_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("promo_id")
+  }
+
+  val q62Sql: String =
+    """WITH promos AS (
+      |  SELECT i AS promo_id,
+      |    DATE '1992-01-01' + CAST(i * 91 AS INTEGER) AS lo_date,
+      |    DATE '1992-01-01' + CAST((i + 1) * 91 AS INTEGER) AS hi_date
+      |  FROM range(0, 28) r(i))
+      |SELECT promo_id, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN promos
+      |  ON CAST(l_shipdate AS DATE) >= lo_date AND CAST(l_shipdate AS DATE) < hi_date
+      |GROUP BY promo_id ORDER BY promo_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1315,7 +1476,12 @@ object ExtQueries {
     "q54_dedup_clusters" -> (q54DedupClusters _),
     "q55_window_suite" -> (q55WindowSuite _),
     "q56_levenshtein" -> (q56Levenshtein _),
-    "q57_correlated_subquery" -> (q57CorrelatedSubquery _))
+    "q57_correlated_subquery" -> (q57CorrelatedSubquery _),
+    "q58_decontaminate" -> (q58Decontaminate _),
+    "q59_unpivot" -> (q59Unpivot _),
+    "q60_pooled_centroids" -> (q60PooledCentroids _),
+    "q61_funnel" -> (q61Funnel _),
+    "q62_date_range_join" -> (q62DateRangeJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1361,7 +1527,12 @@ object ExtQueries {
     "q54_dedup_clusters" -> q54Sql,
     "q55_window_suite" -> q55Sql,
     "q56_levenshtein" -> q56Sql,
-    "q57_correlated_subquery" -> q57Sql)
+    "q57_correlated_subquery" -> q57Sql,
+    "q58_decontaminate" -> q58Sql,
+    "q59_unpivot" -> q59Sql,
+    "q60_pooled_centroids" -> q60Sql,
+    "q61_funnel" -> q61Sql,
+    "q62_date_range_join" -> q62Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

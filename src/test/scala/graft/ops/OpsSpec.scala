@@ -154,4 +154,40 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(out == Map(5L -> 2L, 2L -> 1L))
   }
+
+  test("decontamination: shared-shingle counts are exact, distinct, and skip clean docs") {
+    import spark.implicits._
+    val evalDocs = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      // shares shingles "the quick brown", "quick brown fox" (and repeats one)
+      (1L, "the quick brown fox the quick brown fox"),
+      // shares exactly one 3-gram: "brown fox jumps"
+      (2L, "a brown fox jumps away"),
+      // no shared 3-gram despite shared words
+      (3L, "the brown quick fox"),
+      // too short for any 3-gram
+      (4L, "the quick")).toDF("doc_id", "text")
+    val out = Dedup.shingleOverlap(train, evalDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares {the quick brown, quick brown fox} — the repeat counts
+    // once; doc 2 shares {brown fox jumps}; docs 3/4 are clean → absent
+    assert(out == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("pooled quantized centroids: integer means are exact per (group, component)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, -1.0)),
+      (2L, Seq(0.5, 0.25)),
+      (1L, Seq(0.0, 0.0))) // zero vector: scale 0 → qv all zeros
+      .toDF("vec_id", "v")
+    val out = Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // grp 0: ids 0,2 → qv = [127,-127] and [127,64] (scale 127/0.5=254;
+    //   0.25*254=63.5 → round half-up 64) → means [(127+127)/2, (-127+64)/2]
+    assert(out((0L, 1L)) == 127.0)
+    assert(out((0L, 2L)) == -31.5)
+    // grp 1: the zero vector alone → means 0
+    assert(out((1L, 1L)) == 0.0 && out((1L, 2L)) == 0.0)
+  }
 }

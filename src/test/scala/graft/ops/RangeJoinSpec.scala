@@ -33,6 +33,27 @@ class RangeJoinSpec extends SparkSpec {
       s"range join planned a nested loop:\n$plan")
   }
 
+  test("date-typed binned join ≡ naive date containment join, plan equi-only") {
+    import spark.implicits._
+    def d(days: Long) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(1995, 1, 1).plusDays(days))
+    val pts = (0L until 300L).map(i => (i, d(i * 5 % 731))).toDF("p_id", "pd")
+    val ivs = (0L until 10L).map(i => (i, d(i * 70), d(i * 70 + 95)))
+      .toDF("iv_id", "d_lo", "d_hi")
+    val naive = pts.join(ivs, col("pd") >= col("d_lo") && col("pd") < col("d_hi"))
+      .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty)
+    Seq(1L, 30L, 95L, 400L).foreach { w =>
+      val binned = RangeJoin.binnedDates(pts, "pd", ivs, "d_lo", "d_hi", w)
+        .select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"binWidthDays=$w diverges from naive date join")
+    }
+    val plan = RangeJoin.binnedDates(pts, "pd", ivs, "d_lo", "d_hi", 95L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"date range join planned a nested loop:\n$plan")
+  }
+
   test("seeded fuzz: random intervals/points/widths always equal the naive join") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260812L)

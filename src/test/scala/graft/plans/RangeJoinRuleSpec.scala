@@ -92,6 +92,51 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(RangeJoinRule.ConfKey)
   }
 
+  test("date-typed range join rewrites on epoch days and matches the naive result") {
+    import spark.implicits._
+    (0L until 400L).map(i => (i, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1992, 1, 1).plusDays(i * 7 % 997))))
+      .toDF("d_id", "d").createOrReplaceTempView("dpts")
+    (0L until 12L).map(i => (i,
+        java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i * 90)),
+        java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i * 90 + 130))))
+      .toDF("w_id", "d_lo", "d_hi").createOrReplaceTempView("divs")
+    val sql = "SELECT d_id, w_id FROM dpts JOIN divs ON d >= d_lo AND d < d_hi"
+    val naive = spark.sql(sql).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(RangeJoinRule.ConfKey, "90")
+    try {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__pbin") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"date rewrite did not fire:\n$plan")
+      val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rewritten == naive && naive.nonEmpty)
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+
+  test("mixed date/integral range pair does not rewrite") {
+    import spark.implicits._
+    (0L until 50L).map(i => (i, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1992, 1, 1).plusDays(i))))
+      .toDF("m_id", "md").createOrReplaceTempView("mpts")
+    (0L until 5L).map(i => (i, i * 10, i * 10 + 15)).toDF("n_id", "n_lo", "n_hi")
+      .createOrReplaceTempView("nivs")
+    spark.conf.set(RangeJoinRule.ConfKey, "10")
+    try {
+      // date point vs integral bounds never type-checks in SQL directly;
+      // assert the guard by planning the integral query against a date
+      // upper bound via unix_date on one side only — the rule must not bin
+      val plan = spark.sql(
+        """SELECT m_id, n_id FROM mpts JOIN nivs
+          |ON unix_date(md) >= n_lo AND unix_date(md) < n_hi""".stripMargin)
+        .queryExecution.executedPlan.toString
+      // unix_date(md) is an expression, not an attribute — conservative
+      // match skips it
+      assert(!plan.contains("__pbin"), s"must not bin non-attribute points:\n$plan")
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+
   test("extra conjuncts survive the rewrite as residual predicates") {
     fixtures()
     spark.conf.set(RangeJoinRule.ConfKey, "45")
