@@ -305,6 +305,90 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
+  /** Closed-form seed codebooks for product quantization — same
+    * engine-agnostic integer family as [[ivfCentroidArrays]], offset so PQ
+    * and IVF seeds decorrelate. Shape: m blocks × ks centroids × subDim. */
+  def pqSeedBooks(m: Int, ks: Int, subDim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map { b =>
+      (0 until ks).map { j =>
+        (0 until subDim).map { i =>
+          ((1103515245L * ((b * ks + j) * subDim + i + 7919L) + 12345L)
+            % 2001L - 1000L) / 1000.0
+        }
+      }
+    }
+
+  /** Lloyd-trained product-quantization codebooks: each of the `m`
+    * sub-blocks is k-means'd independently (min-L2 assignment via the
+    * codegen'd [[graft.functions.PqEncode]] — zero joins), with per-(block,
+    * code) means through the map-side-combined [[graft.functions.CentroidAgg]].
+    * One Spark job per iteration for ALL blocks at once; only m·ks·subDim
+    * doubles cross the driver per iteration. Empty codes keep their previous
+    * centroid. */
+  def pqTrain(vectors: DataFrame, m: Int = 8, ks: Int = 16, dim: Int = 64,
+      iters: Int = 3, vCol: String = "v"): Seq[Seq[Seq[Double]]] = {
+    import vectors.sparkSession.implicits._
+    val subDim = dim / m
+    require(m * subDim == dim, s"m=$m must divide dim=$dim")
+    var books = pqSeedBooks(m, ks, subDim)
+    var it = 0
+    while (it < iters) {
+      val assigned = vectors
+        .withColumn("__codes", graft.functions.PqEncode.of(col(vCol), books))
+        .select(posexplode(col("__codes")).as(Seq("b", "code")), col(vCol))
+        .select(col("b").cast("int").as("b"), col("code").cast("int").as("code"),
+          slice(col(vCol), col("b") * subDim + 1, lit(subDim))
+            .cast("array<double>").as("sv"))
+        .as[(Int, Int, Seq[Double])]
+      val means = assigned.groupByKey(t => (t._1, t._2)).mapValues(_._3)
+        .agg(new graft.functions.CentroidAgg(subDim).toColumn.name("c"))
+        .collect().toMap // m·ks rows — bounded, driver-side by design
+      books = books.zipWithIndex.map { case (book, b) =>
+        book.zipWithIndex.map { case (c, j) => means.getOrElse((b, j), c) }
+      }
+      it += 1
+    }
+    books
+  }
+
+  /** PQ top-k cosine (asymmetric distance): vectors are unit-normalized,
+    * PQ-encoded to `m` codes (m bytes at ks ≤ 256 — a 64× memory cut on a
+    * 64-dim double vector), and scored against each probe's per-block
+    * lookup table in `m` adds instead of `dim` multiplies
+    * ([[graft.functions.PqScore]]). The top `refineFactor·k` PQ candidates
+    * per probe are re-ranked by exact cosine — the standard
+    * short-list-then-refine recall repair. Probe side broadcasts; the scan
+    * side streams — at 100 TB the index pass reads codes only, never raw
+    * vectors (those join back just for the short list). */
+  def pqTopK(vectors: DataFrame, probeIds: Column, k: Int,
+      m: Int = 8, ks: Int = 16, dim: Int = 64, iters: Int = 3,
+      refineFactor: Int = 4): DataFrame = {
+    import graft.functions.{Dot, PqEncode, PqLut, PqScore}
+    val unit = Scale.ensureParallelism(vectors)
+      .withColumn("__nrm", sqrt(Dot.of(col("v"), col("v"))))
+      .filter(col("__nrm") > 0.0) // zero vectors have no cosine
+      .withColumn("vn", transform(col("v"), x => x / col("__nrm")))
+      .drop("__nrm")
+    val books = pqTrain(unit, m, ks, dim, iters, vCol = "vn")
+    val index = unit.select(col("vec_id"), col("vn"),
+      PqEncode.of(col("vn"), books).as("codes"))
+    val probes = index.filter(probeIds)
+      .select(col("vec_id").as("query_id"),
+        PqLut.of(col("vn"), books).as("lut"), col("vn").as("q"))
+    val wPq = Window.partitionBy("query_id")
+      .orderBy(col("pq_score").desc, col("vec_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    index.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("pq_score", PqScore.of(col("codes"), col("lut"), ks))
+      .withColumn("prn", row_number().over(wPq))
+      .filter(col("prn") <= k * refineFactor)
+      .withColumn("sim", round(Dot.of(col("q"), col("vn")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim", "rn")
+  }
+
   /** Near-duplicate vector pairs above a cosine threshold (brute pairwise).
     * O(n²) — correctness baseline for tests and small sets ONLY; use
     * [[bandedNearDupPairs]] for any real corpus. */
