@@ -389,6 +389,55 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rn")
   }
 
+  /** IVF+PQ top-k — the compounding 100 TB ANN shape: candidates come from
+    * an equi-join on the IVF cell (probes touch nprobe/nlist of the index,
+    * never a broadcast full scan), the scanned index carries only `m` PQ
+    * codes per vector (no raw embeddings in the shuffle), and the exact
+    * cosine refine joins the raw vectors back for just the
+    * `refineFactor·k` short list per probe. Every join is an equi-join.
+    *
+    * A candidate appears via at most one probed cell (index cells
+    * partition the vectors), so no dedup pass is needed. */
+  def ivfPqTopK(vectors: DataFrame, probeIds: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+      dim: Int = 64, iters: Int = 3, refineFactor: Int = 4): DataFrame = {
+    import graft.functions.{Dot, PqEncode, PqLut, PqScore}
+    val unit = Scale.ensureParallelism(vectors)
+      .withColumn("__nrm", sqrt(Dot.of(col("v"), col("v"))))
+      .filter(col("__nrm") > 0.0) // zero vectors have no cosine
+      .withColumn("vn", transform(col("v"), x => x / col("__nrm")))
+      .drop("__nrm")
+    val cents = ivfCentroidArrays(nlist, dim)
+    val books = pqTrain(unit, m, ks, dim, iters, vCol = "vn")
+    val index = assignCells(unit, cents, "vn", 1)
+      .withColumnRenamed("cid", "cell")
+      .select(col("vec_id"), col("cell"), col("vn"),
+        PqEncode.of(col("vn"), books).as("codes"))
+    val probeVecs = unit.filter(probeIds)
+      .select(col("vec_id").as("query_id"), col("vn").as("q"))
+    val probes = assignCells(probeVecs, cents, "q", nprobe)
+      .withColumnRenamed("cid", "cell")
+      .select(col("query_id"), col("cell"), PqLut.of(col("q"), books).as("lut"))
+    val wPq = Window.partitionBy("query_id")
+      .orderBy(col("pq_score").desc, col("vec_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val shortList = index.select("vec_id", "cell", "codes")
+      .join(probes, "cell") // candidate generation: codes-only equi-join
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("pq_score", PqScore.of(col("codes"), col("lut"), ks))
+      .withColumn("prn", row_number().over(wPq))
+      .filter(col("prn") <= k * refineFactor)
+      .select("query_id", "vec_id")
+    shortList
+      .join(index.select(col("vec_id"), col("vn")), "vec_id")
+      .join(probeVecs, "query_id")
+      .withColumn("sim", round(Dot.of(col("q"), col("vn")), 6))
+      .withColumn("rn", row_number().over(wExact))
+      .filter(col("rn") <= k)
+      .select("query_id", "vec_id", "sim", "rn")
+  }
+
   /** Near-duplicate vector pairs above a cosine threshold (brute pairwise).
     * O(n²) — correctness baseline for tests and small sets ONLY; use
     * [[bandedNearDupPairs]] for any real corpus. */

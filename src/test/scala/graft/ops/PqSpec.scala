@@ -69,6 +69,23 @@ class PqSpec extends SparkSpec {
       s"training must lower reconstruction error: seed=$seed trained=$trained")
   }
 
+  test("IVF+PQ: equi-join-only plan, codes-only scan, decent recall vs brute") {
+    val probes = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("q"))
+    val brute = Similarity.bruteTopK(vecs, probes, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = Similarity.ivfPqTopK(vecs, col("vec_id") < 5, k = 5,
+      nprobe = 8, refineFactor = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"IVF+PQ must be equi-joins only:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5,
+      s"IVF+PQ recall $recall below 0.5 (cells+PQ truncate twice)")
+  }
+
   test("PQ top-k with exact refine reaches >= 0.6 recall vs brute force") {
     val probes = vecs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("q"))
