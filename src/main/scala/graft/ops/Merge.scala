@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Upsert (SCD-1 merge) for immutable-file lakes: the MERGE-INTO shape
+  * rebuilt as pure relational ops — no transactional table format needed.
+  *
+  * `upsert(target, updates, keys)` keeps every target row whose key has no
+  * update (left anti join) and unions the updates in (updates win on key
+  * collision; brand-new keys insert). Two shuffles on the key — at 100 TB
+  * the anti join is the standard broadcast/shuffled-hash shape, and the
+  * rewrite only touches partitions holding updated keys when the target is
+  * bucketed by the key. Deduplicate `updates` first if several update rows
+  * can share a key (last-writer-wins needs an explicit ordering column —
+  * see [[dedupLatest]]).
+  */
+object Merge {
+
+  /** Updates replace target rows on key match; unmatched update rows
+    * insert. Column sets must match by name. */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val cols = target.columns.toSeq
+    target
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates.select(cols.map(col): _*))
+  }
+
+  /** Last-writer-wins collapse of an update stream: one row per key — the
+    * whole max-`versionCol` row survives as a unit (a single `max_by` over
+    * the payload struct, map-side combinable; a window row_number would
+    * fully sort each partition instead). Version ties are nondeterministic —
+    * pass a total version (e.g. a log offset). */
+  def dedupLatest(updates: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val nonKeys = updates.columns.filterNot(keys.contains).toSeq
+    updates.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(nonKeys.map(col): _*), col(versionCol)).as("__r"))
+      .select(keys.map(col) ++ nonKeys.map(c => col(s"__r.$c")): _*)
+      .select(updates.columns.toSeq.map(col): _*)
+  }
+}

@@ -1430,6 +1430,48 @@ object ExtQueries {
       |  ON CAST(l_shipdate AS DATE) >= lo_date AND CAST(l_shipdate AS DATE) < hi_date
       |GROUP BY promo_id ORDER BY promo_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q63
+  /** SCD-1 upsert ([[graft.ops.Merge.upsert]]): updated balances replace
+    * matching customers, synthetic new customers insert, everyone else
+    * survives — the MERGE-INTO shape as pure relational ops (anti join +
+    * union), verified through a per-segment rollup of the merged table. */
+  def q63Upsert(s: SparkSession, dir: String): DataFrame = {
+    val target = t(s, dir, "customer")
+    val updates = target.filter(col("c_custkey") % 10 === 0)
+      .select(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") + 1000).cast("double")
+          .as("c_acctbal"),
+        lit("UPSERTED").as("c_mktsegment"))
+    val inserts = target.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), lit("NEWSEG").as("c_mktsegment"))
+    graft.ops.Merge.upsert(target, updates.unionByName(inserts), Seq("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q63Sql: String =
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 1000 AS DOUBLE) AS c_acctbal,
+      |    'UPSERTED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, 'NEWSEG'
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |merged AS (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      |  UNION ALL
+      |  SELECT * FROM upd)
+      |SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1481,7 +1523,8 @@ object ExtQueries {
     "q59_unpivot" -> (q59Unpivot _),
     "q60_pooled_centroids" -> (q60PooledCentroids _),
     "q61_funnel" -> (q61Funnel _),
-    "q62_date_range_join" -> (q62DateRangeJoin _))
+    "q62_date_range_join" -> (q62DateRangeJoin _),
+    "q63_upsert" -> (q63Upsert _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1532,7 +1575,8 @@ object ExtQueries {
     "q59_unpivot" -> q59Sql,
     "q60_pooled_centroids" -> q60Sql,
     "q61_funnel" -> q61Sql,
-    "q62_date_range_join" -> q62Sql)
+    "q62_date_range_join" -> q62Sql,
+    "q63_upsert" -> q63Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MergeSpec extends SparkSpec {
+
+  test("upsert: updates replace on key, inserts add, untouched rows survive") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "bal")
+    val updates = Seq((2L, "b2", 99.0), (9L, "new", 1.0))
+      .toDF("id", "name", "bal")
+    val out = Merge.upsert(target, updates, Seq("id")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(out == Map(
+      1L -> ("a", 10.0), 2L -> ("b2", 99.0), 3L -> ("c", 30.0),
+      9L -> ("new", 1.0)))
+  }
+
+  test("upsert result has exactly one row per key even with a duplicate-free update set") {
+    import spark.implicits._
+    val target = (0L until 100L).map(i => (i, i.toString)).toDF("id", "v")
+    val updates = (0L until 100L by 5).map(i => (i, s"u$i")).toDF("id", "v")
+    val merged = Merge.upsert(target, updates, Seq("id"))
+    assert(merged.count() == 100)
+    assert(merged.groupBy("id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("dedupLatest: the whole max-version row survives as a unit") {
+    import spark.implicits._
+    val upd = Seq(
+      (1L, 1L, "old", 10.0),
+      (1L, 3L, "new", 30.0),
+      (1L, 2L, "mid", 20.0),
+      (2L, 7L, "only", 70.0))
+      .toDF("id", "ver", "name", "bal")
+    val out = Merge.dedupLatest(upd, Seq("id"), "ver").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3))))
+      .toMap
+    // name and bal come from the SAME row as the max version — no
+    // per-column mixing
+    assert(out == Map(1L -> (3L, "new", 30.0), 2L -> (7L, "only", 70.0)))
+  }
+
+  test("upsert plans as anti join + union — no nested loop, aggregate-free") {
+    import spark.implicits._
+    val target = (0L until 100L).map(i => (i, i.toString)).toDF("id", "v")
+    val updates = (0L until 10L).map(i => (i, s"u$i")).toDF("id", "v")
+    val plan = Merge.upsert(target, updates, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("Union"),
+      s"expected anti join + union:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested loop in upsert:\n$plan")
+  }
+}
