@@ -9,6 +9,33 @@ import org.apache.spark.sql.functions._
   * per-group cardinalities, group for group. */
 class ApproxBoundsSpec extends SparkSpec {
 
+  test("percentile_approx within its rank-error bound of the exact percentile") {
+    // approx_percentile(accuracy=a) guarantees a rank error ≤ n/a: the
+    // returned value's true rank is within n/10000 of the target rank.
+    // Verify against exact sorted ranks per quantile on lineitem prices.
+    val accuracy = 10000
+    val prices = graft.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val n = prices.count()
+    val sorted = prices.orderBy("x").collect().map(_.getDouble(0))
+    Seq(0.1, 0.5, 0.9, 0.99).foreach { q =>
+      val approx = prices
+        .agg(percentile_approx(col("x"), lit(q), lit(accuracy)).as("p"))
+        .collect().head.getDouble(0)
+      // true rank of the returned value (first index with sorted(i) >= approx)
+      val rank = sorted.indexWhere(_ >= approx) match {
+        case -1 => n - 1
+        case i => i.toLong
+      }
+      val target = (q * n).toLong
+      // bound: the documented n/accuracy rank error plus a few rows of
+      // discretization slack from the indexWhere rounding
+      val rankErr = math.abs(rank - target).toDouble / n
+      assert(rankErr <= 1.0 / accuracy + 5.0 / n,
+        s"q=$q: approx=$approx rank=$rank target=$target rankErr=$rankErr")
+    }
+  }
+
   test("q28 approx_count_distinct within 2·rsd of exact per event_type") {
     val rsd = 0.02
     val approx = ExtQueries.q28ApproxDistinct(spark, sfDir)
