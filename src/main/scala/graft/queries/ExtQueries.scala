@@ -1472,6 +1472,76 @@ object ExtQueries {
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM merged GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- Q64
+  /** Value-based (RANGE) window frames: rolling 7-day order totals per
+    * priority — the time-sliding complement of q14's ROWS frame. RANGE
+    * frames include all value ties, so the result is deterministic without
+    * a within-day tiebreak; sums are decimal-exact. */
+  def q64RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("day")
+      .rangeBetween(-6, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .withColumn("day", unix_date(col("o_orderdate").cast("date")))
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("day"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rolling_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_orderpriority", "day", "o_orderkey")
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderpriority, o_orderkey, day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_7d,
+      |  COUNT(*) OVER w AS n_7d
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day
+      |      FROM orders WHERE o_orderkey % 20 = 0)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, day, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- Q65
+  /** Z-order (Morton) clustering keys ([[graft.ops.Layout.mortonKey]]):
+    * interleaved-bit sort keys over (part, supplier) so 2-D range
+    * predicates prune row groups after a single-key sort — closed-form long
+    * bit arithmetic, reproduced bit-for-bit by the oracle. */
+  def q65ZOrder(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Layout
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"),
+        (col("l_partkey") % 1048576L).as("a"),
+        (col("l_suppkey") % 1048576L).as("b"))
+      .withColumn("zkey", Layout.mortonKey(col("a"), col("b")))
+      .orderBy("zkey", "l_orderkey", "a", "b")
+  }
+
+  val q65Sql: String =
+    """WITH src AS (
+      |  SELECT l_orderkey, l_partkey % 1048576 AS a, l_suppkey % 1048576 AS b
+      |  FROM lineitem WHERE l_orderkey % 500 = 0),
+      |s0 AS (SELECT l_orderkey, a, b,
+      |  a & 4294967295 AS xa, b & 4294967295 AS xb FROM src),
+      |s1 AS (SELECT l_orderkey, a, b,
+      |  (xa | (xa << 16)) & 281470681808895 AS xa,
+      |  (xb | (xb << 16)) & 281470681808895 AS xb FROM s0),
+      |s2 AS (SELECT l_orderkey, a, b,
+      |  (xa | (xa << 8)) & 71777214294589695 AS xa,
+      |  (xb | (xb << 8)) & 71777214294589695 AS xb FROM s1),
+      |s3 AS (SELECT l_orderkey, a, b,
+      |  (xa | (xa << 4)) & 1085102592571150095 AS xa,
+      |  (xb | (xb << 4)) & 1085102592571150095 AS xb FROM s2),
+      |s4 AS (SELECT l_orderkey, a, b,
+      |  (xa | (xa << 2)) & 3689348814741910323 AS xa,
+      |  (xb | (xb << 2)) & 3689348814741910323 AS xb FROM s3),
+      |s5 AS (SELECT l_orderkey, a, b,
+      |  (xa | (xa << 1)) & 6148914691236517205 AS xa,
+      |  (xb | (xb << 1)) & 6148914691236517205 AS xb FROM s4)
+      |SELECT l_orderkey, a, b, xa | (xb << 1) AS zkey
+      |FROM s5 ORDER BY zkey, l_orderkey, a, b""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1524,7 +1594,9 @@ object ExtQueries {
     "q60_pooled_centroids" -> (q60PooledCentroids _),
     "q61_funnel" -> (q61Funnel _),
     "q62_date_range_join" -> (q62DateRangeJoin _),
-    "q63_upsert" -> (q63Upsert _))
+    "q63_upsert" -> (q63Upsert _),
+    "q64_rolling_window" -> (q64RollingWindow _),
+    "q65_zorder" -> (q65ZOrder _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1576,7 +1648,9 @@ object ExtQueries {
     "q60_pooled_centroids" -> q60Sql,
     "q61_funnel" -> q61Sql,
     "q62_date_range_join" -> q62Sql,
-    "q63_upsert" -> q63Sql)
+    "q63_upsert" -> q63Sql,
+    "q64_rolling_window" -> q64Sql,
+    "q65_zorder" -> q65Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
