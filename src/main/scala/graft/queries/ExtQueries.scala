@@ -1542,6 +1542,79 @@ object ExtQueries {
       |SELECT l_orderkey, a, b, xa | (xb << 1) AS zkey
       |FROM s5 ORDER BY zkey, l_orderkey, a, b""".stripMargin
 
+  // ---------------------------------------------------------------- Q66
+  /** Semi-structured shredding via Spark 4's VARIANT type: `parse_json`
+    * once, then typed `variant_get` extraction — the modern engine-native
+    * path for heterogeneous JSON at scale (binary variant encoding, no
+    * per-access re-parse, missing paths → NULL not error). Values verified
+    * against the oracle's JSON extraction. */
+  def q66Variant(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("variant_get(v, '$.missing', 'long')").as("miss"))
+      .groupBy("event_type")
+      .agg(
+        sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_k"),
+        count(col("miss")).as("n_missing"))
+      .orderBy("event_type")
+
+  val q66Sql: String =
+    """SELECT event_type,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  COUNT(k) AS n_k,
+      |  CAST(0 AS BIGINT) AS n_missing
+      |FROM (SELECT event_type,
+      |        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- Q67
+  /** Jaro-Winkler fuzzy matching over the q56 min-shingle block — the
+    * similarity-ratio complement to levenshtein's edit counts, as a native
+    * codegen'd expression ([[graft.functions.JaroWinkler]]) fuzz-verified
+    * against the oracle engine's own implementation. Equi-join candidates
+    * only, never all-pairs. */
+  def q67JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val docs = augDocs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("minh",
+        array_min(graft.functions.NgramHashes.of(col("toks"), 3)))
+      .select(col("doc_id"), col("text"), col("minh"))
+    val par = s.sparkContext.defaultParallelism
+    val a = docs.select(col("minh"), col("doc_id").as("doc_a"),
+      col("text").as("text_a")).repartition(par)
+    val b = docs.select(col("minh"), col("doc_id").as("doc_b"),
+      col("text").as("text_b"))
+    a.join(b, Seq("minh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jw",
+        round(graft.functions.JaroWinkler.of(col("text_a"), col("text_b")), 6))
+      .filter(col("jw") >= 0.9)
+      .select("doc_a", "doc_b", "jw")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q67Sql: String =
+    s"""WITH $augDocsSql,
+      |d AS (
+      |  SELECT doc_id, text,
+      |    list_min(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS minh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM aug)
+      |  WHERE len(t) >= 3)
+      |SELECT doc_a, doc_b, jw FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    ROUND(jaro_winkler_similarity(a.text, b.text), 6) AS jw
+      |  FROM d a JOIN d b ON a.minh = b.minh AND a.doc_id < b.doc_id)
+      |WHERE jw >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1596,7 +1669,9 @@ object ExtQueries {
     "q62_date_range_join" -> (q62DateRangeJoin _),
     "q63_upsert" -> (q63Upsert _),
     "q64_rolling_window" -> (q64RollingWindow _),
-    "q65_zorder" -> (q65ZOrder _))
+    "q65_zorder" -> (q65ZOrder _),
+    "q66_variant" -> (q66Variant _),
+    "q67_jaro_winkler" -> (q67JaroWinkler _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1650,7 +1725,9 @@ object ExtQueries {
     "q62_date_range_join" -> q62Sql,
     "q63_upsert" -> q63Sql,
     "q64_rolling_window" -> q64Sql,
-    "q65_zorder" -> q65Sql)
+    "q65_zorder" -> q65Sql,
+    "q66_variant" -> q66Sql,
+    "q67_jaro_winkler" -> q67Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
