@@ -94,7 +94,12 @@ object GraftExtensions {
     ("simhash32",
       info("simhash32",
         "simhash32(token_hashes) - 32-bit SimHash over array<bigint>"),
-      (args: Seq[Expression]) => SimHash32(arity("simhash32", 1, args).head)))
+      (args: Seq[Expression]) => SimHash32(arity("simhash32", 1, args).head)),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible conventions)"),
+      (args: Seq[Expression]) => { arity("jaro_winkler", 2, args)
+        JaroWinkler(args(0), args(1)) }))
 
   /** Imperative registration on an existing session (same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

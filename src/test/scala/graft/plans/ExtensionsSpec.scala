@@ -14,7 +14,8 @@ class ExtensionsSpec extends SparkSpec {
         |  h60('hello') AS h,
         |  minhash_sig(ngram_hashes(array('a','b','c','d'), 3), 4) AS sig,
         |  ngram_hashes(array('a','b','c','d'), 3) AS ng,
-        |  lsh_bucket(array_repeat(1.0d, 64), 8, 64) AS bkt
+        |  lsh_bucket(array_repeat(1.0d, 64), 8, 64) AS bkt,
+        |  jaro_winkler('martha', 'marhta') AS jw
         |""".stripMargin).collect()(0)
     assert(r.getFloat(0) == 8.99f)
     assert(r.getDouble(1) == 1.0)
@@ -24,6 +25,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getSeq[Long](4).length == 4)
     assert(r.getSeq[Long](5).length == 2)
     assert(r.getLong(6) >= 0 && r.getLong(6) < 256)
+    assert(math.abs(r.getDouble(7) - 0.9611111111111111) < 1e-12)
   }
 
   test("h60 SQL function matches the declarative conv/md5 composition") {
