@@ -12,7 +12,8 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("q1_filter_project", "q3_join_revenue", "q6_pivot", "q8_sort_limit",
         "q18_embed_neardup", "q45_range_join", "q48_repetition", "q50_quantized_topk",
-        "q52_tfidf", "q15_minhash_lsh", "q17_ngram_jaccard", "q13_sessionize")
+        "q52_tfidf", "q15_minhash_lsh", "q17_ngram_jaccard", "q13_sessionize",
+        "q58_decontaminate", "q62_date_range_join", "q63_upsert", "q64_rolling_window")
     for (name <- names) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString

@@ -1615,6 +1615,26 @@ object ExtQueries {
       |WHERE jw >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- Q68
+  /** Conditional-aggregate surface: count_if / bool_and / bool_or — the
+    * predicate aggregates shared verbatim by both engines (deterministic:
+    * no value selection, only predicate folds). */
+  def q68ConditionalAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count_if(col("value") > 50.0).as("n_high"),
+        bool_and(col("value").isNotNull).as("all_valued"),
+        bool_or(col("value") > 99.0).as("any_extreme"))
+      .orderBy("event_type")
+
+  val q68Sql: String =
+    """SELECT event_type,
+      |  CAST(count_if(value > 50.0) AS BIGINT) AS n_high,
+      |  bool_and(value IS NOT NULL) AS all_valued,
+      |  bool_or(value > 99.0) AS any_extreme
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1671,7 +1691,8 @@ object ExtQueries {
     "q64_rolling_window" -> (q64RollingWindow _),
     "q65_zorder" -> (q65ZOrder _),
     "q66_variant" -> (q66Variant _),
-    "q67_jaro_winkler" -> (q67JaroWinkler _))
+    "q67_jaro_winkler" -> (q67JaroWinkler _),
+    "q68_conditional_aggs" -> (q68ConditionalAggs _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1727,7 +1748,8 @@ object ExtQueries {
     "q64_rolling_window" -> q64Sql,
     "q65_zorder" -> q65Sql,
     "q66_variant" -> q66Sql,
-    "q67_jaro_winkler" -> q67Sql)
+    "q67_jaro_winkler" -> q67Sql,
+    "q68_conditional_aggs" -> q68Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
