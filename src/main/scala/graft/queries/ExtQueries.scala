@@ -1635,6 +1635,34 @@ object ExtQueries {
       |  bool_or(value > 99.0) AS any_extreme
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q69
+  /** Correlated LATERAL join: top-1 order per customer via an ORDER BY +
+    * LIMIT subquery referencing the outer row — Catalyst de-correlates the
+    * lateral into a ranked join (no per-row subquery execution), the same
+    * rewrite family as q57's scalar subqueries. */
+  def q69Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1)
+        |WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q69Sql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) ON true
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1692,7 +1720,8 @@ object ExtQueries {
     "q65_zorder" -> (q65ZOrder _),
     "q66_variant" -> (q66Variant _),
     "q67_jaro_winkler" -> (q67JaroWinkler _),
-    "q68_conditional_aggs" -> (q68ConditionalAggs _))
+    "q68_conditional_aggs" -> (q68ConditionalAggs _),
+    "q69_lateral" -> (q69Lateral _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1749,7 +1778,8 @@ object ExtQueries {
     "q65_zorder" -> q65Sql,
     "q66_variant" -> q66Sql,
     "q67_jaro_winkler" -> q67Sql,
-    "q68_conditional_aggs" -> q68Sql)
+    "q68_conditional_aggs" -> q68Sql,
+    "q69_lateral" -> q69Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
