@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gate (expectations-style) for ingest pipelines:
+  * each rule is a boolean predicate GOOD rows satisfy; the audit reports
+  * `(rule, n_rows, n_violations)` per rule.
+  *
+  * Scale shape: ALL rules are evaluated in one scan and one aggregate
+  * (`count_if` per rule inside a single `agg`), never one pass per rule;
+  * the rule-per-row unpivot happens on the one-row aggregate result, so
+  * the output is O(#rules) regardless of input size. A NULL predicate
+  * result counts as a violation (unknown is not good).
+  */
+object Audit {
+
+  /** One row per rule, ordered by rule name: (rule, n_rows, n_violations).
+    * `rules` maps rule name → predicate that good rows satisfy. */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "rule names must be [A-Za-z0-9_]+ (they become column names)")
+    val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
+      count_if(!coalesce(pred, lit(false))).as(s"__v_$name")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.map { case (name, _) => s"'$name', __v_$name" }
+    one
+      .selectExpr(
+        s"stack(${rules.size}, ${stackArgs.mkString(", ")}) AS (rule, n_violations)",
+        "__n AS n_rows")
+      .select("rule", "n_rows", "n_violations")
+      .orderBy("rule")
+  }
+}

@@ -85,6 +85,45 @@ object TextStats {
       .select("doc_id", "fp_min", "fp_max", "fp_xor")
   }
 
+  /** BM25 (Okapi, Lucene-style idf) top-k retrieval for a bag of query
+    * terms: `score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, rounded to 6dp before
+    * ranking (ties → doc_id) so rankings are engine-stable.
+    *
+    * Scale shape: the per-(doc, term) shuffle carries only rows matching
+    * the query terms (the explode is filtered before the groupBy); df is a
+    * ≤|terms|-row broadcast; N and avgdl travel as one broadcast scalar
+    * row; the doc-length join is keyed by doc_id and feeds the final
+    * per-doc aggregation on the same key (one exchange, reused); top-k is
+    * TakeOrderedAndProject, never a full sort. */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k1: Double,
+      b: Double,
+      k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = TextOps.tokens(col("text"))
+    val dl = docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .filter(col("tok").isin(queryTerms.map(lit(_)): _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") + lit(k1) *
+      (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * col("tf") * lit(k1 + 1) / norm), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
     * ln(N/df) over the corpus, score rounded to 6dp before ranking (ties →
     * lexicographic term) so rankings are engine-stable. Two shuffles — the

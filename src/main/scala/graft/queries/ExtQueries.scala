@@ -1663,6 +1663,249 @@ object ExtQueries {
       |WHERE c_custkey % 10 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q70
+  /** BM25 keyword retrieval ([[TextStats.bm25TopK]]) — the ranking half of
+    * a corpus search engine: Lucene-style idf, length-normalized tf,
+    * top-20 by rounded score. df and N/avgdl are tiny corpus aggregates
+    * that travel as broadcasts; the (doc, term) shuffle only carries rows
+    * that match the query terms. */
+  def q70Bm25(s: SparkSession, dir: String): DataFrame =
+    TextStats.bm25TopK(t(s, dir, "documents"),
+      Seq("vector", "stream", "hash"), k1 = 1.2, b = 0.75, k = 20)
+
+  val q70Sql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IN ('vector', 'stream', 'hash') GROUP BY doc_id, tok),
+      |dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |scored AS (
+      |  SELECT tf.doc_id AS doc_id,
+      |    CAST(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |        * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) AS DOUBLE) AS s
+      |  FROM tf
+      |  JOIN dfreq ON tf.tok = dfreq.tok
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, ROUND(s, 6) AS score FROM scored
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- Q71
+  /** Daily purchase series per user, gap-filled onto the dense day grid
+    * with forward fill ([[graft.ops.TimeSeries.gapFillDaily]]): grid days
+    * are generated per key (no global date dimension), the fill is one
+    * running-frame window pass. Counts stay integer-exact. */
+  def q71GapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id") % 10 === 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.ops.TimeSeries.gapFillDaily(daily, "user_id", "day", "n")
+      .orderBy("user_id", "day")
+  }
+
+  val q71Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 10 = 0
+      |  GROUP BY user_id, CAST(ts AS DATE)),
+      |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT g.user_id AS user_id, g.day AS day,
+      |  last_value(d.n IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+      |  d.n IS NOT NULL AS observed
+      |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY user_id, day""".stripMargin
+
+  // ---------------------------------------------------------------- Q72
+  /** Data-quality constraint audit ([[graft.ops.Audit.check]]): five
+    * declared expectations over lineitem evaluated in ONE scan + ONE
+    * aggregate (a `count_if` per rule), unpivoted to a rule-per-row report
+    * on the 1-row result. Two rules genuinely fire at every SF. */
+  def q72Audit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.check(t(s, dir, "lineitem"), Seq(
+      "discount_range" -> col("l_discount").between(0.0, 0.1),
+      "qty_le_40" -> (col("l_quantity") <= 40.0),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+      "tax_le_0_06" -> (col("l_tax") <= 0.06),
+      "price_positive" -> (col("l_extendedprice") > 0.0)))
+
+  val q72Sql: String =
+    """WITH a AS (SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(count_if(NOT COALESCE(l_discount BETWEEN 0.0 AND 0.1, FALSE)) AS BIGINT) AS v_discount_range,
+      |  CAST(count_if(NOT COALESCE(l_quantity <= 40.0, FALSE)) AS BIGINT) AS v_qty_le_40,
+      |  CAST(count_if(NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS BIGINT) AS v_returnflag_domain,
+      |  CAST(count_if(NOT COALESCE(l_tax <= 0.06, FALSE)) AS BIGINT) AS v_tax_le_0_06,
+      |  CAST(count_if(NOT COALESCE(l_extendedprice > 0.0, FALSE)) AS BIGINT) AS v_price_positive
+      |  FROM lineitem)
+      |SELECT rule, n_rows, n_violations FROM (
+      |  SELECT 'discount_range' AS rule, n_rows, v_discount_range AS n_violations FROM a
+      |  UNION ALL SELECT 'qty_le_40', n_rows, v_qty_le_40 FROM a
+      |  UNION ALL SELECT 'returnflag_domain', n_rows, v_returnflag_domain FROM a
+      |  UNION ALL SELECT 'tax_le_0_06', n_rows, v_tax_le_0_06 FROM a
+      |  UNION ALL SELECT 'price_positive', n_rows, v_price_positive FROM a)
+      |ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------- Q73
+  /** Least-squares regression + r² per group, the q39 way: the five moment
+    * sums are exact DECIMAL aggregates (order-independent, engine-exact),
+    * cast to DOUBLE once, and the closed-form slope/intercept/r² is the
+    * SAME double expression in both engines — no reliance on either
+    * engine's internal `regr_*` accumulation order. `RegrSpec` pins
+    * Spark's native regr_slope/regr_r2/corr to this closed form. */
+  def q73Regression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .withColumn("slope_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("slope", round(col("slope_raw"), 6))
+      .withColumn("intercept",
+        round((col("sy") - col("slope_raw") * col("sx")) / col("n"), 6))
+      .withColumn("r2", round(
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6))
+      .select("l_returnflag", "slope", "intercept", "r2")
+      .orderBy("l_returnflag")
+  }
+
+  val q73Sql: String =
+    """SELECT l_returnflag,
+      |  ROUND(slope_raw, 6) AS slope,
+      |  ROUND((sy - slope_raw * sx) / n, 6) AS intercept,
+      |  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+      |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM (
+      |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(COUNT(*) AS DOUBLE) AS n,
+      |      CAST(SUM(x) AS DOUBLE) AS sx,
+      |      CAST(SUM(y) AS DOUBLE) AS sy,
+      |      CAST(SUM(x * y) AS DOUBLE) AS sxy,
+      |      CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |      CAST(SUM(y * y) AS DOUBLE) AS syy
+      |    FROM (
+      |      SELECT l_returnflag,
+      |        CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |        CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |      FROM lineitem)
+      |    GROUP BY l_returnflag))
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- Q74
+  /** Equi-width histogram in exact integer cents: 12 bins of 5,000.00 over
+    * l_extendedprice, binned with non-negative integer DIV (≡ DuckDB `//`)
+    * so bin edges are engine-exact — no float division anywhere. Per-row
+    * then one groupBy; the natural building block for driver-free
+    * distribution profiling at any scale. */
+  def q74Histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("bigint")
+    t(s, dir, "lineitem")
+      .select(least(cents.divide(500000L).cast("bigint"), lit(11L)).as("bin"),
+        cents.as("cents"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("bin")
+  }
+
+  val q74Sql: String =
+    """SELECT LEAST(cents // 500000, 11) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM lineitem)
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- Q75
+  /** Exact median + sorted-distinct string aggregation per group: median
+    * interpolates identically over doubles in both engines; the string agg
+    * is made deterministic by sorting the DISTINCT set before joining
+    * (`concat_ws∘array_sort∘collect_set` ≡ `string_agg(DISTINCT … ORDER
+    * BY …)`). */
+  def q75MedianAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(
+        median(col("l_quantity")).as("med_qty"),
+        concat_ws(",", array_sort(collect_set(col("l_returnflag"))))
+          .as("flags"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
+  val q75Sql: String =
+    """SELECT l_linestatus,
+      |  median(l_quantity) AS med_qty,
+      |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- Q76
+  /** Inverted-index postings: per term, document frequency + the first 20
+    * postings of the sorted distinct doc list — the build side of keyword
+    * search (q70 is the scoring side). One shuffle keyed by term; posting
+    * lists stay bounded in the result via slice. */
+  def q76InvertedIndex(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin("vector", "spark", "slow"))
+      .groupBy("tok")
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        slice(array_sort(collect_set(col("doc_id"))), 1, 20).as("postings"))
+      .orderBy("tok")
+
+  val q76Sql: String =
+    """SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  (list_sort(list(DISTINCT doc_id)))[1:20] AS postings
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok IN ('vector', 'spark', 'slow')
+      |GROUP BY tok ORDER BY tok""".stripMargin
+
+  // ---------------------------------------------------------------- Q77
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) per group — set-union /
+    * intersection / parity folds over id bitmasks, the poor man's bitmap
+    * index. Pure BIGINT→BIGINT (no widening trap), order-independent by
+    * construction. */
+  def q77BitAggs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        expr("bit_or(user_id)").as("or_uid"),
+        expr("bit_and(user_id)").as("and_uid"),
+        expr("bit_xor(user_id)").as("xor_uid"))
+      .orderBy("event_type")
+
+  val q77Sql: String =
+    """SELECT event_type,
+      |  bit_or(user_id) AS or_uid,
+      |  bit_and(user_id) AS and_uid,
+      |  bit_xor(user_id) AS xor_uid
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1721,7 +1964,15 @@ object ExtQueries {
     "q66_variant" -> (q66Variant _),
     "q67_jaro_winkler" -> (q67JaroWinkler _),
     "q68_conditional_aggs" -> (q68ConditionalAggs _),
-    "q69_lateral" -> (q69Lateral _))
+    "q69_lateral" -> (q69Lateral _),
+    "q70_bm25" -> (q70Bm25 _),
+    "q71_gap_fill" -> (q71GapFill _),
+    "q72_audit" -> (q72Audit _),
+    "q73_regression" -> (q73Regression _),
+    "q74_histogram" -> (q74Histogram _),
+    "q75_median_agg" -> (q75MedianAgg _),
+    "q76_inverted_index" -> (q76InvertedIndex _),
+    "q77_bit_aggs" -> (q77BitAggs _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -1779,7 +2030,15 @@ object ExtQueries {
     "q66_variant" -> q66Sql,
     "q67_jaro_winkler" -> q67Sql,
     "q68_conditional_aggs" -> q68Sql,
-    "q69_lateral" -> q69Sql)
+    "q69_lateral" -> q69Sql,
+    "q70_bm25" -> q70Sql,
+    "q71_gap_fill" -> q71Sql,
+    "q72_audit" -> q72Sql,
+    "q73_regression" -> q73Sql,
+    "q74_histogram" -> q74Sql,
+    "q75_median_agg" -> q75Sql,
+    "q76_inverted_index" -> q76Sql,
+    "q77_bit_aggs" -> q77Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

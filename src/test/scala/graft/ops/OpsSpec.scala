@@ -190,4 +190,57 @@ class OpsSpec extends SparkSpec {
     // grp 1: the zero vector alone → means 0
     assert(out((1L, 1L)) == 0.0 && out((1L, 2L)) == 0.0)
   }
+
+  test("native regr_slope/regr_r2/corr agree with q73's exact-decimal closed form") {
+    val closed = ExtQueries.q73Regression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    val native = graft.Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("regr_slope(l_extendedprice, l_quantity)").as("sl"),
+        expr("regr_r2(l_extendedprice, l_quantity)").as("r2"),
+        expr("corr(l_extendedprice, l_quantity)").as("c"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(native.nonEmpty)
+    native.foreach { case (k, (sl, r2, c)) =>
+      assert(math.abs(sl - closed(k)._1) < 1e-6, s"slope mismatch for $k")
+      assert(math.abs(r2 - closed(k)._2) < 1e-6, s"r2 mismatch for $k")
+      assert(math.abs(c * c - closed(k)._2) < 1e-6, s"corr² mismatch for $k")
+    }
+  }
+
+  test("gap fill: dense grid per key, forward-filled values, observed flags") {
+    import spark.implicits._
+    import java.sql.Date
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), 5L),
+      (1L, Date.valueOf("2024-01-04"), 7L),
+      (2L, Date.valueOf("2024-02-10"), 1L)).toDF("k", "day", "n")
+    val out = TimeSeries.gapFillDaily(daily, "k", "day", "n")
+      .orderBy("k", "day").collect()
+    assert(out.length == 5) // k=1 spans 4 days, k=2 spans 1
+    val k1 = out.filter(_.getLong(0) == 1L)
+    assert(k1.map(_.getLong(2)).toSeq == Seq(5L, 5L, 5L, 7L))
+    assert(k1.map(_.getBoolean(3)).toSeq == Seq(true, false, false, true))
+  }
+
+  test("bm25: scores match the closed-form formula; non-matching docs drop out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x x y"),
+      (2L, "x z z z"),
+      (3L, "w w w")).toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(docs, Seq("x"), k1 = 1.2, b = 0.75, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // N=3, df(x)=2, avgdl=10/3; idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.6)
+    def score(tf: Double, dl: Double): Double = {
+      val s = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (10.0 / 3)))
+      math.round(s * 1e6) / 1e6
+    }
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // d3 has no query term
+    assert(math.abs(out(0)._2 - score(2, 3)) < 1e-9)
+    assert(math.abs(out(1)._2 - score(1, 4)) < 1e-9)
+  }
 }
