@@ -29,6 +29,63 @@ class LayoutSpec extends SparkSpec {
     assert(df.filter(col("z") < 0).count() == 0)
   }
 
+  test("3-D and 4-D morton keys round-trip and interleave disjoint bit lanes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val triples = Seq.fill(300)(
+      (rnd.nextLong(1L << 21), rnd.nextLong(1L << 21), rnd.nextLong(1L << 21)))
+    val df3 = triples.toDF("a", "b", "c")
+      .withColumn("z", Layout.mortonKey3(col("a"), col("b"), col("c")))
+    val (ra, rb, rc) = Layout.mortonDecode3(col("z"))
+    assert(df3.filter(col("a") =!= ra || col("b") =!= rb || col("c") =!= rc)
+      .count() == 0)
+    // hand value: a=1,b=0,c=0 → z=1; a=0,b=1 → z=2; a=0,b=0,c=1 → z=4
+    val h = Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (1L, 1L, 1L))
+      .toDF("a", "b", "c")
+      .select(Layout.mortonKey3(col("a"), col("b"), col("c")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(h == Seq(1L, 2L, 4L, 7L))
+
+    val quads = Seq.fill(300)((rnd.nextLong(1L << 16), rnd.nextLong(1L << 16),
+      rnd.nextLong(1L << 16), rnd.nextLong(1L << 16)))
+    val df4 = quads.toDF("a", "b", "c", "d")
+      .withColumn("z", Layout.mortonKey4(col("a"), col("b"), col("c"), col("d")))
+    val (qa, qb, qc, qd) = Layout.mortonDecode4(col("z"))
+    assert(df4.filter(
+      col("a") =!= qa || col("b") =!= qb || col("c") =!= qc || col("d") =!= qd)
+      .count() == 0)
+  }
+
+  test("z-order clustered files prune a 2-D box predicate; shuffled files do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // 256x256 grid, one point per cell
+    val pts = spark.range(1L << 16).select(
+      (col("id") % 256).as("x"),
+      expr("id DIV 256").as("y"),
+      col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    Layout.writeClustered(pts, "x", "y", numFiles = 16, s"$base/clustered")
+    pts.repartition(16).write.mode("overwrite").parquet(s"$base/shuffled")
+
+    def scanDecodedRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("x") < 32 && col("y") < 32)
+      assert(df.collect().length == 32 * 32)
+      val scans = df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, "expected a FileSourceScanExec leaf")
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val clustered = scanDecodedRows(s"$base/clustered")
+    val shuffled = scanDecodedRows(s"$base/shuffled")
+    // clustered: the 1024-cell box lives in one narrow z-range file whose
+    // row-group stats admit it; every other file's x- or y-stats exclude it.
+    // shuffled: every file spans the full (x, y) range → nothing prunes.
+    assert(clustered <= 8192, s"clustered scan decoded $clustered rows")
+    assert(shuffled >= 60000, s"shuffled scan should decode ~all rows, got $shuffled")
+  }
+
   test("range-partitioning by zkey gives disjoint per-partition key ranges") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
