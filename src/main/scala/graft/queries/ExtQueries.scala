@@ -1906,6 +1906,76 @@ object ExtQueries {
       |  bit_xor(user_id) AS xor_uid
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q78
+  /** Weekly retention cohorts: cohort = a user's first active week
+    * (Monday-truncated, identical in both engines), retention cell =
+    * distinct users of that cohort active `wk_off` weeks later. Two
+    * shuffles (distinct user-weeks, then the cohort cell counts); week
+    * offsets are exact integer day arithmetic, never float. */
+  def q78Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val fw = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    ev.join(fw, "user_id")
+      .select(col("cohort_wk"),
+        expr("datediff(wk, cohort_wk) DIV 7").as("wk_off"),
+        col("user_id"))
+      .groupBy("cohort_wk", "wk_off")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_wk", "wk_off")
+  }
+
+  val q78Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+      |SELECT cohort_wk, (ev.wk - fw.cohort_wk) // 7 AS wk_off,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active
+      |FROM ev JOIN fw ON ev.user_id = fw.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_wk, wk_off""".stripMargin
+
+  // ---------------------------------------------------------------- Q79
+  /** Multi-touch attribution: for every purchase, the count of the same
+    * user's clicks in the preceding 3 days via a microsecond RANGE frame
+    * (one window pass per user — no per-purchase subquery, no range join),
+    * rolled up per user. Exact integer end to end. */
+  def q79Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-3L * 86400L * 1000000L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("clicks_3d",
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count_if(col("clicks_3d") > 0).as("n_attributed"),
+        sum(col("clicks_3d")).as("touches"))
+      .orderBy("user_id")
+  }
+
+  val q79Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+      |win AS (
+      |  SELECT user_id, event_type,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY us
+      |      RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS clicks_3d
+      |  FROM ev)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(count_if(clicks_3d > 0) AS BIGINT) AS n_attributed,
+      |  CAST(SUM(clicks_3d) AS BIGINT) AS touches
+      |FROM win WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -1972,7 +2042,9 @@ object ExtQueries {
     "q74_histogram" -> (q74Histogram _),
     "q75_median_agg" -> (q75MedianAgg _),
     "q76_inverted_index" -> (q76InvertedIndex _),
-    "q77_bit_aggs" -> (q77BitAggs _))
+    "q77_bit_aggs" -> (q77BitAggs _),
+    "q78_retention" -> (q78Retention _),
+    "q79_attribution" -> (q79Attribution _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2038,7 +2110,9 @@ object ExtQueries {
     "q74_histogram" -> q74Sql,
     "q75_median_agg" -> q75Sql,
     "q76_inverted_index" -> q76Sql,
-    "q77_bit_aggs" -> q77Sql)
+    "q77_bit_aggs" -> q77Sql,
+    "q78_retention" -> q78Sql,
+    "q79_attribution" -> q79Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
