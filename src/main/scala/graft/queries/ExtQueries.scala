@@ -1976,6 +1976,61 @@ object ExtQueries {
       |FROM win WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q80
+  /** Distributed graph analytics over the co-purchase graph (parts sharing
+    * an order): vertex/edge/wedge counts and the exact triangle count via
+    * the oriented-edge join — edges stored once as a < b, so
+    * e1(a,b) ⋈ e2(b,c) ⋈ closure(a,c) counts each triangle exactly once
+    * (the standard distributed formulation; all equi-joins, no enumeration
+    * of neighborhoods in memory). Wedge count is Σ d·(d−1)/2 in exact
+    * integers. */
+  def q80Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(nEdges).crossJoin(tri)
+      .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
+  }
+
+  val q80Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |  WHERE l_orderkey % 10 = 0),
+      |e AS (
+      |  SELECT DISTINCT x.pk AS a, y.pk AS b
+      |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (
+      |  SELECT v, COUNT(*) AS d FROM (
+      |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      |  GROUP BY v),
+      |ds AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      |    CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      |  FROM deg),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e),
+      |tr AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |  FROM e e1
+      |  JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+      |SELECT n_vertices, n_edges, n_wedges, n_triangles
+      |FROM ds CROSS JOIN ne CROSS JOIN tr""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2044,7 +2099,8 @@ object ExtQueries {
     "q76_inverted_index" -> (q76InvertedIndex _),
     "q77_bit_aggs" -> (q77BitAggs _),
     "q78_retention" -> (q78Retention _),
-    "q79_attribution" -> (q79Attribution _))
+    "q79_attribution" -> (q79Attribution _),
+    "q80_triangles" -> (q80Triangles _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2112,7 +2168,8 @@ object ExtQueries {
     "q76_inverted_index" -> q76Sql,
     "q77_bit_aggs" -> q77Sql,
     "q78_retention" -> q78Sql,
-    "q79_attribution" -> q79Sql)
+    "q79_attribution" -> q79Sql,
+    "q80_triangles" -> q80Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

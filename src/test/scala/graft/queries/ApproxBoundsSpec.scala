@@ -36,6 +36,29 @@ class ApproxBoundsSpec extends SparkSpec {
     }
   }
 
+  test("hll sketches merge losslessly: partial-per-partition union == single-pass") {
+    // The 100 TB posture for distinct counting: build HLL sketch PARTIALS
+    // per shard (here: per event_type), union them, estimate — DataSketches
+    // binary sketches are mergeable across jobs/days without re-scanning.
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    // per-shard partial sketches (one binary blob per group)
+    val partials = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val unioned = partials
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      .collect().head.getLong(0)
+    // single-pass global sketch at the same lgConfigK
+    val direct = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est"))
+      .collect().head.getLong(0)
+    assert(unioned == direct,
+      s"union-of-partials $unioned != single-pass $direct")
+    // and the estimate is within HLL error of the exact cardinality
+    val exact = ev.select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(unioned - exact).toDouble / exact <= 0.05,
+      s"estimate $unioned vs exact $exact")
+  }
+
   test("q28 approx_count_distinct within 2·rsd of exact per event_type") {
     val rsd = 0.02
     val approx = ExtQueries.q28ApproxDistinct(spark, sfDir)
