@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality gate (expectations-style) for ingest pipelines:
@@ -32,5 +32,22 @@ object Audit {
         "__n AS n_rows")
       .select("rule", "n_rows", "n_violations")
       .orderBy("rule")
+  }
+
+  /** In-flight variant: attach the same rule counters as `observe`d metrics
+    * riding whatever action the caller runs next — ZERO extra scans or
+    * jobs, the production shape for auditing a 100 TB write you were doing
+    * anyway (vs [[check]], which is its own aggregate job). Read the
+    * violation counts from `obs.get` after the action: keys are `n_rows`
+    * and `v_<rule>`. */
+  def observed(
+      df: DataFrame,
+      obs: Observation,
+      rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +: rules.map { case (name, pred) =>
+      count_if(!coalesce(pred, lit(false))).as(s"v_$name")
+    }
+    df.observe(obs, aggs.head, aggs.tail: _*)
   }
 }

@@ -2031,6 +2031,49 @@ object ExtQueries {
       |SELECT n_vertices, n_edges, n_wedges, n_triangles
       |FROM ds CROSS JOIN ne CROSS JOIN tr""".stripMargin
 
+  // ---------------------------------------------------------------- Q81
+  /** Next-event transition matrix (first-order Markov behavior model):
+    * lead() over each user's (ts, event_id)-ordered stream pairs every
+    * event with its successor; transition probabilities are emitted in
+    * exact integer ppm via the shared `(2·num + den) DIV (2·den)` formula
+    * (the q21 trick) — ratios of counts land on ROUND(x,6) boundaries for
+    * round denominators, so no float rounding crosses the oracle. One
+    * window pass + one groupBy. */
+  def q81Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wt = Window.partitionBy("event_type")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(wt))
+      .withColumn("p_ppm",
+        expr("(2 * 1000000 * n + total) DIV (2 * total)"))
+      .select("event_type", "next_type", "n", "p_ppm")
+      .orderBy("event_type", "next_type")
+  }
+
+  val q81Sql: String =
+    """WITH tr AS (
+      |  SELECT event_type,
+      |    LEAD(event_type, 1) OVER (
+      |      PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)
+      |      AS next_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tr WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+      |tot AS (
+      |  SELECT *, CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS total
+      |  FROM cnt)
+      |SELECT event_type, next_type, n,
+      |  (2 * 1000000 * n + total) // (2 * total) AS p_ppm
+      |FROM tot ORDER BY event_type, next_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2100,7 +2143,8 @@ object ExtQueries {
     "q77_bit_aggs" -> (q77BitAggs _),
     "q78_retention" -> (q78Retention _),
     "q79_attribution" -> (q79Attribution _),
-    "q80_triangles" -> (q80Triangles _))
+    "q80_triangles" -> (q80Triangles _),
+    "q81_transitions" -> (q81Transitions _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2169,7 +2213,8 @@ object ExtQueries {
     "q77_bit_aggs" -> q77Sql,
     "q78_retention" -> q78Sql,
     "q79_attribution" -> q79Sql,
-    "q80_triangles" -> q80Sql)
+    "q80_triangles" -> q80Sql,
+    "q81_transitions" -> q81Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -191,6 +191,21 @@ class OpsSpec extends SparkSpec {
     assert(out((1L, 1L)) == 0.0 && out((1L, 2L)) == 0.0)
   }
 
+  test("audit metrics ride an existing action via observe - no extra scan") {
+    val rules = Seq(
+      "qty_le_40" -> (col("l_quantity") <= 40.0),
+      "price_positive" -> (col("l_extendedprice") > 0.0))
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val obs = new org.apache.spark.sql.Observation("audit_obs")
+    val nRows = Audit.observed(li, obs, rules).count()
+    val m = obs.get
+    assert(m("n_rows") == nRows)
+    val oneShot = Audit.check(li, rules).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(m("v_qty_le_40") == oneShot("qty_le_40"))
+    assert(m("v_price_positive") == oneShot("price_positive"))
+  }
+
   test("native regr_slope/regr_r2/corr agree with q73's exact-decimal closed form") {
     val closed = ExtQueries.q73Regression(spark, sfDir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(3))).toMap
