@@ -1865,18 +1865,27 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- Q76
   /** Inverted-index postings: per term, document frequency + the first 20
-    * postings of the sorted distinct doc list — the build side of keyword
-    * search (q70 is the scoring side). One shuffle keyed by term; posting
-    * lists stay bounded in the result via slice. */
-  def q76InvertedIndex(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    * postings (by doc_id) — the build side of keyword search (q70 is the
+    * scoring side). The posting cap is applied BEFORE any aggregation: a
+    * row_number ≤ 20 rank per term (which the TopKRewriteRule plans
+    * through TopKPerKeyExec, shuffling ≤ k rows per term per partition),
+    * so no unbounded per-token set is ever materialized — a hot term in a
+    * web-scale corpus would otherwise collect half the doc ids into one
+    * aggregation buffer. */
+  def q76InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "documents")
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(col("tok").isin("vector", "spark", "slow"))
+      .distinct()
+    val dfreq = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("tok").orderBy("doc_id")
+    val top = pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
       .groupBy("tok")
-      .agg(
-        countDistinct(col("doc_id")).as("df"),
-        slice(array_sort(collect_set(col("doc_id"))), 1, 20).as("postings"))
-      .orderBy("tok")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    dfreq.join(top, "tok").select("tok", "df", "postings").orderBy("tok")
+  }
 
   val q76Sql: String =
     """SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
@@ -2074,6 +2083,36 @@ object ExtQueries {
       |  (2 * 1000000 * n + total) // (2 * total) AS p_ppm
       |FROM tot ORDER BY event_type, next_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q82
+  /** Deterministic per-stratum quota sampling: EXACTLY 5 documents per
+    * source, chosen by hash order (h60 of the id — engine-, seed- and
+    * partitioning-independent, unlike `sample()`), ranked with row_number
+    * ≤ k so the TopKRewriteRule plans it through TopKPerKeyExec (≤ k rows
+    * per stratum per partition reach the shuffle). The fixed-size
+    * counterpart of q46's fixed-RATE stratified sampling — the corpus
+    * quota move (n examples per source) in training-data pipelines. */
+  def q82QuotaSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.H60.of(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("source", "rn", "doc_id", "h")
+      .orderBy("source", "rn")
+  }
+
+  val q82Sql: String =
+    """SELECT source, rn, doc_id, h FROM (
+      |  SELECT source, doc_id, h,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |    FROM documents))
+      |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2144,7 +2183,8 @@ object ExtQueries {
     "q78_retention" -> (q78Retention _),
     "q79_attribution" -> (q79Attribution _),
     "q80_triangles" -> (q80Triangles _),
-    "q81_transitions" -> (q81Transitions _))
+    "q81_transitions" -> (q81Transitions _),
+    "q82_quota_sample" -> (q82QuotaSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2214,7 +2254,8 @@ object ExtQueries {
     "q78_retention" -> q78Sql,
     "q79_attribution" -> q79Sql,
     "q80_triangles" -> q80Sql,
-    "q81_transitions" -> q81Sql)
+    "q81_transitions" -> q81Sql,
+    "q82_quota_sample" -> q82Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
