@@ -21,6 +21,8 @@ object Audit {
     require(rules.nonEmpty, "need at least one rule")
     require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
       "rule names must be [A-Za-z0-9_]+ (they become column names)")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names")
     val aggs = count(lit(1)).as("__n") +: rules.map { case (name, pred) =>
       count_if(!coalesce(pred, lit(false))).as(s"__v_$name")
     }
@@ -45,6 +47,8 @@ object Audit {
       obs: Observation,
       rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "duplicate rule names")
     val aggs = count(lit(1)).as("n_rows") +: rules.map { case (name, pred) =>
       count_if(!coalesce(pred, lit(false))).as(s"v_$name")
     }

@@ -115,8 +115,9 @@ object Layout {
     * partition. Each file then covers a narrow z-range — i.e. a small
     * rectangle in (a, b) space — so parquet row-group min/max stats prune
     * multi-dimensional range predicates that a single-column sort can only
-    * prune on its leading column. `FileSkippingSpec` measures the effect
-    * (scan-decoded rows, clustered vs unclustered). */
+    * prune on its leading column. `LayoutSpec` ("z-order clustered files
+    * prune a 2-D box predicate") measures the effect — scan-decoded rows,
+    * clustered vs shuffled. */
   def writeClustered(
       df: org.apache.spark.sql.DataFrame,
       a: String,

@@ -1823,8 +1823,9 @@ object ExtQueries {
     val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
       .cast("bigint")
     t(s, dir, "lineitem")
-      .select(least(cents.divide(500000L).cast("bigint"), lit(11L)).as("bin"),
-        cents.as("cents"))
+      .select(cents.as("cents"))
+      .select(least(expr("cents DIV 500000"), lit(11L)).as("bin"),
+        col("cents"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"),
         min(col("cents")).as("min_cents"),

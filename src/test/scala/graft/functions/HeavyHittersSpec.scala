@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 class HeavyHittersSpec extends SparkSpec {
 
-  // Skewed synthetic stream: "hot1" 30%, "hot2" 20%, 50% spread over 200
-  // cold keys (~0.25% each). n = 20,000.
+  // Skewed synthetic stream: "hot1" 30%, "hot2" 20%, 50% spread over 100
+  // distinct cold keys (~0.5% each — only residues 5..9 mod 10 of id % 200
+  // occur). n = 20,000.
   private def stream = {
     import spark.implicits._
     spark.range(20000).select(
