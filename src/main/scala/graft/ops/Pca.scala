@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA building blocks with the classic n×d → d² split: the
+  * cluster reduces the corpus to second moments (count, per-dim sums, and
+  * the upper-triangular Gram matrix Σ v·vᵀ) in ONE pass with map-side
+  * combine — O(d²) state per partition, one O(d²) row to the driver — and
+  * the driver eigensolves the tiny d×d covariance (power iteration).
+  * For d = 64 the shipped state is 2 KB of sums + 16 KB of Gram per
+  * partition; the input size n never appears anywhere after the scan.
+  */
+object Pca {
+
+  /** Second-moment summary: `sum` has d entries, `gram` is the upper
+    * triangle (d·(d+1)/2 entries, row-major: (i,j) with j ≥ i at index
+    * i·d − i·(i−1)/2 + (j − i)). */
+  case class Moments(n: Long, sum: Seq[Double], gram: Seq[Double])
+
+  /** Merge-associative moments fold (the map-side-combine shape). Vectors
+    * shorter than `dim` are zero-padded; longer ones truncated. */
+  class MomentsAgg(dim: Int) extends Aggregator[Seq[Double], Moments, Moments] {
+    private val gramLen = dim * (dim + 1) / 2
+
+    override def zero: Moments =
+      Moments(0L, Vector.fill(dim)(0.0), Vector.fill(gramLen)(0.0))
+
+    override def reduce(b: Moments, v: Seq[Double]): Moments = {
+      val s = b.sum.toArray
+      val g = b.gram.toArray
+      val x = new Array[Double](dim)
+      var i = 0
+      while (i < dim && i < v.length) { x(i) = v(i); i += 1 }
+      i = 0
+      var k = 0
+      while (i < dim) {
+        s(i) += x(i)
+        var j = i
+        while (j < dim) { g(k) += x(i) * x(j); j += 1; k += 1 }
+        i += 1
+      }
+      Moments(b.n + 1, s.toVector, g.toVector)
+    }
+
+    override def merge(a: Moments, b: Moments): Moments = {
+      val s = a.sum.toArray
+      val g = a.gram.toArray
+      var i = 0
+      while (i < dim) { s(i) += b.sum(i); i += 1 }
+      i = 0
+      while (i < gramLen) { g(i) += b.gram(i); i += 1 }
+      Moments(a.n + b.n, s.toVector, g.toVector)
+    }
+
+    override def finish(m: Moments): Moments = m
+    override def bufferEncoder: Encoder[Moments] = ExpressionEncoder[Moments]()
+    override def outputEncoder: Encoder[Moments] = ExpressionEncoder[Moments]()
+  }
+
+  /** One distributed pass over `vecCol` (array<double>-castable) → moments. */
+  def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
+    import df.sparkSession.implicits._
+    df.select(col(vecCol).cast("array<double>"))
+      .as[Seq[Double]]
+      .select(new MomentsAgg(dim).toColumn)
+      .head()
+  }
+
+  /** Dense d×d sample covariance from the moments (driver-side, O(d²)). */
+  def covariance(m: Moments, dim: Int): Array[Array[Double]] = {
+    require(m.n >= 2, s"need n >= 2, got ${m.n}")
+    val c = Array.ofDim[Double](dim, dim)
+    val n = m.n.toDouble
+    var i = 0
+    var k = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val cov = (m.gram(k) - m.sum(i) * m.sum(j) / n) / (n - 1)
+        c(i)(j) = cov
+        c(j)(i) = cov
+        j += 1; k += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Top principal component of `vecCol` by power iteration on the
+    * driver-side covariance: returns (unit eigenvector, eigenvalue).
+    * Deterministic start (axis of largest variance), so results are
+    * reproducible run to run. */
+  def principalComponent(
+      df: DataFrame, vecCol: String, dim: Int, iters: Int = 50)
+      : (Array[Double], Double) = {
+    val c = covariance(moments(df, vecCol, dim), dim)
+    var v = new Array[Double](dim)
+    // start on the axis with the largest variance (never orthogonal to
+    // the top eigenvector unless that axis has exactly zero loading)
+    var best = 0
+    var i = 1
+    while (i < dim) { if (c(i)(i) > c(best)(best)) best = i; i += 1 }
+    v(best) = 1.0
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val w = new Array[Double](dim)
+      i = 0
+      while (i < dim) {
+        var j = 0
+        var acc = 0.0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      require(norm > 0, "covariance matrix annihilated the iterate")
+      i = 0
+      while (i < dim) { w(i) /= norm; i += 1 }
+      lambda = norm
+      v = w
+      it += 1
+    }
+    (v, lambda)
+  }
+}

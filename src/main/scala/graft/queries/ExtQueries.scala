@@ -2114,6 +2114,29 @@ object ExtQueries {
       |    FROM documents))
       |WHERE rn <= 5 ORDER BY source, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q83
+  /** Bag-semantics set ops (EXCEPT ALL) — q9/q37 cover the SET forms;
+    * multiset difference subtracts one occurrence per right row, which
+    * Spark and DuckDB both implement with the count-tagged aggregate
+    * rewrite (no row-id tricks needed). Output re-aggregated to bounded,
+    * totally-ordered counts. */
+  def q83ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT ok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT l_orderkey AS ok FROM lineitem WHERE l_orderkey % 7 = 0
+        |  EXCEPT ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey % 14 = 0)
+        |GROUP BY ok ORDER BY ok LIMIT 100""".stripMargin)
+  }
+
+  val q83Sql: String =
+    """SELECT ok, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT l_orderkey AS ok FROM lineitem WHERE l_orderkey % 7 = 0
+      |  EXCEPT ALL
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 14 = 0)
+      |GROUP BY ok ORDER BY ok LIMIT 100""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2185,7 +2208,8 @@ object ExtQueries {
     "q79_attribution" -> (q79Attribution _),
     "q80_triangles" -> (q80Triangles _),
     "q81_transitions" -> (q81Transitions _),
-    "q82_quota_sample" -> (q82QuotaSample _))
+    "q82_quota_sample" -> (q82QuotaSample _),
+    "q83_except_all" -> (q83ExceptAll _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2256,7 +2280,8 @@ object ExtQueries {
     "q79_attribution" -> q79Sql,
     "q80_triangles" -> q80Sql,
     "q81_transitions" -> q81Sql,
-    "q82_quota_sample" -> q82Sql)
+    "q82_quota_sample" -> q82Sql,
+    "q83_except_all" -> q83Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }
