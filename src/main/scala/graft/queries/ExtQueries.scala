@@ -2137,6 +2137,33 @@ object ExtQueries {
       |  SELECT o_orderkey FROM orders WHERE o_orderkey % 14 = 0)
       |GROUP BY ok ORDER BY ok LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- Q84
+  /** Schema-evolution union: two snapshots of the documents table with
+    * different column sets (an old extract without `source`, a new one
+    * with an added `quality_tier`) merged by NAME with missing columns
+    * null-filled (`unionByName(allowMissingColumns)` ≡ DuckDB `UNION ALL
+    * BY NAME`) — the append-compatible ingest move when upstream adds
+    * columns mid-corpus. Positional UNION would silently misalign. */
+  def q84SchemaUnion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val nu = docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+        (col("n_chars") >= 400L).as("quality_tier"))
+    old.unionByName(nu, allowMissingColumns = true)
+      .filter(col("doc_id") % 25 === 0)
+      .orderBy("doc_id")
+  }
+
+  val q84Sql: String =
+    """SELECT * FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL BY NAME
+      |  SELECT doc_id, lang, n_chars, source, n_chars >= 400 AS quality_tier
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2209,7 +2236,8 @@ object ExtQueries {
     "q80_triangles" -> (q80Triangles _),
     "q81_transitions" -> (q81Transitions _),
     "q82_quota_sample" -> (q82QuotaSample _),
-    "q83_except_all" -> (q83ExceptAll _))
+    "q83_except_all" -> (q83ExceptAll _),
+    "q84_schema_union" -> (q84SchemaUnion _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2281,7 +2309,8 @@ object ExtQueries {
     "q80_triangles" -> q80Sql,
     "q81_transitions" -> q81Sql,
     "q82_quota_sample" -> q82Sql,
-    "q83_except_all" -> q83Sql)
+    "q83_except_all" -> q83Sql,
+    "q84_schema_union" -> q84Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -45,6 +45,18 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("the sketch is SQL-callable as a registered UDAF") {
+    spark.udf.register("heavy_hitters10",
+      org.apache.spark.sql.functions.udaf(new HeavyHitters(10)))
+    stream.toDF("item").createOrReplaceTempView("hh_stream")
+    val hits = spark.sql(
+      "SELECT heavy_hitters10(item) AS hits FROM hh_stream")
+      .selectExpr("inline(hits)")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hits.take(2).map(_._1).toSet == Set("hot1", "hot2"))
+    assert(hits.length <= 10)
+  }
+
   test("misra-gries buffers stay bounded at k counters under adversarial merge") {
     val agg = new HeavyHitters(3)
     // merging two full disjoint summaries must re-bound to k
