@@ -2164,6 +2164,43 @@ object ExtQueries {
       |  FROM documents WHERE doc_id % 3 = 1)
       |WHERE doc_id % 25 = 0 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q85
+  /** Temperature-based corpus mixing weights: per-source sampling weight ∝
+    * count^α (α = 0.5) normalized over sources — the standard move for
+    * rebalancing a multi-source training mix (α < 1 upsamples rare
+    * sources). One tiny aggregate; the normalizer travels as a broadcast
+    * 1-row cross join; weights rounded to 6dp on identical double
+    * expressions in both engines. Also emits the exact per-source counts
+    * and the implied per-document inclusion odds ratio vs uniform. */
+  def q85MixWeights(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(
+      sum(sqrt(col("n").cast("double"))).cast("double").as("z"),
+      sum(col("n")).as("n_total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("w", round(sqrt(col("n").cast("double")) / col("z"), 6))
+      .withColumn("vs_uniform", round(
+        (sqrt(col("n").cast("double")) / col("z"))
+          / (col("n").cast("double") / col("n_total").cast("double")), 6))
+      .select("source", "n", "w", "vs_uniform")
+      .orderBy("source")
+  }
+
+  val q85Sql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+      |  GROUP BY source),
+      |t AS (
+      |  SELECT CAST(SUM(sqrt(CAST(n AS DOUBLE))) AS DOUBLE) AS z,
+      |    CAST(SUM(n) AS BIGINT) AS n_total
+      |  FROM c)
+      |SELECT source, n,
+      |  ROUND(sqrt(CAST(n AS DOUBLE)) / z, 6) AS w,
+      |  ROUND((sqrt(CAST(n AS DOUBLE)) / z)
+      |    / (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS vs_uniform
+      |FROM c CROSS JOIN t ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2237,7 +2274,8 @@ object ExtQueries {
     "q81_transitions" -> (q81Transitions _),
     "q82_quota_sample" -> (q82QuotaSample _),
     "q83_except_all" -> (q83ExceptAll _),
-    "q84_schema_union" -> (q84SchemaUnion _))
+    "q84_schema_union" -> (q84SchemaUnion _),
+    "q85_mix_weights" -> (q85MixWeights _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2310,7 +2348,8 @@ object ExtQueries {
     "q81_transitions" -> q81Sql,
     "q82_quota_sample" -> q82Sql,
     "q83_except_all" -> q83Sql,
-    "q84_schema_union" -> q84Sql)
+    "q84_schema_union" -> q84Sql,
+    "q85_mix_weights" -> q85Sql)
     // q28_approx_distinct intentionally has no oracle (approx sketches differ
     // across engines) — the driver records its weaker rows-only check.
 }

@@ -79,6 +79,21 @@ object FileLog {
     Some(target)
   }
 
+  /** Adopt an already-written temp file (a V2 writer task's output, in
+    * segment wire format) as the next committed segment: assign the next
+    * sequence number, atomic rename. The caller (the driver-side
+    * `BatchWrite.commit`) must serialize calls — same single-writer
+    * contract as [[append]]. */
+  def adopt(dir: String, tmp: File, records: Long): File = {
+    require(records > 0, "empty segments are never committed")
+    val d = new File(dir)
+    if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
+    val seq = segments(dir).lastOption.map(_.seq + 1).getOrElse(0L)
+    val target = new File(d, f"$seq%020d-$records%d.seg")
+    Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
+    target
+  }
+
   /** Convenience writer for string payloads (null keys). */
   def appendStrings(dir: String, values: Seq[String], tsMicros: Long = 0L): Option[File] =
     append(dir, values.map(v => Record(null, v.getBytes("UTF-8"), tsMicros)))

@@ -1,0 +1,128 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{
+  BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, Write,
+  WriterCommitMessage}
+import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
+
+/** The producer half of the graft-log connector as a real DataSource V2
+  * batch write (`df.write.format("graft-log").mode("append").save(dir)`),
+  * with the standard two-phase commit shape `format("kafka")`'s producer
+  * path or any file sink would use at cluster scale:
+  *
+  *  - each TASK streams its partition into a hidden temp file in segment
+  *    wire format (one record resident at a time, executor-side — no
+  *    driver hop, unlike [[FileLogSink.publish]], which remains the
+  *    single-process convenience path);
+  *  - task commit hands the driver a (tempPath, recordCount) message;
+  *    speculative/retried tasks abort by deleting their temp file and
+  *    never publish;
+  *  - the driver's `commit` adopts the temp files as committed segments in
+  *    deterministic partition order ([[FileLog.adopt]] atomic renames), so
+  *    readers observe the whole write or none of it, and offsets stay
+  *    contiguous.
+  *
+  * Requires the log directory to be on a filesystem all executors share
+  * (true in local mode and for any DFS path — the same assumption every
+  * Spark file sink makes). Input schema: `value binary` required,
+  * `key binary` and `timestamp` optional.
+  */
+class FileLogWrite(path: String, schema: StructType) extends Write {
+  FileLogWrite.validate(schema)
+  override def toBatch: BatchWrite = new FileLogBatchWrite(path, schema)
+}
+
+object FileLogWrite {
+  def validate(schema: StructType): Unit = {
+    require(schema.fieldNames.contains("value"),
+      s"graft-log write requires a `value binary` column, got: ${schema.simpleString}")
+    require(schema("value").dataType == BinaryType,
+      s"`value` must be binary, got ${schema("value").dataType.simpleString}")
+    if (schema.fieldNames.contains("key"))
+      require(schema("key").dataType == BinaryType,
+        s"`key` must be binary, got ${schema("key").dataType.simpleString}")
+    if (schema.fieldNames.contains("timestamp"))
+      require(schema("timestamp").dataType == TimestampType,
+        s"`timestamp` must be timestamp, got ${schema("timestamp").dataType.simpleString}")
+  }
+}
+
+case class FileLogTaskCommit(tmpPath: String, records: Long, partitionId: Int)
+    extends WriterCommitMessage
+
+class FileLogBatchWrite(path: String, schema: StructType) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new FileLogWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages
+      .collect { case m: FileLogTaskCommit => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        if (m.records > 0) FileLog.adopt(path, new File(m.tmpPath), m.records)
+        else new File(m.tmpPath).delete()
+      }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: FileLogTaskCommit => m }
+      .foreach(m => new File(m.tmpPath).delete())
+}
+
+class FileLogWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FileLogDataWriter(path, schema, partitionId)
+}
+
+/** Streams one task's rows into a hidden temp file in [[FileLog]] wire
+  * format. The temp name never matches the committed-segment pattern, so
+  * concurrent readers ignore it until the driver's commit renames it. */
+class FileLogDataWriter(dir: String, schema: StructType, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val d = new File(dir)
+  require(d.isDirectory || d.mkdirs() || d.isDirectory, s"cannot create $dir")
+  private val tmp = File.createTempFile(".tmp-task-", "", d)
+  private val out = new DataOutputStream(
+    new BufferedOutputStream(new FileOutputStream(tmp), 1 << 16))
+  private val keyIdx =
+    if (schema.fieldNames.contains("key")) schema.fieldIndex("key") else -1
+  private val valueIdx = schema.fieldIndex("value")
+  private val tsIdx =
+    if (schema.fieldNames.contains("timestamp")) schema.fieldIndex("timestamp")
+    else -1
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (keyIdx < 0 || row.isNullAt(keyIdx)) out.writeInt(-1)
+    else {
+      val k = row.getBinary(keyIdx)
+      out.writeInt(k.length); out.write(k)
+    }
+    if (row.isNullAt(valueIdx)) out.writeInt(-1)
+    else {
+      val v = row.getBinary(valueIdx)
+      out.writeInt(v.length); out.write(v)
+    }
+    out.writeLong(if (tsIdx < 0 || row.isNullAt(tsIdx)) 0L else row.getLong(tsIdx))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FileLogTaskCommit(tmp.getAbsolutePath, n, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tmp.delete()
+  }
+
+  override def close(): Unit = ()
+}

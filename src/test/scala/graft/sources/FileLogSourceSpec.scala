@@ -27,6 +27,36 @@ class FileLogSourceSpec extends SparkSpec {
     assert(all(2).value == null)
   }
 
+  test("V2 batch write: executor-side task segments, driver-ordered commit, contiguous offsets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("graftlog-v2w")
+    def frames(ids: Range) = ids.map(i => (s"k$i", s"payload-$i")).toDF("ks", "vs")
+      .select(lit(0L).as("offset"), col("ks").cast("binary").as("key"),
+        col("vs").cast("binary").as("value"),
+        lit(new java.sql.Timestamp(0L)).as("timestamp"))
+    // multi-partition write → one segment per non-empty task, partition order
+    frames(0 until 90).repartition(3)
+      .write.format("graft-log").mode("append").save(dir)
+    assert(FileLog.latestOffset(dir) == 90L)
+    assert(FileLog.segments(dir).size == 3)
+    val read1 = spark.read.format("graft-log").load(dir)
+    assert(read1.count() == 90L)
+    // offsets are the contiguous global sequence
+    assert(read1.agg(min("offset"), max("offset")).as[(Long, Long)].head() == (0L, 89L))
+    val vals = read1.select(col("value").cast("string")).as[String].collect().toSet
+    assert(vals == (0 until 90).map(i => s"payload-$i").toSet)
+    // a second append continues the offset sequence instead of restarting it
+    frames(90 until 100).coalesce(1)
+      .write.format("graft-log").mode("append").save(dir)
+    assert(FileLog.latestOffset(dir) == 100L)
+    val read2 = spark.read.format("graft-log").load(dir)
+    assert(read2.agg(max("offset")).as[Long].head() == 99L)
+    // no leftover task temp files after commit
+    val leftovers = new java.io.File(dir).listFiles.filter(_.getName.startsWith(".tmp"))
+    assert(leftovers.isEmpty, s"uncommitted temps: ${leftovers.mkString(",")}")
+  }
+
   test("batch read exposes the kafka-shaped schema with global offsets") {
     val dir = tmpDir("graftlog-batch")
     FileLog.appendStrings(dir, Seq("a", "b"), tsMicros = 5L)
