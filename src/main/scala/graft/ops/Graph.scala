@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives over an edge table — the pieces a
+  * training-data pipeline needs for co-occurrence graphs (parts sharing an
+  * order, docs sharing a shingle): degrees, wedges, exact triangle counts.
+  *
+  * Triangle counting uses the standard *degree-ordered* oriented-edge
+  * formulation: orient every undirected edge from its lower-(degree, id)
+  * endpoint to its higher one. The orientation is a total order, so each
+  * triangle {u,v,w} contributes exactly one directed wedge u→v→w plus the
+  * closing edge u→w, and the count is a pure 3-way equi-join. Ordering by
+  * degree (not id) caps every vertex's out-degree at O(√m): a hub with d
+  * neighbors keeps only its higher-(degree,id) neighbors as out-edges, so
+  * the wedge join generates O(Σ outdeg²) = O(m^1.5) rows worst-case
+  * instead of the O(d²) per-hub blowup an id-ordering suffers on skewed
+  * graphs (the co-purchase graph is exactly that shape at 100 TB).
+  */
+object Graph {
+
+  /** Canonical undirected edges (a < b, distinct) → degree per vertex. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Re-orient canonical (a < b) undirected edges by (degree, id): each
+    * edge points from its lower-(d, v) endpoint to its higher one.
+    * Output columns: (src, dst). Two shuffled equi-joins against the
+    * degree table — no driver traffic, no per-vertex adjacency lists. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+  }
+
+  /** Directed wedges src→mid→dst of a degree-oriented edge set — the
+    * candidate set the triangle join closes. Exposed so specs can pin the
+    * hub-safety property: on a star graph this is empty (all star edges
+    * point *into* the hub), where an id-ordering can emit O(d²) rows. */
+  def orientedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+
+  /** Exact triangle count: close each oriented wedge with the (u, w)
+    * oriented edge. All equi-joins; per-vertex work bounded by the
+    * degree orientation. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val oriented = orientByDegree(edges)
+    orientedWedges(oriented).as("wg")
+      .join(oriented.as("e3"),
+        col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}

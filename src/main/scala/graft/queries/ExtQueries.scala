@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TextStats}
+import graft.ops.{Dedup, Graph, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TextStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1884,13 +1884,14 @@ object ExtQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
       .groupBy("tok")
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("postings"))
     dfreq.join(top, "tok").select("tok", "df", "postings").orderBy("tok")
   }
 
   val q76Sql: String =
     """SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
-      |  (list_sort(list(DISTINCT doc_id)))[1:20] AS postings
+      |  array_to_string((list_sort(list(DISTINCT doc_id)))[1:20], ',') AS postings
       |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |WHERE tok IN ('vector', 'spark', 'slow')
       |GROUP BY tok ORDER BY tok""".stripMargin
@@ -1989,11 +1990,13 @@ object ExtQueries {
   // ---------------------------------------------------------------- Q80
   /** Distributed graph analytics over the co-purchase graph (parts sharing
     * an order): vertex/edge/wedge counts and the exact triangle count via
-    * the oriented-edge join — edges stored once as a < b, so
-    * e1(a,b) ⋈ e2(b,c) ⋈ closure(a,c) counts each triangle exactly once
-    * (the standard distributed formulation; all equi-joins, no enumeration
-    * of neighborhoods in memory). Wedge count is Σ d·(d−1)/2 in exact
-    * integers. */
+    * [[graft.ops.Graph.triangleCount]]'s *degree-ordered* oriented-edge
+    * join — edges point from the lower-(degree, id) endpoint, which caps
+    * per-vertex wedge generation at O(√m) out-degree even on hub-heavy
+    * graphs (an id-ordering lets a hot part keep its full out-degree and
+    * the wedge join blows up O(d²) per hub). All equi-joins, no
+    * neighborhood enumeration in memory. Wedge count is Σ d·(d−1)/2 in
+    * exact integers. */
   def q80Triangles(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
       .filter(col("l_orderkey") % 10 === 0)
@@ -2002,17 +2005,11 @@ object ExtQueries {
       .filter(col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
-    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
-    val degStats = deg.agg(
+    val degStats = Graph.degrees(e).agg(
       count(lit(1)).as("n_vertices"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"),
-        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val tri = Graph.triangleCount(e)
     degStats.crossJoin(nEdges).crossJoin(tri)
       .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
   }

@@ -82,7 +82,12 @@ class LayoutSpec extends SparkSpec {
     // clustered: the 1024-cell box lives in one narrow z-range file whose
     // row-group stats admit it; every other file's x- or y-stats exclude it.
     // shuffled: every file spans the full (x, y) range → nothing prunes.
-    assert(clustered <= 8192, s"clustered scan decoded $clustered rows")
+    // Relative bound: repartitionByRange samples its boundaries, so one
+    // extra row group can straddle the box run-to-run; what matters is the
+    // order-of-magnitude skipping vs the unclustered layout.
+    assert(clustered * 6 < shuffled,
+      s"clustered scan decoded $clustered rows vs shuffled $shuffled — " +
+        "expected >6x row-group skipping from the z-order layout")
     assert(shuffled >= 60000, s"shuffled scan should decode ~all rows, got $shuffled")
   }
 
