@@ -30,8 +30,13 @@ object Graph {
     * edge points from its lower-(d, v) endpoint to its higher one.
     * Output columns: (src, dst). Two shuffled equi-joins against the
     * degree table — no driver traffic, no per-vertex adjacency lists. */
-  def orientByDegree(edges: DataFrame): DataFrame = {
-    val deg = degrees(edges)
+  def orientByDegree(edges: DataFrame): DataFrame =
+    orientByDegree(edges, degrees(edges))
+
+  /** Same, against a caller-supplied degree table (columns v, d) so a query
+    * that also reports degree stats builds ONE degree subtree — identical
+    * subtrees let ReuseExchange serve every consumer from one shuffle. */
+  def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame = {
     edges
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -57,8 +62,12 @@ object Graph {
   /** Exact triangle count: close each oriented wedge with the (u, w)
     * oriented edge. All equi-joins; per-vertex work bounded by the
     * degree orientation. */
-  def triangleCount(edges: DataFrame): DataFrame = {
-    val oriented = orientByDegree(edges)
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCount(edges, degrees(edges))
+
+  /** Same, reusing a caller-supplied degree table (see [[orientByDegree]]). */
+  def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val oriented = orientByDegree(edges, deg)
     orientedWedges(oriented).as("wg")
       .join(oriented.as("e3"),
         col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))

@@ -17,10 +17,16 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   * kept as a residual. SQL queries get the scalable plan without being
   * rewritten.
   *
-  * The rule fires only when `graft.rangejoin.binWidth` is set to a positive
-  * long — bin width is domain knowledge (≈ the typical interval length), not
-  * something an optimizer can infer without interval statistics, so it is
-  * deliberately an opt-in, like AQE's skew-join thresholds.
+  * Bin width ≈ the typical interval length. `graft.rangejoin.binWidth`
+  * semantics: a positive long pins the width explicitly; unset (or "auto")
+  * derives it at rewrite time by running a planning-time aggregate over the
+  * interval side — `ceil(avg(hi - lo))` — so each interval overlaps ~2 bins
+  * on average (the same interval-statistics collection DuckDB's IEJoin and
+  * Postgres's range selectivity estimation do at plan time); `0` or a
+  * negative value disables the rule. The derivation job scans only the two
+  * bound columns of the interval side (column-pruned), the side that is
+  * small by construction in a point-in-interval join — at 100 TB the points
+  * are the big table, the intervals the dimension.
   *
   * Conservative matching: inner join; point/lo/hi are integral-typed
   * attributes (fractional bounds would make the `hi-1` upper-bin arithmetic
@@ -55,18 +61,24 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(ConfKey, "0").toLong
-    if (width <= 0) plan
-    else plan.transformUp {
+    val raw = conf.getConfString(ConfKey, "auto").trim
+    val explicit: Option[Long] =
+      if (raw.equalsIgnoreCase("auto")) None
+      else raw.toLongOption match {
+        case Some(w) if w > 0 => Some(w)
+        case _ => return plan // 0, negative, or unparseable → disabled
+      }
+    plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
-        rewrite(j, cond, width).getOrElse(j)
+        rewrite(j, cond, explicit).getOrElse(j)
     }
   }
 
   private case class RangePair(point: Attribute, lo: Attribute, hi: Attribute,
       pointOnLeft: Boolean)
 
-  private def rewrite(j: Join, cond: Expression, width: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, cond: Expression,
+      explicit: Option[Long]): Option[LogicalPlan] = {
     val conjuncts = splitConjuncts(cond)
     // an existing cross-side equi-conjunct means a hash join is already
     // available — leave the plan alone
@@ -76,7 +88,11 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (hasEqui) return None
-    for (pair <- findRangePair(j, conjuncts)) yield {
+    for {
+      pair <- findRangePair(j, conjuncts)
+      intervalSide0 = if (pair.pointOnLeft) j.right else j.left
+      width <- explicit.orElse(deriveWidth(intervalSide0, pair.lo, pair.hi))
+    } yield {
       val (pointSide, intervalSide) =
         if (pair.pointOnLeft) (j.left, j.right) else (j.right, j.left)
 
@@ -111,6 +127,28 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val rejoined = Join(newLeft, newRight, Inner,
         Some(And(binEq, cond)), j.hint)
       Project(j.output, rejoined)
+    }
+  }
+
+  /** Auto mode: one planning-time job computing `ceil(avg(hi - lo))` over
+    * the interval side (bridged to epoch days for dates). Column-pruned to
+    * the two bound columns; the interval side of a point-in-interval join
+    * is the dimension-sized side. Returns None (no rewrite) when the side
+    * is empty or the average is non-positive — an empty interval table
+    * joins to nothing regardless of plan shape. The derivation plan itself
+    * contains no unrewritten range join (transformUp already visited the
+    * children), so the rule cannot recurse. */
+  private def deriveWidth(intervalSide: LogicalPlan, lo: Attribute,
+      hi: Attribute): Option[Long] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val len = Alias(Subtract(asLong(hi), asLong(lo)), "__len")()
+    val df = org.apache.spark.sql.graft.DatasetBridge.ofRows(
+      spark, Project(Seq(len), intervalSide))
+    val row = df.agg(org.apache.spark.sql.functions.avg("__len")).head()
+    if (row.isNullAt(0)) None
+    else {
+      val avg = row.getDouble(0)
+      if (avg.isNaN || avg <= 0) None else Some(math.ceil(avg).toLong)
     }
   }
 

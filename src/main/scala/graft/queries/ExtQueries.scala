@@ -2005,11 +2005,14 @@ object ExtQueries {
       .filter(col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
-    val degStats = Graph.degrees(e).agg(
+    // one degree subtree shared by the stats agg and the orientation joins —
+    // identical subtrees collapse to a single shuffle under ReuseExchange
+    val deg = Graph.degrees(e)
+    val degStats = deg.agg(
       count(lit(1)).as("n_vertices"),
       sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val tri = Graph.triangleCount(e)
+    val tri = Graph.triangleCount(e, deg)
     degStats.crossJoin(nEdges).crossJoin(tri)
       .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
   }

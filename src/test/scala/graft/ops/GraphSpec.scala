@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class GraphSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("a", "b")
+  }
+
+  test("triangleCount: K4 has 4 triangles, K3 has 1, a path has 0") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graph.triangleCount(k4).collect().head.getLong(0) == 4L)
+
+    val k3 = edges((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(Graph.triangleCount(k3).collect().head.getLong(0) == 1L)
+
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCount(path).collect().head.getLong(0) == 0L)
+  }
+
+  test("degree orientation keeps a star graph wedge-free (hub safety)") {
+    // star: hub 100 with 8 leaves. Id-ordering would give the hub out-degree
+    // 8 on the leaves above it and the wedge join would emit O(d^2) rows;
+    // degree-ordering points every edge INTO the hub, so no vertex is both
+    // a dst and a src and the wedge set is exactly empty.
+    val star = edges((1 to 8).map(i => (i.toLong, 100L)): _*)
+    val oriented = Graph.orientByDegree(star)
+    assert(oriented.filter(org.apache.spark.sql.functions.col("dst") =!= 100L)
+      .count() == 0, "every star edge must point into the hub")
+    assert(Graph.orientedWedges(oriented).count() == 0L)
+    assert(Graph.triangleCount(star).collect().head.getLong(0) == 0L)
+  }
+
+  test("degree ties break by vertex id and still count each triangle once") {
+    // K3: all degrees equal (2), so orientation falls back to the id order
+    // a<b — each edge keeps its canonical direction, exactly one wedge
+    // (1→2→3) and one closing edge (1→3).
+    val k3 = edges((1L, 2L), (1L, 3L), (2L, 3L))
+    val oriented = Graph.orientByDegree(k3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oriented == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(Graph.orientedWedges(Graph.orientByDegree(k3)).count() == 1L)
+  }
+
+  test("mixed-degree orientation flips edges toward the higher-degree end") {
+    // path 1-2-3 plus edge 2-4: vertex 2 has degree 3, others degree 1.
+    // Every edge incident to 2 must point INTO 2 regardless of id order.
+    val g = edges((1L, 2L), (2L, 3L), (2L, 4L))
+    val oriented = Graph.orientByDegree(g).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oriented == Set((1L, 2L), (3L, 2L), (4L, 2L)))
+  }
+
+  test("degrees counts both endpoints of every canonical edge") {
+    val g = edges((1L, 2L), (1L, 3L))
+    val d = Graph.degrees(g).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("precomputed-degrees overload matches the self-computing one") {
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L), (4L, 5L))
+    val direct = Graph.triangleCount(g).collect().head.getLong(0)
+    val shared = Graph.triangleCount(g, Graph.degrees(g)).collect().head.getLong(0)
+    assert(direct == shared && direct == 2L)
+  }
+}

@@ -88,6 +88,10 @@ class LayoutSpec extends SparkSpec {
     assert(clustered * 6 < shuffled,
       s"clustered scan decoded $clustered rows vs shuffled $shuffled — " +
         "expected >6x row-group skipping from the z-order layout")
+    // coarse absolute backstop: even with a straddling row group the
+    // clustered scan must stay within 2 row groups' worth of the 65536 rows
+    assert(clustered <= 16384,
+      s"clustered scan decoded $clustered rows — z-order skipping regressed")
     assert(shuffled >= 60000, s"shuffled scan should decode ~all rows, got $shuffled")
   }
 
