@@ -6,13 +6,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` payloads with typed
   * metadata, processed batch-wise on executors.
   *
-  * The container ships no image/audio codecs, so the *decode kernel* is a
-  * clearly-marked deterministic stub ([[FakeDecoded]] derived from payload
-  * bytes) — but everything Spark-side is real: the schema shape
-  * (payload + struct metadata), partition-batched processing through
-  * `mapPartitions` on a typed Dataset (the Scala analog of `mapInPandas` —
-  * one iterator per partition, amortized per-batch setup), and the
-  * column-pruned metadata-only path that never deserializes payloads.
+  * IMAGES decode for real: the JDK ships PNG/JPEG/GIF/BMP codecs in
+  * `javax.imageio`, so [[decodeImageBatch]] / [[resizeImageBatch]] read
+  * actual pixels and re-encode actual PNGs on the executors — no display,
+  * no native libs ([[java.awt.image.BufferedImage]] is headless-safe).
+  * AUDIO/VIDEO codecs don't exist in-JDK, so the generic byte-level kernels
+  * ([[FakeDecoded]], fixed-stride [[frameSample]]) remain clearly-marked
+  * deterministic stand-ins. Everything Spark-side is real in both cases:
+  * the schema shape (payload + struct metadata), partition-batched
+  * processing through `mapPartitions` on a typed Dataset (the Scala analog
+  * of `mapInPandas` — one iterator per partition, amortized per-batch
+  * setup), and the column-pruned metadata-only path that never
+  * deserializes payloads.
   */
 object Multimodal {
 
@@ -92,6 +97,95 @@ object Multimodal {
           .as("frame_md5"),
         expr(s"octet_length(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
           .cast("long").as("frame_bytes"))
+  }
+
+  /** Real per-image decode result (width/height/channels/means from actual
+    * pixels). `ok = false` rows carry -1 dims: undecodable bytes are data,
+    * not exceptions — a 100 TB crawl always contains corrupt files, and one
+    * bad payload must not kill a 10k-row task. */
+  case class ImageStats(
+      doc_id: Long,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double)
+
+  /** REAL image decode via in-JDK `javax.imageio` (PNG/JPEG/GIF/BMP):
+    * batched per partition, pixel stats from the decoded raster. The
+    * executor-side shape is identical to [[decodeBatch]]'s; only the kernel
+    * differs. */
+  def decodeImageBatch(media: DataFrame): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            ImageStats(id, ok = true, w, h,
+              img.getColorModel.getNumComponents,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+  }
+
+  /** REAL image resize: decode, scale so max(width, height) == maxDim
+    * (never upscale), bilinear `Graphics2D` redraw, re-encode as PNG.
+    * Undecodable payloads pass through with `out_w = out_h = -1` and an
+    * empty payload instead of failing the task. */
+  def resizeImageBatch(media: DataFrame, maxDim: Int)
+      : Dataset[(Long, Array[Byte], Int, Int)] = {
+    require(maxDim >= 1, "maxDim must be >= 1")
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) (id, Array.emptyByteArray, -1, -1)
+          else {
+            val scale = math.min(1.0,
+              maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val ow = math.max(1, math.round(img.getWidth * scale).toInt)
+            val oh = math.max(1, math.round(img.getHeight * scale).toInt)
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, ow, oh, null)
+            } finally g.dispose()
+            val buf = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", buf)
+            (id, buf.toByteArray, ow, oh)
+          }
+        }
+      }
   }
 
   /** STUB resize: keep every `factor`-th payload byte (a real kernel would

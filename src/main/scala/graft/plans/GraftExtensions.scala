@@ -25,9 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plus the strategy that plans the substituted logical node
     ext.injectOptimizerRule(_ => TopKRewriteRule)
     ext.injectPlannerStrategy(_ => new TopKStrategy)
-    // opt-in (graft.rangejoin.binWidth) rewrite of pure range-predicate
-    // inner joins into the binned equi-join form
-    ext.injectOptimizerRule(_ => RangeJoinRule)
+    // rewrite of pure range-predicate inner joins into the binned equi-join
+    // form; graft.rangejoin.binWidth pins/disables, default auto-derives.
+    // The rule is session-bound so auto derivation runs on the session that
+    // owns the plan, never SparkSession.active.
+    ext.injectOptimizerRule(session => new RangeJoinRule(session))
   }
 }
 

@@ -1,5 +1,9 @@
 package graft.plans
 
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
@@ -20,13 +24,29 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   * Bin width ≈ the typical interval length. `graft.rangejoin.binWidth`
   * semantics: a positive long pins the width explicitly; unset (or "auto")
   * derives it at rewrite time by running a planning-time aggregate over the
-  * interval side — `ceil(avg(hi - lo))` — so each interval overlaps ~2 bins
-  * on average (the same interval-statistics collection DuckDB's IEJoin and
-  * Postgres's range selectivity estimation do at plan time); `0` or a
-  * negative value disables the rule. The derivation job scans only the two
-  * bound columns of the interval side (column-pruned), the side that is
-  * small by construction in a point-in-interval join — at 100 TB the points
-  * are the big table, the intervals the dimension.
+  * interval side — `ceil(avg(hi - lo))`, clamped so no single interval
+  * replicates into more than [[RangeJoinRule.MaxBinsPerInterval]] bins (the
+  * same interval-statistics collection DuckDB's IEJoin and Postgres's range
+  * selectivity estimation do at plan time); `0` or a negative value disables
+  * the rule.
+  *
+  * Auto-derivation discipline (it runs a real job at plan time, so it must
+  * be rare and bounded):
+  *   - the result is memoized per canonicalized interval-side subtree for
+  *     the lifetime of the session — one job per distinct interval relation,
+  *     not one per `explain()`/action/micro-batch;
+  *   - a streaming interval side never derives (a batch action over a
+  *     streaming plan throws at plan time) — no rewrite unless an explicit
+  *     width is configured;
+  *   - derivation is skipped when the interval side's estimated size exceeds
+  *     `graft.rangejoin.autoMaxBytes` (default 1 GiB): the interval side of
+  *     a point-in-interval join is dimension-sized by construction, and a
+  *     plan-time scan of a fact-sized table is never acceptable. Plans with
+  *     unknown (huge-sentinel) stats are skipped for the same reason.
+  * The derivation job scans only the two bound columns (column-pruned) of
+  * the session owning the plan — threaded through the rule constructor, not
+  * `SparkSession.active`, which can be a different session in multi-session
+  * apps.
   *
   * Conservative matching: inner join; point/lo/hi are integral-typed
   * attributes (fractional bounds would make the `hi-1` upper-bin arithmetic
@@ -37,28 +57,13 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   * a null bin/sequence drops the row exactly where the null range predicate
   * would.
   */
-object RangeJoinRule extends Rule[LogicalPlan] {
+class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import RangeJoinRule._
 
-  val ConfKey = "graft.rangejoin.binWidth"
-
-  private def integral(e: Expression): Boolean = e.dataType match {
-    case ByteType | ShortType | IntegerType | LongType => true
-    case _ => false
-  }
-
-  /** Dates are epoch-day integers underneath (`unix_date`), so a date range
-    * join bins the day number line; `binWidth` is then a width in days.
-    * Mixing date and integral attributes in one range pair is rejected —
-    * their bin domains are incomparable. */
-  private def binnable(p: Expression, lo: Expression, hi: Expression): Boolean =
-    (integral(p) && integral(lo) && integral(hi)) ||
-      (p.dataType == DateType && lo.dataType == DateType && hi.dataType == DateType)
-
-  /** Epoch-day/identity bridge to LongType for bin arithmetic. */
-  private def asLong(e: Expression): Expression = e.dataType match {
-    case DateType => Cast(UnixDate(e), LongType)
-    case _ => Cast(e, LongType)
-  }
+  /** Session-scoped memo (held in the companion — `injectOptimizerRule`
+    * builders are re-invoked per optimization, so instance state would be
+    * reborn empty every planning). */
+  private val widthCache = RangeJoinRule.widthCacheFor(session)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val raw = conf.getConfString(ConfKey, "auto").trim
@@ -73,9 +78,6 @@ object RangeJoinRule extends Rule[LogicalPlan] {
         rewrite(j, cond, explicit).getOrElse(j)
     }
   }
-
-  private case class RangePair(point: Attribute, lo: Attribute, hi: Attribute,
-      pointOnLeft: Boolean)
 
   private def rewrite(j: Join, cond: Expression,
       explicit: Option[Long]): Option[LogicalPlan] = {
@@ -130,26 +132,46 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** Auto mode: one planning-time job computing `ceil(avg(hi - lo))` over
-    * the interval side (bridged to epoch days for dates). Column-pruned to
-    * the two bound columns; the interval side of a point-in-interval join
-    * is the dimension-sized side. Returns None (no rewrite) when the side
-    * is empty or the average is non-positive — an empty interval table
-    * joins to nothing regardless of plan shape. The derivation plan itself
-    * contains no unrewritten range join (transformUp already visited the
-    * children), so the rule cannot recurse. */
+  /** Auto mode: one planning-time job computing `ceil(avg(hi - lo))` and
+    * `max(hi - lo)` over the interval side (bridged to epoch days for
+    * dates), memoized per canonicalized subtree. The width is clamped up to
+    * `maxLen / MaxBinsPerInterval` so one outlier-long interval cannot
+    * explode into millions of replicated bin rows. Returns None (no
+    * rewrite) when the side is streaming, estimated larger than the auto
+    * cap, empty, or has a non-positive average length — an empty interval
+    * table joins to nothing regardless of plan shape. The derivation plan
+    * itself contains no unrewritten range join (transformUp already visited
+    * the children), so the rule cannot recurse. */
   private def deriveWidth(intervalSide: LogicalPlan, lo: Attribute,
       hi: Attribute): Option[Long] = {
-    val spark = org.apache.spark.sql.SparkSession.active
+    if (intervalSide.isStreaming) return None
+    val maxBytes = BigInt(conf.getConfString(AutoMaxBytesKey,
+      (1L << 30).toString).toLong)
+    // stats.sizeInBytes is the optimizer's own estimate; unknown leafs
+    // surface as a huge sentinel and are correctly skipped by the cap
+    if (intervalSide.stats.sizeInBytes > maxBytes) return None
     val len = Alias(Subtract(asLong(hi), asLong(lo)), "__len")()
-    val df = org.apache.spark.sql.graft.DatasetBridge.ofRows(
-      spark, Project(Seq(len), intervalSide))
-    val row = df.agg(org.apache.spark.sql.functions.avg("__len")).head()
-    if (row.isNullAt(0)) None
-    else {
-      val avg = row.getDouble(0)
-      if (avg.isNaN || avg <= 0) None else Some(math.ceil(avg).toLong)
-    }
+    val lenPlan = Project(Seq(len), intervalSide)
+    val key = lenPlan.canonicalized
+    val cached = widthCache.get(key)
+    if (cached != null) return cached
+    derivationCount(session).incrementAndGet()
+    val df = org.apache.spark.sql.graft.DatasetBridge.ofRows(session, lenPlan)
+    import org.apache.spark.sql.functions.{avg, max}
+    val row = df.agg(avg("__len"), max("__len")).head()
+    val derived: Option[Long] =
+      if (row.isNullAt(0)) None
+      else {
+        val mean = row.getDouble(0)
+        if (mean.isNaN || mean <= 0) None
+        else {
+          val maxLen = row.getLong(1)
+          val clamp = math.ceil(maxLen.toDouble / MaxBinsPerInterval).toLong
+          Some(math.max(math.ceil(mean).toLong, math.max(clamp, 1L)))
+        }
+      }
+    widthCache.put(key, derived)
+    derived
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -187,5 +209,69 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       if intervalSide.outputSet.contains(lo) && intervalSide.outputSet.contains(hi)
     } yield RangePair(p1, lo, hi, side)
     pairs.headOption
+  }
+}
+
+object RangeJoinRule {
+
+  val ConfKey = "graft.rangejoin.binWidth"
+
+  /** Auto derivation refuses to scan an interval side estimated above this
+    * many bytes — the plan-time job must stay dimension-sized. */
+  val AutoMaxBytesKey = "graft.rangejoin.autoMaxBytes"
+
+  /** Upper bound on per-interval bin replication under auto width: the
+    * derived width is raised until the longest interval spans at most this
+    * many bins. */
+  val MaxBinsPerInterval = 64L
+
+  private case class RangePair(point: Attribute, lo: Attribute, hi: Attribute,
+      pointOnLeft: Boolean)
+
+  /** Per-session count of planning-time derivation jobs actually run
+    * (cache misses). Test hook: asserts memoization — re-planning the same
+    * query must not re-pay the job. Keyed by session so parallel suites
+    * cannot pollute each other's counts. */
+  private val derivationCounts =
+    new ConcurrentHashMap[SparkSession, AtomicLong]()
+
+  private[plans] def derivationCount(s: SparkSession): AtomicLong =
+    derivationCounts.computeIfAbsent(s, _ => new AtomicLong(0L))
+
+  /** Canonicalized `Project(len, intervalSide)` → derived width (None =
+    * underivable: empty side, non-positive lengths). Bounded LRU per
+    * session — a session touches a handful of interval relations, not
+    * thousands; 64 entries is plenty and keeps retained plans small. */
+  private val widthCaches =
+    new ConcurrentHashMap[SparkSession, java.util.Map[LogicalPlan, Option[Long]]]()
+
+  private def widthCacheFor(s: SparkSession): java.util.Map[LogicalPlan, Option[Long]] =
+    widthCaches.computeIfAbsent(s, _ =>
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[LogicalPlan, Option[Long]](16, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[LogicalPlan, Option[Long]]): Boolean =
+            size() > 64
+        }))
+
+  def derivations(s: SparkSession): Long = derivationCount(s).get()
+
+  private def integral(e: Expression): Boolean = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Dates are epoch-day integers underneath (`unix_date`), so a date range
+    * join bins the day number line; `binWidth` is then a width in days.
+    * Mixing date and integral attributes in one range pair is rejected —
+    * their bin domains are incomparable. */
+  private def binnable(p: Expression, lo: Expression, hi: Expression): Boolean =
+    (integral(p) && integral(lo) && integral(hi)) ||
+      (p.dataType == DateType && lo.dataType == DateType && hi.dataType == DateType)
+
+  /** Epoch-day/identity bridge to LongType for bin arithmetic. */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case DateType => Cast(UnixDate(e), LongType)
+    case _ => Cast(e, LongType)
   }
 }

@@ -323,16 +323,31 @@ object ExtQueries {
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------- Q28
-  /** Approximate distinct users per event type (HyperLogLog++). No oracle
-    * SQL on purpose: DuckDB's approx sketch differs — the driver records the
-    * weaker rows-only check, and the exact counterpart is q7. */
+  /** Approximate distinct users per event type (HyperLogLog++). Sketch
+    * estimates can't hash-match across engines, so the oracle-facing
+    * columns are the exact counts plus `within_tol` — the 5% relative-error
+    * bound on the sketch asserted IN-ENGINE. A regressed sketch flips
+    * `within_tol` to false and fails the hash compare; the sketch itself
+    * stays in the plan (the exact column rides the same shuffle). */
   def q28ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        col("n_events"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_tol"))
       .orderBy("event_type")
+
+  val q28Sql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(*) AS n_events, TRUE AS within_tol
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------- Q29
   /** Temporal bucketing + arithmetic: monthly revenue with a 365-day recency
@@ -2349,7 +2364,8 @@ object ExtQueries {
     "q82_quota_sample" -> q82Sql,
     "q83_except_all" -> q83Sql,
     "q84_schema_union" -> q84Sql,
-    "q85_mix_weights" -> q85Sql)
-    // q28_approx_distinct intentionally has no oracle (approx sketches differ
-    // across engines) — the driver records its weaker rows-only check.
+    "q85_mix_weights" -> q85Sql,
+    // q28's sketch column is folded into the in-engine within_tol bound, so
+    // the row hash-compares like any exact query
+    "q28_approx_distinct" -> q28Sql)
 }

@@ -88,9 +88,11 @@ class LayoutSpec extends SparkSpec {
     assert(clustered * 6 < shuffled,
       s"clustered scan decoded $clustered rows vs shuffled $shuffled — " +
         "expected >6x row-group skipping from the z-order layout")
-    // coarse absolute backstop: even with a straddling row group the
-    // clustered scan must stay within 2 row groups' worth of the 65536 rows
-    assert(clustered <= 16384,
+    // absolute backstop, tighter than what the relative bound already
+    // implies (clustered < 65536/6 ≈ 10923): the 1024-cell box fits one
+    // 4096-row file, so even with one straddling file the clustered scan
+    // must stay within 2 files' worth
+    assert(clustered <= 8192,
       s"clustered scan decoded $clustered rows — z-order skipping regressed")
     assert(shuffled >= 60000, s"shuffled scan should decode ~all rows, got $shuffled")
   }

@@ -44,11 +44,19 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val rangeSql =
     """SELECT p_id, iv_id FROM pts JOIN ivs ON p >= lo AND p < hi"""
 
-  test("opt-in rewrite: SQL range join plans as a bin equi-join and matches the naive result") {
+  /** Result/plan of `sql` with the rule disabled — the genuine naive join. */
+  private def naive(sql: String): (Set[(Long, Long)], String) = {
+    spark.conf.set(RangeJoinRule.ConfKey, "0")
+    try {
+      val df = spark.sql(sql)
+      (df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        df.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
+  }
+
+  test("explicit-width rewrite: SQL range join plans as a bin equi-join and matches the naive result") {
     fixtures()
-    val naive = spark.sql(rangeSql).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val naivePlan = spark.sql(rangeSql).queryExecution.executedPlan.toString
+    val (expected, naivePlan) = naive(rangeSql)
     assert(naivePlan.contains("BroadcastNestedLoopJoin"),
       s"baseline should be a nested loop:\n$naivePlan")
 
@@ -60,17 +68,112 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         !plan.contains("CartesianProduct"),
         s"rewrite did not fire:\n$plan")
       val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(rewritten == naive)
-      assert(naive.nonEmpty)
+      assert(rewritten == expected)
+      assert(expected.nonEmpty)
     } finally spark.conf.unset(RangeJoinRule.ConfKey)
   }
 
-  test("no rewrite without the conf, with an equi-conjunct, or for fractional bounds") {
+  test("auto default: width derived from interval stats, derivation memoized across plannings") {
+    fixtures()
+    val (expected, _) = naive(rangeSql)
+    val before = RangeJoinRule.derivations(spark)
+    // conf unset → auto. Plan the SAME query twice (two independent
+    // DataFrames → two optimizer passes) and run one of them.
+    val df1 = spark.sql(rangeSql)
+    val plan1 = df1.queryExecution.executedPlan.toString
+    assert(plan1.contains("__pbin") && !plan1.contains("BroadcastNestedLoopJoin"),
+      s"auto rewrite did not fire:\n$plan1")
+    val df2 = spark.sql(rangeSql)
+    df2.queryExecution.executedPlan // force a second optimization
+    val got = df1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && expected.nonEmpty)
+    val jobs = RangeJoinRule.derivations(spark) - before
+    assert(jobs <= 1L,
+      s"derivation must be memoized per interval subtree, ran $jobs jobs")
+  }
+
+  test("auto bails out: empty interval side, oversized interval side") {
     fixtures()
     import spark.implicits._
-    // conf unset → untouched
-    assert(spark.sql(rangeSql).queryExecution.executedPlan.toString
-      .contains("BroadcastNestedLoopJoin"))
+    Seq.empty[(Long, Long, Long)].toDF("e_id", "e_lo", "e_hi")
+      .createOrReplaceTempView("eivs")
+    val emptyPlan = spark.sql(
+      "SELECT p_id, e_id FROM pts JOIN eivs ON p >= e_lo AND p < e_hi")
+      .queryExecution.executedPlan.toString
+    assert(!emptyPlan.contains("__pbin"),
+      s"empty interval side must not rewrite under auto:\n$emptyPlan")
+
+    // size-stat gate: with the cap below the table's estimated size, auto
+    // must refuse to run the plan-time scan (explicit width still rewrites)
+    spark.conf.set(RangeJoinRule.AutoMaxBytesKey, "1")
+    try {
+      val capped = spark.sql(rangeSql).queryExecution.executedPlan.toString
+      assert(capped.contains("BroadcastNestedLoopJoin"),
+        s"auto must not scan an interval side above the size cap:\n$capped")
+    } finally spark.conf.unset(RangeJoinRule.AutoMaxBytesKey)
+  }
+
+  test("auto bails out for a streaming interval side instead of failing to plan") {
+    fixtures()
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    mem.addData((0L, 0L, 45L), (1L, 30L, 75L))
+    val ivs = mem.toDF().toDF("s_id", "s_lo", "s_hi")
+    // stream-static inner join with the STREAM as the interval side: under
+    // auto, deriveWidth over the streaming plan would throw a batch-action
+    // AnalysisException at every micro-batch plan time; the rule must bail
+    // (no rewrite, no derivation job) and let the join run naive
+    val before = RangeJoinRule.derivations(spark)
+    val joined = spark.table("pts")
+      .join(ivs, $"p" >= $"s_lo" && $"p" < $"s_hi")
+      .select("p_id", "s_id")
+    val q = joined.writeStream.format("memory")
+      .queryName("rj_stream_ivs").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rj_stream_ivs").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = spark.table("pts").collect().map(_.getLong(1)).zip(
+      spark.table("pts").collect().map(_.getLong(0)))
+      .flatMap { case (p, pid) =>
+        Seq((0L, 0L, 45L), (1L, 30L, 75L)).collect {
+          case (sid, lo, hi) if p >= lo && p < hi => (pid, sid)
+        }
+      }.toSet
+    assert(got == expected && expected.nonEmpty)
+    assert(RangeJoinRule.derivations(spark) == before,
+      "a streaming interval side must never run a plan-time derivation job")
+  }
+
+  test("auto clamps the width against outlier-long intervals and matches naive") {
+    import spark.implicits._
+    (0L until 4000L).map(i => (i, i * 5 % 4999)).toDF("s_id", "s")
+      .createOrReplaceTempView("spts")
+    // 200 short intervals (length 10) + one outlier spanning the whole line:
+    // avg ≈ 507, max = 100000 → clamped width ≥ 100000/64 = 1563, so the
+    // outlier replicates into ≤ 64 bins instead of ~200
+    val ivs = (0L until 200L).map(i => (i, i * 25, i * 25 + 10)) :+
+      (200L, 0L, 100000L)
+    ivs.toDF("o_id", "o_lo", "o_hi").createOrReplaceTempView("oivs")
+    val sql = "SELECT s_id, o_id FROM spts JOIN oivs ON s >= o_lo AND s < o_hi"
+    val (expected, _) = naive(sql)
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__pbin"), s"auto rewrite did not fire:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("no rewrite when disabled (0), with an equi-conjunct, or for fractional bounds") {
+    fixtures()
+    import spark.implicits._
+    // conf "0" → disabled → untouched
+    spark.conf.set(RangeJoinRule.ConfKey, "0")
+    try {
+      assert(spark.sql(rangeSql).queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset(RangeJoinRule.ConfKey)
 
     spark.conf.set(RangeJoinRule.ConfKey, "45")
     try {
@@ -102,8 +205,7 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.sql.Date.valueOf(java.time.LocalDate.of(1992, 1, 1).plusDays(i * 90 + 130))))
       .toDF("w_id", "d_lo", "d_hi").createOrReplaceTempView("divs")
     val sql = "SELECT d_id, w_id FROM dpts JOIN divs ON d >= d_lo AND d < d_hi"
-    val naive = spark.sql(sql).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (expected, _) = naive(sql)
     spark.conf.set(RangeJoinRule.ConfKey, "90")
     try {
       val df = spark.sql(sql)
@@ -111,7 +213,7 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(plan.contains("__pbin") && !plan.contains("BroadcastNestedLoopJoin"),
         s"date rewrite did not fire:\n$plan")
       val rewritten = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(rewritten == naive && naive.nonEmpty)
+      assert(rewritten == expected && expected.nonEmpty)
     } finally spark.conf.unset(RangeJoinRule.ConfKey)
   }
 
@@ -139,17 +241,15 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("extra conjuncts survive the rewrite as residual predicates") {
     fixtures()
+    val sql =
+      """SELECT p_id, iv_id FROM pts JOIN ivs
+        |ON p >= lo AND p < hi AND p_id % 2 = iv_id % 2""".stripMargin
+    val (expected, _) = naive(sql)
     spark.conf.set(RangeJoinRule.ConfKey, "45")
     try {
-      val sql =
-        """SELECT p_id, iv_id FROM pts JOIN ivs
-          |ON p >= lo AND p < hi AND p_id % 2 = iv_id % 2""".stripMargin
       val withRule = spark.sql(sql).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      spark.conf.unset(RangeJoinRule.ConfKey)
-      val naive = spark.sql(sql).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      assert(withRule == naive && naive.nonEmpty)
+      assert(withRule == expected && expected.nonEmpty)
     } finally spark.conf.unset(RangeJoinRule.ConfKey)
   }
 }
