@@ -65,9 +65,16 @@ object Graph {
   def triangleCount(edges: DataFrame): DataFrame =
     triangleCount(edges, degrees(edges))
 
-  /** Same, reusing a caller-supplied degree table (see [[orientByDegree]]). */
+  /** Same, reusing a caller-supplied degree table (see [[orientByDegree]]).
+    *
+    * The oriented edge set feeds three join legs on three different keys
+    * (dst, src, (src, dst)), so without materialization the two degree
+    * joins recompute three times. A lazy `localCheckpoint` stores the
+    * oriented edges (memory-and-disk blocks, spillable) on first use and
+    * serves the other two legs from the block store — the same
+    * lineage-bounding trade [[Cluster]] makes for its iterated joins. */
   def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame = {
-    val oriented = orientByDegree(edges, deg)
+    val oriented = orientByDegree(edges, deg).localCheckpoint(false)
     orientedWedges(oriented).as("wg")
       .join(oriented.as("e3"),
         col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))

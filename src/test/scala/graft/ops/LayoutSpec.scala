@@ -65,7 +65,19 @@ class LayoutSpec extends SparkSpec {
       expr("id DIV 256").as("y"),
       col("id").as("payload"))
     val base = java.nio.file.Files.createTempDirectory("graft-skip").toString
-    Layout.writeClustered(pts, "x", "y", numFiles = 16, s"$base/clustered")
+    // repartitionByRange boundaries come from a 100-rows-per-partition
+    // reservoir sample by default — sloppy boundaries let the box straddle
+    // an extra file run-to-run (the historical flake in this test). A big
+    // sample makes the quantiles near-exact, so each output file is ~4096
+    // contiguous z-codes and the assertions below are deterministic.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    spark.conf.set(sampleKey, "20000")
+    try Layout.writeClustered(pts, "x", "y", numFiles = 16, s"$base/clustered")
+    finally prevSample match {
+      case Some(v) => spark.conf.set(sampleKey, v)
+      case None => spark.conf.unset(sampleKey)
+    }
     pts.repartition(16).write.mode("overwrite").parquet(s"$base/shuffled")
 
     def scanDecodedRows(path: String): Long = {

@@ -63,11 +63,12 @@ class OracleSqlGuardSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"raw timestamp projection: $offenders")
   }
 
-  test("every query name has matching queries and oracleSql keys (or is the documented rows-only one)") {
+  test("every query name has matching queries and oracleSql keys") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracle SQL without a query: ${o -- q}")
-    assert((q -- o) == Set("q28_approx_distinct"),
-      s"queries without oracle (only q28 is rows-only by design): ${q -- o}")
+    assert((q -- o).isEmpty,
+      s"queries without oracle SQL (none allowed since q28 gained its " +
+        s"within_tol oracle): ${q -- o}")
   }
 }
