@@ -101,6 +101,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[shingleOverlap]] with per-document coverage: every training document
+    * keeps a row with its distinct-shingle count, how many of those appear
+    * anywhere in the eval corpus, and the contamination fraction — the
+    * graded signal pipelines threshold on (e.g. drop > 10% overlap, audit
+    * 1–10%) where the boolean join form only flags any-overlap. Same scale
+    * shape: distinct (doc_id, hash) pairs, one equi-join on the 60-bit
+    * hash, eval side broadcast-sized in practice. The join is LEFT so
+    * clean documents keep frac = 0 rows instead of vanishing. */
+  def shingleOverlapFraction(train: DataFrame, evalDocs: DataFrame,
+      n: Int = 3): DataFrame = {
+    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
+          .as("h"))
+    val evalHashes = hashes(evalDocs).select("h").distinct()
+      .withColumn("__hit", lit(1L))
+    hashes(train)
+      .join(evalHashes, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_shared"))
+      .withColumn("frac",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle
     * hash (documents sharing their rarest-hashed shingle collide; a cheap
     * single-key block that catches all high-Jaccard pairs with 3-gram

@@ -94,6 +94,54 @@ object Scale {
       .drop("__b", "__local", "__off")
   }
 
+  /** Exact per-group rank (1-based, ordered by `orderCol` with `tieCol`
+    * breaking ties) without a single-task-per-group window: rows bucket by
+    * fixed-width ranges of the order column inside each group (per-group
+    * min/max from one small broadcast agg), rank locally per (group,
+    * bucket), then add per-group bucket offsets — computed IN-PLAN over a
+    * #groups×#buckets-row aggregate and broadcast, no driver collect. A
+    * `Window.partitionBy(group)` plans one task per group, which dies on
+    * low-cardinality groups (languages, sources) at 100 TB; this caps the
+    * largest task at ~|group|/buckets. Result is identical to
+    * `row_number() OVER (PARTITION BY group ORDER BY order, tie)`
+    * (asserted in ScaleSpec). Degenerate case: a group whose order values
+    * are all equal lands in one bucket — same as the naive window, no
+    * worse. */
+  def groupedRank(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String,
+      outCol: String,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranges = df.groupBy(groupCol).agg(
+      min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+    val bucketed = df.join(broadcast(ranges), groupCol)
+      .withColumn("__b",
+        least(floor((col(orderCol).cast("double") - col("__lo")) /
+          greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
+          lit(buckets - 1)).cast("int"))
+      .drop("__lo", "__hi")
+    val local = bucketed.withColumn("__local",
+      row_number().over(
+        Window.partitionBy(groupCol, "__b").orderBy(orderCol, tieCol))
+        .cast("long"))
+    // per-(group, bucket) sizes → exclusive running offsets; tiny relation
+    // (#groups × buckets rows), windowed cheaply and broadcast to the join
+    val offsets = bucketed.groupBy(groupCol, "__b")
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.partitionBy(groupCol).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c")
+    local.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__b", "__local", "__off")
+  }
+
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each
     * right-side row across all salts, join on (key, salt). Row multiplicity
     * is identical to the plain join; the hot key's rows spread over `salts`

@@ -2216,6 +2216,106 @@ object ExtQueries {
       |    / (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) AS vs_uniform
       |FROM c CROSS JOIN t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- Q86
+  /** Perplexity-style quality scoring ([[graft.ops.LangModel]]): add-k
+    * bigram LM trained on the corpus, every document scored by its mean
+    * bigram log-probability — the CCNet/KenLM filtering stage of public
+    * web-corpus pipelines. Counting is two map-side-combined aggregates;
+    * scoring is equi-joins on the token/bigram keys; V broadcasts as a
+    * 1-row aggregate. Rounded to 6dp for engine-stable double means. */
+  def q86BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    graft.ops.LangModel.bigramLogProb(docs, docs).orderBy("doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ug AS (SELECT UNNEST(t) AS w FROM tk),
+      |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM ug GROUP BY w),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM ug),
+      |ex AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+      |  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2),
+      |c2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM ex GROUP BY b)
+      |SELECT doc_id,
+      |  ROUND(AVG(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      |FROM ex
+      |JOIN c2 USING (b)
+      |JOIN c1 ON ex.w1 = c1.w
+      |CROSS JOIN v
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q87
+  /** Per-language quantile normalization of a document score (here:
+    * length) via [[graft.ops.Scale.groupedRank]] — exact per-group rank
+    * WITHOUT a one-task-per-language window: rows bucket by score range
+    * inside each language, rank locally, and add broadcast in-plan bucket
+    * offsets; decile = ((rank−1)·10) DIV n + 1 computed by the same closed
+    * formula in both engines (near-equal buckets, no NTILE-semantics
+    * coupling). The shape low-cardinality groups need at 100 TB. */
+  def q87QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    val ranked = graft.ops.Scale.groupedRank(
+      docs, "lang", "n_chars", "doc_id", "rnk")
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(totals), "lang")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("rnk"),
+        expr("CAST((rnk - 1) * 10 DIV n + 1 AS BIGINT)").as("decile"))
+      .orderBy("doc_id")
+  }
+
+  val q87Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, rnk,
+      |  CAST((rnk - 1) * 10 // n + 1 AS BIGINT) AS decile
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q88
+  /** Graded decontamination ([[graft.ops.Dedup.shingleOverlapFraction]]):
+    * q58's boolean any-overlap join upgraded to per-document coverage —
+    * distinct shingles, shared-with-eval count, and the contamination
+    * fraction pipelines actually threshold on. LEFT join keeps clean
+    * documents as frac = 0 rows. */
+  def q88ContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val aug = augDocs(s, dir)
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 1000000L
+    graft.ops.Dedup.shingleOverlapFraction(
+      aug.filter(!isEval), aug.filter(isEval))
+      .orderBy("doc_id")
+  }
+
+  val q88Sql: String =
+    s"""WITH $augDocsSql,
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)
+      |  WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+      |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 7 = 0 AND doc_id < 1000000),
+      |tr AS (SELECT doc_id, h FROM ex
+      |       WHERE NOT (doc_id % 7 = 0 AND doc_id < 1000000))
+      |SELECT tr.doc_id AS doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(COUNT(ev.h) AS BIGINT) AS n_shared,
+      |  ROUND(CAST(COUNT(ev.h) AS DOUBLE) / COUNT(*), 6) AS frac
+      |FROM tr LEFT JOIN ev ON tr.h = ev.h
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2290,7 +2390,10 @@ object ExtQueries {
     "q82_quota_sample" -> (q82QuotaSample _),
     "q83_except_all" -> (q83ExceptAll _),
     "q84_schema_union" -> (q84SchemaUnion _),
-    "q85_mix_weights" -> (q85MixWeights _))
+    "q85_mix_weights" -> (q85MixWeights _),
+    "q86_bigram_lm" -> (q86BigramLm _),
+    "q87_quantile_norm" -> (q87QuantileNorm _),
+    "q88_contamination_frac" -> (q88ContaminationFrac _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2367,5 +2470,8 @@ object ExtQueries {
     "q85_mix_weights" -> q85Sql,
     // q28's sketch column is folded into the in-engine within_tol bound, so
     // the row hash-compares like any exact query
-    "q28_approx_distinct" -> q28Sql)
+    "q28_approx_distinct" -> q28Sql,
+    "q86_bigram_lm" -> q86Sql,
+    "q87_quantile_norm" -> q87Sql,
+    "q88_contamination_frac" -> q88Sql)
 }

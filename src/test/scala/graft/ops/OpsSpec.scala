@@ -13,6 +13,49 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM: common text outscores rare text; hand-checked on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b" x3 establishes 'a b' as the common bigram; "a c" is rare
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val scores = graft.ops.LangModel.bigramLogProb(docs, docs, k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // counts: c1(a)=4, c2("a b")=3, c2("a c")=1, V=3
+    val common = math.log((3 + 0.5) / (4 + 0.5 * 3))
+    val rare = math.log((1 + 0.5) / (4 + 0.5 * 3))
+    assert(math.abs(scores(1L) - BigDecimal(common).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(scores(4L) - BigDecimal(rare).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(scores(1L) > scores(4L), "common bigram must outscore rare one")
+    // unseen-at-scoring text falls through the smoothing mass, no drop
+    val unseen = graft.ops.LangModel.bigramLogProb(
+      docs, Seq((9L, "z q")).toDF("doc_id", "text"), k = 0.5)
+      .collect()
+    assert(unseen.length == 1 &&
+      math.abs(unseen.head.getDouble(1) -
+        BigDecimal(math.log(0.5 / (0.5 * 3))).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("contamination fraction: perturbed eval copies near 1, clean docs 0, ratio exact") {
+    val rows = ExtQueries.q88ContaminationFrac(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles").toDouble
+      val shared = r.getAs[Long]("n_shared").toDouble
+      assert(math.abs(r.getAs[Double]("frac") - shared / n) < 1e-6)
+    }
+    // augmented near-dup copies of eval docs (id = eval_id + 1e6) are the
+    // contaminated tail this op exists to surface
+    val synth = rows.filter(r => r.getAs[Long]("doc_id") >= 1000000L &&
+      (r.getAs[Long]("doc_id") - 1000000L) % 7 == 0)
+    assert(synth.nonEmpty && synth.forall(_.getAs[Double]("frac") > 0.5))
+    // and a clean-doc row exists with frac = 0 (LEFT join keeps it)
+    assert(rows.exists(_.getAs[Double]("frac") == 0.0))
+  }
+
   test("minhash LSH finds every synthetic near-dup pair") {
     val pairs = ExtQueries.q15MinhashLsh(spark, sfDir).collect()
     // doc_id % 50 == 0 → perturbed copy at id+1,000,000 (sf0.001: 10 docs)

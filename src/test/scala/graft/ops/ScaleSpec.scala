@@ -52,6 +52,29 @@ class ScaleSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("groupedRank == window row_number on skewed groups with ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7L)
+    // one huge group, two small ones; heavy duplicate scores force
+    // tie-breaking through tieCol inside and across buckets
+    val rows = (0L until 3000L).map(i =>
+      (i, if (i % 10 == 0) "small" + (i % 20) else "big", rnd.nextInt(40).toLong))
+    val df = rows.toDF("id", "grp", "score")
+    val expected = df.withColumn("rnk",
+      row_number().over(Window.partitionBy("grp").orderBy("score", "id"))
+        .cast("long"))
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Scale.groupedRank(df, "grp", "score", "id", "rnk", buckets = 8)
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+    // degenerate group: constant order values still rank correctly
+    val const = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L)).toDF("id", "grp", "score")
+    val got = Scale.groupedRank(const, "grp", "score", "id", "r", buckets = 4)
+      .select("id", "r").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpec's builder
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
