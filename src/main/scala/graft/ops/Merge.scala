@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Upsert (SCD-1 merge) for immutable-file lakes: the MERGE-INTO shape
@@ -25,6 +25,31 @@ object Merge {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates.select(cols.map(col): _*))
   }
+
+  /** SCD-2 historization of a change stream: each (key, ts, payload) change
+    * row becomes a validity interval [ts, next change ts) via one `lead`
+    * window per key — the current version carries an open (null) upper
+    * bound. The window partitions by the business key (high-cardinality by
+    * construction: users, parts, accounts), so no single-task ordering; at
+    * 100 TB this is the standard keyed-window shuffle. */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
+
+  /** Point-in-time lookup over an SCD-2 table: the version of each key
+    * effective at `at` — `valid_from <= at < valid_to` with the open
+    * current version matching everything after its `valid_from`. Pure
+    * filter, no join: the snapshot predicate prunes before any downstream
+    * shuffle, and on a table partitioned by `valid_from` date it prunes
+    * partitions too. */
+  def asOfSnapshot(scd2Table: DataFrame, at: Column): DataFrame =
+    scd2Table.filter(
+      col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
 
   /** Last-writer-wins collapse of an update stream: one row per key — the
     * whole max-`versionCol` row survives as a unit (a single `max_by` over

@@ -2316,6 +2316,99 @@ object ExtQueries {
       |GROUP BY tr.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q89
+  /** SCD-2 historization + point-in-time snapshot ([[graft.ops.Merge.scd2]]
+    * / [[graft.ops.Merge.asOfSnapshot]]): purchase events become validity
+    * intervals [ts, next-change ts) per user (one keyed `lead` window —
+    * high-cardinality key, no single-task ordering), then the version
+    * effective at a data-relative instant (latest signup) is a pure filter
+    * against the broadcast 1-row cutoff. Instants are `unix_micros` longs
+    * end-to-end (ns-vs-µs parquet precision never touches the compare);
+    * same-instant changes collapse last-writer-wins by event id first. */
+  def q89Scd2Snapshot(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val ch0 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"), col("event_id"))
+    val ch = graft.ops.Merge.dedupLatest(
+      ch0, Seq("user_id", "ts_us"), "event_id").drop("event_id")
+    val hist = graft.ops.Merge.scd2(ch, Seq("user_id"), "ts_us")
+    val cut = ev.filter(col("event_type") === "signup")
+      .agg(max(unix_micros(col("ts"))).as("at"))
+    graft.ops.Merge.asOfSnapshot(hist.crossJoin(broadcast(cut)), col("at"))
+      .select(
+        col("user_id"),
+        col("valid_from").as("valid_from_us"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_us"),
+        col("value"))
+      .orderBy("user_id")
+  }
+
+  val q89Sql: String =
+    """WITH ch AS (
+      |  SELECT user_id, ts_us, value FROM (
+      |    SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, value,
+      |      ROW_NUMBER() OVER (
+      |        PARTITION BY user_id, epoch_ns(ts) // 1000
+      |        ORDER BY event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase')
+      |  WHERE rn = 1),
+      |h AS (
+      |  SELECT user_id, ts_us AS valid_from_us,
+      |    LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to,
+      |    value
+      |  FROM ch),
+      |cut AS (SELECT MAX(epoch_ns(ts) // 1000) AS at
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT user_id, valid_from_us,
+      |  COALESCE(valid_to, -1) AS valid_to_us, value
+      |FROM h CROSS JOIN cut
+      |WHERE valid_from_us <= at AND (valid_to IS NULL OR valid_to > at)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q90
+  /** Cross-source duplication matrix — dedup analytics over the q15
+    * near-dup pairs: for every (source, source) combination, how many
+    * near-dup pairs bridge it and at what mean similarity. The matrix is
+    * what corpus owners read to find which feeds plagiarize which before
+    * choosing drop rules. Pairs come from the banded MinHash join (never
+    * all-pairs); the source lookup is a broadcast dimension join. */
+  def q90CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(augDocs(s, dir))
+    val src = t(s, dir, "documents").select(col("doc_id").as("orig_id"), col("source"))
+    pairs
+      .withColumn("oa", col("doc_a") % 1000000L)
+      .withColumn("ob", col("doc_b") % 1000000L)
+      .join(broadcast(src.select(col("orig_id"), col("source").as("src_a"))),
+        col("oa") === col("orig_id")).drop("orig_id")
+      .join(broadcast(src.select(col("orig_id"), col("source").as("src_b"))),
+        col("ob") === col("orig_id")).drop("orig_id")
+      .select(
+        least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"),
+        col("est_sim"))
+      .groupBy("source_1", "source_2")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("est_sim")), 6).as("avg_sim"))
+      .orderBy("source_1", "source_2")
+  }
+
+  val q90Sql: String =
+    s"""WITH $minhashCtesSql,
+      |dup AS (SELECT doc_a, doc_b, est_sim FROM est WHERE est_sim >= 0.5),
+      |j AS (SELECT
+      |    LEAST(sa.source, sb.source) AS source_1,
+      |    GREATEST(sa.source, sb.source) AS source_2,
+      |    est_sim
+      |  FROM dup
+      |  JOIN documents sa ON sa.doc_id = doc_a % 1000000
+      |  JOIN documents sb ON sb.doc_id = doc_b % 1000000)
+      |SELECT source_1, source_2, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(AVG(est_sim), 6) AS avg_sim
+      |FROM j GROUP BY source_1, source_2
+      |ORDER BY source_1, source_2""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2393,7 +2486,9 @@ object ExtQueries {
     "q85_mix_weights" -> (q85MixWeights _),
     "q86_bigram_lm" -> (q86BigramLm _),
     "q87_quantile_norm" -> (q87QuantileNorm _),
-    "q88_contamination_frac" -> (q88ContaminationFrac _))
+    "q88_contamination_frac" -> (q88ContaminationFrac _),
+    "q89_scd2_snapshot" -> (q89Scd2Snapshot _),
+    "q90_cross_source_dups" -> (q90CrossSourceDups _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2473,5 +2568,7 @@ object ExtQueries {
     "q28_approx_distinct" -> q28Sql,
     "q86_bigram_lm" -> q86Sql,
     "q87_quantile_norm" -> q87Sql,
-    "q88_contamination_frac" -> q88Sql)
+    "q88_contamination_frac" -> q88Sql,
+    "q89_scd2_snapshot" -> q89Sql,
+    "q90_cross_source_dups" -> q90Sql)
 }

@@ -43,6 +43,31 @@ class MergeSpec extends SparkSpec {
     assert(out == Map(1L -> (3L, "new", 30.0), 2L -> (7L, "only", 70.0)))
   }
 
+  test("scd2 intervals partition each key's timeline; snapshot picks the effective version") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"), // three versions
+      (2L, 25L, "x")) // single (current) version
+      .toDF("id", "ts", "payload")
+    val hist = Merge.scd2(changes, Seq("id"), "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getString(2)))
+      .toSet
+    // adjacent, gap-free, open-ended last interval per key
+    assert(hist == Set(
+      (1L, 10L, Some(20L), "a"), (1L, 20L, Some(30L), "b"), (1L, 30L, None, "c"),
+      (2L, 25L, None, "x")), s"got $hist")
+
+    def snapAt(at: Long): Map[Long, String] =
+      Merge.asOfSnapshot(Merge.scd2(changes, Seq("id"), "ts"), lit(at))
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(snapAt(15L) == Map(1L -> "a")) // key 2 not yet born
+    assert(snapAt(25L) == Map(1L -> "b", 2L -> "x"))
+    assert(snapAt(20L) == Map(1L -> "b")) // boundary: valid_from inclusive
+    assert(snapAt(999L) == Map(1L -> "c", 2L -> "x")) // open versions match forever
+  }
+
   test("upsert plans as anti join + union — no nested loop, aggregate-free") {
     import spark.implicits._
     val target = (0L until 100L).map(i => (i, i.toString)).toDF("id", "v")
