@@ -129,6 +129,40 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_shingles"), 6))
   }
 
+  /** Bloom-pruned decontamination: the training documents that share NO
+    * word n-gram shingle with the eval corpus — i.e. the clean set q58/q88
+    * would keep.
+    *
+    * The eval side's distinct shingle hashes build a [[BloomFilter]]
+    * (`df.stat.bloomFilter` — a distributed OR-merge, sketch size set by
+    * item count and `fpp`, independent of corpus size). Training shingles
+    * stream through the filter *before* the exact semi-join, so at 100 TB
+    * only the ~`fpp` false-positive fraction of clean shingles (plus true
+    * hits) pays the join shuffle; everything else is eliminated scan-side by
+    * a codegen'd bit probe. Blooms have no false negatives and the exact
+    * join removes false positives, so the result is value-identical to the
+    * plain anti-join. The two small jobs against the eval side (count +
+    * sketch build) are bounded by the benchmark corpus, which is the small
+    * side by construction.
+    */
+  def bloomClean(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
+      fpp: Double = 0.03): DataFrame = {
+    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
+          .as("h"))
+    val evalHashes = hashes(evalDocs).select("h").distinct()
+    val nEval = math.max(evalHashes.count(), 1L)
+    val bloom = evalHashes.stat.bloomFilter("h", nEval, fpp)
+    val contaminated = hashes(train)
+      .filter(graft.functions.BloomMightContain.of(bloom, col("h")))
+      .join(evalHashes, "h")
+      .select("doc_id").distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle
     * hash (documents sharing their rarest-hashed shingle collide; a cheap
     * single-key block that catches all high-Jaccard pairs with 3-gram

@@ -22,6 +22,32 @@ object Sampling {
     df.filter(pmod(graft.functions.H60.of(id.cast("string")), lit(10000)) < rateBp)
   }
 
+  /** Deterministic fixed-size per-key sample: the `k` rows with the lowest
+    * `h60(id)` in each key group (ties broken by `idCol`), ranked 1..k.
+    *
+    * Bottom-k-by-hash IS a uniform without-replacement reservoir sample —
+    * the hash imposes a random but *stable* order, so unlike reservoir
+    * algorithms seeded per partition, the selected set is independent of
+    * partitioning, file splits, and engine. Executed via the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator: each input partition forwards at
+    * most k rows per key (map-side partial top-k), so the shuffle moves
+    * ≤ k·keys·partitions rows — never a full per-key sort, never a
+    * one-task-per-key window. The per-key quota variant with an arbitrary
+    * caller order lives in [[quotaSample]]-style q82; this one fixes the
+    * order to the sampling hash. */
+  def bottomKPerKey(df: DataFrame, keys: Seq[String], idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.plans.TopKPerKey(
+      df.withColumn("__h", graft.functions.H60.of(col(idCol).cast("string"))),
+      keys = keys,
+      order = Seq(
+        graft.plans.TopKPerKey.Order("__h"),
+        graft.plans.TopKPerKey.Order(idCol)),
+      k = k)
+      .drop("__h")
+  }
+
   /** Stratified variant: per-stratum rates in basis points, `defaultBp` for
     * strata not in the map. Downsampling hot strata (e.g. boilerplate-heavy
     * sources) while keeping rare ones is the standard corpus-balancing

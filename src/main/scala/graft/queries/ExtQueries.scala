@@ -2409,6 +2409,84 @@ object ExtQueries {
       |FROM j GROUP BY source_1, source_2
       |ORDER BY source_1, source_2""".stripMargin
 
+  // ---------------------------------------------------------------- Q91
+  /** Bloom-pruned decontamination ([[graft.ops.Dedup.bloomClean]]): the
+    * clean training set — documents sharing no 3-gram shingle with the eval
+    * split. The eval shingles build a `stat.bloomFilter` sketch; training
+    * shingles stream through the codegen'd
+    * [[graft.functions.BloomMightContain]] probe before the exact
+    * semi-join, so only bloom hits pay the shuffle. No false negatives +
+    * exact confirm ⇒ value-identical to the plain anti-join the oracle
+    * runs. */
+  def q91BloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val aug = augDocs(s, dir)
+    val isEval = col("doc_id") % 7 === 0 && col("doc_id") < 1000000L
+    graft.ops.Dedup.bloomClean(aug.filter(!isEval), aug.filter(isEval))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH $augDocsSql,
+      |sh AS (SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)
+      |  WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+      |ev AS (SELECT DISTINCT h FROM ex WHERE doc_id % 7 = 0 AND doc_id < 1000000),
+      |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN ev USING (h)
+      |        WHERE NOT (ex.doc_id % 7 = 0 AND ex.doc_id < 1000000))
+      |SELECT doc_id FROM aug
+      |WHERE NOT (doc_id % 7 = 0 AND doc_id < 1000000)
+      |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q92
+  /** Count-Min sketch frequency estimation ([[graft.ops.Sketch.cmsTopKeys]]):
+    * the 10 heaviest users by event count, with the CMS estimate checked
+    * against its published guarantee in-engine (est ≥ exact and
+    * est ≤ exact + eps·N) — the q28 pattern applied to a frequency sketch:
+    * value columns are exact and engine-agnostic, the sketch is exercised
+    * and bounded. One treeAggregate pass builds the sketch; probes are
+    * reference-object lookups on the 10 surviving rows. */
+  def q92CmsFreq(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketch.cmsTopKeys(
+      t(s, dir, "events").select("user_id"), "user_id", k = 10)
+      .orderBy(col("exact_n").desc, col("user_id"))
+
+  val q92Sql: String =
+    """SELECT user_id, exact_n, TRUE AS within_tol FROM (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      |  FROM events GROUP BY user_id
+      |  ORDER BY exact_n DESC, user_id LIMIT 10) t
+      |ORDER BY exact_n DESC, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q93
+  /** Deterministic per-key reservoir sample
+    * ([[graft.ops.Sampling.bottomKPerKey]]): exactly 20 events per type,
+    * selected by lowest h60(event_id) — a uniform without-replacement
+    * sample whose membership is independent of partitioning and engine.
+    * Runs on the bounded-heap TopKPerKey operator (map-side partial top-k,
+    * shuffle ≤ k·keys·partitions rows), not a one-task-per-key window. */
+  def q93ReservoirSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.bottomKPerKey(
+      t(s, dir, "events").select("event_id", "event_type", "user_id"),
+      keys = Seq("event_type"), idCol = "event_id", k = 20)
+      .select("event_type", "event_id", "user_id", "rn")
+      .orderBy("event_type", "rn")
+
+  val q93Sql: String =
+    """SELECT event_type, event_id, user_id, rn FROM (
+      |  SELECT event_type, event_id, user_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT,
+      |               event_id) AS rn
+      |  FROM events) t
+      |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2488,7 +2566,10 @@ object ExtQueries {
     "q87_quantile_norm" -> (q87QuantileNorm _),
     "q88_contamination_frac" -> (q88ContaminationFrac _),
     "q89_scd2_snapshot" -> (q89Scd2Snapshot _),
-    "q90_cross_source_dups" -> (q90CrossSourceDups _))
+    "q90_cross_source_dups" -> (q90CrossSourceDups _),
+    "q91_bloom_decontam" -> (q91BloomDecontam _),
+    "q92_cms_freq" -> (q92CmsFreq _),
+    "q93_reservoir_sample" -> (q93ReservoirSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2570,5 +2651,8 @@ object ExtQueries {
     "q87_quantile_norm" -> q87Sql,
     "q88_contamination_frac" -> q88Sql,
     "q89_scd2_snapshot" -> q89Sql,
-    "q90_cross_source_dups" -> q90Sql)
+    "q90_cross_source_dups" -> q90Sql,
+    "q91_bloom_decontam" -> q91Sql,
+    "q92_cms_freq" -> q92Sql,
+    "q93_reservoir_sample" -> q93Sql)
 }

@@ -21,6 +21,43 @@ class SamplingSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
   }
 
+  test("bottomKPerKey: exactly k per key, partition-independent, equals the window form") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "event_type", "user_id")
+    val k = 7
+    val s1 = Sampling.bottomKPerKey(events, Seq("event_type"), "event_id", k)
+    val rows = s1.collect()
+    val perKey = rows.groupBy(_.getString(1)).map { case (t, rs) => t -> rs.length }
+    val groupSizes = events.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perKey.foreach { case (t, n) =>
+      assert(n == math.min(k.toLong, groupSizes(t)), s"$t: got $n rows")
+    }
+    // ranks are 1..n and dense within each key
+    rows.groupBy(_.getString(1)).foreach { case (t, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length),
+        s"$t ranks not dense")
+    }
+    // stable under repartitioning (the point of hash-ordered sampling)
+    val s2 = Sampling.bottomKPerKey(
+      events.repartition(13), Seq("event_type"), "event_id", k)
+      .select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(s2 == rows.map(r => (r.getString(1), r.getLong(0))).toSet,
+      "sample membership changed under repartitioning")
+    // equals the declarative window formulation
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type")
+      .orderBy(graft.functions.H60.of(col("event_id").cast("string")),
+        col("event_id"))
+    val viaWindow = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("event_type", "event_id", "rn").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaWindow == rows.map(r =>
+      (r.getString(1), r.getLong(0), r.getAs[Int]("rn"))).toSet)
+  }
+
   test("stratified rates apply per stratum; 0 and 10000 are exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Sampling.stratifiedHashSample(
