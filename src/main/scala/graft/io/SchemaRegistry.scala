@@ -9,10 +9,11 @@ import org.apache.avro.Schema
   * cache (/root/reference/services/kafka_event_publisher.py:24-40). The
   * engine depends only on this trait — id assignment on the produce path,
   * id → schema resolution on the consume path — so the transport is
-  * pluggable: an HTTP registry client implements the same two calls against
-  * `POST /subjects/{subject}/versions` and `GET /schemas/ids/{id}` (not
-  * shipped here: zero-egress sandbox), while [[InMemorySchemaRegistry]]
-  * provides the complete semantics for tests and local pipelines.
+  * pluggable: [[HttpSchemaRegistry]] implements the same two calls against
+  * `POST /subjects/{subject}/versions` and `GET /schemas/ids/{id}` over
+  * in-JDK `java.net.http` (spec'd against a loopback mock registry), while
+  * [[InMemorySchemaRegistry]] provides the semantics for tests and local
+  * pipelines.
   */
 trait SchemaResolver extends Serializable {
 
