@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * `javax.imageio`, so [[decodeImageBatch]] / [[resizeImageBatch]] read
   * actual pixels and re-encode actual PNGs on the executors — no display,
   * no native libs ([[java.awt.image.BufferedImage]] is headless-safe).
-  * AUDIO/VIDEO codecs don't exist in-JDK, so the generic byte-level kernels
-  * ([[FakeDecoded]], fixed-stride [[frameSample]]) remain clearly-marked
-  * deterministic stand-ins. Everything Spark-side is real in both cases:
+  * AUDIO decodes for real too: `javax.sound.sampled` ships WAV/AIFF/AU
+  * container parsing and PCM/ULAW/ALAW codecs, so [[decodeAudioBatch]]
+  * measures actual samples. VIDEO codecs don't exist in-JDK, so the generic
+  * byte-level kernels ([[FakeDecoded]], fixed-stride [[frameSample]])
+  * remain clearly-marked deterministic stand-ins for that modality.
+  * Everything Spark-side is real in all cases:
   * the schema shape (payload + struct metadata), partition-batched
   * processing through `mapPartitions` on a typed Dataset (the Scala analog
   * of `mapInPandas` — one iterator per partition, amortized per-batch
@@ -186,6 +189,71 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Real per-clip audio decode result: container/stream facts plus
+    * amplitude stats from the actual samples ([-1, 1] normalized). Like
+    * [[ImageStats]], `ok = false` rows carry -1 facts — corrupt payloads
+    * are data, not task failures. */
+  case class AudioStats(
+      doc_id: Long,
+      ok: Boolean,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      rms: Double,
+      peak: Double)
+
+  /** REAL audio decode via in-JDK `javax.sound.sampled` (WAV/AIFF/AU
+    * containers; PCM plus the JDK's ULAW/ALAW converters): batched per
+    * partition, amplitude stats from the decoded 16-bit samples. Non-PCM
+    * or non-16-bit streams are converted through `AudioSystem` before
+    * measuring, so 8-bit and companded WAVs measure identically to their
+    * 16-bit PCM renditions. Only video now lacks an in-JDK codec. */
+  def decodeAudioBatch(media: DataFrame): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => decodeAudioOne(id, bytes) }
+      }
+  }
+
+  private def decodeAudioOne(id: Long, bytes: Array[Byte]): AudioStats = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val raw = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = raw.getFormat
+      val pcm16 = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED, f.getSampleRate, 16,
+        f.getChannels, 2 * f.getChannels, f.getSampleRate, false)
+      val in =
+        if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          f.getSampleSizeInBits == 16 && !f.isBigEndian) raw
+        else AudioSystem.getAudioInputStream(pcm16, raw)
+      val data = in.readAllBytes()
+      val nSamples = data.length / 2
+      var sumSq = 0.0
+      var peak = 0.0
+      var i = 0
+      while (i < nSamples) {
+        // little-endian signed 16-bit
+        val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort
+        val v = s / 32768.0
+        sumSq += v * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        i += 1
+      }
+      val ch = in.getFormat.getChannels
+      val frames = nSamples.toLong / math.max(ch, 1)
+      val rate = in.getFormat.getSampleRate.toInt
+      AudioStats(id, ok = true, rate, ch, frames,
+        if (rate > 0) frames * 1000L / rate else -1,
+        if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0, peak)
+    } catch {
+      case _: Exception => AudioStats(id, ok = false, -1, -1, -1L, -1L, 0.0, 0.0)
+    }
   }
 
   /** STUB resize: keep every `factor`-th payload byte (a real kernel would
