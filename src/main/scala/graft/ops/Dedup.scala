@@ -141,9 +141,11 @@ object Dedup {
     * hits) pays the join shuffle; everything else is eliminated scan-side by
     * a codegen'd bit probe. Blooms have no false negatives and the exact
     * join removes false positives, so the result is value-identical to the
-    * plain anti-join. The two small jobs against the eval side (count +
-    * sketch build) are bounded by the benchmark corpus, which is the small
-    * side by construction.
+    * plain anti-join. The eval shingle set is materialized once
+    * (`localCheckpoint`, the Cluster.scala pattern) and reused by all three
+    * of its consumers — the size count, the sketch build, and the exact
+    * confirm join — so the eval corpus (the small side by construction) is
+    * shingled exactly once, not three times.
     */
   def bloomClean(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
       fpp: Double = 0.03): DataFrame = {
@@ -153,7 +155,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
           .as("h"))
-    val evalHashes = hashes(evalDocs).select("h").distinct()
+    val evalHashes = hashes(evalDocs).select("h").distinct().localCheckpoint()
     val nEval = math.max(evalHashes.count(), 1L)
     val bloom = evalHashes.stat.bloomFilter("h", nEval, fpp)
     val contaminated = hashes(train)

@@ -85,4 +85,36 @@ object TextOps {
     val inter = size(array_intersect(da, db))
     (inter.cast("double") / (size(da) + size(db) - inter))
   }
+
+  /** Content-defined chunking over `(doc_id, text)` rows: a token starts a
+    * new chunk when the rolling `gram`-token hash ≡ 0 (mod `modulus`) —
+    * boundaries depend only on local content, so an edit re-chunks O(1)
+    * chunks while fixed-stride windows (q51) re-chunk the whole document.
+    * Expected chunk length ≈ `modulus` tokens. The gram is sliced from the
+    * kept token array at explode time (no lead-window passes); the only
+    * window is the per-doc boundary cumsum, keyed by doc_id so chunking
+    * parallelizes across documents. Output: one row per (doc_id, chunk_id)
+    * with the token count and an order-pinned md5 fingerprint.
+    */
+  def cdcChunks(docs: org.apache.spark.sql.DataFrame, gram: Int = 4,
+      modulus: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(gram >= 2 && modulus >= 2, "gram/modulus must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        (col("pos") > 0 && col("pos") + (gram - 1) < size(col("toks")) &&
+          pmod(h60(concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(gram)))),
+            lit(modulus)) === 0).as("b"))
+      .withColumn("chunk_id", sum(col("b").cast("long")).over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")))).as("chunk_md5"))
+  }
 }

@@ -2487,6 +2487,72 @@ object ExtQueries {
       |  FROM events) t
       |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin
 
+  // ---------------------------------------------------------------- Q94
+  /** Per-user behavioral history construction — the sequence-building step
+    * of agent/recommendation training data: each user's full event-type
+    * sequence in (ts, event_id) order, fingerprinted, with span facts. One
+    * groupBy(user) shuffle carrying only the narrow sequence columns;
+    * ordering happens inside the aggregate via `array_sort` over
+    * (us, event_id, type) structs, so no per-user window pass and no
+    * assumption about input order. Per-user state is bounded by that
+    * user's activity; the streaming analog is the watermarked q13
+    * sessionizer. The md5 fingerprint keeps rows narrow while still
+    * hash-pinning the exact order cross-engine. */
+  def q94UserHistory(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("first_us"),
+        max("us").as("last_us"),
+        md5(concat_ws(">",
+          transform(
+            array_sort(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")))).as("seq_md5"))
+      .orderBy("user_id")
+
+  val q94Sql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(epoch_ns(ts) // 1000) AS first_us,
+      |  MAX(epoch_ns(ts) // 1000) AS last_us,
+      |  md5(string_agg(event_type, '>'
+      |    ORDER BY epoch_ns(ts) // 1000, event_id)) AS seq_md5
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q95
+  /** Content-defined chunking: chunk boundaries where the rolling 4-gram
+    * hash ≡ 0 (mod 32) — the shift-invariant splitting storage dedup and
+    * incremental-corpus pipelines use, where q51's fixed-stride windows
+    * would re-chunk an entire document after a one-token insertion. The
+    * 4-gram is sliced from the kept token array at explode time (no lead
+    * windows); the only window is the per-doc boundary cumsum, keyed by
+    * doc_id so chunking parallelizes across documents at any scale. */
+  def q95CdcChunks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextOps.cdcChunks(
+      t(s, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q95Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, i - 1 AS pos, t[i] AS tok,
+      |    (i > 1 AND i + 3 <= len(t) AND
+      |     ('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]),
+      |       1, 15))::BIGINT % 32 = 0) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |    UNNEST(range(1, len(t) + 1)) AS u(i)),
+      |ch AS (
+      |  SELECT doc_id, pos, tok,
+      |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS chunk_id
+      |  FROM tok)
+      |SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      |FROM ch GROUP BY doc_id, chunk_id
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2569,7 +2635,9 @@ object ExtQueries {
     "q90_cross_source_dups" -> (q90CrossSourceDups _),
     "q91_bloom_decontam" -> (q91BloomDecontam _),
     "q92_cms_freq" -> (q92CmsFreq _),
-    "q93_reservoir_sample" -> (q93ReservoirSample _))
+    "q93_reservoir_sample" -> (q93ReservoirSample _),
+    "q94_user_history" -> (q94UserHistory _),
+    "q95_cdc_chunks" -> (q95CdcChunks _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2654,5 +2722,7 @@ object ExtQueries {
     "q90_cross_source_dups" -> q90Sql,
     "q91_bloom_decontam" -> q91Sql,
     "q92_cms_freq" -> q92Sql,
-    "q93_reservoir_sample" -> q93Sql)
+    "q93_reservoir_sample" -> q93Sql,
+    "q94_user_history" -> q94Sql,
+    "q95_cdc_chunks" -> q95Sql)
 }
