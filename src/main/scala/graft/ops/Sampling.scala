@@ -48,6 +48,31 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Weighted sampling WITHOUT replacement, integer-exact and
+    * engine-agnostic: each row draws `weight` independent 60-bit hash
+    * priorities (`h60(id + "#" + i)`) and keeps the minimum; the global
+    * `k` lowest priorities are the sample. Min-of-w-uniform-draws is the
+    * Efraimidis–Spirakis exponential-key scheme with the float math
+    * replaced by integer hashing, so selection is reproducible across
+    * engines, runs, and partitionings — no `pow`/`ln` cross-engine float
+    * drift. Row amplification equals the weight (caller keeps weights
+    * small ints, e.g. quality tiers). The priority is a per-row
+    * `array_min` over the hashed unit draws — no explode, no group-by: the
+    * only distributed work is the global top-k, which collapses to
+    * TakeOrderedAndProject (per-partition k, never a full sort). Higher
+    * weight ⇒ proportionally higher inclusion probability. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    df
+      .withColumn("priority", array_min(transform(
+        sequence(lit(1), weight.cast("int")),
+        i => graft.functions.H60.of(
+          concat(id.cast("string"), lit("#"), i.cast("string"))))))
+      .orderBy(col("priority"), id)
+      .limit(k)
+  }
+
   /** Stratified variant: per-stratum rates in basis points, `defaultBp` for
     * strata not in the map. Downsampling hot strata (e.g. boilerplate-heavy
     * sources) while keeping rare ones is the standard corpus-balancing

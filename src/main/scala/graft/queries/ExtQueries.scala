@@ -2553,6 +2553,70 @@ object ExtQueries {
       |FROM ch GROUP BY doc_id, chunk_id
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q96
+  /** Approximate percentile under its published guarantee — the q28/q92
+    * sketch pattern applied to quantiles: per priority bucket, the exact
+    * interpolated median is the oracle column while `approx_percentile`
+    * (a mergeable KLL-style summary whose size is set by `accuracy`, not
+    * row count — the 100 TB path where exact `percentile` shuffles every
+    * value) is bounded in-engine against the exact ±2ε-rank quantiles.
+    * The sketch guarantees a data value within ε·n RANKS of the target;
+    * `percentile` interpolates on the (n−1)-rank convention, so the band
+    * doubles ε to absorb the one-rank convention slack — which bites when
+    * ε·n is single-digit, while at 100 TB the band is still ±0.4%. */
+  def q96ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val eps = 2.0 / 1000 // 2 × the rank error at approx_percentile accuracy 1000
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median"),
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("apx"),
+        expr(s"percentile(o_totalprice, 0.5 - $eps)").as("lo"),
+        expr(s"percentile(o_totalprice, 0.5 + $eps)").as("hi"))
+      .select(
+        col("o_orderpriority"),
+        col("median"),
+        col("n"),
+        (col("apx") >= col("lo") && col("apx") <= col("hi")).as("within_tol"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q96Sql: String =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS median,
+      |  COUNT(*) AS n, TRUE AS within_tol
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q97
+  /** Quality-weighted corpus sampling without replacement
+    * ([[graft.ops.Sampling.weightedSample]]): longer documents weigh more
+    * (tier 1–5 from n_chars), 50 winners by minimum hashed unit draw —
+    * Efraimidis–Spirakis with integer hashing instead of pow/ln floats,
+    * so the selected set is identical in every engine and partitioning.
+    * The priority is a per-row array_min (no explode/shuffle); the global
+    * top-50 collapses to TakeOrderedAndProject. */
+  def q97WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(1 + LEAST(4, n_chars DIV 500) AS BIGINT)").as("w"))
+    graft.ops.Sampling.weightedSample(docs, col("doc_id"), col("w"), k = 50)
+      .orderBy("priority", "doc_id")
+  }
+
+  val q97Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, CAST(1 + LEAST(4, n_chars // 500) AS BIGINT) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, w,
+      |    list_min(list_transform(range(1, w + 1),
+      |      i -> ('0x' || substr(md5(doc_id::VARCHAR || '#' || i::VARCHAR),
+      |        1, 15))::BIGINT)) AS priority
+      |  FROM u)
+      |SELECT doc_id, w, priority FROM p
+      |ORDER BY priority, doc_id LIMIT 50""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2637,7 +2701,9 @@ object ExtQueries {
     "q92_cms_freq" -> (q92CmsFreq _),
     "q93_reservoir_sample" -> (q93ReservoirSample _),
     "q94_user_history" -> (q94UserHistory _),
-    "q95_cdc_chunks" -> (q95CdcChunks _))
+    "q95_cdc_chunks" -> (q95CdcChunks _),
+    "q96_approx_percentile" -> (q96ApproxPercentile _),
+    "q97_weighted_sample" -> (q97WeightedSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2724,5 +2790,7 @@ object ExtQueries {
     "q92_cms_freq" -> q92Sql,
     "q93_reservoir_sample" -> q93Sql,
     "q94_user_history" -> q94Sql,
-    "q95_cdc_chunks" -> q95Sql)
+    "q95_cdc_chunks" -> q95Sql,
+    "q96_approx_percentile" -> q96Sql,
+    "q97_weighted_sample" -> q97Sql)
 }

@@ -58,6 +58,33 @@ class SamplingSpec extends SparkSpec {
       (r.getString(1), r.getLong(0), r.getAs[Int]("rn"))).toSet)
   }
 
+  test("weightedSample: deterministic, partition-independent, weight-biased, hash-exact") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        expr("CAST(1 + LEAST(4, n_chars DIV 500) AS BIGINT)").as("w"))
+    val k = 100
+    val s1 = Sampling.weightedSample(docs, col("doc_id"), col("w"), k).collect()
+    val s2 = Sampling.weightedSample(
+      docs.repartition(13), col("doc_id"), col("w"), k)
+      .collect()
+    assert(s1.map(_.getLong(0)).toSeq == s2.map(_.getLong(0)).toSeq,
+      "selection changed under repartitioning")
+    assert(s1.length == k)
+    // priorities are exactly min over the hashed unit draws (hash-exact)
+    val h = graft.functions.H60Util
+    s1.take(20).foreach { r =>
+      val (id, w, p) = (r.getLong(0), r.getLong(1), r.getAs[Long]("priority"))
+      val expected = (1L to w).map(i =>
+        h.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s"$id#$i"))).min
+      assert(p == expected, s"doc $id priority $p != $expected")
+    }
+    // weight bias: the sampled mean weight exceeds the population mean
+    val popMean = docs.agg(avg("w")).collect().head.getDouble(0)
+    val sampleMean = s1.map(_.getLong(1)).sum.toDouble / k
+    assert(sampleMean > popMean,
+      s"no weight bias: sample mean $sampleMean vs population $popMean")
+  }
+
   test("stratified rates apply per stratum; 0 and 10000 are exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Sampling.stratifiedHashSample(
