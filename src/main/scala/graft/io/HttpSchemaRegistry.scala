@@ -38,27 +38,43 @@ final class HttpSchemaRegistry(
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  override def register(subject: String, schema: Schema): Int =
-    idCache.computeIfAbsent((subject, schema.toString), { _ =>
-      val body = s"""{"schema": ${JsonStr.quote(schema.toString)}}"""
-      val resp = send(HttpRequest.newBuilder(
-          URI.create(s"$base/subjects/${urlEnc(subject)}/versions"))
-        .timeout(timeout)
-        .header("Content-Type", "application/vnd.schemaregistry.v1+json")
-        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-        .build())
-      Integer.valueOf(JsonStr.intField(resp, "id"))
-    }).intValue()
+  // Network I/O stays OUTSIDE the cache's computeIfAbsent: a blocking fetch
+  // inside the mapping function would hold the map bin for up to the full
+  // timeout and stall unrelated keys that hash to it. The check-fetch-put
+  // race can at most duplicate a round-trip; Confluent ids are stable per
+  // (subject, schema), so both racers cache the same value.
+
+  override def register(subject: String, schema: Schema): Int = {
+    val key = (subject, schema.toString)
+    val cached = idCache.get(key)
+    if (cached != null) return cached.intValue()
+    val body = s"""{"schema": ${JsonStr.quote(schema.toString)}}"""
+    val resp = send(HttpRequest.newBuilder(
+        URI.create(s"$base/subjects/${urlEnc(subject)}/versions"))
+      .timeout(timeout)
+      .header("Content-Type", "application/vnd.schemaregistry.v1+json")
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .build())
+    val id = Integer.valueOf(JsonStr.intField(resp, "id"))
+    idCache.putIfAbsent(key, id)
+    id.intValue()
+  }
 
   override def schemaById(id: Int): Schema = {
-    val json = schemaCache.computeIfAbsent(Integer.valueOf(id), { _ =>
-      val resp = send(HttpRequest.newBuilder(
-          URI.create(s"$base/schemas/ids/$id"))
-        .timeout(timeout)
-        .GET()
-        .build())
-      JsonStr.strField(resp, "schema")
-    })
+    val key = Integer.valueOf(id)
+    val cached = schemaCache.get(key)
+    val json =
+      if (cached != null) cached
+      else {
+        val resp = send(HttpRequest.newBuilder(
+            URI.create(s"$base/schemas/ids/$id"))
+          .timeout(timeout)
+          .GET()
+          .build())
+        val s = JsonStr.strField(resp, "schema")
+        schemaCache.putIfAbsent(key, s)
+        s
+      }
     new Schema.Parser().parse(json)
   }
 
@@ -113,9 +129,13 @@ private[io] object JsonStr {
             case 'n' => b.append('\n'); j += 2
             case 'r' => b.append('\r'); j += 2
             case 't' => b.append('\t'); j += 2
+            case 'b' => b.append('\b'); j += 2
+            case 'f' => b.append('\f'); j += 2
             case 'u' =>
               b.append(Integer.parseInt(json.substring(j + 2, j + 6), 16).toChar)
               j += 6
+            // RFC 8259 only allows \" \\ \/ beyond the above — pass the
+            // escaped char through verbatim for all three
             case c => b.append(c); j += 2
           }
         case c => b.append(c); j += 1
@@ -129,7 +149,8 @@ private[io] object JsonStr {
     val k = json.indexOf(key)
     require(k >= 0, s"no field $name in: $json")
     var i = k + key.length
-    while (json.charAt(i) == ' ' || json.charAt(i) == ':') i += 1
+    // pretty-printing registries put arbitrary whitespace around the colon
+    while (json.charAt(i) == ':' || Character.isWhitespace(json.charAt(i))) i += 1
     i
   }
 }

@@ -87,15 +87,21 @@ object Dedup {
     * Cf. /root/reference — no decontamination exists there; this is part of
     * the training-pipeline surface the rebuild adds.
     */
-  def shingleOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
-    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
+  /** Distinct (doc_id, shingle-hash) pairs — the shared candidate-set shape
+    * of the three decontamination variants. ONE definition so tokenization,
+    * the ≥n filter, and the hash family cannot drift between q58/q88/q91
+    * and their oracle SQL. */
+  private def docShingleHashes(df: DataFrame, n: Int): DataFrame =
+    Scale.ensureParallelism(df)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
           .as("h"))
-    val evalHashes = hashes(evalDocs).select("h").distinct()
-    hashes(train)
+
+  def shingleOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
+    val evalHashes = docShingleHashes(evalDocs, n).select("h").distinct()
+    docShingleHashes(train, n)
       .join(evalHashes, "h") // per-doc hashes already distinct ⇒ count = distinct shared
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -111,15 +117,9 @@ object Dedup {
     * clean documents keep frac = 0 rows instead of vanishing. */
   def shingleOverlapFraction(train: DataFrame, evalDocs: DataFrame,
       n: Int = 3): DataFrame = {
-    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
-          .as("h"))
-    val evalHashes = hashes(evalDocs).select("h").distinct()
+    val evalHashes = docShingleHashes(evalDocs, n).select("h").distinct()
       .withColumn("__hit", lit(1L))
-    hashes(train)
+    docShingleHashes(train, n)
       .join(evalHashes, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
@@ -149,16 +149,11 @@ object Dedup {
     */
   def bloomClean(train: DataFrame, evalDocs: DataFrame, n: Int = 3,
       fpp: Double = 0.03): DataFrame = {
-    def hashes(df: DataFrame) = Scale.ensureParallelism(df)
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
-          .as("h"))
-    val evalHashes = hashes(evalDocs).select("h").distinct().localCheckpoint()
+    val evalHashes = docShingleHashes(evalDocs, n).select("h").distinct()
+      .localCheckpoint()
     val nEval = math.max(evalHashes.count(), 1L)
     val bloom = evalHashes.stat.bloomFilter("h", nEval, fpp)
-    val contaminated = hashes(train)
+    val contaminated = docShingleHashes(train, n)
       .filter(graft.functions.BloomMightContain.of(bloom, col("h")))
       .join(evalHashes, "h")
       .select("doc_id").distinct()

@@ -132,18 +132,18 @@ object Multimodal {
           else {
             val w = img.getWidth
             val h = img.getHeight
+            // one bulk getRGB: per-pixel getRGB(x, y) pays bounds checks +
+            // ColorModel conversion per call — ~an order of magnitude more
+            // decode CPU for identical results on this hot path
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sr += (rgb >> 16) & 0xff
-                sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
+            var i = 0
+            while (i < px.length) {
+              val rgb = px(i)
+              sr += (rgb >> 16) & 0xff
+              sg += (rgb >> 8) & 0xff
+              sb += rgb & 0xff
+              i += 1
             }
             val n = w.toLong * h
             ImageStats(id, ok = true, w, h,

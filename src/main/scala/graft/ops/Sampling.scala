@@ -60,11 +60,15 @@ object Sampling {
     * `array_min` over the hashed unit draws — no explode, no group-by: the
     * only distributed work is the global top-k, which collapses to
     * TakeOrderedAndProject (per-partition k, never a full sort). Higher
-    * weight ⇒ proportionally higher inclusion probability. */
+    * weight ⇒ proportionally higher inclusion probability; rows with a
+    * null or sub-1 weight are EXCLUDED (weight 0 = drop) — without the
+    * filter, `sequence(1, 0)` would count DOWN and a null priority would
+    * sort ahead of every real one. */
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     df
+      .filter(weight.isNotNull && weight >= 1)
       .withColumn("priority", array_min(transform(
         sequence(lit(1), weight.cast("int")),
         i => graft.functions.H60.of(

@@ -104,9 +104,11 @@ object Scale {
     * low-cardinality groups (languages, sources) at 100 TB; this caps the
     * largest task at ~|group|/buckets. Result is identical to
     * `row_number() OVER (PARTITION BY group ORDER BY order, tie)`
-    * (asserted in ScaleSpec). Degenerate case: a group whose order values
-    * are all equal lands in one bucket — same as the naive window, no
-    * worse. */
+    * (asserted in ScaleSpec), INCLUDING null keys: a null group is a
+    * group (the joins are null-safe `<=>`), and null order values bucket
+    * to -1 so they rank first exactly like the window's ASC NULLS FIRST.
+    * Degenerate case: a group whose order values are all equal lands in
+    * one bucket — same as the naive window, no worse. */
   def groupedRank(
       df: DataFrame,
       groupCol: String,
@@ -118,11 +120,15 @@ object Scale {
     val ranges = df.groupBy(groupCol).agg(
       min(col(orderCol)).cast("double").as("__lo"),
       max(col(orderCol)).cast("double").as("__hi"))
-    val bucketed = df.join(broadcast(ranges), groupCol)
+      .withColumnRenamed(groupCol, "__g")
+    val bucketed = df
+      .join(broadcast(ranges), col(groupCol) <=> col("__g"))
+      .drop("__g")
       .withColumn("__b",
-        least(floor((col(orderCol).cast("double") - col("__lo")) /
-          greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
-          lit(buckets - 1)).cast("int"))
+        when(col(orderCol).isNull, lit(-1)).otherwise(
+          least(floor((col(orderCol).cast("double") - col("__lo")) /
+            greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
+            lit(buckets - 1))).cast("int"))
       .drop("__lo", "__hi")
     val local = bucketed.withColumn("__local",
       row_number().over(
@@ -137,9 +143,13 @@ object Scale {
           Window.partitionBy(groupCol).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__c")
-    local.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumnRenamed(groupCol, "__g")
+      .withColumnRenamed("__b", "__b2")
+    local
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__b") === col("__b2"))
       .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__b", "__local", "__off")
+      .drop("__g", "__b2", "__b", "__local", "__off")
   }
 
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each

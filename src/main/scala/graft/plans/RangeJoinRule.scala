@@ -147,9 +147,14 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (intervalSide.isStreaming) return None
     val maxBytes = BigInt(conf.getConfString(AutoMaxBytesKey,
       (1L << 30).toString).toLong)
-    // stats.sizeInBytes is the optimizer's own estimate; unknown leafs
-    // surface as a huge sentinel and are correctly skipped by the cap
-    if (intervalSide.stats.sizeInBytes > maxBytes) return None
+    // Gate on BOTH the subtree estimate and every leaf feeding it: an
+    // ungrouped aggregate estimates ~1 output row while still scanning a
+    // fact-sized input, and the plan-time job pays for the SCAN. Unknown
+    // leafs surface as a huge sentinel and are correctly skipped by the cap.
+    val leafMax = intervalSide.collectLeaves()
+      .map(_.stats.sizeInBytes).foldLeft(BigInt(0))(_.max(_))
+    if (intervalSide.stats.sizeInBytes > maxBytes || leafMax > maxBytes)
+      return None
     val len = Alias(Subtract(asLong(hi), asLong(lo)), "__len")()
     val lenPlan = Project(Seq(len), intervalSide)
     val key = lenPlan.canonicalized
@@ -232,8 +237,11 @@ object RangeJoinRule {
     * (cache misses). Test hook: asserts memoization — re-planning the same
     * query must not re-pay the job. Keyed by session so parallel suites
     * cannot pollute each other's counts. */
-  private val derivationCounts =
-    new ConcurrentHashMap[SparkSession, AtomicLong]()
+  // WEAK keys: a strong SparkSession key would pin closed sessions (and the
+  // canonicalized plans cached under them) for JVM lifetime in multi-session
+  // drivers — exactly the apps the session-bound constructor exists for.
+  private val derivationCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, AtomicLong]())
 
   private[plans] def derivationCount(s: SparkSession): AtomicLong =
     derivationCounts.computeIfAbsent(s, _ => new AtomicLong(0L))
@@ -242,8 +250,8 @@ object RangeJoinRule {
     * underivable: empty side, non-positive lengths). Bounded LRU per
     * session — a session touches a handful of interval relations, not
     * thousands; 64 entries is plenty and keeps retained plans small. */
-  private val widthCaches =
-    new ConcurrentHashMap[SparkSession, java.util.Map[LogicalPlan, Option[Long]]]()
+  private val widthCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Map[LogicalPlan, Option[Long]]]())
 
   private def widthCacheFor(s: SparkSession): java.util.Map[LogicalPlan, Option[Long]] =
     widthCaches.computeIfAbsent(s, _ =>

@@ -65,9 +65,12 @@ object Ingest {
     val parsed = spark.read.text(path)
       .select(col("value"), parse(col("value")).as("__parsed"))
     val corrupt = col(s"__parsed.$CorruptCol")
-    (parsed.filter(corrupt.isNull)
-      .select(col("__parsed.*")).drop(CorruptCol),
-      parsed.filter(corrupt.isNotNull)
-        .select(col("value").as(CorruptCol)))
+    // A literal `null` line (or blank line) parses to a NULL struct, whose
+    // corrupt field is also null — without the isNotNull guard such lines
+    // would masquerade as all-null "good" rows and the evidence would be
+    // lost, the exact failure mode this object exists to prevent.
+    val good = corrupt.isNull && col("__parsed").isNotNull
+    (parsed.filter(good).select(col("__parsed.*")).drop(CorruptCol),
+      parsed.filter(!good).select(col("value").as(CorruptCol)))
   }
 }

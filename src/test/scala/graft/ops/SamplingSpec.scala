@@ -83,6 +83,15 @@ class SamplingSpec extends SparkSpec {
     val sampleMean = s1.map(_.getLong(1)).sum.toDouble / k
     assert(sampleMean > popMean,
       s"no weight bias: sample mean $sampleMean vs population $popMean")
+    // weight 0 = drop, null = drop — without the guard, sequence(1, 0)
+    // counts DOWN and a null priority would sort ahead of every real row
+    import spark.implicits._
+    val tricky = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 0L), (3L, null), (4L, 1L))
+      .toDF("doc_id", "w")
+    val sel = Sampling.weightedSample(tricky, col("doc_id"), col("w"), 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 4L), s"weight<1/null rows must be excluded: $sel")
   }
 
   test("stratified rates apply per stratum; 0 and 10000 are exact") {

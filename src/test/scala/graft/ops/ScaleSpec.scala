@@ -75,6 +75,26 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("groupedRank keeps null group and null order keys, matching the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // null group = its own partition; null scores rank first (ASC NULLS
+    // FIRST) — both previously fell out of the inner equi-joins entirely
+    val df = Seq[(java.lang.Long, String, java.lang.Long)](
+      (1L, "a", 30L), (2L, "a", null), (3L, "a", 10L),
+      (4L, null, 7L), (5L, null, null), (6L, null, 9L),
+      (7L, "b", 5L))
+      .toDF("id", "grp", "score")
+    val expected = df.withColumn("rnk",
+      row_number().over(Window.partitionBy("grp").orderBy("score", "id"))
+        .cast("long"))
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Scale.groupedRank(df, "grp", "score", "id", "rnk", buckets = 4)
+      .select("id", "rnk").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected, s"null-key divergence: $actual vs $expected")
+    assert(actual.size == 7, "a null-keyed row was dropped")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse dir is a static conf, set in SparkSpec's builder
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -110,6 +110,18 @@ class RangeJoinRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
       val capped = spark.sql(rangeSql).queryExecution.executedPlan.toString
       assert(capped.contains("BroadcastNestedLoopJoin"),
         s"auto must not scan an interval side above the size cap:\n$capped")
+
+      // the gate must look THROUGH aggregates at the leaf scan: an
+      // ungrouped aggregate estimates ~1 output row but the plan-time job
+      // still pays for the full input scan
+      val aggPlan = spark.sql(
+        """SELECT p_id FROM pts JOIN (
+          |  SELECT MIN(lo) AS a_lo, MAX(hi) AS a_hi FROM ivs) b
+          |ON p >= a_lo AND p < a_hi""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(aggPlan.contains("BroadcastNestedLoopJoin"),
+        "auto must not scan a fact-sized leaf behind a tiny-output " +
+          s"aggregate:\n$aggPlan")
     } finally spark.conf.unset(RangeJoinRule.AutoMaxBytesKey)
   }
 

@@ -42,11 +42,14 @@ class FormatsSpec extends SparkSpec {
       """{"id": 1, "name": "alpha", "score": 0.5}""",
       """{"id": "NaN-id", "name": "bad", "score": 1.0}""", // type mismatch
       """{broken json""",
+      "null", // parses to a NULL struct — must quarantine, not pass as all-null
       """{"id": 2, "name": "beta", "score": 0.25}""")
     Files.write(java.nio.file.Paths.get(dir, "part.json"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val (good, bad) = Ingest.jsonWithQuarantine(spark, dir, schema)
-    assert(good.count() == 2 && bad.count() == 2)
+    assert(good.count() == 2 && bad.count() == 3)
+    assert(bad.select(Ingest.CorruptCol).collect().map(_.getString(0))
+      .contains("null"), "the literal null line must be quarantined verbatim")
     assert(good.select(collect_list("name")).collect().head
       .getSeq[String](0).toSet == Set("alpha", "beta"))
   }
