@@ -80,4 +80,42 @@ object Graph {
         col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Integer fixed-point PageRank over DIRECTED `(src, dst)` edges —
+    * damping 0.85, ranks scaled by `scale` and computed entirely in Long
+    * arithmetic (`pr DIV deg`, `(0.15·scale·100 + 85·Σcontrib) DIV 100`),
+    * so the result is order-independent and bit-identical across engines:
+    * float PageRank can never pass a cross-engine hash gate, this can.
+    * Cf. Page et al., "The PageRank citation ranking" (1999).
+    *
+    * Scale shape: the (edge ⋈ out-degree) relation is iteration-invariant
+    * and materialized ONCE (`localCheckpoint`); each iteration is then one
+    * equi-join on src plus one map-side-combined sum keyed by dst. Rank
+    * lineage is checkpointed every other round, the [[Cluster]] trade —
+    * iteration count is fixed by the caller, so total work is
+    * O(iters · |E|) with no driver-side data movement. Dangling nodes
+    * (no out-edges) simply leak their mass, the standard simplification;
+    * symmetric edge sets have none. */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(scale >= 100, s"scale must be >= 100 for the integer damping: $scale")
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outDeg, "src").localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    var pr = nodes.withColumn("pr", lit(scale))
+    for (i <- 1 to iters) {
+      val contrib = withDeg
+        .join(pr, col("src") === col("node"))
+        .select(col("dst"), expr("pr DIV deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      pr = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"(${15L * scale} + 85 * coalesce(sc, 0L)) DIV 100").as("pr"))
+      if (i % 2 == 0) pr = pr.localCheckpoint()
+    }
+    pr
+  }
 }

@@ -2617,6 +2617,58 @@ object ExtQueries {
       |SELECT doc_id, w, priority FROM p
       |ORDER BY priority, doc_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- Q98
+  /** Iterative graph analytics: 3 rounds of integer fixed-point PageRank
+    * ([[graft.ops.Graph.pageRank]]) over the q80 co-purchase graph (both
+    * directions of each undirected edge, so out-degree = degree and no
+    * dangling mass). All-Long arithmetic makes the ranks bit-identical
+    * across engines — the oracle unrolls the same three iterations as
+    * chained CTEs. Top 20 parts by rank, ties broken by id. */
+  private val q98Iters = 3
+
+  def q98PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("x").join(li.as("y"), "ok")
+      .filter(col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+    val directed = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+    graft.ops.Graph.pageRank(directed, iters = q98Iters)
+      .orderBy(col("pr").desc, col("node")).limit(20)
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  val q98Sql: String = {
+    val iterCtes = (1 to q98Iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    CAST((15000000 + 85 * COALESCE(s.sc, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT de.dst AS node, CAST(SUM(p.pr // deg.deg) AS BIGINT) AS sc
+         |    FROM de JOIN pr${i - 1} p ON de.src = p.node
+         |    JOIN deg ON de.src = deg.src
+         |    GROUP BY de.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |  WHERE l_orderkey % 10 = 0),
+       |e AS (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       |de AS (SELECT a AS src, b AS dst FROM e
+       |       UNION ALL SELECT b, a FROM e),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM de GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM de),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT node, pr FROM pr$q98Iters
+       |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2703,7 +2755,8 @@ object ExtQueries {
     "q94_user_history" -> (q94UserHistory _),
     "q95_cdc_chunks" -> (q95CdcChunks _),
     "q96_approx_percentile" -> (q96ApproxPercentile _),
-    "q97_weighted_sample" -> (q97WeightedSample _))
+    "q97_weighted_sample" -> (q97WeightedSample _),
+    "q98_pagerank" -> (q98PageRank _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2792,5 +2845,6 @@ object ExtQueries {
     "q94_user_history" -> q94Sql,
     "q95_cdc_chunks" -> q95Sql,
     "q96_approx_percentile" -> q96Sql,
-    "q97_weighted_sample" -> q97Sql)
+    "q97_weighted_sample" -> q97Sql,
+    "q98_pagerank" -> q98Sql)
 }

@@ -66,4 +66,26 @@ class GraphSpec extends SparkSpec {
     val shared = Graph.triangleCount(g, Graph.degrees(g)).collect().head.getLong(0)
     assert(direct == shared && direct == 2L)
   }
+
+  test("pageRank: hand-checked path graph, exact integer ranks, mass conserved") {
+    import spark.implicits._
+    // undirected path 1—2—3, both directions: deg(1)=deg(3)=1, deg(2)=2
+    val directed = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    // iter 1 by hand (S = 1e6): contrib(2) = 1e6 + 1e6; contrib(1) =
+    // contrib(3) = 1e6 DIV 2 = 5e5; pr = (15e6 + 85*sc) DIV 100
+    val r1 = Graph.pageRank(directed, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L), s"$r1")
+    // symmetric graph: no dangling nodes, so total mass is exactly 3S
+    assert(r1.values.sum == 3000000L)
+    // more iterations keep the endpoint symmetry and the center's lead
+    val r3 = Graph.pageRank(directed, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3(1L) == r3(3L) && r3(2L) > r3(1L))
+    // determinism under repartitioning (integer sums are order-blind)
+    val r3b = Graph.pageRank(directed.repartition(5), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r3b == r3)
+  }
 }
