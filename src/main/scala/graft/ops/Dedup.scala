@@ -76,17 +76,6 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHash32.of(col("th")))
       .select("doc_id", "simhash")
 
-  /** Benchmark decontamination: per training document, the number of
-    * distinct word n-gram shingles it shares with an evaluation/benchmark
-    * corpus (n_shared > 0 ⇒ contaminated; the caller drops or audits them).
-    *
-    * Both sides reduce to distinct (doc_id, shingle-hash) pairs, so the
-    * only shuffle is the equi-join on the 60-bit shingle hash — at 100 TB
-    * the eval side (benchmarks are small) collapses to a broadcast set and
-    * the training corpus streams through it; document bodies never move.
-    * Cf. /root/reference — no decontamination exists there; this is part of
-    * the training-pipeline surface the rebuild adds.
-    */
   /** Distinct (doc_id, shingle-hash) pairs — the shared candidate-set shape
     * of the three decontamination variants. ONE definition so tokenization,
     * the ≥n filter, and the hash family cannot drift between q58/q88/q91
@@ -99,6 +88,17 @@ object Dedup {
         explode(array_distinct(graft.functions.NgramHashes.of(col("toks"), n)))
           .as("h"))
 
+  /** Benchmark decontamination: per training document, the number of
+    * distinct word n-gram shingles it shares with an evaluation/benchmark
+    * corpus (n_shared > 0 ⇒ contaminated; the caller drops or audits them).
+    *
+    * Both sides reduce to distinct (doc_id, shingle-hash) pairs, so the
+    * only shuffle is the equi-join on the 60-bit shingle hash — at 100 TB
+    * the eval side (benchmarks are small) collapses to a broadcast set and
+    * the training corpus streams through it; document bodies never move.
+    * Cf. /root/reference — no decontamination exists there; this is part of
+    * the training-pipeline surface the rebuild adds.
+    */
   def shingleOverlap(train: DataFrame, evalDocs: DataFrame, n: Int = 3): DataFrame = {
     val evalHashes = docShingleHashes(evalDocs, n).select("h").distinct()
     docShingleHashes(train, n)

@@ -132,18 +132,25 @@ object Multimodal {
           else {
             val w = img.getWidth
             val h = img.getHeight
-            // one bulk getRGB: per-pixel getRGB(x, y) pays bounds checks +
-            // ColorModel conversion per call — ~an order of magnitude more
-            // decode CPU for identical results on this hot path
-            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            // row-strip bulk getRGB: per-pixel getRGB(x, y) pays bounds
+            // checks + ColorModel conversion per call (~10× decode CPU),
+            // while one full-image bulk call allocates w·h ints — a 1 GiB
+            // spike on a decompression-bomb PNG. One reused row buffer
+            // keeps the bulk-path speed at O(w) extra memory.
+            val buf = new Array[Int](w)
             var sr = 0L; var sg = 0L; var sb = 0L
-            var i = 0
-            while (i < px.length) {
-              val rgb = px(i)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              i += 1
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, buf, 0, w)
+              var x = 0
+              while (x < w) {
+                val rgb = buf(x)
+                sr += (rgb >> 16) & 0xff
+                sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
             }
             val n = w.toLong * h
             ImageStats(id, ok = true, w, h,

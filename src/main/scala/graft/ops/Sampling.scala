@@ -67,6 +67,13 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    // integral weights only: fractional weights (e.g. normalized 0.3/0.7)
+    // would silently fail the >= 1 gate row by row and sample nothing —
+    // reject the schema up front instead of losing the corpus quietly
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+    val wType = df.select(weight).schema.head.dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"weight must be an integral column (unit-draw replication), got $wType")
     df
       .filter(weight.isNotNull && weight >= 1)
       .withColumn("priority", array_min(transform(

@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
@@ -157,7 +156,13 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
       return None
     val len = Alias(Subtract(asLong(hi), asLong(lo)), "__len")()
     val lenPlan = Project(Seq(len), intervalSide)
-    val key = lenPlan.canonicalized
+    // Key by (semanticHash, treeString) of the canonicalized plan, NOT the
+    // plan object: a cached LogicalRelation/LogicalRDD value strongly
+    // references its SparkSession, which would reach the WeakHashMap key
+    // and defeat the session weak-keying. A key collision merely reuses a
+    // similar plan's width — widths affect performance only, never results.
+    val canon = lenPlan.canonicalized
+    val key = (canon.semanticHash(), canon.toString)
     val cached = widthCache.get(key)
     if (cached != null) return cached
     derivationCount(session).incrementAndGet()
@@ -251,14 +256,14 @@ object RangeJoinRule {
     * session — a session touches a handful of interval relations, not
     * thousands; 64 entries is plenty and keeps retained plans small. */
   private val widthCaches = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, java.util.Map[LogicalPlan, Option[Long]]]())
+    new java.util.WeakHashMap[SparkSession, java.util.Map[(Int, String), Option[Long]]]())
 
-  private def widthCacheFor(s: SparkSession): java.util.Map[LogicalPlan, Option[Long]] =
+  private def widthCacheFor(s: SparkSession): java.util.Map[(Int, String), Option[Long]] =
     widthCaches.computeIfAbsent(s, _ =>
       java.util.Collections.synchronizedMap(
-        new java.util.LinkedHashMap[LogicalPlan, Option[Long]](16, 0.75f, true) {
+        new java.util.LinkedHashMap[(Int, String), Option[Long]](16, 0.75f, true) {
           override def removeEldestEntry(
-              e: java.util.Map.Entry[LogicalPlan, Option[Long]]): Boolean =
+              e: java.util.Map.Entry[(Int, String), Option[Long]]): Boolean =
             size() > 64
         }))
 
