@@ -2669,6 +2669,118 @@ object ExtQueries {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q99
+  /** Corpus data-card report — the one-row statistics block every dataset
+    * release ships (docs/tokens/chars, language count, exact-dup rate,
+    * short-doc share, length percentiles), computed in a SINGLE aggregate
+    * over one scan (the `ops/Audit` shape: never one pass per metric at
+    * 100 TB). Rates in exact integer ppm (q81 idiom); token counts from
+    * the shared tokenizer. */
+  def q99CorpusReport(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(graft.ops.TextOps.tokens(col("text")))).cast("long")
+          .as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        // distinct on the 60-bit text hash, not the text: the distinct
+        // shuffle carries 8 bytes/doc instead of whole documents at 100 TB
+        countDistinct(graft.ops.TextOps.h60(col("text"))).as("n_unique_texts"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs) DIV (2 * n_docs)")
+          .as("dup_ppm"),
+        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * n_docs)")
+          .as("short_ppm"),
+        col("p50_chars"), col("p90_chars"))
+
+  val q99Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(COUNT(DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT)
+      |      AS BIGINT) AS n_unique_texts,
+      |    CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_short,
+      |    quantile_cont(n_chars, 0.5) AS p50_chars,
+      |    quantile_cont(n_chars, 0.9) AS p90_chars
+      |  FROM documents)
+      |SELECT n_docs, n_tokens, n_chars, n_langs,
+      |  CAST((2 * 1000000 * (n_docs - n_unique_texts) + n_docs)
+      |    // (2 * n_docs) AS BIGINT) AS dup_ppm,
+      |  CAST((2 * 1000000 * n_short + n_docs) // (2 * n_docs) AS BIGINT)
+      |    AS short_ppm,
+      |  p50_chars, p90_chars
+      |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- Q100
+  /** RFM consumer segmentation — the reference pipeline's actual business
+    * purpose (cf. /root/reference/README: consumer segmentation over the
+    * event stream), as a batch query: per purchasing user, recency (days
+    * since last purchase vs the data's own max ts — in-plan broadcast
+    * scalar, no wall clock), frequency, and monetary value in EXACT cents
+    * (2-decimal doubles → ROUND(·100) longs, order-independent), each
+    * bucketed by fixed business thresholds; output = user counts + value
+    * per (R, F, M) cell. One groupBy(user) then a tiny cell aggregate. */
+  def q100RfmSegmentation(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+    val cut = purchases.agg(max("us").as("cut_us"))
+    val rfm = purchases.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        // integer DIV, not `/`+cast: double division then cast truncates
+        // in Spark but ROUNDS in DuckDB's BIGINT cast — floor division is
+        // identical in both engines on non-negative spans
+        expr("(MAX(cut_us) - MAX(us)) DIV 86400000000").as("r_days"),
+        count(lit(1)).as("f_n"),
+        sum(col("cents")).as("m_cents"))
+      .select(
+        expr("CASE WHEN r_days <= 60 THEN 1 WHEN r_days <= 180 THEN 2 " +
+          "ELSE 3 END").as("r_bucket"),
+        expr("CASE WHEN f_n >= 5 THEN 1 WHEN f_n >= 2 THEN 2 ELSE 3 END")
+          .as("f_bucket"),
+        expr("CASE WHEN m_cents >= 50000 THEN 1 WHEN m_cents >= 10000 " +
+          "THEN 2 ELSE 3 END").as("m_bucket"))
+    rfm.groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_bucket", "f_bucket", "m_bucket")
+  }
+
+  val q100Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |cut AS (SELECT MAX(us) AS cut_us FROM p),
+      |rfm AS (
+      |  SELECT user_id,
+      |    CAST((MAX(cut_us) - MAX(us)) // 86400000000 AS BIGINT) AS r_days,
+      |    CAST(COUNT(*) AS BIGINT) AS f_n,
+      |    CAST(SUM(cents) AS BIGINT) AS m_cents
+      |  FROM p CROSS JOIN cut GROUP BY user_id),
+      |b AS (
+      |  SELECT
+      |    CASE WHEN r_days <= 60 THEN 1 WHEN r_days <= 180 THEN 2
+      |      ELSE 3 END AS r_bucket,
+      |    CASE WHEN f_n >= 5 THEN 1 WHEN f_n >= 2 THEN 2 ELSE 3 END
+      |      AS f_bucket,
+      |    CASE WHEN m_cents >= 50000 THEN 1 WHEN m_cents >= 10000 THEN 2
+      |      ELSE 3 END AS m_bucket
+      |  FROM rfm)
+      |SELECT r_bucket, f_bucket, m_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM b GROUP BY r_bucket, f_bucket, m_bucket
+      |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2756,7 +2868,9 @@ object ExtQueries {
     "q95_cdc_chunks" -> (q95CdcChunks _),
     "q96_approx_percentile" -> (q96ApproxPercentile _),
     "q97_weighted_sample" -> (q97WeightedSample _),
-    "q98_pagerank" -> (q98PageRank _))
+    "q98_pagerank" -> (q98PageRank _),
+    "q99_corpus_report" -> (q99CorpusReport _),
+    "q100_rfm_segmentation" -> (q100RfmSegmentation _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2846,5 +2960,7 @@ object ExtQueries {
     "q95_cdc_chunks" -> q95Sql,
     "q96_approx_percentile" -> q96Sql,
     "q97_weighted_sample" -> q97Sql,
-    "q98_pagerank" -> q98Sql)
+    "q98_pagerank" -> q98Sql,
+    "q99_corpus_report" -> q99Sql,
+    "q100_rfm_segmentation" -> q100Sql)
 }

@@ -23,7 +23,8 @@ class PlanLintSpec extends SparkSpec {
     "q80_triangles" -> "three 1-row stat aggregates cross-joined",
     "q85_mix_weights" -> "broadcast 1-row normalizer aggregate",
     "q86_bigram_lm" -> "broadcast 1-row vocabulary-size aggregate",
-    "q89_scd2_snapshot" -> "broadcast 1-row snapshot-instant aggregate")
+    "q89_scd2_snapshot" -> "broadcast 1-row snapshot-instant aggregate",
+    "q100_rfm_segmentation" -> "broadcast 1-row recency-cutoff aggregate")
 
   test("no query plans an unintended nested-loop join, and none a cartesian product") {
     graft.plans.GraftExtensions.register(spark)
