@@ -2676,8 +2676,16 @@ object ExtQueries {
     * over one scan (the `ops/Audit` shape: never one pass per metric at
     * 100 TB). Rates in exact integer ppm (q81 idiom); token counts from
     * the shared tokenizer. */
-  def q99CorpusReport(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  def q99CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select("doc_id", "text", "lang", "n_chars")
+    // seed exact duplicates (every 100th doc re-issued under a new id) so
+    // the dup_ppm arm is EXERCISED by the gate — the synthetic corpus has
+    // no exact dups, and an untested zero always "matches" zero
+    val aug = base.union(base.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text"), col("lang"), col("n_chars")))
+    aug
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(graft.ops.TextOps.tokens(col("text")))).cast("long")
@@ -2697,9 +2705,15 @@ object ExtQueries {
         expr("(2 * 1000000 * n_short + n_docs) DIV (2 * n_docs)")
           .as("short_ppm"),
         col("p50_chars"), col("p90_chars"))
+  }
 
   val q99Sql: String =
-    """WITH a AS (
+    """WITH aug AS (
+      |  SELECT doc_id, text, lang, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text, lang, n_chars FROM documents
+      |  WHERE doc_id % 100 = 0),
+      |a AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
@@ -2710,7 +2724,7 @@ object ExtQueries {
       |      AS n_short,
       |    quantile_cont(n_chars, 0.5) AS p50_chars,
       |    quantile_cont(n_chars, 0.9) AS p90_chars
-      |  FROM documents)
+      |  FROM aug)
       |SELECT n_docs, n_tokens, n_chars, n_langs,
       |  CAST((2 * 1000000 * (n_docs - n_unique_texts) + n_docs)
       |    // (2 * n_docs) AS BIGINT) AS dup_ppm,
@@ -2749,9 +2763,10 @@ object ExtQueries {
         expr("CASE WHEN f_n >= 5 THEN 1 WHEN f_n >= 2 THEN 2 ELSE 3 END")
           .as("f_bucket"),
         expr("CASE WHEN m_cents >= 50000 THEN 1 WHEN m_cents >= 10000 " +
-          "THEN 2 ELSE 3 END").as("m_bucket"))
+          "THEN 2 ELSE 3 END").as("m_bucket"),
+        col("m_cents"))
     rfm.groupBy("r_bucket", "f_bucket", "m_bucket")
-      .agg(count(lit(1)).as("n_users"))
+      .agg(count(lit(1)).as("n_users"), sum(col("m_cents")).as("cell_cents"))
       .orderBy("r_bucket", "f_bucket", "m_bucket")
   }
 
@@ -2774,10 +2789,12 @@ object ExtQueries {
       |    CASE WHEN f_n >= 5 THEN 1 WHEN f_n >= 2 THEN 2 ELSE 3 END
       |      AS f_bucket,
       |    CASE WHEN m_cents >= 50000 THEN 1 WHEN m_cents >= 10000 THEN 2
-      |      ELSE 3 END AS m_bucket
+      |      ELSE 3 END AS m_bucket,
+      |    m_cents
       |  FROM rfm)
       |SELECT r_bucket, f_bucket, m_bucket,
-      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(m_cents) AS BIGINT) AS cell_cents
       |FROM b GROUP BY r_bucket, f_bucket, m_bucket
       |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin
 
