@@ -47,6 +47,21 @@ object Ingest {
     quarantine(spark, path, v =>
       from_json(v, withCorrupt(schema), parseOptions(options)))
 
+  /** Quarantine split over an ALREADY-LOADED `value: string` DataFrame —
+    * batch or STREAMING (the split is two stateless per-row filters, so it
+    * composes with `readStream.text(...)`/Kafka `value` casts and each half
+    * can feed its own sink; in a `foreachBatch` both halves share the one
+    * micro-batch scan). This is the transformation core the path-based
+    * readers above wrap. */
+  def jsonSplit(lines: DataFrame, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) =
+    split(lines, v => from_json(v, withCorrupt(schema), parseOptions(options)))
+
+  /** CSV-lines twin of [[jsonSplit]]. */
+  def csvSplit(lines: DataFrame, schema: StructType,
+      options: Map[String, String] = Map.empty): (DataFrame, DataFrame) =
+    split(lines, v => from_csv(v, withCorrupt(schema), parseOptions(options)))
+
   private def parseOptions(options: Map[String, String]): Map[String, String] =
     options ++ Map(
       "mode" -> "PERMISSIVE",
@@ -61,8 +76,13 @@ object Ingest {
   private def quarantine(
       spark: SparkSession,
       path: String,
+      parse: Column => Column): (DataFrame, DataFrame) =
+    split(spark.read.text(path), parse)
+
+  private def split(
+      lines: DataFrame,
       parse: Column => Column): (DataFrame, DataFrame) = {
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .select(col("value"), parse(col("value")).as("__parsed"))
     val corrupt = col(s"__parsed.$CorruptCol")
     // A literal `null` line (or blank line) parses to a NULL struct, whose

@@ -72,6 +72,33 @@ class FormatsSpec extends SparkSpec {
     assert(!scan.contains("n_chars"), s"column pruning failed: $scan")
   }
 
+  test("streaming JSON quarantine: both halves flow from one MemoryStream source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      """{"id": 1, "name": "alpha", "score": 0.5}""",
+      """{broken json""",
+      """{"id": 2, "name": "beta", "score": 0.25}""",
+      "null")
+    val (good, bad) = Ingest.jsonSplit(mem.toDF().toDF("value"), schema)
+    assert(good.isStreaming && bad.isStreaming,
+      "the split must stay a streaming transformation")
+    val gq = good.writeStream.format("memory").queryName("ingest_good")
+      .outputMode("append").start()
+    val bq = bad.writeStream.format("memory").queryName("ingest_bad")
+      .outputMode("append").start()
+    try {
+      gq.processAllAvailable(); bq.processAllAvailable()
+      val goodRows = spark.table("ingest_good").collect()
+      assert(goodRows.map(_.getAs[Long]("id")).sorted.toSeq == Seq(1L, 2L))
+      val badRows = spark.table("ingest_bad")
+        .collect().map(_.getString(0)).toSet
+      assert(badRows == Set("""{broken json""", "null"))
+    } finally { gq.stop(); bq.stop() }
+  }
+
   test("compressed CSV (gzip) writes and reads transparently") {
     val dir = Files.createTempDirectory("graft-csvgz").toFile.getAbsolutePath
     val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "lang")
