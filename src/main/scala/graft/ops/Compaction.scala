@@ -1,0 +1,144 @@
+package graft.ops
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet directories.
+  *
+  * A streaming sink or a fine-grained partitioned write leaves thousands of
+  * KB-sized part files; at 100 TB that is the difference between a scan
+  * scheduling a handful of multi-file tasks and a scan scheduling one task
+  * (plus one open + footer read) per tiny file. The fix is periodic
+  * compaction: rewrite ONLY the under-sized files into ~`targetBytes`
+  * outputs and leave right-sized files untouched (rewriting data that is
+  * already well laid out wastes the cluster's IO budget — incremental
+  * compaction touches each byte once, full rewrites touch every byte every
+  * run).
+  *
+  * Scale notes:
+  *   - The rewrite is `spark.read.parquet(smallFiles).coalesce(n)`:
+  *     coalesce is a partition merge, NOT a shuffle — each output task
+  *     streams several input files and writes one output file, so the job
+  *     moves every rewritten byte exactly once and nothing else.
+  *   - Only file METADATA (names + lengths) is listed on the driver; at a
+  *     million files that is an RPC problem for the namenode, not a memory
+  *     problem here.
+  *   - The in-place swap (write to `_compaction_tmp`, move outputs in,
+  *     delete originals) is not atomic on a plain filesystem: a reader
+  *     racing the swap can see both copies, and a crash between move and
+  *     delete leaves duplicates. Real table formats (Delta/Iceberg) solve
+  *     this with a metadata commit; on raw directories, schedule compaction
+  *     when the directory has no concurrent readers, or compact into a
+  *     fresh directory with [[compactTo]] and swap at the path level.
+  *
+  * Mirrors the maintenance job the reference leaves implicit — its batch
+  * ETL rewrites the whole catalog every cycle
+  * (`/root/reference/services/spark_batch_processor.py:106`), which only
+  * works at 1.5 MB; this is the scale-safe form.
+  */
+object Compaction {
+
+  /** What a compaction run would touch: `small` get rewritten into
+    * `targetFiles` outputs, `large` are left in place. */
+  final case class Plan(
+      small: Seq[FileStatus],
+      large: Seq[FileStatus],
+      smallBytes: Long,
+      targetFiles: Int)
+
+  final case class Stats(filesBefore: Int, filesAfter: Int, bytesRewritten: Long)
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Data files in `dir` (skips `_SUCCESS`, checksums and other hidden
+    * bookkeeping the parquet committer leaves behind). */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    fs.listStatus(dir).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Split the directory's files into rewrite candidates (< `minFileBytes`)
+    * and keepers, and size the output file count so each output lands near
+    * `targetBytes` (parquet in ≈ parquet out: same encoding + compression,
+    * so input bytes are an honest estimate of output bytes). */
+  def plan(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long,
+      minFileBytes: Long): Plan = {
+    val (fs, p) = fsFor(spark, dir)
+    val (small, large) = dataFiles(fs, p).partition(_.getLen < minFileBytes)
+    val smallBytes = small.map(_.getLen).sum
+    val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    Plan(small, large, smallBytes, n)
+  }
+
+  /** Incremental in-place compaction of one directory: rewrite the
+    * under-sized files into ~`targetBytes` outputs alongside the untouched
+    * right-sized ones. Returns what changed. No-op (zero bytes moved) when
+    * fewer than two files are under the threshold. */
+  def compactInPlace(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = 64L << 20): Stats = {
+    val pl = plan(spark, dir, targetBytes, minFileBytes)
+    val before = pl.small.size + pl.large.size
+    if (pl.small.size < 2) return Stats(before, before, 0L)
+
+    val (fs, p) = fsFor(spark, dir)
+    val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
+    spark.read.parquet(pl.small.map(_.getPath.toString): _*)
+      .coalesce(pl.targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // Move the rewritten files in first, then drop the originals: a crash
+    // mid-swap duplicates rows (documented above) but never loses them.
+    val moved = dataFiles(fs, tmp).map { s =>
+      val dest = new Path(p, s"compacted-${s.getPath.getName}")
+      require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
+      dest
+    }
+    pl.small.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(tmp, true)
+    Stats(before, pl.large.size + moved.size, pl.smallBytes)
+  }
+
+  /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
+    * safe variant when the path-level swap can be done by the caller. */
+  def compactTo(
+      spark: SparkSession,
+      src: String,
+      dest: String,
+      targetBytes: Long = 128L << 20): Stats = {
+    val pl = plan(spark, src, targetBytes, minFileBytes = Long.MaxValue)
+    spark.read.parquet(src)
+      .coalesce(pl.targetFiles)
+      .write.mode("overwrite").parquet(dest)
+    val (fs, d) = fsFor(spark, dest)
+    Stats(pl.small.size, dataFiles(fs, d).size, pl.smallBytes)
+  }
+
+  /** Compact every leaf partition of a hive-layout table
+    * (`dir/k=v/...parquet`), one in-place run per partition — partitions
+    * are independent, so each stays a separate small job and a failure
+    * affects one partition, not the table. */
+  def compactPartitioned(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = 64L << 20): Map[String, Stats] = {
+    val (fs, p) = fsFor(spark, dir)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { part =>
+        part.getPath.getName ->
+          compactInPlace(spark, part.getPath.toString, targetBytes, minFileBytes)
+      }.toMap
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class CompactionSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "text")
+
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(crc32(concat_ws("", col("doc_id"), col("lang"), col("text"))))
+        .as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def partFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  test("in-place compaction merges small files and preserves content exactly") {
+    val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    docs.repartition(64).write.mode("overwrite").parquet(dir)
+    assert(partFiles(dir).size == 64)
+    val expected = fingerprint(docs)
+
+    val stats = Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.filesBefore == 64)
+    assert(stats.filesAfter == 1, s"expected one output file: $stats")
+    assert(partFiles(dir).size == 1)
+    assert(stats.bytesRewritten > 0)
+    assert(fingerprint(spark.read.parquet(dir)) == expected)
+  }
+
+  test("right-sized files are left in place; only fragments are rewritten") {
+    val dir = Files.createTempDirectory("graft-compact-inc").toFile.getAbsolutePath
+    // one "big" consolidated file, then a burst of 32 fragments lands next to it
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val big = partFiles(dir) match { case Seq(f) => f }
+    val bigLen = big.length()
+    val frag = Files.createTempDirectory("graft-frag").toFile.getAbsolutePath
+    docs.limit(50).repartition(32).write.mode("overwrite").parquet(frag)
+    partFiles(frag).zipWithIndex.foreach { case (f, i) =>
+      Files.copy(f.toPath, new java.io.File(dir, s"frag-$i.parquet").toPath)
+    }
+    assert(partFiles(dir).size == 33)
+
+    // threshold sits between fragment size and the consolidated file's size
+    val stats = Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = bigLen)
+    assert(stats.filesAfter == 2, s"big file + one compacted fragment file: $stats")
+    val after = partFiles(dir)
+    assert(after.exists(f => f.getName == big.getName && f.length() == bigLen),
+      "the right-sized file must be byte-identical and untouched")
+    // 64 fragment rows rewritten into the one compacted file, nothing lost
+    assert(spark.read.parquet(dir).count() == docs.count() + 50)
+  }
+
+  test("no-op when nothing is fragmented") {
+    val dir = Files.createTempDirectory("graft-compact-noop").toFile.getAbsolutePath
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stats = Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 16)
+    assert(stats == Compaction.Stats(1, 1, 0L))
+  }
+
+  test("plan sizes output count from input bytes, not file count") {
+    val dir = Files.createTempDirectory("graft-compact-plan").toFile.getAbsolutePath
+    docs.repartition(16).write.mode("overwrite").parquet(dir)
+    val bytes = partFiles(dir).map(_.length()).sum
+    val pl = Compaction.plan(spark, dir,
+      targetBytes = bytes / 3 + 1, minFileBytes = Long.MaxValue)
+    assert(pl.small.size == 16 && pl.large.isEmpty)
+    assert(pl.targetFiles == 3, s"ceil(bytes / (bytes/3+1)) = 3, got $pl")
+  }
+
+  test("partitioned compaction treats each hive partition independently") {
+    val dir = Files.createTempDirectory("graft-compact-part").toFile.getAbsolutePath
+    docs.repartition(8).write.mode("overwrite")
+      .partitionBy("lang").parquet(dir)
+    val stats = Compaction.compactPartitioned(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.nonEmpty && stats.keys.forall(_.startsWith("lang=")))
+    stats.values.foreach(s => assert(s.filesAfter <= s.filesBefore))
+    assert(stats.values.exists(s => s.filesAfter < s.filesBefore),
+      s"at least one partition had fragments to merge: $stats")
+    // partition column survives the per-leaf rewrite (read via base dir)
+    val (n, _) = fingerprint(spark.read.parquet(dir)
+      .select("doc_id", "lang", "text"))
+    assert(n == docs.count())
+  }
+}
