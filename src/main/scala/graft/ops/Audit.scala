@@ -54,4 +54,31 @@ object Audit {
     }
     df.observe(obs, aggs.head, aggs.tail: _*)
   }
+
+  /** Corpus data-card report — the one-row statistics block every dataset
+    * release ships (docs/tokens/chars, language count, exact-dup rate,
+    * short-doc share, length percentiles), computed in a SINGLE aggregate
+    * over one scan of `corpus` (columns: `text`, `lang`, `n_chars`) — never
+    * one pass per metric at 100 TB. Rates are exact integer ppm
+    * (half-up, the q81 idiom); token counts from the shared tokenizer; the
+    * duplicate count dedups on the 60-bit text hash so the distinct
+    * shuffle carries 8 bytes/doc instead of whole documents. */
+  def corpusReport(corpus: DataFrame): DataFrame =
+    corpus
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(TextOps.h60(col("text"))).as("n_unique_texts"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"),
+        expr("percentile(n_chars, 0.5)").as("p50_chars"),
+        expr("percentile(n_chars, 0.9)").as("p90_chars"))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
+        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs) DIV (2 * n_docs)")
+          .as("dup_ppm"),
+        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * n_docs)")
+          .as("short_ppm"),
+        col("p50_chars"), col("p90_chars"))
 }

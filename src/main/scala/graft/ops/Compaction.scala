@@ -63,6 +63,27 @@ object Compaction {
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }
 
+  /** Data files under `dir` at any depth (hidden dirs pruned). */
+  private def dataFilesRecursive(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    dataFiles(fs, dir) ++ fs.listStatus(dir).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .flatMap(s => dataFilesRecursive(fs, s.getPath))
+
+  /** Leaf partition directories of a hive-layout table: descend `k=v`
+    * directories to any depth; a leaf is a `k=v` directory with no `k=v`
+    * children. Empty when `dir` is not partitioned. */
+  private def partitionLeaves(fs: FileSystem, dir: Path): Seq[Path] = {
+    val parts = fs.listStatus(dir).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    parts.flatMap { d =>
+      val deeper = partitionLeaves(fs, d.getPath)
+      if (deeper.isEmpty) Seq(d.getPath) else deeper
+    }
+  }
+
   /** Split the directory's files into rewrite candidates (< `minFileBytes`)
     * and keepers, and size the output file count so each output lands near
     * `targetBytes` (parquet in ≈ parquet out: same encoding + compression,
@@ -110,35 +131,44 @@ object Compaction {
   }
 
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
-    * safe variant when the path-level swap can be done by the caller. */
+    * safe variant when the path-level swap can be done by the caller.
+    * Sizes the output from ALL bytes under `src` (any nesting depth), so a
+    * hive-partitioned source is rewritten into `ceil(bytes/target)` files,
+    * never funneled through one task. Note: partition-directory columns of
+    * a partitioned `src` become ordinary data columns in `dest` — use
+    * [[compactPartitioned]] to keep the layout. */
   def compactTo(
       spark: SparkSession,
       src: String,
       dest: String,
       targetBytes: Long = 128L << 20): Stats = {
-    val pl = plan(spark, src, targetBytes, minFileBytes = Long.MaxValue)
+    val (fs, s) = fsFor(spark, src)
+    val files = dataFilesRecursive(fs, s)
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(src)
-      .coalesce(pl.targetFiles)
+      .coalesce(n)
       .write.mode("overwrite").parquet(dest)
-    val (fs, d) = fsFor(spark, dest)
-    Stats(pl.small.size, dataFiles(fs, d).size, pl.smallBytes)
+    val (dfs, d) = fsFor(spark, dest)
+    Stats(files.size, dataFiles(dfs, d).size, bytes)
   }
 
   /** Compact every leaf partition of a hive-layout table
-    * (`dir/k=v/...parquet`), one in-place run per partition — partitions
-    * are independent, so each stays a separate small job and a failure
-    * affects one partition, not the table. */
+    * (`dir/k=v/.../part-*.parquet`, any partition depth), one in-place run
+    * per leaf — partitions are independent, so each stays a separate small
+    * job and a failure affects one partition, not the table. Keys of the
+    * returned map are the leaf paths relative to `dir`
+    * (e.g. `date=2026-08-13/lang=en`). */
   def compactPartitioned(
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = 64L << 20): Map[String, Stats] = {
     val (fs, p) = fsFor(spark, dir)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .map { part =>
-        part.getPath.getName ->
-          compactInPlace(spark, part.getPath.toString, targetBytes, minFileBytes)
-      }.toMap
+    val base = p.toUri.getPath
+    partitionLeaves(fs, p).map { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      rel -> compactInPlace(spark, leaf.toString, targetBytes, minFileBytes)
+    }.toMap
   }
 }

@@ -2670,41 +2670,20 @@ object ExtQueries {
   }
 
   // ---------------------------------------------------------------- Q99
-  /** Corpus data-card report — the one-row statistics block every dataset
-    * release ships (docs/tokens/chars, language count, exact-dup rate,
-    * short-doc share, length percentiles), computed in a SINGLE aggregate
-    * over one scan (the `ops/Audit` shape: never one pass per metric at
-    * 100 TB). Rates in exact integer ppm (q81 idiom); token counts from
-    * the shared tokenizer. */
+  /** Corpus data-card report over a GATE FIXTURE: the production operator
+    * is `ops/Audit.corpusReport` (single-aggregate data-card over any
+    * corpus — point it at real documents and it reports them faithfully);
+    * this query feeds it the documents table augmented with seeded exact
+    * duplicates (every 100th doc re-issued under a new id), because the
+    * synthetic corpus has no exact dups and an untested zero dup_ppm would
+    * always "match" zero. The oracle applies the same augmentation. */
   def q99CorpusReport(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .select("doc_id", "text", "lang", "n_chars")
-    // seed exact duplicates (every 100th doc re-issued under a new id) so
-    // the dup_ppm arm is EXERCISED by the gate — the synthetic corpus has
-    // no exact dups, and an untested zero always "matches" zero
     val aug = base.union(base.filter(col("doc_id") % 100 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         col("text"), col("lang"), col("n_chars")))
-    aug
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(graft.ops.TextOps.tokens(col("text")))).cast("long")
-          .as("n_tokens"),
-        sum(col("n_chars")).as("n_chars"),
-        countDistinct(col("lang")).as("n_langs"),
-        // distinct on the 60-bit text hash, not the text: the distinct
-        // shuffle carries 8 bytes/doc instead of whole documents at 100 TB
-        countDistinct(graft.ops.TextOps.h60(col("text"))).as("n_unique_texts"),
-        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"),
-        expr("percentile(n_chars, 0.5)").as("p50_chars"),
-        expr("percentile(n_chars, 0.9)").as("p90_chars"))
-      .select(
-        col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
-        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs) DIV (2 * n_docs)")
-          .as("dup_ppm"),
-        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * n_docs)")
-          .as("short_ppm"),
-        col("p50_chars"), col("p90_chars"))
+    graft.ops.Audit.corpusReport(aug)
   }
 
   val q99Sql: String =

@@ -58,7 +58,7 @@ class CompactionSpec extends SparkSpec {
     val after = partFiles(dir)
     assert(after.exists(f => f.getName == big.getName && f.length() == bigLen),
       "the right-sized file must be byte-identical and untouched")
-    // 64 fragment rows rewritten into the one compacted file, nothing lost
+    // 50 fragment rows rewritten into the one compacted file, nothing lost
     assert(spark.read.parquet(dir).count() == docs.count() + 50)
   }
 
@@ -78,6 +78,43 @@ class CompactionSpec extends SparkSpec {
       targetBytes = bytes / 3 + 1, minFileBytes = Long.MaxValue)
     assert(pl.small.size == 16 && pl.large.isEmpty)
     assert(pl.targetFiles == 3, s"ceil(bytes / (bytes/3+1)) = 3, got $pl")
+  }
+
+  test("multi-level hive partitioning: compaction reaches the deepest leaves") {
+    val dir = Files.createTempDirectory("graft-compact-deep").toFile.getAbsolutePath
+    docs.withColumn("bucket", col("doc_id") % 2)
+      .repartition(4).write.mode("overwrite")
+      .partitionBy("lang", "bucket").parquet(dir)
+    val stats = Compaction.compactPartitioned(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.nonEmpty,
+      "two-level layout must not silently no-op at the top level")
+    assert(stats.keys.forall(_.matches("lang=[^/]+/bucket=[0-9]")),
+      s"keys must be leaf-relative paths: ${stats.keys}")
+    assert(stats.values.exists(s => s.filesAfter < s.filesBefore))
+    assert(spark.read.parquet(dir).count() == docs.count())
+  }
+
+  test("compactTo sizes output from nested bytes of a partitioned source") {
+    val src = Files.createTempDirectory("graft-compactto-src").toFile.getAbsolutePath
+    val dest = Files.createTempDirectory("graft-compactto-dst").toFile.getAbsolutePath
+    docs.repartition(8).write.mode("overwrite").partitionBy("lang").parquet(src)
+    val nestedBytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f) else f.listFiles.toSeq.flatMap(walk)
+      walk(new java.io.File(src))
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.length()).sum
+    }
+    val stats = Compaction.compactTo(spark, src, dest,
+      targetBytes = nestedBytes / 3 + 1)
+    assert(stats.bytesRewritten == nestedBytes,
+      s"sizing must see bytes below partition dirs: $stats")
+    assert(stats.filesBefore > 0 && stats.filesAfter == 3, s"$stats")
+    // partition-dir column is materialized as a data column in dest
+    val (n, _) = fingerprint(spark.read.parquet(dest)
+      .select("doc_id", "lang", "text"))
+    assert(n == docs.count())
   }
 
   test("partitioned compaction treats each hive partition independently") {
