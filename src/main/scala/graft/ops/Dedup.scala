@@ -160,6 +160,46 @@ object Dedup {
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** Substring-level duplication detection (the within/cross-document span
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022 — doc-level dedup misses boilerplate, licenses and quoted
+    * passages that repeat INSIDE otherwise-distinct documents).
+    *
+    * Slides a `window`-char window at `stride` over every document, hashes
+    * each window, and flags windows whose hash occurs in more than one
+    * document. Returns one row per window:
+    * `(doc_id, p (1-based char offset), h, is_dup)` — span-level, so a
+    * caller can mask/cut the flagged `[p, p+window)` ranges, not just drop
+    * whole documents.
+    *
+    * Scale shape: the shuffle carries (hash, doc_id) pairs — 16 bytes per
+    * window, never window text; `stride` caps volume at `chars/stride`
+    * rows per document (stride = window ⇒ non-overlapping first-pass scan);
+    * the duplicated-hash set comes from one groupBy and rejoins by
+    * equi-join. 60-bit hashes keep accidental collisions ≈ 0 at trillions
+    * of windows while staying exactly reproducible in the DuckDB oracle
+    * (q101). */
+  def duplicatedSpans(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 32): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val wins = docs
+      .filter(length(col("text")) >= window)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1L), length(col("text")).cast("long") - (window - 1),
+          lit(stride.toLong))).as("p"))
+      .select(col("doc_id"), col("p"),
+        TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("h")
+    wins.join(dupHashes.withColumn("is_dup", lit(true)), Seq("h"), "left")
+      .select(col("doc_id"), col("p"), col("h"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle
     * hash (documents sharing their rarest-hashed shingle collide; a cheap
     * single-key block that catches all high-Jaccard pairs with 3-gram

@@ -2777,6 +2777,49 @@ object ExtQueries {
       |FROM b GROUP BY r_bucket, f_bucket, m_bucket
       |ORDER BY r_bucket, f_bucket, m_bucket""".stripMargin
 
+  // ---------------------------------------------------------------- Q101
+  /** Substring-level duplication audit (`Dedup.duplicatedSpans`, the Lee
+    * et al. 2022 span-dedup shape): 64-char windows at stride 32, a window
+    * is duplicated when its hash appears in >1 document — boilerplate that
+    * doc-level dedup can't see. Per-language: windows scanned, windows
+    * duplicated, documents touched, duplication rate in exact integer ppm.
+    * The corpus has ORGANIC repeated spans (no fixture seeding needed). */
+  def q101RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val spans = graft.ops.Dedup.duplicatedSpans(docs, window = 64, stride = 32)
+    spans.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count_if(col("is_dup")).as("n_dup_windows"),
+        countDistinct(when(col("is_dup"), col("doc_id"))).as("n_docs_touched"))
+      .select(col("lang"), col("n_windows"), col("n_dup_windows"),
+        col("n_docs_touched"),
+        expr("(2 * 1000000 * n_dup_windows + n_windows) DIV (2 * n_windows)")
+          .as("dup_span_ppm"))
+      .orderBy("lang")
+  }
+
+  val q101Sql: String =
+    """WITH w AS (
+      |  SELECT d.doc_id, d.lang,
+      |    ('0x' || substr(md5(substr(d.text, s.p::INT, 64)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM documents d, LATERAL (
+      |    SELECT unnest(range(1, len(d.text) - 63 + 1, 32)) AS p) s
+      |  WHERE len(d.text) >= 64),
+      |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+      |f AS (SELECT w.doc_id, w.lang, (dup.h IS NOT NULL) AS is_dup
+      |      FROM w LEFT JOIN dup ON w.h = dup.h)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+      |  CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_windows,
+      |  CAST(COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END) AS BIGINT)
+      |    AS n_docs_touched,
+      |  CAST((2 * 1000000 * COUNT(*) FILTER (WHERE is_dup) + COUNT(*))
+      |    // (2 * COUNT(*)) AS BIGINT) AS dup_span_ppm
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2866,7 +2909,8 @@ object ExtQueries {
     "q97_weighted_sample" -> (q97WeightedSample _),
     "q98_pagerank" -> (q98PageRank _),
     "q99_corpus_report" -> (q99CorpusReport _),
-    "q100_rfm_segmentation" -> (q100RfmSegmentation _))
+    "q100_rfm_segmentation" -> (q100RfmSegmentation _),
+    "q101_repeated_spans" -> (q101RepeatedSpans _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -2958,5 +3002,6 @@ object ExtQueries {
     "q97_weighted_sample" -> q97Sql,
     "q98_pagerank" -> q98Sql,
     "q99_corpus_report" -> q99Sql,
-    "q100_rfm_segmentation" -> q100Sql)
+    "q100_rfm_segmentation" -> q100Sql,
+    "q101_repeated_spans" -> q101Sql)
 }

@@ -64,6 +64,32 @@ class OpsSpec extends SparkSpec {
     assert(synthetic.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("duplicated spans: shared 64-char run flagged at its exact offsets") {
+    import spark.implicits._
+    val boiler = "x" * 30 + "SHARED-BOILERPLATE-" + "y" * 30 // 79 chars
+    val docs = Seq(
+      (1L, "A" * 40 + boiler + "B" * 20),       // boiler at offset 41 (1-based)
+      (2L, boiler + "C" * 100),                 // boiler at offset 1
+      (3L, "unique text " * 20)                 // no shared content
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, window = 64, stride = 1).cache()
+    // stride 1 ⇒ any shared ≥64-char run must collide: doc 2's window at
+    // p=1 equals doc 1's at p=41 (both cover boiler[0,64))
+    val dup1 = spans.filter($"doc_id" === 1L && $"is_dup").select("p")
+      .as[Long].collect().sorted
+    val dup2 = spans.filter($"doc_id" === 2L && $"is_dup").select("p")
+      .as[Long].collect().sorted
+    assert(dup1.nonEmpty && dup2.nonEmpty, "shared run must be flagged in both docs")
+    // offsets must correspond: doc1 dup windows start 40 later than doc2's
+    assert(dup1.toSeq == dup2.map(_ + 40L).toSeq,
+      s"span offsets must align: ${dup1.toSeq} vs ${dup2.toSeq}")
+    // the 79-char shared run yields exactly 79-64+1 = 16 dup windows each
+    assert(dup1.length == 16, s"expected 16 overlapping dup windows, got ${dup1.length}")
+    assert(spans.filter($"doc_id" === 3L && $"is_dup").count() == 0,
+      "the unique doc must have no duplicated spans")
+    spans.unpersist()
+  }
+
   test("ngram jaccard: synthetic pairs have near-1 similarity") {
     val pairs = ExtQueries.q17NgramJaccard(spark, sfDir).collect()
     val synthetic = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
