@@ -178,7 +178,15 @@ object Dedup {
     * the duplicated-hash set comes from one groupBy and rejoins by
     * equi-join. 60-bit hashes keep accidental collisions ≈ 0 at trillions
     * of windows while staying exactly reproducible in the DuckDB oracle
-    * (q101). */
+    * (q101).
+    *
+    * Honesty note on `stride > 1`: two documents only collide on a window
+    * when both sample the SAME substring, so a shared run at different
+    * offsets mod `stride` can be missed (fixed-stride sampling is
+    * alignment-sensitive — fine for aligned duplication like shared
+    * prefixes/templates, and for the within-corpus audit rate; for
+    * alignment-robust detection use `stride = 1`, or anchor window starts
+    * on content the way `TextOps.cdcChunks` picks chunk boundaries). */
   def duplicatedSpans(
       docs: DataFrame,
       window: Int = 64,
@@ -198,6 +206,55 @@ object Dedup {
     wins.join(dupHashes.withColumn("is_dup", lit(true)), Seq("h"), "left")
       .select(col("doc_id"), col("p"), col("h"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Cut duplicated spans out of the corpus, keep-first policy (the Lee et
+    * al. remedy, not just the diagnosis): for every cross-document
+    * duplicated window the globally first occurrence (lowest `(doc_id, p)`)
+    * keeps its text; every other occurrence's `[p, p+window)` range is cut
+    * from its document. Returns `docs` with `text` rewritten (other columns
+    * untouched); documents with nothing to cut pass through byte-identical.
+    *
+    * Overlapping cut ranges (stride < window) are merged per document
+    * before cutting, and the splice is a single `aggregate` over the merged
+    * interval list — per-row array work, no extra shuffle beyond
+    * [[duplicatedSpans]]' own. Use `stride = 1` when the cut must be
+    * alignment-exact (see the honesty note on [[duplicatedSpans]]). */
+  def cutDuplicatedSpans(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 1): DataFrame = {
+    val flagged = duplicatedSpans(docs, window, stride)
+      .filter(col("is_dup"))
+    val keep = flagged.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("keep"))
+    val cuts = flagged.join(keep, "h")
+      .filter(!(col("doc_id") === col("keep.doc_id")
+        && col("p") === col("keep.p")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(struct(col("p").as("s"),
+        (col("p") + lit(window.toLong)).as("e")))).as("ivs"))
+      .withColumn("merged", expr(
+        """aggregate(ivs, cast(array() as array<struct<s:bigint,e:bigint>>),
+          |  (acc, iv) -> CASE
+          |    WHEN size(acc) > 0 AND element_at(acc, -1).e >= iv.s
+          |    THEN concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('s', element_at(acc, -1).s,
+          |        'e', greatest(element_at(acc, -1).e, iv.e))))
+          |    ELSE concat(acc, array(iv)) END)""".stripMargin))
+      .select("doc_id", "merged")
+    docs.join(cuts, Seq("doc_id"), "left")
+      .withColumn("text", when(col("merged").isNull, col("text"))
+        .otherwise(expr(
+          """aggregate(merged, named_struct('pos', 1L, 'acc', ''),
+            |  (st, iv) -> named_struct('pos', iv.e,
+            |    'acc', concat(st.acc,
+            |      substring(text, cast(st.pos AS INT),
+            |        cast(iv.s - st.pos AS INT)))),
+            |  st -> concat(st.acc,
+            |    substring(text, cast(st.pos AS INT), length(text))))"""
+            .stripMargin)))
+      .drop("merged")
   }
 
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle

@@ -90,6 +90,26 @@ class OpsSpec extends SparkSpec {
     spans.unpersist()
   }
 
+  test("cut duplicated spans: keep-first surgery leaves no cross-doc dup behind") {
+    import spark.implicits._
+    val boiler = "x" * 30 + "SHARED-BOILERPLATE-" + "y" * 30 // 79 chars
+    val d1 = "A" * 40 + boiler + "B" * 20
+    val d2 = boiler + "C" * 100
+    val d3 = "unique text " * 20
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicatedSpans(docs, window = 64, stride = 1)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(cut(0) == d1, "first occurrence keeps its text verbatim")
+    assert(cut(1) == "C" * 100,
+      s"doc 2's copy of the shared run must be cut out: '${cut(1).take(60)}'")
+    assert(cut(2) == d3, "untouched docs pass through byte-identical")
+    // the remedy worked: no duplicated window survives a re-scan
+    val recheck = Dedup.duplicatedSpans(
+      Seq((1L, cut(0)), (2L, cut(1)), (3L, cut(2))).toDF("doc_id", "text"),
+      window = 64, stride = 1)
+    assert(recheck.filter(col("is_dup")).count() == 0)
+  }
+
   test("ngram jaccard: synthetic pairs have near-1 similarity") {
     val pairs = ExtQueries.q17NgramJaccard(spark, sfDir).collect()
     val synthetic = pairs.filter(r => r.getLong(1) == r.getLong(0) + 1000000L)
