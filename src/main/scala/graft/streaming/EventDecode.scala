@@ -20,9 +20,15 @@ object EventDecode {
     * single malformed timestamp would otherwise fail the whole microbatch —
     * corrupt records must degrade to null event_ts, never kill the stream. */
   def decode(df: DataFrame): DataFrame =
-    df.select(col("value").cast("string").as("value"))
+    withEventTime(df.select(col("value").cast("string").as("value"))
       .select(from_json(col("value"), Schemas.eventUnion).as("data"))
-      .select("data.*")
-      .withColumn("event_ts",
-        try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+      .select("data.*"))
+
+  /** The event-time half of [[decode]] alone, for rows that arrive already
+    * parsed to the union schema — e.g. the good half of
+    * `sources.Ingest.jsonSplit`, where the corrupt rows went to quarantine
+    * instead of becoming all-null decode output. */
+  def withEventTime(parsed: DataFrame): DataFrame =
+    parsed.withColumn("event_ts",
+      try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
 }
