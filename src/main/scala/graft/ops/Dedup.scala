@@ -160,25 +160,29 @@ object Dedup {
     train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
-  /** Substring-level duplication detection (the within/cross-document span
-    * dedup of Lee et al., "Deduplicating Training Data Makes Language Models
-    * Better", 2022 — doc-level dedup misses boilerplate, licenses and quoted
-    * passages that repeat INSIDE otherwise-distinct documents).
+  /** Substring-level duplication detection (the span dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022 —
+    * doc-level dedup misses boilerplate, licenses and quoted passages that
+    * repeat INSIDE otherwise-distinct documents).
     *
     * Slides a `window`-char window at `stride` over every document, hashes
-    * each window, and flags windows whose hash occurs in more than one
-    * document. Returns one row per window:
-    * `(doc_id, p (1-based char offset), h, is_dup)` — span-level, so a
-    * caller can mask/cut the flagged `[p, p+window)` ranges, not just drop
-    * whole documents.
+    * each window, and flags windows whose hash occurs more than once in the
+    * corpus — in another document or repeated within the same one. Returns
+    * one row per window: `(doc_id, p (1-based char offset), h, is_dup)` —
+    * span-level, so a caller can mask/cut the flagged `[p, p+window)`
+    * ranges, not just drop whole documents.
     *
     * Scale shape: the shuffle carries (hash, doc_id) pairs — 16 bytes per
     * window, never window text; `stride` caps volume at `chars/stride`
     * rows per document (stride = window ⇒ non-overlapping first-pass scan);
     * the duplicated-hash set comes from one groupBy and rejoins by
-    * equi-join. 60-bit hashes keep accidental collisions ≈ 0 at trillions
-    * of windows while staying exactly reproducible in the DuckDB oracle
-    * (q101).
+    * equi-join. Window offsets are generated through a two-level explode so
+    * no single row ever materializes more than 64 Ki positions at once — a
+    * 100 MB document at stride 1 streams through ~1.5 k bounded inner
+    * arrays instead of one 100 M-element array (`sequence()` would
+    * otherwise both OOM and hit Spark's array-length ceiling). 60-bit
+    * hashes keep accidental collisions ≈ 0 at trillions of windows while
+    * staying exactly reproducible in the DuckDB oracle (q101).
     *
     * Honesty note on `stride > 1`: two documents only collide on a window
     * when both sample the SAME substring, so a shared run at different
@@ -192,16 +196,23 @@ object Dedup {
       window: Int = 64,
       stride: Int = 32): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
-    val wins = docs
+    val chunk = 1 << 16
+    val wins = Scale.ensureParallelism(docs)
       .filter(length(col("text")) >= window)
+      // nJ = number of window start offsets; ci = 64Ki-position chunk index
+      .withColumn("nJ", expr(s"(length(text) - $window) DIV $stride + 1"))
+      .select(col("doc_id"), col("text"), col("nJ"),
+        explode(expr(s"sequence(0L, (nJ - 1) DIV $chunk)")).as("ci"))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1L), length(col("text")).cast("long") - (window - 1),
-          lit(stride.toLong))).as("p"))
+        explode(expr(
+          s"sequence(ci * $chunk, least(nJ - 1, ci * $chunk + ${chunk - 1}))"))
+          .as("j"))
+      .select(col("doc_id"), expr(s"j * $stride + 1").as("p"), col("text"))
       .select(col("doc_id"), col("p"),
         TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
     val dupHashes = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
       .select("h")
     wins.join(dupHashes.withColumn("is_dup", lit(true)), Seq("h"), "left")
       .select(col("doc_id"), col("p"), col("h"),
@@ -209,25 +220,39 @@ object Dedup {
   }
 
   /** Cut duplicated spans out of the corpus, keep-first policy (the Lee et
-    * al. remedy, not just the diagnosis): for every cross-document
-    * duplicated window the globally first occurrence (lowest `(doc_id, p)`)
-    * keeps its text; every other occurrence's `[p, p+window)` range is cut
-    * from its document. Returns `docs` with `text` rewritten (other columns
-    * untouched); documents with nothing to cut pass through byte-identical.
+    * al. remedy, not just the diagnosis): for every duplicated window the
+    * globally first occurrence (lowest `(doc_id, p)`) keeps its text; every
+    * other occurrence's `[p, p+window)` range is cut from its document.
+    * Kept intervals are PROTECTED: a document's cut ranges are subtracted
+    * against its own kept ranges before splicing, so a kept span can never
+    * be clipped by an overlapping cut whose keeper lives in another
+    * document — every duplicated substring's content survives somewhere.
+    * Returns `docs` with `text` rewritten (other columns untouched);
+    * documents with nothing to cut pass through byte-identical.
     *
-    * Overlapping cut ranges (stride < window) are merged per document
-    * before cutting, and the splice is a single `aggregate` over the merged
-    * interval list — per-row array work, no extra shuffle beyond
-    * [[duplicatedSpans]]' own. Use `stride = 1` when the cut must be
-    * alignment-exact (see the honesty note on [[duplicatedSpans]]). */
+    * Overlapping cut ranges (stride < window) are merged per document, the
+    * keep-subtraction and the final splice are `aggregate`s over the small
+    * per-doc interval arrays — per-row array work, no extra shuffle beyond
+    * [[duplicatedSpans]]' own. The flagged-window set (tiny: duplicated
+    * windows only) is `localCheckpoint`ed once for its two consumers, so
+    * the dominant hash-every-window scan runs once per call, not once per
+    * downstream subtree (the `bloomClean` pattern). Use `stride = 1` when
+    * the cut must be alignment-exact (see the honesty note on
+    * [[duplicatedSpans]]). */
   def cutDuplicatedSpans(
       docs: DataFrame,
       window: Int = 64,
       stride: Int = 1): DataFrame = {
+    val emptyIvs = "cast(array() as array<struct<s:bigint,e:bigint>>)"
     val flagged = duplicatedSpans(docs, window, stride)
       .filter(col("is_dup"))
+      .localCheckpoint()
     val keep = flagged.groupBy("h")
       .agg(min(struct(col("doc_id"), col("p"))).as("keep"))
+    val keepIvs = keep
+      .groupBy(col("keep.doc_id").as("doc_id"))
+      .agg(sort_array(collect_set(struct(col("keep.p").as("s"),
+        (col("keep.p") + lit(window.toLong)).as("e")))).as("keeps"))
     val cuts = flagged.join(keep, "h")
       .filter(!(col("doc_id") === col("keep.doc_id")
         && col("p") === col("keep.p")))
@@ -235,18 +260,37 @@ object Dedup {
       .agg(sort_array(collect_set(struct(col("p").as("s"),
         (col("p") + lit(window.toLong)).as("e")))).as("ivs"))
       .withColumn("merged", expr(
-        """aggregate(ivs, cast(array() as array<struct<s:bigint,e:bigint>>),
-          |  (acc, iv) -> CASE
-          |    WHEN size(acc) > 0 AND element_at(acc, -1).e >= iv.s
-          |    THEN concat(slice(acc, 1, size(acc) - 1),
-          |      array(named_struct('s', element_at(acc, -1).s,
-          |        'e', greatest(element_at(acc, -1).e, iv.e))))
-          |    ELSE concat(acc, array(iv)) END)""".stripMargin))
-      .select("doc_id", "merged")
+        s"""aggregate(ivs, $emptyIvs,
+           |  (acc, iv) -> CASE
+           |    WHEN size(acc) > 0 AND element_at(acc, -1).e >= iv.s
+           |    THEN concat(slice(acc, 1, size(acc) - 1),
+           |      array(named_struct('s', element_at(acc, -1).s,
+           |        'e', greatest(element_at(acc, -1).e, iv.e))))
+           |    ELSE concat(acc, array(iv)) END)""".stripMargin))
+      .join(keepIvs, Seq("doc_id"), "left")
+      .withColumn("keeps", coalesce(col("keeps"), expr(emptyIvs)))
+      // subtract kept ranges from each merged cut range: walk the (sorted)
+      // overlapping keeps, emitting the uncovered segments of the cut
+      .withColumn("protected", expr(
+        s"""flatten(transform(merged, c ->
+           |  aggregate(
+           |    filter(keeps, k -> k.s < c.e AND k.e > c.s),
+           |    named_struct('pos', c.s, 'acc', $emptyIvs),
+           |    (st, k) -> named_struct(
+           |      'pos', greatest(st.pos, k.e),
+           |      'acc', CASE WHEN k.s > st.pos
+           |        THEN concat(st.acc,
+           |          array(named_struct('s', st.pos, 'e', k.s)))
+           |        ELSE st.acc END),
+           |    st -> CASE WHEN st.pos < c.e
+           |      THEN concat(st.acc,
+           |        array(named_struct('s', st.pos, 'e', c.e)))
+           |      ELSE st.acc END)))""".stripMargin))
+      .select("doc_id", "protected")
     docs.join(cuts, Seq("doc_id"), "left")
-      .withColumn("text", when(col("merged").isNull, col("text"))
+      .withColumn("text", when(col("protected").isNull, col("text"))
         .otherwise(expr(
-          """aggregate(merged, named_struct('pos', 1L, 'acc', ''),
+          """aggregate(protected, named_struct('pos', 1L, 'acc', ''),
             |  (st, iv) -> named_struct('pos', iv.e,
             |    'acc', concat(st.acc,
             |      substring(text, cast(st.pos AS INT),
@@ -254,7 +298,7 @@ object Dedup {
             |  st -> concat(st.acc,
             |    substring(text, cast(st.pos AS INT), length(text))))"""
             .stripMargin)))
-      .drop("merged")
+      .drop("protected")
   }
 
   /** Exact n-gram Jaccard over candidate pairs blocked by the minimum shingle

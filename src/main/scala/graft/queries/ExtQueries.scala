@@ -2780,7 +2780,8 @@ object ExtQueries {
   // ---------------------------------------------------------------- Q101
   /** Substring-level duplication audit (`Dedup.duplicatedSpans`, the Lee
     * et al. 2022 span-dedup shape): 64-char windows at stride 32, a window
-    * is duplicated when its hash appears in >1 document — boilerplate that
+    * is duplicated when its hash appears more than once in the corpus —
+    * in another document or repeated within the same one; boilerplate that
     * doc-level dedup can't see. Per-language: windows scanned, windows
     * duplicated, documents touched, duplication rate in exact integer ppm.
     * The corpus has ORGANIC repeated spans (no fixture seeding needed). */
@@ -2808,7 +2809,7 @@ object ExtQueries {
       |  FROM documents d, LATERAL (
       |    SELECT unnest(range(1, len(d.text) - 63 + 1, 32)) AS p) s
       |  WHERE len(d.text) >= 64),
-      |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+      |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) > 1),
       |f AS (SELECT w.doc_id, w.lang, (dup.h IS NOT NULL) AS is_dup
       |      FROM w LEFT JOIN dup ON w.h = dup.h)
       |SELECT lang,

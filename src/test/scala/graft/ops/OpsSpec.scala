@@ -64,13 +64,18 @@ class OpsSpec extends SparkSpec {
     assert(synthetic.forall(_.getDouble(2) >= 0.5))
   }
 
+  /** Non-periodic filler: distinct counter tokens, so no 64-gram repeats
+    * within it and different seeds never share a 64-gram across docs. */
+  private def uniq(seed: Char, len: Int): String =
+    (0 until (len / 5 + 1)).map(i => f"$seed${i % 1000}%03d,").mkString.take(len)
+
   test("duplicated spans: shared 64-char run flagged at its exact offsets") {
     import spark.implicits._
     val boiler = "x" * 30 + "SHARED-BOILERPLATE-" + "y" * 30 // 79 chars
     val docs = Seq(
-      (1L, "A" * 40 + boiler + "B" * 20),       // boiler at offset 41 (1-based)
-      (2L, boiler + "C" * 100),                 // boiler at offset 1
-      (3L, "unique text " * 20)                 // no shared content
+      (1L, uniq('A', 40) + boiler + uniq('B', 20)), // boiler at offset 41 (1-based)
+      (2L, boiler + uniq('C', 100)),                // boiler at offset 1
+      (3L, uniq('D', 240))                          // nothing repeated anywhere
     ).toDF("doc_id", "text")
     val spans = Dedup.duplicatedSpans(docs, window = 64, stride = 1).cache()
     // stride 1 ⇒ any shared ≥64-char run must collide: doc 2's window at
@@ -90,17 +95,33 @@ class OpsSpec extends SparkSpec {
     spans.unpersist()
   }
 
-  test("cut duplicated spans: keep-first surgery leaves no cross-doc dup behind") {
+  test("duplicated spans: a block repeated WITHIN one document is flagged and cut") {
+    import spark.implicits._
+    val block = "z" * 20 + "WITHIN-DOC-LICENSE-BLOCK" + "w" * 20 // 64 chars
+    val filler = uniq('F', 50)
+    val d4 = block + filler + block // second copy at offset 64+50+1 = 115
+    val docs = Seq((4L, d4)).toDF("doc_id", "text")
+    val dup = Dedup.duplicatedSpans(docs, window = 64, stride = 1)
+      .filter($"is_dup").select("p").as[Long].collect().sorted
+    assert(dup.toSeq == Seq(1L, 115L),
+      s"both within-doc occurrences must be flagged: ${dup.toSeq}")
+    val cut = Dedup.cutDuplicatedSpans(docs, window = 64, stride = 1)
+      .select("text").as[String].head()
+    assert(cut == block + filler,
+      "keep-first must keep the first copy and cut the second")
+  }
+
+  test("cut duplicated spans: keep-first surgery leaves no dup behind") {
     import spark.implicits._
     val boiler = "x" * 30 + "SHARED-BOILERPLATE-" + "y" * 30 // 79 chars
-    val d1 = "A" * 40 + boiler + "B" * 20
-    val d2 = boiler + "C" * 100
-    val d3 = "unique text " * 20
+    val d1 = uniq('A', 40) + boiler + uniq('B', 20)
+    val d2 = boiler + uniq('C', 100)
+    val d3 = uniq('D', 240)
     val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
     val cut = Dedup.cutDuplicatedSpans(docs, window = 64, stride = 1)
       .orderBy("doc_id").select("text").as[String].collect()
     assert(cut(0) == d1, "first occurrence keeps its text verbatim")
-    assert(cut(1) == "C" * 100,
+    assert(cut(1) == uniq('C', 100),
       s"doc 2's copy of the shared run must be cut out: '${cut(1).take(60)}'")
     assert(cut(2) == d3, "untouched docs pass through byte-identical")
     // the remedy worked: no duplicated window survives a re-scan
@@ -108,6 +129,23 @@ class OpsSpec extends SparkSpec {
       Seq((1L, cut(0)), (2L, cut(1)), (3L, cut(2))).toDF("doc_id", "text"),
       window = 64, stride = 1)
     assert(recheck.filter(col("is_dup")).count() == 0)
+  }
+
+  test("cut duplicated spans: kept occurrences are protected from overlapping cuts") {
+    import spark.implicits._
+    // S = 65 distinct chars; A = S[0,64), B = S[1,65). keeper(A) lives in
+    // doc 2, keeper(B) in doc 1 — doc 2's cut of B overlaps its kept A,
+    // which an unprotected cut would destroy (A would then survive nowhere)
+    val s65 = (0 until 65).map(i => ('0' + i).toChar).mkString
+    val a = s65.substring(0, 64)
+    val b = s65.substring(1, 65)
+    val docs = Seq((1L, b), (2L, s65), (3L, a)).toDF("doc_id", "text")
+    val cut = Dedup.cutDuplicatedSpans(docs, window = 64, stride = 1)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(cut(0) == b, "doc 1 holds B's keeper — untouched")
+    assert(cut(1) == a,
+      s"doc 2 must keep its protected A span and cut only B's tail: '${cut(1)}'")
+    assert(cut(2) == "", "doc 3's copy of A is fully cut")
   }
 
   test("ngram jaccard: synthetic pairs have near-1 similarity") {
