@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * no native libs ([[java.awt.image.BufferedImage]] is headless-safe).
   * AUDIO decodes for real too: `javax.sound.sampled` ships WAV/AIFF/AU
   * container parsing and PCM/ULAW/ALAW codecs, so [[decodeAudioBatch]]
-  * measures actual samples. VIDEO codecs don't exist in-JDK, so the generic
-  * byte-level kernels ([[FakeDecoded]], fixed-stride [[frameSample]])
-  * remain clearly-marked deterministic stand-ins for that modality.
+  * measures actual samples. VIDEO decodes for real in the MJPEG-in-AVI
+  * case ([[decodeVideoBatch]]: hand-parsed RIFF container + per-frame JPEG
+  * through `javax.imageio`); inter-frame codecs (H.264/VP9) have no in-JDK
+  * decoder, so for those the generic byte-level kernels ([[FakeDecoded]],
+  * fixed-stride [[frameSample]]) remain clearly-marked deterministic
+  * stand-ins.
   * Everything Spark-side is real in all cases:
   * the schema shape (payload + struct metadata), partition-batched
   * processing through `mapPartitions` on a typed Dataset (the Scala analog
@@ -217,7 +220,7 @@ object Multimodal {
     * partition, amplitude stats from the decoded 16-bit samples. Non-PCM
     * or non-16-bit streams are converted through `AudioSystem` before
     * measuring, so 8-bit and companded WAVs measure identically to their
-    * 16-bit PCM renditions. Only video now lacks an in-JDK codec. */
+    * 16-bit PCM renditions. */
   def decodeAudioBatch(media: DataFrame): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
@@ -261,6 +264,149 @@ object Multimodal {
     } catch {
       case _: Exception => AudioStats(id, ok = false, -1, -1, -1L, -1L, 0.0, 0.0)
     }
+  }
+
+  /** Real per-clip video decode result. `header_*` facts come from the AVI
+    * main header (`avih`); `n_frames` is the count of video chunks actually
+    * present in the `movi` list (the two can disagree in damaged files —
+    * report both, let the pipeline decide); `width/height/mean_luma` come
+    * from the decoded pixels of the sampled frames. `ok = false` rows carry
+    * -1 facts — corrupt payloads are data, not task failures. */
+  case class VideoStats(
+      doc_id: Long,
+      ok: Boolean,
+      header_us_per_frame: Long,
+      header_frames: Long,
+      n_frames: Long,
+      width: Int,
+      height: Int,
+      sampled_frames: Long,
+      mean_luma: Double)
+
+  /** REAL video decode for MJPEG-in-AVI: the AVI container is plain RIFF
+    * chunk structure (parsed by hand — ~40 lines, no codec needed) and each
+    * MJPEG frame chunk (`##dc`/`##db`) is a complete JPEG, which the JDK's
+    * `javax.imageio` decodes. So the one modality that "lacks an in-JDK
+    * codec" is real end-to-end for the MJPEG case; inter-frame codecs
+    * (H.264/VP9) genuinely have no in-JDK decoder and stay with the
+    * byte-level stand-ins ([[frameSample]]).
+    *
+    * `frameStride` decodes every Nth frame (1 = all): frame COUNTING walks
+    * chunk headers only (no decode cost), so a 10k-frame clip with
+    * `frameStride = 100` pays 100 JPEG decodes, not 10k. All chunk sizes
+    * are clamped against the remaining buffer — a lying size field
+    * (decompression-bomb shape) truncates the walk instead of allocating. */
+  def decodeVideoBatch(media: DataFrame, frameStride: Int = 1): Dataset[VideoStats] = {
+    require(frameStride >= 1, "frameStride must be >= 1")
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) => decodeVideoOne(id, bytes, frameStride) }
+      }
+  }
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    if (off >= 0 && off + 4 <= b.length)
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+
+  /** Little-endian uint32 at `off`, or -1 when out of bounds. */
+  private def u32(b: Array[Byte], off: Int): Long =
+    if (off >= 0 && off + 4 <= b.length)
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    else -1L
+
+  private def decodeVideoOne(id: Long, bytes: Array[Byte], stride: Int): VideoStats = {
+    val bad = VideoStats(id, ok = false, -1L, -1L, -1L, -1, -1, 0L, 0.0)
+    if (bytes == null || bytes.length < 12 ||
+      fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "AVI ") return bad
+    val riffSize = u32(bytes, 4)
+    val limit = math.min(bytes.length.toLong, 8L + math.max(riffSize, 0L)).toInt
+    var usPerFrame = -1L
+    var headerFrames = -1L
+    var nFrames = 0L
+    var w = -1
+    var h = -1
+    var sampled = 0L
+    var lumaSum = 0.0
+    var pos = 12
+    while (pos + 8 <= limit) {
+      val cid = fourcc(bytes, pos)
+      val sz = u32(bytes, pos + 4)
+      if (sz < 0 || sz > limit - pos - 8) { pos = limit } // lying size: stop
+      else {
+        if (cid == "LIST" && sz >= 4) {
+          val lend = pos + 8 + sz.toInt
+          fourcc(bytes, pos + 8) match {
+            case "hdrl" =>
+              var sp = pos + 12
+              while (sp + 8 <= lend) {
+                val ssz = u32(bytes, sp + 4)
+                if (ssz < 0 || ssz > lend - sp - 8) { sp = lend }
+                else {
+                  if (fourcc(bytes, sp) == "avih" && ssz >= 40) {
+                    usPerFrame = u32(bytes, sp + 8)
+                    headerFrames = u32(bytes, sp + 8 + 16)
+                  }
+                  sp += 8 + ssz.toInt + (ssz.toInt & 1)
+                }
+              }
+            case "movi" =>
+              var sp = pos + 12
+              while (sp + 8 <= lend) {
+                val sid = fourcc(bytes, sp)
+                val ssz = u32(bytes, sp + 4)
+                if (ssz < 0 || ssz > lend - sp - 8) { sp = lend }
+                else {
+                  if (sid.endsWith("dc") || sid.endsWith("db")) {
+                    if (nFrames % stride == 0) {
+                      val img =
+                        try javax.imageio.ImageIO.read(
+                          new java.io.ByteArrayInputStream(bytes, sp + 8, ssz.toInt))
+                        catch { case _: Exception => null }
+                      if (img != null) {
+                        if (w < 0) { w = img.getWidth; h = img.getHeight }
+                        lumaSum += lumaMean(img)
+                        sampled += 1
+                      }
+                    }
+                    nFrames += 1
+                  }
+                  sp += 8 + ssz.toInt + (ssz.toInt & 1)
+                }
+              }
+            case _ => ()
+          }
+        }
+        pos += 8 + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    if (nFrames == 0) bad
+    else VideoStats(id, ok = true, usPerFrame, headerFrames, nFrames, w, h,
+      sampled, if (sampled > 0) lumaSum / sampled else 0.0)
+  }
+
+  /** BT.601 luma mean over the raster, row-strip bulk reads (see the
+    * comment in [[decodeImageBatch]] for why row strips). */
+  private def lumaMean(img: java.awt.image.BufferedImage): Double = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val buf = new Array[Int](w)
+    var s = 0.0
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, buf, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = buf(x)
+        s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s / (w.toLong * h)
   }
 
   /** STUB resize: keep every `factor`-th payload byte (a real kernel would
