@@ -227,6 +227,12 @@ object Dedup {
     * against its own kept ranges before splicing, so a kept span can never
     * be clipped by an overlapping cut whose keeper lives in another
     * document — every duplicated substring's content survives somewhere.
+    * The converse guarantee is deliberately NOT total: when a document's
+    * kept ranges jointly cover a cut occurrence of some other hash, that
+    * occurrence survives inside the protected region (protection wins over
+    * removal), so a re-scan can still flag residual duplication in such
+    * overlap webs — run detect→cut to a fixpoint if zero residual matters
+    * more than keeping every keeper intact.
     * Returns `docs` with `text` rewritten (other columns untouched);
     * documents with nothing to cut pass through byte-identical.
     *

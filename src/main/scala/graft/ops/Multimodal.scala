@@ -123,14 +123,40 @@ object Multimodal {
     * batched per partition, pixel stats from the decoded raster. The
     * executor-side shape is identical to [[decodeBatch]]'s; only the kernel
     * differs. */
+  /** Decode an image only after a header-only dimension peek: a few-KB
+    * payload can DECLARE a 50000×50000 raster whose decode allocates ~10 GB
+    * and dies with `OutOfMemoryError` — an `Error`, not an `Exception`, so
+    * a catch around the decode cannot save the task. The peek
+    * (`ImageReader.getWidth(0)`) reads header bytes only; payloads
+    * declaring more than `maxPixels` (default 64 Mpx ≈ 256 MB raster) come
+    * back null like any other corrupt payload. */
+  private def safeRead(
+      in: java.io.InputStream,
+      maxPixels: Long = 64L << 20): java.awt.image.BufferedImage =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(in)
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0 || w * h > maxPixels) null
+            else r.read(0)
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => null }
+
   def decodeImageBatch(media: DataFrame): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeRead(new java.io.ByteArrayInputStream(bytes))
           if (img == null) ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
           else {
             val w = img.getWidth
@@ -175,9 +201,7 @@ object Multimodal {
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: Exception => null }
+          val img = safeRead(new java.io.ByteArrayInputStream(bytes))
           if (img == null) (id, Array.emptyByteArray, -1, -1)
           else {
             val scale = math.min(1.0,
@@ -353,36 +377,46 @@ object Multimodal {
                 }
               }
             case "movi" =>
-              var sp = pos + 12
-              while (sp + 8 <= lend) {
-                val sid = fourcc(bytes, sp)
-                val ssz = u32(bytes, sp + 4)
-                if (ssz < 0 || ssz > lend - sp - 8) { sp = lend }
-                else {
-                  if (sid.endsWith("dc") || sid.endsWith("db")) {
-                    if (nFrames % stride == 0) {
-                      val img =
-                        try javax.imageio.ImageIO.read(
+              // frames sit directly in movi OR grouped inside 'LIST rec '
+              // sublists (the AVI-spec interleaving shape) — recurse into
+              // those, depth-capped so crafted nesting can't blow the stack
+              def walkFrames(start: Int, end: Int, depth: Int): Unit = {
+                var sp = start
+                while (sp + 8 <= end) {
+                  val sid = fourcc(bytes, sp)
+                  val ssz = u32(bytes, sp + 4)
+                  if (ssz < 0 || ssz > end - sp - 8) { sp = end }
+                  else {
+                    if (sid == "LIST" && ssz >= 4 &&
+                      fourcc(bytes, sp + 8) == "rec " && depth < 8) {
+                      walkFrames(sp + 12, sp + 8 + ssz.toInt, depth + 1)
+                    } else if (sid.endsWith("dc") || sid.endsWith("db")) {
+                      if (nFrames % stride == 0) {
+                        val img = safeRead(
                           new java.io.ByteArrayInputStream(bytes, sp + 8, ssz.toInt))
-                        catch { case _: Exception => null }
-                      if (img != null) {
-                        if (w < 0) { w = img.getWidth; h = img.getHeight }
-                        lumaSum += lumaMean(img)
-                        sampled += 1
+                        if (img != null) {
+                          if (w < 0) { w = img.getWidth; h = img.getHeight }
+                          lumaSum += lumaMean(img)
+                          sampled += 1
+                        }
                       }
+                      nFrames += 1
                     }
-                    nFrames += 1
+                    sp += 8 + ssz.toInt + (ssz.toInt & 1)
                   }
-                  sp += 8 + ssz.toInt + (ssz.toInt & 1)
                 }
               }
+              walkFrames(pos + 12, lend, 0)
             case _ => ()
           }
         }
         pos += 8 + sz.toInt + (sz.toInt & 1)
       }
     }
-    if (nFrames == 0) bad
+    // zero frames is still a failed decode, but any header facts that DID
+    // parse ride along so a damaged-movi clip keeps its avih evidence
+    if (nFrames == 0)
+      bad.copy(header_us_per_frame = usPerFrame, header_frames = headerFrames)
     else VideoStats(id, ok = true, usPerFrame, headerFrames, nFrames, w, h,
       sampled, if (sampled > 0) lumaSum / sampled else 0.0)
   }

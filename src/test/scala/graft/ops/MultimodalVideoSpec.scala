@@ -66,6 +66,60 @@ class MultimodalVideoSpec extends SparkSpec {
     assert(!stats(1).ok, "non-RIFF payload is a data row, not a task failure")
   }
 
+  test("frames grouped in 'LIST rec ' sublists decode identically") {
+    import spark.implicits._
+    val frames = Seq(80, 160).map(jpegFrame(16, 16, _))
+    // spec-valid interleaved shape: movi { LIST rec { 00dc } * }
+    val avih = new Array[Byte](56)
+    leU32(2L).copyToArray(avih, 16)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      frames.flatMap(f => list("rec ", chunk("00dc", f))).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+    val v = Multimodal.decodeVideoBatch(Seq((1L, avi)).toDF("doc_id", "payload"))
+      .head()
+    assert(v.ok && v.n_frames == 2L && v.sampled_frames == 2L,
+      s"rec-wrapped frames must be found: $v")
+    assert(math.abs(v.mean_luma - 120.0) < 2.0, s"luma off: ${v.mean_luma}")
+  }
+
+  test("dimension-bomb JPEG frame is skipped by the header peek, not decoded") {
+    import spark.implicits._
+    // patch the SOF0 height/width of a real 16x16 JPEG to 65535x65535
+    // (4.3 Gpx ≈ 17 GB raster): the peek must reject it without allocating
+    val jpeg = jpegFrame(16, 16, 100)
+    val sof = jpeg.indexOfSlice(Array(0xff.toByte, 0xc0.toByte))
+    assert(sof > 0, "baseline JPEG must carry an SOF0 marker")
+    val bomb = jpeg.clone()
+    // SOF0 layout: FF C0 len(2) precision(1) height(2) width(2)
+    bomb(sof + 5) = 0xff.toByte; bomb(sof + 6) = 0xff.toByte
+    bomb(sof + 7) = 0xff.toByte; bomb(sof + 8) = 0xff.toByte
+    val avi = mjpegAvi(Seq(bomb, jpegFrame(16, 16, 60)), 16, 16, 1000L)
+    val v = Multimodal.decodeVideoBatch(Seq((1L, avi)).toDF("doc_id", "payload"))
+      .head()
+    assert(v.ok && v.n_frames == 2L && v.sampled_frames == 1L,
+      s"bomb frame skipped, healthy frame still measured: $v")
+    assert(math.abs(v.mean_luma - 60.0) < 2.0)
+    // the image path shares the peek: the bare bomb is a data row
+    val img = Multimodal.decodeImageBatch(
+      Seq((2L, bomb)).toDF("doc_id", "payload")).head()
+    assert(!img.ok, "oversized declared raster must come back ok=false")
+  }
+
+  test("damaged movi keeps its parsed avih header evidence") {
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(jpegFrame(16, 16, 100)), 16, 16, usPerFrame = 40000L)
+    val moviAt = avi.indexOfSlice("movi".getBytes("US-ASCII"))
+    val broken = avi.clone()
+    "movx".getBytes("US-ASCII").copyToArray(broken, moviAt)
+    val v = Multimodal.decodeVideoBatch(Seq((1L, broken)).toDF("doc_id", "payload"))
+      .head()
+    assert(!v.ok && v.n_frames == -1L, s"no frames found: $v")
+    assert(v.header_us_per_frame == 40000L && v.header_frames == 1L,
+      s"avih facts must survive a damaged movi: $v")
+  }
+
   test("lying chunk sizes truncate the walk instead of allocating (bomb-safe)") {
     import spark.implicits._
     val avi = mjpegAvi(Seq(jpegFrame(16, 16, 100)), 16, 16, 1000L)

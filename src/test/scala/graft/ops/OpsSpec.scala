@@ -64,10 +64,11 @@ class OpsSpec extends SparkSpec {
     assert(synthetic.forall(_.getDouble(2) >= 0.5))
   }
 
-  /** Non-periodic filler: distinct counter tokens, so no 64-gram repeats
-    * within it and different seeds never share a 64-gram across docs. */
+  /** Non-periodic filler: distinct counter tokens (no cycling below 700k
+    * chars), so no 64-gram repeats within it and different seeds never
+    * share a 64-gram across docs. */
   private def uniq(seed: Char, len: Int): String =
-    (0 until (len / 5 + 1)).map(i => f"$seed${i % 1000}%03d,").mkString.take(len)
+    (0 until (len / 7 + 1)).map(i => f"$seed$i%05d,").mkString.take(len)
 
   test("duplicated spans: shared 64-char run flagged at its exact offsets") {
     import spark.implicits._
@@ -111,7 +112,22 @@ class OpsSpec extends SparkSpec {
       "keep-first must keep the first copy and cut the second")
   }
 
-  test("cut duplicated spans: keep-first surgery leaves no dup behind") {
+  test("duplicated spans: offsets are exact across the 64Ki chunk boundary") {
+    import spark.implicits._
+    // > 65536 window positions forces the outer explode to ci ∈ {0, 1}; an
+    // off-by-one at the boundary would duplicate or drop offsets silently
+    val n = 65700
+    val docs = Seq((9L, uniq('L', n))).toDF("doc_id", "text")
+    val ps = Dedup.duplicatedSpans(docs, window = 64, stride = 1)
+      .select("p").as[Long]
+    val nJ = (n - 64) + 1
+    assert(ps.count() == nJ, "one window per start offset, none lost")
+    assert(ps.distinct().count() == nJ, "no offset emitted twice")
+    val mm = ps.agg(min("p"), max("p")).as[(Long, Long)].head()
+    assert(mm == ((1L, nJ.toLong)), s"offset range wrong: $mm")
+  }
+
+  test("cut duplicated spans: every non-kept occurrence removed (disjoint keeps)") {
     import spark.implicits._
     val boiler = "x" * 30 + "SHARED-BOILERPLATE-" + "y" * 30 // 79 chars
     val d1 = uniq('A', 40) + boiler + uniq('B', 20)
