@@ -34,6 +34,27 @@ class MultimodalImageSpec extends SparkSpec {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
   }
 
+  test("binaryFile source → decodeImageBatch: the real media ingestion path") {
+    // the production entry point for media corpora: files on storage read
+    // through Spark's binaryFile source (path/length/content columns, one
+    // row per file, no driver-side file IO), straight into the decoder
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfiles")
+    Seq(3 -> gradientPng(8, 6), 7 -> gradientPng(16, 4)).foreach { case (i, png) =>
+      java.nio.file.Files.write(dir.resolve(s"img_$i.png"), png)
+    }
+    val media = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val stats = Multimodal.decodeImageBatch(media).collect()
+      .map(s => s.doc_id -> s).toMap
+    assert(stats.keySet == Set(3L, 7L), s"one row per file: ${stats.keySet}")
+    assert(stats(3L).ok && stats(3L).width == 8 && stats(3L).height == 6)
+    assert(stats(7L).ok && stats(7L).width == 16 && stats(7L).height == 4)
+  }
+
   test("decodeImageBatch reads real PNG pixels: dims, channels, exact channel means") {
     val w = 8; val h = 6
     val media = mediaDf(Seq(1L -> gradientPng(w, h), 2L -> gradientPng(16, 4)))
