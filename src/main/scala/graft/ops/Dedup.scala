@@ -197,6 +197,13 @@ object Dedup {
       stride: Int = 32): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")
     val chunk = 1 << 16
+    // Lazily checkpointed: `wins` feeds BOTH the duplicated-hash aggregate
+    // and the probe side of the rejoin, and without materialization the
+    // hash-every-window scan (the dominant cost) runs once per consumer.
+    // Lazy (eager = false) so merely building/explaining the plan stays
+    // side-effect free; the first action computes windows once and both
+    // subtrees reuse the (doc_id, p, h) rows — 24 bytes/window, spilling
+    // to disk when they outgrow memory.
     val wins = Scale.ensureParallelism(docs)
       .filter(length(col("text")) >= window)
       // nJ = number of window start offsets; ci = 64Ki-position chunk index
@@ -210,6 +217,13 @@ object Dedup {
       .select(col("doc_id"), expr(s"j * $stride + 1").as("p"), col("text"))
       .select(col("doc_id"), col("p"),
         TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
+      .localCheckpoint(false)
+    markDuplicated(wins)
+  }
+
+  /** Shared tail of the span detectors: flag every (doc_id, p, h) window
+    * row whose hash occurs more than once in the corpus. */
+  private def markDuplicated(wins: DataFrame): DataFrame = {
     val dupHashes = wins.groupBy("h")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
@@ -217,6 +231,55 @@ object Dedup {
     wins.join(dupHashes.withColumn("is_dup", lit(true)), Seq("h"), "left")
       .select(col("doc_id"), col("p"), col("h"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
+  /** Alignment-robust variant of [[duplicatedSpans]]: window starts are
+    * CONTENT-ANCHORED instead of fixed-stride — a window starts at `p`
+    * exactly when `h60(text[p, p+anchorGram)) % stride == 0` (the
+    * [[TextOps.cdcChunks]] boundary trick applied to window placement).
+    * Because the anchor decision depends only on the `anchorGram` chars at
+    * the position, two copies of a shared run anchor at the SAME relative
+    * offsets no matter where the run sits in each document — so a
+    * duplicate at offsets differing by a non-multiple of `stride`, which
+    * fixed-stride sampling provably misses, still collides here. Expected
+    * sampling density matches fixed-stride (one window per `stride` chars,
+    * geometrically distributed gaps).
+    *
+    * Cost shape: every char position is examined (an `anchorGram`-char
+    * hash each, via the same bounded two-level explode), but only the
+    * ~1/stride anchored survivors hash their full `window` chars or enter
+    * the shuffle — so vs `stride = 1` this trades exactness for
+    * `window/anchorGram`-fold less hash input and `stride`-fold less
+    * shuffle. Long anchor-free gaps (probability (1-1/stride)^len) are the
+    * honest residual blind spot, the standard CDC trade-off. */
+  def duplicatedSpansAnchored(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 32,
+      anchorGram: Int = 8): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    require(anchorGram > 0 && anchorGram <= window,
+      "anchorGram must be in [1, window]")
+    val chunk = 1 << 16
+    val wins = Scale.ensureParallelism(docs)
+      .filter(length(col("text")) >= window)
+      // nP = number of candidate start positions (stride-1 enumeration;
+      // the anchor predicate then keeps ~1/stride of them)
+      .withColumn("nP", expr(s"length(text) - $window + 1"))
+      .select(col("doc_id"), col("text"), col("nP"),
+        explode(expr(s"sequence(0L, (nP - 1) DIV $chunk)")).as("ci"))
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(ci * $chunk + 1, least(nP, ci * $chunk + $chunk))"))
+          .as("p"))
+      // anchor check BEFORE the window hash: h60 is non-negative, so % is
+      // pmod, and the identical predicate runs in the DuckDB oracle
+      .filter(TextOps.h60(col("text").substr(col("p"), lit(anchorGram)))
+        % lit(stride.toLong) === 0)
+      .select(col("doc_id"), col("p"),
+        TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
+      .localCheckpoint(false)
+    markDuplicated(wins)
   }
 
   /** Cut duplicated spans out of the corpus, keep-first policy (the Lee et
@@ -249,10 +312,54 @@ object Dedup {
       docs: DataFrame,
       window: Int = 64,
       stride: Int = 1): DataFrame = {
-    val emptyIvs = "cast(array() as array<struct<s:bigint,e:bigint>>)"
     val flagged = duplicatedSpans(docs, window, stride)
       .filter(col("is_dup"))
       .localCheckpoint()
+    cutFlaggedSpans(docs, flagged, window)
+  }
+
+  /** Detect → cut iterated to a fixpoint: re-scan after every cut and stop
+    * when no duplicated window remains (or after `maxRounds`). One round of
+    * [[cutDuplicatedSpans]] can leave residual duplication two ways — a cut
+    * occurrence surviving inside a keeper-protected region (overlap webs),
+    * and the splice itself creating a NEW duplicated window across a cut
+    * joint — so callers that need a zero-residual guarantee iterate.
+    * Each round is one detect scan (reused for both the emptiness check and
+    * the cut, via the eager `localCheckpoint` of the tiny flagged set) plus
+    * one splice; the rewritten corpus is `localCheckpoint`ed per round so
+    * lineage stays O(1) across rounds (the [[Cluster]] fixpoint pattern).
+    * Convergence is typical but not guaranteed (adversarial overlap webs
+    * can stall on keeper protection), hence the `maxRounds` bound — the
+    * caller can re-check with [[duplicatedSpans]] when zero residual is a
+    * hard requirement. */
+  def cutDuplicatedSpansFixpoint(
+      docs: DataFrame,
+      window: Int = 64,
+      stride: Int = 1,
+      maxRounds: Int = 8): DataFrame = {
+    var cur = docs
+    var round = 0
+    while (round < maxRounds) {
+      val flagged = duplicatedSpans(cur, window, stride)
+        .filter(col("is_dup"))
+        .localCheckpoint()
+      if (flagged.isEmpty) return cur
+      cur = cutFlaggedSpans(cur, flagged, window).localCheckpoint()
+      round += 1
+    }
+    cur
+  }
+
+  /** Splice core shared by the one-shot cut and the fixpoint: applies the
+    * keep-first / keeper-protected cutting policy documented on
+    * [[cutDuplicatedSpans]] to a pre-computed flagged-window set
+    * (`(doc_id, p, h)` rows of duplicated windows only, expected to be
+    * materialized by the caller since it feeds two subtrees here). */
+  private def cutFlaggedSpans(
+      docs: DataFrame,
+      flagged: DataFrame,
+      window: Int): DataFrame = {
+    val emptyIvs = "cast(array() as array<struct<s:bigint,e:bigint>>)"
     val keep = flagged.groupBy("h")
       .agg(min(struct(col("doc_id"), col("p"))).as("keep"))
     val keepIvs = keep

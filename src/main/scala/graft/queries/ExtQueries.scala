@@ -2821,6 +2821,86 @@ object ExtQueries {
       |    // (2 * COUNT(*)) AS BIGINT) AS dup_span_ppm
       |FROM f GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- Q102
+  /** Alignment-robust span dedup (`Dedup.duplicatedSpansAnchored`) against
+    * a MISALIGNED-duplicate fixture built in-query: every document is
+    * unioned with a copy shifted by a 37-char pad (37 % 32 ≠ 0, so no
+    * shifted window ever lands on a stride-32 sample point). Per language,
+    * the anchored detector (content-anchored window starts, stride 32)
+    * flags essentially every anchored window — each has an identical twin
+    * at offset +37 — while fixed-stride sampling at the same density
+    * provably cannot pair original with copy and reports only the corpus's
+    * organic aligned duplication. Both detectors run on the same corpus and
+    * are oracle-checked side by side. */
+  def q102AnchoredSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+    val corpus = docs.unionAll(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(lit("x" * 37), col("text")).as("text"),
+      col("lang")))
+    val langs = corpus.select("doc_id", "lang")
+    def perLang(spans: DataFrame, tag: String): DataFrame =
+      spans.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as(s"n_windows_$tag"),
+          count_if(col("is_dup")).as(s"n_dup_$tag"),
+          countDistinct(when(col("is_dup"), col("doc_id")))
+            .as(s"n_docs_$tag"))
+    val anchored = perLang(graft.ops.Dedup.duplicatedSpansAnchored(
+      corpus.select("doc_id", "text"), window = 64, stride = 32,
+      anchorGram = 8), "anchored")
+    val fixed = perLang(graft.ops.Dedup.duplicatedSpans(
+      corpus.select("doc_id", "text"), window = 64, stride = 32), "fixed")
+    anchored.join(fixed, "lang").orderBy("lang")
+  }
+
+  val q102Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, repeat('x', 37) || text, lang
+      |  FROM documents),
+      |wa AS (
+      |  SELECT c.doc_id, c.lang,
+      |    ('0x' || substr(md5(substr(c.text, s.p::INT, 64)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM corpus c, LATERAL (
+      |    SELECT unnest(range(1, len(c.text) - 64 + 2)) AS p) s
+      |  WHERE len(c.text) >= 64
+      |    AND ('0x' || substr(md5(substr(c.text, s.p::INT, 8)), 1, 15))
+      |      ::BIGINT % 32 = 0),
+      |da AS (SELECT h FROM wa GROUP BY h HAVING COUNT(*) > 1),
+      |fa AS (SELECT wa.doc_id, wa.lang, (da.h IS NOT NULL) AS is_dup
+      |       FROM wa LEFT JOIN da ON wa.h = da.h),
+      |aa AS (
+      |  SELECT lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_windows_anchored,
+      |    CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_anchored,
+      |    CAST(COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END) AS BIGINT)
+      |      AS n_docs_anchored
+      |  FROM fa GROUP BY lang),
+      |wf AS (
+      |  SELECT c.doc_id, c.lang,
+      |    ('0x' || substr(md5(substr(c.text, s.p::INT, 64)), 1, 15))::BIGINT
+      |      AS h
+      |  FROM corpus c, LATERAL (
+      |    SELECT unnest(range(1, len(c.text) - 63 + 1, 32)) AS p) s
+      |  WHERE len(c.text) >= 64),
+      |df AS (SELECT h FROM wf GROUP BY h HAVING COUNT(*) > 1),
+      |ff AS (SELECT wf.doc_id, wf.lang, (df.h IS NOT NULL) AS is_dup
+      |       FROM wf LEFT JOIN df ON wf.h = df.h),
+      |af AS (
+      |  SELECT lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_windows_fixed,
+      |    CAST(COUNT(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_fixed,
+      |    CAST(COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END) AS BIGINT)
+      |      AS n_docs_fixed
+      |  FROM ff GROUP BY lang)
+      |SELECT aa.lang, n_windows_anchored, n_dup_anchored, n_docs_anchored,
+      |  n_windows_fixed, n_dup_fixed, n_docs_fixed
+      |FROM aa JOIN af ON aa.lang = af.lang ORDER BY aa.lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2911,7 +2991,8 @@ object ExtQueries {
     "q98_pagerank" -> (q98PageRank _),
     "q99_corpus_report" -> (q99CorpusReport _),
     "q100_rfm_segmentation" -> (q100RfmSegmentation _),
-    "q101_repeated_spans" -> (q101RepeatedSpans _))
+    "q101_repeated_spans" -> (q101RepeatedSpans _),
+    "q102_anchored_spans" -> (q102AnchoredSpans _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3004,5 +3085,6 @@ object ExtQueries {
     "q98_pagerank" -> q98Sql,
     "q99_corpus_report" -> q99Sql,
     "q100_rfm_segmentation" -> q100Sql,
-    "q101_repeated_spans" -> q101Sql)
+    "q101_repeated_spans" -> q101Sql,
+    "q102_anchored_spans" -> q102Sql)
 }
