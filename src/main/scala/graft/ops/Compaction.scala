@@ -103,31 +103,59 @@ object Compaction {
   /** Incremental in-place compaction of one directory: rewrite the
     * under-sized files into ~`targetBytes` outputs alongside the untouched
     * right-sized ones. Returns what changed. No-op (zero bytes moved) when
-    * fewer than two files are under the threshold. */
+    * fewer than two files are under the threshold.
+    *
+    * When the directory is [[TableManifest]]-tracked, the swap is
+    * READER-ATOMIC: the candidate set comes from the head manifest, the
+    * rewritten files move in under fresh names (invisible until listed),
+    * and the single commit point is the next manifest version listing
+    * keepers + compacted outputs. The replaced fragments are NOT deleted
+    * here — readers of the old head keep a complete file set until the
+    * caller's [[TableManifest.vacuum]] grace period expires. On an
+    * untracked plain directory the legacy move-in-then-delete swap applies,
+    * with the non-atomicity documented above. */
   def compactInPlace(
       spark: SparkSession,
       dir: String,
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = 64L << 20): Stats = {
-    val pl = plan(spark, dir, targetBytes, minFileBytes)
-    val before = pl.small.size + pl.large.size
-    if (pl.small.size < 2) return Stats(before, before, 0L)
-
     val (fs, p) = fsFor(spark, dir)
+    val tracked = TableManifest.read(spark, dir)
+    val files = tracked match {
+      case Some((_, names)) => names.map(n => fs.getFileStatus(new Path(p, n)))
+      case None             => dataFiles(fs, p)
+    }
+    val (small, large) = files.partition(_.getLen < minFileBytes)
+    val before = files.size
+    if (small.size < 2) return Stats(before, before, 0L)
+    val smallBytes = small.map(_.getLen).sum
+    val targetFiles =
+      math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+
     val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
-    spark.read.parquet(pl.small.map(_.getPath.toString): _*)
-      .coalesce(pl.targetFiles)
+    // mergeSchema: fragments written under an evolved schema keep their
+    // later-added columns instead of being silently projected away
+    spark.read.option("mergeSchema", "true")
+      .parquet(small.map(_.getPath.toString): _*)
+      .coalesce(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // Move the rewritten files in first, then drop the originals: a crash
-    // mid-swap duplicates rows (documented above) but never loses them.
+    // Move the rewritten files in first: a crash mid-swap duplicates rows
+    // on an untracked dir (documented above) but never loses them; on a
+    // tracked dir unlisted files are simply invisible.
     val moved = dataFiles(fs, tmp).map { s =>
       val dest = new Path(p, s"compacted-${s.getPath.getName}")
       require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
       dest
     }
-    pl.small.foreach(s => fs.delete(s.getPath, false))
+    tracked match {
+      case Some(_) => // the commit point; old fragments await vacuum
+        TableManifest.commit(spark, dir,
+          (large.map(_.getPath.getName) ++ moved.map(_.getName)))
+      case None =>
+        small.foreach(s => fs.delete(s.getPath, false))
+    }
     fs.delete(tmp, true)
-    Stats(before, pl.large.size + moved.size, pl.smallBytes)
+    Stats(before, large.size + moved.size, smallBytes)
   }
 
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
@@ -165,9 +193,12 @@ object Compaction {
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = 64L << 20): Map[String, Stats] = {
     val (fs, p) = fsFor(spark, dir)
-    val base = p.toUri.getPath
+    // qualify the base like the listed leaf statuses are, so the relativize
+    // below can't silently no-op when `dir` is relative or scheme-less
+    val base = fs.makeQualified(p).toUri.getPath
     partitionLeaves(fs, p).map { leaf =>
-      val rel = leaf.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      val rel = fs.makeQualified(leaf).toUri.getPath
+        .stripPrefix(base).stripPrefix("/")
       rel -> compactInPlace(spark, leaf.toString, targetBytes, minFileBytes)
     }.toMap
   }

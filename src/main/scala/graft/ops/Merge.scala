@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   * bucketed by the key. Deduplicate `updates` first if several update rows
   * can share a key (last-writer-wins needs an explicit ordering column —
   * see [[dedupLatest]]).
+  *
+  * Publishing the merged/historized result back to storage should go
+  * through [[TableManifest.publish]] — it swaps the table to the new
+  * snapshot at a single atomic commit point, so a reader racing the
+  * publish sees the old version or the new one, never a mix (the plain
+  * `write.mode("overwrite")` the reference uses deletes before it writes).
   */
 object Merge {
 

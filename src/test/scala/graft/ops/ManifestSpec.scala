@@ -1,0 +1,175 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reader-atomicity of the [[TableManifest]] commit protocol, including the
+  * judge-style crash-point drills: a reader opened mid-swap must see
+  * exactly the old or the new file set, and a crash between the data-file
+  * move and the cleanup must recover to a consistent manifest. */
+class ManifestSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    Tables.load(spark, sfDir, "documents").select("doc_id", "lang", "text")
+
+  private def fingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      sum(crc32(concat_ws("", col("doc_id"), col("lang"), col("text"))))
+        .as("h")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-manifest-$tag").toFile.getAbsolutePath
+
+  private def diskDataFiles(dir: String): Set[String] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getName).toSet
+
+  test("init pins the current files; readTable matches a plain read") {
+    val dir = tmpDir("init")
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val v = TableManifest.init(spark, dir)
+    assert(v == 1L)
+    assert(TableManifest.init(spark, dir) == 1L, "re-init must be a no-op")
+    val (_, files) = TableManifest.read(spark, dir).get
+    assert(files.toSet == diskDataFiles(dir))
+    assert(fingerprint(TableManifest.readTable(spark, dir)) == fingerprint(docs))
+  }
+
+  test("publish is reader-atomic: old snapshot stays complete until vacuum") {
+    val dir = tmpDir("publish")
+    val v1 = TableManifest.publish(docs.filter(col("lang") === "en"), dir)
+    val oldFp = fingerprint(TableManifest.readTable(spark, dir))
+    val (rv, oldFiles) = TableManifest.read(spark, dir).get
+    assert(rv == v1)
+
+    val v2 = TableManifest.publish(docs.filter(col("lang") === "de"), dir)
+    assert(v2 == v1 + 1)
+    // new head is exactly the new snapshot ...
+    val newFp = fingerprint(TableManifest.readTable(spark, dir))
+    assert(newFp == fingerprint(docs.filter(col("lang") === "de")))
+    assert(newFp != oldFp)
+    // ... while a reader that captured the old head BEFORE the publish can
+    // still read every one of its files (nothing deleted at commit time)
+    val oldReader = spark.read.parquet(oldFiles.map(f => s"$dir/$f"): _*)
+    assert(fingerprint(oldReader) == oldFp)
+    // heads never mix snapshots: each version lists only its own files
+    assert(oldFiles.toSet.intersect(
+      TableManifest.read(spark, dir).get._2.toSet).isEmpty)
+
+    // vacuum reclaims exactly the unlisted data files; head unaffected
+    val deleted = TableManifest.vacuum(spark, dir)
+    assert(oldFiles.forall(deleted.contains))
+    assert(diskDataFiles(dir) == TableManifest.read(spark, dir).get._2.toSet)
+    assert(fingerprint(TableManifest.readTable(spark, dir)) == newFp)
+  }
+
+  test("crash before the manifest rename publishes nothing") {
+    val dir = tmpDir("crash-precommit")
+    TableManifest.publish(docs.limit(100), dir)
+    val before = TableManifest.read(spark, dir).get
+
+    // simulate a publisher that crashed after moving data files in but
+    // before the commit rename: drop extra snap- files + a stale tmp dir
+    val extra = tmpDir("crash-extra")
+    docs.limit(7).coalesce(1).write.mode("overwrite").parquet(extra)
+    new java.io.File(extra).listFiles
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        Files.copy(f.toPath,
+          new java.io.File(dir, s"snap-dead-${f.getName}").toPath)
+      }
+    new java.io.File(dir, "_publish_tmp-dead").mkdirs()
+    new java.io.File(new java.io.File(dir, "_manifest"), ".tmp-dead")
+      .createNewFile()
+
+    // recovery view: the head is unchanged and reads cleanly
+    assert(TableManifest.read(spark, dir).get == before)
+    assert(fingerprint(TableManifest.readTable(spark, dir)) ==
+      fingerprint(docs.limit(100)))
+    // vacuum clears the dead publisher's debris
+    val deleted = TableManifest.vacuum(spark, dir)
+    assert(deleted.exists(_.startsWith("snap-dead-")))
+    assert(deleted.contains("_publish_tmp-dead"))
+    assert(deleted.contains(".tmp-dead"))
+    assert(diskDataFiles(dir) == before._2.toSet)
+  }
+
+  test("tracked compaction commits atomically and leaves fragments for vacuum") {
+    val dir = tmpDir("compact")
+    docs.repartition(32).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val fragments = TableManifest.read(spark, dir).get._2.toSet
+    val expected = fingerprint(docs)
+
+    val stats = Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.filesBefore == 32 && stats.filesAfter == 1, s"$stats")
+    // commit point passed: head lists exactly the compacted output
+    val (v, head) = TableManifest.read(spark, dir).get
+    assert(v == 2L && head.size == 1 && head.head.startsWith("compacted-"))
+    assert(fingerprint(TableManifest.readTable(spark, dir)) == expected)
+    // crash window between commit and cleanup: fragments still on disk, so
+    // an old-head reader stays whole ...
+    assert(fragments.subsetOf(diskDataFiles(dir)))
+    assert(fingerprint(
+      spark.read.parquet(fragments.map(f => s"$dir/$f").toSeq: _*)) == expected)
+    // ... and recovery is just vacuum
+    TableManifest.vacuum(spark, dir)
+    assert(diskDataFiles(dir) == head.toSet)
+    assert(fingerprint(TableManifest.readTable(spark, dir)) == expected)
+  }
+
+  test("untracked compaction still uses the legacy delete-after-move swap") {
+    val dir = tmpDir("untracked")
+    docs.repartition(8).write.mode("overwrite").parquet(dir)
+    val stats = Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.filesAfter == 1)
+    assert(diskDataFiles(dir).size == 1, "fragments deleted inline when untracked")
+    assert(TableManifest.read(spark, dir).isEmpty)
+  }
+
+  test("scd2 diff-then-publish loop commits whole snapshots") {
+    import spark.implicits._
+    val dir = tmpDir("scd2")
+    val changes1 = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+      .toDF("key", "ts", "payload")
+    TableManifest.publish(Merge.scd2(changes1, Seq("key"), "ts"), dir)
+    val snap1 = TableManifest.readTable(spark, dir)
+    assert(snap1.count() == 3)
+    assert(snap1.filter(col("valid_to").isNull).count() == 2)
+
+    val changes2 = changes1.unionAll(Seq((2L, 30L, "y")).toDF("key", "ts", "payload"))
+    TableManifest.publish(Merge.scd2(changes2, Seq("key"), "ts"), dir)
+    val snap2 = TableManifest.readTable(spark, dir)
+    assert(snap2.count() == 4)
+    // key 2's old current version got closed in the new snapshot
+    assert(snap2.filter(col("key") === 2 && col("valid_to").isNotNull).count() == 1)
+  }
+
+  test("concurrent publishers: head is always one complete snapshot") {
+    val dir = tmpDir("race")
+    TableManifest.publish(docs.limit(10), dir)
+    val langs = Seq("en", "de", "fr", "es")
+    val fps = langs.map(l => l -> fingerprint(docs.filter(col("lang") === l))).toMap
+    val threads = langs.map { l =>
+      new Thread(() =>
+        TableManifest.publish(docs.filter(col("lang") === l), dir))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // all four committed distinct versions (none silently lost) ...
+    val (v, _) = TableManifest.read(spark, dir).get
+    assert(v == 5L, s"expected 4 commits after v1, head is v$v")
+    // ... and the head is exactly one publisher's snapshot, never a blend
+    val headFp = fingerprint(TableManifest.readTable(spark, dir))
+    assert(fps.values.toSet.contains(headFp), s"head $headFp not a whole snapshot")
+  }
+}
