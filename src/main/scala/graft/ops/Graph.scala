@@ -93,10 +93,20 @@ object Graph {
     * equi-join on src plus one map-side-combined sum keyed by dst. Rank
     * lineage is checkpointed every other round, the [[Cluster]] trade —
     * iteration count is fixed by the caller, so total work is
-    * O(iters · |E|) with no driver-side data movement. Dangling nodes
-    * (no out-edges) simply leak their mass, the standard simplification;
-    * symmetric edge sets have none. */
-  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L): DataFrame = {
+    * O(iters · |E|) with no driver-side data movement.
+    *
+    * Dangling nodes (no out-edges): with `redistributeDangling = false`
+    * their mass simply leaks each round — harmless on symmetric edge sets
+    * (none exist) but wrong on real directed link graphs, where sinks can
+    * hold most of the mass. `redistributeDangling = true` adds the standard
+    * uniform redistribution term (Page et al. §2.7): each round the summed
+    * rank of the (iteration-invariant, materialized-once) dangling node set
+    * — ONE extra 1-row aggregate, broadcast back into the update — is split
+    * `DIV`-evenly across all N nodes, still pure Long arithmetic. Total
+    * mass is then conserved up to integer truncation (< 1 per node per
+    * round from each `DIV`), instead of decaying by the dangling share. */
+  def pageRank(edges: DataFrame, iters: Int, scale: Long = 1000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(scale >= 100, s"scale must be >= 100 for the integer damping: $scale")
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -104,16 +114,31 @@ object Graph {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(edges.select(col("src").as("node")).distinct(),
+          Seq("node"), "left_anti").localCheckpoint()
+      else null
+    val nNodes = if (redistributeDangling) nodes.count() else 0L
     var pr = nodes.withColumn("pr", lit(scale))
     for (i <- 1 to iters) {
       val contrib = withDeg
         .join(pr, col("src") === col("node"))
         .select(col("dst"), expr("pr DIV deg").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
-      pr = nodes
-        .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr(s"(${15L * scale} + 85 * coalesce(sc, 0L)) DIV 100").as("pr"))
+      val base = nodes.join(contrib, col("node") === col("dst"), "left")
+      pr =
+        if (redistributeDangling) {
+          // 1-row dangling-mass aggregate, broadcast into every row
+          val dmass = pr.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("pr"), lit(0L)).as("dm"))
+          base.crossJoin(broadcast(dmass))
+            .select(col("node"),
+              expr(s"(${15L * scale} + 85 * (coalesce(sc, 0L) + dm DIV $nNodes)) DIV 100")
+                .as("pr"))
+        } else
+          base.select(col("node"),
+            expr(s"(${15L * scale} + 85 * coalesce(sc, 0L)) DIV 100").as("pr"))
       if (i % 2 == 0) pr = pr.localCheckpoint()
     }
     pr

@@ -2901,6 +2901,59 @@ object ExtQueries {
       |  n_windows_fixed, n_dup_fixed, n_docs_fixed
       |FROM aa JOIN af ON aa.lang = af.lang ORDER BY aa.lang""".stripMargin
 
+  // ---------------------------------------------------------------- Q103
+  /** PageRank with dangling-mass redistribution over a graph that is
+    * MOSTLY sinks: directed customer→order edges, so every order node has
+    * out-degree 0 and holds most of the total mass after one hop. Without
+    * redistribution ~all of that mass leaks every round; with it
+    * (`redistributeDangling = true`) each round's dangling sum is split
+    * evenly back across all nodes, still in exact Long arithmetic so the
+    * oracle (chained CTEs with a per-round 1-row dangling aggregate, the
+    * q98 pattern) matches bit-for-bit. Top 20 nodes by rank. */
+  private val q103Iters = 3
+
+  def q103PagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_custkey").as("src"),
+        (col("o_orderkey") + 10000000L).as("dst"))
+    graft.ops.Graph.pageRank(e, iters = q103Iters,
+        redistributeDangling = true)
+      .orderBy(col("pr").desc, col("node")).limit(20)
+      .orderBy(col("pr").desc, col("node"))
+  }
+
+  val q103Sql: String = {
+    val iterCtes = (1 to q103Iters).map { i =>
+      s"""d$i AS (
+         |  SELECT CAST(COALESCE(SUM(p.pr), 0) AS BIGINT) AS dm
+         |  FROM pr${i - 1} p LEFT JOIN deg ON p.node = deg.src
+         |  WHERE deg.src IS NULL),
+         |pr$i AS (
+         |  SELECT n.node,
+         |    CAST((15000000 + 85 * (COALESCE(s.sc, 0)
+         |      + (SELECT dm FROM d$i) // (SELECT n FROM nc))) // 100
+         |      AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT de.dst AS node, CAST(SUM(p.pr // deg.deg) AS BIGINT) AS sc
+         |    FROM de JOIN pr${i - 1} p ON de.src = p.node
+         |    JOIN deg ON de.src = deg.src
+         |    GROUP BY de.dst) s ON n.node = s.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH de AS (
+       |  SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+       |  FROM orders WHERE o_orderkey % 20 = 0),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM de GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM de UNION ALL SELECT dst FROM de)),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iterCtes
+       |SELECT node, pr FROM pr$q103Iters
+       |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -2992,7 +3045,8 @@ object ExtQueries {
     "q99_corpus_report" -> (q99CorpusReport _),
     "q100_rfm_segmentation" -> (q100RfmSegmentation _),
     "q101_repeated_spans" -> (q101RepeatedSpans _),
-    "q102_anchored_spans" -> (q102AnchoredSpans _))
+    "q102_anchored_spans" -> (q102AnchoredSpans _),
+    "q103_pagerank_dangling" -> (q103PagerankDangling _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3086,5 +3140,6 @@ object ExtQueries {
     "q99_corpus_report" -> q99Sql,
     "q100_rfm_segmentation" -> q100Sql,
     "q101_repeated_spans" -> q101Sql,
-    "q102_anchored_spans" -> q102Sql)
+    "q102_anchored_spans" -> q102Sql,
+    "q103_pagerank_dangling" -> q103Sql)
 }

@@ -88,4 +88,58 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(r3b == r3)
   }
+
+  /** Independent plain-Scala integer PageRank with dangling redistribution,
+    * mirroring the documented arithmetic exactly. */
+  private def refDanglingPr(es: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    var pr = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+      val dm = nodes.filterNot(deg.contains).map(pr).sum
+      pr = nodes.map(v =>
+        v -> (15L * scale + 85L * (contrib.getOrElse(v, 0L) + dm / n)) / 100L).toMap
+    }
+    pr
+  }
+
+  test("pageRank dangling redistribution conserves mass where the plain form leaks") {
+    import spark.implicits._
+    // chain 1→2→3 plus hub 1→4: nodes 3 and 4 are sinks holding most of
+    // the mass after a round; 5 is a source-only node
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 4L), (5L, 1L))
+    val directed = es.toDF("src", "dst")
+    val scale = 1000000L
+    val iters = 4
+
+    val got = Graph.pageRank(directed, iters, scale,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refDanglingPr(es, iters, scale),
+      s"engine=$got ref=${refDanglingPr(es, iters, scale)}")
+
+    // conservation: total stays within integer-truncation distance of N·S
+    // (< 1 lost per node per round from each of the two DIVs)
+    val n = 5L
+    val total = got.values.sum
+    assert(total <= n * scale)
+    assert(total >= n * scale - iters * 3 * n,
+      s"redistributed total $total decayed past the truncation bound")
+
+    // the plain form leaks the sink mass geometrically — far below bound
+    val leaked = Graph.pageRank(directed, iters, scale)
+      .collect().map(_.getLong(1)).sum
+    assert(leaked < (n * scale * 8) / 10,
+      s"expected >20% decay without redistribution, got $leaked / ${n * scale}")
+
+    // determinism under repartitioning, as for the plain form
+    val again = Graph.pageRank(directed.repartition(7), iters, scale,
+        redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }
