@@ -144,13 +144,41 @@ private[io] object JsonStr {
     b.toString
   }
 
+  /** Index of the value of TOP-LEVEL key `name`. A real scanner, not an
+    * indexOf: string values are skipped wholesale (escape-aware) and only
+    * a quoted token at object depth 1 followed by `:` counts as a key —
+    * so a registry response carrying the key's text inside an earlier
+    * string value (or inside a nested object) cannot be mis-parsed. */
   private def fieldStart(json: String, name: String): Int = {
-    val key = "\"" + name + "\""
-    val k = json.indexOf(key)
-    require(k >= 0, s"no field $name in: $json")
-    var i = k + key.length
-    // pretty-printing registries put arbitrary whitespace around the colon
-    while (json.charAt(i) == ':' || Character.isWhitespace(json.charAt(i))) i += 1
-    i
+    val n = json.length
+    var i = 0
+    var depth = 0
+    while (i < n) {
+      json.charAt(i) match {
+        case '{' | '[' => depth += 1; i += 1
+        case '}' | ']' => depth -= 1; i += 1
+        case '"' =>
+          val start = i + 1
+          i += 1
+          while (i < n && json.charAt(i) != '"') {
+            if (json.charAt(i) == '\\') i += 2 else i += 1
+          }
+          val end = i // closing quote
+          i += 1
+          if (depth == 1) {
+            // pretty-printing registries put whitespace around the colon
+            var j = i
+            while (j < n && Character.isWhitespace(json.charAt(j))) j += 1
+            if (j < n && json.charAt(j) == ':' &&
+                json.substring(start, math.min(end, n)) == name) {
+              j += 1
+              while (j < n && Character.isWhitespace(json.charAt(j))) j += 1
+              return j
+            }
+          }
+        case _ => i += 1
+      }
+    }
+    sys.error(s"no top-level field $name in: $json")
   }
 }

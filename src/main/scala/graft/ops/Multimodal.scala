@@ -354,6 +354,13 @@ object Multimodal {
     var h = -1
     var sampled = 0L
     var lumaSum = 0.0
+    // stream number of the FIRST 'vids' stream declared in hdrl (an AVI
+    // can interleave audio + several video streams; counting every ##dc
+    // chunk would inflate n_frames and average lumas across streams).
+    // Streams are numbered in strl declaration order; files with no strl
+    // headers fall back to stream 00, the overwhelmingly common layout.
+    var streamIdx = 0
+    var videoStream = -1
     var pos = 12
     while (pos + 8 <= limit) {
       val cid = fourcc(bytes, pos)
@@ -372,6 +379,13 @@ object Multimodal {
                   if (fourcc(bytes, sp) == "avih" && ssz >= 40) {
                     usPerFrame = u32(bytes, sp + 8)
                     headerFrames = u32(bytes, sp + 8 + 16)
+                  } else if (fourcc(bytes, sp) == "LIST" && ssz >= 4 &&
+                    fourcc(bytes, sp + 8) == "strl") {
+                    // strl: [sp+12]=strh id, [sp+20]=strh data = fccType
+                    if (videoStream < 0 && ssz >= 16 &&
+                      fourcc(bytes, sp + 12) == "strh" &&
+                      fourcc(bytes, sp + 20) == "vids") videoStream = streamIdx
+                    streamIdx += 1
                   }
                   sp += 8 + ssz.toInt + (ssz.toInt & 1)
                 }
@@ -380,6 +394,7 @@ object Multimodal {
               // frames sit directly in movi OR grouped inside 'LIST rec '
               // sublists (the AVI-spec interleaving shape) — recurse into
               // those, depth-capped so crafted nesting can't blow the stack
+              val streamTag = f"${math.max(videoStream, 0)}%02d"
               def walkFrames(start: Int, end: Int, depth: Int): Unit = {
                 var sp = start
                 while (sp + 8 <= end) {
@@ -390,7 +405,8 @@ object Multimodal {
                     if (sid == "LIST" && ssz >= 4 &&
                       fourcc(bytes, sp + 8) == "rec " && depth < 8) {
                       walkFrames(sp + 12, sp + 8 + ssz.toInt, depth + 1)
-                    } else if (sid.endsWith("dc") || sid.endsWith("db")) {
+                    } else if (sid.startsWith(streamTag) &&
+                      (sid.endsWith("dc") || sid.endsWith("db"))) {
                       if (nFrames % stride == 0) {
                         val img = safeRead(
                           new java.io.ByteArrayInputStream(bytes, sp + 8, ssz.toInt))

@@ -84,6 +84,34 @@ class MultimodalVideoSpec extends SparkSpec {
     assert(math.abs(v.mean_luma - 120.0) < 2.0, s"luma off: ${v.mean_luma}")
   }
 
+  test("interleaved second stream is excluded from frame count and luma") {
+    import spark.implicits._
+    // two declared streams: stream 0 is audio (auds), stream 1 is the video
+    // (vids) — so '01dc' chunks are the real frames and '00wb' audio chunks
+    // plus any stray '00dc' must not be counted or averaged in
+    def strl(fccType: String): Array[Byte] = {
+      val strh = new Array[Byte](56)
+      fccType.getBytes("US-ASCII").copyToArray(strh, 0)
+      list("strl", chunk("strh", strh))
+    }
+    val avih = new Array[Byte](56)
+    leU32(2L).copyToArray(avih, 16)
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl("auds") ++ strl("vids"))
+    val frames = Seq(60, 180).map(jpegFrame(16, 16, _))
+    val movi = list("movi",
+      chunk("00wb", Array.fill[Byte](64)(0x11)) ++ // audio data
+        chunk("00dc", jpegFrame(16, 16, 255)) ++   // mislabeled/foreign
+        frames.flatMap(f => chunk("01dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+    val v = Multimodal.decodeVideoBatch(Seq((1L, avi)).toDF("doc_id", "payload"))
+      .head()
+    assert(v.ok && v.n_frames == 2L && v.sampled_frames == 2L,
+      s"only the declared vids stream counts: $v")
+    assert(math.abs(v.mean_luma - 120.0) < 2.0,
+      s"luma must average stream 01 only: ${v.mean_luma}")
+  }
+
   test("dimension-bomb JPEG frame is skipped by the header peek, not decoded") {
     import spark.implicits._
     // patch the SOF0 height/width of a real 16x16 JPEG to 65535x65535
