@@ -51,13 +51,50 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+
+    // Noise guard: two rounds in a row carried a phantom per-query
+    // "regression" that was really driver-side machine load (best-of-N
+    // can't fix a loaded machine). Persist per-query history across runs
+    // and compare against the MEDIAN of the last 3 same-SF runs — only a
+    // >2x-median excursion (with a 0.25s absolute floor so micro-query
+    // jitter can't trip it) is flagged, so one slow run neither reports a
+    // regression nor poisons the baseline it leaves behind.
+    val histPath = java.nio.file.Paths.get("target", "bench_history.jsonl")
+    val histLines: Seq[String] =
+      if (java.nio.file.Files.exists(histPath)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(histPath).asScala.toSeq
+      } else Seq.empty
+    val pairRe = "\"(q[0-9][^\"]*)\":(-?[0-9][0-9.eE+-]*)".r
+    val last3 = histLines
+      .filter(_.contains(s""""sf":"$sfDir""""))
+      .takeRight(3)
+      .map(l => pairRe.findAllMatchIn(l)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val flagged = results.flatMap { case (name, sec, ok) =>
+      val hist = last3.flatMap(_.get(name)).filter(_ >= 0)
+      if (ok && hist.nonEmpty) {
+        val m = median(hist)
+        if (sec > 2 * m && sec - m > 0.25)
+          Some(s""""$name":{"sec":$sec,"median3":$m}""")
+        else None
+      } else None
+    }.mkString("{", ",", "}")
+
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged_regressions":$flagged,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: a truncated stdout tail must not lose the total
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    // append this run to the history AFTER flagging, so a run never
+    // compares against itself
+    java.nio.file.Files.write(histPath,
+      (s"""{"sf":"$sfDir","queries":$qs}""" + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -475,4 +475,47 @@ object Multimodal {
         }
       }
   }
+
+  /** Quarantine split for a `binaryFile` media directory — the media twin
+    * of [[graft.sources.Ingest.jsonSplit]]: a path glob only filters by
+    * NAME, so a 100 TB media crawl still ships truncated downloads and
+    * mislabeled payloads. Every file decodes exactly once (the decoders
+    * already return `ok = false` rows instead of throwing); good rows keep
+    * their full decoded stats with the originating path, rejects land in a
+    * `(path, n_bytes)` quarantine half for audit/replay — evidence
+    * preserved, no task failures, same philosophy as the text ingestion
+    * path.
+    *
+    * `decode` is any of the batch decoders (image/audio/video) lifted to
+    * DataFrame: it receives `(doc_id, payload)` and must return rows with
+    * `doc_id` and `ok`. Files are keyed by `h60(path)` so the typed
+    * decoders run unchanged and the path rejoin is a slim equi-join (the
+    * `binaryFile` scan on the name side prunes `content` away); the
+    * decoded stats are lazily materialized once for their two consumers. */
+  def dirWithQuarantine(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      decode: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+    val media = files.select(
+      TextOps.h60(col("path")).as("doc_id"),
+      col("content").as("payload"))
+    val names = files.select(
+      TextOps.h60(col("path")).as("doc_id"),
+      col("path"), col("length").as("n_bytes"))
+    val stats = decode(media).localCheckpoint(false)
+    val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
+    val quarantined = stats.filter(!col("ok")).select("doc_id")
+      .join(names, "doc_id").select("path", "n_bytes")
+    (good, quarantined)
+  }
+
+  /** [[dirWithQuarantine]] specialized to images. */
+  def imageDirWithQuarantine(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String = "*"): (DataFrame, DataFrame) =
+    dirWithQuarantine(spark, dir, glob, m => decodeImageBatch(m).toDF())
 }

@@ -55,6 +55,32 @@ class MultimodalImageSpec extends SparkSpec {
     assert(stats(7L).ok && stats(7L).width == 16 && stats(7L).height == 4)
   }
 
+  test("mixed good/corrupt image dir splits into decoded stats + quarantined paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-binfiles-q")
+    java.nio.file.Files.write(dir.resolve("ok_a.png"), gradientPng(8, 6))
+    java.nio.file.Files.write(dir.resolve("ok_b.png"), gradientPng(16, 4))
+    // passes the *.png glob but is not a PNG: the quarantine's reason to exist
+    java.nio.file.Files.write(dir.resolve("broken.png"),
+      Array.fill[Byte](64)(0x2f))
+    // truncated download: valid PNG magic, body cut off
+    // (zero-length files never reach the split: binaryFile lists no row
+    // for them, so they are a listing concern, not a decode one)
+    java.nio.file.Files.write(dir.resolve("truncated.png"),
+      gradientPng(8, 6).take(20))
+
+    val (good, quarantined) =
+      Multimodal.imageDirWithQuarantine(spark, dir.toString, "*.png")
+    val g = good.collect().map(r =>
+      r.getAs[String]("path").split('/').last ->
+        (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    assert(g == Map("ok_a.png" -> ((8, 6)), "ok_b.png" -> ((16, 4))),
+      s"good half must carry real decoded stats: $g")
+    val q = quarantined.collect().map(r =>
+      r.getAs[String]("path").split('/').last -> r.getAs[Long]("n_bytes")).toMap
+    assert(q == Map("broken.png" -> 64L, "truncated.png" -> 20L),
+      s"rejects keep path + size evidence: $q")
+  }
+
   test("decodeImageBatch reads real PNG pixels: dims, channels, exact channel means") {
     val w = 8; val h = 6
     val media = mediaDf(Seq(1L -> gradientPng(w, h), 2L -> gradientPng(16, 4)))
