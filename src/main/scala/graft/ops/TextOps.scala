@@ -96,6 +96,57 @@ object TextOps {
     * parallelizes across documents. Output: one row per (doc_id, chunk_id)
     * with the token count and an order-pinned md5 fingerprint.
     */
+  /** CCNet-style boilerplate line removal: drop every line whose exact
+    * content recurs in at least `minDocs` DISTINCT documents (nav bars,
+    * cookie banners, copyright footers — template residue that survives
+    * doc-level dedup because each page's body differs), and reassemble
+    * each document from its surviving lines in order.
+    *
+    * `docs` is `(doc_id, text)`; returns `(doc_id, text)` cleaned. Every
+    * input doc_id survives — a document whose every line was boilerplate
+    * comes back as the empty string, so downstream length/quality filters
+    * see it instead of silently losing the row. Lines shorter than
+    * `minLineLen` chars (default 1 = empty lines) are never removed:
+    * structural blank lines are formatting, not boilerplate.
+    *
+    * Scale shape: the frequency pass shuffles only `(h60(line), doc_id)`
+    * pairs — 16 bytes per line, never line bodies; the frequent set is
+    * data-dependent but small by construction (its size is bounded by
+    * total lines / minDocs), so AQE converts the anti-join to a runtime
+    * broadcast when it fits. The input is scanned twice (count pass +
+    * cut pass) — both scans are line-exploded projections of the same
+    * column-pruned parquet read, cheaper at 100 TB than materializing the
+    * exploded intermediate. Reassembly is one groupBy(doc_id) whose
+    * collect_list order is made deterministic by sorting on the original
+    * line position.
+    */
+  def removeBoilerplateLines(
+      docs: org.apache.spark.sql.DataFrame,
+      minDocs: Int,
+      minLineLen: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n", -1)).as(Seq("pos", "line")))
+    val frequent = lines
+      .filter(length(col("line")) >= minLineLen)
+      .select(h60(col("line")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val kept = lines.join(frequent,
+      h60(lines("line")) === frequent("h") &&
+        length(lines("line")) >= minLineLen,
+      "left_anti")
+    val clean = kept.groupBy("doc_id").agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")),
+        "\n").as("text"))
+    docs.select("doc_id").join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   def cdcChunks(docs: org.apache.spark.sql.DataFrame, gram: Int = 4,
       modulus: Int = 32): org.apache.spark.sql.DataFrame = {
     require(gram >= 2 && modulus >= 2, "gram/modulus must be >= 2")

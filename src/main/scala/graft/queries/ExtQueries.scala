@@ -2954,6 +2954,84 @@ object ExtQueries {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q104
+  /** CCNet-style boilerplate line removal
+    * (`TextOps.removeBoilerplateLines`): the corpus has no multi-line
+    * documents, so the template residue is built in-query — every document
+    * is wrapped with the same nav header and copyright footer (what a
+    * crawler actually ships), giving exact boilerplate lines repeated
+    * across all docs while every body line stays unique. The cleaner must
+    * cut exactly the two wrapper lines from every document and reassemble
+    * the body byte-identically: per language, chars_after == the original
+    * corpus size and lines_removed == 2 per doc, both oracle-checked. */
+  def q104Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val corpus = docs.select(col("doc_id"),
+      concat_ws("\n", lit("=== SITE NAV ==="), col("text"),
+        lit("(c) 2026 Example Corp")).as("text"))
+    val clean = TextOps.removeBoilerplateLines(corpus, minDocs = 10)
+    val before = corpus.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), "\n", -1))).as("lines_before"),
+        sum(length(col("text"))).as("chars_before"))
+    val after = clean.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        sum(size(split(col("text"), "\n", -1))).as("lines_after"),
+        sum(length(col("text"))).as("chars_after"))
+    before.join(after, "lang")
+      .select(col("lang"), col("n_docs"), col("lines_before"),
+        col("lines_after"), col("chars_before"), col("chars_after"))
+      .orderBy("lang")
+  }
+
+  val q104Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    '=== SITE NAV ===' || chr(10) || text || chr(10) ||
+      |      '(c) 2026 Example Corp' AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT c.doc_id, s.n AS pos,
+      |    string_split(c.text, chr(10))[s.n] AS line
+      |  FROM corpus c, LATERAL (
+      |    SELECT unnest(range(1,
+      |      len(string_split(c.text, chr(10))) + 1)) AS n) s),
+      |freq AS (
+      |  SELECT ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+      |  FROM lines WHERE len(line) >= 1
+      |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 10),
+      |kept AS (
+      |  SELECT l.doc_id, l.pos, l.line FROM lines l
+      |  WHERE NOT (len(l.line) >= 1 AND
+      |    ('0x' || substr(md5(l.line), 1, 15))::BIGINT IN
+      |      (SELECT h FROM freq))),
+      |clean AS (
+      |  SELECT c.doc_id,
+      |    COALESCE(k.text, '') AS text
+      |  FROM corpus c LEFT JOIN (
+      |    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |    FROM kept GROUP BY doc_id) k ON c.doc_id = k.doc_id),
+      |before_agg AS (
+      |  SELECT d.lang,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(len(string_split(c.text, chr(10)))) AS BIGINT)
+      |      AS lines_before,
+      |    CAST(SUM(len(c.text)) AS BIGINT) AS chars_before
+      |  FROM corpus c JOIN documents d ON c.doc_id = d.doc_id
+      |  GROUP BY d.lang),
+      |after_agg AS (
+      |  SELECT d.lang,
+      |    CAST(SUM(len(string_split(cl.text, chr(10)))) AS BIGINT)
+      |      AS lines_after,
+      |    CAST(SUM(len(cl.text)) AS BIGINT) AS chars_after
+      |  FROM clean cl JOIN documents d ON cl.doc_id = d.doc_id
+      |  GROUP BY d.lang)
+      |SELECT b.lang, n_docs, lines_before, lines_after, chars_before,
+      |  chars_after
+      |FROM before_agg b JOIN after_agg a ON b.lang = a.lang
+      |ORDER BY b.lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3046,7 +3124,8 @@ object ExtQueries {
     "q100_rfm_segmentation" -> (q100RfmSegmentation _),
     "q101_repeated_spans" -> (q101RepeatedSpans _),
     "q102_anchored_spans" -> (q102AnchoredSpans _),
-    "q103_pagerank_dangling" -> (q103PagerankDangling _))
+    "q103_pagerank_dangling" -> (q103PagerankDangling _),
+    "q104_boilerplate" -> (q104Boilerplate _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3141,5 +3220,6 @@ object ExtQueries {
     "q100_rfm_segmentation" -> q100Sql,
     "q101_repeated_spans" -> q101Sql,
     "q102_anchored_spans" -> q102Sql,
-    "q103_pagerank_dangling" -> q103Sql)
+    "q103_pagerank_dangling" -> q103Sql,
+    "q104_boilerplate" -> q104Sql)
 }
