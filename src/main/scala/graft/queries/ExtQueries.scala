@@ -3032,6 +3032,51 @@ object ExtQueries {
       |FROM before_agg b JOIN after_agg a ON b.lang = a.lang
       |ORDER BY b.lang""".stripMargin
 
+  // ---------------------------------------------------------------- Q105
+  /** Sequence packing (`Pack.packSequences`): lay the documents table out
+    * on one global token axis in doc_id order and chunk it into
+    * 256-token training windows, documents spanning boundaries
+    * (concat-and-chunk — every bin exactly full, zero padding). The full
+    * pack manifest is oracle-checked row for row: which piece of which
+    * document lands where in which bin. The global order comes from
+    * `Scale.prefixSum` (bucketed windows + broadcast offsets), never a
+    * single-task global window. */
+  def q105SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+    graft.ops.Pack.packSequences(docs, capacity = 256)
+      .orderBy("bin_id", "doc_id")
+  }
+
+  val q105Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id, n,
+      |    CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS end_tok
+      |  FROM toks),
+      |spans AS (
+      |  SELECT doc_id, end_tok - n AS start_tok, end_tok
+      |  FROM pre WHERE n > 0),
+      |pieces AS (
+      |  SELECT g.b AS bin_id, s.doc_id, s.start_tok, s.end_tok
+      |  FROM spans s, LATERAL (
+      |    SELECT unnest(range(s.start_tok // 256,
+      |      (s.end_tok - 1) // 256 + 1)) AS b) g)
+      |SELECT bin_id, doc_id,
+      |  CAST(GREATEST(start_tok, bin_id * 256) - start_tok AS BIGINT)
+      |    AS doc_tok_start,
+      |  CAST(GREATEST(start_tok, bin_id * 256) - bin_id * 256 AS BIGINT)
+      |    AS bin_tok_start,
+      |  CAST(LEAST(end_tok, (bin_id + 1) * 256)
+      |    - GREATEST(start_tok, bin_id * 256) AS BIGINT) AS n_tokens
+      |FROM pieces ORDER BY bin_id, doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3125,7 +3170,8 @@ object ExtQueries {
     "q101_repeated_spans" -> (q101RepeatedSpans _),
     "q102_anchored_spans" -> (q102AnchoredSpans _),
     "q103_pagerank_dangling" -> (q103PagerankDangling _),
-    "q104_boilerplate" -> (q104Boilerplate _))
+    "q104_boilerplate" -> (q104Boilerplate _),
+    "q105_seq_pack" -> (q105SeqPack _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3221,5 +3267,6 @@ object ExtQueries {
     "q101_repeated_spans" -> q101Sql,
     "q102_anchored_spans" -> q102Sql,
     "q103_pagerank_dangling" -> q103Sql,
-    "q104_boilerplate" -> q104Sql)
+    "q104_boilerplate" -> q104Sql,
+    "q105_seq_pack" -> q105Sql)
 }
