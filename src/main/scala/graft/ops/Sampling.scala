@@ -101,4 +101,41 @@ object Sampling {
     }
     df.filter(pmod(graft.functions.H60.of(id.cast("string")), lit(10000)) < rate)
   }
+
+  /** Corpus mixture rebalancing: select rows so each key's share of the
+    * output matches a target mixture — the "rebalance the training mix to
+    * N% per language/source" move. Per key the quota is
+    * `budget · share_bp / 10000` (integer floor), filled with that key's
+    * best rows: rank 1 = smallest `orderCol` (negate an integer score for
+    * best-first), ties broken by `tieCol`. A key whose availability is
+    * under quota contributes everything it has (the rank filter is the
+    * cap); keys absent from `sharesBp` are excluded — a mixture is a
+    * whitelist.
+    *
+    * Ranking goes through [[Scale.groupedRank]] — per-(key, value-range)
+    * bucketed local ranks plus broadcast offsets — because mixture keys
+    * are exactly the low-cardinality case (5 languages at 100 TB) where
+    * `Window.partitionBy(key)` would plan one task per key. The quota
+    * relation is a handful of rows, broadcast. Returns the selected rows
+    * plus their 1-based per-key `mix_rank`. */
+  def rebalanceToShares(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      budget: Long,
+      sharesBp: Map[String, Int],
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(sharesBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "shares must be in [0,10000] basis points")
+    val quotas = sharesBp.toSeq
+      .map { case (k, bp) => (k, budget * bp / 10000) }
+    val qdf = broadcast(
+      df.sparkSession.createDataFrame(quotas).toDF(keyCol, "__quota"))
+    Scale.groupedRank(df, keyCol, orderCol, tieCol, "mix_rank", buckets)
+      .join(qdf, keyCol)
+      .filter(col("mix_rank") <= col("__quota"))
+      .drop("__quota")
+  }
 }

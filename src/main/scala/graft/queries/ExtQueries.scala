@@ -3077,6 +3077,60 @@ object ExtQueries {
       |    - GREATEST(start_tok, bin_id * 256) AS BIGINT) AS n_tokens
       |FROM pieces ORDER BY bin_id, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q106
+  /** Corpus mixture rebalancing (`Sampling.rebalanceToShares`): the corpus
+    * is ~40% English; rebalance to a uniform 20%-per-language target at a
+    * 400-doc budget, filling each language's 80-doc quota with its
+    * HIGHEST-quality documents (q21's integer score, ties by doc_id).
+    * English is genuinely downsampled (218 → 80 at sf0.01) while fr
+    * (64 docs) is under quota and contributes everything — the
+    * availability cap in action. Ranking runs through `Scale.groupedRank`
+    * (bucketed per-language ranks + broadcast offsets), because 5
+    * languages at 100 TB is exactly where `Window.partitionBy(lang)`
+    * would plan 5 giant tasks. Full selected set oracle-checked. */
+  def q106CorpusMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val scored = graft.ops.TextStats.quality(docs)
+      .select(col("doc_id"), col("score_ppm"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("neg", -col("score_ppm"))
+    val shares = Map(
+      "de" -> 2000, "en" -> 2000, "es" -> 2000, "fr" -> 2000, "zh" -> 2000)
+    Sampling.rebalanceToShares(scored, "lang", "neg", "doc_id",
+        budget = 400, sharesBp = shares)
+      .select(col("lang"), col("mix_rank"), col("doc_id"), col("score_ppm"))
+      .orderBy("lang", "mix_rank")
+  }
+
+  val q106Sql: String = {
+    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+      |  SELECT * FROM (VALUES ('de', 80), ('en', 80), ('es', 80),
+      |    ('fr', 80), ('zh', 80)) AS t(lang, quota)),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    (2 * (64 * (400000 * n_uniq + 300000 * n_stop)
+      |          + 300000 * least(n_tokens, 64) * n_tokens)
+      |     + 64 * n_tokens) // (2 * 64 * n_tokens) AS score_ppm
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |      len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+      |      len(list_filter(string_split(text, ' '),
+      |        x -> x IN ($en)))::BIGINT AS n_stop
+      |    FROM documents)),
+      |r AS (
+      |  SELECT doc_id, lang, score_ppm,
+      |    CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY lang ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+      |      AS mix_rank
+      |  FROM sc)
+      |SELECT r.lang, mix_rank, doc_id, score_ppm
+      |FROM r JOIN q ON r.lang = q.lang
+      |WHERE mix_rank <= q.quota
+      |ORDER BY r.lang, mix_rank""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3171,7 +3225,8 @@ object ExtQueries {
     "q102_anchored_spans" -> (q102AnchoredSpans _),
     "q103_pagerank_dangling" -> (q103PagerankDangling _),
     "q104_boilerplate" -> (q104Boilerplate _),
-    "q105_seq_pack" -> (q105SeqPack _))
+    "q105_seq_pack" -> (q105SeqPack _),
+    "q106_corpus_mix" -> (q106CorpusMix _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3268,5 +3323,6 @@ object ExtQueries {
     "q102_anchored_spans" -> q102Sql,
     "q103_pagerank_dangling" -> q103Sql,
     "q104_boilerplate" -> q104Sql,
-    "q105_seq_pack" -> q105Sql)
+    "q105_seq_pack" -> q105Sql,
+    "q106_corpus_mix" -> q106Sql)
 }

@@ -109,4 +109,36 @@ class SamplingSpec extends SparkSpec {
       assert(byLang(l) < totals(l), s"default rate kept everything for $l")
     }
   }
+
+  test("rebalanceToShares: quotas filled best-first, capped by availability, whitelist keys") {
+    import spark.implicits._
+    // scores chosen so best-first selection is unambiguous; "xx" has only
+    // 2 rows against a quota of 5; "zz" is not in the mixture at all
+    val rows =
+      (1L to 20L).map(i => (i, "en", 1000L - i)) ++ // en: best = lowest ids
+      (21L to 22L).map(i => (i, "xx", 500L)) ++
+      (31L to 40L).map(i => (i, "zz", 999L))
+    val df = rows.toDF("doc_id", "key", "score").withColumn("neg", -col("score"))
+    val out = Sampling.rebalanceToShares(df, "key", "neg", "doc_id",
+      budget = 10, sharesBp = Map("en" -> 5000, "xx" -> 5000))
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mix_rank")))
+    val en = out.filter(_._1 == "en").sortBy(_._3)
+    assert(en.map(_._2).toSeq == (1L to 5L).toSeq,
+      s"en quota 5 filled with the 5 best (highest-score) docs: ${en.toSeq}")
+    assert(en.map(_._3).toSeq == (1L to 5L).toSeq, "ranks are 1..quota")
+    val xx = out.filter(_._1 == "xx")
+    assert(xx.map(_._2).toSet == Set(21L, 22L),
+      "under-quota key contributes everything it has")
+    assert(!out.exists(_._1 == "zz"), "keys outside the mixture are excluded")
+    // equivalence with the naive window form on the en group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("doc_id"))
+    val naive = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5 && col("key").isin("en", "xx"))
+      .select("key", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.map(t => (t._1, t._2)).toSet == naive,
+      "groupedRank-based selection must equal the row_number form")
+  }
 }
