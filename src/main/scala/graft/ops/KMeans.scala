@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer-exact k-means (Lloyd) over quantized embeddings — the
+  * clustering step of corpus curation (cluster-balanced sampling, topic
+  * discovery, near-dup group analysis) made engine-agnostic: all
+  * arithmetic is on fixed-point longs with deterministic round-half-up
+  * averaging and lexicographic `(distance, cid)` tie-breaks, so a SQL
+  * oracle (unrolled CTEs, one per iteration) reproduces every assignment
+  * and centroid bit-for-bit — no float drift, no seed dependence.
+  *
+  * Scale shape (the Spark MLlib layout): centroids live on the driver —
+  * k·dim longs, broadcast into the row-local assignment expression each
+  * round — so assignment is a zero-shuffle map (`aggregate` over a
+  * k-element literal array of centroid structs; no join, no explode).
+  * The update step is one `groupBy(cid, pos)` over the posexploded
+  * vectors: n·dim long rows shuffle per iteration, the same class as any
+  * aggregation over the input, with map-side partial sums. Driver traffic
+  * is k·dim rows per round — bounded and tiny at any corpus size.
+  */
+object KMeans {
+
+  /** Quantize a float/double embedding array to NON-NEGATIVE fixed-point
+    * longs: `floor(x · scale) + offset`. Multiplying a float by a
+    * power-of-two scale is exact in double arithmetic, so Spark and any
+    * SQL engine produce identical longs from identical input bits.
+    * Non-negativity (pick `offset` ≥ scale · |min value|) is what makes
+    * integer-division rounding portable: Spark's `DIV` truncates toward
+    * zero while DuckDB's `//` floors — they only agree on non-negative
+    * operands. Distances are shift-invariant, so the offset never affects
+    * clustering. */
+  def quantize(emb: Column, scale: Int = 1024, offset: Int = 1024): Column =
+    transform(emb, x => floor(x.cast("double") * scale).cast("long") + offset)
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** Run `iters` Lloyd rounds on `(idCol, vecCol: array<long>)` rows with
+    * the vectors of the k smallest ids as initial centroids. Returns the
+    * final assignment `(idCol, cid, dist)` — every row keeps its nearest
+    * final-round centroid (ties to the lowest cid) and the exact squared
+    * distance to it. A cluster that loses all members mid-run is dropped
+    * (subsequent rounds assign over the survivors), matching the unrolled
+    * SQL oracle's semantics. */
+  def fit(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qv"): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k and iters must be >= 1: k=$k iters=$iters")
+    val spark = vecs.sparkSession
+
+    // deterministic init: vectors of the k smallest ids, cid = 0..k-1 in
+    // id order (TakeOrderedAndProject — per-partition k, no full sort)
+    var centroids: Seq[(Long, Seq[Long])] = vecs
+      .orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq: Seq[Long]))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }.toSeq
+
+    def assign(): DataFrame = {
+      val carr = array(centroids.map { case (cid, v) =>
+        struct(lit(cid).as("cid"), typedLit(v).as("cv"))
+      }: _*)
+      vecs.withColumn("__best",
+        aggregate(carr,
+          struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
+          (acc, c) => {
+            val d = sqDist(col(vecCol), c.getField("cv"))
+            when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+        .select(col(idCol), col("__best.cid").as("cid"),
+          col("__best.d").as("dist"))
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = assign()
+      val next = assigned
+        .join(vecs.select(col(idCol), col(vecCol)), idCol)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(expr("(2 * sum(v) + count(1)) DIV (2 * count(1))").as("avg"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      centroids = next.groupBy(_._1).toSeq.sortBy(_._1).map {
+        case (cid, comps) =>
+          (cid, comps.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Long])
+      }
+    }
+    assign()
+  }
+}
