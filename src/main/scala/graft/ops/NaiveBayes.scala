@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering: a multinomial Naive Bayes classifier
+  * over hashed token buckets, trained and applied entirely in-engine —
+  * the fastText-style "does this look like reference text?" gate of LLM
+  * data pipelines, without shipping a model file.
+  *
+  * Engine-agnostic by construction: the only floating-point step is the
+  * per-bucket log-likelihood-ratio, computed with an IDENTICAL expression
+  * shape on both engines — `ln(cp+1) − ln(Npos+V) − ln(cn+1) + ln(Nneg+V)`
+  * left-associated, on integer-valued doubles — then rounded ONCE to
+  * fixed-point deci-milli-nats (·10⁴). Everything after that rounding is
+  * exact integer addition, so document scores and predictions reproduce
+  * bit-for-bit in a SQL oracle. (A last-ulp libm divergence could only
+  * flip a rounding that lands within ~1e-15 of a .5 boundary —
+  * vanishing, and deterministic per dataset, never flaky.)
+  *
+  * Scale shape: token counting is one `groupBy(y, bucket)` with map-side
+  * combine (≤ 2·V result rows); class totals are a 2-row collect; the
+  * per-bucket LLR table is ≤ V rows and BROADCAST to the scoring join, so
+  * scoring is one shuffle-free pass plus the per-doc sum. Laplace
+  * smoothing keeps every LLR finite for buckets seen in only one class.
+  */
+object NaiveBayes {
+
+  /** Train on `docs` = `(doc_id, text)` with boolean `labels` =
+    * `(doc_id, y)` (the seed heuristic or reference-corpus membership)
+    * and score every document: returns `(doc_id, score, pred)` where
+    * `score` is the integer fixed-point log-posterior ratio (prior +
+    * summed token LLRs, positive ⇒ more positive-class-like) and
+    * `pred = score > 0`. Both classes must be non-empty. */
+  def fitScore(
+      docs: DataFrame,
+      labels: DataFrame,
+      vocab: Int = 4096,
+      scale: Long = 10000L): DataFrame = {
+    require(vocab >= 2, s"vocab must be >= 2: $vocab")
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        pmod(TextOps.h60(col("tok")), lit(vocab.toLong)).as("b"))
+
+    val cnt = toks.join(labels, "doc_id")
+      .groupBy("y", "b").agg(count(lit(1)).as("c"))
+
+    val tokTotals = cnt.groupBy("y").agg(sum("c").as("n"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val docTotals = labels.groupBy("y").agg(count(lit(1)).as("d"))
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    require(docTotals.getOrElse(true, 0L) > 0 && docTotals.getOrElse(false, 0L) > 0,
+      s"both classes must be non-empty, got docs per class: $docTotals")
+    val nPos = tokTotals.getOrElse(true, 0L) + vocab
+    val nNeg = tokTotals.getOrElse(false, 0L) + vocab
+
+    // one rounding per bucket; expression shape mirrored in SQL oracles
+    val llr = cnt.filter(col("y")).select(col("b"), col("c").as("cp"))
+      .join(cnt.filter(!col("y")).select(col("b"), col("c").as("cn")),
+        Seq("b"), "full")
+      .select(col("b"),
+        round((log(coalesce(col("cp"), lit(0L)) + 1) - log(lit(nPos))
+          - log(coalesce(col("cn"), lit(0L)) + 1) + log(lit(nNeg)))
+          * scale).cast("long").as("llr"))
+
+    val prior = round(
+      lit(math.log(docTotals(true).toDouble / docTotals(false))) * scale)
+      .cast("long")
+
+    toks.join(broadcast(llr), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("llr"), lit(0L))).as("tok_llr"))
+      .select(col("doc_id"), (col("tok_llr") + prior).as("score"))
+      .withColumn("pred", col("score") > 0)
+  }
+}

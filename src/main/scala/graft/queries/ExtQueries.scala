@@ -3131,6 +3131,144 @@ object ExtQueries {
       |ORDER BY r.lang, mix_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q107
+  /** Integer-exact k-means over the embeddings table (`KMeans.fit`):
+    * quantize the 64-dim float vectors to non-negative fixed-point longs
+    * (floor(x·1024)+1024 — exact in double arithmetic, shift-invariant
+    * for distances), run 2 Lloyd rounds from the vectors of the 8
+    * smallest vec_ids, and report per-cluster size and exact integer
+    * inertia. Every assignment, round-half-up centroid average, and
+    * (dist, cid) tie-break is reproduced bit-for-bit by the oracle's
+    * unrolled per-iteration CTEs — clustering with zero float drift. */
+  private val q107K = 8
+  private val q107Iters = 2
+
+  def q107KmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings").select(col("vec_id"),
+      graft.ops.KMeans.quantize(col("embedding")).as("qv"))
+    graft.ops.KMeans.fit(v, k = q107K, iters = q107Iters)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum("dist").as("inertia"))
+      .orderBy("cid")
+  }
+
+  val q107Sql: String = {
+    def dist(cv: String) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (v.qv[i] - $cv[i]) * (v.qv[i] - $cv[i]))) AS BIGINT)"""
+        .stripMargin
+    // (dist, cid) lexicographic argmin as one MIN key: dist·k + cid is
+    // exact in BIGINT (dist ≤ 64·1025² ≈ 6.7e7) and cid < k
+    val iterCtes = (1 to q107Iters).map { i =>
+      val prev = if (i == 1) "c0" else s"c${i - 1}"
+      s"""a$i AS (
+         |  SELECT v.vec_id,
+         |    MIN(${dist("c.cv")} * $q107K + c.cid) % $q107K AS cid
+         |  FROM v, $prev c GROUP BY v.vec_id),
+         |c$i AS (
+         |  SELECT cid, list(avg_c ORDER BY pos) AS cv FROM (
+         |    SELECT a.cid, p.pos,
+         |      CAST((2 * SUM(v.qv[p.pos]) + COUNT(*)) // (2 * COUNT(*))
+         |        AS BIGINT) AS avg_c
+         |    FROM a$i a JOIN v USING (vec_id), LATERAL (
+         |      SELECT unnest(range(1, 65)) AS pos) p
+         |    GROUP BY a.cid, p.pos)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024)
+       |      AS qv
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+       |  FROM v ORDER BY vec_id LIMIT $q107K),
+       |$iterCtes,
+       |fin AS (
+       |  SELECT v.vec_id,
+       |    MIN(${dist("c.cv")} * $q107K + c.cid) AS mkey
+       |  FROM v, c$q107Iters c GROUP BY v.vec_id)
+       |SELECT mkey % $q107K AS cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(mkey // $q107K) AS BIGINT) AS inertia
+       |FROM fin GROUP BY mkey % $q107K ORDER BY cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q108
+  /** Model-based quality gate (`NaiveBayes.fitScore`): train a
+    * multinomial NB over hashed token buckets with the q21 integer
+    * quality heuristic as the seed label (score_ppm ≥ 450000 ≈ the
+    * median), then score every document — the fastText-style classifier
+    * filter of LLM pipelines, entirely in-engine. The per-bucket LLR is
+    * the only float step, rounded once to fixed-point; per-language
+    * confusion counts AND the exact integer score sum are oracle-checked,
+    * so every token count, smoothing term, and prior reproduces. */
+  def q108NbQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val labels = TextStats.quality(docs)
+      .select(col("doc_id"), (col("score_ppm") >= 450000).as("y"))
+    val scored = graft.ops.NaiveBayes.fitScore(
+      docs.select("doc_id", "text"), labels)
+    scored.join(labels, "doc_id").join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("pred")).as("n_pred_pos"),
+        count_if(col("pred") === col("y")).as("n_agree"),
+        sum("score").as("score_sum"))
+      .orderBy("lang")
+  }
+
+  val q108Sql: String = {
+    val en = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH lab AS (
+      |  SELECT doc_id, (score >= 450000) AS y FROM (
+      |    SELECT doc_id,
+      |      (2 * (64 * (400000 * n_uniq + 300000 * n_stop)
+      |            + 300000 * least(n_tokens, 64) * n_tokens)
+      |       + 64 * n_tokens) // (2 * 64 * n_tokens) AS score
+      |    FROM (
+      |      SELECT doc_id,
+      |        len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |        len(list_distinct(string_split(text, ' ')))::BIGINT AS n_uniq,
+      |        len(list_filter(string_split(text, ' '),
+      |          x -> x IN ($en)))::BIGINT AS n_stop
+      |      FROM documents))),
+      |tk AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS b
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |cnt AS (
+      |  SELECT l.y, t.b, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tk t JOIN lab l USING (doc_id) GROUP BY l.y, t.b),
+      |tot AS (SELECT y, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY y),
+      |dtot AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS d FROM lab GROUP BY y),
+      |llr AS (
+      |  SELECT COALESCE(p.b, q.b) AS b,
+      |    CAST(round((ln(COALESCE(p.c, 0) + 1)
+      |      - ln((SELECT n FROM tot WHERE y) + 4096)
+      |      - ln(COALESCE(q.c, 0) + 1)
+      |      + ln((SELECT n FROM tot WHERE NOT y) + 4096)) * 10000)
+      |      AS BIGINT) AS llr
+      |  FROM (SELECT b, c FROM cnt WHERE y) p
+      |  FULL JOIN (SELECT b, c FROM cnt WHERE NOT y) q ON p.b = q.b),
+      |pri AS (
+      |  SELECT CAST(round(ln(CAST((SELECT d FROM dtot WHERE y) AS DOUBLE)
+      |    / (SELECT d FROM dtot WHERE NOT y)) * 10000) AS BIGINT) AS p),
+      |sc AS (
+      |  SELECT t.doc_id,
+      |    CAST(SUM(COALESCE(l.llr, 0)) + (SELECT p FROM pri) AS BIGINT)
+      |      AS score
+      |  FROM tk t LEFT JOIN llr l USING (b) GROUP BY t.doc_id)
+      |SELECT d.lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE sc.score > 0) AS BIGINT) AS n_pred_pos,
+      |  CAST(COUNT(*) FILTER (WHERE (sc.score > 0) = lab.y) AS BIGINT)
+      |    AS n_agree,
+      |  CAST(SUM(sc.score) AS BIGINT) AS score_sum
+      |FROM sc JOIN lab USING (doc_id) JOIN documents d USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3226,7 +3364,9 @@ object ExtQueries {
     "q103_pagerank_dangling" -> (q103PagerankDangling _),
     "q104_boilerplate" -> (q104Boilerplate _),
     "q105_seq_pack" -> (q105SeqPack _),
-    "q106_corpus_mix" -> (q106CorpusMix _))
+    "q106_corpus_mix" -> (q106CorpusMix _),
+    "q107_kmeans" -> (q107KmeansClusters _),
+    "q108_nb_quality" -> (q108NbQualityGate _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3324,5 +3464,7 @@ object ExtQueries {
     "q103_pagerank_dangling" -> q103Sql,
     "q104_boilerplate" -> q104Sql,
     "q105_seq_pack" -> q105Sql,
-    "q106_corpus_mix" -> q106Sql)
+    "q106_corpus_mix" -> q106Sql,
+    "q107_kmeans" -> q107Sql,
+    "q108_nb_quality" -> q108Sql)
 }
