@@ -175,6 +175,52 @@ object TableManifest {
     commit(spark, dir, moved)
   }
 
+  /** Files of one SPECIFIC committed version, if its manifest still
+    * exists. Old manifests are kept by [[vacuum]] (only data files the
+    * HEAD no longer lists are reclaimed), so history survives until a
+    * caller prunes `_manifest/` explicitly — but a version whose data
+    * files were vacuumed away will scan incompletely; time travel is only
+    * guaranteed before any vacuum past that version. */
+  def readAt(spark: SparkSession, dir: String, version: Long): Option[Seq[String]] = {
+    val (fs, p) = fsFor(spark, dir)
+    val path = manifestPath(p, version)
+    if (!fs.exists(path)) return None
+    val in = fs.open(path)
+    val body =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    Some(parseFiles(body))
+  }
+
+  /** Time travel: scan the table exactly as of `version`. */
+  def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readAt(spark, dir, version) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+      case Some(_) => spark.emptyDataFrame
+      case None => sys.error(s"no manifest v$version under $dir")
+    }
+
+  /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
+    * (inclusive): the scan of files listed at `toVersion` but not at
+    * `fromVersion`. Data files are immutable and append-only at the
+    * manifest layer, so for append-only writers (the streaming manifest
+    * sink) this is exact change-data capture per commit range; a
+    * full-snapshot rewrite (publish / tracked compaction) re-lists rows
+    * under new file names and they reappear as adds — a file-granularity
+    * protocol can't tell a moved row from a new one. */
+  def addedBetween(
+      spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val from = readAt(spark, dir, fromVersion)
+      .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
+    val to = readAt(spark, dir, toVersion)
+      .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
+    val fresh = to.filterNot(from)
+    if (fresh.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+  }
+
   /** Delete data files the head manifest no longer lists (plus leftover
     * temp dirs/files of crashed commits). Only safe once readers of older
     * heads are done — the caller owns that grace period. Returns deleted

@@ -154,6 +154,30 @@ class ManifestSpec extends SparkSpec {
     assert(snap2.filter(col("key") === 2 && col("valid_to").isNotNull).count() == 1)
   }
 
+  test("time travel reads any retained version; addedBetween is per-commit CDC") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tt").toString
+    // three append commits via the streaming sink's applyBatch
+    graft.streaming.ManifestAppendSink.applyBatch(Seq(1L, 2L).toDF("v"), 0L, dir)
+    graft.streaming.ManifestAppendSink.applyBatch(Seq(3L).toDF("v"), 1L, dir)
+    graft.streaming.ManifestAppendSink.applyBatch(Seq(4L, 5L).toDF("v"), 2L, dir)
+
+    def vals(df: DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals(TableManifest.readTableAt(spark, dir, 1L)) == Seq(1L, 2L))
+    assert(vals(TableManifest.readTableAt(spark, dir, 2L)) == Seq(1L, 2L, 3L))
+    assert(vals(TableManifest.readTableAt(spark, dir, 3L)) == Seq(1L, 2L, 3L, 4L, 5L))
+    // CDC: exactly the rows the middle commit added
+    assert(vals(TableManifest.addedBetween(spark, dir, 1L, 2L)) == Seq(3L))
+    assert(vals(TableManifest.addedBetween(spark, dir, 1L, 3L)) == Seq(3L, 4L, 5L))
+    assert(TableManifest.addedBetween(spark, dir, 2L, 2L).isEmpty,
+      "empty range adds nothing")
+    // vacuum keeps history readable: append-only tables have no dead files
+    TableManifest.vacuum(spark, dir)
+    assert(vals(TableManifest.readTableAt(spark, dir, 1L)) == Seq(1L, 2L),
+      "old versions of an append-only table survive vacuum")
+  }
+
   test("concurrent publishers: head is always one complete snapshot") {
     val dir = tmpDir("race")
     TableManifest.publish(docs.limit(10), dir)
