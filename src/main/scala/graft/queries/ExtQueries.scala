@@ -3269,6 +3269,78 @@ object ExtQueries {
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q109
+  /** BPE vocabulary learning (`Bpe.train`): 6 merge rounds over the
+    * corpus word-frequency table — each round counts adjacent symbol
+    * pairs weighted by word frequency, picks the most frequent
+    * (lexicographic ties), and applies the greedy left-to-right merge via
+    * the run-parity window formulation (`ops/Bpe.scala`). The oracle
+    * unrolls the identical window chain per round, so the learned merge
+    * table — what a tokenizer ships as merges.txt — matches
+    * bit-for-bit, overlap cases included. */
+  private val q109Rounds = 6
+
+  def q109BpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(
+      t(s, dir, "documents").select("doc_id", "text"), rounds = q109Rounds)
+      .orderBy("step")
+
+  val q109Sql: String = {
+    def round(r: Int): String =
+      s"""sym$r AS MATERIALIZED (
+         |  SELECT word, cnt, p.i, syms[p.i] AS s
+         |  FROM w${r - 1}, LATERAL (
+         |    SELECT unnest(range(1, len(syms) + 1)) AS i) p),
+         |pc$r AS (
+         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT word, cnt, s AS a,
+         |      lead(s) OVER (PARTITION BY word ORDER BY i) AS b
+         |    FROM sym$r)
+         |  WHERE b IS NOT NULL GROUP BY a, b),
+         |best$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM pc$r ORDER BY c DESC, a, b LIMIT 1),
+         |mg$r AS (
+         |  SELECT word, cnt, i, s, taken,
+         |    COALESCE(lag(taken) OVER (PARTITION BY word ORDER BY i), FALSE)
+         |      AS consumed
+         |  FROM (
+         |    SELECT word, cnt, i, s,
+         |      cand AND (i - max(CASE WHEN head THEN i END) OVER (
+         |        PARTITION BY word ORDER BY i ROWS UNBOUNDED PRECEDING)) % 2
+         |        = 0 AS taken
+         |    FROM (
+         |      SELECT word, cnt, i, s, cand,
+         |        cand AND NOT COALESCE(
+         |          lag(cand) OVER (PARTITION BY word ORDER BY i), FALSE)
+         |          AS head
+         |      FROM (
+         |        SELECT word, cnt, i, s,
+         |          COALESCE(s = (SELECT a FROM best$r) AND
+         |            lead(s) OVER (PARTITION BY word ORDER BY i)
+         |              = (SELECT b FROM best$r), FALSE) AS cand
+         |        FROM sym$r)))),
+         |w$r AS MATERIALIZED (
+         |  SELECT word, MIN(cnt) AS cnt,
+         |    list(CASE WHEN taken
+         |      THEN (SELECT a FROM best$r) || (SELECT b FROM best$r)
+         |      ELSE s END ORDER BY i) AS syms
+         |  FROM mg$r WHERE NOT consumed GROUP BY word)""".stripMargin
+    val rounds = (1 to q109Rounds).map(round).mkString(",\n")
+    val steps = (1 to q109Rounds).map { r =>
+      s"""SELECT $r AS step, a AS pair_a, b AS pair_b, a || b AS merged,
+         |  c AS cnt FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    string_split(word, '') AS syms
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |$rounds
+       |$steps
+       |ORDER BY step""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3366,7 +3438,8 @@ object ExtQueries {
     "q105_seq_pack" -> (q105SeqPack _),
     "q106_corpus_mix" -> (q106CorpusMix _),
     "q107_kmeans" -> (q107KmeansClusters _),
-    "q108_nb_quality" -> (q108NbQualityGate _))
+    "q108_nb_quality" -> (q108NbQualityGate _),
+    "q109_bpe_train" -> (q109BpeTrain _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3466,5 +3539,6 @@ object ExtQueries {
     "q105_seq_pack" -> q105Sql,
     "q106_corpus_mix" -> q106Sql,
     "q107_kmeans" -> q107Sql,
-    "q108_nb_quality" -> q108Sql)
+    "q108_nb_quality" -> q108Sql,
+    "q109_bpe_train" -> q109Sql)
 }

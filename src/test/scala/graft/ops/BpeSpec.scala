@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE vocabulary learning: the window-function merge is differentially
+  * fuzzed against an independent sequential fold (the overlap cases are
+  * where relational implementations go wrong), and training reproduces
+  * the textbook example. */
+class BpeSpec extends SparkSpec {
+
+  /** Independent reference: greedy left-to-right merge as a sequential
+    * scan — the semantics BPE implementations agree on. */
+  private def refMerge(syms: List[String], a: String, b: String): List[String] =
+    syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+
+  test("mergeRound equals the sequential fold on randomized overlap-heavy words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c")
+    val words = (1 to 300).map { i =>
+      val syms = Vector.fill(rnd.nextInt(11) + 1)(alphabet(rnd.nextInt(3)))
+      (syms.mkString, 1L, syms)
+    }.distinct
+    val df = words.toDF("word", "cnt", "syms")
+    for ((a, b) <- Seq(("a", "b"), ("a", "a"), ("c", "c"), ("b", "a"))) {
+      val got = Bpe.mergeRound(df, a, b)
+        .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+      words.foreach { case (w, _, syms) =>
+        val want = refMerge(syms.toList, a, b)
+        assert(got(w) == want,
+          s"word '$w' merge ($a,$b): got ${got(w)}, want $want")
+      }
+    }
+  }
+
+  test("train reproduces the textbook low/lower/newest merges") {
+    import spark.implicits._
+    // 'lo' wins round 1 (freq 5); 'low' wins round 2 (freq 5)
+    val docs = Seq(
+      1L -> "low low low low low",
+      2L -> "lower lowest newest newest").toDF("doc_id", "text")
+    val merges = Bpe.train(docs, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges(0) == ((1, "l", "o", "lo", 7L)), s"got ${merges(0)}")
+    assert(merges(1) == ((2, "lo", "w", "low", 7L)), s"got ${merges(1)}")
+  }
+
+  test("segment replays a merge table; fully merged words stop producing pairs") {
+    import spark.implicits._
+    val docs = Seq(1L -> "ab ab ab").toDF("doc_id", "text")
+    val words = Bpe.wordCounts(docs)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    val seg = Bpe.segment(words, Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(seg("ab") == List("ab"))
+    // training past exhaustion yields no further merges rather than failing
+    val m = Bpe.train(docs, rounds = 3)
+    assert(m.count() == 1L, "single possible merge learned once")
+  }
+}
