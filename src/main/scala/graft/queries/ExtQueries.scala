@@ -3341,6 +3341,33 @@ object ExtQueries {
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q110
+  /** Deterministic training-order interleave (`Curriculum.interleave`):
+    * each language hash-shuffled by h60(doc_id), languages round-robined
+    * so no long same-source runs reach training; the global position is
+    * the closed-form sum over per-key sizes — never `Window.orderBy()`
+    * with no partition (the single-task plan) — while the oracle computes
+    * the same order with the naive global window. Unequal language sizes
+    * exercise the drop-out-of-later-rounds terms. Full order checked. */
+  def q110Interleave(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang")
+    graft.ops.Curriculum.interleave(docs, "lang", "doc_id")
+      .select(col("pos"), col("lang"), col("doc_id"), col("mix_rank"))
+      .orderBy("pos")
+  }
+
+  val q110Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+      |      doc_id) AS BIGINT) AS mix_rank
+      |  FROM documents)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY mix_rank, lang) AS BIGINT) AS pos,
+      |  lang, doc_id, mix_rank
+      |FROM r ORDER BY pos""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3439,7 +3466,8 @@ object ExtQueries {
     "q106_corpus_mix" -> (q106CorpusMix _),
     "q107_kmeans" -> (q107KmeansClusters _),
     "q108_nb_quality" -> (q108NbQualityGate _),
-    "q109_bpe_train" -> (q109BpeTrain _))
+    "q109_bpe_train" -> (q109BpeTrain _),
+    "q110_interleave" -> (q110Interleave _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3540,5 +3568,6 @@ object ExtQueries {
     "q106_corpus_mix" -> q106Sql,
     "q107_kmeans" -> q107Sql,
     "q108_nb_quality" -> q108Sql,
-    "q109_bpe_train" -> q109Sql)
+    "q109_bpe_train" -> q109Sql,
+    "q110_interleave" -> q110Sql)
 }
