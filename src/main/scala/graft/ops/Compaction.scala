@@ -120,42 +120,64 @@ object Compaction {
       targetBytes: Long = 128L << 20,
       minFileBytes: Long = 64L << 20): Stats = {
     val (fs, p) = fsFor(spark, dir)
-    val tracked = TableManifest.read(spark, dir)
-    val files = tracked match {
-      case Some((_, names)) => names.map(n => fs.getFileStatus(new Path(p, n)))
-      case None             => dataFiles(fs, p)
-    }
-    val (small, large) = files.partition(_.getLen < minFileBytes)
-    val before = files.size
-    if (small.size < 2) return Stats(before, before, 0L)
-    val smallBytes = small.map(_.getLen).sum
-    val targetFiles =
-      math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    // Tracked tables: compaction is a READ-MODIFY-WRITE of the file list,
+    // so the commit must be a compare-and-swap against the head version
+    // the candidate set was read from — a plain commit would overwrite
+    // manifest versions landed mid-rewrite (e.g. streaming-append
+    // batches), and the next vacuum would delete their data. On conflict
+    // the rewritten outputs are discarded and the whole pass retries
+    // against the fresh head (the rewrite cost is the price of losing the
+    // race; correctness never depends on winning it).
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val tracked = TableManifest.readHead(spark, dir)
+      val files = tracked match {
+        case Some((_, names, _)) =>
+          names.map(n => fs.getFileStatus(new Path(p, n)))
+        case None => dataFiles(fs, p)
+      }
+      val (small, large) = files.partition(_.getLen < minFileBytes)
+      val before = files.size
+      if (small.size < 2) return Stats(before, before, 0L)
+      val smallBytes = small.map(_.getLen).sum
+      val targetFiles =
+        math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
 
-    val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
-    // mergeSchema: fragments written under an evolved schema keep their
-    // later-added columns instead of being silently projected away
-    spark.read.option("mergeSchema", "true")
-      .parquet(small.map(_.getPath.toString): _*)
-      .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(tmp.toString)
-    // Move the rewritten files in first: a crash mid-swap duplicates rows
-    // on an untracked dir (documented above) but never loses them; on a
-    // tracked dir unlisted files are simply invisible.
-    val moved = dataFiles(fs, tmp).map { s =>
-      val dest = new Path(p, s"compacted-${s.getPath.getName}")
-      require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
-      dest
+      val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
+      // mergeSchema: fragments written under an evolved schema keep their
+      // later-added columns instead of being silently projected away
+      spark.read.option("mergeSchema", "true")
+        .parquet(small.map(_.getPath.toString): _*)
+        .coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      // Move the rewritten files in first: a crash mid-swap duplicates rows
+      // on an untracked dir (documented above) but never loses them; on a
+      // tracked dir unlisted files are simply invisible.
+      val moved = dataFiles(fs, tmp).map { s =>
+        val dest = new Path(p, s"compacted-${s.getPath.getName}")
+        require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
+        dest
+      }
+      fs.delete(tmp, true)
+      tracked match {
+        case Some((headV, _, hwm)) => // CAS commit; old fragments await vacuum
+          TableManifest.commitIf(spark, dir,
+            large.map(_.getPath.getName) ++ moved.map(_.getName),
+            expectedHead = headV, hwm = hwm) match {
+            case Some(_) =>
+              return Stats(before, large.size + moved.size, smallBytes)
+            case None =>
+              moved.foreach(m => fs.delete(m, false)) // lost the race
+              if (attempt >= 5) sys.error(
+                s"compaction of $dir lost $attempt manifest races; giving up")
+          }
+        case None =>
+          small.foreach(s => fs.delete(s.getPath, false))
+          return Stats(before, large.size + moved.size, smallBytes)
+      }
     }
-    tracked match {
-      case Some(_) => // the commit point; old fragments await vacuum
-        TableManifest.commit(spark, dir,
-          (large.map(_.getPath.getName) ++ moved.map(_.getName)))
-      case None =>
-        small.foreach(s => fs.delete(s.getPath, false))
-    }
-    fs.delete(tmp, true)
-    Stats(before, large.size + moved.size, smallBytes)
+    Stats(0, 0, 0L) // unreachable
   }
 
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the

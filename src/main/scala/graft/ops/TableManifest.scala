@@ -30,13 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * references — invisible to readers, reclaimed by [[vacuum]]. There is no
   * window in which a reader can observe duplicated or missing rows.
   *
-  * Same-version races: on filesystems whose rename fails when the
-  * destination exists (HDFS), the loser simply retries at the next
-  * version. POSIX local rename OVERWRITES silently instead, so [[commit]]
-  * reads its manifest back and checks an embedded commit token — an
-  * overwritten loser detects the loss and retries, keeping last-writer-wins
-  * snapshot semantics (never a lost-but-reported-committed write) on both
-  * rename behaviors.
+  * Same-version races: manifest creation is EXCLUSIVE — local
+  * filesystems use an O_EXCL `CREATE_NEW` (the kernel linearizes racing
+  * creators; POSIX rename would overwrite silently and lose a confirmed
+  * commit), HDFS uses rename-into-place which fails on an existing
+  * destination. Versions are dense, so winning the create of `v+1` IS the
+  * commit's linearization point: [[commitIf]] exposes that as
+  * compare-and-swap for read-modify-write callers (tracked compaction,
+  * the streaming append sink), while [[commit]] retries it for
+  * last-writer-wins snapshot replacement (publish).
   *
   * Deliberately NOT here: per-commit diffs/log replay, schema metadata,
   * optimistic-conflict semantics beyond last-writer-wins — at that point
@@ -66,7 +68,25 @@ object TableManifest {
     new Path(new Path(table, ManifestDir), f"v$v%020d.json")
 
   /** Highest committed (version, files) under `dir`, if any. */
-  def read(spark: SparkSession, dir: String): Option[(Long, Seq[String])] = {
+  def read(spark: SparkSession, dir: String): Option[(Long, Seq[String])] =
+    readHead(spark, dir).map { case (v, files, _) => v -> files }
+
+  /** `{"version":N,"files":[...]}` for names this module wrote (no escapes). */
+  private def parseFiles(json: String): Seq[String] = {
+    val start = json.indexOf('[')
+    val end = json.lastIndexOf(']')
+    require(start >= 0 && end > start, s"malformed manifest: $json")
+    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start, end + 1))
+      .map(_.group(1)).toSeq
+  }
+
+  private val HwmRe = """"hwm":(-?[0-9]+)""".r
+
+  /** Head (version, files, stream high-water mark). The hwm is writer
+    * metadata carried INSIDE the manifest (see [[commit]]) so maintenance
+    * commits that rename data files — compaction, publish — cannot erase
+    * it. Absent on manifests written before the field existed. */
+  def readHead(spark: SparkSession, dir: String): Option[(Long, Seq[String], Option[Long])] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     if (!fs.exists(mdir)) return None
@@ -79,51 +99,83 @@ object TableManifest {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    Some(v -> parseFiles(body))
+    Some((v, parseFiles(body),
+      HwmRe.findFirstMatchIn(body).map(_.group(1).toLong)))
   }
 
-  /** `{"version":N,"files":[...]}` for names this module wrote (no escapes). */
-  private def parseFiles(json: String): Seq[String] = {
-    val start = json.indexOf('[')
-    val end = json.lastIndexOf(']')
-    require(start >= 0 && end > start, s"malformed manifest: $json")
-    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start, end + 1))
-      .map(_.group(1)).toSeq
-  }
-
-  private def render(version: Long, token: String, files: Seq[String]): String =
+  private def render(version: Long, token: String, files: Seq[String],
+      hwm: Option[Long]): String = {
+    val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
     files.sorted.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$version,"token":"$token","files":[""",
+      .mkString(s"""{"version":$version,"token":"$token",$meta"files":[""",
         ",", "]}")
+  }
 
-  /** Commit `files` (dir-relative names) as the next manifest version.
-    * Write-then-rename, then read back and check the embedded token (see
-    * the race note above); on any detected race, re-read the head and
-    * retry. Returns the committed version. */
-  def commit(spark: SparkSession, dir: String, files: Seq[String]): Long = {
+  /** Atomically create the manifest file for exactly this version: local
+    * filesystems get an O_EXCL exclusive create (`CREATE_NEW` — the
+    * kernel linearizes racing creators, no check-then-act window); others
+    * get write-to-temp + rename, atomic-and-failing-on-existing on HDFS.
+    * Filesystems whose rename silently overwrites AND that are not local
+    * would re-introduce a lost-update window — none is in scope here.
+    * Returns false when another committer claimed the version. */
+  private def createExclusive(fs: FileSystem, mdir: Path, target: Path,
+      body: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(target.toUri.getPath), body,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      val tmp = new Path(mdir, s".tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(body)
+      finally out.close()
+      if (fs.rename(tmp, target)) true
+      else { fs.delete(tmp, false); false }
+    }
+
+  /** Compare-and-swap commit: publish `files` as version
+    * `expectedHead + 1`, succeeding ONLY if no other manifest version was
+    * committed since the caller read `expectedHead` (versions are dense,
+    * so winning the exclusive create of `v+1` is the linearization
+    * point). This is what read-modify-write callers — tracked compaction,
+    * the streaming append sink — must use: a plain [[commit]] would
+    * overwrite the file list with a stale read and silently drop a
+    * concurrent committer's files. Returns None on conflict; the caller
+    * re-reads the head and reconciles. */
+  def commitIf(spark: SparkSession, dir: String, files: Seq[String],
+      expectedHead: Long, hwm: Option[Long] = None): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
+    val head = read(spark, dir).map(_._1).getOrElse(0L)
+    if (head != expectedHead) return None
+    val v = expectedHead + 1
+    val body = render(v, UUID.randomUUID().toString, files, hwm)
+      .getBytes(StandardCharsets.UTF_8)
+    if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
+  }
+
+  /** Commit `files` (dir-relative names) as the next manifest version —
+    * last-writer-wins SNAPSHOT-REPLACE semantics (retries [[commitIf]]
+    * against the refreshed head until it wins). Correct when `files` is a
+    * complete snapshot the caller owns outright (publish, init); callers
+    * that derived `files` from a previous head must use [[commitIf]]
+    * directly. `hwm` carries the streaming append high-water mark into
+    * the manifest body. Returns the committed version. */
+  def commit(spark: SparkSession, dir: String, files: Seq[String],
+      hwm: Option[Long] = None): Long = {
     var attempts = 0
     while (attempts < 64) {
-      val v = read(spark, dir).map(_._1).getOrElse(0L) + 1L
-      val token = UUID.randomUUID().toString
-      val tmp = new Path(mdir, s".tmp-$token")
-      val out = fs.create(tmp, false)
-      try out.write(render(v, token, files).getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      // the commit point: atomic single-file rename; fails outright when a
-      // racing committer claimed this version (HDFS semantics) ...
-      if (fs.rename(tmp, manifestPath(p, v))) {
-        // ... or succeeds-by-overwrite (POSIX semantics) — read back and
-        // confirm this writer's token actually landed
-        val in = fs.open(manifestPath(p, v))
-        val landed =
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        if (landed.contains(token)) return v
-      } else fs.delete(tmp, false)
-      attempts += 1
+      val head = read(spark, dir).map(_._1).getOrElse(0L)
+      commitIf(spark, dir, files, head, hwm) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
     }
     sys.error(s"manifest commit lost $attempts races in $dir; giving up")
   }
@@ -172,7 +224,10 @@ object TableManifest {
       dest.getName
     }
     fs.delete(tmp, true)
-    commit(spark, dir, moved)
+    // full-snapshot replace, but writer metadata (the streaming append
+    // high-water mark) must survive maintenance — carry it forward
+    val hwm = readHead(spark, dir).flatMap(_._3)
+    commit(spark, dir, moved, hwm)
   }
 
   /** Files of one SPECIFIC committed version, if its manifest still
@@ -222,9 +277,11 @@ object TableManifest {
   }
 
   /** Delete data files the head manifest no longer lists (plus leftover
-    * temp dirs/files of crashed commits). Only safe once readers of older
-    * heads are done — the caller owns that grace period. Returns deleted
-    * names. */
+    * temp dirs/files of crashed commits, including the streaming sink's
+    * `.inflight-*` scratch). Only safe once readers of older heads are
+    * done AND no append is mid-commit — a batch's moved-but-uncommitted
+    * files look dead to this scan; the caller owns that grace period.
+    * Returns deleted names. */
   def vacuum(spark: SparkSession, dir: String): Seq[String] = {
     val (fs, p) = fsFor(spark, dir)
     val live = read(spark, dir) match {
@@ -235,7 +292,8 @@ object TableManifest {
       val n = s.getPath.getName
       (s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n)) ||
         (s.isDirectory && n.startsWith("_publish_tmp-")) ||
-        (s.isDirectory && n.startsWith("_compaction_tmp-"))
+        (s.isDirectory && n.startsWith("_compaction_tmp-")) ||
+        (s.isDirectory && n.startsWith(".inflight-"))
     }
     val mdir = new Path(p, ManifestDir)
     val deadTmps =

@@ -16,34 +16,47 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     .parquet`), and committed to the manifest as ONE new version —
   *     readers on [[TableManifest.readTable]] see the whole batch or none
   *     of it, never a torn prefix;
-  *   - the batch id high-water mark is carried by the file names already
-  *     in the head manifest, so a checkpoint-replayed batch (crash after
-  *     commit, before the checkpoint advanced) is detected and skipped —
-  *     re-delivery never duplicates rows;
+  *   - the batch id high-water mark is carried INSIDE the manifest (the
+  *     `hwm` field), so a checkpoint-replayed batch (crash after commit,
+  *     before the checkpoint advanced) is detected and skipped even after
+  *     compaction or publish has renamed every data file — re-delivery
+  *     never duplicates rows;
   *   - a crash BEFORE the commit leaves only scratch/moved files that no
   *     manifest lists — invisible to readers, reclaimed by
   *     [[TableManifest.vacuum]].
   *
-  * Single-writer per table (one streaming query), the same assumption the
-  * checkpoint itself makes; manifest-version races with concurrent
-  * maintenance (compaction) are handled by `commit`'s token read-back.
-  * At scale the per-batch cost is one file move + one manifest rename per
-  * commit — no table rewrite, readers never re-list the directory. */
+  * Single-writer per table for BATCHES (one streaming query), the same
+  * assumption the checkpoint itself makes; concurrent MAINTENANCE commits
+  * (compaction, publish) are safe — the append commit is a
+  * [[TableManifest.commitIf]] compare-and-swap, so a mid-append
+  * maintenance commit forces a re-read-and-retry instead of being
+  * silently overwritten. At scale the per-batch cost is one file move +
+  * one exclusive manifest create — no table rewrite, readers never
+  * re-list the directory. */
 object ManifestAppendSink {
+
+  /** Highest batch id committed to the table: the manifest-carried `hwm`
+    * field (survives compaction/publish renaming the data files), falling
+    * back to batch-stamped file names for tables written before the field
+    * existed. -1 when neither is present. */
+  def committedBatchHighWater(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    TableManifest.readHead(spark, dir) match {
+      case None => -1L
+      case Some((_, files, hwm)) =>
+        val fromNames = files
+          .collect { case BatchFile(id) => id.toLong }.maxOption
+        (hwm.toSeq ++ fromNames).maxOption.getOrElse(-1L)
+    }
 
   private val BatchFile = "b([0-9]+)-.*".r
 
-  /** Highest batch id recorded in the head manifest's file names, -1 when
-    * none. */
-  def committedBatchHighWater(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long =
-    TableManifest.read(spark, dir).map(_._2).getOrElse(Nil)
-      .collect { case BatchFile(id) => id.toLong }
-      .maxOption.getOrElse(-1L)
-
   /** One micro-batch append — exposed for tests and batch backfills.
     * Idempotent on `batchId`: appending an already-committed batch is a
-    * no-op. */
+    * no-op. The commit is a compare-and-swap against the head the batch's
+    * file list was derived from, so a maintenance commit landing
+    * mid-append (compaction, publish) is never overwritten — the append
+    * re-reads the fresh head and retries with its files preserved. */
   def applyBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
     val spark = batch.sparkSession
     if (batchId <= committedBatchHighWater(spark, dir)) return
@@ -62,8 +75,20 @@ object ManifestAppendSink {
           s"move of ${s.getPath} to $name failed")
         name
       }
-    val prev = TableManifest.read(spark, dir).map(_._2).getOrElse(Nil)
-    TableManifest.commit(spark, dir, prev ++ moved)
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      val head = TableManifest.readHead(spark, dir)
+      val (headV, prev) = head match {
+        case Some((v, files, _)) => (v, files)
+        case None => (0L, Seq.empty[String])
+      }
+      committed = TableManifest.commitIf(spark, dir, prev ++ moved,
+        expectedHead = headV, hwm = Some(batchId)).isDefined
+      attempts += 1
+      if (!committed && attempts >= 64)
+        sys.error(s"append of batch $batchId to $dir lost $attempts races")
+    }
     fs.delete(scratch, true)
   }
 

@@ -16,8 +16,12 @@ import org.apache.spark.sql.streaming.{
   * forever.
   *
   * Shape: keys are the 60-bit content hash of `text` (the same
-  * engine-agnostic h60 the batch dedup family uses), so the shuffle and
-  * the state store carry 8-byte keys, never document bodies. Per key a
+  * engine-agnostic h60 the batch dedup family uses), so the STATE STORE
+  * holds only an 8-byte key → first-seen id per document ever seen — the
+  * long-lived cost. The per-batch exchange necessarily carries the full
+  * rows (survivors are emitted with their text), i.e. shuffle volume
+  * tracks the ingest rate while state volume tracks distinct keys. Per
+  * key a
   * `transformWithState` ValueState holds the first-seen doc_id with a
   * native per-state TTL (RocksDB provider): a key silent for `ttl` is
   * evicted, which is the state bound — total state ≈ distinct keys seen in

@@ -178,6 +178,28 @@ class ManifestSpec extends SparkSpec {
       "old versions of an append-only table survive vacuum")
   }
 
+  test("commitIf is compare-and-swap: a commit landing in between forces a retry") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cas").toString
+    Seq(1L).toDF("v").write.mode("overwrite").parquet(dir)
+    val v1 = TableManifest.init(spark, dir)
+    val head = TableManifest.read(spark, dir).get
+    // another committer lands between our read and our commit
+    TableManifest.commit(spark, dir, head._2 :+ "extra-a.parquet")
+    // stale CAS must fail rather than silently dropping extra-a
+    assert(TableManifest.commitIf(spark, dir, head._2 :+ "extra-b.parquet",
+      expectedHead = head._1).isEmpty, "stale CAS must be rejected")
+    // fresh CAS succeeds and composes both writers' files
+    val fresh = TableManifest.read(spark, dir).get
+    val v = TableManifest.commitIf(spark, dir, fresh._2 :+ "extra-b.parquet",
+      expectedHead = fresh._1)
+    assert(v.contains(fresh._1 + 1))
+    val files = TableManifest.read(spark, dir).get._2
+    assert(files.contains("extra-a.parquet") && files.contains("extra-b.parquet"),
+      s"both concurrent additions must survive: $files")
+    assert(v1 == 1L)
+  }
+
   test("concurrent publishers: head is always one complete snapshot") {
     val dir = tmpDir("race")
     TableManifest.publish(docs.limit(10), dir)

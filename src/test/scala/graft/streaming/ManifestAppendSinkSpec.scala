@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.ops.TableManifest
+import graft.ops.{Compaction, TableManifest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
 /** Exactly-once manifest append: batches land atomically as manifest
@@ -48,6 +48,53 @@ class ManifestAppendSinkSpec extends SparkSpec {
     // the NEXT batch still lands
     ManifestAppendSink.applyBatch(Seq(12L).toDF("v"), 1L, dir)
     assert(TableManifest.readTable(spark, dir).count() == 3)
+  }
+
+  test("replay protection survives compaction renaming every batch file") {
+    import spark.implicits._
+    val dir = tempDir()
+    val b0 = Seq(1L, 2L).toDF("v")
+    val b1 = Seq(3L).toDF("v")
+    ManifestAppendSink.applyBatch(b0, 0L, dir)
+    ManifestAppendSink.applyBatch(b1, 1L, dir)
+    // compaction rewrites the tiny batch files under compacted-* names —
+    // no b<id>- names survive, so only the manifest hwm field protects us
+    Compaction.compactInPlace(spark, dir, minFileBytes = 1L << 20)
+    val files = TableManifest.read(spark, dir).get._2
+    assert(!files.exists(_.startsWith("b")), s"precondition: renamed, got $files")
+    assert(ManifestAppendSink.committedBatchHighWater(spark, dir) == 1L,
+      "hwm must ride the manifest, not the file names")
+    // the crash-replay of batch 1 after compaction must still be a no-op
+    ManifestAppendSink.applyBatch(b1, 1L, dir)
+    val vals = TableManifest.readTable(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(1L, 2L, 3L), s"replay after compaction duplicated: $vals")
+  }
+
+  test("append landing mid-maintenance is not lost: CAS retry preserves both") {
+    import spark.implicits._
+    val dir = tempDir()
+    ManifestAppendSink.applyBatch(Seq(1L).toDF("v"), 0L, dir)
+    // maintenance commits a new version AFTER the sink would have read the
+    // head: simulate by publishing a replacement snapshot, then appending —
+    // the append's CAS sees the fresh head and keeps the published files
+    TableManifest.publish(Seq(10L, 11L).toDF("v"), dir)
+    ManifestAppendSink.applyBatch(Seq(2L).toDF("v"), 1L, dir)
+    val vals = TableManifest.readTable(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(vals == Seq(2L, 10L, 11L), s"append must compose with publish: $vals")
+    assert(ManifestAppendSink.committedBatchHighWater(spark, dir) == 1L)
+  }
+
+  test("vacuum reclaims crashed inflight scratch dirs") {
+    import spark.implicits._
+    val dir = tempDir()
+    ManifestAppendSink.applyBatch(Seq(1L).toDF("v"), 0L, dir)
+    Seq(9L).toDF("v").write.parquet(dir + "/.inflight-b1-crashed")
+    val deleted = TableManifest.vacuum(spark, dir)
+    assert(deleted.contains(".inflight-b1-crashed"),
+      s"vacuum must reclaim crash scratch, deleted: $deleted")
+    assert(TableManifest.readTable(spark, dir).count() == 1L)
   }
 
   test("crash before commit leaves debris invisible to readers") {
