@@ -1,0 +1,113 @@
+package graft.streaming
+
+import java.time.Duration
+
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{
+  ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig}
+
+/** Streaming NEAR-duplicate detection — the cross-batch face of the batch
+  * MinHash+LSH pipeline (`Dedup.minhashNearDups`): continuous ingestion
+  * has to flag an arriving document that near-duplicates one seen N
+  * micro-batches ago, without ever holding all pairs.
+  *
+  * Shape: per document a k-row MinHash signature, banded LSH keys exactly
+  * as in batch; the stream is keyed BY BAND, and per band a
+  * `transformWithState` ListState holds the (doc_id, signature) of
+  * documents whose window landed in that band — so comparisons happen
+  * only WITHIN colliding buckets (the LSH contract: never all-pairs) and
+  * the per-band state is TTL-evicted, bounding memory to the trailing
+  * window exactly like [[StreamDedup]]. An arriving document is compared
+  * against its bucket's survivors (and earlier arrivals of the same
+  * batch, in doc_id order); a signature agreement ≥ the threshold emits a
+  * `(doc_id, dup_of, est_ppm)` pair. A true near-dup pair can collide in
+  * several bands and emit once per band — consumers take `distinct` on
+  * (doc_id, dup_of); within one band each pair emits once.
+  *
+  * The honest trades, same as batch LSH + [[StreamDedup]]: probabilistic
+  * recall (a near-dup pair missing every band collision is missed), and
+  * a duplicate arriving later than TTL is not flagged. */
+object StreamNearDup {
+
+  final case class BandDoc(band: String, doc_id: Long, sig: Seq[Long])
+  final case class Entry(doc_id: Long, sig: Seq[Long])
+  final case class DupPair(doc_id: Long, dup_of: Long, est_ppm: Long)
+
+  class BandProcessor(ttl: Duration, minEstPpm: Long, sigK: Int)
+      extends StatefulProcessor[String, BandDoc, DupPair] {
+
+    @transient private var seen: ListState[Entry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Entry](
+        "band_docs", Encoders.product[Entry], new TTLConfig(ttl))
+
+    private def estPpm(a: Seq[Long], b: Seq[Long]): Long = {
+      var eq = 0
+      var i = 0
+      while (i < sigK) { if (a(i) == b(i)) eq += 1; i += 1 }
+      (2L * 1000000L * eq + sigK) / (2L * sigK) // round-half-up
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[BandDoc],
+        timerValues: TimerValues): Iterator[DupPair] = {
+      val batch = rows.toArray.sortBy(_.doc_id) // deterministic in-batch order
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      seen.get().foreach(e => prior += e)
+      val out = Seq.newBuilder[DupPair]
+      batch.foreach { d =>
+        prior.foreach { e =>
+          if (e.doc_id != d.doc_id) {
+            val est = estPpm(d.sig, e.sig)
+            if (est >= minEstPpm) out += DupPair(d.doc_id, e.doc_id, est)
+          }
+        }
+        val entry = Entry(d.doc_id, d.sig)
+        prior += entry
+        seen.appendValue(entry)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DupPair] =
+      Iterator.empty // TTL eviction is native to the state
+  }
+
+  /** Flag near-duplicate arrivals on a streaming `(doc_id, text)` frame.
+    * `sigK` MinHash rows split into `bands` bands (`sigK % bands == 0`);
+    * collisions are compared exactly and emitted when the estimated
+    * similarity reaches `minEstPpm`. Requires the RocksDB state store
+    * provider; same trigger note as [[StreamDedup]]. */
+  def flagNearDups(
+      docs: DataFrame,
+      sigK: Int = 16,
+      bands: Int = 4,
+      ttl: Duration = Duration.ofHours(24),
+      minEstPpm: Long = 600000L): Dataset[DupPair] = {
+    require(sigK % bands == 0, s"sigK ($sigK) must divide into bands ($bands)")
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", TextOps.minhashSignature(
+        TextOps.shingleHashes(TextOps.shingles3(col("toks"))), sigK))
+      .withColumn("bk", TextOps.bandKeys(col("sig"), bands, sigK / bands))
+      .select(col("doc_id"), col("sig"), posexplode(col("bk")).as(Seq("bi", "key")))
+      .select(concat_ws("#", col("bi"), col("key")).as("band"),
+        col("doc_id"), col("sig"))
+      .as[BandDoc]
+      .groupByKey(_.band)
+      .transformWithState(
+        new BandProcessor(ttl, minEstPpm, sigK),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append())
+  }
+}
