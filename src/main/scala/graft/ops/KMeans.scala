@@ -34,7 +34,8 @@ object KMeans {
   def quantize(emb: Column, scale: Int = 1024, offset: Int = 1024): Column =
     transform(emb, x => floor(x.cast("double") * scale).cast("long") + offset)
 
-  private def sqDist(a: Column, b: Column): Column =
+  /** Exact integer squared L2 distance of two array<long> columns. */
+  private[ops] def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, d) => acc + d)
 

@@ -3152,18 +3152,21 @@ object ExtQueries {
       .orderBy("cid")
   }
 
-  val q107Sql: String = {
+  /** k-means CTE chain over a preceding CTE `v(vec_id, qv)`: `c0` init
+    * (vectors of the k smallest ids), per-iteration assign/update CTEs,
+    * and `fin(vec_id, mkey)` with `mkey = dist·k + cid` — the (dist, cid)
+    * lexicographic argmin encoded as one MIN key, exact in BIGINT
+    * (dist ≤ 64·1025² ≈ 6.7e7, cid < k). Shared by q107 and q111. */
+  private def kmeansSqlCtes(k: Int, iters: Int): String = {
     def dist(cv: String) =
       s"""CAST(list_sum(list_transform(range(1, 65),
          |      i -> (v.qv[i] - $cv[i]) * (v.qv[i] - $cv[i]))) AS BIGINT)"""
         .stripMargin
-    // (dist, cid) lexicographic argmin as one MIN key: dist·k + cid is
-    // exact in BIGINT (dist ≤ 64·1025² ≈ 6.7e7) and cid < k
-    val iterCtes = (1 to q107Iters).map { i =>
+    val iterCtes = (1 to iters).map { i =>
       val prev = if (i == 1) "c0" else s"c${i - 1}"
       s"""a$i AS (
          |  SELECT v.vec_id,
-         |    MIN(${dist("c.cv")} * $q107K + c.cid) % $q107K AS cid
+         |    MIN(${dist("c.cv")} * $k + c.cid) % $k AS cid
          |  FROM v, $prev c GROUP BY v.vec_id),
          |c$i AS (
          |  SELECT cid, list(avg_c ORDER BY pos) AS cv FROM (
@@ -3175,24 +3178,27 @@ object ExtQueries {
          |    GROUP BY a.cid, p.pos)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
+    s"""c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
+       |  FROM v ORDER BY vec_id LIMIT $k),
+       |$iterCtes,
+       |fin AS (
+       |  SELECT v.vec_id,
+       |    MIN(${dist("c.cv")} * $k + c.cid) AS mkey
+       |  FROM v, c$iters c GROUP BY v.vec_id)""".stripMargin
+  }
+
+  val q107Sql: String =
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024)
        |      AS qv
        |  FROM embeddings),
-       |c0 AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, qv AS cv
-       |  FROM v ORDER BY vec_id LIMIT $q107K),
-       |$iterCtes,
-       |fin AS (
-       |  SELECT v.vec_id,
-       |    MIN(${dist("c.cv")} * $q107K + c.cid) AS mkey
-       |  FROM v, c$q107Iters c GROUP BY v.vec_id)
+       |${kmeansSqlCtes(q107K, q107Iters)}
        |SELECT mkey % $q107K AS cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        |  CAST(SUM(mkey // $q107K) AS BIGINT) AS inertia
        |FROM fin GROUP BY mkey % $q107K ORDER BY cid""".stripMargin
-  }
 
   // ---------------------------------------------------------------- Q108
   /** Model-based quality gate (`NaiveBayes.fitScore`): train a
@@ -3368,6 +3374,64 @@ object ExtQueries {
       |  lang, doc_id, mix_rank
       |FROM r ORDER BY pos""".stripMargin
 
+  // ---------------------------------------------------------------- Q111
+  /** Semantic dedup (`SemDedup.dropNearVectors`, the SemDeDup recipe):
+    * cluster, then drop near-identical vectors WITHIN clusters only —
+    * the clustering bounds the quadratic comparison. The corpus has no
+    * organic near-pairs (min pairwise d² ≈ 10⁶ at sf0.01), so every 50th
+    * vector is re-issued in-query with one component nudged by 7 quanta
+    * (d² = 49): the dedup must drop exactly the seeded copies (keep the
+    * lower id) inside whichever cluster they land in, and drop nothing
+    * organic at θ = 500000 — all integer-exact against the shared
+    * k-means CTE chain plus a within-cluster pair join. */
+  private val q111Theta = 500000L
+
+  def q111SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").select(col("vec_id"),
+      graft.ops.KMeans.quantize(col("embedding")).as("qv"))
+    val seeded = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("qv"),
+          (x, i) => x + when(i === 0, 7L).otherwise(0L)).as("qv"))
+    val corpus = base.unionAll(seeded)
+    graft.ops.SemDedup.dropNearVectors(
+        corpus, k = 8, iters = 1, maxSqDist = q111Theta)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        count_if(col("dropped")).as("n_dropped"),
+        sum(when(col("dropped"), col("vec_id"))).as("dropped_id_sum"))
+      .orderBy("cid")
+  }
+
+  val q111Sql: String =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024)
+       |      AS qv
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, qv FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 10000,
+       |    list_transform(qv, (x, i) -> x + CASE WHEN i = 1 THEN 7 ELSE 0 END)
+       |  FROM base WHERE vec_id % 50 = 0),
+       |${kmeansSqlCtes(8, 1)},
+       |asg AS (
+       |  SELECT f.vec_id, f.mkey % 8 AS cid, v.qv
+       |  FROM fin f JOIN v USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE CAST(list_sum(list_transform(range(1, 65),
+       |    i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)
+       |    <= $q111Theta)
+       |SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       |  CAST(SUM(d.vec_id) AS BIGINT) AS dropped_id_sum
+       |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3467,7 +3531,8 @@ object ExtQueries {
     "q107_kmeans" -> (q107KmeansClusters _),
     "q108_nb_quality" -> (q108NbQualityGate _),
     "q109_bpe_train" -> (q109BpeTrain _),
-    "q110_interleave" -> (q110Interleave _))
+    "q110_interleave" -> (q110Interleave _),
+    "q111_semantic_dedup" -> (q111SemanticDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3569,5 +3634,6 @@ object ExtQueries {
     "q107_kmeans" -> q107Sql,
     "q108_nb_quality" -> q108Sql,
     "q109_bpe_train" -> q109Sql,
-    "q110_interleave" -> q110Sql)
+    "q110_interleave" -> q110Sql,
+    "q111_semantic_dedup" -> q111Sql)
 }
