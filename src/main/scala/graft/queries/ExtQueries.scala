@@ -3432,6 +3432,64 @@ object ExtQueries {
        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
        |GROUP BY a.cid ORDER BY a.cid""".stripMargin
 
+  // ---------------------------------------------------------------- Q112
+  /** Leakage-free train/eval split: a 10% eval holdout drawn by stable
+    * hash (engine-reproducible, not `rand()`), then every training
+    * document sharing ANY word-3-gram shingle with the eval side is
+    * removed (`Dedup.shingleOverlap`) — the decontamination guarantee a
+    * fair benchmark split needs, since random splits leak the corpus's
+    * organic near-duplicates across sides. Per-language split/removal
+    * accounting oracle-checked; the removals here are entirely organic
+    * (no seeded fixtures). */
+  def q112CleanSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val tagged = docs.withColumn("is_eval",
+      pmod(graft.functions.H60.of(col("doc_id").cast("string")),
+        lit(10000L)) < 1000L)
+    val evalD = tagged.filter(col("is_eval")).select("doc_id", "text")
+    val trainD = tagged.filter(!col("is_eval")).select("doc_id", "text")
+    val dirty = Dedup.shingleOverlap(trainD, evalD)
+      .select(col("doc_id"), lit(true).as("dirty"))
+    tagged.join(dirty, Seq("doc_id"), "left")
+      .groupBy("lang").agg(
+        count_if(col("is_eval")).as("n_eval"),
+        count_if(!col("is_eval")).as("n_train_raw"),
+        count_if(!col("is_eval") && col("dirty").isNotNull).as("n_removed"),
+        count_if(!col("is_eval") && col("dirty").isNull).as("n_train_clean"))
+      .orderBy("lang")
+  }
+
+  val q112Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 10000) < 1000 AS is_eval
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_transform(range(1, len(t) - 1),
+      |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      |      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS hs
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, UNNEST(hs) AS h FROM sh),
+      |ev AS (SELECT DISTINCT h FROM ex JOIN d USING (doc_id)
+      |       WHERE d.is_eval),
+      |dirty AS (
+      |  SELECT DISTINCT ex.doc_id FROM ex
+      |  JOIN d USING (doc_id) JOIN ev USING (h)
+      |  WHERE NOT d.is_eval)
+      |SELECT d.lang,
+      |  CAST(COUNT(*) FILTER (WHERE is_eval) AS BIGINT) AS n_eval,
+      |  CAST(COUNT(*) FILTER (WHERE NOT is_eval) AS BIGINT) AS n_train_raw,
+      |  CAST(COUNT(*) FILTER (WHERE NOT is_eval
+      |    AND dirty.doc_id IS NOT NULL) AS BIGINT) AS n_removed,
+      |  CAST(COUNT(*) FILTER (WHERE NOT is_eval
+      |    AND dirty.doc_id IS NULL) AS BIGINT) AS n_train_clean
+      |FROM d LEFT JOIN dirty USING (doc_id)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3532,7 +3590,8 @@ object ExtQueries {
     "q108_nb_quality" -> (q108NbQualityGate _),
     "q109_bpe_train" -> (q109BpeTrain _),
     "q110_interleave" -> (q110Interleave _),
-    "q111_semantic_dedup" -> (q111SemanticDedup _))
+    "q111_semantic_dedup" -> (q111SemanticDedup _),
+    "q112_clean_split" -> (q112CleanSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3635,5 +3694,6 @@ object ExtQueries {
     "q108_nb_quality" -> q108Sql,
     "q109_bpe_train" -> q109Sql,
     "q110_interleave" -> q110Sql,
-    "q111_semantic_dedup" -> q111Sql)
+    "q111_semantic_dedup" -> q111Sql,
+    "q112_clean_split" -> q112Sql)
 }
