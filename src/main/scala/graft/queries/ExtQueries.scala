@@ -3291,7 +3291,10 @@ object ExtQueries {
       t(s, dir, "documents").select("doc_id", "text"), rounds = q109Rounds)
       .orderBy("step")
 
-  val q109Sql: String = {
+  /** BPE CTE chain: from `w0(word, cnt, syms)` build per-round
+    * pair-count/argmax/merge CTEs up to `w<rounds>`; each round's
+    * `best$r` holds the learned pair. Shared by q109 and q113. */
+  private def bpeSqlCtes(rounds: Int): String = {
     def round(r: Int): String =
       s"""sym$r AS MATERIALIZED (
          |  SELECT word, cnt, p.i, syms[p.i] AS s
@@ -3331,18 +3334,21 @@ object ExtQueries {
          |      THEN (SELECT a FROM best$r) || (SELECT b FROM best$r)
          |      ELSE s END ORDER BY i) AS syms
          |  FROM mg$r WHERE NOT consumed GROUP BY word)""".stripMargin
-    val rounds = (1 to q109Rounds).map(round).mkString(",\n")
-    val steps = (1 to q109Rounds).map { r =>
-      s"""SELECT $r AS step, a AS pair_a, b AS pair_b, a || b AS merged,
-         |  c AS cnt FROM best$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (
+    s"""w0 AS MATERIALIZED (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    string_split(word, '') AS syms
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
        |        FROM documents)
        |  WHERE len(word) > 0 GROUP BY word),
-       |$rounds
+       |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val q109Sql: String = {
+    val steps = (1 to q109Rounds).map { r =>
+      s"""SELECT $r AS step, a AS pair_a, b AS pair_b, a || b AS merged,
+         |  c AS cnt FROM best$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${bpeSqlCtes(q109Rounds)}
        |$steps
        |ORDER BY step""".stripMargin
   }
@@ -3490,6 +3496,38 @@ object ExtQueries {
       |FROM d LEFT JOIN dirty USING (doc_id)
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // ---------------------------------------------------------------- Q113
+  /** Tokenizer loop closed (`Bpe.train` → `Bpe.segment`): learn the q109
+    * merges, re-segment the corpus word table by replaying them, and
+    * account the compression — distinct words, corpus length in
+    * characters vs in BPE tokens, and the emergent symbol vocabulary.
+    * One exploded aggregate (symbols partition each word, so character
+    * counts recompose exactly); oracle replays the identical merge CTEs
+    * and must land on the same four integers. */
+  def q113BpeCompression(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val merges = graft.ops.Bpe.train(docs, rounds = q109Rounds)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = graft.ops.Bpe.wordCounts(docs)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    graft.ops.Bpe.segment(words, merges)
+      .select(col("word"), col("cnt"), explode(col("syms")).as("s"))
+      .agg(
+        countDistinct(col("word")).as("n_words"),
+        sum(col("cnt") * length(col("s"))).as("char_tokens"),
+        sum(col("cnt")).as("bpe_tokens"),
+        countDistinct(col("s")).as("vocab"))
+  }
+
+  val q113Sql: String =
+    s"""WITH ${bpeSqlCtes(q109Rounds)},
+       |e AS (SELECT word, cnt, UNNEST(syms) AS s FROM w$q109Rounds)
+       |SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       |  CAST(SUM(cnt * len(s)) AS BIGINT) AS char_tokens,
+       |  CAST(SUM(cnt) AS BIGINT) AS bpe_tokens,
+       |  CAST(COUNT(DISTINCT s) AS BIGINT) AS vocab
+       |FROM e""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3591,7 +3629,8 @@ object ExtQueries {
     "q109_bpe_train" -> (q109BpeTrain _),
     "q110_interleave" -> (q110Interleave _),
     "q111_semantic_dedup" -> (q111SemanticDedup _),
-    "q112_clean_split" -> (q112CleanSplit _))
+    "q112_clean_split" -> (q112CleanSplit _),
+    "q113_bpe_compression" -> (q113BpeCompression _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3695,5 +3734,6 @@ object ExtQueries {
     "q109_bpe_train" -> q109Sql,
     "q110_interleave" -> q110Sql,
     "q111_semantic_dedup" -> q111Sql,
-    "q112_clean_split" -> q112Sql)
+    "q112_clean_split" -> q112Sql,
+    "q113_bpe_compression" -> q113Sql)
 }

@@ -63,4 +63,28 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.train(docs, rounds = 3)
     assert(m.count() == 1L, "single possible merge learned once")
   }
+
+  test("compression accounting: symbols partition words exactly (q113 invariant)") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "banana bandana ban banana",
+      2L -> "an ban banana nab").toDF("doc_id", "text")
+    val words = Bpe.wordCounts(docs)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
+    val merges = Bpe.train(docs, rounds = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val acct = Bpe.segment(words, merges)
+      .select(col("word"), col("cnt"), explode(col("syms")).as("s"))
+      .agg(
+        sum(col("cnt") * length(col("s"))).as("char_tokens"),
+        sum(col("cnt")).as("bpe_tokens"))
+      .head()
+    // segmenting never gains or loses characters: Σ cnt·len(sym) must equal
+    // the raw corpus character count (whitespace excluded)
+    val rawChars = Bpe.wordCounts(docs)
+      .agg(sum(col("cnt") * length(col("word")))).head().getLong(0)
+    assert(acct.getLong(0) == rawChars, s"char accounting ${acct.getLong(0)} != $rawChars")
+    // 3 merges over this corpus strictly compress
+    assert(acct.getLong(1) < rawChars, "merged corpus must have fewer tokens than chars")
+  }
 }
