@@ -60,6 +60,63 @@ object TextStats {
       .select("doc_id", "n_tokens", "n_uniq", "n_stop", "score_ppm")
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, table A1 — the
+    * published heuristic filter suite every large curation pipeline since
+    * has reused): per-document booleans for
+    *   - word count within `[minWords, maxWords]`
+    *   - mean word length within [3, 10] characters
+    *   - symbol-to-word ratio (`#` and `...`) ≤ 1/10
+    *   - ≥ 80% of words contain an alphabetic character
+    *   - ≥ 2 distinct Gopher stop words present
+    * plus an overall `pass` conjunction.
+    *
+    * Every ratio rule is a cross-multiplied INTEGER comparison (`3·n ≤
+    * chars ≤ 10·n`, never `chars/n`), so the verdicts are bit-identical in
+    * any engine — no float thresholds to disagree on. The two line-shape
+    * rules from the paper (bullet-start / ellipsis-end line fractions) need
+    * multi-line text and live with the line machinery
+    * ([[TextOps.removeBoilerplateLines]]); this corpus is single-line.
+    * Scale shape: per-row expressions only, zero shuffle — embarrassingly
+    * parallel at any corpus size. */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = TextOps.tokens(col("text"))
+    docs
+      .withColumn("n_words", size(toks).cast("long"))
+      // total characters across words = text minus its separator spaces
+      .withColumn("word_chars",
+        length(expr("replace(text, ' ', '')")).cast("long"))
+      .withColumn("n_alpha_words",
+        size(filter(toks, w => w.rlike("[a-zA-Z]"))).cast("long"))
+      .withColumn("n_stop_hits",
+        size(array_intersect(array_distinct(toks),
+          array(gopherStops.map(lit(_)): _*))).cast("long"))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(expr("replace(text, '#', '')"))).cast("long")
+          + expr(
+            "CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) DIV 3"))
+      .withColumn("ok_word_count",
+        col("n_words").between(minWords.toLong, maxWords.toLong))
+      .withColumn("ok_mean_word_len",
+        lit(3L) * col("n_words") <= col("word_chars") &&
+          col("word_chars") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stop_words", col("n_stop_hits") >= 2L)
+      .withColumn("pass",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") &&
+          col("ok_stop_words"))
+      .select("doc_id", "n_words", "word_chars", "n_alpha_words",
+        "n_stop_hits", "n_symbols", "ok_word_count", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_alpha_words", "ok_stop_words", "pass")
+  }
+
   /** Token counting: whitespace tokens, BPE-ish subword pieces (letter runs,
     * digit runs, single other symbols), and byte length. */
   def tokenCounts(docs: DataFrame): DataFrame =

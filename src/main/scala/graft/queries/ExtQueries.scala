@@ -3528,6 +3528,88 @@ object ExtQueries {
        |  CAST(COUNT(DISTINCT s) AS BIGINT) AS vocab
        |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------- Q114
+  /** Gopher quality rule battery (`TextStats.gopherRules`) over the corpus
+    * plus four in-query junk documents, each engineered to fail exactly one
+    * rule (too short / symbol soup / digit soup / over-long words) so every
+    * rule's rejection path is exercised; per-language rule-failure counts
+    * and overall pass count. The fixture strings are the single source of
+    * truth, interpolated into both the Spark plan and the oracle SQL. */
+  private val q114Junk: Seq[(Long, String, String)] = {
+    val base = "the quick brown fox jumps of and with that have "
+    Seq(
+      (900001L, "xx", "the of and that"),
+      (900002L, "xx", (base * 5) + "# # # # # #"),
+      (900003L, "xx", "the of " + ("12345 67890 " * 24).trim),
+      (900004L, "xx", "the of " + ("abcdefghijklmnop " * 48).trim))
+  }
+
+  def q114GopherRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val full = docs.unionByName(q114Junk.toDF("doc_id", "lang", "text"))
+    def fails(ok: String) = sum(when(!col(ok), 1L).otherwise(0L))
+    TextStats.gopherRules(full, minWords = 50)
+      .join(full.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        fails("ok_word_count").as("fail_word_count"),
+        fails("ok_mean_word_len").as("fail_mean_word_len"),
+        fails("ok_symbol_ratio").as("fail_symbol_ratio"),
+        fails("ok_alpha_words").as("fail_alpha_words"),
+        fails("ok_stop_words").as("fail_stop_words"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("lang")
+  }
+
+  val q114Sql: String = {
+    val junkRows = q114Junk
+      .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+      .mkString(",\n    ")
+    s"""WITH junk(doc_id, lang, text) AS (VALUES
+       |    $junkRows),
+       |full_docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS BIGINT), lang, text FROM junk),
+       |per_doc AS (
+       |  SELECT lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+       |      w -> list_contains(['the','be','to','of','and','that','have',
+       |        'with'], w))) AS BIGINT) AS n_stop,
+       |    CAST(len(text) - len(replace(text, '#', ''))
+       |      + (len(text) - len(replace(text, '...', ''))) // 3
+       |      AS BIGINT) AS n_symbols
+       |  FROM full_docs),
+       |rules AS (
+       |  SELECT lang,
+       |    n_words BETWEEN 50 AND 100000 AS ok_wc,
+       |    3 * n_words <= word_chars AND word_chars <= 10 * n_words AS ok_mwl,
+       |    10 * n_symbols <= n_words AS ok_sym,
+       |    5 * n_alpha >= 4 * n_words AS ok_alpha,
+       |    n_stop >= 2 AS ok_stop
+       |  FROM per_doc)
+       |SELECT lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fail_word_count,
+       |  CAST(SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fail_mean_word_len,
+       |  CAST(SUM(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fail_symbol_ratio,
+       |  CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fail_alpha_words,
+       |  CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS fail_stop_words,
+       |  CAST(SUM(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha
+       |    AND ok_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM rules GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3630,7 +3712,8 @@ object ExtQueries {
     "q110_interleave" -> (q110Interleave _),
     "q111_semantic_dedup" -> (q111SemanticDedup _),
     "q112_clean_split" -> (q112CleanSplit _),
-    "q113_bpe_compression" -> (q113BpeCompression _))
+    "q113_bpe_compression" -> (q113BpeCompression _),
+    "q114_gopher_rules" -> (q114GopherRules _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3735,5 +3818,6 @@ object ExtQueries {
     "q110_interleave" -> q110Sql,
     "q111_semantic_dedup" -> q111Sql,
     "q112_clean_split" -> q112Sql,
-    "q113_bpe_compression" -> q113Sql)
+    "q113_bpe_compression" -> q113Sql,
+    "q114_gopher_rules" -> q114Sql)
 }
