@@ -147,6 +147,40 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** C4-style line-and-page cleaning (Raffel et al. 2020 §2.2, the public
+    * heuristics behind the C4 corpus): line level — keep only lines ending
+    * in terminal punctuation (`.` `!` `?` `"`), with at least
+    * `minLineWords` words, and not mentioning "javascript"; page level —
+    * flag any page containing "lorem ipsum" or a curly brace, or left with
+    * fewer than `minKeptLines` surviving lines. Returns
+    * (doc_id, n_lines, n_kept, dropped, clean_text).
+    *
+    * Scale shape: entirely row-local array expressions
+    * (`filter`/`array_join` over the line split) — ZERO shuffle, in
+    * contrast with [[removeBoilerplateLines]]'s necessary corpus-frequency
+    * aggregate; the content pass and the frequency pass compose. */
+  def c4Clean(
+      docs: org.apache.spark.sql.DataFrame,
+      minLineWords: Int = 3,
+      minKeptLines: Int = 1): org.apache.spark.sql.DataFrame = {
+    val lines = split(col("text"), "\n", -1)
+    val keepLine = (l: Column) =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) &&
+        size(split(l, " ")) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    docs
+      .withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept_lines", filter(lines, keepLine))
+      .withColumn("n_kept", size(col("kept_lines")).cast("long"))
+      .withColumn("dropped",
+        contains(lower(col("text")), lit("lorem ipsum")) ||
+          contains(col("text"), lit("{")) ||
+          col("n_kept") < minKeptLines.toLong)
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("dropped"),
+        array_join(col("kept_lines"), "\n").as("clean_text"))
+  }
+
   def cdcChunks(docs: org.apache.spark.sql.DataFrame, gram: Int = 4,
       modulus: Int = 32): org.apache.spark.sql.DataFrame = {
     require(gram >= 2 && modulus >= 2, "gram/modulus must be >= 2")

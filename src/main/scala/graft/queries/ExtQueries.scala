@@ -3610,6 +3610,79 @@ object ExtQueries {
        |FROM rules GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q115
+  /** C4-style content cleaning (`TextOps.c4Clean`): the corpus is wrapped
+    * in-query into the page shapes a crawler ships — a body sentence plus
+    * a no-punctuation nav line, a "javascript" plea, and a too-short line
+    * (each killed by exactly one line rule), with every 50th page poisoned
+    * by "lorem ipsum" and every 50th+1 by code braces (the page-level
+    * drops). Per-lang accounting of pages dropped and lines/chars kept;
+    * the cleaner itself is zero-shuffle row-local array expressions. */
+  def q115C4Clean(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "text")
+    val paged = docs.select(col("doc_id"), col("lang"),
+      concat_ws("\n",
+        concat(col("text"), lit(".")),
+        lit("click here for more"),
+        lit("enable javascript now."),
+        lit("ok fine."),
+        when(col("doc_id") % 50 === 0, lit("lorem ipsum dolor sit amet."))
+          .otherwise(lit("the final line stays here.")),
+        when(col("doc_id") % 50 === 1, lit("function() { return 1; }"))
+          .otherwise(lit("a second closing sentence works too."))).as("text"))
+    TextOps.c4Clean(paged, minLineWords = 3, minKeptLines = 1)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_lines")).as("lines_before"),
+        sum(when(!col("dropped"), col("n_kept")).otherwise(0L))
+          .as("lines_kept"),
+        sum(when(!col("dropped"), length(col("clean_text")).cast("long"))
+          .otherwise(0L)).as("chars_kept"))
+      .orderBy("lang")
+  }
+
+  val q115Sql: String =
+    """WITH paged AS (
+      |  SELECT doc_id, lang,
+      |    text || '.' || chr(10) ||
+      |    'click here for more' || chr(10) ||
+      |    'enable javascript now.' || chr(10) ||
+      |    'ok fine.' || chr(10) ||
+      |    CASE WHEN doc_id % 50 = 0 THEN 'lorem ipsum dolor sit amet.'
+      |      ELSE 'the final line stays here.' END || chr(10) ||
+      |    CASE WHEN doc_id % 50 = 1 THEN 'function() { return 1; }'
+      |      ELSE 'a second closing sentence works too.' END AS text
+      |  FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+      |        OR ends_with(l, '"'))
+      |      AND len(string_split(l, ' ')) >= 3
+      |      AND NOT contains(lower(l), 'javascript')) AS kept,
+      |    (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+      |      AS page_bad
+      |  FROM paged),
+      |flags AS (
+      |  SELECT lang, n_lines,
+      |    CAST(len(kept) AS BIGINT) AS n_kept,
+      |    page_bad OR len(kept) < 1 AS dropped,
+      |    CAST(len(array_to_string(kept, chr(10))) AS BIGINT) AS chars_clean
+      |  FROM per_doc)
+      |SELECT lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  CAST(SUM(n_lines) AS BIGINT) AS lines_before,
+      |  CAST(SUM(CASE WHEN NOT dropped THEN n_kept ELSE 0 END) AS BIGINT)
+      |    AS lines_kept,
+      |  CAST(SUM(CASE WHEN NOT dropped THEN chars_clean ELSE 0 END)
+      |    AS BIGINT) AS chars_kept
+      |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3713,7 +3786,8 @@ object ExtQueries {
     "q111_semantic_dedup" -> (q111SemanticDedup _),
     "q112_clean_split" -> (q112CleanSplit _),
     "q113_bpe_compression" -> (q113BpeCompression _),
-    "q114_gopher_rules" -> (q114GopherRules _))
+    "q114_gopher_rules" -> (q114GopherRules _),
+    "q115_c4_clean" -> (q115C4Clean _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3819,5 +3893,6 @@ object ExtQueries {
     "q111_semantic_dedup" -> q111Sql,
     "q112_clean_split" -> q112Sql,
     "q113_bpe_compression" -> q113Sql,
-    "q114_gopher_rules" -> q114Sql)
+    "q114_gopher_rules" -> q114Sql,
+    "q115_c4_clean" -> q115Sql)
 }
