@@ -68,6 +68,83 @@ object Dedup {
       .select("doc_a", "doc_b", "est_sim")
   }
 
+  /** Persisted LSH index entries for a document set: one row per
+    * (doc_id, band, key) with the k-row MinHash signature attached — the
+    * durable state [[minhashIncrement]] dedups new batches against. Same
+    * shingle/signature/banding family as [[minhashPairs]], factored so the
+    * index and the ad-hoc pair query can never drift. */
+  def minhashIndexEntries(
+      docs: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    Scale.ensureParallelism(docs)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", TextOps.minhashSignature(
+        graft.functions.NgramHashes.of(col("toks"), 3), k))
+      .select(col("doc_id"),
+        posexplode(TextOps.bandKeys(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "key")),
+        col("sig"))
+  }
+
+  /** Incremental MinHash-LSH dedup of a NEW batch against a persisted
+    * band index — the form continuous ingestion needs: the already-curated
+    * corpus is never re-scanned, only its slim (band, key, id, sig) index
+    * rows join against the batch's keys.
+    *
+    * A new document is a duplicate when its estimated similarity reaches
+    * `minEst` against ANY indexed document (the corpus always wins,
+    * regardless of id order) or any earlier-id document of its own batch.
+    * Returns one row per matched new document:
+    * (doc_id, n_dups, dup_of = lowest matching id, best_est). Accepted
+    * docs = `newDocs` anti-joined on the result; appending their
+    * [[minhashIndexEntries]] to the index (a manifest-committed parquet
+    * append in practice) makes the next batch's dedup see them.
+    *
+    * Scale shape: both candidate joins are (band, key) equi-joins carrying
+    * ids only; signatures re-attach by id afterwards. The index side is
+    * ~`bands` rows per corpus doc and the probe side is batch-sized, so
+    * the shuffle is bounded by the BATCH, not the corpus — the entire
+    * point of keeping the index. */
+  def minhashIncrement(
+      newDocs: DataFrame,
+      index: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      minEst: Double = 0.5): DataFrame = {
+    val newEntries = minhashIndexEntries(newDocs, k, bands, rowsPerBand)
+    val newKeyed = newEntries.select("band", "key", "doc_id")
+    val newSigs = newEntries.select("doc_id", "sig").distinct()
+    val candOld = newKeyed
+      .join(index.select(col("band"), col("key"), col("doc_id").as("other")),
+        Seq("band", "key"))
+      .select("doc_id", "other")
+    val candNew = newKeyed
+      .join(newKeyed.select(col("band"), col("key"),
+        col("doc_id").as("other")), Seq("band", "key"))
+      .filter(col("other") < col("doc_id"))
+      .select("doc_id", "other")
+    val otherSigs = index.select(col("doc_id").as("other"),
+        col("sig").as("sig_b")).distinct()
+      .unionByName(newSigs.select(col("doc_id").as("other"),
+        col("sig").as("sig_b")))
+    candOld.unionByName(candNew).distinct()
+      .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
+      .join(otherSigs, "other")
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, lit(1)).otherwise(lit(null))), x => x.isNotNull))
+          .cast("double") / k)
+      .filter(col("est_sim") >= minEst)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dups"), min(col("other")).as("dup_of"),
+        max(col("est_sim")).as("best_est"))
+  }
+
   /** Per-document 32-bit SimHash (near-dup = small Hamming distance; the
     * companion pairing is a bucket join on rotated prefixes at scale). */
   def simhash(docs: DataFrame): DataFrame =

@@ -140,11 +140,11 @@ object ExtQueries {
     Dedup.minhashPairs(augDocs(s, dir))
       .orderBy("doc_a", "doc_b")
 
-  /** The q15 MinHash CTE chain up through per-pair estimates — shared with
-    * q54, which clusters the same pairs. */
-  private val minhashCtesSql: String =
-    s"""$augDocsSql,
-      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+  /** The MinHash CTE chain (shingle → signature → bands → pairs → est)
+    * over an arbitrary `(doc_id, text)` base CTE — shared by q15/q54 (over
+    * `aug`) and q116 (over the old∪new incremental fixture). */
+  private def minhashChainSql(base: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $base),
       |sh AS (SELECT doc_id,
       |    list_transform(range(1, len(t) - 1),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
@@ -165,6 +165,10 @@ object ExtQueries {
       |est AS (SELECT doc_a, doc_b,
       |    len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 AS est_sim
       |  FROM pairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b)""".stripMargin
+
+  private val minhashCtesSql: String =
+    s"""$augDocsSql,
+      |${minhashChainSql("aug")}""".stripMargin
 
   val q15Sql: String =
     s"""WITH $minhashCtesSql
@@ -3683,6 +3687,48 @@ object ExtQueries {
       |    AS BIGINT) AS chars_kept
       |FROM flags GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- Q116
+  /** Incremental LSH dedup (`Dedup.minhashIncrement`): the corpus is split
+    * into an already-curated old side (indexed once via
+    * `minhashIndexEntries`) and a new batch (every 10th doc plus exact
+    * copies of five old docs at shifted ids); the batch dedups against the
+    * INDEX — the old corpus is never re-scanned. A new doc is dropped on
+    * est ≥ 0.5 against any indexed doc (corpus wins regardless of id
+    * order) or an earlier-id batch doc. The oracle recomputes the full
+    * old∪new pair set and projects each pair onto the new side it
+    * matches, which must coincide exactly. */
+  def q116IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val copies = docs.filter(col("doc_id") % 100 === 3)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val all = docs.unionByName(copies)
+    val isNew = (col("doc_id") % 10 === 7) || (col("doc_id") >= 900000L)
+    val index = Dedup.minhashIndexEntries(all.filter(!isNew))
+    Dedup.minhashIncrement(all.filter(isNew), index)
+      .orderBy("doc_id")
+  }
+
+  val q116Sql: String =
+    s"""WITH full_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 100 = 3),
+      |${minhashChainSql("full_docs")},
+      |newdocs AS (SELECT doc_id FROM full_docs
+      |  WHERE doc_id % 10 = 7 OR doc_id >= 900000),
+      |matches AS (
+      |  SELECT doc_b AS doc_id, doc_a AS other, est_sim
+      |  FROM est WHERE est_sim >= 0.5
+      |    AND doc_b IN (SELECT doc_id FROM newdocs)
+      |  UNION ALL
+      |  SELECT doc_a, doc_b, est_sim
+      |  FROM est WHERE est_sim >= 0.5
+      |    AND doc_a IN (SELECT doc_id FROM newdocs)
+      |    AND doc_b NOT IN (SELECT doc_id FROM newdocs))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  MIN(other) AS dup_of, MAX(est_sim) AS best_est
+      |FROM matches GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3787,7 +3833,8 @@ object ExtQueries {
     "q112_clean_split" -> (q112CleanSplit _),
     "q113_bpe_compression" -> (q113BpeCompression _),
     "q114_gopher_rules" -> (q114GopherRules _),
-    "q115_c4_clean" -> (q115C4Clean _))
+    "q115_c4_clean" -> (q115C4Clean _),
+    "q116_incremental_dedup" -> (q116IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3894,5 +3941,6 @@ object ExtQueries {
     "q112_clean_split" -> q112Sql,
     "q113_bpe_compression" -> q113Sql,
     "q114_gopher_rules" -> q114Sql,
-    "q115_c4_clean" -> q115Sql)
+    "q115_c4_clean" -> q115Sql,
+    "q116_incremental_dedup" -> q116Sql)
 }
