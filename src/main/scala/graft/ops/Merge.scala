@@ -57,6 +57,46 @@ object Merge {
       col("valid_from") <= at &&
         (col("valid_to").isNull || col("valid_to") > at))
 
+  /** Retractable incremental aggregate maintenance — the materialized-view
+    * delta-refresh core: `state` holds per-key partial aggregates
+    * (`keys ++ cnt ++ sum_<c>` for each value column), `changes` holds
+    * delta rows with a ±1 `op` sign (+1 insert, −1 delete/retraction).
+    * The new state is `state ⊎ sign-weighted delta aggregate`; keys whose
+    * count returns to zero vanish. COUNT and SUM are retractable so this
+    * is exact; MIN/MAX are not (a deleted extremum forces a rebuild of
+    * that key's group — out of scope by design, as in every delta-view
+    * engine).
+    *
+    * Exactness: pre-cast value columns to DECIMAL in BOTH `state` and
+    * `changes` when they carry money/doubles — decimal sums cancel
+    * retractions exactly; float sums may not. A negative surviving `cnt`
+    * means the change stream retracted rows that were never inserted —
+    * it is kept visible (never clamped) so corrupted CDC is detectable.
+    *
+    * Scale shape: one groupBy over the DELTA plus one over
+    * `state ∪ deltaAgg` on the same keys — the refresh costs
+    * O(|delta| + |touched keys|), never O(|table|); at 100 TB with a
+    * 0.1% daily delta that is the difference between minutes and a full
+    * recompute. Feed inserts from [[TableManifest.addedBetween]]
+    * (file-level CDC) and deletes from an upsert/CDC stream's before-rows.
+    */
+  def maintainAgg(
+      state: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    require(changes.columns.contains("op"), "changes needs a ±1 'op' column")
+    val deltaAgg = changes.groupBy(keys.map(col): _*)
+      .agg(sum(col("op")).as("cnt"),
+        sumCols.map(c => sum(col(c) * col("op")).as(s"sum_$c")): _*)
+      .select((keys :+ "cnt").map(col) ++ sumCols.map(c => col(s"sum_$c")): _*)
+    state.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      .filter(col("cnt") =!= 0L)
+  }
+
   /** Last-writer-wins collapse of an update stream: one row per key — the
     * whole max-`versionCol` row survives as a unit (a single `max_by` over
     * the payload struct, map-side combinable; a window row_number would

@@ -3729,6 +3729,39 @@ object ExtQueries {
       |  MIN(other) AS dup_of, MAX(est_sim) AS best_est
       |FROM matches GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q117
+  /** Incremental aggregate maintenance (`Merge.maintainAgg`): a per-supplier
+    * (count, sum qty) materialized view over 90% of lineitem is refreshed
+    * by a delta — the remaining 10% arrives as inserts while every 7th base
+    * order is retracted — WITHOUT rescanning the base: only the delta and
+    * the view state aggregate. Decimal sums make retractions cancel
+    * exactly; the oracle recomputes the final table from scratch and must
+    * agree on every surviving key. */
+  def q117MaintainAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val base = li.filter(col("l_orderkey") % 10 =!= 0)
+    val state = base.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
+    val changes = li.filter(col("l_orderkey") % 10 === 0)
+      .withColumn("op", lit(1L))
+      .unionByName(base.filter(col("l_orderkey") % 7 === 0)
+        .withColumn("op", lit(-1L)))
+    graft.ops.Merge.maintainAgg(state, changes, Seq("l_suppkey"), Seq("qty"))
+      .select(col("l_suppkey"), col("cnt"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy("l_suppkey")
+  }
+
+  val q117Sql: String =
+    """SELECT l_suppkey,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE (l_orderkey % 10 <> 0 AND l_orderkey % 7 <> 0)
+      |   OR l_orderkey % 10 = 0
+      |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3834,7 +3867,8 @@ object ExtQueries {
     "q113_bpe_compression" -> (q113BpeCompression _),
     "q114_gopher_rules" -> (q114GopherRules _),
     "q115_c4_clean" -> (q115C4Clean _),
-    "q116_incremental_dedup" -> (q116IncrementalDedup _))
+    "q116_incremental_dedup" -> (q116IncrementalDedup _),
+    "q117_maintain_agg" -> (q117MaintainAgg _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3942,5 +3976,6 @@ object ExtQueries {
     "q113_bpe_compression" -> q113Sql,
     "q114_gopher_rules" -> q114Sql,
     "q115_c4_clean" -> q115Sql,
-    "q116_incremental_dedup" -> q116Sql)
+    "q116_incremental_dedup" -> q116Sql,
+    "q117_maintain_agg" -> q117Sql)
 }
