@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * public): score every document of a large RAW corpus by how target-like
+  * it is under hashed-n-gram bag-of-words language models of a small
+  * TARGET corpus vs the raw corpus itself, then keep the highest-weight
+  * documents. The standard "make 100 TB of crawl look like Wikipedia"
+  * selection step, computed entirely in-engine.
+  *
+  * Engine-agnostic like [[NaiveBayes]]: the per-feature log-probability
+  * ratio `ln(ct+1) − ln(Nt+V) − ln(cr+1) + ln(Nr+V)` is the ONLY float
+  * step, computed in one identically-shaped left-associated expression and
+  * rounded ONCE to fixed-point (·10⁴); document weights are then exact
+  * integer sums, so selection reproduces bit-for-bit in a SQL oracle.
+  *
+  * Scale shape: features are hashed word bigrams (`pmod(h60, vocab)`), so
+  * the feature vocabulary is bounded at `vocab` regardless of corpus size;
+  * counting is one map-side-combined groupBy per side (≤ vocab rows each);
+  * the ratio table is ≤ vocab rows and BROADCAST into a shuffle-free
+  * scoring pass; the only per-corpus shuffle is the final per-doc sum.
+  * Selection is top-k — TakeOrderedAndProject, never a global sort.
+  */
+object Dsir {
+
+  /** Hashed-bigram features of `(doc_id, text)`: one row per bigram
+    * occurrence, bucketed into `vocab` ids. */
+  def features(docs: DataFrame, vocab: Int): DataFrame =
+    docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(graft.functions.NgramHashes.of(col("toks"), 2)).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(vocab.toLong)).as("b"))
+
+  /** Fixed-point log importance weight per raw document:
+    * `(doc_id, logw)` where `logw = Σ_f round(scale · ln-ratio(f))` over
+    * the document's bigram features. Positive ⇒ more target-like. */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      vocab: Int = 4096,
+      scale: Long = 10000L): DataFrame = {
+    require(vocab >= 2, s"vocab must be >= 2: $vocab")
+    val rawF = features(raw, vocab)
+    val tgtF = features(target, vocab)
+    val totals = (f: DataFrame) =>
+      f.count() + vocab // add-1 smoothing mass over the bucket vocabulary
+    val nT = totals(tgtF)
+    val nR = totals(rawF)
+    val ratio = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+      .join(rawF.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "full")
+      .select(col("b"),
+        round((log(coalesce(col("ct"), lit(0L)) + 1) - log(lit(nT))
+          - log(coalesce(col("cr"), lit(0L)) + 1) + log(lit(nR)))
+          * scale).cast("long").as("lr"))
+    rawF.join(broadcast(ratio), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("lr"), lit(0L))).as("logw"))
+  }
+
+  /** Keep the `k` most target-like documents (ties → doc_id): the DSIR
+    * selection step as a bounded top-k. */
+  def select(weights: DataFrame, k: Int): DataFrame =
+    weights.orderBy(col("logw").desc, col("doc_id")).limit(k)
+}

@@ -3762,6 +3762,56 @@ object ExtQueries {
       |   OR l_orderkey % 10 = 0
       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q118
+  /** DSIR data selection (`Dsir.importanceWeights` + `select`): the
+    * target LM is the en docs of src0/src1, the raw LM is everything
+    * else; every raw document's fixed-point log importance weight is the
+    * integer sum of once-rounded hashed-bigram log-ratios, and the 25
+    * most target-like docs are kept. The oracle mirrors the exact ln
+    * expression shape and must reproduce the selection bit-for-bit. */
+  def q118DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select("doc_id", "lang", "source", "text")
+    val isTgt = col("lang") === "en" && col("source").isin("src0", "src1")
+    val w = graft.ops.Dsir.importanceWeights(
+      docs.filter(!isTgt).select("doc_id", "text"),
+      docs.filter(isTgt).select("doc_id", "text"))
+    graft.ops.Dsir.select(w, 25)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "logw")
+      .orderBy(col("logw").desc, col("doc_id"))
+  }
+
+  val q118Sql: String =
+    """WITH tgt AS (SELECT doc_id, text FROM documents
+      |  WHERE lang = 'en' AND source IN ('src0', 'src1')),
+      |raw AS (SELECT doc_id, text FROM documents
+      |  WHERE NOT (lang = 'en' AND source IN ('src0', 'src1'))),
+      |tgtf AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT
+      |      % 4096)) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM tgt)
+      |  WHERE len(t) >= 2),
+      |rawf AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT
+      |      % 4096)) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM raw)
+      |  WHERE len(t) >= 2),
+      |ct AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tgtf GROUP BY b),
+      |cr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM rawf GROUP BY b),
+      |nt AS (SELECT CAST(COUNT(*) + 4096 AS BIGINT) AS n FROM tgtf),
+      |nr AS (SELECT CAST(COUNT(*) + 4096 AS BIGINT) AS n FROM rawf),
+      |ratio AS (SELECT COALESCE(ct.b, cr.b) AS b,
+      |    CAST(ROUND((ln(COALESCE(ct.c, 0) + 1) - ln((SELECT n FROM nt))
+      |      - ln(COALESCE(cr.c, 0) + 1) + ln((SELECT n FROM nr)))
+      |      * 10000) AS BIGINT) AS lr
+      |  FROM ct FULL JOIN cr ON ct.b = cr.b),
+      |w AS (SELECT rawf.doc_id, CAST(SUM(COALESCE(lr, 0)) AS BIGINT) AS logw
+      |  FROM rawf LEFT JOIN ratio ON rawf.b = ratio.b GROUP BY rawf.doc_id)
+      |SELECT w.doc_id, d.lang, logw
+      |FROM w JOIN documents d ON w.doc_id = d.doc_id
+      |ORDER BY logw DESC, w.doc_id LIMIT 25""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3868,7 +3918,8 @@ object ExtQueries {
     "q114_gopher_rules" -> (q114GopherRules _),
     "q115_c4_clean" -> (q115C4Clean _),
     "q116_incremental_dedup" -> (q116IncrementalDedup _),
-    "q117_maintain_agg" -> (q117MaintainAgg _))
+    "q117_maintain_agg" -> (q117MaintainAgg _),
+    "q118_dsir_select" -> (q118DsirSelect _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -3977,5 +4028,6 @@ object ExtQueries {
     "q114_gopher_rules" -> q114Sql,
     "q115_c4_clean" -> q115Sql,
     "q116_incremental_dedup" -> q116Sql,
-    "q117_maintain_agg" -> q117Sql)
+    "q117_maintain_agg" -> q117Sql,
+    "q118_dsir_select" -> q118Sql)
 }
