@@ -276,6 +276,64 @@ object TableManifest {
     else spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
   }
 
+  private def markerName(consumerId: String, v: Long): String =
+    f"consumer-$consumerId-v$v%020d.marker"
+
+  /** Highest version this consumer has durably processed (0 = nothing).
+    * Markers are tiny exclusive-created files in the manifest dir, one per
+    * advance, never rewritten — the same dense-version protocol as
+    * commits, so an advance can never be lost to a concurrent worker and
+    * a crash can never leave a half-written marker. */
+  def consumerVersion(spark: SparkSession, dir: String,
+      consumerId: String): Long = {
+    val (fs, p) = fsFor(spark, dir)
+    val mdir = new Path(p, ManifestDir)
+    if (!fs.exists(mdir)) return 0L
+    val prefix = s"consumer-$consumerId-v"
+    fs.listStatus(mdir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(prefix) && n.endsWith(".marker"))
+        n.stripPrefix(prefix).stripSuffix(".marker").toLongOption
+      else None
+    }.foldLeft(0L)(math.max)
+  }
+
+  /** Incremental consumption of a manifested table — the "table as a
+    * stream" read side of the manifest protocol (the sink side is the
+    * exactly-once streaming append): hand `f` the rows added since this
+    * consumer's marker (exclusive) up to the current head (inclusive),
+    * then advance the marker AFTER `f` returns. A crash mid-`f`
+    * re-delivers the same range on the next call — at-least-once; pair
+    * with idempotent effects (a CAS publish keyed on the range, or
+    * [[Merge.maintainAgg]] state committed in the same manifest) for
+    * exactly-once end to end. Each consumer id has its own marker chain,
+    * so independent downstream views tail the same table at their own
+    * pace. Returns the processed (from, to] version range, or None when
+    * nothing is new.
+    *
+    * Scale: the delta scan reads ONLY the files added in the range
+    * (file-granular CDC, [[addedBetween]]) — tailing a 100 TB table costs
+    * the new files, not the table. */
+  def consumeNew(spark: SparkSession, dir: String, consumerId: String)(
+      f: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    require(consumerId.matches("[A-Za-z0-9_-]+"),
+      s"consumerId must be [A-Za-z0-9_-]+: $consumerId")
+    val from = consumerVersion(spark, dir, consumerId)
+    val head = read(spark, dir).map(_._1).getOrElse(0L)
+    if (head <= from) return None
+    val df =
+      if (from == 0L) readTableAt(spark, dir, head)
+      else addedBetween(spark, dir, from, head)
+    f(df, from, head)
+    val (fs, p) = fsFor(spark, dir)
+    val mdir = new Path(p, ManifestDir)
+    // losing this create means another worker of the same consumer already
+    // advanced past us — re-delivery, not data loss; ignore the result
+    createExclusive(fs, mdir, new Path(mdir, markerName(consumerId, head)),
+      Array.emptyByteArray)
+    Some((from, head))
+  }
+
   /** Delete data files the head manifest no longer lists (plus leftover
     * temp dirs/files of crashed commits, including the streaming sink's
     * `.inflight-*` scratch). Only safe once readers of older heads are
