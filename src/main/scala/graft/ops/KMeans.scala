@@ -51,7 +51,18 @@ object KMeans {
       k: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "qv"): DataFrame = {
+      vecCol: String = "qv"): DataFrame =
+    fitFull(vecs, k, iters, idCol, vecCol)._1
+
+  /** [[fit]] plus the final-round centroids `(cid, vector)` — consumers
+    * like hard-negative mining need the cells themselves, not just the
+    * assignment. Centroids are driver-held by design (k·dim longs). */
+  def fitFull(
+      vecs: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "qv"): (DataFrame, Seq[(Long, Seq[Long])]) = {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1: k=$k iters=$iters")
     val spark = vecs.sparkSession
 
@@ -93,6 +104,6 @@ object KMeans {
           (cid, comps.sortBy(_._2).map(_._3).toIndexedSeq: Seq[Long])
       }
     }
-    assign()
+    (assign(), centroids)
   }
 }

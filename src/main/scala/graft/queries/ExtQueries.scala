@@ -3812,6 +3812,59 @@ object ExtQueries {
       |FROM w JOIN documents d ON w.doc_id = d.doc_id
       |ORDER BY logw DESC, w.doc_id LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- Q119
+  /** Hard-negative mining (`HardNegatives.mine`): for every 50th vector,
+    * the 3 nearest vectors from its 2 nearest FOREIGN k-means cells —
+    * similar-but-provably-not-same-cluster, the contrastive-training
+    * negative set. Rides the q107 integer k-means chain; candidate cells
+    * are a row-local sort of the driver-held centroid literal; scoring is
+    * exact integer squared L2, so the unrolled oracle reproduces every
+    * (probe, candidate, rank) row. */
+  def q119HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings").select(col("vec_id"),
+      graft.ops.KMeans.quantize(col("embedding")).as("qv"))
+    graft.ops.HardNegatives.mine(
+      v, v.filter(col("vec_id") % 50 === 0).select("vec_id"),
+      k = q107K, iters = q107Iters, nCells = 2, topK = 3)
+      .orderBy("probe_id", "rn")
+  }
+
+  val q119Sql: String = {
+    val dist = (a: String, b: String) =>
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024)
+       |      AS qv
+       |  FROM embeddings),
+       |${kmeansSqlCtes(q107K, q107Iters)},
+       |asg AS (SELECT vec_id, mkey % $q107K AS cid FROM fin),
+       |pv AS (
+       |  SELECT v.vec_id, v.qv, a.cid AS own_cid
+       |  FROM v JOIN asg a USING (vec_id) WHERE v.vec_id % 50 = 0),
+       |cells AS (
+       |  SELECT pv.vec_id AS probe_id, pv.qv AS pqv, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY pv.vec_id
+       |      ORDER BY ${dist("pv.qv", "c.cv")}, c.cid) AS rnc
+       |  FROM pv, c$q107Iters c WHERE c.cid <> pv.own_cid),
+       |scored AS (
+       |  SELECT cl.probe_id, a.vec_id AS cand_id,
+       |    ${dist("cl.pqv", "cv2.qv")} AS dist
+       |  FROM cells cl
+       |  JOIN asg a ON a.cid = cl.cid
+       |  JOIN v cv2 ON cv2.vec_id = a.vec_id
+       |  WHERE cl.rnc <= 2),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, dist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY dist, cand_id) AS INT) AS rn
+       |  FROM scored)
+       |SELECT probe_id, cand_id, dist, rn FROM ranked
+       |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3919,7 +3972,8 @@ object ExtQueries {
     "q115_c4_clean" -> (q115C4Clean _),
     "q116_incremental_dedup" -> (q116IncrementalDedup _),
     "q117_maintain_agg" -> (q117MaintainAgg _),
-    "q118_dsir_select" -> (q118DsirSelect _))
+    "q118_dsir_select" -> (q118DsirSelect _),
+    "q119_hard_negatives" -> (q119HardNegatives _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4029,5 +4083,6 @@ object ExtQueries {
     "q115_c4_clean" -> q115Sql,
     "q116_incremental_dedup" -> q116Sql,
     "q117_maintain_agg" -> q117Sql,
-    "q118_dsir_select" -> q118Sql)
+    "q118_dsir_select" -> q118Sql,
+    "q119_hard_negatives" -> q119Sql)
 }
