@@ -37,17 +37,12 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minEst: Double = 0.5): DataFrame = {
-    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    val sigs = Scale.ensureParallelism(docs)
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sig", TextOps.minhashSignature(
-        graft.functions.NgramHashes.of(col("toks"), 3), k))
-      .select(col("doc_id"), col("sig"))
-    val keyed = sigs
-      .select(col("doc_id"),
-        posexplode(TextOps.bandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "key")))
+    // ONE shingle/signature/band pipeline (minhashIndexEntries) feeds both
+    // the ad-hoc pair query and the persisted incremental index, so the
+    // two can never drift
+    val entries = minhashIndexEntries(docs, k, bands, rowsPerBand)
+    val sigs = entries.select("doc_id", "sig").distinct()
+    val keyed = entries.select("doc_id", "band", "key")
 
     val cand = keyed
       .select(col("band"), col("key"), col("doc_id").as("doc_a"))
@@ -122,6 +117,10 @@ object Dedup {
     val candOld = newKeyed
       .join(index.select(col("band"), col("key"), col("doc_id").as("other")),
         Seq("band", "key"))
+      // at-least-once re-delivery legally replays a batch whose entries
+      // were already appended to the index: the SAME doc must not be
+      // rejected as a duplicate of itself, or replayed rows vanish
+      .filter(col("other") =!= col("doc_id"))
       .select("doc_id", "other")
     val candNew = newKeyed
       .join(newKeyed.select(col("band"), col("key"),

@@ -46,12 +46,19 @@ object Dsir {
     require(vocab >= 2, s"vocab must be >= 2: $vocab")
     val rawF = features(raw, vocab)
     val tgtF = features(target, vocab)
-    val totals = (f: DataFrame) =>
-      f.count() + vocab // add-1 smoothing mass over the bucket vocabulary
-    val nT = totals(tgtF)
-    val nR = totals(rawF)
-    val ratio = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
-      .join(rawF.groupBy("b").agg(count(lit(1)).as("cr")), Seq("b"), "full")
+    // ONE counting pass per corpus; the smoothing totals fall out of the
+    // <= vocab-row count tables for free instead of extra corpus scans
+    // (raw is still scanned once more by the scoring join below — the
+    // inherent two passes: count, then score)
+    // localCheckpoint pins the tiny count tables so the totals action and
+    // the ratio join both read them instead of re-scanning the corpora
+    val ct = tgtF.groupBy("b").agg(count(lit(1)).as("ct")).localCheckpoint()
+    val cr = rawF.groupBy("b").agg(count(lit(1)).as("cr")).localCheckpoint()
+    val sumOf = (df: DataFrame, c: String) =>
+      df.agg(coalesce(sum(col(c)), lit(0L))).head().getLong(0)
+    val nT = sumOf(ct, "ct") + vocab // add-1 smoothing mass over the buckets
+    val nR = sumOf(cr, "cr") + vocab
+    val ratio = ct.join(cr, Seq("b"), "full")
       .select(col("b"),
         round((log(coalesce(col("ct"), lit(0L)) + 1) - log(lit(nT))
           - log(coalesce(col("cr"), lit(0L)) + 1) + log(lit(nR)))

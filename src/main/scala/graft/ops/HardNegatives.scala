@@ -39,9 +39,9 @@ object HardNegatives {
     val carr = array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), typedLit(v).as("cv"))
     }: _*)
-    val sq = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
+    // the ONE distance definition (KMeans.sqDist) — cell choice and final
+    // scoring must use exactly the metric the assignment used
+    val sq = (a: Column, b: Column) => KMeans.sqDist(a, b)
     // nearest foreign cells: row-local sort of a k-element literal
     val probeCells = vecs.join(probes.select("vec_id"), "vec_id")
       .join(assigned.select(col("vec_id"), col("cid").as("own_cid")), "vec_id")

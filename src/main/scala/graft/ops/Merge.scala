@@ -73,11 +73,14 @@ object Merge {
     * means the change stream retracted rows that were never inserted —
     * it is kept visible (never clamped) so corrupted CDC is detectable.
     *
-    * Scale shape: one groupBy over the DELTA plus one over
-    * `state ∪ deltaAgg` on the same keys — the refresh costs
-    * O(|delta| + |touched keys|), never O(|table|); at 100 TB with a
-    * 0.1% daily delta that is the difference between minutes and a full
-    * recompute. Feed inserts from [[TableManifest.addedBetween]]
+    * Scale shape: the only SHUFFLE is the groupBy over the delta
+    * (≤ |touched keys| result rows, broadcast afterwards); existing state
+    * streams through a broadcast semi/anti split — untouched rows pass
+    * scan-side with no exchange and only touched keys re-aggregate. The
+    * refresh's shuffle cost is O(|delta|), not O(|table|); rewriting the
+    * output still scans the state once (unavoidable for a full snapshot —
+    * with a key-partitioned state layout only touched partitions need
+    * rewriting). Feed inserts from [[TableManifest.addedBetween]]
     * (file-level CDC) and deletes from an upsert/CDC stream's before-rows.
     */
   def maintainAgg(
@@ -90,11 +93,15 @@ object Merge {
       .agg(sum(col("op")).as("cnt"),
         sumCols.map(c => sum(col(c) * col("op")).as(s"sum_$c")): _*)
       .select((keys :+ "cnt").map(col) ++ sumCols.map(c => col(s"sum_$c")): _*)
-    state.unionByName(deltaAgg)
+    val deltaKeys = deltaAgg.select(keys.map(col): _*)
+    val untouched = state.join(broadcast(deltaKeys), keys, "left_anti")
+    val touched = state.join(broadcast(deltaKeys), keys, "left_semi")
+      .unionByName(deltaAgg)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       .filter(col("cnt") =!= 0L)
+    untouched.unionByName(touched)
   }
 
   /** Last-writer-wins collapse of an update stream: one row per key — the

@@ -324,13 +324,21 @@ object TableManifest {
     val df =
       if (from == 0L) readTableAt(spark, dir, head)
       else addedBetween(spark, dir, from, head)
+    val advance = () => {
+      val (fs, p) = fsFor(spark, dir)
+      val mdir = new Path(p, ManifestDir)
+      // losing this create means another worker of the same consumer
+      // already advanced past us — re-delivery, not data loss; ignore
+      createExclusive(fs, mdir, new Path(mdir, markerName(consumerId, head)),
+        Array.emptyByteArray)
+    }
+    // a delete-only (or empty-table) range adds no rows: addedBetween /
+    // readTableAt signal that with a SCHEMA-LESS emptyDataFrame — handing
+    // it to `f` would crash any column reference and wedge the consumer
+    // on the range forever; skip delivery but still advance the marker
+    if (df.columns.isEmpty) { advance(); return None }
     f(df, from, head)
-    val (fs, p) = fsFor(spark, dir)
-    val mdir = new Path(p, ManifestDir)
-    // losing this create means another worker of the same consumer already
-    // advanced past us — re-delivery, not data loss; ignore the result
-    createExclusive(fs, mdir, new Path(mdir, markerName(consumerId, head)),
-      Array.emptyByteArray)
+    advance()
     Some((from, head))
   }
 

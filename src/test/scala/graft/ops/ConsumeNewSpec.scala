@@ -70,6 +70,25 @@ class ConsumeNewSpec extends SparkSpec {
     assert(slowRows == 3L, "slow consumer starts from the full snapshot")
   }
 
+  test("a delete-only commit advances the marker without a poison delivery") {
+    val dir = newTable()
+    TableManifest.consumeNew(spark, dir, "c1") { (_, _, _) => () }
+    // retention: drop a file from the manifest, adding nothing
+    val (head, files) = TableManifest.read(spark, dir).get
+    TableManifest.commitIf(spark, dir, files.tail, head).get
+    var called = false
+    val got = TableManifest.consumeNew(spark, dir, "c1") { (_, _, _) =>
+      called = true
+    }
+    assert(got == None && !called, "no rows added: nothing to deliver")
+    assert(TableManifest.consumerVersion(spark, dir, "c1") == head + 1,
+      "marker must advance past the delete-only range, not wedge on it")
+    append(dir, ("z", 9L))
+    var n = -1L
+    TableManifest.consumeNew(spark, dir, "c1") { (df, _, _) => n = df.count() }
+    assert(n == 1L, "the next append delivers normally")
+  }
+
   test("maintained view tailing the table equals a scratch recompute") {
     val dir = newTable()
     var state = Seq.empty[(String, Long, Long)].toDF("k", "cnt", "sum_v")

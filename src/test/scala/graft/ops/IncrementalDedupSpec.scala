@@ -58,4 +58,22 @@ class IncrementalDedupSpec extends SparkSpec {
     val batch = df(40L -> "nothing shared with anything at all")
     assert(Dedup.minhashIncrement(batch, Dedup.minhashIndexEntries(old)).isEmpty)
   }
+
+  test("a replayed batch already in the index is not its own duplicate") {
+    // at-least-once delivery: crash after the index append re-delivers the
+    // batch against an index that already holds its entries — self-matches
+    // would silently reject (and lose) every replayed row
+    val batch = df(22L -> "totally fresh unique words here")
+    val idx = Dedup.minhashIndexEntries(old)
+      .unionByName(Dedup.minhashIndexEntries(batch))
+    assert(Dedup.minhashIncrement(batch, idx).isEmpty,
+      "replayed unique doc must survive, not match itself at est 1.0")
+    // replay of a batch with an internal duplicate: the first delivery
+    // accepted 22 and dropped 23, so the index holds ONLY 22's entries —
+    // the replay must reach the same verdict (22 survives, 23 drops)
+    val batch2 = batch.unionByName(df(23L -> "totally fresh unique words here"))
+    val got = Dedup.minhashIncrement(batch2, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(23L -> 22L), s"replay verdict must be stable: $got")
+  }
 }
