@@ -118,6 +118,43 @@ object Sampling {
     * `Window.partitionBy(key)` would plan one task per key. The quota
     * relation is a handful of rows, broadcast. Returns the selected rows
     * plus their 1-based per-key `mix_rank`. */
+  /** Temperature-based multilingual rebalancing (the mT5/XLM-R move):
+    * sample stratum `l` towards a share ∝ `n_l^(1/τ)`, flattening the
+    * head languages and boosting the tail. τ = 2 here — the exponent is
+    * then `sqrt`, which IEEE 754 rounds correctly, so (unlike `pow`'s
+    * libm-dependent transcendentals) every engine computes bit-identical
+    * rates from identical counts and ONE final rounding to basis points
+    * makes the whole gate engine-exact.
+    *
+    * Rates are computed IN-PLAN: stratum counts (one map-side-combined
+    * groupBy, ≤ #strata rows) broadcast-join back, the Σ√n normalizer is
+    * a 1-row broadcast, acceptance is the stateless h60 gate — zero extra
+    * shuffle over the corpus, deterministic under any partitioning.
+    * Returns the input rows that survive, with their stratum's `rate_bp`
+    * attached (capped at 10000: a tail stratum whose fair share exceeds
+    * its size keeps everything — upsampling needs replication, a
+    * different op). */
+  def temperatureSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    val counts = df.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val norm = counts.agg(sum(sqrt(col("__n"))).as("__z"))
+    val rated = counts.crossJoin(broadcast(norm))
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
+            / col("__n")).cast("long")))
+      .select(col("__s"), col("rate_bp"))
+    df.join(broadcast(rated), stratum === col("__s"))
+      .filter(pmod(graft.functions.H60.of(id.cast("string")),
+        lit(10000L)) < col("rate_bp"))
+      .drop("__s")
+  }
+
   def rebalanceToShares(
       df: DataFrame,
       keyCol: String,

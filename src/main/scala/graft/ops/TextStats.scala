@@ -142,6 +142,45 @@ object TextStats {
       .select("doc_id", "fp_min", "fp_max", "fp_xor")
   }
 
+  /** Vocabulary growth curve (Heaps-law corpus analytics): the distinct
+    * word-bigram count of the corpus prefix at `step`%, 2·`step`%, …,
+    * 100%, prefixes drawn by the stable h60 document gate (engine-
+    * reproducible, so the "prefix" is the same sample in any engine).
+    *
+    * The naive form replicates the corpus once per threshold; instead
+    * each distinct bigram contributes at the FIRST prefix containing it
+    * (its minimum document bucket), so the whole curve is: one distinct
+    * reduction to (bigram-hash, min bucket), a ≤`buckets`-row count, and
+    * a tiny in-plan expansion of bucket→thresholds — ONE corpus-scale
+    * shuffle total, no replication, no non-equi join, no single-partition
+    * window. */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 100,
+      step: Int = 10): DataFrame = {
+    require(buckets % step == 0, s"step must divide buckets: $buckets/$step")
+    val f = docs
+      .withColumn("b",
+        pmod(TextOps.h60(col("doc_id").cast("string")), lit(buckets.toLong)))
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("b"),
+        explode(array_distinct(
+          graft.functions.NgramHashes.of(col("toks"), 2))).as("h"))
+    val curve = f.groupBy("h").agg(min(col("b")).as("mb"))
+      .groupBy("mb").agg(count(lit(1)).as("c"))
+      .select(explode(sequence(
+        expr(s"(mb DIV $step + 1) * $step").cast("long"),
+        lit(buckets.toLong), lit(step.toLong))).as("pct"), col("c"))
+      .groupBy("pct").agg(sum(col("c")).as("n_bigrams"))
+    // zero-fill thresholds before the first populated bucket so the curve
+    // always has buckets/step points
+    docs.sparkSession.range(1, buckets / step + 1)
+      .select((col("id") * step).cast("long").as("pct"))
+      .join(curve, Seq("pct"), "left")
+      .select(col("pct"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+      .orderBy("pct")
+  }
+
   /** BM25 (Okapi, Lucene-style idf) top-k retrieval for a bag of query
     * terms: `score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
     * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`, rounded to 6dp before

@@ -3865,6 +3865,73 @@ object ExtQueries {
        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q120
+  /** Temperature-based multilingual rebalancing
+    * (`Sampling.temperatureSample`, τ = 2): per-language acceptance rates
+    * ∝ √n_l / n_l towards a 200-doc budget, flattening en and boosting
+    * the tail — the mT5/XLM-R sampling move. √ is IEEE-correctly-rounded
+    * (unlike pow), so the in-plan rate expression is bit-identical in
+    * both engines after its single rounding to basis points; the gate is
+    * the stateless h60 hash. Per-lang accounting of rates and survivors. */
+  def q120TemperatureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "lang")
+    graft.ops.Sampling.temperatureSample(
+      docs, col("doc_id"), col("lang"), budget = 200L)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_kept"),
+        first(col("rate_bp")).as("rate_bp"))
+      .orderBy("lang")
+  }
+
+  val q120Sql: String =
+    """WITH counts AS (
+      |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang),
+      |norm AS (SELECT SUM(sqrt(n)) AS z FROM counts),
+      |rated AS (
+      |  SELECT s, LEAST(10000,
+      |    CAST(round(10000.0 * sqrt(n) * 200 / (SELECT z FROM norm) / n)
+      |      AS BIGINT)) AS rate_bp
+      |  FROM counts)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  MIN(r.rate_bp) AS rate_bp
+      |FROM documents d JOIN rated r ON d.lang = r.s
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |  % 10000 < r.rate_bp
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // ---------------------------------------------------------------- Q121
+  /** Vocabulary growth curve (`TextStats.vocabGrowth`): distinct word
+    * bigrams of the 10%…100% hash-gated corpus prefixes — the Heaps-law
+    * diagnostic behind dedup-payoff and tokenizer-vocab sizing. Each
+    * bigram counts at its first containing prefix (min doc bucket), so
+    * the curve costs one corpus shuffle, not one per threshold. */
+  def q121VocabGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.vocabGrowth(
+      t(s, dir, "documents").select("doc_id", "text"))
+
+  val q121Sql: String =
+    """WITH f AS (
+      |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 100 AS b,
+      |    unnest(list_distinct(list_transform(range(1, len(t)),
+      |      i -> ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT)))
+      |      AS h
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 2),
+      |minb AS (SELECT h, MIN(b) AS mb FROM f GROUP BY h),
+      |perb AS (SELECT mb, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM minb GROUP BY mb),
+      |e AS (SELECT unnest(range((mb // 10 + 1) * 10, 101, 10)) AS pct, c
+      |  FROM perb),
+      |curve AS (SELECT pct, CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |  FROM e GROUP BY pct),
+      |th AS (SELECT unnest(range(10, 101, 10)) AS pct)
+      |SELECT th.pct, CAST(COALESCE(curve.n_bigrams, 0) AS BIGINT)
+      |  AS n_bigrams
+      |FROM th LEFT JOIN curve ON th.pct = curve.pct
+      |ORDER BY th.pct""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -3973,7 +4040,9 @@ object ExtQueries {
     "q116_incremental_dedup" -> (q116IncrementalDedup _),
     "q117_maintain_agg" -> (q117MaintainAgg _),
     "q118_dsir_select" -> (q118DsirSelect _),
-    "q119_hard_negatives" -> (q119HardNegatives _))
+    "q119_hard_negatives" -> (q119HardNegatives _),
+    "q120_temperature_sample" -> (q120TemperatureSample _),
+    "q121_vocab_growth" -> (q121VocabGrowth _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4084,5 +4153,7 @@ object ExtQueries {
     "q116_incremental_dedup" -> q116Sql,
     "q117_maintain_agg" -> q117Sql,
     "q118_dsir_select" -> q118Sql,
-    "q119_hard_negatives" -> q119Sql)
+    "q119_hard_negatives" -> q119Sql,
+    "q120_temperature_sample" -> q120Sql,
+    "q121_vocab_growth" -> q121Sql)
 }
