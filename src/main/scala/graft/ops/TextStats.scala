@@ -241,4 +241,38 @@ object TextStats {
       .filter(col("rn") <= k)
       .select("doc_id", "tok", "tf", "score", "rn")
   }
+
+  /** Per-source token-distribution drift vs the whole corpus: KL
+    * divergence Σ_t p_s(t)·ln(p_s(t)/p(t)) — the monitor that catches a
+    * source whose content shifted (new crawl snapshot, broken extractor)
+    * before it pollutes a training mix. Reported in fixed-point: each
+    * (source, token) term c·(ln c + ln N − ln C_t − ln N_s)·10⁴ is rounded
+    * ONCE to an integer (the q108 discipline — identical left-associated
+    * ln shape on both engines over integer-valued doubles), then
+    * integer-summed, so the aggregate is bit-stable under any partitioning
+    * or order. `kl_fp` ≈ N_s · KL(source ‖ corpus) · 10⁴.
+    *
+    * Scale shape: one explode → one (source, token) count shuffle; the
+    * per-token corpus counts and per-source totals derive from that
+    * already-collapsed count table (`localCheckpoint`ed once for its three
+    * consumers), never from a second corpus pass; the corpus total rides
+    * in as a broadcast 1-row aggregate. */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ct = st.groupBy("tok").agg(sum("c").as("ct"))
+    val ns = st.groupBy("source").agg(sum("c").as("ns"))
+    val nt = st.agg(sum("c").as("n"))
+    val term = round((log(col("c")) + log(col("n")) - log(col("ct"))
+      - log(col("ns"))) * col("c") * 10000).cast("long")
+    st.join(ct, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .groupBy("source")
+      .agg(max(col("ns")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(term).as("kl_fp"))
+      .orderBy("source")
+  }
 }

@@ -3887,7 +3887,7 @@ object ExtQueries {
     """WITH counts AS (
       |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM documents GROUP BY lang),
-      |norm AS (SELECT SUM(sqrt(n)) AS z FROM counts),
+      |norm AS (SELECT CAST(SUM(sqrt(n)) AS DOUBLE) AS z FROM counts),
       |rated AS (
       |  SELECT s, LEAST(10000,
       |    CAST(round(10000.0 * sqrt(n) * 200 / (SELECT z FROM norm) / n)
@@ -3931,6 +3931,106 @@ object ExtQueries {
       |  AS n_bigrams
       |FROM th LEFT JOIN curve ON th.pct = curve.pct
       |ORDER BY th.pct""".stripMargin
+
+  // ---------------------------------------------------------------- Q122
+  /** Greedy k-center coreset ([[graft.ops.Coreset.selectFull]]): five
+    * maximally-spread exemplar embeddings picked by the Gonzalez
+    * farthest-point rule, then every vector assigned to its nearest
+    * center — the diverse-subset seed of coverage-driven data selection,
+    * with the covering radius per cell as the 2-approximation
+    * certificate. Integer-exact on the q107 fixed-point quantization, so
+    * the unrolled-CTE oracle reproduces every pick and assignment. */
+  def q122KCenter(s: SparkSession, dir: String): DataFrame = {
+    val v = t(s, dir, "embeddings")
+      .select(col("vec_id"), graft.ops.KMeans.quantize(col("embedding")).as("qv"))
+    graft.ops.Coreset.selectFull(v, k = 5)._1.orderBy("cid")
+  }
+
+  val q122Sql: String = {
+    val cap = 1L << 20
+    // exact integer sq-L2 between v.qv and center alias `a`.cv
+    def dist(a: String) =
+      s"""CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (v.qv[i] - $a.cv[i]) * (v.qv[i] - $a.cv[i]))) AS BIGINT)"""
+        .stripMargin
+    // round r: d_r = running min-dist, e_r = encoded argmax, c_r = winner
+    val rounds = (1 to 4).map { r =>
+      val d =
+        if (r == 1)
+          s"""d1 AS MATERIALIZED (
+             |  SELECT v.vec_id, ${dist("c")} AS md FROM v, c0 c)""".stripMargin
+        else
+          s"""d$r AS MATERIALIZED (
+             |  SELECT d.vec_id, LEAST(d.md, ${dist("c")}) AS md
+             |  FROM d${r - 1} d JOIN v ON d.vec_id = v.vec_id, c${r - 1} c)"""
+            .stripMargin
+      s"""$d,
+         |e$r AS MATERIALIZED (
+         |  SELECT MAX(md * $cap + (${cap - 1} - vec_id)) AS enc FROM d$r),
+         |c$r AS MATERIALIZED (
+         |  SELECT qv AS cv FROM v
+         |  WHERE vec_id = ${cap - 1} - (SELECT enc FROM e$r) % $cap)"""
+        .stripMargin
+    }.mkString(",\n")
+    val cents = (1 to 4).map { r =>
+      s"UNION ALL SELECT $r, ${cap - 1} - (SELECT enc FROM e$r) % $cap"
+    }.mkString("\n")
+    val mkey = (0 to 4).map(r => s"${dist(s"g$r")} * 5 + $r")
+      .mkString("LEAST(\n", ",\n", ")")
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) + 1024)
+       |      AS qv
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (
+       |  SELECT qv AS cv FROM v WHERE vec_id = (SELECT MIN(vec_id) FROM v)),
+       |$rounds,
+       |cents AS (
+       |  SELECT 0 AS cid, (SELECT MIN(vec_id) FROM v) AS center_id
+       |$cents),
+       |asgn AS (
+       |  SELECT v.vec_id, $mkey AS mkey
+       |  FROM v, c0 g0, c1 g1, c2 g2, c3 g3, c4 g4)
+       |SELECT CAST(a.mkey % 5 AS BIGINT) AS cid,
+       |  CAST(cents.center_id AS BIGINT) AS center_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pts,
+       |  CAST(MAX(a.mkey // 5) AS BIGINT) AS radius,
+       |  CAST(SUM(a.mkey // 5) AS BIGINT) AS sum_dist
+       |FROM asgn a JOIN cents ON a.mkey % 5 = cents.cid
+       |GROUP BY a.mkey % 5, cents.center_id
+       |ORDER BY cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q123
+  /** Source-drift monitor ([[graft.ops.TextStats.sourceDrift]]): per-source
+    * KL divergence of the token distribution against the whole corpus, in
+    * 1e-4 fixed point — each (source, token) term rounded once (the q108
+    * ln discipline), then integer-summed, so the statistic is bit-stable
+    * and oracle-matchable. One corpus explode, one count shuffle. */
+  def q123KlDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.sourceDrift(
+      t(s, dir, "documents").select("source", "text"))
+
+  val q123Sql: String =
+    """WITH st AS MATERIALIZED (
+      |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY source, tok),
+      |ct AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM st GROUP BY tok),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns
+      |  FROM st GROUP BY source),
+      |nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM st)
+      |SELECT st.source,
+      |  CAST(MAX(ns.ns) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(CAST(round((ln(st.c) + ln((SELECT n FROM nt))
+      |      - ln(ct.ct) - ln(ns.ns)) * st.c * 10000) AS BIGINT)) AS BIGINT)
+      |    AS kl_fp
+      |FROM st JOIN ct USING (tok) JOIN ns USING (source)
+      |GROUP BY st.source
+      |ORDER BY source""".stripMargin
 
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4042,7 +4142,9 @@ object ExtQueries {
     "q118_dsir_select" -> (q118DsirSelect _),
     "q119_hard_negatives" -> (q119HardNegatives _),
     "q120_temperature_sample" -> (q120TemperatureSample _),
-    "q121_vocab_growth" -> (q121VocabGrowth _))
+    "q121_vocab_growth" -> (q121VocabGrowth _),
+    "q122_kcenter" -> (q122KCenter _),
+    "q123_kl_drift" -> (q123KlDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4155,5 +4257,7 @@ object ExtQueries {
     "q118_dsir_select" -> q118Sql,
     "q119_hard_negatives" -> q119Sql,
     "q120_temperature_sample" -> q120Sql,
-    "q121_vocab_growth" -> q121Sql)
+    "q121_vocab_growth" -> q121Sql,
+    "q122_kcenter" -> q122Sql,
+    "q123_kl_drift" -> q123Sql)
 }

@@ -32,7 +32,9 @@ class PlanLintSpec extends SparkSpec {
     "q86_bigram_lm" -> "broadcast 1-row vocabulary-size aggregate",
     "q89_scd2_snapshot" -> "broadcast 1-row snapshot-instant aggregate",
     "q100_rfm_segmentation" -> "broadcast 1-row recency-cutoff aggregate",
-    "q103_pagerank_dangling" -> "broadcast 1-row dangling-mass aggregate per iteration")
+    "q103_pagerank_dangling" -> "broadcast 1-row dangling-mass aggregate per iteration",
+    "q120_temperature_sample" -> "broadcast 1-row sqrt-mass normalizer aggregate",
+    "q123_kl_drift" -> "broadcast 1-row corpus-token-total aggregate")
 
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)
