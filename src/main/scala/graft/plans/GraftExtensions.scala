@@ -101,7 +101,11 @@ object GraftExtensions {
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible conventions)"),
       (args: Seq[Expression]) => { arity("jaro_winkler", 2, args)
-        JaroWinkler(args(0), args(1)) }))
+        JaroWinkler(args(0), args(1)) }),
+    ("nfc_normalize",
+      info("nfc_normalize",
+        "nfc_normalize(s) - Unicode NFC canonical composition (DuckDB-compatible)"),
+      (args: Seq[Expression]) => NfcNormalize(arity("nfc_normalize", 1, args).head)))
 
   /** Imperative registration on an existing session (same builders). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -4032,6 +4032,90 @@ object ExtQueries {
       |GROUP BY st.source
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- Q124
+  /** One-scan Pearson correlation matrix ([[graft.ops.Stats.corrMatrix]])
+    * over lineitem's numeric columns, quantized to exact integers
+    * (dollars / cents) so the moment sums are order-independent longs and
+    * the 6dp correlations reproduce in any engine. Zero joins, zero
+    * row-level shuffle — the corpus collapses to one moment row. */
+  def q124CorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.corrMatrix(
+      t(s, dir, "lineitem"),
+      Seq(
+        "qty" -> round(col("l_quantity")),
+        "price" -> round(col("l_extendedprice")),
+        "disc" -> round(col("l_discount") * 100),
+        "tax" -> round(col("l_tax") * 100)))
+
+  val q124Sql: String = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val pairs =
+      for { i <- names.indices; j <- i + 1 until names.size }
+        yield (names(i), names(j))
+    val moments =
+      names.map(n => s"CAST(SUM($n) AS BIGINT) AS s_$n") ++
+        names.map(n => s"CAST(SUM($n * $n) AS BIGINT) AS ss_$n") ++
+        pairs.map { case (x, y) => s"CAST(SUM($x * $y) AS BIGINT) AS sp_${x}_$y" }
+    val rows = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |    round((CAST(n AS DOUBLE) * sp_${x}_$y
+         |        - CAST(s_$x AS DOUBLE) * s_$y)
+         |      / sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
+         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)),
+         |      6) AS corr
+         |  FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+       |    CAST(round(l_extendedprice) AS BIGINT) AS price,
+       |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
+       |    CAST(round(l_tax * 100) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |m AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM b)
+       |$rows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- Q125
+  /** Unicode NFC normalization ([[graft.functions.NfcNormalize]], native
+    * codegen'd expression — Spark has no built-in): visually-identical
+    * strings with different codepoint sequences hash apart and defeat
+    * exact dedup, so curation normalizes before hashing. The fixture
+    * appends composed / decomposed variants in-query (the corpus itself is
+    * ASCII); observables are byte lengths and the h60 of the normalized
+    * text — byte-exact cross-engine, immune to codepoint-vs-grapheme
+    * `length()` ambiguity. */
+  def q125NfcNormalize(s: SparkSession, dir: String): DataFrame = {
+    val variant = when(pmod(col("doc_id"), lit(3)) === 0, lit("cafe\u0301"))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit("caf\u00e9"))
+      .otherwise(lit("A\u030A"))
+    val raw = concat(col("text"), lit(" "), variant)
+    val norm = graft.functions.NfcNormalize.of(raw)
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(raw).cast("long").as("b_raw"),
+      octet_length(norm).cast("long").as("b_nfc"),
+      graft.functions.H60.of(norm).as("h_nfc"))
+      .orderBy("doc_id")
+  }
+
+  val q125Sql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text || ' ' || v) AS BIGINT) AS b_raw,
+      |  CAST(strlen(nfc_normalize(text || ' ' || v)) AS BIGINT) AS b_nfc,
+      |  ('0x' || substr(md5(nfc_normalize(text || ' ' || v)), 1, 15))::BIGINT
+      |    AS h_nfc
+      |FROM (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'cafe' || chr(769)
+      |         WHEN doc_id % 3 = 1 THEN 'caf' || chr(233)
+      |         ELSE 'A' || chr(778) END AS v
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4144,7 +4228,9 @@ object ExtQueries {
     "q120_temperature_sample" -> (q120TemperatureSample _),
     "q121_vocab_growth" -> (q121VocabGrowth _),
     "q122_kcenter" -> (q122KCenter _),
-    "q123_kl_drift" -> (q123KlDrift _))
+    "q123_kl_drift" -> (q123KlDrift _),
+    "q124_corr_matrix" -> (q124CorrMatrix _),
+    "q125_nfc_normalize" -> (q125NfcNormalize _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4259,5 +4345,7 @@ object ExtQueries {
     "q120_temperature_sample" -> q120Sql,
     "q121_vocab_growth" -> q121Sql,
     "q122_kcenter" -> q122Sql,
-    "q123_kl_drift" -> q123Sql)
+    "q123_kl_drift" -> q123Sql,
+    "q124_corr_matrix" -> q124Sql,
+    "q125_nfc_normalize" -> q125Sql)
 }

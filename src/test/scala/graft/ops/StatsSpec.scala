@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** One-scan correlation matrix ([[Stats.corrMatrix]]). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect, inverse, and known hand-computed correlations") {
+    val df = Seq((1L, 2L, 9L), (2L, 4L, 7L), (3L, 6L, 8L), (4L, 8L, 4L))
+      .toDF("x", "y", "z")
+    val out = Stats.corrMatrix(df,
+        Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._4)).toMap
+    assert(out(("x", "y")) === 1.0)             // y = 2x exactly
+    // corr(x,z): n=4 Sx=10 Sz=28 Sxz=63 Sxx=30 Szz=210
+    // cov=4*63-280=-28; varx=4*30-100=20; varz=4*210-784=56 → -28/sqrt(1120)
+    assert(math.abs(out(("x", "z")) - -28.0 / math.sqrt(20.0 * 56.0)) < 1e-6)
+    assert(out(("y", "z")) === out(("x", "z"))) // y is affine in x
+  }
+
+  test("matches Spark's built-in corr on lineitem to the 6dp rounding") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice")).cast("long").as("price"))
+    val ours = Stats.corrMatrix(li,
+        Seq("qty" -> col("qty"), "price" -> col("price")))
+      .as[(String, String, Long, Double)].collect()(0)._4
+    val builtin = li.agg(corr(col("qty"), col("price"))).as[Double].collect()(0)
+    assert(math.abs(ours - builtin) <= 2e-6)
+  }
+}
