@@ -17,6 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Write `df` as a bucketed (and per-bucket sorted) managed parquet
+    * table — the co-located-join layout: two fact tables bucketed by the
+    * same key into the same bucket count join with ZERO shuffle on either
+    * side, because each scan already reports the matching hash
+    * partitioning. At 100 TB this turns every repeated orders⋈lineitem
+    * into a local merge per bucket — the single biggest recurring-shuffle
+    * eliminator Spark offers without a table-format dependency
+    * (`BucketedJoinSpec` pins the no-Exchange plan). Sorting within
+    * buckets additionally removes the per-side Sort of the merge join.
+    *
+    * Bucketed writes must go through the session catalog (`saveAsTable`)
+    * — bucket metadata lives in the metastore, not the files. */
+  def writeBucketed(
+      df: org.apache.spark.sql.DataFrame,
+      table: String,
+      key: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
   /** Spread the low 32 bits of a non-negative long across the even bit
     * positions of a 64-bit word (0b...b2b1b0 → 0b..0b2_0b1_0b0). */
   def spreadBits(c: Column): Column = {

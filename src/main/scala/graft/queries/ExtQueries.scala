@@ -4116,6 +4116,38 @@ object ExtQueries {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q126
+  /** Normalize-then-dedup composition: every document appears twice, once
+    * with a decomposed suffix and once with the composed equivalent —
+    * byte-distinct, visually identical. Raw content hashes see 2N
+    * distinct texts; hashing after [[graft.functions.NfcNormalize]]
+    * collapses every pair, so exact dedup recovers N. The reason curation
+    * normalizes before hashing, stated as a 1-row invariant. */
+  def q126NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val u = d
+      .select(concat(col("text"), lit(" cafe\u0301")).as("t"))
+      .unionAll(d.select(concat(col("text"), lit(" caf\u00e9")).as("t")))
+    u.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(graft.functions.H60.of(col("t"))).as("n_raw_unique"),
+      countDistinct(graft.functions.H60.of(
+        graft.functions.NfcNormalize.of(col("t")))).as("n_nfc_unique"))
+  }
+
+  val q126Sql: String =
+    """WITH u AS (
+      |  SELECT text || ' cafe' || chr(769) AS t FROM documents
+      |  UNION ALL
+      |  SELECT text || ' caf' || chr(233) FROM documents)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT ('0x' || substr(md5(t), 1, 15))::BIGINT)
+      |    AS BIGINT) AS n_raw_unique,
+      |  CAST(COUNT(DISTINCT
+      |      ('0x' || substr(md5(nfc_normalize(t)), 1, 15))::BIGINT)
+      |    AS BIGINT) AS n_nfc_unique
+      |FROM u""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4230,7 +4262,8 @@ object ExtQueries {
     "q122_kcenter" -> (q122KCenter _),
     "q123_kl_drift" -> (q123KlDrift _),
     "q124_corr_matrix" -> (q124CorrMatrix _),
-    "q125_nfc_normalize" -> (q125NfcNormalize _))
+    "q125_nfc_normalize" -> (q125NfcNormalize _),
+    "q126_normalized_dedup" -> (q126NormalizedDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4347,5 +4380,6 @@ object ExtQueries {
     "q122_kcenter" -> q122Sql,
     "q123_kl_drift" -> q123Sql,
     "q124_corr_matrix" -> q124Sql,
-    "q125_nfc_normalize" -> q125Sql)
+    "q125_nfc_normalize" -> q125Sql,
+    "q126_normalized_dedup" -> q126Sql)
 }
