@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Key-skew diagnostics — the measurement that decides whether a join or
+    * aggregation on `key` needs [[saltedAggregate]]/[[skewJoin]] before it
+    * becomes the one straggler task of a 1000-executor stage. One grouped
+    * count (the same shuffle the real query would pay), then bounded
+    * summaries: the hot-key share and top-k concentration in exact ppm
+    * (integer cross-multiplication — no float thresholds), so the report
+    * is engine-exact and can gate CI. Top-k ties break toward the smaller
+    * key, making the bounded `limit` deterministic. Output is ONE row:
+    * `(n_rows, n_keys, max_cnt, max_ppm, topk_ppm)`. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // three bounded consumers, one corpus shuffle
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("k")).limit(topK)
+      .agg(sum(col("cnt")).as("top_cnt"))
+    totals.crossJoin(broadcast(top))
+      .select(
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("max_cnt * 1000000 DIV n_rows").as("max_ppm"),
+        expr("top_cnt * 1000000 DIV n_rows").as("topk_ppm"))
+  }
+
   /** Spread per-row compute: a sub-row-group parquet file is unsplittable,
     * so a small-file corpus arrives as 1–2 input partitions and serializes
     * expensive per-row expressions (shingle hashing, MinHash signatures,

@@ -4148,6 +4148,31 @@ object ExtQueries {
       |    AS BIGINT) AS n_nfc_unique
       |FROM u""".stripMargin
 
+  // ---------------------------------------------------------------- Q127
+  /** Key-skew diagnostics ([[graft.ops.Scale.skewReport]]): the
+    * measurement that decides whether a key needs salting before it
+    * becomes the straggler task — hot-key and top-10 concentration of
+    * events.user_id in exact ppm (integer cross-multiplication, `DIV`).
+    * One grouped count (the shuffle the real query would pay) + bounded
+    * 1-row summaries. */
+  def q127SkewReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.skewReport(
+      t(s, dir, "events").select("user_id"), "user_id")
+
+  val q127Sql: String =
+    """WITH c AS MATERIALIZED (
+      |  SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY user_id),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(MAX(cnt) AS BIGINT) AS max_cnt FROM c),
+      |top AS (SELECT CAST(SUM(cnt) AS BIGINT) AS top_cnt FROM (
+      |  SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10))
+      |SELECT n_rows, n_keys, max_cnt,
+      |  max_cnt * 1000000 // n_rows AS max_ppm,
+      |  top_cnt * 1000000 // n_rows AS topk_ppm
+      |FROM tot, top""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4263,7 +4288,8 @@ object ExtQueries {
     "q123_kl_drift" -> (q123KlDrift _),
     "q124_corr_matrix" -> (q124CorrMatrix _),
     "q125_nfc_normalize" -> (q125NfcNormalize _),
-    "q126_normalized_dedup" -> (q126NormalizedDedup _))
+    "q126_normalized_dedup" -> (q126NormalizedDedup _),
+    "q127_skew_report" -> (q127SkewReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4381,5 +4407,6 @@ object ExtQueries {
     "q123_kl_drift" -> q123Sql,
     "q124_corr_matrix" -> q124Sql,
     "q125_nfc_normalize" -> q125Sql,
-    "q126_normalized_dedup" -> q126Sql)
+    "q126_normalized_dedup" -> q126Sql,
+    "q127_skew_report" -> q127Sql)
 }

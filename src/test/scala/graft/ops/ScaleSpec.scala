@@ -118,4 +118,18 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("skewReport: hand-computed concentration on a known-skew fixture") {
+    import spark.implicits._
+    // key 1: 6 rows, key 2: 2 rows, keys 3..4: 1 row → 10 rows, 4 keys
+    val df = (Seq.fill(6)(1) ++ Seq.fill(2)(2) ++ Seq(3, 4)).toDF("k")
+    val r = Scale.skewReport(df, "k", topK = 2)
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    // max 6/10 = 600000 ppm; top-2 (6+2)/10 = 800000 ppm
+    assert(r === ((10L, 4L, 6L, 600000L, 800000L)))
+    // ties at cnt=1 break toward the smaller key: top-3 adds key 3 only
+    val r3 = Scale.skewReport(df, "k", topK = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()(0)
+    assert(r3._5 === 900000L)
+  }
 }
