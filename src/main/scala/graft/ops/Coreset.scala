@@ -35,12 +35,6 @@ import org.apache.spark.sql.functions._
   */
 object Coreset {
 
-  /** One row's exact min squared-L2 distance to the current center set. */
-  private def minDist(v: Column, centers: Seq[Seq[Long]]): Column =
-    aggregate(
-      array(centers.map(cv => KMeans.sqDist(v, typedLit(cv))): _*),
-      lit(Long.MaxValue), (acc, d) => least(acc, d))
-
   /** Greedy k-center over `(idCol, vecCol: array<long>)` rows. Center 0 is
     * the vector of the smallest id; each subsequent center is the point
     * farthest from the chosen set (ties to the lowest id). Returns
@@ -65,19 +59,34 @@ object Coreset {
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .localCheckpoint() // k+1 passes; rows × dim longs, no lineage replay
 
+    // the encoding precondition is load-bearing: an id outside [0, idCap)
+    // borrows from the distance field and silently decodes a WRONG center
+    val bounds = pts.agg(min(col("id")), max(col("id"))).collect()(0)
+    if (!bounds.isNullAt(0)) require(
+      bounds.getLong(0) >= 0 && bounds.getLong(1) < idCap,
+      s"ids must be in [0, $idCap): found [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
+
     val first = pts.orderBy(col("id")).limit(1).collect()(0)
     var centers = Vector(
       (0L, first.getLong(0), 0L, first.getSeq[Long](1).toIndexedSeq: Seq[Long]))
 
+    // carry the running min-dist per point (the oracle's d_r CTE): each
+    // round evaluates ONE new sqDist, so total distance work is O(k·n·dim),
+    // not the O(k²·n·dim) of re-minimizing over all chosen centers
+    var cur = pts
+      .withColumn("md", KMeans.sqDist(col("v"), typedLit(centers(0)._4)))
+      .localCheckpoint()
     for (r <- 1 until k) {
-      val md = minDist(col("v"), centers.map(_._4))
-      val enc = pts
-        .select(max(md * idCap + (lit(idCap - 1) - col("id"))).as("enc"))
+      val enc = cur
+        .select(max(col("md") * idCap + (lit(idCap - 1) - col("id"))).as("enc"))
         .collect()(0).getLong(0)
       val (dist, id) = (enc / idCap, idCap - 1 - enc % idCap)
-      val vec = pts.filter(col("id") === id)
+      val vec = cur.filter(col("id") === id)
         .select("v").collect()(0).getSeq[Long](0).toIndexedSeq
       centers :+= ((r.toLong, id, dist, vec: Seq[Long]))
+      if (r < k - 1) cur = cur
+        .withColumn("md", least(col("md"), KMeans.sqDist(col("v"), typedLit(vec))))
+        .localCheckpoint()
     }
 
     // nearest-center assignment: min over (dist·k + cid) — zero shuffle

@@ -29,27 +29,28 @@ object Stats {
     require(cols.size >= 2, "need at least two columns")
     require(cols.map(_._1).distinct.size == cols.size, "names must be distinct")
     val names = cols.map(_._1)
-    val base = df.select(cols.map { case (n, c) =>
-      c.cast("long").as(s"__$n") }: _*)
+    // positional internal aliases — name-derived ones collide when names
+    // contain the separator (pair (a, b_c) vs (a_b, c) → one sp_a_b_c)
+    val base = df.select(cols.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("long").as(s"__c$i") }: _*)
     val pairsIdx =
       for { i <- names.indices; j <- i + 1 until names.size } yield (i, j)
     val aggs =
-      names.map(n => sum(col(s"__$n")).as(s"s_$n")) ++
-        names.map(n => sum(col(s"__$n") * col(s"__$n")).as(s"ss_$n")) ++
+      names.indices.map(i => sum(col(s"__c$i")).as(s"s_$i")) ++
+        names.indices.map(i => sum(col(s"__c$i") * col(s"__c$i")).as(s"ss_$i")) ++
         pairsIdx.map { case (i, j) =>
-          sum(col(s"__${names(i)}") * col(s"__${names(j)}"))
-            .as(s"sp_${names(i)}_${names(j)}")
+          sum(col(s"__c$i") * col(s"__c$j")).as(s"sp_${i}_$j")
         }
     val m = base.agg(count(lit(1)).as("n"), aggs: _*)
 
     val nD = col("n").cast("double")
-    def corrOf(x: String, y: String): Column =
-      round((nD * col(s"sp_${x}_$y") - col(s"s_$x").cast("double") * col(s"s_$y"))
-        / sqrt((nD * col(s"ss_$x") - col(s"s_$x").cast("double") * col(s"s_$x"))
-          * (nD * col(s"ss_$y") - col(s"s_$y").cast("double") * col(s"s_$y"))), 6)
+    def corrOf(i: Int, j: Int): Column =
+      round((nD * col(s"sp_${i}_$j") - col(s"s_$i").cast("double") * col(s"s_$j"))
+        / sqrt((nD * col(s"ss_$i") - col(s"s_$i").cast("double") * col(s"s_$i"))
+          * (nD * col(s"ss_$j") - col(s"s_$j").cast("double") * col(s"s_$j"))), 6)
     val pairs = pairsIdx.map { case (i, j) =>
       struct(lit(names(i)).as("col_x"), lit(names(j)).as("col_y"),
-        corrOf(names(i), names(j)).as("corr"))
+        corrOf(i, j).as("corr"))
     }
     m.select(col("n"), explode(array(pairs: _*)).as("p"))
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))

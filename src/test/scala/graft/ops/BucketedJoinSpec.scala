@@ -13,8 +13,13 @@ import org.apache.spark.sql.functions._
   * across every downstream query at scale. */
 class BucketedJoinSpec extends SparkSpec {
 
+  /** Walk a runtime AQE plan: AdaptiveSparkPlanExec is a leaf wrapping the
+    * final plan, and executed exchanges hide inside QueryStageExec leaves
+    * (`ShuffleQueryStageExec.plan` holds the ShuffleExchangeExec). */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: nodes(q.plan)
     case _ => p +: p.children.flatMap(nodes)
   }
 
@@ -46,14 +51,17 @@ class BucketedJoinSpec extends SparkSpec {
         col("o_orderkey") === col("l_orderkey"))
       val plain = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
 
-      assert(bucketed.count() === plain.count())
+      // collect() runs through each Dataset's OWN lazy queryExecution, so
+      // the AQE plans inspected below are the runtime-finalized ones (a
+      // count() would build a separate QueryExecution and leave these
+      // plans un-executed)
+      assert(bucketed.collect().length === plain.collect().length)
 
       val bucketedShuffles = nodes(bucketed.queryExecution.executedPlan)
         .collect { case e: ShuffleExchangeExec => e }
       assert(bucketedShuffles.isEmpty,
         s"bucketed join must not shuffle, found: $bucketedShuffles")
 
-      plain.count() // finalize AQE so the contrast plan is real
       val plainShuffles = nodes(plain.queryExecution.executedPlan)
         .collect { case e: ShuffleExchangeExec => e }
       assert(plainShuffles.nonEmpty, "plain parquet join should shuffle")

@@ -95,29 +95,10 @@ class ScaleSpec extends SparkSpec {
     assert(actual.size == 7, "a null-keyed row was dropped")
   }
 
-  test("bucketed tables join without a shuffle exchange") {
-    // warehouse dir is a static conf, set in SparkSpec's builder
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val li = Tables.load(spark, sfDir, "lineitem")
-      val orders = Tables.load(spark, sfDir, "orders")
-      li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey").saveAsTable("li_bucketed")
-      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey").saveAsTable("orders_bucketed")
-      val joined = spark.table("li_bucketed").join(
-        spark.table("orders_bucketed"),
-        col("l_orderkey") === col("o_orderkey"))
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange hashpartitioning"),
-        "bucketed join should not shuffle:\n" + plan)
-      assert(joined.count() > 0)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS li_bucketed")
-      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
-      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    }
-  }
+  // the bucketed co-located-join invariant lives in BucketedJoinSpec
+  // (Layout.writeBucketed helper, shuffling-plain-join contrast, bucket
+  // pruning) — a second pair of bucketed table writes here pinned the
+  // same plan and only added suite I/O
 
   test("skewReport: hand-computed concentration on a known-skew fixture") {
     import spark.implicits._
