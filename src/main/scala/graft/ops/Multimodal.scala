@@ -155,39 +155,41 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (id, bytes) =>
-          val img = safeRead(new java.io.ByteArrayInputStream(bytes))
-          if (img == null) ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
-          else {
-            val w = img.getWidth
-            val h = img.getHeight
-            // row-strip bulk getRGB: per-pixel getRGB(x, y) pays bounds
-            // checks + ColorModel conversion per call (~10× decode CPU),
-            // while one full-image bulk call allocates w·h ints — a 1 GiB
-            // spike on a decompression-bomb PNG. One reused row buffer
-            // keeps the bulk-path speed at O(w) extra memory.
-            val buf = new Array[Int](w)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var y = 0
-            while (y < h) {
-              img.getRGB(0, y, w, 1, buf, 0, w)
-              var x = 0
-              while (x < w) {
-                val rgb = buf(x)
-                sr += (rgb >> 16) & 0xff
-                sg += (rgb >> 8) & 0xff
-                sb += rgb & 0xff
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            ImageStats(id, ok = true, w, h,
-              img.getColorModel.getNumComponents,
-              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
-          }
-        }
+        rows.map { case (id, bytes) => decodeImageOne(id, bytes) }
       }
+  }
+
+  private def decodeImageOne(id: Long, bytes: Array[Byte]): ImageStats = {
+    val img = safeRead(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      // row-strip bulk getRGB: per-pixel getRGB(x, y) pays bounds
+      // checks + ColorModel conversion per call (~10× decode CPU),
+      // while one full-image bulk call allocates w·h ints — a 1 GiB
+      // spike on a decompression-bomb PNG. One reused row buffer
+      // keeps the bulk-path speed at O(w) extra memory.
+      val buf = new Array[Int](w)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, buf, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = buf(x)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      ImageStats(id, ok = true, w, h,
+        img.getColorModel.getNumComponents,
+        sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
   }
 
   /** REAL image resize: decode, scale so max(width, height) == maxDim
@@ -518,4 +520,93 @@ object Multimodal {
       dir: String,
       glob: String = "*"): (DataFrame, DataFrame) =
     dirWithQuarantine(spark, dir, glob, m => decodeImageBatch(m).toDF())
+
+  // ------------------------------------------------------------- routing
+
+  /** Magic-byte modality detection — plain JVM byte peeks, no decode:
+    * PNG/JPEG/GIF/BMP → image, RIFF-WAVE / FORM-AIFF → audio,
+    * RIFF-AVI → video, anything else → unknown. */
+  def magicKind(b: Array[Byte]): String = {
+    def at(i: Int) = if (i < b.length) b(i) & 0xff else -1
+    def ascii(off: Int, s: String) =
+      s.indices.forall(i => at(off + i) == s.charAt(i).toInt)
+    if (at(0) == 0x89 && ascii(1, "PNG")) "image"
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) "image"
+    else if (ascii(0, "GIF8")) "image"
+    else if (ascii(0, "BM")) "image"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio"
+    else if (ascii(0, "FORM") && ascii(8, "AIFF")) "audio"
+    else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "video"
+    else "unknown"
+  }
+
+  /** Unified per-payload decode result: modality-specific fields hold −1 /
+    * 0 where they don't apply (`sample_rate` for images, `width` for
+    * audio); `metric` is the modality's one-number content signal (mean
+    * RGB, RMS amplitude, mean luma). */
+  case class RoutedStats(
+      doc_id: Long,
+      kind: String,
+      ok: Boolean,
+      width: Int,
+      height: Int,
+      sample_rate: Int,
+      channels: Int,
+      frames: Long,
+      metric: Double)
+
+  /** Route-and-decode a MIXED media batch in ONE pass: detect the modality
+    * from magic bytes (no decode), then run that modality's real decoder
+    * on the same already-read payload — so ingesting a mixed 100 TB media
+    * lake reads every byte exactly once, instead of one glob-filtered scan
+    * per modality. Unknown payloads come back `kind = "unknown", ok =
+    * false` (bad input is data, not an exception). */
+  def routeBatch(media: DataFrame): Dataset[RoutedStats] = {
+    import media.sparkSession.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          magicKind(bytes) match {
+            case "image" =>
+              val s = decodeImageOne(id, bytes)
+              RoutedStats(id, "image", s.ok, s.width, s.height, -1,
+                s.channels, 1L, (s.mean_r + s.mean_g + s.mean_b) / 3.0)
+            case "audio" =>
+              val a = decodeAudioOne(id, bytes)
+              RoutedStats(id, "audio", a.ok, -1, -1, a.sample_rate,
+                a.channels, a.n_frames, a.rms)
+            case "video" =>
+              val v = decodeVideoOne(id, bytes, stride = 1)
+              RoutedStats(id, "video", v.ok, v.width, v.height, -1, -1,
+                v.n_frames, v.mean_luma)
+            case k =>
+              RoutedStats(id, k, ok = false, -1, -1, -1, -1, 0L, 0.0)
+          }
+        }
+      }
+  }
+
+  /** [[routeBatch]] over a directory: one `binaryFile` scan of a mixed
+    * media dir → per-modality decoded stats joined back to paths, plus a
+    * quarantine list (unknown magic OR failed decode) with path, claimed
+    * kind, and size — the mixed-lake mirror of [[dirWithQuarantine]]. */
+  def routeDirWithQuarantine(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String = "*"): (DataFrame, DataFrame) = {
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+    val media = files.select(
+      TextOps.h60(col("path")).as("doc_id"),
+      col("content").as("payload"))
+    val names = files.select(
+      TextOps.h60(col("path")).as("doc_id"),
+      col("path"), col("length").as("n_bytes"))
+    val stats = routeBatch(media).toDF().localCheckpoint(false)
+    val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
+    val quarantined = stats.filter(!col("ok"))
+      .select("doc_id", "kind")
+      .join(names, "doc_id").select("path", "kind", "n_bytes")
+    (good, quarantined)
+  }
 }

@@ -4173,6 +4173,60 @@ object ExtQueries {
       |  top_cnt * 1000000 // n_rows AS topk_ppm
       |FROM tot, top""".stripMargin
 
+  // ---------------------------------------------------------------- Q128
+  /** Snapshot reconciliation: keyed diff of two table versions into
+    * added / removed / changed / same counts plus the exact money delta of
+    * the changed rows — the audit that validates a manifest publish or an
+    * upsert batch did what it claimed. One full-outer equi-join on the
+    * key; the v2 fixture is derived in-query (deletes every 97th key,
+    * bumps every 13th survivor's price by 1.00, re-inserts every 101st key
+    * shifted past the id space). Money compares in exact cents. */
+  def q128SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val v2 = v1.filter(pmod(col("k"), lit(97)) =!= 0)
+      .withColumn("p", when(pmod(col("k"), lit(13)) === 0, col("p") + lit(1.0))
+        .otherwise(col("p")))
+      .unionAll(v1.filter(pmod(col("k"), lit(101)) === 0)
+        .select((col("k") + 100000000L).as("k"), col("p")))
+    val j = v1.select(col("k"), col("p").as("p1"))
+      .join(v2.select(col("k"), col("p").as("p2")), Seq("k"), "full_outer")
+    j.select(
+      when(col("p1").isNull, lit("added"))
+        .when(col("p2").isNull, lit("removed"))
+        .when(round(col("p1") * 100) =!= round(col("p2") * 100),
+          lit("changed"))
+        .otherwise(lit("same")).as("status"),
+      coalesce(round(col("p2") * 100).cast("long"), lit(0L))
+        .minus(coalesce(round(col("p1") * 100).cast("long"), lit(0L)))
+        .as("dc"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("dc")).as("delta_cents"))
+      .orderBy("status")
+  }
+
+  val q128Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+      |v2 AS (
+      |  SELECT k, CASE WHEN k % 13 = 0 THEN p + 1.0 ELSE p END AS p
+      |  FROM v1 WHERE k % 97 <> 0
+      |  UNION ALL
+      |  SELECT k + 100000000, p FROM v1 WHERE k % 101 = 0),
+      |j AS (
+      |  SELECT COALESCE(a.k, b.k) AS k, a.p AS p1, b.p AS p2
+      |  FROM v1 a FULL JOIN v2 b ON a.k = b.k)
+      |SELECT
+      |  CASE WHEN p1 IS NULL THEN 'added'
+      |       WHEN p2 IS NULL THEN 'removed'
+      |       WHEN round(p1 * 100) <> round(p2 * 100) THEN 'changed'
+      |       ELSE 'same' END AS status,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(COALESCE(CAST(round(p2 * 100) AS BIGINT), 0)
+      |    - COALESCE(CAST(round(p1 * 100) AS BIGINT), 0)) AS BIGINT)
+      |    AS delta_cents
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4289,7 +4343,8 @@ object ExtQueries {
     "q124_corr_matrix" -> (q124CorrMatrix _),
     "q125_nfc_normalize" -> (q125NfcNormalize _),
     "q126_normalized_dedup" -> (q126NormalizedDedup _),
-    "q127_skew_report" -> (q127SkewReport _))
+    "q127_skew_report" -> (q127SkewReport _),
+    "q128_snapshot_diff" -> (q128SnapshotDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4408,5 +4463,6 @@ object ExtQueries {
     "q124_corr_matrix" -> q124Sql,
     "q125_nfc_normalize" -> q125Sql,
     "q126_normalized_dedup" -> q126Sql,
-    "q127_skew_report" -> q127Sql)
+    "q127_skew_report" -> q127Sql,
+    "q128_snapshot_diff" -> q128Sql)
 }
