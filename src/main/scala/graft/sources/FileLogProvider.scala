@@ -67,11 +67,12 @@ class FileLogTable(path: String, maxRecordsPerTrigger: Option[Long])
   override def schema(): StructType = FileLogTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new FileLogWrite(path, info.schema())
+      override def build(): Write =
+        new FileLogWrite(path, info.schema(), info.queryId())
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -6,6 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{
   BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, Write,
   WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{
+  StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
 
 /** The producer half of the graft-log connector as a real DataSource V2
@@ -30,9 +32,12 @@ import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
   * Spark file sink makes). Input schema: `value binary` required,
   * `key binary` and `timestamp` optional.
   */
-class FileLogWrite(path: String, schema: StructType) extends Write {
+class FileLogWrite(path: String, schema: StructType, queryId: String)
+    extends Write {
   FileLogWrite.validate(schema)
   override def toBatch: BatchWrite = new FileLogBatchWrite(path, schema)
+  override def toStreaming: StreamingWrite =
+    new FileLogStreamingWrite(path, schema, queryId)
 }
 
 object FileLogWrite {
@@ -125,4 +130,66 @@ class FileLogDataWriter(dir: String, schema: StructType, partitionId: Int)
   }
 
   override def close(): Unit = ()
+}
+
+/** Streaming producer half: `df.writeStream.format("graft-log")` with the
+  * epoch-aware two-phase commit Structured Streaming expects. Tasks stream
+  * rows into hidden temp files exactly like the batch path; the driver's
+  * per-epoch `commit` adopts them in partition order.
+  *
+  * Exactly-once over restart: Spark re-executes an epoch when the query
+  * dies between sink commit and checkpoint advance, and `commit(epochId)`
+  * is then called AGAIN for the same epoch. A per-query high-water marker
+  * (`.epoch-<queryId>`, written via temp + atomic rename, the
+  * [[graft.ops.TableManifest]] discipline) makes the re-commit a no-op —
+  * replayed temp files are deleted, nothing double-appends — so the log
+  * sees each micro-batch exactly once even though delivery to `commit` is
+  * at-least-once. */
+class FileLogStreamingWrite(dir: String, schema: StructType, queryId: String)
+    extends StreamingWrite {
+
+  private def marker = new File(dir, s".epoch-$queryId")
+
+  private def lastCommitted: Long =
+    if (!marker.isFile) Long.MinValue
+    else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+      .trim.toLong
+
+  private def advance(epochId: Long): Unit = {
+    val tmp = File.createTempFile(".epoch-tmp-", "", new File(dir))
+    java.nio.file.Files.write(tmp.toPath, epochId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, marker.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new FileLogStreamingWriterFactory(dir, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: FileLogTaskCommit => m }
+    if (epochId <= lastCommitted) {
+      msgs.foreach(m => new File(m.tmpPath).delete()) // replayed epoch
+    } else {
+      msgs.sortBy(_.partitionId).foreach { m =>
+        if (m.records > 0) FileLog.adopt(dir, new File(m.tmpPath), m.records)
+        else new File(m.tmpPath).delete()
+      }
+      advance(epochId)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: FileLogTaskCommit => m }
+      .foreach(m => new File(m.tmpPath).delete())
+}
+
+/** Top-level (serializable) streaming factory — an inner anonymous class
+  * would capture the non-serializable driver-side StreamingWrite. */
+class FileLogStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new FileLogDataWriter(path, schema, partitionId)
 }
