@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The last mile of the curation pipeline: write the curated corpus as N
+  * deterministic, size-balanced training shards under a reader-atomic
+  * manifest — the artifact a training job actually consumes.
+  *
+  * Shard assignment is the stateless h60 hash of the id column (mod N):
+  * deterministic under any partitioning, no global sort, no rank window —
+  * the same gate discipline every sampling operator here uses. Balance is
+  * statistical (±√ expected-per-shard), which is what hash-sharded
+  * training corpora accept in exchange for embarrassingly-parallel
+  * assignment; a re-export of the same input writes byte-identical shard
+  * MEMBERSHIP (file bytes depend on partition layout, membership does
+  * not).
+  *
+  * Scale shape: one `repartition(n, shard)` shuffle — the unavoidable
+  * bytes-to-their-shard move — then flat parquet files with `shard` as a
+  * data column (the manifest pins top-level files; membership, not file
+  * layout, is the contract). The manifest commit ([[TableManifest.init]])
+  * makes the export visible atomically: a reader either sees the whole
+  * shard set or nothing, never a partial directory listing.
+  */
+object Export {
+
+  /** Write `df` hash-sharded into `n` groups under `outDir` and pin the
+    * files with a manifest. Returns the per-shard report `(shard, n_rows)`
+    * — assert balance on it, feed it to the data card. */
+  def shards(
+      df: DataFrame,
+      idCol: String,
+      outDir: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"shard count must be >= 1: $n")
+    val spark = df.sparkSession
+    df.withColumn("shard",
+        pmod(graft.functions.H60.of(col(idCol).cast("string")), lit(n.toLong)))
+      .repartition(n, col("shard"))
+      .write.mode("overwrite").parquet(outDir)
+    TableManifest.init(spark, outDir)
+    read(spark, outDir)
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
+  /** Read an exported corpus through its manifest (reader-atomic view). */
+  def read(spark: SparkSession, outDir: String): DataFrame =
+    TableManifest.readTable(spark, outDir)
+}

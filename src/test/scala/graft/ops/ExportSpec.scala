@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-shard export ([[Export.shards]]): deterministic membership,
+  * statistical balance, manifest-pinned atomic visibility. */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash-sharded export: balanced, deterministic, manifest-read round-trips") {
+    val out = java.nio.file.Files.createTempDirectory("export").toString + "/t"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val report = Export.shards(docs, "doc_id", out, n = 8)
+      .as[(Long, Long)].collect().toMap
+
+    assert(report.keySet === (0L until 8L).toSet)
+    assert(report.values.sum === docs.count())
+    // statistical balance: every shard within 3·sqrt(expected) of expected
+    val exp = docs.count() / 8.0
+    report.values.foreach(v =>
+      assert(math.abs(v - exp) <= 3 * math.sqrt(exp) + 1,
+        s"shard size $v too far from expected $exp"))
+
+    // membership is a pure function of the id — recompute and compare
+    val back = Export.read(spark, out)
+    assert(back.count() === docs.count())
+    val wrong = back.filter(
+      pmod(graft.functions.H60.of(col("doc_id").cast("string")), lit(8L))
+        =!= col("shard")).count()
+    assert(wrong === 0L, "shard column must equal the id-hash assignment")
+
+    // the manifest pins the files: a stray non-manifest parquet file in
+    // the dir is invisible through Export.read
+    docs.limit(5).withColumn("shard", lit(99L))
+      .coalesce(1).write.mode("append").parquet(out + "_stray")
+    val stray = new java.io.File(out + "_stray").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(stray.toPath,
+      new java.io.File(out, "zz-stray.parquet").toPath)
+    assert(Export.read(spark, out).count() === docs.count(),
+      "manifest read must ignore files outside the pinned set")
+  }
+}
