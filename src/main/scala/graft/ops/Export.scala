@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: one `repartition(n, shard)` shuffle — the unavoidable
   * bytes-to-their-shard move — then flat parquet files with `shard` as a
   * data column (the manifest pins top-level files; membership, not file
-  * layout, is the contract). The manifest commit ([[TableManifest.init]])
-  * makes the export visible atomically: a reader either sees the whole
-  * shard set or nothing, never a partial directory listing.
+  * layout, is the contract). Visibility goes through
+  * [[TableManifest.publish]]: the new shard set is written to a hidden
+  * temp dir, moved in under unique snapshot names, and committed as one
+  * manifest version — so a reader (or a concurrent training job holding
+  * the previous version) sees whole snapshots only, and a RE-export never
+  * deletes the files a current reader is scanning (run
+  * [[TableManifest.vacuum]] after a grace period). A plain
+  * overwrite-then-init would delete the live manifest at job start and
+  * expose partially written shards through the untracked-dir fallback.
   */
 object Export {
 
@@ -35,11 +41,11 @@ object Export {
       n: Int): DataFrame = {
     require(n >= 1, s"shard count must be >= 1: $n")
     val spark = df.sparkSession
-    df.withColumn("shard",
-        pmod(graft.functions.H60.of(col(idCol).cast("string")), lit(n.toLong)))
-      .repartition(n, col("shard"))
-      .write.mode("overwrite").parquet(outDir)
-    TableManifest.init(spark, outDir)
+    TableManifest.publish(
+      df.withColumn("shard",
+          pmod(graft.functions.H60.of(col(idCol).cast("string")), lit(n.toLong)))
+        .repartition(n, col("shard")),
+      outDir)
     read(spark, outDir)
       .groupBy("shard").agg(count(lit(1)).as("n_rows"))
       .orderBy("shard")

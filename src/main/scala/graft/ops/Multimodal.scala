@@ -494,13 +494,15 @@ object Multimodal {
     * decoders run unchanged and the path rejoin is a slim equi-join (the
     * `binaryFile` scan on the name side prunes `content` away); the
     * decoded stats are lazily materialized once for their two consumers. */
-  def dirWithQuarantine(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String,
-      glob: String,
-      decode: DataFrame => DataFrame): (DataFrame, DataFrame) = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
+  /** Shared split core for every binaryFile-shaped ingestion path: key by
+    * path hash, decode, join paths back onto the good half, quarantine
+    * failures with `quarExtra` stat columns (e.g. the detected kind) plus
+    * path and size. One definition — the per-modality dir helpers, the
+    * mixed-lake router, and the streaming ingest all call this. */
+  private[graft] def splitFiles(
+      files: DataFrame,
+      decode: DataFrame => DataFrame,
+      quarExtra: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     val media = files.select(
       TextOps.h60(col("path")).as("doc_id"),
       col("content").as("payload"))
@@ -509,10 +511,25 @@ object Multimodal {
       col("path"), col("length").as("n_bytes"))
     val stats = decode(media).localCheckpoint(false)
     val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
-    val quarantined = stats.filter(!col("ok")).select("doc_id")
-      .join(names, "doc_id").select("path", "n_bytes")
+    val quarantined = stats.filter(!col("ok"))
+      .select("doc_id", quarExtra: _*)
+      .join(names, "doc_id")
+      .select("path", quarExtra :+ "n_bytes": _*)
     (good, quarantined)
   }
+
+  private def loadBinary(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
+
+  def dirWithQuarantine(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      glob: String,
+      decode: DataFrame => DataFrame): (DataFrame, DataFrame) =
+    splitFiles(loadBinary(spark, dir, glob), decode)
 
   /** [[dirWithQuarantine]] specialized to images. */
   def imageDirWithQuarantine(
@@ -524,8 +541,9 @@ object Multimodal {
   // ------------------------------------------------------------- routing
 
   /** Magic-byte modality detection — plain JVM byte peeks, no decode:
-    * PNG/JPEG/GIF/BMP → image, RIFF-WAVE / FORM-AIFF → audio,
-    * RIFF-AVI → video, anything else → unknown. */
+    * PNG/JPEG/GIF/BMP → image, RIFF-WAVE / FORM-AIFF / FORM-AIFC /
+    * AU (".snd") → audio (everything [[decodeAudioOne]]'s `AudioSystem`
+    * path accepts), RIFF-AVI → video, anything else → unknown. */
   def magicKind(b: Array[Byte]): String = {
     def at(i: Int) = if (i < b.length) b(i) & 0xff else -1
     def ascii(off: Int, s: String) =
@@ -535,7 +553,8 @@ object Multimodal {
     else if (ascii(0, "GIF8")) "image"
     else if (ascii(0, "BM")) "image"
     else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio"
-    else if (ascii(0, "FORM") && ascii(8, "AIFF")) "audio"
+    else if (ascii(0, "FORM") && (ascii(8, "AIFF") || ascii(8, "AIFC"))) "audio"
+    else if (ascii(0, ".snd")) "audio"
     else if (ascii(0, "RIFF") && ascii(8, "AVI ")) "video"
     else "unknown"
   }
@@ -561,7 +580,8 @@ object Multimodal {
     * lake reads every byte exactly once, instead of one glob-filtered scan
     * per modality. Unknown payloads come back `kind = "unknown", ok =
     * false` (bad input is data, not an exception). */
-  def routeBatch(media: DataFrame): Dataset[RoutedStats] = {
+  def routeBatch(media: DataFrame, frameStride: Int = 1): Dataset[RoutedStats] = {
+    require(frameStride >= 1, "frameStride must be >= 1")
     import media.sparkSession.implicits._
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
@@ -570,17 +590,18 @@ object Multimodal {
             case "image" =>
               val s = decodeImageOne(id, bytes)
               RoutedStats(id, "image", s.ok, s.width, s.height, -1,
-                s.channels, 1L, (s.mean_r + s.mean_g + s.mean_b) / 3.0)
+                s.channels, if (s.ok) 1L else -1L,
+                (s.mean_r + s.mean_g + s.mean_b) / 3.0)
             case "audio" =>
               val a = decodeAudioOne(id, bytes)
               RoutedStats(id, "audio", a.ok, -1, -1, a.sample_rate,
                 a.channels, a.n_frames, a.rms)
             case "video" =>
-              val v = decodeVideoOne(id, bytes, stride = 1)
+              val v = decodeVideoOne(id, bytes, stride = frameStride)
               RoutedStats(id, "video", v.ok, v.width, v.height, -1, -1,
                 v.n_frames, v.mean_luma)
             case k =>
-              RoutedStats(id, k, ok = false, -1, -1, -1, -1, 0L, 0.0)
+              RoutedStats(id, k, ok = false, -1, -1, -1, -1, -1L, 0.0)
           }
         }
       }
@@ -593,20 +614,8 @@ object Multimodal {
   def routeDirWithQuarantine(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,
-      glob: String = "*"): (DataFrame, DataFrame) = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", glob).load(dir)
-    val media = files.select(
-      TextOps.h60(col("path")).as("doc_id"),
-      col("content").as("payload"))
-    val names = files.select(
-      TextOps.h60(col("path")).as("doc_id"),
-      col("path"), col("length").as("n_bytes"))
-    val stats = routeBatch(media).toDF().localCheckpoint(false)
-    val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
-    val quarantined = stats.filter(!col("ok"))
-      .select("doc_id", "kind")
-      .join(names, "doc_id").select("path", "kind", "n_bytes")
-    (good, quarantined)
-  }
+      glob: String = "*",
+      frameStride: Int = 1): (DataFrame, DataFrame) =
+    splitFiles(loadBinary(spark, dir, glob),
+      m => routeBatch(m, frameStride).toDF(), quarExtra = Seq("kind"))
 }

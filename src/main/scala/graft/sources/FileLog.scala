@@ -26,7 +26,9 @@ object FileLog {
 
   final case class Record(key: Array[Byte], value: Array[Byte], tsMicros: Long)
 
-  private val SegmentName = """(\d{20})-(\d+)\.seg""".r
+  // optional trailing tag (streaming epoch commits stamp `-q<qid>-e<epoch>`)
+  // — readers parse seq/records and ignore it
+  private val SegmentName = """(\d{20})-(\d+)(-[A-Za-z0-9\-]+)?\.seg""".r
 
   final case class Segment(file: File, seq: Long, records: Long)
 
@@ -39,7 +41,7 @@ object FileLog {
     else
       Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap { f =>
         f.getName match {
-          case SegmentName(seq, n) => Some(Segment(f, seq.toLong, n.toLong))
+          case SegmentName(seq, n, _) => Some(Segment(f, seq.toLong, n.toLong))
           case _ => None
         }
       }.sortBy(_.seq)
@@ -84,12 +86,20 @@ object FileLog {
     * sequence number, atomic rename. The caller (the driver-side
     * `BatchWrite.commit`) must serialize calls — same single-writer
     * contract as [[append]]. */
-  def adopt(dir: String, tmp: File, records: Long): File = {
+  def adopt(dir: String, tmp: File, records: Long): File =
+    adoptTagged(dir, tmp, records, tag = "")
+
+  /** [[adopt]] with a name tag: the atomic rename then IS the durable
+    * record that this logical write committed — streaming epoch commits
+    * stamp `-q<queryId>-e<epochId>` and detect replays by scanning for the
+    * tag, with no separate marker write to crash between. */
+  def adoptTagged(dir: String, tmp: File, records: Long, tag: String): File = {
     require(records > 0, "empty segments are never committed")
     val d = new File(dir)
     if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
     val seq = segments(dir).lastOption.map(_.seq + 1).getOrElse(0L)
-    val target = new File(d, f"$seq%020d-$records%d.seg")
+    val suffix = if (tag.isEmpty) "" else s"-$tag"
+    val target = new File(d, f"$seq%020d-$records%d$suffix.seg")
     Files.move(tmp.toPath, target.toPath, StandardCopyOption.ATOMIC_MOVE)
     target
   }

@@ -135,33 +135,25 @@ class FileLogDataWriter(dir: String, schema: StructType, partitionId: Int)
 /** Streaming producer half: `df.writeStream.format("graft-log")` with the
   * epoch-aware two-phase commit Structured Streaming expects. Tasks stream
   * rows into hidden temp files exactly like the batch path; the driver's
-  * per-epoch `commit` adopts them in partition order.
+  * per-epoch `commit` concatenates them (wire-format segments concatenate
+  * byte-wise) into ONE staged file and adopts it with a single atomic
+  * rename whose target name carries `-q<queryId>-e<epochId>`.
   *
   * Exactly-once over restart: Spark re-executes an epoch when the query
   * dies between sink commit and checkpoint advance, and `commit(epochId)`
-  * is then called AGAIN for the same epoch. A per-query high-water marker
-  * (`.epoch-<queryId>`, written via temp + atomic rename, the
-  * [[graft.ops.TableManifest]] discipline) makes the re-commit a no-op —
-  * replayed temp files are deleted, nothing double-appends — so the log
-  * sees each micro-batch exactly once even though delivery to `commit` is
-  * at-least-once. */
+  * is then called AGAIN for the same epoch. The tagged segment name makes
+  * the RENAME itself the durable commit record — a replayed commit scans
+  * for its tag, finds the segment, and deletes its temps instead of
+  * re-appending. There is no separate marker write to crash between:
+  * either the rename happened (replay skips) or it didn't (replay
+  * re-stages and renames). Readers parse seq/records and ignore the tag. */
 class FileLogStreamingWrite(dir: String, schema: StructType, queryId: String)
     extends StreamingWrite {
 
-  private def marker = new File(dir, s".epoch-$queryId")
+  private def tag(epochId: Long) = s"q$queryId-e$epochId"
 
-  private def lastCommitted: Long =
-    if (!marker.isFile) Long.MinValue
-    else new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
-      .trim.toLong
-
-  private def advance(epochId: Long): Unit = {
-    val tmp = File.createTempFile(".epoch-tmp-", "", new File(dir))
-    java.nio.file.Files.write(tmp.toPath, epochId.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, marker.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def alreadyCommitted(epochId: Long): Boolean =
+    FileLog.segments(dir).exists(_.file.getName.contains(s"-${tag(epochId)}."))
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -169,15 +161,22 @@ class FileLogStreamingWrite(dir: String, schema: StructType, queryId: String)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: FileLogTaskCommit => m }
-    if (epochId <= lastCommitted) {
+    if (alreadyCommitted(epochId)) {
       msgs.foreach(m => new File(m.tmpPath).delete()) // replayed epoch
-    } else {
-      msgs.sortBy(_.partitionId).foreach { m =>
-        if (m.records > 0) FileLog.adopt(dir, new File(m.tmpPath), m.records)
-        else new File(m.tmpPath).delete()
-      }
-      advance(epochId)
+      return
     }
+    val total = msgs.map(_.records).sum
+    if (total == 0) { msgs.foreach(m => new File(m.tmpPath).delete()); return }
+    val d = new File(dir)
+    if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
+    val staged = File.createTempFile(".stage-", "", d)
+    val out = new BufferedOutputStream(new FileOutputStream(staged), 1 << 16)
+    try msgs.sortBy(_.partitionId).foreach { m =>
+      val f = new File(m.tmpPath)
+      if (m.records > 0) java.nio.file.Files.copy(f.toPath, out)
+      f.delete()
+    } finally out.close()
+    FileLog.adoptTagged(dir, staged, total, tag(epochId))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

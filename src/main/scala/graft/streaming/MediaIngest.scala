@@ -10,14 +10,19 @@ import org.apache.spark.sql.types._
   * [[Multimodal.routeBatch]] — a `binaryFile` file-stream source tails a
   * landing directory, each micro-batch routes every new payload to its
   * modality's real decoder in one pass, and decoded stats / quarantined
-  * paths append to parquet. The file source's checkpoint tracks processed
-  * files, so every landed file is decoded exactly once across restarts —
-  * the media mirror of the text quarantine-ingestion stream.
+  * paths append to MANIFESTED parquet tables via
+  * [[ManifestAppendSink.applyBatch]]: the per-table batch high-water makes
+  * a checkpoint-replayed micro-batch a no-op, so outputs hold each landed
+  * file exactly once even when the query dies between the sink append and
+  * the checkpoint commit (a plain `mode("append")` would double-append on
+  * that replay). A crash between the stats append and the quarantine
+  * append converges too — on replay the stats table skips (its high-water
+  * already covers the batch) and the quarantine table catches up.
   *
   * At scale this is the "media lake in, typed stats out" standing
   * pipeline: listing cost is per NEW file, decode cost is one pass over
   * new bytes, and bad payloads quarantine as rows instead of killing the
-  * query. */
+  * query. Read the outputs through [[graft.ops.TableManifest.readTable]]. */
 object MediaIngest {
 
   /** binaryFile's fixed schema — streaming file sources require one. */
@@ -45,20 +50,11 @@ object MediaIngest {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val media = batch.select(
-          graft.ops.TextOps.h60(col("path")).as("doc_id"),
-          col("content").as("payload"))
-        val names = batch.select(
-          graft.ops.TextOps.h60(col("path")).as("doc_id"),
-          col("path"), col("length").as("n_bytes"))
-        val stats = Multimodal.routeBatch(media).toDF()
-          .localCheckpoint(false)
-        stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
-          .write.mode("append").parquet(statsOut)
-        stats.filter(!col("ok")).select("doc_id", "kind")
-          .join(names, "doc_id").select("path", "kind", "n_bytes")
-          .write.mode("append").parquet(quarantineOut)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val (good, quarantined) = Multimodal.splitFiles(
+          batch, m => Multimodal.routeBatch(m).toDF(), quarExtra = Seq("kind"))
+        ManifestAppendSink.applyBatch(good, batchId, statsOut)
+        ManifestAppendSink.applyBatch(quarantined, batchId, quarantineOut)
         ()
       }
       .start()

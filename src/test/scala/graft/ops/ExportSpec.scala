@@ -41,5 +41,18 @@ class ExportSpec extends SparkSpec {
       new java.io.File(out, "zz-stray.parquet").toPath)
     assert(Export.read(spark, out).count() === docs.count(),
       "manifest read must ignore files outside the pinned set")
+
+    // re-export publishes a NEW snapshot atomically: the manifest head
+    // flips to the smaller corpus, and the previous snapshot's files stay
+    // on disk for in-flight readers until a vacuum
+    val filesBefore = new java.io.File(out).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    Export.shards(half, "doc_id", out, n = 4)
+    assert(Export.read(spark, out).count() === half.count())
+    val filesAfter = new java.io.File(out).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(filesAfter > filesBefore,
+      "old snapshot files must survive a re-export until vacuum")
   }
 }
