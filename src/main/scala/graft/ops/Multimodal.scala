@@ -478,27 +478,16 @@ object Multimodal {
       }
   }
 
-  /** Quarantine split for a `binaryFile` media directory — the media twin
-    * of [[graft.sources.Ingest.jsonSplit]]: a path glob only filters by
-    * NAME, so a 100 TB media crawl still ships truncated downloads and
-    * mislabeled payloads. Every file decodes exactly once (the decoders
-    * already return `ok = false` rows instead of throwing); good rows keep
-    * their full decoded stats with the originating path, rejects land in a
-    * `(path, n_bytes)` quarantine half for audit/replay — evidence
-    * preserved, no task failures, same philosophy as the text ingestion
-    * path.
-    *
-    * `decode` is any of the batch decoders (image/audio/video) lifted to
-    * DataFrame: it receives `(doc_id, payload)` and must return rows with
-    * `doc_id` and `ok`. Files are keyed by `h60(path)` so the typed
-    * decoders run unchanged and the path rejoin is a slim equi-join (the
-    * `binaryFile` scan on the name side prunes `content` away); the
-    * decoded stats are lazily materialized once for their two consumers. */
   /** Shared split core for every binaryFile-shaped ingestion path: key by
     * path hash, decode, join paths back onto the good half, quarantine
     * failures with `quarExtra` stat columns (e.g. the detected kind) plus
     * path and size. One definition — the per-modality dir helpers, the
-    * mixed-lake router, and the streaming ingest all call this. */
+    * mixed-lake router, and the streaming ingest all call this.
+    *
+    * Files are keyed by `h60(path)` so the typed decoders run unchanged
+    * and the path rejoin is a slim equi-join (the `binaryFile` scan on the
+    * name side prunes `content` away); the decoded stats are lazily
+    * materialized once for their two consumers. */
   private[graft] def splitFiles(
       files: DataFrame,
       decode: DataFrame => DataFrame,
@@ -524,6 +513,15 @@ object Multimodal {
       glob: String): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
+  /** Quarantine split for a `binaryFile` media directory — the media twin
+    * of [[graft.sources.Ingest.jsonSplit]]: a path glob only filters by
+    * NAME, so a 100 TB media crawl still ships truncated downloads and
+    * mislabeled payloads. Good rows keep their full decoded stats with the
+    * originating path; rejects land in a `(path, n_bytes)` quarantine half
+    * for audit/replay — evidence preserved, no task failures. `decode` is
+    * any batch decoder (image/audio/video) lifted to DataFrame: it
+    * receives `(doc_id, payload)` and must return rows with `doc_id` and
+    * `ok`. */
   def dirWithQuarantine(
       spark: org.apache.spark.sql.SparkSession,
       dir: String,

@@ -95,6 +95,10 @@ object FileLog {
     * tag, with no separate marker write to crash between. */
   def adoptTagged(dir: String, tmp: File, records: Long, tag: String): File = {
     require(records > 0, "empty segments are never committed")
+    // an out-of-charset tag would rename successfully but fail SegmentName,
+    // silently hiding the segment from every reader — fail fast instead
+    require(tag.isEmpty || tag.matches("[A-Za-z0-9-]+"),
+      s"segment tag must match [A-Za-z0-9-]+: '$tag'")
     val d = new File(dir)
     if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
     val seq = segments(dir).lastOption.map(_.seq + 1).getOrElse(0L)

@@ -152,8 +152,22 @@ class FileLogStreamingWrite(dir: String, schema: StructType, queryId: String)
 
   private def tag(epochId: Long) = s"q$queryId-e$epochId"
 
-  private def alreadyCommitted(epochId: Long): Boolean =
-    FileLog.segments(dir).exists(_.file.getName.contains(s"-${tag(epochId)}."))
+  /** Committed iff a segment carries this epoch's tag — or, for a log
+    * written by the earlier marker-based build of this sink, iff the
+    * legacy `.epoch-<queryId>` high-water file covers the epoch (without
+    * this, a checkpoint replay spanning the protocol change would
+    * double-append the epoch it already adopted untagged). */
+  private def alreadyCommitted(epochId: Long): Boolean = {
+    if (FileLog.segments(dir)
+        .exists(_.file.getName.contains(s"-${tag(epochId)}."))) return true
+    val legacy = new File(dir, s".epoch-$queryId")
+    legacy.isFile && {
+      val covered = scala.util.Try(new String(
+        java.nio.file.Files.readAllBytes(legacy.toPath), "UTF-8").trim.toLong)
+        .toOption.exists(_ >= epochId)
+      covered
+    }
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -169,14 +183,22 @@ class FileLogStreamingWrite(dir: String, schema: StructType, queryId: String)
     if (total == 0) { msgs.foreach(m => new File(m.tmpPath).delete()); return }
     val d = new File(dir)
     if (!d.isDirectory) require(d.mkdirs() || d.isDirectory, s"cannot create $dir")
+    // sweep staged leftovers from a crashed earlier commit (single-writer
+    // contract: nothing else stages here) — they hold whole-epoch bytes
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(".stage-")).foreach(_.delete())
     val staged = File.createTempFile(".stage-", "", d)
-    val out = new BufferedOutputStream(new FileOutputStream(staged), 1 << 16)
-    try msgs.sortBy(_.partitionId).foreach { m =>
-      val f = new File(m.tmpPath)
-      if (m.records > 0) java.nio.file.Files.copy(f.toPath, out)
-      f.delete()
-    } finally out.close()
-    FileLog.adoptTagged(dir, staged, total, tag(epochId))
+    var adopted = false
+    try {
+      val out = new BufferedOutputStream(new FileOutputStream(staged), 1 << 16)
+      try msgs.sortBy(_.partitionId).foreach { m =>
+        val f = new File(m.tmpPath)
+        if (m.records > 0) java.nio.file.Files.copy(f.toPath, out)
+        f.delete()
+      } finally out.close()
+      FileLog.adoptTagged(dir, staged, total, tag(epochId))
+      adopted = true
+    } finally if (!adopted) staged.delete()
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

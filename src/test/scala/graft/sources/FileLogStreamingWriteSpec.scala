@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 
 /** `writeStream.format("graft-log")` — the streaming producer half of the
   * DSv2 transport: per-epoch two-phase commit, exactly-once over epoch
-  * replay via the per-query high-water marker. */
+  * replay via the tagged-rename commit record (the adopted segment's name
+  * carries `-q<queryId>-e<epochId>`; a replayed commit finds its tag). */
 class FileLogStreamingWriteSpec extends SparkSpec {
   import spark.implicits._
 
@@ -72,6 +73,38 @@ class FileLogStreamingWriteSpec extends SparkSpec {
 
     // the next epoch still appends
     w.commit(1L, Array(tempWithRecords("z")))
+    assert(readBack(dir) === Seq("x", "y", "z"))
+
+    // no staged leftovers survive a successful commit sequence
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.startsWith(".stage-")))
+  }
+
+  test("a log written by the marker-based build does not double-append on upgrade replay") {
+    val dir = tmpDir("slog-legacy")
+    val schema = StructType(Seq(StructField("value", BinaryType)))
+
+    def temp(values: String*): FileLogTaskCommit = {
+      val writer = new FileLogDataWriter(dir, schema, partitionId = 0)
+      values.foreach(v => writer.write(
+        org.apache.spark.sql.catalyst.InternalRow(v.getBytes("UTF-8"))))
+      writer.commit().asInstanceOf[FileLogTaskCommit]
+    }
+
+    // old-build state: epoch 0 adopted as an UNTAGGED segment, high-water
+    // recorded in the legacy marker file, crash before checkpoint advance
+    val old = temp("x", "y")
+    FileLog.adopt(dir, new java.io.File(old.tmpPath), 2)
+    java.nio.file.Files.write(
+      new java.io.File(dir, ".epoch-q-legacy").toPath, "0".getBytes("UTF-8"))
+
+    // upgraded sink replays epoch 0: the legacy marker must cover it
+    val w = new FileLogStreamingWrite(dir, schema, "q-legacy")
+    w.commit(0L, Array(temp("x", "y")))
+    assert(readBack(dir) === Seq("x", "y"), "upgrade replay double-appended")
+
+    // epochs beyond the marker commit normally (tagged)
+    w.commit(1L, Array(temp("z")))
     assert(readBack(dir) === Seq("x", "y", "z"))
   }
 }
