@@ -4227,6 +4227,55 @@ object ExtQueries {
       |    AS delta_cents
       |FROM j GROUP BY 1 ORDER BY status""".stripMargin
 
+  // ---------------------------------------------------------------- Q129
+  /** Lag-k autocorrelation of the daily order series — the seasonality /
+    * drift diagnostic of a time-partitioned corpus, built from this
+    * round's exact-integer correlation machinery
+    * ([[graft.ops.Stats.corrMatrix]]): daily counts collapse the corpus,
+    * the lag pairs up via an equi-join on the day index (NOT an
+    * empty-partition window — no single-partition exchange anywhere), and
+    * each lag's Pearson r computes from one moment row with a single 6dp
+    * rounding. */
+  def q129Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+    def at(lag: Int): DataFrame = {
+      val prev = daily.select((col("d") + lag).as("d"), col("c").as("p"))
+      val pairs = daily.join(prev, "d")
+      graft.ops.Stats.corrMatrix(pairs,
+          Seq("cur" -> col("c"), "prev" -> col("p")))
+        .select(lit(lag).as("lag"), col("n").as("n_pairs"), col("corr"))
+    }
+    at(1).unionAll(at(7)).orderBy("lag")
+  }
+
+  val q129Sql: String = {
+    def block(lag: Int) =
+      s"""SELECT $lag AS lag, n AS n_pairs,
+         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |    AS corr
+         |FROM (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy
+         |  FROM (SELECT a.c AS x, b.c AS y
+         |        FROM daily a JOIN daily b ON a.d = b.d + $lag))""".stripMargin
+    s"""WITH daily AS MATERIALIZED (
+       |  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1)
+       |${block(1)}
+       |UNION ALL
+       |${block(7)}
+       |ORDER BY lag""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4344,7 +4393,8 @@ object ExtQueries {
     "q125_nfc_normalize" -> (q125NfcNormalize _),
     "q126_normalized_dedup" -> (q126NormalizedDedup _),
     "q127_skew_report" -> (q127SkewReport _),
-    "q128_snapshot_diff" -> (q128SnapshotDiff _))
+    "q128_snapshot_diff" -> (q128SnapshotDiff _),
+    "q129_autocorr" -> (q129Autocorr _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4464,5 +4514,6 @@ object ExtQueries {
     "q125_nfc_normalize" -> q125Sql,
     "q126_normalized_dedup" -> q126Sql,
     "q127_skew_report" -> q127Sql,
-    "q128_snapshot_diff" -> q128Sql)
+    "q128_snapshot_diff" -> q128Sql,
+    "q129_autocorr" -> q129Sql)
 }
