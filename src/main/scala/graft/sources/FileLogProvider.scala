@@ -48,7 +48,8 @@ class FileLogProvider extends TableProvider with DataSourceRegister {
     require(path != null && path.nonEmpty,
       "graft-log requires a path (`.load(dir)` or `.option(\"path\", dir)`)")
     new FileLogTable(path,
-      Option(opts.get("maxRecordsPerTrigger")).map(_.toLong))
+      Option(opts.get("maxRecordsPerTrigger")).map(_.toLong),
+      Option(opts.get("startingOffset")))
   }
 }
 
@@ -60,7 +61,10 @@ object FileLogTable {
     .add("timestamp", TimestampType, nullable = false)
 }
 
-class FileLogTable(path: String, maxRecordsPerTrigger: Option[Long])
+class FileLogTable(
+    path: String,
+    maxRecordsPerTrigger: Option[Long],
+    startingOffset: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-log:$path"
@@ -79,9 +83,9 @@ class FileLogTable(path: String, maxRecordsPerTrigger: Option[Long])
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = FileLogTable.Schema
-        override def toBatch: Batch = new FileLogBatch(path)
+        override def toBatch: Batch = new FileLogBatch(path, startingOffset)
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new FileLogMicroBatchStream(path, maxRecordsPerTrigger)
+          new FileLogMicroBatchStream(path, maxRecordsPerTrigger, startingOffset)
       }
     }
 }
@@ -92,9 +96,11 @@ class FileLogTable(path: String, maxRecordsPerTrigger: Option[Long])
 case class FileLogInputPartition(file: String, startOffset: Long, records: Long)
     extends InputPartition
 
-class FileLogBatch(path: String) extends Batch {
+class FileLogBatch(path: String, startingOffset: Option[String] = None)
+    extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
-    FileLogMicroBatchStream.partitionsFor(path, 0L, Long.MaxValue)
+    FileLogMicroBatchStream.partitionsFor(path,
+      FileLogMicroBatchStream.resolveStart(path, startingOffset), Long.MaxValue)
   override def createReaderFactory(): PartitionReaderFactory =
     new FileLogReaderFactory
 }
@@ -112,6 +118,30 @@ object FileLogMicroBatchStream {
     case _ => throw new IllegalArgumentException(s"bad graft-log offset: $json")
   }
 
+  /** Resolve a `startingOffset` option (the `startingOffsets` analogue of
+    * `format("kafka")`): "earliest" (default) → 0, "latest" → everything
+    * committed at resolution time (a streaming query then reads only what
+    * arrives after it starts), or a record offset that must sit on a
+    * segment boundary — batches are planned at whole-segment granularity,
+    * so an intra-segment start would silently skip the segment's tail;
+    * fail fast and list the valid boundaries instead. */
+  def resolveStart(path: String, startingOffset: Option[String]): Long =
+    startingOffset.map(_.trim.toLowerCase) match {
+      case None | Some("earliest") => 0L
+      case Some("latest") => FileLog.latestOffset(path)
+      case Some(n) =>
+        val want = try n.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingOffset must be 'earliest', 'latest', or a record offset: '$n'")
+        }
+        val boundaries = FileLog.segments(path)
+          .scanLeft(0L)(_ + _.records)
+        require(boundaries.contains(want),
+          s"startingOffset $want is not a segment boundary of $path " +
+            s"(valid: ${boundaries.mkString(", ")})")
+        want
+    }
+
   /** Segments whose record range intersects [from, until) — segment
     * boundaries always align with batch boundaries (offsets are only ever
     * taken at whole-segment granularity), so intersection is containment. */
@@ -127,10 +157,16 @@ object FileLogMicroBatchStream {
   }
 }
 
-class FileLogMicroBatchStream(path: String, maxRecordsPerTrigger: Option[Long])
+class FileLogMicroBatchStream(
+    path: String,
+    maxRecordsPerTrigger: Option[Long],
+    startingOffset: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = FileLogOffset(0L)
+  /** Only consulted on a fresh checkpoint — a restart resumes from the
+    * checkpointed offset and never re-resolves "latest". */
+  override def initialOffset(): Offset = FileLogOffset(
+    FileLogMicroBatchStream.resolveStart(path, startingOffset))
 
   override def deserializeOffset(json: String): Offset =
     FileLogMicroBatchStream.parseOffset(json)

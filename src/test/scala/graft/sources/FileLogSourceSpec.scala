@@ -198,4 +198,43 @@ class FileLogSourceSpec extends SparkSpec {
       assert(batchSizes.length >= 3, s"backlog not split: $batchSizes")
     } finally q.stop()
   }
+
+  test("startingOffset: earliest/latest/boundary for batch, latest for streams") {
+    import spark.implicits._
+    val dir = tmpDir("log-start")
+    FileLog.appendStrings(dir, Seq("a", "b"))   // offsets 0-1
+    FileLog.appendStrings(dir, Seq("c"))        // offset 2
+
+    def vals(opts: Map[String, String]): Seq[String] = {
+      var r = spark.read.format("graft-log")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir).select(col("value").cast("string")).as[String]
+        .collect().toSeq.sorted
+    }
+    assert(vals(Map.empty) === Seq("a", "b", "c"))
+    assert(vals(Map("startingOffset" -> "earliest")) === Seq("a", "b", "c"))
+    assert(vals(Map("startingOffset" -> "2")) === Seq("c"))
+    assert(vals(Map("startingOffset" -> "latest")) === Seq.empty)
+    // an intra-segment start would silently skip the segment tail — reject
+    val e = intercept[IllegalArgumentException](vals(Map("startingOffset" -> "1")))
+    assert(e.getMessage.contains("segment boundary"))
+
+    // a stream started at "latest" sees only post-start appends
+    val out = tmpDir("log-start-out")
+    val q = spark.readStream.format("graft-log")
+      .option("startingOffset", "latest").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("log-start-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 0L)
+      FileLog.appendStrings(dir, Seq("d", "e"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out)
+        .select(col("value").cast("string")).as[String].collect().toSet
+        === Set("d", "e"))
+    } finally q.stop()
+  }
 }
