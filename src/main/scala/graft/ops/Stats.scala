@@ -56,4 +56,47 @@ object Stats {
       .select(col("p.col_x"), col("p.col_y"), col("n"), col("p.corr"))
       .orderBy("col_x", "col_y")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift per group vs the whole corpus:
+    * `D = sup_x |F_g(x) − F(x)|` of an integer-valued column — the
+    * DISTRIBUTIONAL drift alarm (length profiles, score histograms) that
+    * complements the token-space KL of `TextStats.sourceDrift`. Entirely
+    * integer-exact: the sup is evaluated at every corpus jump point with
+    * cross-multiplied CDF counts (`|cum_g·n − cum·n_g|` — no division
+    * until the final ppm), so the statistic is bit-stable and
+    * oracle-matchable with zero float comparisons.
+    *
+    * Scale shape: one (group, value) count shuffle, then everything runs
+    * on the collapsed count table; the corpus CDF uses the bucketed
+    * [[Scale.prefixSum]] (no single-partition exchange), per-group CDFs
+    * are group-partitioned windows, and the value grid expands by
+    * |groups| — a driver-bounded literal list — via `explode`, never a
+    * cartesian join. Driver traffic: the group list and one scalar. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cv = gv.groupBy("v").agg(sum("c").as("cv"))
+    val cumc = Scale.prefixSum(cv, "v", "cv", "cumc").select("v", "cumc")
+    val ng = gv.groupBy("g").agg(sum("c").as("ng"))
+    val nAll = gv.agg(sum("c")).collect()(0).getLong(0)
+    val groups = ng.select("g").collect().map(_.getString(0)).toSeq.sorted
+    val grid = cumc.select(col("v"), col("cumc"),
+      explode(array(groups.map(lit(_)): _*)).as("g"))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(gv, Seq("g", "v"), "left")
+      .withColumn("cumg", sum(coalesce(col("c"), lit(0L))).over(w))
+      .join(broadcast(ng), "g")
+      .select(col("g"), col("ng"),
+        abs(col("cumg") * nAll - col("cumc") * col("ng")).as("dnum"))
+      .groupBy("g")
+      .agg(max(col("ng")).as("ng"), max(col("dnum")).as("dmax"))
+      .select(col("g").as("source"), col("ng").as("n_docs"),
+        expr(s"dmax * 1000000 DIV (ng * $nAll)").as("ks_ppm"))
+      .orderBy("source")
+  }
 }

@@ -4276,6 +4276,42 @@ object ExtQueries {
        |ORDER BY lag""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q130
+  /** Per-source Kolmogorov–Smirnov drift ([[graft.ops.Stats.ksDrift]]) of
+    * the document LENGTH distribution vs the corpus — the distributional
+    * twin of q123's token-space KL: a source whose extractor broke ships
+    * different length profiles before its vocabulary shifts. Integer-exact
+    * cross-multiplied CDF counts; sup over all corpus jump points. */
+  def q130KsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.ksDrift(
+      t(s, dir, "documents").select("source", "n_chars"),
+      "source", "n_chars")
+
+  val q130Sql: String =
+    """WITH gv AS MATERIALIZED (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY source, n_chars),
+      |cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM gv GROUP BY v),
+      |cumc AS MATERIALIZED (
+      |  SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumc FROM cv),
+      |ng AS MATERIALIZED (
+      |  SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gv GROUP BY g),
+      |nt AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gv),
+      |grid AS (SELECT ng.g, cumc.v, cumc.cumc FROM cumc, ng),
+      |cum AS (
+      |  SELECT grid.g, grid.v, grid.cumc,
+      |    CAST(SUM(COALESCE(gv.c, 0))
+      |      OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cumg
+      |  FROM grid LEFT JOIN gv ON grid.g = gv.g AND grid.v = gv.v)
+      |SELECT g AS source, ng AS n_docs,
+      |  dmax * 1000000 // (ng * (SELECT n FROM nt)) AS ks_ppm
+      |FROM (
+      |  SELECT c.g, MAX(n2.ng) AS ng,
+      |    MAX(ABS(c.cumg * (SELECT n FROM nt) - c.cumc * n2.ng)) AS dmax
+      |  FROM cum c JOIN ng n2 ON c.g = n2.g GROUP BY c.g)
+      |ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4394,7 +4430,8 @@ object ExtQueries {
     "q126_normalized_dedup" -> (q126NormalizedDedup _),
     "q127_skew_report" -> (q127SkewReport _),
     "q128_snapshot_diff" -> (q128SnapshotDiff _),
-    "q129_autocorr" -> (q129Autocorr _))
+    "q129_autocorr" -> (q129Autocorr _),
+    "q130_ks_drift" -> (q130KsDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4515,5 +4552,6 @@ object ExtQueries {
     "q126_normalized_dedup" -> q126Sql,
     "q127_skew_report" -> q127Sql,
     "q128_snapshot_diff" -> q128Sql,
-    "q129_autocorr" -> q129Sql)
+    "q129_autocorr" -> q129Sql,
+    "q130_ks_drift" -> q130Sql)
 }

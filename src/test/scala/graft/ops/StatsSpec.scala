@@ -21,6 +21,20 @@ class StatsSpec extends SparkSpec {
     assert(out(("y", "z")) === out(("x", "z"))) // y is affine in x
   }
 
+  test("ksDrift: identical groups drift 0; disjoint halves drift 500000 ppm") {
+    // a,b identical distributions → F_g == F everywhere → D = 0
+    val same = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L)).toDF("g", "v")
+    val s = Stats.ksDrift(same, "g", "v")
+      .as[(String, Long, Long)].collect()
+    assert(s === Array(("a", 2L, 0L), ("b", 2L, 0L)))
+
+    // a entirely below b: at a's top value F_a = 1, F = 1/2 → D = 1/2
+    val split = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L)).toDF("g", "v")
+    val d = Stats.ksDrift(split, "g", "v")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(d === Map("a" -> 500000L, "b" -> 500000L))
+  }
+
   test("matches Spark's built-in corr on lineitem to the 6dp rounding") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(round(col("l_quantity")).cast("long").as("qty"),
