@@ -20,10 +20,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warm-up: file listing, parquet footers, codegen pipelines
-    Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
-    SparkEntry.queries.get("q2_group_agg").foreach(fn =>
+    // warm-up: file listing, parquet footers, codegen pipelines. Guarded —
+    // one bad table must degrade that table's queries, not zero the whole
+    // report (round 8: an events schema drift aborted the run here and lost
+    // the numbers for all 99 healthy queries).
+    val warmupFailed = scala.collection.mutable.ListBuffer.empty[String]
+    Tables.names.foreach { n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch {
+        case e: Exception =>
+          System.err.println(s"[bench] warm-up $n FAILED: ${e.getMessage}")
+          warmupFailed += n
+      }
+    }
+    try SparkEntry.queries.get("q2_group_agg").foreach(fn =>
       fn(spark, sfDir).count())
+    catch {
+      case e: Exception =>
+        System.err.println(s"[bench] warm-up q2 FAILED: ${e.getMessage}")
+        warmupFailed += "q2_group_agg"
+    }
 
     // best-of-2 per query: single-run numbers at these sizes carry ±20%
     // JIT/GC noise that swamps real plan differences. When the two runs
@@ -82,8 +98,10 @@ object Bench {
       } else None
     }.mkString("{", ",", "}")
 
+    val warmupJson =
+      warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"flagged_regressions":$flagged,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmupJson,"flagged_regressions":$flagged,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: a truncated stdout tail must not lose the total
     val out = java.nio.file.Paths.get("target", "bench.json")

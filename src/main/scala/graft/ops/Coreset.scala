@@ -76,6 +76,19 @@ object Coreset {
     var cur = pts
       .withColumn("md", KMeans.sqDist(col("v"), typedLit(centers(0)._4)))
       .localCheckpoint()
+
+    // the `maxDist·idCap < 2^63` precondition was only a Scaladoc comment —
+    // violating it silently selects WRONG centers. One cheap 1-row aggregate
+    // after the first distance map certifies the whole run: every later
+    // distance is bounded by 4·mdMax (||x−c||² ≤ 2||x−c0||² + 2||c−c0||²
+    // with both terms ≤ mdMax), and both encodings (selection argmax ·idCap,
+    // assignment argmin ·k) must fit a long
+    val mdMax = cur.agg(max(col("md"))).collect()(0).getLong(0)
+    require(mdMax <= Long.MaxValue / math.max(idCap, k.toLong) / 4,
+      s"coreset: max squared distance $mdMax overflows the encoded argmax " +
+        s"(needs 4·maxDist·max(idCap=$idCap, k=$k) < 2^63); quantize more " +
+        "coarsely or lower idCap")
+
     for (r <- 1 until k) {
       val enc = cur
         .select(max(col("md") * idCap + (lit(idCap - 1) - col("id"))).as("enc"))

@@ -72,31 +72,52 @@ object Stats {
     * are group-partitioned windows, and the value grid expands by
     * |groups| — a driver-bounded literal list — via `explode`, never a
     * cartesian join. Driver traffic: the group list and one scalar. */
-  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gv = df
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    ksDriftFromCounts(df
       .select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("long").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+
+  /** [[ksDrift]] from a pre-aggregated `(g, v, c)` count table — the entry
+    * point when upstream already holds histograms (and the one that makes
+    * the huge-count arithmetic regime testable without 1e18 physical rows).
+    *
+    * All cross-multiplied CDF arithmetic runs in DECIMAL(38,0): the Long
+    * products `cumg·nAll` / `cumc·ng` overflow past ~9.2e18 and
+    * `dmax·1000000` past ~9.2e12 — silently wrong/negative ppm at exactly
+    * the corpus scale this module targets. DECIMAL(38,0) is exact while
+    * `nAll ≤ 1e16` (then `dmax·10⁶ ≤ nAll²·10⁶ ≤ 10³⁸`); beyond that the
+    * guard fails loudly instead of letting Spark null the overflow. */
+  def ksDriftFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = counts.select(col("g"), col("v"), col("c")).localCheckpoint()
     val cv = gv.groupBy("v").agg(sum("c").as("cv"))
     val cumc = Scale.prefixSum(cv, "v", "cv", "cumc").select("v", "cumc")
     val ng = gv.groupBy("g").agg(sum("c").as("ng"))
     val nAll = gv.agg(sum("c")).collect()(0).getLong(0)
+    require(nAll <= 10000000000000000L, // 1e16
+      s"ksDrift: corpus count $nAll exceeds the DECIMAL(38,0) exact-ppm " +
+        "range (max 1e16 rows); shard the corpus or rescale the counts")
     val groups = ng.select("g").collect().map(_.getString(0)).toSeq.sorted
     val grid = cumc.select(col("v"), col("cumc"),
       explode(array(groups.map(lit(_)): _*)).as("g"))
     val w = Window.partitionBy("g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
     grid.join(gv, Seq("g", "v"), "left")
       .withColumn("cumg", sum(coalesce(col("c"), lit(0L))).over(w))
       .join(broadcast(ng), "g")
       .select(col("g"), col("ng"),
-        abs(col("cumg") * nAll - col("cumc") * col("ng")).as("dnum"))
+        abs(col("cumg").cast(dec) * lit(nAll).cast(dec)
+          - col("cumc").cast(dec) * col("ng").cast(dec)).as("dnum"))
       .groupBy("g")
       .agg(max(col("ng")).as("ng"), max(col("dnum")).as("dmax"))
+      // IntegralDivide on decimals returns LONG, so ks_ppm keeps the same
+      // output schema the Long math had; the quotient is ≤ 1e6 by
+      // construction (dmax ≤ ng·nAll)
       .select(col("g").as("source"), col("ng").as("n_docs"),
-        expr(s"dmax * 1000000 DIV (ng * $nAll)").as("ks_ppm"))
+        expr(s"dmax * 1000000 DIV (CAST(ng AS $dec) * CAST($nAll AS $dec))")
+          .as("ks_ppm"))
       .orderBy("source")
   }
 }

@@ -71,22 +71,55 @@ object TableManifest {
   def read(spark: SparkSession, dir: String): Option[(Long, Seq[String])] =
     readHead(spark, dir).map { case (v, files, _) => v -> files }
 
-  /** `{"version":N,"files":[...]}` for names this module wrote (no escapes). */
+  /** Per-file → per-column → (min, max) data-skipping stats. */
+  type FileStats = Map[String, Map[String, (Long, Long)]]
+
+  /** The `"files":[...]` array specifically — anchored on its key, never on
+    * the first/last bracket of the body, because the trailing `stats`
+    * object also contains brackets. File names are this module's ASCII
+    * UUIDs, so neither quotes nor brackets appear inside a name. */
   private def parseFiles(json: String): Seq[String] = {
-    val start = json.indexOf('[')
-    val end = json.lastIndexOf(']')
-    require(start >= 0 && end > start, s"malformed manifest: $json")
-    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start, end + 1))
+    val key = "\"files\":["
+    val start = json.indexOf(key)
+    require(start >= 0, s"malformed manifest: $json")
+    val end = json.indexOf(']', start)
+    require(end > start, s"malformed manifest: $json")
+    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start + key.length, end))
       .map(_.group(1)).toSeq
   }
 
   private val HwmRe = """"hwm":(-?[0-9]+)""".r
+  private val FileStatsRe = """"([^"]+)":\{([^}]*)\}""".r
+  private val ColRangeRe = """"([^"]+)":\[(-?[0-9]+),(-?[0-9]+)\]""".r
+
+  /** The `"stats":{...}` object (always rendered last), absent on
+    * manifests written before the field existed. */
+  private def parseStats(json: String): FileStats = {
+    val key = "\"stats\":{"
+    val start = json.indexOf(key)
+    if (start < 0) return Map.empty
+    val body = json.substring(start + key.length, json.length - 2)
+    FileStatsRe.findAllMatchIn(body).map { fm =>
+      fm.group(1) -> ColRangeRe.findAllMatchIn(fm.group(2)).map { cm =>
+        cm.group(1) -> (cm.group(2).toLong, cm.group(3).toLong)
+      }.toMap
+    }.toMap
+  }
 
   /** Head (version, files, stream high-water mark). The hwm is writer
     * metadata carried INSIDE the manifest (see [[commit]]) so maintenance
     * commits that rename data files — compaction, publish — cannot erase
     * it. Absent on manifests written before the field existed. */
-  def readHead(spark: SparkSession, dir: String): Option[(Long, Seq[String], Option[Long])] = {
+  def readHead(spark: SparkSession, dir: String): Option[(Long, Seq[String], Option[Long])] =
+    readHeadRaw(spark, dir).map { case (v, body) =>
+      (v, parseFiles(body), HwmRe.findFirstMatchIn(body).map(_.group(1).toLong))
+    }
+
+  /** Head manifest's data-skipping stats (empty until [[analyze]] ran). */
+  def readStats(spark: SparkSession, dir: String): FileStats =
+    readHeadRaw(spark, dir).map(h => parseStats(h._2)).getOrElse(Map.empty)
+
+  private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     if (!fs.exists(mdir)) return None
@@ -99,16 +132,22 @@ object TableManifest {
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
     }
-    Some((v, parseFiles(body),
-      HwmRe.findFirstMatchIn(body).map(_.group(1).toLong)))
+    Some((v, body))
   }
 
   private def render(version: Long, token: String, files: Seq[String],
-      hwm: Option[Long]): String = {
+      hwm: Option[Long], stats: FileStats): String = {
     val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
-    files.sorted.map(f => "\"" + f + "\"")
-      .mkString(s"""{"version":$version,"token":"$token",$meta"files":[""",
-        ",", "]}")
+    val filesJson = files.sorted.map(f => "\"" + f + "\"")
+      .mkString("[", ",", "]")
+    val statsJson =
+      if (stats.isEmpty) ""
+      else stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+        "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          "\"" + c + "\":[" + lo + "," + hi + "]"
+        }.mkString("{", ",", "}")
+      }.mkString(",\"stats\":{", ",", "}")
+    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson}"""
   }
 
   /** Atomically create the manifest file for exactly this version: local
@@ -148,14 +187,22 @@ object TableManifest {
     * concurrent committer's files. Returns None on conflict; the caller
     * re-reads the head and reconciles. */
   def commitIf(spark: SparkSession, dir: String, files: Seq[String],
-      expectedHead: Long, hwm: Option[Long] = None): Option[Long] = {
+      expectedHead: Long, hwm: Option[Long] = None,
+      stats: FileStats = Map.empty): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
-    val head = read(spark, dir).map(_._1).getOrElse(0L)
+    val headRaw = readHeadRaw(spark, dir)
+    val head = headRaw.map(_._1).getOrElse(0L)
     if (head != expectedHead) return None
+    // data-skipping stats survive commits that didn't recompute them: carry
+    // the head's stats for files still listed, overlay the caller's — so an
+    // append after an [[analyze]] keeps every analyzed file prunable
+    val fileSet = files.toSet
+    val carried = headRaw.map(h => parseStats(h._2)).getOrElse(Map.empty)
+    val merged = (carried ++ stats).filter { case (f, _) => fileSet(f) }
     val v = expectedHead + 1
-    val body = render(v, UUID.randomUUID().toString, files, hwm)
+    val body = render(v, UUID.randomUUID().toString, files, hwm, merged)
       .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
@@ -193,11 +240,15 @@ object TableManifest {
     }
 
   /** Manifest-pinned scan: exactly the head manifest's files. Falls back to
-    * a plain directory read when `dir` is untracked. */
+    * a plain directory read when `dir` is untracked. Schemas are merged
+    * across the listed files — an appender that evolved the schema (added
+    * a column) must not have later files' columns silently dropped because
+    * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir) match {
       case Some((_, files)) if files.nonEmpty =>
-        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$dir/$f"): _*)
       case Some(_) => spark.emptyDataFrame
       case None    => spark.read.parquet(dir)
     }
@@ -225,9 +276,22 @@ object TableManifest {
     }
     fs.delete(tmp, true)
     // full-snapshot replace, but writer metadata (the streaming append
-    // high-water mark) must survive maintenance — carry it forward
-    val hwm = readHead(spark, dir).flatMap(_._3)
-    commit(spark, dir, moved, hwm)
+    // high-water mark) must survive maintenance — and must be re-read
+    // TOGETHER with the head on every CAS attempt: reading hwm once and
+    // then retrying the commit against a refreshed head (as a plain
+    // commit() would) lets a streaming append that lands in the window
+    // get its high-water rolled back, so a checkpoint replay of that
+    // epoch would double-append. Same loop shape as Compaction.
+    var attempts = 0
+    while (attempts < 64) {
+      val head = readHead(spark, dir)
+      commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
+        head.flatMap(_._3)) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest publish lost $attempts races in $dir; giving up")
   }
 
   /** Files of one SPECIFIC committed version, if its manifest still
@@ -251,7 +315,8 @@ object TableManifest {
   def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     readAt(spark, dir, version) match {
       case Some(files) if files.nonEmpty =>
-        spark.read.parquet(files.map(f => s"$dir/$f"): _*)
+        spark.read.option("mergeSchema", "true")
+          .parquet(files.map(f => s"$dir/$f"): _*)
       case Some(_) => spark.emptyDataFrame
       case None => sys.error(s"no manifest v$version under $dir")
     }
@@ -273,7 +338,102 @@ object TableManifest {
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)
     if (fresh.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(fresh.map(f => s"$dir/$f"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(fresh.map(f => s"$dir/$f"): _*)
+  }
+
+  /** Compute per-file min/max stats for the long/int columns `cols` of
+    * every head file from parquet FOOTERS — metadata-only, zero data pages
+    * (at 100 TB: one small read per file, no scan) — and commit them into
+    * the manifest. CAS loop re-reading (head, hwm) per attempt, like
+    * [[publish]]. Columns that are not INT32/INT64 or lack footer stats in
+    * some block are simply omitted for that file (conservative: the file
+    * is then never pruned). Returns the committed version. */
+  def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    val (fs, p) = fsFor(spark, dir)
+    val colSet = cols.toSet
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir)
+        .getOrElse(sys.error(s"analyze: $dir is not manifest-tracked"))
+      val stats = files
+        .map(f => f -> footerStats(spark, new Path(p, f), colSet))
+        .filter(_._2.nonEmpty).toMap
+      commitIf(spark, dir, files, v, hwm, stats) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest analyze lost $attempts races in $dir; giving up")
+  }
+
+  /** Footer min/max per requested column of one parquet file, merged
+    * across row groups; a column missing stats in ANY row group is
+    * dropped (pruning on it would be unsound). */
+  private def footerStats(spark: SparkSession, file: Path,
+      cols: Set[String]): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      file, spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val dropped = scala.collection.mutable.Set.empty[String]
+      for {
+        block <- reader.getFooter.getBlocks.asScala
+        cc <- block.getColumns.asScala
+        name = cc.getPath.toDotString
+        if cols(name) && !dropped(name)
+      } {
+        val range = cc.getStatistics match {
+          case s: LongStatistics if s.hasNonNullValue => Some((s.getMin, s.getMax))
+          case s: IntStatistics if s.hasNonNullValue =>
+            Some((s.getMin.toLong, s.getMax.toLong))
+          case _ => None
+        }
+        range match {
+          case Some((lo, hi)) =>
+            val (plo, phi) = acc.getOrElse(name, (lo, hi))
+            acc(name) = (math.min(plo, lo), math.max(phi, hi))
+          case None =>
+            dropped += name
+            acc.remove(name)
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Head files that might hold rows with `column` in `[lo, hi]`: a file
+    * whose committed (min, max) misses the range is skipped; a file
+    * without stats for `column` is kept (conservative). */
+  def prunedFiles(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): Seq[String] = {
+    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
+    val stats = readStats(spark, dir)
+    files.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Range scan with manifest data skipping: open ONLY the files whose
+    * committed stats can intersect `[lo, hi]`, then apply the exact
+    * predicate. Semantically identical to
+    * `readTable(...).where(column between lo and hi)`; at scale it reads
+    * the matching files instead of listing-and-opening all of them. */
+  def readTableRange(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = prunedFiles(spark, dir, column, lo, hi)
+    val pred = col(column) >= lo && col(column) <= hi
+    if (files.isEmpty) readTable(spark, dir).filter(org.apache.spark.sql
+      .functions.lit(false)) // schema-preserving empty result
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*).filter(pred)
   }
 
   private def markerName(consumerId: String, v: Long): String =
@@ -342,31 +502,68 @@ object TableManifest {
     Some((from, head))
   }
 
+  private val MarkerRe = "consumer-(.+)-v([0-9]+)\\.marker".r
+
   /** Delete data files the head manifest no longer lists (plus leftover
     * temp dirs/files of crashed commits, including the streaming sink's
-    * `.inflight-*` scratch). Only safe once readers of older heads are
-    * done AND no append is mid-commit — a batch's moved-but-uncommitted
-    * files look dead to this scan; the caller owns that grace period.
+    * `.inflight-*` scratch), prune each consumer's superseded markers, and
+    * prune manifests past `retainManifests`.
+    *
+    * `graceMillis` protects IN-FLIGHT work: anything younger is skipped,
+    * because a running micro-batch's scratch dir and its moved-but-not-yet-
+    * committed data files look dead to this scan. The default 0 keeps the
+    * historical "caller owns the grace period" behavior; production loops
+    * should pass their maximum batch duration.
+    *
+    * Manifest retention: the newest `retainManifests` manifest versions are
+    * kept (default: all — time travel to any version stays possible), and a
+    * version at or above the slowest consumer's current marker is NEVER
+    * pruned regardless of retention, so [[consumeNew]] can always compute
+    * its delta and resume after a vacuum. Without pruning, `_manifest/`
+    * listings grow one file per commit forever — at a 100 TB table's commit
+    * rate that listing becomes the read-path bottleneck.
+    *
     * Returns deleted names. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  def vacuum(spark: SparkSession, dir: String, graceMillis: Long = 0L,
+      retainManifests: Int = Int.MaxValue): Seq[String] = {
+    require(retainManifests >= 1, "must retain at least the head manifest")
     val (fs, p) = fsFor(spark, dir)
     val live = read(spark, dir) match {
       case Some((_, files)) => files.toSet
       case None => return Seq.empty // untracked dirs have no dead-file notion
     }
+    val cutoff = System.currentTimeMillis() - graceMillis
     val deadFiles = fs.listStatus(p).toSeq.filter { s =>
       val n = s.getPath.getName
-      (s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n)) ||
-        (s.isDirectory && n.startsWith("_publish_tmp-")) ||
-        (s.isDirectory && n.startsWith("_compaction_tmp-")) ||
-        (s.isDirectory && n.startsWith(".inflight-"))
+      val scratch = s.isDirectory && (n.startsWith("_publish_tmp-") ||
+        n.startsWith("_compaction_tmp-") || n.startsWith(".inflight-"))
+      val deadData =
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n)
+      (scratch || deadData) && s.getModificationTime <= cutoff
     }
     val mdir = new Path(p, ManifestDir)
-    val deadTmps =
-      if (fs.exists(mdir))
-        fs.listStatus(mdir).toSeq.filter(_.getPath.getName.startsWith(".tmp-"))
-      else Seq.empty
-    (deadFiles ++ deadTmps).map { s =>
+    val mstats = if (fs.exists(mdir)) fs.listStatus(mdir).toSeq else Seq.empty
+    val deadTmps = mstats.filter(_.getPath.getName.startsWith(".tmp-"))
+    // each consumer's chain of advance markers: only the highest is load-
+    // bearing (consumerVersion takes the max), the rest accumulate forever
+    val markers = mstats.flatMap { s =>
+      s.getPath.getName match {
+        case MarkerRe(id, v) => v.toLongOption.map(ver => (id, ver, s))
+        case _ => None
+      }
+    }
+    val deadMarkers = markers.groupBy(_._1).values.toSeq
+      .flatMap(ms => ms.sortBy(_._2).dropRight(1).map(_._3))
+    // manifests: keep the newest `retainManifests`, and everything any
+    // consumer still needs (its delta scans start at its current marker)
+    val manifests = mstats.flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
+    val keepFrom = manifests.map(_._1).sorted
+      .takeRight(retainManifests).headOption.getOrElse(Long.MinValue)
+    val minConsumer = markers.groupBy(_._1).values
+      .map(_.map(_._2).max).minOption.getOrElse(Long.MaxValue)
+    val deadManifests = manifests
+      .filter { case (v, _) => v < keepFrom && v < minConsumer }.map(_._2)
+    (deadFiles ++ deadTmps ++ deadMarkers ++ deadManifests).map { s =>
       fs.delete(s.getPath, true)
       s.getPath.getName
     }

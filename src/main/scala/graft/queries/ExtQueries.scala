@@ -4312,6 +4312,37 @@ object ExtQueries {
       |  FROM cum c JOIN ng n2 ON c.g = n2.g GROUP BY c.g)
       |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- Q131
+  /** Manifest data skipping end to end
+    * ([[graft.ops.TableManifest.analyze]] → `readTableRange`): orders are
+    * laid out range-partitioned on the key, [[graft.ops.TableManifest]]
+    * commits each file's footer min/max, and the range scan opens ONLY the
+    * files whose committed stats intersect [1000, 5000] — at 100 TB the
+    * selective read costs the matching files, not a full listing-and-open.
+    * The aggregate is over the exact predicate, so the result is
+    * file-layout-independent and oracle-matchable. */
+  def q131StatsPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("o_orderkey"))
+    graft.ops.TableManifest.readTableRange(s, tmp, "o_orderkey", 1000L, 5000L)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy("status")
+  }
+
+  val q131Sql: String =
+    """SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4431,7 +4462,8 @@ object ExtQueries {
     "q127_skew_report" -> (q127SkewReport _),
     "q128_snapshot_diff" -> (q128SnapshotDiff _),
     "q129_autocorr" -> (q129Autocorr _),
-    "q130_ks_drift" -> (q130KsDrift _))
+    "q130_ks_drift" -> (q130KsDrift _),
+    "q131_stats_prune" -> (q131StatsPrune _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4553,5 +4585,6 @@ object ExtQueries {
     "q127_skew_report" -> q127Sql,
     "q128_snapshot_diff" -> q128Sql,
     "q129_autocorr" -> q129Sql,
-    "q130_ks_drift" -> q130Sql)
+    "q130_ks_drift" -> q130Sql,
+    "q131_stats_prune" -> q131Sql)
 }

@@ -94,4 +94,81 @@ object StreamDedup {
         TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
+
+  final case class InDocT(h: Long, doc_id: Long, text: String,
+      ts: java.sql.Timestamp)
+
+  /** Event-time twin of [[FirstSeenProcessor]]. The processing-time TTL
+    * above evicts on wall-clock silence, which makes checkpoint REPLAY
+    * nondeterministic: a replayed batch runs at a later wall-clock, so a
+    * key evicted in the original run may still be live in the replay (or
+    * vice versa) and the same input can produce different drop decisions.
+    * Here eviction is a WATERMARK decision — a timer slides to the key's
+    * newest event time + ttl and fires when the watermark passes it. The
+    * watermark is computed from the data and checkpointed per batch, so a
+    * killed-and-restarted query reproduces the exact eviction (and
+    * therefore drop/emit) sequence. */
+  class FirstSeenEventTimeProcessor(ttl: Duration)
+      extends StatefulProcessor[Long, InDocT, OutDoc] {
+
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long](
+        "first_seen_doc", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[InDocT],
+        timerValues: TimerValues): Iterator[OutDoc] = {
+      val batch = rows.toArray
+      // slide this key's eviction timer to newest-event + ttl (one live
+      // timer per key; input rows are processed before expired timers, so
+      // a just-expired key drops one final duplicate in the same batch —
+      // identically in original and replayed runs)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(batch.map(_.ts.getTime).max + ttl.toMillis)
+      if (seen.exists()) {
+        Iterator.empty // all duplicates of a known key
+      } else {
+        val first = batch.minBy(_.doc_id)
+        seen.update(first.doc_id)
+        Iterator.single(OutDoc(first.doc_id, first.text))
+      }
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[OutDoc] = {
+      seen.clear() // the key was silent past ttl in EVENT time
+      Iterator.empty
+    }
+  }
+
+  /** [[dropDuplicatesWithTTL]] with deterministic event-time eviction: a
+    * key unseen for `ttl` of EVENT time (as certified by the watermark) is
+    * forgotten and its next occurrence re-admitted. `docs` must carry an
+    * event-time column `tsCol`; `watermarkDelay` is the usual lateness
+    * allowance. State stays bounded by the distinct keys of the trailing
+    * ttl window of event time — and unlike the processing-time variant,
+    * checkpoint replay reproduces identical drop decisions. */
+  def dropDuplicatesWithEventTimeTTL(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      ttl: Duration = Duration.ofHours(24),
+      watermarkDelay: String = "10 seconds"): Dataset[OutDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(
+        graft.ops.TextOps.h60(col("text")).as("h"),
+        col("doc_id"), col("text"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[InDocT]
+      .groupByKey(_.h)
+      .transformWithState(
+        new FirstSeenEventTimeProcessor(ttl),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -110,4 +110,99 @@ object StreamNearDup {
         TimeMode.ProcessingTime(),
         OutputMode.Append())
   }
+
+  final case class BandDocT(band: String, doc_id: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp)
+
+  /** Event-time twin of [[BandProcessor]] — same in-bucket comparison, but
+    * eviction is a watermark-driven timer (band silent for `ttl` of EVENT
+    * time → whole bucket cleared) instead of per-entry processing-time
+    * TTL, so checkpoint replay reproduces identical flag decisions (see
+    * [[StreamDedup.FirstSeenEventTimeProcessor]]). The per-BAND granularity
+    * is deliberately coarser than the per-entry TTL: a band any of whose
+    * documents keeps arriving stays whole — still bounded by the trailing
+    * window, deterministic, and strictly more conservative about
+    * forgetting (never evicts an entry the per-entry policy would keep). */
+  class BandEventTimeProcessor(ttl: Duration, minEstPpm: Long, sigK: Int)
+      extends StatefulProcessor[String, BandDocT, DupPair] {
+
+    @transient private var seen: ListState[Entry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Entry](
+        "band_docs", Encoders.product[Entry], TTLConfig.NONE)
+
+    private def estPpm(a: Seq[Long], b: Seq[Long]): Long = {
+      var eq = 0
+      var i = 0
+      while (i < sigK) { if (a(i) == b(i)) eq += 1; i += 1 }
+      (2L * 1000000L * eq + sigK) / (2L * sigK) // round-half-up
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[BandDocT],
+        timerValues: TimerValues): Iterator[DupPair] = {
+      val batch = rows.toArray.sortBy(_.doc_id) // deterministic in-batch order
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(batch.map(_.ts.getTime).max + ttl.toMillis)
+      val prior = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      seen.get().foreach(e => prior += e)
+      val out = Seq.newBuilder[DupPair]
+      batch.foreach { d =>
+        prior.foreach { e =>
+          if (e.doc_id != d.doc_id) {
+            val est = estPpm(d.sig, e.sig)
+            if (est >= minEstPpm) out += DupPair(d.doc_id, e.doc_id, est)
+          }
+        }
+        val entry = Entry(d.doc_id, d.sig)
+        prior += entry
+        seen.appendValue(entry)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[DupPair] = {
+      seen.clear() // the band was silent past ttl in EVENT time
+      Iterator.empty
+    }
+  }
+
+  /** [[flagNearDups]] with deterministic event-time eviction: `docs` must
+    * carry an event-time column `tsCol`; a band silent for `ttl` of event
+    * time (watermark-certified) forgets its bucket, and checkpoint replay
+    * reproduces identical flag decisions. */
+  def flagNearDupsEventTime(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      sigK: Int = 16,
+      bands: Int = 4,
+      ttl: Duration = Duration.ofHours(24),
+      minEstPpm: Long = 600000L,
+      watermarkDelay: String = "10 seconds"): Dataset[DupPair] = {
+    require(sigK % bands == 0, s"sigK ($sigK) must divide into bands ($bands)")
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__ts", watermarkDelay)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sig", TextOps.minhashSignature(
+        TextOps.shingleHashes(TextOps.shingles3(col("toks"))), sigK))
+      .withColumn("bk", TextOps.bandKeys(col("sig"), bands, sigK / bands))
+      .select(col("doc_id"), col("sig"), col("__ts").as("ts"),
+        posexplode(col("bk")).as(Seq("bi", "key")))
+      .select(concat_ws("#", col("bi"), col("key")).as("band"),
+        col("doc_id"), col("sig"), col("ts"))
+      .as[BandDocT]
+      .groupByKey(_.band)
+      .transformWithState(
+        new BandEventTimeProcessor(ttl, minEstPpm, sigK),
+        TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

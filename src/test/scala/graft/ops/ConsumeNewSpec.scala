@@ -89,6 +89,92 @@ class ConsumeNewSpec extends SparkSpec {
     assert(n == 1L, "the next append delivers normally")
   }
 
+  test("vacuum prunes superseded markers and old manifests, never a consumer's") {
+    val dir = newTable()
+    TableManifest.consumeNew(spark, dir, "c1") { (_, _, _) => () } // marker v1
+    (1 to 6).foreach(i => append(dir, (s"x$i", i.toLong)))         // head v7
+    def manifestFiles(): Seq[String] =
+      new java.io.File(dir, "_manifest").listFiles().map(_.getName).toSeq
+    // advance c1 to v4 by consuming mid-stream... it consumes to head (v7).
+    // Instead leave c1 at v1 and let a second consumer reach the head.
+    TableManifest.consumeNew(spark, dir, "c2") { (_, _, _) => () } // marker v7
+    TableManifest.consumeNew(spark, dir, "c2") { (_, _, _) => () } // no-op
+
+    val before = manifestFiles()
+    assert(before.count(_.endsWith(".json")) == 7)
+    val deleted = TableManifest.vacuum(spark, dir, retainManifests = 2)
+    // c1 sits at v1, so despite retainManifests=2 nothing below v1 — i.e.
+    // nothing at all — may be pruned except superseded markers
+    assert(manifestFiles().count(_.endsWith(".json")) == 7,
+      s"slow consumer c1 must pin all manifests, deleted=$deleted")
+    // post-vacuum resume: c1 still computes its full delta
+    var n = -1L
+    TableManifest.consumeNew(spark, dir, "c1") { (df, _, _) => n = df.count() }
+    assert(n == 6L, "c1 resumes across the vacuum with the exact delta")
+
+    // now both consumers are at the head: retention applies
+    TableManifest.vacuum(spark, dir, retainManifests = 2)
+    val after = manifestFiles()
+    assert(after.count(_.endsWith(".json")) == 2,
+      s"manifest listing must be bounded by retention: $after")
+    // superseded markers pruned: exactly one marker per consumer remains
+    assert(after.count(_.startsWith("consumer-c1-")) == 1)
+    assert(after.count(_.startsWith("consumer-c2-")) == 1)
+    // consumers still live after retention pruning
+    append(dir, ("tail", 99L))
+    var m = -1L
+    TableManifest.consumeNew(spark, dir, "c2") { (df, _, _) => m = df.count() }
+    assert(m == 1L, "consumer keeps tailing after manifest retention pruning")
+  }
+
+  test("vacuum grace period protects an in-flight micro-batch's files") {
+    val dir = newTable()
+    // simulate a live micro-batch: scratch dir + a moved-but-uncommitted
+    // data file, both freshly written
+    new java.io.File(dir, ".inflight-b9-live").mkdirs()
+    val moved = new java.io.File(dir, "b9-live-p0.parquet")
+    moved.createNewFile()
+    val deleted = TableManifest.vacuum(spark, dir, graceMillis = 60000L)
+    assert(!deleted.contains(".inflight-b9-live"))
+    assert(!deleted.contains("b9-live-p0.parquet"))
+    assert(moved.exists(), "young uncommitted file must survive the vacuum")
+    // aged-out debris is still reclaimed
+    val old = new java.io.File(dir, ".inflight-b1-dead")
+    old.mkdirs()
+    old.setLastModified(System.currentTimeMillis() - 120000L)
+    moved.setLastModified(System.currentTimeMillis() - 120000L)
+    val deleted2 = TableManifest.vacuum(spark, dir, graceMillis = 60000L)
+    assert(deleted2.contains(".inflight-b1-dead"))
+    assert(deleted2.contains("b9-live-p0.parquet"),
+      "once past the grace window an uncommitted orphan is reclaimed")
+  }
+
+  test("manifest reads merge schemas across evolved appends") {
+    val dir = newTable()
+    // append a file with an extra column the original files lack
+    val tmp = java.nio.file.Files.createTempDirectory("consume-evo-").toString
+    Seq(("c", 3L, "fresh")).toDF("k", "v", "note")
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(dir, "evolved-0.parquet")
+    java.nio.file.Files.copy(part.toPath, target.toPath)
+    val (head, files) = TableManifest.read(spark, dir).get
+    TableManifest.commitIf(spark, dir, files :+ target.getName, head).get
+
+    val df = TableManifest.readTable(spark, dir)
+    assert(df.columns.toSet == Set("k", "v", "note"),
+      s"evolved column dropped: ${df.columns.mkString(",")}")
+    assert(df.filter(col("note") === "fresh").count() == 1)
+    assert(df.filter(col("note").isNull).count() == 2,
+      "pre-evolution rows surface with the new column null")
+    // time travel and CDC honor the merge too
+    assert(TableManifest.readTableAt(spark, dir, head + 1)
+      .columns.toSet == Set("k", "v", "note"))
+    assert(TableManifest.addedBetween(spark, dir, head, head + 1)
+      .columns.toSet == Set("k", "v", "note"))
+  }
+
   test("maintained view tailing the table equals a scratch recompute") {
     val dir = newTable()
     var state = Seq.empty[(String, Long, Long)].toDF("k", "cnt", "sum_v")

@@ -35,6 +35,14 @@ class CoresetSpec extends SparkSpec {
     assert(centers(1) === ((1L, 1L, 64L)))
   }
 
+  test("an input whose distances overflow the encoded argmax fails loudly") {
+    // sqDist(0, 3e9) = 9e18 < 2^63, but ·idCap (2^20) wildly overflows —
+    // pre-guard this silently selected wrong centers
+    val v = line((0L, 0L), (1L, 3000000000L))
+    val e = intercept[IllegalArgumentException](Coreset.selectFull(v, k = 2))
+    assert(e.getMessage.contains("overflows the encoded argmax"))
+  }
+
   test("selection distances are non-increasing and bound the final radius") {
     val v = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), KMeans.quantize(col("embedding")).as("qv"))

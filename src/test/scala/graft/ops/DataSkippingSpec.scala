@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Manifest-level data skipping: [[TableManifest.analyze]] commits per-file
+  * footer min/max, [[TableManifest.prunedFiles]] evaluates a range against
+  * them, and [[TableManifest.readTableRange]] opens ONLY the candidate
+  * files. Stats must survive later commits (carry-forward) and unanalyzed
+  * files must never be pruned (conservative).
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A tracked table of `ranges.size` single-file commits, each holding
+    * [lo, hi] of column `k`. Returns (dir, file name per range). */
+  private def rangedTable(ranges: Seq[(Long, Long)]): (String, Seq[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip").toString
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      graft.streaming.ManifestAppendSink.applyBatch(
+        (lo to hi).toDF("k").coalesce(1), i.toLong, dir)
+    }
+    val files = TableManifest.read(spark, dir).get._2
+    assert(files.size == ranges.size)
+    (dir, files.sorted)
+  }
+
+  test("analyze commits footer min/max; range reads open only matching files") {
+    val (dir, _) = rangedTable(Seq((1L, 100L), (101L, 200L), (201L, 300L)))
+    // before analyze: no stats, nothing prunable — all files are candidates
+    assert(TableManifest.prunedFiles(spark, dir, "k", 150L, 160L).size == 3)
+
+    TableManifest.analyze(spark, dir, Seq("k"))
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 3, s"every file analyzed: $stats")
+    assert(stats.values.map(_("k")).toSet ==
+      Set((1L, 100L), (101L, 200L), (201L, 300L)))
+
+    // selective range: exactly one candidate file
+    val hit = TableManifest.prunedFiles(spark, dir, "k", 150L, 160L)
+    assert(hit.size == 1, s"expected 1 candidate file, got $hit")
+    assert(stats(hit.head)("k") == ((101L, 200L)))
+    // boundary-straddling range: two candidates
+    assert(TableManifest.prunedFiles(spark, dir, "k", 90L, 110L).size == 2)
+    // out-of-range: zero candidates, schema-preserving empty scan
+    assert(TableManifest.prunedFiles(spark, dir, "k", 500L, 600L).isEmpty)
+    val empty = TableManifest.readTableRange(spark, dir, "k", 500L, 600L)
+    assert(empty.columns.toSeq == Seq("k") && empty.count() == 0)
+
+    // the pruned scan's result equals the unpruned filter, and its plan
+    // reads exactly the candidate file
+    val got = TableManifest.readTableRange(spark, dir, "k", 150L, 160L)
+    assert(got.as[Long].collect().sorted.toSeq == (150L to 160L))
+    val opened = got.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.map(_.split('/').last).toSet
+    }.get
+    assert(opened == Set(hit.head), s"scan must open only $hit, got $opened")
+    val full = TableManifest.readTable(spark, dir)
+      .filter(col("k").between(150L, 160L)).as[Long].collect().sorted.toSeq
+    assert(got.as[Long].collect().sorted.toSeq == full)
+  }
+
+  test("stats survive later appends; the new (unanalyzed) file is kept") {
+    val (dir, _) = rangedTable(Seq((1L, 100L), (101L, 200L)))
+    TableManifest.analyze(spark, dir, Seq("k"))
+    // an append commits WITHOUT stats — carry-forward must keep the
+    // analyzed files prunable, and the fresh file must stay a candidate
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq(999L).toDF("k").coalesce(1), 5L, dir)
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 2, "analyzed files keep their stats across commits")
+    val candidates = TableManifest.prunedFiles(spark, dir, "k", 50L, 60L)
+    assert(candidates.size == 2,
+      s"analyzed miss pruned, unanalyzed kept: $candidates")
+    assert(TableManifest.readTableRange(spark, dir, "k", 50L, 60L)
+      .count() == 11)
+    // re-analyze picks the new file up
+    TableManifest.analyze(spark, dir, Seq("k"))
+    assert(TableManifest.prunedFiles(spark, dir, "k", 50L, 60L).size == 1)
+    assert(TableManifest.prunedFiles(spark, dir, "k", 990L, 1000L).size == 1)
+  }
+
+  test("publish drops stale stats; hwm survives analyze") {
+    val (dir, _) = rangedTable(Seq((1L, 100L)))
+    TableManifest.analyze(spark, dir, Seq("k"))
+    assert(TableManifest.readHead(spark, dir).get._3.contains(0L),
+      "analyze must carry the append high-water mark forward")
+    TableManifest.publish(Seq(1L, 2L).toDF("k"), dir)
+    assert(TableManifest.readStats(spark, dir).isEmpty,
+      "stats of replaced files must not survive a publish")
+    assert(TableManifest.readHead(spark, dir).get._3.contains(0L),
+      "publish still carries the hwm")
+  }
+}

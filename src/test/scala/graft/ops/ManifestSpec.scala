@@ -200,6 +200,40 @@ class ManifestSpec extends SparkSpec {
     assert(v1 == 1L)
   }
 
+  test("publish racing a streaming append never rolls back the hwm") {
+    import spark.implicits._
+    // The round-8 ADVICE race: publish used to read the hwm ONCE and then
+    // retry its commit against a refreshed head — an append landing between
+    // that read and the winning commit had its high-water rolled back, so a
+    // checkpoint replay double-appended. The drill races the two committers
+    // repeatedly; whenever the append wins the contended version, a
+    // stale-hwm publish would commit the rollback on its retry.
+    val dir = Files.createTempDirectory("graft-hwm-race").toString
+    graft.streaming.ManifestAppendSink.applyBatch(Seq(0L).toDF("v"), 0L, dir)
+    (1L to 8L).foreach { i =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val publisher = new Thread(() => {
+        gate.await()
+        TableManifest.publish(Seq(-i).toDF("v"), dir)
+      })
+      val appender = new Thread(() => {
+        gate.await()
+        graft.streaming.ManifestAppendSink.applyBatch(Seq(i).toDF("v"), i, dir)
+      })
+      publisher.start(); appender.start()
+      gate.countDown()
+      publisher.join(); appender.join()
+      assert(graft.streaming.ManifestAppendSink
+        .committedBatchHighWater(spark, dir) == i,
+        s"hwm rolled back at batch $i")
+      // checkpoint replay of the same batch id must still no-op
+      val before = TableManifest.readTable(spark, dir).count()
+      graft.streaming.ManifestAppendSink.applyBatch(Seq(i).toDF("v"), i, dir)
+      assert(TableManifest.readTable(spark, dir).count() == before,
+        s"replayed batch $i double-appended")
+    }
+  }
+
   test("concurrent publishers: head is always one complete snapshot") {
     val dir = tmpDir("race")
     TableManifest.publish(docs.limit(10), dir)

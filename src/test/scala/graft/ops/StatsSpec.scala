@@ -35,6 +35,33 @@ class StatsSpec extends SparkSpec {
     assert(d === Map("a" -> 500000L, "b" -> 500000L))
   }
 
+  test("ksDrift exact ppm when ng*nAll overflows Long (counts regime)") {
+    // Two groups with counts near 4e18 each: nAll ≈ 8e18 still fits a Long,
+    // but ng·nAll ≈ 3.2e37 > 2^63 and dmax·10⁶ ≫ 2^63 — the pre-DECIMAL
+    // Long math returned silently wrong/negative ppm here.
+    val big = 4000000000000000000L // 4e18
+    val counts = Seq(
+      ("a", 1L, big), ("a", 2L, 1L),
+      ("b", 1L, 1L), ("b", 2L, big)).toDF("g", "v", "c")
+    intercept[IllegalArgumentException](Stats.ksDriftFromCounts(counts))
+
+    // Within the guarded range but far past Long-product overflow:
+    // ng = 4e15 each, nAll = 8e15; ng·nAll = 3.2e31 > 2^63.
+    val n = 4000000000000000L // 4e15
+    val c2 = Seq(
+      ("a", 1L, n - 1L), ("a", 2L, 1L),
+      ("b", 1L, 1L), ("b", 2L, n - 1L)).toDF("g", "v", "c")
+    val out = Stats.ksDriftFromCounts(c2)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    // Exact oracle via BigInt: D at v=1 for group a is
+    // |cumg·nAll − cumc·ng| = |(n−1)·2n − n·n| = n² − 2n, over ng·nAll = 2n².
+    val nB = BigInt(n)
+    val expected =
+      ((nB * nB - 2 * nB) * 1000000 / (2 * nB * nB)).toLong
+    assert(out === Map("a" -> expected, "b" -> expected))
+    assert(expected == 499999L) // ≈ half, minus the 1-row leak per group
+  }
+
   test("matches Spark's built-in corr on lineitem to the 6dp rounding") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(round(col("l_quantity")).cast("long").as("qty"),
