@@ -350,21 +350,29 @@ object TableManifest {
     * some block are simply omitted for that file (conservative: the file
     * is then never pruned). Returns the committed version. */
   def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
-    val (fs, p) = fsFor(spark, dir)
-    val colSet = cols.toSet
     var attempts = 0
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyze: $dir is not manifest-tracked"))
-      val stats = files
-        .map(f => f -> footerStats(spark, new Path(p, f), colSet))
-        .filter(_._2.nonEmpty).toMap
+      val stats = fileStats(spark, dir, files, cols)
       commitIf(spark, dir, files, v, hwm, stats) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
     }
     sys.error(s"manifest analyze lost $attempts races in $dir; giving up")
+  }
+
+  /** Footer min/max for SPECIFIC files — the [[analyze]] primitive,
+    * exposed so a writer can commit stats for files it just wrote (an
+    * appended micro-batch is born prunable, no separate analyze pass —
+    * see the streaming append sink's `statsCols`). */
+  def fileStats(spark: SparkSession, dir: String, files: Seq[String],
+      cols: Seq[String]): FileStats = {
+    val (_, p) = fsFor(spark, dir)
+    val colSet = cols.toSet
+    files.map(f => f -> footerStats(spark, new Path(p, f), colSet))
+      .filter(_._2.nonEmpty).toMap
   }
 
   /** Footer min/max per requested column of one parquet file, merged
@@ -420,21 +428,47 @@ object TableManifest {
     }
   }
 
+  /** AND of several column ranges: a file survives only if EVERY range can
+    * intersect its stats. With a Z-ordered layout ([[Layout]] / q65) files
+    * carry tight min/max on BOTH interleaved dimensions, so a 2-D range
+    * predicate prunes multiplicatively — the manifest-level twin of the
+    * row-group pruning the Z-order scaladoc promises. */
+  def prunedFilesAll(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
+    val stats = readStats(spark, dir)
+    files.filter { f =>
+      ranges.forall { case (column, lo, hi) =>
+        stats.get(f).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
+    }
+  }
+
   /** Range scan with manifest data skipping: open ONLY the files whose
-    * committed stats can intersect `[lo, hi]`, then apply the exact
-    * predicate. Semantically identical to
-    * `readTable(...).where(column between lo and hi)`; at scale it reads
-    * the matching files instead of listing-and-opening all of them. */
-  def readTableRange(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val files = prunedFiles(spark, dir, column, lo, hi)
-    val pred = col(column) >= lo && col(column) <= hi
-    if (files.isEmpty) readTable(spark, dir).filter(org.apache.spark.sql
-      .functions.lit(false)) // schema-preserving empty result
+    * committed stats can intersect every `[lo, hi]`, then apply the exact
+    * predicates. Semantically identical to
+    * `readTable(...).where(AND of col between lo and hi)`; at scale it
+    * reads the matching files instead of listing-and-opening all of
+    * them. */
+  def readTableRanges(spark: SparkSession, dir: String,
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val files = prunedFilesAll(spark, dir, ranges)
+    val pred = ranges
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    if (files.isEmpty) readTable(spark, dir).filter(lit(false))
     else spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*).filter(pred)
   }
+
+  /** Single-column [[readTableRanges]]. */
+  def readTableRange(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame =
+    readTableRanges(spark, dir, Seq((column, lo, hi)))
 
   private def markerName(consumerId: String, v: Long): String =
     f"consumer-$consumerId-v$v%020d.marker"

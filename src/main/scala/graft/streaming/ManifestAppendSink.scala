@@ -56,8 +56,15 @@ object ManifestAppendSink {
     * no-op. The commit is a compare-and-swap against the head the batch's
     * file list was derived from, so a maintenance commit landing
     * mid-append (compaction, publish) is never overwritten — the append
-    * re-reads the fresh head and retries with its files preserved. */
-  def applyBatch(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    * re-reads the fresh head and retries with its files preserved.
+    *
+    * `statsCols`: long/int columns whose footer min/max are committed
+    * WITH the batch, so an appended file is born prunable
+    * ([[TableManifest.readTableRange]]) with no separate analyze pass —
+    * the footers were just written and are hot, so the extra cost is one
+    * metadata read per file. */
+  def applyBatch(batch: DataFrame, batchId: Long, dir: String,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
     if (batchId <= committedBatchHighWater(spark, dir)) return
 
@@ -75,6 +82,9 @@ object ManifestAppendSink {
           s"move of ${s.getPath} to $name failed")
         name
       }
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else TableManifest.fileStats(spark, dir, moved, statsCols)
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -84,7 +94,7 @@ object ManifestAppendSink {
         case None => (0L, Seq.empty[String])
       }
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
-        expectedHead = headV, hwm = Some(batchId)).isDefined
+        expectedHead = headV, hwm = Some(batchId), stats = stats).isDefined
       attempts += 1
       if (!committed && attempts >= 64)
         sys.error(s"append of batch $batchId to $dir lost $attempts races")
@@ -92,17 +102,20 @@ object ManifestAppendSink {
     fs.delete(scratch, true)
   }
 
-  /** Continuously append `events` to the tracked table at `dir`. */
+  /** Continuously append `events` to the tracked table at `dir`;
+    * `statsCols` makes every appended file immediately prunable (see
+    * [[applyBatch]]). */
   def start(
       events: DataFrame,
       dir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      statsCols: Seq[String] = Seq.empty): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, batchId, dir)
+        applyBatch(batch, batchId, dir, statsCols)
       }
       .start()
 }

@@ -81,6 +81,54 @@ class DataSkippingSpec extends SparkSpec {
     assert(TableManifest.prunedFiles(spark, dir, "k", 990L, 1000L).size == 1)
   }
 
+  test("append with statsCols is born prunable — no analyze pass needed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-born").toString
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (1L to 100L).toDF("k").coalesce(1), 0L, dir, statsCols = Seq("k"))
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (101L to 200L).toDF("k").coalesce(1), 1L, dir, statsCols = Seq("k"))
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 2 && stats.values.map(_("k")).toSet ==
+      Set((1L, 100L), (101L, 200L)))
+    assert(TableManifest.prunedFiles(spark, dir, "k", 150L, 160L).size == 1)
+    assert(TableManifest.readTableRange(spark, dir, "k", 150L, 160L)
+      .as[Long].collect().sorted.toSeq == (150L to 160L))
+    // replayed batch still no-ops with stats in play
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (101L to 200L).toDF("k").coalesce(1), 1L, dir, statsCols = Seq("k"))
+    assert(TableManifest.readTable(spark, dir).count() == 200L)
+  }
+
+  test("z-ordered layout + 2-D range stats prune multiplicatively") {
+    // 32x32 grid z-order-clustered into 16 files: each file covers a tight
+    // square in BOTH dimensions, so a small 2-D box should touch only the
+    // file(s) whose square it lands in — the multiplicative pruning a
+    // single-column sort can only give on its leading column.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+    val pts = spark.range(32 * 32)
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"))
+      .withColumn("z", Layout.mortonKey(col("x"), col("y")))
+    pts.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .select("x", "y")
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("x", "y"))
+
+    val hit = TableManifest.prunedFilesAll(spark, dir,
+      Seq(("x", 2L, 5L), ("y", 2L, 5L)))
+    assert(hit.size <= 4,
+      s"a 4x4 box in a z-ordered 32x32 grid must touch few files: ${hit.size}")
+    // and the pruned scan is still exact
+    val got = TableManifest.readTableRanges(spark, dir,
+        Seq(("x", 2L, 5L), ("y", 2L, 5L)))
+      .as[(Long, Long)].collect().toSet
+    val want = (for (x <- 2L to 5L; y <- 2L to 5L) yield (x, y)).toSet
+    assert(got == want)
+    // single-dimension pruning still works off the same stats
+    assert(TableManifest.prunedFiles(spark, dir, "x", 2L, 5L).size
+      >= hit.size)
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
