@@ -74,6 +74,15 @@ object TableManifest {
   /** Per-file → per-column → (min, max) data-skipping stats. */
   type FileStats = Map[String, Map[String, (Long, Long)]]
 
+  /** String twin of [[FileStats]] for category columns (source, lang). */
+  type FileStringStats = Map[String, Map[String, (String, String)]]
+
+  /** String stat values must keep the manifest's no-escaping invariant: a
+    * value outside this charset (or too long / possibly truncated by the
+    * parquet writer) is DROPPED, which only costs pruning power, never
+    * correctness. */
+  private val SafeStatValue = "[A-Za-z0-9_.:/+=@%-]{0,64}".r
+
   /** The `"files":[...]` array specifically — anchored on its key, never on
     * the first/last bracket of the body, because the trailing `stats`
     * object also contains brackets. File names are this module's ASCII
@@ -91,20 +100,47 @@ object TableManifest {
   private val HwmRe = """"hwm":(-?[0-9]+)""".r
   private val FileStatsRe = """"([^"]+)":\{([^}]*)\}""".r
   private val ColRangeRe = """"([^"]+)":\[(-?[0-9]+),(-?[0-9]+)\]""".r
+  private val ColStrRangeRe = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
 
-  /** The `"stats":{...}` object (always rendered last), absent on
-    * manifests written before the field existed. */
-  private def parseStats(json: String): FileStats = {
-    val key = "\"stats\":{"
-    val start = json.indexOf(key)
-    if (start < 0) return Map.empty
-    val body = json.substring(start + key.length, json.length - 2)
-    FileStatsRe.findAllMatchIn(body).map { fm =>
-      fm.group(1) -> ColRangeRe.findAllMatchIn(fm.group(2)).map { cm =>
-        cm.group(1) -> (cm.group(2).toLong, cm.group(3).toLong)
-      }.toMap
-    }.toMap
+  /** The body of the top-level `"<key>":{...}` object. Values are
+    * charset-guarded (never contain braces), so depth counting is exact. */
+  private def sliceObject(json: String, key: String): Option[String] = {
+    val k = "\"" + key + "\":{"
+    val start = json.indexOf(k)
+    if (start < 0) return None
+    var depth = 1
+    var i = start + k.length
+    while (depth > 0 && i < json.length) {
+      json(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    Some(json.substring(start + k.length, i - 1))
   }
+
+  /** The `"stats":{...}` object, absent on manifests written before the
+    * field existed. */
+  private def parseStats(json: String): FileStats =
+    sliceObject(json, "stats").map { body =>
+      FileStatsRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> ColRangeRe.findAllMatchIn(fm.group(2)).map { cm =>
+          cm.group(1) -> (cm.group(2).toLong, cm.group(3).toLong)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The `"sstats":{...}` string-stats object. */
+  private def parseStringStats(json: String): FileStringStats =
+    sliceObject(json, "sstats").map { body =>
+      FileStatsRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> ColStrRangeRe.findAllMatchIn(fm.group(2)).map { cm =>
+          cm.group(1) -> (cm.group(2), cm.group(3))
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
 
   /** Head (version, files, stream high-water mark). The hwm is writer
     * metadata carried INSIDE the manifest (see [[commit]]) so maintenance
@@ -118,6 +154,11 @@ object TableManifest {
   /** Head manifest's data-skipping stats (empty until [[analyze]] ran). */
   def readStats(spark: SparkSession, dir: String): FileStats =
     readHeadRaw(spark, dir).map(h => parseStats(h._2)).getOrElse(Map.empty)
+
+  /** Head manifest's string-column data-skipping stats. */
+  def readStringStats(spark: SparkSession, dir: String): FileStringStats =
+    readHeadRaw(spark, dir).map(h => parseStringStats(h._2))
+      .getOrElse(Map.empty)
 
   private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val (fs, p) = fsFor(spark, dir)
@@ -136,7 +177,8 @@ object TableManifest {
   }
 
   private def render(version: Long, token: String, files: Seq[String],
-      hwm: Option[Long], stats: FileStats): String = {
+      hwm: Option[Long], stats: FileStats,
+      sstats: FileStringStats): String = {
     val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
@@ -147,7 +189,14 @@ object TableManifest {
           "\"" + c + "\":[" + lo + "," + hi + "]"
         }.mkString("{", ",", "}")
       }.mkString(",\"stats\":{", ",", "}")
-    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson}"""
+    val sstatsJson =
+      if (sstats.isEmpty) ""
+      else sstats.toSeq.sortBy(_._1).map { case (f, cols) =>
+        "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
+        }.mkString("{", ",", "}")
+      }.mkString(",\"sstats\":{", ",", "}")
+    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson}"""
   }
 
   /** Atomically create the manifest file for exactly this version: local
@@ -188,7 +237,8 @@ object TableManifest {
     * re-reads the head and reconciles. */
   def commitIf(spark: SparkSession, dir: String, files: Seq[String],
       expectedHead: Long, hwm: Option[Long] = None,
-      stats: FileStats = Map.empty): Option[Long] = {
+      stats: FileStats = Map.empty,
+      sstats: FileStringStats = Map.empty): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -201,9 +251,12 @@ object TableManifest {
     val fileSet = files.toSet
     val carried = headRaw.map(h => parseStats(h._2)).getOrElse(Map.empty)
     val merged = (carried ++ stats).filter { case (f, _) => fileSet(f) }
+    val scarried = headRaw.map(h => parseStringStats(h._2)).getOrElse(Map.empty)
+    val smerged = (scarried ++ sstats).filter { case (f, _) => fileSet(f) }
     val v = expectedHead + 1
-    val body = render(v, UUID.randomUUID().toString, files, hwm, merged)
-      .getBytes(StandardCharsets.UTF_8)
+    val body =
+      render(v, UUID.randomUUID().toString, files, hwm, merged, smerged)
+        .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
 
@@ -354,8 +407,8 @@ object TableManifest {
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyze: $dir is not manifest-tracked"))
-      val stats = fileStats(spark, dir, files, cols)
-      commitIf(spark, dir, files, v, hwm, stats) match {
+      val (stats, sstats) = fileAllStats(spark, dir, files, cols)
+      commitIf(spark, dir, files, v, hwm, stats, sstats) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
@@ -366,50 +419,74 @@ object TableManifest {
   /** Footer min/max for SPECIFIC files — the [[analyze]] primitive,
     * exposed so a writer can commit stats for files it just wrote (an
     * appended micro-batch is born prunable, no separate analyze pass —
-    * see the streaming append sink's `statsCols`). */
-  def fileStats(spark: SparkSession, dir: String, files: Seq[String],
-      cols: Seq[String]): FileStats = {
+    * see the streaming append sink's `statsCols`). Long/int columns land
+    * in the first map, safe string columns in the second; a column's type
+    * is discovered from the footer, so callers just list column names. */
+  def fileAllStats(spark: SparkSession, dir: String, files: Seq[String],
+      cols: Seq[String]): (FileStats, FileStringStats) = {
     val (_, p) = fsFor(spark, dir)
     val colSet = cols.toSet
-    files.map(f => f -> footerStats(spark, new Path(p, f), colSet))
-      .filter(_._2.nonEmpty).toMap
+    val per = files.map(f => f -> footerStats(spark, new Path(p, f), colSet))
+    (per.filter(_._2._1.nonEmpty).map { case (f, (l, _)) => f -> l }.toMap,
+      per.filter(_._2._2.nonEmpty).map { case (f, (_, s)) => f -> s }.toMap)
   }
+
+  /** Long/int-column half of [[fileAllStats]]. */
+  def fileStats(spark: SparkSession, dir: String, files: Seq[String],
+      cols: Seq[String]): FileStats =
+    fileAllStats(spark, dir, files, cols)._1
 
   /** Footer min/max per requested column of one parquet file, merged
     * across row groups; a column missing stats in ANY row group is
-    * dropped (pruning on it would be unsound). */
-  private def footerStats(spark: SparkSession, file: Path,
-      cols: Set[String]): Map[String, (Long, Long)] = {
+    * dropped (pruning on it would be unsound). String bounds outside
+    * [[SafeStatValue]] are dropped too: ASCII-safe bounds compare
+    * identically in parquet's unsigned byte order and Java's string order
+    * (and a file containing any non-ASCII value would surface it in the
+    * bounds, dropping the stat — conservative, never wrong). */
+  private def footerStats(spark: SparkSession, file: Path, cols: Set[String])
+      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
-    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    import org.apache.parquet.column.statistics.{
+      BinaryStatistics, IntStatistics, LongStatistics}
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       file, spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      val sacc = scala.collection.mutable.Map.empty[String, (String, String)]
       val dropped = scala.collection.mutable.Set.empty[String]
+      def safe(s: String): Boolean = SafeStatValue.matches(s)
       for {
         block <- reader.getFooter.getBlocks.asScala
         cc <- block.getColumns.asScala
         name = cc.getPath.toDotString
         if cols(name) && !dropped(name)
-      } {
-        val range = cc.getStatistics match {
-          case s: LongStatistics if s.hasNonNullValue => Some((s.getMin, s.getMax))
-          case s: IntStatistics if s.hasNonNullValue =>
-            Some((s.getMin.toLong, s.getMax.toLong))
-          case _ => None
-        }
-        range match {
-          case Some((lo, hi)) =>
-            val (plo, phi) = acc.getOrElse(name, (lo, hi))
-            acc(name) = (math.min(plo, lo), math.max(phi, hi))
-          case None =>
+      } cc.getStatistics match {
+        case s: LongStatistics if s.hasNonNullValue =>
+          val (plo, phi) = acc.getOrElse(name, (s.getMin, s.getMax))
+          acc(name) = (math.min(plo, s.getMin), math.max(phi, s.getMax))
+        case s: IntStatistics if s.hasNonNullValue =>
+          val (plo, phi) =
+            acc.getOrElse(name, (s.getMin.toLong, s.getMax.toLong))
+          acc(name) =
+            (math.min(plo, s.getMin.toLong), math.max(phi, s.getMax.toLong))
+        case s: BinaryStatistics if s.hasNonNullValue =>
+          val lo = new String(s.getMinBytes, StandardCharsets.UTF_8)
+          val hi = new String(s.getMaxBytes, StandardCharsets.UTF_8)
+          if (safe(lo) && safe(hi)) {
+            val (plo, phi) = sacc.getOrElse(name, (lo, hi))
+            sacc(name) =
+              (if (lo < plo) lo else plo, if (hi > phi) hi else phi)
+          } else {
             dropped += name
-            acc.remove(name)
-        }
+            sacc.remove(name)
+          }
+        case _ =>
+          dropped += name
+          acc.remove(name)
+          sacc.remove(name)
       }
-      acc.toMap
+      (acc.toMap, sacc.toMap)
     } finally reader.close()
   }
 
@@ -469,6 +546,36 @@ object TableManifest {
   def readTableRange(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long): DataFrame =
     readTableRanges(spark, dir, Seq((column, lo, hi)))
+
+  /** Head files that might hold rows whose string `column` is one of
+    * `values` — the "read only source=X" slice of a curation table. A
+    * file is kept when any sought value falls inside its committed
+    * [min, max] (or when it has no stats for the column). */
+  def prunedFilesIn(spark: SparkSession, dir: String, column: String,
+      values: Seq[String]): Seq[String] = {
+    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
+    val stats = readStringStats(spark, dir)
+    files.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
+        case None => true
+      }
+    }
+  }
+
+  /** Category scan with manifest data skipping: open ONLY the files whose
+    * committed string stats can contain one of `values`, then apply the
+    * exact `isin` predicate — semantically identical to
+    * `readTable(...).where(column isin values)`. */
+  def readTableWhereIn(spark: SparkSession, dir: String, column: String,
+      values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val files = prunedFilesIn(spark, dir, column, values)
+    if (files.isEmpty) readTable(spark, dir).filter(lit(false))
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+      .filter(col(column).isin(values: _*))
+  }
 
   private def markerName(consumerId: String, v: Long): String =
     f"consumer-$consumerId-v$v%020d.marker"

@@ -82,9 +82,11 @@ object ManifestAppendSink {
           s"move of ${s.getPath} to $name failed")
         name
       }
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-      else TableManifest.fileStats(spark, dir, moved, statsCols)
+    val (stats, sstats) =
+      if (statsCols.isEmpty)
+        (Map.empty[String, Map[String, (Long, Long)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else TableManifest.fileAllStats(spark, dir, moved, statsCols)
     var attempts = 0
     var committed = false
     while (!committed) {
@@ -94,7 +96,8 @@ object ManifestAppendSink {
         case None => (0L, Seq.empty[String])
       }
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
-        expectedHead = headV, hwm = Some(batchId), stats = stats).isDefined
+        expectedHead = headV, hwm = Some(batchId), stats = stats,
+        sstats = sstats).isDefined
       attempts += 1
       if (!committed && attempts >= 64)
         sys.error(s"append of batch $batchId to $dir lost $attempts races")

@@ -129,6 +129,50 @@ class DataSkippingSpec extends SparkSpec {
       >= hit.size)
   }
 
+  test("string-category stats prune source slices; unsafe values drop safely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    // one file per source batch, via the streaming appender with stats
+    Seq(Seq("arxiv", "arxiv", "books"), Seq("cc", "cc"), Seq("wiki"))
+      .zipWithIndex.foreach { case (srcs, i) =>
+        graft.streaming.ManifestAppendSink.applyBatch(
+          srcs.zipWithIndex.map { case (s, j) => (i * 10L + j, s) }
+            .toDF("doc_id", "source").coalesce(1),
+          i.toLong, dir, statsCols = Seq("source", "doc_id"))
+      }
+    val sstats = TableManifest.readStringStats(spark, dir)
+    assert(sstats.size == 3)
+    assert(sstats.values.map(_("source")).toSet ==
+      Set(("arxiv", "books"), ("cc", "cc"), ("wiki", "wiki")))
+    // long stats flowed through the SAME statsCols list
+    assert(TableManifest.readStats(spark, dir).size == 3)
+
+    assert(TableManifest.prunedFilesIn(spark, dir, "source",
+      Seq("cc")).size == 1)
+    assert(TableManifest.prunedFilesIn(spark, dir, "source",
+      Seq("cc", "wiki")).size == 2)
+    // "ccc" falls lexicographically inside [cc, cc]? no — but [arxiv,books]
+    // doesn't contain it either; only candidate-by-range files survive
+    assert(TableManifest.prunedFilesIn(spark, dir, "source",
+      Seq("zzz")).isEmpty)
+    val got = TableManifest.readTableWhereIn(spark, dir, "source", Seq("cc"))
+    assert(got.count() == 2 &&
+      got.select("source").distinct().collect().map(_.getString(0)).toSeq
+        == Seq("cc"))
+
+    // a value outside the safe charset (quote) drops that file's stat —
+    // the file becomes a permanent conservative candidate, never a wrong
+    // answer
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((99L, "we\"ird")).toDF("doc_id", "source").coalesce(1),
+      7L, dir, statsCols = Seq("source"))
+    val sstats2 = TableManifest.readStringStats(spark, dir)
+    assert(sstats2.size == 3, "unsafe-value file must carry no source stat")
+    assert(TableManifest.prunedFilesIn(spark, dir, "source", Seq("cc"))
+      .size == 2, "unguarded file stays a candidate for every slice")
+    assert(TableManifest.readTableWhereIn(spark, dir, "source", Seq("cc"))
+      .count() == 2, "exact predicate still filters the candidate")
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
