@@ -424,9 +424,24 @@ object TableManifest {
     * is discovered from the footer, so callers just list column names. */
   def fileAllStats(spark: SparkSession, dir: String, files: Seq[String],
       cols: Seq[String]): (FileStats, FileStringStats) = {
-    val (_, p) = fsFor(spark, dir)
     val colSet = cols.toSet
-    val per = files.map(f => f -> footerStats(spark, new Path(p, f), colSet))
+    // a footer read is one small metadata RPC, but ONE DRIVER doing 100k of
+    // them serially is the analyze bottleneck at scale — fan the reads out
+    // to executors past a small threshold (driver traffic stays O(files):
+    // the stat maps, not the footers)
+    val per: Seq[(String, (Map[String, (Long, Long)], Map[String, (String, String)]))] =
+      if (files.size <= 64)
+        files.map(f => f -> footerStats(
+          spark.sparkContext.hadoopConfiguration, s"$dir/$f", colSet))
+      else {
+        val confB = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val slices = math.min(files.size, 256)
+        spark.sparkContext.parallelize(files, slices)
+          .map(f => f -> footerStats(confB.value.value, s"$dir/$f", colSet))
+          .collect().toSeq
+      }
     (per.filter(_._2._1.nonEmpty).map { case (f, (l, _)) => f -> l }.toMap,
       per.filter(_._2._2.nonEmpty).map { case (f, (_, s)) => f -> s }.toMap)
   }
@@ -443,13 +458,15 @@ object TableManifest {
     * identically in parquet's unsigned byte order and Java's string order
     * (and a file containing any non-ASCII value would surface it in the
     * bounds, dropping the stat — conservative, never wrong). */
-  private def footerStats(spark: SparkSession, file: Path, cols: Set[String])
+  private def footerStats(
+      conf: org.apache.hadoop.conf.Configuration, file: String,
+      cols: Set[String])
       : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.column.statistics.{
       BinaryStatistics, IntStatistics, LongStatistics}
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      file, spark.sparkContext.hadoopConfiguration)
+      new Path(file), conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
@@ -494,16 +511,8 @@ object TableManifest {
     * whose committed (min, max) misses the range is skipped; a file
     * without stats for `column` is kept (conservative). */
   def prunedFiles(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long): Seq[String] = {
-    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
-    val stats = readStats(spark, dir)
-    files.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
-      }
-    }
-  }
+      lo: Long, hi: Long): Seq[String] =
+    prunedFilesAll(spark, dir, Seq((column, lo, hi)))
 
   /** AND of several column ranges: a file survives only if EVERY range can
     * intersect its stats. With a Z-ordered layout ([[Layout]] / q65) files

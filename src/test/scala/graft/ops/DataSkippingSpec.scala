@@ -173,6 +173,23 @@ class DataSkippingSpec extends SparkSpec {
       .count() == 2, "exact predicate still filters the candidate")
   }
 
+  test("analyze fans footer reads out to executors past the threshold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fan").toString
+    spark.range(1000).selectExpr("id AS k")
+      .repartitionByRange(100, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("k")) // 100 files > 64 → RDD path
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 100)
+    assert(stats.values.map(_("k")._1).min == 0L)
+    assert(stats.values.map(_("k")._2).max == 999L)
+    // a selective range over 100 files opens ~1
+    assert(TableManifest.prunedFiles(spark, dir, "k", 500L, 505L).size <= 2)
+    assert(TableManifest.readTableRange(spark, dir, "k", 500L, 505L)
+      .count() == 6)
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
