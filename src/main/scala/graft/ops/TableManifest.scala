@@ -403,11 +403,22 @@ object TableManifest {
     * some block are simply omitted for that file (conservative: the file
     * is then never pruned). Returns the committed version. */
   def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
+    // data files are immutable, so stats computed on a losing CAS attempt
+    // stay valid — a retry only reads footers of files NEW to the
+    // refreshed head (a concurrent append mid-sweep must not trigger a
+    // full re-sweep of a 100k-file table)
+    var stats: FileStats = Map.empty
+    var sstats: FileStringStats = Map.empty
+    var swept = Set.empty[String]
     var attempts = 0
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyze: $dir is not manifest-tracked"))
-      val (stats, sstats) = fileAllStats(spark, dir, files, cols)
+      val fresh = files.filterNot(swept)
+      val (fs2, ss2) = fileAllStats(spark, dir, fresh, cols)
+      stats ++= fs2
+      sstats ++= ss2
+      swept ++= fresh
       commitIf(spark, dir, files, v, hwm, stats, sstats) match {
         case Some(v2) => return v2
         case None => attempts += 1
@@ -514,6 +525,17 @@ object TableManifest {
       lo: Long, hi: Long): Seq[String] =
     prunedFilesAll(spark, dir, Seq((column, lo, hi)))
 
+  /** One parse of the head body feeding files AND stats — a pruned read
+    * must not list/open `_manifest/` two or three times per call, and
+    * files/stats must come from the SAME version. */
+  private def headSnapshot(spark: SparkSession, dir: String)
+      : (Seq[String], FileStats, FileStringStats) =
+    readHeadRaw(spark, dir) match {
+      case Some((_, body)) =>
+        (parseFiles(body), parseStats(body), parseStringStats(body))
+      case None => (Seq.empty, Map.empty, Map.empty)
+    }
+
   /** AND of several column ranges: a file survives only if EVERY range can
     * intersect its stats. With a Z-ordered layout ([[Layout]] / q65) files
     * carry tight min/max on BOTH interleaved dimensions, so a 2-D range
@@ -521,8 +543,7 @@ object TableManifest {
     * row-group pruning the Z-order scaladoc promises. */
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
-    val stats = readStats(spark, dir)
+    val (files, stats, _) = headSnapshot(spark, dir)
     files.filter { f =>
       ranges.forall { case (column, lo, hi) =>
         stats.get(f).flatMap(_.get(column)) match {
@@ -546,9 +567,19 @@ object TableManifest {
     val pred = ranges
       .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduceOption(_ && _).getOrElse(lit(true))
-    if (files.isEmpty) readTable(spark, dir).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$dir/$f"): _*).filter(pred)
+    // zero candidates: empty result, but with the table's full merged
+    // schema (one metadata-only pass — the price of schema fidelity)
+    if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+    // schema-evolution edge: every file CARRYING a predicate column can be
+    // pruned while older-schema files (no stats → conservative survivors)
+    // lack the column entirely — filtering would then fail analysis. Those
+    // rows have the column null under the merged schema, i.e. no row can
+    // match; fall back to the full merged read for identical semantics.
+    if (ranges.exists { case (c, _, _) => !df.columns.contains(c) })
+      readTable(spark, dir).filter(pred)
+    else df.filter(pred)
   }
 
   /** Single-column [[readTableRanges]]. */
@@ -562,10 +593,9 @@ object TableManifest {
     * [min, max] (or when it has no stats for the column). */
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
-    val files = read(spark, dir).map(_._2).getOrElse(Seq.empty)
-    val stats = readStringStats(spark, dir)
+    val (files, _, sstats) = headSnapshot(spark, dir)
     files.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
+      sstats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
         case None => true
       }
@@ -580,10 +610,13 @@ object TableManifest {
       values: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val files = prunedFilesIn(spark, dir, column, values)
-    if (files.isEmpty) readTable(spark, dir).filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
+    if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    val df = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
-      .filter(col(column).isin(values: _*))
+    // same schema-evolution fallback as readTableRanges
+    if (!df.columns.contains(column))
+      readTable(spark, dir).filter(col(column).isin(values: _*))
+    else df.filter(col(column).isin(values: _*))
   }
 
   private def markerName(consumerId: String, v: Long): String =
@@ -693,7 +726,11 @@ object TableManifest {
     }
     val mdir = new Path(p, ManifestDir)
     val mstats = if (fs.exists(mdir)) fs.listStatus(mdir).toSeq else Seq.empty
-    val deadTmps = mstats.filter(_.getPath.getName.startsWith(".tmp-"))
+    // grace applies here too: an in-flight commit's .tmp- (the non-local
+    // createExclusive path) must not be deleted between write and rename
+    val deadTmps = mstats.filter(s =>
+      s.getPath.getName.startsWith(".tmp-") &&
+        s.getModificationTime <= cutoff)
     // each consumer's chain of advance markers: only the highest is load-
     // bearing (consumerVersion takes the max), the rest accumulate forever
     val markers = mstats.flatMap { s =>

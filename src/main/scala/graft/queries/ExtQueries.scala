@@ -4321,8 +4321,24 @@ object ExtQueries {
     * selective read costs the matching files, not a full listing-and-open.
     * The aggregate is over the exact predicate, so the result is
     * file-layout-independent and oracle-matchable. */
+  /** Previous invocation's scratch table — deleted on the next call so
+    * repeated bench/verify runs hold at most one rewritten orders copy in
+    * /tmp instead of accumulating one per invocation. */
+  private val q131Scratch =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   def q131StatsPrune(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    Option(q131Scratch.getAndSet(tmp)).foreach(deleteRecursively)
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartitionByRange(8, col("o_orderkey"))

@@ -122,12 +122,13 @@ object StreamDedup {
         rows: Iterator[InDocT],
         timerValues: TimerValues): Iterator[OutDoc] = {
       val batch = rows.toArray
-      // slide this key's eviction timer to newest-event + ttl (one live
-      // timer per key; input rows are processed before expired timers, so
-      // a just-expired key drops one final duplicate in the same batch —
-      // identically in original and replayed runs)
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(batch.map(_.ts.getTime).max + ttl.toMillis)
+      // slide this key's eviction timer FORWARD to newest-event + ttl (one
+      // live timer per key; a late-only batch must not pull it back —
+      // input rows are processed before expired timers, so a just-expired
+      // key drops one final duplicate in the same batch, identically in
+      // original and replayed runs)
+      EventTimeTimers.slideForward(
+        getHandle, batch.map(_.ts.getTime).max + ttl.toMillis)
       if (seen.exists()) {
         Iterator.empty // all duplicates of a known key
       } else {

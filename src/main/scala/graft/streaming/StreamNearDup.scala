@@ -36,6 +36,38 @@ object StreamNearDup {
   final case class Entry(doc_id: Long, sig: Seq[Long])
   final case class DupPair(doc_id: Long, dup_of: Long, est_ppm: Long)
 
+  /** The in-bucket compare-and-append shared by both processors: each
+    * batch document (already doc_id-sorted) compares against the bucket's
+    * survivors plus earlier same-batch arrivals, emits pairs at/above the
+    * threshold, and appends itself to the bucket. */
+  private def compareAndAppend(
+      seen: ListState[Entry],
+      batch: Array[(Long, Seq[Long])],
+      minEstPpm: Long,
+      sigK: Int): Iterator[DupPair] = {
+    def estPpm(a: Seq[Long], b: Seq[Long]): Long = {
+      var eq = 0
+      var i = 0
+      while (i < sigK) { if (a(i) == b(i)) eq += 1; i += 1 }
+      (2L * 1000000L * eq + sigK) / (2L * sigK) // round-half-up
+    }
+    val prior = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    seen.get().foreach(e => prior += e)
+    val out = Seq.newBuilder[DupPair]
+    batch.foreach { case (docId, sig) =>
+      prior.foreach { e =>
+        if (e.doc_id != docId) {
+          val est = estPpm(sig, e.sig)
+          if (est >= minEstPpm) out += DupPair(docId, e.doc_id, est)
+        }
+      }
+      val entry = Entry(docId, sig)
+      prior += entry
+      seen.appendValue(entry)
+    }
+    out.result().iterator
+  }
+
   class BandProcessor(ttl: Duration, minEstPpm: Long, sigK: Int)
       extends StatefulProcessor[String, BandDoc, DupPair] {
 
@@ -45,34 +77,13 @@ object StreamNearDup {
       seen = getHandle.getListState[Entry](
         "band_docs", Encoders.product[Entry], new TTLConfig(ttl))
 
-    private def estPpm(a: Seq[Long], b: Seq[Long]): Long = {
-      var eq = 0
-      var i = 0
-      while (i < sigK) { if (a(i) == b(i)) eq += 1; i += 1 }
-      (2L * 1000000L * eq + sigK) / (2L * sigK) // round-half-up
-    }
-
     override def handleInputRows(
         key: String,
         rows: Iterator[BandDoc],
-        timerValues: TimerValues): Iterator[DupPair] = {
-      val batch = rows.toArray.sortBy(_.doc_id) // deterministic in-batch order
-      val prior = scala.collection.mutable.ArrayBuffer.empty[Entry]
-      seen.get().foreach(e => prior += e)
-      val out = Seq.newBuilder[DupPair]
-      batch.foreach { d =>
-        prior.foreach { e =>
-          if (e.doc_id != d.doc_id) {
-            val est = estPpm(d.sig, e.sig)
-            if (est >= minEstPpm) out += DupPair(d.doc_id, e.doc_id, est)
-          }
-        }
-        val entry = Entry(d.doc_id, d.sig)
-        prior += entry
-        seen.appendValue(entry)
-      }
-      out.result().iterator
-    }
+        timerValues: TimerValues): Iterator[DupPair] =
+      compareAndAppend(seen,
+        rows.toArray.sortBy(_.doc_id).map(d => (d.doc_id, d.sig)),
+        minEstPpm, sigK) // doc_id sort: deterministic in-batch order
 
     override def handleExpiredTimer(
         key: String,
@@ -132,35 +143,17 @@ object StreamNearDup {
       seen = getHandle.getListState[Entry](
         "band_docs", Encoders.product[Entry], TTLConfig.NONE)
 
-    private def estPpm(a: Seq[Long], b: Seq[Long]): Long = {
-      var eq = 0
-      var i = 0
-      while (i < sigK) { if (a(i) == b(i)) eq += 1; i += 1 }
-      (2L * 1000000L * eq + sigK) / (2L * sigK) // round-half-up
-    }
-
     override def handleInputRows(
         key: String,
         rows: Iterator[BandDocT],
         timerValues: TimerValues): Iterator[DupPair] = {
       val batch = rows.toArray.sortBy(_.doc_id) // deterministic in-batch order
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(batch.map(_.ts.getTime).max + ttl.toMillis)
-      val prior = scala.collection.mutable.ArrayBuffer.empty[Entry]
-      seen.get().foreach(e => prior += e)
-      val out = Seq.newBuilder[DupPair]
-      batch.foreach { d =>
-        prior.foreach { e =>
-          if (e.doc_id != d.doc_id) {
-            val est = estPpm(d.sig, e.sig)
-            if (est >= minEstPpm) out += DupPair(d.doc_id, e.doc_id, est)
-          }
-        }
-        val entry = Entry(d.doc_id, d.sig)
-        prior += entry
-        seen.appendValue(entry)
-      }
-      out.result().iterator
+      // forward-only: a late-only batch must not pull the band's eviction
+      // earlier than newest-event + ttl (see EventTimeTimers)
+      EventTimeTimers.slideForward(
+        getHandle, batch.map(_.ts.getTime).max + ttl.toMillis)
+      compareAndAppend(seen, batch.map(d => (d.doc_id, d.sig)),
+        minEstPpm, sigK)
     }
 
     override def handleExpiredTimer(

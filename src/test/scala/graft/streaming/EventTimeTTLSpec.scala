@@ -105,6 +105,45 @@ class EventTimeTTLSpec extends SparkSpec {
     }
   }
 
+  test("late duplicate must not slide the eviction timer backward") {
+    withRocksDB {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val out = StreamDedup.dropDuplicatesWithEventTimeTTL(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        ttl = java.time.Duration.ofSeconds(60),
+        watermarkDelay = "100 seconds") // generous lateness: late rows admitted
+      val cp = java.nio.file.Files.createTempDirectory("ettl-late").toString
+      val q = out.writeStream.format("memory").queryName("ettl_late")
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // alpha's newest event is 100s → eviction due at 160s
+        mem.addData(Seq((1L, "alpha", ts(100))))
+        q.processAllAvailable()
+        // a LATE duplicate at 10s: dropped — and it must NOT pull the
+        // timer back to 10+60=70s (the pre-fix behavior)
+        mem.addData(Seq((2L, "alpha", ts(10))))
+        q.processAllAvailable()
+        // advance the watermark to 110s: past the buggy 70s timer, short
+        // of the correct 160s one
+        mem.addData(Seq((3L, "beta", ts(210))))
+        q.processAllAvailable()
+        mem.addData(Seq((4L, "gamma", ts(215))))
+        q.processAllAvailable()
+        // alpha is still within ttl of its NEWEST event: must stay dropped
+        mem.addData(Seq((5L, "alpha", ts(211))))
+        q.processAllAvailable()
+
+        val ids = spark.table("ettl_late").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(ids == Seq(1L, 3L, 4L),
+          s"late dup shrank the ttl window (alpha re-admitted): $ids")
+      } finally q.stop()
+    }
+  }
+
   test("near-dup: watermark eviction forgets a silent band deterministically") {
     withRocksDB {
       import spark.implicits._
