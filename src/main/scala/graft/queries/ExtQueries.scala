@@ -4321,11 +4321,18 @@ object ExtQueries {
     * selective read costs the matching files, not a full listing-and-open.
     * The aggregate is over the exact predicate, so the result is
     * file-layout-independent and oracle-matchable. */
-  /** Previous invocation's scratch table — deleted on the next call so
-    * repeated bench/verify runs hold at most one rewritten orders copy in
-    * /tmp instead of accumulating one per invocation. */
-  private val q131Scratch =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  /** Per-tag scratch tables — the previous invocation's dir is deleted on
+    * the next call, so repeated bench/verify runs hold at most one
+    * rewritten copy per query instead of accumulating one per
+    * invocation. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def freshScratch(tag: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    Option(scratchDirs.put(tag, tmp)).foreach(deleteRecursively)
+    tmp
+  }
 
   private def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -4337,8 +4344,7 @@ object ExtQueries {
   }
 
   def q131StatsPrune(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q131").toString
-    Option(q131Scratch.getAndSet(tmp)).foreach(deleteRecursively)
+    val tmp = freshScratch("graft-q131")
     t(s, dir, "orders")
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .repartitionByRange(8, col("o_orderkey"))
@@ -4358,6 +4364,35 @@ object ExtQueries {
       |    AS cents
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
       |GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ---------------------------------------------------------------- Q132
+  /** Category-sliced read with string data skipping
+    * ([[graft.ops.TableManifest.readTableWhereIn]]): documents laid out
+    * range-clustered on `source`, per-file string min/max committed to the
+    * manifest, and the "read only these sources" slice — the everyday
+    * corpus-curation access pattern — opens only the files whose committed
+    * range can contain a sought source. Aggregate over the exact `isin`
+    * predicate, so the result is file-layout-independent. */
+  def q132CategoryPrune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q132")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartitionByRange(8, col("source"), col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("source"))
+    graft.ops.TableManifest.readTableWhereIn(s, tmp, "source",
+        Seq("src3", "src15"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+  }
+
+  val q132Sql: String =
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE source IN ('src15', 'src3')
+      |GROUP BY 1 ORDER BY source""".stripMargin
 
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4479,7 +4514,8 @@ object ExtQueries {
     "q128_snapshot_diff" -> (q128SnapshotDiff _),
     "q129_autocorr" -> (q129Autocorr _),
     "q130_ks_drift" -> (q130KsDrift _),
-    "q131_stats_prune" -> (q131StatsPrune _))
+    "q131_stats_prune" -> (q131StatsPrune _),
+    "q132_category_prune" -> (q132CategoryPrune _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4602,5 +4638,6 @@ object ExtQueries {
     "q128_snapshot_diff" -> q128Sql,
     "q129_autocorr" -> q129Sql,
     "q130_ks_drift" -> q130Sql,
-    "q131_stats_prune" -> q131Sql)
+    "q131_stats_prune" -> q131Sql,
+    "q132_category_prune" -> q132Sql)
 }
