@@ -619,6 +619,28 @@ object TableManifest {
     else df.filter(col(column).isin(values: _*))
   }
 
+  /** Z-order OPTIMIZE for a tracked table — the Delta/Iceberg
+    * `OPTIMIZE ... ZORDER BY (a, b)` shape composed from the pieces
+    * already here: rewrite the head snapshot clustered on the morton key
+    * of `(a, b)` ([[Layout.mortonKey]] — each output file covers a small
+    * rectangle in (a, b) space), [[publish]] it as one atomic manifest
+    * commit (readers on the old head stay whole; run [[vacuum]] after a
+    * grace period), then [[analyze]] both columns so every new file's 2-D
+    * stats land in the manifest and [[readTableRanges]] prunes
+    * multiplicatively. Returns the analyze commit's version. */
+  def optimizeZOrder(spark: SparkSession, dir: String, a: String, b: String,
+      numFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val clustered = readTable(spark, dir)
+      .withColumn("__z", Layout.mortonKey(col(a), col(b)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    publish(clustered, dir)
+    analyze(spark, dir, Seq(a, b))
+  }
+
   private def markerName(consumerId: String, v: Long): String =
     f"consumer-$consumerId-v$v%020d.marker"
 

@@ -190,6 +190,37 @@ class DataSkippingSpec extends SparkSpec {
       .count() == 6)
   }
 
+  test("optimizeZOrder: fragmented table becomes clustered, stat'd, prunable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    // 32 hash-scattered fragments: every file spans the whole 2-D space,
+    // so NO box predicate can prune anything even after analyze
+    spark.range(32 * 32)
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("x", "y"))
+    val before = TableManifest.prunedFilesAll(spark, dir,
+      Seq(("x", 2L, 5L), ("y", 2L, 5L)))
+    assert(before.size == 32, "scattered layout: nothing prunable")
+
+    TableManifest.optimizeZOrder(spark, dir, "x", "y", numFiles = 16)
+    val files = TableManifest.read(spark, dir).get._2
+    assert(files.size == 16)
+    val after = TableManifest.prunedFilesAll(spark, dir,
+      Seq(("x", 2L, 5L), ("y", 2L, 5L)))
+    assert(after.size <= 4,
+      s"z-ordered rewrite must localize the box: ${after.size} files")
+    // still exact, and the table's contents are unchanged by the rewrite
+    val got = TableManifest.readTableRanges(spark, dir,
+        Seq(("x", 2L, 5L), ("y", 2L, 5L)))
+      .as[(Long, Long)].collect().toSet
+    assert(got == (for (x <- 2L to 5L; y <- 2L to 5L) yield (x, y)).toSet)
+    assert(TableManifest.readTable(spark, dir).count() == 32 * 32)
+    // old fragments are dead, not gone, until vacuum reclaims them
+    assert(TableManifest.vacuum(spark, dir).size >= 32)
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
