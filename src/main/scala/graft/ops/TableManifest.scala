@@ -641,6 +641,65 @@ object TableManifest {
     analyze(spark, dir, Seq(a, b))
   }
 
+  /** Bounded-scope z-order OPTIMIZE: rewrite ONLY the head files whose
+    * stats can intersect `ranges` (plus unanalyzed files — they MIGHT),
+    * splice the clustered replacements into the file list, and commit via
+    * CAS so concurrent appends are never lost. At 100 TB this is the op
+    * you actually run — re-cluster the fragmented recent region, leave
+    * the petabytes of already-clustered history byte-identical. The new
+    * files carry their (a, b) footer stats in the same commit (born
+    * prunable). Aborts (and removes its moved files) if a concurrent
+    * full rewrite made the victim set disappear. Returns the committed
+    * version, or the current head when nothing intersects. */
+  def optimizeZOrderRange(spark: SparkSession, dir: String, a: String,
+      b: String, ranges: Seq[(String, Long, Long)], numFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val (fs, p) = fsFor(spark, dir)
+    val victims = prunedFilesAll(spark, dir, ranges)
+    val head0 = readHead(spark, dir)
+      .getOrElse(sys.error(s"optimizeZOrderRange: $dir is not tracked"))
+    if (victims.isEmpty) return head0._1
+    val clustered = spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(f => s"$dir/$f"): _*)
+      .withColumn("__z", Layout.mortonKey(col(a), col(b)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val tmp = new Path(p, s"_publish_tmp-${UUID.randomUUID()}")
+    clustered.write.mode("overwrite").parquet(tmp.toString)
+    val snap = UUID.randomUUID().toString.take(8)
+    val moved = fs.listStatus(tmp).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map { s =>
+      val dest = new Path(p, s"zopt-$snap-${s.getPath.getName}")
+      require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
+      dest.getName
+    }
+    fs.delete(tmp, true)
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
+    val victimSet = victims.toSet
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"optimizeZOrderRange: manifest vanished under $dir"))
+      if (!victimSet.subsetOf(files.toSet)) {
+        // a concurrent full rewrite (publish / compaction) replaced our
+        // victims: our rewrite is of a dead snapshot — abandon cleanly
+        moved.foreach(f => fs.delete(new Path(p, f), false))
+        sys.error(s"optimizeZOrderRange: victim files disappeared under " +
+          s"$dir (concurrent rewrite); re-run against the new head")
+      }
+      val next = files.filterNot(victimSet) ++ moved
+      commitIf(spark, dir, next, v, hwm, mstats, msstats) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"optimizeZOrderRange lost $attempts races in $dir; giving up")
+  }
+
   private def markerName(consumerId: String, v: Long): String =
     f"consumer-$consumerId-v$v%020d.marker"
 

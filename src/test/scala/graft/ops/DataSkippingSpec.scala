@@ -221,6 +221,52 @@ class DataSkippingSpec extends SparkSpec {
     assert(TableManifest.vacuum(spark, dir).size >= 32)
   }
 
+  test("optimizeZOrderRange rewrites only the intersecting region") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-optr").toString
+    spark.range(32 * 32)
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.optimizeZOrder(spark, dir, "x", "y", numFiles = 16)
+    TableManifest.vacuum(spark, dir)
+    val clustered = TableManifest.read(spark, dir).get._2.toSet
+
+    // a fragmented overlay lands INSIDE one 8x8 quadrant, with stats
+    graft.streaming.ManifestAppendSink.applyBatch(
+      spark.range(16).select((col("id") % 4).as("x"), expr("id DIV 4").as("y"))
+        .coalesce(1),
+      0L, dir, statsCols = Seq("x", "y"))
+
+    // re-cluster ONLY that quadrant: victims are the overlay plus the
+    // clustered files whose rectangle intersects [0,7]x[0,7]
+    val before = TableManifest.read(spark, dir).get._2
+    val victims = TableManifest.prunedFilesAll(spark, dir,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L))).toSet
+    assert(victims.size < before.size,
+      "bounded optimize must not rewrite the whole table")
+    TableManifest.optimizeZOrderRange(spark, dir, "x", "y",
+      Seq(("x", 0L, 7L), ("y", 0L, 7L)), numFiles = 2)
+
+    val after = TableManifest.read(spark, dir).get._2
+    // untouched clustered files keep their exact names (byte-identical)
+    assert((clustered -- victims).subsetOf(after.toSet))
+    assert(after.exists(_.startsWith("zopt-")))
+    assert(!after.exists(victims))
+    // contents preserved: 1024 grid rows + 16 overlay rows
+    assert(TableManifest.readTable(spark, dir).count() == 1040L)
+    // the new files are born prunable: the quadrant query stays selective
+    val hit = TableManifest.prunedFilesAll(spark, dir,
+      Seq(("x", 20L, 23L), ("y", 20L, 23L)))
+    assert(hit.size <= 4, s"far quadrant untouched and selective: $hit")
+    val got = TableManifest.readTableRanges(spark, dir,
+        Seq(("x", 2L, 3L), ("y", 2L, 3L)))
+      .groupBy("x", "y").count()
+      .as[(Long, Long, Long)].collect().toSet
+    // overlay duplicated (2,2),(2,3),(3,2),(3,3): those carry count 2
+    assert(got == (for (x <- 2L to 3L; y <- 2L to 3L) yield (x, y, 2L)).toSet)
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
