@@ -179,19 +179,38 @@ object TableManifest {
   private def render(version: Long, token: String, files: Seq[String],
       hwm: Option[Long], stats: FileStats,
       sstats: FileStringStats): String = {
+    // the no-escaping invariant is enforced HERE, not only in the footer
+    // reader: commitIf is public API, and one unsafe caller-supplied value
+    // would either corrupt the whole body (brace breaks sliceObject's
+    // depth count) or round-trip to FABRICATED ranges (an embedded quote
+    // re-splits under the regex) → unsound pruning. File names fail loud
+    // (the file list is load-bearing); stat entries are silently dropped
+    // (only costs pruning power — the file stays a candidate).
+    files.foreach(f => require(
+      f.nonEmpty && !f.exists(c => c == '"' || c == ']' || c == '\\'),
+      s"manifest file name not JSON-safe: $f"))
+    def safeName(c: String) = c.nonEmpty && SafeStatValue.matches(c)
     val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
+    val cleanStats = stats
+      .map { case (f, cols) => f -> cols.filter(kv => safeName(kv._1)) }
+      .filter(_._2.nonEmpty)
+    val cleanSStats = sstats
+      .map { case (f, cols) => f -> cols.filter { case (c, (lo, hi)) =>
+        safeName(c) && SafeStatValue.matches(lo) && SafeStatValue.matches(hi)
+      } }
+      .filter(_._2.nonEmpty)
     val statsJson =
-      if (stats.isEmpty) ""
-      else stats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      if (cleanStats.isEmpty) ""
+      else cleanStats.toSeq.sortBy(_._1).map { case (f, cols) =>
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + c + "\":[" + lo + "," + hi + "]"
         }.mkString("{", ",", "}")
       }.mkString(",\"stats\":{", ",", "}")
     val sstatsJson =
-      if (sstats.isEmpty) ""
-      else sstats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      if (cleanSStats.isEmpty) ""
+      else cleanSStats.toSeq.sortBy(_._1).map { case (f, cols) =>
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
         }.mkString("{", ",", "}")
@@ -312,7 +331,11 @@ object TableManifest {
     * names, then commit a manifest listing ONLY them. Readers on the old
     * head keep their files (nothing is deleted here — run [[vacuum]] after
     * a grace period). Returns the committed version. */
-  def publish(df: DataFrame, dir: String): Long = {
+  /** Write `df` to a hidden scratch dir and move its data files in under
+    * `prefix`-stamped unique names — the shared first half of every
+    * whole-file rewrite commit (publish, z-order optimize). */
+  private def writeAndMoveIn(df: DataFrame, prefix: String,
+      dir: String): Seq[String] = {
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, dir)
     fs.mkdirs(p)
@@ -323,11 +346,17 @@ object TableManifest {
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map { s =>
-      val dest = new Path(p, s"snap-$snap-${s.getPath.getName}")
+      val dest = new Path(p, s"$prefix-$snap-${s.getPath.getName}")
       require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
       dest.getName
     }
     fs.delete(tmp, true)
+    moved
+  }
+
+  def publish(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val moved = writeAndMoveIn(df, "snap", dir)
     // full-snapshot replace, but writer metadata (the streaming append
     // high-water mark) must survive maintenance — and must be re-read
     // TOGETHER with the head on every CAS attempt: reading hwm once and
@@ -448,19 +477,17 @@ object TableManifest {
         val confB = spark.sparkContext.broadcast(
           new org.apache.spark.util.SerializableConfiguration(
             spark.sparkContext.hadoopConfiguration))
-        val slices = math.min(files.size, 256)
-        spark.sparkContext.parallelize(files, slices)
-          .map(f => f -> footerStats(confB.value.value, s"$dir/$f", colSet))
-          .collect().toSeq
+        try {
+          val slices = math.min(files.size, 256)
+          spark.sparkContext.parallelize(files, slices)
+            .map(f => f -> footerStats(confB.value.value, s"$dir/$f", colSet))
+            .collect().toSeq
+        } finally confB.destroy() // a per-micro-batch caller must not
+                                  // accumulate broadcasts until driver GC
       }
     (per.filter(_._2._1.nonEmpty).map { case (f, (l, _)) => f -> l }.toMap,
       per.filter(_._2._2.nonEmpty).map { case (f, (_, s)) => f -> s }.toMap)
   }
-
-  /** Long/int-column half of [[fileAllStats]]. */
-  def fileStats(spark: SparkSession, dir: String, files: Seq[String],
-      cols: Seq[String]): FileStats =
-    fileAllStats(spark, dir, files, cols)._1
 
   /** Footer min/max per requested column of one parquet file, merged
     * across row groups; a column missing stats in ANY row group is
@@ -498,7 +525,14 @@ object TableManifest {
             acc.getOrElse(name, (s.getMin.toLong, s.getMax.toLong))
           acc(name) =
             (math.min(plo, s.getMin.toLong), math.max(phi, s.getMax.toLong))
-        case s: BinaryStatistics if s.hasNonNullValue =>
+        // BINARY stats are string bounds ONLY for UTF8/String logical
+        // type: a DECIMAL or raw-binary column's bytes are ordered by a
+        // DIFFERENT comparator, and bytes that happen to decode to safe
+        // ASCII would record garbage bounds → unsound pruning
+        case s: BinaryStatistics if s.hasNonNullValue &&
+            cc.getPrimitiveType.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation
+                .StringLogicalTypeAnnotation] =>
           val lo = new String(s.getMinBytes, StandardCharsets.UTF_8)
           val hi = new String(s.getMaxBytes, StandardCharsets.UTF_8)
           if (safe(lo) && safe(hi)) {
@@ -525,15 +559,26 @@ object TableManifest {
       lo: Long, hi: Long): Seq[String] =
     prunedFilesAll(spark, dir, Seq((column, lo, hi)))
 
-  /** One parse of the head body feeding files AND stats — a pruned read
-    * must not list/open `_manifest/` two or three times per call, and
-    * files/stats must come from the SAME version. */
+  /** One parse of the head body feeding version, files AND stats — a
+    * pruned read must not list/open `_manifest/` two or three times per
+    * call, and files/stats must come from the SAME version. */
   private def headSnapshot(spark: SparkSession, dir: String)
-      : (Seq[String], FileStats, FileStringStats) =
+      : (Long, Seq[String], FileStats, FileStringStats) =
     readHeadRaw(spark, dir) match {
-      case Some((_, body)) =>
-        (parseFiles(body), parseStats(body), parseStringStats(body))
-      case None => (Seq.empty, Map.empty, Map.empty)
+      case Some((v, body)) =>
+        (v, parseFiles(body), parseStats(body), parseStringStats(body))
+      case None => (0L, Seq.empty, Map.empty, Map.empty)
+    }
+
+  private def filterByRanges(files: Seq[String], stats: FileStats,
+      ranges: Seq[(String, Long, Long)]): Seq[String] =
+    files.filter { f =>
+      ranges.forall { case (column, lo, hi) =>
+        stats.get(f).flatMap(_.get(column)) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true
+        }
+      }
     }
 
   /** AND of several column ranges: a file survives only if EVERY range can
@@ -543,15 +588,8 @@ object TableManifest {
     * row-group pruning the Z-order scaladoc promises. */
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val (files, stats, _) = headSnapshot(spark, dir)
-    files.filter { f =>
-      ranges.forall { case (column, lo, hi) =>
-        stats.get(f).flatMap(_.get(column)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        }
-      }
-    }
+    val (_, files, stats, _) = headSnapshot(spark, dir)
+    filterByRanges(files, stats, ranges)
   }
 
   /** Range scan with manifest data skipping: open ONLY the files whose
@@ -593,7 +631,7 @@ object TableManifest {
     * [min, max] (or when it has no stats for the column). */
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
-    val (files, _, sstats) = headSnapshot(spark, dir)
+    val (_, files, _, sstats) = headSnapshot(spark, dir)
     files.filter { f =>
       sstats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
@@ -620,26 +658,19 @@ object TableManifest {
   }
 
   /** Z-order OPTIMIZE for a tracked table — the Delta/Iceberg
-    * `OPTIMIZE ... ZORDER BY (a, b)` shape composed from the pieces
-    * already here: rewrite the head snapshot clustered on the morton key
-    * of `(a, b)` ([[Layout.mortonKey]] — each output file covers a small
-    * rectangle in (a, b) space), [[publish]] it as one atomic manifest
-    * commit (readers on the old head stay whole; run [[vacuum]] after a
-    * grace period), then [[analyze]] both columns so every new file's 2-D
-    * stats land in the manifest and [[readTableRanges]] prunes
-    * multiplicatively. Returns the analyze commit's version. */
+    * `OPTIMIZE ... ZORDER BY (a, b)` shape: rewrite the head snapshot
+    * clustered on the morton key of `(a, b)` ([[Layout.mortonKey]] — each
+    * output file covers a small rectangle in (a, b) space) and splice it
+    * in via the same victim-set CAS as [[optimizeZOrderRange]] (with every
+    * head file a victim), committing the new files' footer stats in the
+    * same version. NOT a snapshot-replace: a streaming append landing
+    * mid-rewrite keeps its file AND its replay protection — a publish
+    * would silently erase the rows while carrying the hwm forward,
+    * suppressing the checkpoint replay. Readers on the old head stay
+    * whole; run [[vacuum]] after a grace period. */
   def optimizeZOrder(spark: SparkSession, dir: String, a: String, b: String,
-      numFiles: Int): Long = {
-    import org.apache.spark.sql.functions.col
-    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val clustered = readTable(spark, dir)
-      .withColumn("__z", Layout.mortonKey(col(a), col(b)))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-    publish(clustered, dir)
-    analyze(spark, dir, Seq(a, b))
-  }
+      numFiles: Int): Long =
+    optimizeZOrderRange(spark, dir, a, b, Seq.empty, numFiles)
 
   /** Bounded-scope z-order OPTIMIZE: rewrite ONLY the head files whose
     * stats can intersect `ranges` (plus unanalyzed files — they MIGHT),
@@ -656,28 +687,19 @@ object TableManifest {
     import org.apache.spark.sql.functions.col
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val (fs, p) = fsFor(spark, dir)
-    val victims = prunedFilesAll(spark, dir, ranges)
-    val head0 = readHead(spark, dir)
-      .getOrElse(sys.error(s"optimizeZOrderRange: $dir is not tracked"))
-    if (victims.isEmpty) return head0._1
+    // ONE snapshot read: the victims and the early-return version must
+    // come from the same head
+    val (headV, headFiles, headStats, _) = headSnapshot(spark, dir)
+    if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
+    val victims = filterByRanges(headFiles, headStats, ranges)
+    if (victims.isEmpty) return headV
     val clustered = spark.read.option("mergeSchema", "true")
       .parquet(victims.map(f => s"$dir/$f"): _*)
       .withColumn("__z", Layout.mortonKey(col(a), col(b)))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val tmp = new Path(p, s"_publish_tmp-${UUID.randomUUID()}")
-    clustered.write.mode("overwrite").parquet(tmp.toString)
-    val snap = UUID.randomUUID().toString.take(8)
-    val moved = fs.listStatus(tmp).toSeq.filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map { s =>
-      val dest = new Path(p, s"zopt-$snap-${s.getPath.getName}")
-      require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
-      dest.getName
-    }
-    fs.delete(tmp, true)
+    val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
     val victimSet = victims.toSet
     var attempts = 0

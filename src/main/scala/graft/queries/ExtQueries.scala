@@ -4338,8 +4338,12 @@ object ExtQueries {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      // Files.walk holds open directory handles until close()d — a leak
+      // per bench/verify invocation otherwise
+      val stream = java.nio.file.Files.walk(root)
+      try stream.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally stream.close()
     }
   }
 

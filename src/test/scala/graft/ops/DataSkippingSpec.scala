@@ -267,6 +267,70 @@ class DataSkippingSpec extends SparkSpec {
     assert(got == (for (x <- 2L to 3L; y <- 2L to 3L) yield (x, y, 2L)).toSet)
   }
 
+  test("optimizeZOrder racing a streaming append loses no rows, keeps replay") {
+    // pre-fix, optimizeZOrder committed via publish (snapshot-replace): an
+    // append landing mid-rewrite had its file dropped from the listing
+    // while its hwm was carried forward — rows gone AND the checkpoint
+    // replay suppressed. The splice path must keep both.
+    val dir = java.nio.file.Files.createTempDirectory("graft-optrace").toString
+    spark.range(32 * 32)
+      .select((col("id") % 32).as("x"), expr("id DIV 32").as("y"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    (0L to 3L).foreach { i =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val optimizer = new Thread(() => {
+        gate.await()
+        TableManifest.optimizeZOrder(spark, dir, "x", "y", numFiles = 4)
+      })
+      val appender = new Thread(() => {
+        gate.await()
+        graft.streaming.ManifestAppendSink.applyBatch(
+          Seq((100L + i, 100L + i)).toDF("x", "y").coalesce(1), i, dir,
+          statsCols = Seq("x", "y"))
+      })
+      optimizer.start(); appender.start()
+      gate.countDown()
+      optimizer.join(); appender.join()
+      assert(TableManifest.readTable(spark, dir).count() == 1024L + i + 1L,
+        s"append lost during optimize at batch $i")
+      assert(graft.streaming.ManifestAppendSink
+        .committedBatchHighWater(spark, dir) == i)
+      // checkpoint replay still no-ops
+      graft.streaming.ManifestAppendSink.applyBatch(
+        Seq((100L + i, 100L + i)).toDF("x", "y").coalesce(1), i, dir)
+      assert(TableManifest.readTable(spark, dir).count() == 1024L + i + 1L,
+        s"replayed batch $i double-appended after optimize race")
+    }
+  }
+
+  test("render drops unsafe caller stats; unsafe file names fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-unsafe").toString
+    // an embedded quote would re-split under the parser's regex into a
+    // FABRICATED range; a brace would corrupt depth counting — both must
+    // be dropped at commit, leaving the body parseable and the file a
+    // conservative candidate
+    val v = TableManifest.commitIf(spark, dir, Seq("a.parquet", "b.parquet"),
+      0L,
+      stats = Map("a.parquet" -> Map("k" -> ((1L, 2L)))),
+      sstats = Map(
+        "a.parquet" -> Map("src" -> (("we\"ird", "z"))),
+        "b.parquet" -> Map("src" -> (("ok", "also{bad}")),
+          "lang" -> (("de", "en")))))
+    assert(v.contains(1L))
+    assert(TableManifest.readStats(spark, dir) ==
+      Map("a.parquet" -> Map("k" -> ((1L, 2L)))))
+    assert(TableManifest.readStringStats(spark, dir) ==
+      Map("b.parquet" -> Map("lang" -> (("de", "en")))))
+    assert(TableManifest.prunedFilesIn(spark, dir, "src", Seq("zzz"))
+      .toSet == Set("a.parquet", "b.parquet"),
+      "files with dropped stats stay candidates")
+    // file names are load-bearing: unsafe ones must fail, not degrade
+    intercept[IllegalArgumentException](TableManifest.commitIf(
+      spark, dir, Seq("evil\"name.parquet"), 1L))
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
