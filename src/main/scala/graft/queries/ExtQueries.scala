@@ -4398,6 +4398,49 @@ object ExtQueries {
       |FROM documents WHERE source IN ('src15', 'src3')
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- Q133
+  /** Per-DAY Kolmogorov–Smirnov drift of the events value distribution vs
+    * the whole month ([[graft.ops.Stats.ksDrift]] with the time window as
+    * the group) — the continuous-ingestion twin of q130's per-source
+    * drift: a day whose value profile shifts (pricing change, broken
+    * emitter, bot burst) alarms before any aggregate moves. Integer-exact
+    * cents, DECIMAL(38,0) CDF cross-multiplication, one count shuffle. */
+  def q133TsDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.ksDrift(
+        t(s, dir, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          round(col("value") * 100).cast("long").as("vc")),
+        "day", "vc")
+      .select(col("source").as("day"), col("n_docs").as("n_events"),
+        col("ks_ppm"))
+      .orderBy("day")
+
+  val q133Sql: String =
+    """WITH gv AS MATERIALIZED (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS g,
+      |    CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM gv GROUP BY v),
+      |cumc AS MATERIALIZED (
+      |  SELECT v, CAST(SUM(cv) OVER (ORDER BY v) AS BIGINT) AS cumc FROM cv),
+      |ng AS MATERIALIZED (
+      |  SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM gv GROUP BY g),
+      |nt AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gv),
+      |grid AS (SELECT ng.g, cumc.v, cumc.cumc FROM cumc, ng),
+      |cum AS (
+      |  SELECT grid.g, grid.v, grid.cumc,
+      |    CAST(SUM(COALESCE(gv.c, 0))
+      |      OVER (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cumg
+      |  FROM grid LEFT JOIN gv ON grid.g = gv.g AND grid.v = gv.v)
+      |SELECT g AS day, ng AS n_events,
+      |  dmax * 1000000 // (ng * (SELECT n FROM nt)) AS ks_ppm
+      |FROM (
+      |  SELECT c.g, MAX(n2.ng) AS ng,
+      |    MAX(ABS(c.cumg * (SELECT n FROM nt) - c.cumc * n2.ng)) AS dmax
+      |  FROM cum c JOIN ng n2 ON c.g = n2.g GROUP BY c.g)
+      |ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4519,7 +4562,8 @@ object ExtQueries {
     "q129_autocorr" -> (q129Autocorr _),
     "q130_ks_drift" -> (q130KsDrift _),
     "q131_stats_prune" -> (q131StatsPrune _),
-    "q132_category_prune" -> (q132CategoryPrune _))
+    "q132_category_prune" -> (q132CategoryPrune _),
+    "q133_ts_drift" -> (q133TsDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4643,5 +4687,6 @@ object ExtQueries {
     "q129_autocorr" -> q129Sql,
     "q130_ks_drift" -> q130Sql,
     "q131_stats_prune" -> q131Sql,
-    "q132_category_prune" -> q132Sql)
+    "q132_category_prune" -> q132Sql,
+    "q133_ts_drift" -> q133Sql)
 }
