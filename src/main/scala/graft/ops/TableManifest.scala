@@ -77,6 +77,18 @@ object TableManifest {
   /** String twin of [[FileStats]] for category columns (source, lang). */
   type FileStringStats = Map[String, Map[String, (String, String)]]
 
+  /** Per-file → per-column → hex-encoded bloom bitmap, for POINT-lookup
+    * skipping on high-cardinality long columns (ids) where min/max ranges
+    * prune nothing — every file's range spans the key space, but a 1 KiB
+    * bloom answers "this id is definitely not here" per file. */
+  type FileBloom = Map[String, Map[String, String]]
+
+  /** Bits / hash-count of the manifest blooms: 8192 bits (1 KiB hex) and
+    * 6 hashes ≈ 2% false-positive at ~800 distinct keys per file-bloom
+    * saturating gracefully — a saturated bloom only stops pruning. */
+  val BloomBits = 8192
+  val BloomHashes = 6
+
   /** String stat values must keep the manifest's no-escaping invariant: a
     * value outside this charset (or too long / possibly truncated by the
     * parquet writer) is DROPPED, which only costs pruning power, never
@@ -142,6 +154,18 @@ object TableManifest {
       }.toMap
     }.getOrElse(Map.empty)
 
+  private val ColBloomRe = """"([^"]+)":"([0-9a-f]*)"""".r
+
+  /** The `"bloom":{...}` point-lookup object. */
+  private def parseBloom(json: String): FileBloom =
+    sliceObject(json, "bloom").map { body =>
+      FileStatsRe.findAllMatchIn(body).map { fm =>
+        fm.group(1) -> ColBloomRe.findAllMatchIn(fm.group(2)).map { cm =>
+          cm.group(1) -> cm.group(2)
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** Head (version, files, stream high-water mark). The hwm is writer
     * metadata carried INSIDE the manifest (see [[commit]]) so maintenance
     * commits that rename data files — compaction, publish — cannot erase
@@ -159,6 +183,10 @@ object TableManifest {
   def readStringStats(spark: SparkSession, dir: String): FileStringStats =
     readHeadRaw(spark, dir).map(h => parseStringStats(h._2))
       .getOrElse(Map.empty)
+
+  /** Head manifest's point-lookup blooms (empty until [[analyzeBloom]]). */
+  def readBloom(spark: SparkSession, dir: String): FileBloom =
+    readHeadRaw(spark, dir).map(h => parseBloom(h._2)).getOrElse(Map.empty)
 
   private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val (fs, p) = fsFor(spark, dir)
@@ -178,7 +206,7 @@ object TableManifest {
 
   private def render(version: Long, token: String, files: Seq[String],
       hwm: Option[Long], stats: FileStats,
-      sstats: FileStringStats): String = {
+      sstats: FileStringStats, bloom: FileBloom): String = {
     // the no-escaping invariant is enforced HERE, not only in the footer
     // reader: commitIf is public API, and one unsafe caller-supplied value
     // would either corrupt the whole body (brace breaks sliceObject's
@@ -215,7 +243,19 @@ object TableManifest {
           "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
         }.mkString("{", ",", "}")
       }.mkString(",\"sstats\":{", ",", "}")
-    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson}"""
+    val cleanBloom = bloom
+      .map { case (f, cols) => f -> cols.filter { case (c, hex) =>
+        safeName(c) && hex.matches("[0-9a-f]*")
+      } }
+      .filter(_._2.nonEmpty)
+    val bloomJson =
+      if (cleanBloom.isEmpty) ""
+      else cleanBloom.toSeq.sortBy(_._1).map { case (f, cols) =>
+        "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, hex) =>
+          "\"" + c + "\":\"" + hex + "\""
+        }.mkString("{", ",", "}")
+      }.mkString(",\"bloom\":{", ",", "}")
+    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson$bloomJson}"""
   }
 
   /** Atomically create the manifest file for exactly this version: local
@@ -257,7 +297,8 @@ object TableManifest {
   def commitIf(spark: SparkSession, dir: String, files: Seq[String],
       expectedHead: Long, hwm: Option[Long] = None,
       stats: FileStats = Map.empty,
-      sstats: FileStringStats = Map.empty): Option[Long] = {
+      sstats: FileStringStats = Map.empty,
+      bloom: FileBloom = Map.empty): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -268,13 +309,15 @@ object TableManifest {
     // the head's stats for files still listed, overlay the caller's — so an
     // append after an [[analyze]] keeps every analyzed file prunable
     val fileSet = files.toSet
-    val carried = headRaw.map(h => parseStats(h._2)).getOrElse(Map.empty)
-    val merged = (carried ++ stats).filter { case (f, _) => fileSet(f) }
-    val scarried = headRaw.map(h => parseStringStats(h._2)).getOrElse(Map.empty)
-    val smerged = (scarried ++ sstats).filter { case (f, _) => fileSet(f) }
+    def carry[A](parse: String => Map[String, A],
+        fresh: Map[String, A]): Map[String, A] =
+      (headRaw.map(h => parse(h._2)).getOrElse(Map.empty) ++ fresh)
+        .filter { case (f, _) => fileSet(f) }
     val v = expectedHead + 1
     val body =
-      render(v, UUID.randomUUID().toString, files, hwm, merged, smerged)
+      render(v, UUID.randomUUID().toString, files, hwm,
+        carry(parseStats, stats), carry(parseStringStats, sstats),
+        carry(parseBloom, bloom))
         .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
@@ -563,11 +606,12 @@ object TableManifest {
     * pruned read must not list/open `_manifest/` two or three times per
     * call, and files/stats must come from the SAME version. */
   private def headSnapshot(spark: SparkSession, dir: String)
-      : (Long, Seq[String], FileStats, FileStringStats) =
+      : (Long, Seq[String], FileStats, FileStringStats, FileBloom) =
     readHeadRaw(spark, dir) match {
       case Some((v, body)) =>
-        (v, parseFiles(body), parseStats(body), parseStringStats(body))
-      case None => (0L, Seq.empty, Map.empty, Map.empty)
+        (v, parseFiles(body), parseStats(body), parseStringStats(body),
+          parseBloom(body))
+      case None => (0L, Seq.empty, Map.empty, Map.empty, Map.empty)
     }
 
   private def filterByRanges(files: Seq[String], stats: FileStats,
@@ -588,7 +632,7 @@ object TableManifest {
     * row-group pruning the Z-order scaladoc promises. */
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val (_, files, stats, _) = headSnapshot(spark, dir)
+    val (_, files, stats, _, _) = headSnapshot(spark, dir)
     filterByRanges(files, stats, ranges)
   }
 
@@ -625,13 +669,112 @@ object TableManifest {
       lo: Long, hi: Long): DataFrame =
     readTableRanges(spark, dir, Seq((column, lo, hi)))
 
+  /** Build per-file blooms over long column `column` for every head file
+    * and commit them (CAS, hwm preserved) — POINT-lookup skipping for id
+    * columns whose min/max prune nothing. One distributed pass: each
+    * file's k bit positions reduce to [[BloomBits]]/64 bit_or words per
+    * file IN the cluster; the driver receives files × 128 longs, never
+    * row data. Returns the committed version. */
+  def analyzeBloom(spark: SparkSession, dir: String, keyCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    var attempts = 0
+    var cache = Map.empty[String, String]
+    var swept = Set.empty[String]
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir)
+        .getOrElse(sys.error(s"analyzeBloom: $dir is not manifest-tracked"))
+      val fresh = files.filterNot(swept)
+      if (fresh.nonEmpty) {
+        val pos = (0 until BloomHashes).map(i =>
+          pmod(hash(col("__v"), lit(i)), lit(BloomBits)).cast("int"))
+        val words = spark.read.option("mergeSchema", "true")
+          .parquet(fresh.map(f => s"$dir/$f"): _*)
+          .select(input_file_name().as("__f"),
+            col(keyCol).cast("long").as("__v"))
+          .where(col("__v").isNotNull)
+          .select(col("__f"), explode(array(pos: _*)).as("__p"))
+          .groupBy(col("__f"), (col("__p") / 64).cast("int").as("__w"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), __p % 64))")
+            .as("__bits"))
+          .collect()
+        val perFile = words.groupBy(r =>
+          r.getString(0).split('/').last)
+        cache ++= perFile.map { case (f, rows) =>
+          val arr = Array.fill(BloomBits / 64)(0L)
+          rows.foreach(r => arr(r.getInt(1)) |= r.getLong(2))
+          f -> arr.map(w => f"$w%016x").mkString
+        }
+        swept ++= fresh
+      }
+      val bloom = files.flatMap(f => cache.get(f).map(h =>
+        f -> Map(keyCol -> h))).toMap
+      commitIf(spark, dir, files, v, hwm, bloom = bloom) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest analyzeBloom lost $attempts races in $dir")
+  }
+
+  /** Driver-side twin of the Spark-side `hash(v, i)` used by
+    * [[analyzeBloom]]: catalyst's multi-arg Murmur3 folds the seed —
+    * hashLong(v, 42) then hashInt(i, ·). Divergence here would cause
+    * FALSE NEGATIVES (wrongly pruned files); the spec pins parity by
+    * asserting zero false negatives over a large key set. */
+  private def bloomPositions(value: Long): Seq[Int] =
+    (0 until BloomHashes).map { i =>
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(
+        i, org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(value, 42))
+      ((h % BloomBits) + BloomBits) % BloomBits
+    }
+
+  private def bloomMightContain(hex: String, value: Long): Boolean = {
+    if (hex.length != BloomBits / 4) return true // malformed → conservative
+    bloomPositions(value).forall { p =>
+      val word = java.lang.Long.parseUnsignedLong(
+        hex.substring((p / 64) * 16, (p / 64) * 16 + 16), 16)
+      (word & (1L << (p % 64))) != 0L
+    }
+  }
+
+  /** Head files that might contain a row with `column` equal to ANY of
+    * `values`: a file whose committed bloom misses every value is
+    * skipped; files without a bloom are kept (conservative). */
+  def prunedFilesEq(spark: SparkSession, dir: String, column: String,
+      values: Seq[Long]): Seq[String] = {
+    val (_, files, _, _, bloom) = headSnapshot(spark, dir)
+    files.filter { f =>
+      bloom.get(f).flatMap(_.get(column)) match {
+        case Some(hex) => values.exists(v => bloomMightContain(hex, v))
+        case None => true
+      }
+    }
+  }
+
+  /** Point lookup with bloom skipping: open ONLY the files whose bloom
+    * can contain one of `values`, then apply the exact predicate —
+    * semantically identical to `readTable(...).where(column isin values)`
+    * for long keys. The everyday "fetch these doc_ids" access: at 100 TB
+    * the lookup opens a handful of files instead of the table. */
+  def readTableWhereEq(spark: SparkSession, dir: String, column: String,
+      values: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val files = prunedFilesEq(spark, dir, column, values)
+    if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$dir/$f"): _*)
+    if (!df.columns.contains(column))
+      readTable(spark, dir).filter(col(column).isin(values: _*))
+    else df.filter(col(column).isin(values: _*))
+  }
+
   /** Head files that might hold rows whose string `column` is one of
     * `values` — the "read only source=X" slice of a curation table. A
     * file is kept when any sought value falls inside its committed
     * [min, max] (or when it has no stats for the column). */
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
-    val (_, files, _, sstats) = headSnapshot(spark, dir)
+    val (_, files, _, sstats, _) = headSnapshot(spark, dir)
     files.filter { f =>
       sstats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
@@ -689,7 +832,7 @@ object TableManifest {
     val (fs, p) = fsFor(spark, dir)
     // ONE snapshot read: the victims and the early-return version must
     // come from the same head
-    val (headV, headFiles, headStats, _) = headSnapshot(spark, dir)
+    val (headV, headFiles, headStats, _, _) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
     val victims = filterByRanges(headFiles, headStats, ranges)
     if (victims.isEmpty) return headV

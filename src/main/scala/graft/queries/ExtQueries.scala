@@ -4441,6 +4441,32 @@ object ExtQueries {
       |  FROM cum c JOIN ng n2 ON c.g = n2.g GROUP BY c.g)
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- Q134
+  /** Bloom point lookup ([[graft.ops.TableManifest.analyzeBloom]] →
+    * `readTableWhereEq`): documents laid out with doc_ids INTERLEAVED
+    * across files (hash layout — min/max ranges span the key space and
+    * prune nothing), per-file blooms committed to the manifest, and the
+    * "fetch these doc_ids" lookup opens only the files whose bloom can
+    * contain a sought id. The aggregate runs over the exact isin
+    * predicate, so the result is layout- and false-positive-independent. */
+  def q134PointLookup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q134")
+    t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyzeBloom(s, tmp, "doc_id")
+    graft.ops.TableManifest.readTableWhereEq(s, tmp, "doc_id",
+        Seq(3L, 57L, 123L, 250L, 311L, 404L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q134Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (3, 57, 123, 250, 311, 404)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4563,7 +4589,8 @@ object ExtQueries {
     "q130_ks_drift" -> (q130KsDrift _),
     "q131_stats_prune" -> (q131StatsPrune _),
     "q132_category_prune" -> (q132CategoryPrune _),
-    "q133_ts_drift" -> (q133TsDrift _))
+    "q133_ts_drift" -> (q133TsDrift _),
+    "q134_point_lookup" -> (q134PointLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4688,5 +4715,6 @@ object ExtQueries {
     "q130_ks_drift" -> q130Sql,
     "q131_stats_prune" -> q131Sql,
     "q132_category_prune" -> q132Sql,
-    "q133_ts_drift" -> q133Sql)
+    "q133_ts_drift" -> q133Sql,
+    "q134_point_lookup" -> q134Sql)
 }

@@ -331,6 +331,53 @@ class DataSkippingSpec extends SparkSpec {
       spark, dir, Seq("evil\"name.parquet"), 1L))
   }
 
+  test("bloom point-lookup skipping: no false negatives, real pruning") {
+    // ids deliberately INTERLEAVED across files (i % 4) so min/max ranges
+    // span the whole key space and prune NOTHING — the bloom is the only
+    // thing that can skip a file here
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    (0 until 4).foreach { part =>
+      graft.streaming.ManifestAppendSink.applyBatch(
+        (0L until 2000L).filter(_ % 4 == part).toDF("doc_id").coalesce(1),
+        part.toLong, dir, statsCols = Seq("doc_id"))
+    }
+    TableManifest.analyze(spark, dir, Seq("doc_id"))
+    assert(TableManifest.prunedFiles(spark, dir, "doc_id", 500L, 500L)
+      .size == 4, "interleaved ids: ranges cannot prune")
+
+    TableManifest.analyzeBloom(spark, dir, "doc_id")
+    assert(TableManifest.readBloom(spark, dir).size == 4)
+
+    // ZERO false negatives over every present id — this is the assertion
+    // that pins driver/executor murmur hash parity: any divergence wrongly
+    // prunes the file that actually holds the id
+    (0L until 2000L).foreach { id =>
+      val hit = TableManifest.prunedFilesEq(spark, dir, "doc_id", Seq(id))
+      assert(hit.nonEmpty, s"id $id bloom-missed its own file")
+    }
+    // single-id lookup opens ~1 file (false positives allowed, rare)
+    val sizes = (0L until 100L).map(id =>
+      TableManifest.prunedFilesEq(spark, dir, "doc_id", Seq(id)).size)
+    assert(sizes.sum <= 150, s"bloom pruning too weak: ${sizes.sum}/100 lookups")
+    // exact result through the pruned read
+    val got = TableManifest.readTableWhereEq(spark, dir, "doc_id",
+      Seq(7L, 1234L)).as[Long].collect().sorted.toSeq
+    assert(got == Seq(7L, 1234L))
+    // absent id: every bloom misses it; empty result, schema preserved
+    assert(TableManifest.readTableWhereEq(spark, dir, "doc_id", Seq(99999L))
+      .count() == 0)
+    assert(TableManifest.prunedFilesEq(spark, dir, "doc_id", Seq(99999L))
+      .isEmpty, "absent id should miss every bloom (w.h.p.)")
+
+    // blooms survive an unrelated append (carry-forward), new file is a
+    // conservative candidate
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq(50000L).toDF("doc_id").coalesce(1), 9L, dir)
+    assert(TableManifest.readBloom(spark, dir).size == 4)
+    assert(TableManifest.prunedFilesEq(spark, dir, "doc_id", Seq(50000L))
+      .size == 1, "only the bloomless new file is a candidate")
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))

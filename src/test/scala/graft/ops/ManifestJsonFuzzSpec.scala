@@ -43,16 +43,20 @@ class ManifestJsonFuzzSpec extends SparkSpec {
       fileName() -> Seq.fill(1 + rng.nextInt(3))(colName() -> range()).toMap
     ).toMap
 
-  test("render → parse round-trips arbitrary files/hwm/stats/sstats") {
+  private def hexValue(): String =
+    pick("0123456789abcdef".toSeq, 0, 64)
+
+  test("render → parse round-trips arbitrary files/hwm/stats/sstats/bloom") {
     (1 to 60).foreach { _ =>
       val stats = statsGen(longRange _)
       val sstats = statsGen(strRange _)
+      val bloom = statsGen(hexValue _)
       val extra = Seq.fill(rng.nextInt(4))(fileName())
-      val all = (extra ++ stats.keys ++ sstats.keys).distinct
+      val all = (extra ++ stats.keys ++ sstats.keys ++ bloom.keys).distinct
       val hwm = if (rng.nextBoolean()) Some(rng.nextLong()) else None
       val dir = Files.createTempDirectory("graft-json-fuzz").toString
       val v = TableManifest.commitIf(spark, dir, all, expectedHead = 0L,
-        hwm = hwm, stats = stats, sstats = sstats)
+        hwm = hwm, stats = stats, sstats = sstats, bloom = bloom)
       assert(v.contains(1L))
       val (gotV, gotFiles, gotHwm) = TableManifest.readHead(spark, dir).get
       assert(gotV == 1L)
@@ -60,6 +64,7 @@ class ManifestJsonFuzzSpec extends SparkSpec {
       assert(gotHwm == hwm)
       assert(TableManifest.readStats(spark, dir) == stats)
       assert(TableManifest.readStringStats(spark, dir) == sstats)
+      assert(TableManifest.readBloom(spark, dir) == bloom)
     }
   }
 
