@@ -147,9 +147,22 @@ object Layout {
       b: String,
       numFiles: Int,
       path: String): Unit =
-    df.withColumn("__z", mortonKey(col(a), col(b)))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    clusterByMorton(df, a, b, numFiles)
       .write.mode("overwrite").parquet(path)
+
+  /** The clustering transform alone (the shared core of [[writeClustered]]
+    * and the manifest optimizers): morton-keyed range partitions, sorted
+    * within each, schema unchanged. The key column name is salted per call
+    * so a user column can never collide and be silently replaced/dropped. */
+  def clusterByMorton(
+      df: org.apache.spark.sql.DataFrame,
+      a: String,
+      b: String,
+      numFiles: Int): org.apache.spark.sql.DataFrame = {
+    val zc = "__z_" + java.util.UUID.randomUUID().toString.take(8)
+    df.withColumn(zc, mortonKey(col(a), col(b)))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
+  }
 }

@@ -215,7 +215,9 @@ object TableManifest {
     // (the file list is load-bearing); stat entries are silently dropped
     // (only costs pruning power — the file stays a candidate).
     files.foreach(f => require(
-      f.nonEmpty && !f.exists(c => c == '"' || c == ']' || c == '\\'),
+      f.nonEmpty && !f.exists(c =>
+        c == '"' || c == '[' || c == ']' || c == '{' || c == '}' ||
+          c == '\\'),
       s"manifest file name not JSON-safe: $f"))
     def safeName(c: String) = c.nonEmpty && SafeStatValue.matches(c)
     val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
@@ -368,12 +370,6 @@ object TableManifest {
       case None    => spark.read.parquet(dir)
     }
 
-  /** Atomically replace the table's contents with `df` (full-snapshot
-    * publish, the SCD-2 / upsert "diff then publish" commit step): write
-    * the new files under a hidden temp dir, move them in under unique
-    * names, then commit a manifest listing ONLY them. Readers on the old
-    * head keep their files (nothing is deleted here — run [[vacuum]] after
-    * a grace period). Returns the committed version. */
   /** Write `df` to a hidden scratch dir and move its data files in under
     * `prefix`-stamped unique names — the shared first half of every
     * whole-file rewrite commit (publish, z-order optimize). */
@@ -397,6 +393,12 @@ object TableManifest {
     moved
   }
 
+  /** Atomically replace the table's contents with `df` (full-snapshot
+    * publish, the SCD-2 / upsert "diff then publish" commit step): write
+    * the new files under a hidden temp dir, move them in under unique
+    * names, then commit a manifest listing ONLY them. Readers on the old
+    * head keep their files (nothing is deleted here — run [[vacuum]] after
+    * a grace period). Returns the committed version. */
   def publish(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val moved = writeAndMoveIn(df, "snap", dir)
@@ -602,16 +604,16 @@ object TableManifest {
       lo: Long, hi: Long): Seq[String] =
     prunedFilesAll(spark, dir, Seq((column, lo, hi)))
 
-  /** One parse of the head body feeding version, files AND stats — a
-    * pruned read must not list/open `_manifest/` two or three times per
-    * call, and files/stats must come from the SAME version. */
+  /** One read of the head body: version, files, and the raw body for the
+    * caller to parse ONLY the stat section it needs — a pruned read must
+    * not list/open `_manifest/` several times per call, files/stats must
+    * come from the SAME version, and a range scan must not regex 2 KiB of
+    * bloom hex per file it never looks at. */
   private def headSnapshot(spark: SparkSession, dir: String)
-      : (Long, Seq[String], FileStats, FileStringStats, FileBloom) =
+      : (Long, Seq[String], String) =
     readHeadRaw(spark, dir) match {
-      case Some((v, body)) =>
-        (v, parseFiles(body), parseStats(body), parseStringStats(body),
-          parseBloom(body))
-      case None => (0L, Seq.empty, Map.empty, Map.empty, Map.empty)
+      case Some((v, body)) => (v, parseFiles(body), body)
+      case None => (0L, Seq.empty, "")
     }
 
   private def filterByRanges(files: Seq[String], stats: FileStats,
@@ -632,8 +634,8 @@ object TableManifest {
     * row-group pruning the Z-order scaladoc promises. */
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val (_, files, stats, _, _) = headSnapshot(spark, dir)
-    filterByRanges(files, stats, ranges)
+    val (_, files, body) = headSnapshot(spark, dir)
+    filterByRanges(files, parseStats(body), ranges)
   }
 
   /** Range scan with manifest data skipping: open ONLY the files whose
@@ -684,11 +686,17 @@ object TableManifest {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyzeBloom: $dir is not manifest-tracked"))
       val fresh = files.filterNot(swept)
-      if (fresh.nonEmpty) {
+      val freshDf =
+        if (fresh.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(fresh.map(f => s"$dir/$f"): _*))
+      // schema-evolution edge, same posture as analyze(): files without
+      // the column get no bloom and stay conservative candidates — a
+      // maintenance job must degrade, not crash mid-sweep
+      freshDf.filter(_.columns.contains(keyCol)).foreach { df =>
         val pos = (0 until BloomHashes).map(i =>
           pmod(hash(col("__v"), lit(i)), lit(BloomBits)).cast("int"))
-        val words = spark.read.option("mergeSchema", "true")
-          .parquet(fresh.map(f => s"$dir/$f"): _*)
+        val words = df
           .select(input_file_name().as("__f"),
             col(keyCol).cast("long").as("__v"))
           .where(col("__v").isNotNull)
@@ -704,8 +712,8 @@ object TableManifest {
           rows.foreach(r => arr(r.getInt(1)) |= r.getLong(2))
           f -> arr.map(w => f"$w%016x").mkString
         }
-        swept ++= fresh
       }
+      swept ++= fresh
       val bloom = files.flatMap(f => cache.get(f).map(h =>
         f -> Map(keyCol -> h))).toMap
       commitIf(spark, dir, files, v, hwm, bloom = bloom) match {
@@ -742,7 +750,8 @@ object TableManifest {
     * skipped; files without a bloom are kept (conservative). */
   def prunedFilesEq(spark: SparkSession, dir: String, column: String,
       values: Seq[Long]): Seq[String] = {
-    val (_, files, _, _, bloom) = headSnapshot(spark, dir)
+    val (_, files, body) = headSnapshot(spark, dir)
+    val bloom = parseBloom(body)
     files.filter { f =>
       bloom.get(f).flatMap(_.get(column)) match {
         case Some(hex) => values.exists(v => bloomMightContain(hex, v))
@@ -774,7 +783,8 @@ object TableManifest {
     * [min, max] (or when it has no stats for the column). */
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
-    val (_, files, _, sstats, _) = headSnapshot(spark, dir)
+    val (_, files, body) = headSnapshot(spark, dir)
+    val sstats = parseStringStats(body)
     files.filter { f =>
       sstats.get(f).flatMap(_.get(column)) match {
         case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
@@ -827,21 +837,18 @@ object TableManifest {
     * version, or the current head when nothing intersects. */
   def optimizeZOrderRange(spark: SparkSession, dir: String, a: String,
       b: String, ranges: Seq[(String, Long, Long)], numFiles: Int): Long = {
-    import org.apache.spark.sql.functions.col
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val (fs, p) = fsFor(spark, dir)
     // ONE snapshot read: the victims and the early-return version must
     // come from the same head
-    val (headV, headFiles, headStats, _, _) = headSnapshot(spark, dir)
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
-    val victims = filterByRanges(headFiles, headStats, ranges)
+    val victims = filterByRanges(headFiles, parseStats(headBody), ranges)
     if (victims.isEmpty) return headV
-    val clustered = spark.read.option("mergeSchema", "true")
-      .parquet(victims.map(f => s"$dir/$f"): _*)
-      .withColumn("__z", Layout.mortonKey(col(a), col(b)))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val clustered = Layout.clusterByMorton(
+      spark.read.option("mergeSchema", "true")
+        .parquet(victims.map(f => s"$dir/$f"): _*),
+      a, b, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
     val victimSet = victims.toSet

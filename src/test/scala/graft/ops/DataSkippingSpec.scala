@@ -378,6 +378,23 @@ class DataSkippingSpec extends SparkSpec {
       .size == 1, "only the bloomless new file is a candidate")
   }
 
+  test("optimize preserves a user column named __z") {
+    // the clustering key used to be literally "__z": withColumn REPLACED a
+    // user column of that name and drop() then deleted it — silent data
+    // loss. The key is now salted per call.
+    val dir = java.nio.file.Files.createTempDirectory("graft-zcol").toString
+    spark.range(64)
+      .select((col("id") % 8).as("x"), expr("id DIV 8").as("y"),
+        (col("id") * 100).as("__z"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.optimizeZOrder(spark, dir, "x", "y", numFiles = 4)
+    val df = TableManifest.readTable(spark, dir)
+    assert(df.columns.sorted.toSeq == Seq("__z", "x", "y"))
+    assert(df.agg(sum("__z")).as[Long].collect()(0) == (0L until 64L).map(_ * 100).sum)
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))
