@@ -88,6 +88,41 @@ object Stats {
     * the corpus scale this module targets. DECIMAL(38,0) is exact while
     * `nAll ≤ 1e16` (then `dmax·10⁶ ≤ nAll²·10⁶ ≤ 10³⁸`); beyond that the
     * guard fails loudly instead of letting Spark null the overflow. */
+  /** Exact TWO-SAMPLE Kolmogorov–Smirnov distance between two integer
+    * count tables `(v, c)` — `sup_x |F_a(x) − F_b(x)|` directly, the
+    * window-vs-reference / A-vs-B drift statistic ([[ksDrift]] compares
+    * each group against the POOLED corpus, which is a different, diluted
+    * statistic when only two samples exist). One row `(n_a, n_b, ks_ppm)`,
+    * integer-exact via DECIMAL(38,0) cross-multiplied CDFs.
+    *
+    * Scale shape: one count-table equi-join on the value grid, CDFs via
+    * the bucketed [[Scale.prefixSum]] (no single-partition window), then a
+    * 1-row max — no all-pairs, no driver data beyond two scalars. */
+  def ksTwoSample(a: DataFrame, b: DataFrame): DataFrame = {
+    val av = a.groupBy("v").agg(sum("c").as("ca"))
+    val bv = b.groupBy("v").agg(sum("c").as("cb"))
+    val u = av.join(bv, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint()
+    val n = u.agg(sum("ca"), sum("cb")).collect()(0)
+    val (na, nb) = (n.getLong(0), n.getLong(1))
+    require(na > 0 && nb > 0, "ksTwoSample: both samples must be non-empty")
+    require(na <= 10000000000000000L && nb <= 10000000000000000L,
+      s"ksTwoSample: counts ($na, $nb) exceed the DECIMAL(38,0) exact-ppm " +
+        "range (max 1e16 rows per sample)")
+    val dec = "decimal(38,0)"
+    val cum = Scale.prefixSum(
+      Scale.prefixSum(u, "v", "ca", "cuma"), "v", "cb", "cumb")
+    cum
+      .select(abs(col("cuma").cast(dec) * lit(nb).cast(dec)
+        - col("cumb").cast(dec) * lit(na).cast(dec)).as("dnum"))
+      .agg(max(col("dnum")).as("dmax"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        expr(s"dmax * 1000000 DIV (CAST($na AS $dec) * CAST($nb AS $dec))")
+          .as("ks_ppm"))
+  }
+
   def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gv = counts.select(col("g"), col("v"), col("c")).localCheckpoint()

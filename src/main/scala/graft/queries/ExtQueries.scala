@@ -4467,6 +4467,46 @@ object ExtQueries {
       |WHERE doc_id IN (3, 57, 123, 250, 311, 404)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q135
+  /** Two-sample Kolmogorov–Smirnov A/B drift
+    * ([[graft.ops.Stats.ksTwoSample]]): the first half-month of events
+    * value distribution against the second — the direct sup|F_a − F_b|
+    * a window-vs-reference monitor or an A/B experiment needs (q133's
+    * group-vs-corpus statistic dilutes when only two samples exist).
+    * Integer cents, DECIMAL(38,0) cross-multiplied CDFs, bucketed prefix
+    * sums — no single-partition window anywhere. */
+  def q135AbDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(
+      dayofmonth(col("ts")).as("d"),
+      round(col("value") * 100).cast("long").as("v"))
+    def counts(cond: org.apache.spark.sql.Column) =
+      ev.filter(cond).groupBy("v").agg(count(lit(1)).as("c"))
+    graft.ops.Stats.ksTwoSample(
+      counts(col("d") <= 15), counts(col("d") > 15))
+  }
+
+  val q135Sql: String =
+    """WITH ev AS MATERIALIZED (
+      |  SELECT EXTRACT(day FROM ts) AS d,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |a AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+      |      WHERE d <= 15 GROUP BY v),
+      |b AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM ev
+      |      WHERE d > 15 GROUP BY v),
+      |u AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(a.c, 0) AS ca,
+      |        COALESCE(b.c, 0) AS cb
+      |      FROM a FULL JOIN b ON a.v = b.v),
+      |cum AS (SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+      |          CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      |        FROM u),
+      |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+      |        CAST(SUM(cb) AS BIGINT) AS nb FROM u)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) * 1000000
+      |    // (na * nb) AS ks_ppm
+      |FROM cum, n GROUP BY na, nb""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4590,7 +4630,8 @@ object ExtQueries {
     "q131_stats_prune" -> (q131StatsPrune _),
     "q132_category_prune" -> (q132CategoryPrune _),
     "q133_ts_drift" -> (q133TsDrift _),
-    "q134_point_lookup" -> (q134PointLookup _))
+    "q134_point_lookup" -> (q134PointLookup _),
+    "q135_ab_drift" -> (q135AbDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4716,5 +4757,6 @@ object ExtQueries {
     "q131_stats_prune" -> q131Sql,
     "q132_category_prune" -> q132Sql,
     "q133_ts_drift" -> q133Sql,
-    "q134_point_lookup" -> q134Sql)
+    "q134_point_lookup" -> q134Sql,
+    "q135_ab_drift" -> q135Sql)
 }

@@ -62,6 +62,23 @@ class StatsSpec extends SparkSpec {
     assert(expected == 499999L) // ≈ half, minus the 1-row leak per group
   }
 
+  test("ksTwoSample: identical → 0, disjoint → 1e6, hand-computed middle") {
+    def cnt(rows: (Long, Long)*) = rows.toDF("v", "c")
+    def ks(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      Stats.ksTwoSample(a, b).as[(Long, Long, Long)].collect()(0)
+
+    assert(ks(cnt(1L -> 3L, 2L -> 7L), cnt(1L -> 6L, 2L -> 14L))
+      == ((10L, 20L, 0L)), "identical shapes (scaled) drift 0")
+    assert(ks(cnt(1L -> 5L), cnt(9L -> 4L)) == ((5L, 4L, 1000000L)),
+      "disjoint supports drift 1.0")
+    // F_a at v=1: 2/4; F_b: 1/4 → D = 1/4; at v=2: 4/4 vs 2/4 → 1/2 (sup)
+    assert(ks(cnt(1L -> 2L, 2L -> 2L), cnt(1L -> 1L, 2L -> 1L, 3L -> 2L))
+      == ((4L, 4L, 500000L)))
+    // guard: huge counts fail loudly rather than overflowing silently
+    intercept[IllegalArgumentException](
+      ks(cnt(1L -> 20000000000000000L), cnt(1L -> 1L)))
+  }
+
   test("matches Spark's built-in corr on lineitem to the 6dp rounding") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(round(col("l_quantity")).cast("long").as("qty"),
