@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call housekeeping for a manifest-tracked table — the nightly
+  * maintenance job a 100 TB deployment schedules per table instead of
+  * wiring four primitives by hand:
+  *
+  *   1. [[Compaction.compactInPlace]] — coalesce small-file fragments
+  *      (reader-atomic CAS commit on tracked dirs; right-sized files stay
+  *      byte-identical);
+  *   2. [[TableManifest.analyze]] — refresh footer min/max (long + safe
+  *      string) data-skipping stats for the given columns;
+  *   3. [[TableManifest.analyzeBloom]] — refresh the point-lookup bloom
+  *      for an id column, if one is named;
+  *   4. [[TableManifest.vacuum]] — reclaim dead files and prune
+  *      superseded markers/manifests under a retention budget, never past
+  *      the slowest consumer and never inside the in-flight grace window.
+  *
+  * Every step commits independently via CAS and degrades conservatively,
+  * so a crash between steps leaves the table fully consistent and the
+  * next run converges — there is deliberately no cross-step transaction.
+  * Concurrent streaming appends are safe throughout (each step either
+  * splices or carries the head it re-reads per attempt). */
+object Maintenance {
+
+  final case class Report(
+      compaction: Compaction.Stats,
+      statsVersion: Option[Long],
+      bloomVersion: Option[Long],
+      vacuumed: Seq[String])
+
+  def run(
+      spark: SparkSession,
+      dir: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCol: Option[String] = None,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = 64L << 20,
+      graceMillis: Long = 60L * 60 * 1000,
+      retainManifests: Int = 64): Report = {
+    val compaction = Compaction.compactInPlace(
+      spark, dir, targetBytes, minFileBytes)
+    val statsVersion =
+      if (statsCols.nonEmpty) Some(TableManifest.analyze(spark, dir, statsCols))
+      else None
+    val bloomVersion = bloomCol.map(TableManifest.analyzeBloom(spark, dir, _))
+    val vacuumed =
+      TableManifest.vacuum(spark, dir, graceMillis, retainManifests)
+    Report(compaction, statsVersion, bloomVersion, vacuumed)
+  }
+}
