@@ -4507,6 +4507,34 @@ object ExtQueries {
       |    // (na * nb) AS ks_ppm
       |FROM cum, n GROUP BY na, nb""".stripMargin
 
+  // ---------------------------------------------------------------- Q136
+  /** Full housekeeping pipeline end to end
+    * ([[graft.ops.Maintenance.run]]): a 16-fragment lineitem projection is
+    * compacted (reader-atomic CAS), stat'd, bloom'd, and vacuumed in one
+    * call, then answered through the stats-pruned range read — proving the
+    * composite leaves contents bit-identical and the skipping metadata
+    * live. Oracle is the plain aggregate over the same predicate. */
+  def q136Maintenance(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q136")
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"),
+        col("l_quantity").cast("long").as("q"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.Maintenance.run(s, tmp,
+      statsCols = Seq("k"), bloomCol = Some("k"),
+      targetBytes = 1L << 30, minFileBytes = 1L << 30,
+      graceMillis = 0L, retainManifests = 4)
+    graft.ops.TableManifest.readTableRange(s, tmp, "k", 100L, 2000L)
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+  }
+
+  val q136Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
+      |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4631,7 +4659,8 @@ object ExtQueries {
     "q132_category_prune" -> (q132CategoryPrune _),
     "q133_ts_drift" -> (q133TsDrift _),
     "q134_point_lookup" -> (q134PointLookup _),
-    "q135_ab_drift" -> (q135AbDrift _))
+    "q135_ab_drift" -> (q135AbDrift _),
+    "q136_maintenance" -> (q136Maintenance _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4758,5 +4787,6 @@ object ExtQueries {
     "q132_category_prune" -> q132Sql,
     "q133_ts_drift" -> q133Sql,
     "q134_point_lookup" -> q134Sql,
-    "q135_ab_drift" -> q135Sql)
+    "q135_ab_drift" -> q135Sql,
+    "q136_maintenance" -> q136Sql)
 }
