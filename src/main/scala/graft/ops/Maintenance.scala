@@ -15,7 +15,12 @@ import org.apache.spark.sql.SparkSession
   *      for an id column, if one is named;
   *   4. [[TableManifest.vacuum]] — reclaim dead files and prune
   *      superseded markers/manifests under a retention budget, never past
-  *      the slowest consumer and never inside the in-flight grace window.
+  *      the slowest consumer and never inside the grace window — which
+  *      covers both in-flight writes (young mtimes) and in-flight READERS
+  *      of the pre-compaction head: the fragments step 1 just replaced
+  *      were dereferenced seconds ago, so they survive until a full
+  *      `graceMillis` has passed since their delisting commit and are
+  *      reclaimed by the NEXT run.
   *
   * Every step commits independently via CAS and degrades conservatively,
   * so a crash between steps leaves the table fully consistent and the

@@ -78,16 +78,6 @@ object Stats {
         col(valueCol).cast("long").as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c")))
 
-  /** [[ksDrift]] from a pre-aggregated `(g, v, c)` count table — the entry
-    * point when upstream already holds histograms (and the one that makes
-    * the huge-count arithmetic regime testable without 1e18 physical rows).
-    *
-    * All cross-multiplied CDF arithmetic runs in DECIMAL(38,0): the Long
-    * products `cumg·nAll` / `cumc·ng` overflow past ~9.2e18 and
-    * `dmax·1000000` past ~9.2e12 — silently wrong/negative ppm at exactly
-    * the corpus scale this module targets. DECIMAL(38,0) is exact while
-    * `nAll ≤ 1e16` (then `dmax·10⁶ ≤ nAll²·10⁶ ≤ 10³⁸`); beyond that the
-    * guard fails loudly instead of letting Spark null the overflow. */
   /** Exact TWO-SAMPLE Kolmogorov–Smirnov distance between two integer
     * count tables `(v, c)` — `sup_x |F_a(x) − F_b(x)|` directly, the
     * window-vs-reference / A-vs-B drift statistic ([[ksDrift]] compares
@@ -108,9 +98,13 @@ object Stats {
     val n = u.agg(sum("ca"), sum("cb")).collect()(0)
     val (na, nb) = (n.getLong(0), n.getLong(1))
     require(na > 0 && nb > 0, "ksTwoSample: both samples must be non-empty")
-    require(na <= 10000000000000000L && nb <= 10000000000000000L,
+    // STRICT bound: at na = nb = 1e16 exactly, disjoint supports give
+    // dmax = na·nb = 1e32 and dmax·10⁶ = 10³⁸ > DECIMAL(38,0)'s max
+    // (10³⁸−1) — Spark nulls the overflow instead of raising, so an
+    // inclusive cap would ship ks_ppm = null silently
+    require(na < 10000000000000000L && nb < 10000000000000000L,
       s"ksTwoSample: counts ($na, $nb) exceed the DECIMAL(38,0) exact-ppm " +
-        "range (max 1e16 rows per sample)")
+        "range (under 1e16 rows per sample)")
     val dec = "decimal(38,0)"
     val cum = Scale.prefixSum(
       Scale.prefixSum(u, "v", "ca", "cuma"), "v", "cb", "cumb")
@@ -123,6 +117,18 @@ object Stats {
           .as("ks_ppm"))
   }
 
+  /** [[ksDrift]] from a pre-aggregated `(g, v, c)` count table — the entry
+    * point when upstream already holds histograms (and the one that makes
+    * the huge-count arithmetic regime testable without 1e18 physical rows).
+    * Columns must be named exactly `g` (group), `v` (integer value),
+    * `c` (count).
+    *
+    * All cross-multiplied CDF arithmetic runs in DECIMAL(38,0): the Long
+    * products `cumg·nAll` / `cumc·ng` overflow past ~9.2e18 and
+    * `dmax·1000000` past ~9.2e12 — silently wrong/negative ppm at exactly
+    * the corpus scale this module targets. DECIMAL(38,0) is exact while
+    * `nAll < 1e16` (then `dmax·10⁶ ≤ nAll²·10⁶ < 10³⁸`); at or beyond that
+    * the guard fails loudly instead of letting Spark null the overflow. */
   def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gv = counts.select(col("g"), col("v"), col("c")).localCheckpoint()
@@ -130,9 +136,10 @@ object Stats {
     val cumc = Scale.prefixSum(cv, "v", "cv", "cumc").select("v", "cumc")
     val ng = gv.groupBy("g").agg(sum("c").as("ng"))
     val nAll = gv.agg(sum("c")).collect()(0).getLong(0)
-    require(nAll <= 10000000000000000L, // 1e16
+    require(nAll < 10000000000000000L, // strict 1e16: nAll²·10⁶ = 10³⁸
+      // exactly at the cap overflows DECIMAL(38,0) to a silent null
       s"ksDrift: corpus count $nAll exceeds the DECIMAL(38,0) exact-ppm " +
-        "range (max 1e16 rows); shard the corpus or rescale the counts")
+        "range (under 1e16 rows); shard the corpus or rescale the counts")
     val groups = ng.select("g").collect().map(_.getString(0)).toSeq.sorted
     val grid = cumc.select(col("v"), col("cumc"),
       explode(array(groups.map(lit(_)): _*)).as("g"))

@@ -309,12 +309,22 @@ object TableManifest {
     if (head != expectedHead) return None
     // data-skipping stats survive commits that didn't recompute them: carry
     // the head's stats for files still listed, overlay the caller's — so an
-    // append after an [[analyze]] keeps every analyzed file prunable
+    // append after an [[analyze]] keeps every analyzed file prunable. The
+    // overlay merges PER COLUMN, not per file: an analyze over column set B
+    // must not erase a file's committed column-A stats (the streaming sink
+    // commits ts born-prunable; a nightly analyze(k) that replaced the
+    // inner map wholesale would silently un-prune ts table-wide)
     val fileSet = files.toSet
-    def carry[A](parse: String => Map[String, A],
-        fresh: Map[String, A]): Map[String, A] =
-      (headRaw.map(h => parse(h._2)).getOrElse(Map.empty) ++ fresh)
-        .filter { case (f, _) => fileSet(f) }
+    def carry[A](parse: String => Map[String, Map[String, A]],
+        fresh: Map[String, Map[String, A]]): Map[String, Map[String, A]] = {
+      val head = headRaw.map(h => parse(h._2)).getOrElse(Map.empty)
+      (head.keySet ++ fresh.keySet).iterator
+        .filter(fileSet)
+        .map(f => f -> (head.getOrElse(f, Map.empty) ++
+          fresh.getOrElse(f, Map.empty)))
+        .filter(_._2.nonEmpty)
+        .toMap
+    }
     val v = expectedHead + 1
     val body =
       render(v, UUID.randomUUID().toString, files, hwm,
@@ -945,11 +955,16 @@ object TableManifest {
     * `.inflight-*` scratch), prune each consumer's superseded markers, and
     * prune manifests past `retainManifests`.
     *
-    * `graceMillis` protects IN-FLIGHT work: anything younger is skipped,
-    * because a running micro-batch's scratch dir and its moved-but-not-yet-
-    * committed data files look dead to this scan. The default 0 keeps the
-    * historical "caller owns the grace period" behavior; production loops
-    * should pass their maximum batch duration.
+    * `graceMillis` protects two distinct windows: IN-FLIGHT work (anything
+    * with mtime younger than the grace is skipped, because a running
+    * micro-batch's scratch dir and its moved-but-not-yet-committed data
+    * files look dead to this scan) and IN-FLIGHT READERS (a data file whose
+    * DELISTING commit — the successor of its newest listing manifest — is
+    * younger than the grace is skipped even when its bytes are old: a
+    * query that resolved the pre-compaction head may still be scanning
+    * it). The default 0 keeps the historical "caller owns the grace
+    * period" behavior; production loops should pass max(batch duration,
+    * longest query runtime).
     *
     * Manifest retention: the newest `retainManifests` manifest versions are
     * kept (default: all — time travel to any version stays possible), and a
@@ -969,16 +984,58 @@ object TableManifest {
       case None => return Seq.empty // untracked dirs have no dead-file notion
     }
     val cutoff = System.currentTimeMillis() - graceMillis
-    val deadFiles = fs.listStatus(p).toSeq.filter { s =>
+    val entries = fs.listStatus(p).toSeq
+    val deadScratch = entries.filter { s =>
       val n = s.getPath.getName
-      val scratch = s.isDirectory && (n.startsWith("_publish_tmp-") ||
-        n.startsWith("_compaction_tmp-") || n.startsWith(".inflight-"))
-      val deadData =
-        s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n)
-      (scratch || deadData) && s.getModificationTime <= cutoff
+      s.isDirectory && (n.startsWith("_publish_tmp-") ||
+        n.startsWith("_compaction_tmp-") || n.startsWith(".inflight-")) &&
+        s.getModificationTime <= cutoff
+    }
+    val deadDataCandidates = entries.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) &&
+        s.getModificationTime <= cutoff
     }
     val mdir = new Path(p, ManifestDir)
     val mstats = if (fs.exists(mdir)) fs.listStatus(mdir).toSeq else Seq.empty
+    // Dereference grace: a dead file's BYTES can be old while its
+    // delisting is seconds old (a compaction that just committed) — a
+    // reader that resolved the pre-compaction head is still scanning it,
+    // so the deletion gate must be time-since-DEREFERENCE, not file mtime.
+    // The file's newest lister is manifest v ⇒ it was delisted at commit
+    // v+1, whose manifest mtime IS the dereference time (versions are
+    // dense, and retention prunes oldest-first, so v on disk ⇒ v+1 on
+    // disk). Files no retained manifest lists were delisted before the
+    // oldest retained version — older than any realistic grace — and
+    // crashed-commit orphans were never reader-visible; both fall through
+    // to the mtime gate alone. Scan is newest→oldest with early exit, so
+    // the common nightly case (fragments delisted by the latest few
+    // commits) reads a handful of manifest bodies, not the whole history.
+    val deadFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (graceMillis <= 0L || deadDataCandidates.isEmpty) {
+        deadScratch ++ deadDataCandidates
+      } else {
+        val derefFresh = scala.collection.mutable.Set.empty[String]
+        var pending = deadDataCandidates.map(_.getPath.getName).toSet
+        var newerMtime = Long.MaxValue // mtime of version v+1 in the loop
+        val desc = mstats
+          .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
+          .sortBy(-_._1)
+        for ((_, ms) <- desc if pending.nonEmpty) {
+          val body = {
+            val in = fs.open(ms.getPath)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          }
+          val listedPending = parseFiles(body).filter(pending)
+          if (listedPending.nonEmpty && newerMtime > cutoff)
+            derefFresh ++= listedPending
+          pending --= listedPending
+          newerMtime = ms.getModificationTime
+        }
+        deadScratch ++
+          deadDataCandidates.filterNot(s => derefFresh(s.getPath.getName))
+      }
     // grace applies here too: an in-flight commit's .tmp- (the non-local
     // createExclusive path) must not be deleted between write and rename
     val deadTmps = mstats.filter(s =>

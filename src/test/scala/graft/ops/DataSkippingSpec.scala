@@ -395,6 +395,40 @@ class DataSkippingSpec extends SparkSpec {
     assert(df.agg(sum("__z")).as[Long].collect()(0) == (0L until 64L).map(_ * 100).sum)
   }
 
+  test("analyze over a second column set merges per column — never erases the first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-skip-merge").toString
+    (0 to 2).foreach { i =>
+      graft.streaming.ManifestAppendSink.applyBatch(
+        (i * 100L until i * 100L + 100L).toDF("a")
+          .withColumn("b", col("a") + lit(1000000L)).coalesce(1),
+        i.toLong, dir)
+    }
+    // a nightly analyze(b) after an analyze(a) — a shallow per-file
+    // overlay would replace each file's whole stat map and silently
+    // un-prune column a table-wide (correct results, full-scan regression)
+    TableManifest.analyze(spark, dir, Seq("a"))
+    TableManifest.analyze(spark, dir, Seq("b"))
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 3)
+    stats.foreach { case (f, cols) =>
+      assert(cols.contains("a") && cols.contains("b"),
+        s"$f lost a column after the second analyze: ${cols.keySet}")
+    }
+    assert(TableManifest.prunedFiles(spark, dir, "a", 0L, 50L).size == 1)
+    assert(TableManifest.prunedFiles(spark, dir, "b", 1000200L, 1000250L).size == 1)
+    // same per-column rule for blooms: a second key column's analyzeBloom
+    // must keep the first column's bitmaps
+    TableManifest.analyzeBloom(spark, dir, "a")
+    TableManifest.analyzeBloom(spark, dir, "b")
+    val bloom = TableManifest.readBloom(spark, dir)
+    assert(bloom.size == 3 && bloom.values.forall(m =>
+      m.contains("a") && m.contains("b")),
+      s"bloom columns after two passes: ${bloom.values.map(_.keySet)}")
+    // and the analyzeBloom passes must not have dropped the min/max stats
+    assert(TableManifest.readStats(spark, dir).values.forall(m =>
+      m.contains("a") && m.contains("b")))
+  }
+
   test("publish drops stale stats; hwm survives analyze") {
     val (dir, _) = rangedTable(Seq((1L, 100L)))
     TableManifest.analyze(spark, dir, Seq("k"))

@@ -234,6 +234,34 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum grace gates on dereference time, not file mtime") {
+    val dir = tmpDir("deref")
+    docs.limit(200).repartition(4).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val preHead = TableManifest.read(spark, dir).get._2.toSet
+    Compaction.compactInPlace(spark, dir, 1L << 30, 1L << 30)
+    val dead = preHead -- TableManifest.read(spark, dir).get._2.toSet
+    assert(dead.size == 4, s"fragments replaced: $dead")
+    // the fragments' BYTES are days old — but their delisting commit just
+    // happened, and a reader that resolved the pre-compaction head may
+    // still be scanning them. An mtime-only gate would reclaim them now.
+    val old = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    dead.foreach(n => new java.io.File(dir, n).setLastModified(old))
+    val grace = 3600L * 1000
+    val gone1 = TableManifest.vacuum(spark, dir, graceMillis = grace)
+    assert(gone1.toSet.intersect(dead).isEmpty,
+      s"vacuum reclaimed just-delisted files under grace: $gone1")
+    assert(diskDataFiles(dir).intersect(dead) == dead,
+      "pre-compaction readers keep a complete file set")
+    // once the delisting itself is older than the grace, the same call
+    // reclaims — age every manifest to simulate the next nightly run
+    new java.io.File(dir, "_manifest").listFiles
+      .foreach(f => f.setLastModified(old))
+    val gone2 = TableManifest.vacuum(spark, dir, graceMillis = grace)
+    assert(dead.subsetOf(gone2.toSet), s"aged delisting reclaimed: $gone2")
+    assert(diskDataFiles(dir).intersect(dead).isEmpty)
+  }
+
   test("concurrent publishers: head is always one complete snapshot") {
     val dir = tmpDir("race")
     TableManifest.publish(docs.limit(10), dir)

@@ -79,6 +79,23 @@ class StatsSpec extends SparkSpec {
       ks(cnt(1L -> 20000000000000000L), cnt(1L -> 1L)))
   }
 
+  test("DECIMAL cap is strict: exactly 1e16 rows fails loudly, never nulls") {
+    // at na = nb = 1e16 with disjoint supports, dmax·10⁶ = 10³⁸ which is
+    // one past DECIMAL(38,0)'s max — Spark would null the overflow, so an
+    // inclusive cap would ship ks_ppm = null silently
+    def cnt(rows: (Long, Long)*) = rows.toDF("v", "c")
+    val cap = 10000000000000000L // 1e16
+    intercept[IllegalArgumentException](
+      Stats.ksTwoSample(cnt(1L -> cap), cnt(9L -> cap)))
+    intercept[IllegalArgumentException](
+      Stats.ksDriftFromCounts( // nAll = exactly 1e16
+        Seq(("a", 1L, cap - 1L), ("b", 9L, 1L)).toDF("g", "v", "c")))
+    // one under the cap still computes (and exactly)
+    val r = Stats.ksTwoSample(cnt(1L -> (cap - 1L)), cnt(9L -> (cap - 1L)))
+      .as[(Long, Long, Long)].collect()(0)
+    assert(r == ((cap - 1L, cap - 1L, 1000000L)))
+  }
+
   test("matches Spark's built-in corr on lineitem to the 6dp rounding") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(round(col("l_quantity")).cast("long").as("qty"),
