@@ -4535,6 +4535,45 @@ object ExtQueries {
       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q
       |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 2000""".stripMargin
 
+  /** Event-time INTERVAL JOIN, batch twin of the streaming
+    * [[graft.streaming.StreamJoin.intervalJoin]] attribution pattern: each
+    * view joined to same-user purchases inside `[view_ts, view_ts + 1h]`.
+    * Unlike q79's window-function attribution, this is the explicit
+    * equi+range join shape — Spark shuffles both sides by `user_id` once
+    * and evaluates the time band as a post-join predicate on co-located
+    * partitions, the same state-bounding condition the streaming twin
+    * uses for eviction. Micros-as-long on both engines sidesteps
+    * timestamp precision/zone hashing. */
+  def q137IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("vus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("us").as("pus"))
+    views.join(purchases,
+        col("pu") === col("user_id") &&
+          col("pus") >= col("vus") &&
+          col("pus") <= col("vus") + lit(3600L * 1000000L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("pus") - col("vus")).as("min_delay_us"))
+      .orderBy("user_id")
+  }
+
+  val q137Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events)
+      |SELECT v.user_id AS user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(MIN(p.us - v.us) AS BIGINT) AS min_delay_us
+      |FROM (SELECT user_id, us FROM ev WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, us FROM ev WHERE event_type = 'purchase') p
+      |  ON p.user_id = v.user_id
+      |  AND p.us >= v.us AND p.us <= v.us + 3600000000
+      |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4660,7 +4699,8 @@ object ExtQueries {
     "q133_ts_drift" -> (q133TsDrift _),
     "q134_point_lookup" -> (q134PointLookup _),
     "q135_ab_drift" -> (q135AbDrift _),
-    "q136_maintenance" -> (q136Maintenance _))
+    "q136_maintenance" -> (q136Maintenance _),
+    "q137_interval_join" -> (q137IntervalJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4788,5 +4828,6 @@ object ExtQueries {
     "q133_ts_drift" -> q133Sql,
     "q134_point_lookup" -> q134Sql,
     "q135_ab_drift" -> q135Sql,
-    "q136_maintenance" -> q136Sql)
+    "q136_maintenance" -> q136Sql,
+    "q137_interval_join" -> q137Sql)
 }
