@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-up drill: materialize an N× copy of the sf tables and time one
+  * representative workload per operator family at 1× and N×, printing one
+  * JSON line of `{family: {base_s, scaled_s, ratio}}`.
+  *
+  * This is the empirical check behind every "would this survive 100×?"
+  * claim in COVERAGE.md: a family whose ratio tracks N is shuffle/scan
+  * bound and scales out by adding executors; a ratio well above N means a
+  * super-linear term (candidate-pair blowup, skew, driver work) that a
+  * bigger cluster will NOT fix. The N× corpus is not N identical copies —
+  * ids/users are offset per copy so per-key density stays constant (the
+  * realistic growth mode: more users, not deeper histories) and document
+  * text is salted per copy so near-dup candidate volume grows with corpus
+  * size, not quadratically with copy count.
+  *
+  * Run: `SPARK_GRAFT_SCALE=8 sbt "runMain graft.ScaleDrill"` (env:
+  * `SPARK_GRAFT_SF_DIR`, `SPARK_GRAFT_CPUS` as in Bench).
+  */
+object ScaleDrill {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    require(mult >= 2, s"SPARK_GRAFT_SCALE must be >= 2: $mult")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val scratch = Files.createTempDirectory("graft-scale").toString
+
+    // ---- N× corpus, written to parquet so scans are real scans --------
+    def copies(base: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => shift(base, i)).reduce(_ unionByName _)
+
+    val events = Tables.load(spark, sfDir, "events")
+    copies(events) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i DAYS"))
+    }.write.mode("overwrite").parquet(s"$scratch/events")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    copies(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000000L))
+        .withColumn("text", concat(lit(s"c$i "), col("text")))
+    }.write.mode("overwrite").parquet(s"$scratch/documents")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    copies(emb) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000000L))
+    }.write.mode("overwrite").parquet(s"$scratch/embeddings")
+
+    val li = Tables.load(spark, sfDir, "lineitem")
+    copies(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1000000000L))
+    }.write.mode("overwrite").parquet(s"$scratch/lineitem")
+
+    // ---- one workload per family; every computed column feeds the final
+    // aggregate so column pruning can't hollow the measurement out ------
+    def evDf(dir: String) = spark.read.parquet(s"$dir/events")
+    def docDf(dir: String) = spark.read.parquet(s"$dir/documents")
+    def embDf(dir: String) = spark.read.parquet(s"$dir/embeddings")
+    def liDf(dir: String) = spark.read.parquet(s"$dir/lineitem")
+    val baseAs = {
+      // the 1× side reads the SAME layout as the N× side (rewritten
+      // parquet under scratch), so the ratio compares data volume only
+      val b = s"$scratch/base"
+      events.write.mode("overwrite").parquet(s"$b/events")
+      docs.write.mode("overwrite").parquet(s"$b/documents")
+      emb.write.mode("overwrite").parquet(s"$b/embeddings")
+      li.write.mode("overwrite").parquet(s"$b/lineitem")
+      b
+    }
+
+    val families: Seq[(String, String => DataFrame)] = Seq(
+      "scan_agg" -> { dir: String =>
+        evDf(dir).groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+          .agg(count(lit(1)).as("groups"), sum("n").as("rows"), sum("sv").as("v"))
+      },
+      "window_fn" -> { dir: String =>
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        evDf(dir).withColumn("run", sum("value").over(w))
+          .agg(sum("run").as("s"), max("run").as("m"))
+      },
+      "interval_join" -> { dir: String =>
+        val ev = evDf(dir).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("us").as("vus"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("us").as("pus"))
+        v.join(p, col("pu") === col("user_id") &&
+            col("pus") >= col("vus") &&
+            col("pus") <= col("vus") + lit(3600000000L))
+          .agg(count(lit(1)).as("pairs"), min(col("pus") - col("vus")).as("d"))
+      },
+      "fact_join_agg" -> { dir: String =>
+        val l = liDf(dir).select(col("l_orderkey").as("k"),
+          col("l_quantity").cast("long").as("q"))
+        val r = liDf(dir).select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("ln"))
+        l.join(r, "k").agg(count(lit(1)).as("n"), sum(col("q") * col("ln")).as("s"))
+      },
+      "minhash_dedup" -> { dir: String =>
+        graft.ops.Dedup.minhashPairs(docDf(dir).select("doc_id", "text"))
+          .agg(count(lit(1)).as("pairs"))
+      },
+      "ann_topk" -> { dir: String =>
+        val vs = embDf(dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val probes = vs.filter(col("vec_id") < 5)
+          .withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "q")
+        graft.ops.Similarity.bruteTopK(vs, probes, 5)
+          .agg(count(lit(1)).as("n"), sum("sim").as("s"))
+      },
+      "text_quality" -> { dir: String =>
+        graft.ops.TextStats.quality(docDf(dir).select("doc_id", "text"))
+          .agg(sum("score_ppm").as("s"), count(lit(1)).as("n"))
+      })
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // warm-up: JIT + codegen caches on the small side
+    families.foreach { case (_, fn) => fn(baseAs).collect() }
+
+    val rows = families.map { case (name, fn) =>
+      val base = (1 to 2).map(_ => time(fn(baseAs).collect())).min
+      val scaled = (1 to 2).map(_ => time(fn(scratch).collect())).min
+      (name, base, scaled, scaled / base)
+    }
+    val json = rows.map { case (n, b, s, r) =>
+      f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_drill","mult":$mult,"families":{$json}}""")
+    spark.stop()
+  }
+}
