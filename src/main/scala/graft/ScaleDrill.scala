@@ -38,9 +38,22 @@ object ScaleDrill {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
     val scratch = Files.createTempDirectory("graft-scale").toString
+    // an N× corpus is multiple GB — never leave it behind in /tmp
+    try runDrill(spark, sfDir, mult, scratch)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+      spark.stop()
+    }
+  }
+
+  private def runDrill(spark: SparkSession, sfDir: String, mult: Int,
+      scratch: String): Unit = {
+    import spark.implicits._
 
     // ---- N× corpus, written to parquet so scans are real scans --------
     def copies(base: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
@@ -99,15 +112,9 @@ object ScaleDrill {
           .agg(sum("run").as("s"), max("run").as("m"))
       },
       "interval_join" -> { dir: String =>
-        val ev = evDf(dir).select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"))
-        val v = ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("us").as("vus"))
-        val p = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("pu"), col("us").as("pus"))
-        v.join(p, col("pu") === col("user_id") &&
-            col("pus") >= col("vus") &&
-            col("pus") <= col("vus") + lit(3600000000L))
+        graft.queries.ExtQueries.intervalPairs(
+            evDf(dir).select(col("user_id"), col("event_type"),
+              unix_micros(col("ts")).as("us")))
           .agg(count(lit(1)).as("pairs"), min(col("pus") - col("vus")).as("d"))
       },
       "fact_join_agg" -> { dir: String =>
@@ -149,6 +156,5 @@ object ScaleDrill {
       f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$r%.2f}"""
     }.mkString(",")
     println(s"""{"metric":"scale_drill","mult":$mult,"families":{$json}}""")
-    spark.stop()
   }
 }

@@ -964,7 +964,12 @@ object TableManifest {
     * query that resolved the pre-compaction head may still be scanning
     * it). The default 0 keeps the historical "caller owns the grace
     * period" behavior; production loops should pass max(batch duration,
-    * longest query runtime).
+    * longest query runtime). Delisting time is proved from retained
+    * manifests, so when `retainManifests` × commit-interval is SHORTER
+    * than the grace (high-rate streaming tables), candidates whose
+    * listers were already pruned are conservatively kept until the
+    * surviving history spans the grace — size retention to cover the
+    * grace window if prompt reclamation matters.
     *
     * Manifest retention: the newest `retainManifests` manifest versions are
     * kept (default: all — time travel to any version stays possible), and a
@@ -1004,13 +1009,21 @@ object TableManifest {
     // so the deletion gate must be time-since-DEREFERENCE, not file mtime.
     // The file's newest lister is manifest v ⇒ it was delisted at commit
     // v+1, whose manifest mtime IS the dereference time (versions are
-    // dense, and retention prunes oldest-first, so v on disk ⇒ v+1 on
-    // disk). Files no retained manifest lists were delisted before the
-    // oldest retained version — older than any realistic grace — and
-    // crashed-commit orphans were never reader-visible; both fall through
-    // to the mtime gate alone. Scan is newest→oldest with early exit, so
-    // the common nightly case (fragments delisted by the latest few
-    // commits) reads a handful of manifest bodies, not the whole history.
+    // dense, retention prunes oldest-first so v on disk ⇒ v+1 on disk,
+    // and commit creation is sequential so manifest mtimes are monotone
+    // in version). Scan newest→oldest, stopping once the manifests are
+    // older than the cutoff: any file first found listed BELOW that point
+    // has its delisting commit at or below a scanned ≤-cutoff mtime, so
+    // it is provably outside the grace and deletable — the scan is
+    // bounded by the grace window's commit count, never the history. If
+    // the manifests are EXHAUSTED while still younger than the cutoff,
+    // what remains depends on whether the scan was complete: with v1
+    // still retained the history is exhaustive, so an unlisted file was
+    // NEVER reader-visible (crash orphan) and the mtime gate suffices;
+    // but once retention has pruned manifests (v1 gone), an unlisted
+    // candidate may have been delisted recently by a pruned lister —
+    // its delist time is unknowable, so keep it until the surviving
+    // history spans the grace (or an explicit graceMillis=0 pass).
     val deadFiles: Seq[org.apache.hadoop.fs.FileStatus] =
       if (graceMillis <= 0L || deadDataCandidates.isEmpty) {
         deadScratch ++ deadDataCandidates
@@ -1018,21 +1031,27 @@ object TableManifest {
         val derefFresh = scala.collection.mutable.Set.empty[String]
         var pending = deadDataCandidates.map(_.getPath.getName).toSet
         var newerMtime = Long.MaxValue // mtime of version v+1 in the loop
+        var lastVersion = Long.MaxValue
         val desc = mstats
           .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
-          .sortBy(-_._1)
-        for ((_, ms) <- desc if pending.nonEmpty) {
+          .sortBy(-_._1).iterator
+        while (pending.nonEmpty && newerMtime > cutoff && desc.hasNext) {
+          val (v, ms) = desc.next()
+          lastVersion = v
           val body = {
             val in = fs.open(ms.getPath)
             try new String(in.readAllBytes(), StandardCharsets.UTF_8)
             finally in.close()
           }
+          // loop invariant: newerMtime > cutoff, so every pending file
+          // listed here was delisted inside the grace window
           val listedPending = parseFiles(body).filter(pending)
-          if (listedPending.nonEmpty && newerMtime > cutoff)
-            derefFresh ++= listedPending
+          derefFresh ++= listedPending
           pending --= listedPending
           newerMtime = ms.getModificationTime
         }
+        if (pending.nonEmpty && newerMtime > cutoff && lastVersion > 1L)
+          derefFresh ++= pending // listers pruned: delist time unknowable
         deadScratch ++
           deadDataCandidates.filterNot(s => derefFresh(s.getPath.getName))
       }

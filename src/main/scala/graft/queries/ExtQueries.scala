@@ -4544,10 +4544,22 @@ object ExtQueries {
     * partitions, the same state-bounding condition the streaming twin
     * uses for eviction. Micros-as-long on both engines sidesteps
     * timestamp precision/zone hashing. */
-  def q137IntervalJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
+  def q137IntervalJoin(s: SparkSession, dir: String): DataFrame =
+    intervalPairs(t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("pus") - col("vus")).as("min_delay_us"))
+      .orderBy("user_id")
+
+  /** The q137 join body over a normalized `(user_id, event_type, us)`
+    * frame: each view paired with same-user purchases inside
+    * `[view_us, view_us + 1h]` (inclusive both ends, matching
+    * [[graft.streaming.StreamJoin.intervalJoin]]). Shared with
+    * [[graft.ScaleDrill]] so the benchmarked shape can't drift from the
+    * oracle-checked one. Returns `(user_id, vus, pus)`. */
+  private[graft] def intervalPairs(ev: DataFrame): DataFrame = {
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("us").as("vus"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -4556,10 +4568,7 @@ object ExtQueries {
         col("pu") === col("user_id") &&
           col("pus") >= col("vus") &&
           col("pus") <= col("vus") + lit(3600L * 1000000L))
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        min(col("pus") - col("vus")).as("min_delay_us"))
-      .orderBy("user_id")
+      .select("user_id", "vus", "pus")
   }
 
   val q137Sql: String =

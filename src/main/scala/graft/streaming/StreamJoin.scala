@@ -4,9 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Watermarked STREAM-STREAM event-time interval join — the attribution
-  * pattern (impression at t joined to conversions inside `(t, t+window]`)
-  * run continuously instead of as a nightly batch (the batch twin is
-  * q79's window-function attribution over the events table).
+  * pattern (impression at t joined to conversions inside `[t, t+window]`,
+  * both bounds inclusive) run continuously instead of as a nightly batch.
+  * The exact batch twin is q137's equi+range join over the events table
+  * (q79 is the related but different window-function attribution).
   *
   * Why this shape at 100 TB: both inputs are keyed shuffles, and the time
   * constraint is what lets Spark BOUND the join state — each side buffers

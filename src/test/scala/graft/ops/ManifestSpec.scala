@@ -262,6 +262,30 @@ class ManifestSpec extends SparkSpec {
     assert(diskDataFiles(dir).intersect(dead).isEmpty)
   }
 
+  test("vacuum keeps delisted files whose listers retention already pruned") {
+    val dir = tmpDir("deref2")
+    docs.limit(50).coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir) // v1 lists the original file
+    val original = TableManifest.read(spark, dir).get._2.toSet
+    (1 to 7).foreach(_ => TableManifest.publish(docs.limit(10), dir))
+    // prune the manifest history down to the 2 newest versions while the
+    // original file's bytes are still young (mtime gate keeps it)
+    TableManifest.vacuum(spark, dir, graceMillis = 3600L * 1000,
+      retainManifests = 2)
+    assert(diskDataFiles(dir).intersect(original) == original)
+    // now its bytes are old, but its lister (v1) and delisting commit
+    // (v2) are both pruned — the delist time is unknowable and could be
+    // inside the grace, so a graced vacuum must keep it...
+    val old = System.currentTimeMillis() - 7L * 24 * 3600 * 1000
+    original.foreach(n => new java.io.File(dir, n).setLastModified(old))
+    val gone = TableManifest.vacuum(spark, dir, graceMillis = 3600L * 1000)
+    assert(gone.toSet.intersect(original).isEmpty,
+      s"unprovable delist time reclaimed under grace: $gone")
+    // ...and an explicit grace-0 maintenance pass still reclaims it
+    val gone0 = TableManifest.vacuum(spark, dir, graceMillis = 0L)
+    assert(original.subsetOf(gone0.toSet), s"grace-0 reclaim: $gone0")
+  }
+
   test("concurrent publishers: head is always one complete snapshot") {
     val dir = tmpDir("race")
     TableManifest.publish(docs.limit(10), dir)
