@@ -4553,6 +4553,32 @@ object ExtQueries {
         min(col("pus") - col("vus")).as("min_delay_us"))
       .orderBy("user_id")
 
+  /** Training-shard EXPORT round-trip: documents hash-sharded into 8
+    * groups ([[graft.ops.Export.shards]] — h60(doc_id) mod 8, one
+    * repartition shuffle, manifest-pinned snapshot), then read back
+    * THROUGH the manifest and re-aggregated per shard — so the oracle
+    * checks the whole publish→read path, not just the report the export
+    * returns. DuckDB reproduces the shard assignment from the h60
+    * definition (first 15 hex chars of md5), the same twin q34 uses. */
+  def q138Export(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q138")
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "n_chars")
+    graft.ops.Export.shards(docs, "doc_id", tmp, 8)
+    graft.ops.Export.read(s, tmp)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_doc"))
+      .orderBy("shard")
+  }
+
+  val q138Sql: String =
+    """SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The q137 join body over a normalized `(user_id, event_type, us)`
     * frame: each view paired with same-user purchases inside
     * `[view_us, view_us + 1h]` (inclusive both ends, matching
@@ -4709,7 +4735,8 @@ object ExtQueries {
     "q134_point_lookup" -> (q134PointLookup _),
     "q135_ab_drift" -> (q135AbDrift _),
     "q136_maintenance" -> (q136Maintenance _),
-    "q137_interval_join" -> (q137IntervalJoin _))
+    "q137_interval_join" -> (q137IntervalJoin _),
+    "q138_export" -> (q138Export _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4838,5 +4865,6 @@ object ExtQueries {
     "q134_point_lookup" -> q134Sql,
     "q135_ab_drift" -> q135Sql,
     "q136_maintenance" -> q136Sql,
-    "q137_interval_join" -> q137Sql)
+    "q137_interval_join" -> q137Sql,
+    "q138_export" -> q138Sql)
 }
