@@ -98,6 +98,18 @@ object ScaleDrill {
       li.write.mode("overwrite").parquet(s"$b/lineitem")
       b
     }
+    // manifest-tracked twin of events on both sides, id-clustered files
+    // (range partitioning keeps each file a narrow id band — the layout
+    // optimizeZOrder produces — so footer stats can actually prune)
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Seq(baseAs, scratch).foreach { d =>
+      spark.read.parquet(s"$d/events")
+        .repartitionByRange(nParts, col("event_id"))
+        .write.mode("overwrite").parquet(s"$d/events_tracked")
+      graft.ops.TableManifest.init(spark, s"$d/events_tracked")
+      graft.ops.TableManifest.analyze(
+        spark, s"$d/events_tracked", Seq("event_id"))
+    }
 
     val families: Seq[(String, String => DataFrame)] = Seq(
       "scan_agg" -> { dir: String =>
@@ -139,6 +151,16 @@ object ScaleDrill {
       "text_quality" -> { dir: String =>
         graft.ops.TextStats.quality(docDf(dir).select("doc_id", "text"))
           .agg(sum("score_ppm").as("s"), count(lit(1)).as("n"))
+      },
+      // the counter-example family: a SELECTIVE read through manifest
+      // data skipping should hold near-FLAT as the corpus grows — the
+      // per-copy event_id offsets make each copy a disjoint id band, so
+      // a fixed-band query prunes all but the matching copy's files and
+      // scaled_s ≈ base_s is the headline data-skipping claim, measured
+      "pruned_read" -> { dir: String =>
+        graft.ops.TableManifest.readTableRange(
+            spark, s"$dir/events_tracked", "event_id", 1000L, 50000L)
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
       })
 
     def time(f: => Unit): Double = {
