@@ -56,6 +56,68 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kill-and-restart reproduces the uninterrupted run's join decisions") {
+    implicit val sqlCtx = spark.sqlContext
+    // foreachBatch sink (the memory sink refuses checkpoint recovery);
+    // map semantics absorb a replayed at-least-once sink batch
+    def start(imps: MemoryStream[(String, Timestamp)],
+        clks: MemoryStream[(String, Timestamp)], checkpoint: String,
+        out: scala.collection.mutable.Map[String, Option[Timestamp]]) =
+      StreamJoin.intervalJoin(
+          imps.toDF().toDF("ik", "its"), "its", "ik", "10 minutes",
+          clks.toDF().toDF("ck", "cts"), "cts", "ck", "10 minutes",
+          upper = "30 minutes", joinType = "left_outer")
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("ik", "cts").collect()
+            .map(r => r.getString(0) -> Option(r.getTimestamp(1)))
+          out.synchronized { out ++= rows }; ()
+        }.start()
+
+    val imps1 = Seq(("u1", ts("2024-01-01 10:00:00")),
+      ("u2", ts("2024-01-01 10:00:00")), ("u3", ts("2024-01-01 10:05:00")))
+    val clks1 = Seq(("u1", ts("2024-01-01 10:10:00")))
+    val clks2 = Seq(("u2", ts("2024-01-01 11:30:00"))) // outside the window
+    val wmA = Seq(("wmA", ts("2024-01-01 23:00:00")))
+    val wmB = Seq(("wmB", ts("2024-01-02 12:00:00")))
+    val expected = Map(
+      "u1" -> Some(ts("2024-01-01 10:10:00")),
+      "u2" -> None, "u3" -> None)
+    def drive(imps: MemoryStream[(String, Timestamp)],
+        clks: MemoryStream[(String, Timestamp)],
+        q: => org.apache.spark.sql.streaming.StreamingQuery,
+        killAfterBatch1: Boolean): Unit = {
+      val q1 = q
+      try { imps.addData(imps1); clks.addData(clks1); q1.processAllAvailable() }
+      finally if (killAfterBatch1) q1.stop()
+      val q2 = if (killAfterBatch1) q else q1
+      try {
+        clks.addData(clks2); q2.processAllAvailable()
+        Seq(wmA, wmB).foreach { wm =>
+          imps.addData(wm); clks.addData(wm); q2.processAllAvailable()
+        }
+      } finally q2.stop()
+    }
+
+    // control: no interruption
+    val cImps = MemoryStream[(String, Timestamp)]
+    val cClks = MemoryStream[(String, Timestamp)]
+    val cCp = java.nio.file.Files.createTempDirectory("sj-ctrl").toString
+    val cOut = scala.collection.mutable.Map.empty[String, Option[Timestamp]]
+    drive(cImps, cClks, start(cImps, cClks, cCp, cOut), killAfterBatch1 = false)
+    assert(cOut.filterKeys(_.startsWith("u")).toMap == expected, s"control: $cOut")
+
+    // drill: kill after the first batch, restart from the checkpoint
+    val dImps = MemoryStream[(String, Timestamp)]
+    val dClks = MemoryStream[(String, Timestamp)]
+    val dCp = java.nio.file.Files.createTempDirectory("sj-drill").toString
+    val dOut = scala.collection.mutable.Map.empty[String, Option[Timestamp]]
+    drive(dImps, dClks, start(dImps, dClks, dCp, dOut), killAfterBatch1 = true)
+    assert(dOut.filterKeys(_.startsWith("u")).toMap == expected,
+      s"restarted run diverged: $dOut != $expected")
+  }
+
   test("column-name collisions and bad join types fail loudly") {
     implicit val sqlCtx = spark.sqlContext
     val a = MemoryStream[(String, Timestamp)].toDF().toDF("k", "ts")
