@@ -27,27 +27,38 @@ object Curriculum {
 
   /** Interleaved order of `df` rows across `keyCol` groups, each group
     * hash-shuffled by `h60(idCol)` (ties by id). Adds `mix_rank` (1-based
-    * rank within key) and `pos` (1-based global training position). */
+    * rank within key) and `pos` (1-based global training position).
+    *
+    * Keys of any type are ordered by their STRING form (the round-robin
+    * order across groups is an arbitrary-but-deterministic choice, so
+    * lexicographic is as good as any); a null key has no place in that
+    * order and fails loudly — fill or filter nulls first. */
   def interleave(
       df: DataFrame,
       keyCol: String,
       idCol: String,
       buckets: Int = 32): DataFrame = {
-    val sizes: Seq[(String, Long)] = df
-      .groupBy(keyCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val keyed = df.withColumn("__k", col(keyCol).cast("string"))
+    val sizes: Seq[(String, Long)] = keyed
+      .groupBy("__k").agg(count(lit(1)).as("n"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"interleave: null $keyCol key has no interleave position — " +
+            "fill or filter null keys first")
+        r.getString(0) -> r.getLong(1)
+      }.sortBy(_._1).toSeq
     require(sizes.nonEmpty, "interleave of an empty frame")
     val ranked = Scale.groupedRank(
-      df.withColumn("__h",
+      keyed.withColumn("__h",
         graft.functions.H60.of(col(idCol).cast("string"))),
-      keyCol, "__h", idCol, "mix_rank", buckets).drop("__h")
+      "__k", "__h", idCol, "mix_rank", buckets).drop("__h")
     val below: Column = sizes.map { case (_, n) =>
       least(lit(n), col("mix_rank") - 1)
     }.reduce(_ + _)
     val sameRank: Column = sizes.map { case (k, n) =>
-      when(lit(k) < col(keyCol) && lit(n) >= col("mix_rank"), lit(1L))
+      when(lit(k) < col("__k") && lit(n) >= col("mix_rank"), lit(1L))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    ranked.withColumn("pos", (below + sameRank + 1).cast("long"))
+    ranked.withColumn("pos", (below + sameRank + 1).cast("long")).drop("__k")
   }
 }

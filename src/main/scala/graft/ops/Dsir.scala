@@ -63,9 +63,16 @@ object Dsir {
         round((log(coalesce(col("ct"), lit(0L)) + 1) - log(lit(nT))
           - log(coalesce(col("cr"), lit(0L)) + 1) + log(lit(nR)))
           * scale).cast("long").as("lr"))
-    rawF.join(broadcast(ratio), Seq("b"), "left")
+    val scored = rawF.join(broadcast(ratio), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("lr"), lit(0L))).as("logw"))
+    // featureless documents (< 2 tokens → zero bigram rows) score a
+    // NEUTRAL logw = 0 instead of vanishing: dropping them would shrink
+    // select()'s candidate pool silently, and a zero-evidence doc should
+    // outrank negative-evidence docs, not be unselectable
+    raw.select("doc_id").distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("logw"), lit(0L)).as("logw"))
   }
 
   /** Keep the `k` most target-like documents (ties → doc_id): the DSIR

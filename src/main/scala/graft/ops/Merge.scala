@@ -24,11 +24,16 @@ import org.apache.spark.sql.functions._
 object Merge {
 
   /** Updates replace target rows on key match; unmatched update rows
-    * insert. Column sets must match by name. */
+    * insert. Column sets must match by name. Key matching is NULL-SAFE
+    * (`<=>`): a null-key update replaces the null-key target row — a
+    * plain equi-anti-join would never match null and silently keep BOTH
+    * rows (duplicate instead of upsert). */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val cols = target.columns.toSeq
+    val upKeys = updates.select(keys.map(col): _*).distinct()
     target
-      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .join(upKeys, keys.map(k => target(k) <=> upKeys(k)).reduce(_ && _),
+        "left_anti")
       .unionByName(updates.select(cols.map(col): _*))
   }
 
@@ -37,10 +42,23 @@ object Merge {
     * window per key — the current version carries an open (null) upper
     * bound. The window partitions by the business key (high-cardinality by
     * construction: users, parts, accounts), so no single-task ordering; at
-    * 100 TB this is the standard keyed-window shuffle. */
+    * 100 TB this is the standard keyed-window shuffle.
+    *
+    * Duplicate `(key, ts)` change rows are inherently ambiguous input
+    * (two versions effective at the same instant): the tie is broken
+    * DETERMINISTICALLY by a payload hash, the loser gets an empty
+    * `[ts, ts)` interval that no [[asOfSnapshot]] can match, and which
+    * row loses is stable across runs and partitionings — prefer a total
+    * ordering column (log offset) as `tsCol` when the stream has one. */
   def scd2(changes: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val payload = changes.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == tsCol)
+    val tieBreak =
+      if (payload.isEmpty) lit(0L)
+      else crc32(concat_ws("", payload.map(c => col(c).cast("string")): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), tieBreak)
     changes
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
@@ -94,8 +112,16 @@ object Merge {
         sumCols.map(c => sum(col(c) * col("op")).as(s"sum_$c")): _*)
       .select((keys :+ "cnt").map(col) ++ sumCols.map(c => col(s"sum_$c")): _*)
     val deltaKeys = deltaAgg.select(keys.map(col): _*)
-    val untouched = state.join(broadcast(deltaKeys), keys, "left_anti")
-    val touched = state.join(broadcast(deltaKeys), keys, "left_semi")
+    // null-safe key split: groupBy above treats a null key as a real
+    // group, so the semi/anti split must too — EqualTo would route the
+    // null-key state row to `untouched` AND aggregate the delta alone,
+    // emitting two conflicting rows for the null key
+    def keyMatch(s: DataFrame, d: DataFrame) =
+      keys.map(k => s(k) <=> d(k)).reduce(_ && _)
+    val untouched =
+      state.join(broadcast(deltaKeys), keyMatch(state, deltaKeys), "left_anti")
+    val touched =
+      state.join(broadcast(deltaKeys), keyMatch(state, deltaKeys), "left_semi")
       .unionByName(deltaAgg)
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),

@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE acceptance gate every sampler here shares: keep the row when
+    * `h60(id) % 10000 < rateBp`. One definition, so the modulus/cast can
+    * never drift apart between the flat, stratified, and temperature
+    * variants. */
+  private def bpGate(id: Column, rateBp: Column): Column =
+    pmod(graft.functions.H60.of(id.cast("string")), lit(10000L)) < rateBp
+
   /** Keep rows where `h60(id) % 10000 < rateBp` (basis points: 10000 = all).
     * `id` should be a stable string-castable row identity. */
   def hashSample(df: DataFrame, id: Column, rateBp: Int): DataFrame = {
     require(rateBp >= 0 && rateBp <= 10000, s"rateBp out of [0,10000]: $rateBp")
-    df.filter(pmod(graft.functions.H60.of(id.cast("string")), lit(10000)) < rateBp)
+    df.filter(bpGate(id, lit(rateBp.toLong)))
   }
 
   /** Deterministic fixed-size per-key sample: the `k` rows with the lowest
@@ -74,10 +81,18 @@ object Sampling {
     val wType = df.select(weight).schema.head.dataType
     require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(wType),
       s"weight must be an integral column (unit-draw replication), got $wType")
+    // the int cast below WRAPS for weights >= 2^31 (sequence() takes int
+    // bounds): 2^31 would count down, 2^32 would silently sample with
+    // weight ~0 — fail loudly inside the plan instead. Weights are
+    // documented as small tiers; 2^31 unit draws per row is a usage bug.
+    val wInt = when(weight > lit(Int.MaxValue.toLong),
+        raise_error(concat(lit("weightedSample: weight exceeds Int.MaxValue: "),
+          weight.cast("string"))).cast("int"))
+      .otherwise(weight.cast("int"))
     df
       .filter(weight.isNotNull && weight >= 1)
       .withColumn("priority", array_min(transform(
-        sequence(lit(1), weight.cast("int")),
+        sequence(lit(1), wInt),
         i => graft.functions.H60.of(
           concat(id.cast("string"), lit("#"), i.cast("string"))))))
       .orderBy(col("priority"), id)
@@ -96,28 +111,12 @@ object Sampling {
       defaultBp: Int): DataFrame = {
     require((defaultBp +: ratesBp.values.toSeq).forall(r => r >= 0 && r <= 10000),
       "rates must be in [0,10000] basis points")
-    val rate = ratesBp.foldLeft(lit(defaultBp)) { case (acc, (k, bp)) =>
-      when(stratum === k, lit(bp)).otherwise(acc)
+    val rate = ratesBp.foldLeft(lit(defaultBp.toLong)) { case (acc, (k, bp)) =>
+      when(stratum === k, lit(bp.toLong)).otherwise(acc)
     }
-    df.filter(pmod(graft.functions.H60.of(id.cast("string")), lit(10000)) < rate)
+    df.filter(bpGate(id, rate))
   }
 
-  /** Corpus mixture rebalancing: select rows so each key's share of the
-    * output matches a target mixture — the "rebalance the training mix to
-    * N% per language/source" move. Per key the quota is
-    * `budget · share_bp / 10000` (integer floor), filled with that key's
-    * best rows: rank 1 = smallest `orderCol` (negate an integer score for
-    * best-first), ties broken by `tieCol`. A key whose availability is
-    * under quota contributes everything it has (the rank filter is the
-    * cap); keys absent from `sharesBp` are excluded — a mixture is a
-    * whitelist.
-    *
-    * Ranking goes through [[Scale.groupedRank]] — per-(key, value-range)
-    * bucketed local ranks plus broadcast offsets — because mixture keys
-    * are exactly the low-cardinality case (5 languages at 100 TB) where
-    * `Window.partitionBy(key)` would plan one task per key. The quota
-    * relation is a handful of rows, broadcast. Returns the selected rows
-    * plus their 1-based per-key `mix_rank`. */
   /** Temperature-based multilingual rebalancing (the mT5/XLM-R move):
     * sample stratum `l` towards a share ∝ `n_l^(1/τ)`, flattening the
     * head languages and boosting the tail. τ = 2 here — the exponent is
@@ -140,21 +139,48 @@ object Sampling {
       stratum: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
+    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(stratum.as("__s"))
       .agg(count(lit(1)).as("__n"))
-    val norm = counts.agg(sum(sqrt(col("__n"))).as("__z"))
+    // Σ√n accumulated in EXPLICIT stratum order (nulls first), not a free
+    // agg: IEEE double addition isn't associative, so an order-free sum's
+    // value depends on partial-agg merge order and can flip a rate_bp at
+    // a .5 rounding boundary between runs/engines. The window is global
+    // but ≤ #strata rows — bounded by construction, not by the corpus.
+    val ow = Window.orderBy(col("__s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val norm = counts.withColumn("__cz", sum(sqrt(col("__n"))).over(ow))
+      .agg(max(col("__cz")).as("__z")) // all terms > 0: last = max
     val rated = counts.crossJoin(broadcast(norm))
       .withColumn("rate_bp",
         least(lit(10000L),
           round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
             / col("__n")).cast("long")))
       .select(col("__s"), col("rate_bp"))
-    df.join(broadcast(rated), stratum === col("__s"))
-      .filter(pmod(graft.functions.H60.of(id.cast("string")),
-        lit(10000L)) < col("rate_bp"))
+    // null-safe stratum match: groupBy counted null-stratum rows, so the
+    // join must route them to their own rate too — `===` would both
+    // drop them silently AND depress every real stratum's share
+    df.join(broadcast(rated), stratum <=> col("__s"))
+      .filter(bpGate(id, col("rate_bp")))
       .drop("__s")
   }
 
+  /** Corpus mixture rebalancing: select rows so each key's share of the
+    * output matches a target mixture — the "rebalance the training mix to
+    * N% per language/source" move. Per key the quota is
+    * `budget · share_bp / 10000` (integer floor), filled with that key's
+    * best rows: rank 1 = smallest `orderCol` (negate an integer score for
+    * best-first), ties broken by `tieCol`. A key whose availability is
+    * under quota contributes everything it has (the rank filter is the
+    * cap); keys absent from `sharesBp` are excluded — a mixture is a
+    * whitelist.
+    *
+    * Ranking goes through [[Scale.groupedRank]] — per-(key, value-range)
+    * bucketed local ranks plus broadcast offsets — because mixture keys
+    * are exactly the low-cardinality case (5 languages at 100 TB) where
+    * `Window.partitionBy(key)` would plan one task per key. The quota
+    * relation is a handful of rows, broadcast. Returns the selected rows
+    * plus their 1-based per-key `mix_rank`. */
   def rebalanceToShares(
       df: DataFrame,
       keyCol: String,

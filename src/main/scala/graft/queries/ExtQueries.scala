@@ -3887,7 +3887,13 @@ object ExtQueries {
     """WITH counts AS (
       |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM documents GROUP BY lang),
-      |norm AS (SELECT CAST(SUM(sqrt(n)) AS DOUBLE) AS z FROM counts),
+      |norm AS (
+      |  -- accumulate in explicit stratum order to mirror the engine's
+      |  -- ordered windowed sum (double addition is order-sensitive)
+      |  SELECT MAX(cz) AS z FROM (
+      |    SELECT SUM(sqrt(n)) OVER (ORDER BY s NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cz
+      |    FROM counts)),
       |rated AS (
       |  SELECT s, LEAST(10000,
       |    CAST(round(10000.0 * sqrt(n) * 200 / (SELECT z FROM norm) / n)

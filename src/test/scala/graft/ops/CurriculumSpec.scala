@@ -39,6 +39,21 @@ class CurriculumSpec extends SparkSpec {
     }
   }
 
+  test("non-string keys interleave via their string form; null keys fail loudly") {
+    import spark.implicits._
+    val intKeyed = (1L to 12L).map(i => (i, (i % 3).toInt)).toDF("id", "key")
+    val out = Curriculum.interleave(intKeyed, "key", "id")
+    assert(out.select("pos").collect().map(_.getLong(0)).sorted.toSeq
+      == (1L to 12L).toSeq, "int keys form a full permutation")
+    assert(out.columns.toSet ==
+      Set("id", "key", "mix_rank", "pos"), s"${out.columns.toSeq}")
+    val withNull = intKeyed.withColumn("key",
+      when(col("id") === 1L, lit(null)).otherwise(col("key").cast("string")))
+    val e = intercept[IllegalArgumentException](
+      Curriculum.interleave(withNull, "key", "id"))
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
+
   test("interleave is partition-independent") {
     import spark.implicits._
     val rows = (1L to 40L).map(i => (i, s"s${i % 5}"))

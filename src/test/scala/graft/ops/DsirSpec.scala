@@ -24,6 +24,19 @@ class DsirSpec extends SparkSpec {
     12L -> "777 888 999 000 111 222",        // alien
     13L -> "zzz yyy xxx www vvv uuu")        // alien
 
+  test("featureless (short) docs score a neutral 0, not silent exclusion") {
+    val withShort = raw.unionByName(df(20L -> "solo"))
+    val w = Dsir.importanceWeights(withShort, target)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.keySet == Set(10L, 11L, 12L, 13L, 20L),
+      s"short doc must still be scored: ${w.keySet}")
+    assert(w(20L) == 0L, s"zero evidence = neutral weight: ${w(20L)}")
+    // and it outranks negative-evidence docs in selection
+    val sel = Dsir.select(Dsir.importanceWeights(withShort, target), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.contains(20L), s"neutral doc beats alien docs: $sel")
+  }
+
   test("target-like documents outweigh alien ones") {
     val w = Dsir.importanceWeights(raw, target)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

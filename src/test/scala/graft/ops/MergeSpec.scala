@@ -27,6 +27,42 @@ class MergeSpec extends SparkSpec {
     assert(merged.groupBy("id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("null keys upsert and maintain like any other key (null-safe joins)") {
+    import spark.implicits._
+    // upsert: a null-key update must REPLACE the null-key target row —
+    // a plain equi-anti-join never matches null and keeps both
+    val target = Seq((Some(1L), "a"), (None, "n0")).toDF("id", "v")
+    val updates = Seq((Option.empty[Long], "n1")).toDF("id", "v")
+    val out = Merge.upsert(target, updates, Seq("id")).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+      .toMap
+    assert(out == Map(Some(1L) -> "a", None -> "n1"), s"upsert: $out")
+
+    // maintainAgg: a null-key delta must merge INTO the null-key state,
+    // not fork a second null-key row
+    val state = Seq((Option.empty[Long], 2L, 10L)).toDF("k", "cnt", "sum_v")
+    val changes = Seq((Option.empty[Long], 1, 5L)).toDF("k", "op", "v")
+    val m = Merge.maintainAgg(state, changes, Seq("k"), Seq("v")).collect()
+    assert(m.length == 1, s"one row for the null key: ${m.toSeq}")
+    assert(m(0).getLong(1) == 3L && m(0).getLong(2) == 15L, s"${m.toSeq}")
+  }
+
+  test("scd2 breaks (key, ts) ties deterministically by payload hash") {
+    import spark.implicits._
+    val changes = Seq(("a", 100L, "p1"), ("a", 100L, "p2"), ("a", 200L, "p3"))
+      .toDF("k", "ts", "payload")
+    def winnerAt(df: org.apache.spark.sql.DataFrame, at: Long) =
+      Merge.asOfSnapshot(Merge.scd2(df, Seq("k"), "ts"), lit(at))
+        .select("payload").as[String].collect().toSeq
+    val w1 = winnerAt(changes, 150L)
+    assert(w1.size == 1, s"one effective version at 150: $w1")
+    // identical input in any row order / partitioning picks the SAME winner
+    (1 to 3).foreach { p =>
+      assert(winnerAt(changes.orderBy(desc("payload")).repartition(p), 150L)
+        == w1, s"tie winner changed under repartition($p)")
+    }
+  }
+
   test("dedupLatest: the whole max-version row survives as a unit") {
     import spark.implicits._
     val upd = Seq(

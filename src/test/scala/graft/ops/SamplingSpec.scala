@@ -94,6 +94,16 @@ class SamplingSpec extends SparkSpec {
     assert(sel == Set(1L, 4L), s"weight<1/null rows must be excluded: $sel")
   }
 
+  test("weightedSample: a weight past Int.MaxValue fails loudly, never wraps") {
+    import spark.implicits._
+    val huge = Seq((1L, 4294967296L)).toDF("doc_id", "w") // 2^32 wraps to 0
+    val e = intercept[Exception] {
+      Sampling.weightedSample(huge, col("doc_id"), col("w"), 1).collect()
+    }
+    assert(e.getMessage.contains("weight exceeds Int.MaxValue"),
+      s"wrong failure: ${e.getMessage}")
+  }
+
   test("stratified rates apply per stratum; 0 and 10000 are exact") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Sampling.stratifiedHashSample(

@@ -15,6 +15,21 @@ class TemperatureSampleSpec extends SparkSpec {
       .abs + i.toLong * 1000003, s)) }
       .toDF("id", "s")
 
+  test("a null stratum is a real stratum: counted, rated, and sampled") {
+    // 100 null-stratum rows next to 400 en: the null group must get its
+    // own rate and its rows must survive the gate — an equi-join would
+    // both drop them silently AND depress en's share via the normalizer
+    val withNull = corpus("en" -> 400)
+      .unionByName((1 to 100).map(i => (900000L + i, null: String)).toDF("id", "s"))
+    val out = Sampling.temperatureSample(withNull, col("id"), col("s"), 150L)
+    val byS = out.groupBy("s").agg(count(lit(1)).as("n"), min("rate_bp").as("r"))
+      .collect().map(r => Option(r.getString(0)) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // z = √400 + √100 = 30 → identical rates to the en/fr fixture
+    assert(byS(Some("en"))._2 == 2500L && byS(None)._2 == 5000L, s"$byS")
+    assert(byS(None)._1 > 0L, "null-stratum rows must survive the gate")
+  }
+
   test("sqrt flattening: 4:1 corpus gets 2:1 rates, computed exactly") {
     // n = 400/100 → √n = 20/10, z = 30, budget 150:
     // rate_en = 10000·20·150/30/400 = 2500 bp, rate_fr = 5000 bp
