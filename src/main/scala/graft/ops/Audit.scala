@@ -70,15 +70,23 @@ object Audit {
         sum(size(TextOps.tokens(col("text")))).cast("long").as("n_tokens"),
         sum(col("n_chars")).as("n_chars"),
         countDistinct(col("lang")).as("n_langs"),
-        countDistinct(TextOps.h60(col("text"))).as("n_unique_texts"),
+        // countDistinct skips NULLs, but null-text docs are in n_docs —
+        // count the null group as ONE distinct "text" (null-text docs are
+        // mutual duplicates under "identical text"), else a corpus with N
+        // null texts reports N phantom duplicates
+        (countDistinct(TextOps.h60(col("text"))) +
+          coalesce(max(when(col("text").isNull, 1L).otherwise(0L)), lit(0L)))
+          .as("n_unique_texts"),
         sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"),
         expr("percentile(n_chars, 0.5)").as("p50_chars"),
         expr("percentile(n_chars, 0.9)").as("p90_chars"))
       .select(
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
-        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs) DIV (2 * n_docs)")
-          .as("dup_ppm"),
-        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * n_docs)")
+        // GREATEST guard: an empty corpus reports 0 ppm, not a division
+        // by zero (null, or an error under ANSI mode)
+        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs)" +
+          " DIV (2 * GREATEST(n_docs, 1))").as("dup_ppm"),
+        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * GREATEST(n_docs, 1))")
           .as("short_ppm"),
         col("p50_chars"), col("p90_chars"))
 }

@@ -75,11 +75,15 @@ object KMeans {
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }.toSeq
 
-    def assign(): DataFrame = {
+    // keepVec: the update step needs (cid, vector) — emitting the vector
+    // the row ALREADY holds keeps assignment a zero-shuffle map; a
+    // re-join of the assignment back to vecs per round would add an
+    // n-row hash join per iteration for a column that never left the row
+    def assign(keepVec: Boolean = false): DataFrame = {
       val carr = array(centroids.map { case (cid, v) =>
         struct(lit(cid).as("cid"), typedLit(v).as("cv"))
       }: _*)
-      vecs.withColumn("__best",
+      val base = vecs.withColumn("__best",
         aggregate(carr,
           struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
           (acc, c) => {
@@ -87,14 +91,14 @@ object KMeans {
             when(d < acc.getField("d"), struct(d.as("d"), c.getField("cid").as("cid")))
               .otherwise(acc)
           }))
-        .select(col(idCol), col("__best.cid").as("cid"),
-          col("__best.d").as("dist"))
+      val core = Seq(col(idCol), col("__best.cid").as("cid"),
+        col("__best.d").as("dist"))
+      val out = if (keepVec) core :+ col(vecCol) else core
+      base.select(out: _*)
     }
 
     for (_ <- 1 to iters) {
-      val assigned = assign()
-      val next = assigned
-        .join(vecs.select(col(idCol), col(vecCol)), idCol)
+      val next = assign(keepVec = true)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(expr("(2 * sum(v) + count(1)) DIV (2 * count(1))").as("avg"))

@@ -43,8 +43,12 @@ object NaiveBayes {
       .select(col("doc_id"),
         pmod(TextOps.h60(col("tok")), lit(vocab.toLong)).as("b"))
 
+    // localCheckpoint pins the ≤ 2·V-row count table: it feeds the class
+    // totals action AND both sides of the LLR full join — unpinned, the
+    // corpus-scale tokenize+hash+join pipeline would re-run per consumer
     val cnt = toks.join(labels, "doc_id")
       .groupBy("y", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
 
     val tokTotals = cnt.groupBy("y").agg(sum("c").as("n"))
       .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
@@ -68,10 +72,16 @@ object NaiveBayes {
       lit(math.log(docTotals(true).toDouble / docTotals(false))) * scale)
       .cast("long")
 
-    toks.join(broadcast(llr), Seq("b"), "left")
+    // score EVERY document: a null/empty text yields zero token rows, so
+    // without the left join back to the id set it would vanish from the
+    // output instead of scoring its prior (zero token evidence)
+    val tokScores = toks.join(broadcast(llr), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("llr"), lit(0L))).as("tok_llr"))
-      .select(col("doc_id"), (col("tok_llr") + prior).as("score"))
+    docs.select("doc_id").distinct()
+      .join(tokScores, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("tok_llr"), lit(0L)) + prior).as("score"))
       .withColumn("pred", col("score") > 0)
   }
 }

@@ -20,17 +20,22 @@ object Pca {
     * i·d − i·(i−1)/2 + (j − i)). */
   case class Moments(n: Long, sum: Seq[Double], gram: Seq[Double])
 
+  /** Internal MUTABLE aggregation buffer for [[MomentsAgg]]: array-backed
+    * so reduce/merge update in place instead of copying O(d²) immutable
+    * vectors per input row (the standard Aggregator idiom). */
+  case class MomentsBuf(var n: Long, sum: Array[Double], gram: Array[Double])
+
   /** Merge-associative moments fold (the map-side-combine shape). Vectors
     * shorter than `dim` are zero-padded; longer ones truncated. */
-  class MomentsAgg(dim: Int) extends Aggregator[Seq[Double], Moments, Moments] {
+  class MomentsAgg(dim: Int) extends Aggregator[Seq[Double], MomentsBuf, Moments] {
     private val gramLen = dim * (dim + 1) / 2
 
-    override def zero: Moments =
-      Moments(0L, Vector.fill(dim)(0.0), Vector.fill(gramLen)(0.0))
+    override def zero: MomentsBuf =
+      MomentsBuf(0L, new Array[Double](dim), new Array[Double](gramLen))
 
-    override def reduce(b: Moments, v: Seq[Double]): Moments = {
-      val s = b.sum.toArray
-      val g = b.gram.toArray
+    override def reduce(b: MomentsBuf, v: Seq[Double]): MomentsBuf = {
+      val s = b.sum
+      val g = b.gram
       val x = new Array[Double](dim)
       var i = 0
       while (i < dim && i < v.length) { x(i) = v(i); i += 1 }
@@ -42,28 +47,34 @@ object Pca {
         while (j < dim) { g(k) += x(i) * x(j); j += 1; k += 1 }
         i += 1
       }
-      Moments(b.n + 1, s.toVector, g.toVector)
+      b.n += 1
+      b
     }
 
-    override def merge(a: Moments, b: Moments): Moments = {
-      val s = a.sum.toArray
-      val g = a.gram.toArray
+    override def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf = {
       var i = 0
-      while (i < dim) { s(i) += b.sum(i); i += 1 }
+      while (i < dim) { a.sum(i) += b.sum(i); i += 1 }
       i = 0
-      while (i < gramLen) { g(i) += b.gram(i); i += 1 }
-      Moments(a.n + b.n, s.toVector, g.toVector)
+      while (i < gramLen) { a.gram(i) += b.gram(i); i += 1 }
+      a.n += b.n
+      a
     }
 
-    override def finish(m: Moments): Moments = m
-    override def bufferEncoder: Encoder[Moments] = ExpressionEncoder[Moments]()
+    override def finish(m: MomentsBuf): Moments =
+      Moments(m.n, m.sum.toVector, m.gram.toVector)
+    override def bufferEncoder: Encoder[MomentsBuf] = ExpressionEncoder[MomentsBuf]()
     override def outputEncoder: Encoder[Moments] = ExpressionEncoder[Moments]()
   }
 
-  /** One distributed pass over `vecCol` (array<double>-castable) → moments. */
+  /** One distributed pass over `vecCol` (array<double>-castable) → moments.
+    * NULL vectors are skipped (SQL-aggregate convention: no information,
+    * not a crash) and NULL elements read as 0.0 — the zero-padding rule
+    * already applied to short vectors. */
   def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
     import df.sparkSession.implicits._
-    df.select(col(vecCol).cast("array<double>"))
+    df.select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(transform(col("__v"), x => coalesce(x, lit(0.0))).as("__v"))
       .as[Seq[Double]]
       .select(new MomentsAgg(dim).toColumn)
       .head()

@@ -28,9 +28,13 @@ object SemDedup {
       maxSqDist: Long,
       idCol: String = "vec_id"): DataFrame = {
     require(maxSqDist >= 0, s"maxSqDist must be >= 0: $maxSqDist")
+    // localCheckpoint: this subtree feeds BOTH self-join sides and the
+    // final left join — unpinned, the k-means assignment (k·dim work per
+    // row) and the id join would re-execute up to 3× in one action
     val assigned = KMeans.fit(vecs, k, iters, idCol = idCol)
       .select(col(idCol), col("cid"))
       .join(vecs.select(col(idCol), col("qv")), idCol)
+      .localCheckpoint()
     val a = assigned.select(col("cid"), col(idCol).as("__i"), col("qv").as("__qa"))
     val b = assigned.select(col("cid"), col(idCol).as("__j"), col("qv").as("__qb"))
     val droppedIds = a.join(b,

@@ -2702,6 +2702,7 @@ object ExtQueries {
       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
       |    CAST(COUNT(DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT)
+      |      + COALESCE(MAX(CASE WHEN text IS NULL THEN 1 ELSE 0 END), 0)
       |      AS BIGINT) AS n_unique_texts,
       |    CAST(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
       |      AS n_short,
@@ -2710,9 +2711,9 @@ object ExtQueries {
       |  FROM aug)
       |SELECT n_docs, n_tokens, n_chars, n_langs,
       |  CAST((2 * 1000000 * (n_docs - n_unique_texts) + n_docs)
-      |    // (2 * n_docs) AS BIGINT) AS dup_ppm,
-      |  CAST((2 * 1000000 * n_short + n_docs) // (2 * n_docs) AS BIGINT)
-      |    AS short_ppm,
+      |    // (2 * GREATEST(n_docs, 1)) AS BIGINT) AS dup_ppm,
+      |  CAST((2 * 1000000 * n_short + n_docs)
+      |    // (2 * GREATEST(n_docs, 1)) AS BIGINT) AS short_ppm,
       |  p50_chars, p90_chars
       |FROM a""".stripMargin
 

@@ -15,6 +15,21 @@ class NaiveBayesSpec extends SparkSpec {
     11L -> "bad awful poor bad", 12L -> "awful bad dismal poor",
     13L -> "poor poor awful bad")
 
+  test("null/empty text scores its prior instead of vanishing") {
+    import spark.implicits._
+    val docs = ((posDocs ++ negDocs).map { case (id, t) => (id, Option(t)) }
+      :+ (20L -> Option.empty[String])).toDF("doc_id", "text")
+    val labels = (posDocs.map(_._1 -> true) ++ negDocs.map(_._1 -> false)
+      :+ (20L -> true)).toDF("doc_id", "y")
+    val out = NaiveBayes.fitScore(docs, labels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(20L),
+      s"null-text doc must still be scored: ${out.keySet}")
+    // balanced priors here → ln(4/3)·10⁴ prior, zero token evidence
+    assert(out(20L) == math.round(math.log(4.0 / 3.0) * 10000),
+      s"null-text doc scores exactly its prior: ${out(20L)}")
+  }
+
   test("separable vocab: every training doc classified to its own class") {
     import spark.implicits._
     val docs = (posDocs ++ negDocs).toDF("doc_id", "text")

@@ -401,4 +401,24 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(0)._2 - score(2, 3)) < 1e-9)
     assert(math.abs(out(1)._2 - score(1, 4)) < 1e-9)
   }
+
+  test("corpusReport: null texts form one dup group; empty corpus is 0 ppm") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, Option("alpha beta"), "en", 100L),
+      (2L, Option.empty[String], "en", 0L),
+      (3L, Option.empty[String], "en", 0L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val card = graft.ops.Audit.corpusReport(mixed).head()
+    assert(card.getAs[Long]("n_docs") == 3L)
+    // 2 distinct "texts" (alpha-beta + the null group): 1 dup of 3 docs —
+    // countDistinct alone would skip NULLs and report 2 phantom dups
+    assert(card.getAs[Long]("dup_ppm") == 333333L,
+      s"dup_ppm: ${card.getAs[Long]("dup_ppm")}")
+    val empty = graft.ops.Audit.corpusReport(mixed.filter(lit(false))).head()
+    assert(empty.getAs[Long]("n_docs") == 0L)
+    assert(empty.getAs[Long]("dup_ppm") == 0L &&
+      empty.getAs[Long]("short_ppm") == 0L,
+      "empty corpus reports 0 ppm, not a division by zero")
+  }
 }

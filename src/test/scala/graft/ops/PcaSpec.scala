@@ -31,6 +31,18 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("null vectors are skipped; null elements read as 0 (padding rule)") {
+    import spark.implicits._
+    val rows = Seq(
+      Some(Seq[java.lang.Double](1.0, 2.0)),
+      None, // whole vector null: skipped like a SQL aggregate would
+      Some(Seq[java.lang.Double](3.0, null))) // null element → 0.0
+    val m = Pca.moments(rows.toDF("v"), "v", 2)
+    assert(m.n == 2, s"null vector must not count: ${m.n}")
+    assert(m.sum == Vector(4.0, 2.0), s"${m.sum}")
+    assert(m.gram == Vector(1.0 + 9.0, 2.0, 4.0), s"${m.gram}")
+  }
+
   test("power iteration recovers a planted dominant direction") {
     import spark.implicits._
     val dim = 16
