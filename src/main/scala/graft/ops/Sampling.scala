@@ -181,6 +181,34 @@ object Sampling {
     * `Window.partitionBy(key)` would plan one task per key. The quota
     * relation is a handful of rows, broadcast. Returns the selected rows
     * plus their 1-based per-key `mix_rank`. */
+  /** Budget-bounded greedy selection: per group, take rows in score order
+    * (best first = smallest `orderCol`; negate an integer score upstream)
+    * until the CUMULATIVE integral weight (tokens, bytes) would exceed
+    * `budget` — the "fill each source's token budget with its best
+    * documents" selection step of corpus curation, where quotas are token
+    * counts, not document counts ([[rebalanceToShares]] is the per-doc
+    * twin). Prefix semantics: selection stops at the first row that
+    * overshoots — no knapsack backfill with later smaller rows, so the
+    * selected set is a deterministic prefix of the score order and stable
+    * under re-runs. The running weight rides through
+    * [[Scale.groupedPrefixSum]] (bucketed local windows + broadcast
+    * offsets), so low-cardinality groups never serialize into one task.
+    * Returns the surviving rows with their cumulative weight in
+    * `cum_weight`. */
+  def budgetSelect(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String,
+      weightCol: String,
+      budget: Long,
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    Scale.groupedPrefixSum(
+        df, groupCol, orderCol, tieCol, weightCol, "cum_weight", buckets)
+      .filter(col("cum_weight") <= budget)
+  }
+
   def rebalanceToShares(
       df: DataFrame,
       keyCol: String,

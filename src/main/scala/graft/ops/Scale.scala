@@ -177,6 +177,68 @@ object Scale {
       .drop("__g", "__b2", "__b", "__local", "__off")
   }
 
+  /** Exact per-group RUNNING SUM of an integral weight column (ordered by
+    * `orderCol` with `tieCol` breaking ties) without a single-task-per-group
+    * window — [[groupedRank]]'s bucketed shape with the per-(group, bucket)
+    * offset relation carrying weight totals instead of row counts. The
+    * result equals `sum(weight) OVER (PARTITION BY group ORDER BY order,
+    * tie ROWS UNBOUNDED PRECEDING)` (asserted in ScaleSpec), including
+    * null group keys (null-safe joins) and null order values (bucket -1,
+    * accumulated first, matching ASC NULLS FIRST). `weightCol` must be
+    * integral so the broadcast offsets are exact longs — double partials
+    * would make the prefix depend on merge order. This is the primitive
+    * behind budget-bounded selection ([[Sampling.budgetSelect]]): at 100 TB
+    * the largest task is ~|group|/buckets, not |group|. */
+  def groupedPrefixSum(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String,
+      weightCol: String,
+      outCol: String,
+      buckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => // exact long sums
+      case dt => throw new IllegalArgumentException(
+        s"groupedPrefixSum requires an integral weightCol (got $weightCol: " +
+          s"$dt); use a fixed-point integer column upstream")
+    }
+    val ranges = df.groupBy(groupCol).agg(
+      min(col(orderCol)).cast("double").as("__lo"),
+      max(col(orderCol)).cast("double").as("__hi"))
+      .withColumnRenamed(groupCol, "__g")
+    val bucketed = df
+      .join(broadcast(ranges), col(groupCol) <=> col("__g"))
+      .drop("__g")
+      .withColumn("__b",
+        when(col(orderCol).isNull, lit(-1)).otherwise(
+          least(floor((col(orderCol).cast("double") - col("__lo")) /
+            greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
+            lit(buckets - 1))).cast("int"))
+      .drop("__lo", "__hi")
+    val local = bucketed.withColumn("__local",
+      sum(col(weightCol)).over(
+        Window.partitionBy(groupCol, "__b").orderBy(orderCol, tieCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+    val offsets = bucketed.groupBy(groupCol, "__b")
+      .agg(sum(col(weightCol)).as("__c"))
+      .withColumn("__off",
+        coalesce(sum(col("__c")).over(
+          Window.partitionBy(groupCol).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__c")
+      .withColumnRenamed(groupCol, "__g")
+      .withColumnRenamed("__b", "__b2")
+    local
+      .join(broadcast(offsets),
+        col(groupCol) <=> col("__g") && col("__b") === col("__b2"))
+      .withColumn(outCol, col("__local") + col("__off"))
+      .drop("__g", "__b2", "__b", "__local", "__off")
+  }
+
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each
     * right-side row across all salts, join on (key, salt). Row multiplicity
     * is identical to the plain join; the hot key's rows spread over `salts`

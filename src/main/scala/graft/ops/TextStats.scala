@@ -127,6 +127,28 @@ object TextStats {
       .withColumn("n_bytes", octet_length(col("text")))
       .select("doc_id", "ws_tokens", "bpe_pieces", "n_bytes")
 
+  /** Per-document unigram Shannon entropy (nats) over whitespace tokens:
+    * `ln(n) − Σ c·ln(c) / n` where `c` are within-doc word counts — the
+    * cheap gibberish/repetition signal (keyboard-mash and template spam
+    * both collapse the word distribution, one from too few distinct words
+    * repeated, one from a fixed skeleton) that complements [[quality]]'s
+    * ratio features. Two map-side-combined aggregates keyed by
+    * (doc, word) then doc — entropy never sees the corpus vocabulary, so
+    * the shuffle is bounded by document size, not corpus size. Rounded to
+    * 6dp for engine-stable double sums. */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    val toks = docs.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+              sum(col("c")).cast("double"), 6).as("entropy"))
+  }
+
   /** Rolling-hash document fingerprint over word 4-gram windows: min / max /
     * xor-fold of the window hashes (winnowing-style content signature, order-
     * independent folds so partitioning never changes the result). */

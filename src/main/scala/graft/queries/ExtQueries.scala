@@ -4616,6 +4616,130 @@ object ExtQueries {
       |  AND p.us >= v.us AND p.us <= v.us + 3600000000
       |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q139
+  /** Token-budget corpus selection ([[graft.ops.Sampling.budgetSelect]]):
+    * per source, documents are taken longest-first (score = whitespace
+    * token count, ties by doc_id) until the next one would push the
+    * source's CUMULATIVE token count past the budget — the
+    * FineWeb/RefinedWeb-style "fill each domain's token quota with its
+    * best documents" step, where quotas are measured in training tokens,
+    * not document counts (q82's quota is per-doc). The running weight is
+    * [[graft.ops.Scale.groupedPrefixSum]] — bucketed local windows plus
+    * broadcast per-bucket offsets — so the 20-ish sources never serialize
+    * into 20 tasks at 100 TB. Token count is `spaces + 1` computed by the
+    * identical closed expression in both engines. */
+  def q139TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      col("source"), col("doc_id"),
+      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+        .cast("long").as("tok"))
+    graft.ops.Sampling.budgetSelect(
+        d.withColumn("neg_tok", -col("tok")),
+        "source", "neg_tok", "doc_id", "tok", budget = 800L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sel"), sum("tok").as("sel_tokens"))
+      .orderBy("source")
+  }
+
+  val q139Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |      AS BIGINT) AS tok
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, tok,
+      |    CAST(SUM(tok) OVER (
+      |      PARTITION BY source ORDER BY -tok, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM d)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+      |  CAST(SUM(tok) AS BIGINT) AS sel_tokens
+      |FROM r WHERE cum <= 800 GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- Q140
+  /** CCNet-style perplexity bucketing: every document scored under the
+    * in-corpus add-k bigram LM ([[graft.ops.LangModel.bigramLogProb]],
+    * q86's scorer), then split into head / middle / tail terciles of the
+    * score order (best = highest mean log-prob first) by the closed rank
+    * formula `(rank−1)·3 DIV n` — the same NTILE-free bucketing q87 uses,
+    * with the global rank riding [[graft.ops.Scale.groupedRank]] over a
+    * constant group so no single-task global window exists. The corpus
+    * count joins as a broadcast 1-row aggregate. Output per bucket:
+    * volume and the score range — the table you look at before choosing
+    * the tail cutoff. */
+  def q140PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val scored = graft.ops.LangModel.bigramLogProb(docs, docs)
+      .withColumn("__g1", lit(0))
+      .withColumn("neg_lp", -col("avg_logp"))
+    val n = scored.agg(count(lit(1)).as("__n"))
+    graft.ops.Scale.groupedRank(scored, "__g1", "neg_lp", "doc_id", "rnk")
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr("CAST((rnk - 1) * 3 DIV __n AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("total_bigrams"),
+        max("avg_logp").as("lp_hi"),
+        min("avg_logp").as("lp_lo"))
+      .orderBy("bucket")
+  }
+
+  val q140Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ug AS (SELECT UNNEST(t) AS w FROM tk),
+      |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM ug GROUP BY w),
+      |v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v FROM ug),
+      |ex AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i + 1] AS b
+      |  FROM tk, UNNEST(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2),
+      |c2 AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c2 FROM ex GROUP BY b),
+      |sc AS (
+      |  SELECT doc_id,
+      |    ROUND(AVG(ln((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS avg_logp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+      |  FROM ex
+      |  JOIN c2 USING (b)
+      |  JOIN c1 ON ex.w1 = c1.w
+      |  CROSS JOIN v
+      |  GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, avg_logp, n_bigrams,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY avg_logp DESC, doc_id)
+      |      AS BIGINT) AS rnk,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM sc)
+      |SELECT CAST((rnk - 1) * 3 // n AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+      |  MAX(avg_logp) AS lp_hi, MIN(avg_logp) AS lp_lo
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q141
+  /** Per-document unigram entropy ([[graft.ops.TextStats.wordEntropy]]):
+    * the distribution-collapse signal that catches both keyboard-mash
+    * (few distinct words) and template spam (fixed skeleton) — documents
+    * whose word histogram is too peaked score low regardless of length,
+    * complementing the ratio features of q21. Two keyed aggregates,
+    * nothing corpus-global. */
+  def q141WordEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TextStats.wordEntropy(
+      t(s, dir, "documents").select("doc_id", "text")).orderBy("doc_id")
+
+  val q141Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |cw AS (
+      |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tk GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+      |    - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+      |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+      |FROM cw GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4743,7 +4867,10 @@ object ExtQueries {
     "q135_ab_drift" -> (q135AbDrift _),
     "q136_maintenance" -> (q136Maintenance _),
     "q137_interval_join" -> (q137IntervalJoin _),
-    "q138_export" -> (q138Export _))
+    "q138_export" -> (q138Export _),
+    "q139_token_budget" -> (q139TokenBudget _),
+    "q140_ppl_buckets" -> (q140PplBuckets _),
+    "q141_word_entropy" -> (q141WordEntropy _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -4873,5 +5000,8 @@ object ExtQueries {
     "q135_ab_drift" -> q135Sql,
     "q136_maintenance" -> q136Sql,
     "q137_interval_join" -> q137Sql,
-    "q138_export" -> q138Sql)
+    "q138_export" -> q138Sql,
+    "q139_token_budget" -> q139Sql,
+    "q140_ppl_buckets" -> q140Sql,
+    "q141_word_entropy" -> q141Sql)
 }

@@ -151,4 +151,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSet == naive,
       "groupedRank-based selection must equal the row_number form")
   }
+
+  test("budgetSelect: prefix of score order until the weight budget, per group") {
+    import spark.implicits._
+    // weights chosen so the greedy prefix is unambiguous: group a fills
+    // 10+9+8=27 of 30 and the next row (7) would overshoot; b's first row
+    // alone overshoots nothing after it can recover (prefix semantics —
+    // no knapsack backfill); c fits entirely
+    val rows = Seq(
+      (1L, "a", 1L, 10L), (2L, "a", 2L, 9L), (3L, "a", 3L, 8L),
+      (4L, "a", 4L, 7L), (5L, "a", 5L, 1L),
+      (6L, "b", 1L, 31L), (7L, "b", 2L, 2L),
+      (8L, "c", 1L, 5L), (9L, "c", 2L, 5L))
+      .toDF("doc_id", "grp", "score", "w")
+    val out = Sampling.budgetSelect(rows, "grp", "score", "doc_id", "w",
+        budget = 30L, buckets = 4)
+      .select("doc_id", "cum_weight").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 19L, 3L -> 27L, 8L -> 5L, 9L -> 10L),
+      s"greedy prefix per group: $out")
+    val err = intercept[IllegalArgumentException](
+      Sampling.budgetSelect(rows, "grp", "score", "doc_id", "w", budget = -1L))
+    assert(err.getMessage.contains("budget"))
+  }
 }

@@ -95,6 +95,45 @@ class ScaleSpec extends SparkSpec {
     assert(actual.size == 7, "a null-keyed row was dropped")
   }
 
+  test("groupedPrefixSum == window running sum, incl. null keys and ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11L)
+    val rows = (0L until 2000L).map(i =>
+      (i, if (i % 7 == 0) "small" + (i % 3) else "big",
+        rnd.nextInt(30).toLong, rnd.nextInt(100).toLong + 1L))
+    val df = rows.toDF("id", "grp", "score", "w")
+    val expected = df.withColumn("cum",
+      sum(col("w")).over(Window.partitionBy("grp").orderBy("score", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actual = Scale.groupedPrefixSum(df, "grp", "score", "id", "w", "cum",
+        buckets = 8)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+    // null group key and null order values follow the window's semantics
+    val nulls = Seq[(java.lang.Long, String, java.lang.Long, java.lang.Long)](
+      (1L, "a", 30L, 2L), (2L, "a", null, 3L), (3L, "a", 10L, 5L),
+      (4L, null, 7L, 1L), (5L, null, null, 9L), (7L, "b", 5L, 4L))
+      .toDF("id", "grp", "score", "w")
+    val expN = nulls.withColumn("cum",
+      sum(col("w")).over(Window.partitionBy("grp").orderBy("score", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val actN = Scale.groupedPrefixSum(nulls, "grp", "score", "id", "w", "cum",
+        buckets = 4)
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actN == expN, s"null-key divergence: $actN vs $expN")
+    // non-integral weights are rejected loudly (double partials would make
+    // the prefix merge-order dependent)
+    val dbl = Seq((1L, "g", 1L, 1.5)).toDF("id", "grp", "score", "w")
+    val err = intercept[IllegalArgumentException](
+      Scale.groupedPrefixSum(dbl, "grp", "score", "id", "w", "cum"))
+    assert(err.getMessage.contains("integral"))
+  }
+
   // the bucketed co-located-join invariant lives in BucketedJoinSpec
   // (Layout.writeBucketed helper, shuffling-plain-join contrast, bucket
   // pruning) — a second pair of bucketed table writes here pinned the
