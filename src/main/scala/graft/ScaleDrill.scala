@@ -152,6 +152,27 @@ object ScaleDrill {
         graft.ops.TextStats.quality(docDf(dir).select("doc_id", "text"))
           .agg(sum("score_ppm").as("s"), count(lit(1)).as("n"))
       },
+      // low-cardinality grouped running sum (the budget-selection shape):
+      // ~20 sources would cap a naive partitionBy window at 20 tasks
+      // forever; the bucketed groupedPrefixSum path must instead track
+      // data volume like any scan+bounded-shuffle job
+      "token_budget" -> { dir: String =>
+        val d = docDf(dir).select(col("source"), col("doc_id"),
+          (length(col("text")) -
+            length(expr("replace(text, ' ', '')")) + 1)
+            .cast("long").as("tok"))
+        graft.ops.Sampling.budgetSelect(
+            d.withColumn("neg_tok", -col("tok")),
+            "source", "neg_tok", "doc_id", "tok", budget = 100000L)
+          .agg(count(lit(1)).as("n"), sum("tok").as("s"))
+      },
+      // n×d → d² moments reduction: corpus size must appear only in the
+      // scan — the shipped state is O(d²) per partition regardless of n
+      "pca_moments" -> { dir: String =>
+        val m = graft.ops.Pca.moments(embDf(dir), "embedding", 16)
+        import spark.implicits._
+        Seq((m.n, m.sum.sum, m.gram.sum)).toDF("n", "s", "g")
+      },
       // the counter-example family: a SELECTIVE read through manifest
       // data skipping should hold near-FLAT as the corpus grows — the
       // per-copy event_id offsets make each copy a disjoint id band, so

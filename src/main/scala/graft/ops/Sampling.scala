@@ -193,7 +193,11 @@ object Sampling {
     * under re-runs. The running weight rides through
     * [[Scale.groupedPrefixSum]] (bucketed local windows + broadcast
     * offsets), so low-cardinality groups never serialize into one task.
-    * Returns the surviving rows with their cumulative weight in
+    * Weights must be non-negative: the prefix interpretation relies on the
+    * running sum being monotone (a negative weight would let later rows
+    * re-enter the budget — the underlying [[Scale.groupedPrefixSum]] still
+    * equals the window exactly, but the filtered set is no longer a
+    * prefix). Returns the surviving rows with their cumulative weight in
     * `cum_weight`. */
   def budgetSelect(
       df: DataFrame,

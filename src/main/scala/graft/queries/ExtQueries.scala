@@ -4740,6 +4740,43 @@ object ExtQueries {
       |      / CAST(SUM(c) AS DOUBLE), 6) AS entropy
       |FROM cw GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q142
+  /** Distributed PCA moments, oracle-anchored ([[graft.ops.Pca.moments]]
+    * → [[graft.ops.Pca.covariance]]): one map-side-combined pass reduces
+    * the embedding corpus to (n, Σv, Σv·vᵀ) — O(d²) state per partition,
+    * ONE O(d²) row to the driver, corpus size appearing nowhere after the
+    * scan — and the sample covariance derived from those moments must
+    * equal DuckDB's COVAR_SAMP entry for entry. The first 4 dims'
+    * upper triangle is emitted (moments at dim=4 truncates the vectors —
+    * the documented rule), checking the distributed summary machinery the
+    * eigensolve sits on; the power iteration itself is PcaSpec's job
+    * (DuckDB has no eigensolver). */
+  def q142PcaCov(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val d = 4
+    val m = graft.ops.Pca.moments(emb, "embedding", d)
+    val c = graft.ops.Pca.covariance(m, d)
+    val rows = for { i <- 0 until d; j <- i until d }
+      yield (i.toLong, j.toLong, c(i)(j))
+    s.createDataFrame(rows).toDF("i", "j", "cov_raw")
+      .withColumn("cov", round(col("cov_raw"), 6))
+      .select("i", "j", "cov")
+      .orderBy("i", "j")
+  }
+
+  val q142Sql: String = {
+    val pairs = for { i <- 0 until 4; j <- i until 4 } yield
+      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+        s"ROUND(COVAR_SAMP(x$i, x$j), 6) AS cov FROM e"
+    """WITH e AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS x0,
+      |    CAST(embedding[2] AS DOUBLE) AS x1,
+      |    CAST(embedding[3] AS DOUBLE) AS x2,
+      |    CAST(embedding[4] AS DOUBLE) AS x3
+      |  FROM embeddings WHERE embedding IS NOT NULL)
+      |""".stripMargin + pairs.mkString("\nUNION ALL\n") + "\nORDER BY i, j"
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4870,7 +4907,8 @@ object ExtQueries {
     "q138_export" -> (q138Export _),
     "q139_token_budget" -> (q139TokenBudget _),
     "q140_ppl_buckets" -> (q140PplBuckets _),
-    "q141_word_entropy" -> (q141WordEntropy _))
+    "q141_word_entropy" -> (q141WordEntropy _),
+    "q142_pca_cov" -> (q142PcaCov _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5003,5 +5041,6 @@ object ExtQueries {
     "q138_export" -> q138Sql,
     "q139_token_budget" -> q139Sql,
     "q140_ppl_buckets" -> q140Sql,
-    "q141_word_entropy" -> q141Sql)
+    "q141_word_entropy" -> q141Sql,
+    "q142_pca_cov" -> q142Sql)
 }
