@@ -181,6 +181,27 @@ object Sampling {
     * `Window.partitionBy(key)` would plan one task per key. The quota
     * relation is a handful of rows, broadcast. Returns the selected rows
     * plus their 1-based per-key `mix_rank`. */
+  def rebalanceToShares(
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      tieCol: String,
+      budget: Long,
+      sharesBp: Map[String, Int],
+      buckets: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    require(sharesBp.values.forall(bp => bp >= 0 && bp <= 10000),
+      "shares must be in [0,10000] basis points")
+    val quotas = sharesBp.toSeq
+      .map { case (k, bp) => (k, budget * bp / 10000) }
+    val qdf = broadcast(
+      df.sparkSession.createDataFrame(quotas).toDF(keyCol, "__quota"))
+    Scale.groupedRank(df, keyCol, orderCol, tieCol, "mix_rank", buckets)
+      .join(qdf, keyCol)
+      .filter(col("mix_rank") <= col("__quota"))
+      .drop("__quota")
+  }
+
   /** Budget-bounded greedy selection: per group, take rows in score order
     * (best first = smallest `orderCol`; negate an integer score upstream)
     * until the CUMULATIVE integral weight (tokens, bytes) would exceed
@@ -211,26 +232,5 @@ object Sampling {
     Scale.groupedPrefixSum(
         df, groupCol, orderCol, tieCol, weightCol, "cum_weight", buckets)
       .filter(col("cum_weight") <= budget)
-  }
-
-  def rebalanceToShares(
-      df: DataFrame,
-      keyCol: String,
-      orderCol: String,
-      tieCol: String,
-      budget: Long,
-      sharesBp: Map[String, Int],
-      buckets: Int = 32): DataFrame = {
-    require(budget >= 0, s"budget must be >= 0: $budget")
-    require(sharesBp.values.forall(bp => bp >= 0 && bp <= 10000),
-      "shares must be in [0,10000] basis points")
-    val quotas = sharesBp.toSeq
-      .map { case (k, bp) => (k, budget * bp / 10000) }
-    val qdf = broadcast(
-      df.sparkSession.createDataFrame(quotas).toDF(keyCol, "__quota"))
-    Scale.groupedRank(df, keyCol, orderCol, tieCol, "mix_rank", buckets)
-      .join(qdf, keyCol)
-      .filter(col("mix_rank") <= col("__quota"))
-      .drop("__quota")
   }
 }

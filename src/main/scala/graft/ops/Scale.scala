@@ -140,7 +140,29 @@ object Scale {
       orderCol: String,
       tieCol: String,
       outCol: String,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32): DataFrame =
+    groupedRunning(df, groupCol, orderCol, tieCol, outCol, buckets,
+      w => row_number().over(w).cast("long"),
+      count(lit(1)))
+
+  /** Shared scaffolding for [[groupedRank]] / [[groupedPrefixSum]]: range-
+    * bucket rows inside each group (per-group min/max from one broadcast
+    * agg; null order values to bucket -1 so they come first, matching ASC
+    * NULLS FIRST), compute `local` per (group, bucket) window, then add
+    * exclusive running offsets of `perBucketTotal` — a #groups×#buckets-row
+    * relation windowed cheaply and broadcast, no driver collect. The
+    * bucketing, degenerate-range guard, and null-safe joins live HERE
+    * exactly once so the two primitives can never diverge on an edge
+    * case. */
+  private def groupedRunning(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tieCol: String,
+      outCol: String,
+      buckets: Int,
+      local: org.apache.spark.sql.expressions.WindowSpec => Column,
+      perBucketTotal: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranges = df.groupBy(groupCol).agg(
       min(col(orderCol)).cast("double").as("__lo"),
@@ -155,14 +177,10 @@ object Scale {
             greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
             lit(buckets - 1))).cast("int"))
       .drop("__lo", "__hi")
-    val local = bucketed.withColumn("__local",
-      row_number().over(
-        Window.partitionBy(groupCol, "__b").orderBy(orderCol, tieCol))
-        .cast("long"))
-    // per-(group, bucket) sizes → exclusive running offsets; tiny relation
-    // (#groups × buckets rows), windowed cheaply and broadcast to the join
+    val localDf = bucketed.withColumn("__local",
+      local(Window.partitionBy(groupCol, "__b").orderBy(orderCol, tieCol)))
     val offsets = bucketed.groupBy(groupCol, "__b")
-      .agg(count(lit(1)).as("__c"))
+      .agg(perBucketTotal.as("__c"))
       .withColumn("__off",
         coalesce(sum(col("__c")).over(
           Window.partitionBy(groupCol).orderBy("__b")
@@ -170,7 +188,7 @@ object Scale {
       .drop("__c")
       .withColumnRenamed(groupCol, "__g")
       .withColumnRenamed("__b", "__b2")
-    local
+    localDf
       .join(broadcast(offsets),
         col(groupCol) <=> col("__g") && col("__b") === col("__b2"))
       .withColumn(outCol, col("__local") + col("__off"))
@@ -205,38 +223,11 @@ object Scale {
         s"groupedPrefixSum requires an integral weightCol (got $weightCol: " +
           s"$dt); use a fixed-point integer column upstream")
     }
-    val ranges = df.groupBy(groupCol).agg(
-      min(col(orderCol)).cast("double").as("__lo"),
-      max(col(orderCol)).cast("double").as("__hi"))
-      .withColumnRenamed(groupCol, "__g")
-    val bucketed = df
-      .join(broadcast(ranges), col(groupCol) <=> col("__g"))
-      .drop("__g")
-      .withColumn("__b",
-        when(col(orderCol).isNull, lit(-1)).otherwise(
-          least(floor((col(orderCol).cast("double") - col("__lo")) /
-            greatest((col("__hi") - col("__lo")) / buckets, lit(1e-9))),
-            lit(buckets - 1))).cast("int"))
-      .drop("__lo", "__hi")
-    val local = bucketed.withColumn("__local",
-      sum(col(weightCol)).over(
-        Window.partitionBy(groupCol, "__b").orderBy(orderCol, tieCol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
-    val offsets = bucketed.groupBy(groupCol, "__b")
-      .agg(sum(col(weightCol)).as("__c"))
-      .withColumn("__off",
-        coalesce(sum(col("__c")).over(
-          Window.partitionBy(groupCol).orderBy("__b")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__c")
-      .withColumnRenamed(groupCol, "__g")
-      .withColumnRenamed("__b", "__b2")
-    local
-      .join(broadcast(offsets),
-        col(groupCol) <=> col("__g") && col("__b") === col("__b2"))
-      .withColumn(outCol, col("__local") + col("__off"))
-      .drop("__g", "__b2", "__b", "__local", "__off")
+    groupedRunning(df, groupCol, orderCol, tieCol, outCol, buckets,
+      w => sum(col(weightCol))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+      sum(col(weightCol)))
   }
 
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each

@@ -138,7 +138,7 @@ object TextStats {
     * 6dp for engine-stable double sums. */
   def wordEntropy(docs: DataFrame): DataFrame = {
     val toks = docs.select(
-      col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
     toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(

@@ -4629,9 +4629,14 @@ object ExtQueries {
     * into 20 tasks at 100 TB. Token count is `spaces + 1` computed by the
     * identical closed expression in both engines. */
   def q139TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    // coalesce to '' BEFORE the length arithmetic: a NULL text would give a
+    // NULL weight, which Spark orders NULLS FIRST (dropped by the cum
+    // filter) but DuckDB's -tok DESC orders NULLS LAST with cum = the group
+    // total (SUM skips NULLs) — the same row selected on one side only
     val d = t(s, dir, "documents").select(
       col("source"), col("doc_id"),
-      (length(col("text")) - length(expr("replace(text, ' ', '')")) + 1)
+      (length(coalesce(col("text"), lit(""))) -
+        length(expr("replace(coalesce(text, ''), ' ', '')")) + 1)
         .cast("long").as("tok"))
     graft.ops.Sampling.budgetSelect(
         d.withColumn("neg_tok", -col("tok")),
@@ -4644,7 +4649,8 @@ object ExtQueries {
   val q139Sql: String =
     """WITH d AS (
       |  SELECT source, doc_id,
-      |    CAST(length(text) - length(replace(text, ' ', '')) + 1
+      |    CAST(length(coalesce(text, ''))
+      |      - length(replace(coalesce(text, ''), ' ', '')) + 1
       |      AS BIGINT) AS tok
       |  FROM documents),
       |r AS (
@@ -4670,9 +4676,13 @@ object ExtQueries {
     * the tail cutoff. */
   def q140PplBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
+    // the LM scoring pipeline feeds four plan consumers (the count
+    // aggregate + groupedRank's ranges/local/offsets branches) —
+    // localCheckpoint so the expensive join/aggregate chain runs once
     val scored = graft.ops.LangModel.bigramLogProb(docs, docs)
       .withColumn("__g1", lit(0))
       .withColumn("neg_lp", -col("avg_logp"))
+      .localCheckpoint()
     val n = scored.agg(count(lit(1)).as("__n"))
     graft.ops.Scale.groupedRank(scored, "__g1", "neg_lp", "doc_id", "rnk")
       .crossJoin(broadcast(n))
