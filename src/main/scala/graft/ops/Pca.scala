@@ -106,11 +106,15 @@ object Pca {
     * reproducible run to run. */
   def principalComponent(
       df: DataFrame, vecCol: String, dim: Int, iters: Int = 50)
+      : (Array[Double], Double) =
+    powerIterate(covariance(moments(df, vecCol, dim), dim), dim, iters)
+
+  /** Power iteration on a symmetric PSD matrix with the deterministic
+    * largest-diagonal start (never orthogonal to the top eigenvector
+    * unless that axis has exactly zero loading). */
+  private def powerIterate(c: Array[Array[Double]], dim: Int, iters: Int)
       : (Array[Double], Double) = {
-    val c = covariance(moments(df, vecCol, dim), dim)
     var v = new Array[Double](dim)
-    // start on the axis with the largest variance (never orthogonal to
-    // the top eigenvector unless that axis has exactly zero loading)
     var best = 0
     var i = 1
     while (i < dim) { if (c(i)(i) > c(best)(best)) best = i; i += 1 }
@@ -136,5 +140,56 @@ object Pca {
       it += 1
     }
     (v, lambda)
+  }
+
+  /** Top-k principal components by Hotelling deflation: power-iterate,
+    * subtract `λ·v·vᵀ`, repeat — the standard driver-side eigensolve for
+    * the k≪d regime (k·iters·d² flops on a d×d matrix that already fits
+    * in one cache line row; the corpus was touched exactly once, by
+    * [[moments]]). Returns components with non-increasing eigenvalues.
+    * Requires k ≤ dim; components beyond the matrix rank come back with
+    * eigenvalue ≈ 0 and an arbitrary (but deterministic) direction. */
+  def topComponents(
+      df: DataFrame, vecCol: String, dim: Int, k: Int, iters: Int = 100)
+      : (Moments, Seq[(Array[Double], Double)]) = {
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
+    val m = moments(df, vecCol, dim)
+    val c = covariance(m, dim)
+    val out = Seq.newBuilder[(Array[Double], Double)]
+    var r = 0
+    while (r < k) {
+      val (v, lambda) = powerIterate(c, dim, iters)
+      out += ((v, lambda))
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) { c(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      r += 1
+    }
+    (m, out.result())
+  }
+
+  /** Project `vecCol` onto `components`, mean-centered: appends
+    * `pc1..pck` columns where `pcᵢ = (v − μ)·wᵢ = v·wᵢ − μ·wᵢ` — the
+    * μ·wᵢ term is a driver-side scalar, so each projection is ONE
+    * codegen'd [[graft.functions.Dot]] against a broadcast literal
+    * vector riding the scan: zero shuffle, zero UDF, corpus touched
+    * once however many components are kept. This is the
+    * dimensionality-reduction / whitening front half of embedding
+    * pipelines (visualization, cheap pre-filters ahead of exact ANN). */
+  def project(
+      df: DataFrame,
+      vecCol: String,
+      mean: Seq[Double],
+      components: Seq[Array[Double]],
+      prefix: String = "pc"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    components.zipWithIndex.foldLeft(df) { case (d, (w, i)) =>
+      val meanDot = mean.zip(w).map { case (a, b) => a * b }.sum
+      d.withColumn(s"$prefix${i + 1}",
+        graft.functions.Dot.of(v, typedLit(w.toSeq)) - lit(meanDot))
+    }
   }
 }

@@ -62,6 +62,60 @@ class PcaSpec extends SparkSpec {
     assert(lambda > 1.0 && lambda < 2.0, s"lambda = $lambda")
   }
 
+  test("deflated top-k: orthogonal components, non-increasing eigenvalues, planted pair") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(13L)
+    // two planted orthogonal directions with distinct spreads
+    val a = Array.tabulate(dim)(i => if (i == 0) 1.0 else 0.0)
+    val b = Array.tabulate(dim)(i => if (i == 1) 1.0 else 0.0)
+    val vecs = Seq.fill(800) {
+      val t = 6.0 * (rnd.nextDouble() - 0.5)   // Var ≈ 3.0 along a
+      val s = 2.0 * (rnd.nextDouble() - 0.5)   // Var ≈ 0.33 along b
+      Vector.tabulate(dim)(i =>
+        t * a(i) + s * b(i) + 0.01 * (rnd.nextDouble() - 0.5))
+    }
+    val (m, comps) = Pca.topComponents(vecs.toDF("v"), "v", dim, 3)
+    assert(m.n == 800)
+    val lambdas = comps.map(_._2)
+    assert(lambdas == lambdas.sortBy(-_), s"eigenvalues not sorted: $lambdas")
+    def cos(x: Array[Double], y: Array[Double]) =
+      math.abs(x.zip(y).map { case (p, q) => p * q }.sum)
+    assert(cos(comps(0)._1, a) > 0.99, "PC1 must align with the wide axis")
+    assert(cos(comps(1)._1, b) > 0.99, "PC2 must align with the narrow axis")
+    assert(cos(comps(0)._1, comps(1)._1) < 1e-6, "components must be orthogonal")
+    assert(lambdas(2) < 0.01, "PC3 is noise-floor only")
+  }
+
+  test("project: mean-centered scores match the driver-side computation") {
+    import spark.implicits._
+    val dim = 4
+    val rnd = new scala.util.Random(17L)
+    val vecs = Seq.fill(200)(Vector.fill(dim)(rnd.nextDouble() * 3.0))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val (m, comps) = Pca.topComponents(df, "v", dim, 2)
+    val mean = m.sum.map(_ / m.n)
+    val out = Pca.project(df, "v", mean, comps.map(_._1))
+      .select("id", "pc1", "pc2").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val centered = v.zip(mean).map { case (x, mu) => x - mu }
+      val e1 = centered.zip(comps(0)._1).map { case (x, w) => x * w }.sum
+      val e2 = centered.zip(comps(1)._1).map { case (x, w) => x * w }.sum
+      val (g1, g2) = out(i.toLong)
+      assert(math.abs(g1 - e1) < 1e-9 && math.abs(g2 - e2) < 1e-9,
+        s"row $i: got ($g1, $g2), want ($e1, $e2)")
+    }
+    // sample variance of the pc1 scores equals the eigenvalue (that IS
+    // what "explained variance" means — ties the projection to the solve)
+    val scores = out.values.map(_._1).toSeq
+    val mu = scores.sum / scores.size
+    val varr = scores.map(x => (x - mu) * (x - mu)).sum / (scores.size - 1)
+    assert(math.abs(varr - comps(0)._2) < 1e-6,
+      s"Var(pc1) $varr != lambda1 ${comps(0)._2}")
+  }
+
   test("embeddings corpus: top PC explains more variance than any single axis") {
     val df = graft.Tables.load(spark, sfDir, "embeddings")
     val (_, lambda) = Pca.principalComponent(df, "embedding", 64)
