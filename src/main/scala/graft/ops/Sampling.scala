@@ -74,29 +74,62 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    // integral weights only: fractional weights (e.g. normalized 0.3/0.7)
-    // would silently fail the >= 1 gate row by row and sample nothing —
-    // reject the schema up front instead of losing the corpus quietly
+    requireIntegralWeight(df, weight)
+    df
+      .filter(weight.isNotNull && weight >= 1)
+      .withColumn("priority", esPriority(id, weight))
+      .orderBy(col("priority"), id)
+      .limit(k)
+  }
+
+  /** Per-key twin of [[weightedSample]]: the k lowest integer-hash
+    * Efraimidis–Spirakis priorities WITHIN each key — "keep each
+    * language's k best-weighted docs" where the global form keeps a
+    * corpus-wide k. The rank rides the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (map-side partial top-k, ≤
+    * k·keys·partitions rows move, spill fallback on near-unique keys) —
+    * never a one-task-per-key window, never a full per-key sort. Same
+    * weight contract as the global form: integral, null/sub-1 excluded. */
+  def weightedSamplePerKey(df: DataFrame, keys: Seq[String], idCol: String,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    requireIntegralWeight(df, weight)
+    graft.plans.TopKPerKey(
+      df.filter(weight.isNotNull && weight >= 1)
+        .withColumn("priority", esPriority(col(idCol), weight)),
+      keys = keys,
+      order = Seq(
+        graft.plans.TopKPerKey.Order("priority"),
+        graft.plans.TopKPerKey.Order(idCol)),
+      k = k)
+  }
+
+  // integral weights only: fractional weights (e.g. normalized 0.3/0.7)
+  // would silently fail the >= 1 gate row by row and sample nothing —
+  // reject the schema up front instead of losing the corpus quietly
+  private def requireIntegralWeight(df: DataFrame, weight: Column): Unit = {
     import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
     val wType = df.select(weight).schema.head.dataType
     require(Set[DataType](ByteType, ShortType, IntegerType, LongType).contains(wType),
       s"weight must be an integral column (unit-draw replication), got $wType")
-    // the int cast below WRAPS for weights >= 2^31 (sequence() takes int
-    // bounds): 2^31 would count down, 2^32 would silently sample with
-    // weight ~0 — fail loudly inside the plan instead. Weights are
-    // documented as small tiers; 2^31 unit draws per row is a usage bug.
+  }
+
+  /** Min of `weight` independent 60-bit hash draws — the
+    * Efraimidis–Spirakis exponential key with the float math replaced by
+    * integer hashing (see [[weightedSample]]'s scaladoc for why). The int
+    * cast WRAPS for weights >= 2^31 (sequence() takes int bounds): 2^31
+    * would count down, 2^32 would silently sample with weight ~0 — fail
+    * loudly inside the plan instead. Weights are documented as small
+    * tiers; 2^31 unit draws per row is a usage bug. */
+  private def esPriority(id: Column, weight: Column): Column = {
     val wInt = when(weight > lit(Int.MaxValue.toLong),
         raise_error(concat(lit("weightedSample: weight exceeds Int.MaxValue: "),
           weight.cast("string"))).cast("int"))
       .otherwise(weight.cast("int"))
-    df
-      .filter(weight.isNotNull && weight >= 1)
-      .withColumn("priority", array_min(transform(
-        sequence(lit(1), wInt),
-        i => graft.functions.H60.of(
-          concat(id.cast("string"), lit("#"), i.cast("string"))))))
-      .orderBy(col("priority"), id)
-      .limit(k)
+    array_min(transform(
+      sequence(lit(1), wInt),
+      i => graft.functions.H60.of(
+        concat(id.cast("string"), lit("#"), i.cast("string")))))
   }
 
   /** Stratified variant: per-stratum rates in basis points, `defaultBp` for

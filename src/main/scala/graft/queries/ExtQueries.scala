@@ -4787,6 +4787,45 @@ object ExtQueries {
       |""".stripMargin + pairs.mkString("\nUNION ALL\n") + "\nORDER BY i, j"
   }
 
+  // ---------------------------------------------------------------- Q143
+  /** Per-key weighted sampling without replacement
+    * ([[graft.ops.Sampling.weightedSamplePerKey]]): q97's integer-hash
+    * Efraimidis–Spirakis priorities, ranked WITHIN each language on the
+    * bounded-heap TopKPerKey operator — "keep each language's k
+    * best-weighted docs", the per-stratum form corpus rebalancing
+    * actually runs (the global form can starve a small language
+    * entirely). Weight = the same length tier as q97; selection is
+    * engine-reproducible because the priority is pure integer hashing,
+    * so DuckDB replays it exactly. */
+  def q143WeightedPerKey(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(1 + LEAST(4, n_chars DIV 500) AS BIGINT)").as("w"))
+    graft.ops.Sampling.weightedSamplePerKey(
+        docs, Seq("lang"), "doc_id", col("w"), k = 10)
+      .select("doc_id", "lang", "w", "priority")
+      .orderBy("lang", "priority", "doc_id")
+  }
+
+  val q143Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, lang,
+      |    CAST(1 + LEAST(4, n_chars // 500) AS BIGINT) AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, w,
+      |    list_min(list_transform(range(1, w + 1),
+      |      i -> ('0x' || substr(md5(doc_id::VARCHAR || '#' || i::VARCHAR),
+      |        1, 15))::BIGINT)) AS priority
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, lang, w, priority,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY lang ORDER BY priority, doc_id) AS rn
+      |  FROM p)
+      |SELECT doc_id, lang, w, priority FROM r WHERE rn <= 10
+      |ORDER BY lang, priority, doc_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4918,7 +4957,8 @@ object ExtQueries {
     "q139_token_budget" -> (q139TokenBudget _),
     "q140_ppl_buckets" -> (q140PplBuckets _),
     "q141_word_entropy" -> (q141WordEntropy _),
-    "q142_pca_cov" -> (q142PcaCov _))
+    "q142_pca_cov" -> (q142PcaCov _),
+    "q143_weighted_per_key" -> (q143WeightedPerKey _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5052,5 +5092,6 @@ object ExtQueries {
     "q139_token_budget" -> q139Sql,
     "q140_ppl_buckets" -> q140Sql,
     "q141_word_entropy" -> q141Sql,
-    "q142_pca_cov" -> q142Sql)
+    "q142_pca_cov" -> q142Sql,
+    "q143_weighted_per_key" -> q143Sql)
 }

@@ -152,6 +152,35 @@ class SamplingSpec extends SparkSpec {
       "groupedRank-based selection must equal the row_number form")
   }
 
+  test("weightedSamplePerKey == per-key window form, repartition-stable, excludes sub-1 weights") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i =>
+      (i, "k" + (i % 3), if (i % 7 == 0) 0L else 1L + (i % 4)))
+    val df = rows.toDF("doc_id", "key", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSamplePerKey(d, Seq("key"), "doc_id", col("w"), k = 5)
+        .select("key", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run(df)
+    assert(got.size == 15, s"5 per key x 3 keys: ${got.size}")
+    assert(run(df.repartition(13)) == got, "partitioning changed the sample")
+    assert(!got.exists { case (_, id) => id % 7 == 0 },
+      "weight-0 rows must be excluded")
+    // equivalence with the naive window over the same priority expression
+    val naive = df.filter(col("w") >= 1)
+      .withColumn("priority", array_min(transform(
+        sequence(lit(1), col("w").cast("int")),
+        i => graft.functions.H60.of(
+          concat(col("doc_id").cast("string"), lit("#"), i.cast("string"))))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy("priority", "doc_id")))
+      .filter(col("rn") <= 5)
+      .select("key", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive, "TopKPerKey selection must equal the window form")
+  }
+
   test("budgetSelect: prefix of score order until the weight budget, per group") {
     import spark.implicits._
     // weights chosen so the greedy prefix is unambiguous: group a fills
