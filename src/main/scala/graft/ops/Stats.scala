@@ -162,4 +162,41 @@ object Stats {
           .as("ks_ppm"))
       .orderBy("source")
   }
+
+  /** Robust per-group outlier report: median and MAD (median absolute
+    * deviation) of an integral `valueCol`, and how many rows sit more
+    * than `k`·MAD from the median — the data-quality sweep that survives
+    * the outliers it is hunting (mean/stddev z-scores are dragged by the
+    * very rows they should flag; median/MAD have a 50% breakdown point).
+    * Two grouped EXACT percentile aggregates plus broadcast joins of the
+    * ≤-#groups-row median/MAD tables — deterministic cross-engine because
+    * interpolated medians of integers are exact binary halves (`k` or
+    * `k+0.5`), so every deviation and threshold comparison is on exactly
+    * representable doubles, never a rounding race. Exact `percentile`
+    * shuffles each group's values; at 100 TB swap in `approx_percentile`
+    * (q96's sketch machinery, rank-error-bounded) — the report shape is
+    * identical, exactness here buys the oracle. A group with MAD = 0
+    * (over half its mass on one value) flags every off-median row — the
+    * conventional degenerate reading. */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 5.0): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    val v = df.select(col(groupCol).as("g"), col(valueCol).as("vc"))
+    val med = v.groupBy("g")
+      .agg(expr("percentile(vc, 0.5)").as("med"))
+    val d = v.join(broadcast(med), "g")
+      .withColumn("dev", abs(col("vc") - col("med")))
+    val mad = d.groupBy("g")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    d.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"), // constant within the group
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(col("dev")).as("max_dev"))
+  }
 }

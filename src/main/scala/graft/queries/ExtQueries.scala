@@ -4826,6 +4826,41 @@ object ExtQueries {
       |SELECT doc_id, lang, w, priority FROM r WHERE rn <= 10
       |ORDER BY lang, priority, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q144
+  /** Robust outlier sweep ([[graft.ops.Stats.madOutliers]]): per
+    * event type, median/MAD of the value in integer cents and the count
+    * of rows beyond 5 MADs — the data-quality report that is not dragged
+    * by the very rows it flags (mean/stddev z-scores are; median/MAD
+    * break down only past 50% contamination). Interpolated medians of
+    * integers are exact binary halves, so every threshold comparison is
+    * deterministic cross-engine. */
+  def q144MadOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.madOutliers(
+        t(s, dir, "events").select(
+          col("event_type"),
+          round(col("value") * 100).cast("long").as("vc")),
+        "event_type", "vc", k = 5.0)
+      .select(col("g").as("event_type"), col("n"), col("med"),
+        col("mad"), col("n_outliers"), col("max_dev"))
+      .orderBy("event_type")
+
+  val q144Sql: String =
+    """WITH v AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS vc
+      |  FROM events),
+      |med AS (SELECT g, quantile_cont(vc, 0.5) AS med FROM v GROUP BY g),
+      |d AS (
+      |  SELECT v.g, vc, ABS(vc - med.med) AS dev
+      |  FROM v JOIN med ON v.g = med.g),
+      |mad AS (SELECT g, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY g)
+      |SELECT d.g AS event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(med.med) AS med, MAX(mad.mad) AS mad,
+      |  CAST(SUM(CASE WHEN dev > 5.0 * mad.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  MAX(dev) AS max_dev
+      |FROM d JOIN med ON d.g = med.g JOIN mad ON d.g = mad.g
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4958,7 +4993,8 @@ object ExtQueries {
     "q140_ppl_buckets" -> (q140PplBuckets _),
     "q141_word_entropy" -> (q141WordEntropy _),
     "q142_pca_cov" -> (q142PcaCov _),
-    "q143_weighted_per_key" -> (q143WeightedPerKey _))
+    "q143_weighted_per_key" -> (q143WeightedPerKey _),
+    "q144_mad_outliers" -> (q144MadOutliers _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5093,5 +5129,6 @@ object ExtQueries {
     "q140_ppl_buckets" -> q140Sql,
     "q141_word_entropy" -> q141Sql,
     "q142_pca_cov" -> q142Sql,
-    "q143_weighted_per_key" -> q143Sql)
+    "q143_weighted_per_key" -> q143Sql,
+    "q144_mad_outliers" -> q144Sql)
 }

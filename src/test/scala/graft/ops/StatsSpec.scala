@@ -106,4 +106,27 @@ class StatsSpec extends SparkSpec {
     val builtin = li.agg(corr(col("qty"), col("price"))).as[Double].collect()(0)
     assert(math.abs(ours - builtin) <= 2e-6)
   }
+
+  test("madOutliers: hand-computed medians, MAD-0 degeneracy, outlier count") {
+    import spark.implicits._
+    // group a: {10,10,20,30,1000} → med 20, devs {10,10,0,10,980} →
+    //   mad 10, 5·mad = 50 → exactly the 1000 row flags; max_dev 980.
+    //   The classic case mean/stddev misses: 1000 drags mean to 214 and
+    //   stddev past 400, z-scoring its own outlier back under 2.
+    // group b: {7,7,7,9} → med 7, devs {0,0,0,2} → mad 0 → every
+    //   off-median row (the single 9) flags — degenerate reading.
+    val df = Seq(
+      ("a", 10L), ("a", 10L), ("a", 20L), ("a", 30L), ("a", 1000L),
+      ("b", 7L), ("b", 7L), ("b", 7L), ("b", 9L))
+      .toDF("g0", "v0")
+    val out = Stats.madOutliers(df, "g0", "v0", k = 5.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out("a") == ((5L, 20.0, 10.0, 1L, 980.0)), s"group a: ${out("a")}")
+    assert(out("b") == ((4L, 7.0, 0.0, 1L, 2.0)), s"group b: ${out("b")}")
+    val err = intercept[IllegalArgumentException](
+      Stats.madOutliers(df, "g0", "v0", k = 0.0))
+    assert(err.getMessage.contains("k must be > 0"))
+  }
 }
