@@ -4861,6 +4861,61 @@ object ExtQueries {
       |FROM d JOIN med ON d.g = med.g JOIN mad ON d.g = mad.g
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q145
+  /** Canonical-representative selection — the step AFTER q54's
+    * clustering that actual dedup pipelines ship: per near-dup cluster,
+    * keep the best member (longest text, ties to lowest id — the
+    * quality-aware keeper, vs [[graft.ops.Cluster.representatives]]'
+    * min-id convention) and account for what it replaces. The rank
+    * window partitions by cluster — HIGH-cardinality by construction
+    * (clusters are small), so per-cluster windows are the right tool
+    * here, unlike the low-cardinality group cases that ride
+    * groupedRank. */
+  def q145CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = augDocs(s, dir)
+    val comp = graft.ops.Cluster.connectedComponents(
+      Dedup.minhashPairs(docs), "doc_a", "doc_b")
+    val lens = docs.select(
+      col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy("cluster").orderBy(col("len").desc, col("id"))
+    comp.join(lens, comp("id") === lens("doc_id")).drop("doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum("len").as("total_len"),
+        max(when(col("rn") === 1, col("id"))).as("keeper"),
+        max(when(col("rn") === 1, col("len"))).as("keeper_len"))
+      .orderBy("cluster")
+  }
+
+  val q145Sql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+      |good AS (SELECT doc_a, doc_b FROM est WHERE est_sim >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM good
+      |  UNION SELECT doc_b, doc_a FROM good),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach(id, label) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON r.id = e.src),
+      |comp AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+      |m AS (
+      |  SELECT comp.cluster, comp.id, CAST(length(aug.text) AS BIGINT) AS len
+      |  FROM comp JOIN aug ON comp.id = aug.doc_id),
+      |r2 AS (
+      |  SELECT cluster, id, len,
+      |    ROW_NUMBER() OVER (
+      |      PARTITION BY cluster ORDER BY len DESC, id) AS rn
+      |  FROM m)
+      |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  CAST(SUM(len) AS BIGINT) AS total_len,
+      |  MAX(CASE WHEN rn = 1 THEN id END) AS keeper,
+      |  MAX(CASE WHEN rn = 1 THEN len END) AS keeper_len
+      |FROM r2 GROUP BY 1 ORDER BY cluster""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -4994,7 +5049,8 @@ object ExtQueries {
     "q141_word_entropy" -> (q141WordEntropy _),
     "q142_pca_cov" -> (q142PcaCov _),
     "q143_weighted_per_key" -> (q143WeightedPerKey _),
-    "q144_mad_outliers" -> (q144MadOutliers _))
+    "q144_mad_outliers" -> (q144MadOutliers _),
+    "q145_canonical_dedup" -> (q145CanonicalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5130,5 +5186,6 @@ object ExtQueries {
     "q141_word_entropy" -> q141Sql,
     "q142_pca_cov" -> q142Sql,
     "q143_weighted_per_key" -> q143Sql,
-    "q144_mad_outliers" -> q144Sql)
+    "q144_mad_outliers" -> q144Sql,
+    "q145_canonical_dedup" -> q145Sql)
 }
