@@ -44,10 +44,15 @@ object Stats {
     val m = base.agg(count(lit(1)).as("n"), aggs: _*)
 
     val nD = col("n").cast("double")
+    // nullif on the divisor: a zero-variance (constant) column makes its
+    // correlations UNDEFINED — that must surface as null rows, not as an
+    // ANSI divide-by-zero killing the whole report (at 100 TB one stuck
+    // sensor column would otherwise take down every other pair's numbers)
     def corrOf(i: Int, j: Int): Column =
       round((nD * col(s"sp_${i}_$j") - col(s"s_$i").cast("double") * col(s"s_$j"))
-        / sqrt((nD * col(s"ss_$i") - col(s"s_$i").cast("double") * col(s"s_$i"))
-          * (nD * col(s"ss_$j") - col(s"s_$j").cast("double") * col(s"s_$j"))), 6)
+        / nullif(sqrt((nD * col(s"ss_$i") - col(s"s_$i").cast("double") * col(s"s_$i"))
+          * (nD * col(s"ss_$j") - col(s"s_$j").cast("double") * col(s"s_$j"))),
+          lit(0.0)), 6)
     val pairs = pairsIdx.map { case (i, j) =>
       struct(lit(names(i)).as("col_x"), lit(names(j)).as("col_y"),
         corrOf(i, j).as("corr"))

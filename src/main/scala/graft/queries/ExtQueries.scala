@@ -4916,6 +4916,67 @@ object ExtQueries {
       |  MAX(CASE WHEN rn = 1 THEN len END) AS keeper_len
       |FROM r2 GROUP BY 1 ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- Q146
+  /** Cross-modal embedding leakage audit: documents ⋈ embeddings on the
+    * shared id and [[graft.ops.Stats.corrMatrix]] over (doc length,
+    * label, two embedding coordinates quantized to 1e-6 fixed point) —
+    * the "is any coordinate leaking document length / tracking the
+    * label" probe run before trusting an encoder (the testdata's vectors
+    * are unit-normalized, so the NORM carries nothing — coordinates are
+    * where leakage lives; the full-d sweep is this same matrix over all
+    * dims). One equi-join, one 1-row exact-integer moment aggregate, the
+    * q124 discipline throughout. */
+  def q146EmbedAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val vecs = t(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("label").cast("long").as("lbl"),
+      round(element_at(col("embedding"), 1).cast("double") * 1e6)
+        .cast("long").as("e0"),
+      round(element_at(col("embedding"), 2).cast("double") * 1e6)
+        .cast("long").as("e1"))
+    graft.ops.Stats.corrMatrix(
+      docs.join(vecs, docs("doc_id") === vecs("vec_id")),
+      Seq(
+        "chars" -> col("n_chars"),
+        "label" -> col("lbl"),
+        "e0" -> col("e0"),
+        "e1" -> col("e1")))
+  }
+
+  val q146Sql: String = {
+    val names = Seq("chars", "label", "e0", "e1")
+    val pairs =
+      for { i <- names.indices; j <- i + 1 until names.size }
+        yield (names(i), names(j))
+    val moments =
+      names.map(n => s"CAST(SUM($n) AS BIGINT) AS s_$n") ++
+        names.map(n => s"CAST(SUM($n * $n) AS BIGINT) AS ss_$n") ++
+        pairs.map { case (x, y) => s"CAST(SUM($x * $y) AS BIGINT) AS sp_${x}_$y" }
+    val rows = pairs.map { case (x, y) =>
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
+         |    round((CAST(n AS DOUBLE) * sp_${x}_$y
+         |        - CAST(s_$x AS DOUBLE) * s_$y)
+         |      / sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
+         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)),
+         |      6) AS corr
+         |  FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT d.n_chars AS chars, CAST(e.label AS BIGINT) AS label,
+       |    CAST(round(CAST(e.embedding[1] AS DOUBLE) * 1000000) AS BIGINT)
+       |      AS e0,
+       |    CAST(round(CAST(e.embedding[2] AS DOUBLE) * 1000000) AS BIGINT)
+       |      AS e1
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |m AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    ${moments.mkString(",\n    ")}
+       |  FROM b)
+       |$rows
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5050,7 +5111,8 @@ object ExtQueries {
     "q142_pca_cov" -> (q142PcaCov _),
     "q143_weighted_per_key" -> (q143WeightedPerKey _),
     "q144_mad_outliers" -> (q144MadOutliers _),
-    "q145_canonical_dedup" -> (q145CanonicalDedup _))
+    "q145_canonical_dedup" -> (q145CanonicalDedup _),
+    "q146_embed_audit" -> (q146EmbedAudit _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5187,5 +5249,6 @@ object ExtQueries {
     "q142_pca_cov" -> q142Sql,
     "q143_weighted_per_key" -> q143Sql,
     "q144_mad_outliers" -> q144Sql,
-    "q145_canonical_dedup" -> q145Sql)
+    "q145_canonical_dedup" -> q145Sql,
+    "q146_embed_audit" -> q146Sql)
 }

@@ -107,6 +107,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ours - builtin) <= 2e-6)
   }
 
+  test("corrMatrix: a constant column yields null corr rows, not a query-killing error") {
+    import spark.implicits._
+    val df = Seq((1L, 7L, 10L), (2L, 7L, 20L), (3L, 7L, 35L))
+      .toDF("x", "const", "y")
+    val out = Stats.corrMatrix(df,
+        Seq("x" -> col("x"), "const" -> col("const"), "y" -> col("y")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "const")).isEmpty, "undefined corr must be null")
+    assert(out(("const", "y")).isEmpty, "undefined corr must be null")
+    val xy = out(("x", "y"))
+    assert(xy.exists(v => v > 0.99 && v <= 1.0),
+      s"the defined pair still reports: $xy")
+  }
+
   test("madOutliers: hand-computed medians, MAD-0 degeneracy, outlier count") {
     import spark.implicits._
     // group a: {10,10,20,30,1000} → med 20, devs {10,10,0,10,980} →
