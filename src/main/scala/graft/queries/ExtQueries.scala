@@ -4977,6 +4977,41 @@ object ExtQueries {
        |ORDER BY col_x, col_y""".stripMargin
   }
 
+  // ---------------------------------------------------------------- Q147
+  /** Memorization-hotspot mining: the most frequent word 5-grams ACROSS
+    * the corpus with occurrence and document counts — the probe behind
+    * "which exact phrases will the model memorize" (high-count long
+    * n-grams are what substring dedup targets; q104's boilerplate pass is
+    * the line-level cousin). One explode into 5-gram strings, one
+    * count+distinct aggregate keyed by gram (shuffle carries grams once,
+    * map-side combined), and the top-50 collapses to
+    * TakeOrderedAndProject — no sort of the full gram table. Total
+    * (count desc, gram) order makes the cut deterministic cross-engine. */
+  def q147FrequentNgrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+    toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(tk) - 5), " +
+          "i -> array_join(slice(tk, i + 1, 5), ' '))")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(50)
+  }
+
+  val q147Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM tk, UNNEST(range(1, len(t) - 3)) AS u(i)
+      |  WHERE len(t) >= 5)
+      |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 50""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5112,7 +5147,8 @@ object ExtQueries {
     "q143_weighted_per_key" -> (q143WeightedPerKey _),
     "q144_mad_outliers" -> (q144MadOutliers _),
     "q145_canonical_dedup" -> (q145CanonicalDedup _),
-    "q146_embed_audit" -> (q146EmbedAudit _))
+    "q146_embed_audit" -> (q146EmbedAudit _),
+    "q147_frequent_ngrams" -> (q147FrequentNgrams _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5250,5 +5286,6 @@ object ExtQueries {
     "q143_weighted_per_key" -> q143Sql,
     "q144_mad_outliers" -> q144Sql,
     "q145_canonical_dedup" -> q145Sql,
-    "q146_embed_audit" -> q146Sql)
+    "q146_embed_audit" -> q146Sql,
+    "q147_frequent_ngrams" -> q147Sql)
 }
