@@ -72,13 +72,24 @@ object Pca {
     * already applied to short vectors. */
   def moments(df: DataFrame, vecCol: String, dim: Int): Moments = {
     import df.sparkSession.implicits._
-    df.select(col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
-      .select(transform(col("__v"), x => coalesce(x, lit(0.0))).as("__v"))
+    cleanVecs(df, vecCol, "__v")
+      .select("__v")
       .as[Seq[Double]]
       .select(new MomentsAgg(dim).toColumn)
       .head()
   }
+
+  /** THE vector-prep contract, in one place: cast to array<double>, drop
+    * whole-null vectors (SQL-aggregate convention), read null ELEMENTS as
+    * 0.0 (the zero-padding rule). Other columns ride through untouched.
+    * [[moments]] and the streaming [[graft.streaming.EmbedDrift]] both go
+    * through here so batch reference and windowed stream can never
+    * disagree on null handling. */
+  private[graft] def cleanVecs(
+      df: DataFrame, vecCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, col(vecCol).cast("array<double>"))
+      .filter(col(outCol).isNotNull)
+      .withColumn(outCol, transform(col(outCol), x => coalesce(x, lit(0.0))))
 
   /** Dense d×d sample covariance from the moments (driver-side, O(d²)). */
   def covariance(m: Moments, dim: Int): Array[Array[Double]] = {
@@ -132,7 +143,11 @@ object Pca {
         i += 1
       }
       val norm = math.sqrt(w.map(x => x * x).sum)
-      require(norm > 0, "covariance matrix annihilated the iterate")
+      // an (exactly) zero matrix — deflation past the rank, or an
+      // all-constant input — has no direction to find: return the
+      // deterministic start axis with eigenvalue 0 instead of aborting
+      // the whole solve (the documented beyond-rank contract)
+      if (norm == 0.0) return (v, 0.0)
       i = 0
       while (i < dim) { w(i) /= norm; i += 1 }
       lambda = norm

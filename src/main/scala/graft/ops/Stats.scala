@@ -190,11 +190,21 @@ object Stats {
     val v = df.select(col(groupCol).as("g"), col(valueCol).as("vc"))
     val med = v.groupBy("g")
       .agg(expr("percentile(vc, 0.5)").as("med"))
-    val d = v.join(broadcast(med), "g")
+      .withColumnRenamed("g", "__gm")
+    // null-safe joins: the null group is a group — a data-quality sweep
+    // that silently drops the rows with a NULL key understates outliers
+    // exactly where the data is worst. localCheckpoint: two consumers
+    // (the MAD aggregate and the final report) must not re-pay the scan
+    // and the med join.
+    val d = v.join(broadcast(med), col("g") <=> col("__gm"))
+      .drop("__gm")
       .withColumn("dev", abs(col("vc") - col("med")))
+      .localCheckpoint()
     val mad = d.groupBy("g")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
-    d.join(broadcast(mad), "g")
+      .withColumnRenamed("g", "__gd")
+    d.join(broadcast(mad), col("g") <=> col("__gd"))
+      .drop("__gd")
       .groupBy("g")
       .agg(
         count(lit(1)).as("n"),

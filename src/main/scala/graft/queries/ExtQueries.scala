@@ -4067,8 +4067,8 @@ object ExtQueries {
       s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
          |    round((CAST(n AS DOUBLE) * sp_${x}_$y
          |        - CAST(s_$x AS DOUBLE) * s_$y)
-         |      / sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
-         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)),
+         |      / nullif(sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
+         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)), 0),
          |      6) AS corr
          |  FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -4262,8 +4262,8 @@ object ExtQueries {
     def block(lag: Int) =
       s"""SELECT $lag AS lag, n AS n_pairs,
          |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-         |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |    / nullif(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0), 6)
          |    AS corr
          |FROM (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -4957,8 +4957,8 @@ object ExtQueries {
       s"""SELECT '$x' AS col_x, '$y' AS col_y, n,
          |    round((CAST(n AS DOUBLE) * sp_${x}_$y
          |        - CAST(s_$x AS DOUBLE) * s_$y)
-         |      / sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
-         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)),
+         |      / nullif(sqrt((CAST(n AS DOUBLE) * ss_$x - CAST(s_$x AS DOUBLE) * s_$x)
+         |        * (CAST(n AS DOUBLE) * ss_$y - CAST(s_$y AS DOUBLE) * s_$y)), 0),
          |      6) AS corr
          |  FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")

@@ -51,6 +51,10 @@ object EmbedDrift {
       watermarkDelay: String = "10 seconds")(
       out: (DataFrame, Long) => Unit): StreamingQuery = {
     require(ref.n >= 2, s"reference needs n >= 2, got ${ref.n}")
+    require(ref.sum.length == dim,
+      s"reference moments were built for dim ${ref.sum.length}, stream is " +
+        s"$dim — a mismatched triangle layout reads the wrong gram slots " +
+        "and every ratio would be silently wrong")
     val spark = vecs.sparkSession
     val refMean = ref.sum.map(_ / ref.n).toArray
     val refTrace = {
@@ -61,13 +65,13 @@ object EmbedDrift {
     val momentsUdaf =
       udaf(new Pca.MomentsAgg(dim), ExpressionEncoder[Seq[Double]]())
 
-    vecs
+    val prepped = vecs
       .withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", watermarkDelay)
-      .select(col("__ts"), col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
-      .select(col("__ts"),
-        transform(col("__v"), x => coalesce(x, lit(0.0))).as("__v"))
+    // vector prep rides Pca.cleanVecs — ONE null-handling contract shared
+    // with the batch reference, so the two sides can never diverge
+    Pca.cleanVecs(prepped, vecCol, "__v")
+      .select("__ts", "__v")
       .groupBy(window(col("__ts"), windowDuration).as("w"))
       .agg(momentsUdaf(col("__v")).as("m"))
       .writeStream
@@ -90,11 +94,11 @@ object EmbedDrift {
           val traceRatio: java.lang.Double =
             if (n < 2) null
             else {
-              val tr = (0 until dim).map { i =>
-                val k = i * dim - i * (i - 1) / 2 // (i,i) in the upper triangle
-                (gram(k) - sum(i) * sum(i) / n) / (n - 1)
-              }.sum
-              tr / refTrace
+              // one tested triangle-indexing formula: the window's trace
+              // comes from the same Pca.covariance the reference used
+              val c = Pca.covariance(
+                Pca.Moments(n, sum.toVector, gram.toVector), dim)
+              (0 until dim).map(i => c(i)(i)).sum / refTrace
             }
           Row(r.getTimestamp(0), r.getTimestamp(1), n,
             math.rint(meanL2 * 1e6) / 1e6,
@@ -109,8 +113,11 @@ object EmbedDrift {
             StructField("n_window", LongType),
             StructField("mean_l2", DoubleType),
             StructField("trace_ratio", DoubleType)))
+          // LocalRelation, not parallelize: a handful of already-collected
+          // driver rows must not schedule a cluster job per trigger on the
+          // alerting hot path
           out(spark.createDataFrame(
-            spark.sparkContext.parallelize(compared.toSeq, 1), schema), batchId)
+            java.util.Arrays.asList(compared: _*), schema), batchId)
         }
         ()
       }

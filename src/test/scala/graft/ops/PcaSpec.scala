@@ -87,6 +87,19 @@ class PcaSpec extends SparkSpec {
     assert(lambdas(2) < 0.01, "PC3 is noise-floor only")
   }
 
+  test("deflation past the matrix rank returns lambda 0, not a crash") {
+    import spark.implicits._
+    // rank-1 covariance that deflation zeroes EXACTLY: +-1 on axis 0
+    val vecs = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0))
+    val (_, comps) = Pca.topComponents(vecs.toDF("v"), "v", dim = 2, k = 2)
+    assert(math.abs(comps(0)._2 - 2.0) < 1e-12, s"lambda1: ${comps(0)._2}")
+    assert(comps(1)._2 == 0.0, s"beyond-rank eigenvalue must be 0: ${comps(1)._2}")
+    // an all-constant corpus (zero covariance outright) also solves
+    val const = Seq(Seq(3.0, 3.0), Seq(3.0, 3.0))
+    val (_, c2) = Pca.topComponents(const.toDF("v"), "v", dim = 2, k = 1)
+    assert(c2(0)._2 == 0.0, s"zero-variance corpus: ${c2(0)._2}")
+  }
+
   test("project: mean-centered scores match the driver-side computation") {
     import spark.implicits._
     val dim = 4

@@ -143,5 +143,14 @@ class StatsSpec extends SparkSpec {
     val err = intercept[IllegalArgumentException](
       Stats.madOutliers(df, "g0", "v0", k = 0.0))
     assert(err.getMessage.contains("k must be > 0"))
+    // the null group is a group: a quality sweep dropping NULL-keyed rows
+    // understates outliers exactly where the data is worst
+    val withNull = Seq((null.asInstanceOf[String], 1L),
+      (null.asInstanceOf[String], 1L), (null.asInstanceOf[String], 100L))
+      .toDF("g0", "v0").union(df)
+    val nullRow = Stats.madOutliers(withNull, "g0", "v0", k = 5.0)
+      .filter(col("g").isNull).collect()
+    assert(nullRow.length == 1 && nullRow(0).getLong(1) == 3L,
+      s"null group must report its 3 rows: ${nullRow.toSeq}")
   }
 }
