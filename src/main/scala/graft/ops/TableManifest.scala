@@ -861,16 +861,29 @@ object TableManifest {
       a, b, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
+    spliceCommit(spark, dir, victims, moved, mstats, msstats,
+      "optimizeZOrderRange")
+  }
+
+  /** The victim-set CAS splice every bounded rewrite ends with: replace
+    * exactly `victims` in the head file list with `moved`, preserving the
+    * hwm (re-read TOGETHER with the head per attempt) and any concurrent
+    * appender's files. Aborts — deleting `moved` — when a concurrent full
+    * rewrite (publish / compaction) already replaced a victim: the rewrite
+    * was of a dead snapshot and splicing it would resurrect deleted rows
+    * or drop the winner's. */
+  private def spliceCommit(spark: SparkSession, dir: String,
+      victims: Seq[String], moved: Seq[String], mstats: FileStats,
+      msstats: FileStringStats, opName: String): Long = {
+    val (fs, p) = fsFor(spark, dir)
     val victimSet = victims.toSet
     var attempts = 0
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir).getOrElse(
-        sys.error(s"optimizeZOrderRange: manifest vanished under $dir"))
+        sys.error(s"$opName: manifest vanished under $dir"))
       if (!victimSet.subsetOf(files.toSet)) {
-        // a concurrent full rewrite (publish / compaction) replaced our
-        // victims: our rewrite is of a dead snapshot — abandon cleanly
         moved.foreach(f => fs.delete(new Path(p, f), false))
-        sys.error(s"optimizeZOrderRange: victim files disappeared under " +
+        sys.error(s"$opName: victim files disappeared under " +
           s"$dir (concurrent rewrite); re-run against the new head")
       }
       val next = files.filterNot(victimSet) ++ moved
@@ -879,7 +892,93 @@ object TableManifest {
         case None => attempts += 1
       }
     }
-    sys.error(s"optimizeZOrderRange lost $attempts races in $dir; giving up")
+    sys.error(s"$opName lost $attempts races in $dir; giving up")
+  }
+
+  /** Targeted ERASE of every row whose long `column` equals any of
+    * `values` — the right-to-be-forgotten primitive. Only the head files
+    * whose committed metadata CAN hold a target key are rewritten: a file
+    * is a victim when its bloom ([[analyzeBloom]]) admits some value AND
+    * its min/max range ([[analyze]]) intersects some value (files missing
+    * either stat are conservatively victims). At 100 TB with blooms
+    * committed, erasing one user rewrites a handful of files and never
+    * lists, opens, or shuffles the rest of the table.
+    *
+    * Rows with a NULL key are never erased (`NULL = v` matches nothing,
+    * the SQL `DELETE WHERE column IN (...)` contract). The splice commit
+    * preserves a concurrent appender's files and the streaming hwm.
+    * Rewritten files carry fresh min/max for `column` in the same commit;
+    * their blooms are absent until the next [[analyzeBloom]] sweep
+    * (conservative — they're re-read, never wrongly skipped).
+    *
+    * The erase is LOGICAL at commit time: prior versions still list the
+    * old files, so time travel sees the erased rows until
+    * [[vacuum]]`(grace, retainManifests)` reclaims the delisted files and
+    * prunes the manifests that list them — run both to complete a
+    * physical purge. Returns the committed version (the unchanged head
+    * when no file can contain any key). */
+  def eraseWhereEq(spark: SparkSession, dir: String, column: String,
+      values: Seq[Long]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "eraseWhereEq: empty key set")
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
+    val bloom = parseBloom(headBody)
+    val stats = parseStats(headBody)
+    val victims = headFiles.filter { f =>
+      val bloomHit = bloom.get(f).flatMap(_.get(column)) match {
+        case Some(hex) => values.exists(v => bloomMightContain(hex, v))
+        case None => true
+      }
+      val rangeHit = stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
+        case None => true
+      }
+      bloomHit && rangeHit
+    }
+    eraseRewrite(spark, dir, headV, victims, column,
+      df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
+      "eraseWhereEq")
+  }
+
+  /** [[eraseWhereEq]] for STRING keys (erase by source, license tag,
+    * opted-out domain): victims are pruned by committed string min/max
+    * ([[analyze]] discovers column types from the footer). */
+  def eraseWhereIn(spark: SparkSession, dir: String, column: String,
+      values: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "eraseWhereIn: empty key set")
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
+    val sstats = parseStringStats(headBody)
+    val victims = headFiles.filter { f =>
+      sstats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
+        case None => true
+      }
+    }
+    eraseRewrite(spark, dir, headV, victims, column,
+      df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
+      "eraseWhereIn")
+  }
+
+  private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
+      victims: Seq[String], column: String,
+      keep: DataFrame => DataFrame, opName: String): Long = {
+    if (victims.isEmpty) return headV
+    val read = spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(f => s"$dir/$f"): _*)
+    // schema-evolution edge: victims that predate the key column have it
+    // NULL under the merged schema — kept by the predicate, as they must
+    // be. A victim set whose merged schema lacks the column entirely can
+    // contain no matching row: nothing to erase.
+    if (!read.columns.contains(column)) return headV
+    // one output file per victim keeps the file-count (and the skipping
+    // stats' granularity) stable across erasures instead of collapsing
+    // every touched file into one
+    val moved = writeAndMoveIn(keep(read).coalesce(victims.size), opName, dir)
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
+    spliceCommit(spark, dir, victims, moved, mstats, msstats, opName)
   }
 
   private def markerName(consumerId: String, v: Long): String =

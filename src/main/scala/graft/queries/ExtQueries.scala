@@ -5012,6 +5012,41 @@ object ExtQueries {
       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM g GROUP BY 1 ORDER BY n DESC, gram LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- Q148
+  /** Right-to-be-forgotten ERASE on a tracked table
+    * ([[graft.ops.TableManifest.eraseWhereEq]]): orders laid out ranged on
+    * `o_orderkey`, per-file min/max + per-file blooms on `o_custkey`
+    * committed, then three customers' rows erased. Because custkeys
+    * scatter across the orderkey layout, range stats prune nothing — the
+    * BLOOM is what keeps the rewrite to the files that really hold the
+    * keys, the access pattern a 100 TB deletion queue needs. The aggregate
+    * reads back through the manifest head, so the oracle checks the whole
+    * erase→commit→scan path; result is file-layout-independent. */
+  def q148Erase(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q148")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("o_custkey"))
+    graft.ops.TableManifest.analyzeBloom(s, tmp, "o_custkey")
+    graft.ops.TableManifest.eraseWhereEq(s, tmp, "o_custkey",
+      Seq(7L, 13L, 42L))
+    graft.ops.TableManifest.readTable(s, tmp)
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  val q148Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+      |FROM orders WHERE o_custkey NOT IN (7, 13, 42)""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5148,7 +5183,8 @@ object ExtQueries {
     "q144_mad_outliers" -> (q144MadOutliers _),
     "q145_canonical_dedup" -> (q145CanonicalDedup _),
     "q146_embed_audit" -> (q146EmbedAudit _),
-    "q147_frequent_ngrams" -> (q147FrequentNgrams _))
+    "q147_frequent_ngrams" -> (q147FrequentNgrams _),
+    "q148_erase" -> (q148Erase _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5287,5 +5323,6 @@ object ExtQueries {
     "q144_mad_outliers" -> q144Sql,
     "q145_canonical_dedup" -> q145Sql,
     "q146_embed_audit" -> q146Sql,
-    "q147_frequent_ngrams" -> q147Sql)
+    "q147_frequent_ngrams" -> q147Sql,
+    "q148_erase" -> q148Sql)
 }

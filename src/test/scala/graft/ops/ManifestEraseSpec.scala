@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Targeted erase ([[TableManifest.eraseWhereEq]]/[[TableManifest.eraseWhereIn]]):
+  * only files whose committed metadata can hold a target key are rewritten,
+  * untouched files keep their identity (name AND bytes), NULL keys survive,
+  * the streaming hwm survives, prior versions still time-travel to the
+  * erased rows, and vacuum completes the physical purge.
+  */
+class ManifestEraseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tracked table of one single-file commit per range of `k`. */
+  private def rangedTable(ranges: Seq[(Long, Long)]): (String, Seq[String]) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-erase").toString
+    ranges.zipWithIndex.foreach { case ((lo, hi), i) =>
+      graft.streaming.ManifestAppendSink.applyBatch(
+        (lo to hi).toDF("k").coalesce(1), i.toLong, dir)
+    }
+    (dir, TableManifest.read(spark, dir).get._2.sorted)
+  }
+
+  test("eraseWhereEq rewrites only stat-candidate files; identity, hwm, " +
+    "and time travel preserved") {
+    val (dir, files) = rangedTable(Seq((1L, 100L), (101L, 200L), (201L, 300L)))
+    TableManifest.analyze(spark, dir, Seq("k"))
+    val (v0, files0, hwm0) = TableManifest.readHead(spark, dir).get
+
+    val v1 = TableManifest.eraseWhereEq(spark, dir, "k", Seq(150L, 160L))
+    assert(v1 > v0)
+    val (_, files1, hwm1) = TableManifest.readHead(spark, dir).get
+    assert(hwm1 == hwm0, "streaming high-water must survive an erase")
+
+    // exactly the one file whose [101,200] range admits the keys rewritten
+    val untouched = files.filter(f => !f.isEmpty) // all three original names
+    val survivors = files1.toSet.intersect(untouched.toSet)
+    assert(survivors == Set(files.head, files.last),
+      s"files 1 and 3 must keep their identity: $files1")
+    assert(files1.size == 3, "one replacement file spliced in")
+
+    val got = TableManifest.readTable(spark, dir)
+    assert(got.count() == 298)
+    assert(got.filter(col("k").isin(150L, 160L)).count() == 0)
+
+    // rewritten file carries fresh min/max in the SAME commit
+    val newFile = (files1.toSet -- survivors).head
+    assert(TableManifest.readStats(spark, dir)(newFile)("k") == ((101L, 200L)))
+
+    // prior version still lists the old bytes — logical erase only
+    assert(TableManifest.readTableAt(spark, dir, v0).count() == 300)
+
+    // vacuum completes the physical purge of the delisted victim
+    val victim = (files0.toSet -- files1.toSet).head
+    val deleted = TableManifest.vacuum(spark, dir)
+    assert(deleted.contains(victim), s"vacuum must reclaim $victim: $deleted")
+  }
+
+  test("bloom narrows victims past overlapping ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-erase-b").toString
+    // two files with FULLY overlapping [1,200] ranges: range stats cannot
+    // discriminate, the bloom can
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (1L to 200L by 2).toDF("k").coalesce(1), 0L, dir) // odds
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (2L to 200L by 2).toDF("k").coalesce(1), 1L, dir) // evens
+    TableManifest.analyze(spark, dir, Seq("k"))
+    TableManifest.analyzeBloom(spark, dir, "k")
+    val before = TableManifest.read(spark, dir).get._2.toSet
+
+    TableManifest.eraseWhereEq(spark, dir, "k", Seq(2L))
+    val after = TableManifest.read(spark, dir).get._2.toSet
+    // the odds file survives untouched: its bloom rejects key 2
+    val oddsFile = before.find(_.startsWith("b0-")).get
+    assert(after.contains(oddsFile),
+      s"bloom must spare the odds file: before=$before after=$after")
+    val got = TableManifest.readTable(spark, dir)
+    assert(got.count() == 199 &&
+      got.filter(col("k") === 2L).count() == 0)
+  }
+
+  test("NULL keys survive; no-candidate erase is a version no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-erase-n").toString
+    val rows = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (null, "keep-null"), (3L, "c"))
+    graft.streaming.ManifestAppendSink.applyBatch(
+      rows.toDF("k", "v").coalesce(1), 0L, dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+
+    TableManifest.eraseWhereEq(spark, dir, "k", Seq(2L))
+    val got = TableManifest.readTable(spark, dir).orderBy("v")
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("a", "c", "keep-null"))
+
+    // min/max [1,3] excludes 999 — zero victims, head version unchanged
+    val v = TableManifest.read(spark, dir).get._1
+    assert(TableManifest.eraseWhereEq(spark, dir, "k", Seq(999L)) == v)
+  }
+
+  test("eraseWhereIn erases string-keyed rows with string-stat pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-erase-s").toString
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq(("srcA", 1L), ("srcB", 2L)).toDF("src", "n").coalesce(1), 0L, dir)
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq(("srcY", 3L), ("srcZ", 4L)).toDF("src", "n").coalesce(1), 1L, dir)
+    TableManifest.analyze(spark, dir, Seq("src"))
+    val before = TableManifest.read(spark, dir).get._2.toSet
+
+    TableManifest.eraseWhereIn(spark, dir, "src", Seq("srcB"))
+    val after = TableManifest.read(spark, dir).get._2.toSet
+    // the [srcY, srcZ] file's string range excludes srcB — untouched
+    val yzFile = before.find(_.startsWith("b1-")).get
+    assert(after.contains(yzFile), s"string stats must spare $yzFile")
+    assert(TableManifest.readTable(spark, dir).orderBy("n")
+      .select("src").as[String].collect().toSeq == Seq("srcA", "srcY", "srcZ"))
+  }
+}
