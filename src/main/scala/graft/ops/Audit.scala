@@ -55,6 +55,77 @@ object Audit {
     df.observe(obs, aggs.head, aggs.tail: _*)
   }
 
+  /** k-anonymity risk profile over quasi-identifier columns `qi` — the
+    * privacy audit a training-data release runs before shipping rows that
+    * carry demographic-ish attributes: every row's equivalence class is
+    * the set of rows sharing its QI tuple, and a class of size `k <
+    * threshold` is re-identifiable. One row out:
+    * `(n_rows, n_classes, min_k, n_unique_rows, n_risky_rows, risky_ppm)`
+    * where `n_unique_rows` counts k=1 rows (fully identifying) and
+    * `n_risky_rows` counts rows in any class below the threshold.
+    *
+    * Scale shape: ONE groupBy over the QI columns (map-side combined — the
+    * class table is at most |distinct QI tuples|), then an O(#classes)
+    * one-row aggregate; no row data ever reaches the driver. NULL QI
+    * values group together (SQL GROUP BY semantics): "attribute unknown"
+    * is itself a quasi-identifier value. Rates are exact half-up ppm. */
+  def kAnonymity(df: DataFrame, qi: Seq[String], threshold: Long): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(threshold >= 2, s"threshold must be >= 2: $threshold")
+    df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("__k"))
+      .agg(
+        // empty input: explicit zero counts (min_k stays NULL — "no
+        // classes" is not "a class of size 0"), so the gate reads 0 ppm
+        // instead of NULL arithmetic
+        coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__k")).as("min_k"),
+        coalesce(sum(when(col("__k") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_unique_rows"),
+        coalesce(sum(when(col("__k") < threshold, col("__k")).otherwise(0L)),
+          lit(0L)).as("n_risky_rows"))
+      .select(
+        col("n_rows"), col("n_classes"), col("min_k"), col("n_unique_rows"),
+        col("n_risky_rows"),
+        expr("(2 * 1000000 * n_risky_rows + n_rows)" +
+          " DIV (2 * GREATEST(n_rows, 1))").as("risky_ppm"))
+  }
+
+  /** l-diversity companion to [[kAnonymity]]: within each QI equivalence
+    * class, how many DISTINCT values of the sensitive column appear — a
+    * class where everyone shares one sensitive value leaks it even at
+    * high k. One row out:
+    * `(n_rows, n_classes, min_l, n_low_classes, n_exposed_rows, exposed_ppm)`
+    * counting classes (and the rows inside them) with `l < threshold`.
+    * A NULL sensitive value counts as ONE distinct value of its own
+    * (countDistinct skips NULLs; an all-NULL class would otherwise report
+    * l=0 and a mixed class would under-count its diversity). Same
+    * one-shuffle scale shape as [[kAnonymity]]. */
+  def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
+      threshold: Long): DataFrame = {
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(threshold >= 2, s"threshold must be >= 2: $threshold")
+    df.groupBy(qi.map(col): _*)
+      .agg(
+        count(lit(1)).as("__k"),
+        (countDistinct(col(sensitive)) +
+          coalesce(max(when(col(sensitive).isNull, 1L).otherwise(0L)),
+            lit(0L))).as("__l"))
+      .agg(
+        coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__l")).as("min_l"),
+        coalesce(sum(when(col("__l") < threshold, 1L).otherwise(0L)),
+          lit(0L)).as("n_low_classes"),
+        coalesce(sum(when(col("__l") < threshold, col("__k")).otherwise(0L)),
+          lit(0L)).as("n_exposed_rows"))
+      .select(
+        col("n_rows"), col("n_classes"), col("min_l"), col("n_low_classes"),
+        col("n_exposed_rows"),
+        expr("(2 * 1000000 * n_exposed_rows + n_rows)" +
+          " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
+  }
+
   /** Corpus data-card report — the one-row statistics block every dataset
     * release ships (docs/tokens/chars, language count, exact-dup rate,
     * short-doc share, length percentiles), computed in a SINGLE aggregate

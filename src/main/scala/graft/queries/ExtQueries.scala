@@ -5047,6 +5047,60 @@ object ExtQueries {
       |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
       |FROM orders WHERE o_custkey NOT IN (7, 13, 42)""".stripMargin
 
+  // ---------------------------------------------------------------- Q149
+  /** k-anonymity privacy audit ([[graft.ops.Audit.kAnonymity]]) over the
+    * customer quasi-identifier pair (nation, market segment): class sizes
+    * from ONE map-side-combined groupBy, risk profile from an O(#classes)
+    * one-row aggregate — the release gate a demographic-bearing dataset
+    * runs before shipping. Threshold 10, exact half-up ppm. */
+  def q149KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.kAnonymity(
+      t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), 10L)
+
+  val q149Sql: String =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique_rows,
+      |  CAST(SUM(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_risky_rows,
+      |  CAST((2 * 1000000 * SUM(CASE WHEN k < 10 THEN k ELSE 0 END)
+      |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT) AS risky_ppm
+      |FROM cls""".stripMargin
+
+  // ---------------------------------------------------------------- Q150
+  /** l-diversity companion ([[graft.ops.Audit.lDiversity]]): within each
+    * (lang, source) document class, how many distinct length buckets the
+    * sensitive attribute takes — a high-k class where every row shares one
+    * sensitive value still leaks it. Same one-shuffle shape as q149. */
+  def q150LDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.lDiversity(
+      t(s, dir, "documents").select(col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket")),
+      Seq("lang", "source"), "len_bucket", 4L)
+
+  val q150Sql: String =
+    """WITH cls AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT)
+      |      + CAST(MAX(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS l
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_classes,
+      |  CAST(SUM(CASE WHEN l < 4 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_exposed_rows,
+      |  CAST((2 * 1000000 * SUM(CASE WHEN l < 4 THEN k ELSE 0 END)
+      |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT) AS exposed_ppm
+      |FROM cls""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5184,7 +5238,9 @@ object ExtQueries {
     "q145_canonical_dedup" -> (q145CanonicalDedup _),
     "q146_embed_audit" -> (q146EmbedAudit _),
     "q147_frequent_ngrams" -> (q147FrequentNgrams _),
-    "q148_erase" -> (q148Erase _))
+    "q148_erase" -> (q148Erase _),
+    "q149_k_anonymity" -> (q149KAnonymity _),
+    "q150_l_diversity" -> (q150LDiversity _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5324,5 +5380,7 @@ object ExtQueries {
     "q145_canonical_dedup" -> q145Sql,
     "q146_embed_audit" -> q146Sql,
     "q147_frequent_ngrams" -> q147Sql,
-    "q148_erase" -> q148Sql)
+    "q148_erase" -> q148Sql,
+    "q149_k_anonymity" -> q149Sql,
+    "q150_l_diversity" -> q150Sql)
 }

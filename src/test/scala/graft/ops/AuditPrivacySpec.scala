@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Privacy audits ([[Audit.kAnonymity]] / [[Audit.lDiversity]]) on
+  * hand-computed fixtures: class sizes, NULL-QI grouping, the
+  * NULL-sensitive-counts-as-one-value rule, and the half-up ppm.
+  */
+class AuditPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  // classes: (30,M)x3, (30,F)x1 unique, (40,M)x2, (NULL,M)x2 — NULLs group
+  private def people = Seq[(java.lang.Long, String, String)](
+    (30L, "M", "flu"), (30L, "M", "flu"), (30L, "M", "cold"),
+    (30L, "F", "flu"),
+    (40L, "M", "flu"), (40L, "M", "flu"),
+    (null, "M", "flu"), (null, "M", null))
+    .toDF("age", "sex", "dx")
+
+  test("kAnonymity: class sizes, unique rows, risky ppm") {
+    val r = Audit.kAnonymity(people, Seq("age", "sex"), 3L).head()
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_classes") == 4L)
+    assert(r.getAs[Long]("min_k") == 1L)
+    assert(r.getAs[Long]("n_unique_rows") == 1L)
+    // k<3 classes: (30,F)=1, (40,M)=2, (NULL,M)=2 → 5 risky rows
+    assert(r.getAs[Long]("n_risky_rows") == 5L)
+    // 5/8 = 625000 ppm exactly
+    assert(r.getAs[Long]("risky_ppm") == 625000L)
+  }
+
+  test("lDiversity: NULL sensitive is one distinct value; exposed rows") {
+    val r = Audit.lDiversity(people, Seq("age", "sex"), "dx", 2L).head()
+    // l per class: (30,M)={flu,cold}=2, (30,F)={flu}=1, (40,M)={flu}=1,
+    // (NULL,M)={flu,NULL}=2
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_classes") == 4L)
+    assert(r.getAs[Long]("min_l") == 1L)
+    assert(r.getAs[Long]("n_low_classes") == 2L)
+    assert(r.getAs[Long]("n_exposed_rows") == 3L)
+    // 3/8 = 375000 ppm
+    assert(r.getAs[Long]("exposed_ppm") == 375000L)
+  }
+
+  test("empty input: zero rows, no division error") {
+    import org.apache.spark.sql.functions.lit
+    val e = people.filter(lit(false))
+    val k = Audit.kAnonymity(e, Seq("age"), 2L).head()
+    assert(k.getAs[Long]("n_rows") == 0L && k.getAs[Long]("risky_ppm") == 0L)
+    assert(k.isNullAt(k.fieldIndex("min_k")))
+    val l = Audit.lDiversity(e, Seq("age"), "dx", 2L).head()
+    assert(l.getAs[Long]("n_rows") == 0L && l.getAs[Long]("exposed_ppm") == 0L)
+  }
+}
