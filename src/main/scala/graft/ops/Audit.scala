@@ -126,6 +126,44 @@ object Audit {
           " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
   }
 
+  /** One-pass column profiler — the `ANALYZE`-style schema report every
+    * curation run opens with: per column `(column, n_rows, n_nulls,
+    * n_distinct, min_s, max_s)`, bounds rendered as strings so one frame
+    * profiles heterogeneous column types. ALL columns are profiled in a
+    * single scan and ONE aggregate (the per-column stack happens on the
+    * one-row result, O(#cols) output regardless of input size).
+    *
+    * `exact = true` uses `count_distinct` — Catalyst plans multiple
+    * distinct aggregates via Expand, multiplying the shuffled rows by
+    * #cols; the oracle-checkable contract. At 100 TB pass `exact = false`
+    * for `approx_count_distinct` (HLL, one pass, NO Expand) — same shape,
+    * ±2% cardinalities. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      "profiled column names must be [A-Za-z0-9_]+")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__c_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', __c_$c, __d_$c, __mn_$c, __mx_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        s"stack(${cols.size}, $stackArgs)" +
+          " AS (column, __nonnull, n_distinct, min_s, max_s)",
+        "__n AS n_rows")
+      .selectExpr("column", "n_rows", "n_rows - __nonnull AS n_nulls",
+        "n_distinct", "min_s", "max_s")
+      .orderBy("column")
+  }
+
   /** Corpus data-card report — the one-row statistics block every dataset
     * release ships (docs/tokens/chars, language count, exact-dup rate,
     * short-doc share, length percentiles), computed in a SINGLE aggregate

@@ -266,4 +266,36 @@ object Sampling {
         df, groupCol, orderCol, tieCol, weightCol, "cum_weight", buckets)
       .filter(col("cum_weight") <= budget)
   }
+
+  /** Temporal-split leakage report: split rows at `cutoff` (train strictly
+    * before, test at-or-after) and count the GROUPS (users, documents,
+    * sessions) that appear on BOTH sides — the leakage that silently
+    * inflates eval scores when a per-group signal crosses the time
+    * boundary. One row out: `(n_train, n_test, n_groups_train,
+    * n_groups_test, n_leaked_groups, leaked_ppm)` with ppm over the test
+    * side's groups (the side whose integrity the split exists to protect).
+    *
+    * Scale shape: one groupBy over the group column with two conditional
+    * counts (map-side combined), then an O(#groups) one-row aggregate —
+    * never two scans or a self-join. Rows with a NULL group form one
+    * group (they leak like any other shared key); rows with a NULL
+    * timestamp match neither side and are excluded (reported via
+    * n_train + n_test < total). */
+  def temporalLeakage(df: DataFrame, tsCol: String, cutoff: Column,
+      groupCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        count_if(col(tsCol) < cutoff).as("__tr"),
+        count_if(col(tsCol) >= cutoff).as("__te"))
+      .agg(
+        coalesce(sum(col("__tr")), lit(0L)).as("n_train"),
+        coalesce(sum(col("__te")), lit(0L)).as("n_test"),
+        count_if(col("__tr") > 0).as("n_groups_train"),
+        count_if(col("__te") > 0).as("n_groups_test"),
+        count_if(col("__tr") > 0 && col("__te") > 0).as("n_leaked_groups"))
+      .select(
+        col("n_train"), col("n_test"), col("n_groups_train"),
+        col("n_groups_test"), col("n_leaked_groups"),
+        expr("(2 * 1000000 * n_leaked_groups + n_groups_test)" +
+          " DIV (2 * GREATEST(n_groups_test, 1))").as("leaked_ppm"))
 }

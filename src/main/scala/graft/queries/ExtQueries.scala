@@ -5101,6 +5101,54 @@ object ExtQueries {
       |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT) AS exposed_ppm
       |FROM cls""".stripMargin
 
+  // ---------------------------------------------------------------- Q151
+  /** One-pass column profiler ([[graft.ops.Audit.profile]]) over the
+    * documents table: null counts, exact cardinalities, and stringified
+    * bounds for all four columns from ONE scan + ONE aggregate (the
+    * per-column stack unpivots the one-row result). Long/string columns
+    * only — their string rendering is engine-portable. */
+  def q151Profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.profile(
+      t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+
+  val q151Sql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s,
+         |  CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
+  // ---------------------------------------------------------------- Q152
+  /** Temporal-split leakage report
+    * ([[graft.ops.Sampling.temporalLeakage]]): events split at an early
+    * cutoff, counting the users that appear on BOTH sides of the boundary
+    * — the audit a time-based train/eval split runs before trusting its
+    * eval numbers. One groupBy + one O(#users) aggregate. */
+  def q152TemporalLeakage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temporalLeakage(
+      t(s, dir, "events"), "ts",
+      to_timestamp(lit("2024-01-02 00:00:00")), "user_id")
+
+  val q152Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    count_if(ts < TIMESTAMP '2024-01-02') AS tr,
+      |    count_if(ts >= TIMESTAMP '2024-01-02') AS te
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(SUM(tr) AS BIGINT) AS n_train,
+      |  CAST(SUM(te) AS BIGINT) AS n_test,
+      |  CAST(count_if(tr > 0) AS BIGINT) AS n_groups_train,
+      |  CAST(count_if(te > 0) AS BIGINT) AS n_groups_test,
+      |  CAST(count_if(tr > 0 AND te > 0) AS BIGINT) AS n_leaked_groups,
+      |  CAST((2 * 1000000 * count_if(tr > 0 AND te > 0) + count_if(te > 0))
+      |    // (2 * GREATEST(count_if(te > 0), 1)) AS BIGINT) AS leaked_ppm
+      |FROM g""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5240,7 +5288,9 @@ object ExtQueries {
     "q147_frequent_ngrams" -> (q147FrequentNgrams _),
     "q148_erase" -> (q148Erase _),
     "q149_k_anonymity" -> (q149KAnonymity _),
-    "q150_l_diversity" -> (q150LDiversity _))
+    "q150_l_diversity" -> (q150LDiversity _),
+    "q151_profile" -> (q151Profile _),
+    "q152_temporal_leakage" -> (q152TemporalLeakage _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5382,5 +5432,7 @@ object ExtQueries {
     "q147_frequent_ngrams" -> q147Sql,
     "q148_erase" -> q148Sql,
     "q149_k_anonymity" -> q149Sql,
-    "q150_l_diversity" -> q150Sql)
+    "q150_l_diversity" -> q150Sql,
+    "q151_profile" -> q151Sql,
+    "q152_temporal_leakage" -> q152Sql)
 }

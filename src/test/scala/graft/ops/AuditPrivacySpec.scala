@@ -51,4 +51,39 @@ class AuditPrivacySpec extends SparkSpec {
     val l = Audit.lDiversity(e, Seq("age"), "dx", 2L).head()
     assert(l.getAs[Long]("n_rows") == 0L && l.getAs[Long]("exposed_ppm") == 0L)
   }
+
+  test("profile: one row per column, nulls/distinct/bounds; exact == approx shape") {
+    val df = Seq[(java.lang.Long, String)]((1L, "b"), (2L, null), (2L, "a"))
+      .toDF("id", "s")
+    val rows = Audit.profile(df, Seq("id", "s")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("id", "s"))
+    val id = rows(0)
+    assert(id.getAs[Long]("n_rows") == 3L && id.getAs[Long]("n_nulls") == 0L)
+    assert(id.getAs[Long]("n_distinct") == 2L)
+    assert(id.getAs[String]("min_s") == "1" && id.getAs[String]("max_s") == "2")
+    val s2 = rows(1)
+    assert(s2.getAs[Long]("n_nulls") == 1L && s2.getAs[Long]("n_distinct") == 2L)
+    assert(s2.getAs[String]("min_s") == "a" && s2.getAs[String]("max_s") == "b")
+    // approx path: same schema and row set, cardinalities within HLL error
+    val ap = Audit.profile(df, Seq("id", "s"), exact = false).collect()
+    assert(ap.map(_.getString(0)).toSeq == Seq("id", "s"))
+    assert(ap.forall(r => math.abs(r.getAs[Long]("n_distinct") - 2L) <= 1L))
+  }
+
+  test("temporalLeakage: groups crossing the cutoff; null ts excluded") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(String, java.lang.Long)](
+      ("u1", 10L), ("u1", 20L),          // leaked: both sides
+      ("u2", 5L),                        // train only
+      ("u3", 30L), ("u3", 40L),          // test only
+      ("u4", null))                      // null ts: neither side
+      .toDF("user", "t")
+    val r = Sampling.temporalLeakage(df, "t", lit(15L), "user").head()
+    assert(r.getAs[Long]("n_train") == 2L)
+    assert(r.getAs[Long]("n_test") == 3L)
+    assert(r.getAs[Long]("n_groups_train") == 2L)
+    assert(r.getAs[Long]("n_groups_test") == 2L)
+    assert(r.getAs[Long]("n_leaked_groups") == 1L)
+    assert(r.getAs[Long]("leaked_ppm") == 500000L)
+  }
 }
