@@ -126,6 +126,34 @@ object Audit {
           " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
   }
 
+  /** Referential-integrity audit: how many `child` rows carry a foreign
+    * key with no match in `parent` — the cross-table conformance check a
+    * star-schema ingest runs per load. One row out: `(n_child, n_orphans,
+    * n_null_fk, orphan_ppm)`. A NULL foreign key is NOT an orphan (the
+    * SQL FK contract: NULL references nothing) — it is counted separately
+    * as `n_null_fk` so "missing" and "dangling" stay distinguishable.
+    *
+    * Scale shape: parent keys are projected and deduplicated BEFORE the
+    * join (the join input is |distinct keys|, not |parent|), then one
+    * equi-join — broadcast when the key set is small, shuffle otherwise,
+    * Catalyst/AQE's call — and a one-row aggregate. No anti-join double
+    * pass, no collect. */
+  def referentialIntegrity(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val keys = parent.select(col(pk).as("__pk")).distinct()
+    child.select(col(fk).as("__fk"))
+      .join(keys, col("__fk") === col("__pk"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        count_if(col("__fk").isNotNull && col("__pk").isNull)
+          .as("n_orphans"),
+        count_if(col("__fk").isNull).as("n_null_fk"))
+      .select(
+        col("n_child"), col("n_orphans"), col("n_null_fk"),
+        expr("(2 * 1000000 * n_orphans + n_child)" +
+          " DIV (2 * GREATEST(n_child, 1))").as("orphan_ppm"))
+  }
+
   /** One-pass column profiler — the `ANALYZE`-style schema report every
     * curation run opens with: per column `(column, n_rows, n_nulls,
     * n_distinct, min_s, max_s)`, bounds rendered as strings so one frame

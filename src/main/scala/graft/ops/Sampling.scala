@@ -267,6 +267,22 @@ object Sampling {
       .filter(col("cum_weight") <= budget)
   }
 
+  /** Deterministic GROUP-disjoint k-fold assignment: every row of a group
+    * (user, document cluster, session) lands in the same fold —
+    * `fold = h60(group) mod k`, the engine-agnostic md5 hash q34's
+    * train/val/test split uses — so no fold's eval set shares a group
+    * with its training folds, re-runs and engines agree bit-for-bit, and
+    * assignment is a row-local projection (ZERO shuffle; folds are
+    * hash-balanced, not exactly equal). Rows with a NULL group get a NULL
+    * fold: "unknown group" cannot be proven disjoint from anything, so
+    * the caller decides (filter, or assign after imputation). */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"fold count must be >= 2: $k")
+    df.withColumn("fold",
+      pmod(graft.functions.H60.of(col(groupCol).cast("string")),
+        lit(k.toLong)))
+  }
+
   /** Temporal-split leakage report: split rows at `cutoff` (train strictly
     * before, test at-or-after) and count the GROUPS (users, documents,
     * sessions) that appear on BOTH sides — the leakage that silently

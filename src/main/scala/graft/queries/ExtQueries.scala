@@ -5149,6 +5149,50 @@ object ExtQueries {
       |    // (2 * GREATEST(count_if(te > 0), 1)) AS BIGINT) AS leaked_ppm
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- Q153
+  /** Group-disjoint k-fold assignment ([[graft.ops.Sampling.groupKFold]]):
+    * every event of a user lands in the same of 5 folds via the
+    * engine-agnostic md5 hash (q34's convention), assignment row-local
+    * (zero shuffle) — per-fold row/user counts prove balance AND
+    * disjointness (each user counted in exactly one fold). */
+  def q153GroupKFold(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.groupKFold(t(s, dir, "events"), "user_id", 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("fold")
+
+  val q153Sql: String =
+    """SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 5
+      |    AS fold,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events GROUP BY 1 ORDER BY fold""".stripMargin
+
+  // ---------------------------------------------------------------- Q154
+  /** Referential-integrity audit
+    * ([[graft.ops.Audit.referentialIntegrity]]): events whose user has no
+    * in-good-standing customer row (positive balance) — parent keys
+    * dedup'd then one equi-join + a one-row aggregate, the per-load
+    * conformance gate of a star-schema ingest. */
+  def q154RefIntegrity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.referentialIntegrity(
+      t(s, dir, "events"), "user_id",
+      t(s, dir, "customer").filter(col("c_acctbal") > 0), "c_custkey")
+
+  val q154Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal > 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+      |  CAST(count_if(user_id IS NOT NULL AND c_custkey IS NULL) AS BIGINT)
+      |    AS n_orphans,
+      |  CAST(count_if(user_id IS NULL) AS BIGINT) AS n_null_fk,
+      |  CAST((2 * 1000000
+      |      * count_if(user_id IS NOT NULL AND c_custkey IS NULL)
+      |      + COUNT(*)) // (2 * GREATEST(COUNT(*), 1)) AS BIGINT)
+      |    AS orphan_ppm
+      |FROM events LEFT JOIN p ON user_id = c_custkey""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5290,7 +5334,9 @@ object ExtQueries {
     "q149_k_anonymity" -> (q149KAnonymity _),
     "q150_l_diversity" -> (q150LDiversity _),
     "q151_profile" -> (q151Profile _),
-    "q152_temporal_leakage" -> (q152TemporalLeakage _))
+    "q152_temporal_leakage" -> (q152TemporalLeakage _),
+    "q153_group_kfold" -> (q153GroupKFold _),
+    "q154_ref_integrity" -> (q154RefIntegrity _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5434,5 +5480,7 @@ object ExtQueries {
     "q149_k_anonymity" -> q149Sql,
     "q150_l_diversity" -> q150Sql,
     "q151_profile" -> q151Sql,
-    "q152_temporal_leakage" -> q152Sql)
+    "q152_temporal_leakage" -> q152Sql,
+    "q153_group_kfold" -> q153Sql,
+    "q154_ref_integrity" -> q154Sql)
 }

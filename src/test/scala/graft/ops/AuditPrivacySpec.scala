@@ -86,4 +86,37 @@ class AuditPrivacySpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaked_groups") == 1L)
     assert(r.getAs[Long]("leaked_ppm") == 500000L)
   }
+
+  test("groupKFold: group-disjoint, deterministic, NULL group -> NULL fold") {
+    import org.apache.spark.sql.functions._
+    val df = Seq[(java.lang.Long, Long)](
+      (1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L), (null, 14L))
+      .toDF("g", "x")
+    val f = Sampling.groupKFold(df, "g", 3)
+    // every group maps to exactly one fold
+    val perGroup = f.filter(col("g").isNotNull)
+      .groupBy("g").agg(countDistinct(col("fold")).as("nf")).collect()
+    assert(perGroup.forall(_.getAs[Long]("nf") == 1L))
+    assert(f.filter(col("g").isNull).select("fold").head().isNullAt(0))
+    // deterministic across re-runs and matches the md5 definition
+    val f1 = f.select("g", "fold").distinct().collect().toSet
+    val f2 = Sampling.groupKFold(df, "g", 3)
+      .select("g", "fold").distinct().collect().toSet
+    assert(f1 == f2)
+    // zero-shuffle: the assignment plan has no exchange
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fold assignment must not shuffle:\n$plan")
+  }
+
+  test("referentialIntegrity: orphans vs null fks; dedup'd parent") {
+    val child = Seq[(java.lang.Long, String)](
+      (1L, "ok"), (2L, "orphan"), (null, "nullfk"), (1L, "ok2"))
+      .toDF("fk", "tag")
+    val parent = Seq(1L, 1L, 3L).toDF("pk") // duplicate parent keys
+    val r = Audit.referentialIntegrity(child, "fk", parent, "pk").head()
+    assert(r.getAs[Long]("n_child") == 4L)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+    assert(r.getAs[Long]("n_null_fk") == 1L)
+    assert(r.getAs[Long]("orphan_ppm") == 250000L)
+  }
 }
