@@ -71,6 +71,8 @@ object Audit {
     * is itself a quasi-identifier value. Rates are exact half-up ppm. */
   def kAnonymity(df: DataFrame, qi: Seq[String], threshold: Long): DataFrame = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(!qi.contains("__k"),
+      "QI column __k collides with an internal alias — rename it first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
     df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("__k"))
       .agg(
@@ -104,6 +106,8 @@ object Audit {
   def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
       threshold: Long): DataFrame = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(!qi.exists(Set("__k", "__l")),
+      "QI columns __k/__l collide with internal aliases — rename them first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
     df.groupBy(qi.map(col): _*)
       .agg(
@@ -164,8 +168,8 @@ object Audit {
     * `exact = true` uses `count_distinct` — Catalyst plans multiple
     * distinct aggregates via Expand, multiplying the shuffled rows by
     * #cols; the oracle-checkable contract. At 100 TB pass `exact = false`
-    * for `approx_count_distinct` (HLL, one pass, NO Expand) — same shape,
-    * ±2% cardinalities. */
+    * for `approx_count_distinct` at rsd 0.02 (HLL, one pass, NO Expand) —
+    * same shape, ±2% standard error on cardinalities. */
   def profile(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
@@ -176,7 +180,7 @@ object Audit {
       Seq(
         count(col(c)).as(s"__c_$c"),
         (if (exact) countDistinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__d_$c"),
+         else approx_count_distinct(col(c), 0.02)).as(s"__d_$c"),
         min(col(c)).cast("string").as(s"__mn_$c"),
         max(col(c)).cast("string").as(s"__mx_$c"))
     }

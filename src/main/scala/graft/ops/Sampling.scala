@@ -275,10 +275,15 @@ object Sampling {
     * assignment is a row-local projection (ZERO shuffle; folds are
     * hash-balanced, not exactly equal). Rows with a NULL group get a NULL
     * fold: "unknown group" cannot be proven disjoint from anything, so
-    * the caller decides (filter, or assign after imputation). */
-  def groupKFold(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    * the caller decides (filter, or assign after imputation). The fold
+    * lands in `foldCol`, which must not already exist — `withColumn`
+    * would silently overwrite a prior assignment being compared against. */
+  def groupKFold(df: DataFrame, groupCol: String, k: Int,
+      foldCol: String = "fold"): DataFrame = {
     require(k >= 2, s"fold count must be >= 2: $k")
-    df.withColumn("fold",
+    require(!df.columns.contains(foldCol),
+      s"output column `$foldCol` already exists — pass a different foldCol")
+    df.withColumn(foldCol,
       pmod(graft.functions.H60.of(col(groupCol).cast("string")),
         lit(k.toLong)))
   }
@@ -298,7 +303,9 @@ object Sampling {
     * timestamp match neither side and are excluded (reported via
     * n_train + n_test < total). */
   def temporalLeakage(df: DataFrame, tsCol: String, cutoff: Column,
-      groupCol: String): DataFrame =
+      groupCol: String): DataFrame = {
+    require(groupCol != "__tr" && groupCol != "__te",
+      s"group column `$groupCol` collides with an internal alias")
     df.groupBy(col(groupCol))
       .agg(
         count_if(col(tsCol) < cutoff).as("__tr"),
@@ -314,4 +321,5 @@ object Sampling {
         col("n_groups_test"), col("n_leaked_groups"),
         expr("(2 * 1000000 * n_leaked_groups + n_groups_test)" +
           " DIV (2 * GREATEST(n_groups_test, 1))").as("leaked_ppm"))
+  }
 }

@@ -756,19 +756,39 @@ object TableManifest {
   }
 
   /** Head files that might contain a row with `column` equal to ANY of
-    * `values`: a file whose committed bloom misses every value is
-    * skipped; files without a bloom are kept (conservative). */
+    * `values`: a file is kept only when some SINGLE value passes both its
+    * bloom ([[analyzeBloom]]) and its min/max range ([[analyze]]) — the
+    * per-value conjunction matters, or a bloom false positive on an
+    * out-of-range value could pair with a different in-range value and
+    * admit a file neither test would pass alone. Files missing a stat
+    * pass that test vacuously (conservative). */
   def prunedFilesEq(spark: SparkSession, dir: String, column: String,
       values: Seq[Long]): Seq[String] = {
     val (_, files, body) = headSnapshot(spark, dir)
-    val bloom = parseBloom(body)
+    filterByPointValues(files, parseBloom(body), parseStats(body),
+      column, values)
+  }
+
+  private def filterByPointValues(files: Seq[String], bloom: FileBloom,
+      stats: FileStats, column: String, values: Seq[Long]): Seq[String] =
     files.filter { f =>
-      bloom.get(f).flatMap(_.get(column)) match {
-        case Some(hex) => values.exists(v => bloomMightContain(hex, v))
+      val hex = bloom.get(f).flatMap(_.get(column))
+      val range = stats.get(f).flatMap(_.get(column))
+      values.exists { v =>
+        hex.forall(h => bloomMightContain(h, v)) &&
+          range.forall { case (mn, mx) => mn <= v && v <= mx }
+      }
+    }
+
+  private def filterByStringValues(files: Seq[String],
+      sstats: FileStringStats, column: String,
+      values: Seq[String]): Seq[String] =
+    files.filter { f =>
+      sstats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
         case None => true
       }
     }
-  }
 
   /** Point lookup with bloom skipping: open ONLY the files whose bloom
     * can contain one of `values`, then apply the exact predicate —
@@ -794,13 +814,7 @@ object TableManifest {
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
     val (_, files, body) = headSnapshot(spark, dir)
-    val sstats = parseStringStats(body)
-    files.filter { f =>
-      sstats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
-        case None => true
-      }
-    }
+    filterByStringValues(files, parseStringStats(body), column, values)
   }
 
   /** Category scan with manifest data skipping: open ONLY the files whose
@@ -848,7 +862,6 @@ object TableManifest {
   def optimizeZOrderRange(spark: SparkSession, dir: String, a: String,
       b: String, ranges: Seq[(String, Long, Long)], numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
-    val (fs, p) = fsFor(spark, dir)
     // ONE snapshot read: the victims and the early-return version must
     // come from the same head
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
@@ -898,9 +911,10 @@ object TableManifest {
   /** Targeted ERASE of every row whose long `column` equals any of
     * `values` — the right-to-be-forgotten primitive. Only the head files
     * whose committed metadata CAN hold a target key are rewritten: a file
-    * is a victim when its bloom ([[analyzeBloom]]) admits some value AND
-    * its min/max range ([[analyze]]) intersects some value (files missing
-    * either stat are conservatively victims). At 100 TB with blooms
+    * is a victim when some single value passes BOTH its bloom
+    * ([[analyzeBloom]]) and its min/max range ([[analyze]]) — the
+    * [[prunedFilesEq]] conjunction (stats missing → conservatively
+    * admitted). At 100 TB with blooms
     * committed, erasing one user rewrites a handful of files and never
     * lists, opens, or shuffles the rest of the table.
     *
@@ -923,19 +937,8 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereEq: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
-    val bloom = parseBloom(headBody)
-    val stats = parseStats(headBody)
-    val victims = headFiles.filter { f =>
-      val bloomHit = bloom.get(f).flatMap(_.get(column)) match {
-        case Some(hex) => values.exists(v => bloomMightContain(hex, v))
-        case None => true
-      }
-      val rangeHit = stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
-        case None => true
-      }
-      bloomHit && rangeHit
-    }
+    val victims = filterByPointValues(headFiles, parseBloom(headBody),
+      parseStats(headBody), column, values)
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
       "eraseWhereEq")
@@ -950,13 +953,8 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereIn: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
-    val sstats = parseStringStats(headBody)
-    val victims = headFiles.filter { f =>
-      sstats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => values.exists(v => mn <= v && v <= mx)
-        case None => true
-      }
-    }
+    val victims = filterByStringValues(headFiles,
+      parseStringStats(headBody), column, values)
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
       "eraseWhereIn")

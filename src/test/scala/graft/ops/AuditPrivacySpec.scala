@@ -119,4 +119,18 @@ class AuditPrivacySpec extends SparkSpec {
     assert(r.getAs[Long]("n_null_fk") == 1L)
     assert(r.getAs[Long]("orphan_ppm") == 250000L)
   }
+
+  test("alias-collision and foldCol guards fail loudly") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2L)).toDF("__k", "fold")
+    intercept[IllegalArgumentException](Audit.kAnonymity(df, Seq("__k"), 2L))
+    intercept[IllegalArgumentException](
+      Audit.lDiversity(df, Seq("__k"), "fold", 2L))
+    intercept[IllegalArgumentException](
+      Sampling.temporalLeakage(df.withColumnRenamed("__k", "__tr"),
+        "fold", lit(0L), "__tr"))
+    intercept[IllegalArgumentException](Sampling.groupKFold(df, "__k", 3))
+    // and a caller-chosen output column resolves the clash
+    assert(Sampling.groupKFold(df, "__k", 3, "fold2").columns.contains("fold2"))
+  }
 }
