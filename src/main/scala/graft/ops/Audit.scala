@@ -74,7 +74,16 @@ object Audit {
     require(!qi.contains("__k"),
       "QI column __k collides with an internal alias — rename it first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
-    df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("__k"))
+    kAnonymityOfClasses(
+      df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("__k")), threshold)
+  }
+
+  /** The O(#classes) second half of [[kAnonymity]], exposed for callers
+    * that already hold per-class sizes in a `__k` column (the streaming
+    * monitor's finalized windowed counts). */
+  private[graft] def kAnonymityOfClasses(classes: DataFrame,
+      threshold: Long): DataFrame = {
+    classes
       .agg(
         // empty input: explicit zero counts (min_k stays NULL — "no
         // classes" is not "a class of size 0"), so the gate reads 0 ppm
