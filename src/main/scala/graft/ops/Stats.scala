@@ -214,4 +214,33 @@ object Stats {
           .as("n_outliers"),
         max(col("dev")).as("max_dev"))
   }
+
+  /** Exact equi-depth histogram of a long column: `k` buckets of
+    * near-equal row count with per-bucket `(bucket, n_rows, lo, hi)`
+    * boundaries — the optimizer-statistics / data-card shape where
+    * equi-WIDTH bins would collapse a skewed distribution into one hot
+    * bin. Bucket assignment is the closed formula `(rank−1)·k DIV n`
+    * (q140's tercile idiom — no NTILE-semantics coupling across engines),
+    * with the global rank from [[Scale.groupedRank]] over a constant
+    * group: range-bucketed local ranks + broadcast offsets, never a
+    * single-task global window. `tieCol` must be row-unique so re-runs
+    * and engines rank identically. NULL values are excluded (a rank over
+    * NULL orders engine-dependently); the caller reads their count from
+    * [[Audit.profile]]. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, tieCol: String,
+      k: Int, buckets: Int = 32): DataFrame = {
+    require(k >= 1, s"bucket count must be >= 1: $k")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol), col(tieCol)).withColumn("__g1", lit(0))
+      .localCheckpoint() // feeds the count + groupedRank's three branches
+    val n = vals.agg(count(lit(1)).as("__n"))
+    Scale.groupedRank(vals, "__g1", valueCol, tieCol, "__rnk", buckets)
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"CAST((__rnk - 1) * $k DIV __n AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+      .orderBy("bucket")
+  }
 }

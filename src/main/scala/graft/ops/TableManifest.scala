@@ -960,6 +960,54 @@ object TableManifest {
       "eraseWhereIn")
   }
 
+  /** Partition-scoped REPLACE — the idempotent-backfill primitive (the
+    * `replaceWhere` shape of Delta/Iceberg): atomically swap every row
+    * whose long `column` equals `value` for `replacement`, touching ONLY
+    * the files whose committed bloom/range can hold `value` (file
+    * granularity — rows of OTHER values sharing a victim file are
+    * preserved by rewrite). A re-run with the same replacement converges
+    * to the same contents, so a crashed backfill is safely retried; a
+    * backfill of a value no file contains is a pure append of the
+    * replacement. `replacement` must be confined to the slice
+    * (`column = value` on every row) — violations fail loudly BEFORE any
+    * write, otherwise the commit would silently leak foreign rows into
+    * (or duplicate rows outside) the slice. Same splice-commit guarantees
+    * as [[eraseWhereEq]]: concurrent appends and the streaming hwm
+    * survive; prior versions time-travel until [[vacuum]]. */
+  def replaceWhereEq(spark: SparkSession, dir: String, column: String,
+      value: Long, replacement: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    require(replacement.columns.contains(column),
+      s"replaceWhereEq: replacement lacks the partition column `$column`")
+    val stray = replacement
+      .filter(col(column).isNull || col(column) =!= value).limit(1).count()
+    require(stray == 0L,
+      s"replaceWhereEq: replacement contains rows outside `$column = $value`")
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L)
+      sys.error(s"replaceWhereEq: $dir is not manifest-tracked")
+    val victims = filterByPointValues(headFiles, parseBloom(headBody),
+      parseStats(headBody), column, Seq(value))
+    val keepOld =
+      if (victims.isEmpty) None
+      else {
+        val read = spark.read.option("mergeSchema", "true")
+          .parquet(victims.map(f => s"$dir/$f"): _*)
+        // victims whose merged schema predates the column hold only NULL
+        // values there — none can equal `value`, all are kept
+        if (!read.columns.contains(column)) Some(read)
+        else Some(read.filter(col(column).isNull || col(column) =!= value))
+      }
+    val next = keepOld
+      .map(_.unionByName(replacement, allowMissingColumns = true))
+      .getOrElse(replacement)
+    val moved = writeAndMoveIn(
+      next.coalesce(math.max(victims.size, 1)), "replace", dir)
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
+    spliceCommit(spark, dir, victims, moved, mstats, msstats,
+      "replaceWhereEq")
+  }
+
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String,
       keep: DataFrame => DataFrame, opName: String): Long = {

@@ -5193,6 +5193,68 @@ object ExtQueries {
       |    AS orphan_ppm
       |FROM events LEFT JOIN p ON user_id = c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q155
+  /** Exact equi-depth histogram ([[graft.ops.Stats.equiDepthHistogram]])
+    * of lineitem price cents into 8 buckets: global rank from the
+    * skew-safe bucketed `groupedRank` (never a single-task window),
+    * bucket by the closed `(rank−1)·k DIV n` formula, per-bucket
+    * count/lo/hi — the optimizer-statistics shape where equi-width bins
+    * would collapse the price skew into one hot bin. */
+  def q155EquiDepth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.equiDepthHistogram(
+      t(s, dir, "lineitem").select(
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tie")),
+      "cents", "tie", k = 8)
+
+  val q155Sql: String =
+    """WITH r AS (
+      |  SELECT val, ROW_NUMBER() OVER (ORDER BY val, tie) AS rnk,
+      |    COUNT(*) OVER () AS n
+      |  FROM (
+      |    SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS val,
+      |      l_orderkey * 8 + l_linenumber AS tie
+      |    FROM lineitem))
+      |SELECT CAST((rnk - 1) * 8 // n AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(val) AS BIGINT) AS lo, CAST(MAX(val) AS BIGINT) AS hi
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q156
+  /** Idempotent partition backfill
+    * ([[graft.ops.TableManifest.replaceWhereEq]]): orders laid out ranged
+    * on epoch-day, one day's slice atomically REPLACED with a corrected
+    * recompute (cents + 7), read back through the manifest head — the
+    * late-data / bugfix re-run pattern, rewriting only the files whose
+    * stats can hold the day. Oracle is the CASE-corrected aggregate. */
+  def q156ReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q156")
+    val day = expr("CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'" +
+      " AS LONG)")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), day.as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.repartitionByRange(8, col("day"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("day"))
+    val d = java.time.LocalDate.parse("1997-06-15").toEpochDay
+    val fixed = src.filter(col("day") === d)
+      .withColumn("cents", col("cents") + 7)
+    graft.ops.TableManifest.replaceWhereEq(s, tmp, "day", d, fixed)
+    graft.ops.TableManifest.readTable(s, tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        countDistinct(col("day")).as("n_days"))
+  }
+
+  val q156Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    + CASE WHEN CAST(o_orderdate AS DATE) = DATE '1997-06-15'
+      |        THEN 7 ELSE 0 END) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
+      |FROM orders""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5336,7 +5398,9 @@ object ExtQueries {
     "q151_profile" -> (q151Profile _),
     "q152_temporal_leakage" -> (q152TemporalLeakage _),
     "q153_group_kfold" -> (q153GroupKFold _),
-    "q154_ref_integrity" -> (q154RefIntegrity _))
+    "q154_ref_integrity" -> (q154RefIntegrity _),
+    "q155_equidepth_hist" -> (q155EquiDepth _),
+    "q156_replace_where" -> (q156ReplaceWhere _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5482,5 +5546,7 @@ object ExtQueries {
     "q151_profile" -> q151Sql,
     "q152_temporal_leakage" -> q152Sql,
     "q153_group_kfold" -> q153Sql,
-    "q154_ref_integrity" -> q154Sql)
+    "q154_ref_integrity" -> q154Sql,
+    "q155_equidepth_hist" -> q155Sql,
+    "q156_replace_where" -> q156Sql)
 }

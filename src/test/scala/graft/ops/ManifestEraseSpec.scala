@@ -98,6 +98,47 @@ class ManifestEraseSpec extends SparkSpec {
     assert(TableManifest.eraseWhereEq(spark, dir, "k", Seq(999L)) == v)
   }
 
+  test("replaceWhereEq: backfill swaps the slice, preserves co-located " +
+    "rows, idempotent on re-run, appends when no file holds the value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    // file 0 holds days 1 and 2 interleaved; file 1 holds day 3
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((1L, 10L), (2L, 20L), (1L, 11L), (2L, 21L))
+        .toDF("day", "v").coalesce(1), 0L, dir)
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((3L, 30L)).toDF("day", "v").coalesce(1), 1L, dir)
+    TableManifest.analyze(spark, dir, Seq("day"))
+    val before = TableManifest.read(spark, dir).get._2.toSet
+
+    val fixed = Seq((1L, 110L), (1L, 111L), (1L, 112L)).toDF("day", "v")
+    TableManifest.replaceWhereEq(spark, dir, "day", 1L, fixed)
+    val after1 = TableManifest.read(spark, dir).get._2.toSet
+    // the day-3 file's range excludes 1 — identity preserved
+    val day3File = before.find(_.startsWith("b1-")).get
+    assert(after1.contains(day3File), s"day-3 file must survive: $after1")
+    def rows() = TableManifest.readTable(spark, dir)
+      .orderBy("v").select("day", "v").as[(Long, Long)].collect().toSeq
+    val want = Seq((2L, 20L), (2L, 21L), (3L, 30L),
+      (1L, 110L), (1L, 111L), (1L, 112L))
+    assert(rows() == want, s"slice swapped, day-2 rows preserved: ${rows()}")
+
+    // idempotent: the same backfill re-run converges to the same contents
+    TableManifest.replaceWhereEq(spark, dir, "day", 1L, fixed)
+    assert(rows() == want, s"re-run must converge: ${rows()}")
+
+    // fresh value no file can hold: pure append
+    TableManifest.replaceWhereEq(spark, dir, "day", 9L,
+      Seq((9L, 90L)).toDF("day", "v"))
+    assert(rows() == Seq((2L, 20L), (2L, 21L), (3L, 30L), (9L, 90L),
+      (1L, 110L), (1L, 111L), (1L, 112L)))
+
+    // stray rows outside the slice fail loudly before any write
+    intercept[IllegalArgumentException] {
+      TableManifest.replaceWhereEq(spark, dir, "day", 1L,
+        Seq((1L, 1L), (2L, 2L)).toDF("day", "v"))
+    }
+  }
+
   test("eraseWhereIn erases string-keyed rows with string-stat pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-erase-s").toString
     graft.streaming.ManifestAppendSink.applyBatch(

@@ -153,4 +153,21 @@ class StatsSpec extends SparkSpec {
     assert(nullRow.length == 1 && nullRow(0).getLong(1) == 3L,
       s"null group must report its 3 rows: ${nullRow.toSeq}")
   }
+
+  test("equiDepthHistogram: balanced buckets, skew-proof, nulls excluded") {
+    import org.apache.spark.sql.functions._
+    // 8 rows, heavy skew: six copies of 5 (distinct ties), plus 1 and 100
+    val df = Seq[(java.lang.Long, Long)](
+      (1L, 1L), (5L, 2L), (5L, 3L), (5L, 4L), (5L, 5L), (5L, 6L),
+      (100L, 7L), (null, 8L)).toDF("v", "tie")
+    val h = Stats.equiDepthHistogram(df, "v", "tie", k = 4, buckets = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // ranks 1..7 (null excluded) -> buckets of (rank-1)*4 DIV 7
+    assert(h == Seq((0L, 2L, 1L, 5L), (1L, 2L, 5L, 5L),
+      (2L, 2L, 5L, 5L), (3L, 1L, 100L, 100L)), s"got $h")
+    // counts differ by at most 1 between buckets — the equi-depth contract
+    val counts = h.map(_._2)
+    assert(counts.max - counts.min <= 1)
+  }
 }
