@@ -5255,6 +5255,53 @@ object ExtQueries {
       |  CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- Q157
+  /** Inverted-index build ([[graft.ops.Index.buildPostings]]): per-term
+    * document frequency and sorted posting list with a df cap of 395 —
+    * capped terms keep their (term, df) row with NULL postings, and no
+    * `collect_list` ever materializes a stopword's list (two-aggregate
+    * build). Report df + posting bounds per term; posting CONTENTS are
+    * oracle-checked via q158's conjunctive lookup. */
+  def q157Postings(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Index.buildPostings(
+        t(s, dir, "documents"), "doc_id", "text", maxDf = 395L)
+      .select(col("term"), col("df"),
+        coalesce(size(col("docs")).cast("long"), lit(-1L)).as("n_listed"),
+        element_at(col("docs"), 1).as("first_doc"),
+        element_at(col("docs"), -1).as("last_doc"))
+      .orderBy("term")
+
+  val q157Sql: String =
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM td GROUP BY 1)
+      |SELECT term, df,
+      |  CASE WHEN df <= 395 THEN df ELSE -1 END AS n_listed,
+      |  CASE WHEN df <= 395 THEN mn END AS first_doc,
+      |  CASE WHEN df <= 395 THEN mx END AS last_doc
+      |FROM d ORDER BY term""".stripMargin
+
+  // ---------------------------------------------------------------- Q158
+  /** Conjunctive lookup ([[graft.ops.Index.conjunctiveLookup]]) through
+    * the q157 index: documents containing BOTH 'dup' and 'key', answered
+    * from two posting rows (explode + hit-count gate) — never a corpus
+    * scan. The oracle recomputes the AND from the raw text, so the
+    * posting CONTENTS (not just their bounds) are hash-checked. */
+  def q158ConjunctiveLookup(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.ops.Index.buildPostings(
+      t(s, dir, "documents"), "doc_id", "text", maxDf = 395L)
+    graft.ops.Index.conjunctiveLookup(postings, Seq("dup", "key"))
+  }
+
+  val q158Sql: String =
+    """WITH td AS (
+      |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+      |SELECT doc_id AS doc FROM td WHERE term IN ('dup', 'key')
+      |GROUP BY doc_id HAVING COUNT(*) = 2 ORDER BY doc""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5400,7 +5447,9 @@ object ExtQueries {
     "q153_group_kfold" -> (q153GroupKFold _),
     "q154_ref_integrity" -> (q154RefIntegrity _),
     "q155_equidepth_hist" -> (q155EquiDepth _),
-    "q156_replace_where" -> (q156ReplaceWhere _))
+    "q156_replace_where" -> (q156ReplaceWhere _),
+    "q157_postings" -> (q157Postings _),
+    "q158_conj_lookup" -> (q158ConjunctiveLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5548,5 +5597,7 @@ object ExtQueries {
     "q153_group_kfold" -> q153Sql,
     "q154_ref_integrity" -> q154Sql,
     "q155_equidepth_hist" -> q155Sql,
-    "q156_replace_where" -> q156Sql)
+    "q156_replace_where" -> q156Sql,
+    "q157_postings" -> q157Sql,
+    "q158_conj_lookup" -> q158Sql)
 }

@@ -36,7 +36,8 @@ class PlanLintSpec extends SparkSpec {
     "q120_temperature_sample" -> "broadcast 1-row sqrt-mass normalizer aggregate",
     "q123_kl_drift" -> "broadcast 1-row corpus-token-total aggregate",
     "q127_skew_report" -> "two bounded 1-row summary aggregates cross-joined",
-    "q140_ppl_buckets" -> "broadcast 1-row corpus-count aggregate")
+    "q140_ppl_buckets" -> "broadcast 1-row corpus-count aggregate",
+    "q155_equidepth_hist" -> "broadcast 1-row corpus-count aggregate")
 
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)
