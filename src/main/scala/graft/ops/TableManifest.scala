@@ -1027,6 +1027,56 @@ object TableManifest {
     spliceCommit(spark, dir, victims, moved, mstats, msstats, opName)
   }
 
+  /** Row-level MULTISET diff between two committed versions — the
+    * reconciliation report a backfill/erase/compaction audit wants when
+    * file-level CDC ([[addedBetween]]) can't tell a moved row from a new
+    * one: per distinct row, how many copies version `vNew` gained or lost
+    * versus `vOld`. Returns the distinct rows with a non-zero delta as
+    * `(columns..., delta)` (positive = added copies, negative = removed).
+    *
+    * Exactness: rows are compared by NULL-SAFE equality on every column
+    * of the two versions' merged schema (a column absent at one version
+    * reads NULL there) — never by a lossy row hash, so no collision can
+    * hide a discrepancy. Scale shape: one groupBy per side (map-side
+    * combined to |distinct rows|) and one full-outer equi-join on the row
+    * itself; the output is only the rows that changed. */
+  def diffRows(spark: SparkSession, dir: String, vOld: Long,
+      vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val a = readTableAt(spark, dir, vOld)
+    val b = readTableAt(spark, dir, vNew)
+    val cols = (a.columns ++ b.columns).distinct.sorted.toSeq
+    require(cols.forall(c => c != "delta" && !c.startsWith("__")),
+      s"diffRows: reserved column name in schema: ${cols.mkString(", ")}")
+    def widen(df: DataFrame) = {
+      val have = df.columns.toSet
+      df.select(cols.map(c =>
+        if (have(c)) col(c) else lit(null).as(c)): _*)
+    }
+    val ca = widen(a).groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val cb = widen(b).groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    val joined = ca.join(cb,
+      cols.map(c => ca(c) <=> cb(c)).reduce(_ && _), "full_outer")
+    joined.select(
+      cols.map(c => coalesce(ca(c), cb(c)).as(c)) :+
+        (coalesce(col("__cb"), lit(0L)) - coalesce(col("__ca"), lit(0L)))
+          .as("delta"): _*)
+      .filter(col("delta") =!= 0L)
+  }
+
+  /** One-row summary of [[diffRows]]: `(n_added, n_removed, n_changed_rows)`
+    * — copies gained, copies lost, and distinct changed rows. */
+  def diffVersions(spark: SparkSession, dir: String, vOld: Long,
+      vNew: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    diffRows(spark, dir, vOld, vNew).agg(
+      coalesce(sum(when(col("delta") > 0, col("delta")).otherwise(0L)),
+        lit(0L)).as("n_added"),
+      coalesce(sum(when(col("delta") < 0, -col("delta")).otherwise(0L)),
+        lit(0L)).as("n_removed"),
+      count(lit(1)).as("n_changed_rows"))
+  }
+
   private def markerName(consumerId: String, v: Long): String =
     f"consumer-$consumerId-v$v%020d.marker"
 

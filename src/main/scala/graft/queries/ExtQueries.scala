@@ -5302,6 +5302,38 @@ object ExtQueries {
       |SELECT doc_id AS doc FROM td WHERE term IN ('dup', 'key')
       |GROUP BY doc_id HAVING COUNT(*) = 2 ORDER BY doc""".stripMargin
 
+  // ---------------------------------------------------------------- Q159
+  /** Version reconciliation ([[graft.ops.TableManifest.diffVersions]]):
+    * after a one-day backfill on a tracked orders projection, the
+    * row-level multiset diff between the pre-backfill version and the
+    * head reports exactly the slice's copies lost and gained — NULL-safe
+    * whole-row comparison, never a lossy hash, so a moved-file compaction
+    * diffs empty and a real change can't hide. The oracle derives the
+    * expected counts from the day's size. */
+  def q159VersionDiff(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q159")
+    val day = expr("CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'" +
+      " AS LONG)")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey"), day.as("day"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.repartitionByRange(8, col("day"), col("o_orderkey"))
+      .write.mode("overwrite").parquet(tmp)
+    val v1 = graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("day"))
+    val d = java.time.LocalDate.parse("1997-06-15").toEpochDay
+    val fixed = src.filter(col("day") === d)
+      .withColumn("cents", col("cents") + 7)
+    val v3 = graft.ops.TableManifest.replaceWhereEq(s, tmp, "day", d, fixed)
+    graft.ops.TableManifest.diffVersions(s, tmp, v1, v3)
+  }
+
+  val q159Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_added,
+      |  CAST(COUNT(*) AS BIGINT) AS n_removed,
+      |  CAST(2 * COUNT(*) AS BIGINT) AS n_changed_rows
+      |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1997-06-15'""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5449,7 +5481,8 @@ object ExtQueries {
     "q155_equidepth_hist" -> (q155EquiDepth _),
     "q156_replace_where" -> (q156ReplaceWhere _),
     "q157_postings" -> (q157Postings _),
-    "q158_conj_lookup" -> (q158ConjunctiveLookup _))
+    "q158_conj_lookup" -> (q158ConjunctiveLookup _),
+    "q159_version_diff" -> (q159VersionDiff _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5599,5 +5632,6 @@ object ExtQueries {
     "q155_equidepth_hist" -> q155Sql,
     "q156_replace_where" -> q156Sql,
     "q157_postings" -> q157Sql,
-    "q158_conj_lookup" -> q158Sql)
+    "q158_conj_lookup" -> q158Sql,
+    "q159_version_diff" -> q159Sql)
 }

@@ -139,6 +139,33 @@ class ManifestEraseSpec extends SparkSpec {
     }
   }
 
+  test("diffRows/diffVersions: multiset deltas, identical versions empty, " +
+    "schema evolution NULL-safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-diff").toString
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), 0L, dir)
+    val v1 = TableManifest.read(spark, dir).get._1
+    // v2: one copy of (1,10) dropped, (3,30) added under an EVOLVED schema
+    TableManifest.publish(
+      Seq[(Long, Long, java.lang.Long)]((1L, 10L, null), (2L, 20L, null),
+        (3L, 30L, 5L)).toDF("k", "v", "extra"), dir)
+    val v2 = TableManifest.read(spark, dir).get._1
+
+    val d = TableManifest.diffRows(spark, dir, v1, v2)
+      .orderBy("k", "delta").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"),
+        Option(r.getAs[java.lang.Long]("extra")), r.getAs[Long]("delta")))
+    assert(d.toSeq == Seq((1L, 10L, None, -1L), (3L, 30L, Some(5L), 1L)),
+      s"got ${d.toSeq}")
+    val sum = TableManifest.diffVersions(spark, dir, v1, v2).head()
+    assert((sum.getLong(0), sum.getLong(1), sum.getLong(2)) == ((1L, 1L, 2L)))
+
+    // identical versions (v2 vs itself): empty diff, zero summary
+    assert(TableManifest.diffRows(spark, dir, v2, v2).count() == 0)
+    val z = TableManifest.diffVersions(spark, dir, v2, v2).head()
+    assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
+  }
+
   test("eraseWhereIn erases string-keyed rows with string-stat pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-erase-s").toString
     graft.streaming.ManifestAppendSink.applyBatch(
