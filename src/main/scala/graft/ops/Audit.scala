@@ -139,6 +139,33 @@ object Audit {
           " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
   }
 
+  /** Deterministic pseudonymization: replace identifier columns with
+    * stable keyed surrogates — sha256 over `secret|value`, truncated to 32
+    * hex chars — so the SAME identifier under the SAME secret maps to the
+    * SAME token in every table (joinability survives the masking), while
+    * recovering the identifier requires the secret (rotate it and every
+    * surrogate changes, severing old linkages). NULL stays NULL: "absent"
+    * must remain distinguishable from any real token. Row-local
+    * projection — zero shuffle, codegen'd hash, no UDF.
+    *
+    * This is PSEUDONYMIZATION (GDPR art. 4(5)) — linkage protection, not
+    * anonymity: token frequency still mirrors identifier frequency, so
+    * gate releases with [[kAnonymity]] over the remaining columns. */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+      secret: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to pseudonymize")
+    require(secret.nonEmpty, "empty secret defeats the keyed surrogate")
+    require(!secret.contains("|"),
+      "secret must not contain the `|` domain separator")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(substring(
+            sha2(concat_ws("|", lit(secret), col(c).cast("string")), 256),
+            1, 32)))
+    }
+  }
+
   /** Referential-integrity audit: how many `child` rows carry a foreign
     * key with no match in `parent` — the cross-table conformance check a
     * star-schema ingest runs per load. One row out: `(n_child, n_orphans,

@@ -5334,6 +5334,35 @@ object ExtQueries {
       |  CAST(2 * COUNT(*) AS BIGINT) AS n_changed_rows
       |FROM orders WHERE CAST(o_orderdate AS DATE) = DATE '1997-06-15'""".stripMargin
 
+  // ---------------------------------------------------------------- Q160
+  /** Deterministic pseudonymization ([[graft.ops.Audit.pseudonymize]]):
+    * customer and order keys masked with the SAME secret remain
+    * join-consistent — the per-nation order counts computed ENTIRELY in
+    * token space equal the raw-key join (which is what the oracle
+    * computes, plus the same sha256 surrogate for the sample token
+    * column). Row-local keyed sha256, zero shuffle added. */
+  def q160Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    val secret = "graft-q160-secret"
+    val cust = graft.ops.Audit.pseudonymize(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+      Seq("c_custkey"), secret)
+    val ords = graft.ops.Audit.pseudonymize(
+      t(s, dir, "orders").select(col("o_custkey")),
+      Seq("o_custkey"), secret)
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"))
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("c_custkey")).as("sample_token"))
+      .orderBy("nation")
+  }
+
+  val q160Sql: String =
+    """SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  MIN(substr(sha256('graft-q160-secret|' || c_custkey::VARCHAR),
+      |    1, 32)) AS sample_token
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY nation""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5482,7 +5511,8 @@ object ExtQueries {
     "q156_replace_where" -> (q156ReplaceWhere _),
     "q157_postings" -> (q157Postings _),
     "q158_conj_lookup" -> (q158ConjunctiveLookup _),
-    "q159_version_diff" -> (q159VersionDiff _))
+    "q159_version_diff" -> (q159VersionDiff _),
+    "q160_pseudonymize" -> (q160Pseudonymize _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5633,5 +5663,6 @@ object ExtQueries {
     "q156_replace_where" -> q156Sql,
     "q157_postings" -> q157Sql,
     "q158_conj_lookup" -> q158Sql,
-    "q159_version_diff" -> q159Sql)
+    "q159_version_diff" -> q159Sql,
+    "q160_pseudonymize" -> q160Sql)
 }

@@ -120,6 +120,24 @@ class AuditPrivacySpec extends SparkSpec {
     assert(r.getAs[Long]("orphan_ppm") == 250000L)
   }
 
+  test("pseudonymize: stable keyed surrogates, NULL passthrough, secret rotation") {
+    val df = Seq[(java.lang.Long, String)]((7L, "x"), (7L, "y"), (null, "z"))
+      .toDF("id", "payload")
+    val t1 = Audit.pseudonymize(df, Seq("id"), "k1")
+    val toks = t1.orderBy("payload").select("id").collect().map(_.getString(0))
+    assert(toks(0) == toks(1), "same id, same secret -> same token")
+    assert(toks(0).length == 32 && toks(0).matches("[0-9a-f]+"))
+    assert(toks(2) == null, "NULL stays NULL")
+    assert(toks(0) != "7", "token is not the identifier")
+    // rotation severs linkage
+    val t2 = Audit.pseudonymize(df, Seq("id"), "k2")
+      .orderBy("payload").select("id").head().getString(0)
+    assert(t2 != toks(0))
+    // guards
+    intercept[IllegalArgumentException](Audit.pseudonymize(df, Seq("id"), ""))
+    intercept[IllegalArgumentException](Audit.pseudonymize(df, Seq("id"), "a|b"))
+  }
+
   test("alias-collision and foldCol guards fail loudly") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, 2L)).toDF("__k", "fold")
