@@ -150,18 +150,29 @@ object Audit {
     *
     * This is PSEUDONYMIZATION (GDPR art. 4(5)) — linkage protection, not
     * anonymity: token frequency still mirrors identifier frequency, so
-    * gate releases with [[kAnonymity]] over the remaining columns. */
+    * gate releases with [[kAnonymity]] over the remaining columns.
+    *
+    * Key-exposure surface: the raw secret never reaches the query plan —
+    * a DERIVED key (its sha256) is embedded as the plan literal, so
+    * explain output / Spark UI / event logs cannot leak a secret that is
+    * reused elsewhere. The derived key still suffices to RE-COMPUTE
+    * tokens (any row-local scheme must carry its effective key in the
+    * plan), so plan/UI/event-log access must be restricted to parties
+    * cleared to link — or rotate the secret after the job. */
   def pseudonymize(df: DataFrame, cols: Seq[String],
       secret: String): DataFrame = {
     require(cols.nonEmpty, "need at least one column to pseudonymize")
     require(secret.nonEmpty, "empty secret defeats the keyed surrogate")
     require(!secret.contains("|"),
       "secret must not contain the `|` domain separator")
+    val derived = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(secret.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     cols.foldLeft(df) { (d, c) =>
       d.withColumn(c,
         when(col(c).isNull, lit(null).cast("string"))
           .otherwise(substring(
-            sha2(concat_ws("|", lit(secret), col(c).cast("string")), 256),
+            sha2(concat_ws("|", lit(derived), col(c).cast("string")), 256),
             1, 32)))
     }
   }

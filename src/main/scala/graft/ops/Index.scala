@@ -37,6 +37,11 @@ object Index {
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("term"))
+      // global distinct, not just array_distinct: a doc stored as SEVERAL
+      // rows (chunked ingest) must still contribute each term once, or df
+      // overcounts and duplicate posting entries break the lookup's
+      // hit-count gate
+      .distinct()
       .localCheckpoint() // feeds the df pass AND the postings collect
     val dfs = termDoc.groupBy("term").agg(count(lit(1)).as("df"))
     // the semi-join keeps only capped terms' rows, so the collect_list

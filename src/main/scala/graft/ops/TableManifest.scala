@@ -979,52 +979,75 @@ object TableManifest {
     import org.apache.spark.sql.functions.col
     require(replacement.columns.contains(column),
       s"replaceWhereEq: replacement lacks the partition column `$column`")
-    val stray = replacement
-      .filter(col(column).isNull || col(column) =!= value).limit(1).count()
-    require(stray == 0L,
-      s"replaceWhereEq: replacement contains rows outside `$column = $value`")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
       sys.error(s"replaceWhereEq: $dir is not manifest-tracked")
+    // Delta-style schema strictness: a backfill must regenerate the
+    // table's CURRENT schema — a misspelled column would otherwise
+    // silently NULL the real one and leak a stray column via the union
+    // (schema evolution goes through publish/append, not a backfill)
+    val tableCols = readTable(spark, dir).columns.toSet
+    val replCols = replacement.columns.toSet
+    require(replCols == tableCols,
+      s"replaceWhereEq: replacement schema ${replCols.toSeq.sorted} must " +
+        s"equal the table schema ${tableCols.toSeq.sorted}")
+    // pin the replacement ONCE: the confinement guard below and the write
+    // must see the same rows, or a non-deterministic source could pass
+    // the guard and then materialize stray rows (TOCTOU)
+    val pinned = replacement.localCheckpoint()
+    val stray = pinned
+      .filter(col(column).isNull || col(column) =!= value).limit(1).count()
+    require(stray == 0L,
+      s"replaceWhereEq: replacement contains rows outside `$column = $value`")
     val victims = filterByPointValues(headFiles, parseBloom(headBody),
       parseStats(headBody), column, Seq(value))
-    val keepOld =
-      if (victims.isEmpty) None
-      else {
-        val read = spark.read.option("mergeSchema", "true")
-          .parquet(victims.map(f => s"$dir/$f"): _*)
-        // victims whose merged schema predates the column hold only NULL
-        // values there — none can equal `value`, all are kept
-        if (!read.columns.contains(column)) Some(read)
-        else Some(read.filter(col(column).isNull || col(column) =!= value))
-      }
-    val next = keepOld
-      .map(_.unionByName(replacement, allowMissingColumns = true))
-      .getOrElse(replacement)
-    val moved = writeAndMoveIn(
-      next.coalesce(math.max(victims.size, 1)), "replace", dir)
-    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
-    spliceCommit(spark, dir, victims, moved, mstats, msstats,
-      "replaceWhereEq")
+    sliceRewrite(spark, dir, headV, victims, column,
+      keep = df => df.filter(col(column).isNull || col(column) =!= value),
+      append = Some(pinned),
+      keepAllWhenColumnMissing = true, opName = "replace")
   }
 
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String,
-      keep: DataFrame => DataFrame, opName: String): Long = {
-    if (victims.isEmpty) return headV
-    val read = spark.read.option("mergeSchema", "true")
-      .parquet(victims.map(f => s"$dir/$f"): _*)
-    // schema-evolution edge: victims that predate the key column have it
-    // NULL under the merged schema — kept by the predicate, as they must
-    // be. A victim set whose merged schema lacks the column entirely can
-    // contain no matching row: nothing to erase.
-    if (!read.columns.contains(column)) return headV
-    // one output file per victim keeps the file-count (and the skipping
-    // stats' granularity) stable across erasures instead of collapsing
-    // every touched file into one
-    val moved = writeAndMoveIn(keep(read).coalesce(victims.size), opName, dir)
-    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
-    spliceCommit(spark, dir, victims, moved, mstats, msstats, opName)
+      keep: DataFrame => DataFrame, opName: String): Long =
+    sliceRewrite(spark, dir, headV, victims, column, keep, append = None,
+      keepAllWhenColumnMissing = false, opName = opName)
+
+  /** Shared tail of every slice rewrite (erase, replace-backfill): read
+    * the victims once with a merged schema, apply `keep`, union the
+    * optional `append`, write, and victim-splice-commit with fresh
+    * `column` stats. Victims whose merged schema predates `column` hold
+    * only NULLs there, so no row can match the slice:
+    * `keepAllWhenColumnMissing` keeps them untouched through a replace,
+    * while an erase short-circuits to the unchanged head. One output file
+    * per victim keeps the file-count (and the skipping stats'
+    * granularity) stable instead of collapsing every touched file into
+    * one. */
+  private def sliceRewrite(spark: SparkSession, dir: String, headV: Long,
+      victims: Seq[String], column: String, keep: DataFrame => DataFrame,
+      append: Option[DataFrame], keepAllWhenColumnMissing: Boolean,
+      opName: String): Long = {
+    val oldPart: Either[Long, Option[DataFrame]] =
+      if (victims.isEmpty) Right(None)
+      else {
+        val read = spark.read.option("mergeSchema", "true")
+          .parquet(victims.map(f => s"$dir/$f"): _*)
+        if (!read.columns.contains(column))
+          if (keepAllWhenColumnMissing) Right(Some(read)) else Left(headV)
+        else Right(Some(keep(read)))
+      }
+    oldPart match {
+      case Left(v) => v
+      case Right(kept) =>
+        val pieces = kept.toSeq ++ append.toSeq
+        if (pieces.isEmpty) return headV
+        val next = pieces
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .coalesce(math.max(victims.size, 1))
+        val moved = writeAndMoveIn(next, opName, dir)
+        val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
+        spliceCommit(spark, dir, victims, moved, mstats, msstats, opName)
+    }
   }
 
   /** Row-level MULTISET diff between two committed versions — the

@@ -5358,8 +5358,8 @@ object ExtQueries {
 
   val q160Sql: String =
     """SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS n_orders,
-      |  MIN(substr(sha256('graft-q160-secret|' || c_custkey::VARCHAR),
-      |    1, 32)) AS sample_token
+      |  MIN(substr(sha256(sha256('graft-q160-secret') || '|'
+      |    || c_custkey::VARCHAR), 1, 32)) AS sample_token
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
 

@@ -37,8 +37,8 @@ object PrivacyMonitor {
       watermarkDelay: String = "10 seconds")(
       out: (DataFrame, Long) => Unit): StreamingQuery = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
-    require(!qi.contains("__k"),
-      "QI column __k collides with an internal alias — rename it first")
+    require(!qi.exists(Set("__k", "__ts", "w")),
+      "QI columns __k/__ts/w collide with internal aliases — rename first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
     events
       .withColumn("__ts", col(tsCol).cast("timestamp"))

@@ -30,6 +30,19 @@ class IndexSpec extends SparkSpec {
     assert(!rows.contains("ghost"), "null-id docs contribute nothing")
   }
 
+  test("a doc stored as several rows contributes each term once") {
+    val chunked = Seq[(java.lang.Long, String)](
+      (1L, "key alpha"), (1L, "key beta"), (2L, "key"))
+      .toDF("doc_id", "text")
+    val p = Index.buildPostings(chunked, "doc_id", "text", maxDf = 10L)
+    val key = p.filter(col("term") === "key").head()
+    assert(key.getLong(1) == 2L, "df counts DOCS, not chunk rows")
+    assert(key.getSeq[Long](2).toList == List(1L, 2L), "no duplicate postings")
+    // and the hit-count gate still matches the chunked doc
+    assert(Index.conjunctiveLookup(p, Seq("key")).as[Long].collect().toList ==
+      List(1L, 2L))
+  }
+
   test("lookup: listed AND, capped ignored, absent empties, all-capped empties") {
     def docs(terms: String*) =
       Index.conjunctiveLookup(postings, terms).as[Long].collect().toList

@@ -137,6 +137,13 @@ class ManifestEraseSpec extends SparkSpec {
       TableManifest.replaceWhereEq(spark, dir, "day", 1L,
         Seq((1L, 1L), (2L, 2L)).toDF("day", "v"))
     }
+
+    // a misspelled data column fails loudly instead of silently NULLing
+    // the real one and leaking a stray column
+    intercept[IllegalArgumentException] {
+      TableManifest.replaceWhereEq(spark, dir, "day", 1L,
+        Seq((1L, 1L)).toDF("day", "vv"))
+    }
   }
 
   test("diffRows/diffVersions: multiset deltas, identical versions empty, " +
