@@ -173,6 +173,24 @@ object ScaleDrill {
         import spark.implicits._
         Seq((m.n, m.sum.sum, m.gram.sum)).toDF("n", "s", "g")
       },
+      // privacy-audit family: one map-side-combined groupBy over the QI
+      // pair + an O(#classes) one-row profile — must track data volume
+      // like any aggregate, never blow up on class count
+      "privacy_audit" -> { dir: String =>
+        graft.ops.Audit.kAnonymity(
+          evDf(dir).select(col("user_id"), col("event_type")),
+          Seq("user_id", "event_type"), 10L)
+      },
+      // inverted-index family: two aggregates (df pass, capped postings)
+      // + a conjunctive lookup answered from posting rows — build tracks
+      // corpus size; the per-copy "c<i>" prefix token is a per-copy term,
+      // so vocabulary grows with mult and the df cap stays honest
+      "inverted_index" -> { dir: String =>
+        val p = graft.ops.Index.buildPostings(
+          docDf(dir), "doc_id", "text", maxDf = 400L)
+        graft.ops.Index.conjunctiveLookup(p, Seq("dup", "key"))
+          .agg(count(lit(1)).as("n"), sum("doc").as("s"))
+      },
       // the counter-example family: a SELECTIVE read through manifest
       // data skipping should hold near-FLAT as the corpus grows — the
       // per-copy event_id offsets make each copy a disjoint id band, so
