@@ -173,6 +173,40 @@ class ManifestEraseSpec extends SparkSpec {
     assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
   }
 
+  test("erase racing a streaming append loses neither the append nor replay") {
+    // same interleave drill as the optimize race: the splice commit must
+    // keep a mid-erase append's file AND its hwm, or rows vanish and the
+    // checkpoint replay is suppressed
+    val dir = java.nio.file.Files.createTempDirectory("graft-eracerace").toString
+    graft.streaming.ManifestAppendSink.applyBatch(
+      (1L to 100L).toDF("k").repartition(4), 0L, dir, statsCols = Seq("k"))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1L to 4L).foreach { i =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      def racer(body: => Unit) = {
+        val t = new Thread(() => { gate.await(); body })
+        t.setUncaughtExceptionHandler((_, e) => errors.add(e))
+        t
+      }
+      val eraser = racer(TableManifest.eraseWhereEq(spark, dir, "k", Seq(i)))
+      val appender = racer(graft.streaming.ManifestAppendSink.applyBatch(
+        Seq(1000L + i).toDF("k").coalesce(1), i, dir, statsCols = Seq("k")))
+      eraser.start(); appender.start()
+      gate.countDown()
+      eraser.join(); appender.join()
+      assert(errors.isEmpty, s"racer threw at round $i: ${errors.peek()}")
+      // one key erased, one row appended: the count holds at 100
+      assert(TableManifest.readTable(spark, dir).count() == 100L,
+        s"row count drifted at round $i")
+      assert(graft.streaming.ManifestAppendSink
+        .committedBatchHighWater(spark, dir) == i,
+        s"hwm rolled back at round $i — replay would double-append")
+    }
+    val left = TableManifest.readTable(spark, dir)
+    assert(left.filter(col("k").isin(1L, 2L, 3L, 4L)).count() == 0)
+    assert(left.filter(col("k") > 1000L).count() == 4)
+  }
+
   test("eraseWhereIn erases string-keyed rows with string-stat pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-erase-s").toString
     graft.streaming.ManifestAppendSink.applyBatch(
