@@ -56,4 +56,120 @@ object AsOfJoin {
       .filter(col("__kind") === 1)
       .drop("__kind", "__rid")
   }
+
+  /** FORWARD as-of: for every left row, the single EARLIEST right row of
+    * the same key whose timestamp is ≥ the left timestamp — "the next
+    * event after this one" (next maintenance slot, next price tick,
+    * next-session attribution). Same union + one-window-pass shape as
+    * [[latestPreceding]], mirrored: left sorts BEFORE right on equal ts
+    * (so an exactly-simultaneous right row matches, Δ = 0) and the carry
+    * is `first(..., ignoreNulls)` over the current-row→unbounded-following
+    * frame. Returns left columns + `asof_id` (null when nothing
+    * follows). */
+  def earliestFollowing(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val leftCols = left.columns
+    val idType = right.schema(idCol).dataType
+    val l = left.withColumn("__kind", lit(0))
+      .withColumn("__rid", lit(null).cast(idType))
+    val r = right.select(
+      right.columns.collect {
+        case c if c == key || c == tsCol || c == idCol => col(c)
+      }.toSeq: _*)
+      .withColumn("__kind", lit(1))
+      .withColumn("__rid", col(idCol))
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
+    val combined = l.select(
+      (leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
+      .union(rAligned)
+
+    val w = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("__kind"), col("__rid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    combined
+      .withColumn("asof_id", first(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 0)
+      .drop("__kind", "__rid")
+  }
+
+  /** NEAREST as-of within a tolerance — pandas `merge_asof
+    * (direction='nearest')` semantics: for every left row, the right row
+    * of the same key with the smallest |Δts|, matched only when
+    * `|Δts| <= tolerance`; ties (equidistant before/after) go to the
+    * PRECEDING row, deterministically. `tsCol` must be an integral
+    * column on both sides (unix micros, epoch days — convert timestamps
+    * first), so distances are exact longs, never float time math.
+    *
+    * Shape: ONE shuffle on the key feeding two window passes over the
+    * same partitioning (backward carry of the last preceding (id, ts),
+    * forward carry of the first following), then a row-local pick.
+    * Returns left columns + `asof_id`. */
+  def nearestWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      idCol: String,
+      tolerance: Long): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0: $tolerance")
+    val integral: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType)
+    }
+    require(Seq(left, right).forall(df =>
+      integral(df.schema(tsCol).dataType)),
+      s"nearestWithin needs an integral `$tsCol` on both sides " +
+        "(unix micros / epoch days) — convert timestamps first")
+    val leftCols = left.columns
+    val idType = right.schema(idCol).dataType
+    val l = left.withColumn("__kind", lit(1))
+      .withColumn("__rid", lit(null).cast(idType))
+      .withColumn("__rts", lit(null).cast("long"))
+    val r = right.select(
+      right.columns.collect {
+        case c if c == key || c == tsCol || c == idCol => col(c)
+      }.toSeq: _*)
+      .withColumn("__kind", lit(0))
+      .withColumn("__rid", col(idCol))
+      .withColumn("__rts", col(tsCol).cast("long"))
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")
+      :+ col("__rts")): _*)
+    val combined = l.select((leftCols.map(col) :+ col("__kind")
+      :+ col("__rid") :+ col("__rts")): _*)
+      .union(rAligned)
+
+    // backward: right sorts BEFORE left on equal ts (kind 0 < 1) so a
+    // simultaneous right row is a Δ=0 preceding match; forward mirrors
+    // with left first — both windows share the one key partitioning
+    val back = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("__kind"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(key)
+      .orderBy(col(tsCol), col("__kind").desc, col("__rid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dB = abs(col(tsCol).cast("long") - col("__bts"))
+    val dF = abs(col("__fts") - col(tsCol).cast("long"))
+    combined
+      .withColumn("__bid", last(col("__rid"), ignoreNulls = true).over(back))
+      .withColumn("__bts", last(col("__rts"), ignoreNulls = true).over(back))
+      .withColumn("__fid", first(col("__rid"), ignoreNulls = true).over(fwd))
+      .withColumn("__fts", first(col("__rts"), ignoreNulls = true).over(fwd))
+      .filter(col("__kind") === 1)
+      .withColumn("asof_id",
+        when(col("__bts").isNotNull && dB <= tolerance &&
+          (col("__fts").isNull || dF > tolerance || dB <= dF), col("__bid"))
+        .when(col("__fts").isNotNull && dF <= tolerance, col("__fid"))
+        .otherwise(lit(null).cast(idType)))
+      .drop("__kind", "__rid", "__rts", "__bid", "__bts", "__fid", "__fts")
+  }
 }

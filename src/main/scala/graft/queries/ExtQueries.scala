@@ -5363,6 +5363,89 @@ object ExtQueries {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY 1 ORDER BY nation""".stripMargin
 
+  // ---------------------------------------------------------------- Q161
+  /** FORWARD as-of join ([[graft.ops.AsOfJoin.earliestFollowing]]): each
+    * view matched to the same user's EARLIEST purchase at-or-after it —
+    * "what did this session lead to", the mirror of q32's
+    * latest-preceding attribution. Same union + one-window-pass shape,
+    * one shuffle on the user key; the oracle mirrors it with
+    * `first_value IGNORE NULLS` over the following frame. */
+  def q161AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    graft.ops.AsOfJoin.earliestFollowing(
+        views, purchases, "user_id", "ts_us", "event_id")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us"),
+        col("asof_id").as("next_purchase"))
+      .orderBy("view_id")
+  }
+
+  val q161Sql: String =
+    """SELECT view_id, user_id, ts_us, next_purchase FROM (
+      |  SELECT event_id AS view_id, user_id, ts_us, kind,
+      |    first_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS next_purchase
+      |  FROM (
+      |    SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |      CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+      |    FROM events WHERE event_type IN ('view', 'purchase')))
+      |WHERE kind = 0 ORDER BY view_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q162
+  /** NEAREST as-of within tolerance
+    * ([[graft.ops.AsOfJoin.nearestWithin]], pandas `merge_asof
+    * direction='nearest'`): each view matched to the same user's CLOSEST
+    * purchase within ±1 hour, ties to the preceding — exact long micros,
+    * one shuffle feeding two window passes. The oracle replays both
+    * carries and the pick rule. */
+  def q162AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .drop("event_type")
+    graft.ops.AsOfJoin.nearestWithin(
+        views, purchases, "user_id", "ts_us", "event_id",
+        tolerance = 3600000000L)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("asof_id").as("nearest_purchase"))
+      .orderBy("view_id")
+  }
+
+  val q162Sql: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS kind
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |c AS (
+      |  SELECT event_id, user_id, ts_us, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bid,
+      |    last_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bts,
+      |    first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind DESC, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fid,
+      |    first_value(CASE WHEN kind = 0 THEN ts_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, kind DESC, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+      |  FROM u)
+      |SELECT event_id AS view_id, user_id,
+      |  CASE
+      |    WHEN bts IS NOT NULL AND ts_us - bts <= 3600000000
+      |      AND (fts IS NULL OR fts - ts_us > 3600000000
+      |        OR ts_us - bts <= fts - ts_us) THEN bid
+      |    WHEN fts IS NOT NULL AND fts - ts_us <= 3600000000 THEN fid
+      |  END AS nearest_purchase
+      |FROM c WHERE kind = 1 ORDER BY view_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5512,7 +5595,9 @@ object ExtQueries {
     "q157_postings" -> (q157Postings _),
     "q158_conj_lookup" -> (q158ConjunctiveLookup _),
     "q159_version_diff" -> (q159VersionDiff _),
-    "q160_pseudonymize" -> (q160Pseudonymize _))
+    "q160_pseudonymize" -> (q160Pseudonymize _),
+    "q161_asof_forward" -> (q161AsofForward _),
+    "q162_asof_nearest" -> (q162AsofNearest _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5664,5 +5749,7 @@ object ExtQueries {
     "q157_postings" -> q157Sql,
     "q158_conj_lookup" -> q158Sql,
     "q159_version_diff" -> q159Sql,
-    "q160_pseudonymize" -> q160Sql)
+    "q160_pseudonymize" -> q160Sql,
+    "q161_asof_forward" -> q161Sql,
+    "q162_asof_nearest" -> q162Sql)
 }

@@ -34,4 +34,45 @@ class AsOfJoinSpec extends SparkSpec {
     val r = out.collect()(0)
     assert(r.getString(3) == "payload" && r.getLong(4) == 9L)
   }
+
+  test("earliestFollowing: next right at-or-after, equal ts matches") {
+    import spark.implicits._
+    val left = Seq((100L, 7L, 10L), (101L, 7L, 20L), (102L, 7L, 31L),
+      (103L, 8L, 5L)).toDF("event_id", "user_id", "ts_us")
+    val right = Seq((1L, 7L, 20L), (2L, 7L, 30L)).toDF("event_id", "user_id", "ts_us")
+    val out = AsOfJoin.earliestFollowing(left, right, "user_id", "ts_us", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // 10 -> next is 20 (id 1); 20 -> equal-ts right matches (id 1);
+    // 31 -> nothing follows; user 8 has no rights
+    assert(out == Map(100L -> Some(1L), 101L -> Some(1L),
+      102L -> None, 103L -> None))
+  }
+
+  test("nearestWithin: closer side wins, tie to preceding, tolerance gates") {
+    import spark.implicits._
+    val right = Seq((1L, 7L, 10L), (2L, 7L, 20L)).toDF("event_id", "user_id", "ts_us")
+    val left = Seq(
+      (100L, 7L, 13L),  // d(back 10)=3 < d(fwd 20)=7 -> 1
+      (101L, 7L, 17L),  // d=7/3 -> 2
+      (102L, 7L, 15L),  // tie 5/5 -> preceding (1)
+      (103L, 7L, 20L),  // exact hit -> 2
+      (104L, 7L, 27L),  // only back in range at tol 5: d(20)=7 > 5 -> None
+      (105L, 8L, 10L))  // no rights for user 8
+      .toDF("event_id", "user_id", "ts_us")
+    val out = AsOfJoin.nearestWithin(left, right, "user_id", "ts_us",
+      "event_id", tolerance = 5L)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(out == Map(100L -> Some(1L), 101L -> Some(2L), 102L -> Some(1L),
+      103L -> Some(2L), 104L -> None, 105L -> None))
+    // non-integral ts fails loudly
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearestWithin(
+        left.withColumn("ts_us", org.apache.spark.sql.functions.col("ts_us").cast("double")),
+        right, "user_id", "ts_us", "event_id", 5L)
+    }
+  }
 }
