@@ -78,28 +78,54 @@ object Audit {
       df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("__k")), threshold)
   }
 
+  // the shared class-profile aggregate: empty input gets explicit zero
+  // counts (min_k stays NULL — "no classes" is not "a class of size 0"),
+  // so the gate reads 0 ppm instead of NULL arithmetic
+  private def kAnonAggs(threshold: Long): Seq[Column] = Seq(
+    coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
+    count(lit(1)).as("n_classes"),
+    min(col("__k")).as("min_k"),
+    coalesce(sum(when(col("__k") === 1, 1L).otherwise(0L)), lit(0L))
+      .as("n_unique_rows"),
+    coalesce(sum(when(col("__k") < threshold, col("__k")).otherwise(0L)),
+      lit(0L)).as("n_risky_rows"))
+
+  private val kAnonProfileCols: Seq[Column] = Seq(
+    col("n_rows"), col("n_classes"), col("min_k"), col("n_unique_rows"),
+    col("n_risky_rows"),
+    expr("(2 * 1000000 * n_risky_rows + n_rows)" +
+      " DIV (2 * GREATEST(n_rows, 1))").as("risky_ppm"))
+
   /** The O(#classes) second half of [[kAnonymity]], exposed for callers
     * that already hold per-class sizes in a `__k` column (the streaming
     * monitor's finalized windowed counts). */
   private[graft] def kAnonymityOfClasses(classes: DataFrame,
       threshold: Long): DataFrame = {
-    classes
-      .agg(
-        // empty input: explicit zero counts (min_k stays NULL — "no
-        // classes" is not "a class of size 0"), so the gate reads 0 ppm
-        // instead of NULL arithmetic
-        coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("__k")).as("min_k"),
-        coalesce(sum(when(col("__k") === 1, 1L).otherwise(0L)), lit(0L))
-          .as("n_unique_rows"),
-        coalesce(sum(when(col("__k") < threshold, col("__k")).otherwise(0L)),
-          lit(0L)).as("n_risky_rows"))
-      .select(
-        col("n_rows"), col("n_classes"), col("min_k"), col("n_unique_rows"),
-        col("n_risky_rows"),
-        expr("(2 * 1000000 * n_risky_rows + n_rows)" +
-          " DIV (2 * GREATEST(n_rows, 1))").as("risky_ppm"))
+    val aggs = kAnonAggs(threshold)
+    classes.agg(aggs.head, aggs.tail: _*).select(kAnonProfileCols: _*)
+  }
+
+  /** Per-PARTITION [[kAnonymity]] — one risk-profile row per distinct
+    * `by` tuple (per day, per source, per release shard): the batch twin
+    * of [[graft.streaming.PrivacyMonitor]]'s per-window profile, and the
+    * "which slice regressed" drill-down the global audit can't answer.
+    * Same math, same one-shuffle shape: ONE groupBy over (by ++ qi)
+    * builds every partition's classes, a second map-side-combined
+    * aggregate collapses them to |distinct by| profile rows. */
+  def kAnonymityBy(df: DataFrame, by: Seq[String], qi: Seq[String],
+      threshold: Long): DataFrame = {
+    require(by.nonEmpty, "need at least one partition column")
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(by.intersect(qi).isEmpty,
+      s"partition and QI columns overlap: ${by.intersect(qi).mkString(",")}")
+    require(!(by ++ qi).contains("__k"),
+      "column __k collides with an internal alias — rename it first")
+    require(threshold >= 2, s"threshold must be >= 2: $threshold")
+    val aggs = kAnonAggs(threshold)
+    df.groupBy((by ++ qi).map(col): _*).agg(count(lit(1)).as("__k"))
+      .groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(by.map(col) ++ kAnonProfileCols: _*)
+      .orderBy(by.map(col): _*)
   }
 
   /** l-diversity companion to [[kAnonymity]]: within each QI equivalence

@@ -5446,6 +5446,37 @@ object ExtQueries {
       |  END AS nearest_purchase
       |FROM c WHERE kind = 1 ORDER BY view_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q163
+  /** Per-DAY k-anonymity drill-down ([[graft.ops.Audit.kAnonymityBy]]):
+    * the batch twin of the streaming privacy monitor — one risk-profile
+    * row per day over the (event_type, $10 value bucket) QI pair, so the
+    * day a source started shipping re-identifiable slices is namable.
+    * Two stacked map-side-combined aggregates, one shuffle each. */
+  def q163KAnonByDay(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.kAnonymityBy(
+      t(s, dir, "events").select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        expr("CAST(round(value * 100) AS LONG) DIV 1000").as("vb")),
+      by = Seq("day"), qi = Seq("event_type", "vb"), threshold = 5L)
+
+  val q163Sql: String =
+    """WITH cls AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    CAST(round(value * 100) AS BIGINT) // 1000 AS vb,
+      |    CAST(COUNT(*) AS BIGINT) AS k
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT day, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unique_rows,
+      |  CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_risky_rows,
+      |  CAST((2 * 1000000 * SUM(CASE WHEN k < 5 THEN k ELSE 0 END)
+      |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT) AS risky_ppm
+      |FROM cls GROUP BY 1 ORDER BY day""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5597,7 +5628,8 @@ object ExtQueries {
     "q159_version_diff" -> (q159VersionDiff _),
     "q160_pseudonymize" -> (q160Pseudonymize _),
     "q161_asof_forward" -> (q161AsofForward _),
-    "q162_asof_nearest" -> (q162AsofNearest _))
+    "q162_asof_nearest" -> (q162AsofNearest _),
+    "q163_kanon_by_day" -> (q163KAnonByDay _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5751,5 +5783,6 @@ object ExtQueries {
     "q159_version_diff" -> q159Sql,
     "q160_pseudonymize" -> q160Sql,
     "q161_asof_forward" -> q161Sql,
-    "q162_asof_nearest" -> q162Sql)
+    "q162_asof_nearest" -> q162Sql,
+    "q163_kanon_by_day" -> q163Sql)
 }

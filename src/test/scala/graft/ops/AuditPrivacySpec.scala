@@ -120,6 +120,30 @@ class AuditPrivacySpec extends SparkSpec {
     assert(r.getAs[Long]("orphan_ppm") == 250000L)
   }
 
+  test("kAnonymityBy: per-partition profiles equal the global audit per slice") {
+    val df = Seq(
+      ("d1", 30L, "M"), ("d1", 30L, "M"), ("d1", 40L, "F"),
+      ("d2", 30L, "M"))
+      .toDF("day", "age", "sex")
+    val by = Audit.kAnonymityBy(df, Seq("day"), Seq("age", "sex"), 2L)
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(i => Option(r.get(i)).map(_.asInstanceOf[Long]))).toMap
+    // d1: classes (30,M)=2, (40,F)=1 -> risky 1 row; d2: one unique row
+    assert(by("d1") == Seq(Some(3L), Some(2L), Some(1L), Some(1L),
+      Some(1L), Some(333333L)))
+    assert(by("d2") == Seq(Some(1L), Some(1L), Some(1L), Some(1L),
+      Some(1L), Some(1000000L)))
+    // and each slice equals the global audit over that slice
+    import org.apache.spark.sql.functions.col
+    val g = Audit.kAnonymity(df.filter(col("day") === "d1")
+      .select("age", "sex"), Seq("age", "sex"), 2L).head()
+    assert((0 until 6).map(i => g.getLong(i)) ==
+      by("d1").map(_.get))
+    // overlapping by/qi fails loudly
+    intercept[IllegalArgumentException](
+      Audit.kAnonymityBy(df, Seq("day"), Seq("day", "age"), 2L))
+  }
+
   test("pseudonymize: stable keyed surrogates, NULL passthrough, secret rotation") {
     val df = Seq[(java.lang.Long, String)]((7L, "x"), (7L, "y"), (null, "z"))
       .toDF("id", "payload")
