@@ -182,12 +182,16 @@ object ScaleDrill {
           Seq("user_id", "event_type"), 10L)
       },
       // inverted-index family: two aggregates (df pass, capped postings)
-      // + a conjunctive lookup answered from posting rows — build tracks
-      // corpus size; the per-copy "c<i>" prefix token is a per-copy term,
-      // so vocabulary grows with mult and the df cap stays honest
+      // + a conjunctive lookup answered from posting rows. The cap is
+      // deliberately set ABOVE every term's df (= the doc count) so the
+      // lookup explodes real postings at every scale — a fixed production
+      // cap would capped-out both query terms on the N× corpus and the
+      // lookup half would measure an empty short-circuit; this family
+      // times the worst-case posting growth instead
       "inverted_index" -> { dir: String =>
+        val cap = docDf(dir).count()
         val p = graft.ops.Index.buildPostings(
-          docDf(dir), "doc_id", "text", maxDf = 400L)
+          docDf(dir), "doc_id", "text", maxDf = cap)
         graft.ops.Index.conjunctiveLookup(p, Seq("dup", "key"))
           .agg(count(lit(1)).as("n"), sum("doc").as("s"))
       },

@@ -17,6 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Shared tag/align/union scaffolding of every as-of variant: left rows
+    * keep their columns (plus NULL `__rid`/`__rts`), right rows are
+    * projected to (key, ts, id), tagged with `rightKind`, and aligned to
+    * the left schema with NULLs. Right rows with a NULL id are dropped —
+    * they can never be matched, and [[nearestWithin]]'s separate (id, ts)
+    * carries would otherwise desynchronize on them, attributing a
+    * different row's timestamp to the carried id. */
+  private def unionTagged(
+      left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      idCol: String, rightKind: Int, withRts: Boolean): DataFrame = {
+    val leftCols = left.columns
+    val idType = right.schema(idCol).dataType // keep the id's own type —
+    // a lossy cast (e.g. string UUIDs to long) would null every match
+    val extras = Seq("__kind", "__rid") ++ (if (withRts) Seq("__rts") else Nil)
+    val l0 = left.withColumn("__kind", lit(1 - rightKind))
+      .withColumn("__rid", lit(null).cast(idType))
+    val l = if (withRts) l0.withColumn("__rts", lit(null).cast("long")) else l0
+    val r0 = right
+      .filter(col(idCol).isNotNull)
+      .select(right.columns.collect {
+        case c if c == key || c == tsCol || c == idCol => col(c)
+      }.toSeq: _*)
+      .withColumn("__kind", lit(rightKind))
+      .withColumn("__rid", col(idCol))
+    val r = if (withRts) r0.withColumn("__rts", col(tsCol).cast("long"))
+            else r0
+    // align schemas: right side carries nulls for left-only columns
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ extras.map(col)): _*)
+    l.select((leftCols.map(col) ++ extras.map(col)): _*).union(rAligned)
+  }
+
   /** Returns the left rows (original columns) + `asof_id` = the matched
     * right `idCol` (null when no right row precedes). `key` and `tsCol` must
     * be present in both sides; `idCol` only needs to exist on the RIGHT and
@@ -29,25 +63,9 @@ object AsOfJoin {
       key: String,
       tsCol: String,
       idCol: String): DataFrame = {
-    val leftCols = left.columns
-    val idType = right.schema(idCol).dataType // keep the id's own type —
-    // a lossy cast (e.g. string UUIDs to long) would null every match
-    val l = left.withColumn("__kind", lit(1))
-      .withColumn("__rid", lit(null).cast(idType))
-    val r = right.select(
-      right.columns.collect {
-        case c if c == key || c == tsCol || c == idCol => col(c)
-      }.toSeq: _*)
-      .withColumn("__kind", lit(0))
-      .withColumn("__rid", col(idCol))
-    // align schemas: right side carries nulls for left-only columns
-    val rAligned = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
-    val combined = l.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
-      .union(rAligned)
-
+    // right kind 0 < left kind 1: an equal-ts right row precedes
+    val combined = unionTagged(left, right, key, tsCol, idCol,
+      rightKind = 0, withRts = false)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col("__kind"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -72,24 +90,9 @@ object AsOfJoin {
       key: String,
       tsCol: String,
       idCol: String): DataFrame = {
-    val leftCols = left.columns
-    val idType = right.schema(idCol).dataType
-    val l = left.withColumn("__kind", lit(0))
-      .withColumn("__rid", lit(null).cast(idType))
-    val r = right.select(
-      right.columns.collect {
-        case c if c == key || c == tsCol || c == idCol => col(c)
-      }.toSeq: _*)
-      .withColumn("__kind", lit(1))
-      .withColumn("__rid", col(idCol))
-    val rAligned = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
-    val combined = l.select(
-      (leftCols.map(col) :+ col("__kind") :+ col("__rid")): _*)
-      .union(rAligned)
-
+    // left kind 0 < right kind 1: an equal-ts right row follows
+    val combined = unionTagged(left, right, key, tsCol, idCol,
+      rightKind = 1, withRts = false)
     val w = Window.partitionBy(key)
       .orderBy(col(tsCol), col("__kind"), col("__rid"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
@@ -127,26 +130,9 @@ object AsOfJoin {
       integral(df.schema(tsCol).dataType)),
       s"nearestWithin needs an integral `$tsCol` on both sides " +
         "(unix micros / epoch days) — convert timestamps first")
-    val leftCols = left.columns
     val idType = right.schema(idCol).dataType
-    val l = left.withColumn("__kind", lit(1))
-      .withColumn("__rid", lit(null).cast(idType))
-      .withColumn("__rts", lit(null).cast("long"))
-    val r = right.select(
-      right.columns.collect {
-        case c if c == key || c == tsCol || c == idCol => col(c)
-      }.toSeq: _*)
-      .withColumn("__kind", lit(0))
-      .withColumn("__rid", col(idCol))
-      .withColumn("__rts", col(tsCol).cast("long"))
-    val rAligned = leftCols.foldLeft(r) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) :+ col("__kind") :+ col("__rid")
-      :+ col("__rts")): _*)
-    val combined = l.select((leftCols.map(col) :+ col("__kind")
-      :+ col("__rid") :+ col("__rts")): _*)
-      .union(rAligned)
+    val combined = unionTagged(left, right, key, tsCol, idCol,
+      rightKind = 0, withRts = true)
 
     // backward: right sorts BEFORE left on equal ts (kind 0 < 1) so a
     // simultaneous right row is a Δ=0 preceding match; forward mirrors

@@ -118,8 +118,12 @@ object Audit {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(by.intersect(qi).isEmpty,
       s"partition and QI columns overlap: ${by.intersect(qi).mkString(",")}")
-    require(!(by ++ qi).contains("__k"),
-      "column __k collides with an internal alias — rename it first")
+    val reserved = Set("__k", "n_rows", "n_classes", "min_k",
+      "n_unique_rows", "n_risky_rows", "risky_ppm")
+    val clash = (by ++ qi).filter(reserved)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with internal aliases or " +
+        "output profile columns — rename them first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
     val aggs = kAnonAggs(threshold)
     df.groupBy((by ++ qi).map(col): _*).agg(count(lit(1)).as("__k"))

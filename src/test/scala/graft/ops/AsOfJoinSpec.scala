@@ -68,6 +68,16 @@ class AsOfJoinSpec extends SparkSpec {
       .toMap
     assert(out == Map(100L -> Some(1L), 101L -> Some(2L), 102L -> Some(1L),
       103L -> Some(2L), 104L -> None, 105L -> None))
+    // a NULL-id right row never desynchronizes the (id, ts) carry
+    val rightWithNull = Seq[(java.lang.Long, Long, Long)](
+      (1L, 7L, 10L), (null, 7L, 100L)).toDF("event_id", "user_id", "ts_us")
+    val near = AsOfJoin.nearestWithin(
+      Seq((200L, 7L, 101L)).toDF("event_id", "user_id", "ts_us"),
+      rightWithNull, "user_id", "ts_us", "event_id", tolerance = 5L)
+      .head()
+    assert(near.isNullAt(3),
+      "id=1 is 91 away; the null-id row's ts must not lend it a match")
+
     // non-integral ts fails loudly
     intercept[IllegalArgumentException] {
       AsOfJoin.nearestWithin(
