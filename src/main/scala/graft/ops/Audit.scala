@@ -142,31 +142,64 @@ object Audit {
     * (countDistinct skips NULLs; an all-NULL class would otherwise report
     * l=0 and a mixed class would under-count its diversity). Same
     * one-shuffle scale shape as [[kAnonymity]]. */
+  // the shared diversity-profile pieces: class build (count + distinct
+  // sensitive, NULL counted as one value of its own) and the O(#classes)
+  // collapse — one definition behind both the global and per-partition
+  // audits
+  private def lDivClassAggs(sensitive: String): Seq[Column] = Seq(
+    count(lit(1)).as("__k"),
+    (countDistinct(col(sensitive)) +
+      coalesce(max(when(col(sensitive).isNull, 1L).otherwise(0L)),
+        lit(0L))).as("__l"))
+
+  private def lDivAggs(threshold: Long): Seq[Column] = Seq(
+    coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
+    count(lit(1)).as("n_classes"),
+    min(col("__l")).as("min_l"),
+    coalesce(sum(when(col("__l") < threshold, 1L).otherwise(0L)),
+      lit(0L)).as("n_low_classes"),
+    coalesce(sum(when(col("__l") < threshold, col("__k")).otherwise(0L)),
+      lit(0L)).as("n_exposed_rows"))
+
+  private val lDivProfileCols: Seq[Column] = Seq(
+    col("n_rows"), col("n_classes"), col("min_l"), col("n_low_classes"),
+    col("n_exposed_rows"),
+    expr("(2 * 1000000 * n_exposed_rows + n_rows)" +
+      " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
+
   def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
       threshold: Long): DataFrame = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(!qi.exists(Set("__k", "__l")),
       "QI columns __k/__l collide with internal aliases — rename them first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
-    df.groupBy(qi.map(col): _*)
-      .agg(
-        count(lit(1)).as("__k"),
-        (countDistinct(col(sensitive)) +
-          coalesce(max(when(col(sensitive).isNull, 1L).otherwise(0L)),
-            lit(0L))).as("__l"))
-      .agg(
-        coalesce(sum(col("__k")), lit(0L)).as("n_rows"),
-        count(lit(1)).as("n_classes"),
-        min(col("__l")).as("min_l"),
-        coalesce(sum(when(col("__l") < threshold, 1L).otherwise(0L)),
-          lit(0L)).as("n_low_classes"),
-        coalesce(sum(when(col("__l") < threshold, col("__k")).otherwise(0L)),
-          lit(0L)).as("n_exposed_rows"))
-      .select(
-        col("n_rows"), col("n_classes"), col("min_l"), col("n_low_classes"),
-        col("n_exposed_rows"),
-        expr("(2 * 1000000 * n_exposed_rows + n_rows)" +
-          " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
+    val cls = lDivClassAggs(sensitive); val aggs = lDivAggs(threshold)
+    df.groupBy(qi.map(col): _*).agg(cls.head, cls.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(lDivProfileCols: _*)
+  }
+
+  /** Per-PARTITION [[lDiversity]] — one diversity-profile row per `by`
+    * tuple, the drill-down twin of [[kAnonymityBy]]: same class math,
+    * two stacked map-side-combined aggregates, one shuffle each. */
+  def lDiversityBy(df: DataFrame, by: Seq[String], qi: Seq[String],
+      sensitive: String, threshold: Long): DataFrame = {
+    require(by.nonEmpty, "need at least one partition column")
+    require(qi.nonEmpty, "need at least one quasi-identifier column")
+    require(by.intersect(qi).isEmpty,
+      s"partition and QI columns overlap: ${by.intersect(qi).mkString(",")}")
+    val reserved = Set("__k", "__l", "n_rows", "n_classes", "min_l",
+      "n_low_classes", "n_exposed_rows", "exposed_ppm")
+    val clash = (by ++ qi :+ sensitive).filter(reserved)
+    require(clash.isEmpty,
+      s"columns ${clash.mkString(", ")} collide with internal aliases or " +
+        "output profile columns — rename them first")
+    require(threshold >= 2, s"threshold must be >= 2: $threshold")
+    val cls = lDivClassAggs(sensitive); val aggs = lDivAggs(threshold)
+    df.groupBy((by ++ qi).map(col): _*).agg(cls.head, cls.tail: _*)
+      .groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(by.map(col) ++ lDivProfileCols: _*)
+      .orderBy(by.map(col): _*)
   }
 
   /** Deterministic pseudonymization: replace identifier columns with

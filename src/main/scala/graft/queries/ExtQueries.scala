@@ -5477,6 +5477,38 @@ object ExtQueries {
       |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT) AS risky_ppm
       |FROM cls GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- Q164
+  /** Per-SOURCE l-diversity drill-down ([[graft.ops.Audit.lDiversityBy]]):
+    * the q150 audit partitioned by document source — which source ships
+    * low-diversity (lang × length-bucket) slices. Two stacked map-side-
+    * combined aggregates, the [[q163KAnonByDay]] shape for the sensitive
+    * dimension. */
+  def q164LDivBySource(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Audit.lDiversityBy(
+      t(s, dir, "documents").select(col("source"), col("lang"),
+        expr("n_chars DIV 100").as("len_bucket")),
+      by = Seq("source"), qi = Seq("lang"), sensitive = "len_bucket",
+      threshold = 4L)
+
+  val q164Sql: String =
+    """WITH cls AS (
+      |  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS k,
+      |    CAST(COUNT(DISTINCT n_chars // 100) AS BIGINT)
+      |      + CAST(MAX(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS l
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(SUM(k) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_low_classes,
+      |  CAST(SUM(CASE WHEN l < 4 THEN k ELSE 0 END) AS BIGINT)
+      |    AS n_exposed_rows,
+      |  CAST((2 * 1000000 * SUM(CASE WHEN l < 4 THEN k ELSE 0 END)
+      |      + SUM(k)) // (2 * GREATEST(SUM(k), 1)) AS BIGINT)
+      |    AS exposed_ppm
+      |FROM cls GROUP BY 1 ORDER BY source""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5629,7 +5661,8 @@ object ExtQueries {
     "q160_pseudonymize" -> (q160Pseudonymize _),
     "q161_asof_forward" -> (q161AsofForward _),
     "q162_asof_nearest" -> (q162AsofNearest _),
-    "q163_kanon_by_day" -> (q163KAnonByDay _))
+    "q163_kanon_by_day" -> (q163KAnonByDay _),
+    "q164_ldiv_by_source" -> (q164LDivBySource _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5784,5 +5817,6 @@ object ExtQueries {
     "q160_pseudonymize" -> q160Sql,
     "q161_asof_forward" -> q161Sql,
     "q162_asof_nearest" -> q162Sql,
-    "q163_kanon_by_day" -> q163Sql)
+    "q163_kanon_by_day" -> q163Sql,
+    "q164_ldiv_by_source" -> q164Sql)
 }

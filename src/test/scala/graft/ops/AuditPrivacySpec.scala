@@ -144,6 +144,25 @@ class AuditPrivacySpec extends SparkSpec {
       Audit.kAnonymityBy(df, Seq("day"), Seq("day", "age"), 2L))
   }
 
+  test("lDiversityBy: per-partition diversity equals the global audit per slice") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("s1", 30L, "flu"), ("s1", 30L, "cold"), ("s1", 40L, "flu"),
+      ("s2", 30L, "flu"), ("s2", 30L, "flu"))
+      .toDF("src", "age", "dx")
+    val by = Audit.lDiversityBy(df, Seq("src"), Seq("age"), "dx", 2L)
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getLong(_)).toSeq).toMap
+    // s1: class 30 -> l=2, class 40 -> l=1 (1 exposed row); s2: l=1 (2 rows)
+    assert(by("s1") == Seq(3L, 2L, 1L, 1L, 1L, 333333L))
+    assert(by("s2") == Seq(2L, 1L, 1L, 1L, 2L, 1000000L))
+    val g = Audit.lDiversity(df.filter(col("src") === "s1")
+      .select("age", "dx"), Seq("age"), "dx", 2L).head()
+    assert((0 until 6).map(g.getLong(_)) == by("s1"))
+    intercept[IllegalArgumentException](
+      Audit.lDiversityBy(df, Seq("src"), Seq("src"), "dx", 2L))
+  }
+
   test("pseudonymize: stable keyed surrogates, NULL passthrough, secret rotation") {
     val df = Seq[(java.lang.Long, String)]((7L, "x"), (7L, "y"), (null, "z"))
       .toDF("id", "payload")
