@@ -25,6 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object ScaleDrill {
 
+  /** `mult`× embedding corpus for scale/recall drills: per-copy
+    * pseudo-random SIGN scramble — cos(s∘a, s∘b) = cos(a, b) within a copy
+    * (s_j² = 1), while cross-copy cosines collapse to ≈ 0 — so near-dup
+    * pair volume grows linearly with corpus size instead of quadratically
+    * with copy count (mirrors the per-copy doc-text salt). vec_ids are
+    * offset per copy. */
+  def scrambledEmbeddings(emb: DataFrame, mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000000L))
+        .withColumn("embedding", transform(col("embedding"), (x, j) =>
+          (x * when((pmod(lit(1103515245L) * (lit(i.toLong * 64L) + j)
+              + 12345L, lit(2001L))) >= 1000L, 1.0f).otherwise(-1.0f))
+            .cast("float")))
+    }.reduce(_ unionByName _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "8").toInt
@@ -73,9 +88,8 @@ object ScaleDrill {
     }.write.mode("overwrite").parquet(s"$scratch/documents")
 
     val emb = Tables.load(spark, sfDir, "embeddings")
-    copies(emb) { (df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000000L))
-    }.write.mode("overwrite").parquet(s"$scratch/embeddings")
+    ScaleDrill.scrambledEmbeddings(emb, mult)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings")
 
     val li = Tables.load(spark, sfDir, "lineitem")
     copies(li) { (df, i) =>
@@ -147,6 +161,16 @@ object ScaleDrill {
           .withColumnRenamed("vec_id", "query_id").withColumnRenamed("v", "q")
         graft.ops.Similarity.bruteTopK(vs, probes, 5)
           .agg(count(lit(1)).as("n"), sum("sim").as("s"))
+      },
+      // banded near-dup: the one pair-generator previously without a
+      // measured ratio. Adaptive bandBits caps expected bucket occupancy,
+      // so candidate volume — and wall time — must track n, not n²; the
+      // per-copy sign scramble above keeps true pair volume linear too
+      "banded_neardup" -> { dir: String =>
+        val vs = embDf(dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        graft.ops.Similarity.bandedNearDupPairs(vs, 0.9)
+          .agg(count(lit(1)).as("pairs"), sum("sim").as("s"))
       },
       "text_quality" -> { dir: String =>
         graft.ops.TextStats.quality(docDf(dir).select("doc_id", "text"))

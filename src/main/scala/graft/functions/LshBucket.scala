@@ -14,6 +14,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * bit j of the bucket is set when plane j's dot product with the vector is
   * positive — identical arithmetic (and fold order) to the declarative
   * aggregate/sequence form and to the DuckDB oracle SQL in ExtQueries.q19Sql.
+  *
+  * Plane-count limit: the affine component stream has period 667 in the
+  * index (1764·667 ≡ 0 mod 2001), so planes beyond ~10 (at dim 64) repeat
+  * earlier planes' components shifted — fine for the ≤ 8-bit bucket ids
+  * this family serves, but a caller needing MANY planes (banding) must use
+  * [[BandKey]]'s hashed plane family instead.
   */
 case class LshBucket(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression {

@@ -105,6 +105,16 @@ object Audit {
     classes.agg(aggs.head, aggs.tail: _*).select(kAnonProfileCols: _*)
   }
 
+  /** Grouped twin of [[kAnonymityOfClasses]]: one profile row per `by`
+    * tuple over pre-computed class sizes — lets the streaming monitor
+    * profile every window a trigger finalizes in ONE frame. */
+  private[graft] def kAnonymityOfClassesBy(classes: DataFrame,
+      by: Seq[String], threshold: Long): DataFrame = {
+    val aggs = kAnonAggs(threshold)
+    classes.groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(by.map(col) ++ kAnonProfileCols: _*)
+  }
+
   /** Per-PARTITION [[kAnonymity]] — one risk-profile row per distinct
     * `by` tuple (per day, per source, per release shard): the batch twin
     * of [[graft.streaming.PrivacyMonitor]]'s per-window profile, and the
@@ -170,8 +180,13 @@ object Audit {
   def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
       threshold: Long): DataFrame = {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
-    require(!qi.exists(Set("__k", "__l")),
-      "QI columns __k/__l collide with internal aliases — rename them first")
+    // a sensitive column that is also a QI makes every class trivially
+    // l=1 — the audit would flag the whole dataset as exposed, silently
+    require(!qi.contains(sensitive),
+      s"sensitive column $sensitive is also a quasi-identifier — " +
+        "diversity within its own equivalence classes is always 1")
+    require(!(qi :+ sensitive).exists(Set("__k", "__l")),
+      "columns __k/__l collide with internal aliases — rename them first")
     require(threshold >= 2, s"threshold must be >= 2: $threshold")
     val cls = lDivClassAggs(sensitive); val aggs = lDivAggs(threshold)
     df.groupBy(qi.map(col): _*).agg(cls.head, cls.tail: _*)
@@ -188,6 +203,9 @@ object Audit {
     require(qi.nonEmpty, "need at least one quasi-identifier column")
     require(by.intersect(qi).isEmpty,
       s"partition and QI columns overlap: ${by.intersect(qi).mkString(",")}")
+    require(!qi.contains(sensitive) && !by.contains(sensitive),
+      s"sensitive column $sensitive is also a partition/QI column — " +
+        "diversity within its own equivalence classes is always 1")
     val reserved = Set("__k", "__l", "n_rows", "n_classes", "min_l",
       "n_low_classes", "n_exposed_rows", "exposed_ppm")
     val clash = (by ++ qi :+ sensitive).filter(reserved)

@@ -42,7 +42,13 @@ object Index {
       // overcounts and duplicate posting entries break the lookup's
       // hit-count gate
       .distinct()
-      .localCheckpoint() // feeds the df pass AND the postings collect
+      // lineage-recoverable cache, NOT localCheckpoint: the (term, doc)
+      // relation is sized by the corpus' token-doc incidence, and
+      // executor-local non-replicated checkpoint blocks would abort the
+      // whole build on any executor loss at the 100 TB target — persist
+      // spills to disk per executor and recomputes lost partitions from
+      // the scan instead
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfs = termDoc.groupBy("term").agg(count(lit(1)).as("df"))
     // the semi-join keeps only capped terms' rows, so the collect_list
     // state is bounded by maxDf per term; AQE picks broadcast vs shuffle

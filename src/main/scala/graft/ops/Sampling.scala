@@ -198,6 +198,59 @@ object Sampling {
       .drop("__s")
   }
 
+  /** Temperature rebalancing WITH replication — the upsampling side of the
+    * mT5/XLM-R recipe that [[temperatureSample]]'s 10000 bp cap explicitly
+    * leaves out: stratum `l`'s target share is ∝ `√n_l` (τ = 2, same
+    * IEEE-exact sqrt-and-round-once rate math as the sampling twin), and a
+    * stratum whose fair share EXCEEDS its size replicates its rows instead
+    * of capping. Each row emits `f_bp DIV 10000` whole copies plus one more
+    * when the stateless h60 gate admits the `f_bp MOD 10000` fractional
+    * remainder — so per-stratum expected output is exactly
+    * `n_l · f_bp_l / 10000` and the realized set is deterministic in
+    * (id, stratum, counts) alone: partition-independent, re-run-stable,
+    * engine-reproducible. Head strata (f < 1) degrade to pure gate
+    * sampling — one op covers both sides of the recipe.
+    *
+    * Output: input columns + the stratum's `f_bp` + a 1-based `copy`
+    * index (so downstream keys on (id, copy) stay unique). Scale shape
+    * mirrors [[temperatureSample]] — counts groupBy, ≤ #strata windowed
+    * normalizer, broadcast joins, then a row-local explode whose fan-out
+    * is the replication factor itself; a factor above 10000 copies/row
+    * fails loudly in-plan (that is a budget/corpus mismatch, not a
+    * mixture). */
+  def temperatureResample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val ow = Window.orderBy(col("__s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val norm = counts.withColumn("__cz", sum(sqrt(col("__n"))).over(ow))
+      .agg(max(col("__cz")).as("__z"))
+    val rated = counts.crossJoin(broadcast(norm))
+      .withColumn("f_bp",
+        round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
+          / col("__n")).cast("long"))
+      .select(col("__s"), col("f_bp"))
+    df.join(broadcast(rated), stratum <=> col("__s"))
+      .withColumn("__copies",
+        when(col("f_bp") > lit(100000000L),
+          raise_error(concat(
+            lit("temperatureResample: factor exceeds 10000 copies/row: "),
+            col("f_bp").cast("string"))).cast("long"))
+          .otherwise(expr("f_bp DIV 10000")) +
+          when(bpGate(id, pmod(col("f_bp"), lit(10000L))), 1L).otherwise(0L))
+      .withColumn("copy", explode(
+        when(col("__copies") >= 1,
+          sequence(lit(1L), col("__copies")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("__s", "__copies")
+  }
+
   /** Corpus mixture rebalancing: select rows so each key's share of the
     * output matches a target mixture — the "rebalance the training mix to
     * N% per language/source" move. Per key the quota is
@@ -251,8 +304,10 @@ object Sampling {
     * running sum being monotone (a negative weight would let later rows
     * re-enter the budget — the underlying [[Scale.groupedPrefixSum]] still
     * equals the window exactly, but the filtered set is no longer a
-    * prefix). Returns the surviving rows with their cumulative weight in
-    * `cum_weight`. */
+    * prefix). A negative weight therefore fails LOUDLY at execution (plan-
+    * level raise_error, mirroring [[weightedSample]]'s integral-weight
+    * rejection) instead of silently re-admitting later rows. Returns the
+    * surviving rows with their cumulative weight in `cum_weight`. */
   def budgetSelect(
       df: DataFrame,
       groupCol: String,
@@ -262,8 +317,13 @@ object Sampling {
       budget: Long,
       buckets: Int = 32): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
+    val guarded = df.withColumn(weightCol,
+      when(col(weightCol) < 0,
+        raise_error(concat(lit("budgetSelect: negative weight breaks the " +
+          "prefix interpretation: "), col(weightCol).cast("string"))))
+        .otherwise(col(weightCol)))
     Scale.groupedPrefixSum(
-        df, groupCol, orderCol, tieCol, weightCol, "cum_weight", buckets)
+        guarded, groupCol, orderCol, tieCol, weightCol, "cum_weight", buckets)
       .filter(col("cum_weight") <= budget)
   }
 

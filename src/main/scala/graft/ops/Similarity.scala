@@ -262,31 +262,62 @@ object Similarity {
       .select("query_id", "vec_id", "sim", "rn")
   }
 
+  /** Smallest `b >= floorBits` with `occupancy * 2^b >= n` — the band width
+    * that caps expected bucket occupancy at `occupancy` vectors (so
+    * candidate volume is `bands·occupancy/2` pairs PER VECTOR — constant,
+    * and the refine join's shuffle scales linearly with the corpus). Pure
+    * integer arithmetic, so the DuckDB oracle derives the identical width
+    * (`SELECT MIN(b) FROM range(floorBits, 41) WHERE (1<<b)*occupancy >= n`;
+    * q18 SQL) with no float-log boundary risk. */
+  def adaptiveBandBits(n: Long, occupancy: Long = 4L,
+      floorBits: Int = 4): Int = {
+    var b = floorBits
+    while (b < 40 && (1L << b) * occupancy < n) b += 1
+    b
+  }
+
   /** Banded-LSH near-duplicate vector pairs — the scale path for
-    * [[nearDupPairs]]: one `bands×bandBits`-plane signature per vector, one
-    * band-key equi-join per band (ids only — vector payloads are re-attached
-    * once after pair dedup, so the band fan-out never shuffles embeddings),
-    * then an exact rounded-cosine refine. All joins are equi-joins: no
+    * [[nearDupPairs]]: `bands` sign-bit band keys per vector (band b over
+    * plane family `b*bandBits..(b+1)*bandBits-1`), one band-key equi-join
+    * per band (ids only — vector payloads are re-attached once after pair
+    * dedup, so the band fan-out never shuffles embeddings), then an exact
+    * rounded-cosine refine. All joins are equi-joins: no
     * BroadcastNestedLoopJoin anywhere in the plan (asserted in
-    * SimilaritySpec).
+    * SimilarityScaleSpec).
     *
-    * Recall: a pair collides in one band with prob (1−θ/π)^bandBits; with
-    * the 8×4 default and cos ≥ 0.9 (θ ≤ 0.144π) that is ≥ 1−(1−0.54)^8
-    * ≈ 0.998, and ≈ 1 for the ≥ 0.99-cosine duplicates dedup targets.
-    * The DuckDB oracle replicates the identical banding (q18 SQL), so
-    * results stay engine-identical even where recall < 1. */
+    * `bandBits <= 0` (the default) derives the band width from the corpus
+    * count via [[adaptiveBandBits]]: expected bucket occupancy is capped
+    * (default 4), so expected candidate volume is `bands * n * occupancy /
+    * 2` — LINEAR in n (16 candidate pairs per vector at the defaults),
+    * where a fixed width (the old 8×4 default's 16 buckets per band) grows
+    * candidates as `bands * n² / 2^bandBits`, a quadratic scale-killer past
+    * ~10⁵ vectors. One count() job pays for the sizing.
+    *
+    * Band keys come from [[graft.functions.BandKey]]'s HASHED plane family,
+    * not [[lshBucket]]'s affine stream — the affine stream's 667-period
+    * component recycling correlates planes past index ~10, which held
+    * measured collisions at ~0.7×/bit (a quadratic floor no amount of
+    * adaptive sizing escapes); hashed planes halve collisions per bit, so
+    * the occupancy cap actually binds.
+    *
+    * Recall: a pair collides in one band with prob (1−θ/π)^bandBits. Wider
+    * adaptive bands trade borderline-pair recall for the linear candidate
+    * bound — at bandBits=14 (n≈64k) a cos ≥ 0.999 duplicate still collides
+    * with prob ≈ 1−(1−0.986^14)^8 ≈ 0.999999, while cos = 0.9 borderline
+    * pairs drop to ~0.6; raise `bands` when borderline recall matters at
+    * scale. The DuckDB oracle replicates the identical adaptive banding
+    * (q18 SQL), so results stay engine-identical even where recall < 1. */
   def bandedNearDupPairs(vectors: DataFrame, minCos: Double,
-      bands: Int = 8, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+      bands: Int = 8, bandBits: Int = 0, dim: Int = 64): DataFrame = {
     import graft.functions.Dot
-    val mask = (1L << bandBits) - 1
     val spread = Scale.ensureParallelism(vectors)
-    val sig = spread.select(col("vec_id"),
-      lshBucket("v", bands * bandBits, dim).as("sig"))
-    val keyed = sig
-      .select(col("vec_id"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("vec_id"), col("band"),
-        expr(s"shiftright(sig, band * $bandBits) & $mask").as("key"))
+    val bb =
+      if (bandBits > 0) bandBits
+      else adaptiveBandBits(spread.count())
+    val keyed = spread
+      .select(col("vec_id"), posexplode(array((0 until bands).map(b =>
+        graft.functions.BandKey.of(col("v"), bb, dim, b * bb)): _*))
+        .as(Seq("band", "key")))
     val cand = keyed.select(col("band"), col("key"), col("vec_id").as("id_a"))
       .join(keyed.select(col("band"), col("key"), col("vec_id").as("id_b")),
         Seq("band", "key"))

@@ -479,13 +479,16 @@ object TableManifest {
       .parquet(fresh.map(f => s"$dir/$f"): _*)
   }
 
-  /** Compute per-file min/max stats for the long/int columns `cols` of
-    * every head file from parquet FOOTERS — metadata-only, zero data pages
-    * (at 100 TB: one small read per file, no scan) — and commit them into
-    * the manifest. CAS loop re-reading (head, hwm) per attempt, like
-    * [[publish]]. Columns that are not INT32/INT64 or lack footer stats in
-    * some block are simply omitted for that file (conservative: the file
-    * is then never pruned). Returns the committed version. */
+  /** Compute per-file min/max stats for the long/int/timestamp columns
+    * `cols` of every head file from parquet FOOTERS — metadata-only, zero
+    * data pages (at 100 TB: one small read per file, no scan) — and commit
+    * them into the manifest. Timestamp bounds are normalized to unix-micros
+    * whatever unit the writer used (millis/micros/nanos), so event-time
+    * range pruning works across mixed-writer tables. CAS loop re-reading
+    * (head, hwm) per attempt, like [[publish]]. Columns that are not
+    * INT32/INT64 or lack footer stats in some block are simply omitted for
+    * that file (conservative: the file is then never pruned). Returns the
+    * committed version. */
   def analyze(spark: SparkSession, dir: String, cols: Seq[String]): Long = {
     // data files are immutable, so stats computed on a losing CAS attempt
     // stay valid — a retry only reads footers of files NEW to the
@@ -573,8 +576,25 @@ object TableManifest {
         if cols(name) && !dropped(name)
       } cc.getStatistics match {
         case s: LongStatistics if s.hasNonNullValue =>
-          val (plo, phi) = acc.getOrElse(name, (s.getMin, s.getMax))
-          acc(name) = (math.min(plo, s.getMin), math.max(phi, s.getMax))
+          // TIMESTAMP columns are INT64 + a logical unit annotation;
+          // normalize bounds to UNIX-MICROS (floor, matching Spark's own
+          // nanos→micros read truncation) so event-time range pruning —
+          // the most common 100 TB predicate — compares one canonical
+          // unit regardless of which writer produced which file
+          val unit = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+            case t: org.apache.parquet.schema.LogicalTypeAnnotation
+                .TimestampLogicalTypeAnnotation => Some(t.getUnit)
+            case _ => None
+          }
+          import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+          def norm(v: Long): Long = unit match {
+            case Some(TimeUnit.MILLIS) => Math.multiplyExact(v, 1000L)
+            case Some(TimeUnit.NANOS) => Math.floorDiv(v, 1000L)
+            case _ => v // MICROS or plain INT64
+          }
+          val (lo, hi) = (norm(s.getMin), norm(s.getMax))
+          val (plo, phi) = acc.getOrElse(name, (lo, hi))
+          acc(name) = (math.min(plo, lo), math.max(phi, hi))
         case s: IntStatistics if s.hasNonNullValue =>
           val (plo, phi) =
             acc.getOrElse(name, (s.getMin.toLong, s.getMax.toLong))
@@ -653,13 +673,28 @@ object TableManifest {
     * predicates. Semantically identical to
     * `readTable(...).where(AND of col between lo and hi)`; at scale it
     * reads the matching files instead of listing-and-opening all of
-    * them. */
+    * them.
+    *
+    * TIMESTAMP columns: bounds are UNIX-MICROS (the unit [[analyze]]
+    * normalizes footer stats to) and the exact predicate compares
+    * `unix_micros(col)` — so a day-sliced event-time read takes epoch
+    * micros like every other long range. TIMESTAMP_NTZ compares through a
+    * session-zone cast; our sessions pin UTC, where NTZ micros and stored
+    * micros coincide. */
   def readTableRanges(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val files = prunedFilesAll(spark, dir, ranges)
-    val pred = ranges
-      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+    def predOn(df: DataFrame): org.apache.spark.sql.Column = ranges
+      .map { case (c, lo, hi) =>
+        val v = df.schema.find(_.name == c).map(_.dataType) match {
+          case Some(TimestampType) => unix_micros(col(c))
+          case Some(TimestampNTZType) => unix_micros(col(c).cast(TimestampType))
+          case _ => col(c)
+        }
+        v >= lo && v <= hi
+      }
       .reduceOption(_ && _).getOrElse(lit(true))
     // zero candidates: empty result, but with the table's full merged
     // schema (one metadata-only pass — the price of schema fidelity)
@@ -671,9 +706,10 @@ object TableManifest {
     // lack the column entirely — filtering would then fail analysis. Those
     // rows have the column null under the merged schema, i.e. no row can
     // match; fall back to the full merged read for identical semantics.
-    if (ranges.exists { case (c, _, _) => !df.columns.contains(c) })
-      readTable(spark, dir).filter(pred)
-    else df.filter(pred)
+    if (ranges.exists { case (c, _, _) => !df.columns.contains(c) }) {
+      val full = readTable(spark, dir)
+      full.filter(predOn(full))
+    } else df.filter(predOn(df))
   }
 
   /** Single-column [[readTableRanges]]. */

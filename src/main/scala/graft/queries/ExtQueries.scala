@@ -218,24 +218,37 @@ object ExtQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------- Q18
-  /** Embedding near-dup pairs via banded LSH (8 bands × 4 sign bits) +
-    * exact cosine refine — all equi-joins; the oracle applies the identical
-    * banding so candidate sets match engine-for-engine. (The all-pairs brute
-    * form this replaced is kept as Similarity.nearDupPairs for tests.) */
+  /** Embedding near-dup pairs via banded LSH (8 bands × count-adaptive sign
+    * bits capping expected bucket occupancy at 4 — candidate volume linear
+    * in n) + exact cosine refine — all equi-joins; the oracle derives the
+    * identical band width by the same integer rule and applies the identical
+    * banding, so candidate sets match engine-for-engine. (The all-pairs
+    * brute form this replaced is kept as Similarity.nearDupPairs for
+    * tests.) */
   def q18EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.bandedNearDupPairs(augVecs(s, dir), minCos = 0.9)
       .orderBy("id_a", "id_b")
 
+  /** DuckDB twin of [[graft.functions.BandKeyUtil.coef]]: SplitMix-style
+    * add-multiply-xor-shift, every intermediate inside 63 signed bits. */
+  private def bandCoefSql(k: String): String = {
+    val t2 = s"((($k) + 2654435761) * 3214471129) % 2147483648"
+    val t3 = s"xor($t2, ($t2) >> 15)"
+    val t4 = s"(($t3) * 2497366283) % 2147483648"
+    val t5 = s"xor($t4, ($t4) >> 13)"
+    s"(($t5) % 2001 - 1000)"
+  }
+
   val q18Sql: String =
     s"""WITH $augVecsSql,
-      |sig AS (SELECT vec_id,
-      |  list_sum(list_transform(range(0, 32), j -> CASE WHEN
+      |bw AS (SELECT MIN(b) AS bb FROM range(4, 41) t(b)
+      |  WHERE (1::BIGINT << b) * 4 >= (SELECT count(*) FROM aug)),
+      |keyed AS (SELECT vec_id, band,
+      |  list_sum(list_transform(range(0, bb), j -> CASE WHEN
       |    list_sum(list_transform(range(0, 64), i ->
-      |      ((1103515245::BIGINT * (j*64 + i) + 12345) % 2001 - 1000)::DOUBLE * v[i+1])) > 0.0
-      |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS sig
-      |  FROM aug),
-      |keyed AS (SELECT vec_id, band, (sig >> (band * 4)) & 15 AS key
-      |  FROM sig, (SELECT unnest(range(0, 8)) AS band)),
+      |      ${bandCoefSql("(band * bb + j)::BIGINT * 64 + i")}::DOUBLE * v[i+1])) > 0.0
+      |    THEN (1::BIGINT << j) ELSE 0::BIGINT END))::BIGINT AS key
+      |  FROM aug, (SELECT unnest(range(0, 8)) AS band), bw),
       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM keyed a JOIN keyed b
       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
@@ -5509,6 +5522,86 @@ object ExtQueries {
       |    AS exposed_ppm
       |FROM cls GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- Q165
+  /** Temperature resampling WITH replication
+    * ([[graft.ops.Sampling.temperatureResample]], τ = 2, budget 600): the
+    * upsampling side of the mT5/XLM-R recipe q120 deliberately capped —
+    * at budget 600 over ~500 docs the head language (en) downsamples
+    * through the fractional h60 gate while every tail language replicates
+    * (whole copies + gated remainder). Per-lang accounting: emitted rows,
+    * surviving base docs, deepest copy index, and the uncapped factor. */
+  def q165TemperatureResample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureResample(
+      t(s, dir, "documents").select("doc_id", "lang"),
+      col("doc_id"), col("lang"), budget = 600L)
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_out"),
+        countDistinct(col("doc_id")).as("n_base"),
+        max(col("copy")).as("max_copy"),
+        first(col("f_bp")).as("f_bp"))
+      .orderBy("lang")
+
+  val q165Sql: String =
+    """WITH counts AS (
+      |  SELECT lang AS s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY lang),
+      |norm AS (
+      |  SELECT MAX(cz) AS z FROM (
+      |    SELECT SUM(sqrt(n)) OVER (ORDER BY s NULLS FIRST
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cz
+      |    FROM counts)),
+      |rated AS (
+      |  SELECT s, CAST(round(10000.0 * sqrt(n) * 600 / (SELECT z FROM norm)
+      |    / n) AS BIGINT) AS f_bp
+      |  FROM counts),
+      |tot AS (
+      |  SELECT d.lang, d.doc_id, r.f_bp,
+      |    (r.f_bp // 10000)
+      |      + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |          % 10000 < (r.f_bp % 10000) THEN 1 ELSE 0 END AS total
+      |  FROM documents d JOIN rated r ON d.lang IS NOT DISTINCT FROM r.s),
+      |expanded AS (
+      |  SELECT lang, doc_id, f_bp, unnest(range(1, total + 1)) AS copy
+      |  FROM tot)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_out,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_base,
+      |  CAST(MAX(copy) AS BIGINT) AS max_copy, MIN(f_bp) AS f_bp
+      |FROM expanded GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- Q166
+  /** Day-sliced event-time read through manifest TIMESTAMP data skipping:
+    * events laid out range-clustered on `ts`, footer timestamp min/max
+    * committed as unix-micros ([[graft.ops.TableManifest.analyze]]'s
+    * normalization), and one day's slice read via
+    * [[graft.ops.TableManifest.readTableRange]] — the most common 100 TB
+    * predicate shape. Only files whose committed ts range intersects the
+    * day are opened (DataSkippingSpec asserts the file count); the exact
+    * `unix_micros(ts)` predicate makes the result layout-independent. */
+  def q166TimeSlicedRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q166")
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("ts"))
+    val lo = 1704844800000000L // 2024-01-10T00:00:00Z in unix-micros
+    graft.ops.TableManifest.readTableRange(s, tmp, "ts", lo,
+        lo + 86400000000L - 1)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  val q166Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events
+      |WHERE epoch_ns(ts) // 1000
+      |  BETWEEN 1704844800000000 AND 1704931199999999
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5662,7 +5755,9 @@ object ExtQueries {
     "q161_asof_forward" -> (q161AsofForward _),
     "q162_asof_nearest" -> (q162AsofNearest _),
     "q163_kanon_by_day" -> (q163KAnonByDay _),
-    "q164_ldiv_by_source" -> (q164LDivBySource _))
+    "q164_ldiv_by_source" -> (q164LDivBySource _),
+    "q165_temperature_resample" -> (q165TemperatureResample _),
+    "q166_time_sliced_read" -> (q166TimeSlicedRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5818,5 +5913,7 @@ object ExtQueries {
     "q161_asof_forward" -> q161Sql,
     "q162_asof_nearest" -> q162Sql,
     "q163_kanon_by_day" -> q163Sql,
-    "q164_ldiv_by_source" -> q164Sql)
+    "q164_ldiv_by_source" -> q164Sql,
+    "q165_temperature_resample" -> q165Sql,
+    "q166_time_sliced_read" -> q166Sql)
 }

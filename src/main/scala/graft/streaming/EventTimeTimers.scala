@@ -17,4 +17,16 @@ private[streaming] object EventTimeTimers {
     existing.filterNot(_ == target).foreach(handle.deleteTimer)
     if (!existing.contains(target)) handle.registerTimer(target)
   }
+
+  /** Ensure exactly one live timer at `min(existing timers, candidate)` —
+    * the resolve-EARLIEST discipline of buffering processors
+    * ([[StreamAsOf]]): the timer must fire as soon as the watermark passes
+    * the oldest buffered row, and a newly buffered older row must pull the
+    * timer back. */
+  def slideBackward(handle: StatefulProcessorHandle, candidate: Long): Unit = {
+    val existing = handle.listTimers().toSeq
+    val target = (candidate +: existing).min
+    existing.filterNot(_ == target).foreach(handle.deleteTimer)
+    if (!existing.contains(target)) handle.registerTimer(target)
+  }
 }

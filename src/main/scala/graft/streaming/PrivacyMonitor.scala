@@ -18,15 +18,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * aggregate keyed by (window, QI tuple) — state bounded by open windows ×
   * distinct QI tuples, append mode emits each window's classes exactly
   * once — and the O(#classes) risk profile runs in `foreachBatch` over
-  * just the classes the trigger finalized. Replay after a restart
-  * re-emits only not-yet-committed windows; pair `out` with an idempotent
-  * sink keyed on window_start for exactly-once alerting.
+  * just the classes the trigger finalized, as ONE multi-row frame per
+  * batch (one profile row per finalized window, like [[EmbedDrift]]) so a
+  * sink deduplicating on batchId alone — the common exactly-once idiom —
+  * sees every window. Replay after a restart re-emits only
+  * not-yet-committed windows; pair `out` with an idempotent sink keyed on
+  * (batchId) or (window_start) for exactly-once alerting.
   */
 object PrivacyMonitor {
 
   /** Start monitoring `events` (`tsCol` event time) over QI columns `qi`
     * with [[graft.ops.Audit.kAnonymity]]'s `threshold` semantics. Each
-    * finalized window calls `out` with the one-row profile and batch id. */
+    * trigger with finalized windows calls `out` ONCE with a frame holding
+    * one profile row per finalized window (ordered by window_start) and
+    * the batch id. */
   def start(
       events: DataFrame,
       tsCol: String,
@@ -50,19 +55,18 @@ object PrivacyMonitor {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val finalized = batch.select(col("w.start").as("ws"),
-          col("w.end").as("we"), col("__k")).localCheckpoint()
-        // bounded driver loop: the windows one trigger finalizes
-        val windows = finalized.select("ws", "we").distinct()
-          .collect().sortBy(_.getTimestamp(0).getTime)
-        windows.foreach { r =>
-          val Seq(ws, we) = Seq(r.getTimestamp(0), r.getTimestamp(1))
-          val profile = graft.ops.Audit.kAnonymityOfClasses(
-              finalized.filter(col("ws") === ws).select("__k"), threshold)
-            .select(lit(ws).as("window_start"), lit(we).as("window_end"),
-              col("n_rows"), col("n_classes"), col("min_k"),
-              col("n_unique_rows"), col("n_risky_rows"), col("risky_ppm"))
-          out(profile, batchId)
-        }
+          col("w.end").as("we"), col("__k"))
+        // one grouped aggregate → one profile row per finalized window,
+        // emitted as a single frame (profiles are O(#windows) rows —
+        // the localCheckpoint is a tiny-result cache for the sink)
+        val profiles = graft.ops.Audit.kAnonymityOfClassesBy(
+            finalized, Seq("ws", "we"), threshold)
+          .select(col("ws").as("window_start"), col("we").as("window_end"),
+            col("n_rows"), col("n_classes"), col("min_k"),
+            col("n_unique_rows"), col("n_risky_rows"), col("risky_ppm"))
+          .orderBy("window_start")
+          .localCheckpoint()
+        if (profiles.head(1).nonEmpty) out(profiles, batchId)
         ()
       }
       .start()

@@ -99,6 +99,52 @@ class DataSkippingSpec extends SparkSpec {
     assert(TableManifest.readTable(spark, dir).count() == 200L)
   }
 
+  test("timestamp stats normalize to unix-micros across writer units; " +
+    "day slices open only intersecting files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ts-skip").toString
+    val day0 = 1704067200000000L // 2024-01-01T00:00:00Z in unix-micros
+    def d(i: Int, s: Long) = day0 + i * 86400000000L + s * 1000000L
+    // one single-file commit per day; day 0 written by a MILLIS writer —
+    // a mixed-writer table, the case the unit normalization exists for
+    // (NANOS footers take the same normalization path but Spark cannot
+    // write them; Tables.load covers nanos on the ingest side)
+    def commit(i: Int, unit: String): Unit = {
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", unit)
+      try graft.streaming.ManifestAppendSink.applyBatch(
+        Seq(d(i, 1), d(i, 86399)).toDF("us")
+          .select(timestamp_micros(col("us")).as("ts"), col("us"))
+          .coalesce(1),
+        i.toLong, dir)
+      finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    }
+    commit(0, "TIMESTAMP_MILLIS")
+    commit(1, "TIMESTAMP_MICROS")
+    commit(2, "TIMESTAMP_MICROS")
+    TableManifest.analyze(spark, dir, Seq("ts"))
+    val stats = TableManifest.readStats(spark, dir)
+    assert(stats.size == 3)
+    assert(stats.values.map(_("ts")).toSet ==
+      (0 to 2).map(i => (d(i, 1), d(i, 86399))).toSet,
+      s"bounds must be unix-micros whatever the writer unit: $stats")
+    // day-1 slice: exactly one candidate file, and the scan opens only it
+    val hit = TableManifest.prunedFiles(spark, dir, "ts", d(1, 0), d(2, 0) - 1)
+    assert(hit.size == 1, s"expected 1 candidate file, got $hit")
+    val got = TableManifest.readTableRange(spark, dir, "ts", d(1, 0), d(2, 0) - 1)
+    assert(got.select("us").as[Long].collect().sorted.toSeq ==
+      Seq(d(1, 1), d(1, 86399)))
+    val opened = got.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.map(_.split('/').last).toSet
+    }.get
+    assert(opened == hit.toSet, s"scan must open only $hit, got $opened")
+    // pruned scan ≡ unpruned read + exact unix_micros predicate
+    val full = TableManifest.readTable(spark, dir)
+      .filter(unix_micros(col("ts")).between(d(1, 0), d(2, 0) - 1))
+      .select("us").as[Long].collect().sorted.toSeq
+    assert(got.select("us").as[Long].collect().sorted.toSeq == full)
+  }
+
   test("z-ordered layout + 2-D range stats prune multiplicatively") {
     // 32x32 grid z-order-clustered into 16 files: each file covers a tight
     // square in BOTH dimensions, so a small 2-D box should touch only the

@@ -1,11 +1,12 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 
 /** Global plan lint over the whole query surface: at 100 TB any
   * BroadcastNestedLoopJoin or CartesianProduct that isn't a deliberate
@@ -37,7 +38,8 @@ class PlanLintSpec extends SparkSpec {
     "q123_kl_drift" -> "broadcast 1-row corpus-token-total aggregate",
     "q127_skew_report" -> "two bounded 1-row summary aggregates cross-joined",
     "q140_ppl_buckets" -> "broadcast 1-row corpus-count aggregate",
-    "q155_equidepth_hist" -> "broadcast 1-row corpus-count aggregate")
+    "q155_equidepth_hist" -> "broadcast 1-row corpus-count aggregate",
+    "q165_temperature_resample" -> "broadcast 1-row sqrt-mass normalizer aggregate")
 
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)
@@ -48,9 +50,12 @@ class PlanLintSpec extends SparkSpec {
 
   /** Every node of the plan including AQE-wrapped subtrees and (scalar /
     * in) subquery plans — `collect` alone stops at AdaptiveSparkPlanExec,
-    * which is a leaf. */
+    * which is a leaf. Descends the AQE node's CURRENT plan (= the initial
+    * plan pre-execution, deterministic here since these frames never run),
+    * NOT `inputPlan`: inputPlan predates EnsureRequirements, so it contains
+    * no Exchange nodes at all and exchange lints against it are blind. */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
     case _ => p +: (p.children ++ p.subqueries).flatMap(nodes)
   }
 
@@ -87,15 +92,110 @@ class PlanLintSpec extends SparkSpec {
     case _ => false
   }
 
+  /** Queries allowed a single-partition Exchange over a non-partial-agg
+    * child, with why. Every entry funnels a BOUNDED relation: rows already
+    * collapsed to ≤ #strata by a grouped aggregate (the ordered Σ√n prefix
+    * sum must see them in one sequence), or a LocalLimit's ≤ limit rows. */
+  private val allowedSinglePartition: Map[String, String] = Map(
+    "q92_cms_freq" -> "global limit: only LocalLimit rows cross the funnel",
+    "q120_temperature_sample" ->
+      "ordered sqrt-mass prefix sum over <= #strata aggregate rows",
+    "q165_temperature_resample" ->
+      "ordered sqrt-mass prefix sum over <= #strata aggregate rows")
+
   test("no query funnels unaggregated data through a single-partition exchange") {
-    val offenders = plans.flatMap { case (name, plan) =>
-      nodes(plan).collect {
+    val offendersByQuery = plans.map { case (name, plan) =>
+      name -> nodes(plan).collect {
         case e: ShuffleExchangeExec
           if e.outputPartitioning == SinglePartition && !isPartialAgg(e.child) =>
             s"$name: Exchange SinglePartition over ${e.child.nodeName}"
       }
     }
+    val offenders = offendersByQuery.collect {
+      case (name, os) if os.nonEmpty && !allowedSinglePartition.contains(name) => os
+    }.flatten
     assert(offenders.isEmpty,
       s"single-partition exchanges over unaggregated data:\n${offenders.mkString("\n")}")
+    // the allowlist must not rot
+    val stale = allowedSinglePartition.keys.filterNot(n =>
+      offendersByQuery.toMap.get(n).exists(_.nonEmpty))
+    assert(stale.isEmpty,
+      s"single-partition allowlist entries no longer needed: ${stale.mkString(", ")}")
+  }
+
+  // ---- exchange-count drift lint ------------------------------------
+  // The two lints above catch catastrophic shapes (nested loop, cartesian,
+  // single-partition funnel); a silently ADDED Exchange — a lost bucketing,
+  // a broken broadcast threshold turning a broadcast join into a shuffle
+  // join — passes them. This pins the per-query (shuffle, broadcast)
+  // exchange counts to a recorded baseline and fails on ANY drift, so a
+  // plan regression anywhere in the 164-query surface fails here instead
+  // of as a 100 TB shuffle in production. Regenerate after an INTENTIONAL
+  // plan change with:
+  //   GRAFT_REGEN_EXCHANGE_BASELINE=1 sbt "testOnly graft.queries.PlanLintSpec"
+  // and review the diff like any other code change.
+
+  private val baselineFile =
+    new java.io.File("src/test/resources/plan_exchange_counts.tsv")
+
+  private def exchangeCounts(p: SparkPlan): (Int, Int) = {
+    val ns = nodes(p)
+    (ns.count(_.isInstanceOf[ShuffleExchangeExec]),
+      ns.count(_.isInstanceOf[BroadcastExchangeExec]))
+  }
+
+  test("per-query exchange/broadcast counts match the recorded baseline") {
+    val actual = plans.map { case (n, p) => n -> exchangeCounts(p) }
+    if (sys.env.contains("GRAFT_REGEN_EXCHANGE_BASELINE")) {
+      val body = actual.map { case (n, (s, b)) => s"$n\t$s\t$b" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.createDirectories(baselineFile.toPath.getParent)
+      java.nio.file.Files.writeString(baselineFile.toPath, body)
+      info(s"regenerated ${baselineFile.getPath} (${actual.size} queries)")
+    } else {
+      assert(baselineFile.exists(),
+        s"missing ${baselineFile.getPath} — regenerate with " +
+          "GRAFT_REGEN_EXCHANGE_BASELINE=1")
+      val baseline = scala.io.Source.fromFile(baselineFile).getLines()
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, s, b) = l.split("\t"); n -> (s.toInt, b.toInt)
+        }.toMap
+      val drift = actual.collect {
+        case (n, c) if baseline.get(n).exists(_ != c) =>
+          val e = baseline(n)
+          s"$n: expected ${e._1} shuffles/${e._2} broadcasts, got ${c._1}/${c._2}"
+        case (n, _) if !baseline.contains(n) =>
+          s"$n: not in baseline (new query — regenerate)"
+      }
+      val gone = baseline.keySet -- actual.map(_._1).toSet
+      assert(drift.isEmpty && gone.isEmpty,
+        s"exchange-count drift:\n${drift.mkString("\n")}" +
+          (if (gone.nonEmpty) s"\nqueries gone from registry: ${gone.mkString(", ")}" else "") +
+          "\nIf the plan change is intentional, regenerate with " +
+          "GRAFT_REGEN_EXCHANGE_BASELINE=1 and review the diff.")
+    }
+  }
+
+  test("the exchange counter detects a lost broadcast (de-broadcast drill)") {
+    // a join Spark broadcasts by default: lineitem x nation-sized dim
+    val dim = graft.Tables.load(spark, sfDir, "nation")
+      .select(col("n_nationkey").as("k"), col("n_name"))
+    val fact = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_nationkey").as("k"), col("c_acctbal"))
+    def counts() = exchangeCounts(
+      fact.join(dim, "k").groupBy("n_name")
+        .agg(org.apache.spark.sql.functions.sum("c_acctbal"))
+        .queryExecution.executedPlan)
+    val (s0, b0) = counts()
+    assert(b0 >= 1, s"dim join must broadcast by default: $s0 shuffles/$b0 broadcasts")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (s1, b1) = counts()
+      // the de-broadcast must be VISIBLE to the counter: broadcasts drop,
+      // shuffles rise — exactly the drift the baseline lint would flag
+      assert(b1 < b0 && s1 > s0,
+        s"counter blind to de-broadcast: ($s0,$b0) -> ($s1,$b1)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 }

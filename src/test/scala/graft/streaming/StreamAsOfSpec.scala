@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming as-of enrichment ≡ batch [[graft.ops.AsOfJoin.latestPreceding]]
+  * on the same data — including a version arriving AFTER the event it must
+  * match (the buffering-until-watermark case) — and identical matches
+  * across a kill-and-restart.
+  */
+class StreamAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2025-03-01 00:00:00").getTime
+  private def ts(s: Long) = new Timestamp(base + s * 1000)
+
+  private def withRocksDB[A](body: => A): A = {
+    // no-data micro-batches stay ENABLED (the default): event-time timers
+    // fire in the extra batch Spark schedules after a watermark advance —
+    // without it, resolved-by-timer emission would wait for unrelated data
+    val settings = Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prev = settings.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    settings.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // The drill feed: (key, ts, kind 0=dim/1=event, id), per micro-batch,
+  // with a 10s watermark delay (wm = max ts − 10s at each batch END; no
+  // row below arrives late w.r.t. the wm at its arrival):
+  //   b1: key 7 dim v1@0s; events e1@5s, e2@2s       (wm after b1: −5s)
+  //   b2: dim v2@4s — arrives AFTER e1/e2 but before the wm passes them;
+  //       key 9: event e3@3s with no dim ever         (wm still −5s)
+  //       (restarted run is killed here)
+  //   b3: dim v3@5s — ties e1's ts exactly: right-before-left ⇒ v3 ≤ e1,
+  //       largest-id-wins ⇒ e1 → v3, e2 → v1; pusher e4@100s
+  //       (wm after b3: 90s → e1/e2/e3 resolve in the no-data batch)
+  //   b4: e5@101s (→ v3), key 9 e6@200s (→ None)      (wm 190: e4/e5 flush)
+  //   final pusher 999@500s flushes e6 and is excluded from the compare.
+  private val batches: Seq[Seq[(Long, Timestamp, Int, Long)]] = Seq(
+    Seq((7L, ts(0), 0, 1L), (7L, ts(5), 1, 101L), (7L, ts(2), 1, 102L)),
+    Seq((7L, ts(4), 0, 2L), (9L, ts(3), 1, 103L)),
+    Seq((7L, ts(5), 0, 3L), (7L, ts(100), 1, 104L)),
+    Seq((7L, ts(101), 1, 105L), (9L, ts(200), 1, 106L)))
+
+  private def allRows = batches.flatten
+  private def batchExpected: Map[Long, Option[Long]] = {
+    // the batch oracle on the same data
+    val events = allRows.filter(_._3 == 1)
+      .map(r => (r._1, r._2, r._4)).toDF("key", "ts", "event_id")
+    val dims = allRows.filter(_._3 == 0)
+      .map(r => (r._1, r._2, r._4)).toDF("key", "ts", "id")
+    graft.ops.AsOfJoin.latestPreceding(events, dims, "key", "ts", "id")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Long]("asof_id")).map(_.longValue))
+      .toMap
+  }
+
+  private def start(mem: MemoryStream[(Long, Timestamp, Int, Long)],
+      checkpoint: String,
+      got: scala.collection.mutable.Map[Long, Option[Long]]) = {
+    val unified = mem.toDF().toDF("key", "ts", "kind", "id")
+    val out = StreamAsOf.enrichLatestPreceding(
+      unified.filter($"kind" === 1).select("key", "ts", "id")
+        .withColumnRenamed("id", "event_id"),
+      unified.filter($"kind" === 0).select("key", "ts", "id"),
+      watermarkDelay = "10 seconds")
+    out.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamAsOf.Out], _: Long) =>
+        val rows = b.collect().map(o => o.event_id -> o.asof_id)
+        got.synchronized {
+          rows.foreach { case (e, a) =>
+            // append-once: a sink-batch replay may repeat a row, but two
+            // DIFFERENT answers for one event is a correctness bug
+            got.get(e).foreach(prev => assert(prev == a,
+              s"event $e answered twice differently: $prev vs $a"))
+            got(e) = a
+          }
+        }; ()
+      }
+      .start()
+  }
+
+  test("streamed lookups equal the batch as-of join, including a version " +
+    "arriving after its event") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, Int, Long)]
+      val cp = java.nio.file.Files.createTempDirectory("sasof").toString
+      val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+      val q = start(mem, cp, got)
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        // final watermark pusher so the tail events flush
+        mem.addData(Seq((7L, ts(500), 1, 999L))); q.processAllAvailable()
+      } finally q.stop()
+      val expected = batchExpected
+      val answered = got.synchronized(got.toMap) - 999L
+      assert(answered == expected,
+        s"stream $answered\nbatch  $expected")
+      // the hard case is load-bearing: v2@4s arrived a batch after e1@5s
+      assert(expected(101L).contains(3L) && expected(102L).contains(1L) &&
+        expected(103L).isEmpty)
+    }
+  }
+
+  test("kill-and-restart reproduces identical matches") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[(Long, Timestamp, Int, Long)]
+      val cp = java.nio.file.Files.createTempDirectory("sasof-r").toString
+      val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+      val q1 = start(mem, cp, got)
+      try {
+        batches.take(2).foreach { b => mem.addData(b); q1.processAllAvailable() }
+      } finally q1.stop() // killed after batch 2
+      val q2 = start(mem, cp, got)
+      try {
+        batches.drop(2).foreach { b => mem.addData(b); q2.processAllAvailable() }
+        mem.addData(Seq((7L, ts(500), 1, 999L))); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(got.synchronized(got.toMap) - 999L == batchExpected,
+        "restarted run must answer every event exactly as the batch oracle")
+    }
+  }
+}
