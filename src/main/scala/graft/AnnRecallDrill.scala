@@ -91,12 +91,13 @@ object AnnRecallDrill {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val n = Tables.load(spark, sfDir, "embeddings").count() * mult
+    // the measured corpus includes the planted near-dups (20 probes × 5)
+    val n = Tables.load(spark, sfDir, "embeddings").count() * mult + 20 * 5
     val rec = measure(spark, sfDir, mult)
     val json = rec.toSeq.sortBy(_._1).map { case (m, (r, p)) =>
       f""""$m":{"recall":$r%.3f,"planted":$p%.3f}"""
     }.mkString(",")
-    println(s"""{"metric":"ann_recall","n":$n,"k":10,"methods":{$json}}""")
+    println(s"""{"metric":"ann_recall","n":$n,"planted":100,"k":10,"methods":{$json}}""")
     spark.stop()
   }
 }

@@ -166,30 +166,43 @@ object Sampling {
     * attached (capped at 10000: a tail stratum whose fair share exceeds
     * its size keeps everything — upsampling needs replication, a
     * different op). */
+  /** Shared τ=2 rate scaffolding of [[temperatureSample]] (capped) and
+    * [[temperatureResample]] (uncapped): per-stratum counts, the ORDERED
+    * Σ√n normalizer, and the ONCE-rounded basis-point factor. One
+    * definition so the IEEE-exactness discipline — and therefore the
+    * q120/q165 oracles — can never drift apart between the twins.
+    *
+    * Σ√n is accumulated in EXPLICIT stratum order (nulls first), not a
+    * free agg: IEEE double addition isn't associative, so an order-free
+    * sum's value depends on partial-agg merge order and can flip a rate
+    * at a .5 rounding boundary between runs/engines. The window is global
+    * but ≤ #strata rows — bounded by construction, not by the corpus.
+    * Returns `(__s, <rateCol>)`, a ≤-#strata-row broadcast relation. */
+  private def sqrtShareRates(df: DataFrame, stratum: Column, budget: Long,
+      rateCol: String, cap: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(stratum.as("__s"))
+      .agg(count(lit(1)).as("__n"))
+    val ow = Window.orderBy(col("__s").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val norm = counts.withColumn("__cz", sum(sqrt(col("__n"))).over(ow))
+      .agg(max(col("__cz")).as("__z")) // all terms > 0: last = max
+    val raw = round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
+      / col("__n")).cast("long")
+    counts.crossJoin(broadcast(norm))
+      .withColumn(rateCol, if (cap) least(lit(10000L), raw) else raw)
+      .select(col("__s"), col(rateCol))
+  }
+
   def temperatureSample(
       df: DataFrame,
       id: Column,
       stratum: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(stratum.as("__s"))
-      .agg(count(lit(1)).as("__n"))
-    // Σ√n accumulated in EXPLICIT stratum order (nulls first), not a free
-    // agg: IEEE double addition isn't associative, so an order-free sum's
-    // value depends on partial-agg merge order and can flip a rate_bp at
-    // a .5 rounding boundary between runs/engines. The window is global
-    // but ≤ #strata rows — bounded by construction, not by the corpus.
-    val ow = Window.orderBy(col("__s").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val norm = counts.withColumn("__cz", sum(sqrt(col("__n"))).over(ow))
-      .agg(max(col("__cz")).as("__z")) // all terms > 0: last = max
-    val rated = counts.crossJoin(broadcast(norm))
-      .withColumn("rate_bp",
-        least(lit(10000L),
-          round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
-            / col("__n")).cast("long")))
-      .select(col("__s"), col("rate_bp"))
+    require(!df.columns.contains("rate_bp") && !df.columns.contains("__s"),
+      "input columns rate_bp/__s collide with outputs — rename them first")
+    val rated = sqrtShareRates(df, stratum, budget, "rate_bp", cap = true)
     // null-safe stratum match: groupBy counted null-stratum rows, so the
     // join must route them to their own rate too — `===` would both
     // drop them silently AND depress every real stratum's share
@@ -224,18 +237,11 @@ object Sampling {
       stratum: Column,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1: $budget")
-    import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(stratum.as("__s"))
-      .agg(count(lit(1)).as("__n"))
-    val ow = Window.orderBy(col("__s").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val norm = counts.withColumn("__cz", sum(sqrt(col("__n"))).over(ow))
-      .agg(max(col("__cz")).as("__z"))
-    val rated = counts.crossJoin(broadcast(norm))
-      .withColumn("f_bp",
-        round(lit(10000.0) * sqrt(col("__n")) * budget / col("__z")
-          / col("__n")).cast("long"))
-      .select(col("__s"), col("f_bp"))
+    val reserved = Seq("f_bp", "copy", "__s", "__copies").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns ${reserved.mkString(", ")} collide with internal " +
+        "aliases or output columns — rename them first")
+    val rated = sqrtShareRates(df, stratum, budget, "f_bp", cap = false)
     df.join(broadcast(rated), stratum <=> col("__s"))
       .withColumn("__copies",
         when(col("f_bp") > lit(100000000L),

@@ -110,6 +110,18 @@ object TableManifest {
   }
 
   private val HwmRe = """"hwm":(-?[0-9]+)""".r
+  private val StatsVRe = """"statsv":([0-9]+)""".r
+
+  /** Numeric-stats FORMAT version. Bumped to 2 when timestamp footer
+    * bounds started being normalized to unix-micros: a manifest written
+    * before the bump may hold a timestamp column's bounds in RAW writer
+    * units (e.g. millis), and re-interpreting those as micros would prune
+    * day slices 1000× off — silently wrong results. Readers therefore
+    * IGNORE the numeric `stats` of any manifest whose `statsv` predates
+    * the current format (conservative: every file stays a candidate until
+    * re-analyzed under the new format); string stats and blooms are
+    * unit-free and unaffected. */
+  private val StatsFormat = 2L
   private val FileStatsRe = """"([^"]+)":\{([^}]*)\}""".r
   private val ColRangeRe = """"([^"]+)":\[(-?[0-9]+),(-?[0-9]+)\]""".r
   private val ColStrRangeRe = """"([^"]+)":\["([^"]*)","([^"]*)"\]""".r
@@ -134,8 +146,12 @@ object TableManifest {
   }
 
   /** The `"stats":{...}` object, absent on manifests written before the
-    * field existed. */
-  private def parseStats(json: String): FileStats =
+    * field existed — and treated as absent when written under an older
+    * [[StatsFormat]] (see there: pre-2 timestamp bounds may be in raw
+    * writer units; carrying or pruning on them would be unsound). */
+  private def parseStats(json: String): FileStats = {
+    val fmt = StatsVRe.findFirstMatchIn(json).map(_.group(1).toLong)
+    if (!fmt.contains(StatsFormat)) return Map.empty
     sliceObject(json, "stats").map { body =>
       FileStatsRe.findAllMatchIn(body).map { fm =>
         fm.group(1) -> ColRangeRe.findAllMatchIn(fm.group(2)).map { cm =>
@@ -143,6 +159,7 @@ object TableManifest {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty)
+  }
 
   /** The `"sstats":{...}` string-stats object. */
   private def parseStringStats(json: String): FileStringStats =
@@ -237,7 +254,7 @@ object TableManifest {
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + c + "\":[" + lo + "," + hi + "]"
         }.mkString("{", ",", "}")
-      }.mkString(",\"stats\":{", ",", "}")
+      }.mkString(s""","statsv":$StatsFormat,"stats":{""", ",", "}")
     val sstatsJson =
       if (cleanSStats.isEmpty) ""
       else cleanSStats.toSeq.sortBy(_._1).map { case (f, cols) =>

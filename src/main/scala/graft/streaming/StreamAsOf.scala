@@ -46,6 +46,25 @@ object StreamAsOf {
   final case class Out(event_id: Long, key: Long, ts: Timestamp,
       asof_id: Option[Long])
 
+  /** State and comparisons run in MICROSECONDS — `Timestamp.getTime` is
+    * millis and truncating would both emit truncated timestamps and break
+    * batch-equality for sub-millisecond data (a version at …000900µs must
+    * NOT match an event at …000500µs). Timers and the watermark are a
+    * millisecond API, so timer registration rounds UP (a timer must never
+    * fire before its event is certifiably resolvable) and the resolvable
+    * floor is `wmMs * 1000` (the watermark certifies nothing older than
+    * wmMs arrives; anything ≤ that instant in micros is final). */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def ceilDivMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+
   class LatestPrecedingProcessor
       extends StatefulProcessor[Long, In, Out] {
 
@@ -67,25 +86,35 @@ object StreamAsOf {
       if (at.isEmpty) None else Some(at.max._2)
     }
 
-    /** Emit every pending event the watermark has passed; compact the
-      * version history; keep the timer at the earliest still-pending
-      * event. */
-    private def resolve(key: Long, wm: Long): Iterator[Out] = {
-      val pend = pending.get().toSeq
-      val (ripe, wait) = pend.partition(_._1 <= wm)
-      if (ripe.isEmpty) return Iterator.empty
+    /** Versions at-or-before the FLOOR collapse to the single latest —
+      * the only one any still-answerable event can need. The floor is the
+      * watermark, lowered to the oldest pending event when one is waiting
+      * (its lookup still needs the exact history at its own ts). Runs on
+      * every input batch too, so a dim-hot / event-cold key stays bounded
+      * instead of accreting history until an event happens by. */
+    private def compact(wmUs: Long, pendingMin: Option[Long]): Unit = {
+      val floor = pendingMin.fold(wmUs)(p => math.min(wmUs, p - 1))
       val vs = versions.get().toSeq
-      val out = ripe.sorted.iterator.map { case (ets, eid) =>
-        Out(eid, key, new Timestamp(ets), lookup(vs, ets))
-      }
-      if (wait.isEmpty) pending.clear() else pending.put(wait.toArray)
-      // versions ≤ wm collapse to the single latest: the only one a
-      // future event (necessarily > wm) can still match
-      val (old, live) = vs.partition(_._1 <= wm)
+      val (old, live) = vs.partition(_._1 <= floor)
       val compacted = (if (old.isEmpty) live else old.max +: live).distinct
       if (compacted.size < vs.size) versions.put(compacted.toArray)
+    }
+
+    /** Emit every pending event the watermark has passed (all state in
+      * micros; `wmUs = wmMs * 1000`); compact the version history; keep
+      * the timer at the earliest still-pending event (ms, rounded UP). */
+    private def resolve(key: Long, wmUs: Long): Iterator[Out] = {
+      val pend = pending.get().toSeq
+      val (ripe, wait) = pend.partition(_._1 <= wmUs)
+      if (ripe.isEmpty) { compact(wmUs, pend.map(_._1).minOption); return Iterator.empty }
+      val vs = versions.get().toSeq
+      val out = ripe.sorted.iterator.map { case (ets, eid) =>
+        Out(eid, key, toTimestamp(ets), lookup(vs, ets))
+      }
+      if (wait.isEmpty) pending.clear() else pending.put(wait.toArray)
+      compact(wmUs, wait.map(_._1).minOption)
       getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
-      if (wait.nonEmpty) getHandle.registerTimer(wait.map(_._1).min)
+      if (wait.nonEmpty) getHandle.registerTimer(ceilDivMs(wait.map(_._1).min))
       out
     }
 
@@ -96,23 +125,23 @@ object StreamAsOf {
       val batch = rows.toArray
       val dims = batch.filter(_.kind == 0)
       if (dims.nonEmpty)
-        versions.appendList(dims.map(d => (d.ts.getTime, d.id)))
+        versions.appendList(dims.map(d => (micros(d.ts), d.id)))
       val events = batch.filter(_.kind == 1)
       if (events.nonEmpty) {
-        pending.appendList(events.map(e => (e.ts.getTime, e.id)))
+        pending.appendList(events.map(e => (micros(e.ts), e.id)))
         EventTimeTimers.slideBackward(getHandle,
-          events.map(_.ts.getTime).min)
+          ceilDivMs(events.map(e => micros(e.ts)).min))
       }
       // resolve against the PREVIOUS batch's certified watermark too: a
       // batch can both deliver rows and have ripe pending from before
-      resolve(key, timerValues.getCurrentWatermarkInMs())
+      resolve(key, timerValues.getCurrentWatermarkInMs() * 1000L)
     }
 
     override def handleExpiredTimer(
         key: Long,
         timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[Out] =
-      resolve(key, timerValues.getCurrentWatermarkInMs())
+      resolve(key, timerValues.getCurrentWatermarkInMs() * 1000L)
   }
 
   /** Start the enrichment over an EVENT stream `(key, ts, event_id)` and a

@@ -3,6 +3,8 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Manifest-level data skipping: [[TableManifest.analyze]] commits per-file
   * footer min/max, [[TableManifest.prunedFiles]] evaluates a range against
   * them, and [[TableManifest.readTableRange]] opens ONLY the candidate
@@ -97,6 +99,31 @@ class DataSkippingSpec extends SparkSpec {
     graft.streaming.ManifestAppendSink.applyBatch(
       (101L to 200L).toDF("k").coalesce(1), 1L, dir, statsCols = Seq("k"))
     assert(TableManifest.readTable(spark, dir).count() == 200L)
+  }
+
+  test("legacy numeric stats (no statsv marker) are ignored conservatively; " +
+    "re-analyze upgrades them in place") {
+    val (dir, _) = rangedTable(Seq((1L, 100L), (101L, 200L)))
+    TableManifest.analyze(spark, dir, Seq("k"))
+    assert(TableManifest.prunedFiles(spark, dir, "k", 150L, 160L).size == 1)
+    // forge a pre-statsv manifest: strip the format marker from the head —
+    // this is what a manifest written before the unix-micros timestamp
+    // normalization looks like, whose bounds may be in raw writer units
+    val mdir = java.nio.file.Paths.get(dir, "_manifest")
+    val head = java.nio.file.Files.list(mdir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".json")).maxBy(_.getFileName.toString)
+    val legacy = java.nio.file.Files.readString(head)
+      .replace(""""statsv":2,""", "")
+    java.nio.file.Files.writeString(head, legacy)
+    // stats read as ABSENT: nothing prunes, results stay correct
+    assert(TableManifest.readStats(spark, dir).isEmpty,
+      "pre-format stats must be invisible, not misinterpreted")
+    assert(TableManifest.prunedFiles(spark, dir, "k", 150L, 160L).size == 2)
+    assert(TableManifest.readTableRange(spark, dir, "k", 150L, 160L)
+      .count() == 11)
+    // re-analyze recommits under the current format and pruning returns
+    TableManifest.analyze(spark, dir, Seq("k"))
+    assert(TableManifest.prunedFiles(spark, dir, "k", 150L, 160L).size == 1)
   }
 
   test("timestamp stats normalize to unix-micros across writer units; " +

@@ -45,11 +45,16 @@ class StreamAsOfSpec extends SparkSpec {
   //       (wm after b3: 90s → e1/e2/e3 resolve in the no-data batch)
   //   b4: e5@101s (→ v3), key 9 e6@200s (→ None)      (wm 190: e4/e5 flush)
   //   final pusher 999@500s flushes e6 and is excluded from the compare.
+  //   key 11 is the dim-hot/event-cold drill: versions v50@1s, v51@2s with
+  //   no event until e7@150s — by then the watermark has compacted the
+  //   history to the single latest (v51), which e7 must still match.
   private val batches: Seq[Seq[(Long, Timestamp, Int, Long)]] = Seq(
-    Seq((7L, ts(0), 0, 1L), (7L, ts(5), 1, 101L), (7L, ts(2), 1, 102L)),
+    Seq((7L, ts(0), 0, 1L), (7L, ts(5), 1, 101L), (7L, ts(2), 1, 102L),
+      (11L, ts(1), 0, 50L), (11L, ts(2), 0, 51L)),
     Seq((7L, ts(4), 0, 2L), (9L, ts(3), 1, 103L)),
     Seq((7L, ts(5), 0, 3L), (7L, ts(100), 1, 104L)),
-    Seq((7L, ts(101), 1, 105L), (9L, ts(200), 1, 106L)))
+    Seq((7L, ts(101), 1, 105L), (9L, ts(200), 1, 106L),
+      (11L, ts(150), 1, 107L)))
 
   private def allRows = batches.flatten
   private def batchExpected: Map[Long, Option[Long]] = {
@@ -112,6 +117,55 @@ class StreamAsOfSpec extends SparkSpec {
       // the hard case is load-bearing: v2@4s arrived a batch after e1@5s
       assert(expected(101L).contains(3L) && expected(102L).contains(1L) &&
         expected(103L).isEmpty)
+    }
+  }
+
+  test("sub-millisecond timestamps keep microsecond precision: a version " +
+    "900µs after an event must not match it") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      def tsU(s: Long, us: Long): Timestamp = {
+        val t = new Timestamp(base + s * 1000)
+        t.setNanos((us * 1000).toInt); t
+      }
+      val mem = MemoryStream[(Long, Timestamp, Int, Long)]
+      val cp = java.nio.file.Files.createTempDirectory("sasof-us").toString
+      val outRows = scala.collection.mutable.Map.empty[Long, (Timestamp, Option[Long])]
+      val unified = mem.toDF().toDF("key", "ts", "kind", "id")
+      val q = StreamAsOf.enrichLatestPreceding(
+        unified.filter($"kind" === 1).select("key", "ts", "id")
+          .withColumnRenamed("id", "event_id"),
+        unified.filter($"kind" === 0).select("key", "ts", "id"),
+        watermarkDelay = "10 seconds")
+        .writeStream.option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[StreamAsOf.Out], _: Long) =>
+          b.collect().foreach(o => outRows.synchronized {
+            outRows(o.event_id) = (o.ts, o.asof_id)
+          }); ()
+        }.start()
+      try {
+        // v60@0s precedes e201@10.0005s; v61@10.0009s is 400µs AFTER the
+        // event — a millisecond-truncating implementation would match it
+        mem.addData(Seq((13L, tsU(0, 0), 0, 60L), (13L, tsU(10, 500), 1, 201L),
+          (13L, tsU(10, 900), 0, 61L)))
+        q.processAllAvailable()
+        mem.addData(Seq((13L, ts(100), 1, 202L))); q.processAllAvailable()
+        mem.addData(Seq((13L, ts(500), 1, 999L))); q.processAllAvailable()
+      } finally q.stop()
+      val got = outRows.synchronized(outRows.toMap)
+      assert(got(201L) == ((tsU(10, 500), Some(60L))),
+        s"e201 must keep its microsecond ts and match v60, got ${got.get(201L)}")
+      assert(got(202L)._2 == Some(61L), s"e202 sees v61: ${got.get(202L)}")
+      // ≡ the batch as-of on the same micro-precision data
+      val events = Seq((13L, tsU(10, 500), 201L), (13L, ts(100), 202L))
+        .toDF("key", "ts", "event_id")
+      val dims = Seq((13L, tsU(0, 0), 60L), (13L, tsU(10, 900), 61L))
+        .toDF("key", "ts", "id")
+      val batch = graft.ops.AsOfJoin.latestPreceding(events, dims, "key", "ts", "id")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_id")).map(_.longValue)).toMap
+      assert(batch == Map(201L -> Some(60L), 202L -> Some(61L)))
     }
   }
 
