@@ -162,6 +162,17 @@ object ScaleDrill {
         graft.ops.Similarity.bruteTopK(vs, probes, 5)
           .agg(count(lit(1)).as("n"), sum("sim").as("s"))
       },
+      // as-of join family: union + one window pass per key — per-user
+      // history is constant across copies (the id offsets), so the ratio
+      // must track data volume like window_fn, never blow up on the union
+      "asof_join" -> { dir: String =>
+        val ev = evDf(dir).select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        val right = ev.filter(col("event_id") % 5 === 0)
+          .select(col("user_id"), col("us"), col("event_id").as("rid"))
+        graft.ops.AsOfJoin.latestPreceding(ev, right, "user_id", "us", "rid")
+          .agg(count(lit(1)).as("n"), count(col("asof_id")).as("matched"))
+      },
       // banded near-dup: the one pair-generator previously without a
       // measured ratio. Adaptive bandBits caps expected bucket occupancy,
       // so candidate volume — and wall time — must track n, not n²; the

@@ -117,6 +117,21 @@ class StreamAsOfSpec extends SparkSpec {
       // the hard case is load-bearing: v2@4s arrived a batch after e1@5s
       assert(expected(101L).contains(3L) && expected(102L).contains(1L) &&
         expected(103L).isEmpty)
+
+      // composition with Merge.scd2 (the claim in StreamAsOf's scaladoc):
+      // each answered event's version is exactly the SCD-2 row effective
+      // at the event's timestamp (valid_from <= ts < valid_to)
+      import org.apache.spark.sql.functions.{col, lit}
+      val dimRows = allRows.filter(_._3 == 0)
+        .map(r => (r._1, r._2, r._4)).toDF("key", "ts", "id")
+      val scd = graft.ops.Merge.scd2(dimRows, Seq("key"), "ts")
+      allRows.filter(_._3 == 1).foreach { case (k, t, _, eid) =>
+        val eff = graft.ops.Merge.asOfSnapshot(scd, lit(t))
+          .filter(col("key") === k).select("id")
+          .collect().map(_.getLong(0)).headOption
+        assert(answered.get(eid).forall(_ == eff),
+          s"event $eid at $t: stream ${answered.get(eid)} vs scd2 $eff")
+      }
     }
   }
 
