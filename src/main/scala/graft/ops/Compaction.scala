@@ -87,18 +87,39 @@ object Compaction {
   /** Split the directory's files into rewrite candidates (< `minFileBytes`)
     * and keepers, and size the output file count so each output lands near
     * `targetBytes` (parquet in ≈ parquet out: same encoding + compression,
-    * so input bytes are an honest estimate of output bytes). */
+    * so input bytes are an honest estimate of output bytes).
+    *
+    * The candidate set comes from the SAME source [[compactInPlace]] will
+    * use: the head manifest on a [[TableManifest]]-tracked directory (so a
+    * dry run never sizes a maintenance window from delisted-but-not-yet-
+    * vacuumed fragments the real run would not touch), the directory
+    * listing otherwise. */
   def plan(
       spark: SparkSession,
       dir: String,
       targetBytes: Long,
       minFileBytes: Long): Plan = {
     val (fs, p) = fsFor(spark, dir)
-    val (small, large) = dataFiles(fs, p).partition(_.getLen < minFileBytes)
+    val files = trackedFiles(spark, fs, p, dir).getOrElse(dataFiles(fs, p))
+    val (small, large) = files.partition(_.getLen < minFileBytes)
     val smallBytes = small.map(_.getLen).sum
     val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     Plan(small, large, smallBytes, n)
   }
+
+  /** Statuses of the head manifest's files on a tracked dir (None when
+    * untracked). ONE `listStatus` filtered to the manifest set — never a
+    * per-file `getFileStatus` loop, which at 100k head files is 100k
+    * serial driver→namenode RPCs per call (the exact RPC storm the
+    * scaladoc above warns about). A manifest-listed file missing from the
+    * listing fails loudly: the head must always be a complete file set. */
+  private def trackedFiles(spark: SparkSession, fs: FileSystem, p: Path,
+      dir: String): Option[Seq[FileStatus]] =
+    TableManifest.readHead(spark, dir).map { case (_, names, _) =>
+      val listed = dataFiles(fs, p).map(s => s.getPath.getName -> s).toMap
+      names.map(n => listed.getOrElse(n,
+        sys.error(s"manifest-listed file missing from $dir: $n")))
+    }
 
   /** Incremental in-place compaction of one directory: rewrite the
     * under-sized files into ~`targetBytes` outputs alongside the untouched
@@ -134,7 +155,10 @@ object Compaction {
       val tracked = TableManifest.readHead(spark, dir)
       val files = tracked match {
         case Some((_, names, _)) =>
-          names.map(n => fs.getFileStatus(new Path(p, n)))
+          // one listStatus filtered to the manifest set (see trackedFiles)
+          val listed = dataFiles(fs, p).map(s => s.getPath.getName -> s).toMap
+          names.map(n => listed.getOrElse(n,
+            sys.error(s"manifest-listed file missing from $dir: $n")))
         case None => dataFiles(fs, p)
       }
       val (small, large) = files.partition(_.getLen < minFileBytes)

@@ -42,8 +42,15 @@ object Export {
     require(n >= 1, s"shard count must be >= 1: $n")
     val spark = df.sparkSession
     TableManifest.publish(
+      // a null id would hash to a null shard OUTSIDE 0..n-1: published,
+      // but invisible to a loader iterating shards — silent row loss.
+      // Fail loudly; the caller decides (filter, or impute an id).
       df.withColumn("shard",
-          pmod(graft.functions.H60.of(col(idCol).cast("string")), lit(n.toLong)))
+          when(col(idCol).isNull,
+            raise_error(lit(s"shards: null $idCol cannot be sharded — " +
+              "filter or impute first")))
+            .otherwise(pmod(graft.functions.H60.of(col(idCol).cast("string")),
+              lit(n.toLong))))
         .repartition(n, col("shard")),
       outDir)
     read(spark, outDir)

@@ -54,9 +54,14 @@ object Merge {
     import org.apache.spark.sql.expressions.Window
     val payload = changes.columns.toSeq
       .filterNot(c => keys.contains(c) || c == tsCol)
+    // each column null-coalesced to a sentinel BEFORE concat_ws: concat_ws
+    // SKIPS nulls, so (null, "x") and ("x", null) would otherwise collapse
+    // to the same bytes and the tie order between those distinct payloads
+    // would be unspecified - breaking the determinism promised above
     val tieBreak =
       if (payload.isEmpty) lit(0L)
-      else crc32(concat_ws("", payload.map(c => col(c).cast("string")): _*))
+      else crc32(concat_ws("",
+        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), tieBreak)
     changes

@@ -37,8 +37,18 @@ object Pack {
       capacity: Long,
       buckets: Int = 32): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    // a NEGATIVE token count would enter the prefix sum before the
+    // zero-token filter drops its row, silently shifting every later
+    // document's offsets so bin pieces overlap — the manifest would no
+    // longer tile [0, capacity) and a training loader would overwrite
+    // tokens. Corrupt counts fail loudly in-plan instead.
+    val guarded = docs.select(col("doc_id"),
+      when(col("n_tokens") < 0,
+        raise_error(concat(lit("packSequences: negative n_tokens: "),
+          col("n_tokens").cast("string"))))
+        .otherwise(col("n_tokens")).as("n_tokens"))
     val pre = Scale.prefixSum(
-      docs.select(col("doc_id"), col("n_tokens")),
+      guarded,
       orderCol = "doc_id", valueCol = "n_tokens", outCol = "end_tok",
       buckets = buckets)
     val c = lit(capacity)

@@ -28,6 +28,15 @@ object Sketch {
     */
   def cmsTopKeys(df: DataFrame, key: String, k: Int,
       eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    // CmsEstimate probes are bigint-only (codegen calls estimateCount on a
+    // long; the interpreted path casts) — a string/int key would build a
+    // sketch fine and then crash or miscount at probe time. Fail loudly
+    // with the cast hint instead.
+    require(df.schema(key).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"cmsTopKeys needs a BIGINT key column, got " +
+        s"${df.schema(key).dataType.simpleString} for `$key` — cast first " +
+        "(hash strings through h60)")
     val cms = df.stat.countMinSketch(key, eps, confidence, seed)
     val slack = math.ceil(eps * cms.totalCount()).toLong
     df.groupBy(key)

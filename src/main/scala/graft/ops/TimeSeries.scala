@@ -20,6 +20,10 @@ object TimeSeries {
   /** Complete `daily` (one row per (key, day) with an observed `valCol`)
     * onto each key's dense [min(day), max(day)] grid; gap days get
     * `observed = false` and the last observed value carried forward.
+    * `observed` reflects ROW PRESENCE, not value nullness: a real
+    * observation row whose value is null keeps `observed = true` (its
+    * value is still forward-filled — it contributed nothing to fill
+    * with), instead of being silently conflated with a missing grid day.
     * `dayCol` must be DateType. */
   def gapFillDaily(
       daily: DataFrame,
@@ -32,8 +36,9 @@ object TimeSeries {
       col(key), explode(sequence(col("__d0"), col("__d1"))).as(dayCol))
     val w = Window.partitionBy(key).orderBy(dayCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(daily, Seq(key, dayCol), "left")
-      .withColumn("observed", col(valCol).isNotNull)
+    grid.join(daily.withColumn("__present", lit(true)), Seq(key, dayCol), "left")
+      .withColumn("observed", coalesce(col("__present"), lit(false)))
       .withColumn(valCol, last(col(valCol), ignoreNulls = true).over(w))
+      .drop("__present")
   }
 }

@@ -40,9 +40,14 @@ object Segmentation {
       .groupBy(session_window(col("event_ts"), gap), col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(when(col("event_name") === "item_view", 1).otherwise(0)).as("n_views"),
-        sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("n_cart_adds"),
-        sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("n_checkouts"))
+        sum(when(col("event_name") === graft.model.Event.ItemViewName, 1)
+          .otherwise(0)).as("n_views"),
+        sum(when(col("event_name") === graft.model.Event.AddedToCartName, 1)
+          .otherwise(0)).as("n_cart_adds"),
+        // CheckoutName is "checkout_to_cart" (the reference's quirky name)
+        // — the constant exists so a literal typo can't zero the funnel
+        sum(when(col("event_name") === graft.model.Event.CheckoutName, 1)
+          .otherwise(0)).as("n_checkouts"))
 
   /** Streaming deduplication: drop events with a duplicate id arriving
     * within the watermark horizon (at-least-once sources like Kafka emit
@@ -102,9 +107,12 @@ object Segmentation {
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), windowLen))
       .agg(
-        sum(when(col("event_name") === "item_view", 1).otherwise(0)).as("views"),
-        sum(when(col("event_name") === "added_to_cart", 1).otherwise(0)).as("cart_adds"),
-        sum(when(col("event_name") === "checkout_to_cart", 1).otherwise(0)).as("checkouts"))
+        sum(when(col("event_name") === graft.model.Event.ItemViewName, 1)
+          .otherwise(0)).as("views"),
+        sum(when(col("event_name") === graft.model.Event.AddedToCartName, 1)
+          .otherwise(0)).as("cart_adds"),
+        sum(when(col("event_name") === graft.model.Event.CheckoutName, 1)
+          .otherwise(0)).as("checkouts"))
       .withColumn("view_to_cart",
         when(col("views") > 0, col("cart_adds").cast("double") / col("views")))
       .withColumn("cart_to_checkout",

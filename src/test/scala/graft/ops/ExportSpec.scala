@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
 class ExportSpec extends SparkSpec {
   import spark.implicits._
 
+  test("a null id fails loudly instead of landing in an unreadable null shard") {
+    val out = java.nio.file.Files.createTempDirectory("export-null").toString + "/t"
+    val docs = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val e = intercept[Exception] {
+      Export.shards(docs, "doc_id", out, n = 4)
+    }
+    def mentions(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("null doc_id")
+        || mentions(t.getCause))
+    assert(mentions(e), s"expected the loud null-id guard, got: ${e.getMessage}")
+  }
+
   test("hash-sharded export: balanced, deterministic, manifest-read round-trips") {
     val out = java.nio.file.Files.createTempDirectory("export").toString + "/t"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

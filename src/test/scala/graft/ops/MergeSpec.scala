@@ -63,6 +63,27 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("scd2 tie hash separates null-placement payload twins") {
+    import spark.implicits._
+    // (null,"x") vs ("x",null): concat_ws SKIPS nulls, so without the
+    // null sentinel both would hash identical bytes and the tie order
+    // would be unspecified — the winner must be stable under any layout
+    val changes = Seq(
+      ("a", 100L, Option.empty[String], Option("x")),
+      ("a", 100L, Option("x"), Option.empty[String]),
+      ("a", 200L, Option("z"), Option("z")))
+      .toDF("k", "ts", "p1", "p2")
+    def winnerAt(df: org.apache.spark.sql.DataFrame, at: Long) =
+      Merge.asOfSnapshot(Merge.scd2(df, Seq("k"), "ts"), lit(at))
+        .select("p1", "p2").collect().toSeq
+    val w1 = winnerAt(changes, 150L)
+    assert(w1.size == 1, s"one effective version at 150: $w1")
+    (1 to 3).foreach { p =>
+      assert(winnerAt(changes.orderBy(desc("p1")).repartition(p), 150L) == w1,
+        s"null-twin tie winner changed under repartition($p)")
+    }
+  }
+
   test("dedupLatest: the whole max-version row survives as a unit") {
     import spark.implicits._
     val upd = Seq(

@@ -383,6 +383,22 @@ class OpsSpec extends SparkSpec {
     assert(k1.map(_.getBoolean(3)).toSeq == Seq(true, false, false, true))
   }
 
+  test("gap fill: a present row with a NULL value stays observed=true, " +
+    "never conflated with a missing grid day") {
+    import spark.implicits._
+    import java.sql.Date
+    val daily = Seq(
+      (1L, Date.valueOf("2024-01-01"), Option(5L)),
+      (1L, Date.valueOf("2024-01-02"), Option.empty[Long]),
+      (1L, Date.valueOf("2024-01-04"), Option(7L))).toDF("k", "day", "n")
+    val out = TimeSeries.gapFillDaily(daily, "k", "day", "n")
+      .orderBy("day").collect()
+    // Jan 2 is a REAL observation (with no value) — observed; Jan 3 is a
+    // grid gap — not. Both carry the Jan 1 value forward.
+    assert(out.map(_.getBoolean(3)).toSeq == Seq(true, true, false, true))
+    assert(out.map(_.getLong(2)).toSeq == Seq(5L, 5L, 5L, 7L))
+  }
+
   test("bm25: scores match the closed-form formula; non-matching docs drop out") {
     import spark.implicits._
     val docs = Seq(

@@ -59,6 +59,17 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("a negative token count fails loudly instead of shifting offsets") {
+    import spark.implicits._
+    val bad = Seq((1L, 10L), (2L, -5L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] {
+      Pack.packSequences(bad, capacity = 8).collect()
+    }
+    assert(e.getMessage.contains("negative n_tokens") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative n_tokens")),
+      s"expected the loud guard, got: ${e.getMessage}")
+  }
+
   test("zero-token docs vanish; manifest is partition-independent") {
     import spark.implicits._
     val rows = (1L to 200L).map(i => i -> (i % 7)) // includes n_tokens = 0

@@ -54,6 +54,15 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cmsTopKeys rejects a non-bigint key up front (probe is long-only)") {
+    import spark.implicits._
+    val strs = Seq("a", "b", "a").toDF("s")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.cmsTopKeys(strs, "s", 2)
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("cmsTopKeys output: within_tol all true, exact counts match a plain groupBy") {
     val events = Tables.load(spark, sfDir, "events").select("user_id")
     val out = Sketch.cmsTopKeys(events, "user_id", k = 5).collect()
