@@ -48,7 +48,21 @@ object ConfluentAvro {
           "genre" -> "string", "list_price" -> "float")
       case other => throw new IllegalArgumentException(s"unknown event: $other")
     }
-    val recordName = eventName.split("_").map(_.capitalize).mkString
+    // record names pinned to the reference .avsc files VERBATIM
+    // (/root/reference/schemas/*.avsc) — a record-name change is a
+    // backward-incompatible schema under Confluent's default compatibility
+    // mode, so a derived name ("SignIn" vs the registry's "SignInEvent")
+    // would be rejected at registration (or silently allocate a new id)
+    // against a registry populated by the reference stack
+    val recordName = eventName match {
+      case Event.SignInName => "SignInEvent" // sign_in.avsc:2
+      case Event.SignOutName => "SignOutEvent"
+      case Event.ItemViewName => "ItemViewEvent"
+      case Event.AddedToCartName => "AddedToCartEvent"
+      case Event.CheckoutName => "CheckoutEvent" // checkout.avsc:2
+      case Event.RegistrationName => "ConsumerRegistration"
+      case _ => "MovieCatalogEnriched" // only CatalogName reaches here
+    }
     val sb = new StringBuilder
     sb.append(s"""{"type":"record","name":"$recordName","fields":[""")
     sb.append(fields.map { case (n, t) =>

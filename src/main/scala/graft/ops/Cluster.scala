@@ -67,9 +67,16 @@ object Cluster {
           (col("cand") < col("prev")).as("moved"))
         .localCheckpoint(true)
       changed = next.filter(col("moved")).count()
+      // release superseded rounds: localCheckpoint blocks are
+      // non-recomputable executor storage — without the unpersist, a
+      // 10-round run pins ~2 node-scale relations PER round until eviction
+      // kills the job with a missing-checkpoint error instead of degrading
+      labels.unpersist()
+      prop.unpersist()
       labels = next.drop("moved")
       i += 1
     }
+    edges.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 

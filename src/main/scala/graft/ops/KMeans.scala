@@ -66,14 +66,29 @@ object KMeans {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1: k=$k iters=$iters")
     val spark = vecs.sparkSession
 
+    // a null vector would sail through the assignment min-fold unchanged
+    // and emit (cid = -1, dist = Long.MaxValue) — an INVENTED cluster that
+    // downstream group-bys (and HardNegatives' cell filter) treat as real;
+    // a ragged-length vector nulls its distances and ranks unpredictably.
+    // Both are corrupt input: fail loudly in-plan.
+    val nonNull = vecs.withColumn(vecCol,
+      when(col(vecCol).isNull,
+        raise_error(concat(lit(s"KMeans: null $vecCol for "),
+          col(idCol).cast("string")))).otherwise(col(vecCol)))
+
     // deterministic init: vectors of the k smallest ids, cid = 0..k-1 in
     // id order (TakeOrderedAndProject — per-partition k, no full sort)
-    var centroids: Seq[(Long, Seq[Long])] = vecs
+    var centroids: Seq[(Long, Seq[Long])] = nonNull
       .orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq: Seq[Long]))
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i.toLong, v) }.toSeq
+    val dim = centroids.headOption.map(_._2.size).getOrElse(0)
+    val vecs2 = nonNull.withColumn(vecCol,
+      when(size(col(vecCol)) =!= dim,
+        raise_error(concat(lit(s"KMeans: $vecCol length != $dim for "),
+          col(idCol).cast("string")))).otherwise(col(vecCol)))
 
     // keepVec: the update step needs (cid, vector) — emitting the vector
     // the row ALREADY holds keeps assignment a zero-shuffle map; a
@@ -83,7 +98,7 @@ object KMeans {
       val carr = array(centroids.map { case (cid, v) =>
         struct(lit(cid).as("cid"), typedLit(v).as("cv"))
       }: _*)
-      val base = vecs.withColumn("__best",
+      val base = vecs2.withColumn("__best",
         aggregate(carr,
           struct(lit(Long.MaxValue).as("d"), lit(-1L).as("cid")),
           (acc, c) => {

@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * combine (≤ 2·V result rows); class totals are a 2-row collect; the
   * per-bucket LLR table is ≤ V rows and BROADCAST to the scoring join, so
   * scoring is one shuffle-free pass plus the per-doc sum. Laplace
-  * smoothing keeps every LLR finite for buckets seen in only one class.
+  * smoothing keeps every LLR finite for buckets seen in only one class —
+  * and for buckets seen in NEITHER (out-of-vocabulary at scoring time),
+  * which score the smoothed constant ln(Nneg+V) − ln(Npos+V), not 0.
   */
 object NaiveBayes {
 
@@ -72,12 +74,22 @@ object NaiveBayes {
       lit(math.log(docTotals(true).toDouble / docTotals(false))) * scale)
       .cast("long")
 
+    // Out-of-vocabulary buckets — never seen in EITHER class — still have
+    // a defined smoothed LLR: ln(1) − ln(Npos+V) − ln(1) + ln(Nneg+V).
+    // Coalescing them to 0 instead would let a document full of unseen
+    // tokens score only its prior and silently flip pred; the constant
+    // goes through the SAME expression shape and single rounding as the
+    // per-bucket LLRs, so cross-engine bit-parity holds for it too.
+    val llrOov = round(
+      (log(lit(1.0)) - log(lit(nPos)) - log(lit(1.0)) + log(lit(nNeg)))
+        * scale).cast("long")
+
     // score EVERY document: a null/empty text yields zero token rows, so
     // without the left join back to the id set it would vanish from the
     // output instead of scoring its prior (zero token evidence)
     val tokScores = toks.join(broadcast(llr), Seq("b"), "left")
       .groupBy("doc_id")
-      .agg(sum(coalesce(col("llr"), lit(0L))).as("tok_llr"))
+      .agg(sum(coalesce(col("llr"), llrOov)).as("tok_llr"))
     docs.select("doc_id").distinct()
       .join(tokScores, Seq("doc_id"), "left")
       .select(col("doc_id"),

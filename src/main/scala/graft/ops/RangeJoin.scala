@@ -41,6 +41,13 @@ object RangeJoin {
       expr(s"(($c - pmod($c, ${binWidth}L)) DIV ${binWidth}L)")
     val p = points.withColumn("__pbin", bin(pointCol))
     val iv = intervals
+      // empty/inverted intervals (hi <= lo) match nothing under the
+      // half-open residual predicate, but Spark's sequence(a, b) silently
+      // generates a DESCENDING range when bin(lo) > bin(hi-1) — one
+      // swapped-column row would replicate into millions of junk bins (or
+      // exceed the max array size and kill the job). Dropping them early
+      // is semantics-identical and free.
+      .filter(col(hiCol) > col(loCol))
       .withColumn("__himinus1", col(hiCol) - 1)
       .withColumn("__ibin",
         explode(sequence(bin(loCol), bin("__himinus1"))))

@@ -32,10 +32,17 @@ object Scale {
     val top = counts.orderBy(col("cnt").desc, col("k")).limit(topK)
       .agg(sum(col("cnt")).as("top_cnt"))
     totals.crossJoin(broadcast(top))
+      // DECIMAL(38,0) cross-multiplication (the Stats.ksDrift discipline):
+      // cnt * 1e6 overflows Long past ~9.2e12 rows on one key — exactly
+      // the 100 TB regime this report exists to gate — and a wrapped
+      // negative ppm would silently pass a CI skew gate. DIV returns LONG,
+      // so the output schema is unchanged.
       .select(
         col("n_rows"), col("n_keys"), col("max_cnt"),
-        expr("max_cnt * 1000000 DIV n_rows").as("max_ppm"),
-        expr("top_cnt * 1000000 DIV n_rows").as("topk_ppm"))
+        expr("CAST(max_cnt AS DECIMAL(38,0)) * 1000000 DIV n_rows")
+          .as("max_ppm"),
+        expr("CAST(top_cnt AS DECIMAL(38,0)) * 1000000 DIV n_rows")
+          .as("topk_ppm"))
   }
 
   /** Spread per-row compute: a sub-row-group parquet file is unsplittable,
@@ -81,7 +88,16 @@ object Scale {
     * for `Window.orderBy` with no partitionBy.
     *
     * `valueCol` must be integral (the per-bucket offsets are exact longs);
-    * for money use a fixed-point integer column (e.g. cents) upstream. */
+    * for money use a fixed-point integer column (e.g. cents) upstream.
+    *
+    * Null order values bucket to -1 and accumulate FIRST, matching the
+    * reference window's ASC NULLS FIRST exactly like [[groupedRunning]]
+    * does (a bare `least(floor(...))` would silently send them to the
+    * LAST bucket and inflate their prefix by every other bucket's total).
+    * The per-bucket offsets go through a ≤ buckets+1-row driver collect —
+    * bounded by construction; the grouped twins window their offsets
+    * in-plan instead because #groups is unbounded, but a global prefix
+    * has exactly one offsets row per bucket. */
   def prefixSum(
       df: DataFrame,
       orderCol: String,
@@ -98,19 +114,23 @@ object Scale {
     }
     val Array(lo, hi) = df.agg(
       min(col(orderCol)).cast("double"), max(col(orderCol)).cast("double"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+      .collect()(0).toSeq.map {
+        case null => 0.0 // all-null order column: everything buckets to -1
+        case d => d.asInstanceOf[Double]
+      }.toArray
     val width = math.max((hi - lo) / buckets, 1e-9)
     val bucketed = df.withColumn("__b",
-      least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
-        lit(buckets - 1)).cast("int"))
-    val w = Window.partitionBy("__b").orderBy(orderCol)
+      when(col(orderCol).isNull, lit(-1)).otherwise(
+        least(floor((col(orderCol).cast("double") - lit(lo)) / lit(width)),
+          lit(buckets - 1))).cast("int"))
+    val w = Window.partitionBy("__b").orderBy(col(orderCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = bucketed.withColumn("__local", sum(col(valueCol)).over(w))
     val totals = bucketed.groupBy("__b")
       .agg(sum(col(valueCol)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until buckets).map { b =>
-      b -> (0 until b).map(totals.getOrElse(_, 0L)).sum
+    val offsets = (-1 until buckets).map { b =>
+      b -> (-1 until b).map(totals.getOrElse(_, 0L)).sum
     }
     val offsetDf = broadcast(
       df.sparkSession.createDataFrame(offsets).toDF("__b", "__off"))
@@ -233,7 +253,12 @@ object Scale {
   /** Skewed equi-join: salt the (large, skewed) left side, replicate each
     * right-side row across all salts, join on (key, salt). Row multiplicity
     * is identical to the plain join; the hot key's rows spread over `salts`
-    * reducers instead of one. */
+    * reducers instead of one. Join keys are resolved against their OWN
+    * side, so `bigKey` and `smallKey` may share a name (the common
+    * equi-join case — a bare `col()` would fail analysis as ambiguous);
+    * when they do, the output carries both same-named key columns, like
+    * any expression-condition join — rename one side first if downstream
+    * selects the key by name. */
   def skewJoin(
       big: DataFrame,
       small: DataFrame,
@@ -245,7 +270,9 @@ object Scale {
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1)).cast("array<long>")))
     saltedBig.join(replicatedSmall,
-      col(bigKey) === col(smallKey) && saltedBig("__salt") === replicatedSmall("__salt"))
-      .drop("__salt")
+      saltedBig(bigKey) === replicatedSmall(smallKey) &&
+        saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop(saltedBig("__salt"))
+      .drop(replicatedSmall("__salt"))
   }
 }

@@ -3278,10 +3278,16 @@ object ExtQueries {
       |pri AS (
       |  SELECT CAST(round(ln(CAST((SELECT d FROM dtot WHERE y) AS DOUBLE)
       |    / (SELECT d FROM dtot WHERE NOT y)) * 10000) AS BIGINT) AS p),
+      |oov AS (
+      |  -- smoothed LLR of a bucket unseen in either class (ln(1)=0 kept
+      |  -- for expression-shape parity with the engine)
+      |  SELECT CAST(round((ln(1) - ln((SELECT n FROM tot WHERE y) + 4096)
+      |    - ln(1) + ln((SELECT n FROM tot WHERE NOT y) + 4096)) * 10000)
+      |    AS BIGINT) AS v),
       |sc AS (
       |  SELECT t.doc_id,
-      |    CAST(SUM(COALESCE(l.llr, 0)) + (SELECT p FROM pri) AS BIGINT)
-      |      AS score
+      |    CAST(SUM(COALESCE(l.llr, (SELECT v FROM oov)))
+      |      + (SELECT p FROM pri) AS BIGINT) AS score
       |  FROM tk t LEFT JOIN llr l USING (b) GROUP BY t.doc_id)
       |SELECT d.lang,
       |  CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -22,10 +22,18 @@ import org.apache.spark.sql.types.{BinaryType, StructType, TimestampType}
   *  - task commit hands the driver a (tempPath, recordCount) message;
   *    speculative/retried tasks abort by deleting their temp file and
   *    never publish;
-  *  - the driver's `commit` adopts the temp files as committed segments in
-  *    deterministic partition order ([[FileLog.adopt]] atomic renames), so
-  *    readers observe the whole write or none of it, and offsets stay
-  *    contiguous.
+  *  - the driver's `commit` concatenates the temp files in deterministic
+  *    partition order into ONE staged file (wire-format segments
+  *    concatenate byte-wise) and adopts it with a SINGLE atomic rename
+  *    ([[FileLog.adopt]]) — so readers genuinely observe the whole write
+  *    or none of it. Adopting the temps one rename at a time would leave
+  *    the already-renamed partitions permanently visible when a later
+  *    rename fails mid-commit (a failed job with partial data, duplicated
+  *    on retry); the one-file concat trades a driver-side byte copy —
+  *    the same per-epoch cost the streaming half already pays — for real
+  *    all-or-nothing semantics and fewer segments for readers to list.
+  *    A crash mid-concat leaves only a hidden `.stage-` orphan that
+  *    readers ignore.
   *
   * Requires the log directory to be on a filesystem all executors share
   * (true in local mode and for any DFS path — the same assumption every
@@ -64,14 +72,24 @@ class FileLogBatchWrite(path: String, schema: StructType) extends BatchWrite {
       info: PhysicalWriteInfo): DataWriterFactory =
     new FileLogWriterFactory(path, schema)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    messages
-      .collect { case m: FileLogTaskCommit => m }
-      .sortBy(_.partitionId)
-      .foreach { m =>
-        if (m.records > 0) FileLog.adopt(path, new File(m.tmpPath), m.records)
-        else new File(m.tmpPath).delete()
-      }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: FileLogTaskCommit => m }
+    val total = msgs.map(_.records).sum
+    if (total == 0) { msgs.foreach(m => new File(m.tmpPath).delete()); return }
+    val d = new File(path)
+    val staged = File.createTempFile(".stage-", "", d)
+    var adopted = false
+    try {
+      val out = new BufferedOutputStream(new FileOutputStream(staged), 1 << 16)
+      try msgs.sortBy(_.partitionId).foreach { m =>
+        val f = new File(m.tmpPath)
+        if (m.records > 0) java.nio.file.Files.copy(f.toPath, out)
+        f.delete()
+      } finally out.close()
+      FileLog.adopt(path, staged, total) // the single commit point
+      adopted = true
+    } finally if (!adopted) staged.delete()
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: FileLogTaskCommit => m }

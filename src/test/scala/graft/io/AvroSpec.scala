@@ -27,6 +27,12 @@ class AvroSpec extends SparkSpec {
       assert(
         ours.getFields.toString == ref.getFields.toString,
         s"$name field layout differs from $file")
+      // the RECORD NAME is part of registry-level compatibility: a name
+      // drift is a backward-incompatible change under Confluent's default
+      // mode even when the binary layout is identical
+      assert(ours.getFullName == ref.getFullName,
+        s"$name record name ${ours.getFullName} differs from $file's " +
+          ref.getFullName)
     }
   }
 

@@ -27,7 +27,7 @@ class FileLogSourceSpec extends SparkSpec {
     assert(all(2).value == null)
   }
 
-  test("V2 batch write: executor-side task segments, driver-ordered commit, contiguous offsets") {
+  test("V2 batch write: executor-side task segments, atomic one-segment commit, contiguous offsets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val dir = tmpDir("graftlog-v2w")
@@ -35,11 +35,13 @@ class FileLogSourceSpec extends SparkSpec {
       .select(lit(0L).as("offset"), col("ks").cast("binary").as("key"),
         col("vs").cast("binary").as("value"),
         lit(new java.sql.Timestamp(0L)).as("timestamp"))
-    // multi-partition write → one segment per non-empty task, partition order
+    // multi-partition write → task temps concatenated in partition order
+    // into ONE segment, adopted by a single atomic rename (per-task adopts
+    // would leave earlier partitions committed when a later rename fails)
     frames(0 until 90).repartition(3)
       .write.format("graft-log").mode("append").save(dir)
     assert(FileLog.latestOffset(dir) == 90L)
-    assert(FileLog.segments(dir).size == 3)
+    assert(FileLog.segments(dir).size == 1)
     val read1 = spark.read.format("graft-log").load(dir)
     assert(read1.count() == 90L)
     // offsets are the contiguous global sequence
