@@ -19,9 +19,16 @@ class CentroidAgg(dim: Int)
   override def zero: Buf = Buf(Vector.fill(dim)(0.0), 0L)
 
   override def reduce(b: Buf, v: Seq[Double]): Buf = {
+    // a null vector would NPE opaquely; a short vector would contribute
+    // zeros for its missing components while still counting toward n,
+    // silently biasing the centroid toward the origin — both are corrupt
+    // input for a fixed-dim aggregate, so fail with the dimensions named
+    require(v != null && v.length == dim,
+      s"CentroidAgg(dim=$dim): input vector is " +
+        (if (v == null) "null" else s"length ${v.length}"))
     val s = b.sum.toArray
     var i = 0
-    while (i < dim && i < v.length) { s(i) += v(i); i += 1 }
+    while (i < dim) { s(i) += v(i); i += 1 }
     Buf(s.toVector, b.n + 1)
   }
 

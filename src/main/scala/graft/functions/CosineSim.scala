@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Codegen'd cosine similarity over two array<double> columns.
   *
@@ -18,7 +18,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * higher-order functions are CodegenFallback and fence codegen per row.
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
@@ -41,9 +43,13 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSimUtil {
-  /** In-order folds; n = min length guard matches zip_with null-free inputs. */
+  /** In-order folds. Ragged inputs fail loud — a prefix-truncated cosine
+    * is a plausible-but-wrong similarity (see [[DotUtil.dot]]). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    require(a.numElements() == b.numElements(),
+      s"cosine_sim: vector lengths differ " +
+        s"(${a.numElements()} vs ${b.numElements()})")
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, FloatType}
+import org.apache.spark.sql.types.{DataType, FloatType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helper the generated code calls — a top-level object so Janino can
@@ -29,7 +29,10 @@ object ExtractPriceUtil {
 /** Native replacement for the reference's Python `price_udf` (U1 in SURVEY.md
   * §2.9) — a codegen'd Catalyst expression, so the hot path stays inside
   * whole-stage codegen instead of fencing it behind a UDF eval boundary. */
-case class ExtractPrice(child: Expression) extends UnaryExpression {
+case class ExtractPrice(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = FloatType
   override def nullable: Boolean = false // null input ⇒ 0.0f, like the UDF

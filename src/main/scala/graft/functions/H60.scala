@@ -6,7 +6,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The engine-agnostic 60-bit md5 hash, computed digest-direct.
@@ -17,7 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * participates in whole-stage codegen. The DuckDB oracle equivalent stays
   * `('0x'||substr(md5(s),1,15))::BIGINT`.
   */
-case class H60(child: Expression) extends UnaryExpression {
+case class H60(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "h60"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd Jaro-Winkler similarity — the classic algorithm (Winkler 1990):
@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * incl. empty-string → 0.0), so oracle queries hash-match. Byte-wise on
   * UTF-8 — identical to char-wise on the ASCII corpus. */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"

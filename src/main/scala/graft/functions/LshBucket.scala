@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Sign-bit LSH bucket id over closed-form pseudo-random hyperplanes for an
   * array<double> vector.
@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * [[BandKey]]'s hashed plane family instead.
   */
 case class LshBucket(child: Expression, bits: Int, dim: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"

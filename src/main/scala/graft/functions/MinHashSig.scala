@@ -18,7 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * One md5 per shingle (via [[NgramHashes]]) replaces the k-salted-digest
   * variant: same banding behavior, 16× less hashing.
   */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  // validated HERE, not only in a builder: the SQL registration constructs
+  // the case class directly, and k = -1 would otherwise throw
+  // NegativeArraySizeException per row at execution
+  require(k >= 1, s"minhash_sig: k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"

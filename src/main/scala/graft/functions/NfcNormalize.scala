@@ -18,7 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * results are oracle-comparable). The already-NFC fast path
   * (`Normalizer.isNormalized`) skips the String round-trip for the common
   * all-ASCII row, keeping the hot loop allocation-free. */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfc_normalize"

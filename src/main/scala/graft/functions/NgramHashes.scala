@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** h60 hashes of the word n-grams of a token array, in one native pass.
   *
@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * — the digest consumes the same space-joined byte stream — but builds no
   * intermediate shingle strings and stays inside whole-stage codegen.
   */
-case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(StringType))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "ngram_hashes"

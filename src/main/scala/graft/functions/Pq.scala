@@ -158,9 +158,20 @@ object PqUtil {
 
   def score(codes: ArrayData, lut: ArrayData, ks: Int): Double = {
     val m = codes.numElements()
+    // a code outside [0, ks) means the codes and LUT were built with
+    // DIFFERENT ks: small indices would silently read another block's LUT
+    // entry (plausible-but-wrong rankings), larger ones AIOOBE mid-job —
+    // name the mismatch instead
     var acc = 0.0
     var b = 0
-    while (b < m) { acc += lut.getDouble(b * ks + codes.getLong(b).toInt); b += 1 }
+    while (b < m) {
+      val c = codes.getLong(b).toInt
+      require(c >= 0 && c < ks,
+        s"pq_score: code $c at block $b outside [0, $ks) — codes and LUT " +
+          "built with different ks")
+      acc += lut.getDouble(b * ks + c)
+      b += 1
+    }
     acc
   }
 }

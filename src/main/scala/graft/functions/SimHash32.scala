@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** 32-bit SimHash over an array<bigint> of token hashes: output bit j is
   * set when the ±1 vote sum of the tokens' j-th bits is positive.
@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * 32×-nested fold: one vote-counter sweep over the token hashes, not 32
   * independent array traversals.
   */
-case class SimHash32(child: Expression) extends UnaryExpression {
+case class SimHash32(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash32"

@@ -111,6 +111,14 @@ object TableManifest {
 
   private val HwmRe = """"hwm":(-?[0-9]+)""".r
   private val StatsVRe = """"statsv":([0-9]+)""".r
+  /** The streaming append sink's batch-stamped data-file names
+    * (`b<batchId>-<uuid>-pN.parquet`) — [[vacuum]] uses the id to protect
+    * not-yet-committed batches. */
+  private val AppendBatchFile = "b([0-9]+)-.*".r
+
+  /** Minimum age before [[vacuum]] may reclaim an above-hwm (uncommitted)
+    * append file — the rename→manifest-commit window protection floor. */
+  private val InflightAppendFloorMs = 10L * 60L * 1000L
 
   /** Numeric-stats FORMAT version. Bumped to 2 when timestamp footer
     * bounds started being normalized to unix-micros: a manifest written
@@ -1255,8 +1263,8 @@ object TableManifest {
       retainManifests: Int = Int.MaxValue): Seq[String] = {
     require(retainManifests >= 1, "must retain at least the head manifest")
     val (fs, p) = fsFor(spark, dir)
-    val live = read(spark, dir) match {
-      case Some((_, files)) => files.toSet
+    val (live, hwm) = readHead(spark, dir) match {
+      case Some((_, files, h)) => (files.toSet, h.getOrElse(-1L))
       case None => return Seq.empty // untracked dirs have no dead-file notion
     }
     val cutoff = System.currentTimeMillis() - graceMillis
@@ -1267,10 +1275,29 @@ object TableManifest {
         n.startsWith("_compaction_tmp-") || n.startsWith(".inflight-")) &&
         s.getModificationTime <= cutoff
     }
+    // An append batch's files are moved in under their final `b<id>-…`
+    // names BEFORE its manifest commit; with a small grace they would
+    // look dead in that window and the commit would then publish a
+    // manifest referencing deleted data. A batch id ABOVE the committed
+    // hwm identifies exactly that in-flight (or crashed-awaiting-replay)
+    // window — protected within a FLOOR of max(grace, 10 min) of the
+    // file's mtime, far beyond any real rename→commit latency, so the
+    // race is closed even at graceMillis = 0 while a permanently-dead
+    // query's orphans still reclaim once clearly stale. Once the batch
+    // (or its replay) commits, the hwm covers the id and any orphaned
+    // twin files become ordinary dead candidates under the plain grace.
+    val inflightFloor =
+      System.currentTimeMillis() - math.max(graceMillis, InflightAppendFloorMs)
+    def inflightAppend(s: org.apache.hadoop.fs.FileStatus): Boolean =
+      s.getPath.getName match {
+        case AppendBatchFile(id) =>
+          id.toLong > hwm && s.getModificationTime > inflightFloor
+        case _ => false
+      }
     val deadDataCandidates = entries.filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) &&
-        s.getModificationTime <= cutoff
+        !inflightAppend(s) && s.getModificationTime <= cutoff
     }
     val mdir = new Path(p, ManifestDir)
     val mstats = if (fs.exists(mdir)) fs.listStatus(mdir).toSeq else Seq.empty

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType}
 
@@ -117,9 +117,17 @@ class RangeJoinRule(session: SparkSession) extends Rule[LogicalPlan] {
         overW(asLong(pair.lo)),
         overW(Subtract(asLong(pair.hi), Literal(1L))),
         None).withTimeZone(conf.sessionLocalTimeZone)
+      // empty/inverted intervals (hi <= lo) match nothing under the
+      // residual predicate, but Sequence(a, b) generates a DESCENDING
+      // range when bin(lo) > bin(hi-1) — one swapped-bounds row would
+      // replicate into millions of junk bins or exceed the max array
+      // size. graft.ops.RangeJoin.binned carries the same guard; null
+      // bounds filter identically to the null residual predicate.
+      val guarded = Filter(
+        GreaterThan(asLong(pair.hi), asLong(pair.lo)), intervalSide)
       val newIntervalSide = Generate(
         Explode(seq), unrequiredChildIndex = Nil, outer = false,
-        qualifier = None, generatorOutput = Seq(ibinAttr), child = intervalSide)
+        qualifier = None, generatorOutput = Seq(ibinAttr), child = guarded)
 
       val (newLeft, newRight) =
         if (pair.pointOnLeft) (newPointSide, newIntervalSide)

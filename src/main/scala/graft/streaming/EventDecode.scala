@@ -27,8 +27,16 @@ object EventDecode {
   /** The event-time half of [[decode]] alone, for rows that arrive already
     * parsed to the union schema — e.g. the good half of
     * `sources.Ingest.jsonSplit`, where the corrupt rows went to quarantine
-    * instead of becoming all-null decode output. */
+    * instead of becoming all-null decode output.
+    *
+    * Two patterns, not one: Python's `datetime.isoformat()` — the
+    * reference producer's serializer — OMITS the fractional part entirely
+    * whenever microsecond == 0 (`2024-01-01T00:00:00`), so a rigid
+    * `.SSSSSS` pattern would silently null the event time of every
+    * on-the-second event and drop it from watermarked windows. */
   def withEventTime(parsed: DataFrame): DataFrame =
     parsed.withColumn("event_ts",
-      try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+      coalesce(
+        try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+        try_to_timestamp(col("timestamp"), lit("yyyy-MM-dd'T'HH:mm:ss"))))
 }

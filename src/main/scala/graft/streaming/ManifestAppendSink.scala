@@ -23,7 +23,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *     never duplicates rows;
   *   - a crash BEFORE the commit leaves only scratch/moved files that no
   *     manifest lists — invisible to readers, reclaimed by
-  *     [[TableManifest.vacuum]].
+  *     [[TableManifest.vacuum]]. Vacuum never touches a `b<id>-…` file
+  *     with id above the head hwm until it is at least max(grace, 10 min)
+  *     old, so the moved-in window between rename and manifest commit is
+  *     safe against a concurrent vacuum at ANY grace setting (far beyond
+  *     any real commit latency), while a permanently-dead query's orphans
+  *     still reclaim once clearly stale.
   *
   * Single-writer per table for BATCHES (one streaming query), the same
   * assumption the checkpoint itself makes; concurrent MAINTENANCE commits

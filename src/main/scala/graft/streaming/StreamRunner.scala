@@ -27,8 +27,13 @@ object StreamRunner {
       .start()
 
   /** Supervise a query factory: restart on failure up to `maxRestarts`
-    * times. The factory must bake in a checkpointLocation for resume. */
-  def supervise(maxRestarts: Int)(start: () => StreamingQuery): Unit = {
+    * times, with exponential backoff between attempts (`baseBackoffMs`
+    * doubling, capped at 60s) — back-to-back retries would burn the whole
+    * restart budget in milliseconds during exactly the transient outage
+    * (broker down, DFS hiccup) the supervisor exists to ride out. The
+    * factory must bake in a checkpointLocation for resume. */
+  def supervise(maxRestarts: Int, baseBackoffMs: Long = 1000L)(
+      start: () => StreamingQuery): Unit = {
     var restarts = 0
     var done = false
     while (!done) {
@@ -41,8 +46,11 @@ object StreamRunner {
       } catch {
         case e: Exception if restarts < maxRestarts =>
           restarts += 1
+          val backoff = math.min(baseBackoffMs << (restarts - 1), 60000L)
           System.err.println(
-            s"[stream] query failed (${e.getMessage}); restart $restarts/$maxRestarts")
+            s"[stream] query failed (${e.getMessage}); restart " +
+              s"$restarts/$maxRestarts in ${backoff}ms")
+          Thread.sleep(backoff)
         case e: Exception => throw e
       }
     }

@@ -138,15 +138,19 @@ class ConsumeNewSpec extends SparkSpec {
     assert(!deleted.contains(".inflight-b9-live"))
     assert(!deleted.contains("b9-live-p0.parquet"))
     assert(moved.exists(), "young uncommitted file must survive the vacuum")
-    // aged-out debris is still reclaimed
+    // aged-out debris is still reclaimed. Above-hwm b-files carry an
+    // additional in-flight floor of max(grace, 10 min) — the
+    // rename→commit window must survive even an aggressive grace — so
+    // the orphan must age past the FLOOR, not just the grace, before a
+    // dead query's leftovers reclaim
     val old = new java.io.File(dir, ".inflight-b1-dead")
     old.mkdirs()
     old.setLastModified(System.currentTimeMillis() - 120000L)
-    moved.setLastModified(System.currentTimeMillis() - 120000L)
+    moved.setLastModified(System.currentTimeMillis() - 2L * 3600L * 1000L)
     val deleted2 = TableManifest.vacuum(spark, dir, graceMillis = 60000L)
     assert(deleted2.contains(".inflight-b1-dead"))
     assert(deleted2.contains("b9-live-p0.parquet"),
-      "once past the grace window an uncommitted orphan is reclaimed")
+      "once past the in-flight floor an uncommitted orphan is reclaimed")
   }
 
   test("manifest reads merge schemas across evolved appends") {

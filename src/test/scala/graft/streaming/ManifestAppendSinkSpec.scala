@@ -97,6 +97,32 @@ class ManifestAppendSinkSpec extends SparkSpec {
     assert(TableManifest.readTable(spark, dir).count() == 1L)
   }
 
+  test("vacuum never reclaims a moved-in batch whose commit has not landed " +
+    "(id above hwm), and reclaims it once a replay commits") {
+    import spark.implicits._
+    val dir = tempDir()
+    ManifestAppendSink.applyBatch(Seq(1L, 2L).toDF("v").coalesce(1), 0L, dir)
+    // simulate the mid-append window: batch 7's file moved in under its
+    // final name, manifest commit NOT yet landed
+    val inflight = new java.io.File(dir, "b7-deadbeef-p0.parquet")
+    // vacuum's decision uses only names/mtimes/manifests — placeholder
+    // bytes suffice to stand in for the moved-in parquet file
+    java.nio.file.Files.writeString(inflight.toPath, "placeholder-bytes")
+    // even an aggressive grace-0 vacuum must keep it: id 7 > hwm 0
+    val gone = TableManifest.vacuum(spark, dir, graceMillis = 0L)
+    assert(!gone.contains(inflight.getName),
+      s"in-flight append reclaimed: $gone")
+    assert(inflight.isFile, "in-flight append file must survive vacuum")
+    // once a commit covers batch 7 (the replay path), the orphaned twin
+    // becomes ordinary dead debris and is reclaimed
+    ManifestAppendSink.applyBatch(Seq(7L).toDF("v").coalesce(1), 7L, dir)
+    val gone2 = TableManifest.vacuum(spark, dir, graceMillis = 0L)
+    assert(gone2.contains(inflight.getName),
+      s"covered orphan must be reclaimed: $gone2")
+    assert(TableManifest.readTable(spark, dir)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 7L))
+  }
+
   test("crash before commit leaves debris invisible to readers") {
     import spark.implicits._
     val dir = tempDir()
