@@ -112,6 +112,15 @@ object MovieCatalogETL {
   }
 
   /** Full pipeline: text path → cleaned wide catalog. */
-  def run(spark: SparkSession, path: String): DataFrame =
-    clean(pivotCatalog(parseLines(spark, path)))
+  def run(spark: SparkSession, path: String): DataFrame = {
+    // release the lines cache once the (dimension-sized) catalog is
+    // materialized — the batch path would otherwise leak one CacheManager
+    // entry per invocation, the exact accumulation parseLinesDfCached
+    // exists to let the streaming path avoid. localCheckpoint pins the
+    // 8,701-row result; recomputation after release is impossible.
+    val (parsed, lines) = parseLinesDfCached(spark.read.text(path))
+    val out = clean(pivotCatalog(parsed)).localCheckpoint()
+    lines.unpersist()
+    out
+  }
 }

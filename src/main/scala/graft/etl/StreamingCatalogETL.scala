@@ -15,6 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blocks (the reference's input is one such file), so running the block
   * parser over a batch of complete files is exact. Rows carry `batch_id`;
   * (batch_id, item_id) is the globally unique key across appends.
+  *
+  * Exactly-once: each batch lands through
+  * [[graft.streaming.ManifestAppendSink.applyBatch]] — an atomic manifest
+  * commit carrying the batch-id high-water mark — so a checkpoint-replayed
+  * batch (crash between the parquet job and the checkpoint advance, or a
+  * task retry after commit) is detected and SKIPPED instead of appended
+  * twice; a raw `mode(append)` write here would silently duplicate every
+  * (batch_id, item_id) on replay. Read the catalog through
+  * [[graft.ops.TableManifest.readTable]] (schemas merge across evolved
+  * appends, crashed-attempt debris is invisible); a plain parquet read of
+  * the directory sees data files only through whatever schema Spark
+  * samples and may include uncommitted debris.
   */
 object StreamingCatalogETL {
 
@@ -53,8 +65,8 @@ object StreamingCatalogETL {
               if (df.columns.contains(c)) df
               else df.withColumn(c, lit(null).cast("string"))
             }
-            aligned.write.mode("append")
-              .option("mergeSchema", "true").parquet(outDir)
+            graft.streaming.ManifestAppendSink.applyBatch(
+              aligned, batchId, outDir)
           } finally {
             // the write above materialized the batch; drop the per-batch
             // cache entry so a long-running stream doesn't accumulate them

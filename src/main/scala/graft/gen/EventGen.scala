@@ -94,6 +94,20 @@ object EventGen {
       .withColumn("payment_method",
         when(col("event_name") === Event.CheckoutName,
           pick(Seq("Cash", "Card"), rand(seed + 4))))
+      // registration fields — "same columns" as batch() is a CONTRACT:
+      // asJson and TypedEvents.registrations select these by name, and a
+      // stream emitting consumer_registration events without them fails
+      // analysis (or silently loses the fields' distribution)
+      .withColumn("age",
+        when(col("event_name") === Event.RegistrationName,
+          (rand(seed + 5) * 78).cast("int") + 18))
+      .withColumn("masked_email",
+        when(col("event_name") === Event.RegistrationName,
+          concat(lit("user"), col("user_id"), lit("@"),
+            pick(Seq("gmail.com", "yahoo.com", "outlook.com"), rand(seed + 6)))))
+      .withColumn("preferred_language",
+        when(col("event_name") === Event.RegistrationName,
+          pick(Seq("eng", "geo", ""), rand(seed + 7))))
       .drop("id")
   }
 }

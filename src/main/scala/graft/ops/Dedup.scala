@@ -127,10 +127,15 @@ object Dedup {
         col("doc_id").as("other")), Seq("band", "key"))
       .filter(col("other") < col("doc_id"))
       .select("doc_id", "other")
+    // distinct over the UNION, not just the index side: a replayed batch's
+    // docs sit in BOTH the index and newSigs, and a duplicated sig row
+    // would double-count that neighbor in n_dups — exactly in the
+    // at-least-once redelivery scenario this op supports
     val otherSigs = index.select(col("doc_id").as("other"),
-        col("sig").as("sig_b")).distinct()
+        col("sig").as("sig_b"))
       .unionByName(newSigs.select(col("doc_id").as("other"),
         col("sig").as("sig_b")))
+      .distinct()
     candOld.unionByName(candNew).distinct()
       .join(newSigs.select(col("doc_id"), col("sig").as("sig_a")), "doc_id")
       .join(otherSigs, "other")

@@ -57,7 +57,17 @@ object Index {
       .join(dfs.filter(col("df") <= maxDf).select("term"), Seq("term"))
       .groupBy("term")
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
-    dfs.join(listed, Seq("term"), "left").select("term", "df", "docs")
+    // materialize the INDEX itself (persisted — it exists to be probed
+    // repeatedly) and release the corpus-incidence-sized scratch relation:
+    // leaving termDoc pinned would leak one corpus-scale cache entry per
+    // build for the life of the session. Callers that REBUILD an index
+    // should unpersist the previous one.
+    val postings = dfs.join(listed, Seq("term"), "left")
+      .select("term", "df", "docs")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count()
+    termDoc.unpersist()
+    postings
   }
 
   /** Documents containing ALL `terms` (conjunctive AND), answered from

@@ -60,7 +60,7 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition setup would open the codec here (??? in real life)
         rows.map { r =>
-          val bytes = r.payload
+          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
           val mean =
             if (bytes.isEmpty) 0.0
             else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
@@ -160,6 +160,10 @@ object Multimodal {
   }
 
   private def decodeImageOne(id: Long, bytes: Array[Byte]): ImageStats = {
+    // the null check must sit OUTSIDE safeRead's try: the
+    // ByteArrayInputStream CONSTRUCTOR NPEs before the stream is read,
+    // and a null payload is corrupt data, not a task failure
+    if (bytes == null) return ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
     val img = safeRead(new java.io.ByteArrayInputStream(bytes))
     if (img == null) ImageStats(id, ok = false, -1, -1, -1, 0.0, 0.0, 0.0)
     else {
@@ -203,7 +207,9 @@ object Multimodal {
     media.select("doc_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val img = safeRead(new java.io.ByteArrayInputStream(bytes))
+          val img =
+            if (bytes == null) null
+            else safeRead(new java.io.ByteArrayInputStream(bytes))
           if (img == null) (id, Array.emptyByteArray, -1, -1)
           else {
             val scale = math.min(1.0,
@@ -470,8 +476,9 @@ object Multimodal {
     media.select("doc_id", "payload", "format", "n_bytes").as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val small = r.payload.indices.collect {
-            case i if i % factor == 0 => r.payload(i)
+          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+          val small = payload.indices.collect {
+            case i if i % factor == 0 => payload(i)
           }.toArray
           (r.doc_id, small, small.length.toLong)
         }
@@ -543,6 +550,9 @@ object Multimodal {
     * AU (".snd") → audio (everything [[decodeAudioOne]]'s `AudioSystem`
     * path accepts), RIFF-AVI → video, anything else → unknown. */
   def magicKind(b: Array[Byte]): String = {
+    // null payload = corrupt input DATA, routed like any unknown format —
+    // bad bytes must never become a task failure
+    if (b == null) return "unknown"
     def at(i: Int) = if (i < b.length) b(i) & 0xff else -1
     def ascii(off: Int, s: String) =
       s.indices.forall(i => at(off + i) == s.charAt(i).toInt)

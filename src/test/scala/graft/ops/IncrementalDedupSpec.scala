@@ -72,8 +72,13 @@ class IncrementalDedupSpec extends SparkSpec {
     // accepted 22 and dropped 23, so the index holds ONLY 22's entries —
     // the replay must reach the same verdict (22 survives, 23 drops)
     val batch2 = batch.unionByName(df(23L -> "totally fresh unique words here"))
-    val got = Dedup.minhashIncrement(batch2, idx)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val rows = Dedup.minhashIncrement(batch2, idx).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got == Map(23L -> 22L), s"replay verdict must be stable: $got")
+    // n_dups counts DOCUMENTS, not signature rows: doc 22 sits in both the
+    // index and the batch during a replay, and an un-deduped sig union
+    // would double-count it as two neighbors of 23
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toMap == Map(23L -> 1L),
+      s"replayed neighbor double-counted: ${rows.mkString(",")}")
   }
 }
