@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Audit {
 
+  /** Half-up EXACT parts-per-million of `numer / denom` over long column
+    * names: `(2·10⁶·numer + denom) DIV (2·max(denom, 1))` — integer-only
+    * (no float threshold can drift between engines), half-up at the .5
+    * boundary, and 0 for an empty denominator instead of a divide error.
+    * ONE definition for every audit/report ppm (the bpGate/kAnonAggs
+    * "shared core" discipline): a fix to the rounding or guard idiom
+    * lands everywhere at once instead of silently diverging across the
+    * six call sites this replaced. */
+  private[ops] def ppmHalfUp(numer: String, denom: String): Column =
+    expr(s"(2 * 1000000 * ($numer) + $denom) DIV (2 * GREATEST($denom, 1))")
+
+
   /** One row per rule, ordered by rule name: (rule, n_rows, n_violations).
     * `rules` maps rule name → predicate that good rows satisfy. */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
@@ -93,8 +105,7 @@ object Audit {
   private val kAnonProfileCols: Seq[Column] = Seq(
     col("n_rows"), col("n_classes"), col("min_k"), col("n_unique_rows"),
     col("n_risky_rows"),
-    expr("(2 * 1000000 * n_risky_rows + n_rows)" +
-      " DIV (2 * GREATEST(n_rows, 1))").as("risky_ppm"))
+    ppmHalfUp("n_risky_rows", "n_rows").as("risky_ppm"))
 
   /** The O(#classes) second half of [[kAnonymity]], exposed for callers
     * that already hold per-class sizes in a `__k` column (the streaming
@@ -174,8 +185,7 @@ object Audit {
   private val lDivProfileCols: Seq[Column] = Seq(
     col("n_rows"), col("n_classes"), col("min_l"), col("n_low_classes"),
     col("n_exposed_rows"),
-    expr("(2 * 1000000 * n_exposed_rows + n_rows)" +
-      " DIV (2 * GREATEST(n_rows, 1))").as("exposed_ppm"))
+    ppmHalfUp("n_exposed_rows", "n_rows").as("exposed_ppm"))
 
   def lDiversity(df: DataFrame, qi: Seq[String], sensitive: String,
       threshold: Long): DataFrame = {
@@ -282,8 +292,7 @@ object Audit {
         count_if(col("__fk").isNull).as("n_null_fk"))
       .select(
         col("n_child"), col("n_orphans"), col("n_null_fk"),
-        expr("(2 * 1000000 * n_orphans + n_child)" +
-          " DIV (2 * GREATEST(n_child, 1))").as("orphan_ppm"))
+        ppmHalfUp("n_orphans", "n_child").as("orphan_ppm"))
   }
 
   /** One-pass column profiler — the `ANALYZE`-style schema report every
@@ -353,9 +362,8 @@ object Audit {
         col("n_docs"), col("n_tokens"), col("n_chars"), col("n_langs"),
         // GREATEST guard: an empty corpus reports 0 ppm, not a division
         // by zero (null, or an error under ANSI mode)
-        expr("(2 * 1000000 * (n_docs - n_unique_texts) + n_docs)" +
-          " DIV (2 * GREATEST(n_docs, 1))").as("dup_ppm"),
-        expr("(2 * 1000000 * n_short + n_docs) DIV (2 * GREATEST(n_docs, 1))")
+        ppmHalfUp("n_docs - n_unique_texts", "n_docs").as("dup_ppm"),
+        ppmHalfUp("n_short", "n_docs")
           .as("short_ppm"),
         col("p50_chars"), col("p90_chars"))
 }

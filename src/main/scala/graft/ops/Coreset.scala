@@ -62,7 +62,12 @@ object Coreset {
     // the encoding precondition is load-bearing: an id outside [0, idCap)
     // borrows from the distance field and silently decodes a WRONG center
     val bounds = pts.agg(min(col("id")), max(col("id"))).collect()(0)
-    if (!bounds.isNullAt(0)) require(
+    // empty input would otherwise surface as an opaque
+    // ArrayIndexOutOfBoundsException on the first-center collect below —
+    // the module's convention is a named up-front failure
+    require(!bounds.isNullAt(0),
+      "coreset: empty input — no points to select centers from")
+    require(
       bounds.getLong(0) >= 0 && bounds.getLong(1) < idCap,
       s"ids must be in [0, $idCap): found [${bounds.getLong(0)}, ${bounds.getLong(1)}]")
 
@@ -114,7 +119,13 @@ object Coreset {
         Seq(lit(cid), lit(id)) }: _*),
       col("cid"))
     val summary = pts
-      .select((mkey % k).as("cid"), (mkey.divide(k)).cast("long").as("d"))
+      // integer DIV, not .divide (double division): encoded keys can
+      // exceed 2^53 inside the line-87 guard's envelope, where the
+      // double quotient rounds and the truncated d drifts from the exact
+      // integer selection distances — breaking SQL-oracle bit-parity
+      .withColumn("__mkey", mkey)
+      .select((col("__mkey") % k).as("cid"),
+        expr(s"__mkey DIV ${k}L").as("d"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_pts"), max(col("d")).as("radius"),
         sum(col("d")).as("sum_dist"))

@@ -76,7 +76,10 @@ object Sampling {
     require(k >= 1, s"k must be >= 1: $k")
     requireIntegralWeight(df, weight)
     df
-      .filter(weight.isNotNull && weight >= 1)
+      // null id too, not only null weight: a null id hashes to a NULL
+      // priority, which sorts ASC NULLS FIRST and would WIN the sample
+      // ahead of every real row regardless of weight
+      .filter(weight.isNotNull && weight >= 1 && id.isNotNull)
       .withColumn("priority", esPriority(id, weight))
       .orderBy(col("priority"), id)
       .limit(k)
@@ -95,7 +98,7 @@ object Sampling {
     require(k >= 1, s"k must be >= 1: $k")
     requireIntegralWeight(df, weight)
     graft.plans.TopKPerKey(
-      df.filter(weight.isNotNull && weight >= 1)
+      df.filter(weight.isNotNull && weight >= 1 && col(idCol).isNotNull)
         .withColumn("priority", esPriority(col(idCol), weight)),
       keys = keys,
       order = Seq(
@@ -202,11 +205,17 @@ object Sampling {
     require(budget >= 1, s"budget must be >= 1: $budget")
     require(!df.columns.contains("rate_bp") && !df.columns.contains("__s"),
       "input columns rate_bp/__s collide with outputs — rename them first")
-    val rated = sqrtShareRates(df, stratum, budget, "rate_bp", cap = true)
+    // null-ID rows are excluded BEFORE the counts, not just at the gate:
+    // the h60 gate can never admit a null id, so counting such rows would
+    // systematically undershoot every stratum's realized share against
+    // its computed rate. (A null STRATUM is still a real stratum — see
+    // the null-safe join below.)
+    val input = df.filter(id.isNotNull)
+    val rated = sqrtShareRates(input, stratum, budget, "rate_bp", cap = true)
     // null-safe stratum match: groupBy counted null-stratum rows, so the
     // join must route them to their own rate too — `===` would both
     // drop them silently AND depress every real stratum's share
-    df.join(broadcast(rated), stratum <=> col("__s"))
+    input.join(broadcast(rated), stratum <=> col("__s"))
       .filter(bpGate(id, col("rate_bp")))
       .drop("__s")
   }
@@ -241,8 +250,13 @@ object Sampling {
     require(reserved.isEmpty,
       s"input columns ${reserved.mkString(", ")} collide with internal " +
         "aliases or output columns — rename them first")
-    val rated = sqrtShareRates(df, stratum, budget, "f_bp", cap = false)
-    df.join(broadcast(rated), stratum <=> col("__s"))
+    // null-ID rows excluded before counting, like [[temperatureSample]]:
+    // a null id would get whole copies but never the gated fractional
+    // extra — an inconsistent partial replication — while still inflating
+    // its stratum's count
+    val input = df.filter(id.isNotNull)
+    val rated = sqrtShareRates(input, stratum, budget, "f_bp", cap = false)
+    input.join(broadcast(rated), stratum <=> col("__s"))
       .withColumn("__copies",
         when(col("f_bp") > lit(100000000L),
           raise_error(concat(
@@ -385,7 +399,6 @@ object Sampling {
       .select(
         col("n_train"), col("n_test"), col("n_groups_train"),
         col("n_groups_test"), col("n_leaked_groups"),
-        expr("(2 * 1000000 * n_leaked_groups + n_groups_test)" +
-          " DIV (2 * GREATEST(n_groups_test, 1))").as("leaked_ppm"))
+        Audit.ppmHalfUp("n_leaked_groups", "n_groups_test").as("leaked_ppm"))
   }
 }

@@ -31,8 +31,14 @@ object Stats {
     val names = cols.map(_._1)
     // positional internal aliases — name-derived ones collide when names
     // contain the separator (pair (a, b_c) vs (a_b, c) → one sp_a_b_c)
+    // COMPLETE-CASE rows only: n counts every row while the moment sums
+    // skip nulls, so one null cell would silently fabricate correlations
+    // (values can even leave [-1, 1]); listwise deletion keeps n and
+    // every moment over the SAME row set. Documented behavior: rows with
+    // any null among the profiled columns are excluded.
     val base = df.select(cols.zipWithIndex.map { case ((_, c), i) =>
       c.cast("long").as(s"__c$i") }: _*)
+      .na.drop()
     val pairsIdx =
       for { i <- names.indices; j <- i + 1 until names.size } yield (i, j)
     val aggs =
@@ -145,7 +151,16 @@ object Stats {
       // exactly at the cap overflows DECIMAL(38,0) to a silent null
       s"ksDrift: corpus count $nAll exceeds the DECIMAL(38,0) exact-ppm " +
         "range (under 1e16 rows); shard the corpus or rescale the counts")
-    val groups = ng.select("g").collect().map(_.getString(0)).toSeq.sorted
+    // a null group key would NPE the driver sort AND silently break the
+    // CDF grid's equi-join (null never equals null there, so the null
+    // group's counts vanish and its ks_ppm reads 1e6) — fail loudly with
+    // the remedy named instead; madOutliers handles null groups because
+    // its joins are null-safe, this op's grid join is not
+    val rawGroups = ng.select("g").collect().map(_.getString(0)).toSeq
+    require(!rawGroups.contains(null),
+      "ksDrift: null group key — filter or label null groups upstream " +
+        "(the CDF grid join is not null-safe)")
+    val groups = rawGroups.sorted
     val grid = cumc.select(col("v"), col("cumc"),
       explode(array(groups.map(lit(_)): _*)).as("g"))
     val w = Window.partitionBy("g").orderBy("v")

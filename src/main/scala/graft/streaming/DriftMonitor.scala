@@ -42,8 +42,14 @@ object DriftMonitor {
       watermarkDelay: String = "10 seconds")(
       out: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = events.sparkSession
-    val refCounts = ref.select(col("v").cast("long").as("v"),
-      col("c").cast("long").as("c")).localCheckpoint()
+    // the reference is O(distinct metric values) — hold it as DRIVER data,
+    // not executor-local checkpoint blocks: localCheckpoint storage is
+    // non-recomputable, so losing the holding executor days into the run
+    // (spot nodes, dynamic allocation) would fail every later batch with
+    // a missing-block error; a per-batch createDataFrame over the driver
+    // rows is lineage-free and always reconstructible
+    val refRows = ref.select(col("v").cast("long"), col("c").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
     events
       .withColumn("__ts", col(tsCol).cast("timestamp"))
       .withWatermark("__ts", watermarkDelay)
@@ -54,6 +60,7 @@ object DriftMonitor {
       .outputMode("append") // a window's counts arrive once, finalized
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val refCounts = spark.createDataFrame(refRows).toDF("v", "c")
         val finalized = batch.select(col("w.start").as("ws"),
           col("w.end").as("we"), col("v"), col("c")).localCheckpoint()
         // bounded driver loop: the windows one trigger finalizes

@@ -71,10 +71,21 @@ object StatefulSessions {
                   closed += SessionOut(
                     user, s.startMs, s.lastMs, s.nEvents, s.nViews, "gap")
                   Some(SessionState(ts, ts, 1, if (isView) 1 else 0))
+                case Some(s) if s.startMs - ts > gapMs =>
+                  // a late event more than a whole gap BEFORE the open
+                  // session belongs to an earlier, already-elapsed session
+                  // — folding it in would report one session spanning an
+                  // internal silence longer than the gap; emit it as its
+                  // own closed singleton and leave the open session alone
+                  closed += SessionOut(
+                    user, ts, ts, 1, if (isView) 1 else 0, "gap")
+                  Some(s)
                 case Some(s) =>
-                  // late (within-watermark) events from an earlier batch may
-                  // arrive with ts < lastMs — fold them in without moving
-                  // the session boundaries backwards
+                  // late (within-watermark) events from an earlier batch
+                  // may arrive with ts < lastMs — fold them in; a start
+                  // moving BACKWARDS (to a late event within one gap of
+                  // it) is correct session semantics, the same merge
+                  // Spark's own session_window performs
                   Some(s.copy(
                     startMs = math.min(s.startMs, ts),
                     lastMs = math.max(s.lastMs, ts),
