@@ -35,10 +35,12 @@ object Stats {
     // skip nulls, so one null cell would silently fabricate correlations
     // (values can even leave [-1, 1]); listwise deletion keeps n and
     // every moment over the SAME row set. Documented behavior: rows with
-    // any null among the profiled columns are excluded.
+    // any null among the profiled columns are excluded. Plain IsNotNull
+    // conjunctions, not na.drop: AtLeastNNonNulls measured ~2× the whole
+    // query's wall time where the simple predicates fuse into codegen.
     val base = df.select(cols.zipWithIndex.map { case ((_, c), i) =>
       c.cast("long").as(s"__c$i") }: _*)
-      .na.drop()
+      .filter(cols.indices.map(i => col(s"__c$i").isNotNull).reduce(_ && _))
     val pairsIdx =
       for { i <- names.indices; j <- i + 1 until names.size } yield (i, j)
     val aggs =
