@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Sign-bit LSH band key over HASHED pseudo-random hyperplanes — the
   * many-plane companion to [[LshBucket]].
@@ -31,7 +31,20 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * is in-order over components, identical to the oracle's list_sum.
   */
 case class BandKey(child: Expression, bits: Int, dim: Int, planeOffset: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graft.GraftInputTypes {
+
+  // validated HERE, not only in the builder: a direct construction (e.g. a
+  // future SQL registration) must not bypass the hash's safe range —
+  // beyond it coef's first multiply wraps negative and band keys silently
+  // correlate (the exact defect this plane family replaced)
+  require(planeOffset >= 0 && bits >= 1 && dim >= 1 &&
+    (planeOffset.toLong + bits) * dim < 200000000L,
+    s"band_key: plane index out of the hash's safe range: " +
+      s"offset=$planeOffset bits=$bits dim=$dim")
+
+  override def graftInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType))
 
   override def dataType: DataType = LongType
   override def prettyName: String = "band_key"
@@ -80,12 +93,7 @@ object BandKeyUtil {
 }
 
 object BandKey {
-  def of(v: Column, bits: Int, dim: Int, planeOffset: Int): Column = {
-    require(planeOffset >= 0 && bits >= 1 && dim >= 1 &&
-      (planeOffset.toLong + bits) * dim < 200000000L,
-      s"plane index out of the hash's safe range: offset=$planeOffset " +
-        s"bits=$bits dim=$dim")
+  def of(v: Column, bits: Int, dim: Int, planeOffset: Int): Column =
     ColumnBridge.column(
       BandKey(ColumnBridge.expression(v), bits, dim, planeOffset))
-  }
 }

@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   * of tiny groups — the good case) over the exploded symbols, one pair
   * aggregation with map-side combine, and a 1-row collect for the argmax
   * pair. Everything re-aggregates back to one row per word, and each
-  * round's word table is `localCheckpoint`ed so lineage stays flat across
-  * rounds. Corpus size only enters through the DISTINCT-word table — the
-  * 100 TB corpus itself is touched once, by the word count.
+  * round's word table gets a [[Lineage.state]] cut so the nested window
+  * plan stays flat across rounds — non-replicated `localCheckpoint` blocks
+  * by default, or (when the session has `sc.setCheckpointDir` configured)
+  * persisted-with-lineage rounds plus a reliable checkpoint every few
+  * rounds so a long cluster training run survives executor loss. Corpus
+  * size only enters through the DISTINCT-word table — the 100 TB corpus
+  * itself is touched once, by the word count.
   */
 object Bpe {
 
@@ -72,9 +76,9 @@ object Bpe {
   def train(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = docs.sparkSession
-    var words = wordCounts(docs)
-      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
-      .localCheckpoint(false)
+    val lin = new Lineage(spark)
+    var words = lin.state(wordCounts(docs)
+      .select(col("word"), col("cnt"), split(col("word"), "").as("syms")))
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (step <- 1 to rounds) {
       val w = Window.partitionBy("word").orderBy("i")
@@ -88,7 +92,7 @@ object Bpe {
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((step, a, b, a + b, c))
-        words = mergeRound(words, a, b).localCheckpoint(false)
+        words = lin.state(mergeRound(words, a, b))
       }
     }
     import spark.implicits._
@@ -98,8 +102,10 @@ object Bpe {
   /** Segment `words` (any `(word, cnt, syms)` table, e.g. fresh
     * `wordCounts` with char splits) by replaying a learned merge table in
     * order — the "apply tokenizer" half. */
-  def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+  def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val lin = new Lineage(words.sparkSession)
     merges.foldLeft(words) { case (acc, (a, b)) =>
-      mergeRound(acc, a, b).localCheckpoint(false)
+      lin.state(mergeRound(acc, a, b))
     }
+  }
 }

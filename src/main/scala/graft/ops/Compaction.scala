@@ -115,11 +115,19 @@ object Compaction {
     * listing fails loudly: the head must always be a complete file set. */
   private def trackedFiles(spark: SparkSession, fs: FileSystem, p: Path,
       dir: String): Option[Seq[FileStatus]] =
-    TableManifest.readHead(spark, dir).map { case (_, names, _) =>
-      val listed = dataFiles(fs, p).map(s => s.getPath.getName -> s).toMap
-      names.map(n => listed.getOrElse(n,
-        sys.error(s"manifest-listed file missing from $dir: $n")))
-    }
+    TableManifest.readHead(spark, dir)
+      .map { case (_, names, _) => resolveListed(fs, p, dir, names) }
+
+  /** Shared body of the manifest-set lookup: one `listStatus`, filtered to
+    * `names`, loud on a missing file. Callers that already hold the head
+    * (e.g. [[compactInPlace]]'s CAS loop) pass its name list directly so
+    * the candidate set and the CAS expectation come from the SAME read. */
+  private def resolveListed(fs: FileSystem, p: Path, dir: String,
+      names: Seq[String]): Seq[FileStatus] = {
+    val listed = dataFiles(fs, p).map(s => s.getPath.getName -> s).toMap
+    names.map(n => listed.getOrElse(n,
+      sys.error(s"manifest-listed file missing from $dir: $n")))
+  }
 
   /** Incremental in-place compaction of one directory: rewrite the
     * under-sized files into ~`targetBytes` outputs alongside the untouched
@@ -154,11 +162,7 @@ object Compaction {
       attempt += 1
       val tracked = TableManifest.readHead(spark, dir)
       val files = tracked match {
-        case Some((_, names, _)) =>
-          // one listStatus filtered to the manifest set (see trackedFiles)
-          val listed = dataFiles(fs, p).map(s => s.getPath.getName -> s).toMap
-          names.map(n => listed.getOrElse(n,
-            sys.error(s"manifest-listed file missing from $dir: $n")))
+        case Some((_, names, _)) => resolveListed(fs, p, dir, names)
         case None => dataFiles(fs, p)
       }
       val (small, large) = files.partition(_.getLen < minFileBytes)

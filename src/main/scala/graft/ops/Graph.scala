@@ -69,12 +69,14 @@ object Graph {
     *
     * The oriented edge set feeds three join legs on three different keys
     * (dst, src, (src, dst)), so without materialization the two degree
-    * joins recompute three times. A lazy `localCheckpoint` stores the
-    * oriented edges (memory-and-disk blocks, spillable) on first use and
-    * serves the other two legs from the block store — the same
-    * lineage-bounding trade [[Cluster]] makes for its iterated joins. */
+    * joins recompute three times. A lazy [[Lineage.invariant]] cut stores
+    * the oriented edges on first use and serves the other two legs from it
+    * — non-replicated blocks by default, a reliable checkpoint when the
+    * session has a checkpoint dir (the durable mode for lost-executor
+    * survival on long cluster runs). */
   def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame = {
-    val oriented = orientByDegree(edges, deg).localCheckpoint(false)
+    val lin = new Lineage(edges.sparkSession)
+    val oriented = lin.invariant(orientByDegree(edges, deg), eager = false)
     orientedWedges(oriented).as("wg")
       .join(oriented.as("e3"),
         col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))
@@ -89,11 +91,15 @@ object Graph {
     * Cf. Page et al., "The PageRank citation ranking" (1999).
     *
     * Scale shape: the (edge ⋈ out-degree) relation is iteration-invariant
-    * and materialized ONCE (`localCheckpoint`); each iteration is then one
-    * equi-join on src plus one map-side-combined sum keyed by dst. Rank
-    * lineage is checkpointed every other round, the [[Cluster]] trade —
-    * iteration count is fixed by the caller, so total work is
-    * O(iters · |E|) with no driver-side data movement.
+    * and materialized ONCE; each iteration is then one equi-join on src
+    * plus one map-side-combined sum keyed by dst. Rank lineage is cut
+    * every other round via [[Lineage.state]] — iteration count is fixed by
+    * the caller, so total work is O(iters · |E|) with no driver-side data
+    * movement. Lineage cuts are non-replicated `localCheckpoint` blocks by
+    * default; when the session has a checkpoint dir configured
+    * (`sc.setCheckpointDir`) the cuts go DURABLE — persisted-with-lineage
+    * rounds plus a reliable checkpoint every few cuts — so an hours-long
+    * cluster run survives executor loss (see [[Lineage]]).
     *
     * Dangling nodes (no out-edges): with `redistributeDangling = false`
     * their mass simply leaks each round — harmless on symmetric edge sets
@@ -109,15 +115,18 @@ object Graph {
       redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(scale >= 100, s"scale must be >= 100 for the integer damping: $scale")
+    val lin = new Lineage(edges.sparkSession)
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outDeg, "src").localCheckpoint()
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
+    val withDeg = lin.invariant(edges.join(outDeg, "src"))
+    val nodes = lin.invariant(
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct())
     val dangling =
       if (redistributeDangling)
-        nodes.join(edges.select(col("src").as("node")).distinct(),
-          Seq("node"), "left_anti").localCheckpoint()
+        lin.invariant(
+          nodes.join(edges.select(col("src").as("node")).distinct(),
+            Seq("node"), "left_anti"))
       else null
     val nNodes = if (redistributeDangling) nodes.count() else 0L
     var pr = nodes.withColumn("pr", lit(scale))
@@ -139,7 +148,7 @@ object Graph {
         } else
           base.select(col("node"),
             expr(s"(${15L * scale} + 85 * coalesce(sc, 0L)) DIV 100").as("pr"))
-      if (i % 2 == 0) pr = pr.localCheckpoint()
+      if (i % 2 == 0) pr = lin.state(pr, eager = true)
     }
     pr
   }

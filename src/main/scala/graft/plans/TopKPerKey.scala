@@ -258,15 +258,14 @@ private[plans] object TopKSpill {
     def flush(): Unit = if (buf.nonEmpty) {
       val sorted = buf.sortWith(cmp(_, _) < 0)
       // spill to Spark's configured local scratch dirs, not java.io.tmpdir:
-      // on clusters /tmp is commonly a small tmpfs while spark.local.dir
-      // points at the large shuffle disks — the near-unique-keys case this
-      // fallback exists for would otherwise fill /tmp and die on ENOSPC
-      val localDirs = Option(org.apache.spark.SparkEnv.get)
-        .map(_.conf.get("spark.local.dir", System.getProperty("java.io.tmpdir")))
-        .getOrElse(System.getProperty("java.io.tmpdir"))
-        .split(",").map(_.trim).filter(_.nonEmpty)
+      // on clusters /tmp is commonly a small tmpfs while the shuffle disks
+      // are where SPARK_LOCAL_DIRS / LOCAL_DIRS (YARN, K8s) point — those
+      // env overrides beat spark.local.dir, so resolution goes through
+      // Utils.getLocalDir (via LocalDirBridge), the same path Spark's own
+      // spill code uses; the near-unique-keys case this fallback exists
+      // for would otherwise fill /tmp and die on ENOSPC
       val dir = new java.io.File(
-        localDirs(scala.util.Random.nextInt(localDirs.length)))
+        org.apache.spark.sql.graft.LocalDirBridge.scratchDir())
       val f = java.io.File.createTempFile("graft-topk-", ".spill", dir)
       val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(f), 1 << 16))

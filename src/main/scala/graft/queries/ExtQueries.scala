@@ -4096,7 +4096,9 @@ object ExtQueries {
        |    CAST(round(l_extendedprice) AS BIGINT) AS price,
        |    CAST(round(l_discount * 100) AS BIGINT) AS disc,
        |    CAST(round(l_tax * 100) AS BIGINT) AS tax
-       |  FROM lineitem),
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
        |m AS MATERIALIZED (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    ${moments.mkString(",\n    ")}
