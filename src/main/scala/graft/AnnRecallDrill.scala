@@ -80,6 +80,51 @@ object AnnRecallDrill {
     out
   }
 
+  /** Planted-PAIR recall of [[graft.ops.Similarity.bandedNearDupPairs]] at
+    * scaled corpus size — the measured-recall companion to its measured
+    * wall ratio (ScaleDrill `banded_neardup`). Unlike the top-k indexes
+    * above, the banded op's payload is PAIRS, so truth here is the exact
+    * pair set within the planted family (probes ∪ their perturbed copies)
+    * whose true cosine ≥ `minCos` — computed by brute force over the
+    * ~120-vector family — and recall is the fraction of those pairs the
+    * banded op (run over the FULL scaled corpus, where the band-width
+    * adaptation actually kicks in) emits. This is exactly the number the
+    * count-adaptive band sizing could silently trade away: wider bands cut
+    * candidate volume AND borderline-pair recall; the spec floor pins it.
+    * Returns (recall, truthPairs). */
+  def measureBandedPairs(spark: SparkSession, sfDir: String, mult: Int,
+      nProbes: Int = 20, minCos: Double = 0.95): (Double, Long) = {
+    import graft.functions.Dot
+    import graft.ops.Similarity
+    val vs = corpusWithPlants(spark, sfDir, mult, nProbes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val famPred = col("vec_id") < nProbes ||
+      col("vec_id") >= 2000000000000000L
+    val fam = vs.filter(famPred)
+    val withNorm = fam.withColumn("nrm", sqrt(Dot.of(col("v"), col("v"))))
+    // ~120 × 120 brute pairs — the exact truth, same rounding as the op
+    val truth = withNorm.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .crossJoin(withNorm.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        round(Dot.of(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= minCos)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = Similarity.bandedNearDupPairs(vs, minCos)
+      .filter((col("id_a") < nProbes || col("id_a") >= 2000000000000000L) &&
+        (col("id_b") < nProbes || col("id_b") >= 2000000000000000L))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    vs.unpersist()
+    val recall =
+      if (truth.isEmpty) 1.0
+      else truth.intersect(gotPairs).size.toDouble / truth.size
+    (recall, truth.size.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "32").toInt
@@ -94,10 +139,12 @@ object AnnRecallDrill {
     // the measured corpus includes the planted near-dups (20 probes × 5)
     val n = Tables.load(spark, sfDir, "embeddings").count() * mult + 20 * 5
     val rec = measure(spark, sfDir, mult)
+    val (bRec, bTruth) = measureBandedPairs(spark, sfDir, mult)
     val json = rec.toSeq.sortBy(_._1).map { case (m, (r, p)) =>
       f""""$m":{"recall":$r%.3f,"planted":$p%.3f}"""
     }.mkString(",")
-    println(s"""{"metric":"ann_recall","n":$n,"planted":100,"k":10,"methods":{$json}}""")
+    println(s"""{"metric":"ann_recall","n":$n,"planted":100,"k":10,"methods":{$json},""" +
+      f""""banded_pairs":{"recall":$bRec%.3f,"truth_pairs":$bTruth}}""")
     spark.stop()
   }
 }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.Graph
+
 /** Scale-up drill: materialize an N× copy of the sf tables and time one
   * representative workload per operator family at 1× and N×, printing one
   * JSON line of `{family: {base_s, scaled_s, ratio}}`.
@@ -125,6 +127,18 @@ object ScaleDrill {
         spark, s"$d/events_tracked", Seq("event_id"))
     }
 
+    // canonical (a < b) part-co-purchase edges of the copy-disjoint graph
+    // (see the iterated-graph families below for the shape rationale)
+    def copartEdges(dir: String): DataFrame = {
+      val l = liDf(dir).select(col("l_orderkey").as("k"),
+        (col("l_partkey") +
+          expr("l_orderkey DIV 1000000000") * lit(10000000L)).as("p"))
+      val x = l.select(col("k"), col("p").as("pa"))
+      val y = l.select(col("k"), col("p").as("pb"))
+      x.join(y, "k").where(col("pa") < col("pb"))
+        .select(col("pa").as("a"), col("pb").as("b")).distinct()
+    }
+
     val families: Seq[(String, String => DataFrame)] = Seq(
       "scan_agg" -> { dir: String =>
         evDf(dir).groupBy(to_date(col("ts")).as("d"), col("event_type"))
@@ -229,6 +243,31 @@ object ScaleDrill {
           docDf(dir), "doc_id", "text", maxDf = cap)
         graft.ops.Index.conjunctiveLookup(p, Seq("dup", "key"))
           .agg(count(lit(1)).as("n"), sum("doc").as("s"))
+      },
+      // iterated-graph families: part-co-purchase edges (parts sharing an
+      // order; ≤ 7 lineitems/order bounds the per-order pair fan-out, so
+      // |E| is linear in |lineitem|). Partkeys are re-offset per copy
+      // (copy index recovered from the orderkey offset) so each copy is a
+      // DISJOINT subgraph — degrees stay constant, the realistic growth
+      // mode. Cost model being verified: triangles = one oriented 3-way
+      // equi-join (O(m^1.5) worst case, far below on this bounded-degree
+      // graph); pagerank = iters × (equi-join + map-side-combined sum),
+      // so i2/i6 at both scales separate per-iteration cost from the
+      // iteration-invariant setup (degree join, node set, edge build)
+      "triangle_count" -> { dir: String =>
+        Graph.triangleCount(copartEdges(dir))
+      },
+      "pagerank_i2" -> { dir: String =>
+        Graph.pageRank(copartEdges(dir)
+            .select(col("a").as("src"), col("b").as("dst")),
+            iters = 2, redistributeDangling = true)
+          .agg(count(lit(1)).as("n"), sum("pr").as("s"))
+      },
+      "pagerank_i6" -> { dir: String =>
+        Graph.pageRank(copartEdges(dir)
+            .select(col("a").as("src"), col("b").as("dst")),
+            iters = 6, redistributeDangling = true)
+          .agg(count(lit(1)).as("n"), sum("pr").as("s"))
       },
       // the counter-example family: a SELECTIVE read through manifest
       // data skipping should hold near-FLAT as the corpus grows — the

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * measures actual samples. VIDEO decodes for real in the MJPEG-in-AVI
   * case ([[decodeVideoBatch]]: hand-parsed RIFF container + per-frame JPEG
   * through `javax.imageio`); inter-frame codecs (H.264/VP9) have no in-JDK
-  * decoder, so for those the generic byte-level kernels ([[FakeDecoded]],
-  * fixed-stride [[frameSample]]) remain clearly-marked deterministic
-  * stand-ins.
+  * decoder, so for those the fixed-stride [[frameSample]] slicing remains a
+  * clearly-marked deterministic stand-in (container parsing would replace
+  * the stride).
   * Everything Spark-side is real in all cases:
   * the schema shape (payload + struct metadata), partition-batched
   * processing through `mapPartitions` on a typed Dataset (the Scala analog
@@ -26,20 +26,6 @@ import org.apache.spark.sql.functions._
   * deserializes payloads.
   */
 object Multimodal {
-
-  case class MediaRow(
-      doc_id: Long,
-      payload: Array[Byte],
-      format: String,
-      n_bytes: Long)
-
-  case class FakeDecoded(
-      doc_id: Long,
-      n_bytes: Long,
-      // stub "pixel" stats — a real kernel would decode payload here (???)
-      first_byte: Int,
-      n_pixels: Long,
-      mean_byte: Double)
 
   /** Wrap a text table as a media table: payload = UTF-8 bytes standing in
     * for image bytes (real pipelines read binaryFile sources:
@@ -51,27 +37,62 @@ object Multimodal {
       lit("fake/utf8").as("format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** STUB decode: batch-iterates payloads per partition exactly like a real
-    * decode kernel would (setup once per partition, stream the iterator);
-    * the per-item math is a deterministic fake of "decode then measure". */
-  def decodeBatch(media: DataFrame): Dataset[FakeDecoded] = {
-    import media.sparkSession.implicits._
-    media.select("doc_id", "payload", "format", "n_bytes").as[MediaRow]
+  /** Deterministic synthetic MIXED-media corpus keyed by doc_id: every
+    * third row a REAL solid-color 3×2 PNG (encoded with `javax.imageio` on
+    * the executors), every third a REAL 8 kHz mono 16-bit WAV (encoded with
+    * `javax.sound.sampled`), the rest raw UTF-8 text bytes (which the
+    * magic-byte router must classify `unknown`). Because the engine
+    * encodes the payloads itself, the downstream [[routeBatch]] pass is a
+    * GENUINE decode of genuine files, yet every decoded stat is closed
+    * form: a solid (r,g,b) image decodes to means exactly (r,g,b); a
+    * constant-amplitude `a` PCM stream has rms exactly `a/32768` (32768 is
+    * a power of two, so the quotient — and the sqrt of its exact square —
+    * are IEEE-exact in any engine). That is what lets q24 hash-match a SQL
+    * oracle while exercising the real codec path end-to-end. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
-        // per-partition setup would open the codec here (??? in real life)
-        rows.map { r =>
-          val bytes = if (r.payload == null) Array.emptyByteArray else r.payload
-          val mean =
-            if (bytes.isEmpty) 0.0
-            else bytes.map(b => (b & 0xff).toLong).sum.toDouble / bytes.length
-          FakeDecoded(
-            doc_id = r.doc_id,
-            n_bytes = r.n_bytes,
-            first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
-            n_pixels = r.n_bytes / 3, // fake RGB pixel count
-            mean_byte = mean)
+        rows.map { case (id, text) =>
+          val payload = (id % 3) match {
+            case 0 => syntheticPng(id)
+            case 1 => syntheticWav(id)
+            case _ => Option(text).getOrElse("").getBytes("UTF-8")
+          }
+          (id, payload)
         }
-      }
+      }.toDF("doc_id", "payload")
+  }
+
+  /** Real 3×2 PNG, solid color (id·37, id·59, id·83) mod 256. */
+  private def syntheticPng(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (((id * 37) % 256).toInt << 16) |
+      (((id * 59) % 256).toInt << 8) | ((id * 83) % 256).toInt
+    (0 until 3).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, rgb)))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Real 8 kHz mono 16-bit little-endian WAV: 40 + id mod 8 frames of
+    * constant amplitude (id mod 1000 + 1)·16. */
+  private def syntheticWav(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = (40 + id % 8).toInt
+    val a = (((id % 1000) + 1) * 16).toInt
+    val data = new Array[Byte](2 * n)
+    (0 until n).foreach { i =>
+      data(2 * i) = (a & 0xff).toByte
+      data(2 * i + 1) = ((a >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
   }
 
   /** Metadata-only projection — must prune the payload column at the scan
@@ -121,8 +142,10 @@ object Multimodal {
 
   /** REAL image decode via in-JDK `javax.imageio` (PNG/JPEG/GIF/BMP):
     * batched per partition, pixel stats from the decoded raster. The
-    * executor-side shape is identical to [[decodeBatch]]'s; only the kernel
-    * differs. */
+    * executor-side batched-kernel shape (typed Dataset → `mapPartitions`,
+    * one iterator per partition so codec setup amortizes across the batch
+    * — the Scala analog of `mapInPandas`) is the template every decode
+    * kernel here follows; only the per-payload kernel differs. */
   /** Decode an image only after a header-only dimension peek: a few-KB
     * payload can DECLARE a 50000×50000 raster whose decode allocates ~10 GB
     * and dies with `OutOfMemoryError` — an `Error`, not an `Exception`, so
@@ -465,24 +488,6 @@ object Multimodal {
       y += 1
     }
     s / (w.toLong * h)
-  }
-
-  /** STUB resize: keep every `factor`-th payload byte (a real kernel would
-    * decode + interpolate — ??? without codecs); the executor-side batched
-    * shape and the metadata rewrite are the real parts. */
-  def resizeBatch(media: DataFrame, factor: Int): Dataset[(Long, Array[Byte], Long)] = {
-    require(factor >= 1, "factor must be >= 1")
-    import media.sparkSession.implicits._
-    media.select("doc_id", "payload", "format", "n_bytes").as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          val small = payload.indices.collect {
-            case i if i % factor == 0 => payload(i)
-          }.toArray
-          (r.doc_id, small, small.length.toLong)
-        }
-      }
   }
 
   /** Shared split core for every binaryFile-shaped ingestion path: key by

@@ -850,25 +850,40 @@ object ExtQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- Q24
-  def q24Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val media = Multimodal.asMedia(docs)
-    // decode stats come from the binary stub; first_char is a code point
-    // (DuckDB ascii() returns code points, not UTF-8 bytes — the stub's
-    // byte-level first_byte would diverge on any non-ASCII-leading text)
-    Multimodal.decodeBatch(media)
-      .select("doc_id", "n_bytes", "n_pixels")
-      .join(docs.select(col("doc_id"), ascii(col("text")).as("first_char")),
-        "doc_id")
-      .select("doc_id", "n_bytes", "first_char", "n_pixels")
+  /** End-to-end mixed-media ingest through the REAL codec path: the engine
+    * synthesizes genuine PNG/WAV/text payloads per doc_id
+    * ([[Multimodal.syntheticMedia]] — actual `javax.imageio` /
+    * `javax.sound.sampled` encoders on the executors), routes them by
+    * magic bytes, and decodes each modality with its real decoder
+    * ([[Multimodal.routeBatch]]). Every decoded stat is closed form
+    * because the engine encoded the payloads itself (solid-color rasters,
+    * constant-amplitude PCM over power-of-two scale), so the oracle
+    * predicts genuine decode output without owning a codec. */
+  def q24Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.routeBatch(Multimodal.syntheticMedia(t(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("ok"), col("width"),
+        col("height"), col("sample_rate"), col("channels"), col("frames"),
+        round(col("metric"), 6).as("metric"))
       .orderBy("doc_id")
-  }
 
   val q24Sql: String =
     """SELECT doc_id,
-      |  octet_length(text::BLOB) AS n_bytes,
-      |  ascii(text) AS first_char,
-      |  octet_length(text::BLOB) // 3 AS n_pixels
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'unknown' END AS kind,
+      |  doc_id % 3 < 2 AS ok,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE -1 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE -1 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 ELSE -1 END AS INT) AS sample_rate,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE -1 END AS INT)
+      |    AS channels,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 40 + doc_id % 8
+      |    ELSE -1 END AS BIGINT) AS frames,
+      |  round(CASE doc_id % 3
+      |    WHEN 0 THEN ((doc_id * 37) % 256 + (doc_id * 59) % 256
+      |      + (doc_id * 83) % 256) / 3.0
+      |    WHEN 1 THEN (((doc_id % 1000) + 1) * 16) / 32768.0
+      |    ELSE 0.0 END, 6) AS metric
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- Q25

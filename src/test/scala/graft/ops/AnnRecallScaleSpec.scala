@@ -45,4 +45,18 @@ class AnnRecallScaleSpec extends SparkSpec {
     }
     assert(broken.isEmpty, s"recall degradation at scale:\n${broken.mkString("\n")}")
   }
+
+  test("bandedNearDupPairs planted-pair recall floor holds at 32x") {
+    // the banded op's count-adaptive band width trades candidate volume
+    // against borderline-pair recall; this floor stops a retune from
+    // silently trading away the near-duplicates the op exists to find.
+    // Measured at 64k (deterministic): recall 1.000 over 150 true pairs
+    // at cos >= 0.95 within the planted family (COVERAGE.md).
+    val (recall, truthPairs) =
+      graft.AnnRecallDrill.measureBandedPairs(spark, "/root/testdata/sf0.1", 32)
+    assert(truthPairs >= 100L,
+      s"planted family produced too few true pairs: $truthPairs")
+    assert(recall >= 0.95,
+      f"banded planted-pair recall degraded at scale: $recall%.3f (floor 0.95)")
+  }
 }

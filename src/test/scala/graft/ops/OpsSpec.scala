@@ -222,15 +222,34 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("payload"), "payload should be pruned:\n" + plan)
   }
 
-  test("multimodal: stub decode computes per-batch byte stats") {
-    val media = Multimodal.asMedia(graft.Tables.load(spark, sfDir, "documents"))
-    val decoded = Multimodal.decodeBatch(media).collect()
+  test("multimodal: synthetic media routes and decodes through the real codecs") {
+    val decoded = Multimodal.routeBatch(
+        Multimodal.syntheticMedia(graft.Tables.load(spark, sfDir, "documents")))
+      .collect()
     assert(decoded.length == 500)
-    assert(decoded.forall(d => d.mean_byte > 0 && d.first_byte >= 0))
-    assert(decoded.forall(d => d.n_pixels == d.n_bytes / 3))
+    val byKind = decoded.groupBy(_.kind)
+    // real PNGs decode with real dimensions, real WAVs with real formats;
+    // text payloads are classified unknown and come back as DATA, not errors
+    assert(byKind("image").forall(d =>
+      d.ok && d.width == 3 && d.height == 2 && d.channels == 3))
+    assert(byKind("audio").forall(d =>
+      d.ok && d.sample_rate == 8000 && d.channels == 1 &&
+        d.frames == 40 + d.doc_id % 8))
+    assert(byKind("unknown").forall(d => !d.ok))
+    // closed-form decode stats: rms of constant amplitude a is exactly
+    // a/32768; solid (r,g,b) means average to (r+g+b)/3
+    byKind("audio").foreach { d =>
+      val a = ((d.doc_id % 1000) + 1) * 16
+      assert(d.metric == a / 32768.0, s"doc ${d.doc_id}: rms ${d.metric}")
+    }
+    byKind("image").foreach { d =>
+      val exp = ((d.doc_id * 37) % 256 + (d.doc_id * 59) % 256 +
+        (d.doc_id * 83) % 256) / 3.0
+      assert(d.metric == exp, s"doc ${d.doc_id}: mean ${d.metric} != $exp")
+    }
   }
 
-  test("multimodal: frame sampling reassembles to the payload; resize keeps every kth byte") {
+  test("multimodal: frame sampling reassembles to the payload") {
     import spark.implicits._
     val media = Multimodal.asMedia(
       Seq((1L, "x" * 100), (2L, "abcdefgh" * 20), (3L, "")).toDF("doc_id", "text"))
@@ -248,10 +267,6 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "frame_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(sampled.forall(_._2 % 2 == 0))
-    // resize by 2: ceil(n/2) bytes survive, and they are the even offsets
-    val resized = Multimodal.resizeBatch(media, 2).collect()
-      .map(t => t._1 -> t._3).toMap
-    assert(resized == Map(1L -> 50L, 2L -> 80L, 3L -> 0L))
   }
 
   test("SimHash32 expression is value-identical to the declarative nested-fold form") {
