@@ -1038,17 +1038,21 @@ object ExtQueries {
 
   // ---------------------------------------------------------------- Q49
   /** GROUPING SETS (the surface rollup/cube can't express: disjoint
-    * single-dimension groupings + grand total in one pass), consumed
-    * through the SQL interface like q33. */
-  def q49GroupingSets(s: SparkSession, dir: String): DataFrame = {
-    Tables.register(s, dir)
-    s.sql(
-      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
-  }
+    * single-dimension groupings + grand total in one pass) — built with
+    * the native `Dataset.groupingSets` API (Spark 4), so the oracle text
+    * is a genuine second consumption path (SqlSurfaceSpec runs it through
+    * `spark.sql` and pins DataFrame ≡ SQL). */
+  def q49GroupingSets(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
 
   val q49Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -5323,8 +5327,14 @@ object ExtQueries {
   /** Conjunctive lookup ([[graft.ops.Index.conjunctiveLookup]]) through
     * the q157 index: documents containing BOTH 'dup' and 'key', answered
     * from two posting rows (explode + hit-count gate) — never a corpus
-    * scan. The oracle recomputes the AND from the raw text, so the
-    * posting CONTENTS (not just their bounds) are hash-checked. */
+    * scan. The oracle recomputes the lookup from the raw text INCLUDING
+    * the df-cap policy (a capped term carries no selectivity and matches
+    * everything), so both the posting CONTENTS and the cap's degradation
+    * semantics are hash-checked — at sf0.01 no query term is capped and
+    * this is a plain AND; at sf0.1 'key' crosses the 395 cap and BOTH
+    * engines must agree the lookup degrades to the listed term's posting
+    * (the round-11 sf0.1 full-surface sweep caught the old
+    * both-terms-hardcoded oracle diverging exactly here). */
   def q158ConjunctiveLookup(s: SparkSession, dir: String): DataFrame = {
     val postings = graft.ops.Index.buildPostings(
       t(s, dir, "documents"), "doc_id", "text", maxDf = 395L)
@@ -5334,9 +5344,19 @@ object ExtQueries {
   val q158Sql: String =
     """WITH td AS (
       |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS term
-      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL)
-      |SELECT doc_id AS doc FROM td WHERE term IN ('dup', 'key')
-      |GROUP BY doc_id HAVING COUNT(*) = 2 ORDER BY doc""".stripMargin
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |q AS (
+      |  SELECT term, COUNT(*) AS df FROM td
+      |  WHERE term IN ('dup', 'key') GROUP BY term),
+      |gate AS (
+      |  SELECT COUNT(*) AS nt, COUNT(*) FILTER (WHERE df <= 395) AS req
+      |  FROM q)
+      |SELECT doc_id AS doc
+      |FROM td JOIN q USING (term) CROSS JOIN gate
+      |WHERE q.df <= 395
+      |GROUP BY doc_id, gate.nt, gate.req
+      |HAVING COUNT(*) = gate.req AND gate.nt = 2 AND gate.req >= 1
+      |ORDER BY doc""".stripMargin
 
   // ---------------------------------------------------------------- Q159
   /** Version reconciliation ([[graft.ops.TableManifest.diffVersions]]):

@@ -1,0 +1,81 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.connector.catalog.TableProvider
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TableManifest
+
+/** DataSource V2 provider exposing [[graft.ops.TableManifest]] tables to
+  * generic consumers — most importantly the pure-SQL surface:
+  *
+  * {{{
+  *   CREATE TABLE events USING `graft-manifest` OPTIONS (path '/wh/events');
+  *   SELECT * FROM events;                                     -- head
+  *   spark.read.format("graft-manifest")
+  *     .option("versionAsOf", 3).load(dir)                     -- time travel
+  * }}}
+  *
+  * (Direct `FROM `graft-manifest`.`dir`` path queries are not available:
+  * Spark restricts that syntax to V1 `FileFormat` sources; `CREATE TABLE
+  * ... USING` is the DSv2 SQL entry point.)
+  *
+  * The provider resolves the manifest at ANALYSIS time — reads the head
+  * (or `versionAsOf`) manifest version, maps its file names to full paths
+  * — and then delegates scanning to Spark's own parquet DSv2 table over
+  * exactly that file list. So every scan feature the native parquet
+  * source has (column pruning, predicate pushdown, vectorized read,
+  * partition-size splitting) applies unchanged, and the manifest layer
+  * only decides WHICH files exist — the same separation
+  * [[TableManifest.readTable]] makes, now reachable from SQL. A snapshot
+  * is pinned when the relation is resolved: concurrent commits or vacuums
+  * after analysis don't change (or break) a running query, because the
+  * delegate holds explicit file paths, never a directory listing.
+  *
+  * An untracked plain directory falls back to the full parquet dir scan
+  * (mirrors `readTable`'s contract). */
+class ManifestTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-manifest"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def delegate(options: CaseInsensitiveStringMap,
+      userSchema: Option[StructType]): Table = {
+    val dir = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+      sys.error("graft-manifest requires a path " +
+        "(`.load(dir)`, `.option(\"path\", dir)`, or FROM `graft-manifest`.`dir`)"))
+    val spark = SparkSession.active
+    val files = Option(options.get("versionAsOf")) match {
+      case Some(v) =>
+        TableManifest.readAt(spark, dir, v.toLong)
+          .getOrElse(sys.error(
+            s"graft-manifest: version $v does not exist in $dir"))
+          .map(f => s"$dir/$f")
+      case None =>
+        TableManifest.read(spark, dir) match {
+          case Some((_, names)) => names.map(f => s"$dir/$f")
+          case None             => Seq(dir) // untracked: plain dir scan
+        }
+    }
+    new ParquetTable(s"graft-manifest:$dir", spark, options, files,
+      userSchema, classOf[ParquetFileFormat])
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    delegate(options, None).asInstanceOf[ParquetTable].schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    delegate(new CaseInsensitiveStringMap(properties), Option(schema))
+}
