@@ -5645,6 +5645,37 @@ object ExtQueries {
       |  BETWEEN 1704844800000000 AND 1704931199999999
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q167
+  /** Manifest table read through the generic DSv2 provider
+    * ([[graft.sources.ManifestTableProvider]], `format("graft-manifest")`)
+    * — the consumption path SQL/BI users get. The fixture makes HEAD
+    * resolution observable in the hash: a stale v1 (every third order)
+    * is written first and then `publish` commits a full replacement, so
+    * the delisted v1 files are still ON DISK awaiting vacuum — a provider
+    * that listed the directory instead of resolving the head manifest
+    * would double-count those rows and hash-mismatch. The oracle is the
+    * same aggregate over the raw orders table (= the head snapshot). */
+  def q167ManifestProviderRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q167")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.publish(src, tmp)
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q167Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5800,7 +5831,8 @@ object ExtQueries {
     "q163_kanon_by_day" -> (q163KAnonByDay _),
     "q164_ldiv_by_source" -> (q164LDivBySource _),
     "q165_temperature_resample" -> (q165TemperatureResample _),
-    "q166_time_sliced_read" -> (q166TimeSlicedRead _))
+    "q166_time_sliced_read" -> (q166TimeSlicedRead _),
+    "q167_manifest_provider" -> (q167ManifestProviderRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5958,5 +5990,6 @@ object ExtQueries {
     "q163_kanon_by_day" -> q163Sql,
     "q164_ldiv_by_source" -> q164Sql,
     "q165_temperature_resample" -> q165Sql,
-    "q166_time_sliced_read" -> q166Sql)
+    "q166_time_sliced_read" -> q166Sql,
+    "q167_manifest_provider" -> q167Sql)
 }

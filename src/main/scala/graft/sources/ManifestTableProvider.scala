@@ -66,6 +66,13 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
           case None             => Seq(dir) // untracked: plain dir scan
         }
     }
+    // the manifest stores file names, not a schema — a zero-file version
+    // has nothing to infer from, and letting the parquet table throw its
+    // generic unable-to-infer error would point users at the wrong layer
+    if (files.isEmpty && userSchema.isEmpty)
+      sys.error(s"graft-manifest: the resolved version of $dir lists no " +
+        "files, so the schema cannot be inferred; pass an explicit schema " +
+        "to read an empty table")
     new ParquetTable(s"graft-manifest:$dir", spark, options, files,
       userSchema, classOf[ParquetFileFormat])
   }
