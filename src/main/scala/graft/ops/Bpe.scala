@@ -96,12 +96,19 @@ object Bpe {
       }
     }
     import spark.implicits._
+    // the merge table lives driver-side (one row collected per round), so
+    // nothing downstream depends on the word-table lineage anymore — in
+    // durable mode this releases the interim persisted rounds
+    lin.close()
     merges.result().toDF("step", "pair_a", "pair_b", "merged", "cnt")
   }
 
   /** Segment `words` (any `(word, cnt, syms)` table, e.g. fresh
     * `wordCounts` with char splits) by replaying a learned merge table in
-    * order — the "apply tokenizer" half. */
+    * order — the "apply tokenizer" half. Unlike [[train]], the RESULT here
+    * is the final round's table, so interim durable-mode persists can't be
+    * released eagerly — they unpin via LRU/session end (bounded: at most
+    * `every` round-states live at once). */
   def segment(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val lin = new Lineage(words.sparkSession)
     merges.foldLeft(words) { case (acc, (a, b)) =>

@@ -48,13 +48,23 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  private def delegate(options: CaseInsensitiveStringMap,
-      userSchema: Option[StructType]): Table = {
-    val dir = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
-      sys.error("graft-manifest requires a path " +
-        "(`.load(dir)`, `.option(\"path\", dir)`, or FROM `graft-manifest`.`dir`)"))
+  /** Snapshot resolved by the LAST `inferSchema` on this provider
+    * instance, keyed by (path, versionAsOf). Spark calls `inferSchema`
+    * then `getTable` on the same instance during one load; without this,
+    * the two calls would read the manifest twice, and a commit landing in
+    * between would split schema inference and the scan across DIFFERENT
+    * snapshots. `getTable` reuses the pinned file list when the key
+    * matches and only re-resolves for a genuinely different read. */
+  @volatile private var pinned: Option[(String, Seq[String])] = None
+
+  private def snapshotKey(options: CaseInsensitiveStringMap,
+      dir: String): String =
+    dir + " " + Option(options.get("versionAsOf")).getOrElse("")
+
+  private def resolveFiles(options: CaseInsensitiveStringMap,
+      dir: String): Seq[String] = {
     val spark = SparkSession.active
-    val files = Option(options.get("versionAsOf")) match {
+    Option(options.get("versionAsOf")) match {
       case Some(v) =>
         TableManifest.readAt(spark, dir, v.toLong)
           .getOrElse(sys.error(
@@ -66,6 +76,22 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
           case None             => Seq(dir) // untracked: plain dir scan
         }
     }
+  }
+
+  private def delegate(options: CaseInsensitiveStringMap,
+      userSchema: Option[StructType]): Table = {
+    val dir = Option(options.get("path")).filter(_.nonEmpty).getOrElse(
+      sys.error("graft-manifest requires a path " +
+        "(`.load(dir)`, `.option(\"path\", dir)`, or a catalog table " +
+        "created with USING `graft-manifest` OPTIONS (path ...))"))
+    val key = snapshotKey(options, dir)
+    val files = pinned match {
+      case Some((k, fs)) if k == key => fs
+      case _ =>
+        val fs = resolveFiles(options, dir)
+        pinned = Some((key, fs))
+        fs
+    }
     // the manifest stores file names, not a schema — a zero-file version
     // has nothing to infer from, and letting the parquet table throw its
     // generic unable-to-infer error would point users at the wrong layer
@@ -73,8 +99,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       sys.error(s"graft-manifest: the resolved version of $dir lists no " +
         "files, so the schema cannot be inferred; pass an explicit schema " +
         "to read an empty table")
-    new ParquetTable(s"graft-manifest:$dir", spark, options, files,
-      userSchema, classOf[ParquetFileFormat])
+    new ParquetTable(s"graft-manifest:$dir", SparkSession.active, options,
+      files, userSchema, classOf[ParquetFileFormat])
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
