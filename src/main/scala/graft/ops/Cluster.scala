@@ -16,8 +16,13 @@ import org.apache.spark.sql.functions._
   * convergence is O(log diameter) rounds instead of O(diameter) — 2–3
   * rounds for the dense little cliques near-dup graphs form, and ~20
   * rounds covers diameters up to ~2^20 even for degenerate path graphs.
-  * Every round is materialized via `localCheckpoint` to cut the
-  * exponential lineage an iterative join would otherwise build up.
+  * Every round is materialized through a [[Lineage]] cut to stop the
+  * exponential lineage an iterative join would otherwise build up —
+  * non-replicated `localCheckpoint` blocks by default, or (when the
+  * session has `sc.setCheckpointDir` configured) the durable
+  * persist-with-lineage + periodic reliable checkpoint mode, so a long
+  * 100 TB clustering run survives executor loss like the other iterated
+  * ops (Graph, Bpe).
   */
 object Cluster {
 
@@ -36,22 +41,25 @@ object Cluster {
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .union(e0.select(col("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+    val lin = new Lineage(pairs.sparkSession)
+    val edgesCut = lin.invariant(edges)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = lin.state(
+      edgesCut.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      eager = true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       // neighborhood-min step — materialized once: the pointer-doubling
       // self-join below references it twice, and an un-checkpointed plan
       // would recompute the join+aggregation for each side
-      val prop = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nl"))
-        .localCheckpoint(true)
+      val prop = lin.state(
+        edgesCut
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("nl")),
+        eager = true)
       // pointer-doubling step: follow the fresh label one more hop
       // (label-of-label) — labels only ever decrease, so this is safe and
       // halves the distance to the component minimum each round
@@ -60,23 +68,26 @@ object Cluster {
           col("x.nl") === col("y.lid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.nl"), coalesce(col("y.ll"), col("x.nl"))).as("cand"))
-      val next = hop
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .select(col("id"),
-          least(col("cand"), col("prev")).as("label"),
-          (col("cand") < col("prev")).as("moved"))
-        .localCheckpoint(true)
+      val next = lin.state(
+        hop
+          .join(labels.select(col("id"), col("label").as("prev")), "id")
+          .select(col("id"),
+            least(col("cand"), col("prev")).as("label"),
+            (col("cand") < col("prev")).as("moved")),
+        eager = true)
       changed = next.filter(col("moved")).count()
-      // release superseded rounds: localCheckpoint blocks are
-      // non-recomputable executor storage — without the unpersist, a
+      // release superseded rounds: in default mode localCheckpoint blocks
+      // are non-recomputable executor storage — without the unpersist, a
       // 10-round run pins ~2 node-scale relations PER round until eviction
-      // kills the job with a missing-checkpoint error instead of degrading
+      // kills the job with a missing-checkpoint error instead of degrading.
+      // (In durable mode these are recomputable cached rounds / no-op on
+      // reliable-checkpointed ones — releasing early is equally safe.)
       labels.unpersist()
       prop.unpersist()
       labels = next.drop("moved")
       i += 1
     }
-    edges.unpersist()
+    edgesCut.unpersist()
     labels.withColumnRenamed("label", "cluster")
   }
 

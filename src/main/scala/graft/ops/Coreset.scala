@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * lookup for the winner's vector. No join, no explode, no all-pairs
   * anything: k passes over the data, each embarrassingly parallel. The
   * final assignment/summary is one more zero-shuffle map + a k-group
-  * aggregation. The input is `localCheckpoint`ed once so the k+1 passes
+  * aggregation. The input gets one [[Lineage]] invariant cut so the k+1 passes
   * don't recompute upstream lineage.
   *
   * The argmax is encoded into one long — `minDist · idCap + (idCap−1−id)`
@@ -55,9 +55,11 @@ object Coreset {
       vecCol: String = "qv",
       idCap: Long = 1L << 20): (DataFrame, Seq[(Long, Long, Long)]) = {
     require(k >= 1, s"k must be >= 1: $k")
-    val pts = vecs
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .localCheckpoint() // k+1 passes; rows × dim longs, no lineage replay
+    val lin = new Lineage(vecs.sparkSession)
+    val pts = lin.invariant(vecs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v")))
+    // ^ k+1 passes; rows × dim longs, no lineage replay — durable when the
+    //   session has a checkpoint dir (the iterated-op Lineage discipline)
 
     // the encoding precondition is load-bearing: an id outside [0, idCap)
     // borrows from the distance field and silently decodes a WRONG center
@@ -78,9 +80,9 @@ object Coreset {
     // carry the running min-dist per point (the oracle's d_r CTE): each
     // round evaluates ONE new sqDist, so total distance work is O(k·n·dim),
     // not the O(k²·n·dim) of re-minimizing over all chosen centers
-    var cur = pts
-      .withColumn("md", KMeans.sqDist(col("v"), typedLit(centers(0)._4)))
-      .localCheckpoint()
+    var cur = lin.state(pts
+      .withColumn("md", KMeans.sqDist(col("v"), typedLit(centers(0)._4))),
+      eager = true)
 
     // the `maxDist·idCap < 2^63` precondition was only a Scaladoc comment —
     // violating it silently selects WRONG centers. One cheap 1-row aggregate
@@ -102,9 +104,10 @@ object Coreset {
       val vec = cur.filter(col("id") === id)
         .select("v").collect()(0).getSeq[Long](0).toIndexedSeq
       centers :+= ((r.toLong, id, dist, vec: Seq[Long]))
-      if (r < k - 1) cur = cur
-        .withColumn("md", least(col("md"), KMeans.sqDist(col("v"), typedLit(vec))))
-        .localCheckpoint()
+      if (r < k - 1) cur = lin.state(cur
+        .withColumn("md",
+          least(col("md"), KMeans.sqDist(col("v"), typedLit(vec)))),
+        eager = true)
     }
 
     // nearest-center assignment: min over (dist·k + cid) — zero shuffle

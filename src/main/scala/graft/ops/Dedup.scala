@@ -298,7 +298,10 @@ object Dedup {
       .select(col("doc_id"), expr(s"j * $stride + 1").as("p"), col("text"))
       .select(col("doc_id"), col("p"),
         TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
-      .localCheckpoint(false)
+      // the window-hash relation is the LARGEST in the pipeline (one row
+      // per window position) — recoverable cache, never non-replicated
+      // checkpoint blocks (Index.buildPostings rationale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     markDuplicated(wins)
   }
 
@@ -359,7 +362,8 @@ object Dedup {
         % lit(stride.toLong) === 0)
       .select(col("doc_id"), col("p"),
         TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
-      .localCheckpoint(false)
+      // corpus × anchor-hit positions — recoverable cache (see above)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     markDuplicated(wins)
   }
 
@@ -407,8 +411,9 @@ object Dedup {
     * joint — so callers that need a zero-residual guarantee iterate.
     * Each round is one detect scan (reused for both the emptiness check and
     * the cut, via the eager `localCheckpoint` of the tiny flagged set) plus
-    * one splice; the rewritten corpus is `localCheckpoint`ed per round so
-    * lineage stays O(1) across rounds (the [[Cluster]] fixpoint pattern).
+    * one splice; the rewritten corpus gets a [[Lineage]] state cut per
+    * round so lineage stays O(1) across rounds and the fixpoint survives
+    * executor loss in durable mode (the [[Cluster]] fixpoint pattern).
     * Convergence is typical but not guaranteed (adversarial overlap webs
     * can stall on keeper protection), hence the `maxRounds` bound — the
     * caller can re-check with [[duplicatedSpans]] when zero residual is a
@@ -418,14 +423,17 @@ object Dedup {
       window: Int = 64,
       stride: Int = 1,
       maxRounds: Int = 8): DataFrame = {
+    val lin = new Lineage(docs.sparkSession)
     var cur = docs
     var round = 0
     while (round < maxRounds) {
       val flagged = duplicatedSpans(cur, window, stride)
         .filter(col("is_dup"))
-        .localCheckpoint()
+        .localCheckpoint() // tiny: duplicated windows only
       if (flagged.isEmpty) return cur
-      cur = cutFlaggedSpans(cur, flagged, window).localCheckpoint()
+      // the rewritten corpus is ITERATED state — Lineage cut (durable
+      // when a checkpoint dir is configured, like Cluster/Graph/Bpe)
+      cur = lin.state(cutFlaggedSpans(cur, flagged, window), eager = true)
       round += 1
     }
     cur

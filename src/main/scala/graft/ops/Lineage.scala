@@ -80,6 +80,11 @@ final class Lineage(spark: SparkSession, every: Int = 4) {
       c
     } else {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      // honor the caller's eagerness: iterations that materialized each
+      // round under localCheckpoint (so a self-join of the round reads
+      // blocks, not a twice-computed plan) keep that property in durable
+      // mode — count() populates the cache in one job
+      if (eager) p.count()
       interim += p
       p
     }

@@ -510,7 +510,10 @@ object Multimodal {
     val names = files.select(
       TextOps.h60(col("path")).as("doc_id"),
       col("path"), col("length").as("n_bytes"))
-    val stats = decode(media).localCheckpoint(false)
+    // one row per FILE of the media lake (corpus-sized): recoverable
+    // cache so an executor loss recomputes the lost decode partitions
+    // instead of killing the whole ingest (Index.buildPostings rationale)
+    val stats = decode(media).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
     val quarantined = stats.filter(!col("ok"))
       .select("doc_id", quarExtra: _*)

@@ -25,7 +25,9 @@ object Scale {
   def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // three bounded consumers, one corpus shuffle
+      // three bounded consumers, one corpus shuffle; distinct-key-sized
+      // (corpus-scale for unique keys) → recoverable cache
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(
       sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
       max(col("cnt")).as("max_cnt"))

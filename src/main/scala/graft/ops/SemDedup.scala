@@ -34,7 +34,7 @@ object SemDedup {
     val assigned = KMeans.fit(vecs, k, iters, idCol = idCol)
       .select(col(idCol), col("cid"))
       .join(vecs.select(col(idCol), col("qv")), idCol)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized (every vector); recoverable cache
     val a = assigned.select(col("cid"), col(idCol).as("__i"), col("qv").as("__qa"))
     val b = assigned.select(col("cid"), col(idCol).as("__j"), col("qv").as("__qb"))
     val droppedIds = a.join(b,

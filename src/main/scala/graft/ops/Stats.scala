@@ -107,7 +107,10 @@ object Stats {
     val u = av.join(bv, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-      .localCheckpoint()
+      // lineage-recoverable cache (Index.buildPostings rationale): the
+      // value grid is corpus-distinct-sized; non-replicated checkpoint
+      // blocks would abort the job on any executor loss
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = u.agg(sum("ca"), sum("cb")).collect()(0)
     val (na, nb) = (n.getLong(0), n.getLong(1))
     require(na > 0 && nb > 0, "ksTwoSample: both samples must be non-empty")
@@ -144,7 +147,7 @@ object Stats {
     * the guard fails loudly instead of letting Spark null the overflow. */
   def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gv = counts.select(col("g"), col("v"), col("c")).localCheckpoint()
+    val gv = counts.select(col("g"), col("v"), col("c")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-distinct-sized; recoverable cache, not checkpoint blocks
     val cv = gv.groupBy("v").agg(sum("c").as("cv"))
     val cumc = Scale.prefixSum(cv, "v", "cv", "cumc").select("v", "cumc")
     val ng = gv.groupBy("g").agg(sum("c").as("ng"))
@@ -216,7 +219,9 @@ object Stats {
     val d = v.join(broadcast(med), col("g") <=> col("__gm"))
       .drop("__gm")
       .withColumn("dev", abs(col("vc") - col("med")))
-      .localCheckpoint()
+      // corpus-sized (one row per input row): recoverable cache, not
+      // non-replicated checkpoint blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = d.groupBy("g")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
       .withColumnRenamed("g", "__gd")
@@ -249,7 +254,9 @@ object Stats {
     require(k >= 1, s"bucket count must be >= 1: $k")
     val vals = df.filter(col(valueCol).isNotNull)
       .select(col(valueCol), col(tieCol)).withColumn("__g1", lit(0))
-      .localCheckpoint() // feeds the count + groupedRank's three branches
+      // corpus-sized; recoverable cache — feeds the count + groupedRank's
+      // three branches
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = vals.agg(count(lit(1)).as("__n"))
     Scale.groupedRank(vals, "__g1", valueCol, tieCol, "__rnk", buckets)
       .crossJoin(broadcast(n))

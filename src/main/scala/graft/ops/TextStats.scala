@@ -283,7 +283,7 @@ object TextStats {
     val st = docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // vocabulary-sized; recoverable cache for its three consumers
     val ct = st.groupBy("tok").agg(sum("c").as("ct"))
     val ns = st.groupBy("source").agg(sum("c").as("ns"))
     val nt = st.agg(sum("c").as("n"))

@@ -73,6 +73,42 @@ class DurableLineageSpec extends SparkSpec {
     assert(durable == base && base == 5L)
   }
 
+  test("connected components: durable mode is bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = (1 to 200).map { _ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+    }.filter { case (a, b) => a != b }.distinct.toDF("doc_a", "doc_b")
+    val base = sortedRows(Cluster.connectedComponents(pairs, "doc_a", "doc_b"))
+    val durable = withCheckpointDir { _ =>
+      sortedRows(Cluster.connectedComponents(pairs, "doc_a", "doc_b"))
+    }
+    assert(durable == base, "durable connected components diverged")
+  }
+
+  test("coreset + span-dedup fixpoint: durable mode is bit-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 60L).map { i =>
+      (i, Seq.fill(8)(rnd.nextInt(100).toLong))
+    }.toDF("vec_id", "qv")
+    def coreset() = {
+      val (assigned, centers) = Coreset.selectFull(vecs, k = 4)
+      (sortedRows(assigned), centers)
+    }
+    val block = "the same sixty-four character duplicated block appears here verbatim!"
+    val docs = Seq(
+      (1L, s"alpha $block beta"),
+      (2L, s"gamma $block delta"),
+      (3L, "clean text with no duplication at all")).toDF("doc_id", "text")
+    def fixpoint() = sortedRows(Dedup.cutDuplicatedSpansFixpoint(docs))
+    val (baseC, baseF) = (coreset(), fixpoint())
+    val (durC, durF) = withCheckpointDir(_ => (coreset(), fixpoint()))
+    assert(durC._1 == baseC._1 && durC._2 == baseC._2,
+      "durable coreset diverged")
+    assert(durF == baseF, "durable span-dedup fixpoint diverged")
+  }
+
   test("bpe train + segment: durable mode is bit-identical") {
     import spark.implicits._
     val docs = Seq(
