@@ -3,9 +3,9 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.Table
-import org.apache.spark.sql.connector.catalog.TableProvider
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -99,16 +99,37 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       sys.error(s"graft-manifest: the resolved version of $dir lists no " +
         "files, so the schema cannot be inferred; pass an explicit schema " +
         "to read an empty table")
-    new ParquetTable(s"graft-manifest:$dir", SparkSession.active, options,
-      files, userSchema, classOf[ParquetFileFormat])
+    new ManifestReadTable(
+      new ParquetTable(s"graft-manifest:$dir", SparkSession.active, options,
+        files, userSchema, classOf[ParquetFileFormat]))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    delegate(options, None).asInstanceOf[ParquetTable].schema
+    delegate(options, None).schema()
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     delegate(new CaseInsensitiveStringMap(properties), Option(schema))
+}
+
+/** Read-only facade over the delegated parquet table. Necessary, not
+  * cosmetic: `FileTable` advertises BATCH_WRITE, so without this an
+  * `INSERT INTO` a graft-manifest catalog table would pass analysis and
+  * then write AROUND the commit protocol — on a tracked dir it dies at
+  * runtime with a misleading filesystem error (the delegate's "paths" are
+  * data FILES, not a directory), and on an untracked fallback it would
+  * land files no manifest commit ever linearized. Exposing BATCH_READ
+  * only turns that into an analysis-time "table does not support append".
+  * Writes go through the committing surfaces: [[TableManifest.publish]],
+  * `ManifestAppendSink` (exactly-once streaming), `replaceWhereEq`. */
+private final class ManifestReadTable(delegate: ParquetTable)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
 }
