@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Document deduplication operators for LLM-scale data pipelines.
   *
   * Scale design: every variant is shuffle-bounded by a *blocking* key —
@@ -301,7 +303,7 @@ object Dedup {
       // the window-hash relation is the LARGEST in the pipeline (one row
       // per window position) — recoverable cache, never non-replicated
       // checkpoint blocks (Index.buildPostings rationale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     markDuplicated(wins)
   }
 
@@ -363,7 +365,7 @@ object Dedup {
       .select(col("doc_id"), col("p"),
         TextOps.h60(col("text").substr(col("p"), lit(window))).as("h"))
       // corpus × anchor-hit positions — recoverable cache (see above)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     markDuplicated(wins)
   }
 

@@ -3,11 +3,14 @@ package graft.ops
 import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.RddCacheBridge
 import org.apache.spark.storage.StorageLevel
 
 /** Lineage management for ITERATED operators ([[Graph.pageRank]],
-  * [[Graph.triangleCount]], [[Bpe]]): truncate the ever-growing plan/RDD
-  * lineage each round without making the job un-recoverable.
+  * [[Graph.triangleCount]], [[Cluster.connectedComponents]],
+  * [[Coreset.selectFull]], [[Dedup.cutDuplicatedSpansFixpoint]], [[Bpe]]):
+  * truncate the ever-growing plan lineage each round without making the
+  * job un-recoverable.
   *
   * The trade it manages: `localCheckpoint` truncates lineage into
   * NON-REPLICATED executor block stores — fast, but a single lost executor
@@ -22,17 +25,21 @@ import org.apache.spark.storage.StorageLevel
   *    empty — every local test/bench run): exactly the historical
   *    behavior, `localCheckpoint` per cut. Zero plan or perf change.
   *  - **Checkpoint dir configured** (`sc.setCheckpointDir("hdfs://…")`,
-  *    config-only opt-in): per-round state is `persist(MEMORY_AND_DISK)`
-  *    — lineage stays INTACT, so a lost block recomputes from the last
-  *    durable point — and every `every`-th cut is a reliable
-  *    `Dataset.checkpoint` to the configured dir, which (a) bounds the
-  *    recompute window to < `every` rounds and (b) bounds the nested plan
-  *    depth Catalyst re-analyzes each round (the other reason iterated ops
-  *    must cut lineage at all). After each reliable checkpoint the interim
-  *    persisted rounds are dropped, so executor storage holds at most
-  *    `every` round-states. Iteration-INVARIANT tables (edge⋈degree,
-  *    node set) go straight to a reliable checkpoint: they are read every
-  *    round for the whole job, the exact blocks worth surviving.
+  *    config-only opt-in): per-round state becomes a
+  *    [[RddCacheBridge.cachedView]] — the Catalyst plan is cut to a flat
+  *    `LogicalRDD` exactly like localCheckpoint (analysis cost stays O(1)
+  *    per round), but the backing RDD keeps its LINEAGE, so a lost block
+  *    recomputes through Spark's stage-retry machinery instead of killing
+  *    the job — and every `every`-th cut is a reliable
+  *    `Dataset.checkpoint` to the configured dir, bounding the recompute
+  *    chain to < `every` rounds. After each reliable checkpoint the
+  *    interim rounds' blocks are released, so executor storage holds at
+  *    most `every` round-states (superseded rounds are also GC-owned:
+  *    dropping the DataFrame frees the blocks via the ContextCleaner,
+  *    never the session CacheManager). Iteration-INVARIANT tables
+  *    (edge⋈degree, node set) go straight to a reliable checkpoint: they
+  *    are read every round for the whole job, the exact blocks worth
+  *    surviving.
   *
   * Results are bit-identical across modes — both paths only materialize
   * the same deterministic plans — proven by `DurableLineageSpec`.
@@ -45,25 +52,28 @@ final class Lineage(spark: SparkSession, every: Int = 4) {
     spark.sparkContext.getCheckpointDir.isDefined
 
   private var cuts = 0
-  private val interim = mutable.Buffer.empty[DataFrame]
+  private val interim = mutable.Buffer.empty[() => Unit]
 
   /** Cut lineage under an iteration-invariant table (computed once, read
     * every round). `eager` mirrors the localCheckpoint eagerness. */
   def invariant(df: DataFrame, eager: Boolean = true): DataFrame =
     if (durable) reliable(df, eager) else df.localCheckpoint(eager)
 
-  /** Reliable checkpoint with the standard persist-first trick: an eager
-    * `Dataset.checkpoint` otherwise computes the plan twice (once for the
-    * materializing count, once for the checkpoint write job). Cached
-    * blocks are dropped as soon as the checkpoint files exist. Lazy
-    * checkpoints stay persisted (the write fires on first use; LRU
-    * eviction reclaims the cache). */
-  private def reliable(df: DataFrame, eager: Boolean): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val c = p.checkpoint(eager)
-    if (eager) p.unpersist(false)
-    c
-  }
+  /** Reliable checkpoint. Eager: the persist-first trick — a bare eager
+    * `Dataset.checkpoint` computes the plan twice (once for the
+    * materializing count, once for the checkpoint write job); the cache
+    * is dropped as soon as the checkpoint files exist, so no CacheManager
+    * entry outlives the call. Lazy: plain `checkpoint(false)` — the write
+    * job recomputes once at first use, the price of not holding a cache
+    * entry of unknowable lifetime. */
+  private def reliable(df: DataFrame, eager: Boolean): DataFrame =
+    if (!eager) df.checkpoint(false)
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val c = p.checkpoint(true)
+      p.unpersist(false)
+      c
+    }
 
   /** Cut lineage under round state (the table that feeds the NEXT round).
     * Call once per round cut; the helper counts cuts and places the
@@ -73,27 +83,28 @@ final class Lineage(spark: SparkSession, every: Int = 4) {
     if (!durable) df.localCheckpoint(eager)
     else if (cuts % every == 0) {
       // eager: once the checkpoint files exist nothing reads the interim
-      // persisted rounds again, so their storage is released here
+      // rounds again, so their storage is released here
       val c = reliable(df, eager = true)
-      interim.foreach(_.unpersist(false))
+      interim.foreach(_.apply())
       interim.clear()
       c
     } else {
-      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      val (view, release) = RddCacheBridge.cachedViewWithRelease(df)
       // honor the caller's eagerness: iterations that materialized each
       // round under localCheckpoint (so a self-join of the round reads
       // blocks, not a twice-computed plan) keep that property in durable
-      // mode — count() populates the cache in one job
-      if (eager) p.count()
-      interim += p
-      p
+      // mode — count() populates the blocks in one job
+      if (eager) view.count()
+      interim += release
+      view
     }
   }
 
-  /** Release any interim persisted round-states still held (call once the
-    * final result has been materialized or cut elsewhere). */
+  /** Release any interim round-state blocks still held (call once the
+    * final result no longer depends on them — lineage keeps even a
+    * released view usable, at recompute cost). */
   def close(): Unit = {
-    interim.foreach(_.unpersist(false))
+    interim.foreach(_.apply())
     interim.clear()
   }
 }

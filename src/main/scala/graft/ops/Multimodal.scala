@@ -510,10 +510,14 @@ object Multimodal {
     val names = files.select(
       TextOps.h60(col("path")).as("doc_id"),
       col("path"), col("length").as("n_bytes"))
-    // one row per FILE of the media lake (corpus-sized): recoverable
-    // cache so an executor loss recomputes the lost decode partitions
-    // instead of killing the whole ingest (Index.buildPostings rationale)
-    val stats = decode(media).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per FILE of the media lake (corpus-sized), and called once
+    // PER MICRO-BATCH by the standing MediaIngest stream — so it needs
+    // recoverable blocks (executor loss recomputes lost decode partitions)
+    // AND GC-owned cleanup (a Dataset.persist entry per batch would pile
+    // up in the CacheManager until executor disks fill). RddCacheBridge
+    // gives both: persisted RDD with lineage, owned by the returned plan.
+    val stats = org.apache.spark.sql.graft.RddCacheBridge.cachedView(
+      decode(media))
     val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
     val quarantined = stats.filter(!col("ok"))
       .select("doc_id", quarExtra: _*)

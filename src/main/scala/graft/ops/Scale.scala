@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Skew- and shuffle-management patterns for 100 TB operation.
   *
   * AQE handles moderate skew adaptively (`spark.sql.adaptive.skewJoin`);
@@ -27,7 +29,7 @@ object Scale {
     val counts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt"))
       // three bounded consumers, one corpus shuffle; distinct-key-sized
       // (corpus-scale for unique keys) → recoverable cache
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     val totals = counts.agg(
       sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
       max(col("cnt")).as("max_cnt"))

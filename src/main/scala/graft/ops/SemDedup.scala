@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
   * cluster the embeddings, then find near-identical vectors WITHIN each
   * cluster only — the clustering is what makes the quadratic comparison
@@ -34,7 +36,7 @@ object SemDedup {
     val assigned = KMeans.fit(vecs, k, iters, idCol = idCol)
       .select(col(idCol), col("cid"))
       .join(vecs.select(col(idCol), col("qv")), idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-sized (every vector); recoverable cache
+      .cachedView // corpus-sized (every vector); recoverable cache
     val a = assigned.select(col("cid"), col(idCol).as("__i"), col("qv").as("__qa"))
     val b = assigned.select(col("cid"), col(idCol).as("__j"), col("qv").as("__qb"))
     val droppedIds = a.join(b,

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Dataset-profiling statistics computed in ONE scan — the numeric-column
   * relationship report of a data card. Where [[Pca]] ships float Gram
   * moments for the eigensolve, these ops are integer-exact end to end so a
@@ -110,7 +112,7 @@ object Stats {
       // lineage-recoverable cache (Index.buildPostings rationale): the
       // value grid is corpus-distinct-sized; non-replicated checkpoint
       // blocks would abort the job on any executor loss
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     val n = u.agg(sum("ca"), sum("cb")).collect()(0)
     val (na, nb) = (n.getLong(0), n.getLong(1))
     require(na > 0 && nb > 0, "ksTwoSample: both samples must be non-empty")
@@ -147,7 +149,7 @@ object Stats {
     * the guard fails loudly instead of letting Spark null the overflow. */
   def ksDriftFromCounts(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gv = counts.select(col("g"), col("v"), col("c")).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // corpus-distinct-sized; recoverable cache, not checkpoint blocks
+    val gv = counts.select(col("g"), col("v"), col("c")).cachedView // corpus-distinct-sized; recoverable cache, not checkpoint blocks
     val cv = gv.groupBy("v").agg(sum("c").as("cv"))
     val cumc = Scale.prefixSum(cv, "v", "cv", "cumc").select("v", "cumc")
     val ng = gv.groupBy("g").agg(sum("c").as("ng"))
@@ -221,7 +223,7 @@ object Stats {
       .withColumn("dev", abs(col("vc") - col("med")))
       // corpus-sized (one row per input row): recoverable cache, not
       // non-replicated checkpoint blocks
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     val mad = d.groupBy("g")
       .agg(expr("percentile(dev, 0.5)").as("mad"))
       .withColumnRenamed("g", "__gd")
@@ -256,7 +258,7 @@ object Stats {
       .select(col(valueCol), col(tieCol)).withColumn("__g1", lit(0))
       // corpus-sized; recoverable cache — feeds the count + groupedRank's
       // three branches
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cachedView
     val n = vals.agg(count(lit(1)).as("__n"))
     Scale.groupedRank(vals, "__g1", valueCol, tieCol, "__rnk", buckets)
       .crossJoin(broadcast(n))

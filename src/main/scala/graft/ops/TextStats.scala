@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Text-analysis operators: language id, quality scoring, token counting,
   * fingerprinting. All single-pass, per-row, codegen-friendly — embarrassingly
   * parallel at any scale (no shuffle at all until an aggregation is asked). */
@@ -283,7 +285,7 @@ object TextStats {
     val st = docs
       .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("source", "tok").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // vocabulary-sized; recoverable cache for its three consumers
+      .cachedView // vocabulary-sized; recoverable cache for its three consumers
     val ct = st.groupBy("tok").agg(sum("c").as("ct"))
     val ns = st.groupBy("source").agg(sum("c").as("ns"))
     val nt = st.agg(sum("c").as("n"))
