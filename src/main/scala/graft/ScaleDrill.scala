@@ -269,6 +269,23 @@ object ScaleDrill {
             iters = 6, redistributeDangling = true)
           .agg(count(lit(1)).as("n"), sum("pr").as("s"))
       },
+      // skewed fact⋈dim equi-join: ~30% of fact rows funneled onto ONE
+      // hot key (the hot-user / hot-document shape every real corpus
+      // has), dim side unique keys so output stays linear — what's being
+      // measured is STRAGGLER behavior: without AQE skew-split one task
+      // owns 30% of the shuffle and the ratio diverges from the balanced
+      // fact_join_agg family; with it (default-on) the hot partition
+      // splits and the ratio must stay in that family's neighborhood
+      "skewed_join" -> { dir: String =>
+        val ev = evDf(dir).withColumn("uk",
+          when(pmod(col("user_id"), lit(10)) < 3, lit(0L))
+            .otherwise(col("user_id")))
+        val dim = evDf(dir).select(col("user_id").as("uk")).distinct()
+          .withColumn("w", pmod(col("uk"), lit(7)))
+        ev.join(dim, "uk")
+          .agg(count(lit(1)).as("n"), sum("w").as("s"),
+            sum("value").as("v"))
+      },
       // the counter-example family: a SELECTIVE read through manifest
       // data skipping should hold near-FLAT as the corpus grows — the
       // per-copy event_id offsets make each copy a disjoint id band, so
