@@ -23,7 +23,12 @@ object AsOfJoin {
     * the left schema with NULLs. Right rows with a NULL id are dropped —
     * they can never be matched, and [[nearestWithin]]'s separate (id, ts)
     * carries would otherwise desynchronize on them, attributing a
-    * different row's timestamp to the carried id. */
+    * different row's timestamp to the carried id. Right rows with a NULL
+    * TIMESTAMP are dropped for the same reason: no ≤/≥/|Δ| comparison can
+    * ever hold against a null time, yet ascending nulls-FIRST ordering
+    * would sort them before every real row, where [[latestPreceding]]'s
+    * backward carry picks up their `__rid` as a spurious "preceding" match
+    * for left rows that in truth have none. */
   private def unionTagged(
       left: DataFrame, right: DataFrame, key: String, tsCol: String,
       idCol: String, rightKind: Int, withRts: Boolean): DataFrame = {
@@ -35,7 +40,7 @@ object AsOfJoin {
       .withColumn("__rid", lit(null).cast(idType))
     val l = if (withRts) l0.withColumn("__rts", lit(null).cast("long")) else l0
     val r0 = right
-      .filter(col(idCol).isNotNull)
+      .filter(col(idCol).isNotNull && col(tsCol).isNotNull)
       .select(right.columns.collect {
         case c if c == key || c == tsCol || c == idCol => col(c)
       }.toSeq: _*)
@@ -97,7 +102,15 @@ object AsOfJoin {
       .orderBy(col(tsCol), col("__kind"), col("__rid"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     combined
-      .withColumn("asof_id", first(col("__rid"), ignoreNulls = true).over(w))
+      // a null-ts LEFT row sorts before every real timestamp (ascending
+      // nulls first), so the forward carry would hand it the key's
+      // globally earliest right row — but "first right at or after null"
+      // is no match at all. (latestPreceding needs no twin guard: there a
+      // null-ts left row only ever has other null-ts left rows before it
+      // — null-ts rights are dropped above — so its carry is already null.)
+      .withColumn("asof_id",
+        when(col(tsCol).isNotNull,
+          first(col("__rid"), ignoreNulls = true).over(w)))
       .filter(col("__kind") === 0)
       .drop("__kind", "__rid")
   }

@@ -85,4 +85,41 @@ class AsOfJoinSpec extends SparkSpec {
         right, "user_id", "ts_us", "event_id", 5L)
     }
   }
+
+  test("null timestamps never match: right null-ts dropped, left null-ts unmatched") {
+    import spark.implicits._
+    // right null-ts sorts FIRST (asc nulls first) — without the drop its
+    // __rid is carried as a spurious "preceding" match for left rows that
+    // in truth have nothing before them
+    val rightNullTs = Seq[(Long, Long, java.lang.Long)](
+      (9L, 7L, null), (1L, 7L, 60L)).toDF("event_id", "user_id", "ts_us")
+    val leftEarly = Seq((100L, 7L, 50L)).toDF("event_id", "user_id", "ts_us")
+    val prec = AsOfJoin.latestPreceding(
+      leftEarly, rightNullTs, "user_id", "ts_us", "event_id").head()
+    assert(prec.isNullAt(3),
+      "a null-ts right row must not be a 'preceding' match")
+
+    // left null-ts in the FORWARD variant sorts before every real ts —
+    // unguarded, the carry hands it the key's earliest right row
+    val leftNullTs = Seq[(Long, Long, java.lang.Long)](
+      (200L, 7L, null), (201L, 7L, 10L)).toDF("event_id", "user_id", "ts_us")
+    val rightReal = Seq((1L, 7L, 20L)).toDF("event_id", "user_id", "ts_us")
+    val fwd = AsOfJoin.earliestFollowing(
+      leftNullTs, rightReal, "user_id", "ts_us", "event_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(fwd == Map(200L -> None, 201L -> Some(1L)),
+      "null-ts left matches nothing; real-ts left still matches")
+
+    // nearestWithin: null ts on either side yields no match, and a null-ts
+    // right row cannot desynchronize the (id, ts) carry pair
+    val near = AsOfJoin.nearestWithin(
+      leftNullTs, rightNullTs, "user_id", "ts_us", "event_id", tolerance = 100L)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(near == Map(200L -> None, 201L -> Some(1L)),
+      "null-ts left unmatched; real-ts left matches the real-ts right only")
+  }
 }
