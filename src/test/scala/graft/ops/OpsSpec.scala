@@ -339,7 +339,7 @@ class OpsSpec extends SparkSpec {
       (2L, Seq(0.5, 0.25)),
       (1L, Seq(0.0, 0.0))) // zero vector: scale 0 → qv all zeros
       .toDF("vec_id", "v")
-    val out = Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 2)
+    val out = Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 2, dim = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // grp 0: ids 0,2 → qv = [127,-127] and [127,64] (scale 127/0.5=254;
     //   0.25*254=63.5 → round half-up 64) → means [(127+127)/2, (-127+64)/2]
