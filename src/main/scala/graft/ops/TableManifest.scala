@@ -1054,7 +1054,13 @@ object TableManifest {
         s"equal the table schema ${tableCols.toSeq.sorted}")
     // pin the replacement ONCE: the confinement guard below and the write
     // must see the same rows, or a non-deterministic source could pass
-    // the guard and then materialize stray rows (TOCTOU)
+    // the guard and then materialize stray rows (TOCTOU). This is the one
+    // spot where non-recomputable localCheckpoint blocks are REQUIRED, not
+    // a durability liability: a lineage-recoverable cache (cachedView)
+    // would re-execute the source on block loss and could re-materialize
+    // different rows AFTER the guard passed — failing the job on executor
+    // loss is the correct trade on a commit path. Size is bounded by the
+    // partition slice being replaced, not the table.
     val pinned = replacement.localCheckpoint()
     val stray = pinned
       .filter(col(column).isNull || col(column) =!= value).limit(1).count()

@@ -46,17 +46,28 @@ object UpsertSink {
     val spark = batch.sparkSession
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST: a previous attempt of this batch (same id —
+    // the checkpoint only advances after foreachBatch returns) may have
+    // died between its delete and its rename. In that window the ONLY
+    // surviving snapshot is the scratch dir; without this step the replay
+    // would see no target, compute merged = this batch alone, and
+    // OVERWRITE the scratch — silently erasing every row not in the
+    // current batch. Completing the swap restores the full snapshot, and
+    // the re-merge below then converges idempotently.
+    val scratchPath = new Path(s"$targetDir.__batch$batchId")
+    if (!fs.exists(target) && fs.exists(scratchPath))
+      fs.rename(scratchPath, target)
     val collapsed = Merge.dedupLatest(batch, keys, versionCol)
     val merged =
       if (fs.exists(target))
         Merge.upsert(spark.read.parquet(targetDir), collapsed, keys)
       else collapsed
-    val scratch = new Path(s"$targetDir.__batch$batchId")
-    merged.write.mode("overwrite").parquet(scratch.toString)
+    merged.write.mode("overwrite").parquet(scratchPath.toString)
     // delete+rename swap: readers between the two calls see a missing dir
-    // (documented non-atomicity); the pipeline itself only ever reads the
-    // snapshot at the top of applyBatch, so a mid-swap crash re-runs cleanly
+    // (documented non-atomicity); the pipeline itself re-runs cleanly —
+    // a crash before the delete replays against the intact target, a
+    // crash after it is healed by the recovery rename at the top
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(scratch, target)
+    fs.rename(scratchPath, target)
   }
 }

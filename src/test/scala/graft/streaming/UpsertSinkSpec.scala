@@ -78,4 +78,33 @@ class UpsertSinkSpec extends SparkSpec {
     assert(readTarget(target) == first)
     assert(first == Map(1L -> (1L, "a"), 2L -> (2L, "b")))
   }
+
+  test("replay after a crash between delete and rename keeps prior rows") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert3").toString
+    val target = s"$base/table"
+    UpsertSink.applyBatch(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "ver", "v"),
+      0L, target, Seq("id"), "ver")
+    // batch 1 merges, writes its scratch snapshot, deletes the target —
+    // and dies before the rename. Simulate that exact on-disk state: the
+    // merged snapshot sits ONLY in the scratch dir.
+    val batch1 = Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("id", "ver", "v")
+    val fs = new Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged = graft.ops.Merge.upsert(
+      spark.read.parquet(target),
+      graft.ops.Merge.dedupLatest(batch1, Seq("id"), "ver"), Seq("id"))
+    val scratch = new Path(s"$target.__batch1")
+    merged.write.mode("overwrite").parquet(scratch.toString)
+    fs.delete(new Path(target), true)
+    // checkpoint never committed batch 1 → the stream replays it
+    UpsertSink.applyBatch(batch1, 1L, target, Seq("id"), "ver")
+    // id=1 arrived only in batch 0; without the recovery rename the
+    // replay overwrites the sole surviving snapshot with batch 1 alone
+    // and id=1 is silently erased
+    assert(readTarget(target) == Map(
+      1L -> (1L, "a"), 2L -> (2L, "b2"), 3L -> (1L, "c")))
+  }
 }
