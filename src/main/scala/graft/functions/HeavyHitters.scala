@@ -34,7 +34,12 @@ class HeavyHitters(k: Int)
   override def zero: Map[String, Long] = Map.empty
 
   override def reduce(m: Map[String, Long], x: String): Map[String, Long] =
-    m.get(x) match {
+    // SQL-aggregate convention: nulls carry no information and are skipped.
+    // Typed Aggregators do NOT get the declarative null-skip for free — an
+    // unguarded null would become a real counter, surface as a reported
+    // "heavy hitter" item, and NPE finish's item tie-break ordering.
+    if (x == null) m
+    else m.get(x) match {
       case Some(c) => m.updated(x, c + 1)
       case None if m.size < k => m.updated(x, 1L)
       case None => // decrement-all step: drop counters that reach zero

@@ -67,4 +67,28 @@ class HeavyHittersSpec extends SparkSpec {
     // the (k+1)-th largest (5) is subtracted: a=5, d=4, b=2 survive
     assert(m == Map("a" -> 5L, "d" -> 4L, "b" -> 2L))
   }
+
+  test("null items are skipped, never reported as heavy hitters") {
+    // a null-heavy column through the SQL-registered udaf — the path
+    // where nulls actually reach reduce (the typed .toColumn path
+    // null-skips upstream). Unguarded, the null becomes a Map KEY and
+    // buffer serialization dies mid-query with EXPRESSION_ENCODING_FAILED
+    // (Catalyst map keys are non-nullable) — a null user-id column would
+    // kill the whole top-talkers job, not just skew its output.
+    spark.udf.register("hh5_nulls",
+      org.apache.spark.sql.functions.udaf(new HeavyHitters(5)))
+    spark.range(20000).select(
+      when(col("id") % 10 < 6, lit(null).cast("string"))
+        .when(col("id") % 10 < 8, "hot1")
+        .otherwise(concat(lit("cold"), (col("id") % 100).cast("string")))
+        .as("item"))
+      .repartition(8)
+      .createOrReplaceTempView("hh_nulls")
+    val hits = spark.sql("SELECT hh5_nulls(item) AS hits FROM hh_nulls")
+      .selectExpr("inline(hits)")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hits.nonEmpty && hits.forall(_._1 != null),
+      s"null must never be a reported item: ${hits.toSeq}")
+    assert(hits.head._1 == "hot1")
+  }
 }
