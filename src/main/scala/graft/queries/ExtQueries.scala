@@ -5676,6 +5676,78 @@ object ExtQueries {
       |    AS cents
       |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q168
+  /** Null-timestamp discipline of the as-of family
+    * ([[graft.ops.AsOfJoin]]), pinned CROSS-ENGINE: the events table is
+    * null-free, so q32/q161/q162 can never observe the null rules (a
+    * null-ts RIGHT row must never match; a null-ts LEFT row must match
+    * nothing) — the same oracle blind spot the round-10 ADVICE found in
+    * q124's complete-case filter. One synthetic null-ts row is injected
+    * on EACH side and both directions run; the oracle replays the window
+    * carries with explicit `NULLS FIRST` (Spark's ascending default —
+    * DuckDB defaults to NULLS LAST, one of the divergences null-free
+    * tables hide) over a null-filtered right side plus the left-null
+    * guard. An engine regression that let null-ts rows back into the
+    * carries would surface here as a hash mismatch, not stay invisible. */
+  def q168AsofNullGuard(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    def side(tpe: String, syntheticId: Long) =
+      ev.filter(col("event_type") === tpe).drop("event_type")
+        .unionByName(s.range(1).select(
+          lit(syntheticId).as("event_id"), lit(1L).as("user_id"),
+          lit(null).cast("long").as("ts_us")))
+    val views = side("view", 888888801L)
+    val purchases = side("purchase", 888888802L)
+    val back = graft.ops.AsOfJoin.latestPreceding(
+        purchases, views, "user_id", "ts_us", "event_id")
+      .select(lit("back").as("direction"), col("event_id").as("left_id"),
+        col("asof_id").as("match_id"))
+    val fwd = graft.ops.AsOfJoin.earliestFollowing(
+        views, purchases, "user_id", "ts_us", "event_id")
+      .select(lit("fwd").as("direction"), col("event_id").as("left_id"),
+        col("asof_id").as("match_id"))
+    back.unionByName(fwd).orderBy("direction", "left_id")
+  }
+
+  val q168Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, event_type
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |v AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'view'
+      |      UNION ALL SELECT 888888801, 1, NULL),
+      |p AS (SELECT event_id, user_id, ts_us FROM ev
+      |      WHERE event_type = 'purchase'
+      |      UNION ALL SELECT 888888802, 1, NULL),
+      |bu AS (
+      |  SELECT event_id, user_id, ts_us, 1 AS kind FROM p
+      |  UNION ALL
+      |  SELECT event_id, user_id, ts_us, 0 FROM v WHERE ts_us IS NOT NULL),
+      |b AS (
+      |  SELECT event_id, kind,
+      |    last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |        ORDER BY ts_us ASC NULLS FIRST, kind, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM bu),
+      |fu AS (
+      |  SELECT event_id, user_id, ts_us, 0 AS kind FROM v
+      |  UNION ALL
+      |  SELECT event_id, user_id, ts_us, 1 FROM p WHERE ts_us IS NOT NULL),
+      |f AS (
+      |  SELECT event_id, kind, ts_us,
+      |    first_value(CASE WHEN kind = 1 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |        ORDER BY ts_us ASC NULLS FIRST, kind, event_id
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+      |  FROM fu)
+      |SELECT 'back' AS direction, event_id AS left_id, m AS match_id
+      |FROM b WHERE kind = 1
+      |UNION ALL
+      |SELECT 'fwd', event_id, CASE WHEN ts_us IS NULL THEN NULL ELSE m END
+      |FROM f WHERE kind = 0
+      |ORDER BY direction, left_id""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5832,7 +5904,8 @@ object ExtQueries {
     "q164_ldiv_by_source" -> (q164LDivBySource _),
     "q165_temperature_resample" -> (q165TemperatureResample _),
     "q166_time_sliced_read" -> (q166TimeSlicedRead _),
-    "q167_manifest_provider" -> (q167ManifestProviderRead _))
+    "q167_manifest_provider" -> (q167ManifestProviderRead _),
+    "q168_asof_null_guard" -> (q168AsofNullGuard _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -5991,5 +6064,6 @@ object ExtQueries {
     "q164_ldiv_by_source" -> q164Sql,
     "q165_temperature_resample" -> q165Sql,
     "q166_time_sliced_read" -> q166Sql,
-    "q167_manifest_provider" -> q167Sql)
+    "q167_manifest_provider" -> q167Sql,
+    "q168_asof_null_guard" -> q168Sql)
 }
