@@ -65,13 +65,13 @@ object PooledCentroidsMicroBench {
       // multiplication before the aggregate
       timeIt(s"CentroidAgg udaf g=$groups") {
         graft.ops.Similarity
-          .pooledQuantizedCentroids(vecs, col("vec_id") % groups)
+          .pooledQuantizedCentroids(vecs, col("vec_id") % groups, dim = 64)
           .count()
       }
     }
     // sanity: both shapes agree cell-for-cell at g=8 (exact integer sums)
     val a = graft.ops.Similarity
-      .pooledQuantizedCentroids(vecs, col("vec_id") % 8)
+      .pooledQuantizedCentroids(vecs, col("vec_id") % 8, dim = 64)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val b = graft.ops.Similarity.quantize(vecs)
       .select((col("vec_id") % 8).as("grp"),

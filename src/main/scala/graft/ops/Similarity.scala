@@ -65,13 +65,18 @@ object Similarity {
     * volume is O(groups × dim) independent of corpus size — the same
     * shuffle as the previous posexplode + (grp, component) hash-aggregate
     * shape, but without multiplying the pre-aggregation row count by dim
-    * (measured 3–5× at 128k×64: `PooledCentroidsMicroBench`). The cost of
-    * the win is fixed-dim STRICTNESS: a null or ragged vector fails
+    * (measured at 128k×64 by `PooledCentroidsMicroBench`: 2.4–8× across
+    * 8 and 4096 groups — the low end is the well-combining 8-group case,
+    * the high end 4096 groups where the explode shape's hash table holds
+    * groups×dim entries). `dim` has no default on purpose: a silently
+    * wrong dimensionality would abort deep inside the aggregate; the
+    * caller states it and mismatches fail loudly with the length named.
+    * The cost of the win is fixed-dim STRICTNESS: a null or ragged vector fails
     * loudly with its length named (the explode shape silently dropped
     * nulls and averaged ragged components over differing counts — corrupt
     * input for a pooling whose output rows all claim the same group). */
   def pooledQuantizedCentroids(vectors: DataFrame, grpCol: Column,
-      vCol: String = "v", dim: Int = 64): DataFrame = {
+      vCol: String = "v", dim: Int): DataFrame = {
     val pool = udaf(new graft.functions.CentroidAgg(dim))
     quantize(vectors, vCol)
       .groupBy(grpCol.as("grp"))

@@ -1392,7 +1392,8 @@ object ExtQueries {
   def q60PooledCentroids(s: SparkSession, dir: String): DataFrame = {
     val vecs = t(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    graft.ops.Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 8)
+    graft.ops.Similarity.pooledQuantizedCentroids(vecs, col("vec_id") % 8,
+        dim = 64) // the testdata embeddings table is 64-dim
       .orderBy("grp", "i")
   }
 

@@ -48,14 +48,31 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 
   override def supportsExternalMetadata(): Boolean = true
 
-  /** Snapshot resolved by the LAST `inferSchema` on this provider
-    * instance, keyed by (path, versionAsOf). Spark calls `inferSchema`
-    * then `getTable` on the same instance during one load; without this,
-    * the two calls would read the manifest twice, and a commit landing in
-    * between would split schema inference and the scan across DIFFERENT
-    * snapshots. `getTable` reuses the pinned file list when the key
-    * matches and only re-resolves for a genuinely different read. */
-  @volatile private var pinned: Option[(String, Seq[String])] = None
+  /** Snapshots resolved by `inferSchema` on this provider instance, keyed
+    * by (path, versionAsOf). Spark calls `inferSchema` then `getTable` on
+    * the same instance during one load; without the pin, the two calls
+    * would read the manifest twice, and a commit landing in between would
+    * split schema inference and the scan across DIFFERENT snapshots.
+    * `getTable` reuses the pinned file list when the key matches and only
+    * re-resolves for a genuinely different read.
+    *
+    * A bounded LRU MAP, not a single slot: one provider instance can be
+    * shared by concurrent resolutions of different catalog tables, and a
+    * single slot lets resolution B evict A's pin between A's two calls —
+    * re-opening exactly the split-snapshot window the pin closes
+    * (`ManifestProviderPinSpec` drills it). 16 entries bounds the
+    * worst case at one small file list per in-flight resolution; an
+    * evicted pin only costs a re-read of the same manifest version for
+    * `versionAsOf` reads, and for head reads degrades to the pre-pin
+    * behavior (two head reads that a racing commit could split — with
+    * >16 SIMULTANEOUS resolutions through one instance, an unbounded
+    * map would be the leak instead). Access-ordered so the `getTable`
+    * half of an in-flight pair refreshes its pin's recency. */
+  private val pinned =
+    new util.LinkedHashMap[String, Seq[String]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: util.Map.Entry[String, Seq[String]]): Boolean = size() > 16
+    }
 
   private def snapshotKey(options: CaseInsensitiveStringMap,
       dir: String): String =
@@ -85,12 +102,14 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         "(`.load(dir)`, `.option(\"path\", dir)`, or a catalog table " +
         "created with USING `graft-manifest` OPTIONS (path ...))"))
     val key = snapshotKey(options, dir)
-    val files = pinned match {
-      case Some((k, fs)) if k == key => fs
-      case _ =>
+    val files = pinned.synchronized {
+      val hit = pinned.get(key)
+      if (hit != null) hit
+      else {
         val fs = resolveFiles(options, dir)
-        pinned = Some((key, fs))
+        pinned.put(key, fs)
         fs
+      }
     }
     // the manifest stores file names, not a schema — a zero-file version
     // has nothing to infer from, and letting the parquet table throw its

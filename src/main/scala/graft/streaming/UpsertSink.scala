@@ -40,34 +40,65 @@ object UpsertSink {
       }
       .start()
 
+  /** Marker written into a scratch dir AFTER its snapshot write completes
+    * and BEFORE the target swap starts. Our own marker, not `_SUCCESS`:
+    * committers can be configured markerless
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), and a
+    * recovery keyed on an absent-by-config marker would misread every
+    * complete scratch as garbage and delete the only surviving snapshot.
+    * Underscore-prefixed, so parquet readers ignore it if it survives the
+    * rename into the target. */
+  private val CompleteMarker = "_GRAFT_COMPLETE"
+
   /** One merge round — exposed for tests and batch backfills. */
   def applyBatch(batch: DataFrame, batchId: Long, targetDir: String,
       keys: Seq[String], versionCol: String): Unit = {
     val spark = batch.sparkSession
     val target = new Path(targetDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratchPath = new Path(s"$targetDir.__batch$batchId")
+    val scratchMarker = new Path(scratchPath, CompleteMarker)
+    def renameOrThrow(src: Path, dst: Path): Unit =
+      if (!fs.rename(src, dst))
+        // Hadoop rename reports failure as `false`, not an exception; a
+        // silently failed swap here is exactly the overwrite-the-scratch
+        // data-loss path recovery exists to close — fail the batch so the
+        // checkpoint never advances past it
+        sys.error(s"UpsertSink: rename $src -> $dst failed (batch $batchId)")
     // crash recovery FIRST: a previous attempt of this batch (same id —
     // the checkpoint only advances after foreachBatch returns) may have
-    // died between its delete and its rename. In that window the ONLY
-    // surviving snapshot is the scratch dir; without this step the replay
-    // would see no target, compute merged = this batch alone, and
-    // OVERWRITE the scratch — silently erasing every row not in the
-    // current batch. Completing the swap restores the full snapshot, and
-    // the re-merge below then converges idempotently.
-    val scratchPath = new Path(s"$targetDir.__batch$batchId")
-    if (!fs.exists(target) && fs.exists(scratchPath))
-      fs.rename(scratchPath, target)
+    // died anywhere in its write→delete→rename sequence. The marker makes
+    // the decision total:
+    //  - marker present → the scratch is a COMPLETE snapshot and is
+    //    authoritative; the target is either the pre-swap snapshot (crash
+    //    before its delete), a PARTIAL remnant of a non-atomic recursive
+    //    delete (its mere existence must not be trusted), or gone. Delete
+    //    whatever remains and complete the swap; the re-merge below then
+    //    converges idempotently.
+    //  - marker absent but scratch present → the write itself died; the
+    //    swap never started, so the target (if the table existed) is
+    //    intact. Discard the garbage scratch.
+    // Without the marker, an `fs.exists(target)` guard alone misreads a
+    // partial target remnant as a live snapshot and merges against a
+    // truncated table — silent row loss.
+    if (fs.exists(scratchMarker)) {
+      if (fs.exists(target)) fs.delete(target, true)
+      renameOrThrow(scratchPath, target)
+    } else if (fs.exists(scratchPath)) {
+      fs.delete(scratchPath, true)
+    }
     val collapsed = Merge.dedupLatest(batch, keys, versionCol)
     val merged =
       if (fs.exists(target))
         Merge.upsert(spark.read.parquet(targetDir), collapsed, keys)
       else collapsed
     merged.write.mode("overwrite").parquet(scratchPath.toString)
+    fs.create(scratchMarker, true).close()
     // delete+rename swap: readers between the two calls see a missing dir
     // (documented non-atomicity); the pipeline itself re-runs cleanly —
-    // a crash before the delete replays against the intact target, a
-    // crash after it is healed by the recovery rename at the top
+    // a crash before the delete replays against the intact target, and a
+    // crash during/after it leaves the marked scratch for recovery above
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(scratchPath, target)
+    renameOrThrow(scratchPath, target)
   }
 }

@@ -98,6 +98,10 @@ class UpsertSinkSpec extends SparkSpec {
       graft.ops.Merge.dedupLatest(batch1, Seq("id"), "ver"), Seq("id"))
     val scratch = new Path(s"$target.__batch1")
     merged.write.mode("overwrite").parquet(scratch.toString)
+    // the real sequence marks the scratch complete before touching the
+    // target — recovery keys on that marker, not on _SUCCESS (committers
+    // can be configured markerless) nor on the target's existence
+    fs.create(new Path(scratch, "_GRAFT_COMPLETE"), true).close()
     fs.delete(new Path(target), true)
     // checkpoint never committed batch 1 → the stream replays it
     UpsertSink.applyBatch(batch1, 1L, target, Seq("id"), "ver")
@@ -106,5 +110,59 @@ class UpsertSinkSpec extends SparkSpec {
     // and id=1 is silently erased
     assert(readTarget(target) == Map(
       1L -> (1L, "a"), 2L -> (2L, "b2"), 3L -> (1L, "c")))
+  }
+
+  test("replay after a crash MIDWAY through the target delete recovers from the marked scratch") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert4").toString
+    val target = s"$base/table"
+    UpsertSink.applyBatch(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "ver", "v"),
+      0L, target, Seq("id"), "ver")
+    val fs = new Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch 1 writes + marks its scratch, then dies midway through the
+    // NON-ATOMIC recursive delete of the target: some data files are gone
+    // but the dir still exists. An `fs.exists(target)` recovery guard
+    // would skip the swap and merge against this truncated snapshot.
+    val batch1 = Seq((2L, 2L, "b2"), (3L, 1L, "c")).toDF("id", "ver", "v")
+    val merged = graft.ops.Merge.upsert(
+      spark.read.parquet(target),
+      graft.ops.Merge.dedupLatest(batch1, Seq("id"), "ver"), Seq("id"))
+    val scratch = new Path(s"$target.__batch1")
+    merged.write.mode("overwrite").parquet(scratch.toString)
+    fs.create(new Path(scratch, "_GRAFT_COMPLETE"), true).close()
+    val dataFiles = fs.listStatus(new Path(target))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach(f => fs.delete(f.getPath, false)) // partial delete
+    UpsertSink.applyBatch(batch1, 1L, target, Seq("id"), "ver")
+    assert(readTarget(target) == Map(
+      1L -> (1L, "a"), 2L -> (2L, "b2"), 3L -> (1L, "c")))
+  }
+
+  test("an UNMARKED scratch (crash mid-write) is discarded; the intact target wins") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert5").toString
+    val target = s"$base/table"
+    UpsertSink.applyBatch(
+      Seq((1L, 1L, "a"), (2L, 1L, "b")).toDF("id", "ver", "v"),
+      0L, target, Seq("id"), "ver")
+    // batch 1 died mid-write: a garbage scratch with no completion marker
+    // (its _SUCCESS may even be present on a committer that writes it
+    // early — only OUR marker, written strictly after the write, decides).
+    // The swap never started, so the target is intact and authoritative.
+    val fs = new Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = new Path(s"$target.__batch1")
+    Seq((99L, 9L, "junk")).toDF("id", "ver", "v")
+      .write.mode("overwrite").parquet(scratch.toString)
+    fs.delete(new Path(scratch, "_GRAFT_COMPLETE"), false)
+    val batch1 = Seq((3L, 1L, "c")).toDF("id", "ver", "v")
+    UpsertSink.applyBatch(batch1, 1L, target, Seq("id"), "ver")
+    assert(readTarget(target) == Map(
+      1L -> (1L, "a"), 2L -> (1L, "b"), 3L -> (1L, "c")))
   }
 }
