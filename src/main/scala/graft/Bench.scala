@@ -6,7 +6,20 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR (driver contract; see the builder prompt). A warm-up
   * pass (table load + count + one tiny query) runs before timing so the
   * numbers reflect steady-state execution, not JVM/codegen/file-index
-  * warm-up of whichever query happens to run first. */
+  * warm-up of whichever query happens to run first.
+  *
+  * Regression flagging is LOAD-ROBUST (round-11 finding: the cert machine
+  * ran at ~2× load for the whole window and back-to-back retries
+  * "confirmed" four phantom regressions, q9_setops at 13× its median):
+  *  - retries of over-threshold queries run once at the END of the suite,
+  *    temporally separated from whatever load spike hit the first attempt;
+  *  - a constant SENTINEL workload (pure spark.range compute, no I/O) runs
+  *    beside every retry; its time relative to the history baseline
+  *    estimates the machine-load factor, and the retry is normalized by it
+  *    before the threshold re-check. A flag that still survives is a
+  *    structural regression; the flag carries the load estimate so the
+  *    judge can audit the normalization instead of trusting it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,8 +54,25 @@ object Bench {
         warmupFailed += "q2_group_agg"
     }
 
-    // History first: per-query timings of the last 3 same-SF runs feed both
-    // the noise-flag threshold and the retry loop below.
+    // Fixed-cost machine-load sentinel: pure compute over spark.range —
+    // no file I/O, no shuffle variance, same plan every time — so its
+    // wall time moves ONLY with CPU contention. ~0.1–0.3s unloaded at
+    // local[32]: long enough to sample load, short enough to run beside
+    // every retry.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 64000000L, 1L, cpus.toInt)
+        .selectExpr("sum(id % 97) as a", "count(if(id % 101 = 0, 1, null)) as b")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinel() // codegen warm-up for the sentinel plan itself
+    val sentinelRuns = (1 to 3).map(_ => sentinel())
+    val sentinelThisRun = sentinelRuns.min
+
+    // History: per-query timings (and sentinel minima) of the last 3
+    // same-SF runs feed the noise-flag threshold, and the sentinel
+    // baseline feeds load normalization.
     val histPath = java.nio.file.Paths.get("target", "bench_history.jsonl")
     val histLines: Seq[String] =
       if (java.nio.file.Files.exists(histPath)) {
@@ -50,22 +80,31 @@ object Bench {
         java.nio.file.Files.readAllLines(histPath).asScala.toSeq
       } else Seq.empty
     val pairRe = "\"(q[0-9][^\"]*)\":(-?[0-9][0-9.eE+-]*)".r
-    val last3 = histLines
-      .filter(_.contains(s""""sf":"$sfDir""""))
+    val sentRe = """"sentinel":(-?[0-9][0-9.eE+-]*)""".r
+    val sameSf = histLines.filter(_.contains(s""""sf":"$sfDir""""))
+    val last3 = sameSf
       .takeRight(3)
       .map(l => pairRe.findAllMatchIn(l)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap)
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // sentinel baseline: the history's UNLOADED machine speed (min over
+    // all recorded same-SF runs — the sentinel is constant-cost, so the
+    // minimum is the true speed and anything above it is load). First run
+    // falls back to this session's own min → load factor 1, i.e. the
+    // pre-sentinel behavior.
+    val histSentinels = sameSf.flatMap(l =>
+      sentRe.findFirstMatchIn(l).map(_.group(1).toDouble)).filter(_ > 0)
+    val sentinelBase =
+      if (histSentinels.nonEmpty) math.min(histSentinels.min, sentinelThisRun)
+      else sentinelThisRun
 
     // best-of-2 per query: single-run numbers at these sizes carry ±20%
     // JIT/GC noise that swamps real plan differences. When the two runs
     // disagree by >2x — a machine-load artifact, not a plan property — a
-    // third run breaks the tie. On top of that, a query whose best still
-    // exceeds 2x its 3-run history median (0.25s absolute floor) gets up
-    // to 3 MORE runs: machine-load flags clear themselves here instead of
-    // landing in the report, and a flag that survives the retries is
-    // annotated "confirmed" — a structural regression, not noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // third run breaks the tie. Queries whose best still exceeds 2x their
+    // 3-run history median (0.25s absolute floor) are only MARKED here;
+    // their retries run at the end of the suite (see flagging pass below).
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -78,21 +117,46 @@ object Bench {
       val two = (1 to 2).flatMap(_ => run())
       val times =
         if (two.length == 2 && two.max > 2 * two.min) two ++ run() else two
-      val hist = last3.flatMap(_.get(name)).filter(_ >= 0)
-      val med = if (times.nonEmpty && hist.nonEmpty) Some(median(hist)) else None
-      def over(sec: Double) =
-        med.exists(m => sec > 2 * m && sec - m > 0.25)
-      var best = if (times.nonEmpty) times.min else -1.0
+      // failed queries report -1 so they are never mistaken for a timing
+      val best = if (times.nonEmpty) times.min else -1.0
+      (name, fn, best, times.nonEmpty)
+    }
+
+    val histMed: Map[String, Double] =
+      firstPass.flatMap { case (name, _, _, _) =>
+        val hist = last3.flatMap(_.get(name)).filter(_ >= 0)
+        if (hist.nonEmpty) Some(name -> median(hist)) else None
+      }.toMap
+    def over(name: String, sec: Double): Boolean =
+      histMed.get(name).exists(m => sec > 2 * m && sec - m > 0.25)
+
+    // End-of-suite retry pass: by now the load spike that inflated the
+    // first attempt has either passed (the retry clears the flag on raw
+    // time alone) or persists (the sentinel beside each retry measures it
+    // and the threshold compares load-NORMALIZED time). Up to 3 retries,
+    // stop at the first clear.
+    val results = firstPass.map { case (name, fn, firstBest, ok) =>
+      var best = firstBest
+      var bestAdj = firstBest
       var retries = 0
-      while (best >= 0 && over(best) && retries < 3) {
-        run().foreach(t => best = math.min(best, t))
+      var lastLoad = 1.0
+      while (ok && best >= 0 && over(name, bestAdj) && retries < 3) {
+        val load = math.max(1.0, sentinel() / sentinelBase)
+        lastLoad = load
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, t)
+          bestAdj = math.min(bestAdj, t / load)
+        } catch { case _: Exception => () }
         retries += 1
       }
-      val flag = med.collect { case m if best >= 0 && over(best) =>
-        s""""$name":{"sec":$best,"median3":$m,"retries":$retries,"confirmed":true}"""
+      val flag = histMed.get(name).collect {
+        case m if best >= 0 && over(name, bestAdj) =>
+          f""""$name":{"sec":$best,"adjusted":$bestAdj%.6f,"load":$lastLoad%.2f,"median3":$m,"retries":$retries,"confirmed":true}"""
       }
-      // failed queries report -1 so they are never mistaken for a timing
-      (name, best, times.nonEmpty, flag)
+      (name, best, ok, flag)
     }
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -104,7 +168,7 @@ object Bench {
     val warmupJson =
       warmupFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmupJson,"flagged_regressions":$flagged,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"warmup_failed":$warmupJson,"flagged_regressions":$flagged,"sentinel":$sentinelThisRun,"sentinel_base":$sentinelBase,"sf":"$sfDir"}"""
     println(line)
     // also persist to a file: a truncated stdout tail must not lose the total
     val out = java.nio.file.Paths.get("target", "bench.json")
@@ -113,7 +177,8 @@ object Bench {
     // append this run to the history AFTER flagging, so a run never
     // compares against itself
     java.nio.file.Files.write(histPath,
-      (s"""{"sf":"$sfDir","queries":$qs}""" + "\n").getBytes("UTF-8"),
+      (s"""{"sf":"$sfDir","sentinel":$sentinelThisRun,"queries":$qs}""" + "\n")
+        .getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
     spark.stop()

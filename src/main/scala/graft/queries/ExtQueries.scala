@@ -5749,6 +5749,67 @@ object ExtQueries {
       |FROM f WHERE kind = 0
       |ORDER BY direction, left_id""".stripMargin
 
+  // ---------------------------------------------------------------- Q169
+  /** The `graft-manifest` STREAMING read end-to-end, oracle-checked: a
+    * tracked table gets a full-snapshot publish (v1) and then an
+    * append-only commit (v2, every 5th key re-appended as a new data
+    * file); `spark.readStream.format("graft-manifest")` tails it with
+    * `Trigger.AvailableNow` through a foreachBatch parquet append, and
+    * the delivered rows must be EXACTLY snapshot + delta — the oracle
+    * models the tail as src UNION ALL the appended subset. Distributed
+    * end to end: each micro-batch lands as a parquet append, nothing is
+    * collected to the driver. */
+  def q169ManifestStreamTail(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q169")
+    val out = freshScratch("graft-q169-out")
+    val ckpt = freshScratch("graft-q169-ckpt")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.TableManifest.publish(src, tmp) // v1: the snapshot
+    // v2: an APPEND-only commit (new files added to the listing) — the
+    // writer shape whose per-commit deltas are exact CDC for the tail
+    val deltaDir = freshScratch("graft-q169-delta")
+    src.filter(col("k") % 5 === 0).write.mode("overwrite").parquet(deltaDir)
+    val addedNames = new java.io.File(deltaDir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map { part =>
+        val name = s"added-${java.util.UUID.randomUUID()}.parquet"
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(tmp, name))
+        name
+      }.toSeq
+    val (head, files) = graft.ops.TableManifest.read(s, tmp).get
+    graft.ops.TableManifest.commitIf(s, tmp, files ++ addedNames, head)
+      .getOrElse(sys.error("q169: append commit lost an impossible race"))
+    val q = s.readStream.format("graft-manifest").load(tmp)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q169Sql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |tailed AS (
+      |  SELECT * FROM src
+      |  UNION ALL SELECT * FROM src WHERE k % 5 = 0)
+      |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM tailed GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5906,7 +5967,8 @@ object ExtQueries {
     "q165_temperature_resample" -> (q165TemperatureResample _),
     "q166_time_sliced_read" -> (q166TimeSlicedRead _),
     "q167_manifest_provider" -> (q167ManifestProviderRead _),
-    "q168_asof_null_guard" -> (q168AsofNullGuard _))
+    "q168_asof_null_guard" -> (q168AsofNullGuard _),
+    "q169_manifest_stream_tail" -> (q169ManifestStreamTail _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6066,5 +6128,6 @@ object ExtQueries {
     "q165_temperature_resample" -> q165Sql,
     "q166_time_sliced_read" -> q166Sql,
     "q167_manifest_provider" -> q167Sql,
-    "q168_asof_null_guard" -> q168Sql)
+    "q168_asof_null_guard" -> q168Sql,
+    "q169_manifest_stream_tail" -> q169Sql)
 }

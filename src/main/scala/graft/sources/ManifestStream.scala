@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.Statistics
+import org.apache.spark.sql.connector.read.SupportsReportStatistics
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.{SupportsMetadata, SupportsPushDownCatalystFilters}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TableManifest
+
+/** Streaming face of the `graft-manifest` provider: tailing a table's
+  * COMMITS as micro-batches, `spark.readStream.format("graft-manifest")
+  * .load(dir)` — the provider-level twin of [[TableManifest.consumeNew]]
+  * (whose progress marker the streaming engine's own checkpoint replaces).
+  *
+  * Offsets are manifest VERSIONS (offset v = "everything up to and
+  * including manifest v has been delivered"; 0 = nothing). Each batch
+  * scans exactly the files listed at `end` but not at `start` — the same
+  * delta [[TableManifest.addedBetween]] serves — through Spark's own
+  * parquet DSv2 batch over that explicit file list, so the read path
+  * (vectorized reader, split planning) is identical to the batch scan's.
+  * For append-only writers (the streaming manifest sink, `commitIf` with
+  * `files :+ new`) this is exact CDC; a full-snapshot rewrite re-lists
+  * rows under new names and they reappear, the documented
+  * file-granularity caveat.
+  *
+  * `startingVersion` option: `earliest` (default — first batch delivers
+  * the whole head snapshot), `latest` (only commits after the stream
+  * starts), or a version number. Consulted only on a fresh checkpoint;
+  * restarts resume from the checkpointed version. The stream's schema is
+  * pinned at stream start (the engine's contract); files committed later
+  * are read under that schema.
+  *
+  * 100 TB posture: planning cost per trigger is two small manifest reads
+  * (head + the `start` version) and a name diff — independent of table
+  * size; scan cost is the delta's files only. A vacuum racing the stream
+  * can only reclaim files the head no longer lists, so an append-only
+  * tail never loses a listed file; a snapshot-REPLACING writer plus
+  * zero-grace vacuum can invalidate an in-flight delta, which then fails
+  * loudly at scan (the batch contract, same as time travel after
+  * vacuum). */
+private[sources] object ManifestStream {
+
+  /** The files at `to` not yet delivered at `from` (version 0 = nothing
+    * delivered). Loud on a pruned/missing manifest — silently treating a
+    * vanished `from` as empty would re-deliver the whole table. */
+  def freshFiles(spark: SparkSession, dir: String,
+      from: Long, to: Long): Seq[String] = {
+    if (to <= from) return Seq.empty
+    val toFiles = TableManifest.readAt(spark, dir, to)
+      .getOrElse(sys.error(s"graft-manifest stream: v$to vanished from $dir"))
+    val fromFiles =
+      if (from <= 0) Set.empty[String]
+      else TableManifest.readAt(spark, dir, from)
+        .getOrElse(sys.error(
+          s"graft-manifest stream: checkpointed v$from vanished from $dir " +
+            "(manifest history pruned?) — cannot compute an exact delta"))
+        .toSet
+    toFiles.filterNot(fromFiles)
+  }
+}
+
+/** ScanBuilder wrapper that forwards the delegate parquet builder's whole
+  * pushdown surface (columns, catalyst filters, aggregates, variant
+  * extractions) so BATCH plans through the provider keep pruning +
+  * pushdown bit-identical, while `build()` wraps the scan to add the
+  * micro-batch entry point. */
+private[sources] final class ManifestScanBuilder(
+    delegate: ParquetScanBuilder, dir: String,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownAggregates
+    with SupportsPushDownVariantExtractions {
+
+  override def build(): Scan = new ManifestScan(delegate.build(), dir, options)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] =
+    delegate.pushVariantExtractions(extractions)
+}
+
+/** Scan wrapper: batch behavior (partitions, statistics → broadcast
+  * decisions, explain metadata) delegates untouched to the parquet
+  * FileScan; `toMicroBatchStream` is the one addition. */
+private[sources] final class ManifestScan(
+    delegate: Scan, dir: String, options: CaseInsensitiveStringMap)
+    extends Scan with SupportsReportStatistics with SupportsMetadata {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: Batch = delegate.toBatch
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def estimateStatistics(): Statistics =
+    delegate.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+  override def getMetaData(): Map[String, String] =
+    delegate.asInstanceOf[SupportsMetadata].getMetaData()
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ManifestMicroBatchStream(dir, delegate.readSchema(), options)
+}
+
+/** Offset = highest manifest version already delivered. */
+case class ManifestOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+object ManifestOffset {
+  private val VersionRe = """.*"version"\s*:\s*(-?\d+).*""".r
+  def parse(json: String): ManifestOffset = json match {
+    case VersionRe(v) => ManifestOffset(v.toLong)
+    case _ => throw new IllegalArgumentException(
+      s"bad graft-manifest offset: $json")
+  }
+}
+
+private[sources] final class ManifestMicroBatchStream(
+    dir: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  /** Parquet DSv2 batch over an explicit file list under the stream's
+    * pinned schema — one per trigger; the factory of the last planned
+    * batch serves `createReaderFactory` (the engine plans partitions and
+    * then builds the factory within the same trigger, single-threaded). */
+  private def batchFor(files: Seq[String]): Batch =
+    new ParquetTable(s"graft-manifest:$dir", spark, options,
+      files.map(f => s"$dir/$f"), Some(schema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).build().toBatch
+
+  @volatile private var planned: Batch = _
+
+  override def initialOffset(): Offset =
+    Option(options.get("startingVersion")).map(_.trim.toLowerCase) match {
+      case None | Some("earliest") => ManifestOffset(0L)
+      case Some("latest") => latestOffset()
+      case Some(v) =>
+        val version = v.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"startingVersion must be 'earliest', 'latest', or a version: '$v'"))
+        require(version == 0 ||
+          TableManifest.readAt(spark, dir, version).isDefined,
+          s"startingVersion $version does not exist in $dir")
+        ManifestOffset(version)
+    }
+
+  override def latestOffset(): Offset =
+    ManifestOffset(TableManifest.read(spark, dir).map(_._1).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = ManifestOffset.parse(start.json()).version
+    val to = ManifestOffset.parse(end.json()).version
+    val batch = batchFor(ManifestStream.freshFiles(spark, dir, from, to))
+    planned = batch
+    batch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val b = planned
+    (if (b != null) b else batchFor(Seq.empty)).createReaderFactory()
+  }
+
+  /** The manifest keeps history (vacuum owns retention); nothing to ack. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}

@@ -120,7 +120,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         "to read an empty table")
     new ManifestReadTable(
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, options,
-        files, userSchema, classOf[ParquetFileFormat]))
+        files, userSchema, classOf[ParquetFileFormat]), dir, options)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -142,13 +142,23 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   * land files no manifest commit ever linearized. Exposing BATCH_READ
   * only turns that into an analysis-time "table does not support append".
   * Writes go through the committing surfaces: [[TableManifest.publish]],
-  * `ManifestAppendSink` (exactly-once streaming), `replaceWhereEq`. */
-private final class ManifestReadTable(delegate: ParquetTable)
+  * `ManifestAppendSink` (exactly-once streaming), `replaceWhereEq`.
+  *
+  * MICRO_BATCH_READ tails the table's commits as a stream
+  * ([[ManifestMicroBatchStream]]): the batch scan path still delegates to
+  * the parquet builder's full pushdown surface through
+  * [[ManifestScanBuilder]], so batch plans are unchanged. */
+private final class ManifestReadTable(delegate: ParquetTable,
+    dir: String, tableOptions: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new ManifestScanBuilder(
+      delegate.newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
+      dir, tableOptions)
 }

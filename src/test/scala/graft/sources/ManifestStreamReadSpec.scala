@@ -1,0 +1,108 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.TableManifest
+import org.apache.spark.sql.streaming.Trigger
+
+/** `spark.readStream.format("graft-manifest")` tails a manifest table's
+  * commits: first batch = the head snapshot, later batches = per-commit
+  * deltas, resume driven by the engine's checkpoint (the provider-level
+  * twin of `TableManifest.consumeNew`, whose marker the checkpoint
+  * replaces). Mirrors `ConsumeNewSpec` through the DSv2 surface. */
+class ManifestStreamReadSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gm-stream-").toString
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    dir
+  }
+
+  /** Append one data file holding `rows` and commit it as the next version
+    * (the append-only writer shape whose deltas are exact CDC). */
+  private def append(dir: String, rows: (String, Long)*): Long = {
+    val tmp = java.nio.file.Files.createTempDirectory("gm-stream-add-").toString
+    rows.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new java.io.File(dir,
+      s"added-${java.util.UUID.randomUUID()}.parquet")
+    java.nio.file.Files.copy(part.toPath, target.toPath)
+    val (head, files) = TableManifest.read(spark, dir).get
+    TableManifest.commitIf(spark, dir, files :+ target.getName, head).get
+  }
+
+  private def runOnce(dir: String, ckpt: String,
+      options: Map[String, String] = Map.empty): Seq[(String, Long)] = {
+    val seen = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    val reader = spark.readStream.format("graft-manifest")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.as[(String, Long)].collect() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    seen.toSeq.sorted
+  }
+
+  test("tail delivers the snapshot, then delta-only on checkpointed resume, then nothing") {
+    val dir = newTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck").toString
+    assert(runOnce(dir, ckpt) == Seq(("a", 1L), ("b", 2L)),
+      "first run tails the whole head snapshot")
+    assert(runOnce(dir, ckpt) == Seq.empty, "idle table: no re-delivery")
+    append(dir, ("c", 3L))
+    assert(runOnce(dir, ckpt) == Seq(("c", 3L)),
+      "restart resumes from the checkpointed version: delta only")
+    append(dir, ("d", 4L))
+    append(dir, ("e", 5L))
+    assert(runOnce(dir, ckpt) == Seq(("d", 4L), ("e", 5L)),
+      "two commits since the checkpoint: both deltas, nothing else")
+  }
+
+  test("startingVersion=latest skips history; a fresh checkpoint starting earliest replays it") {
+    val dir = newTable()
+    append(dir, ("c", 3L))
+    val ckptLatest = java.nio.file.Files.createTempDirectory("gm-stream-ck2").toString
+    assert(runOnce(dir, ckptLatest, Map("startingVersion" -> "latest")) ==
+      Seq.empty, "latest: nothing committed after stream start")
+    append(dir, ("d", 4L))
+    assert(runOnce(dir, ckptLatest, Map("startingVersion" -> "latest")) ==
+      Seq(("d", 4L)), "only the post-start commit")
+    // an independent consumer from earliest still sees everything
+    val ckptAll = java.nio.file.Files.createTempDirectory("gm-stream-ck3").toString
+    assert(runOnce(dir, ckptAll) ==
+      Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("explicit startingVersion resumes mid-history; a bad one fails loudly") {
+    val dir = newTable() // v1
+    append(dir, ("c", 3L)) // v2
+    append(dir, ("d", 4L)) // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck4").toString
+    assert(runOnce(dir, ckpt, Map("startingVersion" -> "2")) ==
+      Seq(("d", 4L)), "version 2 already delivered: v3's delta only")
+    val e = intercept[Exception] {
+      runOnce(dir,
+        java.nio.file.Files.createTempDirectory("gm-stream-ck5").toString,
+        Map("startingVersion" -> "99"))
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("offsets round-trip through the JSON contract; garbage is loud") {
+    assert(ManifestOffset.parse(ManifestOffset(7L).json()) == ManifestOffset(7L))
+    assert(ManifestOffset.parse("""{ "version" : 12 }""") == ManifestOffset(12L))
+    intercept[IllegalArgumentException] {
+      ManifestOffset.parse("""{"recordCount":3}""")
+    }
+  }
+}
