@@ -104,7 +104,17 @@ object Bench {
     // third run breaks the tie. Queries whose best still exceeds 2x their
     // 3-run history median (0.25s absolute floor) are only MARKED here;
     // their retries run at the end of the suite (see flagging pass below).
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_FILTER=q54,q58 times just those query prefixes —
+    // for builder-side A/B measurements; a filtered run never appends to
+    // the history (a partial line would thin other queries' medians).
+    val benchFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val chosen = benchFilter match {
+      case Some(prefixes) => SparkEntry.queries.filter {
+        case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val firstPass = chosen.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Option[Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -175,12 +185,13 @@ object Bench {
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     // append this run to the history AFTER flagging, so a run never
-    // compares against itself
-    java.nio.file.Files.write(histPath,
-      (s"""{"sf":"$sfDir","sentinel":$sentinelThisRun,"queries":$qs}""" + "\n")
-        .getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+    // compares against itself (filtered runs stay out of the history)
+    if (benchFilter.isEmpty)
+      java.nio.file.Files.write(histPath,
+        (s"""{"sf":"$sfDir","sentinel":$sentinelThisRun,"queries":$qs}""" + "\n")
+          .getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -255,7 +255,11 @@ object ScaleDrill {
       // so i2/i6 at both scales separate per-iteration cost from the
       // iteration-invariant setup (degree join, node set, edge build)
       "triangle_count" -> { dir: String =>
-        Graph.triangleCount(copartEdges(dir))
+        // SPARK_GRAFT_STATE_PARTS sizes the oriented-edge state (the 32×
+        // single-box memory-ceiling knob; 0/unset = the default shape)
+        val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "0").toInt
+        val e = copartEdges(dir)
+        Graph.triangleCount(e, Graph.degrees(e), stateParts)
       },
       "pagerank_i2" -> { dir: String =>
         Graph.pageRank(copartEdges(dir)
@@ -300,10 +304,27 @@ object ScaleDrill {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // warm-up: JIT + codegen caches on the small side
-    families.foreach { case (_, fn) => fn(baseAs).collect() }
+    // SPARK_GRAFT_FAMILY_FILTER=pagerank,triangle runs just those families
+    // (comma-separated prefixes) — re-drilling one family must not cost a
+    // full-suite run. SPARK_GRAFT_DURABLE=1 configures a reliable
+    // checkpoint dir first, so the SAME drill measures durable-lineage
+    // mode's overhead (the number a cluster operator needs to choose the
+    // checkpoint cadence).
+    val filter = sys.env.get("SPARK_GRAFT_FAMILY_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val picked = filter match {
+      case Some(prefixes) =>
+        families.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => families
+    }
+    val durable = sys.env.get("SPARK_GRAFT_DURABLE").contains("1")
+    if (durable)
+      spark.sparkContext.setCheckpointDir(s"$scratch/ckpt")
 
-    val rows = families.map { case (name, fn) =>
+    // warm-up: JIT + codegen caches on the small side
+    picked.foreach { case (_, fn) => fn(baseAs).collect() }
+
+    val rows = picked.map { case (name, fn) =>
       val base = (1 to 2).map(_ => time(fn(baseAs).collect())).min
       val scaled = (1 to 2).map(_ => time(fn(scratch).collect())).min
       (name, base, scaled, scaled / base)
@@ -311,6 +332,6 @@ object ScaleDrill {
     val json = rows.map { case (n, b, s, r) =>
       f""""$n":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":$r%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_drill","mult":$mult,"families":{$json}}""")
+    println(s"""{"metric":"scale_drill","mult":$mult,"durable":$durable,"families":{$json}}""")
   }
 }

@@ -74,9 +74,30 @@ object Graph {
     * — non-replicated blocks by default, a reliable checkpoint when the
     * session has a checkpoint dir (the durable mode for lost-executor
     * survival on long cluster runs). */
-  def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame =
+    triangleCount(edges, deg, statePartitions = 0)
+
+  /** Same, with an explicit partition count for the oriented-edge state —
+    * the memory-ceiling knob the 32× single-box drill needs. The cached
+    * oriented edges and every join task sized off them hold ~|E|/P edges
+    * each; at the session's default shuffle parallelism a 32× corpus
+    * (~58M oriented edges) concentrates enough per-task state to spill a
+    * 24g single box. Sizing rule: P ≈ |E| × 16 B / 64 MB keeps each
+    * cached block and join-leg task at the standard shuffle-block size —
+    * on a real cluster the same P spreads the state across executors
+    * (this is a plain hash repartition on src; co-location is NOT claimed
+    * for the wedge legs, which shuffle on their own keys regardless —
+    * the knob bounds per-task memory, not shuffle count; exchange counts
+    * grow by exactly the one repartition). 0 = off (inherit upstream
+    * partitioning, the default and lint-pinned shape). */
+  def triangleCount(edges: DataFrame, deg: DataFrame,
+      statePartitions: Int): DataFrame = {
     val lin = new Lineage(edges.sparkSession)
-    val oriented = lin.invariant(orientByDegree(edges, deg), eager = false)
+    val base = orientByDegree(edges, deg)
+    val sized =
+      if (statePartitions > 0) base.repartition(statePartitions, col("src"))
+      else base
+    val oriented = lin.invariant(sized, eager = false)
     orientedWedges(oriented).as("wg")
       .join(oriented.as("e3"),
         col("wg.u") === col("e3.src") && col("wg.w") === col("e3.dst"))

@@ -512,12 +512,13 @@ object Multimodal {
       col("path"), col("length").as("n_bytes"))
     // one row per FILE of the media lake (corpus-sized), and called once
     // PER MICRO-BATCH by the standing MediaIngest stream — so it needs
-    // recoverable blocks (executor loss recomputes lost decode partitions)
-    // AND GC-owned cleanup (a Dataset.persist entry per batch would pile
-    // up in the CacheManager until executor disks fill). RddCacheBridge
-    // gives both: persisted RDD with lineage, owned by the returned plan.
-    val stats = org.apache.spark.sql.graft.RddCacheBridge.cachedView(
-      decode(media))
+    // GC-owned cleanup (a Dataset.persist entry per batch would pile up
+    // in the CacheManager until executor disks fill) and, on cluster
+    // runs, recoverable blocks (executor loss recomputes lost decode
+    // partitions). Cached.cachedView provides both, recoverability gated
+    // on the session's checkpoint-dir config like every other scratch.
+    import graft.ops.Cached.CachedViewOps
+    val stats = decode(media).cachedView
     val good = stats.filter(col("ok")).join(names.drop("n_bytes"), "doc_id")
     val quarantined = stats.filter(!col("ok"))
       .select("doc_id", quarExtra: _*)

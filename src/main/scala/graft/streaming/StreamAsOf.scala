@@ -159,14 +159,25 @@ object StreamAsOf {
       dimIdCol: String = "id",
       watermarkDelay: String = "10 seconds"): Dataset[Out] = {
     import events.sparkSession.implicits._
-    val e = events.select(col(key).as("key"),
-      col(tsCol).cast("timestamp").as("ts"), lit(1).as("kind"),
-      col(eventIdCol).as("id"))
-    val d = dims.filter(col(dimIdCol).isNotNull)
+    // Null-timestamp discipline MIRRORS the batch op (q168's pinned
+    // rules; the streaming path would otherwise NPE in micros() or drop
+    // rows at the watermark operator, silently diverging from batch):
+    //  - a null-ts DIM VERSION can never satisfy any ≤ comparison — drop
+    //    it before the union, exactly as unionTagged does;
+    //  - a null-ts EVENT has no match by definition but IS emitted (left
+    //    rows survive with asof_id = null). It also has no event time for
+    //    the watermark to certify, so it bypasses the stateful path and
+    //    emits immediately on a stateless branch — same final answer the
+    //    batch op gives, just not watermark-delayed.
+    val e = events.filter(col(tsCol).isNotNull)
+      .select(col(key).as("key"),
+        col(tsCol).cast("timestamp").as("ts"), lit(1).as("kind"),
+        col(eventIdCol).as("id"))
+    val d = dims.filter(col(dimIdCol).isNotNull && col(tsCol).isNotNull)
       .select(col(key).as("key"),
         col(tsCol).cast("timestamp").as("ts"), lit(0).as("kind"),
         col(dimIdCol).as("id"))
-    e.unionByName(d)
+    val resolved = e.unionByName(d)
       .withWatermark("ts", watermarkDelay)
       .as[In]
       .groupByKey(_.key)
@@ -174,5 +185,12 @@ object StreamAsOf {
         new LatestPrecedingProcessor,
         TimeMode.EventTime(),
         OutputMode.Append())
+    val nullTsEvents = events.filter(col(tsCol).isNull)
+      .select(col(eventIdCol).cast("long").as("event_id"),
+        col(key).cast("long").as("key"),
+        lit(null).cast("timestamp").as("ts"),
+        lit(null).cast("long").as("asof_id"))
+      .as[Out]
+    resolved.union(nullTsEvents)
   }
 }

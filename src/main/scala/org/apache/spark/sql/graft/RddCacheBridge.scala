@@ -35,8 +35,18 @@ object RddCacheBridge {
   def cachedViewWithRelease(df: DataFrame): (DataFrame, () => Unit) = {
     val session = df.sparkSession.asInstanceOf[ClassicSession]
     val classic = df.asInstanceOf[Dataset[_]]
-    // copy(): unsafe rows are buffer-reused per partition; caching the
-    // originals would alias every row of a block to the last one read
+    // copy() is load-bearing EVEN under serialized storage levels: unsafe
+    // rows are buffer-reused per partition, and Spark's cache serializers
+    // (Java/Kryo SerializationStream) track object identity — writing the
+    // SAME row object N times stores one payload plus N-1 back-references,
+    // so a no-copy serialized block deserializes to the first row repeated
+    // (DurableLineageSpec caught exactly that: every cachedView consumer
+    // saw one aliased row per partition). Storage level: the round-12 A/B
+    // on the span/shingle family measured MEMORY_AND_DISK_SER within
+    // noise of MEMORY_AND_DISK (8.24s vs 8.18s family total at sf0.1) —
+    // the level is not the cost lever (the copy+materialize is), so the
+    // deserialized default stays: zero per-read deserialization for the
+    // fixpoint ops that re-read their scratch every round.
     val rdd = classic.queryExecution.executedPlan.execute().map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
     // fromDataset — the exact construction Dataset.localCheckpoint uses —

@@ -203,4 +203,49 @@ class StreamAsOfSpec extends SparkSpec {
         "restarted run must answer every event exactly as the batch oracle")
     }
   }
+
+  test("null-ts rows on both sides stay batch-equal: a null-ts version never " +
+    "matches, a null-ts event emits unmatched") {
+    withRocksDB {
+      implicit val sqlCtx = spark.sqlContext
+      val nullTs: Timestamp = null
+      // q168 pins these rules cross-engine for the BATCH op; this is the
+      // streaming twin. v99 has no timestamp — it must not become anyone's
+      // "preceding" match (and must not crash the watermark/state path);
+      // e201/e202 have no timestamp — they must come back with asof_id
+      // None, not vanish, not match the key's earliest version.
+      val nullBatches: Seq[Seq[(Long, Timestamp, Int, Long)]] = Seq(
+        Seq((7L, ts(0), 0, 1L), (7L, nullTs, 0, 99L), (7L, ts(5), 1, 101L)),
+        Seq((7L, nullTs, 1, 201L), (9L, nullTs, 1, 202L),
+          (9L, ts(3), 0, 4L)),
+        Seq((7L, ts(100), 1, 104L), (9L, ts(101), 1, 105L)))
+      val mem = MemoryStream[(Long, Timestamp, Int, Long)]
+      val cp = java.nio.file.Files.createTempDirectory("sasof-null").toString
+      val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+      val q = start(mem, cp, got)
+      try {
+        nullBatches.foreach { b => mem.addData(b); q.processAllAvailable() }
+        mem.addData(Seq((7L, ts(500), 1, 999L))); q.processAllAvailable()
+      } finally q.stop()
+      // batch oracle over the same rows (null rows included)
+      val rows = nullBatches.flatten
+      val events = rows.filter(_._3 == 1)
+        .map(r => (r._1, r._2, r._4)).toDF("key", "ts", "event_id")
+      val dims = rows.filter(_._3 == 0)
+        .map(r => (r._1, r._2, r._4)).toDF("key", "ts", "id")
+      val expected = graft.ops.AsOfJoin
+        .latestPreceding(events, dims, "key", "ts", "id")
+        .collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[java.lang.Long]("asof_id")).map(_.longValue))
+        .toMap
+      val answered = got.synchronized(got.toMap) - 999L
+      assert(answered == expected, s"stream $answered\nbatch  $expected")
+      // the load-bearing cells, stated explicitly
+      assert(expected(101L).contains(1L), "e101 matches v1, never null-ts v99")
+      assert(expected(201L).isEmpty && expected(202L).isEmpty,
+        "null-ts events emit with no match")
+      assert(expected(104L).contains(1L) && expected(105L).contains(4L))
+    }
+  }
 }
