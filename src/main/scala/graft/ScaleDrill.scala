@@ -255,8 +255,10 @@ object ScaleDrill {
       // so i2/i6 at both scales separate per-iteration cost from the
       // iteration-invariant setup (degree join, node set, edge build)
       "triangle_count" -> { dir: String =>
-        // SPARK_GRAFT_STATE_PARTS sizes the oriented-edge state (the 32×
-        // single-box memory-ceiling knob; 0/unset = the default shape)
+        // SPARK_GRAFT_STATE_PARTS feeds the oriented-edge repartition knob
+        // (for under-partitioned upstreams; measured COUNTERPRODUCTIVE as a
+        // single-box memory fix — see Graph.triangleCount scaladoc;
+        // 0/unset = the default shape)
         val stateParts = sys.env.getOrElse("SPARK_GRAFT_STATE_PARTS", "0").toInt
         val e = copartEdges(dir)
         Graph.triangleCount(e, Graph.degrees(e), stateParts)

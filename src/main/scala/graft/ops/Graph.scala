@@ -77,19 +77,24 @@ object Graph {
   def triangleCount(edges: DataFrame, deg: DataFrame): DataFrame =
     triangleCount(edges, deg, statePartitions = 0)
 
-  /** Same, with an explicit partition count for the oriented-edge state —
-    * the memory-ceiling knob the 32× single-box drill needs. The cached
-    * oriented edges and every join task sized off them hold ~|E|/P edges
-    * each; at the session's default shuffle parallelism a 32× corpus
-    * (~58M oriented edges) concentrates enough per-task state to spill a
-    * 24g single box. Sizing rule: P ≈ |E| × 16 B / 64 MB keeps each
-    * cached block and join-leg task at the standard shuffle-block size —
-    * on a real cluster the same P spreads the state across executors
-    * (this is a plain hash repartition on src; co-location is NOT claimed
-    * for the wedge legs, which shuffle on their own keys regardless —
-    * the knob bounds per-task memory, not shuffle count; exchange counts
-    * grow by exactly the one repartition). 0 = off (inherit upstream
-    * partitioning, the default and lint-pinned shape). */
+  /** Same, with an explicit partition count for the oriented-edge state
+    * (plain hash repartition on src before the lineage cut). What this is
+    * FOR: spreading an under-partitioned upstream — a scan of a few large
+    * files, or a coalesced prior stage — across a cluster's executors so
+    * the cached state and the join tasks sized off it don't pile onto a
+    * handful of block managers. What it is NOT: a single-box memory fix.
+    * The 32× drill (~58M oriented edges, 24g box) measured the knob at
+    * P=256 COUNTERPRODUCTIVE — ratio 21.9 vs 14.1 with it off — because
+    * the ceiling is the TOTAL cached bytes of the state, which
+    * repartitioning does not change; the knob only adds one full |E|-row
+    * exchange (and src-hashing concentrates high-degree vertices). On one
+    * box the state is the data: size the box (or let the MEMORY_AND_DISK
+    * cut spill, which is what the drill's 14.1 ratio already includes);
+    * on a cluster, size executors so aggregate storage memory covers the
+    * oriented-edge cut (|E| rows at UnsafeRow width for two longs, plus
+    * per-block overhead).
+    * 0 = off (inherit upstream partitioning, the default and lint-pinned
+    * shape). */
   def triangleCount(edges: DataFrame, deg: DataFrame,
       statePartitions: Int): DataFrame = {
     val lin = new Lineage(edges.sparkSession)
