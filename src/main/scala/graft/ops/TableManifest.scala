@@ -1074,6 +1074,98 @@ object TableManifest {
       keepAllWhenColumnMissing = true, opName = "replace")
   }
 
+  /** Key-based MERGE (upsert) — the batch half of CDC apply and the core
+    * of Delta's `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *`: every `source` row whose long/int `keyCol`
+    * matches a live target row REPLACES that row (whole-row semantics,
+    * the [[graft.streaming.UpsertSink]] batch twin); the rest are
+    * inserted. Copy-on-write at file granularity, with victim discovery
+    * fully DISTRIBUTED — no key set ever lands on the driver:
+    *
+    *  1. head files are range-pruned against the source's one-row
+    *     (min, max) key envelope using committed [[analyze]] stats
+    *     (missing stats → conservatively admitted);
+    *  2. the survivors' key column is scanned (column-pruned) together
+    *     with `_metadata.file_path` and equi-joined against the source
+    *     keys — the exact victim files; driver traffic is file NAMES;
+    *  3. victims are rewritten with matched rows dropped via a LEFT ANTI
+    *     join (distributed — never an `isin` literal list), the source
+    *     unioned in, and the result victim-splice-committed
+    *     ([[spliceCommit]] — concurrent appends and the streaming hwm
+    *     survive); rewritten files carry fresh `keyCol` min/max in the
+    *     same commit, so merged regions stay born-prunable.
+    *
+    * At 100 TB with stats committed, merging a CDC batch whose keys
+    * touch k files rewrites those k files and never shuffles — or even
+    * lists — the rest of the table.
+    *
+    * Contract: `source` carries the table's exact schema (schema
+    * evolution goes through publish, not merge), and is key-UNIQUE and
+    * key-NON-NULL — both loud: a duplicate key makes the surviving row
+    * ambiguous, and since SQL `NULL = NULL` never matches, a null-key
+    * "upsert" could only ever insert, almost certainly an upstream bug.
+    * Target rows with NULL keys match nothing and always survive. Re-
+    * running the same merge converges to identical contents (idempotent
+    * retry after a crash). Replaced rows stay time-travelable until
+    * [[vacuum]]. Returns the committed version. */
+  def mergeByKey(spark: SparkSession, dir: String, keyCol: String,
+      source: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L) sys.error(s"mergeByKey: $dir is not manifest-tracked")
+    val tableCols = readTable(spark, dir).columns.toSet
+    val srcCols = source.columns.toSet
+    require(srcCols == tableCols,
+      s"mergeByKey: source schema ${srcCols.toSeq.sorted} must equal the " +
+        s"table schema ${tableCols.toSeq.sorted}")
+    require(srcCols.contains(keyCol),
+      s"mergeByKey: source lacks the merge key `$keyCol`")
+    // pin ONCE: the uniqueness/null guards, the victim join, the anti-join
+    // and the write must all see the same rows (the replaceWhereEq TOCTOU
+    // rationale — a non-deterministic source passing the guard and then
+    // re-materializing differently would corrupt the merge)
+    val pinned = source.localCheckpoint()
+    require(pinned.filter(col(keyCol).isNull).limit(1).count() == 0L,
+      s"mergeByKey: source has NULL `$keyCol` keys")
+    require(pinned.groupBy(keyCol).count()
+      .filter(col("count") > 1L).limit(1).count() == 0L,
+      s"mergeByKey: source has duplicate `$keyCol` keys — ambiguous merge")
+    // 1. range-prune candidates against the source's key envelope
+    val bounds = pinned
+      .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+      .head()
+    if (bounds.isNullAt(0)) return headV // empty source: nothing to do
+    val candidates = filterByRanges(headFiles, parseStats(headBody),
+      Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
+    // 2. exact victims: candidate files that HOLD a matched key
+    val victims =
+      if (candidates.isEmpty) Seq.empty[String]
+      else {
+        val scan = spark.read.option("mergeSchema", "true")
+          .parquet(candidates.map(f => s"$dir/$f"): _*)
+        if (!scan.columns.contains(keyCol)) Seq.empty[String]
+        else {
+          val paths = scan
+            .select(col(keyCol), col("_metadata.file_path").as("__path"))
+            .join(pinned.select(col(keyCol)), Seq(keyCol))
+            .select("__path").distinct().collect()
+            .map(_.getString(0))
+          // map URI-style paths back to manifest names by suffix (names
+          // are unique within the table dir, so "/name" is unambiguous)
+          paths.toSeq.map { full =>
+            candidates.find(f => full.endsWith("/" + f)).getOrElse(
+              sys.error(s"mergeByKey: scanned file $full is not a " +
+                s"candidate of $dir — concurrent layout change?"))
+          }
+        }
+      }
+    // 3. rewrite victims minus matched keys, union the source, splice
+    sliceRewrite(spark, dir, headV, victims, keyCol,
+      keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
+      append = Some(pinned), keepAllWhenColumnMissing = true,
+      opName = "merge")
+  }
+
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String,
       keep: DataFrame => DataFrame, opName: String): Long =

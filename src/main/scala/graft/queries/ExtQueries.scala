@@ -5810,6 +5810,54 @@ object ExtQueries {
       |  CAST(SUM(cents) AS BIGINT) AS cents
       |FROM tailed GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q170
+  /** Batch key-MERGE ([[graft.ops.TableManifest.mergeByKey]]) end-to-end:
+    * a range-clustered tracked orders table takes one merge of whole-row
+    * UPDATES (every 97th key, cents + 11) plus INSERTS (offset keys) —
+    * copy-on-write confined to the files the committed stats + the
+    * distributed victim join admit, stats refreshed in the same commit.
+    * The oracle models MERGE semantics directly: base rows overridden by
+    * key, inserts unioned. */
+  def q170MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q170")
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    base.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val updates = base.filter(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 11)
+    val inserts = base.filter(col("k") % 1009 === 0)
+      .select((col("k") + 10000000L).as("k"), col("pri"),
+        lit(5L).as("cents"))
+    graft.ops.TableManifest.mergeByKey(s, tmp, "k",
+      updates.unionByName(inserts))
+    graft.ops.TableManifest.readTable(s, tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        max(col("k")).as("max_k"),
+        sum(when(col("cents") === 5L, 1L).otherwise(0L)).as("n_inserted"))
+  }
+
+  val q170Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, pri,
+      |    CASE WHEN k % 97 = 0 THEN cents + 11 ELSE cents END AS cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k + 10000000, pri, 5 FROM base WHERE k % 1009 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  CAST(SUM(CASE WHEN cents = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -5968,7 +6016,8 @@ object ExtQueries {
     "q166_time_sliced_read" -> (q166TimeSlicedRead _),
     "q167_manifest_provider" -> (q167ManifestProviderRead _),
     "q168_asof_null_guard" -> (q168AsofNullGuard _),
-    "q169_manifest_stream_tail" -> (q169ManifestStreamTail _))
+    "q169_manifest_stream_tail" -> (q169ManifestStreamTail _),
+    "q170_merge_upsert" -> (q170MergeUpsert _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6129,5 +6178,6 @@ object ExtQueries {
     "q166_time_sliced_read" -> q166Sql,
     "q167_manifest_provider" -> q167Sql,
     "q168_asof_null_guard" -> q168Sql,
-    "q169_manifest_stream_tail" -> q169Sql)
+    "q169_manifest_stream_tail" -> q169Sql,
+    "q170_merge_upsert" -> q170Sql)
 }

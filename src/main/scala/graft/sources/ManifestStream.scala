@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.read.Statistics
 import org.apache.spark.sql.connector.read.SupportsReportStatistics
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -42,7 +42,11 @@ import graft.ops.TableManifest
   *
   * 100 TB posture: planning cost per trigger is two small manifest reads
   * (head + the `start` version) and a name diff — independent of table
-  * size; scan cost is the delta's files only. A vacuum racing the stream
+  * size; scan cost is the delta's files only. `maxFilesPerTrigger` caps
+  * admission during catch-up (native `SupportsAdmissionControl` +
+  * `SupportsTriggerAvailableNow`, version-granular — see the field
+  * scaladoc), so backfilling from `earliest` streams the snapshot as
+  * schedulable chunks instead of one table-sized batch. A vacuum racing the stream
   * can only reclaim files the head no longer lists, so an append-only
   * tail never loses a listed file; a snapshot-REPLACING writer plus
   * zero-grace vacuum can invalidate an in-flight delta, which then fails
@@ -140,9 +144,84 @@ object ManifestOffset {
 
 private[sources] final class ManifestMicroBatchStream(
     dir: String, schema: StructType, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  /** `maxFilesPerTrigger`: catch-up throttle. A stream starting at
+    * `earliest` on a big table would otherwise deliver the ENTIRE head
+    * snapshot as one micro-batch — at 100 TB that is one unschedulable
+    * trigger monopolizing the cluster and a checkpoint that holds nothing
+    * until it finishes. With the cap, `latestOffset(start, limit)` walks
+    * versions forward from `start` and admits the longest prefix whose
+    * cumulative fresh-file count stays within the cap (offsets are
+    * manifest versions, so admission is VERSION-granular: one commit
+    * larger than the cap is admitted whole rather than stalling the
+    * stream — documented, same shape as a too-big Kafka batch). Steady
+    * state (tailing one commit per trigger) is unaffected. Walk cost is
+    * one small manifest read per candidate version, paid only while
+    * catching up. */
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"maxFilesPerTrigger must be a positive int: '$v'"))
+      require(n > 0, s"maxFilesPerTrigger must be > 0: $n")
+      n
+    }
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Trigger.AvailableNow pin: everything up to the head AT QUERY START is
+    * delivered (chunked by the read limit), then the query terminates —
+    * commits landing while it drains wait for the next run. */
+  @volatile private var availableNowHead: Long = Long.MaxValue
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = headVersion()
+
+  private def headVersion(): Long =
+    TableManifest.read(spark, dir).map(_._1).getOrElse(0L)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = ManifestOffset.parse(start.json()).version
+    val head = math.min(headVersion(), availableNowHead)
+    if (head <= from) return ManifestOffset(from)
+    val limits = limit match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq
+      case l => Seq(l)
+    }
+    limits.collectFirst { case f: ReadMaxFiles => f.maxFiles() } match {
+      case None => ManifestOffset(head)
+      case Some(k) =>
+        val delivered: Set[String] =
+          if (from <= 0) Set.empty
+          else TableManifest.readAt(spark, dir, from).getOrElse(sys.error(
+            s"graft-manifest stream: checkpointed v$from vanished from " +
+              s"$dir (manifest history pruned?) — cannot size the batch"))
+            .toSet
+        // longest version prefix whose CUMULATIVE fresh-file count (names
+        // at v not at `from` — exactly what freshFiles will deliver) fits
+        // the cap; a version admitting nothing new (stats-only commits)
+        // passes through for free
+        var vStop = from
+        var v = from + 1
+        var halt = false
+        while (!halt && v <= head) {
+          val names = TableManifest.readAt(spark, dir, v).getOrElse(sys.error(
+            s"graft-manifest stream: v$v vanished from $dir " +
+              "(manifest history pruned?) — cannot size the batch"))
+          val cum = names.count(n => !delivered(n))
+          if (cum <= k) { vStop = v; v += 1 }
+          else if (vStop == from) { vStop = v; halt = true } // oversized single commit: admit whole, never stall
+          else halt = true
+        }
+        ManifestOffset(vStop)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = ManifestOffset(headVersion())
 
   /** Parquet DSv2 batch over an explicit file list under the stream's
     * pinned schema — one per trigger; the factory of the last planned

@@ -98,6 +98,84 @@ class ManifestStreamReadSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  /** Run one AvailableNow pass collecting each micro-batch separately. */
+  private def runBatches(dir: String, ckpt: String,
+      options: Map[String, String]): Seq[Seq[(String, Long)]] = {
+    val batches = scala.collection.mutable.ListBuffer.empty[Seq[(String, Long)]]
+    val reader = spark.readStream.format("graft-manifest")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.as[(String, Long)].collect().toSeq.sorted
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.toSeq.filter(_.nonEmpty)
+  }
+
+  test("maxFilesPerTrigger chunks catch-up into per-commit batches, in commit order") {
+    val dir = newTable() // v1: one file (a, b)
+    append(dir, ("c", 3L)) // v2
+    append(dir, ("d", 4L)) // v3
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck6").toString
+    val got = runBatches(dir, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(got == Seq(
+      Seq(("a", 1L), ("b", 2L)), Seq(("c", 3L)), Seq(("d", 4L))),
+      s"one commit per trigger during catch-up, commit order, nothing lost: $got")
+    // resume: checkpoint + cap still in force
+    append(dir, ("e", 5L))
+    append(dir, ("f", 6L))
+    val got2 = runBatches(dir, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(got2 == Seq(Seq(("e", 5L)), Seq(("f", 6L))),
+      s"checkpointed resume chunks the new backlog the same way: $got2")
+    // uncapped consumer from scratch: whole backlog in ONE batch
+    val ckptAll = java.nio.file.Files.createTempDirectory("gm-stream-ck7").toString
+    assert(runBatches(dir, ckptAll, Map.empty).length == 1,
+      "no cap: AvailableNow drains everything in a single batch")
+  }
+
+  test("a single commit larger than the cap is admitted whole, never stalling") {
+    val dir = newTable() // v1
+    // one commit adding TWO files (admission is version-granular)
+    val names = Seq(("x", 7L), ("y", 8L)).map { row =>
+      val tmp = java.nio.file.Files.createTempDirectory("gm-stream-big").toString
+      Seq(row).toDF("k", "v").repartition(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val target = new java.io.File(dir,
+        s"added-${java.util.UUID.randomUUID()}.parquet")
+      java.nio.file.Files.copy(part.toPath, target.toPath)
+      target.getName
+    }
+    val (head, files) = graft.ops.TableManifest.read(spark, dir).get
+    graft.ops.TableManifest.commitIf(spark, dir, files ++ names, head).get
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck8").toString
+    val got = runBatches(dir, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(got == Seq(
+      Seq(("a", 1L), ("b", 2L)), Seq(("x", 7L), ("y", 8L))),
+      s"the 2-file commit arrives as one oversized batch: $got")
+  }
+
+  test("bad maxFilesPerTrigger fails loudly") {
+    val dir = newTable()
+    intercept[Exception] {
+      runOnce(dir,
+        java.nio.file.Files.createTempDirectory("gm-stream-ck9").toString,
+        Map("maxFilesPerTrigger" -> "0"))
+    }
+    intercept[Exception] {
+      runOnce(dir,
+        java.nio.file.Files.createTempDirectory("gm-stream-ck10").toString,
+        Map("maxFilesPerTrigger" -> "lots"))
+    }
+  }
+
   test("offsets round-trip through the JSON contract; garbage is loud") {
     assert(ManifestOffset.parse(ManifestOffset(7L).json()) == ManifestOffset(7L))
     assert(ManifestOffset.parse("""{ "version" : 12 }""") == ManifestOffset(12L))
