@@ -301,6 +301,23 @@ object ScaleDrill {
         graft.ops.TableManifest.readTableRange(
             spark, s"$dir/events_tracked", "event_id", 1000L, 50000L)
           .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      },
+      // the WRITE-side data-skipping claim, measured (pruned_read's twin):
+      // a fixed-size CDC merge whose keys live in one fixed id band — the
+      // per-copy id offsets put the band inside copy 0 — must stay near-
+      // FLAT as the corpus grows, because committed stats + the victim
+      // join confine the copy-on-write to the files intersecting the band.
+      // Each timed run re-merges the CURRENT slice (contents advance,
+      // cost profile doesn't), exactly a production CDC cadence.
+      "merge_cdc" -> { dir: String =>
+        val t = s"$dir/events_tracked"
+        val updates = graft.ops.TableManifest.readTableRange(
+            spark, t, "event_id", 1000L, 2000L)
+          .withColumn("value", col("value") + lit(1.0))
+        val v = graft.ops.TableManifest.mergeByKey(
+          spark, t, "event_id", updates)
+        import spark.implicits._
+        Seq(v).toDF("committed_v")
       })
 
     def time(f: => Unit): Double = {

@@ -1076,8 +1076,10 @@ object TableManifest {
 
   /** Key-based MERGE (upsert) — the batch half of CDC apply and the core
     * of Delta's `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
-    * MATCHED THEN INSERT *`: every `source` row whose long/int `keyCol`
-    * matches a live target row REPLACES that row (whole-row semantics,
+    * MATCHED THEN INSERT *`: every `source` row whose `keyCol` (any
+    * equatable type; integral keys get the stats fast path, others scan
+    * every candidate but keep the victim join exact) matches a live
+    * target row REPLACES that row (whole-row semantics,
     * the [[graft.streaming.UpsertSink]] batch twin); the rest are
     * inserted. Copy-on-write at file granularity, with victim discovery
     * fully DISTRIBUTED — no key set ever lands on the driver:
@@ -1130,13 +1132,29 @@ object TableManifest {
     require(pinned.groupBy(keyCol).count()
       .filter(col("count") > 1L).limit(1).count() == 0L,
       s"mergeByKey: source has duplicate `$keyCol` keys — ambiguous merge")
-    // 1. range-prune candidates against the source's key envelope
-    val bounds = pinned
-      .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
-      .head()
-    if (bounds.isNullAt(0)) return headV // empty source: nothing to do
-    val candidates = filterByRanges(headFiles, parseStats(headBody),
-      Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
+    if (pinned.isEmpty) return headV // empty source: nothing to do
+    // 1. range-prune candidates against the source's key envelope —
+    // integral keys only (committed long stats); any other key type keeps
+    // every file as a candidate (conservative) and relies on the exact
+    // victim join below. A cast-to-long shortcut here would silently turn
+    // a string-keyed merge into a no-op (NULL envelope reads as "empty").
+    val keyIsIntegral = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      pinned.schema(keyCol).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
+    val candidates =
+      if (!keyIsIntegral) headFiles
+      else {
+        val bounds = pinned
+          .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
+          .head()
+        if (bounds.isNullAt(0)) headFiles // all-NULL would have failed the guard; stay conservative
+        else filterByRanges(headFiles, parseStats(headBody),
+          Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
+      }
     // 2. exact victims: candidate files that HOLD a matched key
     val victims =
       if (candidates.isEmpty) Seq.empty[String]

@@ -106,6 +106,29 @@ class MergeByKeySpec extends SparkSpec {
     assert(rows(dir).contains((9L, "U9", 999L)))
   }
 
+  test("STRING keys merge correctly (no stats fast path, victim join still exact)") {
+    val dir = tmpDir("strkey")
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("id", "w")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val v0 = TableManifest.read(spark, dir).get._1
+    TableManifest.mergeByKey(spark, dir, "id",
+      Seq(("b", 222L), ("d", 4L)).toDF("id", "w"))
+    assert(TableManifest.read(spark, dir).get._1 > v0,
+      "a string-keyed merge must COMMIT, not silently no-op")
+    val got = TableManifest.readTable(spark, dir).as[(String, Long)]
+      .collect().toSeq.sorted
+    assert(got == Seq(("a", 1L), ("b", 222L), ("c", 3L), ("d", 4L)))
+  }
+
+  test("empty source is a no-op: head version unchanged") {
+    val dir = newTable()
+    val v0 = TableManifest.read(spark, dir).get._1
+    TableManifest.mergeByKey(spark, dir, "k",
+      Seq.empty[(Long, String, Long)].toDF("k", "s", "w"))
+    assert(TableManifest.read(spark, dir).get._1 == v0)
+  }
+
   test("contract violations are loud: dup keys, null keys, schema drift, untracked dir") {
     val dir = newTable()
     val dup = intercept[IllegalArgumentException] {

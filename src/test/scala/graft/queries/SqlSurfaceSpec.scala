@@ -125,4 +125,29 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(plan.contains("EqualTo(id,2)"), s"filter not pushed:\n$plan")
     spark.sql("DROP TABLE graft_manifest_sql_tbl")
   }
+
+  test("a catalog table over graft-manifest tracks the HEAD across commits (no stale pin)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-manifest-fresh").toString
+    Seq((1L, "a")).toDF("id", "s").write.mode("overwrite").parquet(dir)
+    graft.ops.TableManifest.init(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_manifest_fresh_tbl")
+    spark.sql(s"CREATE TABLE graft_manifest_fresh_tbl USING " +
+      s"`graft-manifest` OPTIONS (path '$dir')")
+    def n(): Long = spark
+      .sql("SELECT count(*) AS n FROM graft_manifest_fresh_tbl")
+      .head().getLong(0)
+    assert(n() == 1L)
+    // a commit AFTER the table exists and was read once: the next SELECT
+    // must resolve the NEW head — a provider/table instance cached across
+    // resolutions with a head pin that never invalidates would serve the
+    // stale snapshot forever
+    graft.ops.TableManifest.publish(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    assert(n() == 2L, "catalog SELECT must see the post-commit head")
+    // and the reader-API path the same
+    assert(spark.read.format("graft-manifest").load(dir).count() == 2L)
+    spark.sql("DROP TABLE graft_manifest_fresh_tbl")
+  }
 }
