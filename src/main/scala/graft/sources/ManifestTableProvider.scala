@@ -118,9 +118,22 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       sys.error(s"graft-manifest: the resolved version of $dir lists no " +
         "files, so the schema cannot be inferred; pass an explicit schema " +
         "to read an empty table")
+    // readTable MERGES footer schemas; the delegated table must infer the
+    // same way or the two read paths diverge: without mergeSchema the
+    // parquet table samples ONE path-ordered footer, so a column added by
+    // a later commit silently vanishes for SQL/provider consumers
+    // whenever the evolved file doesn't happen to sort first
+    // (ManifestProviderEvolutionSpec). An explicit user setting wins.
+    val effective =
+      if (options.containsKey("mergeSchema")) options
+      else {
+        val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
+        m.put("mergeSchema", "true")
+        new CaseInsensitiveStringMap(m)
+      }
     new ManifestReadTable(
-      new ParquetTable(s"graft-manifest:$dir", SparkSession.active, options,
-        files, userSchema, classOf[ParquetFileFormat]), dir, options)
+      new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
+        files, userSchema, classOf[ParquetFileFormat]), dir, effective)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
