@@ -1,10 +1,12 @@
 package graft.ops
 
 import java.nio.charset.StandardCharsets
-import java.util.UUID
+import java.util.{Base64, UUID}
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.graft.SchemaBridge
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal reader-atomic commit protocol for raw parquet directories — the
   * public Delta/Iceberg core idea at file-listing scale, with none of the
@@ -40,10 +42,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the streaming append sink), while [[commit]] retries it for
   * last-writer-wins snapshot replacement (publish).
   *
-  * Deliberately NOT here: per-commit diffs/log replay, schema metadata,
+  * Deliberately NOT here: per-commit diffs/log replay and
   * optimistic-conflict semantics beyond last-writer-wins — at that point
   * use a real table format. File names are written by this module
   * (UUID-based ASCII), so the JSON needs no string escaping.
+  *
+  * The manifest DOES carry the table schema (base64 of Spark's schema
+  * JSON — base64's charset keeps the no-escaping invariant): without it,
+  * every read must either sample ONE footer (silently dropping columns a
+  * later commit added — the order-dependent bug
+  * `ManifestProviderEvolutionSpec` pins) or merge ALL footers — an
+  * O(files) metadata sweep at every planning, which at 100 TB is exactly
+  * the cost table formats exist to avoid. Appends MERGE their batch
+  * schema into the head's (same merge as parquet's own `mergeSchema`);
+  * snapshot replacement ([[publish]]) REPLACES it. Manifests written
+  * before the field existed read through the merged-footer fallback until
+  * [[analyzeSchema]] bootstraps them.
   *
   * The reference overwrites its one output in place
   * (`/root/reference/services/spark_batch_processor.py:106`) and relies on
@@ -181,6 +195,31 @@ object TableManifest {
 
   private val ColBloomRe = """"([^"]+)":"([0-9a-f]*)"""".r
 
+  private val SchemaB64Re = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
+
+  /** Stored deep-nullable: the manifest schema describes what a SCAN of
+    * the table serves, and a file scan serves every column nullable (any
+    * listed file may predate the column) — the same view merged footer
+    * inference reports, so schema-carried and fallback reads agree
+    * exactly. */
+  private def encodeSchema(s: StructType): String =
+    Base64.getEncoder.encodeToString(
+      SchemaBridge.asNullable(s).json.getBytes(StandardCharsets.UTF_8))
+
+  /** The manifest-carried table schema, absent on manifests written before
+    * the field existed. A value that fails to decode is treated as absent
+    * (the reader falls back to merged footer inference — costs planning
+    * time, never correctness), but the field is only ever written by
+    * [[render]] from a real `StructType`, so that path is corruption-only. */
+  private def parseSchema(json: String): Option[StructType] =
+    SchemaB64Re.findFirstMatchIn(json).flatMap { m =>
+      scala.util.Try {
+        DataType.fromJson(new String(
+          Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+          .asInstanceOf[StructType]
+      }.toOption
+    }
+
   /** The `"bloom":{...}` point-lookup object. */
   private def parseBloom(json: String): FileBloom =
     sliceObject(json, "bloom").map { body =>
@@ -213,6 +252,27 @@ object TableManifest {
   def readBloom(spark: SparkSession, dir: String): FileBloom =
     readHeadRaw(spark, dir).map(h => parseBloom(h._2)).getOrElse(Map.empty)
 
+  /** The head manifest's table schema — `None` for untracked dirs and for
+    * manifests written before the schema field existed (bootstrap those
+    * with [[analyzeSchema]]). */
+  def readSchema(spark: SparkSession, dir: String): Option[StructType] =
+    readHeadRaw(spark, dir).flatMap(h => parseSchema(h._2))
+
+  /** Head (version, files, schema) from ONE manifest read — the snapshot
+    * the DSv2 provider pins, so schema inference and the scan's file list
+    * can never split across different versions. */
+  def readFull(spark: SparkSession,
+      dir: String): Option[(Long, Seq[String], Option[StructType])] =
+    readHeadRaw(spark, dir).map { case (v, body) =>
+      (v, parseFiles(body), parseSchema(body))
+    }
+
+  /** (files, schema) of one SPECIFIC version — [[readAt]]'s snapshot twin
+    * for time travel: the schema AS OF that version, not the head's. */
+  def readAtFull(spark: SparkSession, dir: String,
+      version: Long): Option[(Seq[String], Option[StructType])] =
+    readAtRaw(spark, dir, version).map(b => (parseFiles(b), parseSchema(b)))
+
   private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
@@ -231,7 +291,8 @@ object TableManifest {
 
   private def render(version: Long, token: String, files: Seq[String],
       hwm: Option[Long], stats: FileStats,
-      sstats: FileStringStats, bloom: FileBloom): String = {
+      sstats: FileStringStats, bloom: FileBloom,
+      schemaB64: Option[String]): String = {
     // the no-escaping invariant is enforced HERE, not only in the footer
     // reader: commitIf is public API, and one unsafe caller-supplied value
     // would either corrupt the whole body (brace breaks sliceObject's
@@ -245,7 +306,10 @@ object TableManifest {
           c == '\\'),
       s"manifest file name not JSON-safe: $f"))
     def safeName(c: String) = c.nonEmpty && SafeStatValue.matches(c)
-    val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("")
+    schemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
+      "manifest schema must be base64 (no-escaping invariant)"))
+    val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("") +
+      schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("")
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
     val cleanStats = stats
@@ -325,7 +389,9 @@ object TableManifest {
       expectedHead: Long, hwm: Option[Long] = None,
       stats: FileStats = Map.empty,
       sstats: FileStringStats = Map.empty,
-      bloom: FileBloom = Map.empty): Option[Long] = {
+      bloom: FileBloom = Map.empty,
+      schema: Option[StructType] = None,
+      replaceSchema: Boolean = false): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -350,11 +416,50 @@ object TableManifest {
         .filter(_._2.nonEmpty)
         .toMap
     }
+    // the table schema survives commits that didn't restate it, like the
+    // stats: an append MERGES its batch schema into the head's (so an
+    // evolved batch widens the table and a narrow batch cannot shrink it),
+    // a snapshot replacement REPLACES it (a publish that dropped a column
+    // really drops it). A commit that ADDS files WITHOUT declaring a
+    // schema merges the added files' footer schemas in — O(files in the
+    // delta, just-written hot footers), never the table — because a
+    // carried schema that stopped covering the file list would hide an
+    // undeclared evolved append's new columns: the exact silent-drop bug
+    // the field exists to prevent, moved into the metadata. On a
+    // PRE-SCHEMA table, a non-replacing commit stores nothing — the delta
+    // is not evidence about columns the un-inventoried older files might
+    // hold; [[analyzeSchema]] bootstraps those. A fresh table (no manifest
+    // at all) has no older files, so the first commit's delta IS the
+    // table.
+    val headSchema = headRaw.flatMap(h => parseSchema(h._2))
+    val added = files.filterNot(
+      headRaw.map(h => parseFiles(h._2).toSet).getOrElse(Set.empty[String]))
+    // the commit PROTOCOL never requires data files to be scannable (a
+    // manifest is just a name list), so a delta whose footers can't be
+    // read doesn't fail the commit — it DROPS the stored schema instead:
+    // readers fall back to merged footer inference (always correct, just
+    // O(files)), and [[analyzeSchema]] restores the fast path. Keeping the
+    // head's schema would be the wrong conservative: it might not cover
+    // the uninventoried add.
+    def inferAdded(): Option[StructType] =
+      scala.util.Try(spark.read.option("mergeSchema", "true")
+        .parquet(added.map(f => s"$dir/$f"): _*).schema).toOption
+    val outSchema: Option[StructType] =
+      if (replaceSchema) schema
+      else (headSchema, schema) match {
+        case (Some(a), Some(b)) => Some(SchemaBridge.merge(a, b))
+        case (Some(a), None) =>
+          if (added.isEmpty) Some(a)
+          else inferAdded().map(SchemaBridge.merge(a, _))
+        case (None, Some(b)) => if (headRaw.isEmpty) Some(b) else None
+        case (None, None) =>
+          if (headRaw.isEmpty && files.nonEmpty) inferAdded() else None
+      }
     val v = expectedHead + 1
     val body =
       render(v, UUID.randomUUID().toString, files, hwm,
         carry(parseStats, stats), carry(parseStringStats, sstats),
-        carry(parseBloom, bloom))
+        carry(parseBloom, bloom), outSchema.map(encodeSchema))
         .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
@@ -367,11 +472,14 @@ object TableManifest {
     * directly. `hwm` carries the streaming append high-water mark into
     * the manifest body. Returns the committed version. */
   def commit(spark: SparkSession, dir: String, files: Seq[String],
-      hwm: Option[Long] = None): Long = {
+      hwm: Option[Long] = None,
+      schema: Option[StructType] = None,
+      replaceSchema: Boolean = false): Long = {
     var attempts = 0
     while (attempts < 64) {
       val head = read(spark, dir).map(_._1).getOrElse(0L)
-      commitIf(spark, dir, files, head, hwm) match {
+      commitIf(spark, dir, files, head, hwm,
+        schema = schema, replaceSchema = replaceSchema) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -388,7 +496,13 @@ object TableManifest {
         val n = s.getPath.getName
         s.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath.getName)
-      commit(spark, dir, names)
+      // the one merged-footer sweep this table will ever need: the schema
+      // lands in v1 and every later commit carries it forward
+      val schema =
+        if (names.isEmpty) None
+        else Some(spark.read.option("mergeSchema", "true")
+          .parquet(names.map(f => s"$dir/$f"): _*).schema)
+      commit(spark, dir, names, schema = schema, replaceSchema = true)
     }
 
   /** Manifest-pinned scan: exactly the head manifest's files. Falls back to
@@ -397,12 +511,10 @@ object TableManifest {
     * a column) must not have later files' columns silently dropped because
     * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
-    read(spark, dir) match {
-      case Some((_, files)) if files.nonEmpty =>
-        spark.read.option("mergeSchema", "true")
-          .parquet(files.map(f => s"$dir/$f"): _*)
-      case Some(_) => spark.emptyDataFrame
-      case None    => spark.read.parquet(dir)
+    readHeadRaw(spark, dir) match {
+      case Some((_, body)) =>
+        scanListed(spark, dir, parseFiles(body), parseSchema(body))
+      case None => spark.read.parquet(dir)
     }
 
   /** Write `df` to a hidden scratch dir and move its data files in under
@@ -448,7 +560,8 @@ object TableManifest {
     while (attempts < 64) {
       val head = readHead(spark, dir)
       commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
-        head.flatMap(_._3)) match {
+        head.flatMap(_._3),
+        schema = Some(df.schema), replaceSchema = true) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -462,25 +575,47 @@ object TableManifest {
     * caller prunes `_manifest/` explicitly — but a version whose data
     * files were vacuumed away will scan incompletely; time travel is only
     * guaranteed before any vacuum past that version. */
-  def readAt(spark: SparkSession, dir: String, version: Long): Option[Seq[String]] = {
+  def readAt(spark: SparkSession, dir: String,
+      version: Long): Option[Seq[String]] =
+    readAtRaw(spark, dir, version).map(parseFiles)
+
+  private def readAtRaw(spark: SparkSession, dir: String,
+      version: Long): Option[String] = {
     val (fs, p) = fsFor(spark, dir)
     val path = manifestPath(p, version)
     if (!fs.exists(path)) return None
     val in = fs.open(path)
-    val body =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    Some(parseFiles(body))
+    try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
   }
 
-  /** Time travel: scan the table exactly as of `version`. */
+  /** Time travel: scan the table exactly as of `version` — with that
+    * VERSION's schema when carried (a column dropped by a later publish
+    * reappears; one added later doesn't leak backwards). */
   def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
-    readAt(spark, dir, version) match {
-      case Some(files) if files.nonEmpty =>
+    readAtRaw(spark, dir, version) match {
+      case Some(body) =>
+        scanListed(spark, dir, parseFiles(body), parseSchema(body))
+      case None => sys.error(s"no manifest v$version under $dir")
+    }
+
+  /** Scan of a manifest-listed file set under that manifest's schema —
+    * zero footer reads at planning when the schema is carried; merged
+    * footer inference (O(files) metadata reads) on pre-schema manifests.
+    * A carried schema also makes the zero-file table readable: scanning
+    * an empty SNAPSHOT of a tracked table is a real state (erase-all,
+    * pre-first-append), not an error. */
+  private def scanListed(spark: SparkSession, dir: String,
+      files: Seq[String], schema: Option[StructType]): DataFrame =
+    (files.nonEmpty, schema) match {
+      case (true, Some(s)) =>
+        spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+      case (true, None) =>
         spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$dir/$f"): _*)
-      case Some(_) => spark.emptyDataFrame
-      case None => sys.error(s"no manifest v$version under $dir")
+      case (false, Some(s)) =>
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case (false, None) => spark.emptyDataFrame
     }
 
   /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
@@ -496,12 +631,11 @@ object TableManifest {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val from = readAt(spark, dir, fromVersion)
       .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
-    val to = readAt(spark, dir, toVersion)
+    val (to, toSchema) = readAtFull(spark, dir, toVersion)
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)
     if (fresh.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .parquet(fresh.map(f => s"$dir/$f"): _*)
+    else scanListed(spark, dir, fresh, toSchema)
   }
 
   /** Compute per-file min/max stats for the long/int/timestamp columns
@@ -537,6 +671,38 @@ object TableManifest {
       }
     }
     sys.error(s"manifest analyze lost $attempts races in $dir; giving up")
+  }
+
+  /** Bootstrap the manifest-carried schema on a table whose manifests
+    * predate the field: ONE merged-footer sweep over the head files,
+    * committed with the schema so every later read plans from the
+    * manifest alone. Incremental across CAS retries like [[analyze]]
+    * (files are immutable — a lost race re-reads only footers NEW to the
+    * refreshed head). A file delisted mid-race may leave its columns in
+    * the stored schema; extra columns only read as nulls, and the next
+    * [[publish]] replaces the schema outright. Returns the committed
+    * version. */
+  def analyzeSchema(spark: SparkSession, dir: String): Long = {
+    var acc: Option[StructType] = None
+    var swept = Set.empty[String]
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir)
+        .getOrElse(sys.error(s"analyzeSchema: $dir is not manifest-tracked"))
+      val fresh = files.filterNot(swept)
+      if (fresh.nonEmpty) {
+        val s = spark.read.option("mergeSchema", "true")
+          .parquet(fresh.map(f => s"$dir/$f"): _*).schema
+        acc = Some(acc.fold(s)(SchemaBridge.merge(_, s)))
+      }
+      swept ++= fresh
+      commitIf(spark, dir, files, v, hwm,
+        schema = acc, replaceSchema = true) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest analyzeSchema lost $attempts races in $dir")
   }
 
   /** Footer min/max for SPECIFIC files — the [[analyze]] primitive,

@@ -69,28 +69,35 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     * map would be the leak instead). Access-ordered so the `getTable`
     * half of an in-flight pair refreshes its pin's recency. */
   private val pinned =
-    new util.LinkedHashMap[String, Seq[String]](32, 0.75f, true) {
+    new util.LinkedHashMap[String, (Seq[String], Option[StructType])](
+        32, 0.75f, true) {
       override def removeEldestEntry(
-          e: util.Map.Entry[String, Seq[String]]): Boolean = size() > 16
+          e: util.Map.Entry[String, (Seq[String], Option[StructType])])
+        : Boolean = size() > 16
     }
 
   private def snapshotKey(options: CaseInsensitiveStringMap,
       dir: String): String =
     dir + " " + Option(options.get("versionAsOf")).getOrElse("")
 
+  /** (full file paths, manifest-carried schema) of the resolved snapshot —
+    * files and schema come from the SAME manifest body, so a commit racing
+    * the resolution cannot pair one version's schema with another's file
+    * list. */
   private def resolveFiles(options: CaseInsensitiveStringMap,
-      dir: String): Seq[String] = {
+      dir: String): (Seq[String], Option[StructType]) = {
     val spark = SparkSession.active
     Option(options.get("versionAsOf")) match {
       case Some(v) =>
-        TableManifest.readAt(spark, dir, v.toLong)
+        val (names, schema) = TableManifest.readAtFull(spark, dir, v.toLong)
           .getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
-          .map(f => s"$dir/$f")
+        (names.map(f => s"$dir/$f"), schema)
       case None =>
-        TableManifest.read(spark, dir) match {
-          case Some((_, names)) => names.map(f => s"$dir/$f")
-          case None             => Seq(dir) // untracked: plain dir scan
+        TableManifest.readFull(spark, dir) match {
+          case Some((_, names, schema)) =>
+            (names.map(f => s"$dir/$f"), schema)
+          case None => (Seq(dir), None) // untracked: plain dir scan
         }
     }
   }
@@ -102,7 +109,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         "(`.load(dir)`, `.option(\"path\", dir)`, or a catalog table " +
         "created with USING `graft-manifest` OPTIONS (path ...))"))
     val key = snapshotKey(options, dir)
-    val files = pinned.synchronized {
+    val (files, manifestSchema) = pinned.synchronized {
       val hit = pinned.get(key)
       if (hit != null) hit
       else {
@@ -111,13 +118,17 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         fs
       }
     }
-    // the manifest stores file names, not a schema — a zero-file version
-    // has nothing to infer from, and letting the parquet table throw its
-    // generic unable-to-infer error would point users at the wrong layer
-    if (files.isEmpty && userSchema.isEmpty)
+    // schema priority: caller's explicit schema, then the manifest-carried
+    // one (O(1) — no footer reads at planning), then footer inference
+    val schema = userSchema.orElse(manifestSchema)
+    // a zero-file version without a carried schema has nothing to infer
+    // from; letting the parquet table throw its generic unable-to-infer
+    // error would point users at the wrong layer
+    if (files.isEmpty && schema.isEmpty)
       sys.error(s"graft-manifest: the resolved version of $dir lists no " +
         "files, so the schema cannot be inferred; pass an explicit schema " +
         "to read an empty table")
+    // footer-inference fallback (pre-schema manifests, untracked dirs):
     // readTable MERGES footer schemas; the delegated table must infer the
     // same way or the two read paths diverge: without mergeSchema the
     // parquet table samples ONE path-ordered footer, so a column added by
@@ -133,7 +144,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       }
     new ManifestReadTable(
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
-        files, userSchema, classOf[ParquetFileFormat]), dir, effective)
+        files, schema, classOf[ParquetFileFormat]), dir, effective)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -102,7 +102,7 @@ object ManifestAppendSink {
       }
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
         expectedHead = headV, hwm = Some(batchId), stats = stats,
-        sstats = sstats).isDefined
+        sstats = sstats, schema = Some(batch.schema)).isDefined
       attempts += 1
       if (!committed && attempts >= 64)
         sys.error(s"append of batch $batchId to $dir lost $attempts races")
