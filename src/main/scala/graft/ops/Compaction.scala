@@ -175,9 +175,9 @@ object Compaction {
       val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
       // mergeSchema: fragments written under an evolved schema keep their
       // later-added columns instead of being silently projected away
-      spark.read.option("mergeSchema", "true")
+      val rewritten = spark.read.option("mergeSchema", "true")
         .parquet(small.map(_.getPath.toString): _*)
-        .coalesce(targetFiles)
+      rewritten.coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       // Move the rewritten files in first: a crash mid-swap duplicates rows
       // on an untracked dir (documented above) but never loses them; on a
@@ -190,9 +190,12 @@ object Compaction {
       fs.delete(tmp, true)
       tracked match {
         case Some((headV, _, hwm)) => // CAS commit; old fragments await vacuum
+          // declare the rewrite's schema: skips commitIf's delta footer
+          // inference, and the fragments' columns are all in it (merged)
           TableManifest.commitIf(spark, dir,
             large.map(_.getPath.getName) ++ moved.map(_.getName),
-            expectedHead = headV, hwm = hwm) match {
+            expectedHead = headV, hwm = hwm,
+            schema = Some(rewritten.schema)) match {
             case Some(_) =>
               return Stats(before, large.size + moved.size, smallBytes)
             case None =>

@@ -1102,7 +1102,7 @@ object TableManifest {
     val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
-      "optimizeZOrderRange")
+      "optimizeZOrderRange", schema = Some(clustered.schema))
   }
 
   /** The victim-set CAS splice every bounded rewrite ends with: replace
@@ -1114,7 +1114,8 @@ object TableManifest {
     * or drop the winner's. */
   private def spliceCommit(spark: SparkSession, dir: String,
       victims: Seq[String], moved: Seq[String], mstats: FileStats,
-      msstats: FileStringStats, opName: String): Long = {
+      msstats: FileStringStats, opName: String,
+      schema: Option[StructType] = None): Long = {
     val (fs, p) = fsFor(spark, dir)
     val victimSet = victims.toSet
     var attempts = 0
@@ -1127,7 +1128,10 @@ object TableManifest {
           s"$dir (concurrent rewrite); re-run against the new head")
       }
       val next = files.filterNot(victimSet) ++ moved
-      commitIf(spark, dir, next, v, hwm, mstats, msstats) match {
+      // every splice caller KNOWS the schema it wrote `moved` with —
+      // declaring it skips commitIf's per-attempt delta footer inference
+      commitIf(spark, dir, next, v, hwm, mstats, msstats,
+        schema = schema) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
@@ -1389,7 +1393,8 @@ object TableManifest {
           .coalesce(math.max(victims.size, 1))
         val moved = writeAndMoveIn(next, opName, dir)
         val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
-        spliceCommit(spark, dir, victims, moved, mstats, msstats, opName)
+        spliceCommit(spark, dir, victims, moved, mstats, msstats, opName,
+          schema = Some(next.schema))
     }
   }
 
