@@ -130,6 +130,14 @@ object TableManifest {
     * not-yet-committed batches. */
   private val AppendBatchFile = "b([0-9]+)-.*".r
 
+  /** The SQL INSERT path's data-file names (`sql-<tag>-pN.parquet`,
+    * [[graft.sources.ManifestTableProvider]]). Unlike append-batch files
+    * there is no hwm to distinguish committed from in-flight, so [[vacuum]]
+    * protects any UNLISTED one purely by the in-flight age floor: within
+    * the floor it may be in the rename→commit window; past it, a crashed
+    * insert's orphans reclaim like any dead file. */
+  private val SqlInsertFile = "sql-[0-9a-f]{8}-.*".r
+
   /** Minimum age before [[vacuum]] may reclaim an above-hwm (uncommitted)
     * append file — the rename→manifest-commit window protection floor. */
   private val InflightAppendFloorMs = 10L * 60L * 1000L
@@ -485,6 +493,69 @@ object TableManifest {
       }
     }
     sys.error(s"manifest commit lost $attempts races in $dir; giving up")
+  }
+
+  /** CAS-APPEND already-moved-in data files to the head's list, preserving
+    * the streaming high-water mark and merging the writer's declared
+    * schema — the commit step of the SQL `INSERT INTO` path
+    * ([[graft.sources.ManifestTableProvider]]). `names` must already live
+    * in `dir` under their final names. On an UNTRACKED dir holding
+    * pre-existing data files the table is converted in place first
+    * ([[init]] sweeps everything, the new files included) so the first
+    * manifest can never shadow rows a plain-dir reader was already seeing.
+    * The file list is deduped, so racing the conversion (whose v1 already
+    * lists `names`) cannot double-list — a double-listed file would be
+    * scanned twice. */
+  private[graft] def appendFiles(spark: SparkSession, dir: String,
+      names: Seq[String], schema: Option[StructType]): Long = {
+    if (read(spark, dir).isEmpty) {
+      val (fs, p) = fsFor(spark, dir)
+      val pre = if (!fs.exists(p)) Seq.empty else {
+        val ours = names.toSet
+        fs.listStatus(p).toSeq.filter { s =>
+          val n = s.getPath.getName
+          s.isFile && !n.startsWith("_") && !n.startsWith(".") && !ours(n)
+        }
+      }
+      if (pre.nonEmpty) init(spark, dir)
+    }
+    var attempts = 0
+    while (attempts < 64) {
+      val head = readHead(spark, dir)
+      val (v, prev, hwm) =
+        head.map(h => (h._1, h._2, h._3)).getOrElse((0L, Seq.empty[String], None))
+      commitIf(spark, dir, (prev ++ names).distinct, v, hwm,
+        schema = schema) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest append lost $attempts races in $dir; giving up")
+  }
+
+  /** CAS-REPLACE the head's file list with already-moved-in data files,
+    * preserving the streaming high-water mark — the commit step of SQL
+    * `INSERT OVERWRITE` ([[publish]] minus the write: the provider's
+    * delegated parquet writer already produced the files). The hwm
+    * survives for the same reason it survives [[publish]]: it records
+    * which stream epochs were APPLIED, and an overwrite does not un-apply
+    * them — dropping it would let a checkpoint replay double-append into
+    * the fresh snapshot. Works on untracked dirs too (first commit
+    * becomes v1; the old plain files are delisted — overwrite semantics —
+    * and reclaimable by [[vacuum]]). */
+  private[graft] def replaceFiles(spark: SparkSession, dir: String,
+      names: Seq[String], schema: Option[StructType]): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      val head = readHead(spark, dir)
+      commitIf(spark, dir, names, head.map(_._1).getOrElse(0L),
+        head.flatMap(_._3),
+        schema = schema, replaceSchema = true) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"manifest replace lost $attempts races in $dir; giving up")
   }
 
   /** Start tracking an existing plain parquet directory: commit its current
@@ -1579,6 +1650,7 @@ object TableManifest {
       s.getPath.getName match {
         case AppendBatchFile(id) =>
           id.toLong > hwm && s.getModificationTime > inflightFloor
+        case SqlInsertFile() => s.getModificationTime > inflightFloor
         case _ => false
       }
     val deadDataCandidates = entries.filter { s =>

@@ -5858,6 +5858,48 @@ object ExtQueries {
       |    AS n_inserted
       |FROM merged""".stripMargin
 
+  // ---------------------------------------------------------------- Q171
+  /** SQL `INSERT INTO` a graft-manifest catalog table, oracle-pinned: the
+    * fixture commits every-third order as v1, then the COMPLEMENT is
+    * appended through a pure-SQL INSERT (scratch-dir write → move-in →
+    * CAS manifest commit, [[graft.sources.ManifestTableProvider]]) with
+    * its cents shifted by +7 so the hash separates fixture rows from
+    * inserted rows — an INSERT that silently no-ops, double-commits, or
+    * writes around the manifest (leaving files a head read cannot see)
+    * lands on a different aggregate. Read back through the provider. */
+  def q171SqlInsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q171")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g171_ins_$tag"
+    val view = s"g171_src_$tag"
+    src.filter(col("k") % 3 =!= 0)
+      .select(col("k"), col("pri"), (col("cents") + 7L).as("cents"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"INSERT INTO $tbl SELECT k, pri, cents FROM $view")
+    finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q171Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+      |    + CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 7 END) AS BIGINT)
+      |    AS cents
+      |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6017,7 +6059,8 @@ object ExtQueries {
     "q167_manifest_provider" -> (q167ManifestProviderRead _),
     "q168_asof_null_guard" -> (q168AsofNullGuard _),
     "q169_manifest_stream_tail" -> (q169ManifestStreamTail _),
-    "q170_merge_upsert" -> (q170MergeUpsert _))
+    "q170_merge_upsert" -> (q170MergeUpsert _),
+    "q171_sql_insert" -> (q171SqlInsert _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6179,5 +6222,6 @@ object ExtQueries {
     "q167_manifest_provider" -> q167Sql,
     "q168_asof_null_guard" -> q168Sql,
     "q169_manifest_stream_tail" -> q169Sql,
-    "q170_merge_upsert" -> q170Sql)
+    "q170_merge_upsert" -> q170Sql,
+    "q171_sql_insert" -> q171Sql)
 }

@@ -2,10 +2,12 @@ package graft.sources
 
 import java.util
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -157,16 +159,18 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     delegate(new CaseInsensitiveStringMap(properties), Option(schema))
 }
 
-/** Read-only facade over the delegated parquet table. Necessary, not
-  * cosmetic: `FileTable` advertises BATCH_WRITE, so without this an
-  * `INSERT INTO` a graft-manifest catalog table would pass analysis and
-  * then write AROUND the commit protocol — on a tracked dir it dies at
-  * runtime with a misleading filesystem error (the delegate's "paths" are
-  * data FILES, not a directory), and on an untracked fallback it would
-  * land files no manifest commit ever linearized. Exposing BATCH_READ
-  * only turns that into an analysis-time "table does not support append".
-  * Writes go through the committing surfaces: [[TableManifest.publish]],
-  * `ManifestAppendSink` (exactly-once streaming), `replaceWhereEq`.
+/** Facade over the delegated parquet table that routes every capability
+  * through the manifest protocol. The delegate's own BATCH_WRITE must
+  * never leak through: its "paths" are data FILES, so an insert through
+  * it would write AROUND the commit protocol (misleading runtime FS error
+  * on a tracked dir; unlinearized files on an untracked fallback).
+  * Instead [[newWriteBuilder]] writes through [[ManifestWriteBuilder]]:
+  * the rows land in a hidden scratch dir via Spark's own parquet DSv2
+  * writer, and only the job-level commit moves them in and CAS-commits
+  * the next manifest version — so `INSERT INTO` appends (linearized
+  * against concurrent committers, schema merged into the carried one)
+  * and `INSERT OVERWRITE` snapshot-replaces (publish semantics, streaming
+  * high-water mark preserved), both from pure SQL.
   *
   * MICRO_BATCH_READ tails the table's commits as a stream
   * ([[ManifestMicroBatchStream]]): the batch scan path still delegates to
@@ -174,15 +178,120 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   * [[ManifestScanBuilder]], so batch plans are unchanged. */
 private final class ManifestReadTable(delegate: ParquetTable,
     dir: String, tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(
       delegate.newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
       dir, tableOptions)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // a time-travel relation is a snapshot of the past; writing "to" it
+    // would silently target the head instead — reject at planning
+    if (tableOptions.containsKey("versionAsOf"))
+      sys.error("graft-manifest: cannot write through a versionAsOf " +
+        "(time travel) read; load the table without versionAsOf to write")
+    new ManifestWriteBuilder(info, dir)
+  }
+}
+
+/** The SQL write path: rows are written by Spark's OWN parquet DSv2
+  * writer into a hidden scratch dir under the table (so every executor-
+  * side concern — codegen'd row writers, compression, task-level commit
+  * coordination, speculative-attempt dedup — is the battle-tested stock
+  * path), and only the JOB-level commit touches the table: move the
+  * finalized part files in under unique `sql-<tag>-pN.parquet` names,
+  * then CAS-commit the next manifest version. A failed or aborted query
+  * never publishes — the scratch dir is dropped and [[graft.ops
+  * .TableManifest.vacuum]] reclaims any crash leftovers (`.inflight-*`
+  * scratch by age; unlisted `sql-*` files past the in-flight floor).
+  *
+  * `truncate()` (SQL `INSERT OVERWRITE`, `DataFrameWriter.mode
+  * ("overwrite")`) flips the final commit from CAS-append to
+  * snapshot-replace — publish semantics: old files stay on disk for
+  * in-flight readers until vacuumed, and the streaming high-water mark
+  * survives (it records which stream epochs were applied; an overwrite
+  * does not un-apply them). */
+private final class ManifestWriteBuilder(info: LogicalWriteInfo, dir: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = {
+    val spark = SparkSession.active
+    val scratch = s"$dir/.inflight-sql-${util.UUID.randomUUID()}"
+    val m = new util.HashMap[String, String]()
+    m.put("path", scratch)
+    val opts = new CaseInsensitiveStringMap(m)
+    val delegate = ParquetTable(s"graft-manifest-write:$dir", spark, opts,
+      Seq(scratch), Some(info.schema), classOf[ParquetFileFormat])
+      .newWriteBuilder(info).build()
+    new ManifestWrite(delegate, dir, scratch, overwrite, info.schema)
+  }
+}
+
+private final class ManifestWrite(delegate: Write, dir: String,
+    scratch: String, overwrite: Boolean, writeSchema: StructType)
+    extends Write {
+  override def description(): String =
+    s"graft-manifest:$dir${if (overwrite) " (overwrite)" else ""}"
+  override def toBatch: BatchWrite =
+    new ManifestBatchWrite(delegate.toBatch, dir, scratch, overwrite,
+      writeSchema)
+}
+
+private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,
+    scratch: String, overwrite: Boolean, writeSchema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    delegate.createBatchWriterFactory(info)
+  override def useCommitCoordinator(): Boolean =
+    delegate.useCommitCoordinator()
+  override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+    delegate.onDataWriterCommit(message)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // finalize the scratch files (stock protocol)
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sp = new Path(scratch)
+    val parts =
+      if (!fs.exists(sp)) Seq.empty
+      else fs.listStatus(sp).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+    val tag = util.UUID.randomUUID().toString.take(8)
+    val moved = parts.zipWithIndex.map { case (s, i) =>
+      val name = s"sql-$tag-p$i.parquet"
+      require(fs.rename(s.getPath, new Path(p, name)),
+        s"graft-manifest: move of ${s.getPath} to $name failed")
+      name
+    }
+    // an empty-plan insert can finalize zero files (or only 0-row task
+    // files): appending zero files is a no-op (no manifest version
+    // burned), while an overwrite always commits — truncating to an
+    // empty (possibly zero-file) table that stays readable because the
+    // commit carries the write schema
+    if (overwrite)
+      TableManifest.replaceFiles(spark, dir, moved, Some(writeSchema))
+    else if (moved.nonEmpty)
+      TableManifest.appendFiles(spark, dir, moved, Some(writeSchema))
+    fs.delete(sp, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try delegate.abort(messages)
+    finally {
+      val spark = SparkSession.active
+      val sp = new Path(scratch)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(sp, true)
+    }
+  }
 }
