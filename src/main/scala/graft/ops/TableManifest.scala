@@ -1262,6 +1262,31 @@ object TableManifest {
       "eraseWhereIn")
   }
 
+  /** Targeted ERASE of every row whose long `column` falls in
+    * `[lo, hi]` (inclusive) — the RETENTION primitive (`DELETE WHERE
+    * ts < cutoff`): only head files whose committed min/max range CAN
+    * intersect the bound are rewritten (stats missing → conservatively
+    * admitted), so expiring the oldest slice of a 100 TB event table
+    * rewrites the handful of files holding it and never lists, opens,
+    * or shuffles the rest. NULL keys are never erased (SQL comparison
+    * semantics: `NULL < cutoff` is not true). Same splice-commit
+    * guarantees and logical-until-vacuum purge contract as
+    * [[eraseWhereEq]]. */
+  def eraseWhereRange(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(lo <= hi, s"eraseWhereRange: empty range [$lo, $hi]")
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L)
+      sys.error(s"eraseWhereRange: $dir is not manifest-tracked")
+    val victims = filterByRanges(headFiles, parseStats(headBody),
+      Seq((column, lo, hi)))
+    eraseRewrite(spark, dir, headV, victims, column,
+      df => df.filter(col(column).isNull ||
+        col(column) < lit(lo) || col(column) > lit(hi)),
+      "eraseWhereRange")
+  }
+
   /** Partition-scoped REPLACE — the idempotent-backfill primitive (the
     * `replaceWhere` shape of Delta/Iceberg): atomically swap every row
     * whose long `column` equals `value` for `replacement`, touching ONLY

@@ -5900,6 +5900,45 @@ object ExtQueries {
       |    AS cents
       |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q172
+  /** SQL `DELETE FROM` a graft-manifest table, oracle-pinned through two
+    * shapes: a RETENTION range (`k <= cutoff`, folded onto the
+    * stats-pruned range erase so only files whose committed min/max can
+    * intersect the bound rewrite) and a string-key erase
+    * (`pri = '1-URGENT'`, the right-to-be-forgotten path). A delete that
+    * over-deletes (range off by one), under-deletes (victim pruning
+    * wrongly skips a file), or resurrects rows (splice losing the
+    * rewrite) lands on a different aggregate than the oracle's
+    * complement filter. */
+  def q172SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q172")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tbl = s"g172_del_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"DELETE FROM $tbl WHERE k <= 1000")
+      s.sql(s"DELETE FROM $tbl WHERE pri = '1-URGENT'")
+    } finally s.sql(s"DROP TABLE $tbl")
+    graft.ops.TableManifest.readTable(s, tmp)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q172Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders
+      |WHERE o_orderkey > 1000 AND o_orderpriority <> '1-URGENT'
+      |GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6060,7 +6099,8 @@ object ExtQueries {
     "q168_asof_null_guard" -> (q168AsofNullGuard _),
     "q169_manifest_stream_tail" -> (q169ManifestStreamTail _),
     "q170_merge_upsert" -> (q170MergeUpsert _),
-    "q171_sql_insert" -> (q171SqlInsert _))
+    "q171_sql_insert" -> (q171SqlInsert _),
+    "q172_sql_delete" -> (q172SqlDelete _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6223,5 +6263,6 @@ object ExtQueries {
     "q168_asof_null_guard" -> q168Sql,
     "q169_manifest_stream_tail" -> q169Sql,
     "q170_merge_upsert" -> q170Sql,
-    "q171_sql_insert" -> q171Sql)
+    "q171_sql_insert" -> q171Sql,
+    "q172_sql_delete" -> q172Sql)
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{AlwaysTrue, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -178,7 +178,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   * [[ManifestScanBuilder]], so batch plans are unchanged. */
 private final class ManifestReadTable(delegate: ParquetTable,
     dir: String, tableOptions: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -197,6 +198,118 @@ private final class ManifestReadTable(delegate: ParquetTable,
       sys.error("graft-manifest: cannot write through a versionAsOf " +
         "(time travel) read; load the table without versionAsOf to write")
     new ManifestWriteBuilder(info, dir)
+  }
+
+  /** SQL `DELETE FROM` routed onto the metadata-pruned erase primitives:
+    * the condition's top-level conjuncts arrive as source filters, and the
+    * supported shapes map 1:1 — `col = v` / `col IN (...)` to
+    * [[TableManifest.eraseWhereEq]] (bloom+range victim pruning) or
+    * `eraseWhereIn` for strings, any conjunction of integral comparisons
+    * on ONE column folded to a single inclusive range for
+    * [[TableManifest.eraseWhereRange]] (the retention shape:
+    * `DELETE WHERE ts_us < cutoff`), and no condition at all to a
+    * snapshot-replace truncate that keeps the carried schema (the table
+    * stays readable) and the streaming hwm. At 100 TB only the files
+    * whose committed stats can hold a target row are rewritten. Anything
+    * else — disjunctions, expressions, multi-column mixes — reports
+    * `canDeleteWhere = false`, so Spark rejects the statement loudly at
+    * planning instead of silently deleting the wrong slice; row-level
+    * shapes belong to [[TableManifest.mergeByKey]] and the library
+    * surface. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    translateDelete(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    translateDelete(filters).getOrElse(sys.error(
+      s"graft-manifest: unsupported DELETE condition " +
+        s"[${filters.mkString(", ")}]")).apply()
+
+  private def integral(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte => Some(b.toLong)
+    case s: java.lang.Short => Some(s.toLong)
+    case i: java.lang.Integer => Some(i.toLong)
+    case l: java.lang.Long => Some(l)
+    case _ => None
+  }
+
+  private def translateDelete(filters: Array[Filter])
+      : Option[() => Unit] = {
+    if (tableOptions.containsKey("versionAsOf")) return None
+    val spark = SparkSession.active
+    // a DELETE on an untracked dir converts it in place first (same
+    // posture as INSERT): the erase primitives require a manifest
+    def tracked(): Unit =
+      if (TableManifest.read(spark, dir).isEmpty) TableManifest.init(spark, dir)
+    val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    effective match {
+      case Array() => Some { () =>
+        tracked()
+        // truncate: keep the schema so the empty table stays readable,
+        // falling back to the merged scan schema on pre-schema manifests
+        val schema = TableManifest.readSchema(spark, dir).orElse(
+          scala.util.Try(TableManifest.readTable(spark, dir).schema).toOption)
+        TableManifest.replaceFiles(spark, dir, Seq.empty, schema)
+        ()
+      }
+      case Array(EqualTo(c, v)) if integral(v).isDefined => Some { () =>
+        tracked(); TableManifest.eraseWhereEq(spark, dir, c, Seq(integral(v).get)); ()
+      }
+      case Array(EqualTo(c, v: String)) => Some { () =>
+        tracked(); TableManifest.eraseWhereIn(spark, dir, c, Seq(v)); ()
+      }
+      case Array(In(c, vs)) if vs.nonEmpty && vs.forall(integral(_).isDefined) =>
+        Some { () =>
+          tracked()
+          TableManifest.eraseWhereEq(spark, dir, c, vs.map(integral(_).get).toSeq)
+          ()
+        }
+      case Array(In(c, vs)) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        Some { () =>
+          tracked()
+          TableManifest.eraseWhereIn(spark, dir, c,
+            vs.map(_.asInstanceOf[String]).toSeq)
+          ()
+        }
+      case ranges if ranges.nonEmpty => foldRange(ranges).map {
+        case (c, lo, hi) => () => {
+          tracked()
+          if (lo <= hi) TableManifest.eraseWhereRange(spark, dir, c, lo, hi)
+          () // an empty fold (contradictory bounds) deletes nothing
+        }
+      }
+      case _ => None
+    }
+  }
+
+  /** Fold a conjunction of integral comparisons on ONE column into a
+    * single inclusive `[lo, hi]`; None when any conjunct is out of
+    * shape. Exclusive bounds at the Long extremes fold to an empty
+    * range (nothing can satisfy `col > Long.MaxValue`). */
+  private def foldRange(filters: Array[Filter])
+      : Option[(String, Long, Long)] = {
+    var col: String = null
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var empty = false // an exclusive bound at a Long extreme excludes all
+    def on(c: String)(f: => Boolean): Boolean =
+      (col == null || col == c) && { col = c; f }
+    def narrowLo(l: Long): Boolean = { lo = math.max(lo, l); true }
+    def narrowHi(l: Long): Boolean = { hi = math.min(hi, l); true }
+    val ok = filters.forall {
+      case GreaterThan(c, v) => on(c)(integral(v).exists { l =>
+        if (l == Long.MaxValue) { empty = true; true } else narrowLo(l + 1)
+      })
+      case GreaterThanOrEqual(c, v) => on(c)(integral(v).exists(narrowLo))
+      case LessThan(c, v) => on(c)(integral(v).exists { l =>
+        if (l == Long.MinValue) { empty = true; true } else narrowHi(l - 1)
+      })
+      case LessThanOrEqual(c, v) => on(c)(integral(v).exists(narrowHi))
+      case EqualTo(c, v) =>
+        on(c)(integral(v).exists(l => narrowLo(l) && narrowHi(l)))
+      case _ => false
+    }
+    if (empty) { lo = 1L; hi = 0L } // canonical empty range
+    if (ok && col != null) Some((col, lo, hi)) else None
   }
 }
 
