@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Measure the claim behind the manifest-carried schema: planning a scan
+  * of a tracked table should cost O(1) metadata reads (two small manifest
+  * file reads), not O(files) parquet footer opens — the exact cost
+  * table-format metadata exists to kill, and the one that grows with
+  * table size at 100 TB (a million-file table whose EVERY query pays a
+  * million footer reads at analysis is unusable no matter how fast the
+  * scan is).
+  *
+  * For each file count the drill resolves `spark.read.format
+  * ("graft-manifest").load(dir).schema` (provider head resolution +
+  * schema serve — zero data read) three ways: (a) the carried-schema head
+  * a normal commit produces, (b) a hand-written PRE-schema manifest of
+  * the same file list (the legacy fallback: merged footer inference), and
+  * (c) the carried head again after [[graft.ops.TableManifest
+  * .analyzeSchema]] re-bootstraps it — proving the bootstrap restores
+  * (a)'s cost. Results go to COVERAGE.md; the fallback's wall should grow
+  * with the file count while the carried path stays flat.
+  *
+  * Measured (round 12, local[32], warm fs): BEFORE the
+  * [[graft.sources.ManifestFileIndex]] work the "carried" path still cost
+  * 0.60/1.97/7.77s at 128/512/2048 files — the schema was O(1) but the
+  * delegated `ParquetTable` ran an O(files) `InMemoryFileIndex` path
+  * discovery (a distributed listing job past the parallel-discovery
+  * threshold) at every planning. WITH the manifest-fabricated index:
+  * carried 0.010/0.007/0.008s — FLAT in file count, ~1000× at 2048 files
+  * — footer-inference fallback 0.58/1.18/4.02s (grows, as documented),
+  * bootstrapped-after-analyzeSchema back to ~0.006s (ratio ~1 vs
+  * carried). */
+object ManifestPlanningMicroBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    def timeIt(label: String, reps: Int = 5)(f: => Any): Double = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(reps / 2)
+      println(f"$label: median ${med}%.3fs (${times.map(t => f"$t%.3f").mkString(", ")})")
+      med
+    }
+
+    for (files <- Seq(128, 512, 2048)) {
+      val dir = Files.createTempDirectory(s"gm-plan-$files").toString
+      spark.range(files.toLong * 100)
+        .select(col("id"), (col("id") % 97).as("k"),
+          concat(lit("row-"), col("id")).as("s"))
+        .repartition(files)
+        .write.mode("overwrite").parquet(dir)
+      graft.ops.TableManifest.init(spark, dir)
+
+      println(s"== $files files ==")
+      val carried = timeIt(s"carried   f=$files") {
+        spark.read.format("graft-manifest").load(dir).schema
+      }
+      // strip the schema the way a pre-round-12 build rendered manifests:
+      // same file list, no schemab64 field → readers fall back to merged
+      // footer inference
+      val names = graft.ops.TableManifest.readHead(spark, dir).get._2
+      val body = s"""{"version":2,"token":"bench","files":[""" +
+        names.map("\"" + _ + "\"").mkString(",") + "]}"
+      Files.write(Paths.get(dir, "_manifest", f"v${2L}%020d.json"),
+        body.getBytes(StandardCharsets.UTF_8))
+      require(graft.ops.TableManifest.readSchema(spark, dir).isEmpty)
+      val fallback = timeIt(s"footer-inf f=$files") {
+        spark.read.format("graft-manifest").load(dir).schema
+      }
+      graft.ops.TableManifest.analyzeSchema(spark, dir)
+      val restored = timeIt(s"bootstrapped f=$files") {
+        spark.read.format("graft-manifest").load(dir).schema
+      }
+      println(f"ratio fallback/carried: ${fallback / carried}%.1f, " +
+        f"restored/carried: ${restored / carried}%.2f")
+
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    spark.stop()
+  }
+}

@@ -228,6 +228,28 @@ object TableManifest {
       }.toOption
     }
 
+  /** The `"filestat":{"<name>":[len,mtimeMs],...}` object: the exact
+    * byte length (the parquet footer lives at `len - 8`, so this must be
+    * byte-exact — it comes from a real `FileStatus`, never an estimate)
+    * and modification time of every data file, captured at commit. This
+    * is what lets scan PLANNING fabricate the file index from the
+    * manifest alone — zero filesystem calls per query, the flat-cost
+    * planning a million-file table needs — instead of stat-ing every
+    * listed file. */
+  private val FileStatRe = """"([^"]+)":\[(-?[0-9]+),(-?[0-9]+)\]""".r
+  private def parseFileStat(json: String): Map[String, (Long, Long)] =
+    sliceObject(json, "filestat").map { body =>
+      FileStatRe.findAllMatchIn(body).map { m =>
+        m.group(1) -> (m.group(2).toLong, m.group(3).toLong)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The head manifest's per-file (length, mtimeMs) inventory — empty on
+    * manifests written before the field existed (planning then falls back
+    * to one directory listing). */
+  def readFileStat(spark: SparkSession, dir: String): Map[String, (Long, Long)] =
+    readHeadRaw(spark, dir).map(h => parseFileStat(h._2)).getOrElse(Map.empty)
+
   /** The `"bloom":{...}` point-lookup object. */
   private def parseBloom(json: String): FileBloom =
     sliceObject(json, "bloom").map { body =>
@@ -266,20 +288,23 @@ object TableManifest {
   def readSchema(spark: SparkSession, dir: String): Option[StructType] =
     readHeadRaw(spark, dir).flatMap(h => parseSchema(h._2))
 
-  /** Head (version, files, schema) from ONE manifest read — the snapshot
-    * the DSv2 provider pins, so schema inference and the scan's file list
-    * can never split across different versions. */
-  def readFull(spark: SparkSession,
-      dir: String): Option[(Long, Seq[String], Option[StructType])] =
+  /** Head (version, files, schema, filestat) from ONE manifest read — the
+    * snapshot the DSv2 provider pins, so schema inference, the scan's
+    * file list, and the planning file index can never split across
+    * different versions. */
+  def readFull(spark: SparkSession, dir: String)
+      : Option[(Long, Seq[String], Option[StructType], Map[String, (Long, Long)])] =
     readHeadRaw(spark, dir).map { case (v, body) =>
-      (v, parseFiles(body), parseSchema(body))
+      (v, parseFiles(body), parseSchema(body), parseFileStat(body))
     }
 
-  /** (files, schema) of one SPECIFIC version — [[readAt]]'s snapshot twin
-    * for time travel: the schema AS OF that version, not the head's. */
-  def readAtFull(spark: SparkSession, dir: String,
-      version: Long): Option[(Seq[String], Option[StructType])] =
-    readAtRaw(spark, dir, version).map(b => (parseFiles(b), parseSchema(b)))
+  /** (files, schema, filestat) of one SPECIFIC version — [[readAt]]'s
+    * snapshot twin for time travel: the schema AS OF that version, not
+    * the head's. */
+  def readAtFull(spark: SparkSession, dir: String, version: Long)
+      : Option[(Seq[String], Option[StructType], Map[String, (Long, Long)])] =
+    readAtRaw(spark, dir, version).map(b =>
+      (parseFiles(b), parseSchema(b), parseFileStat(b)))
 
   private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
     val (fs, p) = fsFor(spark, dir)
@@ -300,7 +325,8 @@ object TableManifest {
   private def render(version: Long, token: String, files: Seq[String],
       hwm: Option[Long], stats: FileStats,
       sstats: FileStringStats, bloom: FileBloom,
-      schemaB64: Option[String]): String = {
+      schemaB64: Option[String],
+      fstat: Map[String, (Long, Long)] = Map.empty): String = {
     // the no-escaping invariant is enforced HERE, not only in the footer
     // reader: commitIf is public API, and one unsafe caller-supplied value
     // would either corrupt the whole body (brace breaks sliceObject's
@@ -354,7 +380,12 @@ object TableManifest {
           "\"" + c + "\":\"" + hex + "\""
         }.mkString("{", ",", "}")
       }.mkString(",\"bloom\":{", ",", "}")
-    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson$bloomJson}"""
+    val fstatJson =
+      if (fstat.isEmpty) ""
+      else fstat.toSeq.sortBy(_._1).map { case (f, (len, mtime)) =>
+        "\"" + f + "\":[" + len + "," + mtime + "]"
+      }.mkString(",\"filestat\":{", ",", "}")
+    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson$bloomJson$fstatJson}"""
   }
 
   /** Atomically create the manifest file for exactly this version: local
@@ -399,7 +430,8 @@ object TableManifest {
       sstats: FileStringStats = Map.empty,
       bloom: FileBloom = Map.empty,
       schema: Option[StructType] = None,
-      replaceSchema: Boolean = false): Option[Long] = {
+      replaceSchema: Boolean = false,
+      fstat: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -463,11 +495,27 @@ object TableManifest {
         case (None, None) =>
           if (headRaw.isEmpty && files.nonEmpty) inferAdded() else None
       }
+    // the per-file (length, mtime) inventory survives like the stats:
+    // carry the head's entries for files still listed, overlay the
+    // caller's, and STAT whatever is still missing from the delta (the
+    // files were just written — hot metadata, O(new files)). This is the
+    // field that makes scan planning zero-FS-call; a file whose stat
+    // fails is silently dropped (planning falls back to one directory
+    // listing for the gaps — costs a listing, never correctness).
+    val headFstat = headRaw.map(h => parseFileStat(h._2)).getOrElse(Map.empty)
+    val carriedFstat = (headFstat ++ fstat).filter(kv => fileSet(kv._1))
+    val statted = added.filterNot(carriedFstat.contains).flatMap { f =>
+      scala.util.Try {
+        val s = fs.getFileStatus(new Path(p, f))
+        f -> (s.getLen, s.getModificationTime)
+      }.toOption
+    }
+    val outFstat = carriedFstat ++ statted
     val v = expectedHead + 1
     val body =
       render(v, UUID.randomUUID().toString, files, hwm,
         carry(parseStats, stats), carry(parseStringStats, sstats),
-        carry(parseBloom, bloom), outSchema.map(encodeSchema))
+        carry(parseBloom, bloom), outSchema.map(encodeSchema), outFstat)
         .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
@@ -702,7 +750,7 @@ object TableManifest {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val from = readAt(spark, dir, fromVersion)
       .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
-    val (to, toSchema) = readAtFull(spark, dir, toVersion)
+    val (to, toSchema, _) = readAtFull(spark, dir, toVersion)
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)
     if (fresh.isEmpty) spark.emptyDataFrame
@@ -757,6 +805,14 @@ object TableManifest {
     var acc: Option[StructType] = None
     var swept = Set.empty[String]
     var attempts = 0
+    // bootstrap the per-file (length, mtime) inventory in the same
+    // commit: ONE directory listing covers every legacy file, so the
+    // table's scan planning goes zero-FS-call along with its schema
+    val (fs, p) = fsFor(spark, dir)
+    val listed: Map[String, (Long, Long)] =
+      fs.listStatus(p).iterator.filter(_.isFile)
+        .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime))
+        .toMap
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyzeSchema: $dir is not manifest-tracked"))
@@ -768,7 +824,8 @@ object TableManifest {
       }
       swept ++= fresh
       commitIf(spark, dir, files, v, hwm,
-        schema = acc, replaceSchema = true) match {
+        schema = acc, replaceSchema = true,
+        fstat = listed.filter(kv => files.contains(kv._1))) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }

@@ -71,10 +71,10 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     * map would be the leak instead). Access-ordered so the `getTable`
     * half of an in-flight pair refreshes its pin's recency. */
   private val pinned =
-    new util.LinkedHashMap[String, (Seq[String], Option[StructType])](
+    new util.LinkedHashMap[String, ManifestTableProvider.Resolved](
         32, 0.75f, true) {
       override def removeEldestEntry(
-          e: util.Map.Entry[String, (Seq[String], Option[StructType])])
+          e: util.Map.Entry[String, ManifestTableProvider.Resolved])
         : Boolean = size() > 16
     }
 
@@ -82,24 +82,24 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       dir: String): String =
     dir + " " + Option(options.get("versionAsOf")).getOrElse("")
 
-  /** (full file paths, manifest-carried schema) of the resolved snapshot —
-    * files and schema come from the SAME manifest body, so a commit racing
-    * the resolution cannot pair one version's schema with another's file
-    * list. */
+  /** The resolved snapshot — file names, carried schema, AND the per-file
+    * (length, mtime) inventory all from the SAME manifest body, so a
+    * commit racing the resolution cannot pair one version's schema (or
+    * file index) with another's file list. */
   private def resolveFiles(options: CaseInsensitiveStringMap,
-      dir: String): (Seq[String], Option[StructType]) = {
+      dir: String): ManifestTableProvider.Resolved = {
     val spark = SparkSession.active
     Option(options.get("versionAsOf")) match {
       case Some(v) =>
-        val (names, schema) = TableManifest.readAtFull(spark, dir, v.toLong)
-          .getOrElse(sys.error(
+        val (names, schema, fstat) =
+          TableManifest.readAtFull(spark, dir, v.toLong).getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
-        (names.map(f => s"$dir/$f"), schema)
+        ManifestTableProvider.Tracked(names, schema, fstat)
       case None =>
         TableManifest.readFull(spark, dir) match {
-          case Some((_, names, schema)) =>
-            (names.map(f => s"$dir/$f"), schema)
-          case None => (Seq(dir), None) // untracked: plain dir scan
+          case Some((_, names, schema, fstat)) =>
+            ManifestTableProvider.Tracked(names, schema, fstat)
+          case None => ManifestTableProvider.Untracked // plain dir scan
         }
     }
   }
@@ -111,7 +111,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         "(`.load(dir)`, `.option(\"path\", dir)`, or a catalog table " +
         "created with USING `graft-manifest` OPTIONS (path ...))"))
     val key = snapshotKey(options, dir)
-    val (files, manifestSchema) = pinned.synchronized {
+    val resolved = pinned.synchronized {
       val hit = pinned.get(key)
       if (hit != null) hit
       else {
@@ -119,6 +119,11 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         pinned.put(key, fs)
         fs
       }
+    }
+    val (files, manifestSchema, snapshot) = resolved match {
+      case ManifestTableProvider.Tracked(names, schema, fstat) =>
+        (names.map(f => s"$dir/$f"), schema, Some((names, fstat)))
+      case ManifestTableProvider.Untracked => (Seq(dir), None, None)
     }
     // schema priority: caller's explicit schema, then the manifest-carried
     // one (O(1) — no footer reads at planning), then footer inference
@@ -146,7 +151,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       }
     new ManifestReadTable(
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
-        files, schema, classOf[ParquetFileFormat]), dir, effective)
+        files, schema, classOf[ParquetFileFormat]), dir, effective,
+      snapshot.map { case (names, fstat) => (names, schema, fstat) })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -157,6 +163,45 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     delegate(new CaseInsensitiveStringMap(properties), Option(schema))
+}
+
+private[sources] object ManifestTableProvider {
+  /** One resolved read: a pinned manifest snapshot, or the untracked
+    * plain-directory fallback. */
+  sealed trait Resolved
+  final case class Tracked(names: Seq[String], schema: Option[StructType],
+      fstat: Map[String, (Long, Long)]) extends Resolved
+  case object Untracked extends Resolved
+}
+
+private object ManifestReadTable {
+  /** Build the planning index for a pinned snapshot. With a complete
+    * `filestat` inventory this makes no filesystem call at all; files
+    * missing from it (manifests written before the field, commit-time
+    * stat failures) are filled by ONE `listStatus` of the table dir —
+    * a single RPC, never O(files) stats — and a file truly absent from
+    * both fails loudly here at planning instead of mid-scan. */
+  def index(dir: String, names: Seq[String],
+      fstat: Map[String, (Long, Long)]): ManifestFileIndex = {
+    val spark = SparkSession.active
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qdir = fs.makeQualified(p)
+    lazy val listed: Map[String, org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(qdir).iterator.filter(_.isFile)
+        .map(s => s.getPath.getName -> s).toMap
+    val statuses = names.map { n =>
+      fstat.get(n) match {
+        case Some((len, mtime)) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, mtime,
+            new Path(qdir, n))
+        case None => listed.getOrElse(n, sys.error(
+          s"graft-manifest: listed file $n is missing from $dir " +
+            "(vacuumed under a live reader?)"))
+      }
+    }.toArray
+    new ManifestFileIndex(spark, qdir, statuses)
+  }
 }
 
 /** Facade over the delegated parquet table that routes every capability
@@ -177,20 +222,41 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   * the parquet builder's full pushdown surface through
   * [[ManifestScanBuilder]], so batch plans are unchanged. */
 private final class ManifestReadTable(delegate: ParquetTable,
-    dir: String, tableOptions: CaseInsensitiveStringMap)
+    dir: String, tableOptions: CaseInsensitiveStringMap,
+    tracked: Option[(Seq[String], Option[StructType], Map[String, (Long, Long)])])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+  /** Serve the resolved schema DIRECTLY when the snapshot carries one:
+    * `delegate.schema` would subtract the partition schema, which forces
+    * the delegate's `InMemoryFileIndex` — an O(files) path discovery that
+    * made even carried-schema planning cost ~8s at 2048 files. The
+    * delegate is only consulted on pre-schema manifests and untracked
+    * dirs, where footer inference is the documented fallback. */
+  override def schema(): StructType =
+    tracked.flatMap(_._2).getOrElse(delegate.schema)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(
-      delegate.newScanBuilder(options)
-        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
-      dir, tableOptions)
+    tracked match {
+      case Some((names, schemaOpt, fstat)) =>
+        // zero-FS-call planning: the file index is fabricated from the
+        // pinned manifest body; only inventory gaps (pre-filestat
+        // manifests) cost ONE directory listing
+        val sch = schemaOpt.getOrElse(delegate.schema)
+        new ManifestScanBuilder(
+          org.apache.spark.sql.execution.datasources.v2.parquet
+            .ParquetScanBuilder(SparkSession.active,
+              ManifestReadTable.index(dir, names, fstat), sch, sch, options),
+          dir, tableOptions)
+      case None =>
+        new ManifestScanBuilder(
+          delegate.newScanBuilder(options)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
+          dir, tableOptions)
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a time-travel relation is a snapshot of the past; writing "to" it
     // would silently target the head instead — reject at planning
