@@ -66,6 +66,12 @@ object ManifestPlanningMicroBench {
       val carried = timeIt(s"carried   f=$files") {
         spark.read.format("graft-manifest").load(dir).schema
       }
+      // the library path (readTable) routes through the same fabricated
+      // index — plan a selective scan to force full resolution
+      timeIt(s"readTable plan f=$files") {
+        graft.ops.TableManifest.readTable(spark, dir)
+          .filter(col("k") === 3L).queryExecution.executedPlan
+      }
       // strip the schema the way a pre-round-12 build rendered manifests:
       // same file list, no schemab64 field → readers fall back to merged
       // footer inference

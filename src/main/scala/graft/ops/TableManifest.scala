@@ -632,7 +632,8 @@ object TableManifest {
   def readTable(spark: SparkSession, dir: String): DataFrame =
     readHeadRaw(spark, dir) match {
       case Some((_, body)) =>
-        scanListed(spark, dir, parseFiles(body), parseSchema(body))
+        scanListed(spark, dir, parseFiles(body), parseSchema(body),
+          parseFileStat(body))
       case None => spark.read.parquet(dir)
     }
 
@@ -714,21 +715,28 @@ object TableManifest {
   def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     readAtRaw(spark, dir, version) match {
       case Some(body) =>
-        scanListed(spark, dir, parseFiles(body), parseSchema(body))
+        scanListed(spark, dir, parseFiles(body), parseSchema(body),
+          parseFileStat(body))
       case None => sys.error(s"no manifest v$version under $dir")
     }
 
-  /** Scan of a manifest-listed file set under that manifest's schema —
-    * zero footer reads at planning when the schema is carried; merged
-    * footer inference (O(files) metadata reads) on pre-schema manifests.
-    * A carried schema also makes the zero-file table readable: scanning
-    * an empty SNAPSHOT of a tracked table is a real state (erase-all,
-    * pre-first-append), not an error. */
+  /** Scan of a manifest-listed file set under that manifest's schema.
+    * With the schema carried, the scan plans through the DSv2 path over a
+    * file index fabricated from the SAME manifest body
+    * ([[graft.sources.ManifestScans]]) — zero footer reads AND zero
+    * filesystem calls at planning (flat cost in file count, the profile a
+    * million-file table needs; gaps in the filestat inventory cost one
+    * directory listing). Pre-schema manifests keep the merged footer
+    * inference fallback (O(files) metadata reads — correct, and
+    * [[analyzeSchema]] upgrades them). A carried schema also makes the
+    * zero-file table readable: scanning an empty SNAPSHOT of a tracked
+    * table is a real state (erase-all, pre-first-append), not an error. */
   private def scanListed(spark: SparkSession, dir: String,
-      files: Seq[String], schema: Option[StructType]): DataFrame =
+      files: Seq[String], schema: Option[StructType],
+      fstat: Map[String, (Long, Long)] = Map.empty): DataFrame =
     (files.nonEmpty, schema) match {
       case (true, Some(s)) =>
-        spark.read.schema(s).parquet(files.map(f => s"$dir/$f"): _*)
+        graft.sources.ManifestScans.scanSnapshot(spark, dir, files, s, fstat)
       case (true, None) =>
         spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$dir/$f"): _*)
@@ -750,11 +758,11 @@ object TableManifest {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val from = readAt(spark, dir, fromVersion)
       .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
-    val (to, toSchema, _) = readAtFull(spark, dir, toVersion)
+    val (to, toSchema, toFstat) = readAtFull(spark, dir, toVersion)
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)
     if (fresh.isEmpty) spark.emptyDataFrame
-    else scanListed(spark, dir, fresh, toSchema)
+    else scanListed(spark, dir, fresh, toSchema, toFstat)
   }
 
   /** Compute per-file min/max stats for the long/int/timestamp columns

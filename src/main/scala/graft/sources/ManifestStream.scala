@@ -226,11 +226,17 @@ private[sources] final class ManifestMicroBatchStream(
   /** Parquet DSv2 batch over an explicit file list under the stream's
     * pinned schema — one per trigger; the factory of the last planned
     * batch serves `createReaderFactory` (the engine plans partitions and
-    * then builds the factory within the same trigger, single-threaded). */
-  private def batchFor(files: Seq[String]): Batch =
-    new ParquetTable(s"graft-manifest:$dir", spark, options,
-      files.map(f => s"$dir/$f"), Some(schema), classOf[ParquetFileFormat])
-      .newScanBuilder(options).build().toBatch
+    * then builds the factory within the same trigger, single-threaded).
+    * Planned through the manifest-fabricated file index (`fstat` from the
+    * batch's OWN `end`-version body), so per-trigger planning makes zero
+    * filesystem calls — during an `earliest` catch-up on a big table the
+    * admission cap bounds each trigger's files, and this keeps each
+    * trigger's planning bounded too. */
+  private def batchFor(files: Seq[String],
+      fstat: Map[String, (Long, Long)]): Batch =
+    ParquetScanBuilder(spark,
+      ManifestReadTable.index(dir, files, fstat), schema, schema, options)
+      .build().toBatch
 
   @volatile private var planned: Batch = _
 
@@ -256,14 +262,19 @@ private[sources] final class ManifestMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = ManifestOffset.parse(start.json()).version
     val to = ManifestOffset.parse(end.json()).version
-    val batch = batchFor(ManifestStream.freshFiles(spark, dir, from, to))
+    val fresh = ManifestStream.freshFiles(spark, dir, from, to)
+    val fstat =
+      if (to <= from) Map.empty[String, (Long, Long)]
+      else TableManifest.readAtFull(spark, dir, to)
+        .map(_._3).getOrElse(Map.empty)
+    val batch = batchFor(fresh, fstat)
     planned = batch
     batch.planInputPartitions()
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val b = planned
-    (if (b != null) b else batchFor(Seq.empty)).createReaderFactory()
+    (if (b != null) b else batchFor(Seq.empty, Map.empty)).createReaderFactory()
   }
 
   /** The manifest keeps history (vacuum owns retention); nothing to ack. */

@@ -474,3 +474,28 @@ private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,
     }
   }
 }
+
+/** Library-facing entry to the zero-FS-call scan path: a DataFrame over an
+  * explicit manifest snapshot slice (names + schema + filestat inventory,
+  * all from ONE manifest body), planned through [[ManifestFileIndex]] —
+  * what [[graft.ops.TableManifest.readTable]]/`readTableAt`/`addedBetween`
+  * use so EVERY library consumer gets the flat planning cost, not just
+  * SQL/provider reads. The relation is the same DSv2 table the provider
+  * serves, so scan features and plan shapes match the SQL surface
+  * exactly. */
+private[graft] object ManifestScans {
+  def scanSnapshot(spark: SparkSession, dir: String, names: Seq[String],
+      schema: StructType,
+      fstat: Map[String, (Long, Long)]): org.apache.spark.sql.DataFrame = {
+    val m = new util.HashMap[String, String]()
+    m.put("path", dir)
+    val opts = new CaseInsensitiveStringMap(m)
+    val delegate = new ParquetTable(s"graft-manifest:$dir", spark, opts,
+      names.map(f => s"$dir/$f"), Some(schema), classOf[ParquetFileFormat])
+    val table = new ManifestReadTable(delegate, dir, opts,
+      Some((names, Some(schema), fstat)))
+    org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, None))
+  }
+}
