@@ -1327,19 +1327,26 @@ object TableManifest {
       "eraseWhereIn")
   }
 
-  /** Targeted ERASE of every row whose long `column` falls in
-    * `[lo, hi]` (inclusive) — the RETENTION primitive (`DELETE WHERE
-    * ts < cutoff`): only head files whose committed min/max range CAN
-    * intersect the bound are rewritten (stats missing → conservatively
-    * admitted), so expiring the oldest slice of a 100 TB event table
-    * rewrites the handful of files holding it and never lists, opens,
-    * or shuffles the rest. NULL keys are never erased (SQL comparison
-    * semantics: `NULL < cutoff` is not true). Same splice-commit
-    * guarantees and logical-until-vacuum purge contract as
-    * [[eraseWhereEq]]. */
+  /** Targeted ERASE of every row whose `column` falls in `[lo, hi]`
+    * (inclusive) — the RETENTION primitive (`DELETE WHERE ts < cutoff`):
+    * only head files whose committed min/max range CAN intersect the
+    * bound are rewritten (stats missing → conservatively admitted), so
+    * expiring the oldest slice of a 100 TB event table rewrites the
+    * handful of files holding it and never lists, opens, or shuffles the
+    * rest.
+    *
+    * Bounds are in the column's STAT units — the same canonical units
+    * [[analyze]] commits: unix-MICROS for `TimestampType` (whatever unit
+    * the writers used), epoch-DAYS for `DateType`, the raw value for
+    * integral types — and the rewrite compares in those units
+    * (`unix_micros`/`unix_date`), so pruning and the row filter can never
+    * disagree. NULL keys are never erased (SQL comparison semantics:
+    * `NULL < cutoff` is not true). Same splice-commit guarantees and
+    * logical-until-vacuum purge contract as [[eraseWhereEq]]. */
   def eraseWhereRange(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long): Long = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, lit, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampType}
     require(lo <= hi, s"eraseWhereRange: empty range [$lo, $hi]")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
@@ -1347,8 +1354,15 @@ object TableManifest {
     val victims = filterByRanges(headFiles, parseStats(headBody),
       Seq((column, lo, hi)))
     eraseRewrite(spark, dir, headV, victims, column,
-      df => df.filter(col(column).isNull ||
-        col(column) < lit(lo) || col(column) > lit(hi)),
+      df => {
+        val c = col(column)
+        val u = df.schema(column).dataType match {
+          case TimestampType => unix_micros(c)
+          case DateType => unix_date(c).cast("long")
+          case _ => c
+        }
+        df.filter(c.isNull || u < lit(lo) || u > lit(hi))
+      },
       "eraseWhereRange")
   }
 

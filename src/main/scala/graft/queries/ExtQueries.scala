@@ -5939,6 +5939,51 @@ object ExtQueries {
       |WHERE o_orderkey > 1000 AND o_orderpriority <> '1-URGENT'
       |GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q173
+  /** TIMESTAMP-bound SQL retention DELETE, oracle-pinned — the statement
+    * a 100 TB event table ages out with (`DELETE WHERE ts < cutoff`) and
+    * the one where a UNITS bug is silently catastrophic: the provider
+    * maps the timestamp literal to unix-micros
+    * ([[graft.sources.ManifestTableProvider]]'s `rangeUnits`), the
+    * committed footer stats are micros-normalized whatever unit the
+    * writer used, and the rewrite compares via `unix_micros` — a
+    * mismatch in ANY of the three (off-by-10⁶, zone shift, ms-vs-µs)
+    * erases the wrong slice and hash-mismatches the oracle's complement
+    * filter. The fixture range-partitions by ts so the erase is
+    * genuinely stats-pruned, and writes INT64 micros (Spark's INT96
+    * default carries no usable stats). */
+  def q173TsRetention(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q173")
+    val src = t(s, dir, "events").select(
+      col("event_id"), col("ts"), col("event_type"),
+      round(col("value") * 100).cast("long").as("cents"))
+    val prev = s.conf.get("spark.sql.parquet.outputTimestampType")
+    s.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try src.repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(tmp)
+    finally s.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("ts"))
+    val tbl = s"g173_ret_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"DELETE FROM $tbl WHERE ts < TIMESTAMP '2024-01-10 00:00:00'")
+    finally s.sql(s"DROP TABLE $tbl")
+    graft.ops.TableManifest.readTable(s, tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("ts").cast("date")).as("d_lo"),
+        max(col("ts").cast("date")).as("d_hi"))
+      .orderBy("event_type")
+  }
+
+  val q173Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  CAST(MIN(ts) AS DATE) AS d_lo, CAST(MAX(ts) AS DATE) AS d_hi
+      |FROM events
+      |WHERE epoch_ns(ts) // 1000 >= 1704844800000000
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6100,7 +6145,8 @@ object ExtQueries {
     "q169_manifest_stream_tail" -> (q169ManifestStreamTail _),
     "q170_merge_upsert" -> (q170MergeUpsert _),
     "q171_sql_insert" -> (q171SqlInsert _),
-    "q172_sql_delete" -> (q172SqlDelete _))
+    "q172_sql_delete" -> (q172SqlDelete _),
+    "q173_ts_retention" -> (q173TsRetention _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6264,5 +6310,6 @@ object ExtQueries {
     "q169_manifest_stream_tail" -> q169Sql,
     "q170_merge_upsert" -> q170Sql,
     "q171_sql_insert" -> q171Sql,
-    "q172_sql_delete" -> q172Sql)
+    "q172_sql_delete" -> q172Sql,
+    "q173_ts_retention" -> q173Sql)
 }

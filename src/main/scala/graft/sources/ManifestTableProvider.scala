@@ -298,6 +298,24 @@ private final class ManifestReadTable(delegate: ParquetTable,
     case _ => None
   }
 
+  /** A comparison bound in the column's STAT units ([[graft.ops
+    * .TableManifest.analyze]]'s canonical units — what `eraseWhereRange`
+    * expects): raw value for integrals, unix-MICROS for timestamp
+    * literals (Spark hands `java.sql.Timestamp` or `java.time.Instant`
+    * depending on the datetime API conf), epoch-DAYS for date literals.
+    * This is what makes `DELETE FROM t WHERE ts < TIMESTAMP '2024-01-01'`
+    * — the canonical retention statement — a stats-pruned range erase. */
+  private def rangeUnits(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case d: java.sql.Date =>
+      Some(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)
+    case l: java.time.LocalDate => Some(l.toEpochDay)
+    case other => integral(other)
+  }
+
   private def translateDelete(filters: Array[Filter])
       : Option[() => Unit] = {
     if (tableOptions.containsKey("versionAsOf")) return None
@@ -362,16 +380,16 @@ private final class ManifestReadTable(delegate: ParquetTable,
     def narrowLo(l: Long): Boolean = { lo = math.max(lo, l); true }
     def narrowHi(l: Long): Boolean = { hi = math.min(hi, l); true }
     val ok = filters.forall {
-      case GreaterThan(c, v) => on(c)(integral(v).exists { l =>
+      case GreaterThan(c, v) => on(c)(rangeUnits(v).exists { l =>
         if (l == Long.MaxValue) { empty = true; true } else narrowLo(l + 1)
       })
-      case GreaterThanOrEqual(c, v) => on(c)(integral(v).exists(narrowLo))
-      case LessThan(c, v) => on(c)(integral(v).exists { l =>
+      case GreaterThanOrEqual(c, v) => on(c)(rangeUnits(v).exists(narrowLo))
+      case LessThan(c, v) => on(c)(rangeUnits(v).exists { l =>
         if (l == Long.MinValue) { empty = true; true } else narrowHi(l - 1)
       })
-      case LessThanOrEqual(c, v) => on(c)(integral(v).exists(narrowHi))
+      case LessThanOrEqual(c, v) => on(c)(rangeUnits(v).exists(narrowHi))
       case EqualTo(c, v) =>
-        on(c)(integral(v).exists(l => narrowLo(l) && narrowHi(l)))
+        on(c)(rangeUnits(v).exists(l => narrowLo(l) && narrowHi(l)))
       case _ => false
     }
     if (empty) { lo = 1L; hi = 0L } // canonical empty range

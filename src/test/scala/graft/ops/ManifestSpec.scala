@@ -304,4 +304,24 @@ class ManifestSpec extends SparkSpec {
     val headFp = fingerprint(TableManifest.readTable(spark, dir))
     assert(fps.values.toSet.contains(headFp), s"head $headFp not a whole snapshot")
   }
+
+  test("vacuum protects in-flight sql-insert files within the floor, reclaims stale orphans") {
+    val dir = tmpDir("sql-floor")
+    TableManifest.publish(docs.limit(10), dir)
+    // an unlisted sql-named file inside the rename->commit window (fresh
+    // mtime): a SQL INSERT has moved it in but not yet CAS-committed.
+    // Unlike append-batch files there is no hwm to clear it, so the age
+    // floor alone must protect it even at graceMillis = 0
+    val live = new java.io.File(dir, "sql-deadbeef-p0.parquet")
+    Files.write(live.toPath, Array[Byte](1, 2, 3))
+    val first = TableManifest.vacuum(spark, dir)
+    assert(!first.contains("sql-deadbeef-p0.parquet") && live.exists,
+      "vacuum reclaimed a possibly-in-flight sql insert file")
+    // a crashed insert's orphan past the floor reclaims like any dead file
+    assert(live.setLastModified(
+      System.currentTimeMillis() - 11L * 60L * 1000L))
+    val second = TableManifest.vacuum(spark, dir)
+    assert(second.contains("sql-deadbeef-p0.parquet") && !live.exists,
+      "a stale sql orphan must reclaim once clearly dead")
+  }
 }

@@ -117,6 +117,48 @@ class ManifestSqlDeleteSpec extends SparkSpec {
     }
   }
 
+  test("retention on TIMESTAMP and DATE columns: literal bounds map to stat units") {
+    val dir = java.nio.file.Files.createTempDirectory("gm-ts-del").toString
+    import org.apache.spark.sql.functions.{col, expr}
+    // 4 range partitions over 40 days of hourly events. Written as INT64
+    // micros: Spark's INT96 default carries NO usable footer stats, so an
+    // INT96 table range-deletes correctly but unpruned (documented
+    // conservative fallback) — the pruning assertion below needs a
+    // stats-bearing physical encoding, which is what any stats-aware
+    // writer at scale uses anyway.
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try spark.range(960)
+      .select(col("id"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id)")
+          .as("ts"),
+        expr("date'2024-01-01' + CAST(id / 24 AS INT)").as("d"))
+      .repartitionByRange(4, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("ts", "d"))
+    val before = TableManifest.readHead(spark, dir).get
+    spark.sql("DROP TABLE IF EXISTS gmd_ts")
+    spark.sql(s"CREATE TABLE gmd_ts USING `graft-manifest` OPTIONS (path '$dir')")
+    try {
+      // the canonical retention statement: expire everything before a cutoff
+      spark.sql("DELETE FROM gmd_ts WHERE ts < TIMESTAMP '2024-01-11 00:00:00'")
+      assert(spark.sql("SELECT COUNT(*) FROM gmd_ts").head().getLong(0) == 720L)
+      assert(spark.sql("SELECT MIN(ts) FROM gmd_ts").head().getTimestamp(0)
+        .toString.startsWith("2024-01-11"))
+      // ts range [0,10d) lives in the first of four range partitions:
+      // the other three survive by name (stats-pruned, micros units agree)
+      val after = TableManifest.readHead(spark, dir).get
+      assert((before._2.toSet intersect after._2.toSet).size == 3,
+        "timestamp retention rewrote files the stats should have pruned")
+      // DATE bound (epoch-days units)
+      spark.sql("DELETE FROM gmd_ts WHERE d >= DATE '2024-02-05'")
+      assert(spark.sql("SELECT MAX(d) FROM gmd_ts").head().getDate(0)
+        .toString == "2024-02-04")
+    } finally spark.sql("DROP TABLE gmd_ts")
+  }
+
   test("time travel still sees rows deleted later") {
     val dir = fixture()
     val preV = TableManifest.read(spark, dir).get._1
