@@ -142,6 +142,15 @@ object TableManifest {
     * append file — the rename→manifest-commit window protection floor. */
   private val InflightAppendFloorMs = 10L * 60L * 1000L
 
+  /** A data-file name minted by a protocol writer's move-in step: in an
+    * UNTRACKED dir such a file is either a racing writer's uncommitted
+    * move-in or a crash orphan — never plain-directory data ([[init]]
+    * must not sweep it). */
+  private def inFlightProtocolName(n: String): Boolean = n match {
+    case SqlInsertFile() | AppendBatchFile(_) => true
+    case _ => false
+  }
+
   /** Numeric-stats FORMAT version. Bumped to 2 when timestamp footer
     * bounds started being normalized to unix-micros: a manifest written
     * before the bump may hold a timestamp column's bounds in RAW writer
@@ -558,11 +567,14 @@ object TableManifest {
       names: Seq[String], schema: Option[StructType]): Long = {
     if (read(spark, dir).isEmpty) {
       val (fs, p) = fsFor(spark, dir)
+      // protocol-named files don't count as plain-dir data: they are a
+      // racing writer's uncommitted move-ins (its own CAS lists them) or
+      // crash orphans — init skips them for the same reason
       val pre = if (!fs.exists(p)) Seq.empty else {
-        val ours = names.toSet
         fs.listStatus(p).toSeq.filter { s =>
           val n = s.getPath.getName
-          s.isFile && !n.startsWith("_") && !n.startsWith(".") && !ours(n)
+          s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !inFlightProtocolName(n)
         }
       }
       if (pre.nonEmpty) init(spark, dir)
@@ -607,13 +619,23 @@ object TableManifest {
   }
 
   /** Start tracking an existing plain parquet directory: commit its current
-    * data files as version 1. No-op (returns the head) if already tracked. */
+    * data files as version 1. No-op (returns the head) if already tracked.
+    *
+    * PROTOCOL-NAMED files (`sql-<tag>-pN`, `b<id>-…`) are skipped: on an
+    * untracked dir those can only be a racing protocol writer's
+    * moved-but-not-yet-committed files (its own CAS will list them — and
+    * sweeping them here would linearize a crashed insert's PARTIAL write
+    * as committed rows) or crash orphans awaiting [[vacuum]]. A tracked
+    * dir whose `_manifest/` was manually deleted loses those files on
+    * re-init — recover such a table from its manifest history, not by
+    * re-converting the directory. */
   def init(spark: SparkSession, dir: String): Long =
     read(spark, dir).map(_._1).getOrElse {
       val (fs, p) = fsFor(spark, dir)
       val names = fs.listStatus(p).toSeq.filter { s =>
         val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !inFlightProtocolName(n)
       }.map(_.getPath.getName)
       // the one merged-footer sweep this table will ever need: the schema
       // lands in v1 and every later commit carries it forward

@@ -365,35 +365,44 @@ private final class ManifestReadTable(delegate: ParquetTable,
     }
   }
 
-  /** Fold a conjunction of integral comparisons on ONE column into a
-    * single inclusive `[lo, hi]`; None when any conjunct is out of
-    * shape. Exclusive bounds at the Long extremes fold to an empty
-    * range (nothing can satisfy `col > Long.MaxValue`). */
+  /** Fold a conjunction of comparisons on ONE column into a single
+    * inclusive `[lo, hi]` in stat units; None when any conjunct is out
+    * of shape. Exclusive bounds at the Long extremes fold to an empty
+    * range (nothing can satisfy `col > Long.MaxValue`). An
+    * `IsNotNull(col)` conjunct is a no-op AGAINST a real bound (Spark
+    * can emit it alongside the comparison, and erases never touch null
+    * keys anyway) — but never accepted alone: with no typed literal the
+    * column's units are unknown (a full-range "erase" of a string
+    * column would compare strings to longs). */
   private def foldRange(filters: Array[Filter])
       : Option[(String, Long, Long)] = {
     var col: String = null
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var empty = false // an exclusive bound at a Long extreme excludes all
+    var bounds = 0 // conjuncts that carried a typed literal
     def on(c: String)(f: => Boolean): Boolean =
       (col == null || col == c) && { col = c; f }
-    def narrowLo(l: Long): Boolean = { lo = math.max(lo, l); true }
-    def narrowHi(l: Long): Boolean = { hi = math.min(hi, l); true }
+    def narrowLo(l: Long): Boolean = { lo = math.max(lo, l); bounds += 1; true }
+    def narrowHi(l: Long): Boolean = { hi = math.min(hi, l); bounds += 1; true }
     val ok = filters.forall {
       case GreaterThan(c, v) => on(c)(rangeUnits(v).exists { l =>
-        if (l == Long.MaxValue) { empty = true; true } else narrowLo(l + 1)
+        if (l == Long.MaxValue) { empty = true; bounds += 1; true }
+        else narrowLo(l + 1)
       })
       case GreaterThanOrEqual(c, v) => on(c)(rangeUnits(v).exists(narrowLo))
       case LessThan(c, v) => on(c)(rangeUnits(v).exists { l =>
-        if (l == Long.MinValue) { empty = true; true } else narrowHi(l - 1)
+        if (l == Long.MinValue) { empty = true; bounds += 1; true }
+        else narrowHi(l - 1)
       })
       case LessThanOrEqual(c, v) => on(c)(rangeUnits(v).exists(narrowHi))
       case EqualTo(c, v) =>
         on(c)(rangeUnits(v).exists(l => narrowLo(l) && narrowHi(l)))
+      case org.apache.spark.sql.sources.IsNotNull(c) => on(c)(true)
       case _ => false
     }
     if (empty) { lo = 1L; hi = 0L } // canonical empty range
-    if (ok && col != null) Some((col, lo, hi)) else None
+    if (ok && col != null && bounds > 0) Some((col, lo, hi)) else None
   }
 }
 

@@ -324,4 +324,22 @@ class ManifestSpec extends SparkSpec {
     assert(second.contains("sql-deadbeef-p0.parquet") && !live.exists,
       "a stale sql orphan must reclaim once clearly dead")
   }
+
+  test("init never sweeps protocol-named files: a racing insert's move-in cannot be committed by a conversion") {
+    val dir = tmpDir("init-skips")
+    docs.limit(5).coalesce(1).write.mode("overwrite").parquet(dir)
+    // a racing SQL insert has moved files in but not CAS-committed (or a
+    // crashed one left orphans); a streaming append batch likewise. If a
+    // concurrent convert-in-place swept these into v1, a crashed writer's
+    // PARTIAL move-in would become committed rows.
+    Files.write(new java.io.File(dir, "sql-0badcafe-p0.parquet").toPath,
+      Array[Byte](9))
+    Files.write(new java.io.File(dir, "b7-feedface-p0.parquet").toPath,
+      Array[Byte](9))
+    TableManifest.init(spark, dir)
+    val listed = TableManifest.read(spark, dir).get._2
+    assert(listed.nonEmpty && listed.forall(_.startsWith("part-")),
+      s"init swept protocol-named in-flight files: $listed")
+    assert(TableManifest.readTable(spark, dir).count() == 5L)
+  }
 }
