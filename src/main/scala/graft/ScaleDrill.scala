@@ -318,6 +318,24 @@ object ScaleDrill {
           spark, t, "event_id", updates)
         import spark.implicits._
         Seq(v).toDF("committed_v")
+      },
+      // the retention-DELETE claim, measured (the SQL `DELETE WHERE
+      // ts < cutoff` path): expiring a FIXED-size old slice must stay
+      // near-FLAT as the corpus grows, because committed range stats
+      // confine the rewrite to the files intersecting the band — the
+      // erase-side twin of pruned_read/merge_cdc. Each timed run expires
+      // a FRESH band (an erase of an already-erased band would measure
+      // the no-op short-circuit, not the rewrite); bands live above the
+      // other families' id ranges so their workloads stay undisturbed.
+      "retention_delete" -> {
+        val next = new java.util.concurrent.atomic.AtomicLong(0L)
+        (dir: String) => {
+          val lo = 60000L + next.getAndIncrement() * 1000L
+          val v = graft.ops.TableManifest.eraseWhereRange(
+            spark, s"$dir/events_tracked", "event_id", lo, lo + 999L)
+          import spark.implicits._
+          Seq(v).toDF("committed_v")
+        }
       })
 
     def time(f: => Unit): Double = {
