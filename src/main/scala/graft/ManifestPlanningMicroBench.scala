@@ -32,7 +32,14 @@ import org.apache.spark.sql.SparkSession
   * carried 0.010/0.007/0.008s — FLAT in file count, ~1000× at 2048 files
   * — footer-inference fallback 0.58/1.18/4.02s (grows, as documented),
   * bootstrapped-after-analyzeSchema back to ~0.006s (ratio ~1 vs
-  * carried). */
+  * carried).
+  *
+  * Metadata envelope (the fabricated 1M-class phase): 10k files =
+  * 0.8 MiB body / 96 ms plan, 100k = 8.1 MiB / 0.74 s, 1M = 81 MiB /
+  * 11 s — the O(files) snapshot body is the cost that remains, pinning
+  * the 100 TB sizing rule: keep tables ≲200k files via compaction
+  * `targetBytes` ≥ 512 MB; past ~1M files the next step is a
+  * sectioned/checkpointed manifest (documented boundary, not built). */
 object ManifestPlanningMicroBench {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -91,6 +98,43 @@ object ManifestPlanningMicroBench {
       println(f"ratio fallback/carried: ${fallback / carried}%.1f, " +
         f"restored/carried: ${restored / carried}%.2f")
 
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // ---- the METADATA envelope: with planning zero-FS-call, the cost
+    // left is the manifest BODY itself — O(files) bytes parsed per head
+    // read and re-rendered per commit. Fabricate heads at 10k/100k/1M
+    // files (ghost names + a complete filestat inventory + the carried
+    // schema, so full physical planning runs without any file existing)
+    // and measure end-to-end plan time + body size. This is the number
+    // that sizes the compaction target: body bytes ≈ files × ~75 B.
+    for (files <- Seq(10000, 100000, 1000000)) {
+      val dir = Files.createTempDirectory(s"gm-meta-$files").toString
+      spark.range(10).select(col("id"), (col("id") % 7).as("k"),
+          concat(lit("r"), col("id")).as("s"))
+        .repartition(1).write.mode("overwrite").parquet(dir)
+      graft.ops.TableManifest.init(spark, dir)
+      val v1 = new String(Files.readAllBytes(
+        new java.io.File(dir, "_manifest").listFiles().head.toPath),
+        StandardCharsets.UTF_8)
+      val schemaB64 = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
+        .findFirstMatchIn(v1).get.group(1)
+      val names = (0 until files).map(i => f"sql-00000000-p$i%07d.parquet")
+      val body = s"""{"version":2,"token":"bench",""" +
+        s""""schemab64":"$schemaB64",""" +
+        names.map("\"" + _ + "\"").mkString("\"files\":[", ",", "],") +
+        names.map(n => "\"" + n + "\":[4096,1700000000000]")
+          .mkString("\"filestat\":{", ",", "}") + "}"
+      Files.write(Paths.get(dir, "_manifest", f"v${2L}%020d.json"),
+        body.getBytes(StandardCharsets.UTF_8))
+      val t = timeIt(f"plan 1M-class f=$files (${body.length / 1024}KiB body)") {
+        graft.ops.TableManifest.readTable(spark, dir)
+          .filter(col("k") === 3L).queryExecution.executedPlan
+      }
+      println(f"  -> ${t * 1000}%.0f ms for $files files, body ${body.length / 1048576.0}%.1f MiB")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
