@@ -35,10 +35,13 @@ import org.apache.spark.sql.SparkSession
   * carried).
   *
   * Metadata envelope (the fabricated 1M-class phase): 10k files =
-  * 0.8 MiB body / 96 ms plan, 100k = 8.1 MiB / 0.74 s, 1M = 81 MiB /
-  * 11 s — the O(files) snapshot body is the cost that remains, pinning
-  * the 100 TB sizing rule: keep tables ≲200k files via compaction
-  * `targetBytes` ≥ 512 MB; past ~1M files the next step is a
+  * 0.8 MiB body / 96 ms plan, 100k = 8.1 MiB / 0.65 s, 1M = 81 MiB /
+  * 8.4 s repeat-plan (first plan +~2.7 s for the body read + parses,
+  * which the write-once-keyed snapshot cache in `TableManifest.readFull`
+  * removes for every later planning of the same head; the residual is
+  * per-query index fabrication + the scan-builder pass, linear in file
+  * count). Pins the 100 TB sizing rule: keep tables ≲200k files via
+  * compaction `targetBytes` ≥ 512 MB; past ~1M files the next step is a
   * sectioned/checkpointed manifest (documented boundary, not built). */
 object ManifestPlanningMicroBench {
   def main(args: Array[String]): Unit = {

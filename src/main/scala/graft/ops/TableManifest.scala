@@ -300,11 +300,24 @@ object TableManifest {
   /** Head (version, files, schema, filestat) from ONE manifest read — the
     * snapshot the DSv2 provider pins, so schema inference, the scan's
     * file list, and the planning file index can never split across
-    * different versions. */
+    * different versions. Served from [[snapshotCache]] when this head
+    * version was parsed before: repeat planning against an unchanged
+    * head costs one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
       : Option[(Long, Seq[String], Option[StructType], Map[String, (Long, Long)])] =
-    readHeadRaw(spark, dir).map { case (v, body) =>
-      (v, parseFiles(body), parseSchema(body), parseFileStat(body))
+    headVersionPath(spark, dir).map { case (v, path, fs) =>
+      val key = (dir, v)
+      val hit = snapshotCache.get(key)
+      val snap =
+        if (hit != null) hit
+        else {
+          val body = readBody(fs, path)
+          val parsed =
+            (parseFiles(body), parseSchema(body), parseFileStat(body))
+          snapshotCache.put(key, parsed)
+          parsed
+        }
+      (v, snap._1, snap._2, snap._3)
     }
 
   /** (files, schema, filestat) of one SPECIFIC version — [[readAt]]'s
@@ -315,7 +328,12 @@ object TableManifest {
     readAtRaw(spark, dir, version).map(b =>
       (parseFiles(b), parseSchema(b), parseFileStat(b)))
 
-  private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] = {
+  /** Head discovery WITHOUT the body read: one listing of `_manifest/`
+    * names the head version (dense, monotone) — the freshness check every
+    * head read must pay, and with the snapshot cache below often the ONLY
+    * cost it pays. */
+  private def headVersionPath(spark: SparkSession,
+      dir: String): Option[(Long, Path, FileSystem)] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     if (!fs.exists(mdir)) return None
@@ -323,13 +341,44 @@ object TableManifest {
       .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
     if (heads.isEmpty) return None
     val (v, path) = heads.maxBy(_._1)
-    val body = {
-      val in = fs.open(path)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    }
-    Some((v, body))
+    Some((v, path, fs))
   }
+
+  private def readBody(fs: FileSystem, path: Path): String = {
+    val in = fs.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] =
+    headVersionPath(spark, dir).map { case (v, path, fs) =>
+      (v, readBody(fs, path))
+    }
+
+  /** Parsed-head snapshot cache. Manifest files are WRITE-ONCE (the CAS
+    * commit's exclusive create is the linearization point), so
+    * (dir, version) → (files, schema, filestat) is immutable and caching
+    * it is sound by construction: a commit advances the head to a NEW
+    * version (new key — stale entries age out of the LRU), and a vacuum
+    * pruning an old version can never resurrect it as the head (versions
+    * are dense and monotone). This is what collapses the metadata
+    * envelope's PER-QUERY cost — an O(files) body read + three regex
+    * parses, measured 0.74 s at 100k files / 11 s at 1M — to one
+    * `_manifest/` listing for every planning after the first against an
+    * unchanged head. Bounded at 4 entries because an entry for a
+    * 1M-file head is ~100 MB of parsed names+inventory: the bound is
+    * memory-motivated, sized for a driver actively planning against a
+    * handful of tables. Serves HEAD reads ([[readFull]]) only — time
+    * travel and the commit path always read their bodies fresh. */
+  private val snapshotCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long),
+        (Seq[String], Option[StructType], Map[String, (Long, Long)])](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (Seq[String], Option[StructType], Map[String, (Long, Long)])])
+        : Boolean = size() > 4
+    })
 
   private def render(version: Long, token: String, files: Seq[String],
       hwm: Option[Long], stats: FileStats,
@@ -652,10 +701,9 @@ object TableManifest {
     * a column) must not have later files' columns silently dropped because
     * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
-    readHeadRaw(spark, dir) match {
-      case Some((_, body)) =>
-        scanListed(spark, dir, parseFiles(body), parseSchema(body),
-          parseFileStat(body))
+    readFull(spark, dir) match {
+      case Some((_, names, schema, fstat)) =>
+        scanListed(spark, dir, names, schema, fstat)
       case None => spark.read.parquet(dir)
     }
 
