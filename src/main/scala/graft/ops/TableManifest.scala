@@ -667,6 +667,46 @@ object TableManifest {
     sys.error(s"manifest replace lost $attempts races in $dir; giving up")
   }
 
+  /** The table's commit HISTORY as a DataFrame — one row per surviving
+    * manifest version: `(version, n_files, bytes, n_added, n_removed,
+    * hwm)`, `bytes` from the committed filestat inventory (null when the
+    * version predates it), adds/removes as name-set deltas vs the
+    * previous SURVIVING version (retention may have pruned intermediate
+    * manifests — deltas are then vs what remains, the honest answer).
+    * The audit surface a table format owes its operators: what changed,
+    * when the table grew, which commit a stream's hwm landed in. Driver
+    * cost is O(versions) small metadata reads; the row set is a local
+    * relation (history is metadata, not data — never a distributed
+    * scan). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (fs, p) = fsFor(spark, dir)
+    val mdir = new Path(p, ManifestDir)
+    val versions =
+      if (!fs.exists(mdir)) Seq.empty
+      else fs.listStatus(mdir).toSeq
+        .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+        .sortBy(_._1)
+    var prev = Set.empty[String]
+    val rows = versions.map { case (v, path) =>
+      val body = readBody(fs, path)
+      val files = parseFiles(body)
+      val fstat = parseFileStat(body)
+      val bytes: Option[Long] =
+        if (files.nonEmpty && files.forall(fstat.contains))
+          Some(files.iterator.map(f => fstat(f)._1).sum)
+        else if (files.isEmpty) Some(0L)
+        else None
+      val cur = files.toSet
+      val row = (v, files.size.toLong, bytes,
+        (cur -- prev).size.toLong, (prev -- cur).size.toLong,
+        HwmRe.findFirstMatchIn(body).map(_.group(1).toLong))
+      prev = cur
+      row
+    }
+    rows.toDF("version", "n_files", "bytes", "n_added", "n_removed", "hwm")
+  }
+
   /** Start tracking an existing plain parquet directory: commit its current
     * data files as version 1. No-op (returns the head) if already tracked.
     *

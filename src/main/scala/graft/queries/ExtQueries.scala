@@ -5984,6 +5984,45 @@ object ExtQueries {
       |WHERE epoch_ns(ts) // 1000 >= 1704844800000000
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q174
+  /** Commit HISTORY of a manifest table ([[graft.ops.TableManifest
+    * .history]] — the DESCRIBE HISTORY surface), pinned over a SCRIPTED
+    * fixture whose protocol outcomes are fully deterministic: init
+    * commits 3 range-partitioned files as v1, a streaming-shaped append
+    * (batch 1, one file) makes v2 with hwm=1, and a 2-file publish
+    * snapshot-replaces as v3 carrying the hwm. The oracle is the exact
+    * expected ledger — any drift in version numbering, add/remove
+    * accounting, or hwm carry-through hash-mismatches. (`bytes` is
+    * excluded: codec-dependent.) */
+  def q174History(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q174")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0)
+      .repartitionByRange(3, col("k"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.streaming.ManifestAppendSink.applyBatch(
+      src.filter(col("k") % 3 === 1).coalesce(1), batchId = 1L, tmp)
+    graft.ops.TableManifest.publish(
+      src.filter(col("k") % 3 === 2).repartition(2), tmp)
+    graft.ops.TableManifest.history(s, tmp)
+      .select("version", "n_files", "n_added", "n_removed", "hwm")
+      .orderBy("version")
+  }
+
+  val q174Sql: String =
+    """SELECT CAST(version AS BIGINT) AS version,
+      |  CAST(n_files AS BIGINT) AS n_files,
+      |  CAST(n_added AS BIGINT) AS n_added,
+      |  CAST(n_removed AS BIGINT) AS n_removed,
+      |  CAST(hwm AS BIGINT) AS hwm
+      |FROM (VALUES (1, 3, 3, 0, NULL), (2, 4, 1, 0, 1), (3, 2, 2, 4, 1))
+      |  AS t(version, n_files, n_added, n_removed, hwm)
+      |ORDER BY version""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6146,7 +6185,8 @@ object ExtQueries {
     "q170_merge_upsert" -> (q170MergeUpsert _),
     "q171_sql_insert" -> (q171SqlInsert _),
     "q172_sql_delete" -> (q172SqlDelete _),
-    "q173_ts_retention" -> (q173TsRetention _))
+    "q173_ts_retention" -> (q173TsRetention _),
+    "q174_history" -> (q174History _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6311,5 +6351,6 @@ object ExtQueries {
     "q170_merge_upsert" -> q170Sql,
     "q171_sql_insert" -> q171Sql,
     "q172_sql_delete" -> q172Sql,
-    "q173_ts_retention" -> q173Sql)
+    "q173_ts_retention" -> q173Sql,
+    "q174_history" -> q174Sql)
 }
