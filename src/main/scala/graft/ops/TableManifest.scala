@@ -819,6 +819,37 @@ object TableManifest {
     finally in.close()
   }
 
+  /** The newest version committed AT OR BEFORE `epochMillis` — the
+    * `TIMESTAMP AS OF` resolution step. Commit creation is sequential
+    * (the CAS linearization point), so manifest mtimes are monotone in
+    * version; the answer is exact up to the filesystem's mtime
+    * granularity. None when the table has no version that old (asking
+    * for a time before the table existed must be LOUD at the caller,
+    * not silently the oldest snapshot) or when retention already pruned
+    * the version that covered it — history keeps time travel honest,
+    * it never invents it. */
+  def versionAsOfTime(spark: SparkSession, dir: String,
+      epochMillis: Long): Option[Long] = {
+    val (fs, p) = fsFor(spark, dir)
+    val mdir = new Path(p, ManifestDir)
+    if (!fs.exists(mdir)) return None
+    fs.listStatus(mdir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getModificationTime))
+      .filter(_._2 <= epochMillis)
+      .sortBy(_._1).lastOption.map(_._1)
+  }
+
+  /** Time travel by WALL CLOCK: scan the table as it was at
+    * `epochMillis` ([[readTableAt]] of [[versionAsOfTime]]'s answer).
+    * Loud when no committed version is that old. */
+  def readTableAsOf(spark: SparkSession, dir: String,
+      epochMillis: Long): DataFrame =
+    versionAsOfTime(spark, dir, epochMillis) match {
+      case Some(v) => readTableAt(spark, dir, v)
+      case None => sys.error(s"no version of $dir existed at " +
+        s"epoch-millis $epochMillis (before the first surviving commit)")
+    }
+
   /** Time travel: scan the table exactly as of `version` — with that
     * VERSION's schema when carried (a column dropped by a later publish
     * reappears; one added later doesn't leak backwards). */

@@ -24,6 +24,8 @@ import graft.ops.TableManifest
   *   SELECT * FROM events;                                     -- head
   *   spark.read.format("graft-manifest")
   *     .option("versionAsOf", 3).load(dir)                     -- time travel
+  *   spark.read.format("graft-manifest")                       -- by wall clock
+  *     .option("timestampAsOf", "2024-01-01T00:00:00Z").load(dir)
   * }}}
   *
   * (Direct `FROM `graft-manifest`.`dir`` path queries are not available:
@@ -80,7 +82,16 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
 
   private def snapshotKey(options: CaseInsensitiveStringMap,
       dir: String): String =
-    dir + " " + Option(options.get("versionAsOf")).getOrElse("")
+    dir + " " + Option(options.get("versionAsOf")).getOrElse("") +
+      " " + Option(options.get("timestampAsOf")).getOrElse("")
+
+  /** `timestampAsOf` accepts epoch millis or an ISO-8601 instant
+    * (`2024-01-01T00:00:00Z`). */
+  private def parseAsOfMillis(v: String): Long =
+    v.trim.toLongOption.getOrElse(
+      scala.util.Try(java.time.Instant.parse(v.trim).toEpochMilli)
+        .getOrElse(throw new IllegalArgumentException(
+          s"timestampAsOf must be epoch millis or an ISO-8601 instant: '$v'")))
 
   /** The resolved snapshot — file names, carried schema, AND the per-file
     * (length, mtime) inventory all from the SAME manifest body, so a
@@ -89,10 +100,22 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
   private def resolveFiles(options: CaseInsensitiveStringMap,
       dir: String): ManifestTableProvider.Resolved = {
     val spark = SparkSession.active
-    Option(options.get("versionAsOf")) match {
+    val versionAsOf = Option(options.get("versionAsOf")).map(_.toLong)
+    val timestampAsOf = Option(options.get("timestampAsOf"))
+    require(versionAsOf.isEmpty || timestampAsOf.isEmpty,
+      "graft-manifest: versionAsOf and timestampAsOf are exclusive")
+    // TIMESTAMP AS OF resolves to a version first (commit mtimes are
+    // monotone in version); loud when the table is younger than the ask
+    val pinnedVersion = versionAsOf.orElse(timestampAsOf.map { t =>
+      val millis = parseAsOfMillis(t)
+      TableManifest.versionAsOfTime(spark, dir, millis).getOrElse(sys.error(
+        s"graft-manifest: no version of $dir existed at $t " +
+          "(before the first surviving commit)"))
+    })
+    pinnedVersion match {
       case Some(v) =>
         val (names, schema, fstat) =
-          TableManifest.readAtFull(spark, dir, v.toLong).getOrElse(sys.error(
+          TableManifest.readAtFull(spark, dir, v).getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
         ManifestTableProvider.Tracked(names, schema, fstat)
       case None =>
@@ -260,9 +283,10 @@ private final class ManifestReadTable(delegate: ParquetTable,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a time-travel relation is a snapshot of the past; writing "to" it
     // would silently target the head instead — reject at planning
-    if (tableOptions.containsKey("versionAsOf"))
-      sys.error("graft-manifest: cannot write through a versionAsOf " +
-        "(time travel) read; load the table without versionAsOf to write")
+    if (tableOptions.containsKey("versionAsOf") ||
+        tableOptions.containsKey("timestampAsOf"))
+      sys.error("graft-manifest: cannot write through a time-travel read " +
+        "(versionAsOf/timestampAsOf); load the table without it to write")
     new ManifestWriteBuilder(info, dir)
   }
 
@@ -318,7 +342,8 @@ private final class ManifestReadTable(delegate: ParquetTable,
 
   private def translateDelete(filters: Array[Filter])
       : Option[() => Unit] = {
-    if (tableOptions.containsKey("versionAsOf")) return None
+    if (tableOptions.containsKey("versionAsOf") ||
+        tableOptions.containsKey("timestampAsOf")) return None
     val spark = SparkSession.active
     // a DELETE on an untracked dir converts it in place first (same
     // posture as INSERT): the erase primitives require a manifest
