@@ -305,13 +305,17 @@ object TableManifest {
     * head costs one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
       : Option[(Long, Seq[String], Option[StructType], Map[String, (Long, Long)])] =
-    headVersionPath(spark, dir).map { case (v, path, fs) =>
-      val key = (dir, v)
+    headVersionPath(spark, dir).map { case (v, status, fs) =>
+      // keyed by the manifest FILE's identity (len + mtime), not just the
+      // version number: a table wiped and re-created at the same path
+      // mints a fresh v1, and serving the old parse for it would be the
+      // one way to break the write-once soundness argument
+      val key = (dir, v, status.getLen, status.getModificationTime)
       val hit = snapshotCache.get(key)
       val snap =
         if (hit != null) hit
         else {
-          val body = readBody(fs, path)
+          val body = readBody(fs, status.getPath)
           val parsed =
             (parseFiles(body), parseSchema(body), parseFileStat(body))
           snapshotCache.put(key, parsed)
@@ -332,16 +336,16 @@ object TableManifest {
     * names the head version (dense, monotone) — the freshness check every
     * head read must pay, and with the snapshot cache below often the ONLY
     * cost it pays. */
-  private def headVersionPath(spark: SparkSession,
-      dir: String): Option[(Long, Path, FileSystem)] = {
+  private def headVersionPath(spark: SparkSession, dir: String)
+      : Option[(Long, org.apache.hadoop.fs.FileStatus, FileSystem)] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     if (!fs.exists(mdir)) return None
     val heads = fs.listStatus(mdir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
     if (heads.isEmpty) return None
-    val (v, path) = heads.maxBy(_._1)
-    Some((v, path, fs))
+    val (v, status) = heads.maxBy(_._1)
+    Some((v, status, fs))
   }
 
   private def readBody(fs: FileSystem, path: Path): String = {
@@ -351,8 +355,8 @@ object TableManifest {
   }
 
   private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] =
-    headVersionPath(spark, dir).map { case (v, path, fs) =>
-      (v, readBody(fs, path))
+    headVersionPath(spark, dir).map { case (v, status, fs) =>
+      (v, readBody(fs, status.getPath))
     }
 
   /** Parsed-head snapshot cache. Manifest files are WRITE-ONCE (the CAS
@@ -371,11 +375,11 @@ object TableManifest {
     * handful of tables. Serves HEAD reads ([[readFull]]) only — time
     * travel and the commit path always read their bodies fresh. */
   private val snapshotCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long),
+    new java.util.LinkedHashMap[(String, Long, Long, Long),
         (Seq[String], Option[StructType], Map[String, (Long, Long)])](
         8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long),
+          e: java.util.Map.Entry[(String, Long, Long, Long),
             (Seq[String], Option[StructType], Map[String, (Long, Long)])])
         : Boolean = size() > 4
     })

@@ -373,4 +373,22 @@ class ManifestSpec extends SparkSpec {
     assert(afterPrune.length == 1 && afterPrune.head.getLong(0) == 3L)
     assert(afterPrune.head.getLong(3) == 1L, "delta must be vs surviving history")
   }
+
+  test("snapshot cache: a wiped-and-recreated table at the same path reads fresh") {
+    val dir = tmpDir("recreate")
+    docs.limit(10).coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    assert(TableManifest.readTable(spark, dir).count() == 10L) // caches v1
+    // wipe the WHOLE table (data + _manifest) and rebuild at the same path
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(dir))
+    docs.limit(3).coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir) // a FRESH v1 under the same (dir, version)
+    // the parsed-head cache must not serve the dead table's file list:
+    // the key includes the manifest file's length+mtime identity
+    assert(TableManifest.readTable(spark, dir).count() == 3L,
+      "cache served a wiped table's stale snapshot")
+  }
 }
