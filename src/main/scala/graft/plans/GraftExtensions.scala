@@ -30,6 +30,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // The rule is session-bound so auto derivation runs on the session that
     // owns the plan, never SparkSession.active.
     ext.injectOptimizerRule(session => new RangeJoinRule(session))
+    // table-maintenance statements (VACUUM / OPTIMIZE / DESCRIBE HISTORY
+    // over a quoted path) — a delegating parser: everything else goes to
+    // Spark's own parser verbatim
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TableManifest
+
+/** The SQL maintenance statements (`VACUUM` / `OPTIMIZE` /
+  * `DESCRIBE HISTORY` over a quoted path, [[GraftSqlParser]]): a
+  * SQL-only operator can run the whole table lifecycle — and every
+  * statement the delegating parser does NOT own must reach Spark's
+  * parser untouched. */
+class MaintenanceSqlSpec extends AnyFunSuite {
+
+  // extensions-enabled session, isolated from the shared SparkSpec one
+  // (same pattern as TopKRewriteRuleSpec)
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-maint-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("VACUUM / OPTIMIZE / DESCRIBE HISTORY run the lifecycle from SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gm-maint-sql").toString
+    (1L to 100L).toDF("id").repartition(8)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+
+    // OPTIMIZE compacts the 8 fragments through the CAS swap
+    val opt = spark.sql(s"OPTIMIZE '$dir'").head()
+    assert(opt.getLong(0) == 8L && opt.getLong(1) == 1L,
+      s"unexpected OPTIMIZE stats: $opt")
+    assert(spark.sql(s"SELECT COUNT(*) FROM parquet.`$dir/" +
+      TableManifest.readHead(spark, dir).get._2.head + "`")
+      .head().getLong(0) == 100L)
+
+    // DESCRIBE HISTORY: newest first, adds/removes ledger
+    val h = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(h.length == 2)
+    assert(h.head.getLong(0) == 2L && h.head.getLong(1) == 1L &&
+      h.head.getLong(4) == 8L, s"head ledger row: ${h.head}")
+    assert(h.last.getLong(0) == 1L && h.last.getLong(1) == 8L)
+
+    // VACUUM with a retention window keeps the just-delisted fragments...
+    assert(spark.sql(s"VACUUM '$dir' RETAIN 168 HOURS").count() == 0L)
+    // ...and the immediate form reclaims exactly the 8 fragments
+    val deleted = spark.sql(s"VACUUM '$dir'").as[String].collect()
+    assert(deleted.length == 8, s"deleted: ${deleted.toSeq}")
+    assert(TableManifest.readTable(spark, dir).count() == 100L)
+
+    // everything else still parses through Spark's own grammar
+    assert(spark.sql("SELECT 1 + 1").head().getInt(0) == 2)
+    assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
+    intercept[Exception] { spark.sql("VACUUM") } // malformed → Spark's parser
+  }
+}
