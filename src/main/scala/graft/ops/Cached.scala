@@ -23,11 +23,34 @@ import org.apache.spark.sql.DataFrame
   *    lost executor recomputes the scratch instead of failing the query.
   */
 private[graft] object Cached {
+  /** One-time (per JVM) flag for the cluster-without-checkpoint-dir
+    * warning below — the condition is a deployment property, so logging
+    * it on every cachedView call would be noise. */
+  private val warnedClusterFallback =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   implicit final class CachedViewOps(private val df: DataFrame)
       extends AnyVal {
-    def cachedView: DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+    def cachedView: DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isDefined)
         org.apache.spark.sql.graft.RddCacheBridge.cachedView(df)
-      else df.localCheckpoint(false)
+      else {
+        // localCheckpoint truncates lineage: on a multi-executor cluster a
+        // lost executor then FAILS the query instead of recomputing (and
+        // it is documented-unsafe under dynamic allocation /
+        // decommissioning). Local mode can't lose its only executor, so
+        // the warning fires only where the durability actually differs.
+        if (!sc.isLocal && warnedClusterFallback.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            "graft cachedView: no checkpoint dir is set on a multi-executor " +
+              "cluster — falling back to localCheckpoint, which cannot " +
+              "recompute lost blocks (a lost executor fails the query, and " +
+              "lazy localCheckpoint is unsafe under dynamic allocation). " +
+              "Call sc.setCheckpointDir(...) to get the lineage-recoverable " +
+              "cache path.")
+        df.localCheckpoint(false)
+      }
+    }
   }
 }

@@ -1689,7 +1689,8 @@ object TableManifest {
     * while an erase short-circuits to the unchanged head. One output file
     * per victim keeps the file-count (and the skipping stats'
     * granularity) stable instead of collapsing every touched file into
-    * one. */
+    * one — floored by the append's partition count so an insert-heavy
+    * merge writes with the batch's parallelism (see below). */
   private def sliceRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String, keep: DataFrame => DataFrame,
       append: Option[DataFrame], keepAllWhenColumnMissing: Boolean,
@@ -1708,9 +1709,19 @@ object TableManifest {
       case Right(kept) =>
         val pieces = kept.toSeq ++ append.toSeq
         if (pieces.isEmpty) return headV
+        // Output-file target: one per victim keeps the file count (and
+        // skipping-stats granularity) stable for pure rewrites — but an
+        // insert-heavy merge (zero or few victims, large append) must not
+        // funnel the whole batch through one task, so the target is
+        // FLOORED by the append's own partition count (the appends are
+        // localCheckpoint-pinned by their callers, so getNumPartitions is
+        // a metadata read). coalesce never raises a partition count, so a
+        // small append still lands as few files.
+        val target = math.max(math.max(victims.size, 1),
+          append.map(_.rdd.getNumPartitions).getOrElse(0))
         val next = pieces
           .reduce(_.unionByName(_, allowMissingColumns = true))
-          .coalesce(math.max(victims.size, 1))
+          .coalesce(target)
         val moved = writeAndMoveIn(next, opName, dir)
         val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
         spliceCommit(spark, dir, victims, moved, mstats, msstats, opName,

@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   * the library, grammar-compatible with the lakehouse convention:
   *
   * {{{
-  *   VACUUM '/wh/events'                      -- reclaim unreferenced files
-  *   VACUUM '/wh/events' RETAIN 168 HOURS     -- with a reader grace window
+  *   VACUUM '/wh/events'                      -- reclaim past the 168h default grace
+  *   VACUUM '/wh/events' RETAIN 24 HOURS      -- explicit reader grace window
+  *   VACUUM '/wh/events' RETAIN 0 HOURS       -- immediate reclamation (opt-in)
   *   OPTIMIZE '/wh/events'                    -- small-file compaction (CAS)
   *   DESCRIBE HISTORY '/wh/events'            -- the commit ledger
   * }}}
@@ -38,7 +39,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(path, hours) =>
       VacuumCommand(path,
-        Option(hours).map(_.toLong * 3600L * 1000L).getOrElse(0L))
+        Option(hours).map(_.toLong * 3600L * 1000L)
+          .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
     case Optimize(path) => OptimizeCommand(path)
     case History(path) => HistoryCommand(path)
     case _ => delegate.parsePlan(sqlText)
@@ -62,10 +64,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseTableSchema(sqlText)
 }
 
+object GraftSqlParser {
+  /** Bare `VACUUM '<path>'` keeps files the head no longer lists for 7
+    * days — the lakehouse convention the grammar advertises compatibility
+    * with (Delta's default), so an operator running the statement by
+    * muscle memory cannot silently destroy time travel or fail a
+    * concurrent reader still scanning a pre-compaction snapshot.
+    * Immediate reclamation is an explicit opt-in: `RETAIN 0 HOURS`
+    * (the library's [[graft.ops.TableManifest.vacuum]] keeps its own
+    * grace=0 default — code callers state what they mean; the SQL
+    * surface is where a conservative default earns its keep). */
+  val DefaultVacuumGraceMillis: Long = 168L * 3600L * 1000L
+}
+
 /** `VACUUM '<path>' [RETAIN n HOURS]` → [[graft.ops.TableManifest
-  * .vacuum]]. Returns one row per reclaimed file/scratch entry. The
-  * default grace is 0 — same as the library default; RETAIN is the
-  * production spelling of the reader grace window. */
+  * .vacuum]]. Returns one row per reclaimed file/scratch entry. RETAIN
+  * is the reader/time-travel grace window; omitted it defaults to 168
+  * hours ([[GraftSqlParser.DefaultVacuumGraceMillis]]), and `RETAIN 0
+  * HOURS` is the explicit immediate form. */
 case class VacuumCommand(path: String, graceMillis: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =

@@ -5772,14 +5772,20 @@ object ExtQueries {
     // writer shape whose per-commit deltas are exact CDC for the tail
     val deltaDir = freshScratch("graft-q169-delta")
     src.filter(col("k") % 5 === 0).write.mode("overwrite").parquet(deltaDir)
-    val addedNames = new java.io.File(deltaDir).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .map { part =>
+    // move-in through the Hadoop FS (the sinks' discipline — works on any
+    // DFS, not just a local java.io view), then commit the appended names
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fsys = tmpPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val addedNames = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(deltaDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
         val name = s"added-${java.util.UUID.randomUUID()}.parquet"
-        java.nio.file.Files.copy(part.toPath,
-          java.nio.file.Paths.get(tmp, name))
+        require(fsys.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(tmpPath, name)),
+          s"q169: move-in of ${st.getPath} failed")
         name
-      }.toSeq
+      }
     val (head, files) = graft.ops.TableManifest.read(s, tmp).get
     graft.ops.TableManifest.commitIf(s, tmp, files ++ addedNames, head)
       .getOrElse(sys.error("q169: append commit lost an impossible race"))

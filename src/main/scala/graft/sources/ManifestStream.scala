@@ -204,18 +204,26 @@ private[sources] final class ManifestMicroBatchStream(
         // longest version prefix whose CUMULATIVE fresh-file count (names
         // at v not at `from` — exactly what freshFiles will deliver) fits
         // the cap; a version admitting nothing new (stats-only commits)
-        // passes through for free
+        // passes through for free. An intermediate version pruned by
+        // manifest retention is SKIPPED, not fatal: manifests are full
+        // snapshots, so the next surviving version's fresh count vs
+        // `from` is exactly the delta the stream will deliver — the
+        // pruned step only loses batch-boundary granularity, never data
+        // (the uncapped path diffs `from` vs `head` directly and was
+        // already immune). `vStop` only ever lands on a SURVIVING
+        // version, so the planned batch's `end` manifest is readable.
         var vStop = from
         var v = from + 1
         var halt = false
         while (!halt && v <= head) {
-          val names = TableManifest.readAt(spark, dir, v).getOrElse(sys.error(
-            s"graft-manifest stream: v$v vanished from $dir " +
-              "(manifest history pruned?) — cannot size the batch"))
-          val cum = names.count(n => !delivered(n))
-          if (cum <= k) { vStop = v; v += 1 }
-          else if (vStop == from) { vStop = v; halt = true } // oversized single commit: admit whole, never stall
-          else halt = true
+          TableManifest.readAt(spark, dir, v) match {
+            case None => v += 1 // retention-pruned intermediate: skip
+            case Some(names) =>
+              val cum = names.count(n => !delivered(n))
+              if (cum <= k) { vStop = v; v += 1 }
+              else if (vStop == from) { vStop = v; halt = true } // oversized single step: admit whole, never stall
+              else halt = true
+          }
         }
         ManifestOffset(vStop)
     }

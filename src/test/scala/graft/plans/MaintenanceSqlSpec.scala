@@ -61,10 +61,12 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       h.head.getLong(4) == 8L, s"head ledger row: ${h.head}")
     assert(h.last.getLong(0) == 1L && h.last.getLong(1) == 8L)
 
-    // VACUUM with a retention window keeps the just-delisted fragments...
+    // bare VACUUM defaults to the 168h grace (the lakehouse convention) —
+    // the just-delisted fragments survive a retention-less statement...
+    assert(spark.sql(s"VACUUM '$dir'").count() == 0L)
     assert(spark.sql(s"VACUUM '$dir' RETAIN 168 HOURS").count() == 0L)
-    // ...and the immediate form reclaims exactly the 8 fragments
-    val deleted = spark.sql(s"VACUUM '$dir'").as[String].collect()
+    // ...and immediate reclamation is an explicit RETAIN 0 HOURS opt-in
+    val deleted = spark.sql(s"VACUUM '$dir' RETAIN 0 HOURS").as[String].collect()
     assert(deleted.length == 8, s"deleted: ${deleted.toSeq}")
     assert(TableManifest.readTable(spark, dir).count() == 100L)
 

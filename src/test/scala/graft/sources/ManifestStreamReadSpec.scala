@@ -162,6 +162,22 @@ class ManifestStreamReadSpec extends SparkSpec {
       s"the 2-file commit arrives as one oversized batch: $got")
   }
 
+  test("a retention-pruned INTERMEDIATE version is skipped by the capped walk, not fatal") {
+    val dir = newTable() // v1: one file (a, b)
+    append(dir, ("c", 3L)) // v2
+    append(dir, ("d", 4L)) // v3
+    // manifest retention pruned v2: manifests are full snapshots, so the
+    // delta v1 -> v3 still delivers exactly c + d — the pruned step only
+    // loses batch-boundary granularity, never data
+    val v2 = new java.io.File(dir, f"_manifest/v${2L}%020d.json")
+    assert(v2.isFile && v2.delete(), s"fixture: cannot prune $v2")
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck9").toString
+    val got = runBatches(dir, ckpt, Map("maxFilesPerTrigger" -> "1"))
+    assert(got == Seq(
+      Seq(("a", 1L), ("b", 2L)), Seq(("c", 3L), ("d", 4L))),
+      s"snapshot, then the v1->v3 delta as one (over-cap, whole-version) batch: $got")
+  }
+
   test("bad maxFilesPerTrigger fails loudly") {
     val dir = newTable()
     intercept[Exception] {
