@@ -1674,6 +1674,98 @@ object TableManifest {
       opName = "merge")
   }
 
+  /** Targeted row UPDATE — the engine primitive behind SQL `UPDATE t SET
+    * … [WHERE …]` ([[graft.plans.GraftSqlParser]] routes the statement
+    * here): rewrite, at file granularity, exactly the live files that
+    * HOLD a row matching `cond`, with every assignment evaluated against
+    * the OLD row (SQL UPDATE semantics — `SET a = b, b = a` swaps) and
+    * cast back to the column's declared type (ANSI store-assignment, so
+    * an UPDATE can never silently evolve the schema). Non-matching rows
+    * in a victim file are preserved bit-for-bit by the rewrite; rows
+    * where `cond` evaluates NULL are not updated (WHERE semantics).
+    *
+    * Victim discovery is two-stage, the [[mergeByKey]] shape:
+    *  1. `pruneRanges` — the statement's foldable comparisons in stat
+    *     units (what [[graft.plans.GraftSqlParser]] extracts from the
+    *     WHERE clause) — prune candidates against committed [[analyze]]
+    *     stats; files without stats are conservatively admitted;
+    *  2. survivors are scanned (column-pruned to the condition's needs
+    *     plus `_metadata.file_path`) and filtered by the EXACT
+    *     condition, so only files holding a matching row rewrite;
+    *     driver traffic is file names.
+    *
+    * At 100 TB with stats committed, `UPDATE … WHERE k = 5` rewrites the
+    * files whose committed ranges admit key 5 and never lists, opens, or
+    * shuffles the rest. A condition-less UPDATE rewrites every live file
+    * — the honest cost of the statement. Rewritten files carry fresh
+    * min/max for the pruned and assigned columns in the same commit.
+    * Same splice-commit guarantees as [[eraseWhereEq]] (concurrent
+    * appends and the streaming hwm survive; prior versions time-travel
+    * until [[vacuum]]). Returns the committed version — the unchanged
+    * head when no file can hold a match. */
+  def updateWhere(spark: SparkSession, dir: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)],
+      cond: Option[org.apache.spark.sql.Column],
+      pruneRanges: Seq[(String, Long, Long)] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{col, when}
+    require(sets.nonEmpty, "updateWhere: no assignments")
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"updateWhere: duplicate assignment targets in ${sets.map(_._1)}")
+    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    if (headV == 0L) sys.error(s"updateWhere: $dir is not manifest-tracked")
+    if (headFiles.isEmpty) return headV
+    val candidates =
+      if (pruneRanges.isEmpty) headFiles
+      else filterByRanges(headFiles, parseStats(headBody), pruneRanges)
+    if (candidates.isEmpty) return headV
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(f => s"$dir/$f"): _*)
+    // assignment targets must exist: a typo would otherwise silently
+    // append a NEW column to the rewritten files instead of updating
+    sets.foreach { case (c, _) =>
+      require(scan.columns.contains(c),
+        s"updateWhere: unknown column `$c` " +
+          s"(table has ${scan.columns.toSeq.sorted.mkString(", ")})")
+    }
+    val victims: Seq[String] = cond match {
+      case None => candidates
+      case Some(p) =>
+        val paths = scan.filter(p)
+          .select(col("_metadata.file_path").as("__path"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        // URI-style paths map back to manifest names by suffix (names are
+        // unique within the table dir, so "/name" is unambiguous)
+        paths.map { full =>
+          candidates.find(f => full.endsWith("/" + f)).getOrElse(sys.error(
+            s"updateWhere: scanned file $full is not a candidate of $dir " +
+              "— concurrent layout change?"))
+        }
+    }
+    if (victims.isEmpty) return headV
+    val read = spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(f => s"$dir/$f"): _*)
+    val setMap = sets.toMap
+    // one pass, no union: every output column is either untouched or a
+    // row-conditional swap computed from the OLD row, so all assignments
+    // see pre-update values and non-matching rows round-trip unchanged
+    val rewritten = read.select(read.columns.toSeq.map { c =>
+      setMap.get(c) match {
+        case None => col(c)
+        case Some(v) =>
+          val stored = v.cast(read.schema(c).dataType)
+          (cond match {
+            case Some(p) => when(p, stored).otherwise(col(c))
+            case None => stored
+          }).as(c)
+      }
+    }: _*).coalesce(math.max(victims.size, 1))
+    val moved = writeAndMoveIn(rewritten, "update", dir)
+    val statCols = (pruneRanges.map(_._1) ++ sets.map(_._1)).distinct
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, statCols)
+    spliceCommit(spark, dir, victims, moved, mstats, msstats, "update",
+      schema = Some(rewritten.schema))
+  }
+
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String,
       keep: DataFrame => DataFrame, opName: String): Long =

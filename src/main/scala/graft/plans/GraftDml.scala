@@ -1,0 +1,338 @@
+package graft.plans
+
+import java.util
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TableManifest
+
+/** Table-reference resolution shared by every graft SQL statement that
+  * addresses a manifest table by NAME: the statement's identifier resolves
+  * through the session catalog to the table's path option, so a SQL-only
+  * operator never needs to know where the table lives. An identifier
+  * whose single part is an absolute path (back-ticked in SQL:
+  * `` UPDATE `/wh/events` … ``) addresses the table directly — the
+  * path-first escape hatch the maintenance statements' quoted-path form
+  * already established. */
+private[plans] object GraftTables {
+
+  /** The manifest directory behind `parts`, or None when the reference is
+    * not a graft-manifest table (caller falls through to Spark's own
+    * behavior — its analyzer owns the not-found / unsupported errors). */
+  def graftPath(spark: SparkSession, parts: Seq[String]): Option[String] = {
+    parts match {
+      case Seq(p) if p.startsWith("/") => return Some(p)
+      case _ => ()
+    }
+    val ident = parts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    // temp views shadow tables in SQL resolution; going through the
+    // view-aware lookup keeps that contract (a view has no provider, so
+    // it falls through and Spark reports the real error)
+    scala.util.Try(
+        spark.sessionState.catalog.getTempViewOrPermanentTableMetadata(ident))
+      .toOption
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft-manifest")))
+      .flatMap { m =>
+        m.storage.properties.get("path").orElse(
+          m.storage.locationUri.map(u => new org.apache.hadoop.fs.Path(u).toString))
+      }
+  }
+
+  /** [[graftPath]] for statements that REQUIRE a graft table (maintenance
+    * by name) — loud instead of falling through. */
+  def requireGraftPath(spark: SparkSession, name: String): String = {
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(name)
+    graftPath(spark, parts).getOrElse(sys.error(
+      s"`$name` is not a graft-manifest table (expected a catalog table " +
+        "created with USING `graft-manifest`, or a quoted '/path')"))
+  }
+}
+
+/** Rewrites of Spark-parsed DML / time-travel plans onto the manifest
+  * table's own primitives — the [[GraftSqlParser]] post-pass. Spark's
+  * grammar already parses `UPDATE`, `MERGE INTO`, and `FOR VERSION /
+  * TIMESTAMP AS OF`; stock Spark then REJECTS them for v1/file tables at
+  * analysis. For targets that resolve to graft-manifest tables these
+  * rewrites route the statements onto [[TableManifest.updateWhere]] /
+  * [[TableManifest.mergeByKey]] / the provider's pinned time-travel
+  * snapshot instead; everything else returns unchanged so Spark keeps
+  * ownership of its own surface. Out-of-shape statements on GRAFT tables
+  * fail HERE — at planning, with the supported shape in the message —
+  * never silently at runtime. */
+private[plans] object GraftDmlRewrite {
+
+  /** Strip a plain alias wrapper off a DML target. */
+  private def unalias(plan: LogicalPlan): (Option[String], LogicalPlan) =
+    plan match {
+      case SubqueryAlias(ident, child) => (Some(ident.name), child)
+      case other => (None, other)
+    }
+
+  /** Qualifier names that may prefix a column reference in a statement's
+    * expressions: the explicit alias if any, else the table name parts. */
+  private def qualifiers(alias: Option[String], parts: Seq[String]): Set[String] =
+    alias.map(a => Set(a.toLowerCase))
+      .getOrElse(parts.map(_.toLowerCase).toSet)
+
+  /** Drop `t.` / alias qualifiers from column references so the stored
+    * Columns resolve against the bare victim-file DataFrame at run time
+    * (which has no alias in scope). A reference that is neither bare nor
+    * qualified by the target is left alone — it will fail resolution
+    * loudly at run, naming the attribute. */
+  private def dequalify(e: Expression, quals: Set[String]): Expression =
+    e.transformUp {
+      case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+          quals.contains(a.nameParts.head.toLowerCase) =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+
+  /** Stat-unit value of a foldable comparison literal — Catalyst literals
+    * already carry [[TableManifest.analyze]]'s canonical units (micros
+    * for timestamps, epoch days for dates, the raw value for integrals),
+    * so no unit conversion can go wrong here. */
+  private def statUnits(e: Expression): Option[Long] = e match {
+    case l: Literal => l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Option(l.value).map {
+          case b: Byte => b.toLong
+          case s: Short => s.toLong
+          case i: Int => i.toLong
+          case v: Long => v
+        }
+      case TimestampType | TimestampNTZType =>
+        Option(l.value).map(_.asInstanceOf[Long])
+      case DateType => Option(l.value).map(_.asInstanceOf[Int].toLong)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def plainColumn(e: Expression): Option[String] = e match {
+    case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+      Some(a.nameParts.head)
+    case _ => None
+  }
+
+  /** Conservative manifest-prune ranges from an UPDATE condition: every
+    * top-level AND conjunct comparing a plain column to a typed literal
+    * narrows that column's admissible [lo, hi]; all other conjuncts are
+    * IGNORED — sound, because a conjunction only shrinks the matching
+    * row set, and [[TableManifest.updateWhere]]'s exact victim scan
+    * restores exactness. The ranges only decide which files are worth
+    * scanning for victims. */
+  def pruneRanges(cond: Expression): Seq[(String, Long, Long)] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val bounds = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      bounds(c) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    def lt(a: Expression, v: Expression): Unit =
+      for (c <- plainColumn(a); l <- statUnits(v) if l > Long.MinValue)
+        narrow(c, Long.MinValue, l - 1)
+    def le(a: Expression, v: Expression): Unit =
+      for (c <- plainColumn(a); l <- statUnits(v)) narrow(c, Long.MinValue, l)
+    def gt(a: Expression, v: Expression): Unit =
+      for (c <- plainColumn(a); l <- statUnits(v) if l < Long.MaxValue)
+        narrow(c, l + 1, Long.MaxValue)
+    def ge(a: Expression, v: Expression): Unit =
+      for (c <- plainColumn(a); l <- statUnits(v)) narrow(c, l, Long.MaxValue)
+    conjuncts(cond).foreach {
+      case EqualTo(a, v) if statUnits(v).isDefined => { le(a, v); ge(a, v) }
+      case EqualTo(v, a) if statUnits(v).isDefined => { le(a, v); ge(a, v) }
+      case LessThan(a, v) if statUnits(v).isDefined => lt(a, v)
+      case LessThan(v, a) if statUnits(v).isDefined => gt(a, v)
+      case LessThanOrEqual(a, v) if statUnits(v).isDefined => le(a, v)
+      case LessThanOrEqual(v, a) if statUnits(v).isDefined => ge(a, v)
+      case GreaterThan(a, v) if statUnits(v).isDefined => gt(a, v)
+      case GreaterThan(v, a) if statUnits(v).isDefined => lt(a, v)
+      case GreaterThanOrEqual(a, v) if statUnits(v).isDefined => ge(a, v)
+      case GreaterThanOrEqual(v, a) if statUnits(v).isDefined => le(a, v)
+      case _ => ()
+    }
+    bounds.toSeq.map { case (c, (lo, hi)) => (c, lo, hi) }
+  }
+
+  /** `UPDATE t SET … [WHERE …]` on a graft-manifest target →
+    * [[GraftUpdateCommand]]; non-graft targets return unchanged. */
+  def rewriteUpdate(spark: SparkSession, u: UpdateTable): LogicalPlan = {
+    val (alias, rel) = unalias(u.table)
+    val target = rel match {
+      case ur: UnresolvedRelation => ur.multipartIdentifier
+      case _ => return u
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return u)
+    val quals = qualifiers(alias, target)
+    val sets = u.assignments.map { case Assignment(key, value) =>
+      val name = key match {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+          a.nameParts.head
+        case a: UnresolvedAttribute if a.nameParts.length == 2 &&
+            quals.contains(a.nameParts.head.toLowerCase) =>
+          a.nameParts.last
+        case other => sys.error(
+          s"graft-manifest UPDATE: unsupported assignment target `${other.sql}` " +
+            "— only top-level columns can be SET (nested fields belong to " +
+            "the library surface)")
+      }
+      name -> ColumnBridge.column(dequalify(value, quals))
+    }
+    val cond = u.condition.map(dequalify(_, quals))
+    GraftUpdateCommand(path, sets,
+      cond.map(ColumnBridge.column),
+      cond.map(pruneRanges).getOrElse(Seq.empty))
+  }
+
+  /** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` — exactly the whole-row upsert
+    * [[TableManifest.mergeByKey]] implements (the reference's own
+    * diff-and-publish loop is this statement's semantics:
+    * `/root/reference/services/spark_batch_processor.py:83-100`).
+    * Non-graft targets return unchanged; out-of-shape graft merges are
+    * rejected here with the supported shape. */
+  def rewriteMerge(spark: SparkSession, m: MergeIntoTable): LogicalPlan = {
+    val (_, rel) = unalias(m.targetTable)
+    val target = rel match {
+      case ur: UnresolvedRelation => ur.multipartIdentifier
+      case _ => return m
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return m)
+    def reject(why: String): Nothing = sys.error(
+      s"graft-manifest MERGE supports exactly `MERGE INTO t USING s ON " +
+        "t.<key> = s.<key> WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+        s"THEN INSERT *` (whole-row upsert, TableManifest.mergeByKey); $why")
+    if (m.withSchemaEvolution)
+      reject("WITH SCHEMA EVOLUTION is not supported (schema evolution " +
+        "goes through ALTER TABLE / append)")
+    if (m.notMatchedBySourceActions.nonEmpty)
+      reject("WHEN NOT MATCHED BY SOURCE clauses are not supported")
+    m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => ()
+      case other => reject(s"unsupported WHEN MATCHED clause(s): $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => ()
+      case other => reject(s"unsupported WHEN NOT MATCHED clause(s): $other")
+    }
+    val keyCol = m.mergeCondition match {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last.equalsIgnoreCase(r.nameParts.last) =>
+        l.nameParts.last
+      case other => reject(
+        s"the ON condition must be a single same-named key equality, got " +
+          s"`${other.sql}`")
+    }
+    GraftMergeCommand(path, keyCol, m.sourceTable)
+  }
+
+  /** `SELECT … FROM t VERSION AS OF v / TIMESTAMP AS OF ts` on a
+    * graft-manifest table → the SAME pinned snapshot the reader options
+    * hit ([[graft.sources.ManifestTableProvider]] resolves version,
+    * schema, and file inventory from ONE manifest body). Non-graft
+    * time travel returns unchanged (Spark owns its own error).
+    * Resolution happens here — at parse — because stock
+    * `V2SessionCatalog` rejects time travel before any injected
+    * resolution rule could see the node. */
+  def rewriteTimeTravel(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tt @ RelationTimeTravel(ur: UnresolvedRelation, ts, version) =>
+        GraftTables.graftPath(spark, ur.multipartIdentifier) match {
+          case None => tt
+          case Some(path) =>
+            val m = new util.HashMap[String, String]()
+            m.put("path", path)
+            version.foreach { v =>
+              v.trim.toLongOption.getOrElse(sys.error(
+                s"graft-manifest VERSION AS OF takes a numeric version, got '$v'"))
+              m.put("versionAsOf", v.trim)
+            }
+            ts.foreach { e =>
+              m.put("timestampAsOf", timestampAsOfMillis(e).toString)
+            }
+            val provider = new graft.sources.ManifestTableProvider
+            val schema =
+              provider.inferSchema(new CaseInsensitiveStringMap(m))
+            DataSourceV2Relation.create(
+              provider.getTable(schema, Array.empty, m), None, None)
+        }
+    }
+
+  /** Evaluate a `TIMESTAMP AS OF` expression to epoch millis: an
+    * INTEGRAL literal is epoch millis directly (the provider's
+    * `timestampAsOf` option contract — a seconds interpretation via
+    * Spark's long→timestamp cast would silently shift the pin by 1000×);
+    * anything else folds through a timestamp cast in the session zone
+    * (so `'2024-01-10 00:00:00'` and `TIMESTAMP '…'` behave like every
+    * other SQL timestamp). Non-literals (e.g. current_timestamp()) are
+    * rejected — a time-travel pin must be a stable value, not one that
+    * moves between parse and execution. */
+  private def timestampAsOfMillis(e: Expression): Long = {
+    if (!e.resolved || !e.foldable) sys.error(
+      s"graft-manifest TIMESTAMP AS OF takes a literal timestamp, got `${e.sql}`")
+    e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        e.eval() match {
+          case b: java.lang.Byte => b.longValue()
+          case s: java.lang.Short => s.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case _ => sys.error(
+            s"graft-manifest TIMESTAMP AS OF: cannot read `${e.sql}`")
+        }
+      case _ =>
+        val zone = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+        val micros = Cast(e, TimestampType, Some(zone)).eval() match {
+          case l: java.lang.Long => l.longValue()
+          case _ => sys.error(
+            s"graft-manifest TIMESTAMP AS OF: cannot read `${e.sql}` as a timestamp")
+        }
+        Math.floorDiv(micros, 1000L)
+    }
+  }
+}
+
+/** SQL `UPDATE` on a graft-manifest table → [[TableManifest.updateWhere]]
+  * (stats-pruned, file-granular copy-on-write). Returns the committed
+  * version — deterministic for scripted fixtures, and the natural "did
+  * it commit" answer for an operator. */
+case class GraftUpdateCommand(path: String,
+    sets: Seq[(String, Column)], condition: Option[Column],
+    pruneRanges: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TableManifest.updateWhere(spark, path, sets, condition,
+      pruneRanges)))
+}
+
+/** SQL `MERGE INTO` (whole-row upsert shape) on a graft-manifest table →
+  * [[TableManifest.mergeByKey]]. The source plan is analyzed at run time
+  * (the CreateViewCommand pattern), so views/subqueries/CTE sources all
+  * work; mergeByKey's own guards (schema equality, key uniqueness and
+  * non-null) stay the single source of merge-contract truth. */
+case class GraftMergeCommand(path: String, keyCol: String,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(TableManifest.mergeByKey(spark, path, keyCol,
+      DatasetBridge.ofRows(spark, source))))
+}

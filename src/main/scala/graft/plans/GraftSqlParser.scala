@@ -4,46 +4,91 @@ import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable, UpdateTable}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
-/** SQL entry points for table MAINTENANCE — the statements a SQL-only
-  * operator needs to run a manifest table's lifecycle without touching
-  * the library, grammar-compatible with the lakehouse convention:
+/** SQL entry points for the manifest table format beyond what Spark's own
+  * grammar plans natively — the statements a SQL-only operator needs to
+  * run a table's whole lifecycle without touching the library:
   *
   * {{{
-  *   VACUUM '/wh/events'                      -- reclaim past the 168h default grace
-  *   VACUUM '/wh/events' RETAIN 24 HOURS      -- explicit reader grace window
-  *   VACUUM '/wh/events' RETAIN 0 HOURS       -- immediate reclamation (opt-in)
-  *   OPTIMIZE '/wh/events'                    -- small-file compaction (CAS)
-  *   DESCRIBE HISTORY '/wh/events'            -- the commit ledger
+  *   -- maintenance (quoted path, or the NAME of a catalog table created
+  *   -- with USING `graft-manifest`):
+  *   VACUUM '/wh/events'                -- reclaim past the 168h default grace
+  *   VACUUM events RETAIN 24 HOURS      -- explicit reader grace window
+  *   VACUUM events RETAIN 0 HOURS       -- immediate reclamation (opt-in)
+  *   OPTIMIZE events                    -- small-file compaction (CAS)
+  *   DESCRIBE HISTORY events            -- the commit ledger
+  *
+  *   -- row-level DML and time travel (parsed by Spark's own grammar,
+  *   -- rewritten here onto the manifest primitives):
+  *   UPDATE events SET v = v + 1 WHERE k <= 100
+  *   MERGE INTO events USING updates ON events.k = updates.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   SELECT * FROM events VERSION AS OF 3
+  *   SELECT * FROM events TIMESTAMP AS OF '2024-01-10 00:00:00'
   * }}}
   *
   * Implemented as a DELEGATING parser injected through
-  * [[GraftExtensions]]: three anchored statement shapes (the table is a
-  * quoted PATH — no ambiguity with catalog `DESCRIBE t`, which is
-  * unquoted and falls through) are matched first, everything else goes
-  * verbatim to Spark's own parser, so the entire standard SQL surface is
-  * untouched. Each statement plans as a `LeafRunnableCommand` — driver-
-  * side metadata work, exactly like Spark's own DDL — and returns its
-  * result as rows (deleted names, compaction stats, the history
-  * ledger). */
+  * [[GraftExtensions]]: three anchored maintenance statement shapes are
+  * matched first (the table is a quoted PATH or an identifier resolved
+  * through the session catalog at run time — no ambiguity with catalog
+  * `DESCRIBE t`, whose grammar has no HISTORY token); everything else
+  * goes verbatim to Spark's own parser, and the RESULT is post-passed by
+  * [[GraftDmlRewrite]] so `UPDATE` / `MERGE INTO` / `VERSION AS OF` /
+  * `TIMESTAMP AS OF` on graft-manifest targets plan onto
+  * [[graft.ops.TableManifest]] instead of dying in Spark's
+  * v1-unsupported paths — while the same statements on non-graft tables
+  * keep Spark's stock behavior bit-identical. Each maintenance/DML
+  * statement plans as a `LeafRunnableCommand` — driver-side metadata
+  * work, exactly like Spark's own DDL — and returns its result as rows
+  * (deleted names, compaction stats, the history ledger, the committed
+  * version). */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
+  // a table reference: quoted path | back-ticked identifier | identifier
+  private val Ref = """(?:'([^']+)'|`([^`]+)`|([A-Za-z_][\w.]*))"""
   private val Vacuum =
-    """(?is)\s*VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""".r
-  private val Optimize = """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
-  private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Ref +
+      """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
+  private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref + """\s*;?\s*""").r
+  private val History =
+    ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
+
+  /** A quoted path is a path; a back-ticked identifier is a path when it
+    * looks like one (the `` `/wh/events` `` escape hatch), else a name;
+    * a bare identifier is a catalog name (resolved at RUN time, so the
+    * command sees execution-time catalog state). */
+  private def ref(path: String, tick: String, ident: String): GraftTableRef =
+    (Option(path), Option(tick), Option(ident)) match {
+      case (Some(p), _, _) => GraftTableRef(p, isPath = true)
+      case (_, Some(t), _) => GraftTableRef(t, isPath = t.startsWith("/"))
+      case (_, _, Some(i)) => GraftTableRef(i, isPath = false)
+      case _ => sys.error("unreachable: empty table reference")
+    }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case Vacuum(path, hours) =>
-      VacuumCommand(path,
+    case Vacuum(path, tick, ident, hours) =>
+      VacuumCommand(ref(path, tick, ident),
         Option(hours).map(_.toLong * 3600L * 1000L)
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
-    case Optimize(path) => OptimizeCommand(path)
-    case History(path) => HistoryCommand(path)
-    case _ => delegate.parsePlan(sqlText)
+    case Optimize(path, tick, ident) => OptimizeCommand(ref(path, tick, ident))
+    case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
+    case _ =>
+      val plan = delegate.parsePlan(sqlText)
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+        case None => plan // no session (tooling): nothing to resolve against
+        case Some(spark) =>
+          // time-travel first, so a DML statement READING a pinned
+          // snapshot (e.g. MERGE USING src VERSION AS OF 3) resolves its
+          // source before the statement itself is routed
+          GraftDmlRewrite.rewriteTimeTravel(spark, plan) match {
+            case u: UpdateTable => GraftDmlRewrite.rewriteUpdate(spark, u)
+            case m: MergeIntoTable => GraftDmlRewrite.rewriteMerge(spark, m)
+            case other => other
+          }
+      }
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -65,47 +110,56 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
-  /** Bare `VACUUM '<path>'` keeps files the head no longer lists for 7
-    * days — the lakehouse convention the grammar advertises compatibility
-    * with (Delta's default), so an operator running the statement by
-    * muscle memory cannot silently destroy time travel or fail a
-    * concurrent reader still scanning a pre-compaction snapshot.
-    * Immediate reclamation is an explicit opt-in: `RETAIN 0 HOURS`
-    * (the library's [[graft.ops.TableManifest.vacuum]] keeps its own
-    * grace=0 default — code callers state what they mean; the SQL
-    * surface is where a conservative default earns its keep). */
+  /** Bare `VACUUM t` keeps files the head no longer lists for 7 days —
+    * the lakehouse convention the grammar advertises compatibility with
+    * (Delta's default), so an operator running the statement by muscle
+    * memory cannot silently destroy time travel or fail a concurrent
+    * reader still scanning a pre-compaction snapshot. Immediate
+    * reclamation is an explicit opt-in: `RETAIN 0 HOURS` (the library's
+    * [[graft.ops.TableManifest.vacuum]] keeps its own grace=0 default —
+    * code callers state what they mean; the SQL surface is where a
+    * conservative default earns its keep). */
   val DefaultVacuumGraceMillis: Long = 168L * 3600L * 1000L
 }
 
-/** `VACUUM '<path>' [RETAIN n HOURS]` → [[graft.ops.TableManifest
-  * .vacuum]]. Returns one row per reclaimed file/scratch entry. RETAIN
-  * is the reader/time-travel grace window; omitted it defaults to 168
-  * hours ([[GraftSqlParser.DefaultVacuumGraceMillis]]), and `RETAIN 0
-  * HOURS` is the explicit immediate form. */
-case class VacuumCommand(path: String, graceMillis: Long)
+/** A maintenance statement's table reference: a literal path, or a
+  * catalog name resolved to the table's path option at RUN time
+  * ([[GraftTables.requireGraftPath]]). */
+case class GraftTableRef(raw: String, isPath: Boolean) {
+  def path(spark: SparkSession): String =
+    if (isPath) raw else GraftTables.requireGraftPath(spark, raw)
+}
+
+/** `VACUUM <t> [RETAIN n HOURS]` → [[graft.ops.TableManifest.vacuum]].
+  * Returns one row per reclaimed file/scratch entry. RETAIN is the
+  * reader/time-travel grace window; omitted it defaults to 168 hours
+  * ([[GraftSqlParser.DefaultVacuumGraceMillis]]), and `RETAIN 0 HOURS`
+  * is the explicit immediate form. */
+case class VacuumCommand(table: GraftTableRef, graceMillis: Long)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.ops.TableManifest.vacuum(spark, path, graceMillis).map(Row(_))
+    graft.ops.TableManifest.vacuum(spark, table.path(spark), graceMillis)
+      .map(Row(_))
 }
 
-/** `OPTIMIZE '<path>'` → [[graft.ops.Compaction.compactInPlace]] (CAS
+/** `OPTIMIZE <t>` → [[graft.ops.Compaction.compactInPlace]] (CAS
   * manifest swap on tracked dirs). One stats row. */
-case class OptimizeCommand(path: String) extends LeafRunnableCommand {
+case class OptimizeCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)(),
     AttributeReference("bytes_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val s = graft.ops.Compaction.compactInPlace(spark, path)
+    val s = graft.ops.Compaction.compactInPlace(spark, table.path(spark))
     Seq(Row(s.filesBefore.toLong, s.filesAfter.toLong, s.bytesRewritten))
   }
 }
 
-/** `DESCRIBE HISTORY '<path>'` → [[graft.ops.TableManifest.history]]'s
+/** `DESCRIBE HISTORY <t>` → [[graft.ops.TableManifest.history]]'s
   * ledger, newest first (the convention operators expect). */
-case class HistoryCommand(path: String) extends LeafRunnableCommand {
+case class HistoryCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
@@ -115,7 +169,7 @@ case class HistoryCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("hwm", LongType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    graft.ops.TableManifest.history(spark, path)
+    graft.ops.TableManifest.history(spark, table.path(spark))
       .orderBy(col("version").desc).collect().toSeq
   }
 }

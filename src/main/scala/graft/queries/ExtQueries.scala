@@ -6029,6 +6029,165 @@ object ExtQueries {
       |  AS t(version, n_files, n_added, n_removed, hwm)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- Q175
+  /** Pure-SQL `UPDATE` on a graft-manifest catalog table, oracle-pinned
+    * through two statement shapes ([[graft.plans.GraftSqlParser]] →
+    * [[graft.ops.TableManifest.updateWhere]]): a RANGE-pruned arithmetic
+    * update (`cents = cents + 7 WHERE k <= 1000` — only files whose
+    * committed k-range admits the bound are scanned for victims) and a
+    * STRING-condition overwrite applied AFTER it (`cents = 0 WHERE pri =
+    * '1-URGENT'`), so the oracle's CASE nesting pins both statement
+    * ORDER and old-row evaluation. An update that over-applies (victim
+    * file rewritten with the condition dropped), under-applies (pruning
+    * wrongly skips a file), or double-applies (splice re-listing the old
+    * file) lands on a different aggregate. */
+  def q175SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q175")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tbl = s"g175_upd_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE k <= 1000")
+      s.sql(s"UPDATE $tbl SET cents = 0 WHERE pri = '1-URGENT'")
+    } finally s.sql(s"DROP TABLE $tbl")
+    graft.ops.TableManifest.readTable(s, tmp)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q175Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+      |    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey <= 1000 THEN 7 ELSE 0 END END)
+      |    AS BIGINT) AS cents
+      |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- Q176
+  /** Pure-SQL `MERGE INTO … WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    * MATCHED THEN INSERT *` — the q170 upsert routed through the
+    * statement instead of the library call ([[graft.plans
+    * .GraftSqlParser]] rewrites the parsed MergeIntoTable onto
+    * [[graft.ops.TableManifest.mergeByKey]]; the reference's own
+    * diff-and-publish loop is MERGE semantics,
+    * `/root/reference/services/spark_batch_processor.py:83-100`). Same
+    * oracle shape as q170: base rows overridden by key, inserts
+    * unioned — a MERGE that drops the source, double-inserts matches,
+    * or writes around the manifest hash-mismatches. */
+  def q176SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q176")
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    base.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g176_mrg_$tag"
+    val view = s"g176_src_$tag"
+    val updates = base.filter(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 11)
+    val inserts = base.filter(col("k") % 1009 === 0)
+      .select((col("k") + 10000000L).as("k"), col("pri"),
+        lit(5L).as("cents"))
+    updates.unionByName(inserts).createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(
+      s"""MERGE INTO $tbl USING $view ON $tbl.k = $view.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+    graft.ops.TableManifest.readTable(s, tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        max(col("k")).as("max_k"),
+        sum(when(col("cents") === 5L, 1L).otherwise(0L)).as("n_inserted"))
+  }
+
+  val q176Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, pri,
+      |    CASE WHEN k % 97 = 0 THEN cents + 11 ELSE cents END AS cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k + 10000000, pri, 5 FROM base WHERE k % 1009 = 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  CAST(SUM(CASE WHEN cents = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged""".stripMargin
+
+  // ---------------------------------------------------------------- Q177
+  /** Pure-SQL TIME TRAVEL (`VERSION AS OF` / `TIMESTAMP AS OF`) on a
+    * graft-manifest catalog table — q166's semantics reachable without
+    * touching the library: v1 commits every-third order, a publish
+    * snapshot-replaces with rows whose cents are shifted +1 (so v1 and
+    * head can never hash alike), and the query aggregates BOTH pins —
+    * the version form and a wall-clock timestamp captured between the
+    * commits — plus the head. Both pinned rows must equal the v1
+    * aggregate (a timestamp resolving to the wrong side of the commit,
+    * or a version read leaking head files, separates them); the head row
+    * pins the +1 shift. */
+  def q177SqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q177")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp) // v1
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtime granularity can be 1s
+    graft.ops.TableManifest.publish(
+      src.withColumn("cents", col("cents") + 1L), tmp) // v2: head
+    val tbl = s"g177_tt_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(
+      s"""SELECT 'version' AS pin, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM $tbl VERSION AS OF 1
+         |UNION ALL
+         |SELECT 'timestamp', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM $tbl TIMESTAMP AS OF $betweenMillis
+         |UNION ALL
+         |SELECT 'head', CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+         |FROM $tbl
+         |ORDER BY pin""".stripMargin)
+    finally s.sql(s"DROP TABLE $tbl")
+  }
+
+  val q177Sql: String =
+    """WITH v1 AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |head AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) + 1) AS BIGINT)
+      |      AS cents
+      |  FROM orders)
+      |SELECT 'head' AS pin, n, cents FROM head
+      |UNION ALL SELECT 'timestamp', n, cents FROM v1
+      |UNION ALL SELECT 'version', n, cents FROM v1
+      |ORDER BY pin""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6192,7 +6351,10 @@ object ExtQueries {
     "q171_sql_insert" -> (q171SqlInsert _),
     "q172_sql_delete" -> (q172SqlDelete _),
     "q173_ts_retention" -> (q173TsRetention _),
-    "q174_history" -> (q174History _))
+    "q174_history" -> (q174History _),
+    "q175_sql_update" -> (q175SqlUpdate _),
+    "q176_sql_merge" -> (q176SqlMerge _),
+    "q177_sql_time_travel" -> (q177SqlTimeTravel _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6358,5 +6520,8 @@ object ExtQueries {
     "q171_sql_insert" -> q171Sql,
     "q172_sql_delete" -> q172Sql,
     "q173_ts_retention" -> q173Sql,
-    "q174_history" -> q174Sql)
+    "q174_history" -> q174Sql,
+    "q175_sql_update" -> q175Sql,
+    "q176_sql_merge" -> q176Sql,
+    "q177_sql_time_travel" -> q177Sql)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** A shared GraftExtensions-enabled session for suites that must execute
+  * statements only the graft PARSER owns (UPDATE / MERGE INTO / VERSION
+  * AS OF / maintenance SQL on graft-manifest tables). Built beside —
+  * never replacing — [[SparkSpec.session]]: the two share one
+  * SparkContext, and the default/active slots are restored so the plain
+  * session keeps serving every other suite (the MaintenanceSqlSpec
+  * isolation pattern, hoisted for reuse). */
+object TestSessions {
+  lazy val withExtensions: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Paths.get("target/tmp/warehouse-ext")
+          .toAbsolutePath.toString)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Run `f` with the extensions session ACTIVE (parse-time resolution in
+    * GraftDmlRewrite reads the active session), restoring the previous
+    * active session after. */
+  def withExtensionsActive[A](f: SparkSession => A): A = {
+    val s = withExtensions
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s)
+    try f(s)
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+}

@@ -1,0 +1,231 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TableManifest
+
+/** The SQL row-level DML + time-travel surface over graft-manifest tables
+  * ([[GraftSqlParser]] + [[GraftDmlRewrite]]): `UPDATE`, `MERGE INTO`
+  * (whole-row upsert), `VERSION AS OF` / `TIMESTAMP AS OF`, and
+  * name-addressed maintenance — with out-of-shape statements rejected at
+  * planning and non-graft targets left to Spark's stock behavior. */
+class GraftDmlSqlSpec extends AnyFunSuite {
+
+  // extensions-enabled session, isolated from the shared SparkSpec one
+  // (same pattern as MaintenanceSqlSpec)
+  private lazy val spark: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-dml-sql-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    prevDefault match {
+      case Some(d) => SparkSession.setDefaultSession(d)
+      case None => SparkSession.clearDefaultSession()
+    }
+    prevActive match {
+      case Some(a) => SparkSession.setActiveSession(a)
+      case None => SparkSession.clearActiveSession()
+    }
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def withActive[A](f: => A): A = {
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try f
+    finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+  }
+
+  /** Tracked 2-file table (keys 1..3 | 4..6), analyzed on k, registered
+    * as a catalog table. Returns (dir, tableName). */
+  private def newTable(tag: String): (String, String) = withActive {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"gm-dml-$tag").toString
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+        (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L))
+      .toDF("k", "s", "v")
+      .repartitionByRange(2, org.apache.spark.sql.functions.col("k"))
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    val tbl = s"gdml_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+    (dir, tbl)
+  }
+
+  private def rows(dir: String): Seq[(Long, String, Long)] = withActive {
+    import spark.implicits._
+    TableManifest.readTable(spark, dir).as[(Long, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  test("UPDATE by catalog name: file-granular copy-on-write, version row returned") {
+    val (dir, tbl) = newTable("upd")
+    val before = TableManifest.read(spark, dir).get._2.toSet
+    val out = withActive { spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k <= 2").collect() }
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L), s"committed version: ${out.toSeq}")
+    assert(rows(dir) == Seq((1L, "a", 11L), (2L, "b", 21L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L)))
+    val after = TableManifest.read(spark, dir).get._2.toSet
+    assert(before.intersect(after).size == 1,
+      s"only the file holding k<=2 is rewritten: $before -> $after")
+  }
+
+  test("UPDATE assignments see the OLD row (swap) and cast back to the column type") {
+    val (dir, tbl) = newTable("swap")
+    withActive { spark.sql(s"UPDATE $tbl SET k = v, v = k WHERE k = 1") }
+    assert(rows(dir).contains((10L, "a", 1L)), s"swapped: ${rows(dir)}")
+    // int literal stores into the long column without changing the schema
+    withActive { spark.sql(s"UPDATE $tbl SET v = 7 WHERE s = 'b'") }
+    assert(rows(dir).contains((2L, "b", 7L)))
+    assert(TableManifest.readSchema(spark, dir).get("v").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("UPDATE with no WHERE rewrites everything; alias-qualified refs resolve") {
+    val (dir, tbl) = newTable("all")
+    withActive { spark.sql(s"UPDATE $tbl SET v = 0") }
+    assert(rows(dir).forall(_._3 == 0L))
+    withActive { spark.sql(s"UPDATE $tbl AS x SET x.v = x.k * 2 WHERE x.k = 3") }
+    assert(rows(dir).contains((3L, "c", 6L)))
+  }
+
+  test("UPDATE rejects unknown columns and nested targets at planning; non-graft falls through") {
+    val (_, tbl) = newTable("rej")
+    val e1 = intercept[Exception] {
+      withActive { spark.sql(s"UPDATE $tbl SET nope = 1") }
+    }
+    assert(e1.getMessage.contains("unknown column"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      withActive { spark.sql(s"UPDATE $tbl SET s.inner = 1") }
+    }
+    assert(e2.getMessage.contains("unsupported assignment target"), e2.getMessage)
+    // a non-graft table keeps Spark's own (unsupported) behavior
+    withActive {
+      import spark.implicits._
+      Seq((1, 2)).toDF("a", "b").createOrReplaceTempView("gdml_plain_v")
+      val e3 = intercept[Exception] {
+        spark.sql("UPDATE gdml_plain_v SET a = 1")
+      }
+      assert(!Option(e3.getMessage).exists(_.contains("graft")), e3.getMessage)
+    }
+  }
+
+  test("MERGE INTO upserts through mergeByKey: updates replace, inserts add") {
+    val (dir, tbl) = newTable("merge")
+    withActive {
+      import spark.implicits._
+      Seq((2L, "U2", 222L), (99L, "N99", 990L)).toDF("k", "s", "v")
+        .createOrReplaceTempView("gdml_merge_src")
+      val out = spark.sql(
+        s"""MERGE INTO $tbl USING gdml_merge_src
+           |ON $tbl.k = gdml_merge_src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    }
+    assert(rows(dir) == Seq((1L, "a", 10L), (2L, "U2", 222L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L), (99L, "N99", 990L)))
+  }
+
+  test("MERGE rejects out-of-shape statements at planning, with the supported shape named") {
+    val (_, tbl) = newTable("mrej")
+    withActive {
+      import spark.implicits._
+      Seq((1L, "x", 1L)).toDF("k", "s", "v")
+        .createOrReplaceTempView("gdml_mrej_src")
+      def rejected(sql: String, why: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.getMessage.contains("graft-manifest MERGE supports exactly"),
+          s"$why: ${e.getMessage}")
+      }
+      rejected(
+        s"""MERGE INTO $tbl USING gdml_mrej_src ON $tbl.k = gdml_mrej_src.v
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        "differently-named key columns")
+      rejected(
+        s"""MERGE INTO $tbl USING gdml_mrej_src ON $tbl.k = gdml_mrej_src.k
+           |WHEN MATCHED THEN DELETE""".stripMargin,
+        "matched-delete")
+      rejected(
+        s"""MERGE INTO $tbl USING gdml_mrej_src ON $tbl.k = gdml_mrej_src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin,
+        "not-matched-by-source")
+      rejected(
+        s"""MERGE INTO $tbl USING gdml_mrej_src ON $tbl.k = gdml_mrej_src.k
+           |WHEN MATCHED AND gdml_mrej_src.v > 0 THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        "conditional matched clause")
+    }
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF pin the committed snapshot from pure SQL") {
+    val (dir, tbl) = newTable("tt") // v1: 6 rows
+    val betweenMillis = System.currentTimeMillis()
+    Thread.sleep(1100) // manifest mtime granularity can be 1s
+    withActive {
+      import spark.implicits._
+      Seq((7L, "g", 70L)).toDF("k", "s", "v")
+        .createOrReplaceTempView("gdml_tt_src")
+      spark.sql(s"INSERT INTO $tbl SELECT k, s, v FROM gdml_tt_src") // v2
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) == 7L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
+        .head().getLong(0) == 6L, "v1 snapshot via SQL")
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $tbl TIMESTAMP AS OF $betweenMillis")
+        .head().getLong(0) == 6L, "epoch-millis literal pins v1")
+      // a timestamp string in the session zone also works
+      val iso = java.time.Instant.ofEpochMilli(betweenMillis).toString
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $tbl TIMESTAMP AS OF '$iso'")
+        .head().getLong(0) == 6L, "ISO timestamp string pins v1")
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $tbl VERSION AS OF 99").collect()
+      }
+      assert(e.getMessage.contains("99"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $tbl TIMESTAMP AS OF current_timestamp()")
+      }
+      assert(e2.getMessage.contains("literal"), e2.getMessage)
+    }
+    assert(rows(dir).size == 7)
+  }
+
+  test("maintenance statements address catalog tables by NAME (and back-ticked paths)") {
+    val (dir, tbl) = newTable("maint")
+    withActive {
+      // OPTIMIZE by name compacts the 2 fragments
+      val opt = spark.sql(s"OPTIMIZE $tbl").head()
+      assert(opt.getLong(0) == 2L && opt.getLong(1) == 1L, s"OPTIMIZE: $opt")
+      // DESCRIBE HISTORY by name serves the ledger, newest first
+      val h = spark.sql(s"DESCRIBE HISTORY $tbl").collect()
+      // init v1, analyze-stats v2, compaction v3 — newest first
+      assert(h.length == 3 && h.head.getLong(0) == 3L, s"history: ${h.toSeq}")
+      // bare VACUUM by name keeps the grace default (nothing reclaimed)...
+      assert(spark.sql(s"VACUUM $tbl").count() == 0L)
+      // ...RETAIN 0 HOURS by back-ticked PATH reclaims the 2 delisted files
+      val deleted = spark.sql(s"VACUUM `$dir` RETAIN 0 HOURS").collect()
+      assert(deleted.length == 2, s"deleted: ${deleted.toSeq}")
+      assert(TableManifest.readTable(spark, dir).count() == 6L)
+      // a non-graft name is loud
+      val e = intercept[Exception] { spark.sql("DESCRIBE HISTORY gdml_no_such") }
+      assert(e.getMessage.contains("not a graft-manifest table"), e.getMessage)
+    }
+  }
+}

@@ -41,10 +41,21 @@ class PlanLintSpec extends SparkSpec {
     "q155_equidepth_hist" -> "broadcast 1-row corpus-count aggregate",
     "q165_temperature_resample" -> "broadcast 1-row sqrt-mass normalizer aggregate")
 
+  /** Queries whose BODIES execute statements only the graft PARSER owns
+    * (SQL UPDATE / MERGE / time travel) — built with the shared
+    * extensions-enabled session ([[graft.TestSessions]]) so their
+    * returned plans are linted like everyone else's instead of being
+    * silently skipped. */
+  private val needsGraftParser =
+    Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel")
+
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> fn(spark, sfDir).queryExecution.executedPlan
+      if (needsGraftParser(name))
+        name -> graft.TestSessions.withExtensionsActive(s =>
+          fn(s, sfDir).queryExecution.executedPlan)
+      else name -> fn(spark, sfDir).queryExecution.executedPlan
     }
   }
 
