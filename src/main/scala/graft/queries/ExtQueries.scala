@@ -6188,6 +6188,69 @@ object ExtQueries {
       |UNION ALL SELECT 'version', n, cents FROM v1
       |ORDER BY pin""".stripMargin
 
+  // ---------------------------------------------------------------- Q178
+  /** MANIFEST → MANIFEST streaming pipeline with the NATIVE DSv2 write
+    * ([[graft.sources.ManifestTableProvider]]'s STREAMING_WRITE — no
+    * foreachBatch anywhere): the q169 fixture (v1 snapshot publish + v2
+    * append-only commit) is tailed by `readStream.format
+    * ("graft-manifest")` and landed by `writeStream.format
+    * ("graft-manifest")`, whose per-epoch commit moves the micro-batch
+    * in and CAS-commits it with `hwm = epochId` — exactly-once end to
+    * end, each micro-batch one target version, `statsCols` making the
+    * landed files born prunable. The oracle models the tail as src UNION
+    * ALL the appended subset; a write that drops an epoch, double-lands
+    * a replay, or writes around the manifest hash-mismatches. */
+  def q178ManifestStreamWrite(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = freshScratch("graft-q178-src")
+    val dstDir = freshScratch("graft-q178-dst")
+    val ckpt = freshScratch("graft-q178-ckpt")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.TableManifest.publish(src, srcDir) // v1: the snapshot
+    val deltaDir = freshScratch("graft-q178-delta")
+    src.filter(col("k") % 5 === 0).write.mode("overwrite").parquet(deltaDir)
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fsys = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val addedNames = fsys
+      .listStatus(new org.apache.hadoop.fs.Path(deltaDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val name = s"added-${java.util.UUID.randomUUID()}.parquet"
+        require(fsys.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(srcPath, name)),
+          s"q178: move-in of ${st.getPath} failed")
+        name
+      }
+    val (head, files) = graft.ops.TableManifest.read(s, srcDir).get
+    graft.ops.TableManifest.commitIf(s, srcDir, files ++ addedNames, head)
+      .getOrElse(sys.error("q178: append commit lost an impossible race"))
+    val q = s.readStream.format("graft-manifest").load(srcDir)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .option("statsCols", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dstDir)
+    q.awaitTermination()
+    graft.ops.TableManifest.readTable(s, dstDir)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q178Sql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |tailed AS (
+      |  SELECT * FROM src
+      |  UNION ALL SELECT * FROM src WHERE k % 5 = 0)
+      |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM tailed GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6354,7 +6417,8 @@ object ExtQueries {
     "q174_history" -> (q174History _),
     "q175_sql_update" -> (q175SqlUpdate _),
     "q176_sql_merge" -> (q176SqlMerge _),
-    "q177_sql_time_travel" -> (q177SqlTimeTravel _))
+    "q177_sql_time_travel" -> (q177SqlTimeTravel _),
+    "q178_manifest_stream_write" -> (q178ManifestStreamWrite _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6523,5 +6587,6 @@ object ExtQueries {
     "q174_history" -> q174Sql,
     "q175_sql_update" -> q175Sql,
     "q176_sql_merge" -> q176Sql,
-    "q177_sql_time_travel" -> q177Sql)
+    "q177_sql_time_travel" -> q177Sql,
+    "q178_manifest_stream_write" -> q178Sql)
 }

@@ -261,7 +261,8 @@ private final class ManifestReadTable(delegate: ParquetTable,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     tracked match {
       case Some((names, schemaOpt, fstat)) =>
@@ -287,7 +288,7 @@ private final class ManifestReadTable(delegate: ParquetTable,
         tableOptions.containsKey("timestampAsOf"))
       sys.error("graft-manifest: cannot write through a time-travel read " +
         "(versionAsOf/timestampAsOf); load the table without it to write")
-    new ManifestWriteBuilder(info, dir)
+    new ManifestWriteBuilder(info, dir, tableOptions)
   }
 
   /** SQL `DELETE FROM` routed onto the metadata-pruned erase primitives:
@@ -448,7 +449,8 @@ private final class ManifestReadTable(delegate: ParquetTable,
   * in-flight readers until vacuumed, and the streaming high-water mark
   * survives (it records which stream epochs were applied; an overwrite
   * does not un-apply them). */
-private final class ManifestWriteBuilder(info: LogicalWriteInfo, dir: String)
+private final class ManifestWriteBuilder(info: LogicalWriteInfo, dir: String,
+    tableOptions: CaseInsensitiveStringMap)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
   override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -461,18 +463,134 @@ private final class ManifestWriteBuilder(info: LogicalWriteInfo, dir: String)
     val delegate = ParquetTable(s"graft-manifest-write:$dir", spark, opts,
       Seq(scratch), Some(info.schema), classOf[ParquetFileFormat])
       .newWriteBuilder(info).build()
-    new ManifestWrite(delegate, dir, scratch, overwrite, info.schema)
+    new ManifestWrite(delegate, dir, scratch, overwrite, info,
+      tableOptions)
   }
 }
 
 private final class ManifestWrite(delegate: Write, dir: String,
-    scratch: String, overwrite: Boolean, writeSchema: StructType)
+    scratch: String, overwrite: Boolean, info: LogicalWriteInfo,
+    tableOptions: CaseInsensitiveStringMap)
     extends Write {
   override def description(): String =
     s"graft-manifest:$dir${if (overwrite) " (overwrite)" else ""}"
   override def toBatch: BatchWrite =
     new ManifestBatchWrite(delegate.toBatch, dir, scratch, overwrite,
-      writeSchema)
+      info.schema)
+  /** `writeStream.format("graft-manifest")` — the native exactly-once
+    * append ([[ManifestStreamingWrite]]). Complete/update output modes
+    * would snapshot-replace per epoch; that pattern belongs to
+    * [[graft.streaming.UpsertSink]]'s foreachBatch surface, so a
+    * truncating streaming write is rejected at planning instead of
+    * silently appending. */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    if (overwrite)
+      sys.error("graft-manifest: streaming writes are append-only " +
+        "(outputMode=append); per-epoch snapshot replacement belongs to " +
+        "UpsertSink/foreachBatch")
+    val statsCols = Option(tableOptions.get("statsCols")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new ManifestStreamingWrite(dir, info, statsCols)
+  }
+}
+
+/** The streaming face of the SQL write path — `writeStream
+  * .format("graft-manifest").option("checkpointLocation", …).start(dir)`
+  * — riding the SAME hwm protocol as [[graft.streaming
+  * .ManifestAppendSink]], so the exactly-once append no longer requires
+  * foreachBatch:
+  *
+  *  - the engine wraps this StreamingWrite in a fresh per-epoch
+  *    MicroBatchWrite, so [[createStreamingWriterFactory]] runs once per
+  *    micro-batch: it opens a fresh hidden scratch dir and delegates the
+  *    executor-side row writing to Spark's own parquet DSv2 writer
+  *    (codegen'd writers, compression, speculative-attempt dedup — the
+  *    stock battle-tested path, exactly like the batch INSERT);
+  *  - `commit(epochId, …)` finalizes the scratch through the delegate's
+  *    job-level commit, then moves the part files in under
+  *    `b<epochId>-…` names and CAS-commits them with `hwm = epochId`
+  *    ([[graft.streaming.ManifestAppendSink.commitScratch]]) — one new
+  *    manifest version per micro-batch, readers see the whole batch or
+  *    none of it;
+  *  - exactly-once over restart: a replayed epoch (crash after commit,
+  *    before the checkpoint advanced) finds `hwm >= epochId` and drops
+  *    its scratch instead of re-appending — the manifest itself is the
+  *    commit record, no side marker to crash between;
+  *  - a crash BEFORE the commit leaves only `.inflight-*` scratch that
+  *    no manifest lists — invisible to readers, reclaimed by
+  *    [[graft.ops.TableManifest.vacuum]].
+  *
+  * `option("statsCols", "ts,k")` commits footer min/max for those
+  * columns WITH each batch, so appended files are born prunable (the
+  * [[graft.streaming.ManifestAppendSink.applyBatch]] contract).
+  *
+  * The per-epoch (scratch, delegate) pair is held in a single slot: the
+  * engine plans and commits epochs strictly sequentially on one query
+  * thread (the same contract [[ManifestMicroBatchStream]]'s `planned`
+  * slot relies on). */
+private final class ManifestStreamingWrite(dir: String,
+    info: LogicalWriteInfo, statsCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  @volatile private var current: (String, BatchWrite) = _
+
+  /** OFF, like the file source's own `FileBatchWrite`: the delegate's
+    * FileCommitProtocol coordinates task commits itself (through
+    * `SparkHadoopMapRedUtil` with its fabricated Hadoop attempt ids) —
+    * leaving the v2 coordinator on makes it authorize the REAL task
+    * attempt and then deny the protocol's differently-numbered second
+    * ask, failing every task with CommitDeniedException. */
+  override def useCommitCoordinator(): Boolean = false
+
+  override def createStreamingWriterFactory(pinfo: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val scratch = s"$dir/.inflight-stream-${util.UUID.randomUUID()}"
+    val m = new util.HashMap[String, String]()
+    m.put("path", scratch)
+    val delegate = ParquetTable(s"graft-manifest-stream-write:$dir", spark,
+      new CaseInsensitiveStringMap(m), Seq(scratch), Some(info.schema),
+      classOf[ParquetFileFormat]).newWriteBuilder(info).build().toBatch
+    current = (scratch, delegate)
+    new ManifestStreamingWriterFactory(delegate.createBatchWriterFactory(pinfo))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val (scratch, delegate) = current
+    delegate.commit(messages) // finalize the scratch files (stock protocol)
+    graft.streaming.ManifestAppendSink.commitScratch(SparkSession.active,
+      dir, new Path(scratch), epochId, Some(info.schema), statsCols)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val snapshot = current
+    if (snapshot != null) {
+      val (scratch, delegate) = snapshot
+      try delegate.abort(messages)
+      finally {
+        val sp = new Path(scratch)
+        val fs = sp.getFileSystem(
+          SparkSession.active.sparkContext.hadoopConfiguration)
+        fs.delete(sp, true)
+      }
+    }
+  }
+}
+
+/** Bridges the delegate parquet BATCH writer factory into the streaming
+  * factory shape (top-level and serializable — it ships to executors).
+  * The epoch id is already encoded in the driver-chosen scratch dir, so
+  * the task writer doesn't need it. */
+private final class ManifestStreamingWriterFactory(
+    delegate: DataWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    delegate.createWriter(partitionId, taskId)
 }
 
 private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,

@@ -72,23 +72,43 @@ object ManifestAppendSink {
       statsCols: Seq[String] = Seq.empty): Unit = {
     val spark = batch.sparkSession
     if (batchId <= committedBatchHighWater(spark, dir)) return
+    val p = new Path(dir)
+    val scratch = new Path(p,
+      s".inflight-b$batchId-${UUID.randomUUID().toString}")
+    batch.write.parquet(scratch.toString)
+    commitScratch(spark, dir, scratch, batchId, Some(batch.schema), statsCols)
+  }
 
+  /** The commit tail shared by [[applyBatch]] and the DSv2 streaming
+    * write ([[graft.sources.ManifestTableProvider]]): move the finalized
+    * `part-*` files out of `scratch` under batch-stamped unique names,
+    * CAS-commit them WITH the batch-id high-water mark (retrying against
+    * a racing maintenance commit), then drop the scratch dir. Re-checks
+    * the hwm first — the caller may have raced a replay — so a
+    * double-invoked epoch only cleans up its scratch. */
+  private[graft] def commitScratch(spark: org.apache.spark.sql.SparkSession,
+      dir: String, scratch: Path, batchId: Long,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      statsCols: Seq[String]): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (batchId <= committedBatchHighWater(spark, dir)) {
+      fs.delete(scratch, true) // replayed epoch: rows already committed
+      return
+    }
     val tag = UUID.randomUUID().toString
-    val scratch = new Path(p, s".inflight-b$batchId-$tag")
-    batch.write.parquet(scratch.toString)
-    val moved = fs.listStatus(scratch).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .sortBy(_.getPath.getName)
-      .zipWithIndex.map { case (s, i) =>
-        val name = s"b$batchId-$tag-p$i.parquet"
-        require(fs.rename(s.getPath, new Path(p, name)),
-          s"move of ${s.getPath} to $name failed")
-        name
-      }
+    val moved =
+      (if (fs.exists(scratch)) fs.listStatus(scratch).toSeq else Seq.empty)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .zipWithIndex.map { case (s, i) =>
+          val name = s"b$batchId-$tag-p$i.parquet"
+          require(fs.rename(s.getPath, new Path(p, name)),
+            s"move of ${s.getPath} to $name failed")
+          name
+        }
     val (stats, sstats) =
-      if (statsCols.isEmpty)
+      if (statsCols.isEmpty || moved.isEmpty)
         (Map.empty[String, Map[String, (Long, Long)]],
           Map.empty[String, Map[String, (String, String)]])
       else TableManifest.fileAllStats(spark, dir, moved, statsCols)
@@ -102,7 +122,7 @@ object ManifestAppendSink {
       }
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
         expectedHead = headV, hwm = Some(batchId), stats = stats,
-        sstats = sstats, schema = Some(batch.schema)).isDefined
+        sstats = sstats, schema = schema).isDefined
       attempts += 1
       if (!committed && attempts >= 64)
         sys.error(s"append of batch $batchId to $dir lost $attempts races")
