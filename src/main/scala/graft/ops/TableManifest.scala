@@ -6,7 +6,7 @@ import java.util.{Base64, UUID}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.SchemaBridge
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal reader-atomic commit protocol for raw parquet directories — the
   * public Delta/Iceberg core idea at file-listing scale, with none of the
@@ -1672,6 +1672,45 @@ object TableManifest {
       keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
       append = Some(pinned), keepAllWhenColumnMissing = true,
       opName = "merge")
+  }
+
+  /** Declarative schema WIDENING — the engine primitive behind SQL
+    * `ALTER TABLE t ADD COLUMNS (…)`: commit the head's file list
+    * unchanged with the carried schema extended by `newCols`, each
+    * forced nullable (no data file holds the column yet, so every
+    * existing row reads NULL there — the merged-footer contract the
+    * read path already implements for undeclared evolution, now
+    * reachable as a sanctioned metadata-only commit). The CAS loop
+    * preserves concurrent appends and the streaming hwm; a name
+    * collision (case-insensitive, Spark's resolution default) is loud
+    * BEFORE any commit. On a pre-schema manifest the carried schema is
+    * bootstrapped from the merged scan schema first — widening implies
+    * declaring. Returns the committed version. */
+  def addColumns(spark: SparkSession, dir: String,
+      newCols: Seq[StructField]): Long = {
+    require(newCols.nonEmpty, "addColumns: no columns to add")
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"addColumns: $dir is not manifest-tracked"))
+      val base = readSchema(spark, dir)
+        .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
+        .getOrElse(sys.error(
+          s"addColumns: $dir carries no schema and none can be inferred; " +
+            "append data or declare a schema first"))
+      val existing = base.fieldNames.map(_.toLowerCase).toSet
+      val dup = newCols.map(_.name).filter(n => existing(n.toLowerCase))
+      require(dup.isEmpty,
+        s"addColumns: column(s) ${dup.mkString(", ")} already exist in $dir")
+      val widened = StructType(
+        base.fields ++ newCols.map(_.copy(nullable = true)))
+      commitIf(spark, dir, files, v, hwm,
+        schema = Some(widened), replaceSchema = true) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"addColumns lost $attempts races in $dir; giving up")
   }
 
   /** Targeted row UPDATE — the engine primitive behind SQL `UPDATE t SET

@@ -241,6 +241,45 @@ private[plans] object GraftDmlRewrite {
     GraftMergeCommand(path, keyCol, m.sourceTable)
   }
 
+  /** `ALTER TABLE t ADD COLUMNS (name type, …)` on a graft-manifest
+    * table → [[TableManifest.addColumns]] (a metadata-only CAS commit
+    * widening the carried schema; old rows read NULL) — the sanctioned
+    * SQL route for write-side schema evolution, after which `INSERT INTO
+    * t` can carry the new column. A NAME-addressed table also gets its
+    * catalog schema synced in the same command, so Spark's own INSERT
+    * analysis sees the widened shape immediately. Only plain nullable
+    * top-level columns are supported; defaults, positions, NOT NULL, and
+    * nested paths are rejected at planning (a default/NOT NULL would
+    * promise something no existing file can honor). Non-graft targets
+    * return unchanged. */
+  def rewriteAddColumns(spark: SparkSession,
+      ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns): LogicalPlan = {
+    val target = ac.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case _ => return ac
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return ac)
+    def reject(why: String): Nothing = sys.error(
+      "graft-manifest ALTER TABLE ADD COLUMNS supports plain nullable " +
+        s"top-level columns only; $why")
+    val fields = ac.columnsToAdd.map { c =>
+      if (c.path.nonEmpty) reject(s"`${c.name.mkString(".")}` is nested")
+      if (!c.nullable) reject(s"`${c.colName}` is NOT NULL (existing rows " +
+        "have no value for a new column)")
+      if (c.position.nonEmpty) reject(s"`${c.colName}` carries a position")
+      if (c.default.nonEmpty) reject(s"`${c.colName}` carries a default")
+      org.apache.spark.sql.types.StructField(c.colName, c.dataType,
+        nullable = true)
+    }
+    // name-addressed targets sync the catalog schema too (path targets
+    // have no catalog entry)
+    val catalogIdent =
+      if (target.sizeIs <= 2 && !target.head.startsWith("/")) Some(target)
+      else None
+    GraftAddColumnsCommand(path, catalogIdent, fields)
+  }
+
   /** `SELECT … FROM t VERSION AS OF v / TIMESTAMP AS OF ts` on a
     * graft-manifest table → the SAME pinned snapshot the reader options
     * hit ([[graft.sources.ManifestTableProvider]] resolves version,
@@ -320,6 +359,36 @@ case class GraftUpdateCommand(path: String,
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(TableManifest.updateWhere(spark, path, sets, condition,
       pruneRanges)))
+}
+
+/** SQL `ALTER TABLE … ADD COLUMNS` on a graft-manifest table →
+  * [[TableManifest.addColumns]], plus a catalog data-schema sync for
+  * name-addressed tables (the stored catalog schema is what Spark hands
+  * the provider as the user schema on later resolutions — leaving it
+  * stale would hide the new column from `SELECT *` and fail INSERTs that
+  * carry it). Returns the committed version. */
+case class GraftAddColumnsCommand(path: String,
+    catalogIdent: Option[Seq[String]],
+    fields: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableManifest.addColumns(spark, path, fields)
+    catalogIdent.foreach { parts =>
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return Seq(Row(v))
+      }
+      val widened = TableManifest.readSchema(spark, path).getOrElse(
+        sys.error(s"graft-manifest ALTER TABLE: $path lost its schema " +
+          "between the commit and the catalog sync"))
+      spark.sessionState.catalog.alterTableDataSchema(ident, widened)
+    }
+    Seq(Row(v))
+  }
 }
 
 /** SQL `MERGE INTO` (whole-row upsert shape) on a graft-manifest table →

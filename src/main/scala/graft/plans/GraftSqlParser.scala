@@ -86,6 +86,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           GraftDmlRewrite.rewriteTimeTravel(spark, plan) match {
             case u: UpdateTable => GraftDmlRewrite.rewriteUpdate(spark, u)
             case m: MergeIntoTable => GraftDmlRewrite.rewriteMerge(spark, m)
+            case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+              GraftDmlRewrite.rewriteAddColumns(spark, ac)
             case other => other
           }
       }

@@ -6251,6 +6251,58 @@ object ExtQueries {
       |  CAST(SUM(cents) AS BIGINT) AS cents
       |FROM tailed GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q179
+  /** Write-side SCHEMA EVOLUTION from pure SQL, oracle-pinned: the
+    * fixture commits every-third order (k, pri, cents), `ALTER TABLE …
+    * ADD COLUMNS (note STRING)` widens the carried schema in one
+    * metadata-only CAS commit ([[graft.ops.TableManifest.addColumns]] —
+    * no data file rewritten), and an `INSERT INTO` then lands the
+    * complement CARRYING the new column. Old rows must read NULL in
+    * `note` and new rows their tag — an evolution that rewrites data,
+    * drops the column on the old slice's reads, or leaks non-NULL
+    * defaults backwards separates `n_note` from the oracle's complement
+    * count. Read back through the provider (merged-schema path). */
+  def q179SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q179")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g179_evo_$tag"
+    val view = s"g179_src_$tag"
+    src.filter(col("k") % 3 =!= 0)
+      .withColumn("note", concat(lit("n"), (col("k") % 7).cast("string")))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents, note FROM $view")
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        count(col("note")).as("n_note"),
+        countDistinct(col("note")).as("d_note"))
+      .orderBy("pri")
+  }
+
+  val q179Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(COUNT(CASE WHEN o_orderkey % 3 <> 0 THEN 1 END) AS BIGINT)
+      |    AS n_note,
+      |  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 3 <> 0
+      |    THEN 'n' || CAST(o_orderkey % 7 AS VARCHAR) END) AS BIGINT)
+      |    AS d_note
+      |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6418,7 +6470,8 @@ object ExtQueries {
     "q175_sql_update" -> (q175SqlUpdate _),
     "q176_sql_merge" -> (q176SqlMerge _),
     "q177_sql_time_travel" -> (q177SqlTimeTravel _),
-    "q178_manifest_stream_write" -> (q178ManifestStreamWrite _))
+    "q178_manifest_stream_write" -> (q178ManifestStreamWrite _),
+    "q179_schema_evolution" -> (q179SchemaEvolution _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6588,5 +6641,6 @@ object ExtQueries {
     "q175_sql_update" -> q175Sql,
     "q176_sql_merge" -> q176Sql,
     "q177_sql_time_travel" -> q177Sql,
-    "q178_manifest_stream_write" -> q178Sql)
+    "q178_manifest_stream_write" -> q178Sql,
+    "q179_schema_evolution" -> q179Sql)
 }

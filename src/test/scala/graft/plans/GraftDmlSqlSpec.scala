@@ -207,6 +207,48 @@ class GraftDmlSqlSpec extends AnyFunSuite {
     assert(rows(dir).size == 7)
   }
 
+  test("ALTER TABLE ADD COLUMNS widens the schema in one CAS commit; INSERT then carries it") {
+    val (dir, tbl) = newTable("evo")
+    withActive {
+      import spark.implicits._
+      val out = spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(3L), "metadata-only commit")
+      // the carried schema widened; no data file was touched
+      assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSeq ==
+        Seq("k", "s", "v", "note"))
+      assert(TableManifest.read(spark, dir).get._2.size == 2,
+        "no data rewrite for a metadata widen")
+      // SELECT * through the catalog sees the new column, old rows NULL
+      val head = spark.sql(s"SELECT note FROM $tbl WHERE k = 1").head()
+      assert(head.isNullAt(0), "existing rows read NULL in the new column")
+      // INSERT carrying the new column lands; old rows stay NULL
+      Seq((7L, "g", 70L, "fresh")).toDF("k", "s", "v", "note")
+        .createOrReplaceTempView("gdml_evo_src")
+      spark.sql(s"INSERT INTO $tbl SELECT k, s, v, note FROM gdml_evo_src")
+      val got = spark.sql(
+        s"SELECT count(*) AS n, count(note) AS n_note FROM $tbl").head()
+      assert(got.getLong(0) == 7L && got.getLong(1) == 1L, s"got: $got")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS rejects NOT NULL, nested, positioned, and duplicate columns") {
+    val (_, tbl) = newTable("evorej")
+    withActive {
+      def rejected(sql: String, fragment: String, why: String): Unit = {
+        val e = intercept[Exception] { spark.sql(sql) }
+        assert(e.getMessage.contains(fragment), s"$why: ${e.getMessage}")
+      }
+      rejected(s"ALTER TABLE $tbl ADD COLUMNS (x INT NOT NULL)",
+        "NOT NULL", "not-null column")
+      rejected(s"ALTER TABLE $tbl ADD COLUMNS (s.inner INT)",
+        "nested", "nested path")
+      rejected(s"ALTER TABLE $tbl ADD COLUMNS (x INT FIRST)",
+        "position", "positioned column")
+      rejected(s"ALTER TABLE $tbl ADD COLUMNS (V DOUBLE)",
+        "already exist", "case-insensitive duplicate")
+    }
+  }
+
   test("maintenance statements address catalog tables by NAME (and back-ticked paths)") {
     val (dir, tbl) = newTable("maint")
     withActive {

@@ -47,7 +47,8 @@ class PlanLintSpec extends SparkSpec {
     * returned plans are linted like everyone else's instead of being
     * silently skipped. */
   private val needsGraftParser =
-    Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel")
+    Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
+      "q179_schema_evolution")
 
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)

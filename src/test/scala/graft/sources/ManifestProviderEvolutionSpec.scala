@@ -44,4 +44,33 @@ class ManifestProviderEvolutionSpec extends SparkSpec {
     assert(got == Seq((1L, "a", None), (2L, "b", None),
       (3L, "c", Some(0.5))))
   }
+
+  test("a provider APPEND carrying a wider schema widens the declared schema in the same commit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gm-evolve-write").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val declared0 = TableManifest.readSchema(spark, dir).get
+    assert(declared0.fieldNames.toSet == Set("id", "s"))
+    // the write-side evolution path: a DataFrame append through the
+    // provider with an EXTRA column — appendFiles merges the write schema
+    // into the carried one in the SAME CAS commit, so no reader window
+    // exists where the new files are listed but their column is hidden
+    Seq((3L, "c", 0.5)).toDF("id", "s", "score")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val declared = TableManifest.readSchema(spark, dir).get
+    assert(declared.fieldNames.toSet == Set("id", "s", "score"),
+      s"append widened the DECLARED schema: ${declared.fieldNames.toSeq}")
+    val got = spark.read.format("graft-manifest").load(dir)
+      .select("id", "s", "score")
+      .as[(Long, String, Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5))))
+    // a NARROWER append cannot shrink the declared schema
+    Seq((4L, "d")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir)
+    assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSet ==
+      Set("id", "s", "score"), "narrow append must not shrink the schema")
+  }
 }
