@@ -162,7 +162,16 @@ object Compaction {
       attempt += 1
       val tracked = TableManifest.readHead(spark, dir)
       val files = tracked match {
-        case Some((_, names, _)) => resolveListed(fs, p, dir, names)
+        case Some((_, names, _)) =>
+          // hive-partitioned layouts: rewriting fragments at the table
+          // root would strip the name-carried partition values (the
+          // TableManifest.requireFlatLayout rationale) — refuse loudly
+          // instead of failing with a confusing missing-file error
+          require(!names.exists(_.contains("/")),
+            s"compactInPlace: $dir is hive-partitioned (manifest names " +
+              "carry directory segments); compaction would strip the " +
+              "name-carried partition values")
+          resolveListed(fs, p, dir, names)
         case None => dataFiles(fs, p)
       }
       val (small, large) = files.partition(_.getLen < minFileBytes)

@@ -714,6 +714,19 @@ object TableManifest {
   /** Start tracking an existing plain parquet directory: commit its current
     * data files as version 1. No-op (returns the head) if already tracked.
     *
+    * HIVE-PARTITIONED layouts are swept RECURSIVELY: subdirectories whose
+    * names aren't protocol-reserved (`_…`, `.…`) are walked and their
+    * files recorded under dir-RELATIVE names (`date=2024-01-01/part-….
+    * parquet`), so the manifest body itself carries the partition values
+    * and [[graft.sources.ManifestFileIndex]] can serve partition columns
+    * and zero-FS-call pruning from the names alone. The carried v1 schema
+    * is the merged FOOTER schema (data columns only — partition columns
+    * live in the names, appended at read). Partitioned tables are
+    * read-oriented through this protocol: the copy-on-write rewrites
+    * ([[eraseWhereEq]] family, [[mergeByKey]], [[updateWhere]],
+    * compaction) reject them loudly rather than silently flattening
+    * partition values out of rewritten rows.
+    *
     * PROTOCOL-NAMED files (`sql-<tag>-pN`, `b<id>-…`) are skipped: on an
     * untracked dir those can only be a racing protocol writer's
     * moved-but-not-yet-committed files (its own CAS will list them — and
@@ -725,13 +738,18 @@ object TableManifest {
   def init(spark: SparkSession, dir: String): Long =
     read(spark, dir).map(_._1).getOrElse {
       val (fs, p) = fsFor(spark, dir)
-      val names = fs.listStatus(p).toSeq.filter { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          !inFlightProtocolName(n)
-      }.map(_.getPath.getName)
+      def sweep(at: Path, prefix: String): Seq[String] =
+        fs.listStatus(at).toSeq.flatMap { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+          else if (s.isFile)
+            if (inFlightProtocolName(n)) Seq.empty else Seq(prefix + n)
+          else sweep(s.getPath, s"$prefix$n/")
+        }
+      val names = sweep(p, "")
       // the one merged-footer sweep this table will ever need: the schema
-      // lands in v1 and every later commit carries it forward
+      // lands in v1 and every later commit carries it forward (data
+      // columns only — a hive layout's partition columns ride the names)
       val schema =
         if (names.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true")
@@ -1118,6 +1136,21 @@ object TableManifest {
       case None => (0L, Seq.empty, "")
     }
 
+  /** The copy-on-write rewrites read victim FILES directly and write
+    * replacements at the table root — on a hive-partitioned layout that
+    * would silently strip the name-carried partition values from every
+    * rewritten row (the column lives in the directory name, not the
+    * footer). Loud refusal instead; partitioned tables are read/append
+    * surfaces through this protocol, and a partition-aware rewrite goes
+    * through [[publish]] (which re-derives a flat layout carrying the
+    * column as data). */
+  private def requireFlatLayout(files: Seq[String], op: String): Unit =
+    require(!files.exists(_.contains("/")),
+      s"$op: this table is hive-partitioned (manifest names carry " +
+        "directory segments); file-granular rewrites would strip the " +
+        "name-carried partition values — materialize the partition " +
+        "column as data via publish() first")
+
   private def filterByRanges(files: Seq[String], stats: FileStats,
       ranges: Seq[(String, Long, Long)]): Seq[String] =
     files.filter { f =>
@@ -1374,6 +1407,7 @@ object TableManifest {
     // come from the same head
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
+    requireFlatLayout(headFiles, "optimizeZOrderRange")
     val victims = filterByRanges(headFiles, parseStats(headBody), ranges)
     if (victims.isEmpty) return headV
     val clustered = Layout.clusterByMorton(
@@ -1449,6 +1483,7 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereEq: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "eraseWhereEq")
     val victims = filterByPointValues(headFiles, parseBloom(headBody),
       parseStats(headBody), column, values)
     eraseRewrite(spark, dir, headV, victims, column,
@@ -1465,6 +1500,7 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereIn: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "eraseWhereIn")
     val victims = filterByStringValues(headFiles,
       parseStringStats(headBody), column, values)
     eraseRewrite(spark, dir, headV, victims, column,
@@ -1496,6 +1532,7 @@ object TableManifest {
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
       sys.error(s"eraseWhereRange: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "eraseWhereRange")
     val victims = filterByRanges(headFiles, parseStats(headBody),
       Seq((column, lo, hi)))
     eraseRewrite(spark, dir, headV, victims, column,
@@ -1533,6 +1570,7 @@ object TableManifest {
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
       sys.error(s"replaceWhereEq: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "replaceWhereEq")
     // Delta-style schema strictness: a backfill must regenerate the
     // table's CURRENT schema — a misspelled column would otherwise
     // silently NULL the real one and leak a stray column via the union
@@ -1605,6 +1643,7 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, max, min}
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"mergeByKey: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "mergeByKey")
     val tableCols = readTable(spark, dir).columns.toSet
     val srcCols = source.columns.toSet
     require(srcCols == tableCols,
@@ -1752,6 +1791,7 @@ object TableManifest {
       s"updateWhere: duplicate assignment targets in ${sets.map(_._1)}")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"updateWhere: $dir is not manifest-tracked")
+    requireFlatLayout(headFiles, "updateWhere")
     if (headFiles.isEmpty) return headV
     val candidates =
       if (pruneRanges.isEmpty) headFiles

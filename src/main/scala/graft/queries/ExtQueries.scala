@@ -6303,6 +6303,45 @@ object ExtQueries {
       |    AS d_note
       |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q180
+  /** HIVE-PARTITIONED manifest table, oracle-pinned: orders land under
+    * `bucket=<k%4>/` directories, [[graft.ops.TableManifest.init]] sweeps
+    * them into dir-relative manifest names, and the provider serves the
+    * partition COLUMN (no footer holds it) with partition PRUNING
+    * inferred from the names alone — the filtered read plans only the
+    * two matching buckets' files, zero filesystem calls
+    * ([[graft.sources.ManifestFileIndex]]). The aggregate groups BY the
+    * partition column, so a provider that dropped it (the pre-round-13
+    * `PartitionSpec.emptySpec` behavior), mis-decoded its values, or
+    * pruned the wrong directories hash-mismatches the oracle's
+    * recomputed `k % 4`. */
+  def q180PartitionedRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q180")
+    t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 4).as("bucket"))
+      .repartition(2)
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    s.read.format("graft-manifest").load(tmp)
+      .filter(col("bucket") <= 1) // partition-pruned: only bucket=0,1 scan
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("k")).as("max_k"))
+      .orderBy("bucket")
+  }
+
+  val q180Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+      |FROM orders WHERE o_orderkey % 4 <= 1
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6471,7 +6510,8 @@ object ExtQueries {
     "q176_sql_merge" -> (q176SqlMerge _),
     "q177_sql_time_travel" -> (q177SqlTimeTravel _),
     "q178_manifest_stream_write" -> (q178ManifestStreamWrite _),
-    "q179_schema_evolution" -> (q179SchemaEvolution _))
+    "q179_schema_evolution" -> (q179SchemaEvolution _),
+    "q180_partitioned_read" -> (q180PartitionedRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6642,5 +6682,6 @@ object ExtQueries {
     "q176_sql_merge" -> q176Sql,
     "q177_sql_time_travel" -> q177Sql,
     "q178_manifest_stream_write" -> q178Sql,
-    "q179_schema_evolution" -> q179Sql)
+    "q179_schema_evolution" -> q179Sql,
+    "q180_partitioned_read" -> q180Sql)
 }

@@ -24,21 +24,38 @@ import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAw
   * `listStatus` of the table dir — a single RPC, not O(files) stats
   * ([[ManifestTableProvider]]).
   *
+  * HIVE-PARTITIONED layouts: manifest file names may carry directory
+  * segments (`date=2024-01-01/part-….parquet` — [[graft.ops.TableManifest
+  * .init]] sweeps them recursively), and the partition spec is inferred
+  * from those NAME-embedded `k=v` segments by Spark's own
+  * `inferPartitioning` over the fabricated statuses — the partition
+  * columns and their values come out of the manifest body alone, so
+  * partition PRUNING is as zero-FS-call as the rest of planning. A flat
+  * layout short-circuits to the empty spec without running inference
+  * (the hot path is unchanged). `basePath` is pinned to the table root
+  * so inference can never mis-anchor on a single-partition snapshot.
+  *
   * Everything downstream of planning is stock Spark: the index feeds the
   * normal `ParquetScanBuilder`, so split sizing (`maxPartitionBytes`),
-  * pushdown, vectorized reads, and `sizeInBytes`-driven broadcast
-  * decisions all see the same numbers a listed index would serve. */
+  * pushdown, partition pruning, vectorized reads, and
+  * `sizeInBytes`-driven broadcast decisions all see the same numbers a
+  * listed index would serve. */
 private[sources] final class ManifestFileIndex(
     spark: SparkSession, dir: Path, statuses: Array[FileStatus])
-    extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+    extends PartitioningAwareFileIndex(spark,
+      Map("basePath" -> dir.toString), None) {
 
-  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+  private lazy val spec: PartitionSpec =
+    if (statuses.forall(_.getPath.getParent == dir)) PartitionSpec.emptySpec
+    else inferPartitioning()
+
+  override def partitionSpec(): PartitionSpec = spec
 
   override val leafFiles: mutable.LinkedHashMap[Path, FileStatus] =
     mutable.LinkedHashMap(statuses.map(s => s.getPath -> s).toSeq: _*)
 
   override val leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    Map(dir -> statuses)
+    statuses.groupBy(_.getPath.getParent)
 
   override def rootPaths: Seq[Path] = Seq(dir)
 

@@ -241,10 +241,14 @@ private[sources] final class ManifestMicroBatchStream(
     * admission cap bounds each trigger's files, and this keeps each
     * trigger's planning bounded too. */
   private def batchFor(files: Seq[String],
-      fstat: Map[String, (Long, Long)]): Batch =
-    ParquetScanBuilder(spark,
-      ManifestReadTable.index(dir, files, fstat), schema, schema, options)
-      .build().toBatch
+      fstat: Map[String, (Long, Long)]): Batch = {
+    val idx = ManifestReadTable.index(dir, files, fstat)
+    // hive layouts: the stream's pinned schema contains the partition
+    // columns; the (full, data) split keeps them served from the names,
+    // never asked of the footers (the batch-scan discipline)
+    val (full, data) = ManifestReadTable.splitSchemas(schema, idx)
+    ParquetScanBuilder(spark, idx, full, data, options).build().toBatch
+  }
 
   @volatile private var planned: Batch = _
 

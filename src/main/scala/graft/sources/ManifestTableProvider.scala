@@ -218,12 +218,40 @@ private object ManifestReadTable {
         case Some((len, mtime)) =>
           new org.apache.hadoop.fs.FileStatus(len, false, 1, 0L, mtime,
             new Path(qdir, n))
+        case None if n.contains("/") =>
+          // a hive-partitioned name lives under a subdir the one-listing
+          // fallback can't see: stat it directly — O(inventory gaps),
+          // which is zero on any manifest written since the field
+          scala.util.Try(fs.getFileStatus(new Path(qdir, n))).getOrElse(
+            sys.error(s"graft-manifest: listed file $n is missing from " +
+              s"$dir (vacuumed under a live reader?)"))
         case None => listed.getOrElse(n, sys.error(
           s"graft-manifest: listed file $n is missing from $dir " +
             "(vacuumed under a live reader?)"))
       }
     }.toArray
     new ManifestFileIndex(spark, qdir, statuses)
+  }
+
+  /** Split a snapshot's served schema around the index's inferred
+    * partition columns: `full` = data columns ++ partition columns (what
+    * the table serves — SQL users must see `date` even though no footer
+    * holds it), `data` = the carried/declared schema minus partition
+    * names (what the parquet reader asks the FILES for). Handles both a
+    * carried schema that lacks the partition columns (init's footer
+    * sweep) and one that already includes them (a catalog-stored full
+    * schema handed back as the user schema). Flat layouts pass through
+    * untouched. */
+  def splitSchemas(carried: StructType, index: ManifestFileIndex)
+      : (StructType, StructType) = {
+    val pSchema = index.partitionSchema
+    if (pSchema.isEmpty) (carried, carried)
+    else {
+      val pNames = pSchema.fieldNames.map(_.toLowerCase).toSet
+      val data = StructType(
+        carried.fields.filterNot(f => pNames(f.name.toLowerCase)))
+      (StructType(data.fields ++ pSchema.fields), data)
+    }
   }
 }
 
@@ -250,32 +278,51 @@ private final class ManifestReadTable(delegate: ParquetTable,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
+
+  /** The zero-FS-call planning index for a pinned snapshot — built once
+    * per resolved table and shared by `schema()` and every scan (the
+    * index also owns the inferred partition spec of a hive layout). */
+  private lazy val trackedIndex: Option[ManifestFileIndex] =
+    tracked.map { case (names, _, fstat) =>
+      ManifestReadTable.index(dir, names, fstat)
+    }
+
   /** Serve the resolved schema DIRECTLY when the snapshot carries one:
     * `delegate.schema` would subtract the partition schema, which forces
     * the delegate's `InMemoryFileIndex` — an O(files) path discovery that
-    * made even carried-schema planning cost ~8s at 2048 files. The
-    * delegate is only consulted on pre-schema manifests and untracked
-    * dirs, where footer inference is the documented fallback. */
+    * made even carried-schema planning cost ~8s at 2048 files. On a
+    * hive-partitioned layout the name-inferred partition columns are
+    * APPENDED (no footer holds them, so the carried data schema alone
+    * would hide them from SQL users). The delegate is only consulted on
+    * pre-schema manifests and untracked dirs, where footer inference is
+    * the documented fallback. */
   override def schema(): StructType =
-    tracked.flatMap(_._2).getOrElse(delegate.schema)
+    (tracked.flatMap(_._2), trackedIndex) match {
+      case (Some(carried), Some(idx)) =>
+        ManifestReadTable.splitSchemas(carried, idx)._1
+      case _ => delegate.schema
+    }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    tracked match {
-      case Some((names, schemaOpt, fstat)) =>
+    (tracked, trackedIndex) match {
+      case (Some((_, schemaOpt, _)), Some(idx)) =>
         // zero-FS-call planning: the file index is fabricated from the
         // pinned manifest body; only inventory gaps (pre-filestat
-        // manifests) cost ONE directory listing
-        val sch = schemaOpt.getOrElse(delegate.schema)
+        // manifests) cost ONE directory listing. On a hive layout the
+        // (full, data) schema split keeps partition columns served but
+        // never asked of the footers — and partition pruning rides the
+        // index's inferred spec.
+        val carried = schemaOpt.getOrElse(delegate.schema)
+        val (full, data) = ManifestReadTable.splitSchemas(carried, idx)
         new ManifestScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet
-            .ParquetScanBuilder(SparkSession.active,
-              ManifestReadTable.index(dir, names, fstat), sch, sch, options),
+            .ParquetScanBuilder(SparkSession.active, idx, full, data, options),
           dir, tableOptions)
-      case None =>
+      case _ =>
         new ManifestScanBuilder(
           delegate.newScanBuilder(options)
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],

@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * session keeps serving every other suite (the MaintenanceSqlSpec
   * isolation pattern, hoisted for reuse). */
 object TestSessions {
+
+  /** Queries whose BODIES execute statements only the graft PARSER owns
+    * (SQL UPDATE / MERGE / time travel / ALTER ADD COLUMNS) — suites
+    * that sweep the whole query surface with the plain session must run
+    * these through [[withExtensionsActive]] instead. */
+  val parserQueries: Set[String] =
+    Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
+      "q179_schema_evolution")
+
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession
     val prevActive = SparkSession.getActiveSession

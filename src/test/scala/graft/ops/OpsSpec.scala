@@ -8,7 +8,11 @@ class OpsSpec extends SparkSpec {
 
   test("every extension query runs non-empty at sf0.001") {
     ExtQueries.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+      // SQL-statement queries need the graft parser (TestSessions doc)
+      val n =
+        if (graft.TestSessions.parserQueries(name))
+          graft.TestSessions.withExtensionsActive(s => fn(s, sfDir).count())
+        else fn(spark, sfDir).count()
       assert(n > 0, s"$name returned no rows")
     }
   }

@@ -46,9 +46,7 @@ class PlanLintSpec extends SparkSpec {
     * extensions-enabled session ([[graft.TestSessions]]) so their
     * returned plans are linted like everyone else's instead of being
     * silently skipped. */
-  private val needsGraftParser =
-    Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
-      "q179_schema_evolution")
+  private val needsGraftParser = graft.TestSessions.parserQueries
 
   private lazy val plans: Seq[(String, SparkPlan)] = {
     graft.plans.GraftExtensions.register(spark)

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.ops.TableManifest
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/** Hive-partitioned layouts through the manifest protocol: [[graft.ops
+  * .TableManifest.init]] sweeps `k=v/` subdirectories into dir-relative
+  * manifest names, and [[ManifestFileIndex]] infers the partition spec
+  * from those names alone — so the provider serves the partition COLUMN
+  * (no footer holds it) and prunes partitions with the same zero-FS-call
+  * planning as a flat table. Copy-on-write rewrites refuse partitioned
+  * layouts loudly (a root-level rewrite would strip the name-carried
+  * values). */
+class PartitionedManifestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Partitioned fixture: 9 rows over bucket ∈ {0,1,2}, one file per
+    * bucket dir. */
+  private def newTable(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("gm-part").toString
+    (1L to 9L).map(i => (i, s"r$i", i % 3))
+      .toDF("id", "s", "bucket")
+      .repartition(1)
+      .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    dir
+  }
+
+  /** Leaf data files a plan actually scans (AQE-transparent). */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    df.collect() // force planning (and AQE finalization if any)
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case _ => p +: p.children.flatMap(leaves)
+    }
+    leaves(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+      .flatMap(_.inputRDD.partitions.map(_.asInstanceOf[org.apache.spark.sql
+        .execution.datasources.v2.DataSourceRDDPartition]))
+      .flatMap(_.inputPartitions)
+      .collect { case fp: FilePartition => fp.files.toSeq }
+      .flatten.map(_.urlEncodedPath)
+  }
+
+  test("init sweeps the hive layout; the provider serves the partition column from the names") {
+    val dir = newTable()
+    val (_, names) = TableManifest.read(spark, dir).get
+    assert(names.size == 3 && names.forall(_.startsWith("bucket=")),
+      s"dir-relative partitioned names: $names")
+    val df = spark.read.format("graft-manifest").load(dir)
+    assert(df.columns.toSet == Set("id", "s", "bucket"),
+      s"partition column served: ${df.columns.toSeq}")
+    val got = df.select("id", "bucket").as[(Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == (1L to 9L).map(i => (i, i % 3)),
+      s"partition values decoded from the names: $got")
+    // the library read path serves the same shape
+    assert(TableManifest.readTable(spark, dir).columns.toSet ==
+      Set("id", "s", "bucket"))
+  }
+
+  test("partition pruning: a bucket filter scans exactly that bucket's file") {
+    val dir = newTable()
+    val all = scannedFiles(spark.read.format("graft-manifest").load(dir))
+    assert(all.size == 3, s"unfiltered scan reads all three: $all")
+    val pruned = scannedFiles(
+      spark.read.format("graft-manifest").load(dir)
+        .filter(org.apache.spark.sql.functions.col("bucket") === 1))
+    assert(pruned.size == 1 && pruned.head.contains("bucket=1"),
+      s"partition-pruned to the one matching file: $pruned")
+  }
+
+  test("streaming read of a partitioned table serves partition columns per delta") {
+    val dir = newTable()
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-part-ck").toString
+    val seen = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("id", "bucket").as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.toSeq.sorted == (1L to 9L).map(i => (i, i % 3)),
+      s"streamed rows carry their partition values: ${seen.toSeq.sorted}")
+  }
+
+  test("copy-on-write rewrites refuse the partitioned layout loudly") {
+    val dir = newTable()
+    def refused(f: => Any, op: String): Unit = {
+      val e = intercept[Exception](f)
+      assert(e.getMessage.contains("hive-partitioned"), s"$op: ${e.getMessage}")
+    }
+    refused(TableManifest.eraseWhereEq(spark, dir, "id", Seq(1L)),
+      "eraseWhereEq")
+    refused(TableManifest.mergeByKey(spark, dir, "id",
+      Seq((1L, "x", 0L)).toDF("id", "s", "bucket")), "mergeByKey")
+    refused(TableManifest.updateWhere(spark, dir,
+      Seq("s" -> org.apache.spark.sql.functions.lit("x")), None), "updateWhere")
+    refused(graft.ops.Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 20, minFileBytes = 1L << 20), "compactInPlace")
+  }
+}
