@@ -249,6 +249,29 @@ class GraftDmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CTAS creates a tracked manifest table; the whole SQL lifecycle runs on it") {
+    val dir = java.nio.file.Files.createTempDirectory("gm-dml-ctas").toString
+    val tbl = s"gdml_ctas_${java.util.UUID.randomUUID().toString.take(8)}"
+    withActive {
+      // CREATE TABLE … AS SELECT lands through the provider's batch write
+      // (scratch → move-in → CAS commit) — v1 is the SELECT's rows
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+        s"OPTIONS (path '$dir') AS " +
+        "SELECT id AS k, CAST(id * 10 AS BIGINT) AS v FROM range(1, 7)")
+      assert(TableManifest.read(spark, dir).isDefined, "CTAS committed a manifest")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head().getLong(0) == 6L)
+      // the created table is a first-class lifecycle citizen: DML,
+      // maintenance, history, time travel all address it by name
+      spark.sql(s"UPDATE $tbl SET v = 0 WHERE k = 1")
+      spark.sql(s"DELETE FROM $tbl WHERE k = 6")
+      assert(spark.sql(s"SELECT sum(v) AS s FROM $tbl").head().getLong(0) ==
+        (2L to 5L).map(_ * 10).sum)
+      assert(spark.sql(s"DESCRIBE HISTORY $tbl").count() >= 3L)
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl VERSION AS OF 1")
+        .head().getLong(0) == 6L, "the CTAS snapshot stays time-travelable")
+    }
+  }
+
   test("maintenance statements address catalog tables by NAME (and back-ticked paths)") {
     val (dir, tbl) = newTable("maint")
     withActive {
