@@ -319,6 +319,24 @@ object ScaleDrill {
         import spark.implicits._
         Seq(v).toDF("committed_v")
       },
+      // the SQL-UPDATE claim, measured (merge_cdc's statement twin): a
+      // fixed-band `UPDATE … WHERE id BETWEEN lo AND hi` must stay near-
+      // FLAT as the corpus grows — the statement's fold hands
+      // updateWhere the band as stat-unit prune ranges, and the exact
+      // victim scan confines the copy-on-write to the files holding a
+      // match. The band lives inside copy 0's id range (base ids are
+      // 0–9999 at drill SFs; later copies shift by 10^12) and is
+      // DISJOINT from merge_cdc's 1000–2000 so the two rewrite
+      // families never churn each other's slices.
+      "update_where" -> { dir: String =>
+        val t = s"$dir/events_tracked"
+        val v = graft.ops.TableManifest.updateWhere(spark, t,
+          Seq("value" -> (col("value") + lit(1.0))),
+          Some(col("event_id").between(3000L, 4000L)),
+          pruneRanges = Seq(("event_id", 3000L, 4000L)))
+        import spark.implicits._
+        Seq(v).toDF("committed_v")
+      },
       // the retention-DELETE claim, measured (the SQL `DELETE WHERE
       // ts < cutoff` path): expiring a FIXED-size old slice must stay
       // near-FLAT as the corpus grows, because committed range stats
