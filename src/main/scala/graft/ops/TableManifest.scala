@@ -637,6 +637,11 @@ object TableManifest {
       val head = readHead(spark, dir)
       val (v, prev, hwm) =
         head.map(h => (h._1, h._2, h._3)).getOrElse((0L, Seq.empty[String], None))
+      // appends land FLAT files at the table root: mixing them into a
+      // hive-partitioned listing would make partition inference see
+      // conflicting directory structures (and the appended rows would
+      // lack the name-carried partition values) — refuse loudly
+      requireFlatLayout(prev, "append")
       commitIf(spark, dir, (prev ++ names).distinct, v, hwm,
         schema = schema) match {
         case Some(v2) => return v2
@@ -1144,7 +1149,7 @@ object TableManifest {
     * surfaces through this protocol, and a partition-aware rewrite goes
     * through [[publish]] (which re-derives a flat layout carrying the
     * column as data). */
-  private def requireFlatLayout(files: Seq[String], op: String): Unit =
+  private[graft] def requireFlatLayout(files: Seq[String], op: String): Unit =
     require(!files.exists(_.contains("/")),
       s"$op: this table is hive-partitioned (manifest names carry " +
         "directory segments); file-granular rewrites would strip the " +
@@ -1711,6 +1716,57 @@ object TableManifest {
       keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
       append = Some(pinned), keepAllWhenColumnMissing = true,
       opName = "merge")
+  }
+
+  /** RESTORE the table to a prior committed version — the recovery half
+    * of time travel (read old = diagnose, restore old = fix): commit
+    * `version`'s file list, schema, stats, blooms, and filestat
+    * inventory as the NEW head. Nothing is copied or rewritten — a
+    * restore is one metadata commit, O(manifest body) at any table size
+    * — and history is preserved: the bad intermediate versions stay
+    * time-travelable (auditable) until retention prunes them, exactly
+    * Delta's RESTORE semantics. The streaming hwm is re-read WITH the
+    * head on every CAS attempt and carried through — a restore undoes
+    * table CONTENTS, not the record of which stream epochs were applied
+    * (dropping it would let a checkpoint replay double-append into the
+    * restored snapshot).
+    *
+    * Restorability is VERIFIED before the commit: any file `version`
+    * lists that the current head dropped may have been vacuumed, so
+    * those (and only those — still-listed files are live by definition)
+    * are existence-checked; a reclaimed file fails the restore loudly
+    * instead of committing a head that scans FAILED_READ. Restoring the
+    * current head is a no-op. Returns the committed version. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val body = readAtRaw(spark, dir, version).getOrElse(sys.error(
+      s"restore: no manifest v$version under $dir (retention pruned it?)"))
+    val files = parseFiles(body)
+    val schema = parseSchema(body)
+    val stats = parseStats(body)
+    val sstats = parseStringStats(body)
+    val bloom = parseBloom(body)
+    val fstat = parseFileStat(body)
+    val (fs, p) = fsFor(spark, dir)
+    var attempts = 0
+    while (attempts < 64) {
+      val (headV, headFiles, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"restore: $dir is not manifest-tracked"))
+      if (headV == version) return headV // restoring the head: no-op
+      val live = headFiles.toSet
+      val missing = files.filterNot(live)
+        .filterNot(f => fs.exists(new Path(p, f)))
+      if (missing.nonEmpty) sys.error(
+        s"restore: v$version is no longer restorable — ${missing.size} of " +
+          s"its files were vacuumed (e.g. ${missing.head}); only versions " +
+          "whose delisted files survive retention can be restored")
+      commitIf(spark, dir, files, headV, hwm, stats = stats,
+        sstats = sstats, bloom = bloom, schema = schema,
+        replaceSchema = true, fstat = fstat) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"restore lost $attempts races in $dir; giving up")
   }
 
   /** Declarative schema WIDENING — the engine primitive behind SQL

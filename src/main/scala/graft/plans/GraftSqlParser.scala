@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   VACUUM events RETAIN 0 HOURS       -- immediate reclamation (opt-in)
   *   OPTIMIZE events                    -- small-file compaction (CAS)
   *   DESCRIBE HISTORY events            -- the commit ledger
+  *   RESTORE TABLE events TO VERSION AS OF 3   -- metadata-only rollback
+  *   RESTORE TABLE events TO TIMESTAMP AS OF '2024-01-10T00:00:00Z'
   *
   *   -- row-level DML and time travel (parsed by Spark's own grammar,
   *   -- rewritten here onto the manifest primitives):
@@ -55,6 +57,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref + """\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
+  private val RestoreVersion =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ref +
+      """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+  private val RestoreTimestamp =
+    ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ref +
+      """\s+TO\s+TIMESTAMP\s+AS\s+OF\s+(?:'([^']+)'|(\d+))\s*;?\s*""").r
 
   /** A quoted path is a path; a back-ticked identifier is a path when it
     * looks like one (the `` `/wh/events` `` escape hatch), else a name;
@@ -75,6 +83,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
     case Optimize(path, tick, ident) => OptimizeCommand(ref(path, tick, ident))
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
+    case RestoreVersion(path, tick, ident, v) =>
+      RestoreCommand(ref(path, tick, ident), Some(v.toLong), None)
+    case RestoreTimestamp(path, tick, ident, ts, millis) =>
+      RestoreCommand(ref(path, tick, ident), None,
+        Some(Option(ts).getOrElse(millis)))
     case _ =>
       val plan = delegate.parsePlan(sqlText)
       SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
@@ -144,6 +157,32 @@ case class VacuumCommand(table: GraftTableRef, graceMillis: Long)
   override def run(spark: SparkSession): Seq[Row] =
     graft.ops.TableManifest.vacuum(spark, table.path(spark), graceMillis)
       .map(Row(_))
+}
+
+/** `RESTORE TABLE <t> TO VERSION AS OF n` (or `TO TIMESTAMP AS OF
+  * '<instant>'` / epoch millis) → [[graft.ops.TableManifest.restore]]:
+  * one metadata commit re-listing the prior version's files — nothing
+  * copied, history preserved, hwm carried, vacuumed versions loud.
+  * Returns the NEW head version as one row. */
+case class RestoreCommand(table: GraftTableRef, version: Option[Long],
+    timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = table.path(spark)
+    val v = version.getOrElse {
+      val ts = timestamp.get
+      val millis = ts.trim.toLongOption.getOrElse(
+        scala.util.Try(java.time.Instant.parse(ts.trim).toEpochMilli)
+          .getOrElse(sys.error("RESTORE TABLE … TO TIMESTAMP AS OF takes " +
+            s"epoch millis or an ISO-8601 instant: '$ts'")))
+      graft.ops.TableManifest.versionAsOfTime(spark, path, millis)
+        .getOrElse(sys.error(
+          s"RESTORE: no version of $path existed at $ts " +
+            "(before the first surviving commit)"))
+    }
+    Seq(Row(graft.ops.TableManifest.restore(spark, path, v)))
+  }
 }
 
 /** `OPTIMIZE <t>` → [[graft.ops.Compaction.compactInPlace]] (CAS

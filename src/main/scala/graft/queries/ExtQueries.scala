@@ -6342,6 +6342,55 @@ object ExtQueries {
       |FROM orders WHERE o_orderkey % 4 <= 1
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- Q181
+  /** `RESTORE TABLE … TO VERSION AS OF` end-to-end, oracle-pinned — the
+    * recovery half of time travel ([[graft.ops.TableManifest.restore]]:
+    * one metadata commit re-listing the prior version's files; nothing
+    * copied, history preserved, hwm carried): v1 commits every-third
+    * order, a bad UPDATE zeroes every cents value (v3), and RESTORE
+    * rolls the table back to the pre-update state. The final aggregate
+    * must equal the ORIGINAL subset — a restore that misses files,
+    * resurrects the bad rewrite, or restores the wrong version
+    * hash-mismatches — and the `bad_cents` column (read through
+    * VERSION AS OF on the bad head) pins that history SURVIVES the
+    * rollback. */
+  def q181Restore(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q181")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0)
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp) // v1
+    val tbl = s"g181_rst_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"UPDATE $tbl SET cents = 0") // v2: the incident
+      s.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 1") // v3: the rollback
+      s.sql(
+        s"""SELECT r.pri, r.n, r.cents, b.bad_cents
+           |FROM (
+           |  SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(cents) AS BIGINT) AS cents
+           |  FROM $tbl GROUP BY pri) r
+           |JOIN (
+           |  SELECT pri, CAST(SUM(cents) AS BIGINT) AS bad_cents
+           |  FROM $tbl VERSION AS OF 2 GROUP BY pri) b
+           |ON r.pri = b.pri
+           |ORDER BY r.pri""".stripMargin)
+    } finally s.sql(s"DROP TABLE $tbl")
+  }
+
+  val q181Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(0 AS BIGINT) AS bad_cents
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6511,7 +6560,8 @@ object ExtQueries {
     "q177_sql_time_travel" -> (q177SqlTimeTravel _),
     "q178_manifest_stream_write" -> (q178ManifestStreamWrite _),
     "q179_schema_evolution" -> (q179SchemaEvolution _),
-    "q180_partitioned_read" -> (q180PartitionedRead _))
+    "q180_partitioned_read" -> (q180PartitionedRead _),
+    "q181_restore" -> (q181Restore _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6683,5 +6733,6 @@ object ExtQueries {
     "q177_sql_time_travel" -> q177Sql,
     "q178_manifest_stream_write" -> q178Sql,
     "q179_schema_evolution" -> q179Sql,
-    "q180_partitioned_read" -> q180Sql)
+    "q180_partitioned_read" -> q180Sql,
+    "q181_restore" -> q181Sql)
 }

@@ -96,6 +96,12 @@ object ManifestAppendSink {
       fs.delete(scratch, true) // replayed epoch: rows already committed
       return
     }
+    // streaming appends land FLAT files at the table root (the appendFiles
+    // rationale: mixed layouts break partition inference and lose the
+    // name-carried partition values)
+    TableManifest.requireFlatLayout(
+      TableManifest.read(spark, dir).map(_._2).getOrElse(Seq.empty),
+      "streaming append")
     val tag = UUID.randomUUID().toString
     val moved =
       (if (fs.exists(scratch)) fs.listStatus(scratch).toSeq else Seq.empty)

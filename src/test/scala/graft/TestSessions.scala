@@ -17,7 +17,7 @@ object TestSessions {
     * these through [[withExtensionsActive]] instead. */
   val parserQueries: Set[String] =
     Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
-      "q179_schema_evolution")
+      "q179_schema_evolution", "q181_restore")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession

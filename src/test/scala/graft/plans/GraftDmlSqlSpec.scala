@@ -272,6 +272,39 @@ class GraftDmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE TABLE rolls back to a prior version as one metadata commit") {
+    val (dir, tbl) = newTable("restore") // v1 data, v2 analyze
+    withActive {
+      import spark.implicits._
+      // v3: a bad update; v4: a bad delete — then roll both back
+      spark.sql(s"UPDATE $tbl SET v = -1")
+      spark.sql(s"DELETE FROM $tbl WHERE k >= 4")
+      assert(rows(dir).size == 3 && rows(dir).forall(_._3 == -1L))
+      val out = spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 2").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(5L), "restore is version 5")
+      assert(rows(dir) == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+        (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L)),
+        s"contents rolled back: ${rows(dir)}")
+      // history preserved: the bad versions stay time-travelable
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl VERSION AS OF 4")
+        .head().getLong(0) == 3L, "the rolled-back state is still auditable")
+      // restoring the head is a no-op (no version burned)
+      assert(spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 5")
+        .head().getLong(0) == 5L)
+      // a vacuumed version is loud, never a broken head
+      spark.sql(s"UPDATE $tbl SET v = 0 WHERE k = 1") // v6 rewrites a file
+      spark.sql(s"VACUUM $tbl RETAIN 0 HOURS")
+      val e = intercept[Exception] {
+        spark.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 5")
+      }
+      assert(e.getMessage.contains("no longer restorable"), e.getMessage)
+      // timestamp form resolves through versionAsOfTime
+      val now = System.currentTimeMillis() + 60000
+      assert(spark.sql(s"RESTORE TABLE $tbl TO TIMESTAMP AS OF $now")
+        .head().getLong(0) == 6L, "timestamp at/after head: restore-head no-op")
+    }
+  }
+
   test("maintenance statements address catalog tables by NAME (and back-ticked paths)") {
     val (dir, tbl) = newTable("maint")
     withActive {

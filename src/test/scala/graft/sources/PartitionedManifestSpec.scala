@@ -95,6 +95,31 @@ class PartitionedManifestSpec extends SparkSpec {
       s"streamed rows carry their partition values: ${seen.toSeq.sorted}")
   }
 
+  test("appends into a partitioned table are refused loudly (flat files would break the layout)") {
+    val dir = newTable()
+    // provider append (the SQL INSERT commit path)
+    val e1 = intercept[Exception] {
+      Seq((99L, "x", 0L)).toDF("id", "s", "bucket")
+        .write.format("graft-manifest").mode("append").save(dir)
+    }
+    assert(e1.getMessage.contains("hive-partitioned"), e1.getMessage)
+    // streaming append (hwm protocol path)
+    val e2 = intercept[Exception] {
+      graft.streaming.ManifestAppendSink.applyBatch(
+        Seq((99L, "x", 0L)).toDF("id", "s", "bucket"), 1L, dir)
+    }
+    assert(e2.getMessage.contains("hive-partitioned"), e2.getMessage)
+    // the table is untouched either way
+    assert(TableManifest.readTable(spark, dir).count() == 9L)
+    // INSERT OVERWRITE (snapshot replace) remains legal: it re-derives a
+    // flat layout carrying the partition column as data
+    Seq((1L, "y", 1L)).toDF("id", "s", "bucket")
+      .write.format("graft-manifest").mode("overwrite").save(dir)
+    val got = spark.read.format("graft-manifest").load(dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "y", 1L)), s"overwrite replaced the snapshot: $got")
+  }
+
   test("copy-on-write rewrites refuse the partitioned layout loudly") {
     val dir = newTable()
     def refused(f: => Any, op: String): Unit = {
