@@ -57,6 +57,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref + """\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
+  private val Detail =
+    ("""(?is)\s*DESCRIBE\s+DETAIL\s+""" + Ref + """\s*;?\s*""").r
   private val RestoreVersion =
     ("""(?is)\s*RESTORE\s+TABLE\s+""" + Ref +
       """\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
@@ -83,6 +85,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
     case Optimize(path, tick, ident) => OptimizeCommand(ref(path, tick, ident))
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
+    case Detail(path, tick, ident) => DetailCommand(ref(path, tick, ident))
     case RestoreVersion(path, tick, ident, v) =>
       RestoreCommand(ref(path, tick, ident), Some(v.toLong), None)
     case RestoreTimestamp(path, tick, ident, ts, millis) =>
@@ -195,6 +198,43 @@ case class OptimizeCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val s = graft.ops.Compaction.compactInPlace(spark, table.path(spark))
     Seq(Row(s.filesBefore.toLong, s.filesAfter.toLong, s.bytesRewritten))
+  }
+}
+
+/** `DESCRIBE DETAIL <t>` — the at-a-glance operational snapshot Delta's
+  * statement of the same name serves, from ONE head-manifest read (plus
+  * one `_manifest/` listing for the version count): current version,
+  * live file count, total bytes (from the committed filestat inventory;
+  * NULL when a pre-inventory manifest leaves gaps — honest, never a
+  * partial sum), streaming hwm, declared column count (NULL on
+  * pre-schema manifests), whether the layout is hive-partitioned, and
+  * how many manifest versions retention currently keeps. */
+case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = true)(),
+    AttributeReference("hwm", LongType, nullable = true)(),
+    AttributeReference("n_columns", LongType, nullable = true)(),
+    AttributeReference("partitioned",
+      org.apache.spark.sql.types.BooleanType, nullable = false)(),
+    AttributeReference("n_versions", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.ops.TableManifest
+    val path = table.path(spark)
+    val (v, files, hwm) = TableManifest.readHead(spark, path).getOrElse(
+      sys.error(s"DESCRIBE DETAIL: $path is not manifest-tracked"))
+    val fstat = TableManifest.readFileStat(spark, path)
+    val size: Option[Long] =
+      if (files.forall(fstat.contains))
+        Some(files.iterator.map(f => fstat(f)._1).sum)
+      else None
+    val nCols = TableManifest.readSchema(spark, path)
+      .map(_.fields.length.toLong)
+    val nVersions = TableManifest.history(spark, path).count()
+    Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
+      nCols.orNull, files.exists(_.contains("/")), nVersions))
   }
 }
 

@@ -242,7 +242,7 @@ private[sources] final class ManifestMicroBatchStream(
     * trigger's planning bounded too. */
   private def batchFor(files: Seq[String],
       fstat: Map[String, (Long, Long)]): Batch = {
-    val idx = ManifestReadTable.index(dir, files, fstat)
+    val idx = ManifestReadTable.index(spark, dir, files, fstat)
     // hive layouts: the stream's pinned schema contains the partition
     // columns; the (full, data) split keeps them served from the names,
     // never asked of the footers (the batch-scan discipline)

@@ -172,7 +172,7 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
         m.put("mergeSchema", "true")
         new CaseInsensitiveStringMap(m)
       }
-    new ManifestReadTable(
+    new ManifestReadTable(SparkSession.active,
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
         files, schema, classOf[ParquetFileFormat]), dir, effective,
       snapshot.map { case (names, fstat) => (names, schema, fstat) })
@@ -204,9 +204,8 @@ private object ManifestReadTable {
     * stat failures) are filled by ONE `listStatus` of the table dir —
     * a single RPC, never O(files) stats — and a file truly absent from
     * both fails loudly here at planning instead of mid-scan. */
-  def index(dir: String, names: Seq[String],
+  def index(spark: SparkSession, dir: String, names: Seq[String],
       fstat: Map[String, (Long, Long)]): ManifestFileIndex = {
-    val spark = SparkSession.active
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qdir = fs.makeQualified(p)
@@ -272,7 +271,8 @@ private object ManifestReadTable {
   * ([[ManifestMicroBatchStream]]): the batch scan path still delegates to
   * the parquet builder's full pushdown surface through
   * [[ManifestScanBuilder]], so batch plans are unchanged. */
-private final class ManifestReadTable(delegate: ParquetTable,
+private final class ManifestReadTable(spark: SparkSession,
+    delegate: ParquetTable,
     dir: String, tableOptions: CaseInsensitiveStringMap,
     tracked: Option[(Seq[String], Option[StructType], Map[String, (Long, Long)])])
     extends Table with SupportsRead with SupportsWrite
@@ -284,7 +284,10 @@ private final class ManifestReadTable(delegate: ParquetTable,
     * index also owns the inferred partition spec of a hive layout). */
   private lazy val trackedIndex: Option[ManifestFileIndex] =
     tracked.map { case (names, _, fstat) =>
-      ManifestReadTable.index(dir, names, fstat)
+      // the construction-time session, NOT SparkSession.active: schema()
+      // (which forces this) is called by relation creation in library
+      // paths where no session is active on the calling thread
+      ManifestReadTable.index(spark, dir, names, fstat)
     }
 
   /** Serve the resolved schema DIRECTLY when the snapshot carries one:
@@ -709,7 +712,7 @@ private[graft] object ManifestScans {
     val opts = new CaseInsensitiveStringMap(m)
     val delegate = new ParquetTable(s"graft-manifest:$dir", spark, opts,
       names.map(f => s"$dir/$f"), Some(schema), classOf[ParquetFileFormat])
-    val table = new ManifestReadTable(delegate, dir, opts,
+    val table = new ManifestReadTable(spark, delegate, dir, opts,
       Some((names, Some(schema), fstat)))
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation

@@ -272,6 +272,38 @@ class GraftDmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE with an IN-subquery condition; MERGE from a time-travel source; path-addressed UPDATE") {
+    val (dir, tbl) = newTable("edge")
+    withActive {
+      import spark.implicits._
+      // IN-subquery WHERE: the condition Column resolves through normal
+      // analysis on the victim scan, subquery included
+      Seq(1L, 3L).toDF("kk").createOrReplaceTempView("gdml_edge_keys")
+      spark.sql(
+        s"UPDATE $tbl SET v = 0 WHERE k IN (SELECT kk FROM gdml_edge_keys)")
+      assert(rows(dir).filter(_._3 == 0L).map(_._1) == Seq(1L, 3L),
+        s"subquery-selected keys updated: ${rows(dir)}")
+      // MERGE whose SOURCE is a time-travel read of another graft table:
+      // the parser rewrites the source's VERSION AS OF before routing the
+      // MERGE, so the snapshot feeding the upsert is the pinned v-old one
+      val (srcDir, srcTbl) = newTable("edgesrc") // v1: v=10..60
+      spark.sql(s"UPDATE $srcTbl SET v = -99") // head would poison the merge
+      spark.sql(
+        s"""MERGE INTO $tbl USING
+           |  (SELECT * FROM $srcTbl VERSION AS OF 2) AS src
+           |ON $tbl.k = src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(rows(dir) == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+        (4L, "d", 40L), (5L, "e", 50L), (6L, "f", 60L)),
+        s"merge read the PINNED source snapshot, not the poisoned head: ${rows(dir)}")
+      assert(rows(srcDir).forall(_._3 == -99L), "source head untouched")
+      // path-addressed UPDATE (back-ticked absolute path, no catalog)
+      spark.sql(s"UPDATE `$dir` SET v = 7 WHERE k = 2")
+      assert(rows(dir).contains((2L, "b", 7L)))
+    }
+  }
+
   test("RESTORE TABLE rolls back to a prior version as one metadata commit") {
     val (dir, tbl) = newTable("restore") // v1 data, v2 analyze
     withActive {

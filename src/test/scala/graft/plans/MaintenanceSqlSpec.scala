@@ -75,4 +75,27 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(spark.sql("DESCRIBE FUNCTION abs").count() > 0)
     intercept[Exception] { spark.sql("VACUUM") } // malformed → Spark's parser
   }
+
+  test("DESCRIBE DETAIL serves the operational snapshot from one head read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gm-detail").toString
+    (1L to 10L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq(11L).toDF("id"), batchId = 3L, dir) // v2, hwm = 3
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(d.getString(0) == dir)
+    assert(d.getLong(1) == 2L, s"version: $d") // init + append
+    assert(d.getLong(2) == 3L, s"n_files: $d") // 2 fragments + 1 batch file
+    assert(!d.isNullAt(3) && d.getLong(3) > 0L, s"size from inventory: $d")
+    assert(d.getLong(4) == 3L, s"hwm: $d")
+    assert(d.getLong(5) == 1L, s"n_columns: $d")
+    assert(!d.getBoolean(6), s"flat layout: $d")
+    assert(d.getLong(7) == 2L, s"n_versions: $d")
+    // loud on an untracked dir
+    val plain = java.nio.file.Files.createTempDirectory("gm-detail-plain").toString
+    val e = intercept[Exception] { spark.sql(s"DESCRIBE DETAIL '$plain'") }
+    assert(e.getMessage.contains("not manifest-tracked"), e.getMessage)
+  }
 }
