@@ -1718,6 +1718,76 @@ object TableManifest {
       opName = "merge")
   }
 
+  /** Metadata-only DELETE of whole HIVE PARTITIONS — the one row-level
+    * delete a partitioned manifest table supports, and the cheapest
+    * delete a lakehouse has: when every conjunct of the condition
+    * constrains a partition COLUMN (whose value is constant per file —
+    * it lives in the directory name), dropping the matching files from
+    * the listing is row-exact with ZERO data rewritten. `preds` is the
+    * conjunction: column (case-insensitive) → matcher, where `Some(vals)`
+    * is an IN-set and `None` is `IS NOT NULL`. A file missing the
+    * segment — or carrying the hive default-partition marker — has a
+    * NULL partition value there, so eq/IN never match it (SQL
+    * semantics) and only IS-NOT-NULL conjuncts can exclude it. Integral
+    * literals compare numerically against the decoded segment (so
+    * `bucket=01` and `bucket=1` agree); strings compare after hive
+    * unescaping. CAS-committed: concurrent appends — rejected on
+    * partitioned tables anyway — and the streaming hwm survive; dropped
+    * partitions stay time-travelable until [[vacuum]] (which only
+    * reclaims top-level files, so partitioned data reclamation is
+    * manual — documented). Returns the committed version (the unchanged
+    * head when nothing matches). */
+  def dropPartitions(spark: SparkSession, dir: String,
+      preds: Seq[(String, Option[Seq[Any]])]): Long = {
+    require(preds.nonEmpty, "dropPartitions: empty condition")
+    def segmentValue(name: String, col: String): Option[String] = {
+      val segs = name.split('/').dropRight(1)
+      segs.iterator.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if k.equalsIgnoreCase(col) =>
+            val dec = org.apache.spark.sql.catalyst.catalog
+              .ExternalCatalogUtils.unescapePathName(v)
+            if (dec == "__HIVE_DEFAULT_PARTITION__") Some(null: String)
+            else Some(dec)
+          case _ => None
+        }
+      }.nextOption()
+    }
+    def matches(name: String): Boolean = preds.forall { case (col, m) =>
+      val v = segmentValue(name, col).orNull
+      m match {
+        case None => v != null // IS NOT NULL
+        case Some(_) if v == null => false // NULL never equals anything
+        case Some(vals) => vals.exists {
+          case s: String => v == s
+          case b: java.lang.Boolean => v.equalsIgnoreCase(b.toString)
+          case other => // integral: compare numerically, not textually
+            val asLong = other match {
+              case x: java.lang.Byte => Some(x.longValue)
+              case x: java.lang.Short => Some(x.longValue)
+              case x: java.lang.Integer => Some(x.longValue)
+              case x: java.lang.Long => Some(x.longValue)
+              case _ => None
+            }
+            asLong.exists(l => v.toLongOption.contains(l))
+        }
+      }
+    }
+    var attempts = 0
+    while (attempts < 64) {
+      val (headV, headFiles, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"dropPartitions: $dir is not manifest-tracked"))
+      val victims = headFiles.filter(matches)
+      if (victims.isEmpty) return headV
+      commitIf(spark, dir, headFiles.filterNot(victims.toSet), headV,
+        hwm) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"dropPartitions lost $attempts races in $dir; giving up")
+  }
+
   /** RESTORE the table to a prior committed version — the recovery half
     * of time travel (read old = diagnose, restore old = fix): commit
     * `version`'s file list, schema, stats, blooms, and filestat

@@ -6391,6 +6391,45 @@ object ExtQueries {
       |FROM orders WHERE o_orderkey % 3 = 0
       |GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q182
+  /** METADATA-ONLY partition DELETE, oracle-pinned ([[graft.ops
+    * .TableManifest.dropPartitions]]): orders land hive-partitioned by
+    * `bucket = k % 4`, and `DELETE FROM t WHERE bucket = 0` delists the
+    * whole partition's files — row-exact at FILE granularity because
+    * the partition value is constant per file, zero data rewritten (the
+    * cheapest delete a lakehouse has; at 100 TB expiring a partition is
+    * one manifest commit). The aggregate groups by the surviving
+    * name-carried partition values, so a drop that misses files,
+    * over-drops (integer-vs-text compare on `bucket=0` dirs), or
+    * resurrects rows hash-mismatches the oracle's complement. */
+  def q182PartitionDelete(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q182")
+    t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 4).as("bucket"))
+      .repartition(2)
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    val tbl = s"g182_pd_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"DELETE FROM $tbl WHERE bucket = 0")
+    finally s.sql(s"DROP TABLE $tbl")
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("bucket")
+  }
+
+  val q182Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderkey % 4 <> 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6561,7 +6600,8 @@ object ExtQueries {
     "q178_manifest_stream_write" -> (q178ManifestStreamWrite _),
     "q179_schema_evolution" -> (q179SchemaEvolution _),
     "q180_partitioned_read" -> (q180PartitionedRead _),
-    "q181_restore" -> (q181Restore _))
+    "q181_restore" -> (q181Restore _),
+    "q182_partition_delete" -> (q182PartitionDelete _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6734,5 +6774,6 @@ object ExtQueries {
     "q178_manifest_stream_write" -> q178Sql,
     "q179_schema_evolution" -> q179Sql,
     "q180_partitioned_read" -> q180Sql,
-    "q181_restore" -> q181Sql)
+    "q181_restore" -> q181Sql,
+    "q182_partition_delete" -> q182Sql)
 }

@@ -398,12 +398,47 @@ private final class ManifestReadTable(spark: SparkSession,
     val spark = SparkSession.active
     // a DELETE on an untracked dir converts it in place first (same
     // posture as INSERT): the erase primitives require a manifest
-    def tracked(): Unit =
+    def ensureTracked(): Unit =
       if (TableManifest.read(spark, dir).isEmpty) TableManifest.init(spark, dir)
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
+    // a HIVE-PARTITIONED snapshot: file-granular rewrites are off the
+    // table (they'd strip the name-carried partition values), but a
+    // condition constrained ENTIRELY to partition columns is row-exact
+    // at FILE granularity — the value is constant per file — so the
+    // delete becomes a metadata-only partition DROP (no data touched,
+    // the cheapest delete a lakehouse has). Anything touching a data
+    // column reports unsupported, so Spark rejects at planning.
+    val partitionedNames = tracked.map(_._1).filter(_.exists(_.contains("/")))
+    partitionedNames match {
+      case Some(names) if effective.nonEmpty =>
+        val partCols = names.iterator
+          .flatMap(_.split('/').dropRight(1))
+          .flatMap(_.split("=", 2) match {
+            case Array(k, _) => Some(k.toLowerCase)
+            case _ => None
+          }).toSet
+        def simple(v: Any): Boolean = integral(v).isDefined ||
+          v.isInstanceOf[String] || v.isInstanceOf[java.lang.Boolean]
+        val preds: Array[Option[(String, Option[Seq[Any]])]] = effective.map {
+          case EqualTo(c, v) if partCols(c.toLowerCase) && simple(v) =>
+            Some(c -> Some(Seq(v)))
+          case In(c, vs) if partCols(c.toLowerCase) &&
+              vs.nonEmpty && vs.forall(simple) =>
+            Some(c -> Some(vs.toSeq))
+          case org.apache.spark.sql.sources.IsNotNull(c)
+              if partCols(c.toLowerCase) => Some(c -> None)
+          case _ => None
+        }
+        return if (preds.exists(_.isEmpty)) None
+        else Some { () =>
+          TableManifest.dropPartitions(spark, dir, preds.flatten.toSeq)
+          ()
+        }
+      case _ => ()
+    }
     effective match {
       case Array() => Some { () =>
-        tracked()
+        ensureTracked()
         // truncate: keep the schema so the empty table stays readable,
         // falling back to the merged scan schema on pre-schema manifests
         val schema = TableManifest.readSchema(spark, dir).orElse(
@@ -412,27 +447,27 @@ private final class ManifestReadTable(spark: SparkSession,
         ()
       }
       case Array(EqualTo(c, v)) if integral(v).isDefined => Some { () =>
-        tracked(); TableManifest.eraseWhereEq(spark, dir, c, Seq(integral(v).get)); ()
+        ensureTracked(); TableManifest.eraseWhereEq(spark, dir, c, Seq(integral(v).get)); ()
       }
       case Array(EqualTo(c, v: String)) => Some { () =>
-        tracked(); TableManifest.eraseWhereIn(spark, dir, c, Seq(v)); ()
+        ensureTracked(); TableManifest.eraseWhereIn(spark, dir, c, Seq(v)); ()
       }
       case Array(In(c, vs)) if vs.nonEmpty && vs.forall(integral(_).isDefined) =>
         Some { () =>
-          tracked()
+          ensureTracked()
           TableManifest.eraseWhereEq(spark, dir, c, vs.map(integral(_).get).toSeq)
           ()
         }
       case Array(In(c, vs)) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         Some { () =>
-          tracked()
+          ensureTracked()
           TableManifest.eraseWhereIn(spark, dir, c,
             vs.map(_.asInstanceOf[String]).toSeq)
           ()
         }
       case ranges if ranges.nonEmpty => foldRange(ranges).map {
         case (c, lo, hi) => () => {
-          tracked()
+          ensureTracked()
           if (lo <= hi) TableManifest.eraseWhereRange(spark, dir, c, lo, hi)
           () // an empty fold (contradictory bounds) deletes nothing
         }

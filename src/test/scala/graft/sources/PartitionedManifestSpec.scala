@@ -120,6 +120,35 @@ class PartitionedManifestSpec extends SparkSpec {
     assert(got == Seq((1L, "y", 1L)), s"overwrite replaced the snapshot: $got")
   }
 
+  test("DELETE on partition columns is a metadata-only partition drop; data-column deletes are rejected") {
+    val dir = newTable()
+    val before = TableManifest.read(spark, dir).get
+    val tbl = s"gpart_del_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE bucket = 1")
+      val (v1, names1) = TableManifest.read(spark, dir).get
+      assert(v1 == before._1 + 1, "one metadata commit")
+      assert(names1.toSet == before._2.filterNot(_.startsWith("bucket=1")).toSet,
+        s"exactly the bucket=1 file delisted: $names1")
+      assert(spark.read.format("graft-manifest").load(dir)
+        .filter(org.apache.spark.sql.functions.col("bucket") === 1).count() == 0L)
+      assert(TableManifest.readTable(spark, dir).count() == 6L,
+        "other buckets' rows untouched")
+      // the dropped partition stays time-travelable
+      assert(TableManifest.readTableAt(spark, dir, before._1).count() == 9L)
+      // a condition touching a DATA column cannot be file-exact: rejected
+      // at planning while the layout is still partitioned
+      val e = intercept[Exception] { spark.sql(s"DELETE FROM $tbl WHERE id = 1") }
+      assert(e.getMessage != null)
+      assert(TableManifest.readTable(spark, dir).count() == 6L,
+        "the rejected delete touched nothing")
+      // IN-set drop
+      spark.sql(s"DELETE FROM $tbl WHERE bucket IN (0, 2)")
+      assert(TableManifest.readTable(spark, dir).count() == 0L)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("copy-on-write rewrites refuse the partitioned layout loudly") {
     val dir = newTable()
     def refused(f: => Any, op: String): Unit = {
