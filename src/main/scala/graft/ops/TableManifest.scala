@@ -1733,10 +1733,11 @@ object TableManifest {
     * `bucket=01` and `bucket=1` agree); strings compare after hive
     * unescaping. CAS-committed: concurrent appends — rejected on
     * partitioned tables anyway — and the streaming hwm survive; dropped
-    * partitions stay time-travelable until [[vacuum]] (which only
-    * reclaims top-level files, so partitioned data reclamation is
-    * manual — documented). Returns the committed version (the unchanged
-    * head when nothing matches). */
+    * partitions stay time-travelable until [[vacuum]], which walks
+    * partition subdirectories too (delisted nested files reclaim under
+    * the same grace rules, and fully-emptied partition dirs are pruned).
+    * Returns the committed version (the unchanged head when nothing
+    * matches). */
   def dropPartitions(spark: SparkSession, dir: String,
       preds: Seq[(String, Option[Seq[Any]])]): Long = {
     require(preds.nonEmpty, "dropPartitions: empty condition")
@@ -2210,9 +2211,28 @@ object TableManifest {
         case SqlInsertFile() => s.getModificationTime > inflightFloor
         case _ => false
       }
-    val deadDataCandidates = entries.filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".") && !live(n) &&
+    // data candidates carry their dir-RELATIVE name (hive-partitioned
+    // layouts list files under k=v/ subdirs — the manifest's name space),
+    // so a partition dropped by [[dropPartitions]] is reclaimable like
+    // any delisted top-level file. Protocol dirs (_manifest, _publish_tmp,
+    // .inflight-*) are excluded by the same leading-_/. rule init uses.
+    def nestedData(d: org.apache.hadoop.fs.FileStatus,
+        prefix: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      fs.listStatus(d.getPath).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isFile) Seq((prefix + n) -> s)
+        else nestedData(s, s"$prefix$n/")
+      }
+    val dataEntries: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      entries.collect { case s if s.isFile => s.getPath.getName -> s } ++
+        entries.filter { s =>
+          val n = s.getPath.getName
+          s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        }.flatMap(d => nestedData(d, d.getPath.getName + "/"))
+    val deadDataCandidates = dataEntries.filter { case (rel, s) =>
+      val base = s.getPath.getName
+      !base.startsWith("_") && !base.startsWith(".") && !live(rel) &&
         !inflightAppend(s) && s.getModificationTime <= cutoff
     }
     val mdir = new Path(p, ManifestDir)
@@ -2238,12 +2258,12 @@ object TableManifest {
     // candidate may have been delisted recently by a pruned lister —
     // its delist time is unknowable, so keep it until the surviving
     // history spans the grace (or an explicit graceMillis=0 pass).
-    val deadFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+    val deadFiles: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       if (graceMillis <= 0L || deadDataCandidates.isEmpty) {
-        deadScratch ++ deadDataCandidates
+        deadScratch.map(s => s.getPath.getName -> s) ++ deadDataCandidates
       } else {
         val derefFresh = scala.collection.mutable.Set.empty[String]
-        var pending = deadDataCandidates.map(_.getPath.getName).toSet
+        var pending = deadDataCandidates.map(_._1).toSet
         var newerMtime = Long.MaxValue // mtime of version v+1 in the loop
         var lastVersion = Long.MaxValue
         val desc = mstats
@@ -2266,8 +2286,8 @@ object TableManifest {
         }
         if (pending.nonEmpty && newerMtime > cutoff && lastVersion > 1L)
           derefFresh ++= pending // listers pruned: delist time unknowable
-        deadScratch ++
-          deadDataCandidates.filterNot(s => derefFresh(s.getPath.getName))
+        deadScratch.map(s => s.getPath.getName -> s) ++
+          deadDataCandidates.filterNot { case (rel, _) => derefFresh(rel) }
       }
     // grace applies here too: an in-flight commit's .tmp- (the non-local
     // createExclusive path) must not be deleted between write and rename
@@ -2293,9 +2313,27 @@ object TableManifest {
       .map(_.map(_._2).max).minOption.getOrElse(Long.MaxValue)
     val deadManifests = manifests
       .filter { case (v, _) => v < keepFrom && v < minConsumer }.map(_._2)
-    (deadFiles ++ deadTmps ++ deadMarkers ++ deadManifests).map { s =>
-      fs.delete(s.getPath, true)
-      s.getPath.getName
+    val deleted =
+      (deadFiles ++ (deadTmps ++ deadMarkers ++ deadManifests)
+        .map(s => s.getPath.getName -> s)).map { case (rel, s) =>
+        fs.delete(s.getPath, true)
+        rel
+      }
+    // partition dirs emptied by the reclamation above are dropped too
+    // (bottom-up), so a fully-vacuumed dropped partition leaves no husk
+    if (deleted.exists(_.contains("/"))) {
+      def pruneEmpty(d: Path): Boolean = { // true = d was deleted
+        val children = fs.listStatus(d).toSeq
+        val dirsGone = children.filter(_.isDirectory)
+          .map(c => pruneEmpty(c.getPath)).forall(identity)
+        if (dirsGone && children.forall(_.isDirectory)) fs.delete(d, false)
+        else false
+      }
+      entries.filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(s => if (fs.exists(s.getPath)) pruneEmpty(s.getPath))
     }
+    deleted
   }
 }

@@ -146,6 +146,14 @@ class PartitionedManifestSpec extends SparkSpec {
       // IN-set drop
       spark.sql(s"DELETE FROM $tbl WHERE bucket IN (0, 2)")
       assert(TableManifest.readTable(spark, dir).count() == 0L)
+      // vacuum reclaims the delisted nested files and prunes the emptied
+      // partition dirs (time travel to the pre-drop versions is gone —
+      // the documented trade)
+      val deleted = TableManifest.vacuum(spark, dir)
+      assert(deleted.count(_.contains("/")) == 3, s"deleted: $deleted")
+      val husks = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      assert(husks.isEmpty, s"emptied partition dirs pruned: ${husks.toSeq}")
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
