@@ -1739,27 +1739,14 @@ object TableManifest {
     * Returns the committed version (the unchanged head when nothing
     * matches). */
   def dropPartitions(spark: SparkSession, dir: String,
-      preds: Seq[(String, Option[Seq[Any]])]): Long = {
+      preds: Seq[(String, PartitionPredicate)]): Long = {
     require(preds.nonEmpty, "dropPartitions: empty condition")
-    def segmentValue(name: String, col: String): Option[String] = {
-      val segs = name.split('/').dropRight(1)
-      segs.iterator.flatMap { seg =>
-        seg.split("=", 2) match {
-          case Array(k, v) if k.equalsIgnoreCase(col) =>
-            val dec = org.apache.spark.sql.catalyst.catalog
-              .ExternalCatalogUtils.unescapePathName(v)
-            if (dec == "__HIVE_DEFAULT_PARTITION__") Some(null: String)
-            else Some(dec)
-          case _ => None
-        }
-      }.nextOption()
-    }
     def matches(name: String): Boolean = preds.forall { case (col, m) =>
-      val v = segmentValue(name, col).orNull
+      val v = partitionSegmentValue(name, col).orNull
       m match {
-        case None => v != null // IS NOT NULL
-        case Some(_) if v == null => false // NULL never equals anything
-        case Some(vals) => vals.exists {
+        case PartitionPredicate.NotNull => v != null
+        case _ if v == null => false // NULL never compares true
+        case PartitionPredicate.In(vals) => vals.exists {
           case s: String => v == s
           case b: java.lang.Boolean => v.equalsIgnoreCase(b.toString)
           case other => // integral: compare numerically, not textually
@@ -1772,6 +1759,17 @@ object TableManifest {
             }
             asLong.exists(l => v.toLongOption.contains(l))
         }
+        case PartitionPredicate.Bounds(lo, hi) =>
+          // numeric segments compare as longs, date segments as epoch
+          // days (the units the provider's literal fold emits); an
+          // unparseable segment under a RANGE predicate is loud — rows
+          // that should be deleted must never silently survive (the
+          // provider pre-checks parseability, so SQL can't reach this)
+          val u = partitionSegmentUnits(v).getOrElse(sys.error(
+            s"dropPartitions: partition value '$v' of `$col` is neither " +
+              "numeric nor an ISO date; a range condition cannot be " +
+              "evaluated exactly"))
+          lo <= u && u <= hi
       }
     }
     var attempts = 0
@@ -1788,6 +1786,40 @@ object TableManifest {
     }
     sys.error(s"dropPartitions lost $attempts races in $dir; giving up")
   }
+
+  /** One conjunct of a [[dropPartitions]] condition. `Bounds` is in the
+    * provider fold's canonical units: the raw value for integral
+    * partition values, epoch DAYS for date-typed ones. */
+  sealed trait PartitionPredicate
+  object PartitionPredicate {
+    case object NotNull extends PartitionPredicate
+    final case class In(values: Seq[Any]) extends PartitionPredicate
+    final case class Bounds(lo: Long, hi: Long) extends PartitionPredicate
+  }
+
+  /** The hive-decoded value of `col`'s `k=v` segment in a dir-relative
+    * manifest name: None when the name carries no such segment, Some(null)
+    * for the hive default-partition marker (a NULL partition value). */
+  private[graft] def partitionSegmentValue(name: String,
+      col: String): Option[String] = {
+    val segs = name.split('/').dropRight(1)
+    segs.iterator.flatMap { seg =>
+      seg.split("=", 2) match {
+        case Array(k, v) if k.equalsIgnoreCase(col) =>
+          val dec = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(v)
+          if (dec == "__HIVE_DEFAULT_PARTITION__") Some(null: String)
+          else Some(dec)
+        case _ => None
+      }
+    }.nextOption()
+  }
+
+  /** A partition segment value in range-comparable units: the long value
+    * for numeric segments, epoch days for ISO `yyyy-MM-dd` dates. */
+  private[graft] def partitionSegmentUnits(v: String): Option[Long] =
+    v.toLongOption.orElse(
+      scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption)
 
   /** RESTORE the table to a prior committed version — the recovery half
     * of time travel (read old = diagnose, restore old = fix): commit

@@ -6430,6 +6430,46 @@ object ExtQueries {
       |FROM orders WHERE o_orderkey % 4 <> 0
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- Q183
+  /** DATE-RANGED partition retention, oracle-pinned — the statement a
+    * partitioned 100 TB event table ages out with: events land
+    * hive-partitioned by `d = DATE(ts)`, and `DELETE FROM t WHERE d <
+    * DATE '2024-01-10'` drops every expired DAY as a metadata-only
+    * commit ([[graft.ops.TableManifest.dropPartitions]] with a Bounds
+    * predicate in epoch-day units; every live segment is parseability-
+    * checked at planning, so the range can never silently under-
+    * delete). Zero data rewritten — expiring a day is one manifest
+    * commit however big the day was. The oracle is the complement
+    * filter; a units bug (day-vs-millis), an off-by-one at the bound,
+    * or a text compare on the date segments hash-mismatches. */
+  def q183PartitionRetention(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q183")
+    t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts").cast("date").as("d"))
+      .repartition(2)
+      .write.partitionBy("d").mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp)
+    val tbl = s"g183_ret_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"DELETE FROM $tbl WHERE d < DATE '2024-01-10'")
+    finally s.sql(s"DROP TABLE $tbl")
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
+      .orderBy("event_type")
+  }
+
+  val q183Sql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+      |  MIN(CAST(ts AS DATE)) AS d_lo, MAX(CAST(ts AS DATE)) AS d_hi
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6601,7 +6641,8 @@ object ExtQueries {
     "q179_schema_evolution" -> (q179SchemaEvolution _),
     "q180_partitioned_read" -> (q180PartitionedRead _),
     "q181_restore" -> (q181Restore _),
-    "q182_partition_delete" -> (q182PartitionDelete _))
+    "q182_partition_delete" -> (q182PartitionDelete _),
+    "q183_partition_retention" -> (q183PartitionRetention _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6775,5 +6816,6 @@ object ExtQueries {
     "q179_schema_evolution" -> q179Sql,
     "q180_partitioned_read" -> q180Sql,
     "q181_restore" -> q181Sql,
-    "q182_partition_delete" -> q182Sql)
+    "q182_partition_delete" -> q182Sql,
+    "q183_partition_retention" -> q183Sql)
 }

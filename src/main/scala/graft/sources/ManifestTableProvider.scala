@@ -411,6 +411,7 @@ private final class ManifestReadTable(spark: SparkSession,
     val partitionedNames = tracked.map(_._1).filter(_.exists(_.contains("/")))
     partitionedNames match {
       case Some(names) if effective.nonEmpty =>
+        import TableManifest.{PartitionPredicate => PP}
         val partCols = names.iterator
           .flatMap(_.split('/').dropRight(1))
           .flatMap(_.split("=", 2) match {
@@ -419,14 +420,49 @@ private final class ManifestReadTable(spark: SparkSession,
           }).toSet
         def simple(v: Any): Boolean = integral(v).isDefined ||
           v.isInstanceOf[String] || v.isInstanceOf[java.lang.Boolean]
-        val preds: Array[Option[(String, Option[Seq[Any]])]] = effective.map {
+        // range literals in the SAME units the segment parser emits:
+        // raw integrals, or epoch DAYS for date literals (a date-ranged
+        // retention drop — `WHERE day < DATE '…'` — is the statement a
+        // partitioned event table ages out with)
+        def units(v: Any): Option[Long] = v match {
+          case d: java.sql.Date =>
+            Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .fromJavaDate(d).toLong)
+          case l: java.time.LocalDate => Some(l.toEpochDay)
+          case other => integral(other)
+        }
+        // a RANGE predicate is only row-exact when EVERY live segment
+        // value of that column is comparable in those units (numeric or
+        // ISO date) — an unparseable value would silently under-delete,
+        // so the whole statement is rejected at planning instead
+        def rangeable(c: String): Boolean = names.forall { n =>
+          TableManifest.partitionSegmentValue(n, c) match {
+            case Some(null) | None => true // NULL never matches: exact
+            case Some(v) => TableManifest.partitionSegmentUnits(v).isDefined
+          }
+        }
+        def bounds(c: String, lo: Long, hi: Long): Option[(String, PP)] =
+          if (rangeable(c)) Some(c -> PP.Bounds(lo, hi)) else None
+        val preds: Array[Option[(String, PP)]] = effective.map {
           case EqualTo(c, v) if partCols(c.toLowerCase) && simple(v) =>
-            Some(c -> Some(Seq(v)))
+            Some(c -> PP.In(Seq(v)))
           case In(c, vs) if partCols(c.toLowerCase) &&
               vs.nonEmpty && vs.forall(simple) =>
-            Some(c -> Some(vs.toSeq))
+            Some(c -> PP.In(vs.toSeq))
           case org.apache.spark.sql.sources.IsNotNull(c)
-              if partCols(c.toLowerCase) => Some(c -> None)
+              if partCols(c.toLowerCase) => Some(c -> PP.NotNull)
+          case LessThan(c, v) if partCols(c.toLowerCase) &&
+              units(v).exists(_ > Long.MinValue) =>
+            bounds(c, Long.MinValue, units(v).get - 1)
+          case LessThanOrEqual(c, v) if partCols(c.toLowerCase) &&
+              units(v).isDefined =>
+            bounds(c, Long.MinValue, units(v).get)
+          case GreaterThan(c, v) if partCols(c.toLowerCase) &&
+              units(v).exists(_ < Long.MaxValue) =>
+            bounds(c, units(v).get + 1, Long.MaxValue)
+          case GreaterThanOrEqual(c, v) if partCols(c.toLowerCase) &&
+              units(v).isDefined =>
+            bounds(c, units(v).get, Long.MaxValue)
           case _ => None
         }
         return if (preds.exists(_.isEmpty)) None

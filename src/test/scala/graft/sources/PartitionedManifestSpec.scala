@@ -157,6 +157,46 @@ class PartitionedManifestSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("range drops: date retention works in epoch-day units; unparseable segments reject ranges") {
+    import org.apache.spark.sql.functions.{col => c, to_date}
+    // date-partitioned fixture: 3 days, one file each
+    val dir = java.nio.file.Files.createTempDirectory("gm-part-date").toString
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03"))
+      .toDF("id", "ds").select(c("id"), to_date(c("ds")).as("d"))
+      .repartition(1).write.partitionBy("d").mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val tbl = s"gpart_rng_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+    try {
+      val v0 = TableManifest.read(spark, dir).get._1
+      spark.sql(s"DELETE FROM $tbl WHERE d < DATE '2024-01-03'")
+      assert(TableManifest.read(spark, dir).get._1 == v0 + 1,
+        "one metadata commit expired both old days")
+      assert(TableManifest.readTable(spark, dir)
+        .select("id").as[Long].collect().toSeq == Seq(3L))
+    } finally spark.sql(s"DROP TABLE $tbl")
+
+    // STRING-partitioned table: eq drops fine, but a numeric range over
+    // unparseable segments must be rejected at planning (under-deleting
+    // silently is the failure mode the parseability check exists for)
+    val dir2 = java.nio.file.Files.createTempDirectory("gm-part-str").toString
+    Seq((1L, "eu"), (2L, "us")).toDF("id", "region")
+      .repartition(1).write.partitionBy("region").mode("overwrite").parquet(dir2)
+    TableManifest.init(spark, dir2)
+    val tbl2 = s"gpart_str_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE $tbl2 USING `graft-manifest` OPTIONS (path '$dir2')")
+    try {
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM $tbl2 WHERE region < 'f'")
+      }
+      assert(TableManifest.readTable(spark, dir2).count() == 2L,
+        "rejected range touched nothing")
+      spark.sql(s"DELETE FROM $tbl2 WHERE region = 'eu'")
+      assert(TableManifest.readTable(spark, dir2)
+        .select("id").as[Long].collect().toSeq == Seq(2L))
+    } finally spark.sql(s"DROP TABLE $tbl2")
+  }
+
   test("copy-on-write rewrites refuse the partitioned layout loudly") {
     val dir = newTable()
     def refused(f: => Any, op: String): Unit = {
