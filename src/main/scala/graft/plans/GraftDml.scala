@@ -280,6 +280,29 @@ private[plans] object GraftDmlRewrite {
     GraftAddColumnsCommand(path, catalogIdent, fields)
   }
 
+  /** `SHOW PARTITIONS t` on a graft-manifest table → the DISTINCT
+    * hive-segment prefixes of the head manifest's names (Spark's own
+    * row convention, `k=v[/k2=v2]`), straight from one head read — no
+    * filesystem listing. Stock Spark would reject the statement (the
+    * catalog entry declares no partitioning); non-graft targets return
+    * unchanged so every other SHOW PARTITIONS keeps Spark's behavior.
+    * A bare-partition-spec filter (`SHOW PARTITIONS t PARTITION (…)`)
+    * is not supported — rejected with the plain form named. */
+  def rewriteShowPartitions(spark: SparkSession,
+      sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions)
+      : LogicalPlan = {
+    val target = sp.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case _ => return sp
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return sp)
+    if (sp.pattern.nonEmpty) sys.error(
+      "graft-manifest SHOW PARTITIONS supports the plain form only " +
+        "(no PARTITION (…) filter)")
+    GraftShowPartitionsCommand(path)
+  }
+
   /** `SELECT … FROM t VERSION AS OF v / TIMESTAMP AS OF ts` on a
     * graft-manifest table → the SAME pinned snapshot the reader options
     * hit ([[graft.sources.ManifestTableProvider]] resolves version,
@@ -388,6 +411,25 @@ case class GraftAddColumnsCommand(path: String,
       spark.sessionState.catalog.alterTableDataSchema(ident, widened)
     }
     Seq(Row(v))
+  }
+}
+
+/** `SHOW PARTITIONS` on a graft-manifest table: the live partitions are
+  * the distinct directory prefixes of the head manifest's file names —
+  * metadata the table already carries, served without touching the
+  * filesystem. Sorted for determinism (Spark's own convention). */
+case class GraftShowPartitionsCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partition",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (_, files) = TableManifest.read(spark, path).getOrElse(
+      sys.error(s"SHOW PARTITIONS: $path is not manifest-tracked"))
+    files.flatMap { n =>
+      val segs = n.split('/').dropRight(1)
+      if (segs.isEmpty) None else Some(segs.mkString("/"))
+    }.distinct.sorted.map(Row(_))
   }
 }
 

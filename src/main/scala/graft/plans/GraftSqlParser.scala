@@ -104,6 +104,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case m: MergeIntoTable => GraftDmlRewrite.rewriteMerge(spark, m)
             case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
               GraftDmlRewrite.rewriteAddColumns(spark, ac)
+            case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
+              GraftDmlRewrite.rewriteShowPartitions(spark, sp)
             case other => other
           }
       }

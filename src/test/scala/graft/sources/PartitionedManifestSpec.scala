@@ -157,6 +157,26 @@ class PartitionedManifestSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("SHOW PARTITIONS serves the live partitions from the head manifest") {
+    val dir = newTable()
+    graft.TestSessions.withExtensionsActive { s =>
+      val tbl = s"gpart_show_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      try {
+        assert(s.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
+          .toSeq == Seq("bucket=0", "bucket=1", "bucket=2"))
+        s.sql(s"DELETE FROM $tbl WHERE bucket = 1")
+        assert(s.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
+          .toSeq == Seq("bucket=0", "bucket=2"),
+          "a dropped partition vanishes from the listing")
+        // a flat table lists no partitions; non-graft tables keep Spark's
+        // own behavior (its parser error names the real problem)
+        val e = intercept[Exception] { s.sql("SHOW PARTITIONS gpart_nosuch") }
+        assert(!e.getMessage.contains("graft"), e.getMessage)
+      } finally s.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("range drops: date retention works in epoch-day units; unparseable segments reject ranges") {
     import org.apache.spark.sql.functions.{col => c, to_date}
     // date-partitioned fixture: 3 days, one file each
