@@ -826,6 +826,62 @@ object TableManifest {
     sys.error(s"manifest publish lost $attempts races in $dir; giving up")
   }
 
+  /** [[publish]] for HIVE-PARTITIONED layouts — the sanctioned way a
+    * partitioned tracked table comes to exist (and is re-snapshotted)
+    * without an out-of-band directory: `df` is written
+    * `partitionBy(partitionCols)` into a hidden temp dir, every leaf
+    * file moves in UNDER its `k=v/` subpath with a snapshot-unique name,
+    * and the commit lists the dir-RELATIVE names — so the manifest body
+    * itself carries the partition values and every partitioned-read
+    * feature (served partition columns, zero-FS-call pruning,
+    * [[dropPartitions]], SHOW PARTITIONS) applies from the first
+    * version. The carried schema is the DATA columns only (partition
+    * values live in the names, appended at read — the [[init]]
+    * convention). Old snapshots' files stay on disk for time travel
+    * until [[vacuum]] (which walks the shared partition dirs). Returns
+    * the committed version. */
+  def publishPartitioned(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "publishPartitioned: no partition columns")
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"publishPartitioned: `$c` is not a column of the DataFrame"))
+    val spark = df.sparkSession
+    val (fs, p) = fsFor(spark, dir)
+    fs.mkdirs(p)
+    val tmp = new Path(p, s"_publish_tmp-${UUID.randomUUID()}")
+    df.write.partitionBy(partitionCols: _*).mode("overwrite")
+      .parquet(tmp.toString)
+    val snap = UUID.randomUUID().toString.take(8)
+    def moveIn(at: Path, rel: String): Seq[String] =
+      fs.listStatus(at).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
+        else if (s.isDirectory) moveIn(s.getPath, s"$rel$n/")
+        else {
+          val name = s"${rel}snap-$snap-$n"
+          if (rel.nonEmpty) fs.mkdirs(new Path(p, rel))
+          require(fs.rename(s.getPath, new Path(p, name)),
+            s"rename failed: ${s.getPath}")
+          Seq(name)
+        }
+      }
+    val moved = moveIn(tmp, "")
+    fs.delete(tmp, true)
+    val dataSchema = StructType(df.schema.fields.filterNot(f =>
+      partitionCols.exists(_.equalsIgnoreCase(f.name))))
+    var attempts = 0
+    while (attempts < 64) {
+      val head = readHead(spark, dir)
+      commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
+        head.flatMap(_._3),
+        schema = Some(dataSchema), replaceSchema = true) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"partitioned publish lost $attempts races in $dir; giving up")
+  }
+
   /** Files of one SPECIFIC committed version, if its manifest still
     * exists. Old manifests are kept by [[vacuum]] (only data files the
     * HEAD no longer lists are reclaimed), so history survives until a

@@ -157,6 +157,35 @@ class PartitionedManifestSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("publishPartitioned creates and re-snapshots a partitioned tracked table") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("gm-part-pub").toString
+    val v1 = TableManifest.publishPartitioned(
+      (1L to 6L).map(i => (i, i % 2)).toDF("id", "side"), dir, Seq("side"))
+    assert(v1 == 1L)
+    val (_, names1) = TableManifest.read(spark, dir).get
+    assert(names1.forall(_.startsWith("side=")), s"partitioned names: $names1")
+    // data schema carried WITHOUT the partition column; reads append it
+    assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSeq == Seq("id"))
+    val df = spark.read.format("graft-manifest").load(dir)
+    assert(df.columns.toSet == Set("id", "side"))
+    assert(df.filter(c("side") === 1).select("id").as[Long]
+      .collect().toSeq.sorted == Seq(1L, 3L, 5L))
+    // re-publish replaces the snapshot; the old one stays time-travelable
+    val v2 = TableManifest.publishPartitioned(
+      Seq((9L, 0L)).toDF("id", "side"), dir, Seq("side"))
+    assert(v2 == 2L)
+    assert(TableManifest.readTable(spark, dir).select("id").as[Long]
+      .collect().toSeq == Seq(9L))
+    assert(TableManifest.readTableAt(spark, dir, 1L).count() == 6L)
+    // drop + vacuum complete the lifecycle on a published layout too
+    TableManifest.dropPartitions(spark, dir,
+      Seq("side" -> TableManifest.PartitionPredicate.In(Seq(0L))))
+    assert(TableManifest.readTable(spark, dir).count() == 0L)
+    val deleted = TableManifest.vacuum(spark, dir)
+    assert(deleted.count(_.contains("/")) >= 4, s"deleted: $deleted")
+  }
+
   test("SHOW PARTITIONS serves the live partitions from the head manifest") {
     val dir = newTable()
     graft.TestSessions.withExtensionsActive { s =>
