@@ -379,9 +379,13 @@ case class GraftUpdateCommand(path: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    // an UPDATE on an untracked dir converts it in place first — the
+    // same posture as INSERT/DELETE (the provider's ensureTracked rule)
+    if (TableManifest.read(spark, path).isEmpty) TableManifest.init(spark, path)
     Seq(Row(TableManifest.updateWhere(spark, path, sets, condition,
       pruneRanges)))
+  }
 }
 
 /** SQL `ALTER TABLE … ADD COLUMNS` on a graft-manifest table →
@@ -443,7 +447,11 @@ case class GraftMergeCommand(path: String, keyCol: String,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    // a MERGE into an untracked dir converts it in place first — the
+    // same posture as INSERT/DELETE (the provider's ensureTracked rule)
+    if (TableManifest.read(spark, path).isEmpty) TableManifest.init(spark, path)
     Seq(Row(TableManifest.mergeByKey(spark, path, keyCol,
       DatasetBridge.ofRows(spark, source))))
+  }
 }

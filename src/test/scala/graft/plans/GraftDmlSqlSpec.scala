@@ -304,6 +304,34 @@ class GraftDmlSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE and MERGE convert an untracked dir in place first (the INSERT/DELETE posture)") {
+    withActive {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("gm-dml-untracked").toString
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+        .write.mode("overwrite").parquet(dir) // plain dir, no manifest
+      val tbl = s"gdml_unt_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      try {
+        spark.sql(s"UPDATE $tbl SET v = v + 1 WHERE k = 1")
+        assert(TableManifest.read(spark, dir).isDefined,
+          "the UPDATE converted the dir in place")
+        assert(rows(dir) == Seq((1L, "a", 11L), (2L, "b", 20L)))
+        // a fresh untracked dir through MERGE converts too
+        val dir2 = java.nio.file.Files.createTempDirectory("gm-dml-unt2").toString
+        Seq((1L, "a", 10L)).toDF("k", "s", "v")
+          .write.mode("overwrite").parquet(dir2)
+        Seq((1L, "A", 100L), (2L, "n", 2L)).toDF("k", "s", "v")
+          .createOrReplaceTempView("gdml_unt_src")
+        spark.sql(
+          s"""MERGE INTO `$dir2` USING gdml_unt_src ON `$dir2`.k = gdml_unt_src.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(rows(dir2) == Seq((1L, "A", 100L), (2L, "n", 2L)))
+      } finally spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("RESTORE TABLE rolls back to a prior version as one metadata commit") {
     val (dir, tbl) = newTable("restore") // v1 data, v2 analyze
     withActive {
