@@ -220,6 +220,67 @@ object Compaction {
     Stats(0, 0, 0L) // unreachable
   }
 
+  /** PARTITION-scoped compaction of a hive-partitioned MANIFEST table —
+    * the maintenance a partitioned tracked table gets, since whole-table
+    * [[compactInPlace]] refuses the layout (a root-level rewrite would
+    * strip the name-carried partition values). The under-sized files of
+    * exactly ONE partition (`partition` = its `k=v[/k2=v2]` prefix) are
+    * rewritten into ~`targetBytes` outputs that move back in UNDER THE
+    * SAME partition directory, so the name-carried values are preserved
+    * and every other partition stays byte-identical. Reader-atomic via
+    * the victim-splice CAS ([[TableManifest]] internals — concurrent
+    * maintenance commits retry, never blend); file lengths come from the
+    * committed filestat inventory (no per-file stats; gaps stat
+    * directly, O(partition)). Replaced fragments await
+    * [[TableManifest.vacuum]], which walks partition dirs. */
+  def compactPartition(
+      spark: SparkSession,
+      dir: String,
+      partition: String,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = 64L << 20): Stats = {
+    val prefix = partition.stripSuffix("/") + "/"
+    val (fs, p) = fsFor(spark, dir)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val (headV, names, hwm) = TableManifest.readHead(spark, dir)
+        .getOrElse(sys.error(s"compactPartition: $dir is not manifest-tracked"))
+      val inPart = names.filter(_.startsWith(prefix))
+      if (inPart.isEmpty) return Stats(0, 0, 0L)
+      val inventory = TableManifest.readFileStat(spark, dir)
+      def len(n: String): Long = inventory.get(n).map(_._1).getOrElse(
+        fs.getFileStatus(new Path(p, n)).getLen)
+      val (small, large) = inPart.partition(len(_) < minFileBytes)
+      if (small.size < 2) return Stats(inPart.size, inPart.size, 0L)
+      val smallBytes = small.map(len).sum
+      val targetFiles =
+        math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+      val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
+      val rewritten = spark.read.option("mergeSchema", "true")
+        .parquet(small.map(n => s"$dir/$n"): _*)
+      rewritten.coalesce(targetFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val moved = dataFiles(fs, tmp).map { s =>
+        val name = s"${prefix}compacted-${s.getPath.getName}"
+        require(fs.rename(s.getPath, new Path(p, name)),
+          s"rename failed: ${s.getPath}")
+        name
+      }
+      fs.delete(tmp, true)
+      val smallSet = small.toSet
+      TableManifest.commitIf(spark, dir,
+        names.filterNot(smallSet) ++ moved,
+        expectedHead = headV, hwm = hwm) match {
+        case Some(_) =>
+          return Stats(inPart.size, large.size + moved.size, smallBytes)
+        case None => // lost the race: discard outputs, retry on fresh head
+          moved.foreach(m => fs.delete(new Path(p, m), false))
+      }
+    }
+    sys.error(s"compactPartition of $dir:$partition lost 5 manifest races")
+  }
+
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
     * safe variant when the path-level swap can be done by the caller.
     * Sizes the output from ALL bytes under `src` (any nesting depth), so a

@@ -54,7 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + Ref +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
-  private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref + """\s*;?\s*""").r
+  private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref +
+    """(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Detail =
@@ -83,7 +84,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumCommand(ref(path, tick, ident),
         Option(hours).map(_.toLong * 3600L * 1000L)
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
-    case Optimize(path, tick, ident) => OptimizeCommand(ref(path, tick, ident))
+    case Optimize(path, tick, ident, part) =>
+      OptimizeCommand(ref(path, tick, ident),
+        Option(part).map(_.replace("'", "").replace("\"", "").trim))
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
     case Detail(path, tick, ident) => DetailCommand(ref(path, tick, ident))
     case RestoreVersion(path, tick, ident, v) =>
@@ -191,14 +194,22 @@ case class RestoreCommand(table: GraftTableRef, version: Option[Long],
 }
 
 /** `OPTIMIZE <t>` → [[graft.ops.Compaction.compactInPlace]] (CAS
-  * manifest swap on tracked dirs). One stats row. */
-case class OptimizeCommand(table: GraftTableRef) extends LeafRunnableCommand {
+  * manifest swap on tracked dirs); `OPTIMIZE <t> PARTITION (k=v)` →
+  * [[graft.ops.Compaction.compactPartition]] — the partition-scoped form
+  * a hive-partitioned table requires (whole-table compaction refuses the
+  * layout). One stats row. */
+case class OptimizeCommand(table: GraftTableRef,
+    partition: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)(),
     AttributeReference("bytes_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val s = graft.ops.Compaction.compactInPlace(spark, table.path(spark))
+    val path = table.path(spark)
+    val s = partition match {
+      case Some(part) => graft.ops.Compaction.compactPartition(spark, path, part)
+      case None => graft.ops.Compaction.compactInPlace(spark, path)
+    }
     Seq(Row(s.filesBefore.toLong, s.filesAfter.toLong, s.bytesRewritten))
   }
 }

@@ -186,6 +186,38 @@ class PartitionedManifestSpec extends SparkSpec {
     assert(deleted.count(_.contains("/")) >= 4, s"deleted: $deleted")
   }
 
+  test("OPTIMIZE PARTITION compacts one partition's fragments in place, others byte-identical") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = java.nio.file.Files.createTempDirectory("gm-part-opt").toString
+    // 4 fragments per bucket (repartition(4) spreads each key range)
+    TableManifest.publishPartitioned(
+      (1L to 40L).map(i => (i, i % 2)).toDF("id", "side").repartition(4),
+      dir, Seq("side"))
+    val before = TableManifest.read(spark, dir).get._2
+    assert(before.count(_.startsWith("side=0/")) == 4, s"fixture: $before")
+    graft.TestSessions.withExtensionsActive { s =>
+      val tbl = s"gpart_opt_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      try {
+        // whole-table OPTIMIZE refuses the layout...
+        val e = intercept[Exception] { s.sql(s"OPTIMIZE $tbl") }
+        assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+        // ...the partition-scoped form compacts exactly side=0
+        val opt = s.sql(s"OPTIMIZE $tbl PARTITION (side=0)").head()
+        assert(opt.getLong(0) == 4L && opt.getLong(1) == 1L, s"stats: $opt")
+      } finally s.sql(s"DROP TABLE $tbl")
+    }
+    val after = TableManifest.read(spark, dir).get._2
+    assert(after.count(_.startsWith("side=0/")) == 1, s"compacted: $after")
+    assert(after.filter(_.startsWith("side=1/")).toSet ==
+      before.filter(_.startsWith("side=1/")).toSet,
+      "the other partition is byte-identical (same names)")
+    // contents and partition values survive the rewrite
+    val got = spark.read.format("graft-manifest").load(dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == (1L to 40L).map(i => (i, i % 2)).sorted, s"rows: ${got.size}")
+  }
+
   test("SHOW PARTITIONS serves the live partitions from the head manifest") {
     val dir = newTable()
     graft.TestSessions.withExtensionsActive { s =>
