@@ -246,8 +246,26 @@ object Compaction {
       attempt += 1
       val (headV, names, hwm) = TableManifest.readHead(spark, dir)
         .getOrElse(sys.error(s"compactPartition: $dir is not manifest-tracked"))
+      require(names.exists(_.contains("/")),
+        s"compactPartition: $dir is not hive-partitioned; use compactInPlace")
       val inPart = names.filter(_.startsWith(prefix))
-      if (inPart.isEmpty) return Stats(0, 0, 0L)
+      // a vanished partition is LOUD on the first attempt (typo'd spec,
+      // silent no-op is the failure mode); on a retry it means a racing
+      // drop won the CAS — nothing left to compact is then a clean no-op
+      if (inPart.isEmpty) {
+        if (attempt == 1) sys.error(
+          s"compactPartition: no files under partition '$partition' in $dir")
+        return Stats(0, 0, 0L)
+      }
+      // the spec must address a LEAF partition: compacting a prefix of a
+      // deeper layout would read the sub-partition files WITHOUT their
+      // name-carried values and rewrite them one level up — permanently
+      // stripping those values (the requireFlatLayout corruption class)
+      val deeper = inPart.filter(_.stripPrefix(prefix).contains("/"))
+      require(deeper.isEmpty,
+        s"compactPartition: '$partition' is not a leaf partition " +
+          s"(deeper levels exist, e.g. ${deeper.head}); address the full " +
+          "k=v/.../kN=vN prefix")
       val inventory = TableManifest.readFileStat(spark, dir)
       def len(n: String): Long = inventory.get(n).map(_._1).getOrElse(
         fs.getFileStatus(new Path(p, n)).getLen)

@@ -8,7 +8,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   1. [[Compaction.compactInPlace]] — coalesce small-file fragments
   *      (reader-atomic CAS commit on tracked dirs; right-sized files stay
-  *      byte-identical);
+  *      byte-identical); hive-partitioned tables run
+  *      [[Compaction.compactPartition]] per LEAF partition instead;
   *   2. [[TableManifest.analyze]] — refresh footer min/max (long + safe
   *      string) data-skipping stats for the given columns;
   *   3. [[TableManifest.analyzeBloom]] — refresh the point-lookup bloom
@@ -44,8 +45,21 @@ object Maintenance {
       minFileBytes: Long = 64L << 20,
       graceMillis: Long = 60L * 60 * 1000,
       retainManifests: Int = 64): Report = {
-    val compaction = Compaction.compactInPlace(
-      spark, dir, targetBytes, minFileBytes)
+    // hive-partitioned tables compact PER LEAF PARTITION (whole-table
+    // compaction refuses the layout — a root rewrite would strip the
+    // name-carried values); flat tables keep the one-call form
+    val compaction = {
+      val names = TableManifest.read(spark, dir).map(_._2).getOrElse(Seq.empty)
+      val leaves = names.filter(_.contains("/"))
+        .map(n => n.substring(0, n.lastIndexOf('/'))).distinct
+      if (leaves.isEmpty)
+        Compaction.compactInPlace(spark, dir, targetBytes, minFileBytes)
+      else leaves
+        .map(Compaction.compactPartition(spark, dir, _, targetBytes, minFileBytes))
+        .foldLeft(Compaction.Stats(0, 0, 0L))((a, b) => Compaction.Stats(
+          a.filesBefore + b.filesBefore, a.filesAfter + b.filesAfter,
+          a.bytesRewritten + b.bytesRewritten))
+    }
     val statsVersion =
       if (statsCols.nonEmpty) Some(TableManifest.analyze(spark, dir, statsCols))
       else None

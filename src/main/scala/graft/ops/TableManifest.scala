@@ -676,6 +676,16 @@ object TableManifest {
     sys.error(s"manifest replace lost $attempts races in $dir; giving up")
   }
 
+  /** How many manifest versions retention currently keeps — ONE
+    * `_manifest/` name listing, no body reads (what DESCRIBE DETAIL
+    * needs; [[history]] reads every body and is for the ledger). */
+  def versionCount(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = fsFor(spark, dir)
+    val mdir = new Path(p, ManifestDir)
+    if (!fs.exists(mdir)) 0L
+    else fs.listStatus(mdir).count(s => versionOf(s.getPath.getName).isDefined).toLong
+  }
+
   /** The table's commit HISTORY as a DataFrame — one row per surviving
     * manifest version: `(version, n_files, bytes, n_added, n_removed,
     * hwm)`, `bytes` from the committed filestat inventory (null when the
@@ -1805,15 +1815,22 @@ object TableManifest {
         case PartitionPredicate.In(vals) => vals.exists {
           case s: String => v == s
           case b: java.lang.Boolean => v.equalsIgnoreCase(b.toString)
-          case other => // integral: compare numerically, not textually
-            val asLong = other match {
-              case x: java.lang.Byte => Some(x.longValue)
-              case x: java.lang.Short => Some(x.longValue)
-              case x: java.lang.Integer => Some(x.longValue)
-              case x: java.lang.Long => Some(x.longValue)
-              case _ => None
-            }
-            asLong.exists(l => v.toLongOption.contains(l))
+          // dates compare in epoch days against the parsed segment (the
+          // Bounds convention) — `WHERE day = DATE '…'` is the natural
+          // single-day drop
+          case d: java.sql.Date =>
+            scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+              .contains(d.toLocalDate.toEpochDay)
+          case d: java.time.LocalDate =>
+            scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+              .contains(d.toEpochDay)
+          case x: java.lang.Byte => v.toLongOption.contains(x.longValue)
+          case x: java.lang.Short => v.toLongOption.contains(x.longValue)
+          case x: java.lang.Integer => v.toLongOption.contains(x.longValue)
+          case x: java.lang.Long => v.toLongOption.contains(x.longValue)
+          case other => sys.error( // silent no-match = silent under-delete
+            s"dropPartitions: unsupported comparison value type " +
+              s"${other.getClass.getName} for `$col`")
         }
         case PartitionPredicate.Bounds(lo, hi) =>
           // numeric segments compare as longs, date segments as epoch
@@ -2012,8 +2029,25 @@ object TableManifest {
       if (pruneRanges.isEmpty) headFiles
       else filterByRanges(headFiles, parseStats(headBody), pruneRanges)
     if (candidates.isEmpty) return headV
-    val scan = spark.read.option("mergeSchema", "true")
+    // DECLARED columns no data file physically carries yet (an [[
+    // addColumns]] widen is metadata-only) must still be SETtable and
+    // filterable — append them as typed NULLs to both the victim scan
+    // and the rewrite input, so `ALTER TABLE ADD COLUMNS` composes with
+    // `UPDATE` in the same session the two features shipped in
+    val declared = readSchema(spark, dir)
+    def withDeclared(df: DataFrame): DataFrame = declared match {
+      case None => df
+      case Some(sch) =>
+        val have = df.columns.map(_.toLowerCase).toSet
+        sch.fields.filterNot(f => have(f.name.toLowerCase)).foldLeft(df) {
+          (d, f) =>
+            d.withColumn(f.name,
+              org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+        }
+    }
+    val raw = spark.read.option("mergeSchema", "true")
       .parquet(candidates.map(f => s"$dir/$f"): _*)
+    val scan = withDeclared(raw)
     // assignment targets must exist: a typo would otherwise silently
     // append a NEW column to the rewritten files instead of updating
     sets.foreach { case (c, _) =>
@@ -2024,8 +2058,12 @@ object TableManifest {
     val victims: Seq[String] = cond match {
       case None => candidates
       case Some(p) =>
-        val paths = scan.filter(p)
-          .select(col("_metadata.file_path").as("__path"))
+        // `_metadata` is selected on the RAW file relation (hidden-column
+        // resolution does not reach through the declared-null projection)
+        val paths = withDeclared(
+            raw.select(col("_metadata.file_path").as("__path"), col("*")))
+          .filter(p)
+          .select("__path")
           .distinct().collect().map(_.getString(0)).toSeq
         // URI-style paths map back to manifest names by suffix (names are
         // unique within the table dir, so "/name" is unambiguous)
@@ -2036,8 +2074,8 @@ object TableManifest {
         }
     }
     if (victims.isEmpty) return headV
-    val read = spark.read.option("mergeSchema", "true")
-      .parquet(victims.map(f => s"$dir/$f"): _*)
+    val read = withDeclared(spark.read.option("mergeSchema", "true")
+      .parquet(victims.map(f => s"$dir/$f"): _*))
     val setMap = sets.toMap
     // one pass, no union: every output column is either untouched or a
     // row-conditional swap computed from the OLD row, so all assignments
@@ -2304,20 +2342,27 @@ object TableManifest {
     // so a partition dropped by [[dropPartitions]] is reclaimable like
     // any delisted top-level file. Protocol dirs (_manifest, _publish_tmp,
     // .inflight-*) are excluded by the same leading-_/. rule init uses.
+    // the nested sweep descends ONLY hive-shaped `k=v` directories: a
+    // user subdir the protocol never wrote (backups, exports) must never
+    // become reclaimable collateral — partition dirs always carry '='
+    def hivePartDir(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = s.getPath.getName
+      s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        n.contains("=")
+    }
     def nestedData(d: org.apache.hadoop.fs.FileStatus,
         prefix: String): Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       fs.listStatus(d.getPath).toSeq.flatMap { s =>
         val n = s.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Seq.empty
-        else if (s.isFile) Seq((prefix + n) -> s)
-        else nestedData(s, s"$prefix$n/")
+        if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+          Seq((prefix + n) -> s)
+        else if (hivePartDir(s)) nestedData(s, s"$prefix$n/")
+        else Seq.empty
       }
     val dataEntries: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       entries.collect { case s if s.isFile => s.getPath.getName -> s } ++
-        entries.filter { s =>
-          val n = s.getPath.getName
-          s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-        }.flatMap(d => nestedData(d, d.getPath.getName + "/"))
+        entries.filter(hivePartDir)
+          .flatMap(d => nestedData(d, d.getPath.getName + "/"))
     val deadDataCandidates = dataEntries.filter { case (rel, s) =>
       val base = s.getPath.getName
       !base.startsWith("_") && !base.startsWith(".") && !live(rel) &&
@@ -2417,10 +2462,8 @@ object TableManifest {
         if (dirsGone && children.forall(_.isDirectory)) fs.delete(d, false)
         else false
       }
-      entries.filter { s =>
-        val n = s.getPath.getName
-        s.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-      }.foreach(s => if (fs.exists(s.getPath)) pruneEmpty(s.getPath))
+      entries.filter(hivePartDir)
+        .foreach(s => if (fs.exists(s.getPath)) pruneEmpty(s.getPath))
     }
     deleted
   }

@@ -36,6 +36,9 @@ private[plans] object GraftTables {
     val ident = parts match {
       case Seq(t) => TableIdentifier(t)
       case Seq(db, t) => TableIdentifier(t, Some(db))
+      // the fully-qualified form Spark itself prints in error messages
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
       case _ => return None
     }
     // temp views shadow tables in SQL resolution; going through the

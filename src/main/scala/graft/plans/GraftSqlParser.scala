@@ -86,7 +86,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
     case Optimize(path, tick, ident, part) =>
       OptimizeCommand(ref(path, tick, ident),
-        Option(part).map(_.replace("'", "").replace("\"", "").trim))
+        Option(part).map(GraftSqlParser.normalizePartitionSpec))
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
     case Detail(path, tick, ident) => DetailCommand(ref(path, tick, ident))
     case RestoreVersion(path, tick, ident, v) =>
@@ -143,6 +143,24 @@ object GraftSqlParser {
     * code callers state what they mean; the SQL surface is where a
     * conservative default earns its keep). */
   val DefaultVacuumGraceMillis: Long = 168L * 3600L * 1000L
+
+  /** `PARTITION (k = 1, k2 = 'a b')` → the directory form `k=1/k2=a b`
+    * with hive path-escaping on values — so the SQL spelling matches the
+    * manifest names however the operator spaces or quotes it, and a
+    * non-matching spec fails LOUDLY in compactPartition instead of
+    * silently compacting nothing. */
+  def normalizePartitionSpec(raw: String): String =
+    raw.split(',').map { seg0 =>
+      val seg = seg0.trim
+      seg.split("=", 2) match {
+        case Array(k, v) =>
+          val value = v.trim.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\"")
+          k.trim + "=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(value)
+        case _ => seg
+      }
+    }.mkString("/")
 }
 
 /** A maintenance statement's table reference: a literal path, or a
@@ -245,7 +263,7 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
       else None
     val nCols = TableManifest.readSchema(spark, path)
       .map(_.fields.length.toLong)
-    val nVersions = TableManifest.history(spark, path).count()
+    val nVersions = TableManifest.versionCount(spark, path)
     Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
       nCols.orNull, files.exists(_.contains("/")), nVersions))
   }

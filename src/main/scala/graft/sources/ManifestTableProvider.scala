@@ -419,7 +419,8 @@ private final class ManifestReadTable(spark: SparkSession,
             case _ => None
           }).toSet
         def simple(v: Any): Boolean = integral(v).isDefined ||
-          v.isInstanceOf[String] || v.isInstanceOf[java.lang.Boolean]
+          v.isInstanceOf[String] || v.isInstanceOf[java.lang.Boolean] ||
+          v.isInstanceOf[java.sql.Date] || v.isInstanceOf[java.time.LocalDate]
         // range literals in the SAME units the segment parser emits:
         // raw integrals, or epoch DAYS for date literals (a date-ranged
         // retention drop — `WHERE day < DATE '…'` — is the statement a

@@ -96,12 +96,6 @@ object ManifestAppendSink {
       fs.delete(scratch, true) // replayed epoch: rows already committed
       return
     }
-    // streaming appends land FLAT files at the table root (the appendFiles
-    // rationale: mixed layouts break partition inference and lose the
-    // name-carried partition values)
-    TableManifest.requireFlatLayout(
-      TableManifest.read(spark, dir).map(_._2).getOrElse(Seq.empty),
-      "streaming append")
     val tag = UUID.randomUUID().toString
     val moved =
       (if (fs.exists(scratch)) fs.listStatus(scratch).toSeq else Seq.empty)
@@ -126,6 +120,11 @@ object ManifestAppendSink {
         case Some((v, files, _)) => (v, files)
         case None => (0L, Seq.empty[String])
       }
+      // streaming appends land FLAT files at the table root (the
+      // appendFiles rationale: mixed layouts break partition inference
+      // and lose name-carried values) — checked INSIDE the CAS loop so a
+      // racing partitioned publish/restore can't slip past a stale check
+      TableManifest.requireFlatLayout(prev, "streaming append")
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
         expectedHead = headV, hwm = Some(batchId), stats = stats,
         sstats = sstats, schema = schema).isDefined

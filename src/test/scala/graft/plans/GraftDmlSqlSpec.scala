@@ -12,42 +12,13 @@ import graft.ops.TableManifest
   * planning and non-graft targets left to Spark's stock behavior. */
 class GraftDmlSqlSpec extends AnyFunSuite {
 
-  // extensions-enabled session, isolated from the shared SparkSpec one
-  // (same pattern as MaintenanceSqlSpec)
-  private lazy val spark: SparkSession = {
-    val prevDefault = SparkSession.getDefaultSession
-    val prevActive = SparkSession.getActiveSession
-    SparkSession.clearDefaultSession()
-    SparkSession.clearActiveSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-dml-sql-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    prevDefault match {
-      case Some(d) => SparkSession.setDefaultSession(d)
-      case None => SparkSession.clearDefaultSession()
-    }
-    prevActive match {
-      case Some(a) => SparkSession.setActiveSession(a)
-      case None => SparkSession.clearActiveSession()
-    }
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  // the SHARED extensions-enabled session (graft.TestSessions — the
+  // isolation pattern lives there once; duplicating the builder here
+  // built a second extensions session per test JVM for nothing)
+  private lazy val spark: SparkSession = graft.TestSessions.withExtensions
 
-  private def withActive[A](f: => A): A = {
-    val prev = SparkSession.getActiveSession
-    SparkSession.setActiveSession(spark)
-    try f
-    finally prev match {
-      case Some(p) => SparkSession.setActiveSession(p)
-      case None => SparkSession.clearActiveSession()
-    }
-  }
+  private def withActive[A](f: => A): A =
+    graft.TestSessions.withExtensionsActive(_ => f)
 
   /** Tracked 2-file table (keys 1..3 | 4..6), analyzed on k, registered
     * as a catalog table. Returns (dir, tableName). */
@@ -228,6 +199,13 @@ class GraftDmlSqlSpec extends AnyFunSuite {
       val got = spark.sql(
         s"SELECT count(*) AS n, count(note) AS n_note FROM $tbl").head()
       assert(got.getLong(0) == 7L && got.getLong(1) == 1L, s"got: $got")
+      // the two features COMPOSE: an UPDATE can SET (and filter on) a
+      // declared column no data file physically carries yet
+      spark.sql(s"UPDATE $tbl SET note = 'bk' WHERE note IS NULL")
+      val got2 = spark.sql(
+        s"SELECT count(note) AS n_note, count(DISTINCT note) AS d FROM $tbl")
+        .head()
+      assert(got2.getLong(0) == 7L && got2.getLong(1) == 2L, s"got2: $got2")
     }
   }
 
@@ -301,6 +279,9 @@ class GraftDmlSqlSpec extends AnyFunSuite {
       // path-addressed UPDATE (back-ticked absolute path, no catalog)
       spark.sql(s"UPDATE `$dir` SET v = 7 WHERE k = 2")
       assert(rows(dir).contains((2L, "b", 7L)))
+      // the fully-qualified 3-part form resolves too
+      spark.sql(s"UPDATE spark_catalog.default.$tbl SET v = 8 WHERE k = 2")
+      assert(rows(dir).contains((2L, "b", 8L)))
     }
   }
 

@@ -203,8 +203,15 @@ class PartitionedManifestSpec extends SparkSpec {
         val e = intercept[Exception] { s.sql(s"OPTIMIZE $tbl") }
         assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
         // ...the partition-scoped form compacts exactly side=0
-        val opt = s.sql(s"OPTIMIZE $tbl PARTITION (side=0)").head()
+        // spec spelled with spaces, normalized to the directory form
+        val opt = s.sql(s"OPTIMIZE $tbl PARTITION (side = 0)").head()
         assert(opt.getLong(0) == 4L && opt.getLong(1) == 1L, s"stats: $opt")
+        // a partition that does not exist is LOUD, never a silent no-op
+        val e2 = intercept[Exception] {
+          s.sql(s"OPTIMIZE $tbl PARTITION (side=9)")
+        }
+        assert(e2.getMessage.contains("no files under partition"),
+          e2.getMessage)
       } finally s.sql(s"DROP TABLE $tbl")
     }
     val after = TableManifest.read(spark, dir).get._2
@@ -255,6 +262,9 @@ class PartitionedManifestSpec extends SparkSpec {
         "one metadata commit expired both old days")
       assert(TableManifest.readTable(spark, dir)
         .select("id").as[Long].collect().toSeq == Seq(3L))
+      // a single-day EQUALITY drop works too (epoch-day compare, not text)
+      spark.sql(s"DELETE FROM $tbl WHERE d = DATE '2024-01-03'")
+      assert(TableManifest.readTable(spark, dir).count() == 0L)
     } finally spark.sql(s"DROP TABLE $tbl")
 
     // STRING-partitioned table: eq drops fine, but a numeric range over
@@ -276,6 +286,45 @@ class PartitionedManifestSpec extends SparkSpec {
       assert(TableManifest.readTable(spark, dir2)
         .select("id").as[Long].collect().toSeq == Seq(2L))
     } finally spark.sql(s"DROP TABLE $tbl2")
+  }
+
+  test("compactPartition refuses a non-leaf spec on multi-level layouts") {
+    val dir = java.nio.file.Files.createTempDirectory("gm-part-deep").toString
+    TableManifest.publishPartitioned(
+      (1L to 8L).map(i => (i, i % 2, i % 2)).toDF("id", "a", "b"),
+      dir, Seq("a", "b"))
+    // compacting the a=1 PREFIX would read b-level files without their
+    // name-carried b values and rewrite them one level up — refused
+    val e = intercept[Exception] {
+      graft.ops.Compaction.compactPartition(spark, dir, "a=1",
+        targetBytes = 1L << 20, minFileBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("not a leaf partition"), e.getMessage)
+    // the full leaf spec works
+    val stats = graft.ops.Compaction.compactPartition(spark, dir, "a=1/b=1",
+      targetBytes = 1L << 20, minFileBytes = 1L << 20)
+    assert(stats.bytesRewritten >= 0L)
+    assert(TableManifest.readTable(spark, dir).count() == 8L)
+  }
+
+  test("Maintenance.run compacts per leaf partition; vacuum never touches user subdirs") {
+    val dir = java.nio.file.Files.createTempDirectory("gm-part-maint").toString
+    TableManifest.publishPartitioned(
+      (1L to 40L).map(i => (i, i % 2)).toDF("id", "side").repartition(4),
+      dir, Seq("side"))
+    // a user subdir the protocol never wrote, holding non-hive data
+    val userDir = new java.io.File(dir, "backup")
+    assert(userDir.mkdir())
+    Seq(99L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/backup/snapshot")
+    val report = graft.ops.Maintenance.run(spark, dir,
+      targetBytes = 1L << 20, minFileBytes = 1L << 20, graceMillis = 0L)
+    assert(report.compaction.filesBefore == 8 &&
+      report.compaction.filesAfter == 2, s"per-leaf compaction: $report")
+    assert(TableManifest.readTable(spark, dir).count() == 40L)
+    // the user subdir survived the partition-aware vacuum untouched
+    assert(spark.read.parquet(s"$dir/backup/snapshot").count() == 1L,
+      "vacuum must never reclaim non-hive user subdirectories")
   }
 
   test("copy-on-write rewrites refuse the partitioned layout loudly") {
