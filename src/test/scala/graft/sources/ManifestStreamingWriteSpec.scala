@@ -113,4 +113,29 @@ class ManifestStreamingWriteSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("streaming write into a hive-partitioned table fails loudly, table untouched") {
+    val dir = tmpDir("gm-swrite-part")
+    (1L to 6L).map(i => (i, i % 2)).toDF("k", "side")
+      .repartition(1).write.partitionBy("side").mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    val v0 = TableManifest.read(spark, dir).get._1
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    in.addData((9L, 0L))
+    val e = intercept[Exception] {
+      val q = in.toDF().toDF("k", "side")
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", tmpDir("gm-swrite-part-ck"))
+        .trigger(Trigger.AvailableNow())
+        .start(dir)
+      q.awaitTermination(60000)
+    }
+    // the flat-layout check fires inside the epoch commit's CAS loop —
+    // the stream dies loudly and the partitioned listing never mixes in
+    // a flat file
+    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
+    assert(TableManifest.read(spark, dir).get._1 == v0, "no version burned")
+    assert(TableManifest.readTable(spark, dir).count() == 6L)
+  }
 }
