@@ -70,6 +70,23 @@ object Bench {
     val sentinelRuns = (1 to 3).map(_ => sentinel())
     val sentinelThisRun = sentinelRuns.min
 
+    // Query bodies materialize corpus-sized scratch via cachedView (lazy
+    // localCheckpoint) and intentionally never unpersist it — per-query
+    // lifetime is right for Verify, but over a 183-query suite the block
+    // manager accumulates EVERY prior query's scratch, and the
+    // end-of-suite retry pass then runs at maximum residue (round-13
+    // driver artifact: q58 3x its builder-clean time at CPU load 1.00 —
+    // memory pressure the CPU sentinel cannot see). Dropping all
+    // persistent RDDs + cached plans between queries keeps each timing
+    // at the same (empty) block-manager state the builder's filtered
+    // runs measure. Blocking, so the release lands before the next
+    // timing window opens rather than racing it.
+    def clearScratch(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+
     // History: per-query timings (and sentinel minima) of the last 3
     // same-SF runs feed the noise-flag threshold, and the sentinel
     // baseline feeds load normalization.
@@ -116,6 +133,7 @@ object Bench {
     }
     val firstPass = chosen.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Option[Double] = {
+        clearScratch() // every timing starts from an empty block manager
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -151,6 +169,7 @@ object Bench {
       var retries = 0
       var lastLoad = 1.0
       while (ok && best >= 0 && over(name, bestAdj) && retries < 3) {
+        clearScratch() // retries must not pay for prior queries' residue
         val load = math.max(1.0, sentinel() / sentinelBase)
         lastLoad = load
         val t0 = System.nanoTime()
