@@ -299,6 +299,33 @@ object Compaction {
     sys.error(s"compactPartition of $dir:$partition lost 5 manifest races")
   }
 
+  /** Layout-dispatching OPTIMIZE of one tracked table — what SQL
+    * `OPTIMIZE t` (no PARTITION clause) runs: a flat table goes through
+    * [[compactInPlace]]; a hive-partitioned one compacts EVERY leaf
+    * partition via [[compactPartition]] (leaves enumerated from the head
+    * manifest NAMES — no filesystem listing), stats summed. Leaves stay
+    * independent commits: each is its own CAS splice, so a failure (or a
+    * lost race) affects one partition and every untouched leaf remains
+    * byte-identical — the per-leaf isolation a 100 TB maintenance window
+    * needs, at the cost of one manifest version per compacted leaf. */
+  def compactTracked(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = 128L << 20,
+      minFileBytes: Long = 64L << 20): Stats =
+    TableManifest.read(spark, dir) match {
+      case Some((_, names)) if names.exists(_.contains("/")) =>
+        val leaves = names.filter(_.contains("/"))
+          .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
+        leaves.foldLeft(Stats(0, 0, 0L)) { (acc, leaf) =>
+          val s = compactPartition(spark, dir, leaf, targetBytes, minFileBytes)
+          Stats(acc.filesBefore + s.filesBefore,
+            acc.filesAfter + s.filesAfter,
+            acc.bytesRewritten + s.bytesRewritten)
+        }
+      case _ => compactInPlace(spark, dir, targetBytes, minFileBytes)
+    }
+
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
     * safe variant when the path-level swap can be done by the caller.
     * Sizes the output from ALL bytes under `src` (any nesting depth), so a

@@ -125,6 +125,16 @@ object TableManifest {
 
   private val HwmRe = """"hwm":(-?[0-9]+)""".r
   private val StatsVRe = """"statsv":([0-9]+)""".r
+  /** Commit wall-clock millis recorded IN the manifest body ([[commitIf]]
+    * stamps it). `TIMESTAMP AS OF`, [[history]], and DESCRIBE DETAIL read
+    * this instead of the manifest FILE's mtime: filesystem mtimes have
+    * 1-second granularity on many local filesystems and unreliable
+    * semantics on object stores, while the recorded stamp is exact and
+    * survives a manifest copy/backup-restore. Absent on manifests written
+    * before the field (readers fall back to mtime). */
+  private val CtimeRe = """"ctime":([0-9]+)""".r
+  private def parseCtime(json: String): Option[Long] =
+    CtimeRe.findFirstMatchIn(json).map(_.group(1).toLong)
   /** The streaming append sink's batch-stamped data-file names
     * (`b<batchId>-<uuid>-pN.parquet`) — [[vacuum]] uses the id to protect
     * not-yet-committed batches. */
@@ -213,6 +223,33 @@ object TableManifest {
   private val ColBloomRe = """"([^"]+)":"([0-9a-f]*)"""".r
 
   private val SchemaB64Re = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
+
+  /** The DECLARED partition schema of a hive-partitioned table — the
+    * name-inferred partition columns (with their inferred types) persisted
+    * at [[init]]/[[publishPartitioned]] and carried through every later
+    * commit, so the table's served schema is STABLE: a retention delete
+    * that drops the last file of every partition (or an empty partitioned
+    * table between an erase-all and its next append) must not silently
+    * stop serving `bucket`/`d` and break queries that reference them.
+    * Live reads still type partition VALUES from the live names (the
+    * values and their types must agree with what the scan serves); this
+    * field is the fallback when no name is left to infer from, and the
+    * writers' source of the partition column CHAIN. Absent on flat
+    * tables and manifests written before the field. */
+  private val PartSchemaB64Re = """"partschemab64":"([A-Za-z0-9+/=]*)"""".r
+  private def parsePartSchema(json: String): Option[StructType] =
+    PartSchemaB64Re.findFirstMatchIn(json).flatMap { m =>
+      scala.util.Try {
+        DataType.fromJson(new String(
+          Base64.getDecoder.decode(m.group(1)), StandardCharsets.UTF_8))
+          .asInstanceOf[StructType]
+      }.toOption
+    }
+
+  /** The head's declared partition schema (see [[PartSchemaB64Re]]) —
+    * `None` on flat tables and pre-field manifests. */
+  def readPartitionSchema(spark: SparkSession, dir: String): Option[StructType] =
+    readHeadRaw(spark, dir).flatMap(h => parsePartSchema(h._2))
 
   /** Stored deep-nullable: the manifest schema describes what a SCAN of
     * the table serves, and a file scan serves every column nullable (any
@@ -304,7 +341,8 @@ object TableManifest {
     * version was parsed before: repeat planning against an unchanged
     * head costs one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
-      : Option[(Long, Seq[String], Option[StructType], Map[String, (Long, Long)])] =
+      : Option[(Long, Seq[String], Option[StructType],
+          Map[String, (Long, Long)], Option[StructType])] =
     headVersionPath(spark, dir).map { case (v, status, fs) =>
       // keyed by the manifest FILE's identity (len + mtime), not just the
       // version number: a table wiped and re-created at the same path
@@ -316,21 +354,22 @@ object TableManifest {
         if (hit != null) hit
         else {
           val body = readBody(fs, status.getPath)
-          val parsed =
-            (parseFiles(body), parseSchema(body), parseFileStat(body))
+          val parsed = (parseFiles(body), parseSchema(body),
+            parseFileStat(body), parsePartSchema(body))
           snapshotCache.put(key, parsed)
           parsed
         }
-      (v, snap._1, snap._2, snap._3)
+      (v, snap._1, snap._2, snap._3, snap._4)
     }
 
-  /** (files, schema, filestat) of one SPECIFIC version — [[readAt]]'s
-    * snapshot twin for time travel: the schema AS OF that version, not
-    * the head's. */
+  /** (files, schema, filestat, partition schema) of one SPECIFIC version
+    * — [[readAt]]'s snapshot twin for time travel: the schema AS OF that
+    * version, not the head's. */
   def readAtFull(spark: SparkSession, dir: String, version: Long)
-      : Option[(Seq[String], Option[StructType], Map[String, (Long, Long)])] =
+      : Option[(Seq[String], Option[StructType],
+          Map[String, (Long, Long)], Option[StructType])] =
     readAtRaw(spark, dir, version).map(b =>
-      (parseFiles(b), parseSchema(b), parseFileStat(b)))
+      (parseFiles(b), parseSchema(b), parseFileStat(b), parsePartSchema(b)))
 
   /** Head discovery WITHOUT the body read: one listing of `_manifest/`
     * names the head version (dense, monotone) — the freshness check every
@@ -376,11 +415,13 @@ object TableManifest {
     * travel and the commit path always read their bodies fresh. */
   private val snapshotCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long, Long, Long),
-        (Seq[String], Option[StructType], Map[String, (Long, Long)])](
+        (Seq[String], Option[StructType], Map[String, (Long, Long)],
+          Option[StructType])](
         8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long, Long),
-            (Seq[String], Option[StructType], Map[String, (Long, Long)])])
+            (Seq[String], Option[StructType], Map[String, (Long, Long)],
+              Option[StructType])])
         : Boolean = size() > 4
     })
 
@@ -388,7 +429,9 @@ object TableManifest {
       hwm: Option[Long], stats: FileStats,
       sstats: FileStringStats, bloom: FileBloom,
       schemaB64: Option[String],
-      fstat: Map[String, (Long, Long)] = Map.empty): String = {
+      fstat: Map[String, (Long, Long)] = Map.empty,
+      ctimeMillis: Option[Long] = None,
+      partSchemaB64: Option[String] = None): String = {
     // the no-escaping invariant is enforced HERE, not only in the footer
     // reader: commitIf is public API, and one unsafe caller-supplied value
     // would either corrupt the whole body (brace breaks sliceObject's
@@ -404,8 +447,12 @@ object TableManifest {
     def safeName(c: String) = c.nonEmpty && SafeStatValue.matches(c)
     schemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
       "manifest schema must be base64 (no-escaping invariant)"))
+    partSchemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
+      "manifest partition schema must be base64 (no-escaping invariant)"))
     val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("") +
-      schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("")
+      ctimeMillis.map(t => s""""ctime":$t,""").getOrElse("") +
+      schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("") +
+      partSchemaB64.map(s => s""""partschemab64":"$s",""").getOrElse("")
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
     val cleanStats = stats
@@ -493,7 +540,9 @@ object TableManifest {
       bloom: FileBloom = Map.empty,
       schema: Option[StructType] = None,
       replaceSchema: Boolean = false,
-      fstat: Map[String, (Long, Long)] = Map.empty): Option[Long] = {
+      fstat: Map[String, (Long, Long)] = Map.empty,
+      partSchema: Option[StructType] = None,
+      replacePartSchema: Boolean = false): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -573,11 +622,22 @@ object TableManifest {
       }.toOption
     }
     val outFstat = carriedFstat ++ statted
+    // the declared partition schema survives commits that didn't restate
+    // it (the hwm posture): a drop/erase/compaction must not strip the
+    // table of its partition columns. Only init/publishPartitioned set
+    // it; a restore RE-STATES the restored version's field verbatim
+    // (replacePartSchema — restoring a flat version of a since-
+    // partitioned table must not keep the newer layout declaration).
+    val outPartSchema =
+      if (replacePartSchema) partSchema
+      else partSchema.orElse(headRaw.flatMap(h => parsePartSchema(h._2)))
     val v = expectedHead + 1
     val body =
       render(v, UUID.randomUUID().toString, files, hwm,
         carry(parseStats, stats), carry(parseStringStats, sstats),
-        carry(parseBloom, bloom), outSchema.map(encodeSchema), outFstat)
+        carry(parseBloom, bloom), outSchema.map(encodeSchema), outFstat,
+        ctimeMillis = Some(System.currentTimeMillis()),
+        partSchemaB64 = outPartSchema.map(encodeSchema))
         .getBytes(StandardCharsets.UTF_8)
     if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
   }
@@ -592,12 +652,14 @@ object TableManifest {
   def commit(spark: SparkSession, dir: String, files: Seq[String],
       hwm: Option[Long] = None,
       schema: Option[StructType] = None,
-      replaceSchema: Boolean = false): Long = {
+      replaceSchema: Boolean = false,
+      partSchema: Option[StructType] = None): Long = {
     var attempts = 0
     while (attempts < 64) {
       val head = read(spark, dir).map(_._1).getOrElse(0L)
       commitIf(spark, dir, files, head, hwm,
-        schema = schema, replaceSchema = replaceSchema) match {
+        schema = schema, replaceSchema = replaceSchema,
+        partSchema = partSchema) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -637,11 +699,11 @@ object TableManifest {
       val head = readHead(spark, dir)
       val (v, prev, hwm) =
         head.map(h => (h._1, h._2, h._3)).getOrElse((0L, Seq.empty[String], None))
-      // appends land FLAT files at the table root: mixing them into a
-      // hive-partitioned listing would make partition inference see
-      // conflicting directory structures (and the appended rows would
-      // lack the name-carried partition values) — refuse loudly
-      requireFlatLayout(prev, "append")
+      // the writer chose flat or k=v-nested names from the layout it saw
+      // (layoutPartitionCols); re-checked against the CURRENT head inside
+      // the CAS loop so a racing layout change is loud, never a mixed
+      // listing with silently-NULL partition values
+      requireLayoutMatch(prev, names, "append")
       commitIf(spark, dir, (prev ++ names).distinct, v, hwm,
         schema = schema) match {
         case Some(v2) => return v2
@@ -663,12 +725,22 @@ object TableManifest {
     * and reclaimable by [[vacuum]]). */
   private[graft] def replaceFiles(spark: SparkSession, dir: String,
       names: Seq[String], schema: Option[StructType]): Long = {
+    // a full-snapshot replace RESTATES the partition declaration from its
+    // own layout (inferred from the new names): a flat overwrite of a
+    // previously-partitioned table clears it, a nested one re-declares —
+    // a stale declaration would make later writers lay batches out for a
+    // layout the data no longer has. EXCEPTION: an overwrite to EMPTY
+    // keeps the head's declaration (nothing to infer from, and
+    // truncating a partitioned table must not flatten it).
+    val partSchema = inferredPartitionSchema(spark, dir, names)
+    val replacePart = names.nonEmpty
     var attempts = 0
     while (attempts < 64) {
       val head = readHead(spark, dir)
       commitIf(spark, dir, names, head.map(_._1).getOrElse(0L),
         head.flatMap(_._3),
-        schema = schema, replaceSchema = true) match {
+        schema = schema, replaceSchema = true,
+        partSchema = partSchema, replacePartSchema = replacePart) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -704,11 +776,11 @@ object TableManifest {
     val versions =
       if (!fs.exists(mdir)) Seq.empty
       else fs.listStatus(mdir).toSeq
-        .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getPath))
+        .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
         .sortBy(_._1)
     var prev = Set.empty[String]
-    val rows = versions.map { case (v, path) =>
-      val body = readBody(fs, path)
+    val rows = versions.map { case (v, status) =>
+      val body = readBody(fs, status.getPath)
       val files = parseFiles(body)
       val fstat = parseFileStat(body)
       val bytes: Option[Long] =
@@ -717,13 +789,15 @@ object TableManifest {
         else if (files.isEmpty) Some(0L)
         else None
       val cur = files.toSet
-      val row = (v, files.size.toLong, bytes,
+      val row = (v, new java.sql.Timestamp(commitTimeOf(fs, status, body)),
+        files.size.toLong, bytes,
         (cur -- prev).size.toLong, (prev -- cur).size.toLong,
         HwmRe.findFirstMatchIn(body).map(_.group(1).toLong))
       prev = cur
       row
     }
-    rows.toDF("version", "n_files", "bytes", "n_added", "n_removed", "hwm")
+    rows.toDF("version", "commit_ts", "n_files", "bytes",
+      "n_added", "n_removed", "hwm")
   }
 
   /** Start tracking an existing plain parquet directory: commit its current
@@ -753,23 +827,61 @@ object TableManifest {
   def init(spark: SparkSession, dir: String): Long =
     read(spark, dir).map(_._1).getOrElse {
       val (fs, p) = fsFor(spark, dir)
+      // only HIVE-SHAPED (`k=v`) subdirectories are table data — the same
+      // predicate vacuum's nested sweep uses, and for the same reason: a
+      // user subdir (backups, exports) must never be committed as table
+      // rows. A non-hive subdir that DOES hold data files is loud instead
+      // of silently skipped: skipping would serve a different row set
+      // than the plain `spark.read.parquet(dir)` this conversion replaces.
+      def hasData(at: Path): Boolean =
+        fs.listStatus(at).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") &&
+            (s.isFile || hasData(s.getPath))
+        }
       def sweep(at: Path, prefix: String): Seq[String] =
         fs.listStatus(at).toSeq.flatMap { s =>
           val n = s.getPath.getName
           if (n.startsWith("_") || n.startsWith(".")) Seq.empty
           else if (s.isFile)
             if (inFlightProtocolName(n)) Seq.empty else Seq(prefix + n)
-          else sweep(s.getPath, s"$prefix$n/")
+          else if (n.contains("=")) sweep(s.getPath, s"$prefix$n/")
+          else if (hasData(s.getPath)) sys.error(
+            s"init: $dir contains data files under the non-hive " +
+              s"subdirectory '$prefix$n/' — only k=v partition " +
+              "directories are table data; move foreign files out (or " +
+              "point init at a clean directory) before converting")
+          else Seq.empty // empty / hidden-only subdir: harmless
         }
       val names = sweep(p, "")
       // the one merged-footer sweep this table will ever need: the schema
       // lands in v1 and every later commit carries it forward (data
-      // columns only — a hive layout's partition columns ride the names)
+      // columns only — a hive layout's partition columns ride the names,
+      // and their inferred schema is DECLARED alongside so the layout
+      // survives even an emptied file list)
       val schema =
         if (names.isEmpty) None
         else Some(spark.read.option("mergeSchema", "true")
           .parquet(names.map(f => s"$dir/$f"): _*).schema)
-      commit(spark, dir, names, schema = schema, replaceSchema = true)
+      commit(spark, dir, names, schema = schema, replaceSchema = true,
+        partSchema = inferredPartitionSchema(spark, dir, names))
+    }
+
+  /** The partition schema Spark's own inference derives from nested
+    * manifest NAMES (columns + types, values discarded) — fabricated
+    * statuses only, zero filesystem calls. None for flat layouts. */
+  private def inferredPartitionSchema(spark: SparkSession, dir: String,
+      names: Seq[String]): Option[StructType] =
+    if (!names.exists(_.contains("/"))) None
+    else {
+      val (fs, p) = fsFor(spark, dir)
+      val qdir = fs.makeQualified(p)
+      val statuses = names.map(n => new org.apache.hadoop.fs.FileStatus(
+        1L, false, 1, 0L, 0L, new Path(qdir, n))).toArray
+      val spec = new graft.sources.ManifestFileIndex(spark, qdir, statuses)
+        .partitionSpec()
+      if (spec.partitionColumns.isEmpty) None
+      else Some(SchemaBridge.asNullable(spec.partitionColumns))
     }
 
   /** Manifest-pinned scan: exactly the head manifest's files. Falls back to
@@ -779,8 +891,8 @@ object TableManifest {
     * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
     readFull(spark, dir) match {
-      case Some((_, names, schema, fstat)) =>
-        scanListed(spark, dir, names, schema, fstat)
+      case Some((_, names, schema, fstat, partSchema)) =>
+        scanListed(spark, dir, names, schema, fstat, partSchema)
       case None => spark.read.parquet(dir)
     }
 
@@ -828,7 +940,10 @@ object TableManifest {
       val head = readHead(spark, dir)
       commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
         head.flatMap(_._3),
-        schema = Some(df.schema), replaceSchema = true) match {
+        schema = Some(df.schema), replaceSchema = true,
+        // a flat publish clears any partition declaration: the new
+        // snapshot carries its "partition" columns as DATA
+        partSchema = None, replacePartSchema = true) match {
         case Some(v) => return v
         case None => attempts += 1
       }
@@ -856,10 +971,46 @@ object TableManifest {
     partitionCols.foreach(c => require(df.columns.contains(c),
       s"publishPartitioned: `$c` is not a column of the DataFrame"))
     val spark = df.sparkSession
+    val moved = writeAndMoveInPartitioned(df, "snap", dir, partitionCols)
+    val dataSchema = StructType(df.schema.fields.filterNot(f =>
+      partitionCols.exists(_.equalsIgnoreCase(f.name))))
+    var attempts = 0
+    while (attempts < 64) {
+      val head = readHead(spark, dir)
+      commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
+        head.flatMap(_._3),
+        schema = Some(dataSchema), replaceSchema = true,
+        partSchema = inferredPartitionSchema(spark, dir, moved),
+        replacePartSchema = true) match {
+        case Some(v) => return v
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"partitioned publish lost $attempts races in $dir; giving up")
+  }
+
+  /** [[writeAndMoveIn]] for HIVE-PARTITIONED rewrites — the shared first
+    * half of every partitioned write commit (partitioned publish, the
+    * partitioned DML rewrites, the SQL INSERT / streaming-append
+    * re-layout): `df`, which CARRIES the partition columns as data, is
+    * written `partitionBy(partCols)` into a hidden scratch dir, and every
+    * leaf file moves in UNDER its `k=v/` subpath with a `prefix`-stamped
+    * unique basename — so the name-carried partition values are minted by
+    * Spark's own hive path escaping, never hand-formatted. No shuffle is
+    * forced: each input task writes one file per partition value it
+    * actually holds, so a rewrite whose input tasks are leaf-aligned
+    * (victim files of one partition) stays leaf-aligned on output. */
+  private[graft] def writeAndMoveInPartitioned(df: DataFrame, prefix: String,
+      dir: String, partCols: Seq[String]): Seq[String] = {
+    require(partCols.nonEmpty, "writeAndMoveInPartitioned: no partition columns")
+    partCols.foreach(c => require(df.columns.exists(_.equalsIgnoreCase(c)),
+      s"partitioned write: `$c` is not a column of the DataFrame " +
+        s"(has ${df.columns.toSeq.sorted.mkString(", ")})"))
+    val spark = df.sparkSession
     val (fs, p) = fsFor(spark, dir)
     fs.mkdirs(p)
     val tmp = new Path(p, s"_publish_tmp-${UUID.randomUUID()}")
-    df.write.partitionBy(partitionCols: _*).mode("overwrite")
+    df.write.partitionBy(partCols: _*).mode("overwrite")
       .parquet(tmp.toString)
     val snap = UUID.randomUUID().toString.take(8)
     def moveIn(at: Path, rel: String): Seq[String] =
@@ -868,7 +1019,7 @@ object TableManifest {
         if (n.startsWith("_") || n.startsWith(".")) Seq.empty
         else if (s.isDirectory) moveIn(s.getPath, s"$rel$n/")
         else {
-          val name = s"${rel}snap-$snap-$n"
+          val name = s"$rel$prefix-$snap-$n"
           if (rel.nonEmpty) fs.mkdirs(new Path(p, rel))
           require(fs.rename(s.getPath, new Path(p, name)),
             s"rename failed: ${s.getPath}")
@@ -877,19 +1028,7 @@ object TableManifest {
       }
     val moved = moveIn(tmp, "")
     fs.delete(tmp, true)
-    val dataSchema = StructType(df.schema.fields.filterNot(f =>
-      partitionCols.exists(_.equalsIgnoreCase(f.name))))
-    var attempts = 0
-    while (attempts < 64) {
-      val head = readHead(spark, dir)
-      commitIf(spark, dir, moved, head.map(_._1).getOrElse(0L),
-        head.flatMap(_._3),
-        schema = Some(dataSchema), replaceSchema = true) match {
-        case Some(v) => return v
-        case None => attempts += 1
-      }
-    }
-    sys.error(s"partitioned publish lost $attempts races in $dir; giving up")
+    moved
   }
 
   /** Files of one SPECIFIC committed version, if its manifest still
@@ -926,11 +1065,31 @@ object TableManifest {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     if (!fs.exists(mdir)) return None
-    fs.listStatus(mdir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getModificationTime))
-      .filter(_._2 <= epochMillis)
-      .sortBy(_._1).lastOption.map(_._1)
+    // commit times come from the manifest BODY (exact wall-clock millis
+    // recorded at commit; see CtimeRe), falling back to the file mtime
+    // for pre-field manifests — and are MONOTONIZED by running max over
+    // ascending versions (the Delta in-commit-timestamp posture): commits
+    // are sequential, but wall clocks across committing processes can
+    // skew, and a non-monotone stamp would make "as of t" ambiguous.
+    // Cost is O(surviving versions) small body reads per time-travel
+    // resolution — the same envelope history() already pays.
+    val versions = fs.listStatus(mdir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
+      .sortBy(_._1)
+    var running = Long.MinValue
+    versions.map { case (v, s) =>
+      val ct = parseCtime(readBody(fs, s.getPath))
+        .getOrElse(s.getModificationTime)
+      running = math.max(running, ct)
+      (v, running)
+    }.filter(_._2 <= epochMillis).lastOption.map(_._1)
   }
+
+  /** The recorded commit wall-clock of one version (body `ctime`, mtime
+    * fallback) — what DESCRIBE HISTORY / DETAIL surface. */
+  private def commitTimeOf(fs: FileSystem,
+      status: org.apache.hadoop.fs.FileStatus, body: String): Long =
+    parseCtime(body).getOrElse(status.getModificationTime)
 
   /** Time travel by WALL CLOCK: scan the table as it was at
     * `epochMillis` ([[readTableAt]] of [[versionAsOfTime]]'s answer).
@@ -950,7 +1109,7 @@ object TableManifest {
     readAtRaw(spark, dir, version) match {
       case Some(body) =>
         scanListed(spark, dir, parseFiles(body), parseSchema(body),
-          parseFileStat(body))
+          parseFileStat(body), parsePartSchema(body))
       case None => sys.error(s"no manifest v$version under $dir")
     }
 
@@ -967,7 +1126,8 @@ object TableManifest {
     * table is a real state (erase-all, pre-first-append), not an error. */
   private def scanListed(spark: SparkSession, dir: String,
       files: Seq[String], schema: Option[StructType],
-      fstat: Map[String, (Long, Long)] = Map.empty): DataFrame =
+      fstat: Map[String, (Long, Long)] = Map.empty,
+      partSchema: Option[StructType] = None): DataFrame =
     (files.nonEmpty, schema) match {
       case (true, Some(s)) =>
         graft.sources.ManifestScans.scanSnapshot(spark, dir, files, s, fstat)
@@ -975,7 +1135,17 @@ object TableManifest {
         spark.read.option("mergeSchema", "true")
           .parquet(files.map(f => s"$dir/$f"): _*)
       case (false, Some(s)) =>
-        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+        // an EMPTY snapshot of a partitioned table still serves its
+        // declared partition columns (appended to the carried data
+        // schema, the same order a live scan serves) — a retention
+        // delete that drops every partition must not break queries
+        // that reference them
+        val served = partSchema match {
+          case Some(ps) => StructType(s.fields ++ ps.fields)
+          case None => s
+        }
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), served)
       case (false, None) => spark.emptyDataFrame
     }
 
@@ -992,7 +1162,7 @@ object TableManifest {
       fromVersion: Long, toVersion: Long): DataFrame = {
     val from = readAt(spark, dir, fromVersion)
       .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
-    val (to, toSchema, toFstat) = readAtFull(spark, dir, toVersion)
+    val (to, toSchema, toFstat, _) = readAtFull(spark, dir, toVersion)
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)
     if (fresh.isEmpty) spark.emptyDataFrame
@@ -1221,6 +1391,85 @@ object TableManifest {
         "directory segments); file-granular rewrites would strip the " +
         "name-carried partition values — materialize the partition " +
         "column as data via publish() first")
+
+  /** Ordered partition-column chain of one nested manifest name (the `k`
+    * keys of its `k=v` segments, top-down); empty for flat names. */
+  private[graft] def partitionChainOf(name: String): Seq[String] =
+    name.split('/').dropRight(1).toSeq.map(_.split("=", 2)(0).toLowerCase)
+
+  /** The table's partition columns, ordered: from the head's nested
+    * names, else the DECLARED partition schema (an emptied partitioned
+    * table keeps its layout), else empty (flat/untracked). This is what
+    * the write paths consult to decide whether an append must be laid
+    * out `k=v/`-nested. */
+  private[graft] def layoutPartitionCols(spark: SparkSession,
+      dir: String): Seq[String] =
+    readHeadRaw(spark, dir) match {
+      case None => Seq.empty
+      case Some((_, body)) =>
+        val files = parseFiles(body)
+        files.find(_.contains("/")).map(partitionChainOf)
+          // the declared schema only speaks when NO file is left to read
+          // the layout from — live names always win (they're what a scan
+          // actually serves)
+          .orElse(if (files.isEmpty)
+            parsePartSchema(body).map(_.fieldNames.toSeq.map(_.toLowerCase))
+          else None)
+          .getOrElse(Seq.empty)
+    }
+
+  /** Every ADD-files commit must match the head's layout: flat files into
+    * a flat table, `k=v`-nested files carrying the SAME ordered column
+    * chain into a partitioned one — a mixed listing would make partition
+    * inference see conflicting directory structures, and flat rows landed
+    * in a partitioned table would silently read NULL partition values.
+    * Checked INSIDE every CAS loop so a racing layout change (partitioned
+    * publish, restore to a flat version) can never slip past a stale
+    * check. */
+  private[graft] def requireLayoutMatch(prev: Seq[String],
+      names: Seq[String], op: String): Unit = {
+    val headChain = prev.find(_.contains("/")).map(partitionChainOf)
+    val newChains = names.map(partitionChainOf).distinct
+    require(newChains.size <= 1,
+      s"$op: added files mix partition layouts (${newChains.mkString("; ")})")
+    (headChain, newChains.headOption) match {
+      case (Some(chain), Some(added)) if names.nonEmpty =>
+        require(added == chain,
+          s"$op: added files must carry the table's partition chain " +
+            s"${chain.mkString("/")}, got ${
+              if (added.isEmpty) "flat files" else added.mkString("/")}")
+      case (None, Some(added)) if prev.nonEmpty =>
+        require(added.isEmpty,
+          s"$op: cannot add hive-partitioned files " +
+            s"(${added.mkString("/")}) to a flat table")
+      case _ => () // empty table, or nothing added: any one layout is fine
+    }
+  }
+
+  /** Partition-SEGMENT candidate pruning for the copy-on-write rewrites:
+    * when the predicate column is carried in a file's `k=v` name, the
+    * value is constant for every row of the file, so a segment that
+    * cannot satisfy `test` prunes the file exactly. Files where the
+    * column is NOT a name segment (a data column, or a flat table) are
+    * kept; a NULL segment (hive default-partition marker) never matches
+    * an eq/range predicate and prunes. Exactness always comes from the
+    * row filter downstream — this only decides which files are worth
+    * rewriting, the partition twin of [[filterByRanges]]. */
+  private def segmentAdmits(name: String, column: String)(
+      test: String => Boolean): Boolean =
+    partitionSegmentValue(name, column) match {
+      case None => true // not name-carried: stay a candidate
+      case Some(null) => false // NULL never satisfies eq/range
+      case Some(v) => test(v)
+    }
+
+  private def filterBySegmentRanges(files: Seq[String],
+      ranges: Seq[(String, Long, Long)]): Seq[String] =
+    files.filter(f => ranges.forall { case (c, lo, hi) =>
+      // unparseable segment values stay candidates (conservative)
+      segmentAdmits(f, c)(v =>
+        partitionSegmentUnits(v).forall(u => lo <= u && u <= hi))
+    })
 
   private def filterByRanges(files: Seq[String], stats: FileStats,
       ranges: Seq[(String, Long, Long)]): Seq[String] =
@@ -1513,6 +1762,9 @@ object TableManifest {
         sys.error(s"$opName: victim files disappeared under " +
           s"$dir (concurrent rewrite); re-run against the new head")
       }
+      // a racing layout change (partitioned publish / restore) with the
+      // victims still listed would otherwise blend two layouts — loud
+      requireLayoutMatch(files.filterNot(victimSet), moved, opName)
       val next = files.filterNot(victimSet) ++ moved
       // every splice caller KNOWS the schema it wrote `moved` with —
       // declaring it skips commitIf's per-attempt delta footer inference
@@ -1554,12 +1806,15 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereEq: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "eraseWhereEq")
+    // partitioned layouts: a key carried in the k=v names prunes exactly
+    // (constant per file); data-column keys keep the bloom/range pruning
     val victims = filterByPointValues(headFiles, parseBloom(headBody),
       parseStats(headBody), column, values)
+      .filter(f => segmentAdmits(f, column)(v =>
+        partitionSegmentUnits(v).forall(values.contains)))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
-      "eraseWhereEq")
+      "eraseWhereEq", partCols = partitionColsIn(headFiles))
   }
 
   /** [[eraseWhereEq]] for STRING keys (erase by source, license tag,
@@ -1571,12 +1826,12 @@ object TableManifest {
     require(values.nonEmpty, "eraseWhereIn: empty key set")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "eraseWhereIn")
     val victims = filterByStringValues(headFiles,
       parseStringStats(headBody), column, values)
+      .filter(f => segmentAdmits(f, column)(values.contains))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
-      "eraseWhereIn")
+      "eraseWhereIn", partCols = partitionColsIn(headFiles))
   }
 
   /** Targeted ERASE of every row whose `column` falls in `[lo, hi]`
@@ -1603,8 +1858,9 @@ object TableManifest {
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
       sys.error(s"eraseWhereRange: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "eraseWhereRange")
-    val victims = filterByRanges(headFiles, parseStats(headBody),
+    val victims = filterBySegmentRanges(
+      filterByRanges(headFiles, parseStats(headBody),
+        Seq((column, lo, hi))),
       Seq((column, lo, hi)))
     eraseRewrite(spark, dir, headV, victims, column,
       df => {
@@ -1616,8 +1872,12 @@ object TableManifest {
         }
         df.filter(c.isNull || u < lit(lo) || u > lit(hi))
       },
-      "eraseWhereRange")
+      "eraseWhereRange", partCols = partitionColsIn(headFiles))
   }
+
+  /** Ordered partition columns of a listed layout (empty = flat). */
+  private def partitionColsIn(files: Seq[String]): Seq[String] =
+    files.find(_.contains("/")).map(partitionChainOf).getOrElse(Seq.empty)
 
   /** Partition-scoped REPLACE — the idempotent-backfill primitive (the
     * `replaceWhere` shape of Delta/Iceberg): atomically swap every row
@@ -1641,7 +1901,7 @@ object TableManifest {
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L)
       sys.error(s"replaceWhereEq: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "replaceWhereEq")
+    val partCols = partitionColsIn(headFiles)
     // Delta-style schema strictness: a backfill must regenerate the
     // table's CURRENT schema — a misspelled column would otherwise
     // silently NULL the real one and leak a stray column via the union
@@ -1667,10 +1927,13 @@ object TableManifest {
       s"replaceWhereEq: replacement contains rows outside `$column = $value`")
     val victims = filterByPointValues(headFiles, parseBloom(headBody),
       parseStats(headBody), column, Seq(value))
+      .filter(f => segmentAdmits(f, column)(v =>
+        partitionSegmentUnits(v).forall(_ == value)))
     sliceRewrite(spark, dir, headV, victims, column,
       keep = df => df.filter(col(column).isNull || col(column) =!= value),
       append = Some(pinned),
-      keepAllWhenColumnMissing = true, opName = "replace")
+      keepAllWhenColumnMissing = true, opName = "replace",
+      partCols = partCols)
   }
 
   /** Key-based MERGE (upsert) — the batch half of CDC apply and the core
@@ -1714,7 +1977,10 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, max, min}
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"mergeByKey: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "mergeByKey")
+    // partitioned targets: the source carries the partition columns as
+    // data (they ARE table columns — the schema-equality guard below),
+    // and the rewrite re-attaches them via partitionBy
+    val partCols = partitionColsIn(headFiles)
     val tableCols = readTable(spark, dir).columns.toSet
     val srcCols = source.columns.toSet
     require(srcCols == tableCols,
@@ -1752,14 +2018,20 @@ object TableManifest {
           .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
           .head()
         if (bounds.isNullAt(0)) headFiles // all-NULL would have failed the guard; stay conservative
-        else filterByRanges(headFiles, parseStats(headBody),
+        else filterBySegmentRanges( // a partition-column key prunes on its k=v segments
+          filterByRanges(headFiles, parseStats(headBody),
+            Seq((keyCol, bounds.getLong(0), bounds.getLong(1)))),
           Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
       }
-    // 2. exact victims: candidate files that HOLD a matched key
+    // 2. exact victims: candidate files that HOLD a matched key. On a
+    // partitioned layout the candidates are read with basePath pinned so
+    // a partition-column key resolves like any other column.
     val victims =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val scan = spark.read.option("mergeSchema", "true")
+        val reader = spark.read.option("mergeSchema", "true")
+        val scan = (if (partCols.isEmpty) reader
+          else reader.option("basePath", dir))
           .parquet(candidates.map(f => s"$dir/$f"): _*)
         if (!scan.columns.contains(keyCol)) Seq.empty[String]
         else {
@@ -1781,7 +2053,7 @@ object TableManifest {
     sliceRewrite(spark, dir, headV, victims, keyCol,
       keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
       append = Some(pinned), keepAllWhenColumnMissing = true,
-      opName = "merge")
+      opName = "merge", partCols = partCols)
   }
 
   /** Metadata-only DELETE of whole HIVE PARTITIONS — the one row-level
@@ -1913,11 +2185,18 @@ object TableManifest {
     * are existence-checked; a reclaimed file fails the restore loudly
     * instead of committing a head that scans FAILED_READ. Restoring the
     * current head is a no-op. Returns the committed version. */
+  /** Test seam for the restore/vacuum race drill: runs between the
+    * restorability check and the CAS attempt — exactly the window where a
+    * concurrent zero-grace vacuum can reclaim a delisted file the check
+    * just approved. Production value is a no-op. */
+  private[graft] var restorePreCommitHook: () => Unit = () => ()
+
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
     val body = readAtRaw(spark, dir, version).getOrElse(sys.error(
       s"restore: no manifest v$version under $dir (retention pruned it?)"))
     val files = parseFiles(body)
     val schema = parseSchema(body)
+    val partSchema = parsePartSchema(body)
     val stats = parseStats(body)
     val sstats = parseStringStats(body)
     val bloom = parseBloom(body)
@@ -1929,16 +2208,45 @@ object TableManifest {
         sys.error(s"restore: $dir is not manifest-tracked"))
       if (headV == version) return headV // restoring the head: no-op
       val live = headFiles.toSet
-      val missing = files.filterNot(live)
+      def lostFiles(): Seq[String] = files.filterNot(live)
         .filterNot(f => fs.exists(new Path(p, f)))
+      val missing = lostFiles()
       if (missing.nonEmpty) sys.error(
         s"restore: v$version is no longer restorable — ${missing.size} of " +
           s"its files were vacuumed (e.g. ${missing.head}); only versions " +
           "whose delisted files survive retention can be restored")
+      restorePreCommitHook()
       commitIf(spark, dir, files, headV, hwm, stats = stats,
         sstats = sstats, bloom = bloom, schema = schema,
-        replaceSchema = true, fstat = fstat) match {
-        case Some(v2) => return v2
+        replaceSchema = true, fstat = fstat,
+        partSchema = partSchema, replacePartSchema = true) match {
+        case Some(v2) =>
+          // Close the check-then-commit race with vacuum: the check above
+          // ran against files that were DELISTED (fair game for a
+          // concurrent vacuum) until this commit re-listed them. Re-verify
+          // now that they are head-listed — if the window was hit, ROLL
+          // BACK (restore is itself restorable: the pre-restore head's
+          // manifest still exists) so no reader is left on a head that
+          // scans FAILED_READ, then fail loudly. Vacuum's own last-moment
+          // head re-read covers the mirrored half of the window.
+          val lost = lostFiles()
+          if (lost.nonEmpty) {
+            val prevBody = readAtRaw(spark, dir, headV).getOrElse("")
+            commitIf(spark, dir, parseFiles(prevBody), v2, hwm,
+              stats = parseStats(prevBody),
+              sstats = parseStringStats(prevBody),
+              bloom = parseBloom(prevBody),
+              schema = parseSchema(prevBody), replaceSchema = true,
+              fstat = parseFileStat(prevBody),
+              partSchema = parsePartSchema(prevBody),
+              replacePartSchema = true)
+            sys.error(
+              s"restore: a concurrent vacuum reclaimed ${lost.size} of " +
+                s"v$version's files (e.g. ${lost.head}) in the commit " +
+                s"window — rolled the head back to v$headV's contents; " +
+                "v" + version + " is no longer restorable")
+          }
+          return v2
         case None => attempts += 1
       }
     }
@@ -2023,11 +2331,26 @@ object TableManifest {
       s"updateWhere: duplicate assignment targets in ${sets.map(_._1)}")
     val (headV, headFiles, headBody) = headSnapshot(spark, dir)
     if (headV == 0L) sys.error(s"updateWhere: $dir is not manifest-tracked")
-    requireFlatLayout(headFiles, "updateWhere")
     if (headFiles.isEmpty) return headV
+    // HIVE-PARTITIONED layout: the victim scan reads with basePath pinned
+    // (partition columns resolve in the condition), the rewrite re-attaches
+    // the name-carried values via partitionBy, and a condition on a
+    // partition column prunes candidates on the k=v segments themselves —
+    // `UPDATE … WHERE d = DATE '…'` touches one partition's files. SETting
+    // a partition column is rejected: rows would have to MOVE between
+    // partition directories, which is a re-publish, not an in-place update.
+    val partCols = partitionColsIn(headFiles)
+    sets.foreach { case (c, _) =>
+      require(!partCols.exists(_.equalsIgnoreCase(c)),
+        s"updateWhere: `$c` is a partition column of $dir — updating it " +
+          "would move rows between partitions; rewrite the slice via " +
+          "publishPartitioned (or drop and re-append) instead")
+    }
     val candidates =
       if (pruneRanges.isEmpty) headFiles
-      else filterByRanges(headFiles, parseStats(headBody), pruneRanges)
+      else filterBySegmentRanges(
+        filterByRanges(headFiles, parseStats(headBody), pruneRanges),
+        pruneRanges)
     if (candidates.isEmpty) return headV
     // DECLARED columns no data file physically carries yet (an [[
     // addColumns]] widen is metadata-only) must still be SETtable and
@@ -2045,7 +2368,9 @@ object TableManifest {
               org.apache.spark.sql.functions.lit(null).cast(f.dataType))
         }
     }
-    val raw = spark.read.option("mergeSchema", "true")
+    val rawReader = spark.read.option("mergeSchema", "true")
+    val raw = (if (partCols.isEmpty) rawReader
+      else rawReader.option("basePath", dir))
       .parquet(candidates.map(f => s"$dir/$f"): _*)
     val scan = withDeclared(raw)
     // assignment targets must exist: a typo would otherwise silently
@@ -2074,7 +2399,9 @@ object TableManifest {
         }
     }
     if (victims.isEmpty) return headV
-    val read = withDeclared(spark.read.option("mergeSchema", "true")
+    val victimReader = spark.read.option("mergeSchema", "true")
+    val read = withDeclared((if (partCols.isEmpty) victimReader
+      else victimReader.option("basePath", dir))
       .parquet(victims.map(f => s"$dir/$f"): _*))
     val setMap = sets.toMap
     // one pass, no union: every output column is either untouched or a
@@ -2091,21 +2418,28 @@ object TableManifest {
           }).as(c)
       }
     }: _*).coalesce(math.max(victims.size, 1))
-    val moved = writeAndMoveIn(rewritten, "update", dir)
+    val moved =
+      if (partCols.isEmpty) writeAndMoveIn(rewritten, "update", dir)
+      else writeAndMoveInPartitioned(rewritten, "update", dir, partCols)
     val statCols = (pruneRanges.map(_._1) ++ sets.map(_._1)).distinct
     val (mstats, msstats) = fileAllStats(spark, dir, moved, statCols)
+    // committed schema = data columns only on a partitioned layout
+    val committed = StructType(rewritten.schema.fields.filterNot(f =>
+      partCols.exists(_.equalsIgnoreCase(f.name))))
     spliceCommit(spark, dir, victims, moved, mstats, msstats, "update",
-      schema = Some(rewritten.schema))
+      schema = Some(committed))
   }
 
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String,
-      keep: DataFrame => DataFrame, opName: String): Long =
+      keep: DataFrame => DataFrame, opName: String,
+      partCols: Seq[String] = Seq.empty): Long =
     sliceRewrite(spark, dir, headV, victims, column, keep, append = None,
-      keepAllWhenColumnMissing = false, opName = opName)
+      keepAllWhenColumnMissing = false, opName = opName,
+      partCols = partCols)
 
-  /** Shared tail of every slice rewrite (erase, replace-backfill): read
-    * the victims once with a merged schema, apply `keep`, union the
+  /** Shared tail of every slice rewrite (erase, replace-backfill, merge):
+    * read the victims once with a merged schema, apply `keep`, union the
     * optional `append`, write, and victim-splice-commit with fresh
     * `column` stats. Victims whose merged schema predates `column` hold
     * only NULLs there, so no row can match the slice:
@@ -2114,16 +2448,31 @@ object TableManifest {
     * per victim keeps the file-count (and the skipping stats'
     * granularity) stable instead of collapsing every touched file into
     * one — floored by the append's partition count so an insert-heavy
-    * merge writes with the batch's parallelism (see below). */
+    * merge writes with the batch's parallelism (see below).
+    *
+    * HIVE-PARTITIONED tables (`partCols` non-empty): victims are read
+    * with `basePath` pinned to the table root, so the name-carried
+    * partition columns resolve as ordinary columns of the scan (the
+    * condition and `keep` can reference them), and the rewrite is
+    * written `partitionBy(partCols)` with every leaf file moved back
+    * UNDER its `k=v/` directory — values re-attached by Spark's own
+    * path escaping, never hand-formatted, so rows can never lose (or
+    * change) their partition. The committed schema strips the partition
+    * columns back out (they live in the names). The scan's tasks are
+    * victim-file-aligned and partition values are constant per victim,
+    * so the partitioned write stays leaf-aligned without any shuffle. */
   private def sliceRewrite(spark: SparkSession, dir: String, headV: Long,
       victims: Seq[String], column: String, keep: DataFrame => DataFrame,
       append: Option[DataFrame], keepAllWhenColumnMissing: Boolean,
-      opName: String): Long = {
+      opName: String, partCols: Seq[String] = Seq.empty): Long = {
     val oldPart: Either[Long, Option[DataFrame]] =
       if (victims.isEmpty) Right(None)
       else {
-        val read = spark.read.option("mergeSchema", "true")
-          .parquet(victims.map(f => s"$dir/$f"): _*)
+        val reader = spark.read.option("mergeSchema", "true")
+        val read =
+          (if (partCols.isEmpty) reader
+           else reader.option("basePath", dir))
+            .parquet(victims.map(f => s"$dir/$f"): _*)
         if (!read.columns.contains(column))
           if (keepAllWhenColumnMissing) Right(Some(read)) else Left(headV)
         else Right(Some(keep(read)))
@@ -2146,10 +2495,14 @@ object TableManifest {
         val next = pieces
           .reduce(_.unionByName(_, allowMissingColumns = true))
           .coalesce(target)
-        val moved = writeAndMoveIn(next, opName, dir)
+        val moved =
+          if (partCols.isEmpty) writeAndMoveIn(next, opName, dir)
+          else writeAndMoveInPartitioned(next, opName, dir, partCols)
         val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(column))
+        val committed = StructType(next.schema.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name))))
         spliceCommit(spark, dir, victims, moved, mstats, msstats, opName,
-          schema = Some(next.schema))
+          schema = Some(committed))
     }
   }
 
@@ -2446,8 +2799,15 @@ object TableManifest {
       .map(_.map(_._2).max).minOption.getOrElse(Long.MaxValue)
     val deadManifests = manifests
       .filter { case (v, _) => v < keepFrom && v < minConsumer }.map(_._2)
+    // Last-moment liveness re-read: a RESTORE committing while this
+    // vacuum computed its candidate set may have re-listed files that
+    // were dead at the head read above — deleting them now would gut the
+    // restored head. One extra manifest listing closes the vacuum side of
+    // the window (restore's own post-CAS verification closes its side).
+    val liveNow = readHead(spark, dir).map(_._2.toSet).getOrElse(Set.empty)
     val deleted =
-      (deadFiles ++ (deadTmps ++ deadMarkers ++ deadManifests)
+      (deadFiles.filterNot { case (rel, _) => liveNow(rel) } ++
+        (deadTmps ++ deadMarkers ++ deadManifests)
         .map(s => s.getPath.getName -> s)).map { case (rel, s) =>
         fs.delete(s.getPath, true)
         rel

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertStarAction
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
-import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.TableManifest
@@ -104,8 +104,12 @@ private[plans] object GraftDmlRewrite {
 
   /** Stat-unit value of a foldable comparison literal — Catalyst literals
     * already carry [[TableManifest.analyze]]'s canonical units (micros
-    * for timestamps, epoch days for dates, the raw value for integrals),
-    * so no unit conversion can go wrong here. */
+    * for timestamps, epoch days for dates, the raw value for integrals)
+    * — PROVIDED the literal's unit KIND matches the target column's
+    * declared type ([[pruneRanges]] checks that): a timestamp literal
+    * compared to a DATE column is in micros while the column's committed
+    * stats are in days, and pruning on it would silently skip files
+    * Spark's cast semantics would match. */
   private def statUnits(e: Expression): Option[Long] = e match {
     case l: Literal => l.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
@@ -123,6 +127,16 @@ private[plans] object GraftDmlRewrite {
     case _ => None
   }
 
+  /** The stat-unit KIND of a type: integral, timestamp (micros), or date
+    * (epoch days). None for everything else. */
+  private def unitKind(dt: org.apache.spark.sql.types.DataType): Option[String] =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("integral")
+      case TimestampType | TimestampNTZType => Some("timestamp")
+      case DateType => Some("date")
+      case _ => None
+    }
+
   private def plainColumn(e: Expression): Option[String] = e match {
     case a: UnresolvedAttribute if a.nameParts.length == 1 =>
       Some(a.nameParts.head)
@@ -131,31 +145,51 @@ private[plans] object GraftDmlRewrite {
 
   /** Conservative manifest-prune ranges from an UPDATE condition: every
     * top-level AND conjunct comparing a plain column to a typed literal
-    * narrows that column's admissible [lo, hi]; all other conjuncts are
-    * IGNORED — sound, because a conjunction only shrinks the matching
-    * row set, and [[TableManifest.updateWhere]]'s exact victim scan
-    * restores exactness. The ranges only decide which files are worth
-    * scanning for victims. */
-  def pruneRanges(cond: Expression): Seq[(String, Long, Long)] = {
+    * OF THE COLUMN'S OWN UNIT KIND narrows that column's admissible
+    * [lo, hi]; all other conjuncts are IGNORED — sound, because a
+    * conjunction only shrinks the matching row set, and
+    * [[TableManifest.updateWhere]]'s exact victim scan restores
+    * exactness. The kind check (against `schema` — the table's declared
+    * data + partition columns) is what keeps a CROSS-TYPE comparison
+    * (`dateCol = TIMESTAMP '…'`: literal in micros, committed stats in
+    * days) from pruning in the wrong units and silently under-updating;
+    * such conjuncts simply don't prune, and the exact scan keeps the
+    * statement correct. A column not in `schema` (or no schema at all —
+    * untracked/pre-schema tables) never prunes. */
+  def pruneRanges(cond: Expression,
+      schema: StructType): Seq[(String, Long, Long)] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
+    val colKind: Map[String, String] = schema.fields.iterator
+      .flatMap(f => unitKind(f.dataType).map(f.name.toLowerCase -> _))
+      .toMap
+    def typedColumn(a: Expression, v: Expression): Option[String] =
+      for {
+        c <- plainColumn(a)
+        lk <- v match {
+          case l: Literal => unitKind(l.dataType)
+          case _ => None
+        }
+        ck <- colKind.get(c.toLowerCase)
+        if ck == lk
+      } yield c
     val bounds = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     def narrow(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
       bounds(c) = (math.max(l0, lo), math.min(h0, hi))
     }
     def lt(a: Expression, v: Expression): Unit =
-      for (c <- plainColumn(a); l <- statUnits(v) if l > Long.MinValue)
+      for (c <- typedColumn(a, v); l <- statUnits(v) if l > Long.MinValue)
         narrow(c, Long.MinValue, l - 1)
     def le(a: Expression, v: Expression): Unit =
-      for (c <- plainColumn(a); l <- statUnits(v)) narrow(c, Long.MinValue, l)
+      for (c <- typedColumn(a, v); l <- statUnits(v)) narrow(c, Long.MinValue, l)
     def gt(a: Expression, v: Expression): Unit =
-      for (c <- plainColumn(a); l <- statUnits(v) if l < Long.MaxValue)
+      for (c <- typedColumn(a, v); l <- statUnits(v) if l < Long.MaxValue)
         narrow(c, l + 1, Long.MaxValue)
     def ge(a: Expression, v: Expression): Unit =
-      for (c <- plainColumn(a); l <- statUnits(v)) narrow(c, l, Long.MaxValue)
+      for (c <- typedColumn(a, v); l <- statUnits(v)) narrow(c, l, Long.MaxValue)
     conjuncts(cond).foreach {
       case EqualTo(a, v) if statUnits(v).isDefined => { le(a, v); ge(a, v) }
       case EqualTo(v, a) if statUnits(v).isDefined => { le(a, v); ge(a, v) }
@@ -197,9 +231,20 @@ private[plans] object GraftDmlRewrite {
       name -> ColumnBridge.column(dequalify(value, quals))
     }
     val cond = u.condition.map(dequalify(_, quals))
+    // prune-range extraction needs the target's declared column TYPES
+    // (data + partition columns) so cross-type literals never prune in
+    // the wrong units; tables without a declared schema get no pruning
+    // (conservative — updateWhere's exact scan owns correctness). The
+    // schema read is at parse, which is also run time for SQL statements;
+    // graft's only schema DDL (ADD COLUMNS) widens, never retypes, so a
+    // racing evolution cannot invalidate a kind decision made here.
+    val declared = org.apache.spark.sql.types.StructType(
+      TableManifest.readSchema(spark, path).map(_.fields).getOrElse(Array.empty) ++
+        TableManifest.readPartitionSchema(spark, path).map(_.fields)
+          .getOrElse(Array.empty))
     GraftUpdateCommand(path, sets,
       cond.map(ColumnBridge.column),
-      cond.map(pruneRanges).getOrElse(Seq.empty))
+      cond.map(pruneRanges(_, declared)).getOrElse(Seq.empty))
   }
 
   /** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *

@@ -148,19 +148,41 @@ object GraftSqlParser {
     * with hive path-escaping on values — so the SQL spelling matches the
     * manifest names however the operator spaces or quotes it, and a
     * non-matching spec fails LOUDLY in compactPartition instead of
-    * silently compacting nothing. */
-  def normalizePartitionSpec(raw: String): String =
-    raw.split(',').map { seg0 =>
+    * silently compacting nothing. Values are tokenized QUOTE-AWARE
+    * before the comma split (a value like `'a,b'` is one segment, never
+    * two bogus ones), and an unbalanced / mixed-quote value is rejected
+    * with the offending text named. */
+  def normalizePartitionSpec(raw: String): String = {
+    // split on top-level commas only (commas inside '…'/"…" stay put)
+    val segs = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    raw.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else if (ch == '\'' || ch == '"') { cur += ch; quote = ch }
+      else if (ch == ',') { segs += cur.result(); cur.clear() }
+      else cur += ch
+    }
+    if (quote != 0) sys.error(
+      s"PARTITION spec has an unterminated quote: ($raw)")
+    segs += cur.result()
+    segs.map { seg0 =>
       val seg = seg0.trim
       seg.split("=", 2) match {
-        case Array(k, v) =>
-          val value = v.trim.stripPrefix("'").stripSuffix("'")
-            .stripPrefix("\"").stripSuffix("\"")
+        case Array(k, v0) =>
+          val v = v0.trim
+          val value =
+            if (v.length >= 2 && (v.head == '\'' || v.head == '"')) {
+              if (v.last != v.head) sys.error(
+                s"PARTITION spec value has mismatched quotes: $seg")
+              v.substring(1, v.length - 1)
+            } else v
           k.trim + "=" + org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils.escapePathName(value)
         case _ => seg
       }
     }.mkString("/")
+  }
 }
 
 /** A maintenance statement's table reference: a literal path, or a
@@ -211,11 +233,12 @@ case class RestoreCommand(table: GraftTableRef, version: Option[Long],
   }
 }
 
-/** `OPTIMIZE <t>` → [[graft.ops.Compaction.compactInPlace]] (CAS
-  * manifest swap on tracked dirs); `OPTIMIZE <t> PARTITION (k=v)` →
-  * [[graft.ops.Compaction.compactPartition]] — the partition-scoped form
-  * a hive-partitioned table requires (whole-table compaction refuses the
-  * layout). One stats row. */
+/** `OPTIMIZE <t>` → [[graft.ops.Compaction.compactTracked]] (CAS
+  * manifest swap; on a hive-partitioned table one compactPartition per
+  * LEAF — per-leaf isolation, untouched leaves byte-identical);
+  * `OPTIMIZE <t> PARTITION (k=v)` →
+  * [[graft.ops.Compaction.compactPartition]] for the one addressed leaf.
+  * One stats row. */
 case class OptimizeCommand(table: GraftTableRef,
     partition: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -226,7 +249,7 @@ case class OptimizeCommand(table: GraftTableRef,
     val path = table.path(spark)
     val s = partition match {
       case Some(part) => graft.ops.Compaction.compactPartition(spark, path, part)
-      case None => graft.ops.Compaction.compactInPlace(spark, path)
+      case None => graft.ops.Compaction.compactTracked(spark, path)
     }
     Seq(Row(s.filesBefore.toLong, s.filesAfter.toLong, s.bytesRewritten))
   }
@@ -264,8 +287,13 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     val nCols = TableManifest.readSchema(spark, path)
       .map(_.fields.length.toLong)
     val nVersions = TableManifest.versionCount(spark, path)
+    // the layout flag comes from the same source the WRITE paths consult
+    // (live k=v names, else the DECLARED partition schema) — not from
+    // name shape alone, which would mislabel any future non-hive nesting
+    // and forget the layout of an emptied partitioned table
+    val partitioned = TableManifest.layoutPartitionCols(spark, path).nonEmpty
     Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
-      nCols.orNull, files.exists(_.contains("/")), nVersions))
+      nCols.orNull, partitioned, nVersions))
   }
 }
 
@@ -274,6 +302,8 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
 case class HistoryCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("commit_ts",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
     AttributeReference("n_files", LongType, nullable = false)(),
     AttributeReference("bytes", LongType, nullable = true)(),
     AttributeReference("n_added", LongType, nullable = false)(),

@@ -6151,8 +6151,12 @@ object ExtQueries {
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
     graft.ops.TableManifest.init(s, tmp) // v1
+    // commit times are BODY-recorded millis (the manifest `ctime` field),
+    // so a wall clock captured between the two commits resolves exactly —
+    // no sleep needed for filesystem-mtime granularity. Spin past the
+    // captured millisecond so v2's stamp is strictly later.
     val betweenMillis = System.currentTimeMillis()
-    Thread.sleep(1100) // manifest mtime granularity can be 1s
+    while (System.currentTimeMillis() <= betweenMillis) Thread.onSpinWait()
     graft.ops.TableManifest.publish(
       src.withColumn("cents", col("cents") + 1L), tmp) // v2: head
     val tbl = s"g177_tt_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -6470,6 +6474,277 @@ object ExtQueries {
       |WHERE CAST(ts AS DATE) >= DATE '2024-01-10'
       |GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- Q184
+  /** Partitioned table as a full WRITE surface from SQL, oracle-pinned:
+    * every-third order lands via [[graft.ops.TableManifest
+    * .publishPartitioned]] under `bucket=<k%4>/`, and `INSERT INTO` then
+    * appends the complement — the provider re-lays the batch out under
+    * its `k=v/` directories before the move-in (one extra pass over the
+    * BATCH, never the table), so the listing stays single-layout and
+    * appended rows keep their name-carried partition values. The final
+    * aggregate groups BY the partition column over the whole table; an
+    * append that flattened the layout, NULLed the values, or dropped
+    * rows hash-mismatches the oracle's recomputed `k % 4`. */
+  def q184PartitionedInsert(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q184")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(
+      src.filter(col("k") % 3 === 0), tmp, Seq("bucket"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g184_pins_$tag"
+    val view = s"g184_src_$tag"
+    src.filter(col("k") % 3 =!= 0).createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"INSERT INTO $tbl SELECT k, pri, cents, bucket FROM $view")
+    finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("k")).as("max_k"))
+      .orderBy("bucket")
+  }
+
+  val q184Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q185
+  /** STREAMING WRITE into a hive-partitioned manifest table — the q178
+    * pipeline retargeted at the canonical 100 TB streaming sink shape (a
+    * partitioned event table): the micro-batch is re-laid out under its
+    * `bucket=<k%4>/` directories with the `b<epoch>-` stamp kept on the
+    * nested basename, so exactly-once replay detection and vacuum's
+    * in-flight floor work unchanged while partition pruning applies to
+    * everything the stream has ever landed. The aggregate groups by the
+    * partition column over base + streamed rows; a write that flattened
+    * the layout, dropped an epoch, or double-landed a replay
+    * hash-mismatches. */
+  def q185PartitionedStreamWrite(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = freshScratch("graft-q185-src")
+    val dstDir = freshScratch("graft-q185-dst")
+    val ckpt = freshScratch("graft-q185-ckpt")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    // the stream SOURCE: a flat manifest table holding the complement
+    graft.ops.TableManifest.publish(src.filter(col("k") % 3 =!= 0), srcDir)
+    // the partitioned TARGET, pre-seeded with every-third order
+    graft.ops.TableManifest.publishPartitioned(
+      src.filter(col("k") % 3 === 0), dstDir, Seq("bucket"))
+    val q = s.readStream.format("graft-manifest").load(srcDir)
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dstDir)
+    q.awaitTermination()
+    s.read.format("graft-manifest").load(dstDir)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("bucket")
+  }
+
+  val q185Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q186
+  /** SQL `UPDATE` on a HIVE-PARTITIONED manifest table, oracle-pinned —
+    * the statement a 100 TB date-partitioned table could not run before
+    * this round: a partition-column condition (`WHERE bucket = 1`,
+    * candidates pruned on the `k=v` segments themselves — only that
+    * partition's files are even scanned) and a data-column range update
+    * applied after it, with every victim rewritten back UNDER its
+    * partition directory via partitionBy. The CASE-nested oracle pins
+    * statement order, old-row evaluation, AND partition-value survival
+    * (the aggregate groups by the partition column). */
+  def q186PartitionedUpdate(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q186")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(src, tmp, Seq("bucket"))
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tbl = s"g186_pupd_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"UPDATE $tbl SET cents = cents + 7 WHERE bucket = 1")
+      s.sql(s"UPDATE $tbl SET cents = 0 WHERE k <= 1000")
+    } finally s.sql(s"DROP TABLE $tbl")
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("bucket")
+  }
+
+  val q186Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey <= 1000 THEN 0
+      |    ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+      |      + CASE WHEN o_orderkey % 4 = 1 THEN 7 ELSE 0 END END)
+      |    AS BIGINT) AS cents
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q187
+  /** SQL `MERGE INTO` a HIVE-PARTITIONED manifest table, oracle-pinned:
+    * matched rows replace IN their partitions, not-matched rows insert
+    * INTO theirs (including the partition column riding the source as
+    * data and landing as a `k=v` directory). Victim discovery reads the
+    * candidates with basePath pinned so the key join sees partition
+    * columns like any other column; the rewrite is leaf-aligned with no
+    * shuffle. The q176 oracle shape, grouped by the partition column so
+    * a merge that moved rows across partitions hash-mismatches. */
+  def q187PartitionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q187")
+    val base = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(base, tmp, Seq("bucket"))
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g187_pmrg_$tag"
+    val view = s"g187_src_$tag"
+    val updates = base.filter(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 11)
+    val inserts = base.filter(col("k") % 1009 === 0)
+      .select((col("k") + 10000000L).as("k"), col("pri"),
+        lit(5L).as("cents"), ((col("k") + 10000000L) % 4).as("bucket"))
+    updates.unionByName(inserts).createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(
+      s"""MERGE INTO $tbl USING $view ON $tbl.k = $view.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(when(col("cents") === 5L, 1L).otherwise(0L)).as("n_inserted"))
+      .orderBy("bucket")
+  }
+
+  val q187Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey % 4 AS bucket
+      |  FROM orders),
+      |merged AS (
+      |  SELECT k, pri,
+      |    CASE WHEN k % 97 = 0 THEN cents + 11 ELSE cents END AS cents,
+      |    bucket
+      |  FROM base
+      |  UNION ALL
+      |  SELECT k + 10000000, pri, 5, (k + 10000000) % 4
+      |  FROM base WHERE k % 1009 = 0)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN cents = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_inserted
+      |FROM merged GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q188
+  /** Whole-table `OPTIMIZE` on a HIVE-PARTITIONED manifest table,
+    * oracle-pinned: the fixture lands 4 fragments per `bucket=` leaf
+    * (16 total), one statement compacts EVERY leaf — one CAS splice per
+    * partition, per-leaf isolation — and the query returns the
+    * compaction ledger (16 → 4) plus the post-compaction row aggregate,
+    * so a compaction that lost rows, stripped partition values, or
+    * mis-counted leaves hash-mismatches the VALUES oracle + recomputed
+    * totals. */
+  def q188PartitionedOptimize(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q188")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(
+      src.repartition(4), tmp, Seq("bucket"))
+    val tbl = s"g188_popt_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    val opt =
+      try s.sql(s"OPTIMIZE $tbl").head()
+      finally s.sql(s"DROP TABLE $tbl")
+    val after = s.read.format("graft-manifest").load(tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .head()
+    import s.implicits._
+    Seq((opt.getLong(0), opt.getLong(1), after.getLong(0),
+      after.getLong(1), after.getLong(2)))
+      .toDF("files_before", "files_after", "n", "cents", "n_buckets")
+  }
+
+  val q188Sql: String =
+    """SELECT CAST(16 AS BIGINT) AS files_before,
+      |  CAST(4 AS BIGINT) AS files_after,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(4 AS BIGINT) AS n_buckets
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- Q189
+  /** Data-column `DELETE` on a HIVE-PARTITIONED manifest table — the
+    * shape round 13 rejected at planning: the condition touches no
+    * partition column, so the erase is a partition-aware copy-on-write
+    * (victims rewritten back UNDER their `k=v/` directories, survivors
+    * keeping their name-carried values) instead of a metadata drop. The
+    * aggregate groups by the partition column over the survivors; an
+    * erase that flattened the layout, under-deleted, or dropped
+    * neighbors hash-mismatches the oracle's complement. */
+  def q189PartitionedDeleteRows(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q189")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(src, tmp, Seq("bucket"))
+    graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
+    val tbl = s"g189_pdel_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(s"DELETE FROM $tbl WHERE k <= 2000")
+    finally s.sql(s"DROP TABLE $tbl")
+    s.read.format("graft-manifest").load(tmp)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        min(col("k")).as("min_k"))
+      .orderBy("bucket")
+  }
+
+  val q189Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_k
+      |FROM orders WHERE o_orderkey > 2000
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6642,7 +6917,13 @@ object ExtQueries {
     "q180_partitioned_read" -> (q180PartitionedRead _),
     "q181_restore" -> (q181Restore _),
     "q182_partition_delete" -> (q182PartitionDelete _),
-    "q183_partition_retention" -> (q183PartitionRetention _))
+    "q183_partition_retention" -> (q183PartitionRetention _),
+    "q184_partitioned_insert" -> (q184PartitionedInsert _),
+    "q185_partitioned_stream_write" -> (q185PartitionedStreamWrite _),
+    "q186_partitioned_update" -> (q186PartitionedUpdate _),
+    "q187_partitioned_merge" -> (q187PartitionedMerge _),
+    "q188_partitioned_optimize" -> (q188PartitionedOptimize _),
+    "q189_partitioned_delete_rows" -> (q189PartitionedDeleteRows _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -6817,5 +7098,11 @@ object ExtQueries {
     "q180_partitioned_read" -> q180Sql,
     "q181_restore" -> q181Sql,
     "q182_partition_delete" -> q182Sql,
-    "q183_partition_retention" -> q183Sql)
+    "q183_partition_retention" -> q183Sql,
+    "q184_partitioned_insert" -> q184Sql,
+    "q185_partitioned_stream_write" -> q185Sql,
+    "q186_partitioned_update" -> q186Sql,
+    "q187_partitioned_merge" -> q187Sql,
+    "q188_partitioned_optimize" -> q188Sql,
+    "q189_partitioned_delete_rows" -> q189Sql)
 }

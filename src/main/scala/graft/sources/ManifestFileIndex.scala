@@ -40,7 +40,7 @@ import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAw
   * pushdown, partition pruning, vectorized reads, and
   * `sizeInBytes`-driven broadcast decisions all see the same numbers a
   * listed index would serve. */
-private[sources] final class ManifestFileIndex(
+private[graft] final class ManifestFileIndex(
     spark: SparkSession, dir: Path, statuses: Array[FileStatus])
     extends PartitioningAwareFileIndex(spark,
       Map("basePath" -> dir.toString), None) {

@@ -114,14 +114,14 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     })
     pinnedVersion match {
       case Some(v) =>
-        val (names, schema, fstat) =
+        val (names, schema, fstat, partSchema) =
           TableManifest.readAtFull(spark, dir, v).getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
-        ManifestTableProvider.Tracked(names, schema, fstat)
+        ManifestTableProvider.Tracked(names, schema, fstat, partSchema)
       case None =>
         TableManifest.readFull(spark, dir) match {
-          case Some((_, names, schema, fstat)) =>
-            ManifestTableProvider.Tracked(names, schema, fstat)
+          case Some((_, names, schema, fstat, partSchema)) =>
+            ManifestTableProvider.Tracked(names, schema, fstat, partSchema)
           case None => ManifestTableProvider.Untracked // plain dir scan
         }
     }
@@ -144,8 +144,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       }
     }
     val (files, manifestSchema, snapshot) = resolved match {
-      case ManifestTableProvider.Tracked(names, schema, fstat) =>
-        (names.map(f => s"$dir/$f"), schema, Some((names, fstat)))
+      case ManifestTableProvider.Tracked(names, schema, fstat, partSchema) =>
+        (names.map(f => s"$dir/$f"), schema, Some((names, fstat, partSchema)))
       case ManifestTableProvider.Untracked => (Seq(dir), None, None)
     }
     // schema priority: caller's explicit schema, then the manifest-carried
@@ -175,7 +175,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     new ManifestReadTable(SparkSession.active,
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
         files, schema, classOf[ParquetFileFormat]), dir, effective,
-      snapshot.map { case (names, fstat) => (names, schema, fstat) })
+      snapshot.map { case (names, fstat, partSchema) =>
+        (names, schema, fstat, partSchema) })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -193,7 +194,8 @@ private[sources] object ManifestTableProvider {
     * plain-directory fallback. */
   sealed trait Resolved
   final case class Tracked(names: Seq[String], schema: Option[StructType],
-      fstat: Map[String, (Long, Long)]) extends Resolved
+      fstat: Map[String, (Long, Long)],
+      partSchema: Option[StructType]) extends Resolved
   case object Untracked extends Resolved
 }
 
@@ -240,10 +242,23 @@ private object ManifestReadTable {
     * carried schema that lacks the partition columns (init's footer
     * sweep) and one that already includes them (a catalog-stored full
     * schema handed back as the user schema). Flat layouts pass through
-    * untouched. */
-  def splitSchemas(carried: StructType, index: ManifestFileIndex)
+    * untouched.
+    *
+    * `declared` is the manifest-persisted partition schema: consulted
+    * ONLY when the snapshot lists no files at all (nothing to infer
+    * from), so an emptied partitioned table — full retention delete,
+    * erase-all — keeps serving its partition columns instead of
+    * silently shrinking its schema. When files exist, the inferred spec
+    * always wins: its VALUE types are what the scan actually serves,
+    * and pairing declared types with inferred values could mistype
+    * rows. */
+  def splitSchemas(carried: StructType, index: ManifestFileIndex,
+      declared: Option[StructType] = None, snapshotEmpty: Boolean = false)
       : (StructType, StructType) = {
-    val pSchema = index.partitionSchema
+    val pSchema =
+      if (index.partitionSchema.nonEmpty) index.partitionSchema
+      else if (snapshotEmpty) declared.getOrElse(new StructType())
+      else new StructType()
     if (pSchema.isEmpty) (carried, carried)
     else {
       val pNames = pSchema.fieldNames.map(_.toLowerCase).toSet
@@ -274,7 +289,8 @@ private object ManifestReadTable {
 private final class ManifestReadTable(spark: SparkSession,
     delegate: ParquetTable,
     dir: String, tableOptions: CaseInsensitiveStringMap,
-    tracked: Option[(Seq[String], Option[StructType], Map[String, (Long, Long)])])
+    tracked: Option[(Seq[String], Option[StructType],
+      Map[String, (Long, Long)], Option[StructType])])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
@@ -283,12 +299,17 @@ private final class ManifestReadTable(spark: SparkSession,
     * per resolved table and shared by `schema()` and every scan (the
     * index also owns the inferred partition spec of a hive layout). */
   private lazy val trackedIndex: Option[ManifestFileIndex] =
-    tracked.map { case (names, _, fstat) =>
+    tracked.map { case (names, _, fstat, _) =>
       // the construction-time session, NOT SparkSession.active: schema()
       // (which forces this) is called by relation creation in library
       // paths where no session is active on the calling thread
       ManifestReadTable.index(spark, dir, names, fstat)
     }
+
+  /** The manifest-DECLARED partition schema and whether the snapshot is
+    * empty — splitSchemas' empty-table fallback inputs. */
+  private def declaredPartSchema: Option[StructType] = tracked.flatMap(_._4)
+  private def snapshotEmpty: Boolean = tracked.exists(_._1.isEmpty)
 
   /** Serve the resolved schema DIRECTLY when the snapshot carries one:
     * `delegate.schema` would subtract the partition schema, which forces
@@ -302,7 +323,8 @@ private final class ManifestReadTable(spark: SparkSession,
   override def schema(): StructType =
     (tracked.flatMap(_._2), trackedIndex) match {
       case (Some(carried), Some(idx)) =>
-        ManifestReadTable.splitSchemas(carried, idx)._1
+        ManifestReadTable.splitSchemas(carried, idx,
+          declaredPartSchema, snapshotEmpty)._1
       case _ => delegate.schema
     }
   override def capabilities(): util.Set[TableCapability] =
@@ -312,7 +334,7 @@ private final class ManifestReadTable(spark: SparkSession,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     (tracked, trackedIndex) match {
-      case (Some((_, schemaOpt, _)), Some(idx)) =>
+      case (Some((_, schemaOpt, _, _)), Some(idx)) =>
         // zero-FS-call planning: the file index is fabricated from the
         // pinned manifest body; only inventory gaps (pre-filestat
         // manifests) cost ONE directory listing. On a hive layout the
@@ -320,7 +342,8 @@ private final class ManifestReadTable(spark: SparkSession,
         // never asked of the footers — and partition pruning rides the
         // index's inferred spec.
         val carried = schemaOpt.getOrElse(delegate.schema)
-        val (full, data) = ManifestReadTable.splitSchemas(carried, idx)
+        val (full, data) = ManifestReadTable.splitSchemas(carried, idx,
+          declaredPartSchema, snapshotEmpty)
         new ManifestScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScanBuilder(SparkSession.active, idx, full, data, options),
@@ -401,13 +424,14 @@ private final class ManifestReadTable(spark: SparkSession,
     def ensureTracked(): Unit =
       if (TableManifest.read(spark, dir).isEmpty) TableManifest.init(spark, dir)
     val effective = filters.filterNot(_.isInstanceOf[AlwaysTrue])
-    // a HIVE-PARTITIONED snapshot: file-granular rewrites are off the
-    // table (they'd strip the name-carried partition values), but a
-    // condition constrained ENTIRELY to partition columns is row-exact
-    // at FILE granularity — the value is constant per file — so the
-    // delete becomes a metadata-only partition DROP (no data touched,
-    // the cheapest delete a lakehouse has). Anything touching a data
-    // column reports unsupported, so Spark rejects at planning.
+    // a HIVE-PARTITIONED snapshot: a condition constrained ENTIRELY to
+    // partition columns is row-exact at FILE granularity — the value is
+    // constant per file — so the delete becomes a metadata-only partition
+    // DROP (no data touched, the cheapest delete a lakehouse has). A
+    // condition on DATA columns falls through to the generic erase
+    // shapes below, whose copy-on-write is partition-aware (victims
+    // rewritten back under their k=v/ directories); mixed
+    // partition+data conjunctions stay rejected at planning.
     val partitionedNames = tracked.map(_._1).filter(_.exists(_.contains("/")))
     partitionedNames match {
       case Some(names) if effective.nonEmpty =>
@@ -466,11 +490,14 @@ private final class ManifestReadTable(spark: SparkSession,
             bounds(c, units(v).get, Long.MaxValue)
           case _ => None
         }
-        return if (preds.exists(_.isEmpty)) None
-        else Some { () =>
-          TableManifest.dropPartitions(spark, dir, preds.flatten.toSeq)
-          ()
-        }
+        // every conjunct partition-shaped → metadata-only drop; otherwise
+        // fall THROUGH to the generic erase shapes (partition-aware
+        // copy-on-write) instead of rejecting the statement
+        if (preds.forall(_.isDefined))
+          return Some { () =>
+            TableManifest.dropPartitions(spark, dir, preds.flatten.toSeq)
+            ()
+          }
       case _ => ()
     }
     effective match {
@@ -737,22 +764,50 @@ private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,
       else fs.listStatus(sp).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
-    val tag = util.UUID.randomUUID().toString.take(8)
-    val moved = parts.zipWithIndex.map { case (s, i) =>
-      val name = s"sql-$tag-p$i.parquet"
-      require(fs.rename(s.getPath, new Path(p, name)),
-        s"graft-manifest: move of ${s.getPath} to $name failed")
-      name
-    }
+    // HIVE-PARTITIONED target: the scratch holds FLAT part files whose
+    // rows carry the partition columns as data (the stock DSv2 file
+    // writer cannot write dynamic partitions), so the batch is re-laid
+    // out k=v/-nested before the move-in — one extra read+write of the
+    // BATCH (the just-written scratch, hot), never of the table. The
+    // nested basenames keep the sql-<tag>- shape, so vacuum's in-flight
+    // floor protects the rename→commit window exactly like flat inserts.
+    val partCols = TableManifest.layoutPartitionCols(spark, dir)
+    val (moved, committedSchema) =
+      if (partCols.isEmpty) {
+        val tag = util.UUID.randomUUID().toString.take(8)
+        val flat = parts.zipWithIndex.map { case (s, i) =>
+          val name = s"sql-$tag-p$i.parquet"
+          require(fs.rename(s.getPath, new Path(p, name)),
+            s"graft-manifest: move of ${s.getPath} to $name failed")
+          name
+        }
+        (flat, writeSchema)
+      } else {
+        partCols.foreach(c =>
+          require(writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"graft-manifest: INSERT into the partitioned table $dir " +
+              s"must carry its partition column `$c`"))
+        // carried schema stays DATA columns only — partition values live
+        // in the names (the init/publishPartitioned convention)
+        val dataSchema = StructType(writeSchema.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name))))
+        val nested =
+          if (parts.isEmpty) Seq.empty[String]
+          else TableManifest.writeAndMoveInPartitioned(
+            spark.read.schema(writeSchema)
+              .parquet(parts.map(_.getPath.toString): _*),
+            "sql", dir, partCols)
+        (nested, dataSchema)
+      }
     // an empty-plan insert can finalize zero files (or only 0-row task
     // files): appending zero files is a no-op (no manifest version
     // burned), while an overwrite always commits — truncating to an
     // empty (possibly zero-file) table that stays readable because the
     // commit carries the write schema
     if (overwrite)
-      TableManifest.replaceFiles(spark, dir, moved, Some(writeSchema))
+      TableManifest.replaceFiles(spark, dir, moved, Some(committedSchema))
     else if (moved.nonEmpty)
-      TableManifest.appendFiles(spark, dir, moved, Some(writeSchema))
+      TableManifest.appendFiles(spark, dir, moved, Some(committedSchema))
     fs.delete(sp, true)
   }
 
@@ -784,8 +839,10 @@ private[graft] object ManifestScans {
     val opts = new CaseInsensitiveStringMap(m)
     val delegate = new ParquetTable(s"graft-manifest:$dir", spark, opts,
       names.map(f => s"$dir/$f"), Some(schema), classOf[ParquetFileFormat])
+    // partSchema None: scanSnapshot is only called for non-empty slices
+    // (scanListed's empty branch serves the declared columns itself)
     val table = new ManifestReadTable(spark, delegate, dir, opts,
-      Some((names, Some(schema), fstat)))
+      Some((names, Some(schema), fstat, None)))
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(table, None, None))

@@ -96,17 +96,48 @@ object ManifestAppendSink {
       fs.delete(scratch, true) // replayed epoch: rows already committed
       return
     }
-    val tag = UUID.randomUUID().toString
-    val moved =
+    val parts =
       (if (fs.exists(scratch)) fs.listStatus(scratch).toSeq else Seq.empty)
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
-        .zipWithIndex.map { case (s, i) =>
+    // HIVE-PARTITIONED target (a date-partitioned event table is the
+    // canonical streaming sink): the scratch holds FLAT part files whose
+    // rows carry the partition columns as data, so the micro-batch is
+    // re-laid out k=v/-nested before the move-in — one extra read+write
+    // of the BATCH (just-written, hot), never of the table. The nested
+    // BASENAMES keep the b<batchId>- stamp, so vacuum's above-hwm
+    // in-flight protection and replay detection work unchanged.
+    val partCols = TableManifest.layoutPartitionCols(spark, dir)
+    val tag = UUID.randomUUID().toString
+    val moved =
+      if (partCols.isEmpty || parts.isEmpty)
+        parts.zipWithIndex.map { case (s, i) =>
           val name = s"b$batchId-$tag-p$i.parquet"
           require(fs.rename(s.getPath, new Path(p, name)),
             s"move of ${s.getPath} to $name failed")
           name
         }
+      else {
+        partCols.foreach(c => require(
+          schema.forall(_.fieldNames.exists(_.equalsIgnoreCase(c))),
+          s"streaming append into the partitioned table $dir must carry " +
+            s"its partition column `$c`"))
+        val batch = schema match {
+          case Some(s0) => spark.read.schema(s0)
+            .parquet(parts.map(_.getPath.toString): _*)
+          case None => spark.read.option("mergeSchema", "true")
+            .parquet(parts.map(_.getPath.toString): _*)
+        }
+        TableManifest.writeAndMoveInPartitioned(
+          batch, s"b$batchId", dir, partCols)
+      }
+    // the carried schema stays DATA columns only on a partitioned target
+    // (partition values live in the names — the init convention)
+    val committedSchema =
+      if (partCols.isEmpty) schema
+      else schema.map(s0 => org.apache.spark.sql.types.StructType(
+        s0.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name)))))
     val (stats, sstats) =
       if (statsCols.isEmpty || moved.isEmpty)
         (Map.empty[String, Map[String, (Long, Long)]],
@@ -120,14 +151,14 @@ object ManifestAppendSink {
         case Some((v, files, _)) => (v, files)
         case None => (0L, Seq.empty[String])
       }
-      // streaming appends land FLAT files at the table root (the
-      // appendFiles rationale: mixed layouts break partition inference
-      // and lose name-carried values) — checked INSIDE the CAS loop so a
-      // racing partitioned publish/restore can't slip past a stale check
-      TableManifest.requireFlatLayout(prev, "streaming append")
+      // the batch was laid out for the layout read above; re-checked
+      // against the CURRENT head inside the CAS loop so a racing layout
+      // change (partitioned publish, restore) is loud, never a mixed
+      // listing with silently-NULL partition values
+      TableManifest.requireLayoutMatch(prev, moved, "streaming append")
       committed = TableManifest.commitIf(spark, dir, prev ++ moved,
         expectedHead = headV, hwm = Some(batchId), stats = stats,
-        sstats = sstats, schema = schema).isDefined
+        sstats = sstats, schema = committedSchema).isDefined
       attempts += 1
       if (!committed && attempts >= 64)
         sys.error(s"append of batch $batchId to $dir lost $attempts races")

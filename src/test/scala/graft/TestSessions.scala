@@ -17,7 +17,9 @@ object TestSessions {
     * these through [[withExtensionsActive]] instead. */
   val parserQueries: Set[String] =
     Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
-      "q179_schema_evolution", "q181_restore")
+      "q179_schema_evolution", "q181_restore",
+      "q186_partitioned_update", "q187_partitioned_merge",
+      "q188_partitioned_optimize")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession

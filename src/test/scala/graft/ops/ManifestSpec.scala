@@ -350,28 +350,32 @@ class ManifestSpec extends SparkSpec {
     graft.streaming.ManifestAppendSink.applyBatch(
       docs.limit(5).coalesce(1), batchId = 1L, dir)             // v2: +1, hwm 1
     TableManifest.publish(docs.limit(10).coalesce(1), dir)      // v3: replace
-    val h = TableManifest.history(spark, dir)
-      .orderBy("version")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
-        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    val rows = TableManifest.history(spark, dir).orderBy("version").collect()
+    val h = rows
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
     assert(h.toSeq == Seq(
       (1L, 2L, 2L, 0L, None),
       (2L, 3L, 1L, 0L, Some(1L)),
       (3L, 1L, 1L, 3L, Some(1L))),
       s"unexpected ledger: ${h.toSeq}")
+    // commit timestamps are BODY-recorded wall clocks (never null on
+    // fresh manifests) and non-decreasing in version
+    val ts = rows.map(_.getTimestamp(1).getTime)
+    assert(ts.forall(_ > 0L) && ts.sorted.toSeq == ts.toSeq,
+      s"recorded commit times monotone: ${ts.toSeq}")
     // bytes come from the filestat inventory and match the live files
     val head = TableManifest.history(spark, dir)
       .orderBy(org.apache.spark.sql.functions.col("version").desc)
       .head()
     val liveBytes = TableManifest.readHead(spark, dir).get._2
       .map(n => new java.io.File(dir, n).length()).sum
-    assert(!head.isNullAt(2) && head.getLong(2) == liveBytes)
+    assert(!head.isNullAt(3) && head.getLong(3) == liveBytes)
     // retention pruning drops rows; deltas recompute vs what survives
     TableManifest.vacuum(spark, dir, retainManifests = 1)
     val afterPrune = TableManifest.history(spark, dir).collect()
     assert(afterPrune.length == 1 && afterPrune.head.getLong(0) == 3L)
-    assert(afterPrune.head.getLong(3) == 1L, "delta must be vs surviving history")
+    assert(afterPrune.head.getLong(4) == 1L, "delta must be vs surviving history")
   }
 
   test("snapshot cache: a wiped-and-recreated table at the same path reads fresh") {

@@ -54,12 +54,15 @@ class MaintenanceSqlSpec extends AnyFunSuite {
       TableManifest.readHead(spark, dir).get._2.head + "`")
       .head().getLong(0) == 100L)
 
-    // DESCRIBE HISTORY: newest first, adds/removes ledger
+    // DESCRIBE HISTORY: newest first, commit wall-clock, adds/removes ledger
     val h = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
     assert(h.length == 2)
-    assert(h.head.getLong(0) == 2L && h.head.getLong(1) == 1L &&
-      h.head.getLong(4) == 8L, s"head ledger row: ${h.head}")
-    assert(h.last.getLong(0) == 1L && h.last.getLong(1) == 8L)
+    assert(h.head.getLong(0) == 2L && h.head.getLong(2) == 1L &&
+      h.head.getLong(5) == 8L, s"head ledger row: ${h.head}")
+    assert(h.last.getLong(0) == 1L && h.last.getLong(2) == 8L)
+    assert(h.forall(r => r.getTimestamp(1) != null) &&
+      !h.head.getTimestamp(1).before(h.last.getTimestamp(1)),
+      s"body-recorded commit times, newest first: ${h.toSeq}")
 
     // bare VACUUM defaults to the 168h grace (the lakehouse convention) —
     // the just-delisted fragments survive a retention-less statement...

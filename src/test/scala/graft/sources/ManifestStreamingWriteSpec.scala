@@ -114,7 +114,7 @@ class ManifestStreamingWriteSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
-  test("streaming write into a hive-partitioned table fails loudly, table untouched") {
+  test("streaming write into a hive-partitioned table lands epochs under their partitions") {
     val dir = tmpDir("gm-swrite-part")
     (1L to 6L).map(i => (i, i % 2)).toDF("k", "side")
       .repartition(1).write.partitionBy("side").mode("overwrite").parquet(dir)
@@ -122,20 +122,26 @@ class ManifestStreamingWriteSpec extends SparkSpec {
     val v0 = TableManifest.read(spark, dir).get._1
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long)]
-    in.addData((9L, 0L))
-    val e = intercept[Exception] {
-      val q = in.toDF().toDF("k", "side")
-        .writeStream.format("graft-manifest")
-        .option("checkpointLocation", tmpDir("gm-swrite-part-ck"))
-        .trigger(Trigger.AvailableNow())
-        .start(dir)
-      q.awaitTermination(60000)
-    }
-    // the flat-layout check fires inside the epoch commit's CAS loop —
-    // the stream dies loudly and the partitioned listing never mixes in
-    // a flat file
-    assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
-    assert(TableManifest.read(spark, dir).get._1 == v0, "no version burned")
-    assert(TableManifest.readTable(spark, dir).count() == 6L)
+    in.addData((9L, 0L), (10L, 3L)) // an existing and a brand-new partition
+    val q = in.toDF().toDF("k", "side")
+      .writeStream.format("graft-manifest")
+      .option("checkpointLocation", tmpDir("gm-swrite-part-ck"))
+      .trigger(Trigger.AvailableNow())
+      .start(dir)
+    q.awaitTermination(60000)
+    // one epoch = one commit; the micro-batch is re-laid out under its
+    // k=v/ directories with the b<epoch>- stamp on the nested basename
+    // (replay detection and vacuum's in-flight floor unchanged)
+    val (v1, names) = TableManifest.read(spark, dir).get
+    assert(v1 == v0 + 1, "one version per epoch")
+    assert(names.forall(_.startsWith("side=")), s"single layout: $names")
+    assert(names.exists(n => n.startsWith("side=3/") &&
+      n.substring(n.indexOf('/') + 1).startsWith("b0-")),
+      s"new partition minted with the batch stamp: $names")
+    val got = spark.read.format("graft-manifest").load(dir)
+      .selectExpr("k", "side").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == ((1L to 6L).map(i => (i, i % 2)) ++
+      Seq((9L, 0L), (10L, 3L))).sorted,
+      s"streamed rows read back with their partition values: $got")
   }
 }

@@ -4,11 +4,13 @@ import graft.SparkSpec
 import graft.ops.TableManifest
 
 /** `TIMESTAMP AS OF` time travel: `timestampAsOf` resolves to the newest
-  * version committed at or before the asked wall-clock instant (commit
-  * creation is sequential, so manifest mtimes are monotone in version)
-  * and then pins that version's snapshot exactly like `versionAsOf`.
-  * Asking for a time before the first surviving commit is LOUD — never
-  * silently the oldest snapshot. */
+  * version whose BODY-recorded commit time (the `ctime` field stamped at
+  * commit — exact millis, no filesystem-mtime granularity or object-store
+  * semantics; monotonized by running max) is at or before the asked
+  * wall-clock instant, then pins that version's snapshot exactly like
+  * `versionAsOf`. Pre-ctime manifests fall back to the manifest file's
+  * mtime. Asking for a time before the first surviving commit is LOUD —
+  * never silently the oldest snapshot. */
 class ManifestTimeTravelSpec extends SparkSpec {
 
   import spark.implicits._
@@ -19,13 +21,24 @@ class ManifestTimeTravelSpec extends SparkSpec {
     TableManifest.init(spark, dir)
     Seq((2L, "v2")).toDF("id", "s")
       .write.format("graft-manifest").mode("append").save(dir)
-    // pin deterministic commit times instead of sleeping: v1 at T-10s,
-    // v2 at T-5s (mtime monotonicity is the resolution's contract)
+    // pin deterministic commit times instead of sleeping: v1 at T-10s
+    // via its BODY-recorded ctime, v2 at T-5s via the MTIME FALLBACK
+    // (its ctime field stripped — the pre-ctime manifest shape), so one
+    // test drills both resolution sources
     val now = System.currentTimeMillis()
     val mdir = new java.io.File(dir, "_manifest")
     val manifests = mdir.listFiles().filter(_.getName.endsWith(".json")).sorted
     assert(manifests.length == 2)
-    assert(manifests(0).setLastModified(now - 10000))
+    def patchCtime(f: java.io.File, to: Option[Long]): Unit = {
+      val body = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      assert(body.contains("\"ctime\":"), "commits record their wall clock")
+      val patched = body.replaceAll(""""ctime":[0-9]+,""",
+        to.map(t => s""""ctime":$t,""").getOrElse(""))
+      java.nio.file.Files.write(f.toPath, patched.getBytes("UTF-8"))
+    }
+    patchCtime(manifests(0), Some(now - 10000))
+    patchCtime(manifests(1), None) // pre-ctime shape: mtime fallback
     assert(manifests(1).setLastModified(now - 5000))
 
     def at(t: String) = spark.read.format("graft-manifest")

@@ -10,9 +10,11 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
   * manifest names, and [[ManifestFileIndex]] infers the partition spec
   * from those names alone — so the provider serves the partition COLUMN
   * (no footer holds it) and prunes partitions with the same zero-FS-call
-  * planning as a flat table. Copy-on-write rewrites refuse partitioned
-  * layouts loudly (a root-level rewrite would strip the name-carried
-  * values). */
+  * planning as a flat table. Appends re-lay the batch out under its
+  * `k=v/` directories, and the copy-on-write rewrites (UPDATE / ERASE /
+  * MERGE) read victims with basePath pinned and write them back UNDER
+  * their partitions via partitionBy — rows can never lose their
+  * name-carried values. */
 class PartitionedManifestSpec extends SparkSpec {
 
   import spark.implicits._
@@ -95,32 +97,62 @@ class PartitionedManifestSpec extends SparkSpec {
       s"streamed rows carry their partition values: ${seen.toSeq.sorted}")
   }
 
-  test("appends into a partitioned table are refused loudly (flat files would break the layout)") {
+  test("appends into a partitioned table land under their k=v directories") {
     val dir = newTable()
-    // provider append (the SQL INSERT commit path)
-    val e1 = intercept[Exception] {
-      Seq((99L, "x", 0L)).toDF("id", "s", "bucket")
-        .write.format("graft-manifest").mode("append").save(dir)
-    }
-    assert(e1.getMessage.contains("hive-partitioned"), e1.getMessage)
-    // streaming append (hwm protocol path)
-    val e2 = intercept[Exception] {
-      graft.streaming.ManifestAppendSink.applyBatch(
-        Seq((99L, "x", 0L)).toDF("id", "s", "bucket"), 1L, dir)
-    }
-    assert(e2.getMessage.contains("hive-partitioned"), e2.getMessage)
-    // the table is untouched either way
-    assert(TableManifest.readTable(spark, dir).count() == 9L)
-    // INSERT OVERWRITE (snapshot replace) remains legal: it re-derives a
-    // flat layout carrying the partition column as data
+    // provider append (the SQL INSERT commit path): the batch is re-laid
+    // out k=v/-nested before the move-in, so the rows keep their
+    // partition values and the listing stays single-layout
+    Seq((99L, "x", 0L), (100L, "y", 7L)).toDF("id", "s", "bucket")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val (_, names1) = TableManifest.read(spark, dir).get
+    assert(names1.forall(_.startsWith("bucket=")),
+      s"appended files carry the partition chain: $names1")
+    assert(names1.exists(n => n.startsWith("bucket=7/") &&
+      n.substring(n.indexOf('/') + 1).startsWith("sql-")),
+      s"a NEW partition directory is minted for a new value: $names1")
+    val df = spark.read.format("graft-manifest").load(dir)
+    assert(df.count() == 11L)
+    assert(df.filter(org.apache.spark.sql.functions.col("bucket") === 7)
+      .select("id").as[Long].collect().toSeq == Seq(100L),
+      "appended rows read back with their name-carried partition value")
+    // streaming append (hwm protocol path) re-lays out the same way,
+    // with the b<batchId>- stamp kept on the nested BASENAME so replay
+    // detection and vacuum's in-flight floor work unchanged
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((101L, "z", 1L)).toDF("id", "s", "bucket"), 1L, dir)
+    val (_, names2) = TableManifest.read(spark, dir).get
+    assert(names2.exists(n => n.startsWith("bucket=1/") &&
+      n.substring(n.indexOf('/') + 1).startsWith("b1-")),
+      s"batch-stamped nested basename: $names2")
+    // replayed batch is a no-op (hwm covers it)
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((101L, "z", 1L)).toDF("id", "s", "bucket"), 1L, dir)
+    assert(TableManifest.readTable(spark, dir).count() == 12L)
+    // a batch MISSING the partition column: Spark's byName append fills
+    // the nullable column with NULL, and the row lands in the hive
+    // default partition — the SQL NULL-partition semantics (readable as
+    // NULL; eq/range drops never match it, IS NOT NULL does)
+    Seq((102L, "q")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val nulls = spark.read.format("graft-manifest").load(dir)
+      .filter(org.apache.spark.sql.functions.col("bucket").isNull)
+      .select("id").as[Long].collect().toSeq
+    assert(nulls == Seq(102L), s"NULL-partition row readable: $nulls")
+    assert(TableManifest.read(spark, dir).get._2
+      .exists(_.startsWith("bucket=__HIVE_DEFAULT_PARTITION__/")),
+      "missing partition value lands in the hive default partition")
+    // INSERT OVERWRITE (snapshot replace) stays partitioned too
     Seq((1L, "y", 1L)).toDF("id", "s", "bucket")
       .write.format("graft-manifest").mode("overwrite").save(dir)
+    val (_, names3) = TableManifest.read(spark, dir).get
+    assert(names3.nonEmpty && names3.forall(_.startsWith("bucket=1/")),
+      s"overwrite kept the hive layout: $names3")
     val got = spark.read.format("graft-manifest").load(dir)
       .as[(Long, String, Long)].collect().toSeq
     assert(got == Seq((1L, "y", 1L)), s"overwrite replaced the snapshot: $got")
   }
 
-  test("DELETE on partition columns is a metadata-only partition drop; data-column deletes are rejected") {
+  test("DELETE: partition-column drops stay metadata-only; data-column deletes copy-on-write per leaf") {
     val dir = newTable()
     val before = TableManifest.read(spark, dir).get
     val tbl = s"gpart_del_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -137,20 +169,38 @@ class PartitionedManifestSpec extends SparkSpec {
         "other buckets' rows untouched")
       // the dropped partition stays time-travelable
       assert(TableManifest.readTableAt(spark, dir, before._1).count() == 9L)
-      // a condition touching a DATA column cannot be file-exact: rejected
-      // at planning while the layout is still partitioned
-      val e = intercept[Exception] { spark.sql(s"DELETE FROM $tbl WHERE id = 1") }
+      // a condition on a DATA column is a partition-aware copy-on-write:
+      // the victim file rewrites back UNDER its k=v directory, every
+      // surviving row keeps its name-carried partition value
+      spark.sql(s"DELETE FROM $tbl WHERE id = 2") // bucket=2's file
+      assert(TableManifest.readTable(spark, dir).count() == 5L)
+      val (_, namesAfter) = TableManifest.read(spark, dir).get
+      assert(namesAfter.forall(_.startsWith("bucket=")),
+        s"rewritten file back under its partition: $namesAfter")
+      assert(spark.read.format("graft-manifest").load(dir)
+        .filter(org.apache.spark.sql.functions.col("bucket") === 2)
+        .select("id").as[Long].collect().toSeq.sorted == Seq(5L, 8L),
+        "partition values survive the rewrite")
+      // mixed partition+data conjunctions stay rejected at planning
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $tbl WHERE bucket = 0 AND id = 3")
+      }
       assert(e.getMessage != null)
-      assert(TableManifest.readTable(spark, dir).count() == 6L,
+      assert(TableManifest.readTable(spark, dir).count() == 5L,
         "the rejected delete touched nothing")
       // IN-set drop
       spark.sql(s"DELETE FROM $tbl WHERE bucket IN (0, 2)")
       assert(TableManifest.readTable(spark, dir).count() == 0L)
+      // ...and the emptied table still DECLARES its layout: partition
+      // columns stay served (the persisted partition schema)
+      assert(spark.read.format("graft-manifest").load(dir)
+        .columns.toSet == Set("id", "s", "bucket"),
+        "an emptied partitioned table keeps serving its partition columns")
       // vacuum reclaims the delisted nested files and prunes the emptied
       // partition dirs (time travel to the pre-drop versions is gone —
       // the documented trade)
       val deleted = TableManifest.vacuum(spark, dir)
-      assert(deleted.count(_.contains("/")) == 3, s"deleted: $deleted")
+      assert(deleted.count(_.contains("/")) >= 3, s"deleted: $deleted")
       val husks = new java.io.File(dir).listFiles()
         .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
       assert(husks.isEmpty, s"emptied partition dirs pruned: ${husks.toSeq}")
@@ -199,13 +249,21 @@ class PartitionedManifestSpec extends SparkSpec {
       val tbl = s"gpart_opt_${java.util.UUID.randomUUID().toString.take(8)}"
       s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
       try {
-        // whole-table OPTIMIZE refuses the layout...
-        val e = intercept[Exception] { s.sql(s"OPTIMIZE $tbl") }
-        assert(e.getMessage.contains("hive-partitioned"), e.getMessage)
-        // ...the partition-scoped form compacts exactly side=0
-        // spec spelled with spaces, normalized to the directory form
+        // the partition-scoped form compacts exactly side=0
+        // (spec spelled with spaces, normalized to the directory form)
         val opt = s.sql(s"OPTIMIZE $tbl PARTITION (side = 0)").head()
         assert(opt.getLong(0) == 4L && opt.getLong(1) == 1L, s"stats: $opt")
+        val mid = TableManifest.read(spark, dir).get._2
+        assert(mid.count(_.startsWith("side=0/")) == 1, s"compacted: $mid")
+        assert(mid.filter(_.startsWith("side=1/")).toSet ==
+          before.filter(_.startsWith("side=1/")).toSet,
+          "the other partition is byte-identical (same names)")
+        // whole-table OPTIMIZE iterates the leaves (one CAS splice per
+        // leaf): side=1's 4 fragments compact, the already-compact
+        // side=0 leaf is a no-op
+        val whole = s.sql(s"OPTIMIZE $tbl").head()
+        assert(whole.getLong(0) == 5L && whole.getLong(1) == 2L,
+          s"whole-table stats (side=0 no-op + side=1 4->1): $whole")
         // a partition that does not exist is LOUD, never a silent no-op
         val e2 = intercept[Exception] {
           s.sql(s"OPTIMIZE $tbl PARTITION (side=9)")
@@ -215,10 +273,8 @@ class PartitionedManifestSpec extends SparkSpec {
       } finally s.sql(s"DROP TABLE $tbl")
     }
     val after = TableManifest.read(spark, dir).get._2
-    assert(after.count(_.startsWith("side=0/")) == 1, s"compacted: $after")
-    assert(after.filter(_.startsWith("side=1/")).toSet ==
-      before.filter(_.startsWith("side=1/")).toSet,
-      "the other partition is byte-identical (same names)")
+    assert(after.count(_.startsWith("side=0/")) == 1 &&
+      after.count(_.startsWith("side=1/")) == 1, s"compacted: $after")
     // contents and partition values survive the rewrite
     val got = spark.read.format("graft-manifest").load(dir)
       .as[(Long, Long)].collect().toSeq.sorted
@@ -327,19 +383,54 @@ class PartitionedManifestSpec extends SparkSpec {
       "vacuum must never reclaim non-hive user subdirectories")
   }
 
-  test("copy-on-write rewrites refuse the partitioned layout loudly") {
-    val dir = newTable()
-    def refused(f: => Any, op: String): Unit = {
-      val e = intercept[Exception](f)
-      assert(e.getMessage.contains("hive-partitioned"), s"$op: ${e.getMessage}")
+  test("copy-on-write rewrites are partition-aware: rows keep their name-carried values") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val dir = newTable() // ids 1..9, bucket = id % 3, one file per bucket
+    // UPDATE on a data column: victims rewrite back under their k=v dirs
+    TableManifest.updateWhere(spark, dir,
+      Seq("s" -> org.apache.spark.sql.functions.concat(lit("u"), c("id"))),
+      Some(c("id") <= 3))
+    val afterUpdate = spark.read.format("graft-manifest").load(dir)
+      .select("id", "s", "bucket").as[(Long, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(afterUpdate == (1L to 9L).map(i =>
+      (i, if (i <= 3) s"u$i" else s"r$i", i % 3)),
+      s"update preserved partition values: $afterUpdate")
+    // a condition ON the partition column resolves (basePath read)...
+    TableManifest.updateWhere(spark, dir,
+      Seq("s" -> lit("b0")), Some(c("bucket") === 0))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .filter(c("bucket") === 0).select("s").distinct()
+      .as[String].collect().toSeq == Seq("b0"))
+    // ...but SETting it is refused (rows would move between partitions)
+    val e = intercept[Exception] {
+      TableManifest.updateWhere(spark, dir, Seq("bucket" -> lit(5L)), None)
     }
-    refused(TableManifest.eraseWhereEq(spark, dir, "id", Seq(1L)),
-      "eraseWhereEq")
-    refused(TableManifest.mergeByKey(spark, dir, "id",
-      Seq((1L, "x", 0L)).toDF("id", "s", "bucket")), "mergeByKey")
-    refused(TableManifest.updateWhere(spark, dir,
-      Seq("s" -> org.apache.spark.sql.functions.lit("x")), None), "updateWhere")
-    refused(graft.ops.Compaction.compactInPlace(spark, dir,
-      targetBytes = 1L << 20, minFileBytes = 1L << 20), "compactInPlace")
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // ERASE on a data column: survivors keep their partition
+    TableManifest.eraseWhereEq(spark, dir, "id", Seq(4L))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .filter(c("bucket") === 1).select("id").as[Long]
+      .collect().toSeq.sorted == Seq(1L, 7L))
+    // MERGE: matched rows replace in place, inserts land in their
+    // partitions (incl. a brand-new one)
+    val src = Seq((1L, "m1", 1L), (50L, "new", 9L))
+      .toDF("id", "s", "bucket")
+    TableManifest.mergeByKey(spark, dir, "id", src)
+    val got = spark.read.format("graft-manifest").load(dir)
+      .select("id", "s", "bucket").as[(Long, String, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.contains((1L, "m1", 1L)) && got.contains((50L, "new", 9L)),
+      s"merge updated and inserted into partitions: $got")
+    assert(got.size == 9, s"9 - erased(4) + inserted(50): $got")
+    val (_, names) = TableManifest.read(spark, dir).get
+    assert(names.forall(_.startsWith("bucket=")), s"single layout: $names")
+    assert(names.exists(_.startsWith("bucket=9/")), "new partition minted")
+    // whole-table compactInPlace still refuses (OPTIMIZE iterates leaves)
+    val e2 = intercept[Exception] {
+      graft.ops.Compaction.compactInPlace(spark, dir,
+        targetBytes = 1L << 20, minFileBytes = 1L << 20)
+    }
+    assert(e2.getMessage.contains("hive-partitioned"), e2.getMessage)
   }
 }
