@@ -71,16 +71,22 @@ object Bench {
     val sentinelThisRun = sentinelRuns.min
 
     // Query bodies materialize corpus-sized scratch via cachedView (lazy
-    // localCheckpoint) and intentionally never unpersist it — per-query
-    // lifetime is right for Verify, but over a 183-query suite the block
-    // manager accumulates EVERY prior query's scratch, and the
+    // localCheckpoint) or .persist and intentionally never unpersist it —
+    // per-query lifetime is right for Verify, but over a 183-query suite
+    // the block manager accumulates EVERY prior query's scratch, and the
     // end-of-suite retry pass then runs at maximum residue (round-13
     // driver artifact: q58 3x its builder-clean time at CPU load 1.00 —
     // memory pressure the CPU sentinel cannot see). Dropping all
-    // persistent RDDs + cached plans between queries keeps each timing
-    // at the same (empty) block-manager state the builder's filtered
-    // runs measure. Blocking, so the release lands before the next
-    // timing window opens rather than racing it.
+    // persistent RDDs + cached plans ONCE PER QUERY (and per retry
+    // iteration) keeps each query's timing at the same empty-store state
+    // an isolated filtered run measures. Deliberately NOT per run: the
+    // two runs of one query share the CacheManager on purpose — a body
+    // that persists an index it probes (q157/q158) measures warm
+    // steady-state on its best run, the policy every historical median
+    // was collected under; clearing between the pair would flag those
+    // queries against their own history for a policy change, not a plan
+    // change. Blocking, so the release lands before the timing window
+    // opens rather than racing it.
     def clearScratch(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
@@ -133,7 +139,6 @@ object Bench {
     }
     val firstPass = chosen.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Option[Double] = {
-        clearScratch() // every timing starts from an empty block manager
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
@@ -142,6 +147,7 @@ object Bench {
             None
         }
       }
+      clearScratch() // no prior query's residue in this query's timings
       val two = (1 to 2).flatMap(_ => run())
       val times =
         if (two.length == 2 && two.max > 2 * two.min) two ++ run() else two
@@ -169,16 +175,23 @@ object Bench {
       var retries = 0
       var lastLoad = 1.0
       while (ok && best >= 0 && over(name, bestAdj) && retries < 3) {
-        clearScratch() // retries must not pay for prior queries' residue
+        // same state profile as the first pass: no residue from the 183
+        // queries that ran since, but the retry PAIR shares the
+        // CacheManager (warm best — the policy the history medians and
+        // the first pass measure; a single cold retry could never clear
+        // a flag on an index-probing query)
+        clearScratch()
         val load = math.max(1.0, sentinel() / sentinelBase)
         lastLoad = load
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          val t = (System.nanoTime() - t0) / 1e9
-          best = math.min(best, t)
-          bestAdj = math.min(bestAdj, t / load)
-        } catch { case _: Exception => () }
+        (1 to 2).foreach { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            best = math.min(best, t)
+            bestAdj = math.min(bestAdj, t / load)
+          } catch { case _: Exception => () }
+        }
         retries += 1
       }
       val flag = histMed.get(name).collect {

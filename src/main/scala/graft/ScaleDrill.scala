@@ -125,6 +125,20 @@ object ScaleDrill {
       graft.ops.TableManifest.init(spark, s"$d/events_tracked")
       graft.ops.TableManifest.analyze(
         spark, s"$d/events_tracked", Seq("event_id"))
+      // HIVE-PARTITIONED twin: 16 partitions on pmod(event_id, 16) — the
+      // copy shift (i · 10^12) is divisible by 16, so every copy lands in
+      // the SAME 16 partitions and each partition grows with the corpus.
+      // Within a partition the range-repartition keeps files id-banded,
+      // so committed stats can confine a band-scoped rewrite to ~one file
+      // per scale (the partitioned_update flatness claim).
+      spark.read.parquet(s"$d/events")
+        .withColumn("part", pmod(col("event_id"), lit(16L)))
+        .repartitionByRange(nParts, col("event_id"))
+        .write.partitionBy("part").mode("overwrite")
+        .parquet(s"$d/events_part")
+      graft.ops.TableManifest.init(spark, s"$d/events_part")
+      graft.ops.TableManifest.analyze(
+        spark, s"$d/events_part", Seq("event_id"))
     }
 
     // canonical (a < b) part-co-purchase edges of the copy-disjoint graph
@@ -336,6 +350,46 @@ object ScaleDrill {
           pruneRanges = Seq(("event_id", 3000L, 4000L)))
         import spark.implicits._
         Seq(v).toDF("committed_v")
+      },
+      // the PARTITIONED-UPDATE claim, measured (round 14): a rewrite
+      // scoped to one partition AND one id band must stay near-FLAT as
+      // the corpus grows — the k=v segments prune to partition 3's
+      // files, committed event_id stats prune those to the band's ~one
+      // file, and the rewrite writes back UNDER the partition via
+      // partitionBy with no shuffle. The band (3000–4000) is copy 0's
+      // and disjoint from other families' tables (events_part is this
+      // family's own fixture).
+      "partitioned_update" -> { dir: String =>
+        val t = s"$dir/events_part"
+        val v = graft.ops.TableManifest.updateWhere(spark, t,
+          Seq("value" -> (col("value") + lit(1.0))),
+          Some(col("part") === 3L &&
+            col("event_id").between(3000L, 4000L)),
+          pruneRanges = Seq(("part", 3L, 3L), ("event_id", 3000L, 4000L)))
+        import spark.implicits._
+        Seq(v).toDF("committed_v")
+      },
+      // the PARTITIONED-APPEND claim, measured (round 14): landing a
+      // FIXED-size micro-batch into a partitioned table costs O(batch)
+      // — the re-layout pass reads and rewrites the batch, never the
+      // table — so the wall must stay near-FLAT as the table grows.
+      // Each timed run appends a fresh batch id (an already-committed
+      // id would measure the replay no-op).
+      "partitioned_append" -> {
+        val next = new java.util.concurrent.atomic.AtomicLong(1L)
+        (dir: String) => {
+          val t = s"$dir/events_part"
+          val i = next.getAndIncrement()
+          // a fixed-size batch with the table's exact schema (LIMIT
+          // reads ~one file at any corpus size), fresh ids per run
+          val batch = spark.read.parquet(s"$dir/events").limit(2000)
+            .withColumn("event_id",
+              pmod(col("event_id"), lit(2000L)) + lit(7000000000L + i * 2000L))
+            .withColumn("part", pmod(col("event_id"), lit(16L)))
+          graft.streaming.ManifestAppendSink.applyBatch(batch, i, t)
+          import spark.implicits._
+          Seq(1L).toDF("committed")
+        }
       },
       // the retention-DELETE claim, measured (the SQL `DELETE WHERE
       // ts < cutoff` path): expiring a FIXED-size old slice must stay

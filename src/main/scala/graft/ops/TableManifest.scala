@@ -678,22 +678,43 @@ object TableManifest {
     * The file list is deduped, so racing the conversion (whose v1 already
     * lists `names`) cannot double-list — a double-listed file would be
     * scanned twice. */
-  private[graft] def appendFiles(spark: SparkSession, dir: String,
-      names: Seq[String], schema: Option[StructType]): Long = {
+  /** Convert an UNTRACKED dir holding pre-existing data in place before
+    * an append-shaped write touches it, so the first manifest can never
+    * shadow rows a plain-dir reader was already seeing. Protocol-named
+    * files don't count as plain-dir data (a racing writer's uncommitted
+    * move-ins, or crash orphans — init skips them for the same reason);
+    * hive-shaped `k=v` subdirs holding data DO count (an untracked
+    * PARTITIONED plain dir — the conversion also lets the write path
+    * read the layout and lay its batch out nested). Called by
+    * [[appendFiles]] and, BEFORE the layout is consulted, by the
+    * provider's INSERT commit. No-op on tracked dirs. */
+  private[graft] def convertIfPlainData(spark: SparkSession,
+      dir: String): Unit =
     if (read(spark, dir).isEmpty) {
       val (fs, p) = fsFor(spark, dir)
-      // protocol-named files don't count as plain-dir data: they are a
-      // racing writer's uncommitted move-ins (its own CAS lists them) or
-      // crash orphans — init skips them for the same reason
-      val pre = if (!fs.exists(p)) Seq.empty else {
-        fs.listStatus(p).toSeq.filter { s =>
+      def hasDataUnder(at: Path): Boolean =
+        fs.listStatus(at).exists { s =>
           val n = s.getPath.getName
-          s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            !inFlightProtocolName(n)
+          !n.startsWith("_") && !n.startsWith(".") &&
+            (s.isFile || hasDataUnder(s.getPath))
         }
+      val entries = if (!fs.exists(p)) Seq.empty else fs.listStatus(p).toSeq
+      val pre = entries.filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !inFlightProtocolName(n)
       }
-      if (pre.nonEmpty) init(spark, dir)
+      val nestedHive = entries.exists { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          n.contains("=") && hasDataUnder(s.getPath)
+      }
+      if (pre.nonEmpty || nestedHive) { init(spark, dir); () }
     }
+
+  private[graft] def appendFiles(spark: SparkSession, dir: String,
+      names: Seq[String], schema: Option[StructType]): Long = {
+    convertIfPlainData(spark, dir)
     var attempts = 0
     while (attempts < 64) {
       val head = readHead(spark, dir)

@@ -6727,7 +6727,7 @@ object ExtQueries {
     graft.ops.TableManifest.analyze(s, tmp, Seq("k"))
     val tbl = s"g189_pdel_${java.util.UUID.randomUUID().toString.take(8)}"
     s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
-    try s.sql(s"DELETE FROM $tbl WHERE k <= 2000")
+    try s.sql(s"DELETE FROM $tbl WHERE k <= 400")
     finally s.sql(s"DROP TABLE $tbl")
     s.read.format("graft-manifest").load(tmp)
       .groupBy(col("bucket").cast("long").as("bucket"))
@@ -6742,7 +6742,7 @@ object ExtQueries {
       |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |    AS cents,
       |  CAST(MIN(o_orderkey) AS BIGINT) AS min_k
-      |FROM orders WHERE o_orderkey > 2000
+      |FROM orders WHERE o_orderkey > 400
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
   // ----------------------------------------------------------------

@@ -764,6 +764,11 @@ private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,
       else fs.listStatus(sp).toSeq
         .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
+    // an INSERT into an untracked dir holding pre-existing data (flat OR
+    // hive-partitioned) converts it in place FIRST, so the layout read
+    // below sees the real table and the first manifest never shadows
+    // rows a plain-dir reader was already seeing
+    if (!overwrite) TableManifest.convertIfPlainData(spark, dir)
     // HIVE-PARTITIONED target: the scratch holds FLAT part files whose
     // rows carry the partition columns as data (the stock DSv2 file
     // writer cannot write dynamic partitions), so the batch is re-laid

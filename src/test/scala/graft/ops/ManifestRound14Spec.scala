@@ -90,6 +90,25 @@ class ManifestRound14Spec extends SparkSpec {
     assert(TableManifest.readTable(spark, dir).count() == 2L)
   }
 
+  test("INSERT into an UNTRACKED hive-partitioned plain dir converts it first, shadowing nothing") {
+    val dir = tmpDir("gm-untracked-part")
+    Seq((1L, 0L), (2L, 1L)).toDF("id", "side").coalesce(1)
+      .write.partitionBy("side").mode("overwrite").parquet(dir)
+    // NO init: the provider append must convert in place (sweeping the
+    // nested files) and then lay its batch out for the swept layout —
+    // before round 14 the pre-scan only saw ROOT files, so the first
+    // commit listed just the appended files and silently shadowed every
+    // pre-existing nested row
+    Seq((3L, 1L)).toDF("id", "side")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val got = spark.read.format("graft-manifest").load(dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 0L), (2L, 1L), (3L, 1L)),
+      s"conversion swept the nested rows and the append landed: $got")
+    val (_, names) = TableManifest.read(spark, dir).get
+    assert(names.forall(_.startsWith("side=")), s"single layout: $names")
+  }
+
   test("declared partition schema: an emptied partitioned table keeps its columns and layout") {
     val dir = tmpDir("gm-partschema")
     TableManifest.publishPartitioned(
