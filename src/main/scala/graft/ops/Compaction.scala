@@ -183,9 +183,15 @@ object Compaction {
 
       val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
       // mergeSchema: fragments written under an evolved schema keep their
-      // later-added columns instead of being silently projected away
-      val rewritten = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(_.getPath.toString): _*)
+      // later-added columns instead of being silently projected away —
+      // but on a TRACKED table the rewrite is projected to the DECLARED
+      // schema, so a dropColumns'd column in old footers is physically
+      // purged by compaction instead of re-entering the carried schema
+      val rewritten = TableManifest.projectToDeclared(
+        spark.read.option("mergeSchema", "true")
+          .parquet(small.map(_.getPath.toString): _*),
+        if (tracked.isDefined) TableManifest.readSchema(spark, dir) else None,
+        Seq.empty)
       rewritten.coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       // Move the rewritten files in first: a crash mid-swap duplicates rows
@@ -275,8 +281,11 @@ object Compaction {
       val targetFiles =
         math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
       val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
-      val rewritten = spark.read.option("mergeSchema", "true")
-        .parquet(small.map(n => s"$dir/$n"): _*)
+      // projected to the declared schema (the compactInPlace rationale)
+      val rewritten = TableManifest.projectToDeclared(
+        spark.read.option("mergeSchema", "true")
+          .parquet(small.map(n => s"$dir/$n"): _*),
+        TableManifest.readSchema(spark, dir), Seq.empty)
       rewritten.coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)
       val moved = dataFiles(fs, tmp).map { s =>
@@ -325,6 +334,64 @@ object Compaction {
         }
       case _ => compactInPlace(spark, dir, targetBytes, minFileBytes)
     }
+
+  /** Z-order OPTIMIZE of one tracked table — what SQL
+    * `OPTIMIZE t [PARTITION (k=v)] ZORDER BY (a, b)` runs. Dispatch:
+    * one addressed leaf → [[TableManifest.optimizeZOrderPartition]];
+    * partitioned, no spec → every leaf, one CAS splice each (the
+    * compactTracked isolation); flat → whole-table
+    * [[TableManifest.optimizeZOrderRange]]. The output file count per
+    * scope targets ~`targetBytes` from the committed filestat inventory
+    * (gaps stat directly), so a re-cluster never funnels a big scope
+    * through one file or shatters a small one. Returns compaction-shaped
+    * stats: files before/after in the rewritten scope and bytes
+    * rewritten (a z-order rewrites every byte in scope — that's the
+    * point; scope it with PARTITION, or at the library level with
+    * optimizeZOrderRange's bounds, when the table is large). */
+  def zorderTracked(
+      spark: SparkSession,
+      dir: String,
+      partition: Option[String],
+      a: String,
+      b: String,
+      targetBytes: Long = 128L << 20): Stats = {
+    val (_, names) = TableManifest.read(spark, dir).getOrElse(
+      sys.error(s"zorderTracked: $dir is not manifest-tracked"))
+    val inventory = TableManifest.readFileStat(spark, dir)
+    val (fs, p) = fsFor(spark, dir)
+    def len(n: String): Long = inventory.get(n).map(_._1).getOrElse(
+      fs.getFileStatus(new Path(p, n)).getLen)
+    def filesOf(scope: Seq[String]): (Long, Int) =
+      (scope.map(len).sum, scope.size)
+    def nFiles(bytes: Long): Int =
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    def scopeAfter(pred: String => Boolean): Int =
+      TableManifest.read(spark, dir).get._2.count(pred)
+    val partitioned = names.exists(_.contains("/"))
+    partition match {
+      case Some(part) =>
+        val prefix = part.stripSuffix("/") + "/"
+        val scope = names.filter(_.startsWith(prefix))
+        val (bytes, before) = filesOf(scope)
+        TableManifest.optimizeZOrderPartition(spark, dir, part, a, b,
+          nFiles(bytes))
+        Stats(before, scopeAfter(_.startsWith(prefix)), bytes)
+      case None if partitioned =>
+        val leaves = names.filter(_.contains("/"))
+          .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
+        leaves.foldLeft(Stats(0, 0, 0L)) { (acc, leaf) =>
+          val s = zorderTracked(spark, dir, Some(leaf), a, b, targetBytes)
+          Stats(acc.filesBefore + s.filesBefore,
+            acc.filesAfter + s.filesAfter,
+            acc.bytesRewritten + s.bytesRewritten)
+        }
+      case None =>
+        val (bytes, before) = filesOf(names)
+        TableManifest.optimizeZOrderRange(spark, dir, a, b, Seq.empty,
+          nFiles(bytes))
+        Stats(before, scopeAfter(_ => true), bytes)
+    }
+  }
 
   /** Full rewrite of `src` into `dest` at ~`targetBytes` per file — the
     * safe variant when the path-level swap can be done by the caller.

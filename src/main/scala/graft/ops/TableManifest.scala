@@ -920,21 +920,28 @@ object TableManifest {
   /** Write `df` to a hidden scratch dir and move its data files in under
     * `prefix`-stamped unique names — the shared first half of every
     * whole-file rewrite commit (publish, z-order optimize). */
+  /** `rel` (empty for flat tables, a `k=v/` leaf prefix for a
+    * partition-scoped rewrite) is where the finalized files move IN —
+    * returned names are dir-relative and include it. */
   private def writeAndMoveIn(df: DataFrame, prefix: String,
-      dir: String): Seq[String] = {
+      dir: String, rel: String = ""): Seq[String] = {
+    require(rel.isEmpty || rel.endsWith("/"),
+      s"writeAndMoveIn: rel must be a directory prefix: '$rel'")
     val spark = df.sparkSession
     val (fs, p) = fsFor(spark, dir)
     fs.mkdirs(p)
     val tmp = new Path(p, s"_publish_tmp-${UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(tmp.toString)
     val snap = UUID.randomUUID().toString.take(8)
+    if (rel.nonEmpty) fs.mkdirs(new Path(p, rel))
     val moved = fs.listStatus(tmp).toSeq.filter { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")
     }.map { s =>
-      val dest = new Path(p, s"$prefix-$snap-${s.getPath.getName}")
-      require(fs.rename(s.getPath, dest), s"rename failed: ${s.getPath}")
-      dest.getName
+      val name = s"$rel$prefix-$snap-${s.getPath.getName}"
+      require(fs.rename(s.getPath, new Path(p, name)),
+        s"rename failed: ${s.getPath}")
+      name
     }
     fs.delete(tmp, true)
     moved
@@ -1751,14 +1758,63 @@ object TableManifest {
     requireFlatLayout(headFiles, "optimizeZOrderRange")
     val victims = filterByRanges(headFiles, parseStats(headBody), ranges)
     if (victims.isEmpty) return headV
+    // projected to the declared schema: an undeclared (dropped) footer
+    // column must not ride the re-cluster back into the carried schema
     val clustered = Layout.clusterByMorton(
-      spark.read.option("mergeSchema", "true")
-        .parquet(victims.map(f => s"$dir/$f"): _*),
+      projectToDeclared(
+        spark.read.option("mergeSchema", "true")
+          .parquet(victims.map(f => s"$dir/$f"): _*),
+        readSchema(spark, dir), Seq.empty),
       a, b, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
       "optimizeZOrderRange", schema = Some(clustered.schema))
+  }
+
+  /** Z-order OPTIMIZE of ONE leaf partition of a hive-partitioned table
+    * — the per-leaf form whole-table `OPTIMIZE … ZORDER BY` iterates
+    * (and `OPTIMIZE t PARTITION (k=v) ZORDER BY (a, b)` runs directly):
+    * exactly that leaf's files are read (no basePath — the partition
+    * value is constant, the interleave columns are data), Morton-
+    * clustered on `(a, b)`, written back UNDER the leaf directory, and
+    * victim-splice-committed with fresh (a, b) stats so the clustered
+    * region is born prunable. Every other leaf stays byte-identical;
+    * the leaf-spec discipline is compactPartition's (prefix specs of
+    * deeper layouts are loud — a one-level-up rewrite would strip the
+    * deeper name-carried values). Returns the committed version. */
+  def optimizeZOrderPartition(spark: SparkSession, dir: String,
+      partition: String, a: String, b: String, numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val prefix = partition.stripSuffix("/") + "/"
+    val (headV, headFiles, _) = headSnapshot(spark, dir)
+    if (headV == 0L)
+      sys.error(s"optimizeZOrderPartition: $dir is not tracked")
+    require(headFiles.exists(_.contains("/")),
+      s"optimizeZOrderPartition: $dir is not hive-partitioned; use " +
+        "optimizeZOrderRange")
+    val partCols = partitionColsIn(headFiles)
+    Seq(a, b).foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
+      s"optimizeZOrderPartition: `$c` is a partition column — its value " +
+        "is constant within the leaf; interleave data columns"))
+    val victims = headFiles.filter(_.startsWith(prefix))
+    require(victims.nonEmpty,
+      s"optimizeZOrderPartition: no files under partition " +
+        s"'$partition' in $dir")
+    val deeper = victims.filter(_.stripPrefix(prefix).contains("/"))
+    require(deeper.isEmpty,
+      s"optimizeZOrderPartition: '$partition' is not a leaf partition " +
+        s"(deeper levels exist, e.g. ${deeper.head})")
+    val clustered = Layout.clusterByMorton(
+      projectToDeclared(
+        spark.read.option("mergeSchema", "true")
+          .parquet(victims.map(f => s"$dir/$f"): _*),
+        readSchema(spark, dir), Seq.empty),
+      a, b, numFiles)
+    val moved = writeAndMoveIn(clustered, "zopt", dir, rel = prefix)
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
+    spliceCommit(spark, dir, victims, moved, mstats, msstats,
+      "optimizeZOrderPartition", schema = Some(clustered.schema))
   }
 
   /** The victim-set CAS splice every bounded rewrite ends with: replace
@@ -2313,6 +2369,83 @@ object TableManifest {
     sys.error(s"addColumns lost $attempts races in $dir; giving up")
   }
 
+  /** Declarative schema NARROWING — the engine primitive behind SQL
+    * `ALTER TABLE t DROP COLUMNS (…)`: commit the head's file list
+    * unchanged with the named columns removed from the carried schema.
+    * METADATA-ONLY — no data file is rewritten; the bytes remain in the
+    * footers but every read serves the carried schema, so the columns
+    * vanish immediately, and the copy-on-write rewrites PROJECT victims
+    * to the declared schema ([[projectToDeclared]]), so the physical
+    * bytes age out as files naturally rewrite. Time travel and RESTORE
+    * keep each version's own schema (the column reappears when reading
+    * v_old — that's history, not a leak). Contract edges, all loud:
+    * unknown columns, partition columns (they live in the NAMES — drop
+    * the partitions or re-publish), and dropping every column. A
+    * LIBRARY append that explicitly declares the dropped column re-adds
+    * it (the append-widens contract); SQL INSERT cannot (analysis
+    * resolves against the narrowed table schema). On a pre-schema
+    * manifest the carried schema is bootstrapped from the merged scan
+    * schema first, like [[addColumns]]. Returns the committed
+    * version. */
+  def dropColumns(spark: SparkSession, dir: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "dropColumns: no columns to drop")
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"dropColumns: $dir is not manifest-tracked"))
+      val base = readSchema(spark, dir)
+        .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
+        .getOrElse(sys.error(
+          s"dropColumns: $dir carries no schema and none can be inferred"))
+      val partNames = readPartitionSchema(spark, dir)
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
+        partitionColsIn(files)
+      cols.foreach { c =>
+        require(!partNames.exists(_.equalsIgnoreCase(c)),
+          s"dropColumns: `$c` is a partition column of $dir — its values " +
+            "live in the directory names; drop the partitions (DELETE) " +
+            "or re-publish instead")
+        require(base.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"dropColumns: unknown column `$c` " +
+            s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})")
+      }
+      val remaining = base.fields.filterNot(f =>
+        cols.exists(_.equalsIgnoreCase(f.name)))
+      require(remaining.nonEmpty,
+        s"dropColumns: cannot drop every column of $dir")
+      commitIf(spark, dir, files, v, hwm,
+        schema = Some(StructType(remaining)), replaceSchema = true) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"dropColumns lost $attempts races in $dir; giving up")
+  }
+
+  /** Project a victim-file scan down to the DECLARED schema (plus the
+    * name-carried partition columns the basePath read attached): victim
+    * footers may hold columns the table no longer declares
+    * ([[dropColumns]]), and letting them ride a rewrite would re-commit
+    * the dropped column into the carried schema through the splice.
+    * Declared-but-not-physical columns are NOT added here (each caller
+    * owns that — updateWhere's withDeclared needs them SETtable, the
+    * erase path wants its column-missing short-circuit intact). No-op
+    * when the table carries no schema (pre-schema manifests keep the
+    * merged-footer contract). */
+  private[graft] def projectToDeclared(df: DataFrame,
+      declared: Option[StructType], partCols: Seq[String]): DataFrame =
+    declared match {
+      case None => df
+      case Some(sch) =>
+        import org.apache.spark.sql.functions.col
+        val keep = df.columns.filter(c =>
+          sch.fieldNames.exists(_.equalsIgnoreCase(c)) ||
+            partCols.exists(_.equalsIgnoreCase(c)))
+        if (keep.length == df.columns.length) df
+        else df.select(keep.map(col).toSeq: _*)
+    }
+
   /** Targeted row UPDATE — the engine primitive behind SQL `UPDATE t SET
     * … [WHERE …]` ([[graft.plans.GraftSqlParser]] routes the statement
     * here): rewrite, at file granularity, exactly the live files that
@@ -2390,9 +2523,14 @@ object TableManifest {
         }
     }
     val rawReader = spark.read.option("mergeSchema", "true")
-    val raw = (if (partCols.isEmpty) rawReader
+    // raw0 stays UNPROJECTED: `_metadata` only resolves on the file
+    // relation itself, never through a projection — the declared-schema
+    // projection (dropColumns leftovers in victim footers must not ride
+    // the rewrite back into the carried schema) is applied downstream
+    val raw0 = (if (partCols.isEmpty) rawReader
       else rawReader.option("basePath", dir))
       .parquet(candidates.map(f => s"$dir/$f"): _*)
+    val raw = projectToDeclared(raw0, declared, partCols)
     val scan = withDeclared(raw)
     // assignment targets must exist: a typo would otherwise silently
     // append a NEW column to the rewritten files instead of updating
@@ -2407,7 +2545,7 @@ object TableManifest {
         // `_metadata` is selected on the RAW file relation (hidden-column
         // resolution does not reach through the declared-null projection)
         val paths = withDeclared(
-            raw.select(col("_metadata.file_path").as("__path"), col("*")))
+            raw0.select(col("_metadata.file_path").as("__path"), col("*")))
           .filter(p)
           .select("__path")
           .distinct().collect().map(_.getString(0)).toSeq
@@ -2421,9 +2559,11 @@ object TableManifest {
     }
     if (victims.isEmpty) return headV
     val victimReader = spark.read.option("mergeSchema", "true")
-    val read = withDeclared((if (partCols.isEmpty) victimReader
-      else victimReader.option("basePath", dir))
-      .parquet(victims.map(f => s"$dir/$f"): _*))
+    val read = withDeclared(projectToDeclared(
+      (if (partCols.isEmpty) victimReader
+        else victimReader.option("basePath", dir))
+        .parquet(victims.map(f => s"$dir/$f"): _*),
+      declared, partCols))
     val setMap = sets.toMap
     // one pass, no union: every output column is either untouched or a
     // row-conditional swap computed from the OLD row, so all assignments
@@ -2490,10 +2630,14 @@ object TableManifest {
       if (victims.isEmpty) Right(None)
       else {
         val reader = spark.read.option("mergeSchema", "true")
-        val read =
+        // projected to the declared schema: undeclared footer columns
+        // (dropColumns leftovers) must not ride the rewrite back into
+        // the carried schema through the splice commit
+        val read = projectToDeclared(
           (if (partCols.isEmpty) reader
            else reader.option("basePath", dir))
-            .parquet(victims.map(f => s"$dir/$f"): _*)
+            .parquet(victims.map(f => s"$dir/$f"): _*),
+          readSchema(spark, dir), partCols)
         if (!read.columns.contains(column))
           if (keepAllWhenColumnMissing) Right(Some(read)) else Left(headV)
         else Right(Some(keep(read)))

@@ -328,6 +328,36 @@ private[plans] object GraftDmlRewrite {
     GraftAddColumnsCommand(path, catalogIdent, fields)
   }
 
+  /** `ALTER TABLE t DROP COLUMN[S] (…)` on a graft-manifest table →
+    * [[TableManifest.dropColumns]] (a metadata-only CAS commit narrowing
+    * the carried schema; no data file rewritten — the bytes age out as
+    * files naturally rewrite, because every copy-on-write projects to
+    * the declared schema). Name-addressed tables get their catalog
+    * schema synced in the same command. Nested paths are rejected;
+    * IF EXISTS filters unknown names (all-unknown is a no-op returning
+    * the head). Non-graft targets return unchanged. */
+  def rewriteDropColumns(spark: SparkSession,
+      dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns)
+      : LogicalPlan = {
+    val target = dc.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case _ => return dc
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return dc)
+    val names = dc.columnsToDrop.map {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
+          if f.name.length == 1 => f.name.head
+      case other => sys.error(
+        "graft-manifest ALTER TABLE DROP COLUMNS supports top-level " +
+          s"columns only; `${other.name.mkString(".")}` is nested")
+    }
+    val catalogIdent =
+      if (target.sizeIs <= 2 && !target.head.startsWith("/")) Some(target)
+      else None
+    GraftDropColumnsCommand(path, catalogIdent, names, dc.ifExists)
+  }
+
   /** `SHOW PARTITIONS t` on a graft-manifest table → the DISTINCT
     * hive-segment prefixes of the head manifest's names (Spark's own
     * row convention, `k=v[/k2=v2]`), straight from one head read — no
@@ -461,6 +491,49 @@ case class GraftAddColumnsCommand(path: String,
         sys.error(s"graft-manifest ALTER TABLE: $path lost its schema " +
           "between the commit and the catalog sync"))
       spark.sessionState.catalog.alterTableDataSchema(ident, widened)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** SQL `ALTER TABLE … DROP COLUMNS` on a graft-manifest table →
+  * [[TableManifest.dropColumns]], plus a catalog data-schema sync for
+  * name-addressed tables (the AddColumns rationale: a stale catalog
+  * schema would keep serving — and let INSERTs carry — the dropped
+  * column). Returns the committed version (the unchanged head for an
+  * all-unknown IF EXISTS). */
+case class GraftDropColumnsCommand(path: String,
+    catalogIdent: Option[Seq[String]], cols: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val present = TableManifest.readSchema(spark, path)
+      .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+    val effective =
+      if (!ifExists) cols
+      else cols.filter(c => present.exists(_.equalsIgnoreCase(c)))
+    val v =
+      if (effective.isEmpty) // IF EXISTS and nothing matches: no-op
+        TableManifest.read(spark, path).map(_._1).getOrElse(sys.error(
+          s"ALTER TABLE DROP COLUMNS: $path is not manifest-tracked"))
+      else TableManifest.dropColumns(spark, path, effective)
+    catalogIdent.foreach { parts =>
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return Seq(Row(v))
+      }
+      val narrowed = TableManifest.readSchema(spark, path).getOrElse(
+        sys.error(s"graft-manifest ALTER TABLE: $path lost its schema " +
+          "between the commit and the catalog sync"))
+      // full-metadata alterTable, not alterTableDataSchema: the latter
+      // hard-rejects any narrowing ("we don't support dropping columns
+      // yet" — a guard for formats whose files ARE the schema; ours is
+      // manifest-declared, so the narrowed schema is the truth)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      spark.sessionState.catalog.alterTable(meta.copy(schema = narrowed))
     }
     Seq(Row(v))
   }

@@ -55,7 +55,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*VACUUM\s+""" + Ref +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref +
-    """(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""").r
+    """(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?""" +
+    """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?""" +
+    """\s*;?\s*""").r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Detail =
@@ -84,9 +86,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumCommand(ref(path, tick, ident),
         Option(hours).map(_.toLong * 3600L * 1000L)
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
-    case Optimize(path, tick, ident, part) =>
+    case Optimize(path, tick, ident, part, za, zb) =>
       OptimizeCommand(ref(path, tick, ident),
-        Option(part).map(GraftSqlParser.normalizePartitionSpec))
+        Option(part).map(GraftSqlParser.normalizePartitionSpec),
+        (Option(za), Option(zb)) match {
+          case (Some(a), Some(b)) => Some((a, b))
+          case _ => None
+        })
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
     case Detail(path, tick, ident) => DetailCommand(ref(path, tick, ident))
     case RestoreVersion(path, tick, ident, v) =>
@@ -107,6 +113,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             case m: MergeIntoTable => GraftDmlRewrite.rewriteMerge(spark, m)
             case ac: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
               GraftDmlRewrite.rewriteAddColumns(spark, ac)
+            case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+              GraftDmlRewrite.rewriteDropColumns(spark, dc)
             case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
               GraftDmlRewrite.rewriteShowPartitions(spark, sp)
             case other => other
@@ -238,18 +246,25 @@ case class RestoreCommand(table: GraftTableRef, version: Option[Long],
   * LEAF — per-leaf isolation, untouched leaves byte-identical);
   * `OPTIMIZE <t> PARTITION (k=v)` →
   * [[graft.ops.Compaction.compactPartition]] for the one addressed leaf.
-  * One stats row. */
+  * With `ZORDER BY (a, b)` the rewrite is a Morton re-cluster instead
+  * of a small-file compaction ([[graft.ops.Compaction.zorderTracked]]:
+  * whole flat table, every leaf, or the one addressed leaf — rewritten
+  * files carry fresh (a, b) stats, born prunable). One stats row. */
 case class OptimizeCommand(table: GraftTableRef,
-    partition: Option[String] = None) extends LeafRunnableCommand {
+    partition: Option[String] = None,
+    zorder: Option[(String, String)] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)(),
     AttributeReference("bytes_rewritten", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = table.path(spark)
-    val s = partition match {
-      case Some(part) => graft.ops.Compaction.compactPartition(spark, path, part)
-      case None => graft.ops.Compaction.compactTracked(spark, path)
+    val s = (partition, zorder) match {
+      case (part, Some((a, b))) =>
+        graft.ops.Compaction.zorderTracked(spark, path, part, a, b)
+      case (Some(part), None) =>
+        graft.ops.Compaction.compactPartition(spark, path, part)
+      case (None, None) => graft.ops.Compaction.compactTracked(spark, path)
     }
     Seq(Row(s.filesBefore.toLong, s.filesAfter.toLong, s.bytesRewritten))
   }

@@ -6745,6 +6745,102 @@ object ExtQueries {
       |FROM orders WHERE o_orderkey > 400
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- Q190
+  /** Write-side schema NARROWING from pure SQL, oracle-pinned — the
+    * DROP half of q179's evolution story: the fixture commits
+    * (k, pri, cents), `ALTER TABLE … DROP COLUMNS (pri)` removes the
+    * column in one metadata-only CAS commit (no data rewritten —
+    * [[graft.ops.TableManifest.dropColumns]]), an `INSERT INTO` then
+    * lands the complement WITHOUT it (analysis resolves against the
+    * narrowed schema), and the final read serves exactly (k, cents)
+    * over old + new rows. The `pri_v1` column — read back through
+    * `VERSION AS OF 1` — pins that time travel still serves the
+    * PRE-drop schema (history, not a leak). A drop that rewrote data,
+    * left the column visible, or blocked the narrowed INSERT
+    * hash-mismatches. */
+  def q190DropColumns(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q190")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp) // v1: carries pri
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g190_drop_$tag"
+    val view = s"g190_src_$tag"
+    src.filter(col("k") % 3 =!= 0).createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"ALTER TABLE $tbl DROP COLUMNS (pri)") // v2: metadata-only
+      s.sql(s"INSERT INTO $tbl SELECT k, cents FROM $view")
+      val head = s.sql(
+        s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents FROM $tbl""".stripMargin)
+        .head()
+      val priV1 = s.sql(s"SELECT CAST(COUNT(DISTINCT pri) AS BIGINT) " +
+        s"FROM $tbl VERSION AS OF 1").head().getLong(0)
+      // n_cols from the ACTUAL narrowed schema the provider serves
+      val nCols = s.read.format("graft-manifest").load(tmp).columns.length
+      import s.implicits._
+      Seq((head.getLong(0), head.getLong(1), nCols.toLong, priV1))
+        .toDF("n", "cents", "n_cols", "pri_v1")
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q190Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(2 AS BIGINT) AS n_cols,
+      |  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 3 = 0
+      |    THEN o_orderpriority END) AS BIGINT) AS pri_v1
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------- Q191
+  /** `OPTIMIZE … ZORDER BY (a, b)` from pure SQL on a HIVE-PARTITIONED
+    * table, oracle-pinned: the fixture lands 4 fragments per `bucket=`
+    * leaf (16 total), one statement Morton-re-clusters EVERY leaf on
+    * (k, cents) — one CAS splice per partition, rewritten files born
+    * prunable with fresh (k, cents) stats — and the query returns the
+    * re-cluster ledger (16 → 4) plus the post-cluster aggregate by the
+    * partition column, so a z-order that lost rows, moved them across
+    * partitions, or mis-scoped leaves hash-mismatches. */
+  def q191SqlZorder(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q191")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+    graft.ops.TableManifest.publishPartitioned(
+      src.repartition(4), tmp, Seq("bucket"))
+    val tbl = s"g191_zord_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    val opt =
+      try s.sql(s"OPTIMIZE $tbl ZORDER BY (k, cents)").head()
+      finally s.sql(s"DROP TABLE $tbl")
+    val after = s.read.format("graft-manifest").load(tmp)
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        countDistinct(col("bucket")).as("n_buckets"))
+      .head()
+    import s.implicits._
+    Seq((opt.getLong(0), opt.getLong(1), after.getLong(0),
+      after.getLong(1), after.getLong(2)))
+      .toDF("files_before", "files_after", "n", "cents", "n_buckets")
+  }
+
+  val q191Sql: String =
+    """SELECT CAST(16 AS BIGINT) AS files_before,
+      |  CAST(4 AS BIGINT) AS files_after,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(4 AS BIGINT) AS n_buckets
+      |FROM orders""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -6923,7 +7019,9 @@ object ExtQueries {
     "q186_partitioned_update" -> (q186PartitionedUpdate _),
     "q187_partitioned_merge" -> (q187PartitionedMerge _),
     "q188_partitioned_optimize" -> (q188PartitionedOptimize _),
-    "q189_partitioned_delete_rows" -> (q189PartitionedDeleteRows _))
+    "q189_partitioned_delete_rows" -> (q189PartitionedDeleteRows _),
+    "q190_drop_columns" -> (q190DropColumns _),
+    "q191_sql_zorder" -> (q191SqlZorder _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7104,5 +7202,7 @@ object ExtQueries {
     "q186_partitioned_update" -> q186Sql,
     "q187_partitioned_merge" -> q187Sql,
     "q188_partitioned_optimize" -> q188Sql,
-    "q189_partitioned_delete_rows" -> q189Sql)
+    "q189_partitioned_delete_rows" -> q189Sql,
+    "q190_drop_columns" -> q190Sql,
+    "q191_sql_zorder" -> q191Sql)
 }

@@ -109,6 +109,126 @@ class ManifestRound14Spec extends SparkSpec {
     assert(names.forall(_.startsWith("side=")), s"single layout: $names")
   }
 
+  test("dropColumns: metadata-only narrow; rewrites physically purge the dropped bytes") {
+    val dir = tmpDir("gm-dropcol")
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("id", "s", "v").repartition(3, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir) // v1
+    val filesBefore = TableManifest.read(spark, dir).get._2.toSet
+    TableManifest.dropColumns(spark, dir, Seq("s")) // v2: metadata-only
+    assert(TableManifest.read(spark, dir).get._2.toSet == filesBefore,
+      "no data file rewritten by the drop")
+    // every read path serves the narrowed schema immediately
+    assert(TableManifest.readTable(spark, dir).columns.toSeq == Seq("id", "v"))
+    assert(spark.read.format("graft-manifest").load(dir)
+      .columns.toSeq == Seq("id", "v"))
+    // time travel serves the PRE-drop schema (history, not a leak)
+    assert(TableManifest.readTableAt(spark, dir, 1L)
+      .columns.toSet == Set("id", "s", "v"))
+    // contract edges are loud
+    assert(intercept[Exception] {
+      TableManifest.dropColumns(spark, dir, Seq("nosuch"))
+    }.getMessage.contains("unknown column"))
+    assert(intercept[Exception] {
+      TableManifest.dropColumns(spark, dir, Seq("id", "v"))
+    }.getMessage.contains("every column"))
+    // a copy-on-write rewrite PROJECTS to the declared schema: the
+    // dropped column's bytes do not ride back into the carried schema
+    TableManifest.updateWhere(spark, dir,
+      Seq("v" -> (col("v") + 1L)), Some(col("id") === 1L))
+    assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSeq ==
+      Seq("id", "v"), "update must not resurrect the dropped column")
+    // ...and the rewritten victim FILE no longer carries it physically
+    val rewritten = TableManifest.read(spark, dir).get._2
+      .filterNot(filesBefore).head
+    assert(!spark.read.parquet(s"$dir/$rewritten").columns.contains("s"),
+      "the rewrite physically purged the dropped column")
+    // compaction purges the remaining old footers the same way
+    graft.ops.Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 20, minFileBytes = 1L << 20)
+    assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSeq ==
+      Seq("id", "v"))
+    val all = TableManifest.readTable(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(all == Seq((1L, 11L), (2L, 20L), (3L, 30L)), s"rows: $all")
+  }
+
+  test("dropColumns on partitioned tables: partition columns refuse; zorder per leaf clusters") {
+    val dir = tmpDir("gm-dropcol-part")
+    TableManifest.publishPartitioned(
+      (1L to 40L).map(i => (i, i * 100L, i % 2)).toDF("id", "v", "side")
+        .repartition(4),
+      dir, Seq("side"))
+    val e = intercept[Exception] {
+      TableManifest.dropColumns(spark, dir, Seq("side"))
+    }
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+    // partition-scoped Z-ORDER: one leaf re-clusters, the other is
+    // byte-identical; rows and partition values survive
+    val before = TableManifest.read(spark, dir).get._2
+    assert(before.count(_.startsWith("side=0/")) == 4)
+    TableManifest.optimizeZOrderPartition(spark, dir, "side=0",
+      "id", "v", numFiles = 2)
+    val after = TableManifest.read(spark, dir).get._2
+    assert(after.count(_.startsWith("side=0/")) == 2, s"clustered: $after")
+    assert(after.filter(_.startsWith("side=1/")).toSet ==
+      before.filter(_.startsWith("side=1/")).toSet,
+      "the other leaf is byte-identical")
+    val got = spark.read.format("graft-manifest").load(dir)
+      .selectExpr("id", "v", "side").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == (1L to 40L).map(i => (i, i * 100L, i % 2)).sorted)
+    // interleaving a partition column is refused (constant in the leaf)
+    assert(intercept[Exception] {
+      TableManifest.optimizeZOrderPartition(spark, dir, "side=0",
+        "side", "v", 1)
+    }.getMessage.contains("partition column"))
+  }
+
+  test("SQL DROP COLUMNS: catalog sync, IF EXISTS no-op, nested rejection; flat ZORDER BY") {
+    val dir = tmpDir("gm-dropcol-sql")
+    Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
+      .repartition(2, col("id")).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    graft.TestSessions.withExtensionsActive { s =>
+      val tbl = s"g14sql_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      try {
+        s.sql(s"ALTER TABLE $tbl DROP COLUMNS (s)")
+        // catalog schema synced: SELECT * serves the narrowed shape, and
+        // an INSERT carrying the dropped column fails ANALYSIS
+        assert(s.sql(s"SELECT * FROM $tbl").columns.toSeq == Seq("id", "v"))
+        intercept[Exception] {
+          s.sql(s"INSERT INTO $tbl VALUES (3, 'x', 30)")
+        }
+        // unknown column loud; IF EXISTS filters to a version-preserving
+        // no-op
+        assert(intercept[Exception] {
+          s.sql(s"ALTER TABLE $tbl DROP COLUMNS (nosuch)")
+        }.getMessage.contains("unknown column"))
+        val v0 = TableManifest.read(spark, dir).get._1
+        assert(s.sql(s"ALTER TABLE $tbl DROP COLUMNS IF EXISTS (nosuch)")
+          .head().getLong(0) == v0, "IF EXISTS all-unknown is a no-op")
+        // nested paths rejected with the supported shape named
+        assert(intercept[Exception] {
+          s.sql(s"ALTER TABLE $tbl DROP COLUMNS (a.b)")
+        }.getMessage.contains("top-level"))
+        // whole-table ZORDER BY on the flat layout re-clusters: 2 -> 1
+        // file at these sizes, rows intact, fresh stats committed
+        val opt = s.sql(s"OPTIMIZE $tbl ZORDER BY (id, v)").head()
+        assert(opt.getLong(0) == 2L && opt.getLong(1) == 1L, s"stats: $opt")
+        assert(s.sql(s"SELECT CAST(SUM(v) AS BIGINT) FROM $tbl")
+          .head().getLong(0) == 30L)
+        val stats = TableManifest.readStats(spark, dir)
+        val live = TableManifest.read(spark, dir).get._2
+        assert(live.forall(f => stats.get(f).exists(m =>
+          m.contains("id") && m.contains("v"))),
+          s"z-ordered files born prunable: $stats")
+      } finally s.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("declared partition schema: an emptied partitioned table keeps its columns and layout") {
     val dir = tmpDir("gm-partschema")
     TableManifest.publishPartitioned(
