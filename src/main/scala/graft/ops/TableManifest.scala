@@ -780,8 +780,10 @@ object TableManifest {
   }
 
   /** The table's commit HISTORY as a DataFrame — one row per surviving
-    * manifest version: `(version, n_files, bytes, n_added, n_removed,
-    * hwm)`, `bytes` from the committed filestat inventory (null when the
+    * manifest version: `(version, commit_ts, n_files, bytes, n_added,
+    * n_removed, hwm)`, `commit_ts` from the body-recorded commit wall
+    * clock (manifest-file mtime for pre-ctime manifests), `bytes` from
+    * the committed filestat inventory (null when the
     * version predates it), adds/removes as name-set deltas vs the
     * previous SURVIVING version (retention may have pruned intermediate
     * manifests — deltas are then vs what remains, the honest answer).
@@ -2309,18 +2311,23 @@ object TableManifest {
           val lost = lostFiles()
           if (lost.nonEmpty) {
             val prevBody = readAtRaw(spark, dir, headV).getOrElse("")
-            commitIf(spark, dir, parseFiles(prevBody), v2, hwm,
+            val rolledBack = commitIf(spark, dir, parseFiles(prevBody), v2,
+              hwm,
               stats = parseStats(prevBody),
               sstats = parseStringStats(prevBody),
               bloom = parseBloom(prevBody),
               schema = parseSchema(prevBody), replaceSchema = true,
               fstat = parseFileStat(prevBody),
               partSchema = parsePartSchema(prevBody),
-              replacePartSchema = true)
+              replacePartSchema = true).isDefined
             sys.error(
               s"restore: a concurrent vacuum reclaimed ${lost.size} of " +
                 s"v$version's files (e.g. ${lost.head}) in the commit " +
-                s"window — rolled the head back to v$headV's contents; " +
+                (if (rolledBack)
+                  s"window — rolled the head back to v$headV's contents; "
+                else
+                  "window — and another commit already advanced the head " +
+                    "past the bad restore (its files supersede it); ") +
                 "v" + version + " is no longer restorable")
           }
           return v2

@@ -509,7 +509,12 @@ case class GraftDropColumnsCommand(path: String,
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // carried schema, falling back to the merged scan schema on
+    // pre-schema manifests — IF EXISTS must see the REAL columns, or it
+    // would silently no-op a drop that should bootstrap-and-narrow
     val present = TableManifest.readSchema(spark, path)
+      .orElse(scala.util.Try(
+        TableManifest.readTable(spark, path).schema).toOption)
       .map(_.fieldNames.toSeq).getOrElse(Seq.empty)
     val effective =
       if (!ifExists) cols
