@@ -6,12 +6,19 @@ import org.apache.spark.sql.SparkSession
   * racing provider APPENDS (the same scratch-write → move-in →
   * CAS-append commit path SQL `INSERT INTO` takes through
   * [[ManifestTableProvider]]) against the suite's session. args: dir tag
-  * n readyFile goFile. Protocol: create `readyFile` once the session is
-  * up, spin until `goFile` exists, then run `n` single-row appends
-  * tagged `($i, $tag)`. Exit 0 iff every append committed. */
+  * n readyFile goFile [mode]. Protocol: create `readyFile` once the
+  * session is up, spin until `goFile` exists, then run `n` single-row
+  * appends tagged `($i, $tag)` — with `mode = part` each row also
+  * carries `bucket = i % 2`, so the append exercises the partitioned
+  * re-layout commit under contention. Exit 0 iff every append
+  * committed. */
 object SqlInsertRaceMain {
   def main(args: Array[String]): Unit = {
-    val Array(dir, tag, nStr, readyFile, goFile) = args
+    val (dir, tag, nStr, readyFile, goFile, mode) = args match {
+      case Array(d, t, ns, r, g) => (d, t, ns, r, g, "flat")
+      case Array(d, t, ns, r, g, m) => (d, t, ns, r, g, m)
+      case _ => sys.error(s"bad args: ${args.toSeq}")
+    }
     val n = nStr.toInt
     val spark = SparkSession.builder()
       .master("local[2]")
@@ -29,8 +36,11 @@ object SqlInsertRaceMain {
       }
       import spark.implicits._
       (1 to n).foreach { i =>
-        Seq((i.toLong, tag)).toDF("k", "who")
-          .write.format("graft-manifest").mode("append").save(dir)
+        val df =
+          if (mode == "part")
+            Seq((i.toLong, tag, i.toLong % 2)).toDF("k", "who", "bucket")
+          else Seq((i.toLong, tag)).toDF("k", "who")
+        df.write.format("graft-manifest").mode("append").save(dir)
       }
       spark.stop()
     } catch {
