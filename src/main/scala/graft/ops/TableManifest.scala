@@ -1190,8 +1190,12 @@ object TableManifest {
   def addedBetween(
       spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val from = readAt(spark, dir, fromVersion)
-      .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
+    // v0 is the EMPTY table before the first commit, so (0, v] is
+    // "everything as of v" — the natural CDC bootstrap ask
+    val from =
+      if (fromVersion == 0L) Set.empty[String]
+      else readAt(spark, dir, fromVersion)
+        .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
     val (to, toSchema, toFstat, _) = readAtFull(spark, dir, toVersion)
       .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
     val fresh = to.filterNot(from)

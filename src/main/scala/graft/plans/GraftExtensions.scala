@@ -34,6 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over a quoted path) — a delegating parser: everything else goes to
     // Spark's own parser verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // table-valued functions: the manifest protocol's CDC and audit
+    // surfaces as relations SQL can compose over (join, filter, insert
+    // elsewhere) — `SELECT * FROM graft_table_changes('t', 1, 3)`
+    GraftTableFunctions.all.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, ""),
+        builder))
+    }
   }
 }
 

@@ -6841,6 +6841,47 @@ object ExtQueries {
       |  CAST(4 AS BIGINT) AS n_buckets
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- Q192
+  /** CHANGE-DATA-CAPTURE from pure SQL — the table-valued function
+    * `graft_table_changes(t, from, to)` ([[graft.plans
+    * .GraftTableFunctions]] → [[graft.ops.TableManifest.addedBetween]]):
+    * v1 commits every-third order, a streaming batch appends the
+    * complement (v2, hwm-stamped), and the query aggregates ONLY the
+    * rows added in (v1, v2] — per-commit CDC as a relation SQL can
+    * compose over, joined here against the full table to pin that the
+    * delta is a SUBSET (every changed key resolves back to a live row).
+    * A TVF that leaked v1 rows, missed batch files, or double-counted
+    * hash-mismatches the oracle's complement. */
+  def q192SqlCdc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q192")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.filter(col("k") % 3 === 0).write.mode("overwrite").parquet(tmp)
+    graft.ops.TableManifest.init(s, tmp) // v1
+    graft.streaming.ManifestAppendSink.applyBatch(
+      src.filter(col("k") % 3 =!= 0), batchId = 1L, tmp) // v2
+    val tbl = s"g192_cdc_${java.util.UUID.randomUUID().toString.take(8)}"
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try s.sql(
+      s"""SELECT c.pri, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(c.cents) AS BIGINT) AS cents,
+         |  CAST(COUNT(t.k) AS BIGINT) AS n_live
+         |FROM graft_table_changes('$tbl', 1, 2) c
+         |JOIN $tbl t ON c.k = t.k
+         |GROUP BY c.pri ORDER BY c.pri""".stripMargin)
+    finally s.sql(s"DROP TABLE $tbl")
+  }
+
+  val q192Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_live
+      |FROM orders WHERE o_orderkey % 3 <> 0
+      |GROUP BY 1 ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -7021,7 +7062,8 @@ object ExtQueries {
     "q188_partitioned_optimize" -> (q188PartitionedOptimize _),
     "q189_partitioned_delete_rows" -> (q189PartitionedDeleteRows _),
     "q190_drop_columns" -> (q190DropColumns _),
-    "q191_sql_zorder" -> (q191SqlZorder _))
+    "q191_sql_zorder" -> (q191SqlZorder _),
+    "q192_sql_cdc" -> (q192SqlCdc _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7204,5 +7246,6 @@ object ExtQueries {
     "q188_partitioned_optimize" -> q188Sql,
     "q189_partitioned_delete_rows" -> q189Sql,
     "q190_drop_columns" -> q190Sql,
-    "q191_sql_zorder" -> q191Sql)
+    "q191_sql_zorder" -> q191Sql,
+    "q192_sql_cdc" -> q192Sql)
 }

@@ -19,7 +19,8 @@ object TestSessions {
     Set("q175_sql_update", "q176_sql_merge", "q177_sql_time_travel",
       "q179_schema_evolution", "q181_restore",
       "q186_partitioned_update", "q187_partitioned_merge",
-      "q188_partitioned_optimize", "q190_drop_columns", "q191_sql_zorder")
+      "q188_partitioned_optimize", "q190_drop_columns", "q191_sql_zorder",
+      "q192_sql_cdc")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession
