@@ -186,6 +186,35 @@ class ManifestRound14Spec extends SparkSpec {
     }.getMessage.contains("partition column"))
   }
 
+  test("partitioned UPDATE prunes candidates on the k=v segments: only the named partition's files rewrite") {
+    val dir = tmpDir("gm-seg-prune")
+    TableManifest.publishPartitioned(
+      (1L to 12L).map(i => (i, i * 10L, i % 3)).toDF("id", "v", "bucket")
+        .repartition(2),
+      dir, Seq("bucket"))
+    val before = TableManifest.read(spark, dir).get._2
+    // the condition names ONLY the partition column; the prune range in
+    // segment units confines the copy-on-write to bucket=1's files —
+    // every other partition's files must survive UNDER THE SAME NAMES
+    // (not rewritten-and-respliced), the file-level proof of the claim
+    TableManifest.updateWhere(spark, dir,
+      Seq("v" -> (col("v") + 1L)),
+      Some(col("bucket") === 1L),
+      pruneRanges = Seq(("bucket", 1L, 1L)))
+    val after = TableManifest.read(spark, dir).get._2
+    assert(after.filterNot(_.startsWith("bucket=1/")).toSet ==
+      before.filterNot(_.startsWith("bucket=1/")).toSet,
+      s"non-matching partitions byte-identical: $before -> $after")
+    assert(after.filter(_.startsWith("bucket=1/")).toSet !=
+      before.filter(_.startsWith("bucket=1/")).toSet,
+      "the named partition was rewritten")
+    val got = spark.read.format("graft-manifest").load(dir)
+      .selectExpr("id", "v", "bucket").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(got == (1L to 12L).map(i =>
+      (i, i * 10L + (if (i % 3 == 1) 1L else 0L), i % 3)).sorted, s"$got")
+  }
+
   test("SQL DROP COLUMNS: catalog sync, IF EXISTS no-op, nested rejection; flat ZORDER BY") {
     val dir = tmpDir("gm-dropcol-sql")
     Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "v")
