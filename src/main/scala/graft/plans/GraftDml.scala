@@ -375,10 +375,19 @@ private[plans] object GraftDmlRewrite {
       case _ => return sp
     }
     val path = GraftTables.graftPath(spark, target).getOrElse(return sp)
-    if (sp.pattern.nonEmpty) sys.error(
-      "graft-manifest SHOW PARTITIONS supports the plain form only " +
-        "(no PARTITION (…) filter)")
-    GraftShowPartitionsCommand(path)
+    // PARTITION (k=v[, …]) filters the listing to partitions whose
+    // segments carry every named value (hive-escaped, so the SQL
+    // spelling matches the directory form) — Spark's own semantics
+    val filter = sp.pattern.map {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec =>
+        u.spec.map { case (k, v) =>
+          k.toLowerCase -> org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(v)
+        }
+      case other => sys.error(
+        s"graft-manifest SHOW PARTITIONS: unsupported filter shape $other")
+    }
+    GraftShowPartitionsCommand(path, filter.getOrElse(Map.empty))
   }
 
   /** `SELECT … FROM t VERSION AS OF v / TIMESTAMP AS OF ts` on a
@@ -544,11 +553,14 @@ case class GraftDropColumnsCommand(path: String,
   }
 }
 
-/** `SHOW PARTITIONS` on a graft-manifest table: the live partitions are
-  * the distinct directory prefixes of the head manifest's file names —
-  * metadata the table already carries, served without touching the
-  * filesystem. Sorted for determinism (Spark's own convention). */
-case class GraftShowPartitionsCommand(path: String)
+/** `SHOW PARTITIONS [PARTITION (k=v, …)]` on a graft-manifest table:
+  * the live partitions are the distinct directory prefixes of the head
+  * manifest's file names — metadata the table already carries, served
+  * without touching the filesystem — filtered to those carrying every
+  * `k=v` of the optional spec (hive-escaped values, case-insensitive
+  * keys). Sorted for determinism (Spark's own convention). */
+case class GraftShowPartitionsCommand(path: String,
+    filter: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("partition",
@@ -558,8 +570,17 @@ case class GraftShowPartitionsCommand(path: String)
       sys.error(s"SHOW PARTITIONS: $path is not manifest-tracked"))
     files.flatMap { n =>
       val segs = n.split('/').dropRight(1)
-      if (segs.isEmpty) None else Some(segs.mkString("/"))
-    }.distinct.sorted.map(Row(_))
+      if (segs.isEmpty) None else Some(segs)
+    }.distinct
+      .filter(segs => filter.forall { case (k, v) =>
+        segs.exists { seg =>
+          seg.split("=", 2) match {
+            case Array(sk, sv) => sk.toLowerCase == k && sv == v
+            case _ => false
+          }
+        }
+      })
+      .map(_.mkString("/")).sorted.map(Row(_))
   }
 }
 

@@ -276,8 +276,9 @@ case class OptimizeCommand(table: GraftTableRef,
   * live file count, total bytes (from the committed filestat inventory;
   * NULL when a pre-inventory manifest leaves gaps — honest, never a
   * partial sum), streaming hwm, declared column count (NULL on
-  * pre-schema manifests), whether the layout is hive-partitioned, and
-  * how many manifest versions retention currently keeps. */
+  * pre-schema manifests), whether the layout is hive-partitioned, how
+  * many manifest versions retention currently keeps, and the partition
+  * column chain (NULL for flat layouts). */
 case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType, nullable = false)(),
@@ -288,7 +289,8 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     AttributeReference("n_columns", LongType, nullable = true)(),
     AttributeReference("partitioned",
       org.apache.spark.sql.types.BooleanType, nullable = false)(),
-    AttributeReference("n_versions", LongType, nullable = false)())
+    AttributeReference("n_versions", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.ops.TableManifest
     val path = table.path(spark)
@@ -306,9 +308,10 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     // (live k=v names, else the DECLARED partition schema) — not from
     // name shape alone, which would mislabel any future non-hive nesting
     // and forget the layout of an emptied partitioned table
-    val partitioned = TableManifest.layoutPartitionCols(spark, path).nonEmpty
+    val partCols = TableManifest.layoutPartitionCols(spark, path)
     Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
-      nCols.orNull, partitioned, nVersions))
+      nCols.orNull, partCols.nonEmpty, nVersions,
+      if (partCols.isEmpty) null else partCols.mkString(",")))
   }
 }
 

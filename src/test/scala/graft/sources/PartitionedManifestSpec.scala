@@ -289,6 +289,12 @@ class PartitionedManifestSpec extends SparkSpec {
       try {
         assert(s.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
           .toSeq == Seq("bucket=0", "bucket=1", "bucket=2"))
+        // the PARTITION (…) filter narrows the listing (hive-escaped,
+        // case-insensitive keys — Spark's own semantics)
+        assert(s.sql(s"SHOW PARTITIONS $tbl PARTITION (bucket=2)")
+          .collect().map(_.getString(0)).toSeq == Seq("bucket=2"))
+        assert(s.sql(s"SHOW PARTITIONS $tbl PARTITION (BUCKET='9')")
+          .collect().isEmpty, "no match filters to empty, never errors")
         s.sql(s"DELETE FROM $tbl WHERE bucket = 1")
         assert(s.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0))
           .toSeq == Seq("bucket=0", "bucket=2"),
