@@ -113,13 +113,20 @@ object TableManifest {
     * the first/last bracket of the body, because the trailing `stats`
     * object also contains brackets. File names are this module's ASCII
     * UUIDs, so neither quotes nor brackets appear inside a name. */
-  private def parseFiles(json: String): Seq[String] = {
-    val key = "\"files\":["
-    val start = json.indexOf(key)
-    require(start >= 0, s"malformed manifest: $json")
+  private def parseFiles(json: String): Seq[String] =
+    parseNameArray(json, "files")
+
+  /** A top-level `"<key>":["name", ...]` array of file names. The name
+    * sections (`files` / `adds` / `removes`) are always rendered BEFORE
+    * the stat objects, so a stats column that happens to share a key name
+    * can never win the indexOf. */
+  private def parseNameArray(json: String, key: String): Seq[String] = {
+    val k = "\"" + key + "\":["
+    val start = json.indexOf(k)
+    require(start >= 0, s"malformed manifest (missing $key): $json")
     val end = json.indexOf(']', start)
     require(end > start, s"malformed manifest: $json")
-    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start + key.length, end))
+    "\"([^\"]*)\"".r.findAllMatchIn(json.substring(start + k.length, end))
       .map(_.group(1)).toSeq
   }
 
@@ -135,6 +142,17 @@ object TableManifest {
   private val CtimeRe = """"ctime":([0-9]+)""".r
   private def parseCtime(json: String): Option[Long] =
     CtimeRe.findFirstMatchIn(json).map(_.group(1).toLong)
+
+  /** DELTA-record marker: a manifest body carrying `"delta":1,"base":B` is
+    * a LOG record (added/removed names + stat overlays relative to the
+    * resolved state of version-1, with `B` the CHECKPOINT version its
+    * replay chain starts at), not a full snapshot. The marker string can
+    * never occur in a full body: the only writer-controlled keys are this
+    * module's, stat column names render as `"name":[` / `"name":"` (a
+    * bracket or quote after the colon, never the bare digit `1` followed
+    * by `"base"`), and every value charset is guarded at render. Written
+    * immediately after the token so detection needs no full-body scan. */
+  private val DeltaBaseRe = """"delta":1,"base":([0-9]+)""".r
   /** The streaming append sink's batch-stamped data-file names
     * (`b<batchId>-<uuid>-pN.parquet`) — [[vacuum]] uses the id to protect
     * not-yet-committed batches. */
@@ -249,7 +267,7 @@ object TableManifest {
   /** The head's declared partition schema (see [[PartSchemaB64Re]]) —
     * `None` on flat tables and pre-field manifests. */
   def readPartitionSchema(spark: SparkSession, dir: String): Option[StructType] =
-    readHeadRaw(spark, dir).flatMap(h => parsePartSchema(h._2))
+    headSnap(spark, dir).flatMap(_._2.partSchema)
 
   /** Stored deep-nullable: the manifest schema describes what a SCAN of
     * the table serves, and a file scan serves every column nullable (any
@@ -294,7 +312,7 @@ object TableManifest {
     * manifests written before the field existed (planning then falls back
     * to one directory listing). */
   def readFileStat(spark: SparkSession, dir: String): Map[String, (Long, Long)] =
-    readHeadRaw(spark, dir).map(h => parseFileStat(h._2)).getOrElse(Map.empty)
+    headSnap(spark, dir).map(_._2.fstat).getOrElse(Map.empty)
 
   /** The `"bloom":{...}` point-lookup object. */
   private def parseBloom(json: String): FileBloom =
@@ -311,55 +329,37 @@ object TableManifest {
     * commits that rename data files — compaction, publish — cannot erase
     * it. Absent on manifests written before the field existed. */
   def readHead(spark: SparkSession, dir: String): Option[(Long, Seq[String], Option[Long])] =
-    readHeadRaw(spark, dir).map { case (v, body) =>
-      (v, parseFiles(body), HwmRe.findFirstMatchIn(body).map(_.group(1).toLong))
-    }
+    headSnap(spark, dir).map { case (v, s) => (v, s.files, s.hwm) }
 
   /** Head manifest's data-skipping stats (empty until [[analyze]] ran). */
   def readStats(spark: SparkSession, dir: String): FileStats =
-    readHeadRaw(spark, dir).map(h => parseStats(h._2)).getOrElse(Map.empty)
+    headSnap(spark, dir).map(_._2.stats).getOrElse(Map.empty)
 
   /** Head manifest's string-column data-skipping stats. */
   def readStringStats(spark: SparkSession, dir: String): FileStringStats =
-    readHeadRaw(spark, dir).map(h => parseStringStats(h._2))
-      .getOrElse(Map.empty)
+    headSnap(spark, dir).map(_._2.sstats).getOrElse(Map.empty)
 
   /** Head manifest's point-lookup blooms (empty until [[analyzeBloom]]). */
   def readBloom(spark: SparkSession, dir: String): FileBloom =
-    readHeadRaw(spark, dir).map(h => parseBloom(h._2)).getOrElse(Map.empty)
+    headSnap(spark, dir).map(_._2.bloom).getOrElse(Map.empty)
 
   /** The head manifest's table schema — `None` for untracked dirs and for
     * manifests written before the schema field existed (bootstrap those
     * with [[analyzeSchema]]). */
   def readSchema(spark: SparkSession, dir: String): Option[StructType] =
-    readHeadRaw(spark, dir).flatMap(h => parseSchema(h._2))
+    headSnap(spark, dir).flatMap(_._2.schema)
 
-  /** Head (version, files, schema, filestat) from ONE manifest read — the
-    * snapshot the DSv2 provider pins, so schema inference, the scan's
-    * file list, and the planning file index can never split across
-    * different versions. Served from [[snapshotCache]] when this head
-    * version was parsed before: repeat planning against an unchanged
-    * head costs one `_manifest/` listing, no body read, no parse. */
+  /** Head (version, files, schema, filestat) from ONE resolved snapshot —
+    * what the DSv2 provider pins, so schema inference, the scan's file
+    * list, and the planning file index can never split across different
+    * versions. Served from the resolution caches when this head version
+    * was resolved before: repeat planning against an unchanged head costs
+    * one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
       : Option[(Long, Seq[String], Option[StructType],
           Map[String, (Long, Long)], Option[StructType])] =
-    headVersionPath(spark, dir).map { case (v, status, fs) =>
-      // keyed by the manifest FILE's identity (len + mtime), not just the
-      // version number: a table wiped and re-created at the same path
-      // mints a fresh v1, and serving the old parse for it would be the
-      // one way to break the write-once soundness argument
-      val key = (dir, v, status.getLen, status.getModificationTime)
-      val hit = snapshotCache.get(key)
-      val snap =
-        if (hit != null) hit
-        else {
-          val body = readBody(fs, status.getPath)
-          val parsed = (parseFiles(body), parseSchema(body),
-            parseFileStat(body), parsePartSchema(body))
-          snapshotCache.put(key, parsed)
-          parsed
-        }
-      (v, snap._1, snap._2, snap._3, snap._4)
+    headSnap(spark, dir).map { case (v, s) =>
+      (v, s.files, s.schema, s.fstat, s.partSchema)
     }
 
   /** (files, schema, filestat, partition schema) of one SPECIFIC version
@@ -368,23 +368,94 @@ object TableManifest {
   def readAtFull(spark: SparkSession, dir: String, version: Long)
       : Option[(Seq[String], Option[StructType],
           Map[String, (Long, Long)], Option[StructType])] =
-    readAtRaw(spark, dir, version).map(b =>
-      (parseFiles(b), parseSchema(b), parseFileStat(b), parsePartSchema(b)))
+    snapAt(spark, dir, version).map(s =>
+      (s.files, s.schema, s.fstat, s.partSchema))
 
-  /** Head discovery WITHOUT the body read: one listing of `_manifest/`
-    * names the head version (dense, monotone) — the freshness check every
-    * head read must pay, and with the snapshot cache below often the ONLY
-    * cost it pays. */
-  private def headVersionPath(spark: SparkSession, dir: String)
-      : Option[(Long, org.apache.hadoop.fs.FileStatus, FileSystem)] = {
-    val (fs, p) = fsFor(spark, dir)
-    val mdir = new Path(p, ManifestDir)
-    if (!fs.exists(mdir)) return None
-    val heads = fs.listStatus(mdir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
-    if (heads.isEmpty) return None
-    val (v, status) = heads.maxBy(_._1)
-    Some((v, status, fs))
+  /** The fully-RESOLVED state of one committed version: a checkpoint
+    * body's fields verbatim, or a delta chain's replay. `base` is the
+    * checkpoint version the chain starts at (= the version itself for a
+    * checkpoint body) — what a successor commit records as its replay
+    * anchor. Immutable once resolved (manifests are write-once), so every
+    * cache below is sound by construction. */
+  private[graft] final case class Snap(
+      files: Seq[String],
+      schema: Option[StructType],
+      partSchema: Option[StructType],
+      stats: FileStats,
+      sstats: FileStringStats,
+      bloom: FileBloom,
+      fstat: Map[String, (Long, Long)],
+      hwm: Option[Long],
+      ctime: Option[Long],
+      base: Long)
+
+  /** One parsed DELTA record: names added/removed vs the previous
+    * version's resolved state, stat/inventory OVERLAYS for (at least) the
+    * added files, and the commit's own whole-table metadata — hwm, ctime,
+    * and the COMPLETE output schema / partition declaration (tiny,
+    * O(columns), so each record is self-contained on those and replay
+    * never has to inherit them). */
+  private final case class DeltaRec(base: Long, adds: Seq[String],
+      removes: Seq[String], schema: Option[StructType],
+      partSchema: Option[StructType], stats: FileStats,
+      sstats: FileStringStats, bloom: FileBloom,
+      fstat: Map[String, (Long, Long)], hwm: Option[Long],
+      ctime: Option[Long])
+
+  private def parseHwm(json: String): Option[Long] =
+    HwmRe.findFirstMatchIn(json).map(_.group(1).toLong)
+
+  /** Parse one manifest body: `Right(Snap)` for a checkpoint (full
+    * snapshot), `Left(DeltaRec)` for a delta record. */
+  private def parseBody(v: Long, body: String): Either[DeltaRec, Snap] =
+    DeltaBaseRe.findFirstMatchIn(body) match {
+      case Some(m) => Left(DeltaRec(m.group(1).toLong,
+        parseNameArray(body, "adds"), parseNameArray(body, "removes"),
+        parseSchema(body), parsePartSchema(body), parseStats(body),
+        parseStringStats(body), parseBloom(body), parseFileStat(body),
+        parseHwm(body), parseCtime(body)))
+      case None => Right(Snap(parseFiles(body), parseSchema(body),
+        parsePartSchema(body), parseStats(body), parseStringStats(body),
+        parseBloom(body), parseFileStat(body), parseHwm(body),
+        parseCtime(body), base = v))
+    }
+
+  /** Apply one delta record to the previous version's resolved state —
+    * EXACTLY the merge a full commit's carry used to bake into the body:
+    * stat maps filter to the new file list and overlay PER COLUMN (an
+    * overlay for column B must not erase a file's committed column-A
+    * stats); the inventory overlays per file; hwm/ctime/schema/partition
+    * declaration are the record's own (each commit fully determines
+    * them, absent = absent). */
+  private def applyDelta(s: Snap, d: DeltaRec): Snap = {
+    val removed = d.removes.toSet
+    val files = s.files.filterNot(removed) ++ d.adds
+    val fset = files.toSet
+    def merge[A](base: Map[String, Map[String, A]],
+        over: Map[String, Map[String, A]]): Map[String, Map[String, A]] =
+      (base.keySet ++ over.keySet).iterator
+        .filter(fset)
+        .map(f => f -> (base.getOrElse(f, Map.empty[String, A]) ++
+          over.getOrElse(f, Map.empty[String, A])))
+        .filter(_._2.nonEmpty)
+        .toMap
+    Snap(files, d.schema, d.partSchema,
+      merge(s.stats, d.stats), merge(s.sstats, d.sstats),
+      merge(s.bloom, d.bloom),
+      (s.fstat ++ d.fstat).filter(kv => fset(kv._1)),
+      d.hwm, d.ctime, d.base)
+  }
+
+  /** One listing of `_manifest/`: version → status for every committed
+    * manifest file. This is the freshness check every head read pays, and
+    * it doubles as the zero-extra-RPC source of chain-replay statuses and
+    * cache-identity (len, mtime) checks. */
+  private def manifestListing(fs: FileSystem, table: Path)
+      : Map[Long, org.apache.hadoop.fs.FileStatus] = {
+    val mdir = new Path(table, ManifestDir)
+    if (!fs.exists(mdir)) Map.empty
+    else fs.listStatus(mdir).iterator
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s)).toMap
   }
 
   private def readBody(fs: FileSystem, path: Path): String = {
@@ -393,98 +464,197 @@ object TableManifest {
     finally in.close()
   }
 
-  private def readHeadRaw(spark: SparkSession, dir: String): Option[(Long, String)] =
-    headVersionPath(spark, dir).map { case (v, status, fs) =>
-      (v, readBody(fs, status.getPath))
-    }
-
-  /** Parsed-head snapshot cache. Manifest files are WRITE-ONCE (the CAS
-    * commit's exclusive create is the linearization point), so
-    * (dir, version) → (files, schema, filestat) is immutable and caching
-    * it is sound by construction: a commit advances the head to a NEW
-    * version (new key — stale entries age out of the LRU), and a vacuum
-    * pruning an old version can never resurrect it as the head (versions
-    * are dense and monotone). This is what collapses the metadata
-    * envelope's PER-QUERY cost — an O(files) body read + three regex
-    * parses, measured 0.74 s at 100k files / 11 s at 1M — to one
-    * `_manifest/` listing for every planning after the first against an
-    * unchanged head. Bounded at 4 entries because an entry for a
-    * 1M-file head is ~100 MB of parsed names+inventory: the bound is
-    * memory-motivated, sized for a driver actively planning against a
-    * handful of tables. Serves HEAD reads ([[readFull]]) only — time
-    * travel and the commit path always read their bodies fresh. */
-  private val snapshotCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Long, Long, Long),
-        (Seq[String], Option[StructType], Map[String, (Long, Long)],
-          Option[StructType])](
+  /** Resolved-snapshot cache, keyed by the manifest FILE's identity
+    * (dir, version, len, mtime) — not just the version number: a table
+    * wiped and re-created at the same path mints a fresh v1, and serving
+    * the old parse for it would be the one way to break the write-once
+    * soundness argument. Bounded at 4 entries because an entry for a
+    * 1M-file head is ~100 MB of parsed names+inventory: memory-motivated,
+    * sized for a driver actively planning against a handful of tables.
+    * This is what collapses the metadata envelope's PER-QUERY cost — an
+    * O(files) body read + regex parses, measured 0.74 s at 100k files /
+    * 11 s at 1M — to one `_manifest/` listing for every read after the
+    * first against an unchanged version. */
+  private val snapCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snap](
         8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long, Long),
-            (Seq[String], Option[StructType], Map[String, (Long, Long)],
-              Option[StructType])])
+          e: java.util.Map.Entry[(String, Long, Long, Long), Snap])
         : Boolean = size() > 4
     })
 
-  private def render(version: Long, token: String, files: Seq[String],
-      hwm: Option[Long], stats: FileStats,
-      sstats: FileStringStats, bloom: FileBloom,
-      schemaB64: Option[String],
-      fstat: Map[String, (Long, Long)] = Map.empty,
-      ctimeMillis: Option[Long] = None,
-      partSchemaB64: Option[String] = None): String = {
-    // the no-escaping invariant is enforced HERE, not only in the footer
-    // reader: commitIf is public API, and one unsafe caller-supplied value
-    // would either corrupt the whole body (brace breaks sliceObject's
-    // depth count) or round-trip to FABRICATED ranges (an embedded quote
-    // re-splits under the regex) → unsound pruning. File names fail loud
-    // (the file list is load-bearing); stat entries are silently dropped
-    // (only costs pruning power — the file stays a candidate).
+  /** Newest resolved version per table dir — the INCREMENTAL-replay
+    * anchor that makes a commit chain O(delta) instead of O(table):
+    * resolving head v as a delta replays from this snapshot (one
+    * [[applyDelta]] per unseen record) instead of re-reading the base
+    * checkpoint's O(files) body every commit. Entries carry their
+    * version's (len, mtime) and are trusted only when the CURRENT listing
+    * shows the same identity (wiped-and-recreated tables re-resolve).
+    * Same 4-entry memory bound as [[snapCache]]. */
+  private val latestByDir = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Long, Long, Long, Snap)](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, Long, Long, Snap)])
+        : Boolean = size() > 4
+    })
+
+  /** Record a freshly-resolved (or commit-computed) snapshot in both
+    * caches. */
+  private def cacheSnap(dir: String, v: Long,
+      status: org.apache.hadoop.fs.FileStatus, snap: Snap): Unit = {
+    snapCache.put((dir, v, status.getLen, status.getModificationTime), snap)
+    val cur = latestByDir.get(dir)
+    if (cur == null || cur._1 <= v)
+      latestByDir.put(dir,
+        (v, status.getLen, status.getModificationTime, snap))
+  }
+
+  /** Resolve version `v` of `dir` to its full snapshot state, given the
+    * current manifest listing. Checkpoint bodies parse directly; delta
+    * bodies replay from the nearest trusted anchor — the cached newest
+    * resolved version of this dir when its identity still matches the
+    * listing and it sits inside the chain, else the record's base
+    * CHECKPOINT — applying each intermediate record in version order.
+    * Loud when a chain link is missing (a hand-pruned intermediate delta
+    * makes the state unknowable; [[vacuum]]'s retention never creates
+    * such a gap — it keeps everything from the oldest retained version's
+    * base forward). */
+  private def resolveSnap(fs: FileSystem, table: Path, dir: String, v: Long,
+      listing: Map[Long, org.apache.hadoop.fs.FileStatus]): Snap = {
+    def statusOf(w: Long): org.apache.hadoop.fs.FileStatus =
+      listing.getOrElse(w, scala.util.Try(
+        fs.getFileStatus(manifestPath(table, w))).getOrElse(sys.error(
+        s"manifest v$w of $dir is missing but v$v's delta chain needs " +
+          "it — the chain was pruned out-of-protocol; only vacuum may " +
+          "prune manifests (it keeps every version from the oldest " +
+          "retained version's checkpoint base forward)")))
+    val st = statusOf(v)
+    val key = (dir, v, st.getLen, st.getModificationTime)
+    val hit = snapCache.get(key)
+    if (hit != null) return hit
+    val snap = parseBody(v, readBody(fs, st.getPath)) match {
+      case Right(full) => full
+      case Left(d) =>
+        val anchor: (Long, Snap) = {
+          val cached = Option(latestByDir.get(dir)).filter {
+            case (w, len, mt, _) => w >= d.base && w < v &&
+              listing.get(w).exists(s =>
+                s.getLen == len && s.getModificationTime == mt)
+          }
+          cached match {
+            case Some((w, _, _, s0)) => (w, s0)
+            case None =>
+              val bst = statusOf(d.base)
+              parseBody(d.base, readBody(fs, bst.getPath)) match {
+                case Right(s0) => (d.base, s0)
+                case Left(_) => sys.error(
+                  s"manifest v${d.base} of $dir is a delta record but " +
+                    s"v$v references it as a chain BASE — corrupt chain")
+              }
+          }
+        }
+        var s = anchor._2
+        var w = anchor._1 + 1
+        while (w < v) {
+          s = parseBody(w, readBody(fs, statusOf(w).getPath)) match {
+            case Right(full) => full
+            case Left(dw) => applyDelta(s, dw)
+          }
+          w += 1
+        }
+        applyDelta(s, d)
+    }
+    cacheSnap(dir, v, st, snap)
+    snap
+  }
+
+  /** The head's (version, resolved snapshot), or None for untracked dirs.
+    * Freshness = one `_manifest/` listing per call; the parse/replay is
+    * cache-amortized. */
+  private def headSnap(spark: SparkSession, dir: String)
+      : Option[(Long, Snap)] = {
+    val (fs, p) = fsFor(spark, dir)
+    val listing = manifestListing(fs, p)
+    if (listing.isEmpty) None
+    else {
+      val v = listing.keys.max
+      Some((v, resolveSnap(fs, p, dir, v, listing)))
+    }
+  }
+
+  /** One SPECIFIC version's resolved snapshot — None when that version's
+    * manifest file no longer exists (retention pruned it). */
+  private def snapAt(spark: SparkSession, dir: String,
+      version: Long): Option[Snap] = {
+    val (fs, p) = fsFor(spark, dir)
+    val listing = manifestListing(fs, p)
+    if (!listing.contains(version)) None
+    else Some(resolveSnap(fs, p, dir, version, listing))
+  }
+
+  /** Commit-protocol checkpoint cadence: a commit whose head chain has
+    * grown to this many records (or whose delta would not be materially
+    * smaller than a snapshot — see [[commitIf]]) writes a full CHECKPOINT
+    * body instead of a delta record, bounding every replay to < interval
+    * small reads past the last O(files) checkpoint. 1 disables deltas
+    * entirely (every commit a full snapshot — the pre-round-15 behavior,
+    * and what a test drilling hand-pruned histories should pin). */
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.manifest.checkpointInterval")
+      .flatMap(_.trim.toIntOption).map(math.max(1, _)).getOrElse(8)
+
+  private def safeStatName(c: String): Boolean =
+    c.nonEmpty && SafeStatValue.matches(c)
+
+  /** Drop stat entries that would break the no-escaping invariant (only
+    * costs pruning power — the file stays a candidate). Applied BEFORE
+    * both rendering and commit-time cache updates, so the cached snapshot
+    * and a fresh parse of the written body can never diverge. */
+  private def cleanStats(stats: FileStats): FileStats = stats
+    .map { case (f, cols) => f -> cols.filter(kv => safeStatName(kv._1)) }
+    .filter(_._2.nonEmpty)
+  private def cleanSStats(sstats: FileStringStats): FileStringStats = sstats
+    .map { case (f, cols) => f -> cols.filter { case (c, (lo, hi)) =>
+      safeStatName(c) && SafeStatValue.matches(lo) && SafeStatValue.matches(hi)
+    } }
+    .filter(_._2.nonEmpty)
+  private def cleanBloom(bloom: FileBloom): FileBloom = bloom
+    .map { case (f, cols) => f -> cols.filter { case (c, hex) =>
+      safeStatName(c) && hex.matches("[0-9a-f]*")
+    } }
+    .filter(_._2.nonEmpty)
+
+  /** The no-escaping invariant for load-bearing file names: loud, never
+    * silently dropped. */
+  private def requireJsonSafeNames(files: Seq[String]): Unit =
     files.foreach(f => require(
       f.nonEmpty && !f.exists(c =>
         c == '"' || c == '[' || c == ']' || c == '{' || c == '}' ||
           c == '\\'),
       s"manifest file name not JSON-safe: $f"))
-    def safeName(c: String) = c.nonEmpty && SafeStatValue.matches(c)
-    schemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
-      "manifest schema must be base64 (no-escaping invariant)"))
-    partSchemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
-      "manifest partition schema must be base64 (no-escaping invariant)"))
-    val meta = hwm.map(h => s""""hwm":$h,""").getOrElse("") +
-      ctimeMillis.map(t => s""""ctime":$t,""").getOrElse("") +
-      schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("") +
-      partSchemaB64.map(s => s""""partschemab64":"$s",""").getOrElse("")
-    val filesJson = files.sorted.map(f => "\"" + f + "\"")
-      .mkString("[", ",", "]")
-    val cleanStats = stats
-      .map { case (f, cols) => f -> cols.filter(kv => safeName(kv._1)) }
-      .filter(_._2.nonEmpty)
-    val cleanSStats = sstats
-      .map { case (f, cols) => f -> cols.filter { case (c, (lo, hi)) =>
-        safeName(c) && SafeStatValue.matches(lo) && SafeStatValue.matches(hi)
-      } }
-      .filter(_._2.nonEmpty)
+
+  /** The shared stat/inventory tail of both body kinds. Inputs must be
+    * pre-cleaned. */
+  private def statSections(stats: FileStats, sstats: FileStringStats,
+      bloom: FileBloom, fstat: Map[String, (Long, Long)]): String = {
     val statsJson =
-      if (cleanStats.isEmpty) ""
-      else cleanStats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      if (stats.isEmpty) ""
+      else stats.toSeq.sortBy(_._1).map { case (f, cols) =>
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + c + "\":[" + lo + "," + hi + "]"
         }.mkString("{", ",", "}")
       }.mkString(s""","statsv":$StatsFormat,"stats":{""", ",", "}")
     val sstatsJson =
-      if (cleanSStats.isEmpty) ""
-      else cleanSStats.toSeq.sortBy(_._1).map { case (f, cols) =>
+      if (sstats.isEmpty) ""
+      else sstats.toSeq.sortBy(_._1).map { case (f, cols) =>
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + c + "\":[\"" + lo + "\",\"" + hi + "\"]"
         }.mkString("{", ",", "}")
       }.mkString(",\"sstats\":{", ",", "}")
-    val cleanBloom = bloom
-      .map { case (f, cols) => f -> cols.filter { case (c, hex) =>
-        safeName(c) && hex.matches("[0-9a-f]*")
-      } }
-      .filter(_._2.nonEmpty)
     val bloomJson =
-      if (cleanBloom.isEmpty) ""
-      else cleanBloom.toSeq.sortBy(_._1).map { case (f, cols) =>
+      if (bloom.isEmpty) ""
+      else bloom.toSeq.sortBy(_._1).map { case (f, cols) =>
         "\"" + f + "\":" + cols.toSeq.sortBy(_._1).map { case (c, hex) =>
           "\"" + c + "\":\"" + hex + "\""
         }.mkString("{", ",", "}")
@@ -494,7 +664,65 @@ object TableManifest {
       else fstat.toSeq.sortBy(_._1).map { case (f, (len, mtime)) =>
         "\"" + f + "\":[" + len + "," + mtime + "]"
       }.mkString(",\"filestat\":{", ",", "}")
-    s"""{"version":$version,"token":"$token",$meta"files":$filesJson$statsJson$sstatsJson$bloomJson$fstatJson}"""
+    statsJson + sstatsJson + bloomJson + fstatJson
+  }
+
+  private def metaSections(hwm: Option[Long], ctimeMillis: Option[Long],
+      schemaB64: Option[String], partSchemaB64: Option[String]): String = {
+    schemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
+      "manifest schema must be base64 (no-escaping invariant)"))
+    partSchemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
+      "manifest partition schema must be base64 (no-escaping invariant)"))
+    hwm.map(h => s""""hwm":$h,""").getOrElse("") +
+      ctimeMillis.map(t => s""""ctime":$t,""").getOrElse("") +
+      schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("") +
+      partSchemaB64.map(s => s""""partschemab64":"$s",""").getOrElse("")
+  }
+
+  /** Render a CHECKPOINT (full-snapshot) body. Stat maps must be
+    * pre-cleaned ([[cleanStats]] family). The no-escaping invariant is
+    * enforced HERE, not only in the footer reader: commitIf is public
+    * API, and one unsafe caller-supplied value would either corrupt the
+    * whole body (a brace breaks sliceObject's depth count) or round-trip
+    * to FABRICATED ranges (an embedded quote re-splits under the regex)
+    * → unsound pruning. */
+  private def render(version: Long, token: String, files: Seq[String],
+      hwm: Option[Long], stats: FileStats,
+      sstats: FileStringStats, bloom: FileBloom,
+      schemaB64: Option[String],
+      fstat: Map[String, (Long, Long)] = Map.empty,
+      ctimeMillis: Option[Long] = None,
+      partSchemaB64: Option[String] = None): String = {
+    requireJsonSafeNames(files)
+    val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64)
+    val filesJson = files.sorted.map(f => "\"" + f + "\"")
+      .mkString("[", ",", "]")
+    s"""{"version":$version,"token":"$token",$meta"files":$filesJson""" +
+      statSections(cleanStats(stats), cleanSStats(sstats),
+        cleanBloom(bloom), fstat) + "}"
+  }
+
+  /** Render a DELTA record body (see [[DeltaBaseRe]]): names
+    * added/removed vs the previous version plus stat OVERLAYS for the
+    * commit's fresh entries — O(delta) bytes written instead of the
+    * complete O(files) snapshot. Schema / partition declaration / hwm /
+    * ctime ride every record in full (tiny), so a record is
+    * self-contained on whole-table metadata and replay only folds the
+    * name and stat sections. */
+  private def renderDelta(version: Long, token: String, base: Long,
+      adds: Seq[String], removes: Seq[String], hwm: Option[Long],
+      stats: FileStats, sstats: FileStringStats, bloom: FileBloom,
+      schemaB64: Option[String], fstat: Map[String, (Long, Long)],
+      ctimeMillis: Option[Long], partSchemaB64: Option[String]): String = {
+    requireJsonSafeNames(adds)
+    requireJsonSafeNames(removes)
+    val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64)
+    def arr(names: Seq[String]): String =
+      names.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    s"""{"version":$version,"token":"$token","delta":1,"base":$base,""" +
+      meta + s""""adds":${arr(adds)},"removes":${arr(removes)}""" +
+      statSections(cleanStats(stats), cleanSStats(sstats),
+        cleanBloom(bloom), fstat) + "}"
   }
 
   /** Atomically create the manifest file for exactly this version: local
@@ -546,27 +774,15 @@ object TableManifest {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
-    val headRaw = readHeadRaw(spark, dir)
-    val head = headRaw.map(_._1).getOrElse(0L)
+    val headMeta = headSnap(spark, dir)
+    val head = headMeta.map(_._1).getOrElse(0L)
     if (head != expectedHead) return None
-    // data-skipping stats survive commits that didn't recompute them: carry
-    // the head's stats for files still listed, overlay the caller's — so an
-    // append after an [[analyze]] keeps every analyzed file prunable. The
-    // overlay merges PER COLUMN, not per file: an analyze over column set B
-    // must not erase a file's committed column-A stats (the streaming sink
-    // commits ts born-prunable; a nightly analyze(k) that replaced the
-    // inner map wholesale would silently un-prune ts table-wide)
+    val headS = headMeta.map(_._2)
+    val headFiles = headS.map(_.files).getOrElse(Seq.empty)
+    val headFileSet = headFiles.toSet
     val fileSet = files.toSet
-    def carry[A](parse: String => Map[String, Map[String, A]],
-        fresh: Map[String, Map[String, A]]): Map[String, Map[String, A]] = {
-      val head = headRaw.map(h => parse(h._2)).getOrElse(Map.empty)
-      (head.keySet ++ fresh.keySet).iterator
-        .filter(fileSet)
-        .map(f => f -> (head.getOrElse(f, Map.empty) ++
-          fresh.getOrElse(f, Map.empty)))
-        .filter(_._2.nonEmpty)
-        .toMap
-    }
+    val added = files.filterNot(headFileSet)
+    val removed = headFiles.filterNot(fileSet)
     // the table schema survives commits that didn't restate it, like the
     // stats: an append MERGES its batch schema into the head's (so an
     // evolved batch widens the table and a narrow batch cannot shrink it),
@@ -582,9 +798,7 @@ object TableManifest {
     // hold; [[analyzeSchema]] bootstraps those. A fresh table (no manifest
     // at all) has no older files, so the first commit's delta IS the
     // table.
-    val headSchema = headRaw.flatMap(h => parseSchema(h._2))
-    val added = files.filterNot(
-      headRaw.map(h => parseFiles(h._2).toSet).getOrElse(Set.empty[String]))
+    val headSchema = headS.flatMap(_.schema)
     // the commit PROTOCOL never requires data files to be scannable (a
     // manifest is just a name list), so a delta whose footers can't be
     // read doesn't fail the commit — it DROPS the stored schema instead:
@@ -602,44 +816,124 @@ object TableManifest {
         case (Some(a), None) =>
           if (added.isEmpty) Some(a)
           else inferAdded().map(SchemaBridge.merge(a, _))
-        case (None, Some(b)) => if (headRaw.isEmpty) Some(b) else None
+        case (None, Some(b)) => if (headMeta.isEmpty) Some(b) else None
         case (None, None) =>
-          if (headRaw.isEmpty && files.nonEmpty) inferAdded() else None
+          if (headMeta.isEmpty && files.nonEmpty) inferAdded() else None
       }
-    // the per-file (length, mtime) inventory survives like the stats:
-    // carry the head's entries for files still listed, overlay the
-    // caller's, and STAT whatever is still missing from the delta (the
-    // files were just written — hot metadata, O(new files)). This is the
-    // field that makes scan planning zero-FS-call; a file whose stat
-    // fails is silently dropped (planning falls back to one directory
-    // listing for the gaps — costs a listing, never correctness).
-    val headFstat = headRaw.map(h => parseFileStat(h._2)).getOrElse(Map.empty)
-    val carriedFstat = (headFstat ++ fstat).filter(kv => fileSet(kv._1))
-    val statted = added.filterNot(carriedFstat.contains).flatMap { f =>
-      scala.util.Try {
-        val s = fs.getFileStatus(new Path(p, f))
-        f -> (s.getLen, s.getModificationTime)
-      }.toOption
-    }
-    val outFstat = carriedFstat ++ statted
+    // the per-file (length, mtime) inventory survives like the stats
+    // (checkpoint carry / delta-record overlay — see below): the caller's
+    // entries are taken for still-listed files, and whatever the delta
+    // still misses is STATted here (the files were just written — hot
+    // metadata, O(new files)). This is the field that makes scan planning
+    // zero-FS-call; a file whose stat fails is silently dropped (planning
+    // falls back to one directory listing for the gaps — costs a listing,
+    // never correctness).
+    val callerFstat = fstat.filter(kv => fileSet(kv._1))
+    val statted = added
+      .filterNot(f => callerFstat.contains(f) ||
+        headS.exists(_.fstat.contains(f)))
+      .flatMap { f =>
+        scala.util.Try {
+          val s = fs.getFileStatus(new Path(p, f))
+          f -> (s.getLen, s.getModificationTime)
+        }.toOption
+      }
+    val overlayFstat = callerFstat ++ statted
     // the declared partition schema survives commits that didn't restate
     // it (the hwm posture): a drop/erase/compaction must not strip the
     // table of its partition columns. Only init/publishPartitioned set
     // it; a restore RE-STATES the restored version's field verbatim
     // (replacePartSchema — restoring a flat version of a since-
     // partitioned table must not keep the newer layout declaration).
-    val outPartSchema =
+    val outPartSchema0 =
       if (replacePartSchema) partSchema
-      else partSchema.orElse(headRaw.flatMap(h => parsePartSchema(h._2)))
+      else partSchema.orElse(headS.flatMap(_.partSchema))
+    // normalized ONCE, before both the body render and the cache poke: the
+    // stored schema is deep-nullable (what a scan serves — encodeSchema's
+    // contract), and a cached snapshot whose nullability diverged from a
+    // fresh parse of the same body would make the read path's plan depend
+    // on cache state
+    val outSchemaStored = outSchema.map(SchemaBridge.asNullable)
+    val outPartSchema = outPartSchema0.map(SchemaBridge.asNullable)
     val v = expectedHead + 1
-    val body =
-      render(v, UUID.randomUUID().toString, files, hwm,
-        carry(parseStats, stats), carry(parseStringStats, sstats),
-        carry(parseBloom, bloom), outSchema.map(encodeSchema), outFstat,
-        ctimeMillis = Some(System.currentTimeMillis()),
-        partSchemaB64 = outPartSchema.map(encodeSchema))
-        .getBytes(StandardCharsets.UTF_8)
-    if (createExclusive(fs, mdir, manifestPath(p, v), body)) Some(v) else None
+    val ctime = System.currentTimeMillis()
+    val token = UUID.randomUUID().toString
+    // stat overlays pre-cleaned so the post-commit cache poke and a fresh
+    // parse of the written body can never diverge
+    val freshStats = cleanStats(stats.filter(kv => fileSet(kv._1)))
+    val freshSStats = cleanSStats(sstats.filter(kv => fileSet(kv._1)))
+    val freshBloom = cleanBloom(bloom.filter(kv => fileSet(kv._1)))
+    // DELTA vs CHECKPOINT: a delta record is written when the head's
+    // replay chain is still short (bounded by [[checkpointInterval]] — so
+    // every cold resolution is one O(files) checkpoint parse plus a few
+    // small records) AND the record would be materially smaller than a
+    // snapshot. Two size guards, both erring toward checkpoints:
+    // removes-dominated commits (publish/compaction snapshot-replaces, a
+    // restore far back, a big retention delete) re-anchor the chain — the
+    // record would carry most of the table by name AND replay would
+    // re-pay it per read — and stat-restating commits (analyze sweeps)
+    // checkpoint for the same reason. The first commit of a table is
+    // always a checkpoint. The CAS linearization point is IDENTICAL
+    // either way: winning the exclusive create of v<N>.json.
+    val interval = checkpointInterval(spark)
+    val writeDelta = headS.isDefined && interval > 1 &&
+      (v - headS.get.base) < interval &&
+      removed.size * 2 <= math.max(1, headFiles.size) &&
+      (added.size + freshStats.size + freshSStats.size +
+        freshBloom.size) * 2 <= math.max(8, headFiles.size + added.size)
+    val (body, snap) =
+      if (writeDelta) {
+        val rec = DeltaRec(headS.get.base, added, removed,
+          outSchemaStored, outPartSchema, freshStats, freshSStats, freshBloom,
+          overlayFstat, hwm, Some(ctime))
+        (renderDelta(v, token, rec.base, added, removed, hwm,
+          freshStats, freshSStats, freshBloom,
+          outSchemaStored.map(encodeSchema), overlayFstat,
+          ctimeMillis = Some(ctime),
+          partSchemaB64 = outPartSchema.map(encodeSchema))
+          .getBytes(StandardCharsets.UTF_8),
+          applyDelta(headS.get, rec))
+      } else {
+        // data-skipping stats survive a checkpoint like they survived
+        // every full body: carry the head's stats for files still listed,
+        // overlay the caller's — so an append after an [[analyze]] keeps
+        // every analyzed file prunable. The overlay merges PER COLUMN,
+        // not per file: an analyze over column set B must not erase a
+        // file's committed column-A stats (the streaming sink commits ts
+        // born-prunable; a nightly analyze(k) that replaced the inner map
+        // wholesale would silently un-prune ts table-wide)
+        def carry[A](headM: Map[String, Map[String, A]],
+            fresh: Map[String, Map[String, A]]): Map[String, Map[String, A]] =
+          (headM.keySet ++ fresh.keySet).iterator
+            .filter(fileSet)
+            .map(f => f -> (headM.getOrElse(f, Map.empty[String, A]) ++
+              fresh.getOrElse(f, Map.empty[String, A])))
+            .filter(_._2.nonEmpty)
+            .toMap
+        val outStats = carry(headS.map(_.stats).getOrElse(Map.empty), freshStats)
+        val outSStats = carry(headS.map(_.sstats).getOrElse(Map.empty), freshSStats)
+        val outBloom = carry(headS.map(_.bloom).getOrElse(Map.empty), freshBloom)
+        val outFstat =
+          (headS.map(_.fstat).getOrElse(Map.empty) ++ callerFstat)
+            .filter(kv => fileSet(kv._1)) ++ statted
+        (render(v, token, files, hwm, outStats, outSStats, outBloom,
+          outSchemaStored.map(encodeSchema), outFstat,
+          ctimeMillis = Some(ctime),
+          partSchemaB64 = outPartSchema.map(encodeSchema))
+          .getBytes(StandardCharsets.UTF_8),
+          Snap(files.sorted, outSchemaStored, outPartSchema, outStats, outSStats,
+            outBloom, outFstat, hwm, Some(ctime), base = v))
+      }
+    val target = manifestPath(p, v)
+    if (!createExclusive(fs, mdir, target, body)) None
+    else {
+      // poke the resolution caches with the state this commit just
+      // determined, so the committer's NEXT head read (its own CAS loop,
+      // the streaming sink's next epoch) replays nothing — the step that
+      // keeps a commit CHAIN O(delta) instead of O(table) per link
+      scala.util.Try(cacheSnap(dir, v, fs.getFileStatus(target), snap))
+      Some(v)
+    }
   }
 
   /** Commit `files` (dir-relative names) as the next manifest version —
@@ -795,27 +1089,44 @@ object TableManifest {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (fs, p) = fsFor(spark, dir)
-    val mdir = new Path(p, ManifestDir)
-    val versions =
-      if (!fs.exists(mdir)) Seq.empty
-      else fs.listStatus(mdir).toSeq
-        .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
-        .sortBy(_._1)
+    val listing = manifestListing(fs, p)
+    val versions = listing.toSeq.sortBy(_._1)
+    // one ascending REPLAY: each delta record folds into the running
+    // state (a checkpoint resets it), so the whole ledger costs the sum
+    // of the record sizes — never versions × O(files). A gap left by
+    // retention re-anchors through the chain resolver (vacuum keeps every
+    // version from the oldest retained version's base forward, so the
+    // chain is always whole).
+    var state: Snap = null
+    var stateV = Long.MinValue
+    // commit stamps are MONOTONIZED by running max over ascending
+    // versions, exactly like [[versionAsOfTime]]: commits are sequential
+    // but wall clocks across committing processes can skew, and a ledger
+    // whose commit_ts disagreed with what TIMESTAMP AS OF resolves would
+    // send an operator to the wrong version.
+    var runningTs = Long.MinValue
     var prev = Set.empty[String]
     val rows = versions.map { case (v, status) =>
       val body = readBody(fs, status.getPath)
-      val files = parseFiles(body)
-      val fstat = parseFileStat(body)
+      val snap = parseBody(v, body) match {
+        case Right(full) => full
+        case Left(d) if state != null && stateV == v - 1 =>
+          applyDelta(state, d)
+        case Left(_) => resolveSnap(fs, p, dir, v, listing)
+      }
+      state = snap; stateV = v
+      val files = snap.files
       val bytes: Option[Long] =
-        if (files.nonEmpty && files.forall(fstat.contains))
-          Some(files.iterator.map(f => fstat(f)._1).sum)
+        if (files.nonEmpty && files.forall(snap.fstat.contains))
+          Some(files.iterator.map(f => snap.fstat(f)._1).sum)
         else if (files.isEmpty) Some(0L)
         else None
       val cur = files.toSet
-      val row = (v, new java.sql.Timestamp(commitTimeOf(fs, status, body)),
+      runningTs = math.max(runningTs, commitTimeOf(status, body))
+      val row = (v, new java.sql.Timestamp(runningTs),
         files.size.toLong, bytes,
         (cur -- prev).size.toLong, (prev -- cur).size.toLong,
-        HwmRe.findFirstMatchIn(body).map(_.group(1).toLong))
+        snap.hwm)
       prev = cur
       row
     }
@@ -1069,17 +1380,7 @@ object TableManifest {
     * guaranteed before any vacuum past that version. */
   def readAt(spark: SparkSession, dir: String,
       version: Long): Option[Seq[String]] =
-    readAtRaw(spark, dir, version).map(parseFiles)
-
-  private def readAtRaw(spark: SparkSession, dir: String,
-      version: Long): Option[String] = {
-    val (fs, p) = fsFor(spark, dir)
-    val path = manifestPath(p, version)
-    if (!fs.exists(path)) return None
-    val in = fs.open(path)
-    try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-    finally in.close()
-  }
+    snapAt(spark, dir, version).map(_.files)
 
   /** The newest version committed AT OR BEFORE `epochMillis` — the
     * `TIMESTAMP AS OF` resolution step. Commit creation is sequential
@@ -1117,7 +1418,7 @@ object TableManifest {
 
   /** The recorded commit wall-clock of one version (body `ctime`, mtime
     * fallback) — what DESCRIBE HISTORY / DETAIL surface. */
-  private def commitTimeOf(fs: FileSystem,
+  private def commitTimeOf(
       status: org.apache.hadoop.fs.FileStatus, body: String): Long =
     parseCtime(body).getOrElse(status.getModificationTime)
 
@@ -1136,10 +1437,9 @@ object TableManifest {
     * VERSION's schema when carried (a column dropped by a later publish
     * reappears; one added later doesn't leak backwards). */
   def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
-    readAtRaw(spark, dir, version) match {
-      case Some(body) =>
-        scanListed(spark, dir, parseFiles(body), parseSchema(body),
-          parseFileStat(body), parsePartSchema(body))
+    snapAt(spark, dir, version) match {
+      case Some(s) =>
+        scanListed(spark, dir, s.files, s.schema, s.fstat, s.partSchema)
       case None => sys.error(s"no manifest v$version under $dir")
     }
 
@@ -1190,17 +1490,31 @@ object TableManifest {
   def addedBetween(
       spark: SparkSession, dir: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    // the range's SHAPE errors are named, not generic lookup misses: CDC
+    // pollers compute (lastSeen, head) and a negative/backwards range is
+    // always a caller bug worth a precise message
+    require(fromVersion >= 0L,
+      s"addedBetween: fromVersion must be >= 0 (v0 = the empty table " +
+        s"before the first commit), got $fromVersion")
+    require(fromVersion <= toVersion,
+      s"addedBetween: backwards range (from v$fromVersion to " +
+        s"v$toVersion) — from must be <= to")
+    def pruned(v: Long): Nothing = sys.error(
+      s"no manifest v$v under $dir (never committed, or retention " +
+        "pruned it — DESCRIBE HISTORY lists the surviving versions)")
     // v0 is the EMPTY table before the first commit, so (0, v] is
     // "everything as of v" — the natural CDC bootstrap ask
     val from =
       if (fromVersion == 0L) Set.empty[String]
-      else readAt(spark, dir, fromVersion)
-        .getOrElse(sys.error(s"no manifest v$fromVersion under $dir")).toSet
-    val (to, toSchema, toFstat, _) = readAtFull(spark, dir, toVersion)
-      .getOrElse(sys.error(s"no manifest v$toVersion under $dir"))
-    val fresh = to.filterNot(from)
-    if (fresh.isEmpty) spark.emptyDataFrame
-    else scanListed(spark, dir, fresh, toSchema, toFstat)
+      else snapAt(spark, dir, fromVersion)
+        .getOrElse(pruned(fromVersion)).files.toSet
+    val to = snapAt(spark, dir, toVersion).getOrElse(pruned(toVersion))
+    val fresh = to.files.filterNot(from)
+    // an unchanged (or delete-only) range serves ZERO ROWS UNDER THE
+    // SNAPSHOT'S SCHEMA, not a zero-column emptyDataFrame: the common CDC
+    // poll `SELECT k FROM graft_table_changes(t, v, v)` must return empty,
+    // not fail analysis on an unresolved column
+    scanListed(spark, dir, fresh, to.schema, to.fstat, to.partSchema)
   }
 
   /** Compute per-file min/max stats for the long/int/timestamp columns
@@ -1399,17 +1713,15 @@ object TableManifest {
       lo: Long, hi: Long): Seq[String] =
     prunedFilesAll(spark, dir, Seq((column, lo, hi)))
 
-  /** One read of the head body: version, files, and the raw body for the
-    * caller to parse ONLY the stat section it needs — a pruned read must
-    * not list/open `_manifest/` several times per call, files/stats must
-    * come from the SAME version, and a range scan must not regex 2 KiB of
-    * bloom hex per file it never looks at. */
+  private val EmptySnap = Snap(Seq.empty, None, None, Map.empty, Map.empty,
+    Map.empty, Map.empty, None, None, 0L)
+
+  /** One head resolution: version 0 + an empty snapshot for untracked
+    * dirs — a pruned read must not list/open `_manifest/` several times
+    * per call, and files/stats must come from the SAME version. */
   private def headSnapshot(spark: SparkSession, dir: String)
-      : (Long, Seq[String], String) =
-    readHeadRaw(spark, dir) match {
-      case Some((v, body)) => (v, parseFiles(body), body)
-      case None => (0L, Seq.empty, "")
-    }
+      : (Long, Snap) =
+    headSnap(spark, dir).getOrElse((0L, EmptySnap))
 
   /** The copy-on-write rewrites read victim FILES directly and write
     * replacements at the table root — on a hive-partitioned layout that
@@ -1438,16 +1750,16 @@ object TableManifest {
     * out `k=v/`-nested. */
   private[graft] def layoutPartitionCols(spark: SparkSession,
       dir: String): Seq[String] =
-    readHeadRaw(spark, dir) match {
+    headSnap(spark, dir) match {
       case None => Seq.empty
-      case Some((_, body)) =>
-        val files = parseFiles(body)
+      case Some((_, snap)) =>
+        val files = snap.files
         files.find(_.contains("/")).map(partitionChainOf)
           // the declared schema only speaks when NO file is left to read
           // the layout from — live names always win (they're what a scan
           // actually serves)
           .orElse(if (files.isEmpty)
-            parsePartSchema(body).map(_.fieldNames.toSeq.map(_.toLowerCase))
+            snap.partSchema.map(_.fieldNames.toSeq.map(_.toLowerCase))
           else None)
           .getOrElse(Seq.empty)
     }
@@ -1523,8 +1835,8 @@ object TableManifest {
     * row-group pruning the Z-order scaladoc promises. */
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val (_, files, body) = headSnapshot(spark, dir)
-    filterByRanges(files, parseStats(body), ranges)
+    val (_, snap) = headSnapshot(spark, dir)
+    filterByRanges(snap.files, snap.stats, ranges)
   }
 
   /** Range scan with manifest data skipping: open ONLY the files whose
@@ -1659,8 +1971,8 @@ object TableManifest {
     * pass that test vacuously (conservative). */
   def prunedFilesEq(spark: SparkSession, dir: String, column: String,
       values: Seq[Long]): Seq[String] = {
-    val (_, files, body) = headSnapshot(spark, dir)
-    filterByPointValues(files, parseBloom(body), parseStats(body),
+    val (_, snap) = headSnapshot(spark, dir)
+    filterByPointValues(snap.files, snap.bloom, snap.stats,
       column, values)
   }
 
@@ -1708,8 +2020,8 @@ object TableManifest {
     * [min, max] (or when it has no stats for the column). */
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
-    val (_, files, body) = headSnapshot(spark, dir)
-    filterByStringValues(files, parseStringStats(body), column, values)
+    val (_, snap) = headSnapshot(spark, dir)
+    filterByStringValues(snap.files, snap.sstats, column, values)
   }
 
   /** Category scan with manifest data skipping: open ONLY the files whose
@@ -1759,10 +2071,11 @@ object TableManifest {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     // ONE snapshot read: the victims and the early-return version must
     // come from the same head
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
     requireFlatLayout(headFiles, "optimizeZOrderRange")
-    val victims = filterByRanges(headFiles, parseStats(headBody), ranges)
+    val victims = filterByRanges(headFiles, headS.stats, ranges)
     if (victims.isEmpty) return headV
     // projected to the declared schema: an undeclared (dropped) footer
     // column must not ride the re-cluster back into the carried schema
@@ -1793,7 +2106,8 @@ object TableManifest {
       partition: String, a: String, b: String, numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val prefix = partition.stripSuffix("/") + "/"
-    val (headV, headFiles, _) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L)
       sys.error(s"optimizeZOrderPartition: $dir is not tracked")
     require(headFiles.exists(_.contains("/")),
@@ -1887,12 +2201,13 @@ object TableManifest {
       values: Seq[Long]): Long = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "eraseWhereEq: empty key set")
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
     // partitioned layouts: a key carried in the k=v names prunes exactly
     // (constant per file); data-column keys keep the bloom/range pruning
-    val victims = filterByPointValues(headFiles, parseBloom(headBody),
-      parseStats(headBody), column, values)
+    val victims = filterByPointValues(headFiles, headS.bloom,
+      headS.stats, column, values)
       .filter(f => segmentAdmits(f, column)(v =>
         partitionSegmentUnits(v).forall(values.contains)))
     eraseRewrite(spark, dir, headV, victims, column,
@@ -1907,10 +2222,11 @@ object TableManifest {
       values: Seq[String]): Long = {
     import org.apache.spark.sql.functions.col
     require(values.nonEmpty, "eraseWhereIn: empty key set")
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
     val victims = filterByStringValues(headFiles,
-      parseStringStats(headBody), column, values)
+      headS.sstats, column, values)
       .filter(f => segmentAdmits(f, column)(values.contains))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
@@ -1938,11 +2254,12 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, lit, unix_date, unix_micros}
     import org.apache.spark.sql.types.{DateType, TimestampType}
     require(lo <= hi, s"eraseWhereRange: empty range [$lo, $hi]")
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L)
       sys.error(s"eraseWhereRange: $dir is not manifest-tracked")
     val victims = filterBySegmentRanges(
-      filterByRanges(headFiles, parseStats(headBody),
+      filterByRanges(headFiles, headS.stats,
         Seq((column, lo, hi))),
       Seq((column, lo, hi)))
     eraseRewrite(spark, dir, headV, victims, column,
@@ -1981,7 +2298,8 @@ object TableManifest {
     import org.apache.spark.sql.functions.col
     require(replacement.columns.contains(column),
       s"replaceWhereEq: replacement lacks the partition column `$column`")
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L)
       sys.error(s"replaceWhereEq: $dir is not manifest-tracked")
     val partCols = partitionColsIn(headFiles)
@@ -2008,8 +2326,8 @@ object TableManifest {
       .filter(col(column).isNull || col(column) =!= value).limit(1).count()
     require(stray == 0L,
       s"replaceWhereEq: replacement contains rows outside `$column = $value`")
-    val victims = filterByPointValues(headFiles, parseBloom(headBody),
-      parseStats(headBody), column, Seq(value))
+    val victims = filterByPointValues(headFiles, headS.bloom,
+      headS.stats, column, Seq(value))
       .filter(f => segmentAdmits(f, column)(v =>
         partitionSegmentUnits(v).forall(_ == value)))
     sliceRewrite(spark, dir, headV, victims, column,
@@ -2058,7 +2376,8 @@ object TableManifest {
   def mergeByKey(spark: SparkSession, dir: String, keyCol: String,
       source: DataFrame): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L) sys.error(s"mergeByKey: $dir is not manifest-tracked")
     // partitioned targets: the source carries the partition columns as
     // data (they ARE table columns — the schema-equality guard below),
@@ -2102,7 +2421,7 @@ object TableManifest {
           .head()
         if (bounds.isNullAt(0)) headFiles // all-NULL would have failed the guard; stay conservative
         else filterBySegmentRanges( // a partition-column key prunes on its k=v segments
-          filterByRanges(headFiles, parseStats(headBody),
+          filterByRanges(headFiles, headS.stats,
             Seq((keyCol, bounds.getLong(0), bounds.getLong(1)))),
           Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
       }
@@ -2274,16 +2593,18 @@ object TableManifest {
     * just approved. Production value is a no-op. */
   private[graft] var restorePreCommitHook: () => Unit = () => ()
 
+  /** Test seam for the rollback-target-pruned drill: runs between
+    * restore's successful CAS and its post-commit re-verification —
+    * where a concurrent vacuum can have reclaimed both the restored
+    * version's files (pre-commit) and the pre-restore head's own
+    * manifest (post-commit, retention keyed on the NEW head).
+    * Production value is a no-op. */
+  private[graft] var restorePostCommitHook: () => Unit = () => ()
+
   def restore(spark: SparkSession, dir: String, version: Long): Long = {
-    val body = readAtRaw(spark, dir, version).getOrElse(sys.error(
+    val snapV = snapAt(spark, dir, version).getOrElse(sys.error(
       s"restore: no manifest v$version under $dir (retention pruned it?)"))
-    val files = parseFiles(body)
-    val schema = parseSchema(body)
-    val partSchema = parsePartSchema(body)
-    val stats = parseStats(body)
-    val sstats = parseStringStats(body)
-    val bloom = parseBloom(body)
-    val fstat = parseFileStat(body)
+    val files = snapV.files
     val (fs, p) = fsFor(spark, dir)
     var attempts = 0
     while (attempts < 64) {
@@ -2299,10 +2620,10 @@ object TableManifest {
           s"its files were vacuumed (e.g. ${missing.head}); only versions " +
           "whose delisted files survive retention can be restored")
       restorePreCommitHook()
-      commitIf(spark, dir, files, headV, hwm, stats = stats,
-        sstats = sstats, bloom = bloom, schema = schema,
-        replaceSchema = true, fstat = fstat,
-        partSchema = partSchema, replacePartSchema = true) match {
+      commitIf(spark, dir, files, headV, hwm, stats = snapV.stats,
+        sstats = snapV.sstats, bloom = snapV.bloom, schema = snapV.schema,
+        replaceSchema = true, fstat = snapV.fstat,
+        partSchema = snapV.partSchema, replacePartSchema = true) match {
         case Some(v2) =>
           // Close the check-then-commit race with vacuum: the check above
           // ran against files that were DELISTED (fair game for a
@@ -2311,28 +2632,41 @@ object TableManifest {
           // BACK (restore is itself restorable: the pre-restore head's
           // manifest still exists) so no reader is left on a head that
           // scans FAILED_READ, then fail loudly. Vacuum's own last-moment
-          // head re-read covers the mirrored half of the window.
+          // head re-read covers the mirrored half of the window. The
+          // rollback target is resolved FIRST and the rollback only
+          // attempted when it resolves: if the same aggressive vacuum
+          // (retainManifests=1, zero grace) already pruned the
+          // pre-restore head's manifest, committing an EMPTY guess in
+          // its place would be silent truncation in the exact failure
+          // path meant to protect readers — report both losses instead.
+          restorePostCommitHook()
           val lost = lostFiles()
           if (lost.nonEmpty) {
-            val prevBody = readAtRaw(spark, dir, headV).getOrElse("")
-            val rolledBack = commitIf(spark, dir, parseFiles(prevBody), v2,
-              hwm,
-              stats = parseStats(prevBody),
-              sstats = parseStringStats(prevBody),
-              bloom = parseBloom(prevBody),
-              schema = parseSchema(prevBody), replaceSchema = true,
-              fstat = parseFileStat(prevBody),
-              partSchema = parsePartSchema(prevBody),
-              replacePartSchema = true).isDefined
-            sys.error(
-              s"restore: a concurrent vacuum reclaimed ${lost.size} of " +
-                s"v$version's files (e.g. ${lost.head}) in the commit " +
-                (if (rolledBack)
+            val prevSnap = snapAt(spark, dir, headV)
+            val outcome = prevSnap match {
+              case Some(prev) =>
+                if (commitIf(spark, dir, prev.files, v2, hwm,
+                    stats = prev.stats, sstats = prev.sstats,
+                    bloom = prev.bloom,
+                    schema = prev.schema, replaceSchema = true,
+                    fstat = prev.fstat,
+                    partSchema = prev.partSchema,
+                    replacePartSchema = true).isDefined)
                   s"window — rolled the head back to v$headV's contents; "
                 else
                   "window — and another commit already advanced the head " +
-                    "past the bad restore (its files supersede it); ") +
-                "v" + version + " is no longer restorable")
+                    "past the bad restore (its files supersede it); "
+              case None =>
+                s"window — and the pre-restore head v$headV's manifest " +
+                  "was itself pruned by the same vacuum, so neither the " +
+                  "restore nor a rollback target is recoverable (the head " +
+                  "stays on the restored listing; repair from an older " +
+                  "surviving version); "
+            }
+            sys.error(
+              s"restore: a concurrent vacuum reclaimed ${lost.size} of " +
+                s"v$version's files (e.g. ${lost.head}) in the commit " +
+                outcome + "v" + version + " is no longer restorable")
           }
           return v2
         case None => attempts += 1
@@ -2434,6 +2768,75 @@ object TableManifest {
     sys.error(s"dropColumns lost $attempts races in $dir; giving up")
   }
 
+  /** Declarative type WIDENING — the engine primitive behind SQL
+    * `ALTER TABLE t ALTER COLUMN c TYPE <wider>`: commit the head's file
+    * list unchanged with the column's declared type widened.
+    * METADATA-ONLY — no data file is rewritten; existing footers keep
+    * their narrow physical type and the scan UP-CASTS at read (Spark 4's
+    * parquet readers serve INT32 under a LongType/DoubleType read schema
+    * — the type-widening support Delta's feature of the same name rides),
+    * while new appends write the wide type natively. Mixed-width tables
+    * therefore read correctly forever; the narrow bytes age out as files
+    * naturally rewrite.
+    *
+    * Supported widens are exactly the UNIT-PRESERVING ones — integral →
+    * wider integral (byte/short/int → short/int/long) and float → double
+    * — so every committed data-skipping stat stays sound as-is: integral
+    * stats are raw values in both widths (same [[analyze]] units), blooms
+    * hash the long-cast value (identical before and after), and float
+    * columns never had committed numeric stats (only INT32/INT64 footer
+    * stats are recorded). A widen that CHANGED stat units (date →
+    * timestamp: days → micros) would have to invalidate per-column stats
+    * table-wide and is rejected — rewrite via publish instead. Narrowing
+    * and cross-kind retypes are rejected loudly (existing rows could not
+    * be served). Partition columns are rejected (their values live in the
+    * directory names; the declared partition schema types them).
+    * Returns the committed version. */
+  def widenColumnType(spark: SparkSession, dir: String, col: String,
+      newType: DataType): Long = {
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+        sys.error(s"widenColumnType: $dir is not manifest-tracked"))
+      val base = readSchema(spark, dir)
+        .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
+        .getOrElse(sys.error(
+          s"widenColumnType: $dir carries no schema and none can be inferred"))
+      val partNames = readPartitionSchema(spark, dir)
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
+        partitionColsIn(files)
+      require(!partNames.exists(_.equalsIgnoreCase(col)),
+        s"widenColumnType: `$col` is a partition column of $dir — its " +
+          "values live in the directory names; re-publish to retype it")
+      val field = base.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+        sys.error(s"widenColumnType: unknown column `$col` " +
+          s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})"))
+      if (field.dataType == newType) return v // already that type: no-op
+      require(widens(field.dataType, newType),
+        s"widenColumnType: ${field.dataType.simpleString} -> " +
+          s"${newType.simpleString} is not a supported widening for " +
+          s"`$col` (unit-preserving only: tinyint/smallint/int -> wider " +
+          "integral, float -> double); narrowing or cross-kind retypes " +
+          "need a rewrite (publish)")
+      val widened = StructType(base.fields.map(f =>
+        if (f.name.equalsIgnoreCase(col)) f.copy(dataType = newType) else f))
+      commitIf(spark, dir, files, v, hwm,
+        schema = Some(widened), replaceSchema = true) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    sys.error(s"widenColumnType lost $attempts races in $dir; giving up")
+  }
+
   /** Project a victim-file scan down to the DECLARED schema (plus the
     * name-carried partition columns the basePath read attached): victim
     * footers may hold columns the table no longer declares
@@ -2494,7 +2897,8 @@ object TableManifest {
     require(sets.nonEmpty, "updateWhere: no assignments")
     require(sets.map(_._1).distinct.size == sets.size,
       s"updateWhere: duplicate assignment targets in ${sets.map(_._1)}")
-    val (headV, headFiles, headBody) = headSnapshot(spark, dir)
+    val (headV, headS) = headSnapshot(spark, dir)
+    val headFiles = headS.files
     if (headV == 0L) sys.error(s"updateWhere: $dir is not manifest-tracked")
     if (headFiles.isEmpty) return headV
     // HIVE-PARTITIONED layout: the victim scan reads with basePath pinned
@@ -2514,7 +2918,7 @@ object TableManifest {
     val candidates =
       if (pruneRanges.isEmpty) headFiles
       else filterBySegmentRanges(
-        filterByRanges(headFiles, parseStats(headBody), pruneRanges),
+        filterByRanges(headFiles, headS.stats, pruneRanges),
         pruneRanges)
     if (candidates.isEmpty) return headV
     // DECLARED columns no data file physically carries yet (an [[
@@ -2788,11 +3192,23 @@ object TableManifest {
       createExclusive(fs, mdir, new Path(mdir, markerName(consumerId, head)),
         Array.emptyByteArray)
     }
-    // a delete-only (or empty-table) range adds no rows: addedBetween /
-    // readTableAt signal that with a SCHEMA-LESS emptyDataFrame — handing
-    // it to `f` would crash any column reference and wedge the consumer
-    // on the range forever; skip delivery but still advance the marker
-    if (df.columns.isEmpty) { advance(); return None }
+    // a delete-only (or empty-table) range ADDS no files, so there is
+    // nothing to deliver — handing `f` a poison empty frame (or, on a
+    // schema-less table, a zero-column one that crashes any column
+    // reference) would wedge the consumer on the range forever; skip
+    // delivery but still advance the marker. Detected from the manifest
+    // name sets (cache-amortized metadata), never by running the scan.
+    val addsNothing = df.columns.isEmpty || {
+      val toFiles = readAt(spark, dir, head).getOrElse(Seq.empty)
+      if (from == 0L) toFiles.isEmpty
+      else readAt(spark, dir, from) match {
+        case Some(fromFiles) =>
+          val seen = fromFiles.toSet
+          toFiles.forall(seen)
+        case None => false // pruned `from`: let the scan's own error speak
+      }
+    }
+    if (addsNothing) { advance(); return None }
     f(df, from, head)
     advance()
     Some((from, head))
@@ -2928,23 +3344,41 @@ object TableManifest {
         var pending = deadDataCandidates.map(_._1).toSet
         var newerMtime = Long.MaxValue // mtime of version v+1 in the loop
         var lastVersion = Long.MaxValue
-        val desc = mstats
-          .flatMap(s => versionOf(s.getPath.getName).map(_ -> s))
-          .sortBy(-_._1).iterator
+        val listingMap = mstats
+          .flatMap(s => versionOf(s.getPath.getName).map(_ -> s)).toMap
+        val desc = listingMap.toSeq.sortBy(-_._1).iterator
+        // the walk needs each scanned version's RESOLVED listing; delta
+        // records are UNWOUND downward (listing(v-1) = listing(v) - adds
+        // + removes — both name sets ride the record), so the scan costs
+        // one chain resolution at the top plus the records themselves,
+        // re-anchoring only across checkpoint boundaries or pruned gaps
+        var unwound: Set[String] = null // listing at lastVersion - 1
         while (pending.nonEmpty && newerMtime > cutoff && desc.hasNext) {
           val (v, ms) = desc.next()
-          lastVersion = v
           val body = {
             val in = fs.open(ms.getPath)
             try new String(in.readAllBytes(), StandardCharsets.UTF_8)
             finally in.close()
           }
+          val parsed = parseBody(v, body)
+          val listed: Set[String] = parsed match {
+            case Right(full) => full.files.toSet
+            case Left(_) if unwound != null && lastVersion == v + 1 =>
+              unwound
+            case Left(_) =>
+              resolveSnap(fs, p, dir, v, listingMap).files.toSet
+          }
           // loop invariant: newerMtime > cutoff, so every pending file
           // listed here was delisted inside the grace window
-          val listedPending = parseFiles(body).filter(pending)
+          val listedPending = pending.filter(listed)
           derefFresh ++= listedPending
           pending --= listedPending
           newerMtime = ms.getModificationTime
+          unwound = parsed match {
+            case Left(d) => listed -- d.adds ++ d.removes
+            case Right(_) => null // below a checkpoint: re-anchor
+          }
+          lastVersion = v
         }
         if (pending.nonEmpty && newerMtime > cutoff && lastVersion > 1L)
           derefFresh ++= pending // listers pruned: delist time unknowable
@@ -2973,8 +3407,28 @@ object TableManifest {
       .takeRight(retainManifests).headOption.getOrElse(Long.MinValue)
     val minConsumer = markers.groupBy(_._1).values
       .map(_.map(_._2).max).minOption.getOrElse(Long.MaxValue)
+    // the retention boundary is EXTENDED down to the oldest retained
+    // version's chain BASE: a retained delta record is only readable with
+    // its checkpoint and every record between them, so pruning must never
+    // orphan a chain (bases are monotone in version, so one boundary
+    // read covers every retained version). Costs one small body read
+    // when the oldest retained version is a delta; at most
+    // checkpointInterval-1 extra manifests survive.
+    val keepBound = math.min(keepFrom, minConsumer)
+    val chainBase: Long = manifests.map(_._1).filter(_ >= keepBound)
+      .minOption.flatMap { oldest =>
+        manifests.find(_._1 == oldest).map { case (_, st) =>
+          val body = {
+            val in = fs.open(st.getPath)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          }
+          DeltaBaseRe.findFirstMatchIn(body)
+            .map(_.group(1).toLong).getOrElse(oldest)
+        }
+      }.getOrElse(keepBound)
     val deadManifests = manifests
-      .filter { case (v, _) => v < keepFrom && v < minConsumer }.map(_._2)
+      .filter { case (v, _) => v < math.min(keepBound, chainBase) }.map(_._2)
     // Last-moment liveness re-read: a RESTORE committing while this
     // vacuum computed its candidate set may have re-listed files that
     // were dead at the head read above — deleting them now would gut the

@@ -112,11 +112,26 @@ class ConsumeNewSpec extends SparkSpec {
     TableManifest.consumeNew(spark, dir, "c1") { (df, _, _) => n = df.count() }
     assert(n == 6L, "c1 resumes across the vacuum with the exact delta")
 
-    // now both consumers are at the head: retention applies
+    // now both consumers are at the head: retention applies — but it is
+    // CHAIN-AWARE: every append so far is a DELTA record anchored at the
+    // v1 checkpoint, so pruning below the oldest retained version would
+    // orphan its replay chain; the whole chain survives (bounded by
+    // retainManifests + checkpointInterval - 1, never the history)
     TableManifest.vacuum(spark, dir, retainManifests = 2)
+    val mid = manifestFiles()
+    assert(mid.count(_.endsWith(".json")) == 7,
+      s"a retained delta keeps its chain base alive: $mid")
+    // push the table ACROSS its next checkpoint (interval 8: v9 is the
+    // first checkpoint after v1), re-advance the consumers, and retention
+    // prunes TIGHTLY again — the boundary version now anchors itself
+    append(dir, ("y1", 10L)) // v8: delta (chain length 7)
+    append(dir, ("y2", 11L)) // v9: checkpoint (chain length hit 8)
+    TableManifest.consumeNew(spark, dir, "c1") { (_, _, _) => () }
+    TableManifest.consumeNew(spark, dir, "c2") { (_, _, _) => () }
+    TableManifest.vacuum(spark, dir, retainManifests = 1)
     val after = manifestFiles()
-    assert(after.count(_.endsWith(".json")) == 2,
-      s"manifest listing must be bounded by retention: $after")
+    assert(after.count(_.endsWith(".json")) == 1,
+      s"a checkpoint boundary prunes exactly: $after")
     // superseded markers pruned: exactly one marker per consumer remains
     assert(after.count(_.startsWith("consumer-c1-")) == 1)
     assert(after.count(_.startsWith("consumer-c2-")) == 1)

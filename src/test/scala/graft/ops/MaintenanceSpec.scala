@@ -45,10 +45,16 @@ class MaintenanceSpec extends SparkSpec {
       .count() == 4)
     assert(TableManifest.prunedFilesEq(spark, dir, "k", Seq(10001L))
       .size == 1)
-    // manifest listing bounded by retention; hwm survived everything
+    // manifest listing bounded by retention; hwm survived everything.
+    // Retention is CHAIN-AWARE (a retained delta record keeps its
+    // checkpoint base and intermediate records alive), so the bound is
+    // retainManifests + checkpointInterval - 1 — here the slow consumer's
+    // marker (v5, a delta anchored at the v1 checkpoint) pins [v1..v5]
+    // and the post-compaction records ride the compaction checkpoint.
     val manifests = new java.io.File(dir, "_manifest").listFiles()
       .count(_.getName.endsWith(".json"))
-    assert(manifests <= 4, s"retention must bound the listing: $manifests")
+    assert(manifests <= 4 + 8 - 1,
+      s"chain-aware retention must bound the listing: $manifests")
     assert(graft.streaming.ManifestAppendSink
       .committedBatchHighWater(spark, dir) == 3L,
       "append replay protection must survive maintenance")

@@ -163,12 +163,22 @@ class ManifestStreamReadSpec extends SparkSpec {
   }
 
   test("a retention-pruned INTERMEDIATE version is skipped by the capped walk, not fatal") {
-    val dir = newTable() // v1: one file (a, b)
-    append(dir, ("c", 3L)) // v2
-    append(dir, ("d", 4L)) // v3
-    // manifest retention pruned v2: manifests are full snapshots, so the
-    // delta v1 -> v3 still delivers exactly c + d — the pruned step only
-    // loses batch-boundary granularity, never data
+    // checkpoint-only commits for THIS table: a hand-deleted intermediate
+    // is only survivable when every surviving manifest is a full
+    // snapshot — a pruned DELTA record would (correctly, loudly) break
+    // its successors' replay chain, and vacuum's own retention never
+    // creates that gap (it keeps everything from the oldest retained
+    // version's checkpoint base forward)
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    val dir = try {
+      val d = newTable() // v1: one file (a, b)
+      append(d, ("c", 3L)) // v2
+      append(d, ("d", 4L)) // v3
+      d
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    // manifest retention pruned v2: these manifests are full snapshots,
+    // so the delta v1 -> v3 still delivers exactly c + d — the pruned
+    // step only loses batch-boundary granularity, never data
     val v2 = new java.io.File(dir, f"_manifest/v${2L}%020d.json")
     assert(v2.isFile && v2.delete(), s"fixture: cannot prune $v2")
     val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-ck9").toString
