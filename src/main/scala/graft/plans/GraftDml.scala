@@ -231,20 +231,15 @@ private[plans] object GraftDmlRewrite {
       name -> ColumnBridge.column(dequalify(value, quals))
     }
     val cond = u.condition.map(dequalify(_, quals))
-    // prune-range extraction needs the target's declared column TYPES
-    // (data + partition columns) so cross-type literals never prune in
-    // the wrong units; tables without a declared schema get no pruning
-    // (conservative — updateWhere's exact scan owns correctness). The
-    // schema read is at parse, which is also run time for SQL statements;
-    // graft's only schema DDL (ADD COLUMNS) widens, never retypes, so a
-    // racing evolution cannot invalidate a kind decision made here.
-    val declared = org.apache.spark.sql.types.StructType(
-      TableManifest.readSchema(spark, path).map(_.fields).getOrElse(Array.empty) ++
-        TableManifest.readPartitionSchema(spark, path).map(_.fields)
-          .getOrElse(Array.empty))
-    GraftUpdateCommand(path, sets,
-      cond.map(ColumnBridge.column),
-      cond.map(pruneRanges(_, declared)).getOrElse(Seq.empty))
+    // the raw condition expression rides the command: prune-range
+    // extraction needs the target's declared column TYPES (data +
+    // partition columns) so cross-type literals never prune in the wrong
+    // units, and that schema is read AT EXECUTION against the same head
+    // the update runs on — a parse-time read would both pay two extra
+    // head reads per statement and bake stale unit kinds into the plan
+    // (a publish/replace — or now ALTER COLUMN TYPE — retyping a column
+    // between parse and execution could prune in the old units).
+    GraftUpdateCommand(path, sets, cond.map(ColumnBridge.column))
   }
 
   /** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
@@ -358,6 +353,48 @@ private[plans] object GraftDmlRewrite {
     GraftDropColumnsCommand(path, catalogIdent, names, dc.ifExists)
   }
 
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` on a graft-manifest
+    * table → [[TableManifest.widenColumnType]] (a metadata-only CAS
+    * commit retyping the carried schema; old files' narrow physical type
+    * up-casts at read, new appends write wide — the lakehouse
+    * type-widening standard). Only the unit-preserving widens are
+    * supported (integral → wider integral, float → double), so every
+    * committed data-skipping stat stays sound — see the primitive's
+    * scaladoc. Any OTHER alteration in the statement (nullability,
+    * comment, position, defaults, nested paths) is rejected at planning;
+    * non-graft targets return unchanged. Name-addressed tables get their
+    * catalog schema synced in the same command. */
+  def rewriteAlterColumns(spark: SparkSession,
+      ac: org.apache.spark.sql.catalyst.plans.logical.AlterColumns)
+      : LogicalPlan = {
+    val target = ac.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case _ => return ac
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return ac)
+    def reject(why: String): Nothing = sys.error(
+      "graft-manifest ALTER TABLE ALTER COLUMN supports exactly " +
+        s"`ALTER COLUMN <top-level column> TYPE <wider type>`; $why")
+    val retypes = ac.specs.map { spec =>
+      val name = spec.column.name match {
+        case Seq(n) => n
+        case parts => reject(s"`${parts.mkString(".")}` is nested")
+      }
+      if (spec.newNullability.nonEmpty) reject(s"`$name` changes nullability")
+      if (spec.newComment.nonEmpty) reject(s"`$name` sets a comment")
+      if (spec.newPosition.nonEmpty) reject(s"`$name` carries a position")
+      if (spec.newDefaultExpression.nonEmpty || spec.dropDefault)
+        reject(s"`$name` touches defaults")
+      val dt = spec.newDataType.getOrElse(reject(s"`$name` changes no type"))
+      name -> dt
+    }
+    val catalogIdent =
+      if (target.sizeIs <= 2 && !target.head.startsWith("/")) Some(target)
+      else None
+    GraftAlterColumnTypeCommand(path, catalogIdent, retypes)
+  }
+
   /** `SHOW PARTITIONS t` on a graft-manifest table → the DISTINCT
     * hive-segment prefixes of the head manifest's names (Spark's own
     * row convention, `k=v[/k2=v2]`), straight from one head read — no
@@ -461,8 +498,8 @@ private[plans] object GraftDmlRewrite {
   * version — deterministic for scripted fixtures, and the natural "did
   * it commit" answer for an operator. */
 case class GraftUpdateCommand(path: String,
-    sets: Seq[(String, Column)], condition: Option[Column],
-    pruneRanges: Seq[(String, Long, Long)]) extends LeafRunnableCommand {
+    sets: Seq[(String, Column)], condition: Option[Column])
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
@@ -470,8 +507,21 @@ case class GraftUpdateCommand(path: String,
     // an UPDATE on an untracked dir converts it in place first — the
     // same posture as INSERT/DELETE (the provider's ensureTracked rule)
     if (TableManifest.read(spark, path).isEmpty) TableManifest.init(spark, path)
-    Seq(Row(TableManifest.updateWhere(spark, path, sets, condition,
-      pruneRanges)))
+    // prune ranges derived HERE, against the head this update executes
+    // on: the unit-kind check compares the condition's literals to the
+    // CURRENT declared column types, so a schema change landing between
+    // parse and execution can never prune in stale units (tables without
+    // a declared schema get no pruning — conservative; updateWhere's
+    // exact victim scan owns correctness either way)
+    val declared = org.apache.spark.sql.types.StructType(
+      TableManifest.readSchema(spark, path).map(_.fields)
+        .getOrElse(Array.empty) ++
+        TableManifest.readPartitionSchema(spark, path).map(_.fields)
+          .getOrElse(Array.empty))
+    val ranges = condition.map(c =>
+      GraftDmlRewrite.pruneRanges(ColumnBridge.expression(c), declared))
+      .getOrElse(Seq.empty)
+    Seq(Row(TableManifest.updateWhere(spark, path, sets, condition, ranges)))
   }
 }
 
@@ -553,6 +603,45 @@ case class GraftDropColumnsCommand(path: String,
   }
 }
 
+/** SQL `ALTER TABLE … ALTER COLUMN … TYPE` on a graft-manifest table →
+  * [[TableManifest.widenColumnType]] per column, plus a catalog schema
+  * sync for name-addressed tables (full-metadata alterTable, the
+  * DropColumns posture — alterTableDataSchema hard-rejects type changes
+  * for formats whose files ARE the schema; ours is manifest-declared).
+  * Returns the last committed version. */
+case class GraftAlterColumnTypeCommand(path: String,
+    catalogIdent: Option[Seq[String]],
+    retypes: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = retypes.map { case (c, dt) =>
+      TableManifest.widenColumnType(spark, path, c, dt)
+    }.last
+    catalogIdent.foreach { parts =>
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return Seq(Row(v))
+      }
+      val widened = TableManifest.readSchema(spark, path).getOrElse(
+        sys.error(s"graft-manifest ALTER TABLE: $path lost its schema " +
+          "between the commit and the catalog sync"))
+      // keep any name-carried partition columns the catalog schema serves
+      val partCols = TableManifest.readPartitionSchema(spark, path)
+        .map(_.fields.toSeq).getOrElse(Seq.empty)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val served = org.apache.spark.sql.types.StructType(
+        widened.fields ++ partCols.filterNot(p =>
+          widened.fieldNames.exists(_.equalsIgnoreCase(p.name))))
+      spark.sessionState.catalog.alterTable(meta.copy(schema = served))
+    }
+    Seq(Row(v))
+  }
+}
+
 /** `SHOW PARTITIONS [PARTITION (k=v, …)]` on a graft-manifest table:
   * the live partitions are the distinct directory prefixes of the head
   * manifest's file names — metadata the table already carries, served
@@ -569,9 +658,10 @@ case class GraftShowPartitionsCommand(path: String,
     val (_, files) = TableManifest.read(spark, path).getOrElse(
       sys.error(s"SHOW PARTITIONS: $path is not manifest-tracked"))
     files.flatMap { n =>
-      val segs = n.split('/').dropRight(1)
+      val segs = n.split('/').dropRight(1).toSeq
       if (segs.isEmpty) None else Some(segs)
-    }.distinct
+    }.distinct // Seq equality — Array.distinct compares by REFERENCE and
+               // duplicated every partition holding more than one file
       .filter(segs => filter.forall { case (k, v) =>
         segs.exists { seg =>
           seg.split("=", 2) match {

@@ -50,14 +50,23 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   // a table reference: quoted path | back-ticked identifier | identifier
-  private val Ref = """(?:'([^']+)'|`([^`]+)`|([A-Za-z_][\w.]*))"""
+  private val Ref = GraftSqlParser.Ref
   private val Vacuum =
     ("""(?is)\s*VACUUM\s+""" + Ref +
       """(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*;?\s*""").r
   private val Optimize = ("""(?is)\s*OPTIMIZE\s+""" + Ref +
     """(?:\s+PARTITION\s*\(\s*([^)]+?)\s*\))?""" +
-    """(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z_]\w*)\s*,\s*([A-Za-z_]\w*)\s*\))?""" +
+    """(?:\s+ZORDER\s+BY\s*\(\s*([^)]*?)\s*\))?""" +
     """\s*;?\s*""").r
+
+  /** A `CREATE TABLE … USING graft-manifest … PARTITIONED BY (…)`
+    * statement is claimed HERE (coarse pre-match; the precise clause
+    * parse happens in [[GraftSqlParser.parseCreatePartitioned]]): stock
+    * Spark would register the partitioning only as catalog metadata the
+    * path-addressed provider never sees, silently creating a FLAT table.
+    * Plain graft CREATE TABLE (no PARTITIONED BY) keeps delegating. */
+  private val CreatePartitionedProbe =
+    """(?is)\s*CREATE\s+TABLE\s.*`?graft-manifest`?.*\sPARTITIONED\s+BY\s*\(.*""".r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Detail =
@@ -86,13 +95,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       VacuumCommand(ref(path, tick, ident),
         Option(hours).map(_.toLong * 3600L * 1000L)
           .getOrElse(GraftSqlParser.DefaultVacuumGraceMillis))
-    case Optimize(path, tick, ident, part, za, zb) =>
+    case Optimize(path, tick, ident, part, zcols) =>
       OptimizeCommand(ref(path, tick, ident),
         Option(part).map(GraftSqlParser.normalizePartitionSpec),
-        (Option(za), Option(zb)) match {
-          case (Some(a), Some(b)) => Some((a, b))
-          case _ => None
-        })
+        Option(zcols).map(GraftSqlParser.parseZOrderColumns))
+    case stmt @ CreatePartitionedProbe() =>
+      GraftSqlParser.parseCreatePartitioned(stmt, delegate)
     case History(path, tick, ident) => HistoryCommand(ref(path, tick, ident))
     case Detail(path, tick, ident) => DetailCommand(ref(path, tick, ident))
     case RestoreVersion(path, tick, ident, v) =>
@@ -115,6 +123,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               GraftDmlRewrite.rewriteAddColumns(spark, ac)
             case dc: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
               GraftDmlRewrite.rewriteDropColumns(spark, dc)
+            case alc: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+              GraftDmlRewrite.rewriteAlterColumns(spark, alc)
             case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
               GraftDmlRewrite.rewriteShowPartitions(spark, sp)
             case other => other
@@ -141,6 +151,147 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+  /** A table reference: quoted path | back-ticked identifier |
+    * identifier (three regex groups). */
+  private[plans] val Ref = """(?:'([^']+)'|`([^`]+)`|([A-Za-z_][\w.]*))"""
+
+  private def refOf(path: String, tick: String,
+      ident: String): GraftTableRef =
+    (Option(path), Option(tick), Option(ident)) match {
+      case (Some(p), _, _) => GraftTableRef(p, isPath = true)
+      case (_, Some(t), _) => GraftTableRef(t, isPath = t.startsWith("/"))
+      case (_, _, Some(i)) => GraftTableRef(i, isPath = false)
+      case _ => sys.error("unreachable: empty table reference")
+    }
+
+  /** `ZORDER BY (<cols>)` takes exactly two plain data columns (the
+    * Morton interleave is 2-D); the general-list match in the statement
+    * regex exists so one/three-plus/odd spellings land HERE with a
+    * graft-named message instead of falling through to Spark's delegate
+    * parser and dying with a generic parse error. Back-quoted plain
+    * identifiers are accepted (unwrapped); anything else is named. */
+  private[plans] def parseZOrderColumns(raw: String): (String, String) = {
+    val cols = raw.split(',').map(_.trim).filter(_.nonEmpty)
+      .map(c => if (c.length > 2 && c.head == '`' && c.last == '`')
+        c.substring(1, c.length - 1) else c)
+    cols.find(!_.matches("[A-Za-z_]\\w*")).foreach(bad => sys.error(
+      s"OPTIMIZE … ZORDER BY: unsupported column reference '$bad' — " +
+        "plain (optionally back-quoted) top-level identifiers only"))
+    if (cols.length != 2) sys.error(
+      "OPTIMIZE … ZORDER BY takes exactly two data columns (the Morton " +
+        s"interleave is 2-D), got ${cols.length}" +
+        (if (cols.isEmpty) "" else s": ${cols.mkString(", ")}"))
+    (cols(0), cols(1))
+  }
+
+  /** Precise clause parse of a pre-matched `CREATE TABLE … USING
+    * graft-manifest … PARTITIONED BY` statement (see the probe regex):
+    * the clauses accepted are the lakehouse-conventional subset —
+    * `[IF NOT EXISTS]`, an optional column list, `USING graft-manifest`,
+    * `OPTIONS (path '…')` / `LOCATION '…'` and `PARTITIONED BY (…)` in
+    * either order, and an optional `AS <query>` tail (partitioned CTAS).
+    * Everything out of shape fails HERE with the supported grammar named
+    * — never silently as a flat table. */
+  private[plans] def parseCreatePartitioned(stmt: String,
+      delegate: ParserInterface): LogicalPlan = {
+    def fail(why: String): Nothing = sys.error(
+      "graft-manifest CREATE TABLE … PARTITIONED BY supports exactly:\n" +
+        "  CREATE TABLE [IF NOT EXISTS] <name|'/path'> [(col type, …)]\n" +
+        "    USING `graft-manifest` [OPTIONS (path '<dir>')]\n" +
+        "    PARTITIONED BY (c1[, c2 …]) [LOCATION '<dir>'] [AS <query>]\n" +
+        s"— $why")
+    val Head = ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      Ref + """\s*(.*)$""").r
+    val (ifNotExists, table, afterRef) = stmt match {
+      case Head(ine, p, t, i, rest) =>
+        (ine != null, refOf(p, t, i), rest)
+      case _ => fail("could not read the table reference")
+    }
+    // optional column list: balanced-paren scan (types like DECIMAL(10,2)
+    // nest parens, so a lazy regex would split the list short)
+    def splitParen(s: String): (String, String) = {
+      var depth = 0
+      var i = 0
+      var quote: Char = 0
+      while (i < s.length) {
+        val ch = s(i)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else ch match {
+          case '\'' | '"' | '`' => quote = ch
+          case '(' => depth += 1
+          case ')' =>
+            depth -= 1
+            if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+          case _ => ()
+        }
+        i += 1
+      }
+      fail("unbalanced parentheses in the column list")
+    }
+    val (schemaDdl, afterSchema) =
+      if (afterRef.trim.startsWith("(")) {
+        val (inner, rest) = splitParen(afterRef.trim)
+        (Some(inner), rest)
+      } else (None, afterRef)
+    val Using = """(?is)^\s*USING\s+`?graft-manifest`?\s*(.*)$""".r
+    var rest = afterSchema match {
+      case Using(r) => r
+      case _ => fail("the USING clause must name `graft-manifest` " +
+        "immediately after the column list")
+    }
+    val OptionsP =
+      """(?is)^\s*OPTIONS\s*\(\s*`?path`?\s*=?\s*'([^']+)'\s*\)\s*(.*)$""".r
+    // the clause body is taken by BALANCED scan, not a lazy regex: a
+    // transform spelling like PARTITIONED BY (days(b)) must reach the
+    // identifier validation below (with its precise message), not split
+    // at the inner ')' and die as an unrecognized trailing clause
+    val Part = """(?is)^\s*PARTITIONED\s+BY\s*(\(.*)$""".r
+    val Loc = """(?is)^\s*LOCATION\s+'([^']+)'\s*(.*)$""".r
+    var path: Option[String] = None
+    var partColsRaw: Option[String] = None
+    var progressing = true
+    while (progressing) rest match {
+      case OptionsP(p, r) =>
+        if (path.nonEmpty) fail("duplicate table directory clause")
+        path = Some(p); rest = r
+      case Loc(p, r) =>
+        if (path.nonEmpty) fail("duplicate table directory clause")
+        path = Some(p); rest = r
+      case Part(tail) =>
+        if (partColsRaw.nonEmpty) fail("duplicate PARTITIONED BY clause")
+        val (cols, r) = splitParen(tail)
+        partColsRaw = Some(cols.trim); rest = r
+      case _ => progressing = false
+    }
+    val As = """(?is)^\s*AS\s+(.+?)\s*;?\s*$""".r
+    val select = rest match {
+      case As(q) => Some(q)
+      case r if r.trim.stripSuffix(";").trim.isEmpty => None
+      case other => fail(s"unrecognized clause: '${other.trim.take(60)}'")
+    }
+    val partCols = partColsRaw.getOrElse(fail("missing PARTITIONED BY"))
+      .split(',').map(_.trim).filter(_.nonEmpty)
+      .map(c => if (c.length > 2 && c.head == '`' && c.last == '`')
+        c.substring(1, c.length - 1) else c).toSeq
+    partCols.find(!_.matches("[A-Za-z_]\\w*")).foreach(bad =>
+      fail(s"unsupported partition column reference '$bad' — plain " +
+        "top-level identifiers only (no expressions/transforms; bucket " +
+        "the data yourself and partition by the bucket column)"))
+    if (partCols.map(_.toLowerCase).distinct.size != partCols.size)
+      fail(s"duplicate partition column in (${partCols.mkString(", ")})")
+    if (schemaDdl.nonEmpty && select.nonEmpty)
+      fail("a column list and AS <query> are mutually exclusive " +
+        "(CTAS derives the schema from the query)")
+    if (schemaDdl.isEmpty && select.isEmpty)
+      fail("declare a column list or provide AS <query>")
+    val schema = schemaDdl.map { ddl =>
+      scala.util.Try(delegate.parseTableSchema(ddl)).getOrElse(
+        fail(s"could not parse the column list: ($ddl)"))
+    }
+    GraftCreateTableCommand(table, ifNotExists, schema, partCols, path,
+      select)
+  }
+
   /** Bare `VACUUM t` keeps files the head no longer lists for 7 days —
     * the lakehouse convention the grammar advertises compatibility with
     * (Delta's default), so an operator running the statement by muscle
@@ -331,5 +482,155 @@ case class HistoryCommand(table: GraftTableRef) extends LeafRunnableCommand {
     import org.apache.spark.sql.functions.col
     graft.ops.TableManifest.history(spark, table.path(spark))
       .orderBy(col("version").desc).collect().toSeq
+  }
+}
+
+/** `CREATE TABLE … USING graft-manifest PARTITIONED BY (…)` — the one
+  * table-lifecycle step that previously existed only as the library
+  * call `TableManifest.publishPartitioned`. Two shapes:
+  *
+  *  - with a COLUMN LIST: commit an EMPTY v1 that DECLARES both the data
+  *    schema and the partition schema (`partschemab64`), so the very
+  *    first `INSERT INTO` lays its batch out `k=v/`-nested and every
+  *    partitioned-read feature applies from version 1;
+  *  - with `AS <query>` (partitioned CTAS): route the query's result
+  *    through [[graft.ops.TableManifest.publishPartitioned]].
+  *
+  * A NAME-addressed table also registers the catalog entry (provider
+  * `graft-manifest`, the table dir as path + location, the FULL served
+  * schema — data columns then partition columns, the provider's serving
+  * order). Creating over an already-tracked dir verifies the layouts
+  * AGREE (same partition chain) instead of silently re-declaring;
+  * `IF NOT EXISTS` downgrades every already-exists case to a no-op.
+  * Partition column types are restricted to what hive-style directory
+  * names round-trip exactly (string / integral / date / boolean).
+  * Returns the committed (or current) version. */
+case class GraftCreateTableCommand(table: GraftTableRef,
+    ifNotExists: Boolean,
+    declaredSchema: Option[StructType], partCols: Seq[String],
+    location: Option[String], select: Option[String])
+    extends LeafRunnableCommand {
+  import graft.ops.TableManifest
+  import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, ShortType, StructField}
+
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private def partitionable(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         DateType | BooleanType => true
+    case _ => false
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def fail(why: String): Nothing =
+      sys.error(s"graft-manifest CREATE TABLE … PARTITIONED BY: $why")
+    val path = location.getOrElse {
+      if (table.isPath) table.raw
+      else fail("a table directory is required — OPTIONS (path '…'), " +
+        "LOCATION '…', or a '/path' table reference")
+    }
+    val catalog = spark.sessionState.catalog
+    val identOpt =
+      if (table.isPath) None
+      else Some(spark.sessionState.sqlParser.parseTableIdentifier(table.raw))
+    identOpt.filter(catalog.tableExists) match {
+      case Some(_) if ifNotExists =>
+        return Seq(Row(TableManifest.read(spark, path)
+          .map(_._1).getOrElse(0L)))
+      case Some(id) => fail(s"table $id already exists")
+      case None => ()
+    }
+
+    val (version, dataFields, partFields) = select match {
+      case Some(q) =>
+        // partitioned CTAS: publishPartitioned owns the layout write and
+        // the partition-column-in-result check
+        val df = spark.sql(q)
+        partCols.foreach { c =>
+          val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
+            .getOrElse(fail(s"partition column `$c` is not in the " +
+              s"query's output (${df.columns.sorted.mkString(", ")})"))
+          if (!partitionable(f.dataType)) fail(
+            s"partition column `$c` has type ${f.dataType.simpleString}; " +
+              "hive-style directory names round-trip only string / " +
+              "integral / date / boolean values exactly")
+        }
+        val v = TableManifest.publishPartitioned(df, path, partCols)
+        val parts = partCols.map(c =>
+          df.schema.fields.find(_.name.equalsIgnoreCase(c)).get
+            .copy(nullable = true))
+        val data = df.schema.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name))).toSeq
+        (v, data, parts)
+      case None =>
+        val s = declaredSchema.get // the parser guaranteed exactly one of the two
+        val parts: Seq[StructField] = partCols.map { c =>
+          val f = s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+            fail(s"partition column `$c` is not in the column list " +
+              s"(${s.fieldNames.sorted.mkString(", ")})"))
+          if (!partitionable(f.dataType)) fail(
+            s"partition column `$c` has type ${f.dataType.simpleString}; " +
+              "hive-style directory names round-trip only string / " +
+              "integral / date / boolean values exactly")
+          f.copy(nullable = true)
+        }
+        val data = s.fields.filterNot(f =>
+          partCols.exists(_.equalsIgnoreCase(f.name))).toSeq
+        if (data.isEmpty) fail("every column is a partition column — at " +
+          "least one data column must remain")
+        val v = TableManifest.read(spark, path) match {
+          case Some((head, _)) =>
+            // already tracked (CREATE over an existing table dir): the
+            // declared chain must AGREE with the live layout — silently
+            // re-declaring would make writers lay out batches the scan
+            // cannot serve
+            val live = TableManifest.layoutPartitionCols(spark, path)
+            if (live != partCols.map(_.toLowerCase)) {
+              if (ifNotExists) head
+              else fail(s"$path is already a tracked table whose " +
+                s"partition layout (${if (live.isEmpty) "flat"
+                  else live.mkString("/")}) does not match PARTITIONED " +
+                s"BY (${partCols.mkString(", ")})")
+            } else head
+          case None =>
+            // an UNTRACKED dir holding plain data converts in place first
+            // (the INSERT posture), then the same layout agreement check
+            TableManifest.convertIfPlainData(spark, path)
+            TableManifest.read(spark, path) match {
+              case Some((head, _)) =>
+                val live = TableManifest.layoutPartitionCols(spark, path)
+                if (live != partCols.map(_.toLowerCase))
+                  fail(s"$path holds pre-existing data whose layout (${
+                    if (live.isEmpty) "flat" else live.mkString("/")
+                  }) does not match PARTITIONED BY (${
+                    partCols.mkString(", ")})")
+                head
+              case None =>
+                // fresh dir: EMPTY v1 declaring both schemas — the commit
+                // that makes the first INSERT partition-aware
+                TableManifest.commit(spark, path, Seq.empty,
+                  schema = Some(StructType(data)), replaceSchema = true,
+                  partSchema = Some(StructType(parts)))
+            }
+        }
+        (v, data, parts)
+    }
+
+    identOpt.foreach { ident =>
+      val storage = org.apache.spark.sql.catalyst.catalog
+        .CatalogStorageFormat.empty.copy(
+          locationUri = Some(new org.apache.hadoop.fs.Path(path).toUri),
+          properties = Map("path" -> path))
+      val entry = org.apache.spark.sql.catalyst.catalog.CatalogTable(
+        identifier = ident,
+        tableType =
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+        storage = storage,
+        schema = StructType(dataFields ++ partFields),
+        provider = Some("graft-manifest"))
+      catalog.createTable(entry, ignoreIfExists = ifNotExists)
+    }
+    Seq(Row(version))
   }
 }

@@ -6882,6 +6882,187 @@ object ExtQueries {
       |FROM orders WHERE o_orderkey % 3 <> 0
       |GROUP BY 1 ORDER BY pri""".stripMargin
 
+  // ---------------------------------------------------------------- Q193
+  /** `CREATE TABLE … PARTITIONED BY` from PURE SQL — round 15's closure
+    * of the one lifecycle step that existed only as the library call
+    * `publishPartitioned` ([[graft.plans.GraftCreateTableCommand]]): the
+    * statement commits an EMPTY v1 declaring both the data schema and
+    * the partition schema, so the very FIRST `INSERT INTO` lays its
+    * rows out `k=v/`-nested and partition pruning applies from version
+    * 1. The aggregate groups by the partition column over two inserts;
+    * a create that silently declared a flat table (stock Spark's
+    * behavior — the partitioning was catalog metadata the provider never
+    * saw), dropped the declared BIGINT partition type, or lost either
+    * insert hash-mismatches. */
+  def q193SqlCreatePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q193")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g193_create_$tag"
+    val view = s"g193_src_$tag"
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl (k BIGINT, pri STRING, cents BIGINT, " +
+      s"bucket BIGINT) USING `graft-manifest` PARTITIONED BY (bucket) " +
+      s"OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents, bucket FROM $view " +
+        "WHERE k % 3 = 0")
+      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents, bucket FROM $view " +
+        "WHERE k % 3 <> 0")
+      // the declared partition type serves as BIGINT (no cast needed) —
+      // name-carried values typed by the DECLARED partition schema
+      s.sql(
+        s"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents,
+           |  CAST(MAX(k) AS BIGINT) AS max_k
+           |FROM $tbl GROUP BY bucket ORDER BY bucket""".stripMargin)
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q193Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_k
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q194
+  /** `ALTER TABLE … ALTER COLUMN … TYPE` widening, oracle-pinned — the
+    * round-15 lakehouse-standard schema-evolution closure
+    * ([[graft.ops.TableManifest.widenColumnType]]): the table starts
+    * with INT-typed physical files, the statement widens `k` to BIGINT
+    * metadata-only (zero files rewritten), and an INSERT then lands
+    * values beyond Int range. The aggregate mixes narrow-file rows
+    * (up-cast at read by Spark 4's parquet type widening) with wide-file
+    * rows; a widen that rewrote data, failed to serve old INT files
+    * under the BIGINT schema, or overflowed hash-mismatches. */
+  def q194AlterColumnWiden(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q194")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g194_widen_$tag"
+    val view = s"g194_src_$tag"
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").cast("int").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.createOrReplaceTempView(view)
+    // v1: INT-typed physical files (every third order)
+    graft.ops.TableManifest.publish(src.filter(col("k") % 3 === 0), tmp)
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN k TYPE BIGINT")
+      // the complement lands SHIFTED past Int.MaxValue — only a truly
+      // wide column can hold it
+      s.sql(s"INSERT INTO $tbl SELECT CAST(k AS BIGINT) + 4000000000, " +
+        s"pri, cents FROM $view WHERE k % 3 <> 0")
+      s.sql(
+        s"""SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(k) AS BIGINT) AS sum_k,
+           |  CAST(MAX(k) AS BIGINT) AS max_k,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $tbl GROUP BY pri ORDER BY pri""".stripMargin)
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q194Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey
+      |    ELSE o_orderkey + 4000000000 END) AS BIGINT) AS sum_k,
+      |  CAST(MAX(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey
+      |    ELSE o_orderkey + 4000000000 END) AS BIGINT) AS max_k,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders GROUP BY 1 ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- Q195
+  /** CDC over a PARTITIONED target from pure SQL — q192's shape with the
+    * table hive-partitioned (the round-15 TVF-hardening ask): v1 commits
+    * every-third order partitioned by bucket, a SQL INSERT appends the
+    * complement nested under its `bucket=`/ dirs (v2), and
+    * `graft_table_changes` serves exactly the added rows WITH their
+    * name-carried partition values. A delta that dropped partition
+    * columns, re-delivered v1 rows, or mis-typed the declared BIGINT
+    * bucket hash-mismatches the complement. */
+  def q195PartitionedCdc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q195")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g195_pcdc_$tag"
+    val view = s"g195_src_$tag"
+    t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      (col("o_orderkey") % 4).as("bucket"))
+      .createOrReplaceTempView(view)
+    s.sql(s"CREATE TABLE $tbl (k BIGINT, cents BIGINT, bucket BIGINT) " +
+      s"USING `graft-manifest` PARTITIONED BY (bucket) OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"INSERT INTO $tbl SELECT k, cents, bucket FROM $view " +
+        "WHERE k % 3 = 0") // v2
+      s.sql(s"INSERT INTO $tbl SELECT k, cents, bucket FROM $view " +
+        "WHERE k % 3 <> 0") // v3
+      s.sql(
+        s"""SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM graft_table_changes('$tbl', 2, 3)
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q195Sql: String =
+    """SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents
+      |FROM orders WHERE o_orderkey % 3 <> 0
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- Q196
+  /** The LOG-STRUCTURED commit protocol's ledger arithmetic, oracle-
+    * pinned end-to-end: a publish (checkpoint) plus three streaming
+    * appends (DELTA records — round 15's O(delta) commit path) produce a
+    * `DESCRIBE HISTORY`-shaped ledger whose per-version file counts,
+    * add/remove deltas, and hwm chain are exact ONLY if delta replay
+    * reconstructs every intermediate state correctly (`n_files` at v is
+    * the REPLAYED listing size, not anything the delta body carries
+    * directly). Timestamps are excluded (wall clock); everything else is
+    * deterministic. */
+  def q196DeltaLedger(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q196")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.TableManifest.publish(src.repartition(2), tmp) // v1: 2 files
+    (1L to 3L).foreach(i =>
+      graft.streaming.ManifestAppendSink.applyBatch(
+        src.filter(col("k") % 97 === i).coalesce(1), i, tmp)) // v2..v4
+    graft.ops.TableManifest.history(s, tmp)
+      .selectExpr("version", "n_files", "n_added", "n_removed",
+        "CAST(hwm AS BIGINT) AS hwm")
+      .orderBy("version")
+  }
+
+  val q196Sql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |    CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+      |  (2, 3, 1, 0, 1), (3, 4, 1, 0, 2), (4, 5, 1, 0, 3))
+      |AS t(version, n_files, n_added, n_removed, hwm)
+      |ORDER BY version""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -7063,7 +7244,11 @@ object ExtQueries {
     "q189_partitioned_delete_rows" -> (q189PartitionedDeleteRows _),
     "q190_drop_columns" -> (q190DropColumns _),
     "q191_sql_zorder" -> (q191SqlZorder _),
-    "q192_sql_cdc" -> (q192SqlCdc _))
+    "q192_sql_cdc" -> (q192SqlCdc _),
+    "q193_sql_create_partitioned" -> (q193SqlCreatePartitioned _),
+    "q194_alter_column_widen" -> (q194AlterColumnWiden _),
+    "q195_partitioned_cdc" -> (q195PartitionedCdc _),
+    "q196_delta_ledger" -> (q196DeltaLedger _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7247,5 +7432,9 @@ object ExtQueries {
     "q189_partitioned_delete_rows" -> q189Sql,
     "q190_drop_columns" -> q190Sql,
     "q191_sql_zorder" -> q191Sql,
-    "q192_sql_cdc" -> q192Sql)
+    "q192_sql_cdc" -> q192Sql,
+    "q193_sql_create_partitioned" -> q193Sql,
+    "q194_alter_column_widen" -> q194Sql,
+    "q195_partitioned_cdc" -> q195Sql,
+    "q196_delta_ledger" -> q196Sql)
 }

@@ -39,11 +39,22 @@ import org.apache.spark.sql.execution.datasources.{PartitionSpec, PartitioningAw
   * normal `ParquetScanBuilder`, so split sizing (`maxPartitionBytes`),
   * pushdown, partition pruning, vectorized reads, and
   * `sizeInBytes`-driven broadcast decisions all see the same numbers a
-  * listed index would serve. */
+  * listed index would serve.
+  *
+  * `userSchema`: when the table DECLARES its partition column types (the
+  * manifest's `partschemab64`, e.g. a `CREATE TABLE … PARTITIONED BY`
+  * declaring `bucket BIGINT`), those types are handed to Spark's own
+  * inference so the name-carried VALUES are cast to the declared types —
+  * exactly how catalog-typed partition columns behave everywhere else in
+  * Spark. Without it, `bucket=0` would infer as INT even on a
+  * declared-BIGINT table (and an EMPTY snapshot of the same table, which
+  * serves the declared schema, would disagree with the live one).
+  * Columns absent from `userSchema` keep plain inference. */
 private[graft] final class ManifestFileIndex(
-    spark: SparkSession, dir: Path, statuses: Array[FileStatus])
+    spark: SparkSession, dir: Path, statuses: Array[FileStatus],
+    userSchema: Option[org.apache.spark.sql.types.StructType] = None)
     extends PartitioningAwareFileIndex(spark,
-      Map("basePath" -> dir.toString), None) {
+      Map("basePath" -> dir.toString), userSchema) {
 
   private lazy val spec: PartitionSpec =
     if (statuses.forall(_.getPath.getParent == dir)) PartitionSpec.emptySpec

@@ -242,7 +242,10 @@ private[sources] final class ManifestMicroBatchStream(
     * trigger's planning bounded too. */
   private def batchFor(files: Seq[String],
       fstat: Map[String, (Long, Long)]): Batch = {
-    val idx = ManifestReadTable.index(spark, dir, files, fstat)
+    // the stream's PINNED schema also types any name-carried partition
+    // columns, so a declared-type partitioned table serves the same
+    // partition types per trigger as its batch scans do
+    val idx = ManifestReadTable.index(spark, dir, files, fstat, Some(schema))
     // hive layouts: the stream's pinned schema contains the partition
     // columns; the (full, data) split keeps them served from the names,
     // never asked of the footers (the batch-scan discipline)

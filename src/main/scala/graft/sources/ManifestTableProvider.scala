@@ -207,7 +207,8 @@ private object ManifestReadTable {
     * a single RPC, never O(files) stats — and a file truly absent from
     * both fails loudly here at planning instead of mid-scan. */
   def index(spark: SparkSession, dir: String, names: Seq[String],
-      fstat: Map[String, (Long, Long)]): ManifestFileIndex = {
+      fstat: Map[String, (Long, Long)],
+      declaredPartSchema: Option[StructType] = None): ManifestFileIndex = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qdir = fs.makeQualified(p)
@@ -231,7 +232,7 @@ private object ManifestReadTable {
             "(vacuumed under a live reader?)"))
       }
     }.toArray
-    new ManifestFileIndex(spark, qdir, statuses)
+    new ManifestFileIndex(spark, qdir, statuses, declaredPartSchema)
   }
 
   /** Split a snapshot's served schema around the index's inferred
@@ -299,11 +300,12 @@ private final class ManifestReadTable(spark: SparkSession,
     * per resolved table and shared by `schema()` and every scan (the
     * index also owns the inferred partition spec of a hive layout). */
   private lazy val trackedIndex: Option[ManifestFileIndex] =
-    tracked.map { case (names, _, fstat, _) =>
+    tracked.map { case (names, _, fstat, partSchema) =>
       // the construction-time session, NOT SparkSession.active: schema()
       // (which forces this) is called by relation creation in library
-      // paths where no session is active on the calling thread
-      ManifestReadTable.index(spark, dir, names, fstat)
+      // paths where no session is active on the calling thread. The
+      // DECLARED partition schema types the name-carried values.
+      ManifestReadTable.index(spark, dir, names, fstat, partSchema)
     }
 
   /** The manifest-DECLARED partition schema and whether the snapshot is
@@ -796,12 +798,26 @@ private final class ManifestBatchWrite(delegate: BatchWrite, dir: String,
         // in the names (the init/publishPartitioned convention)
         val dataSchema = StructType(writeSchema.fields.filterNot(f =>
           partCols.exists(_.equalsIgnoreCase(f.name))))
+        // same opt-in small-file policy as the streaming append (see
+        // ManifestAppendSink.commitScratch): shuffle the batch by the
+        // partition columns so a many-task INSERT lands ≤ one file per
+        // live partition value instead of tasks×partitions
+        val repartition = spark.conf
+          .getOption("spark.graft.manifest.appendRepartition")
+          .exists(_.trim.equalsIgnoreCase("true"))
         val nested =
           if (parts.isEmpty) Seq.empty[String]
-          else TableManifest.writeAndMoveInPartitioned(
-            spark.read.schema(writeSchema)
-              .parquet(parts.map(_.getPath.toString): _*),
-            "sql", dir, partCols)
+          else {
+            val batch = spark.read.schema(writeSchema)
+              .parquet(parts.map(_.getPath.toString): _*)
+            val laid =
+              if (repartition && parts.size > 1)
+                batch.repartition(partCols.map(
+                  org.apache.spark.sql.functions.col): _*)
+              else batch
+            TableManifest.writeAndMoveInPartitioned(laid, "sql", dir,
+              partCols)
+          }
         (nested, dataSchema)
       }
     // an empty-plan insert can finalize zero files (or only 0-row task

@@ -125,11 +125,63 @@ object ManifestAppendSink {
         val batch = schema match {
           case Some(s0) => spark.read.schema(s0)
             .parquet(parts.map(_.getPath.toString): _*)
-          case None => spark.read.option("mergeSchema", "true")
-            .parquet(parts.map(_.getPath.toString): _*)
+          case None =>
+            // no writer-declared schema: the scratch footers are still
+            // read merged (they are the only evidence of the batch's
+            // shape), but each column is CHECKED against the table's
+            // DECLARED types first — silently committing a merged
+            // type-drifting batch (an int epoch into a long column)
+            // would evolve the carried schema through the one path with
+            // no declared contract. Missing/extra columns keep the
+            // append-widens posture; TYPE drift is loud.
+            val footer = spark.read.option("mergeSchema", "true")
+              .parquet(parts.map(_.getPath.toString): _*)
+            TableManifest.readSchema(spark, dir).foreach { declared =>
+              // DATA columns only: a partition column's batch-side footer
+              // type is irrelevant — its value re-lays out into the
+              // directory NAME (an int 3 and a long 3 both land
+              // `bucket=3`), and the declared partition schema types it
+              // at read
+              val declTypes = declared.fields
+                .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+                .map(f => f.name.toLowerCase ->
+                  org.apache.spark.sql.graft.SchemaBridge.asNullable(
+                    org.apache.spark.sql.types.StructType(Array(f)))
+                    .head.dataType).toMap
+              org.apache.spark.sql.graft.SchemaBridge
+                .asNullable(footer.schema).fields.foreach { f =>
+                  declTypes.get(f.name.toLowerCase).foreach { dt =>
+                    require(dt == f.dataType,
+                      s"streaming append into $dir: batch $batchId " +
+                        s"carries `${f.name}` as ${f.dataType.simpleString}" +
+                        s" but the table declares ${dt.simpleString} — a " +
+                        "schema-less sink never retypes a column; widen " +
+                        "the table first (ALTER TABLE … ALTER COLUMN … " +
+                        "TYPE) or declare the batch schema")
+                  }
+                }
+            }
+            footer
         }
+        // WRITE-PATH small-file policy (opt-in): each input task writes
+        // one file per partition value it holds, so a micro-batch of T
+        // tasks spanning P partitions lands up to T×P files per epoch —
+        // fine for leaf-aligned rewrites, fan-out-prone for streaming
+        // appends. With the conf set, the batch is shuffled BY the
+        // partition columns first (one task per live partition value →
+        // ≤ P files per epoch). Opt-in because the shuffle serializes a
+        // hot partition into one task — the right trade for
+        // many-partition event streams, the wrong one for skewed ones.
+        val repartition = spark.conf
+          .getOption("spark.graft.manifest.appendRepartition")
+          .exists(_.trim.equalsIgnoreCase("true"))
+        val laid =
+          if (repartition && parts.size > 1)
+            batch.repartition(partCols.map(
+              org.apache.spark.sql.functions.col): _*)
+          else batch
         TableManifest.writeAndMoveInPartitioned(
-          batch, s"b$batchId", dir, partCols)
+          laid, s"b$batchId", dir, partCols)
       }
     // the carried schema stays DATA columns only on a partitioned target
     // (partition values live in the names — the init convention)

@@ -70,4 +70,40 @@ class TableFunctionsSpec extends SparkSpec {
       }.getMessage.contains("not a graft-manifest table"))
     }
   }
+
+  test("TVF hardening: empty-range schema, named range errors, partitioned CDC target") {
+    val dir = fixture()
+    graft.TestSessions.withExtensionsActive { s =>
+      // the common CDC poll — an UNCHANGED range — projects columns fine
+      // and returns zero rows (round-15 advice: this failed analysis as a
+      // zero-column frame before)
+      val empty = s.sql(s"SELECT k FROM graft_table_changes('$dir', 2, 2)")
+      assert(empty.schema.fieldNames.toSeq == Seq("k") && empty.count() == 0L)
+      def bad(sql: String, needle: String): Unit = {
+        val e = intercept[Exception](s.sql(sql).collect())
+        assert(e.getMessage.contains(needle),
+          s"expected '$needle' in: ${e.getMessage}")
+      }
+      bad(s"SELECT * FROM graft_table_changes('$dir', 3, 1)",
+        "backwards range")
+      bad(s"SELECT * FROM graft_table_changes('$dir', -2, 1)", ">= 0")
+      bad(s"SELECT * FROM graft_table_changes('$dir', 1, 99)",
+        "retention pruned")
+      // CDC over a PARTITIONED target: adds deliver with their
+      // name-carried partition values
+      val pdir = java.nio.file.Files.createTempDirectory("gm-tvf-part").toString
+      TableManifest.publishPartitioned(
+        Seq((1L, "a", 0L), (2L, "b", 1L)).toDF("k", "s", "b"),
+        pdir, Seq("b")) // v1
+      graft.streaming.ManifestAppendSink.applyBatch(
+        Seq((3L, "c", 1L)).toDF("k", "s", "b").coalesce(1), 1L, pdir) // v2
+      val padd = s.sql(
+        s"SELECT k, s, CAST(b AS BIGINT) AS b FROM graft_table_changes('$pdir', 1, 2)")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(padd == Seq((3L, "c", 1L)), s"partitioned CDC adds: $padd")
+      // and the empty partitioned range serves partition columns too
+      val pempty = s.sql(s"SELECT b FROM graft_table_changes('$pdir', 2, 2)")
+      assert(pempty.count() == 0L)
+    }
+  }
 }

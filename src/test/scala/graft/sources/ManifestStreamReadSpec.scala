@@ -188,6 +188,59 @@ class ManifestStreamReadSpec extends SparkSpec {
       s"snapshot, then the v1->v3 delta as one (over-cap, whole-version) batch: $got")
   }
 
+  test("a PARTITIONED table streams under DML churn: appends deliver once, copy-on-write re-lists only its victims") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gm-stream-part").toString
+    graft.ops.TableManifest.publishPartitioned(
+      Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)).toDF("k", "v", "b"),
+      dir, Seq("b"))
+    graft.ops.TableManifest.analyze(spark, dir, Seq("k"))
+    val ckpt = java.nio.file.Files.createTempDirectory("gm-stream-pck").toString
+    def drain(): Seq[(Long, Long, Long)] = {
+      val seen = scala.collection.mutable.ListBuffer.empty[(Long, Long, Long)]
+      // partition values are name-inferred (b=0 → INT) on a
+      // publishPartitioned table; cast for the typed collect
+      val q = spark.readStream.format("graft-manifest").load(dir)
+        .select(col("k"), col("v"), col("b").cast("long"))
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.as[(Long, Long, Long)].collect() }
+          ()
+        }.start()
+      q.awaitTermination()
+      seen.toSeq.sorted
+    }
+    // run 1: the whole partitioned snapshot, partition values served
+    assert(drain() == Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L)))
+    // CHURN between triggers: an append plus a partition-scoped UPDATE
+    // whose copy-on-write rewrites ONLY partition b=1's matching file
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((4L, 40L, 1L)).toDF("k", "v", "b").coalesce(1), 1L, dir)
+    graft.ops.TableManifest.updateWhere(spark, dir,
+      Seq("v" -> (col("v") + lit(5L))),
+      Some(col("b") === 1L && col("k") === 3L),
+      pruneRanges = Seq(("b", 1L, 1L), ("k", 3L, 3L)))
+    // run 2: the append arrives once; the rewrite re-lists its victim
+    // file, so the updated row re-delivers (the documented
+    // file-granularity CDC caveat) — rows of UNTOUCHED partitions must
+    // NOT re-deliver, pinning that the copy-on-write stayed file-granular
+    assert(drain() == Seq((3L, 35L, 1L), (4L, 40L, 1L)),
+      "append once + exactly the rewritten victim, nothing else")
+    // OPTIMIZE one leaf: per-leaf compaction re-lists that leaf only
+    graft.ops.Compaction.compactPartition(spark, dir, "b=1")
+    val afterOpt = drain()
+    assert(afterOpt == Seq((3L, 35L, 1L), (4L, 40L, 1L)),
+      s"per-leaf OPTIMIZE re-lists exactly its leaf's rows: $afterOpt")
+    // quiet table: nothing to deliver
+    assert(drain().isEmpty)
+    // the stream never dropped a row: final table state equals what a
+    // last-writer-wins fold of the deliveries says
+    assert(graft.ops.TableManifest.readTable(spark, dir)
+      .select("k", "v").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 35L), (4L, 40L)))
+  }
+
   test("bad maxFilesPerTrigger fails loudly") {
     val dir = newTable()
     intercept[Exception] {
