@@ -138,6 +138,31 @@ object ManifestPlanningMicroBench {
           .filter(col("k") === 3L).queryExecution.executedPlan
       }
       println(f"  -> ${t * 1000}%.0f ms for $files files, body ${body.length / 1048576.0}%.1f MiB")
+
+      // ---- COMMIT cost (round 15, the log-structured protocol's claim):
+      // appending ONE file to this head must cost O(delta record) — a
+      // small write + the cached-chain advance — not the O(files) body
+      // re-render + re-parse every commit paid before. The FIRST commit
+      // pays one cold O(files) resolution of the hand-fabricated head
+      // (reported separately); the next ones ride the resolution anchor.
+      // The checkpoint commit that re-anchors the chain (every 8th) pays
+      // the full render by design — also reported, it is the amortized
+      // O(table/interval) term.
+      val tblSchema = graft.ops.TableManifest.readSchema(spark, dir)
+      def appendOne(i: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.TableManifest.appendFiles(spark, dir,
+          Seq(f"sql-bench000-a$i%05d.parquet"), tblSchema)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = appendOne(0) // v3: cold resolution + delta write
+      val warm = (1 to 6).map(appendOne) // v4..v9: pure delta commits
+      val checkpoint = appendOne(7) // v10: chain length 8 → full render
+      println(f"  commit f=$files: cold ${cold}%.3fs, delta median " +
+        f"${warm.sorted.apply(warm.size / 2)}%.3fs " +
+        f"(${warm.map(w => f"$w%.3f").mkString(", ")}), " +
+        f"checkpoint ${checkpoint}%.3fs")
+
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

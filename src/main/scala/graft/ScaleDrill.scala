@@ -140,6 +140,14 @@ object ScaleDrill {
       graft.ops.TableManifest.analyze(
         spark, s"$d/events_part", Seq("event_id"))
     }
+    // manifest_commit fixture: a tracked table whose FILE COUNT scales
+    // with the corpus (64 per 1×) — the round-15 drill pins the
+    // log-structured commit protocol at N× FILE count, not row count
+    Seq((baseAs, 64), (scratch, 64 * mult)).foreach { case (d, nf) =>
+      spark.read.parquet(s"$d/events").repartition(nf)
+        .write.mode("overwrite").parquet(s"$d/events_files")
+      graft.ops.TableManifest.init(spark, s"$d/events_files")
+    }
 
     // canonical (a < b) part-co-purchase edges of the copy-disjoint graph
     // (see the iterated-graph families below for the shape rationale)
@@ -386,6 +394,29 @@ object ScaleDrill {
             .withColumn("event_id",
               pmod(col("event_id"), lit(2000L)) + lit(7000000000L + i * 2000L))
             .withColumn("part", pmod(col("event_id"), lit(16L)))
+          graft.streaming.ManifestAppendSink.applyBatch(batch, i, t)
+          import spark.implicits._
+          Seq(1L).toDF("committed")
+        }
+      },
+      // the LOG-STRUCTURED COMMIT claim, measured (round 15): appending
+      // a FIXED-size micro-batch must cost O(batch + delta record)
+      // regardless of how many files the table lists. The pre-round-15
+      // protocol re-rendered the complete O(files) body per commit and
+      // re-parsed it per fresh head read, so this family's ratio TRACKED
+      // file count (the fixture holds 64 files at 1× and 64·N at N×);
+      // with delta records + the incremental resolution anchor the wall
+      // must stay near-FLAT. Fresh batch ids per run (a committed id
+      // would measure the replay no-op).
+      "manifest_commit" -> {
+        val next = new java.util.concurrent.atomic.AtomicLong(1L)
+        (dir: String) => {
+          val t = s"$dir/events_files"
+          val i = next.getAndIncrement()
+          val batch = spark.read.parquet(s"$dir/events").limit(100)
+            .withColumn("event_id",
+              pmod(col("event_id"), lit(100L)) + lit(8000000000L + i * 100L))
+            .coalesce(1)
           graft.streaming.ManifestAppendSink.applyBatch(batch, i, t)
           import spark.implicits._
           Seq(1L).toDF("committed")

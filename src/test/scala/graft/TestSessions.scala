@@ -20,7 +20,8 @@ object TestSessions {
       "q179_schema_evolution", "q181_restore",
       "q186_partitioned_update", "q187_partitioned_merge",
       "q188_partitioned_optimize", "q190_drop_columns", "q191_sql_zorder",
-      "q192_sql_cdc")
+      "q192_sql_cdc", "q193_sql_create_partitioned",
+      "q194_alter_column_widen", "q195_partitioned_cdc")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession
