@@ -195,26 +195,13 @@ object ManifestAppendSink {
         (Map.empty[String, Map[String, (Long, Long)]],
           Map.empty[String, Map[String, (String, String)]])
       else TableManifest.fileAllStats(spark, dir, moved, statsCols)
-    var attempts = 0
-    var committed = false
-    while (!committed) {
-      val head = TableManifest.readHead(spark, dir)
-      val (headV, prev) = head match {
-        case Some((v, files, _)) => (v, files)
-        case None => (0L, Seq.empty[String])
-      }
-      // the batch was laid out for the layout read above; re-checked
-      // against the CURRENT head inside the CAS loop so a racing layout
-      // change (partitioned publish, restore) is loud, never a mixed
-      // listing with silently-NULL partition values
-      TableManifest.requireLayoutMatch(prev, moved, "streaming append")
-      committed = TableManifest.commitIf(spark, dir, prev ++ moved,
-        expectedHead = headV, hwm = Some(batchId), stats = stats,
-        sstats = sstats, schema = committedSchema).isDefined
-      attempts += 1
-      if (!committed && attempts >= 64)
-        sys.error(s"append of batch $batchId to $dir lost $attempts races")
-    }
+    // the batch was laid out for the layout read above; appendBatch
+    // re-checks against the CURRENT head inside every CAS attempt (so a
+    // racing layout change — partitioned publish, restore — is loud,
+    // never a mixed listing with silently-NULL partition values) and
+    // routes steady-state epochs through the O(delta) append commit
+    TableManifest.appendBatch(spark, dir, moved, hwm = Some(batchId),
+      stats = stats, sstats = sstats, schema = committedSchema)
     fs.delete(scratch, true)
   }
 
