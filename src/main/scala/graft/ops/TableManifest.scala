@@ -8,18 +8,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.SchemaBridge
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
-/** Minimal reader-atomic commit protocol for raw parquet directories — the
-  * public Delta/Iceberg core idea at file-listing scale, with none of the
-  * format: a table's live data files are whatever its newest manifest
-  * lists, and a commit is the atomic creation of the next manifest
-  * version. Data files themselves are immutable and only ever ADDED;
-  * removal is a manifest that stops listing them plus a later [[vacuum]].
+/** Reader-atomic, LOG-STRUCTURED commit protocol for raw parquet
+  * directories — the public Delta/Iceberg core idea at file-listing
+  * scale, with none of the format: a table's live data files are
+  * whatever its newest manifest RESOLVES to, and a commit is the atomic
+  * creation of the next manifest version. Data files themselves are
+  * immutable and only ever ADDED; removal is a version that stops
+  * listing them plus a later [[vacuum]].
   *
-  * Layout: `dir/_manifest/v<20-digit>.json`, each manifest the complete
-  * snapshot `{"version":N,"files":["name", ...]}` of dir-relative file
-  * names. Readers list `_manifest/`, take the highest version, and read
-  * exactly those files — so a reader that starts mid-commit sees the old
-  * file set or the new one, never a mix, on ANY filesystem with atomic
+  * Layout: `dir/_manifest/v<20-digit>.json`. A version's body is either
+  * a CHECKPOINT — the complete snapshot
+  * `{"version":N,…,"files":["name", ...]}` of dir-relative names — or a
+  * DELTA record (`"delta":1,"base":B` + added/removed names + stat
+  * overlays; see [[DeltaBaseRe]]), the log-structured form that makes a
+  * commit cost O(what changed) instead of O(table): the hot append path
+  * writes ~batch-sized records ([[commitAppendDelta]] — measured 28 ms
+  * at 1M files vs the 11 s full-body render+parse it replaced), and a
+  * checkpoint re-anchors the chain every [[checkpointInterval]] commits
+  * (or whenever the delta would not be materially smaller — snapshot
+  * replaces, analyze sweeps), bounding every replay. Readers list
+  * `_manifest/`, take the highest version, and resolve it by replaying
+  * checkpoint+deltas ([[resolveSnap]], cache-amortized to one listing
+  * per unchanged head) — so a reader that starts mid-commit sees the old
+  * state or the new one, never a mix, on ANY filesystem with atomic
   * single-file rename (local, HDFS; the rename-into-place is the commit
   * point). Concurrent committers race on creating the same version name:
   * the loser's rename fails (destination exists) and retries against the
@@ -42,10 +53,12 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * the streaming append sink), while [[commit]] retries it for
   * last-writer-wins snapshot replacement (publish).
   *
-  * Deliberately NOT here: per-commit diffs/log replay and
-  * optimistic-conflict semantics beyond last-writer-wins — at that point
-  * use a real table format. File names are written by this module
-  * (UUID-based ASCII), so the JSON needs no string escaping.
+  * Deliberately NOT here: optimistic-conflict RESOLUTION beyond
+  * last-writer-wins / CAS-retry (no column-level conflict analysis — a
+  * racing writer re-reads and re-derives), and multi-table transactions
+  * — at that point use a real table format. File names are written by
+  * this module (UUID-based ASCII), so the JSON needs no string
+  * escaping.
   *
   * The manifest DOES carry the table schema (base64 of Spark's schema
   * JSON — base64's charset keeps the no-escaping invariant): without it,

@@ -205,13 +205,15 @@ private[sources] final class ManifestMicroBatchStream(
         // at v not at `from` — exactly what freshFiles will deliver) fits
         // the cap; a version admitting nothing new (stats-only commits)
         // passes through for free. An intermediate version pruned by
-        // manifest retention is SKIPPED, not fatal: manifests are full
-        // snapshots, so the next surviving version's fresh count vs
-        // `from` is exactly the delta the stream will deliver — the
-        // pruned step only loses batch-boundary granularity, never data
-        // (the uncapped path diffs `from` vs `head` directly and was
-        // already immune). `vStop` only ever lands on a SURVIVING
-        // version, so the planned batch's `end` manifest is readable.
+        // manifest retention is SKIPPED, not fatal: the next surviving
+        // version still RESOLVES (vacuum's chain-aware retention keeps
+        // every record from the oldest retained version's checkpoint
+        // base forward), so its fresh count vs `from` is exactly the
+        // delta the stream will deliver — the pruned step only loses
+        // batch-boundary granularity, never data (the uncapped path
+        // diffs `from` vs `head` directly and was already immune).
+        // `vStop` only ever lands on a SURVIVING version, so the planned
+        // batch's `end` manifest is readable.
         var vStop = from
         var v = from + 1
         var halt = false

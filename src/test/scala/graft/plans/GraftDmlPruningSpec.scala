@@ -98,4 +98,53 @@ class GraftDmlPruningSpec extends SparkSpec {
     assert(intercept[Exception] { normalizePartitionSpec("k = 'abc") }
       .getMessage.contains("unterminated"))
   }
+
+  test("prune ranges derive at EXECUTION, so a retype between parse and run never prunes in stale units") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("gm-prune-race").toString
+    graft.TestSessions.withExtensionsActive { s =>
+      // a TIMESTAMP-keyed table with committed micros-unit stats: at
+      // parse the condition's TIMESTAMP literal kind-matches and WOULD
+      // derive micros prune ranges
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10L),
+          (java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 20L))
+        .toDF("k", "v").repartitionByRange(2, col("k"))
+        .write.mode("overwrite").parquet(dir)
+      TableManifest.init(s, dir)
+      TableManifest.analyze(s, dir, Seq("k"))
+      val plan = s.sessionState.sqlParser.parsePlan(
+        s"UPDATE `$dir` SET v = v + 100 " +
+          "WHERE k <= TIMESTAMP '2024-01-02 00:00:00'")
+      // a full-snapshot replace RETYPES k to DATE before the command
+      // runs — the round-15 advice scenario: parse-time derivation baked
+      // the literal's MICROS bound into the command, and executing it
+      // against the retyped head pruned committed DAY-unit stats in the
+      // wrong units. Derivation at run() reads the head the update
+      // executes on, sees the cross-kind pair (DATE column, TIMESTAMP
+      // literal), and prunes NOTHING — the exact victim scan owns
+      // correctness.
+      TableManifest.publish(
+        Seq((java.sql.Date.valueOf("2024-01-01"), 10L),
+            (java.sql.Date.valueOf("2024-01-05"), 20L))
+          .toDF("k", "v").repartitionByRange(2, col("k")), dir)
+      TableManifest.analyze(s, dir, Seq("k")) // epoch-DAY stats now
+      val cmd = plan.asInstanceOf[GraftUpdateCommand]
+      cmd.run(s)
+      // DATE <= TIMESTAMP coerces through Spark's own comparison: the
+      // 2024-01-01 row matches, the 2024-01-05 row does not
+      val rows = TableManifest.readTable(s, dir)
+        .orderBy("k").select("v").as[Long].collect().toSeq
+      assert(rows == Seq(110L, 20L),
+        s"retype + run must update exactly the matching row: $rows")
+      // and pin the mechanism: against the CURRENT (retyped) schema the
+      // cross-kind conjunct derives NO prune range at all
+      val declared = org.apache.spark.sql.types.StructType(
+        TableManifest.readSchema(s, dir).map(_.fields).getOrElse(Array.empty))
+      val derived = GraftDmlRewrite.pruneRanges(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          cmd.condition.get), declared)
+      assert(derived.isEmpty,
+        s"cross-kind literal must not prune post-retype: $derived")
+    }
+  }
 }
