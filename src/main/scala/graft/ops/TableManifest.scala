@@ -918,10 +918,16 @@ object TableManifest {
         freshBloom.size) * 2 <= math.max(8, headFiles.size + added.size)
     val (body, snap) =
       if (writeDelta) {
-        val rec = DeltaRec(headS.get.base, added, removed,
+        // adds/removes SORTED before both the record and the cache poke:
+        // renderDelta sorts the body's name arrays, so an unsorted poke
+        // would make the same version's resolved file ORDER depend on
+        // cache state (nondeterministic split assignment across JVMs)
+        val addedS = added.sorted
+        val removedS = removed.sorted
+        val rec = DeltaRec(headS.get.base, addedS, removedS,
           outSchemaStored, outPartSchema, freshStats, freshSStats, freshBloom,
           overlayFstat, hwm, Some(ctime))
-        (renderDelta(v, token, rec.base, added, removed, hwm,
+        (renderDelta(v, token, rec.base, addedS, removedS, hwm,
           freshStats, freshSStats, freshBloom,
           outSchemaStored.map(encodeSchema), overlayFstat,
           ctimeMillis = Some(ctime),
@@ -1032,10 +1038,12 @@ object TableManifest {
     }.toMap
     val ctime = System.currentTimeMillis()
     val token = UUID.randomUUID().toString
-    val rec = DeltaRec(headS.base, adds, Seq.empty, outSchema,
+    // sorted for cache/parse file-order agreement (see commitIf's note)
+    val addsS = adds.sorted
+    val rec = DeltaRec(headS.base, addsS, Seq.empty, outSchema,
       outPartSchema, freshStats, freshSStats, Map.empty, statted, hwm,
       Some(ctime))
-    val body = renderDelta(v, token, rec.base, adds, Seq.empty, hwm,
+    val body = renderDelta(v, token, rec.base, addsS, Seq.empty, hwm,
       freshStats, freshSStats, Map.empty,
       outSchema.map(encodeSchema), statted, ctimeMillis = Some(ctime),
       partSchemaB64 = outPartSchema.map(encodeSchema))
@@ -2952,46 +2960,84 @@ object TableManifest {
     * be served). Partition columns are rejected (their values live in the
     * directory names; the declared partition schema types them).
     * Returns the committed version. */
-  def widenColumnType(spark: SparkSession, dir: String, col: String,
-      newType: DataType): Long = {
+  /** The lossless, UNIT-PRESERVING widenings [[widenColumnType]] (and
+    * the schema-less streaming sink's narrow-batch admission) accept —
+    * see the widen scaladoc for why exactly these. */
+  private[graft] def losslesslyWidens(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
-    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
       case _ => false
     }
+  }
+
+  /** The validation half of one widen against one head snapshot —
+    * factored out so a MULTI-column ALTER statement can pre-validate
+    * EVERY spec before its first commit (all-or-nothing: a bad later
+    * spec must not leave earlier widens already committed). Returns the
+    * widened schema, or None for the already-that-type no-op. */
+  private def validateWiden(dir: String, snap: Snap, col: String,
+      newType: DataType, inferred: => Option[StructType])
+      : Option[StructType] = {
+    val base = snap.schema.orElse(inferred).getOrElse(sys.error(
+      s"widenColumnType: $dir carries no schema and none can be inferred"))
+    val partNames = snap.partSchema
+      .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
+      partitionColsIn(snap.files)
+    require(!partNames.exists(_.equalsIgnoreCase(col)),
+      s"widenColumnType: `$col` is a partition column of $dir — its " +
+        "values live in the directory names; re-publish to retype it")
+    val field = base.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
+      sys.error(s"widenColumnType: unknown column `$col` " +
+        s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})"))
+    if (field.dataType == newType) return None // already that type: no-op
+    require(losslesslyWidens(field.dataType, newType),
+      s"widenColumnType: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a supported widening for " +
+        s"`$col` (unit-preserving only: tinyint/smallint/int -> wider " +
+        "integral, float -> double); narrowing or cross-kind retypes " +
+        "need a rewrite (publish)")
+    Some(StructType(base.fields.map(f =>
+      if (f.name.equalsIgnoreCase(col)) f.copy(dataType = newType) else f)))
+  }
+
+  /** Pre-flight every retype of a multi-column ALTER against the current
+    * head WITHOUT committing — the statement's all-or-nothing check. */
+  private[graft] def checkWidenColumnTypes(spark: SparkSession, dir: String,
+      retypes: Seq[(String, DataType)]): Unit = {
+    val (_, snap) = headSnap(spark, dir).getOrElse(
+      sys.error(s"widenColumnType: $dir is not manifest-tracked"))
+    lazy val inferred = scala.util.Try(readTable(spark, dir).schema).toOption
+    // each validation sees the PRIOR retypes applied, like the commits will
+    retypes.foldLeft(snap) { case (s, (c, dt)) =>
+      validateWiden(dir, s, c, dt, inferred) match {
+        case Some(w) => s.copy(schema = Some(w))
+        case None => s
+      }
+    }
+    ()
+  }
+
+  def widenColumnType(spark: SparkSession, dir: String, col: String,
+      newType: DataType): Long = {
     var attempts = 0
     while (attempts < 64) {
-      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+      // ONE head resolution per attempt: files, schema, partition
+      // declaration, and hwm must come from the same version
+      val (v, snap) = headSnap(spark, dir).getOrElse(
         sys.error(s"widenColumnType: $dir is not manifest-tracked"))
-      val base = readSchema(spark, dir)
-        .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
-        .getOrElse(sys.error(
-          s"widenColumnType: $dir carries no schema and none can be inferred"))
-      val partNames = readPartitionSchema(spark, dir)
-        .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
-        partitionColsIn(files)
-      require(!partNames.exists(_.equalsIgnoreCase(col)),
-        s"widenColumnType: `$col` is a partition column of $dir — its " +
-          "values live in the directory names; re-publish to retype it")
-      val field = base.fields.find(_.name.equalsIgnoreCase(col)).getOrElse(
-        sys.error(s"widenColumnType: unknown column `$col` " +
-          s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})"))
-      if (field.dataType == newType) return v // already that type: no-op
-      require(widens(field.dataType, newType),
-        s"widenColumnType: ${field.dataType.simpleString} -> " +
-          s"${newType.simpleString} is not a supported widening for " +
-          s"`$col` (unit-preserving only: tinyint/smallint/int -> wider " +
-          "integral, float -> double); narrowing or cross-kind retypes " +
-          "need a rewrite (publish)")
-      val widened = StructType(base.fields.map(f =>
-        if (f.name.equalsIgnoreCase(col)) f.copy(dataType = newType) else f))
-      commitIf(spark, dir, files, v, hwm,
-        schema = Some(widened), replaceSchema = true) match {
-        case Some(v2) => return v2
-        case None => attempts += 1
+      lazy val inferred = scala.util.Try(readTable(spark, dir).schema).toOption
+      validateWiden(dir, snap, col, newType, inferred) match {
+        case None => return v // already that type: no-op
+        case Some(widened) =>
+          commitIf(spark, dir, snap.files, v, snap.hwm,
+            schema = Some(widened), replaceSchema = true) match {
+            case Some(v2) => return v2
+            case None => attempts += 1
+          }
       }
     }
     sys.error(s"widenColumnType lost $attempts races in $dir; giving up")
@@ -3341,9 +3387,6 @@ object TableManifest {
     val from = consumerVersion(spark, dir, consumerId)
     val head = read(spark, dir).map(_._1).getOrElse(0L)
     if (head <= from) return None
-    val df =
-      if (from == 0L) readTableAt(spark, dir, head)
-      else addedBetween(spark, dir, from, head)
     val advance = () => {
       val (fs, p) = fsFor(spark, dir)
       val mdir = new Path(p, ManifestDir)
@@ -3353,22 +3396,28 @@ object TableManifest {
         Array.emptyByteArray)
     }
     // a delete-only (or empty-table) range ADDS no files, so there is
-    // nothing to deliver — handing `f` a poison empty frame (or, on a
-    // schema-less table, a zero-column one that crashes any column
-    // reference) would wedge the consumer on the range forever; skip
-    // delivery but still advance the marker. Detected from the manifest
-    // name sets (cache-amortized metadata), never by running the scan.
-    val addsNothing = df.columns.isEmpty || {
+    // nothing to deliver — handing `f` a poison empty frame would wedge
+    // the consumer on the range forever; skip delivery (and the scan
+    // construction entirely) but still advance the marker. Detected from
+    // the manifest name sets (cache-amortized metadata — the head was
+    // resolved a moment ago), never by running a scan.
+    val addsNothing = {
       val toFiles = readAt(spark, dir, head).getOrElse(Seq.empty)
       if (from == 0L) toFiles.isEmpty
       else readAt(spark, dir, from) match {
         case Some(fromFiles) =>
           val seen = fromFiles.toSet
           toFiles.forall(seen)
-        case None => false // pruned `from`: let the scan's own error speak
+        case None => false // pruned `from`: addedBetween's error names it
       }
     }
     if (addsNothing) { advance(); return None }
+    val df =
+      if (from == 0L) readTableAt(spark, dir, head)
+      else addedBetween(spark, dir, from, head)
+    // a schema-less (pre-schema, delete-only-history) table can still
+    // serve a zero-column frame here — same poison-delivery skip
+    if (df.columns.isEmpty) { advance(); return None }
     f(df, from, head)
     advance()
     Some((from, head))

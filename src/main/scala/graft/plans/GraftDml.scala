@@ -617,6 +617,10 @@ case class GraftAlterColumnTypeCommand(path: String,
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
+    // ALL-OR-NOTHING: pre-validate every spec against the current head
+    // before the first commit — a bad later spec must not leave earlier
+    // widens already committed (a partially-applied ALTER statement)
+    TableManifest.checkWidenColumnTypes(spark, path, retypes)
     val v = retypes.map { case (c, dt) =>
       TableManifest.widenColumnType(spark, path, c, dt)
     }.last

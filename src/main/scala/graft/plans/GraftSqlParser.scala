@@ -66,7 +66,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * path-addressed provider never sees, silently creating a FLAT table.
     * Plain graft CREATE TABLE (no PARTITIONED BY) keeps delegating. */
   private val CreatePartitionedProbe =
-    """(?is)\s*CREATE\s+TABLE\s.*`?graft-manifest`?.*\sPARTITIONED\s+BY\s*\(.*""".r
+    """(?is)\s*CREATE\s+TABLE\s.*\sUSING\s+`?graft-manifest`?\s.*PARTITIONED\s+BY\s*\(.*""".r
   private val History =
     ("""(?is)\s*DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val Detail =
@@ -522,6 +522,21 @@ case class GraftCreateTableCommand(table: GraftTableRef,
     case _ => false
   }
 
+  /** Whether the target dir holds ANY non-hidden data (recursing into
+    * `k=v` layouts) — the CREATE-semantics guard for path-addressed
+    * targets, which have no catalog entry to consult. */
+  private def dirHoldsData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def any(at: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(at) && fs.listStatus(at).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (s.isFile || any(s.getPath))
+      }
+    any(p)
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     def fail(why: String): Nothing =
       sys.error(s"graft-manifest CREATE TABLE … PARTITIONED BY: $why")
@@ -544,8 +559,21 @@ case class GraftCreateTableCommand(table: GraftTableRef,
 
     val (version, dataFields, partFields) = select match {
       case Some(q) =>
-        // partitioned CTAS: publishPartitioned owns the layout write and
-        // the partition-column-in-result check
+        // partitioned CTAS: CREATE semantics first — publishPartitioned
+        // is a last-writer-wins snapshot REPLACE, so a target dir that
+        // already holds data (tracked or plain) must be loud (or a no-op
+        // under IF NOT EXISTS), never silently overwritten; path-only
+        // targets have no catalog entry, so the check must be on the DIR
+        if (TableManifest.read(spark, path).nonEmpty ||
+            dirHoldsData(spark, path)) {
+          if (ifNotExists)
+            return Seq(Row(TableManifest.read(spark, path)
+              .map(_._1).getOrElse(0L)))
+          fail(s"$path already holds data — CREATE TABLE … AS never " +
+            "overwrites (INSERT OVERWRITE or publishPartitioned are the " +
+            "sanctioned replaces); use IF NOT EXISTS for an idempotent " +
+            "create")
+        }
         val df = spark.sql(q)
         partCols.foreach { c =>
           val f = df.schema.fields.find(_.name.equalsIgnoreCase(c))
@@ -584,7 +612,10 @@ case class GraftCreateTableCommand(table: GraftTableRef,
             // already tracked (CREATE over an existing table dir): the
             // declared chain must AGREE with the live layout — silently
             // re-declaring would make writers lay out batches the scan
-            // cannot serve
+            // cannot serve — and the declared COLUMN TYPES must agree
+            // with the manifest-served schema, or the catalog entry
+            // registered below would permanently disagree with what the
+            // scan serves
             val live = TableManifest.layoutPartitionCols(spark, path)
             if (live != partCols.map(_.toLowerCase)) {
               if (ifNotExists) head
@@ -592,7 +623,24 @@ case class GraftCreateTableCommand(table: GraftTableRef,
                 s"partition layout (${if (live.isEmpty) "flat"
                   else live.mkString("/")}) does not match PARTITIONED " +
                 s"BY (${partCols.mkString(", ")})")
-            } else head
+            } else {
+              TableManifest.readSchema(spark, path).foreach { served =>
+                val servedTypes = served.fields
+                  .map(f => f.name.toLowerCase -> f.dataType).toMap
+                val drift = data.flatMap(f =>
+                  servedTypes.get(f.name.toLowerCase)
+                    .filter(_ != f.dataType)
+                    .map(dt => s"`${f.name}` declared " +
+                      s"${f.dataType.simpleString} but the table serves " +
+                      dt.simpleString))
+                if (drift.nonEmpty) {
+                  if (!ifNotExists) fail(s"$path is already a tracked " +
+                    s"table and the column list disagrees with its " +
+                    s"schema: ${drift.mkString("; ")}")
+                }
+              }
+              head
+            }
           case None =>
             // an UNTRACKED dir holding plain data converts in place first
             // (the INSERT posture), then the same layout agreement check

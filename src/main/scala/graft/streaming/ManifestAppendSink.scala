@@ -109,60 +109,88 @@ object ManifestAppendSink {
     // in-flight protection and replay detection work unchanged.
     val partCols = TableManifest.layoutPartitionCols(spark, dir)
     val tag = UUID.randomUUID().toString
+    // A SCHEMA-LESS batch (no writer-declared schema) reads its scratch
+    // footers ALIGNED to the table's declared types: an up-cast-safe
+    // narrow column (an old producer still writing INT into a column
+    // widened to BIGINT — the exact flow ALTER COLUMN TYPE supports) is
+    // read and RE-WRITTEN wide; a genuinely new column keeps the
+    // append-widens posture; a NON-widenable type drift (long into a
+    // declared int, string into a long) is LOUD — silently committing it
+    // would retype the carried schema through the one path with no
+    // declared contract. Applies to BOTH layouts (a flat table must not
+    // keep the silent-merge hole the partitioned branch closed); the
+    // partition columns themselves are exempt — their values re-lay out
+    // into directory NAMES (an int 3 and a long 3 both land `bucket=3`).
+    // `alignedWidened` = some column needed the up-cast, so the batch
+    // must be rewritten (committing the narrow footer directly would
+    // make commitIf's schema merge fail on int-vs-long).
+    var alignedWidened = false
+    val alignedReadSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (schema.nonEmpty || parts.isEmpty) schema
+      else {
+        import org.apache.spark.sql.types.{StructField, StructType}
+        def norm(f: StructField) =
+          org.apache.spark.sql.graft.SchemaBridge
+            .asNullable(StructType(Array(f))).head.dataType
+        val footer = spark.read.option("mergeSchema", "true")
+          .parquet(parts.map(_.getPath.toString): _*).schema
+        val declTypes = TableManifest.readSchema(spark, dir)
+          .map(_.fields
+            .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
+            .map(f => f.name.toLowerCase -> norm(f)).toMap)
+          .getOrElse(Map.empty)
+        Some(StructType(footer.fields.map { f =>
+          declTypes.get(f.name.toLowerCase) match {
+            case Some(dt) if dt == norm(f) => f
+            case Some(dt) if TableManifest.losslesslyWidens(norm(f), dt) =>
+              alignedWidened = true
+              f.copy(dataType = dt)
+            case Some(dt) => sys.error(
+              s"streaming append into $dir: batch $batchId carries " +
+                s"`${f.name}` as ${norm(f).simpleString} but the table " +
+                s"declares ${dt.simpleString} — a schema-less sink never " +
+                "retypes a column; widen the table (ALTER TABLE … ALTER " +
+                "COLUMN … TYPE) or declare the batch schema")
+            case None => f // new column: the append-widens contract
+          }
+        }))
+      }
     val moved =
-      if (partCols.isEmpty || parts.isEmpty)
+      if (parts.isEmpty) Seq.empty[String]
+      else if (partCols.isEmpty && !alignedWidened)
         parts.zipWithIndex.map { case (s, i) =>
           val name = s"b$batchId-$tag-p$i.parquet"
           require(fs.rename(s.getPath, new Path(p, name)),
             s"move of ${s.getPath} to $name failed")
           name
         }
+      else if (partCols.isEmpty) {
+        // flat table, schema-less batch that needs the up-cast: rewrite
+        // the batch under the aligned (wide) schema before the move-in —
+        // one extra read+write of the BATCH, never of the table
+        val wide = spark.read.schema(alignedReadSchema.get)
+          .parquet(parts.map(_.getPath.toString): _*)
+        val tmp = new Path(p, s".inflight-b$batchId-align-$tag")
+        wide.write.parquet(tmp.toString)
+        val rewritten = fs.listStatus(tmp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .sortBy(_.getPath.getName)
+          .zipWithIndex.map { case (s, i) =>
+            val name = s"b$batchId-$tag-p$i.parquet"
+            require(fs.rename(s.getPath, new Path(p, name)),
+              s"move of ${s.getPath} to $name failed")
+            name
+          }
+        fs.delete(tmp, true)
+        rewritten
+      }
       else {
         partCols.foreach(c => require(
-          schema.forall(_.fieldNames.exists(_.equalsIgnoreCase(c))),
+          alignedReadSchema.forall(_.fieldNames.exists(_.equalsIgnoreCase(c))),
           s"streaming append into the partitioned table $dir must carry " +
             s"its partition column `$c`"))
-        val batch = schema match {
-          case Some(s0) => spark.read.schema(s0)
-            .parquet(parts.map(_.getPath.toString): _*)
-          case None =>
-            // no writer-declared schema: the scratch footers are still
-            // read merged (they are the only evidence of the batch's
-            // shape), but each column is CHECKED against the table's
-            // DECLARED types first — silently committing a merged
-            // type-drifting batch (an int epoch into a long column)
-            // would evolve the carried schema through the one path with
-            // no declared contract. Missing/extra columns keep the
-            // append-widens posture; TYPE drift is loud.
-            val footer = spark.read.option("mergeSchema", "true")
-              .parquet(parts.map(_.getPath.toString): _*)
-            TableManifest.readSchema(spark, dir).foreach { declared =>
-              // DATA columns only: a partition column's batch-side footer
-              // type is irrelevant — its value re-lays out into the
-              // directory NAME (an int 3 and a long 3 both land
-              // `bucket=3`), and the declared partition schema types it
-              // at read
-              val declTypes = declared.fields
-                .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name)))
-                .map(f => f.name.toLowerCase ->
-                  org.apache.spark.sql.graft.SchemaBridge.asNullable(
-                    org.apache.spark.sql.types.StructType(Array(f)))
-                    .head.dataType).toMap
-              org.apache.spark.sql.graft.SchemaBridge
-                .asNullable(footer.schema).fields.foreach { f =>
-                  declTypes.get(f.name.toLowerCase).foreach { dt =>
-                    require(dt == f.dataType,
-                      s"streaming append into $dir: batch $batchId " +
-                        s"carries `${f.name}` as ${f.dataType.simpleString}" +
-                        s" but the table declares ${dt.simpleString} — a " +
-                        "schema-less sink never retypes a column; widen " +
-                        "the table first (ALTER TABLE … ALTER COLUMN … " +
-                        "TYPE) or declare the batch schema")
-                  }
-                }
-            }
-            footer
-        }
+        val batch = spark.read.schema(alignedReadSchema.get)
+          .parquet(parts.map(_.getPath.toString): _*)
         // WRITE-PATH small-file policy (opt-in): each input task writes
         // one file per partition value it holds, so a micro-batch of T
         // tasks spanning P partitions lands up to T×P files per epoch —

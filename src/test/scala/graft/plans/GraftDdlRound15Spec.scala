@@ -201,4 +201,87 @@ class GraftDdlRound15Spec extends AnyFunSuite {
       assert(r.getLong(0) >= 1L)
     }
   }
+
+  test("CTAS keeps CREATE semantics: an existing target never silently snapshot-replaces") {
+    withActive {
+      import graft.ops.TableManifest
+      import spark.implicits._
+      val dir = tmp("ctas-guard")
+      TableManifest.publishPartitioned(
+        Seq((1L, 0L)).toDF("k", "b"), dir, Seq("b"))
+      val v1 = TableManifest.read(spark, dir).get._1
+      // plain CTAS over the populated dir: loud, nothing committed
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE ${freshName("cg1")} USING `graft-manifest` " +
+          s"PARTITIONED BY (b) OPTIONS (path '$dir') " +
+          "AS SELECT 9 AS k, 1 AS b"))
+      assert(e.getMessage.contains("never overwrites"), e.getMessage)
+      assert(TableManifest.read(spark, dir).get._1 == v1, "no commit")
+      // IF NOT EXISTS: idempotent no-op, even path-addressed (the
+      // deployment-script re-run shape) — contents untouched
+      val v = spark.sql(
+        s"CREATE TABLE IF NOT EXISTS ${freshName("cg2")} " +
+          s"USING `graft-manifest` PARTITIONED BY (b) " +
+          s"OPTIONS (path '$dir') AS SELECT 9 AS k, 1 AS b")
+        .head().getLong(0)
+      assert(v == v1 && TableManifest.readTable(spark, dir).count() == 1L)
+    }
+  }
+
+  test("the CREATE probe never hijacks non-graft statements mentioning graft-manifest in a value") {
+    withActive {
+      val dir = tmp("probe")
+      // "graft-manifest" appears only inside the path STRING; the USING
+      // clause names parquet — stock Spark must own this statement
+      val tbl = freshName("probe")
+      spark.sql(s"CREATE TABLE $tbl (a INT, b INT) USING parquet " +
+        s"PARTITIONED BY (b) LOCATION '$dir/graft-manifest-mirror'")
+      spark.sql(s"INSERT INTO $tbl VALUES (1, 2)")
+      assert(spark.table(tbl).count() == 1L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("CREATE with a column list over a tracked dir validates declared types against the served schema") {
+    withActive {
+      import graft.ops.TableManifest
+      import spark.implicits._
+      val dir = tmp("type-agree")
+      TableManifest.publishPartitioned(
+        Seq((1L, "a", 0L)).toDF("k", "s", "b"), dir, Seq("b"))
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE ${freshName("ta1")} (k STRING, s STRING, b BIGINT) " +
+          s"USING `graft-manifest` PARTITIONED BY (b) OPTIONS (path '$dir')"))
+      assert(e.getMessage.contains("disagrees with its schema"),
+        e.getMessage)
+      // agreeing declaration registers fine
+      spark.sql(s"CREATE TABLE ${freshName("ta2")} " +
+        s"(k BIGINT, s STRING, b BIGINT) USING `graft-manifest` " +
+        s"PARTITIONED BY (b) OPTIONS (path '$dir')")
+    }
+  }
+
+  test("multi-column ALTER COLUMN TYPE is all-or-nothing: a bad later spec commits nothing") {
+    withActive {
+      import graft.ops.TableManifest
+      import spark.implicits._
+      val dir = tmp("multi-widen")
+      val tbl = freshName("mw")
+      Seq((1, 2L, "x")).toDF("a", "b", "s").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      TableManifest.init(spark, dir)
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      val v0 = TableManifest.read(spark, dir).get._1
+      // a INT -> BIGINT is fine, b BIGINT -> INT is narrowing: the whole
+      // statement must fail BEFORE the first commit
+      val e = intercept[Exception](spark.sql(
+        s"ALTER TABLE $tbl ALTER COLUMN a TYPE BIGINT, b TYPE INT"))
+      assert(e.getMessage.contains("not a supported widening"), e.getMessage)
+      assert(TableManifest.read(spark, dir).get._1 == v0,
+        "no partial widen may commit")
+      assert(TableManifest.readSchema(spark, dir).get("a").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
 }

@@ -56,13 +56,13 @@ class AppendPolicyRound15Spec extends SparkSpec {
 
   test("a schema-less sink refuses a type-drifting batch instead of silently merging") {
     val dir = newPartitioned("drift")
-    // scratch holding INT k where the table declares BIGINT — the shape
-    // the old mergeSchema branch would have silently committed as a
-    // merged (widened) carried schema
+    // scratch holding DOUBLE k where the table declares BIGINT — a
+    // NON-widenable drift (lossy both ways) the old mergeSchema branch
+    // would have silently committed as a merged carried schema
     val scratch = new org.apache.hadoop.fs.Path(dir, ".inflight-b7-test")
-    Seq((1, "x", 3L)).toDF("k", "s", "bucket").coalesce(1)
+    Seq((1.5d, "x", 3L)).toDF("k", "s", "bucket").coalesce(1)
       .write.parquet(scratch.toString)
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[RuntimeException](
       ManifestAppendSink.commitScratch(spark, dir, scratch, 7L,
         schema = None, statsCols = Seq.empty))
     assert(e.getMessage.contains("never retypes a column"),
@@ -76,5 +76,36 @@ class AppendPolicyRound15Spec extends SparkSpec {
     val served = TableManifest.readTable(spark, dir)
     assert(served.columns.contains("extra"))
     assert(served.filter(col("k") === 99L).count() == 1L)
+  }
+
+  test("a schema-less NARROW batch into a widened column up-casts instead of failing (flat and partitioned)") {
+    // the old-producer flow ALTER COLUMN TYPE exists for: the table
+    // declares s BIGINT, a schema-less batch still writes INT — the sink
+    // must admit it (reading and RE-WRITING it wide), not wedge the
+    // epoch on an exact-type check, and never silently merge types
+    val flat = java.nio.file.Files
+      .createTempDirectory("gm-pol-widen-flat").toString
+    TableManifest.publish(
+      Seq((1L, 10L)).toDF("k", "c").coalesce(1), flat) // k, c BIGINT
+    val s1 = new org.apache.hadoop.fs.Path(flat, ".inflight-b1-test")
+    Seq((2, 20)).toDF("k", "c").coalesce(1).write.parquet(s1.toString) // INT
+    ManifestAppendSink.commitScratch(spark, flat, s1, 1L,
+      schema = None, statsCols = Seq.empty)
+    val got = TableManifest.readTable(spark, flat)
+    assert(got.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, "carried schema stays BIGINT")
+    assert(got.select(org.apache.spark.sql.functions.sum("c"))
+      .head().getLong(0) == 30L, "narrow rows up-cast and land")
+    // partitioned twin
+    val part = newPartitioned("widen")
+    val s2 = new org.apache.hadoop.fs.Path(part, ".inflight-b9-test")
+    Seq((123, "n", 2L)).toDF("k", "s", "bucket").coalesce(1)
+      .write.parquet(s2.toString) // k INT vs declared BIGINT
+    ManifestAppendSink.commitScratch(spark, part, s2, 9L,
+      schema = None, statsCols = Seq.empty)
+    assert(TableManifest.readTable(spark, part)
+      .filter(col("k") === 123L).count() == 1L)
+    assert(TableManifest.readSchema(spark, part).get("k").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 }
