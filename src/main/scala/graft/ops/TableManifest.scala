@@ -2860,9 +2860,12 @@ object TableManifest {
     require(newCols.nonEmpty, "addColumns: no columns to add")
     var attempts = 0
     while (attempts < 64) {
-      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+      // ONE head resolution per attempt: files, schema, and hwm must
+      // come from the same version
+      val (v, snap) = headSnap(spark, dir).getOrElse(
         sys.error(s"addColumns: $dir is not manifest-tracked"))
-      val base = readSchema(spark, dir)
+      val (files, hwm) = (snap.files, snap.hwm)
+      val base = snap.schema
         .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
         .getOrElse(sys.error(
           s"addColumns: $dir carries no schema and none can be inferred; " +
@@ -2905,13 +2908,15 @@ object TableManifest {
     require(cols.nonEmpty, "dropColumns: no columns to drop")
     var attempts = 0
     while (attempts < 64) {
-      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+      // ONE head resolution per attempt (the addColumns posture)
+      val (v, snap) = headSnap(spark, dir).getOrElse(
         sys.error(s"dropColumns: $dir is not manifest-tracked"))
-      val base = readSchema(spark, dir)
+      val (files, hwm) = (snap.files, snap.hwm)
+      val base = snap.schema
         .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
         .getOrElse(sys.error(
           s"dropColumns: $dir carries no schema and none can be inferred"))
-      val partNames = readPartitionSchema(spark, dir)
+      val partNames = snap.partSchema
         .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
         partitionColsIn(files)
       cols.foreach { c =>
