@@ -155,14 +155,77 @@ object ManifestPlanningMicroBench {
           Seq(f"sql-bench000-a$i%05d.parquet"), tblSchema)
         (System.nanoTime() - t0) / 1e9
       }
-      val cold = appendOne(0) // v3: cold resolution + delta write
-      val warm = (1 to 6).map(appendOne) // v4..v9: pure delta commits
-      val checkpoint = appendOne(7) // v10: chain length 8 → full render
+      val cold = appendOne(0) // first: cold resolution + delta write
+      // drive deltas until the ADAPTIVE cadence writes its checkpoint
+      // (every max(8, files/16384) commits, capped at 64), then report
+      // the honest amortized per-commit cost over one full cycle
+      def headIsCheckpoint(): Boolean = {
+        val mdir = new java.io.File(dir, "_manifest")
+        val head = mdir.listFiles().filter(_.getName.matches("v\\d+\\.json"))
+          .maxBy(_.getName)
+        val bytes = Files.readAllBytes(head.toPath)
+        !new String(bytes, 0, math.min(bytes.length, 200),
+          StandardCharsets.UTF_8).contains("\"delta\":1")
+      }
+      val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var checkpoint = -1.0
+      var i = 1
+      while (checkpoint < 0 && i <= 80) {
+        val t = appendOne(i)
+        if (headIsCheckpoint()) checkpoint = t else deltas += t
+        i += 1
+      }
+      val amortized = (deltas.sum + math.max(0.0, checkpoint)) /
+        (deltas.size + 1)
       println(f"  commit f=$files: cold ${cold}%.3fs, delta median " +
-        f"${warm.sorted.apply(warm.size / 2)}%.3fs " +
-        f"(${warm.map(w => f"$w%.3f").mkString(", ")}), " +
-        f"checkpoint ${checkpoint}%.3fs")
+        f"${deltas.sorted.apply(deltas.size / 2)}%.3fs over ${deltas.size} " +
+        f"deltas, checkpoint ${checkpoint}%.3fs, amortized " +
+        f"${amortized}%.3fs/commit")
 
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // ---- HEAD-READ cost vs ACCUMULATED VERSION COUNT (round 16): a
+    // 1 Hz streaming table retains 86k manifest files per un-vacuumed
+    // day, and pre-hint every head read paid one listStatus over ALL of
+    // them. With the advisory `_manifest/_head` hint the read is ~3 flat
+    // metadata RPCs (hint + head probe + first-miss probe). Fabricate
+    // version histories at 1k/10k retained versions (small checkpoint
+    // bodies — the LISTING is what's being measured) and time the head
+    // read with the hint present vs removed (the full-listing fallback).
+    // The hint path should be FLAT in version count; the fallback grows.
+    for (versions <- Seq(1000, 10000)) {
+      val dir = Files.createTempDirectory(s"gm-head-$versions").toString
+      spark.range(10).select(col("id"), (col("id") % 7).as("k"))
+        .repartition(1).write.mode("overwrite").parquet(dir)
+      graft.ops.TableManifest.init(spark, dir)
+      val mdir = Paths.get(dir, "_manifest")
+      val v1 = new String(Files.readAllBytes(
+        mdir.toFile.listFiles().filter(_.getName.endsWith(".json"))
+          .head.toPath), StandardCharsets.UTF_8)
+      // each fabricated version re-lists v1's exact body under its own
+      // version number — valid standalone checkpoints, so resolution
+      // never replays; only the freshness check's cost varies
+      (2 to versions).foreach { v =>
+        Files.write(mdir.resolve(f"v$v%020d.json"),
+          v1.replaceFirst("\"version\":1", s""""version":$v""")
+            .getBytes(StandardCharsets.UTF_8))
+      }
+      Files.write(mdir.resolve("_head"),
+        s"""{"v":$versions}""".getBytes(StandardCharsets.UTF_8))
+      val hinted = timeIt(f"head-read hinted   n=$versions", reps = 9) {
+        graft.ops.TableManifest.readHead(spark, dir)
+      }
+      Files.delete(mdir.resolve("_head"))
+      val listed = timeIt(f"head-read listing  n=$versions", reps = 9) {
+        graft.ops.TableManifest.readHead(spark, dir)
+      }
+      println(f"  -> n=$versions: hinted ${hinted * 1000}%.2f ms, " +
+        f"listing-fallback ${listed * 1000}%.2f ms " +
+        f"(ratio ${listed / math.max(hinted, 1e-9)}%.1f)")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -187,9 +187,15 @@ object Compaction {
       // but on a TRACKED table the rewrite is projected to the DECLARED
       // schema, so a dropColumns'd column in old footers is physically
       // purged by compaction instead of re-entering the carried schema
+      // renamed tables: fold old physical columns into the logical names
+      // BEFORE the declared projection, so compaction rewrites carriers
+      // to the logical schema (shrinking the rename's carrier set)
       val rewritten = TableManifest.projectToDeclared(
-        spark.read.option("mergeSchema", "true")
-          .parquet(small.map(_.getPath.toString): _*),
+        TableManifest.coalesceRenamed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(small.map(_.getPath.toString): _*),
+          if (tracked.isDefined) TableManifest.readRenames(spark, dir)
+          else Seq.empty),
         if (tracked.isDefined) TableManifest.readSchema(spark, dir) else None,
         Seq.empty)
       rewritten.coalesce(targetFiles)
@@ -282,9 +288,12 @@ object Compaction {
         math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
       val tmp = new Path(p, s"_compaction_tmp-${UUID.randomUUID()}")
       // projected to the declared schema (the compactInPlace rationale)
+      // same rename folding as compactInPlace
       val rewritten = TableManifest.projectToDeclared(
-        spark.read.option("mergeSchema", "true")
-          .parquet(small.map(n => s"$dir/$n"): _*),
+        TableManifest.coalesceRenamed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(small.map(n => s"$dir/$n"): _*),
+          TableManifest.readRenames(spark, dir)),
         TableManifest.readSchema(spark, dir), Seq.empty)
       rewritten.coalesce(targetFiles)
         .write.mode("overwrite").parquet(tmp.toString)

@@ -267,6 +267,63 @@ object TableManifest {
     * field is the fallback when no name is left to infer from, and the
     * writers' source of the partition column CHAIN. Absent on flat
     * tables and manifests written before the field. */
+  /** One COLUMN-MAPPING entry of a renamed column (`ALTER TABLE …
+    * RENAME COLUMN`): logical column `to` is physically stored as
+    * `from` in exactly the data files named in `carriers` — the files
+    * that were live when the rename committed and have not been
+    * rewritten since. Renames are METADATA-ONLY: no data file is
+    * touched; reads group the file list by which physical name each
+    * file carries (carrier sets of successive renames are NESTED — a
+    * file predating an earlier rename predates every later one — so the
+    * groups are linear, one per rename boundary) and alias each group's
+    * physical columns back to the logical names. Entries shrink as
+    * carrier files are removed/rewritten (copy-on-write emits the
+    * logical name) and DROP once no live file carries the old name —
+    * the table self-heals to single-scan plans via compaction/OPTIMIZE.
+    * Chained renames update older entries' `to` in place, so an entry
+    * always maps physical `from` → the CURRENT logical name. Entries
+    * are stored oldest-first; a file's group is the FIRST entry whose
+    * carriers contain it. */
+  private[graft] final case class Rename(to: String, from: String,
+      carriers: Set[String])
+
+  /** The column-mapping field: base64 of a compact JSON array (like the
+    * schemas — one regex parse, zero interaction with the body's other
+    * regex-parsed sections, and the no-escaping invariant holds
+    * trivially). Carried by CHECKPOINT bodies only; delta records
+    * INHERIT the previous state's entries minus their removed files
+    * (carriers are O(files-at-rename) — restating them per record would
+    * break the O(delta) commit hot path), which is why any commit that
+    * CHANGES the mapping forces a checkpoint. */
+  private val ColmapB64Re = """"colmapb64":"([A-Za-z0-9+/=]*)"""".r
+  private val ColmapEntryRe =
+    """\{"to":"([^"]*)","from":"([^"]*)","carriers":\[([^\]]*)\]\}""".r
+
+  private def encodeColmap(renames: Seq[Rename]): String = {
+    renames.foreach { r =>
+      require(r.to.matches("[A-Za-z_]\\w*") && r.from.matches("[A-Za-z_]\\w*"),
+        s"rename entry ${r.from} -> ${r.to}: plain identifiers only " +
+          "(no-escaping invariant)")
+      requireJsonSafeNames(r.carriers.toSeq)
+    }
+    val json = renames.map { r =>
+      s"""{"to":"${r.to}","from":"${r.from}","carriers":[""" +
+        r.carriers.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
+    }.mkString("[", ",", "]")
+    Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def parseColmap(json: String): Seq[Rename] =
+    ColmapB64Re.findFirstMatchIn(json).map { m =>
+      val decoded = new String(Base64.getDecoder.decode(m.group(1)),
+        StandardCharsets.UTF_8)
+      ColmapEntryRe.findAllMatchIn(decoded).map { em =>
+        Rename(em.group(1), em.group(2),
+          "\"([^\"]*)\"".r.findAllMatchIn(em.group(3))
+            .map(_.group(1)).toSet)
+      }.toSeq
+    }.getOrElse(Seq.empty)
+
   private val PartSchemaB64Re = """"partschemab64":"([A-Za-z0-9+/=]*)"""".r
   private def parsePartSchema(json: String): Option[StructType] =
     PartSchemaB64Re.findFirstMatchIn(json).flatMap { m =>
@@ -370,19 +427,19 @@ object TableManifest {
     * one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
       : Option[(Long, Seq[String], Option[StructType],
-          Map[String, (Long, Long)], Option[StructType])] =
+          Map[String, (Long, Long)], Option[StructType], Seq[Rename])] =
     headSnap(spark, dir).map { case (v, s) =>
-      (v, s.files, s.schema, s.fstat, s.partSchema)
+      (v, s.files, s.schema, s.fstat, s.partSchema, s.renames)
     }
 
-  /** (files, schema, filestat, partition schema) of one SPECIFIC version
-    * — [[readAt]]'s snapshot twin for time travel: the schema AS OF that
-    * version, not the head's. */
+  /** (files, schema, filestat, partition schema, column mapping) of one
+    * SPECIFIC version — [[readAt]]'s snapshot twin for time travel: the
+    * schema AS OF that version, not the head's. */
   def readAtFull(spark: SparkSession, dir: String, version: Long)
       : Option[(Seq[String], Option[StructType],
-          Map[String, (Long, Long)], Option[StructType])] =
+          Map[String, (Long, Long)], Option[StructType], Seq[Rename])] =
     snapAt(spark, dir, version).map(s =>
-      (s.files, s.schema, s.fstat, s.partSchema))
+      (s.files, s.schema, s.fstat, s.partSchema, s.renames))
 
   /** The fully-RESOLVED state of one committed version: a checkpoint
     * body's fields verbatim, or a delta chain's replay. `base` is the
@@ -400,7 +457,8 @@ object TableManifest {
       fstat: Map[String, (Long, Long)],
       hwm: Option[Long],
       ctime: Option[Long],
-      base: Long)
+      base: Long,
+      renames: Seq[Rename] = Seq.empty)
 
   /** One parsed DELTA record: names added/removed vs the previous
     * version's resolved state, stat/inventory OVERLAYS for (at least) the
@@ -432,7 +490,7 @@ object TableManifest {
       case None => Right(Snap(parseFiles(body).toVector, parseSchema(body),
         parsePartSchema(body), parseStats(body), parseStringStats(body),
         parseBloom(body), parseFileStat(body), parseHwm(body),
-        parseCtime(body), base = v))
+        parseCtime(body), base = v, renames = parseColmap(body)))
     }
 
   /** Apply one delta record to the previous version's resolved state —
@@ -457,10 +515,13 @@ object TableManifest {
           val merged = m.getOrElse(f, Map.empty[String, A]) ++ cols
           if (merged.isEmpty) m else m.updated(f, merged)
         }
+      // column-mapping entries INHERIT through delta records (a record
+      // never restates them — see ColmapB64Re); with nothing removed the
+      // carrier sets are untouched (adds are post-rename files)
       Snap(s.files ++ d.adds, d.schema, d.partSchema,
         overlay(s.stats, d.stats), overlay(s.sstats, d.sstats),
         overlay(s.bloom, d.bloom), s.fstat ++ d.fstat,
-        d.hwm, d.ctime, d.base)
+        d.hwm, d.ctime, d.base, renames = s.renames)
     } else {
       val removed = d.removes.toSet
       val files = s.files.filterNot(removed) ++ d.adds
@@ -473,11 +534,16 @@ object TableManifest {
             over.getOrElse(f, Map.empty[String, A])))
           .filter(_._2.nonEmpty)
           .toMap
+      // removed carrier files leave their mapping entries; an entry no
+      // live file carries is DROPPED (the rename has fully aged out)
+      val renames = s.renames
+        .map(r => r.copy(carriers = r.carriers.filter(fset)))
+        .filter(_.carriers.nonEmpty)
       Snap(files, d.schema, d.partSchema,
         merge(s.stats, d.stats), merge(s.sstats, d.sstats),
         merge(s.bloom, d.bloom),
         (s.fstat ++ d.fstat).filter(kv => fset(kv._1)),
-        d.hwm, d.ctime, d.base)
+        d.hwm, d.ctime, d.base, renames = renames)
     }
   }
 
@@ -515,7 +581,20 @@ object TableManifest {
         8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long, Long), Snap])
-        : Boolean = size() > 4
+        : Boolean = size() > cacheEntriesBound
+    })
+
+  /** Resolved HISTORICAL versions (time travel, DESCRIBE HISTORY,
+    * vacuum re-anchors) — separate from [[snapCache]] so a history sweep
+    * over a large table cannot evict the hot HEAD snapshots of
+    * actively-planned tables. Same identity keying; bounded like
+    * [[snapCache]]. */
+  private val histCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snap](
+        8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), Snap])
+        : Boolean = size() > cacheEntriesBound
     })
 
   /** Newest resolved version per table dir — the INCREMENTAL-replay
@@ -531,7 +610,7 @@ object TableManifest {
         8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, (Long, Long, Long, Snap)])
-        : Boolean = size() > 4
+        : Boolean = size() > cacheEntriesBound
     })
 
   /** Record a freshly-resolved (or commit-computed) snapshot in both
@@ -568,6 +647,15 @@ object TableManifest {
     val key = (dir, v, st.getLen, st.getModificationTime)
     val hit = snapCache.get(key)
     if (hit != null) return hit
+    // HISTORICAL versions (time travel, DESCRIBE HISTORY sweeps, vacuum
+    // re-anchors) resolve through their own small cache so a history
+    // sweep over a large table can never evict the ~100 MB hot HEAD
+    // snapshots of actively-planned tables out of [[snapCache]]
+    val isHead = listing.isEmpty || v >= listing.keys.max
+    if (!isHead) {
+      val histHit = histCache.get(key)
+      if (histHit != null) return histHit
+    }
     val snap = parseBody(v, readBody(fs, st.getPath)) match {
       case Right(full) => full
       case Left(d) =>
@@ -600,21 +688,112 @@ object TableManifest {
         }
         applyDelta(s, d)
     }
-    cacheSnap(dir, v, st, snap)
+    if (isHead) cacheSnap(dir, v, st, snap)
+    else histCache.put(key, snap)
     snap
   }
 
-  /** The head's (version, resolved snapshot), or None for untracked dirs.
-    * Freshness = one `_manifest/` listing per call; the parse/replay is
-    * cache-amortized. */
+  /** The advisory head-hint file (`_manifest/_head`): the last committed
+    * version, written BEST-EFFORT after every successful commit. Purely
+    * an RPC optimization — the CAS linearization point stays the
+    * exclusive create of the versioned manifest file, and correctness
+    * never depends on the hint: a stale hint costs forward probes, a
+    * missing/garbled/too-stale one falls back to the full `_manifest/`
+    * listing. What it buys at scale: a head read against a
+    * long-retained table (a 1 Hz streaming table accumulates 86k
+    * manifest files per un-vacuumed day) costs a FLAT ~3 metadata RPCs
+    * (hint read + head probe + first-miss probe) instead of one
+    * O(#retained versions) directory listing per read. */
+  private val HeadHintName = "_head"
+
+  /** How far past a stale hint the head probe walks before giving up on
+    * the hint and paying the one full listing (beyond this the listing
+    * is the cheaper recovery, and it re-finds the head exactly). */
+  private val HeadProbeLimit = 32
+
+  private def readHeadHint(fs: FileSystem, mdir: Path): Option[Long] =
+    scala.util.Try {
+      val body = readBody(fs, new Path(mdir, HeadHintName))
+      """"v":(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    }.toOption.flatten
+
+  /** Overwrite the hint with `v` — best-effort (tmp + rename; any
+    * failure is swallowed: the hint is advisory). Concurrent committers
+    * may interleave; a torn or out-of-date result only costs the next
+    * reader probes. */
+  private def writeHeadHint(fs: FileSystem, table: Path, v: Long): Unit = {
+    scala.util.Try {
+      val mdir = new Path(table, ManifestDir)
+      val tmp = new Path(mdir, s".head-tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(s"""{"v":$v}""".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new Path(mdir, HeadHintName)
+      if (!fs.rename(tmp, target)) {
+        // HDFS-style rename refuses an existing destination: replace
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      }
+    }
+    ()
+  }
+
+  /** Hint-guided head resolution: read the hint, probe FORWARD from it
+    * (versions are dense — the first missing version ends the probe, so
+    * a hint stale by k commits costs k+1 probes), and resolve through
+    * the normal chain machinery with the probed statuses standing in
+    * for the listing (chain links the probe didn't touch fall back to
+    * per-version getFileStatus inside [[resolveSnap]] — bounded by the
+    * checkpoint interval, and normally skipped entirely because the
+    * [[latestByDir]] anchor short-circuits replay to the just-probed
+    * records). None = hint absent, its version gone (wiped table), or
+    * too stale to chase — the caller pays the full listing. */
+  private def headViaHint(fs: FileSystem, table: Path, dir: String)
+      : Option[(Long, Snap)] = {
+    val mdir = new Path(table, ManifestDir)
+    val hint = readHeadHint(fs, mdir).getOrElse(return None)
+    var v = hint
+    var st = scala.util.Try(fs.getFileStatus(manifestPath(table, v)))
+      .getOrElse(return None)
+    val partial = scala.collection.mutable.Map[
+      Long, org.apache.hadoop.fs.FileStatus](v -> st)
+    var advance = 0
+    var growing = true
+    while (growing && advance < HeadProbeLimit) {
+      scala.util.Try(fs.getFileStatus(manifestPath(table, v + 1)))
+        .toOption match {
+        case Some(s2) =>
+          v += 1; st = s2; partial(v) = s2; advance += 1
+        case None => growing = false
+      }
+    }
+    if (growing) return None // hint too stale: one listing is cheaper
+    // the replay anchor's identity check consults the listing map — make
+    // sure the cached anchor's own status is in it, or a perfectly good
+    // anchor would be rejected and the read would re-parse the base
+    // checkpoint (O(files)) every time
+    Option(latestByDir.get(dir)).foreach { case (w, _, _, _) =>
+      if (w < v && !partial.contains(w))
+        scala.util.Try(fs.getFileStatus(manifestPath(table, w)))
+          .foreach(s => partial(w) = s)
+    }
+    Some((v, resolveSnap(fs, table, dir, v, partial.toMap)))
+  }
+
+  /** The head's (version, resolved snapshot), or None for untracked
+    * dirs. Freshness = the hint-guided probe (~3 flat RPCs) when the
+    * advisory `_head` hint is usable, else one `_manifest/` listing;
+    * the parse/replay is cache-amortized either way. */
   private def headSnap(spark: SparkSession, dir: String)
       : Option[(Long, Snap)] = {
     val (fs, p) = fsFor(spark, dir)
-    val listing = manifestListing(fs, p)
-    if (listing.isEmpty) None
-    else {
-      val v = listing.keys.max
-      Some((v, resolveSnap(fs, p, dir, v, listing)))
+    headViaHint(fs, p, dir).orElse {
+      val listing = manifestListing(fs, p)
+      if (listing.isEmpty) None
+      else {
+        val v = listing.keys.max
+        Some((v, resolveSnap(fs, p, dir, v, listing)))
+      }
     }
   }
 
@@ -638,6 +817,44 @@ object TableManifest {
   private def checkpointInterval(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.manifest.checkpointInterval")
       .flatMap(_.trim.toIntOption).map(math.max(1, _)).getOrElse(8)
+
+  /** ADAPTIVE checkpoint cadence: the configured interval is the FLOOR,
+    * and the effective interval grows with the table's file count —
+    * one extra delta record per `checkpointFilesPerDelta` (default
+    * 16384) files, capped at 64 — because the checkpoint's O(files)
+    * render is the one commit cost that still scales with table size
+    * (measured 7.5 s @ 1M files vs the 28 ms delta record). At the
+    * default floor of 8 a small table keeps its exact round-15 cadence
+    * (files/16384 = 0), while a 1M-file table re-anchors every ~61
+    * commits — amortized ~0.12 s/commit instead of ~0.94 s — at the
+    * price of a cold replay chain of ≤ 64 SMALL records past the
+    * checkpoint (cache-amortized after the first read). An explicit
+    * interval of 1 (legacy every-commit-checkpoint mode) disables the
+    * scaling entirely. */
+  private def effectiveCheckpointInterval(spark: SparkSession,
+      headFileCount: Int): Int = {
+    val floor = checkpointInterval(spark)
+    if (floor <= 1) floor
+    else {
+      val filesPerDelta = spark.conf
+        .getOption("spark.graft.manifest.checkpointFilesPerDelta")
+        .flatMap(_.trim.toIntOption).map(math.max(1, _)).getOrElse(16384)
+      math.min(64, math.max(floor, headFileCount / filesPerDelta))
+    }
+  }
+
+  /** Snapshot-cache entry budget (`spark.graft.manifest.cacheEntries`,
+    * default 4): how many resolved HEAD snapshots the driver keeps hot.
+    * An entry for a 1M-file table is ~100 MB of parsed names+inventory,
+    * so the default stays deliberately small; a driver round-robin
+    * planning more than 4 hot LARGE tables raises it (at that memory
+    * price) instead of thrashing back to full checkpoint re-parses.
+    * Read from the active session at eviction time — the caches are
+    * process-wide, so the bound follows whichever session is driving. */
+  private def cacheEntriesBound: Int =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .flatMap(_.conf.getOption("spark.graft.manifest.cacheEntries"))
+      .flatMap(_.trim.toIntOption).map(math.max(1, _)).getOrElse(4)
 
   private def safeStatName(c: String): Boolean =
     c.nonEmpty && SafeStatValue.matches(c)
@@ -703,15 +920,19 @@ object TableManifest {
   }
 
   private def metaSections(hwm: Option[Long], ctimeMillis: Option[Long],
-      schemaB64: Option[String], partSchemaB64: Option[String]): String = {
+      schemaB64: Option[String], partSchemaB64: Option[String],
+      colmapB64: Option[String] = None): String = {
     schemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
       "manifest schema must be base64 (no-escaping invariant)"))
     partSchemaB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
       "manifest partition schema must be base64 (no-escaping invariant)"))
+    colmapB64.foreach(s => require(s.matches("[A-Za-z0-9+/=]*"),
+      "manifest column mapping must be base64 (no-escaping invariant)"))
     hwm.map(h => s""""hwm":$h,""").getOrElse("") +
       ctimeMillis.map(t => s""""ctime":$t,""").getOrElse("") +
       schemaB64.map(s => s""""schemab64":"$s",""").getOrElse("") +
-      partSchemaB64.map(s => s""""partschemab64":"$s",""").getOrElse("")
+      partSchemaB64.map(s => s""""partschemab64":"$s",""").getOrElse("") +
+      colmapB64.map(s => s""""colmapb64":"$s",""").getOrElse("")
   }
 
   /** Render a CHECKPOINT (full-snapshot) body. Stat maps must be
@@ -727,9 +948,11 @@ object TableManifest {
       schemaB64: Option[String],
       fstat: Map[String, (Long, Long)] = Map.empty,
       ctimeMillis: Option[Long] = None,
-      partSchemaB64: Option[String] = None): String = {
+      partSchemaB64: Option[String] = None,
+      colmapB64: Option[String] = None): String = {
     requireJsonSafeNames(files)
-    val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64)
+    val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64,
+      colmapB64)
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
     s"""{"version":$version,"token":"$token",$meta"files":$filesJson""" +
@@ -805,7 +1028,9 @@ object TableManifest {
       replaceSchema: Boolean = false,
       fstat: Map[String, (Long, Long)] = Map.empty,
       partSchema: Option[StructType] = None,
-      replacePartSchema: Boolean = false): Option[Long] = {
+      replacePartSchema: Boolean = false,
+      colmap: Option[Seq[Rename]] = None,
+      replaceColmap: Boolean = false): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -873,7 +1098,6 @@ object TableManifest {
           f -> (s.getLen, s.getModificationTime)
         }.toOption
       }
-    val overlayFstat = callerFstat ++ statted
     // the declared partition schema survives commits that didn't restate
     // it (the hwm posture): a drop/erase/compaction must not strip the
     // table of its partition columns. Only init/publishPartitioned set
@@ -890,6 +1114,33 @@ object TableManifest {
     // on cache state
     val outSchemaStored = outSchema.map(SchemaBridge.asNullable)
     val outPartSchema = outPartSchema0.map(SchemaBridge.asNullable)
+    // the column mapping survives commits that didn't restate it (the
+    // partition-declaration posture), with carriers filtered to the
+    // still-listed files — entries no live file carries drop (the rename
+    // has fully aged out of the data). Only renameColumn/restore restate
+    // it (replaceColmap).
+    val outRenames = (if (replaceColmap) colmap.getOrElse(Seq.empty)
+      else headS.map(_.renames).getOrElse(Seq.empty))
+      .map(r => r.copy(carriers = r.carriers.filter(fileSet)))
+      .filter(_.carriers.nonEmpty)
+    // a NEW column whose name collides with a live entry's physical
+    // `from` would make old carrier files serve the OLD column's bytes
+    // under the new column's name — rejected here, at the one choke
+    // point every schema-widening path (declared or footer-merged)
+    // funnels through
+    if (outRenames.nonEmpty) outSchemaStored.foreach { s =>
+      val headNames = headSchema.map(_.fieldNames.map(_.toLowerCase).toSet)
+        .getOrElse(Set.empty)
+      val fresh = s.fieldNames.filterNot(n => headNames(n.toLowerCase))
+      val collide = fresh.filter(n =>
+        outRenames.exists(_.from.equalsIgnoreCase(n)))
+      require(collide.isEmpty,
+        s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
+          "name is still physically carried by files written before a " +
+          "RENAME COLUMN (old footers would serve the renamed column's " +
+          "bytes under it); OPTIMIZE the table to rewrite the carriers " +
+          "first")
+    }
     val v = expectedHead + 1
     val ctime = System.currentTimeMillis()
     val token = UUID.randomUUID().toString
@@ -910,8 +1161,12 @@ object TableManifest {
     // checkpoint for the same reason. The first commit of a table is
     // always a checkpoint. The CAS linearization point is IDENTICAL
     // either way: winning the exclusive create of v<N>.json.
-    val interval = checkpointInterval(spark)
-    val writeDelta = headS.isDefined && interval > 1 &&
+    val interval = effectiveCheckpointInterval(spark,
+      headS.map(_.files.size).getOrElse(0))
+    // a colmap-RESTATING commit always checkpoints: delta records cannot
+    // carry the mapping (carriers are O(files-at-rename)), they inherit
+    // it — so the record that CHANGES it must re-anchor the chain
+    val writeDelta = headS.isDefined && interval > 1 && !replaceColmap &&
       (v - headS.get.base) < interval &&
       removed.size * 2 <= math.max(1, headFiles.size) &&
       (added.size + freshStats.size + freshSStats.size +
@@ -924,12 +1179,21 @@ object TableManifest {
         // cache state (nondeterministic split assignment across JVMs)
         val addedS = added.sorted
         val removedS = removed.sorted
+        // the record's inventory overlay is filtered to the ADDED files:
+        // replay already carries the head's entries for every unchanged
+        // file (files are immutable, so those entries can never go
+        // stale), and an analyzeSchema/restore-shaped caller restating
+        // fstat for the WHOLE table would otherwise write an O(files)
+        // overlay into a delta record that every cold replay re-pays
+        // until the next checkpoint
+        val addedSet = added.toSet
+        val deltaFstat = callerFstat.filter(kv => addedSet(kv._1)) ++ statted
         val rec = DeltaRec(headS.get.base, addedS, removedS,
           outSchemaStored, outPartSchema, freshStats, freshSStats, freshBloom,
-          overlayFstat, hwm, Some(ctime))
+          deltaFstat, hwm, Some(ctime))
         (renderDelta(v, token, rec.base, addedS, removedS, hwm,
           freshStats, freshSStats, freshBloom,
-          outSchemaStored.map(encodeSchema), overlayFstat,
+          outSchemaStored.map(encodeSchema), deltaFstat,
           ctimeMillis = Some(ctime),
           partSchemaB64 = outPartSchema.map(encodeSchema))
           .getBytes(StandardCharsets.UTF_8),
@@ -960,10 +1224,13 @@ object TableManifest {
         (render(v, token, files, hwm, outStats, outSStats, outBloom,
           outSchemaStored.map(encodeSchema), outFstat,
           ctimeMillis = Some(ctime),
-          partSchemaB64 = outPartSchema.map(encodeSchema))
+          partSchemaB64 = outPartSchema.map(encodeSchema),
+          colmapB64 =
+            if (outRenames.isEmpty) None else Some(encodeColmap(outRenames)))
           .getBytes(StandardCharsets.UTF_8),
           Snap(files.sorted.toVector, outSchemaStored, outPartSchema, outStats, outSStats,
-            outBloom, outFstat, hwm, Some(ctime), base = v))
+            outBloom, outFstat, hwm, Some(ctime), base = v,
+            renames = outRenames))
       }
     val target = manifestPath(p, v)
     if (!createExclusive(fs, mdir, target, body)) None
@@ -973,6 +1240,7 @@ object TableManifest {
       // the streaming sink's next epoch) replays nothing — the step that
       // keeps a commit CHAIN O(delta) instead of O(table) per link
       scala.util.Try(cacheSnap(dir, v, fs.getFileStatus(target), snap))
+      writeHeadHint(fs, p, v)
       Some(v)
     }
   }
@@ -1026,6 +1294,19 @@ object TableManifest {
         if (adds.isEmpty) Some(a) else inferAdded().map(SchemaBridge.merge(a, _))
       case (None, _) => None // pre-schema table: the delta is not evidence
     }).map(SchemaBridge.asNullable)
+    // same new-column-vs-carried-physical-name guard as commitIf
+    if (headS.renames.nonEmpty) outSchema.foreach { s =>
+      val headNames = headS.schema
+        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+      val collide = s.fieldNames
+        .filterNot(n => headNames(n.toLowerCase))
+        .filter(n => headS.renames.exists(_.from.equalsIgnoreCase(n)))
+      require(collide.isEmpty,
+        s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
+          "name is still physically carried by files written before a " +
+          "RENAME COLUMN; OPTIMIZE the table to rewrite the carriers " +
+          "first")
+    }
     val outPartSchema = headS.partSchema // appends never restate it
     val addSet = adds.toSet
     val freshStats = cleanStats(stats.filter(kv => addSet(kv._1)))
@@ -1053,6 +1334,7 @@ object TableManifest {
     else {
       scala.util.Try(
         cacheSnap(dir, v, fs.getFileStatus(target), applyDelta(headS, rec)))
+      writeHeadHint(fs, p, v)
       Some(v)
     }
   }
@@ -1061,7 +1343,7 @@ object TableManifest {
     * a full checkpoint (see [[checkpointInterval]]). */
   private def checkpointDue(spark: SparkSession, headV: Long,
       headS: Snap): Boolean = {
-    val interval = checkpointInterval(spark)
+    val interval = effectiveCheckpointInterval(spark, headS.files.size)
     interval <= 1 || (headV + 1 - headS.base) >= interval
   }
 
@@ -1393,8 +1675,8 @@ object TableManifest {
     * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
     readFull(spark, dir) match {
-      case Some((_, names, schema, fstat, partSchema)) =>
-        scanListed(spark, dir, names, schema, fstat, partSchema)
+      case Some((_, names, schema, fstat, partSchema, renames)) =>
+        scanListed(spark, dir, names, schema, fstat, partSchema, renames)
       case None => spark.read.parquet(dir)
     }
 
@@ -1607,7 +1889,8 @@ object TableManifest {
   def readTableAt(spark: SparkSession, dir: String, version: Long): DataFrame =
     snapAt(spark, dir, version) match {
       case Some(s) =>
-        scanListed(spark, dir, s.files, s.schema, s.fstat, s.partSchema)
+        scanListed(spark, dir, s.files, s.schema, s.fstat, s.partSchema,
+          s.renames)
       case None => sys.error(s"no manifest v$version under $dir")
     }
 
@@ -1625,8 +1908,35 @@ object TableManifest {
   private def scanListed(spark: SparkSession, dir: String,
       files: Seq[String], schema: Option[StructType],
       fstat: Map[String, (Long, Long)] = Map.empty,
-      partSchema: Option[StructType] = None): DataFrame =
+      partSchema: Option[StructType] = None,
+      renames: Seq[Rename] = Seq.empty): DataFrame =
     (files.nonEmpty, schema) match {
+      case (true, Some(s)) if renames.nonEmpty &&
+          files.exists(f => renames.exists(_.carriers(f))) =>
+        // RENAMED table with live carrier files: one zero-FS-call scan
+        // per physical-name group, each aliased back to the logical
+        // schema and unioned — filters and committed stats stay in each
+        // group's OWN physical names, so pushdown and pruning survive
+        // the rename at full strength (see [[renameGroups]])
+        import org.apache.spark.sql.functions.col
+        val groups = renameGroups(renames, files)
+        groups.map { case (gFiles, subst) =>
+          val gSet = gFiles.toSet
+          val phys = StructType(s.fields.map(f =>
+            subst.get(f.name.toLowerCase)
+              .map(p => f.copy(name = p)).getOrElse(f)))
+          val df = graft.sources.ManifestScans.scanSnapshot(spark, dir,
+            gFiles, phys, fstat.filter(kv => gSet(kv._1)))
+          // alias physical → logical; partition columns (attached by the
+          // scan from the directory names, never renameable) pass through
+          val logicalNames = s.fieldNames.map(_.toLowerCase).toSet
+          val extras = df.columns.filterNot(c =>
+            logicalNames(c.toLowerCase) ||
+              subst.values.exists(_.equalsIgnoreCase(c)))
+          df.select(s.fields.map(f =>
+            col(subst.getOrElse(f.name.toLowerCase, f.name)).as(f.name))
+            ++ extras.map(col): _*)
+        }.reduce(_ unionByName _)
       case (true, Some(s)) =>
         graft.sources.ManifestScans.scanSnapshot(spark, dir, files, s, fstat)
       case (true, None) =>
@@ -1682,7 +1992,8 @@ object TableManifest {
     // SNAPSHOT'S SCHEMA, not a zero-column emptyDataFrame: the common CDC
     // poll `SELECT k FROM graft_table_changes(t, v, v)` must return empty,
     // not fail analysis on an unresolved column
-    scanListed(spark, dir, fresh, to.schema, to.fstat, to.partSchema)
+    scanListed(spark, dir, fresh, to.schema, to.fstat, to.partSchema,
+      to.renames)
   }
 
   /** Compute per-file min/max stats for the long/int/timestamp columns
@@ -1744,6 +2055,14 @@ object TableManifest {
     while (attempts < 64) {
       val (v, files, hwm) = readHead(spark, dir)
         .getOrElse(sys.error(s"analyzeSchema: $dir is not manifest-tracked"))
+      // a RENAMED table always carries a schema (rename requires one);
+      // replacing it with the merged FOOTER union would resurrect the
+      // old physical names next to the logical ones — refuse loudly
+      // (there is nothing to bootstrap here anyway)
+      require(readRenames(spark, dir).isEmpty,
+        s"analyzeSchema: $dir has renamed columns whose old physical " +
+          "names are still carried by live files; the carried schema is " +
+          "authoritative (OPTIMIZE to rewrite carriers first)")
       val fresh = files.filterNot(swept)
       if (fresh.nonEmpty) {
         val s = spark.read.option("mergeSchema", "true")
@@ -2038,6 +2357,19 @@ object TableManifest {
     // zero candidates: empty result, but with the table's full merged
     // schema (one metadata-only pass — the price of schema fidelity)
     if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    // RENAMED table: the pruned subset may include pre-rename files whose
+    // predicate column lives under its old physical name — scan through
+    // the rename-aware grouped path (file pruning above stays sound:
+    // carrier files have no stats under the logical name, so they are
+    // conservative survivors)
+    locally {
+      val (_, snap) = headSnapshot(spark, dir)
+      if (snap.renames.nonEmpty) {
+        val g = scanListed(spark, dir, files, snap.schema, snap.fstat,
+          snap.partSchema, snap.renames)
+        return g.filter(predOn(g))
+      }
+    }
     val df = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
     // schema-evolution edge: every file CARRYING a predicate column can be
@@ -2175,6 +2507,17 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, lit}
     val files = prunedFilesEq(spark, dir, column, values)
     if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    // RENAMED table: scan the pruned subset through the grouped path
+    // (carrier files have no bloom/stats under the logical name — they
+    // survive the pruning above, and the grouped scan serves their
+    // renamed column correctly)
+    locally {
+      val (_, snap) = headSnapshot(spark, dir)
+      if (snap.renames.nonEmpty)
+        return scanListed(spark, dir, files, snap.schema, snap.fstat,
+          snap.partSchema, snap.renames)
+          .filter(col(column).isin(values: _*))
+    }
     val df = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
     if (!df.columns.contains(column))
@@ -2201,6 +2544,14 @@ object TableManifest {
     import org.apache.spark.sql.functions.{col, lit}
     val files = prunedFilesIn(spark, dir, column, values)
     if (files.isEmpty) return readTable(spark, dir).filter(lit(false))
+    // same rename-aware subset scan as readTableWhereEq
+    locally {
+      val (_, snap) = headSnapshot(spark, dir)
+      if (snap.renames.nonEmpty)
+        return scanListed(spark, dir, files, snap.schema, snap.fstat,
+          snap.partSchema, snap.renames)
+          .filter(col(column).isin(values: _*))
+    }
     val df = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$dir/$f"): _*)
     // same schema-evolution fallback as readTableRanges
@@ -2249,8 +2600,10 @@ object TableManifest {
     // column must not ride the re-cluster back into the carried schema
     val clustered = Layout.clusterByMorton(
       projectToDeclared(
-        spark.read.option("mergeSchema", "true")
-          .parquet(victims.map(f => s"$dir/$f"): _*),
+        coalesceRenamed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(victims.map(f => s"$dir/$f"): _*),
+          readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
       a, b, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
@@ -2295,8 +2648,10 @@ object TableManifest {
         s"(deeper levels exist, e.g. ${deeper.head})")
     val clustered = Layout.clusterByMorton(
       projectToDeclared(
-        spark.read.option("mergeSchema", "true")
-          .parquet(victims.map(f => s"$dir/$f"): _*),
+        coalesceRenamed(
+          spark.read.option("mergeSchema", "true")
+            .parquet(victims.map(f => s"$dir/$f"): _*),
+          readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
       a, b, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir, rel = prefix)
@@ -2600,9 +2955,11 @@ object TableManifest {
       if (candidates.isEmpty) Seq.empty[String]
       else {
         val reader = spark.read.option("mergeSchema", "true")
-        val scan = (if (partCols.isEmpty) reader
-          else reader.option("basePath", dir))
-          .parquet(candidates.map(f => s"$dir/$f"): _*)
+        val scan = coalesceRenamed(
+          (if (partCols.isEmpty) reader
+            else reader.option("basePath", dir))
+            .parquet(candidates.map(f => s"$dir/$f"): _*),
+          headS.renames)
         if (!scan.columns.contains(keyCol)) Seq.empty[String]
         else {
           val paths = scan
@@ -2791,7 +3148,8 @@ object TableManifest {
       commitIf(spark, dir, files, headV, hwm, stats = snapV.stats,
         sstats = snapV.sstats, bloom = snapV.bloom, schema = snapV.schema,
         replaceSchema = true, fstat = snapV.fstat,
-        partSchema = snapV.partSchema, replacePartSchema = true) match {
+        partSchema = snapV.partSchema, replacePartSchema = true,
+        colmap = Some(snapV.renames), replaceColmap = true) match {
         case Some(v2) =>
           // Close the check-then-commit race with vacuum: the check above
           // ran against files that were DELISTED (fair game for a
@@ -2819,7 +3177,9 @@ object TableManifest {
                     schema = prev.schema, replaceSchema = true,
                     fstat = prev.fstat,
                     partSchema = prev.partSchema,
-                    replacePartSchema = true).isDefined)
+                    replacePartSchema = true,
+                    colmap = Some(prev.renames),
+                    replaceColmap = true).isDefined)
                   s"window — rolled the head back to v$headV's contents; "
                 else
                   "window — and another commit already advanced the head " +
@@ -2932,8 +3292,15 @@ object TableManifest {
         cols.exists(_.equalsIgnoreCase(f.name)))
       require(remaining.nonEmpty,
         s"dropColumns: cannot drop every column of $dir")
+      // a dropped column's mapping entries go with it: carrier files'
+      // old physical bytes become plain undeclared leftovers (NULL if
+      // the name is ever re-added, exactly like any dropped column)
+      val keptRenames = snap.renames.filterNot(r =>
+        cols.exists(_.equalsIgnoreCase(r.to)))
       commitIf(spark, dir, files, v, hwm,
-        schema = Some(StructType(remaining)), replaceSchema = true) match {
+        schema = Some(StructType(remaining)), replaceSchema = true,
+        colmap = Some(keptRenames),
+        replaceColmap = keptRenames.size != snap.renames.size) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
@@ -3009,25 +3376,122 @@ object TableManifest {
       if (f.name.equalsIgnoreCase(col)) f.copy(dataType = newType) else f)))
   }
 
-  /** Pre-flight every retype of a multi-column ALTER against the current
-    * head WITHOUT committing — the statement's all-or-nothing check. */
-  private[graft] def checkWidenColumnTypes(spark: SparkSession, dir: String,
-      retypes: Seq[(String, DataType)]): Unit = {
-    val (_, snap) = headSnap(spark, dir).getOrElse(
-      sys.error(s"widenColumnType: $dir is not manifest-tracked"))
-    lazy val inferred = scala.util.Try(readTable(spark, dir).schema).toOption
-    // each validation sees the PRIOR retypes applied, like the commits will
-    retypes.foldLeft(snap) { case (s, (c, dt)) =>
-      validateWiden(dir, s, c, dt, inferred) match {
-        case Some(w) => s.copy(schema = Some(w))
-        case None => s
+  /** Declarative column RENAME — the engine primitive behind SQL
+    * `ALTER TABLE t RENAME COLUMN a TO b`: commit the head's file list
+    * unchanged with the column renamed in the carried schema and a
+    * COLUMN-MAPPING entry ([[Rename]]) recording that every currently-
+    * live file still physically stores the old name. METADATA-ONLY — no
+    * data file is rewritten; reads group the file list by carried
+    * physical name and alias each group back to the logical schema
+    * (scan planning stays pushdown-complete per group, because each
+    * group's filters and committed stats are in ITS OWN physical
+    * names), new writes emit the new name natively, and copy-on-write
+    * rewrites shrink the carrier set until the entry drops and plans
+    * collapse back to one scan. Committed data-skipping stats stay
+    * keyed by the name each file actually carries — sound by the same
+    * grouping. Rejected loudly: unknown columns, partition columns
+    * (their values live in the directory names), renaming onto an
+    * existing column, and non-identifier names (the manifest's
+    * no-escaping invariant). Always commits a CHECKPOINT (delta records
+    * inherit the mapping, so the commit that changes it must
+    * re-anchor). Returns the committed version. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String): Long = {
+    require(to.matches("[A-Za-z_]\\w*"),
+      s"renameColumn: `$to` is not a plain identifier")
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, snap) = headSnap(spark, dir).getOrElse(
+        sys.error(s"renameColumn: $dir is not manifest-tracked"))
+      val base = snap.schema
+        .orElse(scala.util.Try(readTable(spark, dir).schema).toOption)
+        .getOrElse(sys.error(
+          s"renameColumn: $dir carries no schema and none can be inferred"))
+      val partNames = snap.partSchema
+        .map(_.fieldNames.toSeq).getOrElse(Seq.empty) ++
+        partitionColsIn(snap.files)
+      require(!partNames.exists(_.equalsIgnoreCase(from)),
+        s"renameColumn: `$from` is a partition column of $dir — its " +
+          "values live in the directory names; re-publish to rename it")
+      require(!partNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: `$to` is a partition column of $dir")
+      val field = base.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        sys.error(s"renameColumn: unknown column `$from` " +
+          s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})"))
+      require(!base.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"renameColumn: column `$to` already exists in $dir")
+      val renamed = StructType(base.fields.map(f =>
+        if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+      // chained renames keep every entry mapping physical `from` → the
+      // CURRENT logical name: entries whose `to` was this column now
+      // point at the new name (their carrier groups still read their
+      // own older physical names)
+      val updated = snap.renames.map(r =>
+        if (r.to.equalsIgnoreCase(from)) r.copy(to = to) else r)
+      val entry = Rename(to, field.name, snap.files.toSet)
+      val newColmap = updated ++
+        (if (snap.files.nonEmpty) Seq(entry) else Seq.empty)
+      commitIf(spark, dir, snap.files, v, snap.hwm,
+        schema = Some(renamed), replaceSchema = true,
+        colmap = Some(newColmap), replaceColmap = true) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
       }
     }
-    ()
+    sys.error(s"renameColumn lost $attempts races in $dir; giving up")
+  }
+
+  /** The head's column-mapping entries — empty when every live file
+    * carries the logical schema's own names. */
+  def readRenames(spark: SparkSession, dir: String): Seq[Rename] =
+    headSnap(spark, dir).map(_._2.renames).getOrElse(Seq.empty)
+
+  /** Group `files` by which physical column names they carry, per the
+    * mapping entries: group i (i < entries.length) = files whose FIRST
+    * containing entry is i (carrier sets of successive renames are
+    * nested, so this partitions cleanly); the last group = files written
+    * after every rename (physical = logical). Each group pairs its
+    * file subset with logical-lowercase → physical-name substitutions —
+    * for group i, a logical column's physical name is the `from` of
+    * the OLDEST entry j ≥ i naming it (the name the file was actually
+    * written under). Groups with no files are dropped; the identity
+    * group (no substitutions) comes LAST. */
+  private[graft] def renameGroups(renames: Seq[Rename],
+      files: Seq[String]): Seq[(Seq[String], Map[String, String])] = {
+    if (renames.isEmpty) return Seq((files, Map.empty))
+    val k = renames.length
+    def groupOf(f: String): Int = {
+      var i = 0
+      while (i < k && !renames(i).carriers(f)) i += 1
+      i
+    }
+    val byGroup = files.groupBy(groupOf)
+    (0 to k).flatMap { i =>
+      byGroup.get(i).map { fs =>
+        val subst = (i until k).reverseIterator.map(j =>
+          renames(j).to.toLowerCase -> renames(j).from).toMap
+        // reverseIterator + toMap: the OLDEST entry (lowest j) for a
+        // logical name wins, overwriting newer entries' substitutions
+        (fs, subst.filter { case (lo, from) => !lo.equalsIgnoreCase(from) })
+      }
+    }
   }
 
   def widenColumnType(spark: SparkSession, dir: String, col: String,
-      newType: DataType): Long = {
+      newType: DataType): Long =
+    widenColumnTypes(spark, dir, Seq(col -> newType))
+
+  /** Multi-column variant: validate EVERY retype against one head
+    * snapshot, then commit the fully-folded schema in ONE [[commitIf]] —
+    * the statement's all-or-nothing guarantee holds even against
+    * concurrent schema changes, because a CAS conflict retries the WHOLE
+    * statement (re-validating every spec against the new head) instead
+    * of leaving earlier single-column commits already applied. Returns
+    * the committed version (the unchanged head when every spec is an
+    * already-that-type no-op). */
+  def widenColumnTypes(spark: SparkSession, dir: String,
+      retypes: Seq[(String, DataType)]): Long = {
+    require(retypes.nonEmpty, "widenColumnTypes: no columns to retype")
     var attempts = 0
     while (attempts < 64) {
       // ONE head resolution per attempt: files, schema, partition
@@ -3035,11 +3499,20 @@ object TableManifest {
       val (v, snap) = headSnap(spark, dir).getOrElse(
         sys.error(s"widenColumnType: $dir is not manifest-tracked"))
       lazy val inferred = scala.util.Try(readTable(spark, dir).schema).toOption
-      validateWiden(dir, snap, col, newType, inferred) match {
-        case None => return v // already that type: no-op
-        case Some(widened) =>
+      // fold the specs left-to-right, each validated against the schema
+      // with the PRIOR retypes applied
+      val widened = retypes.foldLeft((snap, false)) {
+        case ((s, changed), (c, dt)) =>
+          validateWiden(dir, s, c, dt, inferred) match {
+            case Some(w) => (s.copy(schema = Some(w)), true)
+            case None => (s, changed) // already that type: no-op spec
+          }
+      }
+      widened match {
+        case (_, false) => return v // every spec a no-op
+        case (s, true) =>
           commitIf(spark, dir, snap.files, v, snap.hwm,
-            schema = Some(widened), replaceSchema = true) match {
+            schema = s.schema, replaceSchema = true) match {
             case Some(v2) => return v2
             case None => attempts += 1
           }
@@ -3058,6 +3531,37 @@ object TableManifest {
     * erase path wants its column-missing short-circuit intact). No-op
     * when the table carries no schema (pre-schema manifests keep the
     * merged-footer contract). */
+  /** Normalize a RAW victim-file read of a renamed table to the LOGICAL
+    * schema: for every column-mapping entry whose old physical name
+    * appears in the frame (mergeSchema gave pre-rename files their old
+    * column, post-rename files the new one, NULL where absent — and a
+    * file physically holds exactly one of the chain), fold the chain
+    * into the logical column with `coalesce(newest … oldest)` and drop
+    * the physical leftovers. This is what makes every copy-on-write
+    * rewrite EMIT the logical name — the mechanism that shrinks carrier
+    * sets until the mapping drops — and what keeps victim-matching
+    * conditions on renamed columns finding pre-rename rows. No-op when
+    * the table has no mapping. */
+  private[graft] def coalesceRenamed(df: DataFrame,
+      renames: Seq[Rename]): DataFrame = {
+    if (renames.isEmpty) return df
+    import org.apache.spark.sql.functions.{coalesce, col}
+    def has(d: DataFrame, n: String) = d.columns.exists(_.equalsIgnoreCase(n))
+    // entries grouped by CURRENT logical name, kept in commit order so
+    // the chain coalesces newest physical name first
+    val byTo = renames.zipWithIndex.groupBy(_._1.to.toLowerCase).values
+    byTo.foldLeft(df) { (d, entries) =>
+      val to = entries.head._1.to
+      val froms = entries.sortBy(_._2).map(_._1.from)
+        .filter(f => !f.equalsIgnoreCase(to) && has(d, f))
+      if (froms.isEmpty) d
+      else {
+        val chain = (Seq(to).filter(has(d, _)) ++ froms.reverse).map(col)
+        froms.foldLeft(d.withColumn(to, coalesce(chain: _*)))(_ drop _)
+      }
+    }
+  }
+
   private[graft] def projectToDeclared(df: DataFrame,
       declared: Option[StructType], partCols: Seq[String]): DataFrame =
     declared match {
@@ -3156,7 +3660,8 @@ object TableManifest {
     val raw0 = (if (partCols.isEmpty) rawReader
       else rawReader.option("basePath", dir))
       .parquet(candidates.map(f => s"$dir/$f"): _*)
-    val raw = projectToDeclared(raw0, declared, partCols)
+    val raw = projectToDeclared(coalesceRenamed(raw0, headS.renames),
+      declared, partCols)
     val scan = withDeclared(raw)
     // assignment targets must exist: a typo would otherwise silently
     // append a NEW column to the rewritten files instead of updating
@@ -3170,8 +3675,9 @@ object TableManifest {
       case Some(p) =>
         // `_metadata` is selected on the RAW file relation (hidden-column
         // resolution does not reach through the declared-null projection)
-        val paths = withDeclared(
-            raw0.select(col("_metadata.file_path").as("__path"), col("*")))
+        val paths = withDeclared(coalesceRenamed(
+            raw0.select(col("_metadata.file_path").as("__path"), col("*")),
+            headS.renames))
           .filter(p)
           .select("__path")
           .distinct().collect().map(_.getString(0)).toSeq
@@ -3186,9 +3692,11 @@ object TableManifest {
     if (victims.isEmpty) return headV
     val victimReader = spark.read.option("mergeSchema", "true")
     val read = withDeclared(projectToDeclared(
-      (if (partCols.isEmpty) victimReader
-        else victimReader.option("basePath", dir))
-        .parquet(victims.map(f => s"$dir/$f"): _*),
+      coalesceRenamed(
+        (if (partCols.isEmpty) victimReader
+          else victimReader.option("basePath", dir))
+          .parquet(victims.map(f => s"$dir/$f"): _*),
+        headS.renames),
       declared, partCols))
     val setMap = sets.toMap
     // one pass, no union: every output column is either untouched or a
@@ -3260,9 +3768,11 @@ object TableManifest {
         // (dropColumns leftovers) must not ride the rewrite back into
         // the carried schema through the splice commit
         val read = projectToDeclared(
-          (if (partCols.isEmpty) reader
-           else reader.option("basePath", dir))
-            .parquet(victims.map(f => s"$dir/$f"): _*),
+          coalesceRenamed(
+            (if (partCols.isEmpty) reader
+             else reader.option("basePath", dir))
+              .parquet(victims.map(f => s"$dir/$f"): _*),
+            readRenames(spark, dir)),
           readSchema(spark, dir), partCols)
         if (!read.columns.contains(column))
           if (keepAllWhenColumnMissing) Right(Some(read)) else Left(headV)
@@ -3602,7 +4112,8 @@ object TableManifest {
     // grace applies here too: an in-flight commit's .tmp- (the non-local
     // createExclusive path) must not be deleted between write and rename
     val deadTmps = mstats.filter(s =>
-      s.getPath.getName.startsWith(".tmp-") &&
+      (s.getPath.getName.startsWith(".tmp-") ||
+        s.getPath.getName.startsWith(".head-tmp-")) &&
         s.getModificationTime <= cutoff)
     // each consumer's chain of advance markers: only the highest is load-
     // bearing (consumerVersion takes the max), the rest accumulate forever
@@ -3626,8 +4137,8 @@ object TableManifest {
     // its checkpoint and every record between them, so pruning must never
     // orphan a chain (bases are monotone in version, so one boundary
     // read covers every retained version). Costs one small body read
-    // when the oldest retained version is a delta; at most
-    // checkpointInterval-1 extra manifests survive.
+    // when the oldest retained version is a delta; at most one effective
+    // checkpoint interval's worth (≤ 63) of extra manifests survive.
     val keepBound = math.min(keepFrom, minConsumer)
     val chainBase: Long = manifests.map(_._1).filter(_ >= keepBound)
       .minOption.flatMap { oldest =>

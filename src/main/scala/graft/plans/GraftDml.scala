@@ -395,6 +395,35 @@ private[plans] object GraftDmlRewrite {
     GraftAlterColumnTypeCommand(path, catalogIdent, retypes)
   }
 
+  /** `ALTER TABLE t RENAME COLUMN a TO b` on a graft-manifest table →
+    * [[TableManifest.renameColumn]] (a metadata-only CAS commit renaming
+    * the carried schema and recording a column-mapping entry for the
+    * files that still physically store the old name — reads group by
+    * carried physical name and alias back, writes emit the new name;
+    * see the primitive's scaladoc). Nested paths are rejected at
+    * planning; name-addressed tables get their catalog schema synced in
+    * the same command. Non-graft targets return unchanged. */
+  def rewriteRenameColumn(spark: SparkSession,
+      rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn)
+      : LogicalPlan = {
+    val target = rc.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier
+      case _ => return rc
+    }
+    val path = GraftTables.graftPath(spark, target).getOrElse(return rc)
+    val from = rc.column.name match {
+      case Seq(n) => n
+      case parts => sys.error(
+        "graft-manifest ALTER TABLE RENAME COLUMN supports top-level " +
+          s"columns only; `${parts.mkString(".")}` is nested")
+    }
+    val catalogIdent =
+      if (target.sizeIs <= 2 && !target.head.startsWith("/")) Some(target)
+      else None
+    GraftRenameColumnCommand(path, catalogIdent, from, rc.newName)
+  }
+
   /** `SHOW PARTITIONS t` on a graft-manifest table → the DISTINCT
     * hive-segment prefixes of the head manifest's names (Spark's own
     * row convention, `k=v[/k2=v2]`), straight from one head read — no
@@ -617,13 +646,12 @@ case class GraftAlterColumnTypeCommand(path: String,
     Seq(AttributeReference("version",
       org.apache.spark.sql.types.LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    // ALL-OR-NOTHING: pre-validate every spec against the current head
-    // before the first commit — a bad later spec must not leave earlier
-    // widens already committed (a partially-applied ALTER statement)
-    TableManifest.checkWidenColumnTypes(spark, path, retypes)
-    val v = retypes.map { case (c, dt) =>
-      TableManifest.widenColumnType(spark, path, c, dt)
-    }.last
+    // ALL-OR-NOTHING in ONE commit: every spec validates against the
+    // same head snapshot and the fully-folded schema lands in a single
+    // CAS commit — a concurrent schema change between per-column commits
+    // can no longer leave the statement partially applied (the conflict
+    // retries the whole statement inside widenColumnTypes)
+    val v = TableManifest.widenColumnTypes(spark, path, retypes)
     catalogIdent.foreach { parts =>
       val ident = parts match {
         case Seq(t) => TableIdentifier(t)
@@ -640,6 +668,41 @@ case class GraftAlterColumnTypeCommand(path: String,
       val served = org.apache.spark.sql.types.StructType(
         widened.fields ++ partCols.filterNot(p =>
           widened.fieldNames.exists(_.equalsIgnoreCase(p.name))))
+      spark.sessionState.catalog.alterTable(meta.copy(schema = served))
+    }
+    Seq(Row(v))
+  }
+}
+
+/** SQL `ALTER TABLE … RENAME COLUMN … TO …` on a graft-manifest table →
+  * [[TableManifest.renameColumn]], plus a catalog schema sync for
+  * name-addressed tables (full-metadata alterTable, the AlterColumnType
+  * posture — alterTableDataSchema hard-rejects renames for formats whose
+  * files ARE the schema; ours is manifest-declared with a column
+  * mapping). Returns the committed version. */
+case class GraftRenameColumnCommand(path: String,
+    catalogIdent: Option[Seq[String]], from: String, to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version",
+      org.apache.spark.sql.types.LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = TableManifest.renameColumn(spark, path, from, to)
+    catalogIdent.foreach { parts =>
+      val ident = parts match {
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
+        case _ => return Seq(Row(v))
+      }
+      val renamed = TableManifest.readSchema(spark, path).getOrElse(
+        sys.error(s"graft-manifest ALTER TABLE: $path lost its schema " +
+          "between the commit and the catalog sync"))
+      val partCols = TableManifest.readPartitionSchema(spark, path)
+        .map(_.fields.toSeq).getOrElse(Seq.empty)
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      val served = org.apache.spark.sql.types.StructType(
+        renamed.fields ++ partCols.filterNot(p =>
+          renamed.fieldNames.exists(_.equalsIgnoreCase(p.name))))
       spark.sessionState.catalog.alterTable(meta.copy(schema = served))
     }
     Seq(Row(v))

@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // over a quoted path) — a delegating parser: everything else goes to
     // Spark's own parser verbatim
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // RENAME COLUMN read-side: expand relations of renamed tables into
+    // per-physical-name group scans (see RenameExpandRule) after
+    // resolution — the un-expanded scan refuses to run, so sessions
+    // without this rule are loud, never wrong
+    ext.injectPostHocResolutionRule(session => RenameExpandRule(session))
     // table-valued functions: the manifest protocol's CDC and audit
     // surfaces as relations SQL can compose over (join, filter, insert
     // elsewhere) — `SELECT * FROM graft_table_changes('t', 1, 3)`

@@ -125,6 +125,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
               GraftDmlRewrite.rewriteDropColumns(spark, dc)
             case alc: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
               GraftDmlRewrite.rewriteAlterColumns(spark, alc)
+            case rc: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+              GraftDmlRewrite.rewriteRenameColumn(spark, rc)
             case sp: org.apache.spark.sql.catalyst.plans.logical.ShowPartitions =>
               GraftDmlRewrite.rewriteShowPartitions(spark, sp)
             case other => other
@@ -200,16 +202,24 @@ object GraftSqlParser {
         "    USING `graft-manifest` [OPTIONS (path '<dir>')]\n" +
         "    PARTITIONED BY (c1[, c2 …]) [LOCATION '<dir>'] [AS <query>]\n" +
         s"— $why")
+    // the probe regex is a coarse SUBSTRING match ('PARTITIONED BY ('
+    // anywhere after USING graft-manifest), so a statement can land here
+    // whose only 'PARTITIONED BY' lives inside a string literal of its
+    // AS-query. Every shape mismatch BEFORE a top-level PARTITIONED BY
+    // clause is confirmed therefore delegates back to the stock parser
+    // (which owns the statement it actually is) instead of failing;
+    // only a confirmed partitioned statement earns the loud grammar.
+    def notMine(): LogicalPlan = delegate.parsePlan(stmt)
     val Head = ("""(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       Ref + """\s*(.*)$""").r
     val (ifNotExists, table, afterRef) = stmt match {
       case Head(ine, p, t, i, rest) =>
         (ine != null, refOf(p, t, i), rest)
-      case _ => fail("could not read the table reference")
+      case _ => return notMine()
     }
     // optional column list: balanced-paren scan (types like DECIMAL(10,2)
     // nest parens, so a lazy regex would split the list short)
-    def splitParen(s: String): (String, String) = {
+    def splitParen(s: String): Option[(String, String)] = {
       var depth = 0
       var i = 0
       var quote: Char = 0
@@ -221,23 +231,23 @@ object GraftSqlParser {
           case '(' => depth += 1
           case ')' =>
             depth -= 1
-            if (depth == 0) return (s.substring(1, i), s.substring(i + 1))
+            if (depth == 0) return Some((s.substring(1, i), s.substring(i + 1)))
           case _ => ()
         }
         i += 1
       }
-      fail("unbalanced parentheses in the column list")
+      None
     }
     val (schemaDdl, afterSchema) =
       if (afterRef.trim.startsWith("(")) {
         val (inner, rest) = splitParen(afterRef.trim)
+          .getOrElse(return notMine())
         (Some(inner), rest)
       } else (None, afterRef)
     val Using = """(?is)^\s*USING\s+`?graft-manifest`?\s*(.*)$""".r
     var rest = afterSchema match {
       case Using(r) => r
-      case _ => fail("the USING clause must name `graft-manifest` " +
-        "immediately after the column list")
+      case _ => return notMine()
     }
     val OptionsP =
       """(?is)^\s*OPTIONS\s*\(\s*`?path`?\s*=?\s*'([^']+)'\s*\)\s*(.*)$""".r
@@ -259,9 +269,40 @@ object GraftSqlParser {
         path = Some(p); rest = r
       case Part(tail) =>
         if (partColsRaw.nonEmpty) fail("duplicate PARTITIONED BY clause")
-        val (cols, r) = splitParen(tail)
+        // a confirmed PARTITIONED BY clause with unbalanced parens IS
+        // this grammar's statement — loud, not delegated
+        val (cols, r) = splitParen(tail).getOrElse(
+          fail("unbalanced parentheses in PARTITIONED BY"))
         partColsRaw = Some(cols.trim); rest = r
       case _ => progressing = false
+    }
+    // no top-level PARTITIONED BY clause reached. If the UNCONSUMED text
+    // still holds one outside quotes (an out-of-shape clause is hiding
+    // it), stay loud — delegating would let stock Spark register the
+    // partitioning as catalog-only metadata and silently create a FLAT
+    // table. Otherwise the probed text was inside a string literal and
+    // the stock parser owns the statement.
+    if (partColsRaw.isEmpty) {
+      def unquotedPartitionedBy(s: String): Boolean = {
+        val lower = s.toLowerCase
+        var i = 0
+        var quote: Char = 0
+        while (i < lower.length) {
+          val ch = lower(i)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else if (ch == '\'' || ch == '"' || ch == '`') quote = ch
+          else if (ch == 'p' && lower.startsWith("partitioned", i)) {
+            val after = lower.substring(i + 11)
+            if (after.matches("(?s)\\s+by\\s*\\(.*")) return true
+          }
+          i += 1
+        }
+        false
+      }
+      if (unquotedPartitionedBy(rest))
+        fail(s"unrecognized clause before PARTITIONED BY: " +
+          s"'${rest.trim.take(60)}'")
+      return notMine()
     }
     val As = """(?is)^\s*AS\s+(.+?)\s*;?\s*$""".r
     val select = rest match {
@@ -269,7 +310,7 @@ object GraftSqlParser {
       case r if r.trim.stripSuffix(";").trim.isEmpty => None
       case other => fail(s"unrecognized clause: '${other.trim.take(60)}'")
     }
-    val partCols = partColsRaw.getOrElse(fail("missing PARTITIONED BY"))
+    val partCols = partColsRaw.get
       .split(',').map(_.trim).filter(_.nonEmpty)
       .map(c => if (c.length > 2 && c.head == '`' && c.last == '`')
         c.substring(1, c.length - 1) else c).toSeq
@@ -618,26 +659,33 @@ case class GraftCreateTableCommand(table: GraftTableRef,
             // scan serves
             val live = TableManifest.layoutPartitionCols(spark, path)
             if (live != partCols.map(_.toLowerCase)) {
-              if (ifNotExists) head
+              // IF NOT EXISTS over a DISAGREEING live table is a no-op
+              // that must ALSO skip the catalog registration below —
+              // registering the mismatching declaration would create a
+              // catalog entry permanently contradicting what the table
+              // actually serves
+              if (ifNotExists) return Seq(Row(head))
               else fail(s"$path is already a tracked table whose " +
                 s"partition layout (${if (live.isEmpty) "flat"
                   else live.mkString("/")}) does not match PARTITIONED " +
                 s"BY (${partCols.mkString(", ")})")
             } else {
-              TableManifest.readSchema(spark, path).foreach { served =>
-                val servedTypes = served.fields
-                  .map(f => f.name.toLowerCase -> f.dataType).toMap
-                val drift = data.flatMap(f =>
-                  servedTypes.get(f.name.toLowerCase)
-                    .filter(_ != f.dataType)
-                    .map(dt => s"`${f.name}` declared " +
-                      s"${f.dataType.simpleString} but the table serves " +
-                      dt.simpleString))
-                if (drift.nonEmpty) {
-                  if (!ifNotExists) fail(s"$path is already a tracked " +
-                    s"table and the column list disagrees with its " +
-                    s"schema: ${drift.mkString("; ")}")
-                }
+              val servedTypes = TableManifest.readSchema(spark, path)
+                .map(_.fields.map(f => f.name.toLowerCase -> f.dataType)
+                  .toMap).getOrElse(Map.empty)
+              val drift = data.flatMap(f =>
+                servedTypes.get(f.name.toLowerCase)
+                  .filter(_ != f.dataType)
+                  .map(dt => s"`${f.name}` declared " +
+                    s"${f.dataType.simpleString} but the table serves " +
+                    dt.simpleString))
+              if (drift.nonEmpty) {
+                if (!ifNotExists) fail(s"$path is already a tracked " +
+                  s"table and the column list disagrees with its " +
+                  s"schema: ${drift.mkString("; ")}")
+                // same skip: the declaration's TYPES disagree with the
+                // served schema — no-op without a catalog entry
+                return Seq(Row(head))
               }
               head
             }

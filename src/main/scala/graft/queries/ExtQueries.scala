@@ -7063,6 +7063,105 @@ object ExtQueries {
       |AS t(version, n_files, n_added, n_removed, hwm)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- Q197
+  /** Metadata-only `ALTER TABLE … RENAME COLUMN` (round 16): v1 commits
+    * every-third order with the amount column named `cents`, the rename
+    * retitles it `amount` WITHOUT touching a data file (the manifest
+    * column mapping records the carriers), and a SQL INSERT appends the
+    * complement under the new name — so the aggregate reads MIXED
+    * physical names through the grouped-union expansion, with the
+    * selective filter exercising pushdown into BOTH groups (the
+    * pre-rename group's filter arrives under its old physical name).
+    * A read that served NULLs for the pre-rename files, dropped the
+    * filter, or lost rows across the union hash-mismatches. */
+  def q197RenameColumn(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q197")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g197_ren_$tag"
+    val view = s"g197_src_$tag"
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.createOrReplaceTempView(view)
+    graft.ops.TableManifest.publish(
+      src.filter(col("k") % 3 === 0), tmp) // v1: pre-rename files
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN cents TO amount") // v2
+      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents AS amount " +
+        s"FROM $view WHERE k % 3 <> 0") // v3: new-name files
+      s.sql(
+        s"""SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(amount) AS BIGINT) AS amount,
+           |  CAST(MIN(k) AS BIGINT) AS min_k
+           |FROM $tbl WHERE amount > 1000000
+           |GROUP BY pri ORDER BY pri""".stripMargin)
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q197Sql: String =
+    """SELECT o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS amount,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_k
+      |FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 1000000
+      |GROUP BY 1 ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- Q198
+  /** DML THROUGH a renamed column (round 16): after the q197-style
+    * rename, an UPDATE retargets rows whose match lives in PRE-rename
+    * files (the victim scan must find the old physical column) and a
+    * DELETE erases through the renamed name across both generations;
+    * the surviving aggregate is oracle-pinned. A victim scan that
+    * missed carrier rows (NULL instead of the old column) would leave
+    * the updated/deleted rows untouched and hash-mismatch. */
+  def q198RenameDml(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q198")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g198_rendml_$tag"
+    val view = s"g198_src_$tag"
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    src.createOrReplaceTempView(view)
+    graft.ops.TableManifest.publish(
+      src.filter(col("k") % 3 === 0), tmp) // v1: pre-rename files
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.sql(s"ALTER TABLE $tbl RENAME COLUMN cents TO amount")
+      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents AS amount " +
+        s"FROM $view WHERE k % 3 <> 0")
+      // rows in BOTH generations: double small amounts, then erase the
+      // very largest — both statements address the RENAMED column
+      s.sql(s"UPDATE $tbl SET amount = amount * 2 WHERE amount < 500000")
+      s.sql(s"DELETE FROM $tbl WHERE amount > 40000000")
+      s.sql(
+        s"""SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(amount) AS BIGINT) AS amount
+           |FROM $tbl GROUP BY pri ORDER BY pri""".stripMargin)
+    } finally {
+      s.sql(s"DROP TABLE $tbl")
+      s.catalog.dropTempView(view)
+    }
+  }
+
+  val q198Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS pri,
+      |    CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 500000
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) * 2
+      |      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS amount
+      |  FROM orders)
+      |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(amount) AS BIGINT) AS amount
+      |FROM base WHERE amount <= 40000000
+      |GROUP BY pri ORDER BY pri""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -7248,7 +7347,9 @@ object ExtQueries {
     "q193_sql_create_partitioned" -> (q193SqlCreatePartitioned _),
     "q194_alter_column_widen" -> (q194AlterColumnWiden _),
     "q195_partitioned_cdc" -> (q195PartitionedCdc _),
-    "q196_delta_ledger" -> (q196DeltaLedger _))
+    "q196_delta_ledger" -> (q196DeltaLedger _),
+    "q197_rename_column" -> (q197RenameColumn _),
+    "q198_rename_dml" -> (q198RenameDml _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7436,5 +7537,7 @@ object ExtQueries {
     "q193_sql_create_partitioned" -> q193Sql,
     "q194_alter_column_widen" -> q194Sql,
     "q195_partitioned_cdc" -> q195Sql,
-    "q196_delta_ledger" -> q196Sql)
+    "q196_delta_ledger" -> q196Sql,
+    "q197_rename_column" -> q197Sql,
+    "q198_rename_dml" -> q198Sql)
 }

@@ -280,10 +280,24 @@ private[sources] final class ManifestMicroBatchStream(
     val from = ManifestOffset.parse(start.json()).version
     val to = ManifestOffset.parse(end.json()).version
     val fresh = ManifestStream.freshFiles(spark, dir, from, to)
-    val fstat =
-      if (to <= from) Map.empty[String, (Long, Long)]
+    val (fstat, renames) =
+      if (to <= from) (Map.empty[String, (Long, Long)],
+        Seq.empty[graft.ops.TableManifest.Rename])
       else TableManifest.readAtFull(spark, dir, to)
-        .map(_._3).getOrElse(Map.empty)
+        .map(t => (t._3, t._5))
+        .getOrElse((Map.empty[String, (Long, Long)],
+          Seq.empty[graft.ops.TableManifest.Rename]))
+    // a streaming read delivers files under ONE schema per batch; a
+    // delivered file still carrying a renamed column's OLD physical
+    // name would silently serve NULLs — only ranges whose fresh files
+    // all postdate every rename are streamable (appends after the
+    // rename always are; a from-scratch stream over a renamed table
+    // must OPTIMIZE first)
+    fresh.find(f => renames.exists(_.carriers(f))).foreach(f => sys.error(
+      s"graft-manifest stream: $dir delivery range (v$from, v$to] " +
+        s"includes $f, which predates a RENAME COLUMN and still carries " +
+        "the old physical column name; OPTIMIZE the table to rewrite " +
+        "carriers before streaming from this range"))
     val batch = batchFor(fresh, fstat)
     planned = batch
     batch.planInputPartitions()

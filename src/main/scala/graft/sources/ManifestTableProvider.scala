@@ -114,14 +114,16 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     })
     pinnedVersion match {
       case Some(v) =>
-        val (names, schema, fstat, partSchema) =
+        val (names, schema, fstat, partSchema, renames) =
           TableManifest.readAtFull(spark, dir, v).getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
-        ManifestTableProvider.Tracked(names, schema, fstat, partSchema)
+        ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
+          renames)
       case None =>
         TableManifest.readFull(spark, dir) match {
-          case Some((_, names, schema, fstat, partSchema)) =>
-            ManifestTableProvider.Tracked(names, schema, fstat, partSchema)
+          case Some((_, names, schema, fstat, partSchema, renames)) =>
+            ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
+              renames)
           case None => ManifestTableProvider.Untracked // plain dir scan
         }
     }
@@ -144,8 +146,10 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
       }
     }
     val (files, manifestSchema, snapshot) = resolved match {
-      case ManifestTableProvider.Tracked(names, schema, fstat, partSchema) =>
-        (names.map(f => s"$dir/$f"), schema, Some((names, fstat, partSchema)))
+      case ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
+          renames) =>
+        (names.map(f => s"$dir/$f"), schema,
+          Some((names, fstat, partSchema, renames)))
       case ManifestTableProvider.Untracked => (Seq(dir), None, None)
     }
     // schema priority: caller's explicit schema, then the manifest-carried
@@ -175,8 +179,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     new ManifestReadTable(SparkSession.active,
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
         files, schema, classOf[ParquetFileFormat]), dir, effective,
-      snapshot.map { case (names, fstat, partSchema) =>
-        (names, schema, fstat, partSchema) })
+      snapshot.map { case (names, fstat, partSchema, renames) =>
+        (names, schema, fstat, partSchema, renames) })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -195,7 +199,9 @@ private[sources] object ManifestTableProvider {
   sealed trait Resolved
   final case class Tracked(names: Seq[String], schema: Option[StructType],
       fstat: Map[String, (Long, Long)],
-      partSchema: Option[StructType]) extends Resolved
+      partSchema: Option[StructType],
+      renames: Seq[graft.ops.TableManifest.Rename] = Seq.empty)
+    extends Resolved
   case object Untracked extends Resolved
 }
 
@@ -291,7 +297,8 @@ private final class ManifestReadTable(spark: SparkSession,
     delegate: ParquetTable,
     dir: String, tableOptions: CaseInsensitiveStringMap,
     tracked: Option[(Seq[String], Option[StructType],
-      Map[String, (Long, Long)], Option[StructType])])
+      Map[String, (Long, Long)], Option[StructType],
+      Seq[graft.ops.TableManifest.Rename])])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
@@ -300,7 +307,7 @@ private final class ManifestReadTable(spark: SparkSession,
     * per resolved table and shared by `schema()` and every scan (the
     * index also owns the inferred partition spec of a hive layout). */
   private lazy val trackedIndex: Option[ManifestFileIndex] =
-    tracked.map { case (names, _, fstat, partSchema) =>
+    tracked.map { case (names, _, fstat, partSchema, _) =>
       // the construction-time session, NOT SparkSession.active: schema()
       // (which forces this) is called by relation creation in library
       // paths where no session is active on the calling thread. The
@@ -311,6 +318,28 @@ private final class ManifestReadTable(spark: SparkSession,
   /** The manifest-DECLARED partition schema and whether the snapshot is
     * empty — splitSchemas' empty-table fallback inputs. */
   private def declaredPartSchema: Option[StructType] = tracked.flatMap(_._4)
+
+  /** Column-mapping entries of the pinned snapshot that still have a
+    * live carrier in THIS relation's file list — nonEmpty means a plain
+    * single scan would serve NULLs for the renamed columns of those
+    * files, so the scan must be EXPANDED into per-physical-name group
+    * scans first ([[RenameReads.expand]], injected as a post-hoc
+    * resolution rule). Exposed for that rule. */
+  private[sources] def liveRenames: Seq[graft.ops.TableManifest.Rename] =
+    tracked.map { case (names, _, _, _, renames) =>
+      if (renames.isEmpty) Seq.empty
+      else {
+        val live = names.toSet
+        renames.map(r => r.copy(carriers = r.carriers.filter(live)))
+          .filter(_.carriers.nonEmpty)
+      }
+    }.getOrElse(Seq.empty)
+  private[sources] def tableDir: String = dir
+  private[sources] def sessionOf: SparkSession = spark
+  private[sources] def tableOpts: CaseInsensitiveStringMap = tableOptions
+  private[sources] def trackedSnapshot: Option[(Seq[String],
+      Option[StructType], Map[String, (Long, Long)], Option[StructType],
+      Seq[graft.ops.TableManifest.Rename])] = tracked
   private def snapshotEmpty: Boolean = tracked.exists(_._1.isEmpty)
 
   /** Serve the resolved schema DIRECTLY when the snapshot carries one:
@@ -334,9 +363,22 @@ private final class ManifestReadTable(spark: SparkSession,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a RENAMED table's relation must have been EXPANDED into
+    // per-physical-name group scans before any scan is built (the
+    // post-hoc rule in GraftExtensions, or readTable's library path) —
+    // a plain scan would silently serve NULLs for renamed columns of
+    // pre-rename files. Loud beats wrong: a session without the graft
+    // extensions gets this error, never bad data.
+    if (liveRenames.nonEmpty)
+      sys.error(s"graft-manifest: $dir has renamed columns whose old " +
+        "physical names are still carried by live files; reading it " +
+        "requires the graft session extensions " +
+        "(GraftExtensions expands the scan into per-physical-name " +
+        "groups) or TableManifest.readTable. OPTIMIZE the table to " +
+        "rewrite the carriers and clear the mapping.")
     (tracked, trackedIndex) match {
-      case (Some((_, schemaOpt, _, _)), Some(idx)) =>
+      case (Some((_, schemaOpt, _, _, _)), Some(idx)) =>
         // zero-FS-call planning: the file index is fabricated from the
         // pinned manifest body; only inventory gaps (pre-filestat
         // manifests) cost ONE directory listing. On a hive layout the
@@ -356,6 +398,7 @@ private final class ManifestReadTable(spark: SparkSession,
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
           dir, tableOptions)
     }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // a time-travel relation is a snapshot of the past; writing "to" it
     // would silently target the head instead — reject at planning
@@ -863,9 +906,80 @@ private[graft] object ManifestScans {
     // partSchema None: scanSnapshot is only called for non-empty slices
     // (scanListed's empty branch serves the declared columns itself)
     val table = new ManifestReadTable(spark, delegate, dir, opts,
-      Some((names, Some(schema), fstat, None)))
+      Some((names, Some(schema), fstat, None, Seq.empty)))
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(table, None, None))
   }
+}
+
+/** Expansion of a RENAMED table's relation into per-physical-name group
+  * scans — the read-side half of metadata-only `ALTER TABLE … RENAME
+  * COLUMN` ([[graft.ops.TableManifest.renameColumn]]). A renamed table's
+  * pre-rename data files still physically store the OLD column name
+  * (the manifest's column-mapping entries record exactly which), so one
+  * parquet scan under the logical schema would serve NULLs for them.
+  * Instead the relation becomes a UNION of one relation per
+  * physical-name group (carrier sets of successive renames are nested,
+  * so there are at most #renames + 1 groups), each group scanning its
+  * files under the physical names it actually carries and PROJECTing
+  * aliases back to the logical schema. Filters pushed through the
+  * aliases arrive at each group scan in that group's OWN physical names
+  * — parquet pushdown, manifest stat/bloom pruning, and partition
+  * pruning all survive the rename at full strength, per group. The
+  * first branch's aliases reuse the original relation's exprIds, so the
+  * Union's output binds wherever the original relation's did. Invoked
+  * by the post-hoc resolution rule GraftExtensions injects; the
+  * un-expanded scan path refuses to run ([[ManifestReadTable
+  * .newScanBuilder]]'s guard), so a session without the extensions is
+  * loud, never wrong. */
+private[graft] object RenameReads {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Union}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  /** Union-of-groups plan for `rel` when its table is a graft manifest
+    * table with live carrier files; None when no expansion is needed. */
+  def expandIfRenamed(rel: DataSourceV2Relation): Option[LogicalPlan] =
+    rel.table match {
+      case t: ManifestReadTable if t.liveRenames.nonEmpty =>
+        t.trackedSnapshot.flatMap {
+          case (names, Some(carried), fstat, partSchema, _) =>
+            val groups = TableManifest.renameGroups(t.liveRenames, names)
+            val branches = groups.zipWithIndex.map { case ((gNames, subst), b) =>
+              val gSet = gNames.toSet
+              val phys = StructType(carried.fields.map(f =>
+                subst.get(f.name.toLowerCase)
+                  .map(p => f.copy(name = p)).getOrElse(f)))
+              val gTable = new ManifestReadTable(t.sessionOf,
+                new ParquetTable(s"graft-manifest:${t.tableDir}",
+                  t.sessionOf, t.tableOpts,
+                  gNames.map(f => s"${t.tableDir}/$f"), Some(phys),
+                  classOf[ParquetFileFormat]),
+                t.tableDir, t.tableOpts,
+                Some((gNames, Some(phys), fstat.filter(kv => gSet(kv._1)),
+                  partSchema, Seq.empty)))
+              val gRel = DataSourceV2Relation.create(gTable, None, None,
+                t.tableOpts)
+              require(gRel.output.length == rel.output.length,
+                s"rename expansion of ${t.tableDir}: group $b serves " +
+                  s"${gRel.output.length} columns, relation has " +
+                  s"${rel.output.length}")
+              // positional: the physical schema preserves field order and
+              // every group shares the snapshot's partition spec
+              val aliases: Seq[NamedExpression] =
+                rel.output.zip(gRel.output).map { case (orig, child) =>
+                  if (b == 0)
+                    Alias(child, orig.name)(exprId = orig.exprId,
+                      qualifier = orig.qualifier)
+                  else Alias(child, orig.name)()
+                }
+              Project(aliases, gRel): LogicalPlan
+            }
+            Some(if (branches.length == 1) branches.head
+              else Union(branches))
+          case _ => None // pre-schema snapshot: the scan guard stays loud
+        }
+      case _ => None
+    }
 }

@@ -21,7 +21,8 @@ object TestSessions {
       "q186_partitioned_update", "q187_partitioned_merge",
       "q188_partitioned_optimize", "q190_drop_columns", "q191_sql_zorder",
       "q192_sql_cdc", "q193_sql_create_partitioned",
-      "q194_alter_column_widen", "q195_partitioned_cdc")
+      "q194_alter_column_widen", "q195_partitioned_cdc",
+      "q197_rename_column", "q198_rename_dml")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession

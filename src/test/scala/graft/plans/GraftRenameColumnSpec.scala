@@ -1,0 +1,260 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TableManifest
+
+/** Round 16: metadata-only `ALTER TABLE … RENAME COLUMN` via the
+  * manifest column mapping — mixed old/new-file reads (library + SQL),
+  * filter pushdown through the grouped expansion, chained renames, DML
+  * over renamed columns, carrier-set shrinkage through compaction, the
+  * rejection matrix, and the loud un-expanded-scan guard. */
+class GraftRenameColumnSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = graft.TestSessions.withExtensions
+  private def withActive[A](f: => A): A =
+    graft.TestSessions.withExtensionsActive(_ => f)
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"gm-ren-$tag").toString
+
+  private def freshName(tag: String): String =
+    s"gren_${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** A tracked flat table with columns (k BIGINT, v BIGINT, s STRING),
+    * rows k = 0..4, v = 10k, then RENAME v → w, then 5 more rows
+    * k = 5..9 appended under the new name. */
+  private def mixedTable(): String = withActive {
+    val dir = tmp("mixed")
+    import spark.implicits._
+    (0L until 5L).map(k => (k, k * 10L, s"r$k")).toDF("k", "v", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.renameColumn(spark, dir, "v", "w")
+    (5L until 10L).map(k => (k, k * 10L, s"r$k")).toDF("k", "w", "s")
+      .write.format("graft-manifest").mode("append").save(dir)
+    dir
+  }
+
+  test("library read serves renamed column across old and new files") {
+    val dir = mixedTable()
+    withActive {
+      val df = TableManifest.readTable(spark, dir)
+      assert(df.columns.toSeq.sorted == Seq("k", "s", "w"))
+      val rows = df.select("k", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == (0L until 10L).map(k => (k, k * 10L)).toSeq)
+    }
+  }
+
+  test("SQL read + filter on the renamed column finds pre-rename rows") {
+    val dir = mixedTable()
+    val tbl = freshName("sql")
+    withActive {
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+        s"OPTIONS (path '$dir')")
+      // w=20 lives in a PRE-rename file (physically column v)
+      assert(spark.sql(s"SELECT k FROM $tbl WHERE w = 20").collect()
+        .map(_.getLong(0)).toSeq == Seq(2L))
+      // aggregate over the mix
+      assert(spark.sql(s"SELECT CAST(SUM(w) AS BIGINT) FROM $tbl").head()
+        .getLong(0) == (0L until 10L).map(_ * 10L).sum)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("SQL ALTER TABLE RENAME COLUMN routes through the manifest and syncs the catalog") {
+    withActive {
+      val dir = tmp("alter")
+      val tbl = freshName("alter")
+      import spark.implicits._
+      (0L until 4L).map(k => (k, s"d$k")).toDF("id", "doc")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      TableManifest.init(spark, dir)
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+        s"OPTIONS (path '$dir')")
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN doc TO body")
+      assert(TableManifest.readSchema(spark, dir).get.fieldNames.toSeq
+        .sorted == Seq("body", "id"))
+      assert(TableManifest.readRenames(spark, dir).map(r =>
+        (r.to, r.from)) == Seq(("body", "doc")))
+      // catalog schema synced: INSERT resolves against the new name
+      spark.sql(s"INSERT INTO $tbl VALUES (4, 'd4')")
+      assert(spark.sql(s"SELECT body FROM $tbl WHERE id = 1").head()
+        .getString(0) == "d1")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE body = 'd4'")
+        .head().getLong(0) == 1L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("chained rename a->b->c reads all three file generations") {
+    withActive {
+      val dir = tmp("chain")
+      import spark.implicits._
+      Seq((1L, 100L)).toDF("k", "a").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      TableManifest.init(spark, dir)
+      TableManifest.renameColumn(spark, dir, "a", "b")
+      Seq((2L, 200L)).toDF("k", "b")
+        .write.format("graft-manifest").mode("append").save(dir)
+      TableManifest.renameColumn(spark, dir, "b", "c")
+      Seq((3L, 300L)).toDF("k", "c")
+        .write.format("graft-manifest").mode("append").save(dir)
+      val rows = TableManifest.readTable(spark, dir).select("k", "c")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+      // two live entries, both mapping to the CURRENT logical name
+      assert(TableManifest.readRenames(spark, dir).map(r =>
+        (r.to, r.from)).toSet == Set(("c", "a"), ("c", "b")))
+    }
+  }
+
+  test("rejection matrix: unknown, existing target, partition column, non-identifier") {
+    withActive {
+      val dir = tmp("rej")
+      import spark.implicits._
+      Seq((1L, 2L, 0L)).toDF("k", "v", "bucket").coalesce(1)
+        .write.mode("overwrite").parquet(dir)
+      TableManifest.init(spark, dir)
+      val unknown = intercept[RuntimeException](
+        TableManifest.renameColumn(spark, dir, "nope", "x"))
+      assert(unknown.getMessage.contains("unknown column"))
+      val existing = intercept[IllegalArgumentException](
+        TableManifest.renameColumn(spark, dir, "k", "v"))
+      assert(existing.getMessage.contains("already exists"))
+      val badName = intercept[IllegalArgumentException](
+        TableManifest.renameColumn(spark, dir, "k", "bad-name"))
+      assert(badName.getMessage.contains("identifier"))
+
+      val pdir = tmp("rejp")
+      TableManifest.publishPartitioned(
+        Seq((1L, 10L, 0L)).toDF("k", "v", "b"), pdir, Seq("b"))
+      val part = intercept[IllegalArgumentException](
+        TableManifest.renameColumn(spark, pdir, "b", "bb"))
+      assert(part.getMessage.contains("partition column"))
+    }
+  }
+
+  test("UPDATE and DELETE see pre-rename rows through the renamed column") {
+    val dir = mixedTable()
+    val tbl = freshName("dml")
+    withActive {
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+        s"OPTIONS (path '$dir')")
+      // w=20 is in a pre-rename file: the UPDATE must find and rewrite it
+      spark.sql(s"UPDATE $tbl SET w = 21 WHERE w = 20")
+      assert(spark.sql(s"SELECT w FROM $tbl WHERE k = 2").head()
+        .getLong(0) == 21L)
+      // the rewrite emitted the LOGICAL name: the rewritten file left the
+      // carrier set
+      val carriers = TableManifest.readRenames(spark, dir)
+        .flatMap(_.carriers).toSet
+      val live = TableManifest.read(spark, dir).get._2.toSet
+      assert(carriers.subsetOf(live))
+      // DELETE through the renamed column (pre-rename row k=1, w=10)
+      spark.sql(s"DELETE FROM $tbl WHERE w = 10")
+      assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) == 9L)
+      assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE w = 10").head()
+        .getLong(0) == 0L)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("compaction rewrites carriers to the logical name and clears the mapping") {
+    val dir = mixedTable()
+    withActive {
+      assert(TableManifest.readRenames(spark, dir).nonEmpty)
+      // everything is a small file: one pass rewrites the whole table
+      graft.ops.Compaction.compactTracked(spark, dir,
+        minFileBytes = 1L << 20, targetBytes = 1L << 24)
+      assert(TableManifest.readRenames(spark, dir).isEmpty,
+        "no live file carries the old name after a full rewrite")
+      // a PLAIN session (no extensions) can now read it — the mapping is
+      // gone, so the un-expanded scan guard does not fire
+      val rows = TableManifest.readTable(spark, dir).select("k", "w")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == (0L until 10L).map(k => (k, k * 10L)).toSeq)
+    }
+  }
+
+  test("time travel serves each version's own names") {
+    val dir = mixedTable()
+    withActive {
+      // v1 = init (pre-rename): column is still v
+      val v1 = TableManifest.readTableAt(spark, dir, 1L)
+      assert(v1.columns.contains("v") && !v1.columns.contains("w"))
+      assert(v1.select("v").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 10L, 20L, 30L, 40L))
+      // head serves w
+      assert(TableManifest.readTable(spark, dir).columns.contains("w"))
+    }
+  }
+
+  test("adding a column named like a carried physical name is loud") {
+    val dir = mixedTable()
+    withActive {
+      val e = intercept[IllegalArgumentException](
+        TableManifest.addColumns(spark, dir, Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+      assert(e.getMessage.contains("physically carried"))
+    }
+  }
+
+  test("sibling sessions read correctly; streams over carrier files are loud") {
+    val dir = mixedTable()
+    withActive {
+      // the shared-context sibling session picks up the expansion rule
+      // (extensions propagate through the shared builder state), so its
+      // read is CORRECT — the pre-rename file's w=20 row included. A
+      // truly extension-free JVM hits ManifestReadTable.newScanBuilder's
+      // loud guard instead of reading NULLs (exercised via the stream
+      // below, which never expands).
+      val plain = graft.SparkSpec.session
+      val viaPlain = plain.read.format("graft-manifest").load(dir)
+        .select("k", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(viaPlain == (0L until 10L).map(k => (k, k * 10L)).toSeq)
+      // a streaming read whose range includes carriers is refused loudly
+      val e = intercept[Exception] {
+        val q = spark.readStream.format("graft-manifest").load(dir)
+          .writeStream.format("memory")
+          .queryName(freshName("renstream")).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("OPTIMIZE")),
+        s"expected the carrier-range stream refusal, got: ${messages(e)}")
+    }
+  }
+
+  test("restore to a pre-rename version restores the old schema and mapping") {
+    val dir = mixedTable()
+    withActive {
+      TableManifest.restore(spark, dir, 1L)
+      assert(TableManifest.readSchema(spark, dir).get.fieldNames
+        .contains("v"))
+      assert(TableManifest.readRenames(spark, dir).isEmpty)
+      val rows = TableManifest.readTable(spark, dir).select("k", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == (0L until 5L).map(k => (k, k * 10L)).toSeq)
+    }
+  }
+
+  test("CDC addedBetween over a range including carriers aliases correctly") {
+    val dir = mixedTable()
+    withActive {
+      // (0, head]: includes the pre-rename file — served under the
+      // head's LOGICAL schema with the old physical column folded in
+      val head = TableManifest.read(spark, dir).get._1
+      val adds = TableManifest.addedBetween(spark, dir, 0L, head)
+      assert(adds.columns.toSeq.sorted == Seq("k", "s", "w"))
+      assert(adds.select("w").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 10L).map(_ * 10L).sorted.toSeq)
+    }
+  }
+}
