@@ -121,7 +121,8 @@ object ManifestPlanningMicroBench {
         .repartition(1).write.mode("overwrite").parquet(dir)
       graft.ops.TableManifest.init(spark, dir)
       val v1 = new String(Files.readAllBytes(
-        new java.io.File(dir, "_manifest").listFiles().head.toPath),
+        new java.io.File(dir, "_manifest").listFiles()
+          .filter(_.getName.matches("v\\d+\\.json")).head.toPath),
         StandardCharsets.UTF_8)
       val schemaB64 = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
         .findFirstMatchIn(v1).get.group(1)
@@ -188,6 +189,58 @@ object ManifestPlanningMicroBench {
       rm(new java.io.File(dir))
     }
 
+    // ---- SNAPSHOT-CACHE BUDGET (round 16): the resolution caches hold
+    // `spark.graft.manifest.cacheEntries` (default 4) resolved heads; a
+    // driver round-robin planning MORE hot large tables than that
+    // thrashes back to full checkpoint re-parses every plan. Fabricate 6
+    // tables of 100k ghost files each and round-robin plan them twice:
+    // at the default the second sweep re-parses every body (6 > 4); with
+    // the conf raised to 8 it serves every head from cache.
+    locally {
+      val dirs = (0 until 6).map { t =>
+        val dir = Files.createTempDirectory(s"gm-cache-$t").toString
+        spark.range(10).select(col("id"), (col("id") % 7).as("k"))
+          .repartition(1).write.mode("overwrite").parquet(dir)
+        graft.ops.TableManifest.init(spark, dir)
+        val v1 = new String(Files.readAllBytes(
+          new java.io.File(dir, "_manifest").listFiles()
+            .filter(_.getName.matches("v\\d+\\.json")).head.toPath),
+          StandardCharsets.UTF_8)
+        val schemaB64 = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
+          .findFirstMatchIn(v1).get.group(1)
+        val names = (0 until 100000).map(i => f"sql-0000000$t-p$i%07d.parquet")
+        val body = s"""{"version":2,"token":"bench",""" +
+          s""""schemab64":"$schemaB64",""" +
+          names.map("\"" + _ + "\"").mkString("\"files\":[", ",", "],") +
+          names.map(n => "\"" + n + "\":[4096,1700000000000]")
+            .mkString("\"filestat\":{", ",", "}") + "}"
+        Files.write(Paths.get(dir, "_manifest", f"v${2L}%020d.json"),
+          body.getBytes(StandardCharsets.UTF_8))
+        dir
+      }
+      def sweep(): Double = {
+        val t0 = System.nanoTime()
+        (1 to 2).foreach(_ => dirs.foreach(d =>
+          graft.ops.TableManifest.readHead(spark, d)))
+        (System.nanoTime() - t0) / 1e9
+      }
+      sweep() // cold resolutions either way
+      val thrash = (1 to 3).map(_ => sweep()).min
+      spark.conf.set("spark.graft.manifest.cacheEntries", "8")
+      sweep() // re-resolve into the larger cache
+      val cached = (1 to 3).map(_ => sweep()).min
+      spark.conf.unset("spark.graft.manifest.cacheEntries")
+      println(f"cache budget: 6x100k round-robin x2, default(4) " +
+        f"${thrash}%.3fs vs cacheEntries=8 ${cached}%.3fs " +
+        f"(ratio ${thrash / math.max(cached, 1e-9)}%.1f)")
+      dirs.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
+    }
+
     // ---- HEAD-READ cost vs ACCUMULATED VERSION COUNT (round 16): a
     // 1 Hz streaming table retains 86k manifest files per un-vacuumed
     // day, and pre-hint every head read paid one listStatus over ALL of
@@ -214,6 +267,10 @@ object ManifestPlanningMicroBench {
           v1.replaceFirst("\"version\":1", s""""version":$v""")
             .getBytes(StandardCharsets.UTF_8))
       }
+      // the hint is normally written through the (checksummed) Hadoop
+      // fs; fabricating it with raw nio must drop the stale CRC or the
+      // hint read hits a ChecksumException and silently falls back
+      Files.deleteIfExists(mdir.resolve("._head.crc"))
       Files.write(mdir.resolve("_head"),
         s"""{"v":$versions}""".getBytes(StandardCharsets.UTF_8))
       val hinted = timeIt(f"head-read hinted   n=$versions", reps = 9) {

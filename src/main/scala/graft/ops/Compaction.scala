@@ -362,7 +362,14 @@ object Compaction {
       dir: String,
       partition: Option[String],
       a: String,
-      b: String,
+      b: String): Stats =
+    zorderTracked(spark, dir, partition, Seq(a, b))
+
+  def zorderTracked(
+      spark: SparkSession,
+      dir: String,
+      partition: Option[String],
+      cols: Seq[String],
       targetBytes: Long = 128L << 20): Stats = {
     val (_, names) = TableManifest.read(spark, dir).getOrElse(
       sys.error(s"zorderTracked: $dir is not manifest-tracked"))
@@ -382,21 +389,21 @@ object Compaction {
         val prefix = part.stripSuffix("/") + "/"
         val scope = names.filter(_.startsWith(prefix))
         val (bytes, before) = filesOf(scope)
-        TableManifest.optimizeZOrderPartition(spark, dir, part, a, b,
+        TableManifest.optimizeZOrderPartition(spark, dir, part, cols,
           nFiles(bytes))
         Stats(before, scopeAfter(_.startsWith(prefix)), bytes)
       case None if partitioned =>
         val leaves = names.filter(_.contains("/"))
           .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
         leaves.foldLeft(Stats(0, 0, 0L)) { (acc, leaf) =>
-          val s = zorderTracked(spark, dir, Some(leaf), a, b, targetBytes)
+          val s = zorderTracked(spark, dir, Some(leaf), cols, targetBytes)
           Stats(acc.filesBefore + s.filesBefore,
             acc.filesAfter + s.filesAfter,
             acc.bytesRewritten + s.bytesRewritten)
         }
       case None =>
         val (bytes, before) = filesOf(names)
-        TableManifest.optimizeZOrderRange(spark, dir, a, b, Seq.empty,
+        TableManifest.optimizeZOrderRange(spark, dir, cols, Seq.empty,
           nFiles(bytes))
         Stats(before, scopeAfter(_ => true), bytes)
     }

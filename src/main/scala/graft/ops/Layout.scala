@@ -158,9 +158,29 @@ object Layout {
       df: org.apache.spark.sql.DataFrame,
       a: String,
       b: String,
+      numFiles: Int): org.apache.spark.sql.DataFrame =
+    clusterByMorton(df, Seq(a, b), numFiles)
+
+  /** N-dimensional Morton re-cluster (2-4 columns — the interleave
+    * ladders exist per arity; beyond 4-D the per-coordinate bit budget
+    * drops below what range clustering can use). Same contract as the
+    * 2-D form: rows sort by the interleaved key, range-partitioned into
+    * `numFiles` output files, each covering a small hyper-rectangle of
+    * the coordinate space. */
+  def clusterByMorton(
+      df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
       numFiles: Int): org.apache.spark.sql.DataFrame = {
+    val key = cols.map(col) match {
+      case Seq(a, b) => mortonKey(a, b)
+      case Seq(a, b, c) => mortonKey3(a, b, c)
+      case Seq(a, b, c, d) => mortonKey4(a, b, c, d)
+      case other => sys.error(
+        s"clusterByMorton: ${other.length} columns — the Morton " +
+          "interleave supports 2 to 4")
+    }
     val zc = "__z_" + java.util.UUID.randomUUID().toString.take(8)
-    df.withColumn(zc, mortonKey(col(a), col(b)))
+    df.withColumn(zc, key)
       .repartitionByRange(numFiles, col(zc))
       .sortWithinPartitions(zc)
       .drop(zc)

@@ -2573,7 +2573,11 @@ object TableManifest {
     * whole; run [[vacuum]] after a grace period. */
   def optimizeZOrder(spark: SparkSession, dir: String, a: String, b: String,
       numFiles: Int): Long =
-    optimizeZOrderRange(spark, dir, a, b, Seq.empty, numFiles)
+    optimizeZOrderRange(spark, dir, Seq(a, b), Seq.empty, numFiles)
+
+  def optimizeZOrderRange(spark: SparkSession, dir: String, a: String,
+      b: String, ranges: Seq[(String, Long, Long)], numFiles: Int): Long =
+    optimizeZOrderRange(spark, dir, Seq(a, b), ranges, numFiles)
 
   /** Bounded-scope z-order OPTIMIZE: rewrite ONLY the head files whose
     * stats can intersect `ranges` (plus unanalyzed files — they MIGHT),
@@ -2585,8 +2589,9 @@ object TableManifest {
     * prunable). Aborts (and removes its moved files) if a concurrent
     * full rewrite made the victim set disappear. Returns the committed
     * version, or the current head when nothing intersects. */
-  def optimizeZOrderRange(spark: SparkSession, dir: String, a: String,
-      b: String, ranges: Seq[(String, Long, Long)], numFiles: Int): Long = {
+  def optimizeZOrderRange(spark: SparkSession, dir: String,
+      cols: Seq[String], ranges: Seq[(String, Long, Long)],
+      numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     // ONE snapshot read: the victims and the early-return version must
     // come from the same head
@@ -2605,9 +2610,9 @@ object TableManifest {
             .parquet(victims.map(f => s"$dir/$f"): _*),
           readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
-      a, b, numFiles)
+      cols, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
-    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, cols)
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
       "optimizeZOrderRange", schema = Some(clustered.schema))
   }
@@ -2624,7 +2629,11 @@ object TableManifest {
     * deeper layouts are loud — a one-level-up rewrite would strip the
     * deeper name-carried values). Returns the committed version. */
   def optimizeZOrderPartition(spark: SparkSession, dir: String,
-      partition: String, a: String, b: String, numFiles: Int): Long = {
+      partition: String, a: String, b: String, numFiles: Int): Long =
+    optimizeZOrderPartition(spark, dir, partition, Seq(a, b), numFiles)
+
+  def optimizeZOrderPartition(spark: SparkSession, dir: String,
+      partition: String, cols: Seq[String], numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val prefix = partition.stripSuffix("/") + "/"
     val (headV, headS) = headSnapshot(spark, dir)
@@ -2635,7 +2644,7 @@ object TableManifest {
       s"optimizeZOrderPartition: $dir is not hive-partitioned; use " +
         "optimizeZOrderRange")
     val partCols = partitionColsIn(headFiles)
-    Seq(a, b).foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
+    cols.foreach(c => require(!partCols.exists(_.equalsIgnoreCase(c)),
       s"optimizeZOrderPartition: `$c` is a partition column — its value " +
         "is constant within the leaf; interleave data columns"))
     val victims = headFiles.filter(_.startsWith(prefix))
@@ -2653,9 +2662,9 @@ object TableManifest {
             .parquet(victims.map(f => s"$dir/$f"): _*),
           readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
-      a, b, numFiles)
+      cols, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir, rel = prefix)
-    val (mstats, msstats) = fileAllStats(spark, dir, moved, Seq(a, b))
+    val (mstats, msstats) = fileAllStats(spark, dir, moved, cols)
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
       "optimizeZOrderPartition", schema = Some(clustered.schema))
   }

@@ -166,24 +166,24 @@ object GraftSqlParser {
       case _ => sys.error("unreachable: empty table reference")
     }
 
-  /** `ZORDER BY (<cols>)` takes exactly two plain data columns (the
-    * Morton interleave is 2-D); the general-list match in the statement
-    * regex exists so one/three-plus/odd spellings land HERE with a
+  /** `ZORDER BY (<cols>)` takes two to four plain data columns (the
+    * Morton interleave ladders exist per arity — Delta/Iceberg's n-D
+    * convention); one/five-plus/odd spellings land HERE with a
     * graft-named message instead of falling through to Spark's delegate
     * parser and dying with a generic parse error. Back-quoted plain
     * identifiers are accepted (unwrapped); anything else is named. */
-  private[plans] def parseZOrderColumns(raw: String): (String, String) = {
+  private[plans] def parseZOrderColumns(raw: String): Seq[String] = {
     val cols = raw.split(',').map(_.trim).filter(_.nonEmpty)
       .map(c => if (c.length > 2 && c.head == '`' && c.last == '`')
         c.substring(1, c.length - 1) else c)
     cols.find(!_.matches("[A-Za-z_]\\w*")).foreach(bad => sys.error(
       s"OPTIMIZE … ZORDER BY: unsupported column reference '$bad' — " +
         "plain (optionally back-quoted) top-level identifiers only"))
-    if (cols.length != 2) sys.error(
-      "OPTIMIZE … ZORDER BY takes exactly two data columns (the Morton " +
-        s"interleave is 2-D), got ${cols.length}" +
+    if (cols.length < 2 || cols.length > 4) sys.error(
+      "OPTIMIZE … ZORDER BY takes two to four data columns (the Morton " +
+        s"interleave is 2-D to 4-D), got ${cols.length}" +
         (if (cols.isEmpty) "" else s": ${cols.mkString(", ")}"))
-    (cols(0), cols(1))
+    cols.toSeq
   }
 
   /** Precise clause parse of a pre-matched `CREATE TABLE … USING
@@ -444,7 +444,7 @@ case class RestoreCommand(table: GraftTableRef, version: Option[Long],
   * files carry fresh (a, b) stats, born prunable). One stats row. */
 case class OptimizeCommand(table: GraftTableRef,
     partition: Option[String] = None,
-    zorder: Option[(String, String)] = None) extends LeafRunnableCommand {
+    zorder: Option[Seq[String]] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)(),
@@ -452,8 +452,8 @@ case class OptimizeCommand(table: GraftTableRef,
   override def run(spark: SparkSession): Seq[Row] = {
     val path = table.path(spark)
     val s = (partition, zorder) match {
-      case (part, Some((a, b))) =>
-        graft.ops.Compaction.zorderTracked(spark, path, part, a, b)
+      case (part, Some(cols)) =>
+        graft.ops.Compaction.zorderTracked(spark, path, part, cols)
       case (Some(part), None) =>
         graft.ops.Compaction.compactPartition(spark, path, part)
       case (None, None) => graft.ops.Compaction.compactTracked(spark, path)

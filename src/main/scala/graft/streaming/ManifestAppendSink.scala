@@ -191,22 +191,50 @@ object ManifestAppendSink {
             s"its partition column `$c`"))
         val batch = spark.read.schema(alignedReadSchema.get)
           .parquet(parts.map(_.getPath.toString): _*)
-        // WRITE-PATH small-file policy (opt-in): each input task writes
-        // one file per partition value it holds, so a micro-batch of T
-        // tasks spanning P partitions lands up to T×P files per epoch —
-        // fine for leaf-aligned rewrites, fan-out-prone for streaming
-        // appends. With the conf set, the batch is shuffled BY the
-        // partition columns first (one task per live partition value →
-        // ≤ P files per epoch). Opt-in because the shuffle serializes a
-        // hot partition into one task — the right trade for
-        // many-partition event streams, the wrong one for skewed ones.
-        val repartition = spark.conf
+        // WRITE-PATH small-file policy, MEASURED by default: each input
+        // task writes one file per partition value it holds, so a
+        // micro-batch of T tasks spanning P live partition values lands
+        // up to T×P files per epoch. The policy estimates P with one
+        // cheap approx-distinct aggregate over the (already-hot,
+        // epoch-sized) scratch read and shuffles ONLY when the T×P bound
+        // exceeds `spark.graft.manifest.appendMaxFilesPerEpoch`
+        // (default 64) — small batches keep their shuffle-free layout.
+        // The shuffle is SALTED, not one-task-per-value: rows hash on
+        // (partition cols, salt) into ~cap tasks with salt fan-out
+        // cap/P per value, so a HOT partition keeps up to cap/P tasks of
+        // parallelism while the epoch's file count stays ≤ cap (each
+        // (value, salt) pair lands in exactly one task). The legacy
+        // boolean `spark.graft.manifest.appendRepartition` still forces
+        // the strict one-file-per-live-partition layout (salt factor 1).
+        import org.apache.spark.sql.functions.{abs => sqlAbs, approx_count_distinct, col, lit, pmod, struct, xxhash64}
+        val forceOnePerPartition = spark.conf
           .getOption("spark.graft.manifest.appendRepartition")
           .exists(_.trim.equalsIgnoreCase("true"))
+        val maxFiles = spark.conf
+          .getOption("spark.graft.manifest.appendMaxFilesPerEpoch")
+          .flatMap(_.trim.toIntOption).map(math.max(1, _)).getOrElse(64)
         val laid =
-          if (repartition && parts.size > 1)
-            batch.repartition(partCols.map(
-              org.apache.spark.sql.functions.col): _*)
+          if (forceOnePerPartition && parts.size > 1)
+            batch.repartition(partCols.map(col): _*)
+          else if (parts.size > 1) {
+            val live = math.max(1L, batch
+              .agg(approx_count_distinct(
+                struct(partCols.map(col): _*)).as("p"))
+              .head().getLong(0))
+            if (parts.size.toLong * live <= maxFiles) batch // small epoch
+            else {
+              val saltFactor = math.max(1L, maxFiles / live).toInt
+              val dataCols = batch.columns.filterNot(c =>
+                partCols.exists(_.equalsIgnoreCase(c)))
+              val salt =
+                if (saltFactor <= 1 || dataCols.isEmpty) lit(0)
+                else pmod(sqlAbs(xxhash64(dataCols.map(col).toSeq: _*)),
+                  lit(saltFactor.toLong))
+              val n = math.max(1, math.min(maxFiles,
+                (live * saltFactor).toInt))
+              batch.repartition(n, (partCols.map(col) :+ salt): _*)
+            }
+          }
           else batch
         TableManifest.writeAndMoveInPartitioned(
           laid, s"b$batchId", dir, partCols)

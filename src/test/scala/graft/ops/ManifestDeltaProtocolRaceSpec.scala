@@ -1,0 +1,159 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Round-16 CROSS-PROCESS drills of the log-structured commit protocol
+  * specifically — the pre-existing cross-process drills (INSERT race,
+  * restore/vacuum) predate the delta protocol and never force its two
+  * new windows across real OS processes:
+  *
+  *  1. the CHECKPOINT-DUE BOUNDARY: under `checkpointInterval=2` (the
+  *     maximum boundary frequency) every other commit must re-anchor, so
+  *     two racing CAS appenders contend exactly there — the winner
+  *     writes the checkpoint, the loser re-reads and writes a delta on
+  *     the NEW head. Pass = linearizability (no lost update, dense
+  *     versions) PLUS protocol-shape evidence: every delta record's base
+  *     is a checkpoint and no replay chain exceeds the interval.
+  *
+  *  2. VACUUM racing a MID-CHAIN REPLAY: an aggressive retention loop
+  *     (grace 0, retainManifests=2) in this process while a COLD-cache
+  *     reader JVM resolves the head and near-boundary retained versions.
+  *     Vacuum's chain-aware retention keeps every link from the oldest
+  *     retained version's checkpoint base forward, so the reader must
+  *     NEVER hit the loud out-of-protocol chain error
+  *     (`resolveSnap`'s missing-link path) — whole versions aging out is
+  *     legitimate and skipped by the reader. */
+class ManifestDeltaProtocolRaceSpec extends SparkSpec {
+
+  private def spawnChild(mode: String, dir: String, tag: String, n: Int,
+      ready: String, go: String, interval: Int): Process = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val moduleFlags = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ moduleFlags ++ Seq(
+      "-Xmx2g", "-cp", System.getProperty("java.class.path"),
+      "graft.ops.ManifestDeltaRaceMain", mode, dir, tag, n.toString,
+      ready, go, interval.toString)
+    val child = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).start()
+    val drain = new Thread(() => {
+      val src = scala.io.Source.fromInputStream(child.getInputStream)
+      src.getLines().foreach(l => System.err.println(s"[child] $l"))
+      src.close()
+    })
+    drain.setDaemon(true); drain.start()
+    child
+  }
+
+  private def awaitReadyAndGo(child: Process, ready: String, go: String): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    while (!new java.io.File(ready).exists()) {
+      assert(System.currentTimeMillis() < deadline, "child never ready")
+      assert(child.isAlive, "child died during startup")
+      Thread.sleep(20)
+    }
+    assert(new java.io.File(go).createNewFile())
+  }
+
+  test("two processes racing CAS appends across checkpoint-due boundaries (interval=2)") {
+    import spark.implicits._
+    val N = 8
+    val dir = Files.createTempDirectory("graft-dxp").toString
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "2")
+    try {
+      graft.streaming.ManifestAppendSink.applyBatch(Seq(1L).toDF("v"), 7L, dir)
+      val (v0, names0, hwm0) = TableManifest.readHead(spark, dir).get
+      assert(hwm0.contains(7L))
+      val scratch = Files.createTempDirectory("graft-dxp-flags")
+      val ready = scratch.resolve("ready").toString
+      val go = scratch.resolve("go").toString
+      val child = spawnChild("append", dir, "dxpB", N, ready, go, 2)
+      try {
+        awaitReadyAndGo(child, ready, go)
+        CasAppendLoop.run(spark, dir, "dxpA", N)
+        assert(child.waitFor() == 0, "child writer failed")
+      } finally if (child.isAlive) child.destroyForcibly()
+
+      val (v1, names1, hwm1) = TableManifest.readHead(spark, dir).get
+      val want = (1 to N).flatMap(i =>
+        Seq(s"dxpA-$i.parquet", s"dxpB-$i.parquet")).toSet
+      assert((want -- names1.toSet).isEmpty, "lost updates across processes")
+      assert(names0.toSet.subsetOf(names1.toSet), "seed files must survive")
+      assert(v1 == v0 + 2 * N, s"dense versions: $v0 -> $v1")
+      assert(hwm1.contains(7L), s"hwm clobbered: $hwm1")
+
+      // protocol-shape evidence straight from the written bodies: every
+      // delta's base is a CHECKPOINT and no chain exceeds the interval
+      val mdir = new java.io.File(dir, "_manifest")
+      val bodies = mdir.listFiles()
+        .filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName)
+        .map(f => f.getName.drop(1).takeWhile(_ != '.').toLong ->
+          new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        .toMap
+      val baseRe = """"delta":1,"base":(\d+)""".r
+      bodies.foreach { case (v, body) =>
+        baseRe.findFirstMatchIn(body) match {
+          case Some(m) =>
+            val base = m.group(1).toLong
+            val baseBody = bodies.getOrElse(base,
+              fail(s"v$v's base v$base missing"))
+            assert(baseRe.findFirstMatchIn(baseBody).isEmpty,
+              s"v$v's base v$base is itself a delta — corrupt chain")
+            assert(v - base < 2L,
+              s"v$v replays ${v - base} links past its checkpoint " +
+                "under interval=2")
+          case None => () // a checkpoint
+        }
+      }
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+  }
+
+  test("aggressive vacuum racing a cold-cache reader never breaks a retained chain (interval=2)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dxv").toString
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "2")
+    try {
+      graft.streaming.ManifestAppendSink.applyBatch(Seq(1L).toDF("v"), 1L, dir)
+      val scratch = Files.createTempDirectory("graft-dxv-flags")
+      val ready = scratch.resolve("ready").toString
+      val go = scratch.resolve("go").toString
+      val child = spawnChild("read", dir, "dxvR", 40, ready, go, 2)
+      try {
+        awaitReadyAndGo(child, ready, go)
+        // writer+vacuum loop in THIS process: append a name, then prune
+        // to the last 2 manifests with zero grace — the most hostile
+        // retention the protocol allows (chain-aware: keeps the oldest
+        // retained version's checkpoint base and every link forward)
+        (1 to 30).foreach { i =>
+          var won = false
+          var attempts = 0
+          while (!won) {
+            attempts += 1
+            assert(attempts <= 200, s"append $i starved")
+            val (v, names, hwm) = TableManifest.readHead(spark, dir).get
+            won = TableManifest.commitIf(spark, dir,
+              names :+ s"dxv-$i.parquet", expectedHead = v, hwm = hwm)
+              .isDefined
+          }
+          TableManifest.vacuum(spark, dir, graceMillis = 0L,
+            retainManifests = 2)
+        }
+        assert(child.waitFor() == 0,
+          "cold-cache reader hit a broken chain (see [child] stderr)")
+      } finally if (child.isAlive) child.destroyForcibly()
+      // the surviving history is still whole: head resolves, and every
+      // surviving delta's chain is intact
+      val (_, names, _) = TableManifest.readHead(spark, dir).get
+      assert((1 to 30).map(i => s"dxv-$i.parquet").toSet.subsetOf(names.toSet))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+  }
+}

@@ -192,8 +192,9 @@ class GraftDdlRound15Spec extends AnyFunSuite {
         assert(e.getMessage.contains(needle),
           s"expected '$needle' in: ${e.getMessage}")
       }
-      bad(s"OPTIMIZE '$dir' ZORDER BY (x)", "exactly two data columns")
-      bad(s"OPTIMIZE '$dir' ZORDER BY (x, y, s)", "exactly two data columns")
+      bad(s"OPTIMIZE '$dir' ZORDER BY (x)", "two to four data columns")
+      bad(s"OPTIMIZE '$dir' ZORDER BY (x, y, x, y, x)",
+        "two to four data columns")
       bad(s"OPTIMIZE '$dir' ZORDER BY (x + 1, y)",
         "unsupported column reference")
       // back-quoted plain identifiers are unwrapped and work

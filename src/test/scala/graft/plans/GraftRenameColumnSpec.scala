@@ -245,6 +245,34 @@ class GraftRenameColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("renaming a DATA column of a hive-partitioned table serves mixed generations with partition pruning intact") {
+    withActive {
+      val dir = tmp("part")
+      import spark.implicits._
+      TableManifest.publishPartitioned(
+        (0L until 8L).map(k => (k, k * 10L, k % 2)).toDF("k", "v", "b"),
+        dir, Seq("b"))
+      TableManifest.renameColumn(spark, dir, "v", "w")
+      (8L until 12L).map(k => (k, k * 10L, k % 2)).toDF("k", "w", "b")
+        .write.format("graft-manifest").mode("append").save(dir)
+      val df = TableManifest.readTable(spark, dir)
+      assert(df.columns.toSeq.sorted == Seq("b", "k", "w"))
+      // partition filter + renamed-column filter across both generations
+      val rows = df.filter($"b" === 0L && $"w" >= 40L)
+        .select("k", "w").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows == Seq((4L, 40L), (6L, 60L), (8L, 80L), (10L, 100L)))
+      // SQL over the same table through the expansion rule
+      val tbl = freshName("part")
+      spark.sql(s"CREATE TABLE $tbl USING `graft-manifest` " +
+        s"OPTIONS (path '$dir')")
+      assert(spark.sql(
+        s"SELECT CAST(SUM(w) AS BIGINT) FROM $tbl WHERE b = 1").head()
+        .getLong(0) == Seq(1L, 3L, 5L, 7L, 9L, 11L).map(_ * 10L).sum)
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("CDC addedBetween over a range including carriers aliases correctly") {
     val dir = mixedTable()
     withActive {
