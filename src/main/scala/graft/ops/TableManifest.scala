@@ -1163,6 +1163,17 @@ object TableManifest {
     // either way: winning the exclusive create of v<N>.json.
     val interval = effectiveCheckpointInterval(spark,
       headS.map(_.files.size).getOrElse(0))
+    // inventory entries that are NEW INFORMATION for files the head
+    // already lists (an analyzeSchema backfill of a legacy table): they
+    // must ride the record (replay only carries entries the head HAS)
+    // and they count toward the checkpoint guard (an O(files) backfill
+    // re-anchors instead of writing an O(files) delta every cold replay
+    // re-pays). Entries merely RESTATING what the head already carries
+    // are dropped from delta records — files are immutable, replay
+    // serves them already.
+    val addedSet = added.toSet
+    val fstatBackfill = headS.map(h => callerFstat.filter(kv =>
+      !addedSet(kv._1) && !h.fstat.contains(kv._1))).getOrElse(Map.empty)
     // a colmap-RESTATING commit always checkpoints: delta records cannot
     // carry the mapping (carriers are O(files-at-rename)), they inherit
     // it — so the record that CHANGES it must re-anchor the chain
@@ -1170,7 +1181,8 @@ object TableManifest {
       (v - headS.get.base) < interval &&
       removed.size * 2 <= math.max(1, headFiles.size) &&
       (added.size + freshStats.size + freshSStats.size +
-        freshBloom.size) * 2 <= math.max(8, headFiles.size + added.size)
+        freshBloom.size + fstatBackfill.size) * 2 <=
+        math.max(8, headFiles.size + added.size)
     val (body, snap) =
       if (writeDelta) {
         // adds/removes SORTED before both the record and the cache poke:
@@ -1179,15 +1191,16 @@ object TableManifest {
         // cache state (nondeterministic split assignment across JVMs)
         val addedS = added.sorted
         val removedS = removed.sorted
-        // the record's inventory overlay is filtered to the ADDED files:
-        // replay already carries the head's entries for every unchanged
-        // file (files are immutable, so those entries can never go
-        // stale), and an analyzeSchema/restore-shaped caller restating
-        // fstat for the WHOLE table would otherwise write an O(files)
-        // overlay into a delta record that every cold replay re-pays
-        // until the next checkpoint
-        val addedSet = added.toSet
-        val deltaFstat = callerFstat.filter(kv => addedSet(kv._1)) ++ statted
+        // the record's inventory overlay = entries for ADDED files plus
+        // the backfill of head-missing entries (guarded small above):
+        // replay already carries the head's entries for every other
+        // unchanged file (files are immutable, so those entries can
+        // never go stale), and an analyzeSchema/restore-shaped caller
+        // RESTATING fstat for the whole table would otherwise write an
+        // O(files) overlay into a delta record that every cold replay
+        // re-pays until the next checkpoint
+        val deltaFstat = callerFstat.filter(kv => addedSet(kv._1)) ++
+          fstatBackfill ++ statted
         val rec = DeltaRec(headS.get.base, addedS, removedS,
           outSchemaStored, outPartSchema, freshStats, freshSStats, freshBloom,
           deltaFstat, hwm, Some(ctime))
