@@ -2317,6 +2317,32 @@ object TableManifest {
         partitionSegmentUnits(v).forall(u => lo <= u && u <= hi))
     })
 
+  /** A stat/sstat/bloom map with each CARRIER file's entries for a
+    * renamed column's old physical name re-exposed under the requested
+    * logical spelling — so pruning predicates (always logical
+    * post-rename) keep their full power over pre-rename files instead
+    * of conservatively admitting them. Sound, not just conservative:
+    * the physical column's committed stats ARE the logical column's
+    * values for that file. Lazily applied — a no-op unless one of
+    * `cols` is actually a rename target — and chain-correct: a file's
+    * physical name is the `from` of the FIRST entry whose carriers
+    * contain it (the [[renameGroups]] rule). */
+  private def renameAware[A](m: Map[String, Map[String, A]],
+      renames: Seq[Rename], cols: Seq[String]): Map[String, Map[String, A]] = {
+    val relevant = cols.distinct.flatMap { c =>
+      val es = renames.filter(_.to.equalsIgnoreCase(c))
+      if (es.isEmpty) None else Some(c -> es)
+    }
+    if (relevant.isEmpty) m
+    else m.map { case (f, colMap) =>
+      f -> relevant.foldLeft(colMap) { case (cm, (c, es)) =>
+        if (cm.contains(c)) cm
+        else es.find(_.carriers(f)).flatMap(e => cm.get(e.from))
+          .map(v => cm + (c -> v)).getOrElse(cm)
+      }
+    }
+  }
+
   private def filterByRanges(files: Seq[String], stats: FileStats,
       ranges: Seq[(String, Long, Long)]): Seq[String] =
     files.filter { f =>
@@ -2336,7 +2362,8 @@ object TableManifest {
   def prunedFilesAll(spark: SparkSession, dir: String,
       ranges: Seq[(String, Long, Long)]): Seq[String] = {
     val (_, snap) = headSnapshot(spark, dir)
-    filterByRanges(snap.files, snap.stats, ranges)
+    filterByRanges(snap.files,
+      renameAware(snap.stats, snap.renames, ranges.map(_._1)), ranges)
   }
 
   /** Range scan with manifest data skipping: open ONLY the files whose
@@ -2485,7 +2512,9 @@ object TableManifest {
   def prunedFilesEq(spark: SparkSession, dir: String, column: String,
       values: Seq[Long]): Seq[String] = {
     val (_, snap) = headSnapshot(spark, dir)
-    filterByPointValues(snap.files, snap.bloom, snap.stats,
+    filterByPointValues(snap.files,
+      renameAware(snap.bloom, snap.renames, Seq(column)),
+      renameAware(snap.stats, snap.renames, Seq(column)),
       column, values)
   }
 
@@ -2545,7 +2574,8 @@ object TableManifest {
   def prunedFilesIn(spark: SparkSession, dir: String, column: String,
       values: Seq[String]): Seq[String] = {
     val (_, snap) = headSnapshot(spark, dir)
-    filterByStringValues(snap.files, snap.sstats, column, values)
+    filterByStringValues(snap.files,
+      renameAware(snap.sstats, snap.renames, Seq(column)), column, values)
   }
 
   /** Category scan with manifest data skipping: open ONLY the files whose
@@ -2612,7 +2642,8 @@ object TableManifest {
     val headFiles = headS.files
     if (headV == 0L) sys.error(s"optimizeZOrderRange: $dir is not tracked")
     requireFlatLayout(headFiles, "optimizeZOrderRange")
-    val victims = filterByRanges(headFiles, headS.stats, ranges)
+    val victims = filterByRanges(headFiles,
+      renameAware(headS.stats, headS.renames, ranges.map(_._1)), ranges)
     if (victims.isEmpty) return headV
     // projected to the declared schema: an undeclared (dropped) footer
     // column must not ride the re-cluster back into the carried schema
@@ -2751,8 +2782,9 @@ object TableManifest {
     if (headV == 0L) sys.error(s"eraseWhereEq: $dir is not manifest-tracked")
     // partitioned layouts: a key carried in the k=v names prunes exactly
     // (constant per file); data-column keys keep the bloom/range pruning
-    val victims = filterByPointValues(headFiles, headS.bloom,
-      headS.stats, column, values)
+    val victims = filterByPointValues(headFiles,
+      renameAware(headS.bloom, headS.renames, Seq(column)),
+      renameAware(headS.stats, headS.renames, Seq(column)), column, values)
       .filter(f => segmentAdmits(f, column)(v =>
         partitionSegmentUnits(v).forall(values.contains)))
     eraseRewrite(spark, dir, headV, victims, column,
@@ -2771,7 +2803,7 @@ object TableManifest {
     val headFiles = headS.files
     if (headV == 0L) sys.error(s"eraseWhereIn: $dir is not manifest-tracked")
     val victims = filterByStringValues(headFiles,
-      headS.sstats, column, values)
+      renameAware(headS.sstats, headS.renames, Seq(column)), column, values)
       .filter(f => segmentAdmits(f, column)(values.contains))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
@@ -2804,7 +2836,8 @@ object TableManifest {
     if (headV == 0L)
       sys.error(s"eraseWhereRange: $dir is not manifest-tracked")
     val victims = filterBySegmentRanges(
-      filterByRanges(headFiles, headS.stats,
+      filterByRanges(headFiles,
+        renameAware(headS.stats, headS.renames, Seq(column)),
         Seq((column, lo, hi))),
       Seq((column, lo, hi)))
     eraseRewrite(spark, dir, headV, victims, column,
@@ -2966,7 +2999,8 @@ object TableManifest {
           .head()
         if (bounds.isNullAt(0)) headFiles // all-NULL would have failed the guard; stay conservative
         else filterBySegmentRanges( // a partition-column key prunes on its k=v segments
-          filterByRanges(headFiles, headS.stats,
+          filterByRanges(headFiles,
+            renameAware(headS.stats, headS.renames, Seq(keyCol)),
             Seq((keyCol, bounds.getLong(0), bounds.getLong(1)))),
           Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
       }
@@ -3655,7 +3689,9 @@ object TableManifest {
     val candidates =
       if (pruneRanges.isEmpty) headFiles
       else filterBySegmentRanges(
-        filterByRanges(headFiles, headS.stats, pruneRanges),
+        filterByRanges(headFiles,
+          renameAware(headS.stats, headS.renames, pruneRanges.map(_._1)),
+          pruneRanges),
         pruneRanges)
     if (candidates.isEmpty) return headV
     // DECLARED columns no data file physically carries yet (an [[

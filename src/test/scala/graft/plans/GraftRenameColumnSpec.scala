@@ -281,6 +281,40 @@ class GraftRenameColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("stats committed under the OLD physical name keep pruning through the rename") {
+    withActive {
+      val dir = tmp("prune")
+      import spark.implicits._
+      // two one-file generations with disjoint v ranges, stats committed
+      // BEFORE the rename (keyed by the physical name v)
+      (0L until 5L).map(k => (k, k * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      TableManifest.init(spark, dir)
+      TableManifest.analyze(spark, dir, Seq("v", "k"))
+      TableManifest.renameColumn(spark, dir, "v", "w")
+      (5L until 10L).map(k => (k, k * 10L)).toDF("k", "w")
+        .write.format("graft-manifest").mode("append").save(dir)
+      TableManifest.analyze(spark, dir, Seq("w", "k"))
+      val all = TableManifest.read(spark, dir).get._2
+      assert(all.size >= 2)
+      // a LOGICAL-name range that only the pre-rename file can hold:
+      // the carrier's old-name stats must prune the post-rename files
+      val lowOnly = TableManifest.prunedFilesAll(spark, dir,
+        Seq(("w", 0L, 30L)))
+      assert(lowOnly.size < all.size,
+        s"carrier stats under the old name must keep pruning: $lowOnly")
+      // and the other way: a range only the post-rename file holds
+      val highOnly = TableManifest.prunedFilesAll(spark, dir,
+        Seq(("w", 60L, 90L)))
+      assert(highOnly.size < all.size)
+      // a stats-pruned range DELETE through the renamed column is exact
+      TableManifest.eraseWhereRange(spark, dir, "w", 0L, 25L)
+      val left = TableManifest.readTable(spark, dir)
+        .select("w").collect().map(_.getLong(0)).sorted.toSeq
+      assert(left == (3L until 10L).map(_ * 10L).toSeq)
+    }
+  }
+
   test("CDC addedBetween over a range including carriers aliases correctly") {
     val dir = mixedTable()
     withActive {
