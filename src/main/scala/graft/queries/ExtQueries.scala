@@ -7129,13 +7129,16 @@ object ExtQueries {
       col("o_orderpriority").as("pri"),
       round(col("o_totalprice") * 100).cast("long").as("cents"))
     src.createOrReplaceTempView(view)
+    // few large files, not one-per-task: the UPDATE/DELETE below rewrite
+    // every file holding a match (no stats committed — all candidates),
+    // so the fixture's file count IS the statements' rewrite cost
     graft.ops.TableManifest.publish(
-      src.filter(col("k") % 3 === 0), tmp) // v1: pre-rename files
+      src.filter(col("k") % 3 === 0).coalesce(2), tmp) // v1: pre-rename
     s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
     try {
       s.sql(s"ALTER TABLE $tbl RENAME COLUMN cents TO amount")
-      s.sql(s"INSERT INTO $tbl SELECT k, pri, cents AS amount " +
-        s"FROM $view WHERE k % 3 <> 0")
+      s.sql(s"INSERT INTO $tbl SELECT /*+ COALESCE(2) */ k, pri, " +
+        s"cents AS amount FROM $view WHERE k % 3 <> 0")
       // rows in BOTH generations: double small amounts, then erase the
       // very largest — both statements address the RENAMED column
       s.sql(s"UPDATE $tbl SET amount = amount * 2 WHERE amount < 500000")
