@@ -287,6 +287,23 @@ object TableManifest {
   private[graft] final case class Rename(to: String, from: String,
       carriers: Set[String])
 
+  /** One DROP-COLUMN tombstone: physical column `name` is no longer
+    * declared, but its BYTES are still carried in the footers of exactly
+    * the data files in `carriers` (the files of the renameGroups group
+    * that physically held the name when the drop committed). The
+    * tombstone exists for ONE reason: re-introducing the name — `ADD
+    * COLUMN`, an evolved append, or `RENAME … TO name` — while carriers
+    * live would make reads serve the DROPPED column's stale footer bytes
+    * under the new column (merged-footer victim reads, coalesceRenamed
+    * chains, and committed-stat pruning would all prefer the leftover).
+    * Both commit choke points reject that collision until the carriers
+    * age out of the data (copy-on-write rewrites project victims to the
+    * declared schema, so every rewrite shrinks the set); the entry DROPS
+    * once no live file carries the bytes, and the name is free again.
+    * Same carry/shrink mechanics as [[Rename]] carriers. */
+  private[graft] final case class Dropped(name: String,
+      carriers: Set[String])
+
   /** The column-mapping field: base64 of a compact JSON array (like the
     * schemas — one regex parse, zero interaction with the body's other
     * regex-parsed sections, and the no-escaping invariant holds
@@ -294,35 +311,103 @@ object TableManifest {
     * INHERIT the previous state's entries minus their removed files
     * (carriers are O(files-at-rename) — restating them per record would
     * break the O(delta) commit hot path), which is why any commit that
-    * CHANGES the mapping forces a checkpoint. */
+    * CHANGES the mapping forces a checkpoint.
+    *
+    * Carrier-set encoding: carriers are always a subset of the same
+    * body's `files` array, so a checkpoint stores each set as `carrbm` —
+    * a base64 BITMAP over the body's SORTED file list (bit i = files(i)
+    * is a carrier) — instead of restating O(carriers) names per entry: k
+    * chained renames on a 1M-file table cost k × 125 KB of bitmap
+    * instead of k × ~40 MB of names, keeping checkpoint render/replay
+    * within noise of an un-renamed table's. The explicit
+    * `"carriers":[…]` shape is still parsed (pre-round-17 bodies) and
+    * still written for the never-expected case of a carrier missing
+    * from the file list (soundness over compactness). The same array
+    * carries [[Dropped]] tombstones as `{"dropped":name,…}` entries. */
   private val ColmapB64Re = """"colmapb64":"([A-Za-z0-9+/=]*)"""".r
   private val ColmapEntryRe =
-    """\{"to":"([^"]*)","from":"([^"]*)","carriers":\[([^\]]*)\]\}""".r
+    ("""\{"to":"([^"]*)","from":"([^"]*)",""" +
+      """(?:"carriers":\[([^\]]*)\]|"carrbm":"([A-Za-z0-9+/=]*)")\}""").r
+  private val DroppedEntryRe =
+    ("""\{"dropped":"([^"]*)",""" +
+      """(?:"carriers":\[([^\]]*)\]|"carrbm":"([A-Za-z0-9+/=]*)")\}""").r
 
-  private def encodeColmap(renames: Seq[Rename]): String = {
+  /** Bitmap over `sortedFiles` for a carrier set, or None when some
+    * carrier is not in the list (fall back to the explicit shape). */
+  private def carrierBitmap(carriers: Set[String],
+      index: collection.Map[String, Int], n: Int): Option[String] = {
+    val bytes = new Array[Byte]((n + 7) / 8)
+    val it = carriers.iterator
+    while (it.hasNext) {
+      index.get(it.next()) match {
+        case Some(i) => bytes(i >> 3) = (bytes(i >> 3) | (1 << (i & 7))).toByte
+        case None => return None
+      }
+    }
+    Some(Base64.getEncoder.encodeToString(bytes))
+  }
+
+  private def carriersOf(explicit: String, bm: String,
+      sortedFiles: Seq[String]): Set[String] =
+    if (explicit != null)
+      "\"([^\"]*)\"".r.findAllMatchIn(explicit).map(_.group(1)).toSet
+    else {
+      val bytes = Base64.getDecoder.decode(bm)
+      val out = Set.newBuilder[String]
+      var i = 0
+      val n = math.min(sortedFiles.length, bytes.length * 8)
+      while (i < n) {
+        if ((bytes(i >> 3) & (1 << (i & 7))) != 0) out += sortedFiles(i)
+        i += 1
+      }
+      out.result()
+    }
+
+  private[graft] def encodeColmap(renames: Seq[Rename],
+      dropped: Seq[Dropped], sortedFiles: Seq[String]): String = {
     renames.foreach { r =>
       require(r.to.matches("[A-Za-z_]\\w*") && r.from.matches("[A-Za-z_]\\w*"),
         s"rename entry ${r.from} -> ${r.to}: plain identifiers only " +
           "(no-escaping invariant)")
-      requireJsonSafeNames(r.carriers.toSeq)
     }
-    val json = renames.map { r =>
-      s"""{"to":"${r.to}","from":"${r.from}","carriers":[""" +
-        r.carriers.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
-    }.mkString("[", ",", "]")
+    dropped.foreach { d =>
+      require(d.name.matches("[A-Za-z_]\\w*"),
+        s"drop tombstone ${d.name}: plain identifiers only " +
+          "(no-escaping invariant)")
+    }
+    val index = sortedFiles.iterator.zipWithIndex.toMap
+    val n = sortedFiles.length
+    def carr(cs: Set[String]): String =
+      carrierBitmap(cs, index, n) match {
+        case Some(bm) => s""""carrbm":"$bm""""
+        case None =>
+          requireJsonSafeNames(cs.toSeq)
+          "\"carriers\":[" +
+            cs.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]"
+      }
+    val json = (renames.map { r =>
+      s"""{"to":"${r.to}","from":"${r.from}",""" + carr(r.carriers) + "}"
+    } ++ dropped.map { d =>
+      s"""{"dropped":"${d.name}",""" + carr(d.carriers) + "}"
+    }).mkString("[", ",", "]")
     Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
   }
 
-  private def parseColmap(json: String): Seq[Rename] =
+  private[graft] def parseColmap(json: String,
+      sortedFiles: Seq[String]): (Seq[Rename], Seq[Dropped]) =
     ColmapB64Re.findFirstMatchIn(json).map { m =>
       val decoded = new String(Base64.getDecoder.decode(m.group(1)),
         StandardCharsets.UTF_8)
-      ColmapEntryRe.findAllMatchIn(decoded).map { em =>
+      val renames = ColmapEntryRe.findAllMatchIn(decoded).map { em =>
         Rename(em.group(1), em.group(2),
-          "\"([^\"]*)\"".r.findAllMatchIn(em.group(3))
-            .map(_.group(1)).toSet)
+          carriersOf(em.group(3), em.group(4), sortedFiles))
       }.toSeq
-    }.getOrElse(Seq.empty)
+      val dropped = DroppedEntryRe.findAllMatchIn(decoded).map { em =>
+        Dropped(em.group(1),
+          carriersOf(em.group(2), em.group(3), sortedFiles))
+      }.toSeq
+      (renames, dropped)
+    }.getOrElse((Seq.empty, Seq.empty))
 
   private val PartSchemaB64Re = """"partschemab64":"([A-Za-z0-9+/=]*)"""".r
   private def parsePartSchema(json: String): Option[StructType] =
@@ -458,7 +543,8 @@ object TableManifest {
       hwm: Option[Long],
       ctime: Option[Long],
       base: Long,
-      renames: Seq[Rename] = Seq.empty)
+      renames: Seq[Rename] = Seq.empty,
+      dropped: Seq[Dropped] = Seq.empty)
 
   /** One parsed DELTA record: names added/removed vs the previous
     * version's resolved state, stat/inventory OVERLAYS for (at least) the
@@ -487,10 +573,15 @@ object TableManifest {
         parseHwm(body), parseCtime(body)))
       // files as a Vector: the append fast path advances it by
       // structural sharing (`++` of a small batch is O(log n + batch))
-      case None => Right(Snap(parseFiles(body).toVector, parseSchema(body),
-        parsePartSchema(body), parseStats(body), parseStringStats(body),
-        parseBloom(body), parseFileStat(body), parseHwm(body),
-        parseCtime(body), base = v, renames = parseColmap(body)))
+      case None =>
+        // the body's files array is rendered SORTED — exactly the order
+        // the colmap's carrier bitmaps index into
+        val files = parseFiles(body).toVector
+        val (renames, dropped) = parseColmap(body, files)
+        Right(Snap(files, parseSchema(body),
+          parsePartSchema(body), parseStats(body), parseStringStats(body),
+          parseBloom(body), parseFileStat(body), parseHwm(body),
+          parseCtime(body), base = v, renames = renames, dropped = dropped))
     }
 
   /** Apply one delta record to the previous version's resolved state —
@@ -521,7 +612,7 @@ object TableManifest {
       Snap(s.files ++ d.adds, d.schema, d.partSchema,
         overlay(s.stats, d.stats), overlay(s.sstats, d.sstats),
         overlay(s.bloom, d.bloom), s.fstat ++ d.fstat,
-        d.hwm, d.ctime, d.base, renames = s.renames)
+        d.hwm, d.ctime, d.base, renames = s.renames, dropped = s.dropped)
     } else {
       val removed = d.removes.toSet
       val files = s.files.filterNot(removed) ++ d.adds
@@ -535,15 +626,19 @@ object TableManifest {
           .filter(_._2.nonEmpty)
           .toMap
       // removed carrier files leave their mapping entries; an entry no
-      // live file carries is DROPPED (the rename has fully aged out)
+      // live file carries is DROPPED (the rename has fully aged out) —
+      // drop tombstones shrink the same way
       val renames = s.renames
         .map(r => r.copy(carriers = r.carriers.filter(fset)))
+        .filter(_.carriers.nonEmpty)
+      val dropped = s.dropped
+        .map(t => t.copy(carriers = t.carriers.filter(fset)))
         .filter(_.carriers.nonEmpty)
       Snap(files, d.schema, d.partSchema,
         merge(s.stats, d.stats), merge(s.sstats, d.sstats),
         merge(s.bloom, d.bloom),
         (s.fstat ++ d.fstat).filter(kv => fset(kv._1)),
-        d.hwm, d.ctime, d.base, renames = renames)
+        d.hwm, d.ctime, d.base, renames = renames, dropped = dropped)
     }
   }
 
@@ -1030,7 +1125,8 @@ object TableManifest {
       partSchema: Option[StructType] = None,
       replacePartSchema: Boolean = false,
       colmap: Option[Seq[Rename]] = None,
-      replaceColmap: Boolean = false): Option[Long] = {
+      replaceColmap: Boolean = false,
+      dropTombstones: Option[Seq[Dropped]] = None): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -1123,24 +1219,34 @@ object TableManifest {
       else headS.map(_.renames).getOrElse(Seq.empty))
       .map(r => r.copy(carriers = r.carriers.filter(fileSet)))
       .filter(_.carriers.nonEmpty)
+    // DROP-COLUMN tombstones survive and shrink exactly like the rename
+    // entries (replaceColmap governs both — a caller restating the
+    // mapping restates the tombstones it read from the same head)
+    val outDropped = (if (replaceColmap) dropTombstones.getOrElse(Seq.empty)
+      else headS.map(_.dropped).getOrElse(Seq.empty))
+      .map(t => t.copy(carriers = t.carriers.filter(fileSet)))
+      .filter(_.carriers.nonEmpty)
     // a NEW column whose name collides with a live entry's physical
-    // `from` would make old carrier files serve the OLD column's bytes
-    // under the new column's name — rejected here, at the one choke
-    // point every schema-widening path (declared or footer-merged)
-    // funnels through
-    if (outRenames.nonEmpty) outSchemaStored.foreach { s =>
-      val headNames = headSchema.map(_.fieldNames.map(_.toLowerCase).toSet)
-        .getOrElse(Set.empty)
-      val fresh = s.fieldNames.filterNot(n => headNames(n.toLowerCase))
-      val collide = fresh.filter(n =>
-        outRenames.exists(_.from.equalsIgnoreCase(n)))
-      require(collide.isEmpty,
-        s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
-          "name is still physically carried by files written before a " +
-          "RENAME COLUMN (old footers would serve the renamed column's " +
-          "bytes under it); OPTIMIZE the table to rewrite the carriers " +
-          "first")
-    }
+    // `from` — or with a DROPPED column's tombstoned physical name —
+    // would make old carrier files serve the OLD column's bytes under
+    // the new column's name — rejected here, at the one choke point
+    // every schema-widening path (declared or footer-merged) funnels
+    // through
+    if (outRenames.nonEmpty || outDropped.nonEmpty)
+      outSchemaStored.foreach { s =>
+        val headNames = headSchema.map(_.fieldNames.map(_.toLowerCase).toSet)
+          .getOrElse(Set.empty)
+        val fresh = s.fieldNames.filterNot(n => headNames(n.toLowerCase))
+        val collide = fresh.filter(n =>
+          outRenames.exists(_.from.equalsIgnoreCase(n)) ||
+            outDropped.exists(_.name.equalsIgnoreCase(n)))
+        require(collide.isEmpty,
+          s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
+            "name is still physically carried by files written before a " +
+            "RENAME/DROP COLUMN (old footers would serve the stale " +
+            "bytes under it); OPTIMIZE the table to rewrite the " +
+            "carriers first")
+      }
     val v = expectedHead + 1
     val ctime = System.currentTimeMillis()
     val token = UUID.randomUUID().toString
@@ -1239,11 +1345,12 @@ object TableManifest {
           ctimeMillis = Some(ctime),
           partSchemaB64 = outPartSchema.map(encodeSchema),
           colmapB64 =
-            if (outRenames.isEmpty) None else Some(encodeColmap(outRenames)))
+            if (outRenames.isEmpty && outDropped.isEmpty) None
+            else Some(encodeColmap(outRenames, outDropped, files.sorted)))
           .getBytes(StandardCharsets.UTF_8),
           Snap(files.sorted.toVector, outSchemaStored, outPartSchema, outStats, outSStats,
             outBloom, outFstat, hwm, Some(ctime), base = v,
-            renames = outRenames))
+            renames = outRenames, dropped = outDropped))
       }
     val target = manifestPath(p, v)
     if (!createExclusive(fs, mdir, target, body)) None
@@ -1307,19 +1414,23 @@ object TableManifest {
         if (adds.isEmpty) Some(a) else inferAdded().map(SchemaBridge.merge(a, _))
       case (None, _) => None // pre-schema table: the delta is not evidence
     }).map(SchemaBridge.asNullable)
-    // same new-column-vs-carried-physical-name guard as commitIf
-    if (headS.renames.nonEmpty) outSchema.foreach { s =>
-      val headNames = headS.schema
-        .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
-      val collide = s.fieldNames
-        .filterNot(n => headNames(n.toLowerCase))
-        .filter(n => headS.renames.exists(_.from.equalsIgnoreCase(n)))
-      require(collide.isEmpty,
-        s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
-          "name is still physically carried by files written before a " +
-          "RENAME COLUMN; OPTIMIZE the table to rewrite the carriers " +
-          "first")
-    }
+    // same new-column-vs-carried-physical-name guard as commitIf —
+    // rename entries' physical `from`s AND drop tombstones both pin
+    // names that live footers still carry
+    if (headS.renames.nonEmpty || headS.dropped.nonEmpty)
+      outSchema.foreach { s =>
+        val headNames = headS.schema
+          .map(_.fieldNames.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+        val collide = s.fieldNames
+          .filterNot(n => headNames(n.toLowerCase))
+          .filter(n => headS.renames.exists(_.from.equalsIgnoreCase(n)) ||
+            headS.dropped.exists(_.name.equalsIgnoreCase(n)))
+        require(collide.isEmpty,
+          s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
+            "name is still physically carried by files written before a " +
+            "RENAME/DROP COLUMN; OPTIMIZE the table to rewrite the " +
+            "carriers first")
+      }
     val outPartSchema = headS.partSchema // appends never restate it
     val addSet = adds.toSet
     val freshStats = cleanStats(stats.filter(kv => addSet(kv._1)))
@@ -2336,9 +2447,19 @@ object TableManifest {
     if (relevant.isEmpty) m
     else m.map { case (f, colMap) =>
       f -> relevant.foldLeft(colMap) { case (cm, (c, es)) =>
-        if (cm.contains(c)) cm
-        else es.find(_.carriers(f)).flatMap(e => cm.get(e.from))
-          .map(v => cm + (c -> v)).getOrElse(cm)
+        es.find(_.carriers(f)) match {
+          // a CARRIER resolves strictly through its entry's physical
+          // name: a same-named committed stat on a carrier can only be
+          // a dropped column's stale leftover (renameColumn rejects
+          // reusing a carried name, but pre-guard tables exist) — never
+          // let it shadow the mapping; absent `from` stats means the
+          // file is simply unprunable on this column (conservative)
+          case Some(e) => cm.get(e.from) match {
+            case Some(v) => cm + (c -> v)
+            case None => cm - c
+          }
+          case None => cm
+        }
       }
     }
   }
@@ -3205,7 +3326,8 @@ object TableManifest {
         sstats = snapV.sstats, bloom = snapV.bloom, schema = snapV.schema,
         replaceSchema = true, fstat = snapV.fstat,
         partSchema = snapV.partSchema, replacePartSchema = true,
-        colmap = Some(snapV.renames), replaceColmap = true) match {
+        colmap = Some(snapV.renames), replaceColmap = true,
+        dropTombstones = Some(snapV.dropped)) match {
         case Some(v2) =>
           // Close the check-then-commit race with vacuum: the check above
           // ran against files that were DELISTED (fair game for a
@@ -3235,7 +3357,8 @@ object TableManifest {
                     partSchema = prev.partSchema,
                     replacePartSchema = true,
                     colmap = Some(prev.renames),
-                    replaceColmap = true).isDefined)
+                    replaceColmap = true,
+                    dropTombstones = Some(prev.dropped)).isDefined)
                   s"window — rolled the head back to v$headV's contents; "
                 else
                   "window — and another commit already advanced the head " +
@@ -3310,12 +3433,16 @@ object TableManifest {
     * to the declared schema ([[projectToDeclared]]), so the physical
     * bytes age out as files naturally rewrite. Time travel and RESTORE
     * keep each version's own schema (the column reappears when reading
-    * v_old — that's history, not a leak). Contract edges, all loud:
+    * v_old — that's history, not a leak). Each dropped column leaves a
+    * [[Dropped]] tombstone naming the physical column and the files
+    * still carrying its bytes: RE-INTRODUCING the name (ADD COLUMN, an
+    * evolved append's footer-merge, RENAME … TO it) is rejected at both
+    * commit choke points until the carriers age out — serving the
+    * dropped column's stale footer bytes under the new column is the
+    * silent-corruption path the tombstone exists to close (OPTIMIZE
+    * frees the name immediately). Contract edges, all loud:
     * unknown columns, partition columns (they live in the NAMES — drop
-    * the partitions or re-publish), and dropping every column. A
-    * LIBRARY append that explicitly declares the dropped column re-adds
-    * it (the append-widens contract); SQL INSERT cannot (analysis
-    * resolves against the narrowed table schema). On a pre-schema
+    * the partitions or re-publish), and dropping every column. On a pre-schema
     * manifest the carried schema is bootstrapped from the merged scan
     * schema first, like [[addColumns]]. Returns the committed
     * version. */
@@ -3348,15 +3475,34 @@ object TableManifest {
         cols.exists(_.equalsIgnoreCase(f.name)))
       require(remaining.nonEmpty,
         s"dropColumns: cannot drop every column of $dir")
-      // a dropped column's mapping entries go with it: carrier files'
-      // old physical bytes become plain undeclared leftovers (NULL if
-      // the name is ever re-added, exactly like any dropped column)
+      // a dropped column's mapping entries go with it — but the physical
+      // BYTES remain in live footers, so each dropped logical column
+      // leaves a [[Dropped]] tombstone per physical name it was stored
+      // under (the renameGroups partition: carrier groups hold the
+      // entry's `from`, the identity group holds the logical name
+      // itself). The tombstones are what lets both commit choke points
+      // reject re-introducing the name while stale bytes could serve
+      // under it; they shrink as rewrites project victims to the
+      // declared schema and drop when no live file carries the bytes.
       val keptRenames = snap.renames.filterNot(r =>
         cols.exists(_.equalsIgnoreCase(r.to)))
+      val groups = renameGroups(snap.renames, files)
+      val freshTombs = cols.flatMap { c =>
+        groups.map { case (fs, subst) =>
+          subst.getOrElse(c.toLowerCase, c) -> fs.toSet
+        }
+      }
+      val tombs = (snap.dropped.map(t => t.name -> t.carriers) ++ freshTombs)
+        .groupBy(_._1.toLowerCase)
+        .values.map(g => Dropped(g.head._1, g.flatMap(_._2).toSet))
+        .toSeq.sortBy(_.name)
+        .filter(_.carriers.nonEmpty)
       commitIf(spark, dir, files, v, hwm,
         schema = Some(StructType(remaining)), replaceSchema = true,
-        colmap = Some(keptRenames),
-        replaceColmap = keptRenames.size != snap.renames.size) match {
+        colmap = Some(keptRenames), dropTombstones = Some(tombs),
+        replaceColmap = files.nonEmpty ||
+          keptRenames.size != snap.renames.size ||
+          tombs != snap.dropped) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
@@ -3476,6 +3622,21 @@ object TableManifest {
           s"(table has ${base.fieldNames.toSeq.sorted.mkString(", ")})"))
       require(!base.fieldNames.exists(_.equalsIgnoreCase(to)),
         s"renameColumn: column `$to` already exists in $dir")
+      // `to` must not be a name live footers still physically carry:
+      // a DROPPED column's tombstoned name (DROP x; RENAME y TO x — the
+      // natural "replace old column" flow) or an earlier rename's
+      // physical `from`. Either would make coalesceRenamed/renameAware
+      // prefer the stale same-named footer bytes/stats over the carrier
+      // mapping — silently serving the dropped column's values. Loud
+      // beats wrong; OPTIMIZE rewrites the carriers and frees the name.
+      require(!snap.dropped.exists(_.name.equalsIgnoreCase(to)),
+        s"renameColumn: `$to` was dropped but its bytes are still " +
+          s"physically carried by live files of $dir; OPTIMIZE the " +
+          "table to rewrite the carriers before reusing the name")
+      require(!snap.renames.exists(_.from.equalsIgnoreCase(to)),
+        s"renameColumn: `$to` is still physically carried by files " +
+          s"written before an earlier RENAME COLUMN in $dir; OPTIMIZE " +
+          "the table to rewrite the carriers before reusing the name")
       val renamed = StructType(base.fields.map(f =>
         if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
       // chained renames keep every entry mapping physical `from` → the
@@ -3489,7 +3650,8 @@ object TableManifest {
         (if (snap.files.nonEmpty) Seq(entry) else Seq.empty)
       commitIf(spark, dir, snap.files, v, snap.hwm,
         schema = Some(renamed), replaceSchema = true,
-        colmap = Some(newColmap), replaceColmap = true) match {
+        colmap = Some(newColmap), replaceColmap = true,
+        dropTombstones = Some(snap.dropped)) match {
         case Some(v2) => return v2
         case None => attempts += 1
       }
@@ -3501,6 +3663,12 @@ object TableManifest {
     * carries the logical schema's own names. */
   def readRenames(spark: SparkSession, dir: String): Seq[Rename] =
     headSnap(spark, dir).map(_._2.renames).getOrElse(Seq.empty)
+
+  /** The head's DROP-COLUMN tombstones — physical names live footers
+    * still carry for columns the schema no longer declares. */
+  private[graft] def readDropped(spark: SparkSession,
+      dir: String): Seq[Dropped] =
+    headSnap(spark, dir).map(_._2.dropped).getOrElse(Seq.empty)
 
   /** Group `files` by which physical column names they carry, per the
     * mapping entries: group i (i < entries.length) = files whose FIRST
