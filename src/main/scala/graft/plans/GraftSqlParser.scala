@@ -225,7 +225,12 @@ object GraftSqlParser {
       var quote: Char = 0
       while (i < s.length) {
         val ch = s(i)
-        if (quote != 0) { if (ch == quote) quote = 0 }
+        if (quote != 0) {
+          // backslash escapes inside '…'/"…' literals (Spark default);
+          // backquoted identifiers escape only by doubling
+          if (ch == '\\' && quote != '`') i += 1
+          else if (ch == quote) quote = 0
+        }
         else ch match {
           case '\'' | '"' | '`' => quote = ch
           case '(' => depth += 1
@@ -289,7 +294,14 @@ object GraftSqlParser {
         var quote: Char = 0
         while (i < lower.length) {
           val ch = lower(i)
-          if (quote != 0) { if (ch == quote) quote = 0 }
+          if (quote != 0) {
+            // inside a '…'/"…" literal a backslash escapes the next
+            // char (Spark's default string escaping — `'it\'s'` must
+            // not flip quote parity); backquoted identifiers have no
+            // backslash escaping, only doubling
+            if (ch == '\\' && quote != '`') i += 1
+            else if (ch == quote) quote = 0
+          }
           else if (ch == '\'' || ch == '"' || ch == '`') quote = ch
           else if (ch == 'p' && lower.startsWith("partitioned", i)) {
             val after = lower.substring(i + 11)

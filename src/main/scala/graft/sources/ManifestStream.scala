@@ -80,14 +80,16 @@ private[sources] object ManifestStream {
   * micro-batch entry point. */
 private[sources] final class ManifestScanBuilder(
     delegate: ParquetScanBuilder, dir: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    renamedCarriers: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
     with SupportsPushDownAggregates
     with SupportsPushDownVariantExtractions {
 
-  override def build(): Scan = new ManifestScan(delegate.build(), dir, options)
+  override def build(): Scan =
+    new ManifestScan(delegate.build(), dir, options, renamedCarriers)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
@@ -105,14 +107,37 @@ private[sources] final class ManifestScanBuilder(
 
 /** Scan wrapper: batch behavior (partitions, statistics → broadcast
   * decisions, explain metadata) delegates untouched to the parquet
-  * FileScan; `toMicroBatchStream` is the one addition. */
+  * FileScan; `toMicroBatchStream` is the one addition.
+  *
+  * `renamedCarriers`: the table had live RENAME COLUMN carrier files
+  * when this scan was built. A BATCH execution of such a scan would
+  * silently serve NULLs for renamed columns of pre-rename files, so
+  * `toBatch` refuses loudly — the guard lives HERE, not at scan
+  * creation, because a MICRO-BATCH stream through the same builder is
+  * fine: [[ManifestMicroBatchStream.planInputPartitions]] does its own
+  * per-delivery-range grouping (pre-rename files are delivered under
+  * their own physical names, aliased positionally to the pinned
+  * schema), and a checkpointed restart whose ranges are entirely
+  * post-rename never touches a carrier at all. Batch plans through a
+  * session with the graft extensions never reach this: the expansion
+  * rule replaced the relation before planning. */
 private[sources] final class ManifestScan(
-    delegate: Scan, dir: String, options: CaseInsensitiveStringMap)
+    delegate: Scan, dir: String, options: CaseInsensitiveStringMap,
+    renamedCarriers: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsMetadata {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = {
+    if (renamedCarriers)
+      sys.error(s"graft-manifest: $dir has renamed columns whose old " +
+        "physical names are still carried by live files; reading it " +
+        "requires the graft session extensions " +
+        "(GraftExtensions expands the scan into per-physical-name " +
+        "groups) or TableManifest.readTable. OPTIMIZE the table to " +
+        "rewrite the carriers and clear the mapping.")
+    delegate.toBatch
+  }
   override def supportedCustomMetrics(): Array[CustomMetric] =
     delegate.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[CustomTaskMetric] =
@@ -233,29 +258,33 @@ private[sources] final class ManifestMicroBatchStream(
 
   override def reportLatestOffset(): Offset = ManifestOffset(headVersion())
 
-  /** Parquet DSv2 batch over an explicit file list under the stream's
-    * pinned schema — one per trigger; the factory of the last planned
-    * batch serves `createReaderFactory` (the engine plans partitions and
-    * then builds the factory within the same trigger, single-threaded).
-    * Planned through the manifest-fabricated file index (`fstat` from the
-    * batch's OWN `end`-version body), so per-trigger planning makes zero
-    * filesystem calls — during an `earliest` catch-up on a big table the
-    * admission cap bounds each trigger's files, and this keeps each
-    * trigger's planning bounded too. */
+  /** Parquet DSv2 batch over an explicit file list under `readSchema`
+    * (the stream's pinned schema, or a carrier group's physical-name
+    * respelling of it) — one or more per trigger; the factories of the
+    * last planned trigger serve `createReaderFactory` (the engine plans
+    * partitions and then builds the factory within the same trigger,
+    * single-threaded). Planned through the manifest-fabricated file
+    * index (`fstat` from the batch's OWN `end`-version body), so
+    * per-trigger planning makes zero filesystem calls — during an
+    * `earliest` catch-up on a big table the admission cap bounds each
+    * trigger's files, and this keeps each trigger's planning bounded
+    * too. */
   private def batchFor(files: Seq[String],
-      fstat: Map[String, (Long, Long)]): Batch = {
+      fstat: Map[String, (Long, Long)],
+      readSchema: StructType): Batch = {
     // the stream's PINNED schema also types any name-carried partition
     // columns, so a declared-type partitioned table serves the same
     // partition types per trigger as its batch scans do
-    val idx = ManifestReadTable.index(spark, dir, files, fstat, Some(schema))
+    val idx = ManifestReadTable.index(spark, dir, files, fstat,
+      Some(readSchema))
     // hive layouts: the stream's pinned schema contains the partition
     // columns; the (full, data) split keeps them served from the names,
     // never asked of the footers (the batch-scan discipline)
-    val (full, data) = ManifestReadTable.splitSchemas(schema, idx)
+    val (full, data) = ManifestReadTable.splitSchemas(readSchema, idx)
     ParquetScanBuilder(spark, idx, full, data, options).build().toBatch
   }
 
-  @volatile private var planned: Batch = _
+  @volatile private var planned: PartitionReaderFactory = _
 
   override def initialOffset(): Offset =
     Option(options.get("startingVersion")).map(_.trim.toLowerCase) match {
@@ -287,29 +316,90 @@ private[sources] final class ManifestMicroBatchStream(
         .map(t => (t._3, t._5))
         .getOrElse((Map.empty[String, (Long, Long)],
           Seq.empty[graft.ops.TableManifest.Rename]))
-    // a streaming read delivers files under ONE schema per batch; a
-    // delivered file still carrying a renamed column's OLD physical
-    // name would silently serve NULLs — only ranges whose fresh files
-    // all postdate every rename are streamable (appends after the
-    // rename always are; a from-scratch stream over a renamed table
-    // must OPTIMIZE first)
-    fresh.find(f => renames.exists(_.carriers(f))).foreach(f => sys.error(
-      s"graft-manifest stream: $dir delivery range (v$from, v$to] " +
-        s"includes $f, which predates a RENAME COLUMN and still carries " +
-        "the old physical column name; OPTIMIZE the table to rewrite " +
-        "carriers before streaming from this range"))
-    val batch = batchFor(fresh, fstat)
-    planned = batch
-    batch.planInputPartitions()
+    // FORWARD guard: a RENAME COLUMN committed AFTER this stream pinned
+    // its schema. The mapping entries at `to` spell logical names the
+    // pinned schema doesn't know (and the pinned name survives only as
+    // an entry's physical `from`): post-rename files would pass a
+    // carriers-only check and then silently serve NULLs under the
+    // pinned name — exactly the failure mode the design refuses loudly.
+    // Delta takes the same posture: a rename mid-stream requires a
+    // restart (the restarted stream pins the new logical schema and the
+    // grouping below serves every generation).
+    val pinned = schema.fieldNames.map(_.toLowerCase).toSet
+    renames.find(r =>
+      pinned(r.from.toLowerCase) || !pinned(r.to.toLowerCase)).foreach(r =>
+      sys.error(s"graft-manifest stream: $dir renamed column " +
+        s"`${r.from}` -> `${r.to}` after this stream pinned its schema; " +
+        "restart the stream (a fresh start pins the new logical schema " +
+        "and serves every file generation)"))
+    // BACKWARD ranges (the stream pinned the POST-rename logical schema
+    // and this range delivers pre-rename carrier files — an `earliest`
+    // backfill over a renamed table): group the delivery by carried
+    // physical name, scan each group under the pinned schema respelled
+    // to that group's physical names, and serve the rows as-is — rows
+    // are POSITIONAL, so the pinned logical schema names them at the
+    // stream surface. At most #renames+1 groups; the common tail case
+    // (no carriers in range) stays the single-batch fast path.
+    val groups = TableManifest.renameGroups(renames, fresh)
+    if (groups.length == 1 && groups.head._2.isEmpty) {
+      val batch = batchFor(fresh, fstat, schema)
+      val parts = batch.planInputPartitions()
+      planned = batch.createReaderFactory()
+      parts
+    } else {
+      val factories = new Array[PartitionReaderFactory](groups.length)
+      val parts = groups.zipWithIndex.flatMap { case ((gFiles, subst), gi) =>
+        val phys = StructType(schema.fields.map(f =>
+          subst.get(f.name.toLowerCase)
+            .map(p => f.copy(name = p)).getOrElse(f)))
+        val b = batchFor(gFiles, fstat, phys)
+        factories(gi) = b.createReaderFactory()
+        b.planInputPartitions()
+          .map(p => GroupTaggedPartition(p, gi): InputPartition)
+      }
+      planned = new GroupedReaderFactory(factories)
+      parts.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val b = planned
-    (if (b != null) b else batchFor(Seq.empty, Map.empty)).createReaderFactory()
+    val f = planned
+    if (f != null) f
+    else batchFor(Seq.empty, Map.empty, schema).createReaderFactory()
   }
 
   /** The manifest keeps history (vacuum owns retention); nothing to ack. */
   override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
+}
+
+/** An input partition of one RENAME-carrier group's parquet batch,
+  * tagged with its group index so the trigger's single reader factory
+  * can route it to the factory built for that group's physical-name
+  * read schema. The delegate rides verbatim (split locality preserved). */
+private[sources] final case class GroupTaggedPartition(
+    delegate: InputPartition, group: Int) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** Routes each [[GroupTaggedPartition]] to its group's parquet reader
+  * factory. Rows/columnar batches come back POSITIONAL — the stream's
+  * pinned logical schema names them — so a pre-rename file's physical
+  * columns serve the logical stream schema with zero per-row work. */
+private[sources] final class GroupedReaderFactory(
+    factories: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+  private def route[A](p: InputPartition)(
+      f: (PartitionReaderFactory, InputPartition) => A): A = p match {
+    case GroupTaggedPartition(d, g) => f(factories(g), d)
+    case other => throw new IllegalStateException(
+      s"GroupedReaderFactory got an untagged partition: $other")
+  }
+  override def createReader(p: InputPartition) =
+    route(p)(_.createReader(_))
+  override def createColumnarReader(p: InputPartition) =
+    route(p)(_.createColumnarReader(_))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    route(p)(_.supportColumnarReads(_))
 }

@@ -365,18 +365,17 @@ private final class ManifestReadTable(spark: SparkSession,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a RENAMED table's relation must have been EXPANDED into
-    // per-physical-name group scans before any scan is built (the
+    // per-physical-name group scans before any BATCH scan executes (the
     // post-hoc rule in GraftExtensions, or readTable's library path) —
-    // a plain scan would silently serve NULLs for renamed columns of
-    // pre-rename files. Loud beats wrong: a session without the graft
-    // extensions gets this error, never bad data.
-    if (liveRenames.nonEmpty)
-      sys.error(s"graft-manifest: $dir has renamed columns whose old " +
-        "physical names are still carried by live files; reading it " +
-        "requires the graft session extensions " +
-        "(GraftExtensions expands the scan into per-physical-name " +
-        "groups) or TableManifest.readTable. OPTIMIZE the table to " +
-        "rewrite the carriers and clear the mapping.")
+    // a plain batch scan would silently serve NULLs for renamed columns
+    // of pre-rename files. The guard fires in ManifestScan.toBatch, NOT
+    // here: a MICRO-BATCH stream builds through this same path and is
+    // safe regardless (ManifestMicroBatchStream groups each delivery
+    // range by carried physical name itself), so failing at scan
+    // CREATION would kill legitimate streams — including checkpointed
+    // restarts whose ranges are entirely post-rename. Loud beats wrong
+    // either way: a session without the extensions errors at batch
+    // execution, never serves bad data.
     (tracked, trackedIndex) match {
       case (Some((_, schemaOpt, _, _, _)), Some(idx)) =>
         // zero-FS-call planning: the file index is fabricated from the
@@ -391,12 +390,12 @@ private final class ManifestReadTable(spark: SparkSession,
         new ManifestScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScanBuilder(SparkSession.active, idx, full, data, options),
-          dir, tableOptions)
+          dir, tableOptions, renamedCarriers = liveRenames.nonEmpty)
       case _ =>
         new ManifestScanBuilder(
           delegate.newScanBuilder(options)
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
-          dir, tableOptions)
+          dir, tableOptions, renamedCarriers = liveRenames.nonEmpty)
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
