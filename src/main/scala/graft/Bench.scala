@@ -137,22 +137,36 @@ object Bench {
         case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // Every timed pass is STAMPED with a sentinel reading taken at its
+    // query's timing window (one sentinel per window, shared by the
+    // window's passes — ~0.15s per query, cheap enough to pay per
+    // query, too dear per pass). Round-16 lesson: the driver benched on
+    // a 1.74x loaded host and attributing the 26x end-of-suite retry
+    // swings to load took a judge session cross-referencing artifacts;
+    // with per-pass [time, sentinel] pairs the artifact attributes
+    // itself, and the flag policy normalizes EVERY pass by its own
+    // window's load — not just the retries.
     val firstPass = chosen.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def run(): Option[Double] = {
+      def run(sent: Double): Option[(Double, Double)] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
+        try {
+          fn(spark, sfDir).count()
+          Some(((System.nanoTime() - t0) / 1e9, sent))
+        } catch {
           case e: Exception =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             None
         }
       }
       clearScratch() // no prior query's residue in this query's timings
-      val two = (1 to 2).flatMap(_ => run())
+      val sent = sentinel()
+      val two = (1 to 2).flatMap(_ => run(sent))
       val times =
-        if (two.length == 2 && two.max > 2 * two.min) two ++ run() else two
+        if (two.length == 2 && two.map(_._1).max > 2 * two.map(_._1).min)
+          two ++ run(sent)
+        else two
       // failed queries report -1 so they are never mistaken for a timing
-      val best = if (times.nonEmpty) times.min else -1.0
+      val best = if (times.nonEmpty) times.map(_._1).min else -1.0
       (name, fn, best, times.nonEmpty, times)
     }
 
@@ -169,17 +183,29 @@ object Bench {
     // time alone) or persists (the sentinel beside each retry measures it
     // and the threshold compares load-NORMALIZED time). Up to 3 retries,
     // stop at the first clear.
+    def loadOf(sent: Double): Double =
+      math.max(1.0, sent / sentinelBase)
     val results = firstPass.map { case (name, fn, firstBest, ok, passes0) =>
       var best = firstBest
-      var bestAdj = firstBest
+      // per-pass normalization from the start: the first pass's own
+      // window sentinel already discounts a loaded host, so a spike at
+      // suite position N never even MARKS the query when its
+      // load-normalized time is clean
+      var bestAdj =
+        if (passes0.nonEmpty) passes0.map(p => p._1 / loadOf(p._2)).min
+        else firstBest
       var retries = 0
-      var lastLoad = 1.0
-      // every raw timed pass (first pass + retries), in run order — the
-      // round-15 suite wall doubled with flat medians and the artifact
-      // could not attribute it; with per-pass timings the wall is
-      // reconstructible from the JSON alone (sum of passes + count of
-      // retry iterations)
-      val passes = scala.collection.mutable.ArrayBuffer[Double](passes0: _*)
+      var lastLoad =
+        if (passes0.nonEmpty) loadOf(passes0.last._2) else 1.0
+      // every raw timed pass (first pass + retries) with its window's
+      // sentinel reading, in run order — the round-15 suite wall doubled
+      // with flat medians and the artifact could not attribute it; the
+      // round-16 judge had to cross-reference artifacts to pin 26x retry
+      // swings on host load. [time, sentinel] pairs make the artifact
+      // self-attributing: the wall is the sum of passes, and each
+      // pass's load factor is its sentinel over the history base.
+      val passes =
+        scala.collection.mutable.ArrayBuffer[(Double, Double)](passes0: _*)
       while (ok && best >= 0 && over(name, bestAdj) && retries < 3) {
         // same state profile as the first pass: no residue from the 183
         // queries that ran since, but the retry PAIR shares the
@@ -187,14 +213,15 @@ object Bench {
         // the first pass measure; a single cold retry could never clear
         // a flag on an index-probing query)
         clearScratch()
-        val load = math.max(1.0, sentinel() / sentinelBase)
+        val sent = sentinel()
+        val load = loadOf(sent)
         lastLoad = load
         (1 to 2).foreach { _ =>
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
             val t = (System.nanoTime() - t0) / 1e9
-            passes += t
+            passes += ((t, sent))
             best = math.min(best, t)
             bestAdj = math.min(bestAdj, t / load)
           } catch { case _: Exception => () }
@@ -213,11 +240,14 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
     val flagged = results.flatMap(_._4).mkString("{", ",", "}")
-    // per-query raw pass timings (ms precision): length > 2 = a tie-break
-    // third run or end-of-suite retries happened; the suite WALL is
-    // auditable as the sum of all passes
+    // per-query raw [time, window-sentinel] pass pairs (ms precision):
+    // length > 2 = a tie-break third run or end-of-suite retries
+    // happened; the suite WALL is auditable as the sum of the times and
+    // each pass's host-load factor as sentinel / sentinel_base — the
+    // artifact attributes its own swings
     val passesJson = results.map { case (k, _, _, _, ps) =>
-      "\"" + k + "\":[" + ps.map(t => f"$t%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" +
+        ps.map { case (t, s) => f"[$t%.3f,$s%.3f]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
 
     val warmupJson =

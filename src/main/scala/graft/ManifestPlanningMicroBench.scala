@@ -283,6 +283,85 @@ object ManifestPlanningMicroBench {
       println(f"  -> n=$versions: hinted ${hinted * 1000}%.2f ms, " +
         f"listing-fallback ${listed * 1000}%.2f ms " +
         f"(ratio ${listed / math.max(hinted, 1e-9)}%.1f)")
+
+      // ---- NON-head resolution vs retained version count (round 17):
+      // `VERSION AS OF` / history re-anchors used to pay one full
+      // `_manifest/` listing per resolution — O(#retained versions)
+      // RPCs, the exact cost class the `_head` hint removed for head
+      // reads. snapAt now resolves from the version's own manifest file
+      // (one getFileStatus — which doubles as the retention-floor
+      // check) plus its bounded delta chain. Read 9 DISTINCT
+      // mid-history versions (each a standalone checkpoint here) so the
+      // history cache can't serve repeats; the wall should be FLAT in
+      // the retained count.
+      val mids = (0 until 9).map(i => (versions / 2 + i).toLong)
+      val t0s = mids.map { v =>
+        val t0 = System.nanoTime()
+        require(graft.ops.TableManifest.readAt(spark, dir, v).nonEmpty)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = t0s.sorted.apply(t0s.size / 2)
+      println(f"  -> versionAsOf n=$versions: median ${med * 1000}%.2f ms " +
+        f"over 9 distinct mid-history versions " +
+        f"(${t0s.map(t => f"${t * 1000}%.1f").mkString(", ")})")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+
+    // ---- RENAME carrier-set encoding at 1M files (round 17): carrier
+    // sets render as `carrbm` bitmaps over the checkpoint's sorted file
+    // list (O(files/8) bytes per entry) instead of restating O(files)
+    // names per entry, so k chained renames must leave checkpoint
+    // render/size within noise of the un-renamed table's. Fabricate a
+    // 1M-ghost-file head, force every commit to checkpoint
+    // (checkpointInterval=1), and compare: one append-commit BEFORE any
+    // rename vs one AFTER three chained renames (3 entries, each
+    // carrying the full 1M-file set — the worst case).
+    locally {
+      val files = 1000000
+      val dir = Files.createTempDirectory(s"gm-carrbm-$files").toString
+      spark.range(10).select(col("id"), (col("id") % 7).as("k"),
+          concat(lit("r"), col("id")).as("s"))
+        .repartition(1).write.mode("overwrite").parquet(dir)
+      graft.ops.TableManifest.init(spark, dir)
+      val v1 = new String(Files.readAllBytes(
+        new java.io.File(dir, "_manifest").listFiles()
+          .filter(_.getName.matches("v\\d+\\.json")).head.toPath),
+        StandardCharsets.UTF_8)
+      val schemaB64 = """"schemab64":"([A-Za-z0-9+/=]*)"""".r
+        .findFirstMatchIn(v1).get.group(1)
+      val names = (0 until files).map(i => f"sql-00000000-p$i%07d.parquet")
+      val body = s"""{"version":2,"token":"bench",""" +
+        s""""schemab64":"$schemaB64",""" +
+        names.map("\"" + _ + "\"").mkString("\"files\":[", ",", "],") +
+        names.map(n => "\"" + n + "\":[4096,1700000000000]")
+          .mkString("\"filestat\":{", ",", "}") + "}"
+      Files.write(Paths.get(dir, "_manifest", f"v${2L}%020d.json"),
+        body.getBytes(StandardCharsets.UTF_8))
+      spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+      val tblSchema = graft.ops.TableManifest.readSchema(spark, dir)
+      def checkpointCommit(i: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.ops.TableManifest.appendFiles(spark, dir,
+          Seq(f"sql-bench000-a$i%05d.parquet"), tblSchema)
+        (System.nanoTime() - t0) / 1e9
+      }
+      checkpointCommit(0) // cold resolution of the fabricated head
+      val plain = (1 to 3).map(checkpointCommit(_)).sorted.apply(1)
+      graft.ops.TableManifest.renameColumn(spark, dir, "s", "s1")
+      graft.ops.TableManifest.renameColumn(spark, dir, "s1", "s2")
+      graft.ops.TableManifest.renameColumn(spark, dir, "s2", "s3")
+      require(graft.ops.TableManifest.readRenames(spark, dir).size == 3)
+      val renamed = (4 to 6).map(checkpointCommit(_)).sorted.apply(1)
+      val headBytes = new java.io.File(dir, "_manifest").listFiles()
+        .filter(_.getName.matches("v\\d+\\.json")).map(_.length).max
+      println(f"carrbm: 1M-file checkpoint commit, un-renamed " +
+        f"${plain}%.3fs vs 3-chained-renames ${renamed}%.3fs " +
+        f"(ratio ${renamed / math.max(plain, 1e-9)}%.2f), " +
+        f"largest body ${headBytes / 1048576.0}%.1f MiB")
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -190,10 +190,17 @@ object Compaction {
       // renamed tables: fold old physical columns into the logical names
       // BEFORE the declared projection, so compaction rewrites carriers
       // to the logical schema (shrinking the rename's carrier set)
+      // deletion vectors applied FIRST: compaction is what MATERIALIZES
+      // merge-on-read deletions — the rewrite must not resurrect them,
+      // and the rewritten files drop their dv references with the swap
       val rewritten = TableManifest.projectToDeclared(
         TableManifest.coalesceRenamed(
-          spark.read.option("mergeSchema", "true")
-            .parquet(small.map(_.getPath.toString): _*),
+          TableManifest.dropDeleted(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(small.map(_.getPath.toString): _*),
+            small.map(_.getPath.getName),
+            if (tracked.isDefined) TableManifest.readDvs(spark, dir)
+            else Map.empty),
           if (tracked.isDefined) TableManifest.readRenames(spark, dir)
           else Seq.empty),
         if (tracked.isDefined) TableManifest.readSchema(spark, dir) else None,
@@ -291,8 +298,10 @@ object Compaction {
       // same rename folding as compactInPlace
       val rewritten = TableManifest.projectToDeclared(
         TableManifest.coalesceRenamed(
-          spark.read.option("mergeSchema", "true")
-            .parquet(small.map(n => s"$dir/$n"): _*),
+          TableManifest.dropDeleted(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(small.map(n => s"$dir/$n"): _*),
+            small, TableManifest.readDvs(spark, dir)),
           TableManifest.readRenames(spark, dir)),
         TableManifest.readSchema(spark, dir), Seq.empty)
       rewritten.coalesce(targetFiles)

@@ -463,6 +463,34 @@ object TableManifest {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** The DELETION-VECTOR section: data file → (sidecar name under
+    * `_dv/`, deleted-row cardinality). Rendered BEFORE the stat objects
+    * (the name-section ordering rule — a stats column or file named
+    * "dvs" must never win the indexOf), carried by checkpoints like the
+    * stats and OVERLAID by delta records (a DELETE marking rows in an
+    * existing file is the O(delta) hot path). Entries drop with their
+    * data file — a rewrite/compaction materializes the deletions, so the
+    * removed file takes its dv reference with it; [[vacuum]] reclaims
+    * unreferenced sidecars. */
+  private val DvEntryRe = """"([^"]+)":\["([^"]+)",(-?[0-9]+)\]""".r
+  private def parseDvs(json: String): Map[String, (String, Long)] =
+    sliceObject(json, "dvs").map { body =>
+      DvEntryRe.findAllMatchIn(body).map { m =>
+        m.group(1) -> (m.group(2), m.group(3).toLong)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Leading-comma section string, like the [[statSections]] pieces. */
+  private def dvsSection(dvs: Map[String, (String, Long)]): String =
+    if (dvs.isEmpty) ""
+    else {
+      requireJsonSafeNames(dvs.keys.toSeq)
+      requireJsonSafeNames(dvs.values.map(_._1).toSeq)
+      dvs.toSeq.sortBy(_._1).map { case (f, (dv, card)) =>
+        "\"" + f + "\":[\"" + dv + "\"," + card + "]"
+      }.mkString(""","dvs":{""", ",", "}")
+    }
+
   /** The head manifest's per-file (length, mtimeMs) inventory — empty on
     * manifests written before the field existed (planning then falls back
     * to one directory listing). */
@@ -512,19 +540,22 @@ object TableManifest {
     * one `_manifest/` listing, no body read, no parse. */
   def readFull(spark: SparkSession, dir: String)
       : Option[(Long, Seq[String], Option[StructType],
-          Map[String, (Long, Long)], Option[StructType], Seq[Rename])] =
+          Map[String, (Long, Long)], Option[StructType], Seq[Rename],
+          Map[String, (String, Long)])] =
     headSnap(spark, dir).map { case (v, s) =>
-      (v, s.files, s.schema, s.fstat, s.partSchema, s.renames)
+      (v, s.files, s.schema, s.fstat, s.partSchema, s.renames, s.dvs)
     }
 
-  /** (files, schema, filestat, partition schema, column mapping) of one
-    * SPECIFIC version — [[readAt]]'s snapshot twin for time travel: the
-    * schema AS OF that version, not the head's. */
+  /** (files, schema, filestat, partition schema, column mapping,
+    * deletion vectors) of one SPECIFIC version — [[readAt]]'s snapshot
+    * twin for time travel: the schema AS OF that version, not the
+    * head's. */
   def readAtFull(spark: SparkSession, dir: String, version: Long)
       : Option[(Seq[String], Option[StructType],
-          Map[String, (Long, Long)], Option[StructType], Seq[Rename])] =
+          Map[String, (Long, Long)], Option[StructType], Seq[Rename],
+          Map[String, (String, Long)])] =
     snapAt(spark, dir, version).map(s =>
-      (s.files, s.schema, s.fstat, s.partSchema, s.renames))
+      (s.files, s.schema, s.fstat, s.partSchema, s.renames, s.dvs))
 
   /** The fully-RESOLVED state of one committed version: a checkpoint
     * body's fields verbatim, or a delta chain's replay. `base` is the
@@ -544,7 +575,8 @@ object TableManifest {
       ctime: Option[Long],
       base: Long,
       renames: Seq[Rename] = Seq.empty,
-      dropped: Seq[Dropped] = Seq.empty)
+      dropped: Seq[Dropped] = Seq.empty,
+      dvs: Map[String, (String, Long)] = Map.empty)
 
   /** One parsed DELTA record: names added/removed vs the previous
     * version's resolved state, stat/inventory OVERLAYS for (at least) the
@@ -557,7 +589,8 @@ object TableManifest {
       partSchema: Option[StructType], stats: FileStats,
       sstats: FileStringStats, bloom: FileBloom,
       fstat: Map[String, (Long, Long)], hwm: Option[Long],
-      ctime: Option[Long])
+      ctime: Option[Long],
+      dvs: Map[String, (String, Long)] = Map.empty)
 
   private def parseHwm(json: String): Option[Long] =
     HwmRe.findFirstMatchIn(json).map(_.group(1).toLong)
@@ -570,7 +603,7 @@ object TableManifest {
         parseNameArray(body, "adds"), parseNameArray(body, "removes"),
         parseSchema(body), parsePartSchema(body), parseStats(body),
         parseStringStats(body), parseBloom(body), parseFileStat(body),
-        parseHwm(body), parseCtime(body)))
+        parseHwm(body), parseCtime(body), dvs = parseDvs(body)))
       // files as a Vector: the append fast path advances it by
       // structural sharing (`++` of a small batch is O(log n + batch))
       case None =>
@@ -581,7 +614,8 @@ object TableManifest {
         Right(Snap(files, parseSchema(body),
           parsePartSchema(body), parseStats(body), parseStringStats(body),
           parseBloom(body), parseFileStat(body), parseHwm(body),
-          parseCtime(body), base = v, renames = renames, dropped = dropped))
+          parseCtime(body), base = v, renames = renames, dropped = dropped,
+          dvs = parseDvs(body)))
     }
 
   /** Apply one delta record to the previous version's resolved state —
@@ -612,7 +646,8 @@ object TableManifest {
       Snap(s.files ++ d.adds, d.schema, d.partSchema,
         overlay(s.stats, d.stats), overlay(s.sstats, d.sstats),
         overlay(s.bloom, d.bloom), s.fstat ++ d.fstat,
-        d.hwm, d.ctime, d.base, renames = s.renames, dropped = s.dropped)
+        d.hwm, d.ctime, d.base, renames = s.renames, dropped = s.dropped,
+        dvs = if (d.dvs.isEmpty) s.dvs else s.dvs ++ d.dvs)
     } else {
       val removed = d.removes.toSet
       val files = s.files.filterNot(removed) ++ d.adds
@@ -638,7 +673,8 @@ object TableManifest {
         merge(s.stats, d.stats), merge(s.sstats, d.sstats),
         merge(s.bloom, d.bloom),
         (s.fstat ++ d.fstat).filter(kv => fset(kv._1)),
-        d.hwm, d.ctime, d.base, renames = renames, dropped = dropped)
+        d.hwm, d.ctime, d.base, renames = renames, dropped = dropped,
+        dvs = (s.dvs ++ d.dvs).filter(kv => fset(kv._1)))
     }
   }
 
@@ -730,7 +766,8 @@ object TableManifest {
     * such a gap — it keeps everything from the oldest retained version's
     * base forward). */
   private def resolveSnap(fs: FileSystem, table: Path, dir: String, v: Long,
-      listing: Map[Long, org.apache.hadoop.fs.FileStatus]): Snap = {
+      listing: Map[Long, org.apache.hadoop.fs.FileStatus],
+      forceHist: Boolean = false): Snap = {
     def statusOf(w: Long): org.apache.hadoop.fs.FileStatus =
       listing.getOrElse(w, scala.util.Try(
         fs.getFileStatus(manifestPath(table, w))).getOrElse(sys.error(
@@ -745,8 +782,11 @@ object TableManifest {
     // HISTORICAL versions (time travel, DESCRIBE HISTORY sweeps, vacuum
     // re-anchors) resolve through their own small cache so a history
     // sweep over a large table can never evict the ~100 MB hot HEAD
-    // snapshots of actively-planned tables out of [[snapCache]]
-    val isHead = listing.isEmpty || v >= listing.keys.max
+    // snapshots of actively-planned tables out of [[snapCache]].
+    // `forceHist`: [[snapAt]] passes a SINGLETON listing (its whole
+    // point is not paying the full one), which would otherwise make
+    // every time-travel version look like a head
+    val isHead = !forceHist && (listing.isEmpty || v >= listing.keys.max)
     if (!isHead) {
       val histHit = histCache.get(key)
       if (histHit != null) return histHit
@@ -893,13 +933,32 @@ object TableManifest {
   }
 
   /** One SPECIFIC version's resolved snapshot — None when that version's
-    * manifest file no longer exists (retention pruned it). */
+    * manifest file no longer exists (retention pruned it).
+    *
+    * FLAT in retained-version count (round 17): a version-specific read
+    * needs only the version's own manifest file (one getFileStatus —
+    * which IS the retention-floor check: vacuum deletes pruned versions'
+    * files) plus its delta chain back to a checkpoint (statusOf's
+    * per-version fallback inside [[resolveSnap]], bounded by the
+    * effective checkpoint interval ≤ 64) — never the full `_manifest/`
+    * listing head freshness pays. A CDC poller doing `VERSION AS OF`
+    * sweeps against a long-retained table (86k versions per un-vacuumed
+    * day at 1 Hz) stops re-paying O(#retained versions) RPCs per
+    * resolution. The newest-resolved anchor is pre-seeded like
+    * [[headViaHint]] does, so an ascending sweep replays O(sweep step)
+    * records, not O(interval) per version. */
   private def snapAt(spark: SparkSession, dir: String,
       version: Long): Option[Snap] = {
     val (fs, p) = fsFor(spark, dir)
-    val listing = manifestListing(fs, p)
-    if (!listing.contains(version)) None
-    else Some(resolveSnap(fs, p, dir, version, listing))
+    val st = scala.util.Try(
+      fs.getFileStatus(manifestPath(p, version))).getOrElse(return None)
+    val partial = scala.collection.mutable.Map(version -> st)
+    Option(latestByDir.get(dir)).foreach { case (w, _, _, _) =>
+      if (w < version && !partial.contains(w))
+        scala.util.Try(fs.getFileStatus(manifestPath(p, w)))
+          .foreach(s => partial(w) = s)
+    }
+    Some(resolveSnap(fs, p, dir, version, partial.toMap, forceHist = true))
   }
 
   /** Commit-protocol checkpoint cadence: a commit whose head chain has
@@ -1044,13 +1103,18 @@ object TableManifest {
       fstat: Map[String, (Long, Long)] = Map.empty,
       ctimeMillis: Option[Long] = None,
       partSchemaB64: Option[String] = None,
-      colmapB64: Option[String] = None): String = {
+      colmapB64: Option[String] = None,
+      dvs: Map[String, (String, Long)] = Map.empty): String = {
     requireJsonSafeNames(files)
     val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64,
       colmapB64)
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
+    // dvs rendered right after the files array, BEFORE the stat
+    // objects (the name-section ordering rule sliceObject anchoring
+    // depends on)
     s"""{"version":$version,"token":"$token",$meta"files":$filesJson""" +
+      dvsSection(dvs) +
       statSections(cleanStats(stats), cleanSStats(sstats),
         cleanBloom(bloom), fstat) + "}"
   }
@@ -1066,7 +1130,8 @@ object TableManifest {
       adds: Seq[String], removes: Seq[String], hwm: Option[Long],
       stats: FileStats, sstats: FileStringStats, bloom: FileBloom,
       schemaB64: Option[String], fstat: Map[String, (Long, Long)],
-      ctimeMillis: Option[Long], partSchemaB64: Option[String]): String = {
+      ctimeMillis: Option[Long], partSchemaB64: Option[String],
+      dvs: Map[String, (String, Long)] = Map.empty): String = {
     requireJsonSafeNames(adds)
     requireJsonSafeNames(removes)
     val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64)
@@ -1074,6 +1139,7 @@ object TableManifest {
       names.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
     s"""{"version":$version,"token":"$token","delta":1,"base":$base,""" +
       meta + s""""adds":${arr(adds)},"removes":${arr(removes)}""" +
+      dvsSection(dvs) +
       statSections(cleanStats(stats), cleanSStats(sstats),
         cleanBloom(bloom), fstat) + "}"
   }
@@ -1126,7 +1192,9 @@ object TableManifest {
       replacePartSchema: Boolean = false,
       colmap: Option[Seq[Rename]] = None,
       replaceColmap: Boolean = false,
-      dropTombstones: Option[Seq[Dropped]] = None): Option[Long] = {
+      dropTombstones: Option[Seq[Dropped]] = None,
+      dvs: Map[String, (String, Long)] = Map.empty,
+      replaceDvs: Boolean = false): Option[Long] = {
     val (fs, p) = fsFor(spark, dir)
     val mdir = new Path(p, ManifestDir)
     fs.mkdirs(mdir)
@@ -1226,6 +1294,14 @@ object TableManifest {
       else headS.map(_.dropped).getOrElse(Seq.empty))
       .map(t => t.copy(carriers = t.carriers.filter(fileSet)))
       .filter(_.carriers.nonEmpty)
+    // deletion vectors survive like the stats (carry + caller overlay,
+    // filtered to the listed files — a removed/rewritten file takes its
+    // dv reference with it); RESTORE restates them (replaceDvs)
+    val callerDvs = dvs.filter(kv => fileSet(kv._1))
+    val outDvs =
+      (if (replaceDvs) callerDvs
+       else headS.map(_.dvs).getOrElse(Map.empty) ++ callerDvs)
+        .filter(kv => fileSet(kv._1))
     // a NEW column whose name collides with a live entry's physical
     // `from` — or with a DROPPED column's tombstoned physical name —
     // would make old carrier files serve the OLD column's bytes under
@@ -1284,10 +1360,11 @@ object TableManifest {
     // carry the mapping (carriers are O(files-at-rename)), they inherit
     // it — so the record that CHANGES it must re-anchor the chain
     val writeDelta = headS.isDefined && interval > 1 && !replaceColmap &&
+      !replaceDvs &&
       (v - headS.get.base) < interval &&
       removed.size * 2 <= math.max(1, headFiles.size) &&
       (added.size + freshStats.size + freshSStats.size +
-        freshBloom.size + fstatBackfill.size) * 2 <=
+        freshBloom.size + fstatBackfill.size + callerDvs.size) * 2 <=
         math.max(8, headFiles.size + added.size)
     val (body, snap) =
       if (writeDelta) {
@@ -1309,12 +1386,13 @@ object TableManifest {
           fstatBackfill ++ statted
         val rec = DeltaRec(headS.get.base, addedS, removedS,
           outSchemaStored, outPartSchema, freshStats, freshSStats, freshBloom,
-          deltaFstat, hwm, Some(ctime))
+          deltaFstat, hwm, Some(ctime), dvs = callerDvs)
         (renderDelta(v, token, rec.base, addedS, removedS, hwm,
           freshStats, freshSStats, freshBloom,
           outSchemaStored.map(encodeSchema), deltaFstat,
           ctimeMillis = Some(ctime),
-          partSchemaB64 = outPartSchema.map(encodeSchema))
+          partSchemaB64 = outPartSchema.map(encodeSchema),
+          dvs = callerDvs)
           .getBytes(StandardCharsets.UTF_8),
           applyDelta(headS.get, rec))
       } else {
@@ -1346,11 +1424,12 @@ object TableManifest {
           partSchemaB64 = outPartSchema.map(encodeSchema),
           colmapB64 =
             if (outRenames.isEmpty && outDropped.isEmpty) None
-            else Some(encodeColmap(outRenames, outDropped, files.sorted)))
+            else Some(encodeColmap(outRenames, outDropped, files.sorted)),
+          dvs = outDvs)
           .getBytes(StandardCharsets.UTF_8),
           Snap(files.sorted.toVector, outSchemaStored, outPartSchema, outStats, outSStats,
             outBloom, outFstat, hwm, Some(ctime), base = v,
-            renames = outRenames, dropped = outDropped))
+            renames = outRenames, dropped = outDropped, dvs = outDvs))
       }
     val target = manifestPath(p, v)
     if (!createExclusive(fs, mdir, target, body)) None
@@ -1799,8 +1878,9 @@ object TableManifest {
     * an older file happened to win the footer sample. */
   def readTable(spark: SparkSession, dir: String): DataFrame =
     readFull(spark, dir) match {
-      case Some((_, names, schema, fstat, partSchema, renames)) =>
-        scanListed(spark, dir, names, schema, fstat, partSchema, renames)
+      case Some((_, names, schema, fstat, partSchema, renames, dvs)) =>
+        scanListed(spark, dir, names, schema, fstat, partSchema, renames,
+          dvs)
       case None => spark.read.parquet(dir)
     }
 
@@ -2014,7 +2094,7 @@ object TableManifest {
     snapAt(spark, dir, version) match {
       case Some(s) =>
         scanListed(spark, dir, s.files, s.schema, s.fstat, s.partSchema,
-          s.renames)
+          s.renames, s.dvs)
       case None => sys.error(s"no manifest v$version under $dir")
     }
 
@@ -2029,11 +2109,53 @@ object TableManifest {
     * [[analyzeSchema]] upgrades them). A carried schema also makes the
     * zero-file table readable: scanning an empty SNAPSHOT of a tracked
     * table is a real state (erase-all, pre-first-append), not an error. */
-  private def scanListed(spark: SparkSession, dir: String,
+  private[graft] def scanListed(spark: SparkSession, dir: String,
       files: Seq[String], schema: Option[StructType],
       fstat: Map[String, (Long, Long)] = Map.empty,
       partSchema: Option[StructType] = None,
-      renames: Seq[Rename] = Seq.empty): DataFrame =
+      renames: Seq[Rename] = Seq.empty,
+      dvs: Map[String, (String, Long)] = Map.empty): DataFrame = {
+    // DELETION-VECTOR gate: files with a dv read through the V1 parquet
+    // path (`_metadata.row_index` — unavailable on the DSv2 fast path)
+    // with the codegen'd position filter, then union back onto the
+    // zero-FS-call scan of the CLEAN majority. Planning the dv branch
+    // costs O(DV'd files) filesystem calls — the dv set is sparse by
+    // contract (whole-file deletes drop the file; OPTIMIZE materializes
+    // heavy ones), so the flat-cost planning of the big scan survives.
+    val dvd = files.filter(dvs.contains)
+    if (dvd.nonEmpty) {
+      import org.apache.spark.sql.functions.{col, lit}
+      val clean = files.filterNot(dvs.contains)
+      val partCols = partitionColsIn(files)
+      val reader = spark.read.option("mergeSchema", "true")
+      val raw = (if (partCols.isEmpty) reader
+        else reader.option("basePath", dir))
+        .parquet(dvd.map(f => s"$dir/$f"): _*)
+      val dvdSet = dvd.toSet
+      val kept = Dv.applyToScan(spark, dir, raw,
+        dvs.filter(kv => dvdSet(kv._1)))
+      val logical = projectToDeclared(coalesceRenamed(kept, renames),
+        schema, partCols)
+      // align to the declared schema the clean branch serves: declared
+      // columns the dv'd footers predate appear as typed NULLs, and
+      // narrow physical types up-cast to the declared width
+      val dvBranch = schema match {
+        case Some(s) =>
+          val have = logical.columns.map(_.toLowerCase).toSet
+          val declared = s.fields.map { f =>
+            if (have(f.name.toLowerCase)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
+          val extras = logical.columns.filterNot(c =>
+            s.fieldNames.exists(_.equalsIgnoreCase(c))).map(col)
+          logical.select(declared.toSeq ++ extras: _*)
+        case None => logical
+      }
+      return (
+        if (clean.isEmpty) dvBranch
+        else scanListed(spark, dir, clean, schema, fstat, partSchema,
+          renames).unionByName(dvBranch, allowMissingColumns = true))
+    }
     (files.nonEmpty, schema) match {
       case (true, Some(s)) if renames.nonEmpty &&
           files.exists(f => renames.exists(_.carriers(f))) =>
@@ -2080,6 +2202,7 @@ object TableManifest {
           new java.util.ArrayList[org.apache.spark.sql.Row](), served)
       case (false, None) => spark.emptyDataFrame
     }
+  }
 
   /** Rows ADDED between `fromVersion` (exclusive) and `toVersion`
     * (inclusive): the scan of files listed at `toVersion` but not at
@@ -2117,7 +2240,7 @@ object TableManifest {
     // poll `SELECT k FROM graft_table_changes(t, v, v)` must return empty,
     // not fail analysis on an unresolved column
     scanListed(spark, dir, fresh, to.schema, to.fstat, to.partSchema,
-      to.renames)
+      to.renames, to.dvs)
   }
 
   /** Compute per-file min/max stats for the long/int/timestamp columns
@@ -2525,9 +2648,9 @@ object TableManifest {
     // conservative survivors)
     locally {
       val (_, snap) = headSnapshot(spark, dir)
-      if (snap.renames.nonEmpty) {
+      if (snap.renames.nonEmpty || snap.dvs.nonEmpty) {
         val g = scanListed(spark, dir, files, snap.schema, snap.fstat,
-          snap.partSchema, snap.renames)
+          snap.partSchema, snap.renames, snap.dvs)
         return g.filter(predOn(g))
       }
     }
@@ -2676,9 +2799,9 @@ object TableManifest {
     // renamed column correctly)
     locally {
       val (_, snap) = headSnapshot(spark, dir)
-      if (snap.renames.nonEmpty)
+      if (snap.renames.nonEmpty || snap.dvs.nonEmpty)
         return scanListed(spark, dir, files, snap.schema, snap.fstat,
-          snap.partSchema, snap.renames)
+          snap.partSchema, snap.renames, snap.dvs)
           .filter(col(column).isin(values: _*))
     }
     val df = spark.read.option("mergeSchema", "true")
@@ -2711,9 +2834,9 @@ object TableManifest {
     // same rename-aware subset scan as readTableWhereEq
     locally {
       val (_, snap) = headSnapshot(spark, dir)
-      if (snap.renames.nonEmpty)
+      if (snap.renames.nonEmpty || snap.dvs.nonEmpty)
         return scanListed(spark, dir, files, snap.schema, snap.fstat,
-          snap.partSchema, snap.renames)
+          snap.partSchema, snap.renames, snap.dvs)
           .filter(col(column).isin(values: _*))
     }
     val df = spark.read.option("mergeSchema", "true")
@@ -2771,8 +2894,10 @@ object TableManifest {
     val clustered = Layout.clusterByMorton(
       projectToDeclared(
         coalesceRenamed(
-          spark.read.option("mergeSchema", "true")
-            .parquet(victims.map(f => s"$dir/$f"): _*),
+          dropDeleted(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(victims.map(f => s"$dir/$f"): _*),
+            victims, readDvs(spark, dir)),
           readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
       cols, numFiles)
@@ -2823,8 +2948,10 @@ object TableManifest {
     val clustered = Layout.clusterByMorton(
       projectToDeclared(
         coalesceRenamed(
-          spark.read.option("mergeSchema", "true")
-            .parquet(victims.map(f => s"$dir/$f"): _*),
+          dropDeleted(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(victims.map(f => s"$dir/$f"): _*),
+            victims, readDvs(spark, dir)),
           readRenames(spark, dir)),
         readSchema(spark, dir), Seq.empty),
       cols, numFiles)
@@ -2908,6 +3035,13 @@ object TableManifest {
       renameAware(headS.stats, headS.renames, Seq(column)), column, values)
       .filter(f => segmentAdmits(f, column)(v =>
         partitionSegmentUnits(v).forall(values.contains)))
+    if (dvEnabled(spark))
+      return dvRewrite(spark, dir, headV, headS, victims,
+        df => if (!df.columns.contains(column))
+          org.apache.spark.sql.functions.lit(false)
+        else col(column).isin(values: _*),
+        updated = None, statCols = Seq(column),
+        opName = "eraseWhereEq", partCols = partitionColsIn(headFiles))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
       "eraseWhereEq", partCols = partitionColsIn(headFiles))
@@ -2926,6 +3060,13 @@ object TableManifest {
     val victims = filterByStringValues(headFiles,
       renameAware(headS.sstats, headS.renames, Seq(column)), column, values)
       .filter(f => segmentAdmits(f, column)(values.contains))
+    if (dvEnabled(spark))
+      return dvRewrite(spark, dir, headV, headS, victims,
+        df => if (!df.columns.contains(column))
+          org.apache.spark.sql.functions.lit(false)
+        else col(column).isin(values: _*),
+        updated = None, statCols = Seq(column),
+        opName = "eraseWhereIn", partCols = partitionColsIn(headFiles))
     eraseRewrite(spark, dir, headV, victims, column,
       df => df.filter(col(column).isNull || !col(column).isin(values: _*)),
       "eraseWhereIn", partCols = partitionColsIn(headFiles))
@@ -2961,14 +3102,24 @@ object TableManifest {
         renameAware(headS.stats, headS.renames, Seq(column)),
         Seq((column, lo, hi))),
       Seq((column, lo, hi)))
+    def units(df: DataFrame) = {
+      val c = col(column)
+      df.schema(column).dataType match {
+        case TimestampType => unix_micros(c)
+        case DateType => unix_date(c).cast("long")
+        case _ => c
+      }
+    }
+    if (dvEnabled(spark))
+      return dvRewrite(spark, dir, headV, headS, victims,
+        df => if (!df.columns.contains(column)) lit(false)
+        else { val u = units(df); u >= lit(lo) && u <= lit(hi) },
+        updated = None, statCols = Seq(column),
+        opName = "eraseWhereRange", partCols = partitionColsIn(headFiles))
     eraseRewrite(spark, dir, headV, victims, column,
       df => {
         val c = col(column)
-        val u = df.schema(column).dataType match {
-          case TimestampType => unix_micros(c)
-          case DateType => unix_date(c).cast("long")
-          case _ => c
-        }
+        val u = units(df)
         df.filter(c.isNull || u < lit(lo) || u > lit(hi))
       },
       "eraseWhereRange", partCols = partitionColsIn(headFiles))
@@ -3327,7 +3478,8 @@ object TableManifest {
         replaceSchema = true, fstat = snapV.fstat,
         partSchema = snapV.partSchema, replacePartSchema = true,
         colmap = Some(snapV.renames), replaceColmap = true,
-        dropTombstones = Some(snapV.dropped)) match {
+        dropTombstones = Some(snapV.dropped),
+        dvs = snapV.dvs, replaceDvs = true) match {
         case Some(v2) =>
           // Close the check-then-commit race with vacuum: the check above
           // ran against files that were DELISTED (fair game for a
@@ -3358,7 +3510,8 @@ object TableManifest {
                     replacePartSchema = true,
                     colmap = Some(prev.renames),
                     replaceColmap = true,
-                    dropTombstones = Some(prev.dropped)).isDefined)
+                    dropTombstones = Some(prev.dropped),
+                    dvs = prev.dvs, replaceDvs = true).isDefined)
                   s"window — rolled the head back to v$headV's contents; "
                 else
                   "window — and another commit already advanced the head " +
@@ -3670,6 +3823,13 @@ object TableManifest {
       dir: String): Seq[Dropped] =
     headSnap(spark, dir).map(_._2.dropped).getOrElse(Seq.empty)
 
+  /** The head's deletion-vector references: data file → (sidecar under
+    * `_dv/`, deleted-row cardinality). Empty when every listed file
+    * serves all its rows. */
+  def readDvs(spark: SparkSession,
+      dir: String): Map[String, (String, Long)] =
+    headSnap(spark, dir).map(_._2.dvs).getOrElse(Map.empty)
+
   /** Group `files` by which physical column names they carry, per the
     * mapping entries: group i (i < entries.length) = files whose FIRST
     * containing entry is i (carrier sets of successive renames are
@@ -3916,12 +4076,30 @@ object TableManifest {
         }
     }
     if (victims.isEmpty) return headV
+    // MERGE-ON-READ: mark the matched positions + append the updated
+    // rows instead of rewriting whole victims (assignments already
+    // validated against `scan` above)
+    if (dvEnabled(spark)) {
+      val setMap = sets.toMap
+      return dvRewrite(spark, dir, headV, headS, victims,
+        df => cond.getOrElse(org.apache.spark.sql.functions.lit(true)),
+        updated = Some(read => read.select(read.columns.toSeq.map { c =>
+          setMap.get(c) match {
+            case None => col(c)
+            case Some(v) => v.cast(read.schema(c).dataType).as(c)
+          }
+        }: _*)),
+        statCols = (pruneRanges.map(_._1) ++ sets.map(_._1)).distinct,
+        opName = "update", partCols = partCols)
+    }
     val victimReader = spark.read.option("mergeSchema", "true")
     val read = withDeclared(projectToDeclared(
       coalesceRenamed(
-        (if (partCols.isEmpty) victimReader
-          else victimReader.option("basePath", dir))
-          .parquet(victims.map(f => s"$dir/$f"): _*),
+        dropDeleted(spark, dir,
+          (if (partCols.isEmpty) victimReader
+            else victimReader.option("basePath", dir))
+            .parquet(victims.map(f => s"$dir/$f"): _*),
+          victims, headS.dvs),
         headS.renames),
       declared, partCols))
     val setMap = sets.toMap
@@ -3959,6 +4137,181 @@ object TableManifest {
       keepAllWhenColumnMissing = false, opName = opName,
       partCols = partCols)
 
+  /** Merge-on-read mode switch for row-level DML (`DELETE` / `UPDATE`):
+    * when `spark.graft.dml.deletionVectors` is true, victims are not
+    * rewritten — matching row POSITIONS are recorded in deletion-vector
+    * sidecars ([[Dv]]) and the manifest's `dvs` section re-points, so a
+    * one-row DELETE in a 1 GB file costs O(rows-in-file) compute but
+    * only O(deleted rows) WRITE. Files whose every row dies are removed
+    * outright (no empty-file dv debris), and OPTIMIZE/compaction
+    * materializes accumulated deletions back to clean files. Default
+    * FALSE: copy-on-write stays the shipped behavior; the conf opts a
+    * session into merge-on-read. */
+  private def dvEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.dml.deletionVectors")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Apply any live deletion vectors of `victims` to a RAW V1 victim
+    * scan (must wrap the file relation itself — `_metadata` never
+    * resolves through a projection). EVERY copy-on-write rewrite read
+    * funnels through this: a rewrite that ignored a victim's dv would
+    * resurrect its deleted rows into the fresh file. No-op when no
+    * victim carries one. */
+  private[graft] def dropDeleted(spark: SparkSession, dir: String,
+      df: DataFrame, victims: Seq[String],
+      dvs: Map[String, (String, Long)]): DataFrame = {
+    val vset = victims.toSet
+    val relevant = dvs.filter(kv => vset(kv._1))
+    if (relevant.isEmpty) df else Dv.applyToScan(spark, dir, df, relevant)
+  }
+
+  /** Typed-NULL widening to the declared schema (the [[updateWhere]]
+    * contract: declared-but-not-yet-physical columns are SETtable and
+    * filterable). */
+  private def withDeclaredCols(df: DataFrame,
+      declared: Option[StructType]): DataFrame = declared match {
+    case None => df
+    case Some(sch) =>
+      val have = df.columns.map(_.toLowerCase).toSet
+      sch.fields.filterNot(f => have(f.name.toLowerCase)).foldLeft(df) {
+        (d, f) =>
+          d.withColumn(f.name,
+            org.apache.spark.sql.functions.lit(null).cast(f.dataType))
+      }
+  }
+
+  /** The MERGE-ON-READ tail of a row-level DML statement: one victim
+    * scan evaluates `deleteCond` (logical columns — renames coalesced,
+    * declared NULLs attached) with each row's file/position riding
+    * along; matched positions merge into per-file deletion-vector
+    * sidecars written EXECUTOR-side (one task per victim file — driver
+    * traffic is (file, dv, cardinality) triples, never row positions);
+    * files whose whole row set dies are REMOVED instead of dv'd; and
+    * for UPDATE, `updated` transforms the matched rows into the
+    * appended replacement files. Commits with the same victim-vanished
+    * CAS discipline as [[spliceCommit]]. Rows already deleted by an
+    * EXISTING dv are excluded from the scan (they can neither re-match
+    * nor ride an UPDATE append); the fresh sidecar unions the old
+    * positions so replacing the reference loses nothing. */
+  private def dvRewrite(spark: SparkSession, dir: String, headV: Long,
+      headS: Snap, victims: Seq[String],
+      deleteCond: DataFrame => org.apache.spark.sql.Column,
+      updated: Option[DataFrame => DataFrame],
+      statCols: Seq[String], opName: String,
+      partCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, not, substring_index}
+    if (victims.isEmpty) return headV
+    val (fs, p) = fsFor(spark, dir)
+    val reader = spark.read.option("mergeSchema", "true")
+    val raw = (if (partCols.isEmpty) reader
+      else reader.option("basePath", dir))
+      .parquet(victims.map(f => s"$dir/$f"): _*)
+    // file identity + row position ride the RAW file relation
+    // (`_metadata` never resolves through a projection); everything
+    // downstream sees logical columns
+    val victimSet = victims.toSet
+    val oldDvRefs = headS.dvs.filter(kv => victimSet(kv._1))
+    val withPos = raw.select(
+      substring_index(col("_metadata.file_path"), "/", -1).as("__gdv_f"),
+      col("_metadata.row_index").as("__gdv_i"), col("*"))
+    val alive =
+      if (oldDvRefs.isEmpty) withPos
+      else {
+        val bc = spark.sparkContext.broadcast(
+          Dv.loadBitmaps(spark, dir, oldDvRefs))
+        withPos.filter(not(graft.functions.DvDeleted.of(
+          col("_metadata.file_path"), col("_metadata.row_index"), bc)))
+      }
+    val declared = readSchema(spark, dir)
+    val logical = withDeclaredCols(
+      coalesceRenamed(alive, headS.renames), declared)
+    val cond = deleteCond(logical)
+    val matched = logical.filter(cond)
+    // live-row count per victim file: full-file deletions drop the FILE
+    val baseOf = victims.map(v =>
+      v.substring(v.lastIndexOf('/') + 1) -> v).toMap
+    require(baseOf.size == victims.size,
+      s"$opName: victim basenames not unique under $dir")
+    val liveTotals: Map[String, Long] = alive.groupBy(col("__gdv_f"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // executor-side sidecar writes: merge fresh positions with the old
+    // dv (positions are disjoint — the scan excluded already-deleted
+    // rows), sort, write-once
+    val confBc = Dv.confBroadcast(spark)
+    val oldBc = spark.sparkContext.broadcast(
+      Dv.loadBitmaps(spark, dir, oldDvRefs))
+    val root = dir
+    import spark.implicits._
+    val written: Seq[(String, String, Long)] = matched
+      .select(col("__gdv_f"), col("__gdv_i"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val fresh = it.map(_._2).toArray
+        val old = oldBc.value.getOrElse(f, Array.empty[Long])
+        val merged = (old ++ fresh).distinct.sorted
+        val tableRoot = new org.apache.hadoop.fs.Path(root)
+        val xfs = tableRoot.getFileSystem(confBc.value.value)
+        (f, Dv.write(xfs, tableRoot, merged), merged.length.toLong)
+      }.collect().toSeq
+    if (written.isEmpty && updated.isEmpty) return headV
+    val freshMatched = written.map { case (f, _, card) =>
+      f -> (card - oldBc.value.get(f).map(_.length.toLong).getOrElse(0L))
+    }.toMap
+    val (fullRows, partialRows) = written.partition { case (f, _, _) =>
+      freshMatched(f) >= liveTotals.getOrElse(f, Long.MaxValue)
+    }
+    val fullyDeleted = fullRows.map(r => baseOf(r._1))
+    // a whole-file delete needs no sidecar: drop the just-written one
+    fullRows.foreach(r =>
+      scala.util.Try(fs.delete(new Path(new Path(p, Dv.DirName), r._2), false)))
+    val dvAdds: Map[String, (String, Long)] = partialRows.map {
+      case (f, dv, card) => baseOf(f) -> (dv, card)
+    }.toMap
+    // the UPDATE shape: matched rows (old values) re-emitted through the
+    // assignments as ordinary appends, projected to the declared schema
+    // so dropped-column leftovers never ride back in
+    val moved: Seq[String] = updated match {
+      case None => Seq.empty
+      case Some(f) =>
+        val input = projectToDeclared(
+          matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
+        val out = f(input).coalesce(math.max(written.size, 1))
+        if (partCols.isEmpty) writeAndMoveIn(out, opName, dir)
+        else writeAndMoveInPartitioned(out, opName, dir, partCols)
+    }
+    if (written.isEmpty && moved.isEmpty) return headV
+    val (mstats, msstats) =
+      if (moved.isEmpty) (Map.empty: FileStats, Map.empty: FileStringStats)
+      else fileAllStats(spark, dir, moved, statCols)
+    def cleanupAbort(): Unit = {
+      moved.foreach(f => scala.util.Try(fs.delete(new Path(p, f), false)))
+      partialRows.foreach(r => scala.util.Try(
+        fs.delete(new Path(new Path(p, Dv.DirName), r._2), false)))
+    }
+    var attempts = 0
+    while (attempts < 64) {
+      val (v, files, hwm) = readHead(spark, dir).getOrElse {
+        cleanupAbort()
+        sys.error(s"$opName: manifest vanished under $dir")
+      }
+      if (!victimSet.subsetOf(files.toSet)) {
+        cleanupAbort()
+        sys.error(s"$opName: victim files disappeared under " +
+          s"$dir (concurrent rewrite); re-run against the new head")
+      }
+      val kept = files.filterNot(fullyDeleted.toSet)
+      if (moved.nonEmpty) requireLayoutMatch(kept, moved, opName)
+      commitIf(spark, dir, kept ++ moved, v, hwm, mstats, msstats,
+        dvs = dvAdds) match {
+        case Some(v2) => return v2
+        case None => attempts += 1
+      }
+    }
+    cleanupAbort()
+    sys.error(s"$opName lost $attempts races in $dir; giving up")
+  }
+
   /** Shared tail of every slice rewrite (erase, replace-backfill, merge):
     * read the victims once with a merged schema, apply `keep`, union the
     * optional `append`, write, and victim-splice-commit with fresh
@@ -3992,12 +4345,15 @@ object TableManifest {
         val reader = spark.read.option("mergeSchema", "true")
         // projected to the declared schema: undeclared footer columns
         // (dropColumns leftovers) must not ride the rewrite back into
-        // the carried schema through the splice commit
+        // the carried schema through the splice commit; deletion
+        // vectors applied FIRST (a rewrite must not resurrect rows)
         val read = projectToDeclared(
           coalesceRenamed(
-            (if (partCols.isEmpty) reader
-             else reader.option("basePath", dir))
-              .parquet(victims.map(f => s"$dir/$f"): _*),
+            dropDeleted(spark, dir,
+              (if (partCols.isEmpty) reader
+               else reader.option("basePath", dir))
+                .parquet(victims.map(f => s"$dir/$f"): _*),
+              victims, readDvs(spark, dir)),
             readRenames(spark, dir)),
           readSchema(spark, dir), partCols)
         if (!read.columns.contains(column))
@@ -4386,8 +4742,40 @@ object TableManifest {
     // restored head. One extra manifest listing closes the vacuum side of
     // the window (restore's own post-CAS verification closes its side).
     val liveNow = readHead(spark, dir).map(_._2.toSet).getOrElse(Set.empty)
+    // DELETION-VECTOR sidecars: reclaim `_dv/` files no SURVIVING
+    // manifest references. References appear VERBATIM in bodies (a
+    // checkpoint restates the whole dvs section; a delta carries the
+    // overlay that introduced the dv), and retention keeps the whole
+    // chain [chainBase, head], so one regex pass over the surviving
+    // bodies is exhaustive for every still-resolvable version. A dv
+    // whose last lister is pruned in THIS pass dies with it — the same
+    // reader-exposure class as data files of pruned versions (time
+    // travel is only guaranteed before a vacuum past that version). The
+    // sweep costs O(surviving manifests) body reads and only runs when
+    // `_dv/` exists at all. mtime grace applies like any data file.
+    val dvDir = new Path(p, Dv.DirName)
+    val deadDvs: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      if (!fs.exists(dvDir)) Seq.empty
+      else {
+        val deadM = deadManifests.map(_.getPath.getName).toSet
+        val referenced = manifests
+          .filterNot { case (_, s) => deadM(s.getPath.getName) }
+          .flatMap { case (_, st) =>
+            val body = {
+              val in = fs.open(st.getPath)
+              try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+              finally in.close()
+            }
+            """dv-[0-9a-f\-]+\.bin""".r.findAllIn(body)
+          }.toSet
+        fs.listStatus(dvDir).toSeq
+          .filter(s => s.isFile && Dv.isDvName(s.getPath.getName))
+          .filter(s => !referenced(s.getPath.getName) &&
+            s.getModificationTime <= cutoff)
+          .map(s => s"${Dv.DirName}/${s.getPath.getName}" -> s)
+      }
     val deleted =
-      (deadFiles.filterNot { case (rel, _) => liveNow(rel) } ++
+      (deadFiles.filterNot { case (rel, _) => liveNow(rel) } ++ deadDvs ++
         (deadTmps ++ deadMarkers ++ deadManifests)
         .map(s => s.getPath.getName -> s)).map { case (rel, s) =>
         fs.delete(s.getPath, true)

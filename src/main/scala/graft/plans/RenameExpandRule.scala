@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.RenameReads
+import graft.sources.{DvReads, RenameReads}
 
 /** Post-hoc resolution rule that expands every READ relation of a
   * graft-manifest table with renamed columns into the union-of-groups
@@ -35,7 +35,11 @@ case class RenameExpandRule(session: SparkSession) extends Rule[LogicalPlan] {
       case w: V2WriteCommand => w.withNewQuery(expand(w.query))
       case d: DeleteFromTable => d
       case rel: DataSourceV2Relation =>
-        RenameReads.expandIfRenamed(rel).getOrElse(rel)
+        // deletion vectors take priority: the library plan DvReads
+        // splices handles renames too, while the rename group-union
+        // alone would serve deleted rows
+        DvReads.expandIfDv(rel)
+          .orElse(RenameReads.expandIfRenamed(rel)).getOrElse(rel)
       case other => other.mapChildren(expand)
     }
     shaped.transformExpressions {

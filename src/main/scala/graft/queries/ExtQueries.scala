@@ -7165,6 +7165,95 @@ object ExtQueries {
       |FROM base WHERE amount <= 40000000
       |GROUP BY pri ORDER BY pri""".stripMargin
 
+  /** q199: MERGE-ON-READ row-level DML (deletion vectors). With
+    * `spark.graft.dml.deletionVectors=true`, DELETE/UPDATE record row
+    * POSITIONS in `_dv/` sidecars instead of rewriting victims — a
+    * one-row DELETE in a 1 GB file writes O(deleted rows), not the
+    * gigabyte. The query runs a range DELETE and a broad UPDATE in dv
+    * mode over a 3-file manifest table, PROVES merge-on-read actually
+    * happened (no victim was rewritten; live dv entries exist), and
+    * aggregates the final state — hash-matched against DuckDB computing
+    * the same delete+update algebraically. */
+  def q199DvDml(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q199")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tbl = s"g199_dv_$tag"
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    graft.ops.TableManifest.publish(src.coalesce(3), tmp)
+    val before = graft.ops.TableManifest.read(s, tmp).get._2.toSet
+    s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$tmp')")
+    try {
+      s.conf.set("spark.graft.dml.deletionVectors", "true")
+      try {
+        s.sql(s"DELETE FROM $tbl WHERE k <= 300")
+        s.sql(s"UPDATE $tbl SET cents = cents * 2 WHERE cents < 500000")
+      } finally s.conf.unset("spark.graft.dml.deletionVectors")
+      require(before.subsetOf(
+        graft.ops.TableManifest.read(s, tmp).get._2.toSet),
+        "q199: merge-on-read must keep every original file in place")
+      require(graft.ops.TableManifest.readDvs(s, tmp).nonEmpty,
+        "q199: expected live deletion vectors after the DELETE")
+      s.sql(
+        s"""SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $tbl GROUP BY pri ORDER BY pri""".stripMargin)
+    } finally s.sql(s"DROP TABLE $tbl")
+  }
+
+  val q199Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey > 300),
+      |upd AS (SELECT pri,
+      |  CASE WHEN cents < 500000 THEN cents * 2 ELSE cents END AS cents
+      |  FROM base)
+      |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM upd GROUP BY pri ORDER BY pri""".stripMargin
+
+  /** q200: the deletion-vector MAINTENANCE lifecycle — dv DELETE, then
+    * compaction MATERIALIZES the deletions (rewrites serve the filtered
+    * rows, dv entries drop), then vacuum reclaims the orphaned sidecars
+    * — and the final table still hash-matches DuckDB. What it pins at
+    * 100 TB: merge-on-read is not a fork of the format; the table heals
+    * back to clean single-scan files through the SAME OPTIMIZE/vacuum
+    * ops the copy-on-write path uses. */
+  def q200DvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q200")
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("qty"))
+    // repartition, not coalesce: the fixture needs REAL multiple files
+    // for the compaction step to have victims
+    graft.ops.TableManifest.publish(src.repartition(3), tmp)
+    s.conf.set("spark.graft.dml.deletionVectors", "true")
+    try graft.ops.TableManifest.eraseWhereRange(s, tmp, "qty", 0L, 5L)
+    finally s.conf.unset("spark.graft.dml.deletionVectors")
+    require(graft.ops.TableManifest.readDvs(s, tmp).nonEmpty,
+      "q200: expected live deletion vectors before OPTIMIZE")
+    graft.ops.Compaction.compactInPlace(s, tmp,
+      targetBytes = 1L << 26, minFileBytes = 1L << 26)
+    require(graft.ops.TableManifest.readDvs(s, tmp).isEmpty,
+      "q200: OPTIMIZE must materialize the deletions and clear the dvs")
+    graft.ops.TableManifest.vacuum(s, tmp, graceMillis = 0L,
+      retainManifests = 1)
+    graft.ops.TableManifest.readTable(s, tmp)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("qty").cast("long").as("qty"))
+      .orderBy("flag")
+  }
+
+  val q200Sql: String =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 5
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -7352,7 +7441,9 @@ object ExtQueries {
     "q195_partitioned_cdc" -> (q195PartitionedCdc _),
     "q196_delta_ledger" -> (q196DeltaLedger _),
     "q197_rename_column" -> (q197RenameColumn _),
-    "q198_rename_dml" -> (q198RenameDml _))
+    "q198_rename_dml" -> (q198RenameDml _),
+    "q199_dv_dml" -> (q199DvDml _),
+    "q200_dv_maintenance" -> (q200DvMaintenance _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7542,5 +7633,7 @@ object ExtQueries {
     "q195_partitioned_cdc" -> q195Sql,
     "q196_delta_ledger" -> q196Sql,
     "q197_rename_column" -> q197Sql,
-    "q198_rename_dml" -> q198Sql)
+    "q198_rename_dml" -> q198Sql,
+    "q199_dv_dml" -> q199Sql,
+    "q200_dv_maintenance" -> q200Sql)
 }

@@ -309,13 +309,25 @@ private[sources] final class ManifestMicroBatchStream(
     val from = ManifestOffset.parse(start.json()).version
     val to = ManifestOffset.parse(end.json()).version
     val fresh = ManifestStream.freshFiles(spark, dir, from, to)
-    val (fstat, renames) =
+    val (fstat, renames, dvsAtEnd) =
       if (to <= from) (Map.empty[String, (Long, Long)],
-        Seq.empty[graft.ops.TableManifest.Rename])
+        Seq.empty[graft.ops.TableManifest.Rename],
+        Map.empty[String, (String, Long)])
       else TableManifest.readAtFull(spark, dir, to)
-        .map(t => (t._3, t._5))
+        .map(t => (t._3, t._5, t._6))
         .getOrElse((Map.empty[String, (Long, Long)],
-          Seq.empty[graft.ops.TableManifest.Rename]))
+          Seq.empty[graft.ops.TableManifest.Rename],
+          Map.empty[String, (String, Long)]))
+    // DELETION VECTORS: a raw parquet micro-batch cannot apply a row
+    // filter, so delivering a DV'd file would re-serve its deleted rows
+    // — refuse loudly (OPTIMIZE materializes the deletions and clears
+    // the entries). A DV ADDED to an already-delivered file never
+    // re-delivers anything (no new file), the documented
+    // file-granularity CDC caveat.
+    fresh.find(dvsAtEnd.contains).foreach(f => sys.error(
+      s"graft-manifest stream: $dir delivery range (v$from, v$to] " +
+        s"includes $f, which carries a deletion vector; OPTIMIZE the " +
+        "table to materialize the deletions before streaming this range"))
     // FORWARD guard: a RENAME COLUMN committed AFTER this stream pinned
     // its schema. The mapping entries at `to` spell logical names the
     // pinned schema doesn't know (and the pinned name survives only as

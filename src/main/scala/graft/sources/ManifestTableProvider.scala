@@ -114,16 +114,16 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     })
     pinnedVersion match {
       case Some(v) =>
-        val (names, schema, fstat, partSchema, renames) =
+        val (names, schema, fstat, partSchema, renames, dvs) =
           TableManifest.readAtFull(spark, dir, v).getOrElse(sys.error(
             s"graft-manifest: version $v does not exist in $dir"))
         ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
-          renames)
+          renames, dvs)
       case None =>
         TableManifest.readFull(spark, dir) match {
-          case Some((_, names, schema, fstat, partSchema, renames)) =>
+          case Some((_, names, schema, fstat, partSchema, renames, dvs)) =>
             ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
-              renames)
+              renames, dvs)
           case None => ManifestTableProvider.Untracked // plain dir scan
         }
     }
@@ -147,9 +147,9 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     }
     val (files, manifestSchema, snapshot) = resolved match {
       case ManifestTableProvider.Tracked(names, schema, fstat, partSchema,
-          renames) =>
+          renames, dvs) =>
         (names.map(f => s"$dir/$f"), schema,
-          Some((names, fstat, partSchema, renames)))
+          Some((names, fstat, partSchema, renames, dvs)))
       case ManifestTableProvider.Untracked => (Seq(dir), None, None)
     }
     // schema priority: caller's explicit schema, then the manifest-carried
@@ -179,8 +179,8 @@ class ManifestTableProvider extends TableProvider with DataSourceRegister {
     new ManifestReadTable(SparkSession.active,
       new ParquetTable(s"graft-manifest:$dir", SparkSession.active, effective,
         files, schema, classOf[ParquetFileFormat]), dir, effective,
-      snapshot.map { case (names, fstat, partSchema, renames) =>
-        (names, schema, fstat, partSchema, renames) })
+      snapshot.map { case (names, fstat, partSchema, renames, dvs) =>
+        (names, schema, fstat, partSchema, renames, dvs) })
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -200,7 +200,8 @@ private[sources] object ManifestTableProvider {
   final case class Tracked(names: Seq[String], schema: Option[StructType],
       fstat: Map[String, (Long, Long)],
       partSchema: Option[StructType],
-      renames: Seq[graft.ops.TableManifest.Rename] = Seq.empty)
+      renames: Seq[graft.ops.TableManifest.Rename] = Seq.empty,
+      dvs: Map[String, (String, Long)] = Map.empty)
     extends Resolved
   case object Untracked extends Resolved
 }
@@ -298,7 +299,8 @@ private final class ManifestReadTable(spark: SparkSession,
     dir: String, tableOptions: CaseInsensitiveStringMap,
     tracked: Option[(Seq[String], Option[StructType],
       Map[String, (Long, Long)], Option[StructType],
-      Seq[graft.ops.TableManifest.Rename])])
+      Seq[graft.ops.TableManifest.Rename],
+      Map[String, (String, Long)])])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = delegate.name
@@ -307,7 +309,7 @@ private final class ManifestReadTable(spark: SparkSession,
     * per resolved table and shared by `schema()` and every scan (the
     * index also owns the inferred partition spec of a hive layout). */
   private lazy val trackedIndex: Option[ManifestFileIndex] =
-    tracked.map { case (names, _, fstat, partSchema, _) =>
+    tracked.map { case (names, _, fstat, partSchema, _, _) =>
       // the construction-time session, NOT SparkSession.active: schema()
       // (which forces this) is called by relation creation in library
       // paths where no session is active on the calling thread. The
@@ -326,7 +328,7 @@ private final class ManifestReadTable(spark: SparkSession,
     * scans first ([[RenameReads.expand]], injected as a post-hoc
     * resolution rule). Exposed for that rule. */
   private[sources] def liveRenames: Seq[graft.ops.TableManifest.Rename] =
-    tracked.map { case (names, _, _, _, renames) =>
+    tracked.map { case (names, _, _, _, renames, _) =>
       if (renames.isEmpty) Seq.empty
       else {
         val live = names.toSet
@@ -334,12 +336,23 @@ private final class ManifestReadTable(spark: SparkSession,
           .filter(_.carriers.nonEmpty)
       }
     }.getOrElse(Seq.empty)
+
+  /** Deletion-vector references of the pinned snapshot whose data file
+    * is in THIS relation's file list — nonEmpty means a plain scan would
+    * serve DELETED rows, so the relation must be expanded (the dv half
+    * of the post-hoc rule) before any batch executes. */
+  private[sources] def liveDvs: Map[String, (String, Long)] =
+    tracked.map { case (names, _, _, _, _, dvs) =>
+      if (dvs.isEmpty) dvs
+      else { val live = names.toSet; dvs.filter(kv => live(kv._1)) }
+    }.getOrElse(Map.empty)
   private[sources] def tableDir: String = dir
   private[sources] def sessionOf: SparkSession = spark
   private[sources] def tableOpts: CaseInsensitiveStringMap = tableOptions
   private[sources] def trackedSnapshot: Option[(Seq[String],
       Option[StructType], Map[String, (Long, Long)], Option[StructType],
-      Seq[graft.ops.TableManifest.Rename])] = tracked
+      Seq[graft.ops.TableManifest.Rename],
+      Map[String, (String, Long)])] = tracked
   private def snapshotEmpty: Boolean = tracked.exists(_._1.isEmpty)
 
   /** Serve the resolved schema DIRECTLY when the snapshot carries one:
@@ -377,7 +390,7 @@ private final class ManifestReadTable(spark: SparkSession,
     // either way: a session without the extensions errors at batch
     // execution, never serves bad data.
     (tracked, trackedIndex) match {
-      case (Some((_, schemaOpt, _, _, _)), Some(idx)) =>
+      case (Some((_, schemaOpt, _, _, _, _)), Some(idx)) =>
         // zero-FS-call planning: the file index is fabricated from the
         // pinned manifest body; only inventory gaps (pre-filestat
         // manifests) cost ONE directory listing. On a hive layout the
@@ -390,12 +403,14 @@ private final class ManifestReadTable(spark: SparkSession,
         new ManifestScanBuilder(
           org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScanBuilder(SparkSession.active, idx, full, data, options),
-          dir, tableOptions, renamedCarriers = liveRenames.nonEmpty)
+          dir, tableOptions,
+          renamedCarriers = liveRenames.nonEmpty || liveDvs.nonEmpty)
       case _ =>
         new ManifestScanBuilder(
           delegate.newScanBuilder(options)
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
-          dir, tableOptions, renamedCarriers = liveRenames.nonEmpty)
+          dir, tableOptions,
+          renamedCarriers = liveRenames.nonEmpty || liveDvs.nonEmpty)
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -905,7 +920,7 @@ private[graft] object ManifestScans {
     // partSchema None: scanSnapshot is only called for non-empty slices
     // (scanListed's empty branch serves the declared columns itself)
     val table = new ManifestReadTable(spark, delegate, dir, opts,
-      Some((names, Some(schema), fstat, None, Seq.empty)))
+      Some((names, Some(schema), fstat, None, Seq.empty, Map.empty)))
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
         .create(table, None, None))
@@ -938,12 +953,17 @@ private[graft] object RenameReads {
   import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
   /** Union-of-groups plan for `rel` when its table is a graft manifest
-    * table with live carrier files; None when no expansion is needed. */
+    * table with live carrier files; None when no expansion is needed.
+    * A snapshot with live DELETION VECTORS is left to [[DvReads]] (the
+    * library scan path it splices in handles renames AND dvs together —
+    * group tables minted here carry no dv info, so expanding would
+    * silently serve deleted rows). */
   def expandIfRenamed(rel: DataSourceV2Relation): Option[LogicalPlan] =
     rel.table match {
-      case t: ManifestReadTable if t.liveRenames.nonEmpty =>
+      case t: ManifestReadTable
+          if t.liveRenames.nonEmpty && t.liveDvs.isEmpty =>
         t.trackedSnapshot.flatMap {
-          case (names, Some(carried), fstat, partSchema, _) =>
+          case (names, Some(carried), fstat, partSchema, _, _) =>
             val groups = TableManifest.renameGroups(t.liveRenames, names)
             val branches = groups.zipWithIndex.map { case ((gNames, subst), b) =>
               val gSet = gNames.toSet
@@ -957,7 +977,7 @@ private[graft] object RenameReads {
                   classOf[ParquetFileFormat]),
                 t.tableDir, t.tableOpts,
                 Some((gNames, Some(phys), fstat.filter(kv => gSet(kv._1)),
-                  partSchema, Seq.empty)))
+                  partSchema, Seq.empty, Map.empty)))
               val gRel = DataSourceV2Relation.create(gTable, None, None,
                 t.tableOpts)
               require(gRel.output.length == rel.output.length,
@@ -978,6 +998,46 @@ private[graft] object RenameReads {
             Some(if (branches.length == 1) branches.head
               else Union(branches))
           case _ => None // pre-schema snapshot: the scan guard stays loud
+        }
+      case _ => None
+    }
+}
+
+/** Expansion of a relation over a table with live DELETION VECTORS —
+  * the read-side half of merge-on-read DML. A plain scan would serve
+  * DELETED rows, so the post-hoc rule splices in the LIBRARY scan plan
+  * ([[graft.ops.TableManifest.scanListed]]): the clean-file majority
+  * keeps its zero-FS-call DSv2 scan, the DV'd minority reads through
+  * the V1 parquet path with the codegen'd position filter
+  * ([[graft.ops.Dv.applyToScan]]), and renames compose (the library
+  * path groups carriers itself — which is why [[RenameReads]] defers to
+  * this one whenever dvs are live). Output attributes are re-bound to
+  * the original relation's exprIds by NAME, so the spliced plan serves
+  * wherever the relation did. Idempotent: the relations the splice
+  * mints carry no dv entries. */
+private[graft] object DvReads {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  def expandIfDv(rel: DataSourceV2Relation): Option[LogicalPlan] =
+    rel.table match {
+      case t: ManifestReadTable if t.liveDvs.nonEmpty =>
+        t.trackedSnapshot.map {
+          case (names, schema, fstat, partSchema, renames, dvs) =>
+            val df = TableManifest.scanListed(t.sessionOf, t.tableDir,
+              names, schema, fstat, partSchema, renames, dvs)
+            val plan = org.apache.spark.sql.graft.DatasetBridge.analyzed(df)
+            val byName = plan.output.map(a => a.name.toLowerCase -> a).toMap
+            val aliases: Seq[NamedExpression] = rel.output.map { orig =>
+              val child = byName.getOrElse(orig.name.toLowerCase,
+                sys.error(s"dv expansion of ${t.tableDir}: column " +
+                  s"${orig.name} not served by the library scan " +
+                  s"(has ${plan.output.map(_.name).mkString(", ")})"))
+              Alias(child, orig.name)(exprId = orig.exprId,
+                qualifier = orig.qualifier)
+            }
+            Project(aliases, plan): LogicalPlan
         }
       case _ => None
     }

@@ -9,4 +9,9 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** The ANALYZED logical plan of a DataFrame — what a rule needs to
+    * splice a library-built frame into a plan it is rewriting. */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[Dataset[_]].queryExecution.analyzed
 }

@@ -22,7 +22,7 @@ object TestSessions {
       "q188_partitioned_optimize", "q190_drop_columns", "q191_sql_zorder",
       "q192_sql_cdc", "q193_sql_create_partitioned",
       "q194_alter_column_widen", "q195_partitioned_cdc",
-      "q197_rename_column", "q198_rename_dml")
+      "q197_rename_column", "q198_rename_dml", "q199_dv_dml")
 
   lazy val withExtensions: SparkSession = {
     val prevDefault = SparkSession.getDefaultSession

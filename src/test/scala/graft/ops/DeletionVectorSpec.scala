@@ -1,0 +1,254 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Round-17 headline: MERGE-ON-READ row-level DML via deletion vectors.
+  *
+  * With `spark.graft.dml.deletionVectors=true`, DELETE/UPDATE record
+  * matched row POSITIONS in `_dv/` sidecars referenced from the
+  * manifest's `dvs` section instead of rewriting whole victim files —
+  * a one-row DELETE in a big file costs O(deleted rows) write, not the
+  * file. The matrix: reads (library + subset + time travel) apply the
+  * bitmap; full-file deletes drop the file; repeat deletes union;
+  * UPDATE appends replacements; copy-on-write paths and compaction
+  * MATERIALIZE deletions (never resurrect); vacuum reclaims orphaned
+  * sidecars; renames compose; streams refuse dv'd ranges loudly. */
+class DeletionVectorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def withDv[A](f: => A): A = {
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    try f finally spark.conf.unset("spark.graft.dml.deletionVectors")
+  }
+
+  /** Tracked table (k, v), k = 0..8 over exactly 3 files of known
+    * contents: {0,1,2}, {3,4,5}, {6,7,8} (deterministic — never a hash
+    * layout guess). */
+  private def table3(tag: String): String = {
+    val dir = tmpDir(tag)
+    (0L until 3L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    (3L until 6L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    (6L until 9L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    dir
+  }
+
+  test("DV DELETE marks positions; no file rewrites; every read path serves survivors") {
+    val dir = table3("gm-dv-del")
+    val filesBefore = TableManifest.read(spark, dir).get._2.toSet
+    val v = withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
+    assert(v >= 2L)
+    assert(TableManifest.read(spark, dir).get._2.toSet == filesBefore,
+      "merge-on-read: no data file rewritten or removed")
+    val dvs = TableManifest.readDvs(spark, dir)
+    assert(dvs.size == 1 && dvs.values.head._2 == 1L,
+      s"exactly one position marked: $dvs")
+    val got = TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L), s"library read: $got")
+    // subset reads apply the bitmap too
+    assert(TableManifest.readTableWhereEq(spark, dir, "k", Seq(4L))
+      .count() == 0L, "point lookup must not serve the deleted row")
+    assert(TableManifest.readTableRange(spark, dir, "k", 3L, 5L)
+      .select("k").as[Long].collect().toSeq.sorted == Seq(3L, 5L))
+    // time travel: the pre-delete head still serves the row; the dv'd
+    // head does not
+    assert(TableManifest.readTableAt(spark, dir, v - 1).count() == 9L)
+    assert(TableManifest.readTableAt(spark, dir, v).count() == 8L)
+  }
+
+  test("a DELETE matching every row of a file removes the FILE, not a dv") {
+    val dir = table3("gm-dv-full")
+    val before = TableManifest.read(spark, dir).get._2.toSet
+    // {3,4,5} is exactly the second file's whole row set
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(3L, 4L, 5L)) }
+    val after = TableManifest.read(spark, dir).get._2.toSet
+    assert(after.subsetOf(before) && after.size == before.size - 1,
+      s"one whole file dropped: ${before.size} -> ${after.size}")
+    assert(TableManifest.readDvs(spark, dir).isEmpty,
+      "no sidecar debris for a whole-file delete")
+    assert(TableManifest.readTable(spark, dir).count() == 6L)
+  }
+
+  test("repeat DELETEs union into one sidecar per file") {
+    val dir = table3("gm-dv-union")
+    withDv {
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(0L))
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L))
+    }
+    val dvs = TableManifest.readDvs(spark, dir)
+    // 0 and 1 share the first file
+    assert(dvs.size == 1 && dvs.values.head._2 == 2L,
+      s"union of both deletes in one dv: $dvs")
+    assert(TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted == Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    // deleting the file's last live row drops the FILE and the dv
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(2L)) }
+    assert(TableManifest.readDvs(spark, dir).isEmpty,
+      "the union reached every row: file removed, dv gone")
+    assert(TableManifest.readTable(spark, dir).count() == 6L)
+  }
+
+  test("DV UPDATE appends the updated rows and marks the old positions") {
+    val dir = table3("gm-dv-upd")
+    val before = TableManifest.read(spark, dir).get._2
+    val v = withDv {
+      TableManifest.updateWhere(spark, dir,
+        Seq("v" -> (col("v") + 1000L)), Some(col("k") === 2L))
+    }
+    val after = TableManifest.read(spark, dir).get._2
+    assert(before.toSet.subsetOf(after.toSet) &&
+      after.size == before.size + 1,
+      "victims kept (positions dv'd), one appended replacement file")
+    assert(TableManifest.readDvs(spark, dir).size == 1)
+    val got = TableManifest.readTable(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == (0L until 9L).map(k =>
+      (k, if (k == 2L) 1020L else k * 10L)).sorted, s"updated view: $got")
+    assert(TableManifest.readTableAt(spark, dir, v - 1).count() == 9L)
+  }
+
+  test("copy-on-write paths NEVER resurrect dv-deleted rows; the rewrite clears the dv") {
+    val dir = table3("gm-dv-cow")
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(5L)) }
+    assert(TableManifest.readDvs(spark, dir).size == 1)
+    // a COPY-ON-WRITE update (conf off) touching the dv'd FILE (k=4
+    // shares it with the deleted k=5): the rewrite must apply the
+    // bitmap and the fresh file carries no dv
+    TableManifest.updateWhere(spark, dir,
+      Seq("v" -> (col("v") + 1L)), Some(col("k") === 4L))
+    val got = TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L),
+      s"rewrite must not resurrect k=5: $got")
+    assert(TableManifest.readDvs(spark, dir).isEmpty,
+      "the rewritten victim dropped its dv reference")
+  }
+
+  test("compaction materializes deletions and clears the dv section") {
+    val dir = table3("gm-dv-compact")
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L, 5L)) }
+    assert(TableManifest.readDvs(spark, dir).nonEmpty)
+    Compaction.compactInPlace(spark, dir,
+      targetBytes = 1L << 20, minFileBytes = 1L << 20)
+    assert(TableManifest.readDvs(spark, dir).isEmpty,
+      "compaction rewrote the carriers; dv entries dropped")
+    assert(TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted == Seq(0L, 2L, 3L, 4L, 6L, 7L, 8L))
+  }
+
+  test("vacuum reclaims sidecars no surviving manifest references") {
+    val dir = table3("gm-dv-vacuum")
+    // every-commit checkpoints: with the default delta chain, the OLD
+    // sidecar stays referenced by the retained delta that introduced it
+    // (chain-aware retention keeps [chainBase, head]) — which is the
+    // CORRECT conservative outcome; re-anchoring is what frees it
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+    withDv {
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(0L))
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L)) // replaces the dv
+    }
+    val dvDir = new java.io.File(dir, "_dv")
+    assert(dvDir.listFiles().count(_.getName.endsWith(".bin")) == 2,
+      "both generations on disk before vacuum")
+    val live = TableManifest.readDvs(spark, dir).values.head._1
+    TableManifest.vacuum(spark, dir, graceMillis = 0L, retainManifests = 1)
+    val left = dvDir.listFiles().filter(_.getName.endsWith(".bin"))
+      .map(_.getName).toSeq
+    assert(left == Seq(live.stripPrefix("_dv/")),
+      s"only the referenced sidecar survives: $left vs $live")
+    // and the table still reads correctly after the sweep
+    assert(TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted ==
+      Seq(2L, 3L, 4L, 5L, 6L, 7L, 8L))
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+  }
+
+  test("renames compose: DV DELETE through the renamed column over mixed generations") {
+    val dir = tmpDir("gm-dv-ren")
+    (0L until 4L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.renameColumn(spark, dir, "v", "w")
+    (4L until 8L).map(k => (k, k * 10L)).toDF("k", "w")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    withDv {
+      // hits one pre-rename (physical v) and one post-rename file
+      TableManifest.eraseWhereRange(spark, dir, "w", 20L, 40L)
+    }
+    val got = TableManifest.readTable(spark, dir)
+      .select("k", "w").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((0L, 0L), (1L, 10L), (5L, 50L), (6L, 60L), (7L, 70L)),
+      s"both generations filtered under the logical name: $got")
+    assert(TableManifest.readDvs(spark, dir).size == 2,
+      "one dv per touched generation")
+  }
+
+  test("streams refuse dv'd delivery ranges loudly; DSv2 batch reads are guarded or correct") {
+    val dir = table3("gm-dv-stream")
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-manifest").load(dir)
+        .writeStream.format("memory")
+        .queryName(s"dvstream${java.util.UUID.randomUUID().toString.take(6)}")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("deletion vector")),
+      s"expected the dv stream refusal: ${messages(e)}")
+    // DSv2 batch read: with the extensions the read is CORRECT (DvReads
+    // splice), without them the toBatch guard is LOUD — never stale rows
+    (try Right(spark.read.format("graft-manifest").load(dir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq)
+      catch { case ex: Exception => Left(ex) }) match {
+      case Right(rows) =>
+        assert(rows == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L), s"rows: $rows")
+      case Left(ex) =>
+        assert(ex.getMessage.contains("renamed columns"), ex.getMessage)
+    }
+  }
+
+  test("SQL DELETE and UPDATE honor the conf through the graft session") {
+    val s = graft.TestSessions.withExtensions
+    graft.TestSessions.withExtensionsActive { _ =>
+      val dir = tmpDir("gm-dv-sql")
+      import s.implicits._
+      (0L until 5L).map(k => (k, k * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      TableManifest.init(s, dir)
+      (5L until 9L).map(k => (k, k * 10L)).toDF("k", "v")
+        .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+      val tbl = s"gdv_${java.util.UUID.randomUUID().toString.take(8)}"
+      s.sql(s"CREATE TABLE $tbl USING `graft-manifest` OPTIONS (path '$dir')")
+      s.conf.set("spark.graft.dml.deletionVectors", "true")
+      try {
+        val before = TableManifest.read(s, dir).get._2.toSet
+        s.sql(s"DELETE FROM $tbl WHERE k = 4")
+        assert(TableManifest.read(s, dir).get._2.toSet == before,
+          "SQL DELETE took the merge-on-read path")
+        assert(TableManifest.readDvs(s, dir).size == 1)
+        s.sql(s"UPDATE $tbl SET v = v + 1000 WHERE k = 2")
+        val got = s.sql(s"SELECT k, v FROM $tbl ORDER BY k").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got == Seq((0L, 0L), (1L, 10L), (2L, 1020L), (3L, 30L),
+          (5L, 50L), (6L, 60L), (7L, 70L), (8L, 80L)), s"SQL view: $got")
+      } finally {
+        s.conf.unset("spark.graft.dml.deletionVectors")
+        s.sql(s"DROP TABLE $tbl")
+      }
+    }
+  }
+}
