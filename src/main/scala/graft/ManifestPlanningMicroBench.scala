@@ -341,8 +341,11 @@ object ManifestPlanningMicroBench {
       Files.write(Paths.get(dir, "_manifest", f"v${2L}%020d.json"),
         body.getBytes(StandardCharsets.UTF_8))
       spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
-      val tblSchema = graft.ops.TableManifest.readSchema(spark, dir)
+      // the declared schema is re-read per commit: after the renames the
+      // appended batch must declare the CURRENT logical names (declaring
+      // the old ones trips the carried-physical-name guard, correctly)
       def checkpointCommit(i: Int): Double = {
+        val tblSchema = graft.ops.TableManifest.readSchema(spark, dir)
         val t0 = System.nanoTime()
         graft.ops.TableManifest.appendFiles(spark, dir,
           Seq(f"sql-bench000-a$i%05d.parquet"), tblSchema)
@@ -366,6 +369,67 @@ object ManifestPlanningMicroBench {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
       rm(new java.io.File(dir))
+    }
+
+    // ---- DELETION-VECTOR write asymmetry (round 17): a ONE-ROW delete
+    // in a large file. Copy-on-write pays O(rows in file) compute AND
+    // O(file) write (the whole gigabyte-class rewrite); merge-on-read
+    // pays the same victim SCAN (that's how the match is found — honest
+    // and unavoidable) but writes only the sidecar + a delta record.
+    // Measured on one ~NN MB single-file table per mode, reporting wall
+    // and BYTES WRITTEN — the number that turns a 100 TB maintenance
+    // pass from a rewrite storm into metadata traffic.
+    locally {
+      def build(tag: String): String = {
+        val dir = Files.createTempDirectory(s"gm-dvdrill-$tag").toString
+        spark.range(2000000L)
+          .select(col("id").as("k"), (col("id") * 7 % 1000).as("v"),
+            concat(lit("payload-"), col("id") % 9973).as("s"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        graft.ops.TableManifest.init(spark, dir)
+        graft.ops.TableManifest.analyze(spark, dir, Seq("k"))
+        dir
+      }
+      def dataBytes(dir: String): Long =
+        graft.ops.TableManifest.read(spark, dir).get._2
+          .map(f => new java.io.File(dir, f).length).sum
+      def dvBytes(dir: String): Long = {
+        val d = new java.io.File(dir, "_dv")
+        if (!d.exists) 0L
+        else d.listFiles.filter(_.getName.endsWith(".bin")).map(_.length).sum
+      }
+      // copy-on-write: the one-row delete rewrites the file. One
+      // UNTIMED warm-up delete per mode first — both paths' codegen
+      // pipelines and the parquet reader warm identically, so the timed
+      // pair compares plans, not JIT order.
+      val cowDir = build("cow")
+      val fileBytes = dataBytes(cowDir)
+      graft.ops.TableManifest.eraseWhereEq(spark, cowDir, "k", Seq(111L))
+      val t0 = System.nanoTime()
+      graft.ops.TableManifest.eraseWhereEq(spark, cowDir, "k", Seq(777777L))
+      val cowWall = (System.nanoTime() - t0) / 1e9
+      val cowWritten = dataBytes(cowDir) // the fresh rewrite's bytes
+      // merge-on-read: same delete, sidecar write only
+      val dvDir = build("dv")
+      spark.conf.set("spark.graft.dml.deletionVectors", "true")
+      graft.ops.TableManifest.eraseWhereEq(spark, dvDir, "k", Seq(111L))
+      val t1 = System.nanoTime()
+      graft.ops.TableManifest.eraseWhereEq(spark, dvDir, "k", Seq(777777L))
+      val dvWall = (System.nanoTime() - t1) / 1e9
+      spark.conf.unset("spark.graft.dml.deletionVectors")
+      val dvWritten = dvBytes(dvDir)
+      require(graft.ops.TableManifest.readTable(spark, dvDir)
+        .filter(col("k") === 777777L).count() == 0L, "dv delete applied")
+      println(f"dv drill: one-row DELETE in a ${fileBytes / 1048576.0}%.0f MiB " +
+        f"file — cow ${cowWall}%.2fs rewriting ${cowWritten / 1048576.0}%.1f MiB " +
+        f"vs dv ${dvWall}%.2fs writing ${dvWritten}%d B sidecar " +
+        f"(write amplification ${cowWritten.toDouble / math.max(dvWritten, 1)}%.0fx)")
+      Seq(cowDir, dvDir).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
     }
     spark.stop()
   }

@@ -333,18 +333,28 @@ object TableManifest {
       """(?:"carriers":\[([^\]]*)\]|"carrbm":"([A-Za-z0-9+/=]*)")\}""").r
 
   /** Bitmap over `sortedFiles` for a carrier set, or None when some
-    * carrier is not in the list (fall back to the explicit shape). */
+    * carrier is not in the list (fall back to the explicit shape). One
+    * pass over the FILE list with a set-membership probe per name — no
+    * files→index map is ever built (a 1M-entry boxed map per checkpoint
+    * was the measurable cost of the encoding); every carrier found ⟺
+    * the set bits count matches the set's size (names are distinct). */
   private def carrierBitmap(carriers: Set[String],
-      index: collection.Map[String, Int], n: Int): Option[String] = {
+      sortedFiles: Seq[String]): Option[String] = {
+    val n = sortedFiles.length
     val bytes = new Array[Byte]((n + 7) / 8)
-    val it = carriers.iterator
+    var found = 0
+    var i = 0
+    val it = sortedFiles.iterator
     while (it.hasNext) {
-      index.get(it.next()) match {
-        case Some(i) => bytes(i >> 3) = (bytes(i >> 3) | (1 << (i & 7))).toByte
-        case None => return None
+      if (carriers(it.next())) {
+        bytes(i >> 3) = (bytes(i >> 3) | (1 << (i & 7))).toByte
+        found += 1
       }
+      i += 1
     }
-    Some(Base64.getEncoder.encodeToString(bytes))
+    if (found == carriers.size)
+      Some(Base64.getEncoder.encodeToString(bytes))
+    else None
   }
 
   private def carriersOf(explicit: String, bm: String,
@@ -375,10 +385,8 @@ object TableManifest {
         s"drop tombstone ${d.name}: plain identifiers only " +
           "(no-escaping invariant)")
     }
-    val index = sortedFiles.iterator.zipWithIndex.toMap
-    val n = sortedFiles.length
     def carr(cs: Set[String]): String =
-      carrierBitmap(cs, index, n) match {
+      carrierBitmap(cs, sortedFiles) match {
         case Some(bm) => s""""carrbm":"$bm""""
         case None =>
           requireJsonSafeNames(cs.toSeq)
@@ -1283,17 +1291,29 @@ object TableManifest {
     // still-listed files — entries no live file carries drop (the rename
     // has fully aged out of the data). Only renameColumn/restore restate
     // it (replaceColmap).
+    // carriers can only SHRINK by removed files — a commit that removes
+    // nothing reuses the head's entries by reference (structural
+    // sharing) instead of re-filtering O(files-at-rename) sets per
+    // commit: measured 3 chained renames at 1M files cost ~3.5s of set
+    // rebuild per commit before this, ~0 after (the carrbm micro-bench
+    // phase pins the checkpoint ratio)
     val outRenames = (if (replaceColmap) colmap.getOrElse(Seq.empty)
-      else headS.map(_.renames).getOrElse(Seq.empty))
-      .map(r => r.copy(carriers = r.carriers.filter(fileSet)))
-      .filter(_.carriers.nonEmpty)
+      else headS.map(_.renames).getOrElse(Seq.empty)) match {
+      case rs if rs.isEmpty => rs
+      case rs if !replaceColmap && removed.isEmpty => rs
+      case rs => rs.map(r => r.copy(carriers = r.carriers.filter(fileSet)))
+        .filter(_.carriers.nonEmpty)
+    }
     // DROP-COLUMN tombstones survive and shrink exactly like the rename
     // entries (replaceColmap governs both — a caller restating the
     // mapping restates the tombstones it read from the same head)
     val outDropped = (if (replaceColmap) dropTombstones.getOrElse(Seq.empty)
-      else headS.map(_.dropped).getOrElse(Seq.empty))
-      .map(t => t.copy(carriers = t.carriers.filter(fileSet)))
-      .filter(_.carriers.nonEmpty)
+      else headS.map(_.dropped).getOrElse(Seq.empty)) match {
+      case ts if ts.isEmpty => ts
+      case ts if !replaceColmap && removed.isEmpty => ts
+      case ts => ts.map(t => t.copy(carriers = t.carriers.filter(fileSet)))
+        .filter(_.carriers.nonEmpty)
+    }
     // deletion vectors survive like the stats (carry + caller overlay,
     // filtered to the listed files — a removed/rewritten file takes its
     // dv reference with it); RESTORE restates them (replaceDvs)
@@ -3304,7 +3324,22 @@ object TableManifest {
           }
         }
       }
-    // 3. rewrite victims minus matched keys, union the source, splice
+    // 3. rewrite victims minus matched keys, union the source, splice.
+    // MERGE-ON-READ mode: mark the matched keys' positions in deletion
+    // vectors instead (the upsert's delete half) and land the source
+    // batch as ordinary appends — a 10-row MERGE into a 100 TB table
+    // writes 10 rows + tiny sidecars, never the victims
+    if (dvEnabled(spark))
+      return dvRewrite(spark, dir, headV, headS, victims,
+        deleteCond = _ => org.apache.spark.sql.functions.lit(false),
+        updated = None, statCols = Seq(keyCol), opName = "merge",
+        partCols = partCols,
+        matchRows = Some(df =>
+          if (!df.columns.contains(keyCol)) df.filter(
+            org.apache.spark.sql.functions.lit(false))
+          else df.join(pinned.select(col(keyCol)), Seq(keyCol),
+            "left_semi")),
+        append = Some(pinned))
     sliceRewrite(spark, dir, headV, victims, keyCol,
       keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
       append = Some(pinned), keepAllWhenColumnMissing = true,
@@ -3472,6 +3507,17 @@ object TableManifest {
         s"restore: v$version is no longer restorable — ${missing.size} of " +
           s"its files were vacuumed (e.g. ${missing.head}); only versions " +
           "whose delisted files survive retention can be restored")
+      // the restored version's DELETION-VECTOR sidecars must exist too:
+      // a vacuumed sidecar would fail every read of its file AFTER the
+      // restore committed — check up front, same contract as the data
+      // files (the head's own dvs are live-referenced, never reclaimed)
+      val lostDvs = snapV.dvs.values.map(_._1).toSeq.distinct
+        .filterNot(n => fs.exists(new Path(new Path(p, Dv.DirName), n)))
+      if (lostDvs.nonEmpty) sys.error(
+        s"restore: v$version is no longer restorable — ${lostDvs.size} of " +
+          s"its deletion-vector sidecars were vacuumed " +
+          s"(e.g. ${lostDvs.head}); only versions whose sidecars survive " +
+          "retention can be restored")
       restorePreCommitHook()
       commitIf(spark, dir, files, headV, hwm, stats = snapV.stats,
         sstats = snapV.sstats, bloom = snapV.bloom, schema = snapV.schema,
@@ -4198,9 +4244,23 @@ object TableManifest {
       deleteCond: DataFrame => org.apache.spark.sql.Column,
       updated: Option[DataFrame => DataFrame],
       statCols: Seq[String], opName: String,
-      partCols: Seq[String]): Long = {
+      partCols: Seq[String],
+      matchRows: Option[DataFrame => DataFrame] = None,
+      append: Option[DataFrame] = None): Long = {
     import org.apache.spark.sql.functions.{col, not, substring_index}
-    if (victims.isEmpty) return headV
+    if (victims.isEmpty && append.isEmpty) return headV
+    if (victims.isEmpty) {
+      // pure-append shape (a MERGE whose keys match nothing): no
+      // positions to mark, just land the batch through the ordinary
+      // splice (no victims to splice out)
+      val moved =
+        if (partCols.isEmpty) writeAndMoveIn(append.get, opName, dir)
+        else writeAndMoveInPartitioned(append.get, opName, dir, partCols)
+      val (mstats, msstats) = fileAllStats(spark, dir, moved, statCols)
+      return spliceCommit(spark, dir, Seq.empty, moved, mstats, msstats,
+        opName, schema = Some(StructType(append.get.schema.fields
+          .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name))))))
+    }
     val (fs, p) = fsFor(spark, dir)
     val reader = spark.read.option("mergeSchema", "true")
     val raw = (if (partCols.isEmpty) reader
@@ -4225,8 +4285,13 @@ object TableManifest {
     val declared = readSchema(spark, dir)
     val logical = withDeclaredCols(
       coalesceRenamed(alive, headS.renames), declared)
-    val cond = deleteCond(logical)
-    val matched = logical.filter(cond)
+    // the matched subset: a Column predicate for DELETE/UPDATE, a
+    // key semi-join for MERGE (matchRows wins when provided — both
+    // must preserve the __gdv file/position columns)
+    val matched = matchRows match {
+      case Some(m) => m(logical)
+      case None => logical.filter(deleteCond(logical))
+    }
     // live-row count per victim file: full-file deletions drop the FILE
     val baseOf = victims.map(v =>
       v.substring(v.lastIndexOf('/') + 1) -> v).toMap
@@ -4254,7 +4319,7 @@ object TableManifest {
         val xfs = tableRoot.getFileSystem(confBc.value.value)
         (f, Dv.write(xfs, tableRoot, merged), merged.length.toLong)
       }.collect().toSeq
-    if (written.isEmpty && updated.isEmpty) return headV
+    if (written.isEmpty && updated.isEmpty && append.isEmpty) return headV
     val freshMatched = written.map { case (f, _, card) =>
       f -> (card - oldBc.value.get(f).map(_.length.toLong).getOrElse(0L))
     }.toMap
@@ -4271,15 +4336,25 @@ object TableManifest {
     // the UPDATE shape: matched rows (old values) re-emitted through the
     // assignments as ordinary appends, projected to the declared schema
     // so dropped-column leftovers never ride back in
-    val moved: Seq[String] = updated match {
-      case None => Seq.empty
-      case Some(f) =>
-        val input = projectToDeclared(
-          matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
-        val out = f(input).coalesce(math.max(written.size, 1))
+    val replaced: Option[DataFrame] = updated.map { f =>
+      val input = projectToDeclared(
+        matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
+      f(input)
+    }
+    val pieces = replaced.toSeq ++ append.toSeq
+    val moved: Seq[String] =
+      if (pieces.isEmpty) Seq.empty
+      else {
+        // output-file target mirrors sliceRewrite: one per touched
+        // victim, floored by the append's own parallelism
+        val target = math.max(math.max(written.size, 1),
+          append.map(_.rdd.getNumPartitions).getOrElse(0))
+        val out = pieces
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+          .coalesce(target)
         if (partCols.isEmpty) writeAndMoveIn(out, opName, dir)
         else writeAndMoveInPartitioned(out, opName, dir, partCols)
-    }
+      }
     if (written.isEmpty && moved.isEmpty) return headV
     val (mstats, msstats) =
       if (moved.isEmpty) (Map.empty: FileStats, Map.empty: FileStringStats)

@@ -221,6 +221,71 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("DV MERGE marks matched keys and appends the source; unmatched keys are pure appends") {
+    val dir = table3("gm-dv-merge")
+    val before = TableManifest.read(spark, dir).get._2.toSet
+    // upsert: k=4 replaced (lives in file2), k=100 inserted
+    val batch = Seq((4L, 4444L), (100L, 1000L)).toDF("k", "v")
+      .coalesce(1).localCheckpoint()
+    val v = withDv { TableManifest.mergeByKey(spark, dir, "k", batch) }
+    assert(v >= 2L)
+    val after = TableManifest.read(spark, dir).get._2.toSet
+    assert(before.subsetOf(after), "merge-on-read: no victim rewritten")
+    assert(TableManifest.readDvs(spark, dir).size == 1,
+      "the matched key's file carries the dv")
+    val got = TableManifest.readTable(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val want = ((0L until 9L).filterNot(_ == 4L).map(k => (k, k * 10L)) ++
+      Seq((4L, 4444L), (100L, 1000L))).sorted
+    assert(got == want, s"upsert view: $got")
+    // a batch matching NOTHING is a pure append, zero new dvs
+    val batch2 = Seq((200L, 2000L)).toDF("k", "v")
+      .coalesce(1).localCheckpoint()
+    withDv { TableManifest.mergeByKey(spark, dir, "k", batch2) }
+    assert(TableManifest.readDvs(spark, dir).size == 1)
+    assert(TableManifest.readTable(spark, dir).count() == 11L)
+  }
+
+  test("restore refuses a version whose dv sidecars were reclaimed; cold copies re-resolve dvs") {
+    val dir = table3("gm-dv-restore")
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      val vDel = withDv {
+        TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L))
+      }
+      // a COLD COPY re-resolves the dvs section and sidecars from disk
+      val cold = tmpDir("gm-dv-cold-dst")
+      def copyTree(from: java.io.File, to: java.io.File): Unit = {
+        to.mkdirs()
+        from.listFiles().foreach { f =>
+          val t = new java.io.File(to, f.getName)
+          if (f.isDirectory) copyTree(f, t)
+          else java.nio.file.Files.copy(f.toPath, t.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      copyTree(new java.io.File(dir), new java.io.File(cold))
+      assert(TableManifest.readTable(spark, cold).select("k")
+        .as[Long].collect().toSeq.sorted ==
+        Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L),
+        "cold replay applies the dv from disk alone")
+      // materialize away the dv (head no longer references it), then
+      // LOSE the sidecar out-of-protocol (vacuum never reclaims a
+      // referenced one — this models a partial backup / manual rm): a
+      // RESTORE back to the dv'd version must refuse UP FRONT, never
+      // FileNotFound mid-scan after committing
+      Compaction.compactInPlace(spark, dir,
+        targetBytes = 1L << 20, minFileBytes = 1L << 20)
+      new java.io.File(dir, "_dv").listFiles()
+        .filter(_.getName.endsWith(".bin")).foreach(_.delete())
+      val e = intercept[Exception] {
+        TableManifest.restore(spark, dir, vDel)
+      }
+      assert(e.getMessage.contains("deletion-vector sidecars"),
+        e.getMessage)
+    } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
+  }
+
   test("SQL DELETE and UPDATE honor the conf through the graft session") {
     val s = graft.TestSessions.withExtensions
     graft.TestSessions.withExtensionsActive { _ =>
