@@ -13,33 +13,44 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Row-level DELETION-VECTOR membership test — the read-side half of
   * merge-on-read DML ([[graft.ops.TableManifest]] `"dvs"` section): TRUE
   * when the row at `rowIndex` of the data file named by `filePath` is
-  * marked deleted. The deletion bitmaps ride a BROADCAST keyed by file
-  * BASENAME (manifest-tracked data files carry globally unique
-  * basenames — uuid-stamped by every writer path), so the scan-side cost
-  * is one hash lookup + one binary search per row, inside whole-stage
-  * codegen — no join, no shuffle, no per-row allocation beyond the
-  * basename slice. Reads wrap scans of DV'd files with
+  * marked deleted. The deletion bitmaps ride a BROADCAST bucketed by
+  * file BASENAME, each bucket holding `("/" + dir-relative name,
+  * positions)` entries matched by path SUFFIX — hive-partitioned writes
+  * can mint the SAME basename under different `k=v/` directories (one
+  * dynamic-partition task numbers its per-directory files alike), so
+  * the basename alone is a bucket key, never an identity. Scan-side
+  * cost: one hash lookup per row + (only on a bucket hit) a
+  * segment-anchored suffix check + binary search, inside whole-stage
+  * codegen — no join, no shuffle. Reads wrap scans of DV'd files with
   * `Filter(!DvDeleted(file, idx))`; files without a DV never enter the
   * branch at all (the scan is split DV'd/clean upstream).
   *
   * Null-safe: a NULL path or index (never produced by `_metadata`) is
   * simply "not deleted" — the expression can never invent a deletion. */
 object DvDeletedUtil {
-  /** basename(path) → sorted deleted row indices; absent = clean file. */
-  def deleted(dvs: Map[String, Array[Long]],
+  /** basename bucket → ("/"+relativeName, sorted positions) entries. */
+  def deleted(dvs: Map[String, Seq[(String, Array[Long])]],
       path: UTF8String, rowIndex: Long): Boolean = {
     if (path == null) return false
     val s = path.toString
     val base = s.substring(s.lastIndexOf('/') + 1)
     dvs.get(base) match {
-      case Some(arr) => java.util.Arrays.binarySearch(arr, rowIndex) >= 0
+      case Some(entries) =>
+        val it = entries.iterator
+        while (it.hasNext) {
+          val (suffix, arr) = it.next()
+          if (s.endsWith(suffix))
+            return java.util.Arrays.binarySearch(arr, rowIndex) >= 0
+        }
+        false
       case None => false
     }
   }
 }
 
 case class DvDeleted(left: Expression, right: Expression,
-    dvs: Broadcast[Map[String, Array[Long]]]) extends BinaryExpression {
+    dvs: Broadcast[Map[String, Seq[(String, Array[Long])]]])
+  extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -79,7 +90,7 @@ object DvDeleted {
   /** Column-API entry: `DvDeleted.of($"_metadata.file_path",
     * $"_metadata.row_index", bc)`. */
   def of(path: Column, rowIndex: Column,
-      dvs: Broadcast[Map[String, Array[Long]]]): Column =
+      dvs: Broadcast[Map[String, Seq[(String, Array[Long])]]]): Column =
     ColumnBridge.column(DvDeleted(
       ColumnBridge.expression(path), ColumnBridge.expression(rowIndex), dvs))
 }

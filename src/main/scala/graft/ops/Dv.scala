@@ -89,21 +89,27 @@ private[graft] object Dv {
         size() > 256
     })
 
-  /** Decode every referenced sidecar → basename(dataFile) → positions.
-    * Driver-side, cached; the result is broadcast to the scan filter. */
+  /** Decode every referenced sidecar → basename BUCKET →
+    * ("/"+relativeName, positions) entries. Bucketed, not keyed, by
+    * basename: a hive-partitioned write can mint the same basename
+    * under different `k=v/` directories, so identity is the
+    * segment-anchored path suffix. Driver-side, cached; the result is
+    * broadcast to the scan filter. */
   def loadBitmaps(spark: SparkSession, dir: String,
-      dvs: Map[String, (String, Long)]): Map[String, Array[Long]] = {
+      dvs: Map[String, (String, Long)])
+      : Map[String, Seq[(String, Array[Long])]] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dvs.map { case (dataFile, (dvName, _)) =>
+    dvs.toSeq.map { case (dataFile, (dvName, _)) =>
       val key = (dir, dvName)
       val arr = Option(cache.get(key)).getOrElse {
         val a = read(fs, p, dvName)
         cache.put(key, a)
         a
       }
-      dataFile.substring(dataFile.lastIndexOf('/') + 1) -> arr
-    }
+      val base = dataFile.substring(dataFile.lastIndexOf('/') + 1)
+      (base, ("/" + dataFile, arr))
+    }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
   }
 
   /** Apply `dvs` to a scan of (some of) the table's files: requires the
@@ -113,7 +119,7 @@ private[graft] object Dv {
   def applyToScan(spark: SparkSession, dir: String, df: DataFrame,
       dvs: Map[String, (String, Long)]): DataFrame = {
     if (dvs.isEmpty) return df
-    val bc: Broadcast[Map[String, Array[Long]]] =
+    val bc: Broadcast[Map[String, Seq[(String, Array[Long])]]] =
       spark.sparkContext.broadcast(loadBitmaps(spark, dir, dvs))
     val keep = df.columns.map(col).toSeq
     df.filter(not(deletedCol(bc)))
@@ -121,7 +127,8 @@ private[graft] object Dv {
   }
 
   /** The `DvDeleted(_metadata.file_path, _metadata.row_index)` column. */
-  def deletedCol(bc: Broadcast[Map[String, Array[Long]]]): Column =
+  def deletedCol(
+      bc: Broadcast[Map[String, Seq[(String, Array[Long])]]]): Column =
     DvDeleted.of(col("_metadata.file_path"), col("_metadata.row_index"), bc)
 
   /** A serializable FS handle factory for executor-side sidecar writes. */

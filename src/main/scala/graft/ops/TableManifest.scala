@@ -4271,8 +4271,10 @@ object TableManifest {
     // downstream sees logical columns
     val victimSet = victims.toSet
     val oldDvRefs = headS.dvs.filter(kv => victimSet(kv._1))
+    // grouped by the ABSOLUTE path, never the basename: a partitioned
+    // write can mint the same basename under different k=v/ dirs
     val withPos = raw.select(
-      substring_index(col("_metadata.file_path"), "/", -1).as("__gdv_f"),
+      col("_metadata.file_path").as("__gdv_f"),
       col("_metadata.row_index").as("__gdv_i"), col("*"))
     val alive =
       if (oldDvRefs.isEmpty) withPos
@@ -4292,11 +4294,13 @@ object TableManifest {
       case Some(m) => m(logical)
       case None => logical.filter(deleteCond(logical))
     }
-    // live-row count per victim file: full-file deletions drop the FILE
-    val baseOf = victims.map(v =>
-      v.substring(v.lastIndexOf('/') + 1) -> v).toMap
-    require(baseOf.size == victims.size,
-      s"$opName: victim basenames not unique under $dir")
+    // live-row count per victim file: full-file deletions drop the FILE.
+    // Absolute scan paths map back to manifest names by the
+    // segment-anchored "/"+name suffix (unique within one table dir).
+    def nameOf(abs: String): String =
+      victims.find(v => abs.endsWith("/" + v)).getOrElse(sys.error(
+        s"$opName: scanned file $abs is not a victim of $dir " +
+          "— concurrent layout change?"))
     val liveTotals: Map[String, Long] = alive.groupBy(col("__gdv_f"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // executor-side sidecar writes: merge fresh positions with the old
@@ -4313,34 +4317,50 @@ object TableManifest {
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
         val fresh = it.map(_._2).toArray
-        val old = oldBc.value.getOrElse(f, Array.empty[Long])
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        val old = oldBc.value.getOrElse(base, Seq.empty)
+          .collectFirst { case (suffix, arr) if f.endsWith(suffix) => arr }
+          .getOrElse(Array.empty[Long])
         val merged = (old ++ fresh).distinct.sorted
         val tableRoot = new org.apache.hadoop.fs.Path(root)
         val xfs = tableRoot.getFileSystem(confBc.value.value)
         (f, Dv.write(xfs, tableRoot, merged), merged.length.toLong)
       }.collect().toSeq
-    if (written.isEmpty && updated.isEmpty && append.isEmpty) return headV
+    // no positions marked and nothing to append: the statement was
+    // vacuous (victims nominated by rows an EXISTING dv already
+    // deleted) — `updated` without marked positions is vacuous too (the
+    // replacement set IS the marked set), so don't write an empty file
+    if (written.isEmpty && append.isEmpty) return headV
+    def oldCardOf(abs: String): Long = {
+      val base = abs.substring(abs.lastIndexOf('/') + 1)
+      oldBc.value.getOrElse(base, Seq.empty)
+        .collectFirst { case (suffix, arr) if abs.endsWith(suffix) =>
+          arr.length.toLong }
+        .getOrElse(0L)
+    }
     val freshMatched = written.map { case (f, _, card) =>
-      f -> (card - oldBc.value.get(f).map(_.length.toLong).getOrElse(0L))
+      f -> (card - oldCardOf(f))
     }.toMap
     val (fullRows, partialRows) = written.partition { case (f, _, _) =>
       freshMatched(f) >= liveTotals.getOrElse(f, Long.MaxValue)
     }
-    val fullyDeleted = fullRows.map(r => baseOf(r._1))
+    val fullyDeleted = fullRows.map(r => nameOf(r._1))
     // a whole-file delete needs no sidecar: drop the just-written one
     fullRows.foreach(r =>
       scala.util.Try(fs.delete(new Path(new Path(p, Dv.DirName), r._2), false)))
     val dvAdds: Map[String, (String, Long)] = partialRows.map {
-      case (f, dv, card) => baseOf(f) -> (dv, card)
+      case (f, dv, card) => nameOf(f) -> (dv, card)
     }.toMap
     // the UPDATE shape: matched rows (old values) re-emitted through the
     // assignments as ordinary appends, projected to the declared schema
     // so dropped-column leftovers never ride back in
-    val replaced: Option[DataFrame] = updated.map { f =>
-      val input = projectToDeclared(
-        matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
-      f(input)
-    }
+    val replaced: Option[DataFrame] =
+      if (written.isEmpty) None
+      else updated.map { f =>
+        val input = projectToDeclared(
+          matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
+        f(input)
+      }
     val pieces = replaced.toSeq ++ append.toSeq
     val moved: Seq[String] =
       if (pieces.isEmpty) Seq.empty

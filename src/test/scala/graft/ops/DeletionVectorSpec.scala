@@ -221,6 +221,52 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("HIVE-PARTITIONED tables: dv DELETE + UPDATE keep the layout; segment pruning composes") {
+    val dir = tmpDir("gm-dv-part")
+    // one FILE per partition dir (4 rows each) — the partial-file dv
+    // shape; un-repartitioned input would write one-row files and every
+    // touched file would be a whole-file delete
+    TableManifest.publishPartitioned(
+      (0L until 12L).map(k => (k, k * 10L, k % 3)).toDF("k", "v", "b")
+        .repartition(3, col("b")),
+      dir, Seq("b"))
+    val before = TableManifest.read(spark, dir).get._2.toSet
+    assert(before.forall(_.startsWith("b=")), s"hive layout: $before")
+    withDv {
+      // partition-pruned UPDATE through the dv engine
+      TableManifest.updateWhere(spark, dir,
+        Seq("v" -> (col("v") + 1000L)),
+        Some(col("b") === 1L && col("k") === 4L),
+        pruneRanges = Seq(("b", 1L, 1L)))
+      // then a range DELETE across partitions
+      TableManifest.eraseWhereRange(spark, dir, "v", 100L, 110L)
+    }
+    val after = TableManifest.read(spark, dir).get._2
+    assert(after.forall(_.startsWith("b=")),
+      s"every file (incl. the update's append) stays under its k=v dir: " +
+        after.filterNot(_.startsWith("b=")).mkString(", "))
+    // merge-on-read: files are only ever KEPT (dv'd) or REMOVED
+    // whole-file — never rewritten in place (publishPartitioned's
+    // parallelism decides how many rows share a file, so a fully-dead
+    // one-row file legitimately drops)
+    assert(TableManifest.readDvs(spark, dir).nonEmpty,
+      "at least one partial file carries a dv")
+    assert(after.toSet.intersect(before).nonEmpty &&
+      after.toSet.diff(before).forall(_.contains("update")),
+      s"no victim rewritten: fresh names are the UPDATE's appends only " +
+        s"(${after.toSet.diff(before).mkString(", ")})")
+    val got = TableManifest.readTable(spark, dir)
+      .select("k", "v", "b").as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = (0L until 12L).map { k =>
+      val v0 = if (k == 4L) k * 10L + 1000L else k * 10L
+      (k, v0, k % 3)
+    }.filterNot { case (_, v, _) => v >= 100L && v <= 110L }.sorted
+    assert(got == want, s"partitioned dv view: $got")
+    // partition-pruned read still composes with the bitmaps
+    assert(TableManifest.readTable(spark, dir).filter(col("b") === 1L)
+      .count() == want.count(_._3 == 1L))
+  }
+
   test("DV MERGE marks matched keys and appends the source; unmatched keys are pure appends") {
     val dir = table3("gm-dv-merge")
     val before = TableManifest.read(spark, dir).get._2.toSet
