@@ -3334,11 +3334,21 @@ object TableManifest {
         deleteCond = _ => org.apache.spark.sql.functions.lit(false),
         updated = None, statCols = Seq(keyCol), opName = "merge",
         partCols = partCols,
+        // key-membership FLAG over every live victim row (the single
+        // dv pass computes totals + positions from it): a left marker
+        // join against the batch's distinct keys, false for non-matches
+        // and NULL keys — the same rows the CoW anti-join keeps
         matchRows = Some(df =>
-          if (!df.columns.contains(keyCol)) df.filter(
-            org.apache.spark.sql.functions.lit(false))
-          else df.join(pinned.select(col(keyCol)), Seq(keyCol),
-            "left_semi")),
+          if (!df.columns.contains(keyCol))
+            df.withColumn("__gdv_m",
+              org.apache.spark.sql.functions.lit(false))
+          else {
+            import org.apache.spark.sql.functions.{coalesce, lit}
+            df.join(pinned.select(col(keyCol)).distinct()
+                .withColumn("__gdv_m", lit(true)),
+              Seq(keyCol), "left")
+              .withColumn("__gdv_m", coalesce(col("__gdv_m"), lit(false)))
+          }),
         append = Some(pinned))
     sliceRewrite(spark, dir, headV, victims, keyCol,
       keep = df => df.join(pinned.select(col(keyCol)), Seq(keyCol), "left_anti"),
@@ -4287,69 +4297,80 @@ object TableManifest {
     val declared = readSchema(spark, dir)
     val logical = withDeclaredCols(
       coalesceRenamed(alive, headS.renames), declared)
-    // the matched subset: a Column predicate for DELETE/UPDATE, a
-    // key semi-join for MERGE (matchRows wins when provided — both
-    // must preserve the __gdv file/position columns)
-    val matched = matchRows match {
+    // per-row MATCH FLAG over every live victim row — a Column
+    // predicate for DELETE/UPDATE, a key-membership marker join for
+    // MERGE (matchRows wins when provided; either way the __gdv
+    // file/position columns ride along). One flagged frame feeds the
+    // SINGLE pass below that computes live totals AND matched
+    // positions together — the dv path scans its victims once, like
+    // copy-on-write does, instead of once for counts and again for
+    // positions.
+    val flagged = matchRows match {
       case Some(m) => m(logical)
-      case None => logical.filter(deleteCond(logical))
+      case None =>
+        logical.withColumn("__gdv_m", deleteCond(logical))
     }
-    // live-row count per victim file: full-file deletions drop the FILE.
     // Absolute scan paths map back to manifest names by the
     // segment-anchored "/"+name suffix (unique within one table dir).
     def nameOf(abs: String): String =
       victims.find(v => abs.endsWith("/" + v)).getOrElse(sys.error(
         s"$opName: scanned file $abs is not a victim of $dir " +
           "— concurrent layout change?"))
-    val liveTotals: Map[String, Long] = alive.groupBy(col("__gdv_f"))
-      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // executor-side sidecar writes: merge fresh positions with the old
-    // dv (positions are disjoint — the scan excluded already-deleted
-    // rows), sort, write-once
+    // executor-side sidecar writes, ONE narrow pass: per victim file,
+    // count the live rows and collect the matched positions in the same
+    // group iteration; merge fresh positions with the old dv (disjoint
+    // — the scan excluded already-deleted rows), sort, write-once. A
+    // file whose every live row matched is FULLY dead: no sidecar is
+    // written at all (the file is removed from the listing instead).
+    // Result rows: (absPath, Some(dv) partial | None full, mergedCard,
+    // freshMatched); no-match files emit nothing.
     val confBc = Dv.confBroadcast(spark)
     val oldBc = spark.sparkContext.broadcast(
       Dv.loadBitmaps(spark, dir, oldDvRefs))
     val root = dir
     import spark.implicits._
-    val written: Seq[(String, String, Long)] = matched
-      .select(col("__gdv_f"), col("__gdv_i"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (f, it) =>
-        val fresh = it.map(_._2).toArray
-        val base = f.substring(f.lastIndexOf('/') + 1)
-        val old = oldBc.value.getOrElse(base, Seq.empty)
-          .collectFirst { case (suffix, arr) if f.endsWith(suffix) => arr }
-          .getOrElse(Array.empty[Long])
-        val merged = (old ++ fresh).distinct.sorted
-        val tableRoot = new org.apache.hadoop.fs.Path(root)
-        val xfs = tableRoot.getFileSystem(confBc.value.value)
-        (f, Dv.write(xfs, tableRoot, merged), merged.length.toLong)
+    import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit}
+    val written: Seq[(String, Option[String], Long, Long)] = flagged
+      .select(col("__gdv_f"), col("__gdv_i"),
+        fnCoalesce(col("__gdv_m"), lit(false)).as("__gdv_m"))
+      .groupBy(col("__gdv_f"))
+      // map-side PARTIAL aggregation: the shuffle carries one (count,
+      // matched positions) pair per file per map task — O(matched)
+      // bytes for a sparse delete, never the victim's full row set
+      .agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("__t"),
+        org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.when(
+            col("__gdv_m"), col("__gdv_i"))).as("__p"))
+      .as[(String, Long, Seq[Long])]
+      .flatMap { case (f, total, pos) =>
+        if (pos.isEmpty) Iterator.empty
+        else {
+          val base = f.substring(f.lastIndexOf('/') + 1)
+          val old = oldBc.value.getOrElse(base, Seq.empty)
+            .collectFirst { case (suffix, arr) if f.endsWith(suffix) => arr }
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ pos).distinct.sorted
+          val freshN = pos.length.toLong
+          if (freshN >= total) // every live row died: drop the FILE
+            Iterator.single((f, None: Option[String],
+              merged.length.toLong, freshN))
+          else {
+            val tableRoot = new org.apache.hadoop.fs.Path(root)
+            val xfs = tableRoot.getFileSystem(confBc.value.value)
+            Iterator.single((f, Some(Dv.write(xfs, tableRoot, merged)),
+              merged.length.toLong, freshN))
+          }
+        }
       }.collect().toSeq
     // no positions marked and nothing to append: the statement was
     // vacuous (victims nominated by rows an EXISTING dv already
     // deleted) — `updated` without marked positions is vacuous too (the
     // replacement set IS the marked set), so don't write an empty file
     if (written.isEmpty && append.isEmpty) return headV
-    def oldCardOf(abs: String): Long = {
-      val base = abs.substring(abs.lastIndexOf('/') + 1)
-      oldBc.value.getOrElse(base, Seq.empty)
-        .collectFirst { case (suffix, arr) if abs.endsWith(suffix) =>
-          arr.length.toLong }
-        .getOrElse(0L)
-    }
-    val freshMatched = written.map { case (f, _, card) =>
-      f -> (card - oldCardOf(f))
-    }.toMap
-    val (fullRows, partialRows) = written.partition { case (f, _, _) =>
-      freshMatched(f) >= liveTotals.getOrElse(f, Long.MaxValue)
-    }
-    val fullyDeleted = fullRows.map(r => nameOf(r._1))
-    // a whole-file delete needs no sidecar: drop the just-written one
-    fullRows.foreach(r =>
-      scala.util.Try(fs.delete(new Path(new Path(p, Dv.DirName), r._2), false)))
-    val dvAdds: Map[String, (String, Long)] = partialRows.map {
-      case (f, dv, card) => nameOf(f) -> (dv, card)
+    val fullyDeleted = written.collect { case (f, None, _, _) => nameOf(f) }
+    val dvAdds: Map[String, (String, Long)] = written.collect {
+      case (f, Some(dv), card, _) => nameOf(f) -> (dv, card)
     }.toMap
     // the UPDATE shape: matched rows (old values) re-emitted through the
     // assignments as ordinary appends, projected to the declared schema
@@ -4358,7 +4379,9 @@ object TableManifest {
       if (written.isEmpty) None
       else updated.map { f =>
         val input = projectToDeclared(
-          matched.drop("__gdv_f", "__gdv_i"), declared, partCols)
+          flagged.filter(col("__gdv_m"))
+            .drop("__gdv_f", "__gdv_i", "__gdv_m"),
+          declared, partCols)
         f(input)
       }
     val pieces = replaced.toSeq ++ append.toSeq
@@ -4381,8 +4404,8 @@ object TableManifest {
       else fileAllStats(spark, dir, moved, statCols)
     def cleanupAbort(): Unit = {
       moved.foreach(f => scala.util.Try(fs.delete(new Path(p, f), false)))
-      partialRows.foreach(r => scala.util.Try(
-        fs.delete(new Path(new Path(p, Dv.DirName), r._2), false)))
+      dvAdds.values.foreach { case (dv, _) => scala.util.Try(
+        fs.delete(new Path(new Path(p, Dv.DirName), dv), false)) }
     }
     var attempts = 0
     while (attempts < 64) {
