@@ -332,6 +332,29 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
   }
 
+  test("provider time travel resolves each version's own dvs") {
+    val s = graft.TestSessions.withExtensions
+    graft.TestSessions.withExtensionsActive { _ =>
+      val dir = tmpDir("gm-dv-tt")
+      import s.implicits._
+      (0L until 6L).map(k => (k, k * 10L)).toDF("k", "v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      TableManifest.init(s, dir) // v1
+      s.conf.set("spark.graft.dml.deletionVectors", "true")
+      val vDel =
+        try TableManifest.eraseWhereEq(s, dir, "k", Seq(2L))
+        finally s.conf.unset("spark.graft.dml.deletionVectors")
+      // versionAsOf BEFORE the delete serves the row; AT it does not —
+      // both through the DSv2 provider (DvReads owns the dv'd version)
+      assert(s.read.format("graft-manifest")
+        .option("versionAsOf", vDel - 1).load(dir).count() == 6L)
+      assert(s.read.format("graft-manifest")
+        .option("versionAsOf", vDel).load(dir)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 3L, 4L, 5L))
+    }
+  }
+
   test("SQL DELETE and UPDATE honor the conf through the graft session") {
     val s = graft.TestSessions.withExtensions
     graft.TestSessions.withExtensionsActive { _ =>
