@@ -603,9 +603,60 @@ object TableManifest {
   private def parseHwm(json: String): Option[Long] =
     HwmRe.findFirstMatchIn(json).map(_.group(1).toLong)
 
+  /** READER PROTOCOL STAMP. A body whose content an old build would
+    * silently misread — deleted rows served because the `dvs` section
+    * was never parsed, stale physical columns because the column
+    * mapping was ignored — carries `"features":[...]` naming the reader
+    * capabilities it REQUIRES. Readers refuse unknown required features
+    * with a NAMED error instead of producing a wrong answer: version
+    * skew becomes loud, never silent. Bodies that need no capability
+    * beyond the base protocol (plain tables) carry no section at all,
+    * so they stay readable by every build that ever existed.
+    *
+    * Granularity rule: a feature name covers one section's CURRENT
+    * grammar in full — any future change to a stamped section's grammar
+    * that an existing build would misread must mint a NEW name, never
+    * widen an old one (widening would defeat the stamp for every build
+    * already in the field). */
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("colmap", "dvs")
+  private val FeaturesRe = """"features":\[([^\]]*)\]""".r
+
+  /** Named refusal for version skew: the manifest requires a reader
+    * capability this build does not implement. */
+  final class UnsupportedTableFeatureException(msg: String)
+    extends RuntimeException(msg)
+
+  private def featuresSection(features: Set[String]): String =
+    if (features.isEmpty) ""
+    else {
+      requireJsonSafeNames(features.toSeq)
+      features.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""""features":[""", ",", "],")
+    }
+
+  private def parseFeatures(body: String): Set[String] =
+    FeaturesRe.findFirstMatchIn(body).map { m =>
+      "\"([^\"]*)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet
+    }.getOrElse(Set.empty)
+
+  private def requireSupportedFeatures(v: Long, body: String): Unit = {
+    val unknown = parseFeatures(body) -- SupportedReaderFeatures
+    if (unknown.nonEmpty)
+      throw new UnsupportedTableFeatureException(
+        s"manifest v$v requires reader feature(s) " +
+          s"${unknown.toSeq.sorted.mkString("[", ", ", "]")} this build " +
+          "does not implement (supported: " +
+          s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")}); " +
+          "upgrade the engine to read this table")
+  }
+
   /** Parse one manifest body: `Right(Snap)` for a checkpoint (full
-    * snapshot), `Left(DeltaRec)` for a delta record. */
-  private def parseBody(v: Long, body: String): Either[DeltaRec, Snap] =
+    * snapshot), `Left(DeltaRec)` for a delta record. Refuses first —
+    * loudly, by name — when the body stamps a required reader feature
+    * this build does not know (see [[SupportedReaderFeatures]]). */
+  private def parseBody(v: Long, body: String): Either[DeltaRec, Snap] = {
+    requireSupportedFeatures(v, body)
     DeltaBaseRe.findFirstMatchIn(body) match {
       case Some(m) => Left(DeltaRec(m.group(1).toLong,
         parseNameArray(body, "adds"), parseNameArray(body, "removes"),
@@ -625,6 +676,7 @@ object TableManifest {
           parseCtime(body), base = v, renames = renames, dropped = dropped,
           dvs = parseDvs(body)))
     }
+  }
 
   /** Apply one delta record to the previous version's resolved state —
     * EXACTLY the merge a full commit's carry used to bake into the body:
@@ -1118,10 +1170,15 @@ object TableManifest {
       colmapB64)
     val filesJson = files.sorted.map(f => "\"" + f + "\"")
       .mkString("[", ",", "]")
+    // the reader-protocol stamp derives from the body's OWN content —
+    // a body only ever requires what it actually carries
+    val feats = featuresSection(
+      (if (colmapB64.isDefined) Set("colmap") else Set.empty[String]) ++
+        (if (dvs.nonEmpty) Set("dvs") else Set.empty[String]))
     // dvs rendered right after the files array, BEFORE the stat
     // objects (the name-section ordering rule sliceObject anchoring
     // depends on)
-    s"""{"version":$version,"token":"$token",$meta"files":$filesJson""" +
+    s"""{"version":$version,"token":"$token",$feats$meta"files":$filesJson""" +
       dvsSection(dvs) +
       statSections(cleanStats(stats), cleanSStats(sstats),
         cleanBloom(bloom), fstat) + "}"
@@ -1145,8 +1202,13 @@ object TableManifest {
     val meta = metaSections(hwm, ctimeMillis, schemaB64, partSchemaB64)
     def arr(names: Seq[String]): String =
       names.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    // a delta record never restates the colmap (it inherits — and the
+    // base checkpoint it replays from carries its own stamp), so the
+    // only capability a RECORD can require is its dv overlay
+    val feats = featuresSection(
+      if (dvs.nonEmpty) Set("dvs") else Set.empty[String])
     s"""{"version":$version,"token":"$token","delta":1,"base":$base,""" +
-      meta + s""""adds":${arr(adds)},"removes":${arr(removes)}""" +
+      feats + meta + s""""adds":${arr(adds)},"removes":${arr(removes)}""" +
       dvsSection(dvs) +
       statSections(cleanStats(stats), cleanSStats(sstats),
         cleanBloom(bloom), fstat) + "}"
@@ -2917,14 +2979,15 @@ object TableManifest {
           dropDeleted(spark, dir,
             spark.read.option("mergeSchema", "true")
               .parquet(victims.map(f => s"$dir/$f"): _*),
-            victims, readDvs(spark, dir)),
-          readRenames(spark, dir)),
-        readSchema(spark, dir), Seq.empty),
+            victims, headS.dvs),
+          headS.renames),
+        headS.schema, Seq.empty),
       cols, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, cols)
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
-      "optimizeZOrderRange", schema = Some(clustered.schema))
+      "optimizeZOrderRange", schema = Some(clustered.schema),
+      dvAtRead = headS.dvs)
   }
 
   /** Z-order OPTIMIZE of ONE leaf partition of a hive-partitioned table
@@ -2971,15 +3034,22 @@ object TableManifest {
           dropDeleted(spark, dir,
             spark.read.option("mergeSchema", "true")
               .parquet(victims.map(f => s"$dir/$f"): _*),
-            victims, readDvs(spark, dir)),
-          readRenames(spark, dir)),
-        readSchema(spark, dir), Seq.empty),
+            victims, headS.dvs),
+          headS.renames),
+        headS.schema, Seq.empty),
       cols, numFiles)
     val moved = writeAndMoveIn(clustered, "zopt", dir, rel = prefix)
     val (mstats, msstats) = fileAllStats(spark, dir, moved, cols)
     spliceCommit(spark, dir, victims, moved, mstats, msstats,
-      "optimizeZOrderPartition", schema = Some(clustered.schema))
+      "optimizeZOrderPartition", schema = Some(clustered.schema),
+      dvAtRead = headS.dvs)
   }
+
+  /** Test-only injection point: runs once before the FIRST commit
+    * attempt of every victim-splice / dv rewrite — the race window
+    * between reading the victims and committing their replacement.
+    * Specs land a concurrent committer here to pin the guards below. */
+  private[graft] var rewritePreCommitHook: () => Unit = () => ()
 
   /** The victim-set CAS splice every bounded rewrite ends with: replace
     * exactly `victims` in the head file list with `moved`, preserving the
@@ -2987,21 +3057,41 @@ object TableManifest {
     * appender's files. Aborts — deleting `moved` — when a concurrent full
     * rewrite (publish / compaction) already replaced a victim: the rewrite
     * was of a dead snapshot and splicing it would resurrect deleted rows
-    * or drop the winner's. */
+    * or drop the winner's.
+    *
+    * `dvAtRead` = the victims' deletion-vector entries AS THE REWRITE
+    * READ THEM (what the caller's [[dropDeleted]] applied). Victims
+    * merely staying LISTED is not enough: a concurrent dv DELETE keeps
+    * the victim listed but adds positions the rewrite's output never
+    * dropped — splicing would resurrect the winner's deleted rows. Each
+    * attempt re-resolves the head's dv entries for the victims and
+    * aborts loudly on ANY drift (grown, replaced, or vanished entry). */
   private def spliceCommit(spark: SparkSession, dir: String,
       victims: Seq[String], moved: Seq[String], mstats: FileStats,
       msstats: FileStringStats, opName: String,
-      schema: Option[StructType] = None): Long = {
+      schema: Option[StructType] = None,
+      dvAtRead: Map[String, (String, Long)] = Map.empty): Long = {
     val (fs, p) = fsFor(spark, dir)
     val victimSet = victims.toSet
+    val dvExpected = dvAtRead.filter(kv => victimSet(kv._1))
     var attempts = 0
     while (attempts < 64) {
-      val (v, files, hwm) = readHead(spark, dir).getOrElse(
+      if (attempts == 0) rewritePreCommitHook()
+      val (v, snapNow) = headSnap(spark, dir).getOrElse(
         sys.error(s"$opName: manifest vanished under $dir"))
+      val files = snapNow.files
+      val hwm = snapNow.hwm
       if (!victimSet.subsetOf(files.toSet)) {
         moved.foreach(f => fs.delete(new Path(p, f), false))
         sys.error(s"$opName: victim files disappeared under " +
           s"$dir (concurrent rewrite); re-run against the new head")
+      }
+      if (snapNow.dvs.filter(kv => victimSet(kv._1)) != dvExpected) {
+        moved.foreach(f => fs.delete(new Path(p, f), false))
+        sys.error(s"$opName: a concurrent commit changed a victim's " +
+          s"deletion vector under $dir (the rewrite was built from " +
+          "stale deletions and would resurrect the winner's deleted " +
+          "rows); re-run against the new head")
       }
       // a racing layout change (partitioned publish / restore) with the
       // victims still listed would otherwise blend two layouts — loud
@@ -4182,7 +4272,7 @@ object TableManifest {
     val committed = StructType(rewritten.schema.fields.filterNot(f =>
       partCols.exists(_.equalsIgnoreCase(f.name))))
     spliceCommit(spark, dir, victims, moved, mstats, msstats, "update",
-      schema = Some(committed))
+      schema = Some(committed), dvAtRead = headS.dvs)
   }
 
   private def eraseRewrite(spark: SparkSession, dir: String, headV: Long,
@@ -4409,14 +4499,30 @@ object TableManifest {
     }
     var attempts = 0
     while (attempts < 64) {
-      val (v, files, hwm) = readHead(spark, dir).getOrElse {
+      if (attempts == 0) rewritePreCommitHook()
+      val (v, snapNow) = headSnap(spark, dir).getOrElse {
         cleanupAbort()
         sys.error(s"$opName: manifest vanished under $dir")
       }
+      val files = snapNow.files
+      val hwm = snapNow.hwm
       if (!victimSet.subsetOf(files.toSet)) {
         cleanupAbort()
         sys.error(s"$opName: victim files disappeared under " +
           s"$dir (concurrent rewrite); re-run against the new head")
+      }
+      // victims still LISTED is not enough: the sidecars in dvAdds were
+      // UNIONED from oldDvRefs at planning. A concurrent dv commit on
+      // the same victim (dv DELETE racing dv DELETE) keeps it listed but
+      // re-points its dv entry — overlaying ours would silently drop the
+      // winner's positions (resurrect its deleted rows). Abort loudly on
+      // any drift of a victim's dv entry from what the sidecars merged.
+      if (snapNow.dvs.filter(kv => victimSet(kv._1)) != oldDvRefs) {
+        cleanupAbort()
+        sys.error(s"$opName: a concurrent commit changed a victim's " +
+          s"deletion vector under $dir (this statement's sidecars were " +
+          "merged from the stale entry and would drop the winner's " +
+          "deleted positions); re-run against the new head")
       }
       val kept = files.filterNot(fullyDeleted.toSet)
       if (moved.nonEmpty) requireLayoutMatch(kept, moved, opName)
@@ -4457,6 +4563,10 @@ object TableManifest {
       victims: Seq[String], column: String, keep: DataFrame => DataFrame,
       append: Option[DataFrame], keepAllWhenColumnMissing: Boolean,
       opName: String, partCols: Seq[String] = Seq.empty): Long = {
+    // captured ONCE: the dv state the victim read applies is what the
+    // splice commit verifies is still the victims' dv state at commit
+    // time (a concurrent dv DELETE would otherwise be resurrected)
+    val dvAtRead = readDvs(spark, dir)
     val oldPart: Either[Long, Option[DataFrame]] =
       if (victims.isEmpty) Right(None)
       else {
@@ -4471,7 +4581,7 @@ object TableManifest {
               (if (partCols.isEmpty) reader
                else reader.option("basePath", dir))
                 .parquet(victims.map(f => s"$dir/$f"): _*),
-              victims, readDvs(spark, dir)),
+              victims, dvAtRead),
             readRenames(spark, dir)),
           readSchema(spark, dir), partCols)
         if (!read.columns.contains(column))
@@ -4503,7 +4613,7 @@ object TableManifest {
         val committed = StructType(next.schema.fields.filterNot(f =>
           partCols.exists(_.equalsIgnoreCase(f.name))))
         spliceCommit(spark, dir, victims, moved, mstats, msstats, opName,
-          schema = Some(committed))
+          schema = Some(committed), dvAtRead = dvAtRead)
     }
   }
 

@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Deletion-vector COMMIT RACES (round-18 ADVICE high).
+  *
+  * A victim staying LISTED across the race window is not enough for a
+  * rewrite to commit: a concurrent dv commit on the same file keeps it
+  * listed but re-points its `dvs` entry. If the racing statement's
+  * sidecars were merged from the stale entry (dv DELETE vs dv DELETE),
+  * or its copy-on-write output never dropped the winner's positions
+  * (CoW rewrite / OPTIMIZE vs dv DELETE), committing would silently
+  * resurrect the winner's deleted rows. Both commit loops
+  * ([[TableManifest.spliceCommit]] and the dvRewrite CAS) therefore
+  * verify per attempt that every victim's dv entry still equals the
+  * entry the rewrite was built from, and abort LOUDLY on drift — the
+  * same discipline as the victim-vanished path. The race window is
+  * driven deterministically via [[TableManifest.rewritePreCommitHook]].
+  */
+class DvRaceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def withDv[A](f: => A): A = {
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    try f finally spark.conf.unset("spark.graft.dml.deletionVectors")
+  }
+
+  /** Fires `body` exactly once, from inside the NEXT rewrite's race
+    * window (after its victims were read and its outputs written, before
+    * its first commit attempt), then clears itself so the concurrent
+    * statement it lands doesn't recurse into the hook. */
+  private def onceInRaceWindow(body: => Unit): Unit =
+    TableManifest.rewritePreCommitHook = () => {
+      TableManifest.rewritePreCommitHook = () => ()
+      body
+    }
+
+  /** Tracked (k, v), k = 0..8 in exactly 3 known files:
+    * {0,1,2}, {3,4,5}, {6,7,8}. */
+  private def table3(tag: String): String = {
+    val dir = tmpDir(tag)
+    (0L until 3L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    (3L until 6L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    (6L until 9L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    dir
+  }
+
+  private def keysOf(dir: String): Seq[Long] =
+    TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted
+
+  private def dvFiles(dir: String): Seq[String] = {
+    val d = new java.io.File(dir, Dv.DirName)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().map(_.getName).filterNot(_.endsWith(".crc")).toSeq
+  }
+
+  test("dv DELETE racing dv DELETE on the SAME file: loser aborts loudly, never drops the winner's positions") {
+    val dir = table3("gm-dvrace-dvdv")
+    try {
+      // winner lands k=3 inside the loser's (k=4) race window — same
+      // victim file {3,4,5}, so the loser's sidecar was merged from a
+      // dv entry that no longer exists
+      onceInRaceWindow {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(3L)) }
+      }
+      val err = intercept[RuntimeException] {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
+      }
+      assert(err.getMessage.contains("deletion vector"),
+        s"loud dv-drift abort, got: ${err.getMessage}")
+      assert(err.getMessage.contains("re-run"), err.getMessage)
+      // the winner's delete holds; the loser changed NOTHING
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L))
+      val dvs = TableManifest.readDvs(spark, dir)
+      assert(dvs.size == 1 && dvs.values.head._2 == 1L, s"$dvs")
+      // the loser's aborted sidecar was cleaned up: only the winner's
+      // write-once sidecar exists under _dv/
+      assert(dvFiles(dir).size == 1, s"loser sidecar not reclaimed: ${dvFiles(dir)}")
+      // the instructed re-run unions cleanly on the fresh head
+      withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L))
+      assert(TableManifest.readDvs(spark, dir).values.head._2 == 2L,
+        "re-run merged both statements' positions")
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+
+  test("copy-on-write DELETE racing a dv DELETE on the SAME victim: splice aborts loudly instead of resurrecting") {
+    val dir = table3("gm-dvrace-cow")
+    try {
+      onceInRaceWindow {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(5L)) }
+      }
+      // dv conf OFF: this is the CoW sliceRewrite → spliceCommit path.
+      // Its rewrite of {3,4,5} was read BEFORE the winner's dv on that
+      // file existed — splicing it in would resurrect k=5.
+      val err = intercept[RuntimeException] {
+        TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L))
+      }
+      assert(err.getMessage.contains("deletion vector"),
+        s"loud dv-drift abort, got: ${err.getMessage}")
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L, 8L),
+        "winner's dv delete holds; loser changed nothing")
+      // re-run reads the fresh head (dv applied), materializes it
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L))
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 6L, 7L, 8L))
+      assert(TableManifest.readDvs(spark, dir).isEmpty,
+        "the CoW rewrite materialized the dv away")
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+
+  test("OPTIMIZE Z-ORDER racing a dv DELETE: the re-cluster aborts loudly instead of resurrecting") {
+    val dir = table3("gm-dvrace-zopt")
+    TableManifest.analyze(spark, dir, Seq("k", "v"))
+    try {
+      onceInRaceWindow {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(7L)) }
+      }
+      val err = intercept[RuntimeException] {
+        TableManifest.optimizeZOrder(spark, dir, "k", "v", 2)
+      }
+      assert(err.getMessage.contains("deletion vector"),
+        s"loud dv-drift abort, got: ${err.getMessage}")
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
+      // re-run materializes the winner's deletion into clean files
+      TableManifest.optimizeZOrder(spark, dir, "k", "v", 2)
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
+      assert(TableManifest.readDvs(spark, dir).isEmpty)
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+
+  test("precision: a dv DELETE racing a dv DELETE on a DIFFERENT file commits normally") {
+    val dir = table3("gm-dvrace-ok")
+    try {
+      onceInRaceWindow {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L)) }
+      }
+      // k=4 lives in {3,4,5}; the concurrent k=1 dv is on {0,1,2} — no
+      // victim overlap, so the CAS retry commits without drama
+      withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
+      assert(keysOf(dir) == Seq(0L, 2L, 3L, 5L, 6L, 7L, 8L))
+      assert(TableManifest.readDvs(spark, dir).size == 2)
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+}
