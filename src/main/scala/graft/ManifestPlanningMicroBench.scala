@@ -431,6 +431,66 @@ object ManifestPlanningMicroBench {
         rm(new java.io.File(d))
       }
     }
+
+    // DV-DENSITY CURVE (round 18): k repeated range deletes against ONE
+    // file, with the materialize trigger OFF (threshold 1.1) vs ON
+    // (default 0.5). Write-once union sidecars make the k-th delete
+    // rewrite all prior positions, so cumulative `_dv/` bytes grow
+    // O(k²) and the k-th read pays a k-sized bitmap — the trigger
+    // caps both by routing the crossing delete to local
+    // materialization (survivors rewritten, dv gone). Each delete
+    // removes 1/64th of the file, so the default arm materializes at
+    // the 32nd delete (density 0.5).
+    locally {
+      def build(tag: String): String = {
+        val dir = Files.createTempDirectory(s"gm-dvcurve-$tag").toString
+        spark.range(256000L)
+          .select(col("id").as("k"), (col("id") % 1000).as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        graft.ops.TableManifest.init(spark, dir)
+        graft.ops.TableManifest.analyze(spark, dir, Seq("k"))
+        dir
+      }
+      def dvDirBytes(dir: String): (Int, Long) = {
+        val d = new java.io.File(dir, "_dv")
+        if (!d.exists) (0, 0L)
+        else {
+          val fs = d.listFiles.filter(_.getName.endsWith(".bin"))
+          (fs.length, fs.map(_.length).sum)
+        }
+      }
+      for ((thresh, label) <- Seq("1.1" -> "trigger OFF",
+          "0.5" -> "trigger ON (default)")) {
+        val dir = build(label.take(7).trim.replaceAll("[^A-Za-z]", ""))
+        spark.conf.set("spark.graft.dml.deletionVectors", "true")
+        spark.conf.set("spark.graft.dv.materializeThreshold", thresh)
+        val step = 256000L / 64
+        (0 until 64).foreach { i =>
+          graft.ops.TableManifest.eraseWhereRange(spark, dir, "k",
+            i * step, (i + 1) * step - 1)
+          if ((i + 1) % 16 == 0) {
+            val (n, bytes) = dvDirBytes(dir)
+            val live = graft.ops.TableManifest.readDvs(spark, dir)
+            val t0 = System.nanoTime()
+            val rows = graft.ops.TableManifest.readTable(spark, dir).count()
+            val readS = (System.nanoTime() - t0) / 1e9
+            println(f"dv curve [$label] k=${i + 1}: cumulative " +
+              f"sidecars $n (${bytes / 1024.0}%.0f KiB written), live dv " +
+              f"card ${live.values.map(_._2).sum}, read ${readS}%.2fs " +
+              f"($rows rows)")
+          }
+        }
+        spark.conf.unset("spark.graft.dml.deletionVectors")
+        spark.conf.unset("spark.graft.dv.materializeThreshold")
+        require(graft.ops.TableManifest.readTable(spark, dir).count() == 0L ||
+          graft.ops.TableManifest.readTable(spark, dir).count() ==
+            256000L - 64 * step, "dv curve arithmetic")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      }
+    }
     spark.stop()
   }
 }

@@ -13,43 +13,32 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Row-level DELETION-VECTOR membership test — the read-side half of
   * merge-on-read DML ([[graft.ops.TableManifest]] `"dvs"` section): TRUE
   * when the row at `rowIndex` of the data file named by `filePath` is
-  * marked deleted. The deletion bitmaps ride a BROADCAST bucketed by
-  * file BASENAME, each bucket holding `("/" + dir-relative name,
-  * positions)` entries matched by path SUFFIX — hive-partitioned writes
-  * can mint the SAME basename under different `k=v/` directories (one
-  * dynamic-partition task numbers its per-directory files alike), so
-  * the basename alone is a bucket key, never an identity. Scan-side
-  * cost: one hash lookup per row + (only on a bucket hit) a
-  * segment-anchored suffix check + binary search, inside whole-stage
-  * codegen — no join, no shuffle. Reads wrap scans of DV'd files with
-  * `Filter(!DvDeleted(file, idx))`; files without a DV never enter the
-  * branch at all (the scan is split DV'd/clean upstream).
+  * marked deleted. The deletion bitmaps ride a BROADCAST
+  * [[graft.ops.Dv.Index]]: basename buckets of (dir-relative name,
+  * positions) entries behind the table's qualified root prefix, so file
+  * identity resolves by EXACT relative path (one live file's relative
+  * path being a suffix of another's can never bind positions to the
+  * wrong file — the round-18 identity fix; a foreign path rendering
+  * falls back to longest-suffix). Scan-side cost: one hash lookup per
+  * row + (only on a bucket hit) a prefix strip + string compare +
+  * binary search, inside whole-stage codegen — no join, no shuffle.
+  * Reads wrap scans of DV'd files with `Filter(!DvDeleted(file, idx))`;
+  * files without a DV never enter the branch at all (the scan is split
+  * DV'd/clean upstream).
   *
   * Null-safe: a NULL path or index (never produced by `_metadata`) is
   * simply "not deleted" — the expression can never invent a deletion. */
 object DvDeletedUtil {
-  /** basename bucket → ("/"+relativeName, sorted positions) entries. */
-  def deleted(dvs: Map[String, Seq[(String, Array[Long])]],
+  def deleted(dvs: graft.ops.Dv.Index,
       path: UTF8String, rowIndex: Long): Boolean = {
     if (path == null) return false
-    val s = path.toString
-    val base = s.substring(s.lastIndexOf('/') + 1)
-    dvs.get(base) match {
-      case Some(entries) =>
-        val it = entries.iterator
-        while (it.hasNext) {
-          val (suffix, arr) = it.next()
-          if (s.endsWith(suffix))
-            return java.util.Arrays.binarySearch(arr, rowIndex) >= 0
-        }
-        false
-      case None => false
-    }
+    val arr = dvs.positionsOf(path.toString)
+    arr != null && java.util.Arrays.binarySearch(arr, rowIndex) >= 0
   }
 }
 
 case class DvDeleted(left: Expression, right: Expression,
-    dvs: Broadcast[Map[String, Seq[(String, Array[Long])]]])
+    dvs: Broadcast[graft.ops.Dv.Index])
   extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -90,7 +79,7 @@ object DvDeleted {
   /** Column-API entry: `DvDeleted.of($"_metadata.file_path",
     * $"_metadata.row_index", bc)`. */
   def of(path: Column, rowIndex: Column,
-      dvs: Broadcast[Map[String, Seq[(String, Array[Long])]]]): Column =
+      dvs: Broadcast[graft.ops.Dv.Index]): Column =
     ColumnBridge.column(DvDeleted(
       ColumnBridge.expression(path), ColumnBridge.expression(rowIndex), dvs))
 }

@@ -89,18 +89,70 @@ private[graft] object Dv {
         size() > 256
     })
 
-  /** Decode every referenced sidecar → basename BUCKET →
-    * ("/"+relativeName, positions) entries. Bucketed, not keyed, by
-    * basename: a hive-partitioned write can mint the same basename
-    * under different `k=v/` directories, so identity is the
-    * segment-anchored path suffix. Driver-side, cached; the result is
-    * broadcast to the scan filter. */
-  def loadBitmaps(spark: SparkSession, dir: String,
-      dvs: Map[String, (String, Long)])
-      : Map[String, Seq[(String, Array[Long])]] = {
+  /** The broadcast-ready deletion index of one table snapshot: the
+    * table's QUALIFIED root prefix plus basename-bucketed
+    * (dir-relative name, sorted positions) entries.
+    *
+    * File identity resolution (`positionsOf`) is EXACT when the scan
+    * path carries the root prefix — strip it, compare the relative
+    * path verbatim — so one live file's relative path being a suffix
+    * of another's (`part-0.parquet` at the root vs
+    * `k=1/part-0.parquet`) can never bind positions to the wrong
+    * file. If the scan's rendering doesn't carry the prefix (a
+    * foreign scheme spelling), the fallback is the LONGEST matching
+    * segment-anchored suffix — most specific wins, which is exact
+    * whenever the ambiguous sibling is also indexed and conservative
+    * ordering otherwise. Buckets are keyed by basename because a
+    * hive-partitioned write can mint the same basename under
+    * different `k=v/` directories. */
+  final case class Index(rootPrefix: String,
+      buckets: Map[String, Seq[(String, Array[Long])]])
+      extends Serializable {
+    def positionsOf(absPath: String): Array[Long] = {
+      val base = absPath.substring(absPath.lastIndexOf('/') + 1)
+      buckets.get(base) match {
+        case None => null
+        case Some(entries) =>
+          if (absPath.startsWith(rootPrefix)) {
+            val rel = absPath.substring(rootPrefix.length)
+            val it = entries.iterator
+            while (it.hasNext) {
+              val (name, arr) = it.next()
+              if (name == rel) return arr
+            }
+            null
+          } else {
+            var bestLen = -1
+            var best: Array[Long] = null
+            val it = entries.iterator
+            while (it.hasNext) {
+              val (name, arr) = it.next()
+              if (name.length > bestLen && absPath.endsWith("/" + name)) {
+                bestLen = name.length
+                best = arr
+              }
+            }
+            best
+          }
+      }
+    }
+  }
+
+  /** The qualified `<root>/` prefix scan paths of this table start
+    * with — what exact relative-path identity strips. */
+  def rootPrefixOf(spark: SparkSession, dir: String): String = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dvs.toSeq.map { case (dataFile, (dvName, _)) =>
+    fs.makeQualified(p).toString.stripSuffix("/") + "/"
+  }
+
+  /** Decode every referenced sidecar into an [[Index]]. Driver-side,
+    * cached; the result is broadcast to the scan filter. */
+  def loadBitmaps(spark: SparkSession, dir: String,
+      dvs: Map[String, (String, Long)]): Index = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = dvs.toSeq.map { case (dataFile, (dvName, _)) =>
       val key = (dir, dvName)
       val arr = Option(cache.get(key)).getOrElse {
         val a = read(fs, p, dvName)
@@ -108,8 +160,9 @@ private[graft] object Dv {
         a
       }
       val base = dataFile.substring(dataFile.lastIndexOf('/') + 1)
-      (base, ("/" + dataFile, arr))
+      (base, (dataFile, arr))
     }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
+    Index(rootPrefixOf(spark, dir), buckets)
   }
 
   /** Apply `dvs` to a scan of (some of) the table's files: requires the
@@ -119,7 +172,7 @@ private[graft] object Dv {
   def applyToScan(spark: SparkSession, dir: String, df: DataFrame,
       dvs: Map[String, (String, Long)]): DataFrame = {
     if (dvs.isEmpty) return df
-    val bc: Broadcast[Map[String, Seq[(String, Array[Long])]]] =
+    val bc: Broadcast[Index] =
       spark.sparkContext.broadcast(loadBitmaps(spark, dir, dvs))
     val keep = df.columns.map(col).toSeq
     df.filter(not(deletedCol(bc)))
@@ -127,8 +180,7 @@ private[graft] object Dv {
   }
 
   /** The `DvDeleted(_metadata.file_path, _metadata.row_index)` column. */
-  def deletedCol(
-      bc: Broadcast[Map[String, Seq[(String, Array[Long])]]]): Column =
+  def deletedCol(bc: Broadcast[Index]): Column =
     DvDeleted.of(col("_metadata.file_path"), col("_metadata.row_index"), bc)
 
   /** A serializable FS handle factory for executor-side sidecar writes. */

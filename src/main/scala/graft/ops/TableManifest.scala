@@ -1403,7 +1403,11 @@ object TableManifest {
             "name is still physically carried by files written before a " +
             "RENAME/DROP COLUMN (old footers would serve the stale " +
             "bytes under it); OPTIMIZE the table to rewrite the " +
-            "carriers first")
+            "carriers first. A DROP tombstone's carrier set is " +
+            "CONSERVATIVE — every file of the column's generation, " +
+            "since committed metadata cannot prove a footer lacks the " +
+            "bytes — so freeing a dropped name can require a full-table " +
+            "OPTIMIZE")
       }
     val v = expectedHead + 1
     val ctime = System.currentTimeMillis()
@@ -1590,7 +1594,9 @@ object TableManifest {
           s"cannot add column(s) ${collide.mkString(", ")} to $dir: the " +
             "name is still physically carried by files written before a " +
             "RENAME/DROP COLUMN; OPTIMIZE the table to rewrite the " +
-            "carriers first")
+            "carriers first (a DROP tombstone's carrier set is " +
+            "conservative — the column's whole file generation — so " +
+            "this can mean a full-table OPTIMIZE)")
       }
     val outPartSchema = headS.partSchema // appends never restate it
     val addSet = adds.toSet
@@ -3783,6 +3789,14 @@ object TableManifest {
       // reject re-introducing the name while stale bytes could serve
       // under it; they shrink as rewrites project victims to the
       // declared schema and drop when no live file carries the bytes.
+      // Carrier sets are deliberately CONSERVATIVE — every file of the
+      // column's generation, including files an evolved append wrote
+      // without it: committed metadata (fstat is length+mtime; stats
+      // cover analyzed columns only) cannot PROVE a footer lacks the
+      // bytes, and an under-approximate set is the silent-corruption
+      // path the tombstone exists to close. The cost is that ADD COLUMN
+      // of a dropped name can stay blocked until a full-table OPTIMIZE
+      // ages the generation out — stated in both reject messages.
       val keptRenames = snap.renames.filterNot(r =>
         cols.exists(_.equalsIgnoreCase(r.to)))
       val groups = renameGroups(snap.renames, files)
@@ -4400,12 +4414,20 @@ object TableManifest {
       case None =>
         logical.withColumn("__gdv_m", deleteCond(logical))
     }
-    // Absolute scan paths map back to manifest names by the
-    // segment-anchored "/"+name suffix (unique within one table dir).
+    // Absolute scan paths map back to manifest names by EXACT relative
+    // path under the table's qualified root (a victim whose relative
+    // path is a suffix of another's must never alias it); the
+    // longest-suffix fallback covers a foreign path rendering.
+    val rootPrefix = Dv.rootPrefixOf(spark, dir)
     def nameOf(abs: String): String =
-      victims.find(v => abs.endsWith("/" + v)).getOrElse(sys.error(
-        s"$opName: scanned file $abs is not a victim of $dir " +
-          "— concurrent layout change?"))
+      (if (abs.startsWith(rootPrefix))
+        Some(abs.substring(rootPrefix.length)).filter(victimSet)
+      else None)
+        .orElse(victims.filter(v => abs.endsWith("/" + v))
+          .sortBy(-_.length).headOption)
+        .getOrElse(sys.error(
+          s"$opName: scanned file $abs is not a victim of $dir " +
+            "— concurrent layout change?"))
     // executor-side sidecar writes, ONE narrow pass: per victim file,
     // count the live rows and collect the matched positions in the same
     // group iteration; merge fresh positions with the old dv (disjoint
@@ -4418,9 +4440,24 @@ object TableManifest {
     val oldBc = spark.sparkContext.broadcast(
       Dv.loadBitmaps(spark, dir, oldDvRefs))
     val root = dir
+    // DV-DENSITY MAINTENANCE: write-once union sidecars mean k repeated
+    // small deletes to one file cost O(k²) sidecar bytes and leave k
+    // referenced sidecars until vacuum, and every read of the file pays
+    // the bitmap. When a statement would push a file's deleted fraction
+    // past this threshold, the file is MATERIALIZED instead (its
+    // survivors rewritten locally, entry dropped — per-file
+    // copy-on-write, no global OPTIMIZE needed). 1.0 disables (a file
+    // whose every live row matched is removed outright regardless).
+    val matThreshold = spark.conf
+      .getOption("spark.graft.dv.materializeThreshold")
+      .map(_.trim.toDouble).getOrElse(0.5)
     import spark.implicits._
     import org.apache.spark.sql.functions.{coalesce => fnCoalesce, lit}
-    val written: Seq[(String, Option[String], Long, Long)] = flagged
+    // Result rows: (absPath, Some(dv) sidecar | None, mergedCard,
+    // freshMatched, Some(positions) materialize | None); no-match files
+    // emit nothing; (None, None) = the whole file died.
+    val written: Seq[(String, Option[String], Long, Long, Option[Array[Long]])] =
+      flagged
       .select(col("__gdv_f"), col("__gdv_i"),
         fnCoalesce(col("__gdv_m"), lit(false)).as("__gdv_m"))
       .groupBy(col("__gdv_f"))
@@ -4436,20 +4473,25 @@ object TableManifest {
       .flatMap { case (f, total, pos) =>
         if (pos.isEmpty) Iterator.empty
         else {
-          val base = f.substring(f.lastIndexOf('/') + 1)
-          val old = oldBc.value.getOrElse(base, Seq.empty)
-            .collectFirst { case (suffix, arr) if f.endsWith(suffix) => arr }
+          val old = Option(oldBc.value.positionsOf(f))
             .getOrElse(Array.empty[Long])
           val merged = (old ++ pos).distinct.sorted
           val freshN = pos.length.toLong
+          // total = LIVE rows scanned (old deletions pre-filtered)
+          val fileRows = total + old.length
           if (freshN >= total) // every live row died: drop the FILE
             Iterator.single((f, None: Option[String],
-              merged.length.toLong, freshN))
+              merged.length.toLong, freshN, None: Option[Array[Long]]))
+          else if (merged.length.toDouble >= matThreshold * fileRows)
+            // density trigger: route THIS file to local materialization
+            // (no sidecar written — the driver rewrites its survivors)
+            Iterator.single((f, None: Option[String],
+              merged.length.toLong, freshN, Some(merged)))
           else {
             val tableRoot = new org.apache.hadoop.fs.Path(root)
             val xfs = tableRoot.getFileSystem(confBc.value.value)
             Iterator.single((f, Some(Dv.write(xfs, tableRoot, merged)),
-              merged.length.toLong, freshN))
+              merged.length.toLong, freshN, None: Option[Array[Long]]))
           }
         }
       }.collect().toSeq
@@ -4458,9 +4500,18 @@ object TableManifest {
     // deleted) — `updated` without marked positions is vacuous too (the
     // replacement set IS the marked set), so don't write an empty file
     if (written.isEmpty && append.isEmpty) return headV
-    val fullyDeleted = written.collect { case (f, None, _, _) => nameOf(f) }
+    val fullyDeleted = written.collect {
+      case (f, None, _, _, None) => nameOf(f)
+    }
     val dvAdds: Map[String, (String, Long)] = written.collect {
-      case (f, Some(dv), card, _) => nameOf(f) -> (dv, card)
+      case (f, Some(dv), card, _, _) => nameOf(f) -> (dv, card)
+    }.toMap
+    // density-triggered materializations: abs path → ALL deleted
+    // positions (old dv ∪ this statement's matches); the file's
+    // survivors rewrite below and the file splices OUT of the listing,
+    // exactly like a whole-file delete plus a fresh clean file
+    val materialize: Map[String, Array[Long]] = written.collect {
+      case (f, None, _, _, Some(m)) => f -> m
     }.toMap
     // the UPDATE shape: matched rows (old values) re-emitted through the
     // assignments as ordinary appends, projected to the declared schema
@@ -4474,7 +4525,31 @@ object TableManifest {
           declared, partCols)
         f(input)
       }
-    val pieces = replaced.toSeq ++ append.toSeq
+    // survivors of materialized files: one V1 scan of JUST those files,
+    // the union bitmap as the row filter (identity = segment-anchored
+    // relative-path suffix, the Dv discipline), folded to the declared
+    // schema like every rewrite piece
+    val survivors: Option[DataFrame] =
+      if (materialize.isEmpty) None
+      else {
+        val buckets: Map[String, Seq[(String, Array[Long])]] =
+          materialize.toSeq.map { case (abs, m) =>
+            val rel = nameOf(abs)
+            val base = rel.substring(rel.lastIndexOf('/') + 1)
+            (base, (rel, m))
+          }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
+        val bcm = spark.sparkContext.broadcast(
+          Dv.Index(rootPrefix, buckets))
+        val rdr = spark.read.option("mergeSchema", "true")
+        val r0 = (if (partCols.isEmpty) rdr
+          else rdr.option("basePath", dir))
+          .parquet(materialize.keys.toSeq: _*)
+        val live = r0.filter(org.apache.spark.sql.functions.not(
+          Dv.deletedCol(bcm)))
+        Some(projectToDeclared(
+          coalesceRenamed(live, headS.renames), declared, partCols))
+      }
+    val pieces = survivors.toSeq ++ replaced.toSeq ++ append.toSeq
     val moved: Seq[String] =
       if (pieces.isEmpty) Seq.empty
       else {
@@ -4524,7 +4599,10 @@ object TableManifest {
           "merged from the stale entry and would drop the winner's " +
           "deleted positions); re-run against the new head")
       }
-      val kept = files.filterNot(fullyDeleted.toSet)
+      // materialized files splice OUT like whole-file deletes: their
+      // survivors ride `moved` and their dv entries drop with the name
+      val gone = fullyDeleted.toSet ++ materialize.keys.map(nameOf)
+      val kept = files.filterNot(gone)
       if (moved.nonEmpty) requireLayoutMatch(kept, moved, opName)
       commitIf(spark, dir, kept ++ moved, v, hwm, mstats, msstats,
         dvs = dvAdds) match {
@@ -4980,15 +5058,25 @@ object TableManifest {
     // reader-exposure class as data files of pruned versions (time
     // travel is only guaranteed before a vacuum past that version). The
     // sweep costs O(surviving manifests) body reads and only runs when
-    // `_dv/` exists at all. mtime grace applies like any data file.
+    // `_dv/` exists at all. mtime grace applies like any data file —
+    // A sidecar NO body (surviving or pruned) has ever referenced is
+    // special: sidecars are written EXECUTOR-side before their manifest
+    // commit, and a concurrent dv commit can also land between this
+    // vacuum's `_manifest/` listing and its `_dv/` listing — so a young
+    // never-referenced sidecar may belong to a commit this pass cannot
+    // see, and a zero-grace vacuum deleting it would gut that commit
+    // (loud FileNotFound at read — never silent, but a protocol
+    // violation). Those reclaim only past the in-flight floor
+    // (max(grace, 10 min) of mtime — the append-window discipline); a
+    // sidecar referenced ONLY by manifests pruned in this pass
+    // committed long ago and reclaims under the plain grace.
     val dvDir = new Path(p, Dv.DirName)
     val deadDvs: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
       if (!fs.exists(dvDir)) Seq.empty
       else {
         val deadM = deadManifests.map(_.getPath.getName).toSet
-        val referenced = manifests
-          .filterNot { case (_, s) => deadM(s.getPath.getName) }
-          .flatMap { case (_, st) =>
+        def refsOf(sts: Seq[org.apache.hadoop.fs.FileStatus]): Set[String] =
+          sts.flatMap { st =>
             val body = {
               val in = fs.open(st.getPath)
               try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -4996,10 +5084,17 @@ object TableManifest {
             }
             """dv-[0-9a-f\-]+\.bin""".r.findAllIn(body)
           }.toSet
+        val (deadSts, liveSts) = manifests.map(_._2)
+          .partition(s => deadM(s.getPath.getName))
+        val referenced = refsOf(liveSts)
+        val everReferenced = referenced ++ refsOf(deadSts)
         fs.listStatus(dvDir).toSeq
           .filter(s => s.isFile && Dv.isDvName(s.getPath.getName))
-          .filter(s => !referenced(s.getPath.getName) &&
-            s.getModificationTime <= cutoff)
+          .filter { s =>
+            val n = s.getPath.getName
+            !referenced(n) && s.getModificationTime <= cutoff &&
+              (everReferenced(n) || s.getModificationTime <= inflightFloor)
+          }
           .map(s => s"${Dv.DirName}/${s.getPath.getName}" -> s)
       }
     val deleted =

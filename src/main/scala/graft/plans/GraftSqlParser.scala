@@ -481,8 +481,16 @@ case class OptimizeCommand(table: GraftTableRef,
   * NULL when a pre-inventory manifest leaves gaps — honest, never a
   * partial sum), streaming hwm, declared column count (NULL on
   * pre-schema manifests), whether the layout is hive-partitioned, how
-  * many manifest versions retention currently keeps, and the partition
-  * column chain (NULL for flat layouts). */
+  * many manifest versions retention currently keeps, the partition
+  * column chain (NULL for flat layouts), and the deletion-vector
+  * health triple an operator sizes maintenance by: how many live files
+  * carry a dv, the total deleted-row count across them, and the WORST
+  * deleted fraction (dv cardinality over the file's footer row count —
+  * one footer read per dv'd file, paid only when dvs exist; NULL on a
+  * dv-free table). A dv_max_density creeping toward
+  * `spark.graft.dv.materializeThreshold` (default 0.5) means the next
+  * dv write on that file materializes it locally; a high n_dv_files
+  * with low density is the signal to schedule an OPTIMIZE. */
 case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("location", StringType, nullable = false)(),
@@ -494,7 +502,11 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     AttributeReference("partitioned",
       org.apache.spark.sql.types.BooleanType, nullable = false)(),
     AttributeReference("n_versions", LongType, nullable = false)(),
-    AttributeReference("partition_columns", StringType, nullable = true)())
+    AttributeReference("partition_columns", StringType, nullable = true)(),
+    AttributeReference("n_dv_files", LongType, nullable = false)(),
+    AttributeReference("dv_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("dv_max_density",
+      org.apache.spark.sql.types.DoubleType, nullable = true)())
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.ops.TableManifest
     val path = table.path(spark)
@@ -513,9 +525,24 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     // name shape alone, which would mislabel any future non-hive nesting
     // and forget the layout of an emptied partitioned table
     val partCols = TableManifest.layoutPartitionCols(spark, path)
+    val dvs = TableManifest.readDvs(spark, path)
+    val dvMaxDensity: Option[Double] =
+      if (dvs.isEmpty) None
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        Some(dvs.map { case (f, (_, card)) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(path, f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val rows = try r.getRecordCount finally r.close()
+          if (rows <= 0L) 1.0 else card.toDouble / rows
+        }.max)
+      }
     Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
       nCols.orNull, partCols.nonEmpty, nVersions,
-      if (partCols.isEmpty) null else partCols.mkString(",")))
+      if (partCols.isEmpty) null else partCols.mkString(","),
+      dvs.size.toLong, dvs.values.map(_._2).sum,
+      dvMaxDensity.orNull))
   }
 }
 

@@ -7254,6 +7254,115 @@ object ExtQueries {
       |FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 5
       |GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---------------------------------------------------------------- Q201
+  /** STREAMING over DELETION-VECTOR'd files (round 18): a dv DELETE on a
+    * not-yet-delivered file no longer kills the tailing stream — the
+    * file streams through a row-index-filtered sub-batch serving exactly
+    * its live rows. The fixture publishes a 3-file table, dv-DELETEs a
+    * key range (merge-on-read: the REQUIRE proves no file was
+    * rewritten), then tails from `earliest` with a 2-file admission cap,
+    * so the catch-up is CHUNKED and the dv-coherence admission walk
+    * (a chunk must not deliver a file whose dv entry changes later in
+    * the same window) is on the oracle-checked path. The delivered rows
+    * aggregate to exactly the live set. */
+  def q201DvStreamTail(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q201")
+    val out = freshScratch("graft-q201-out")
+    val ckpt = freshScratch("graft-q201-ckpt")
+    val src = t(s, dir, "orders").select(
+      col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    // repartition, not coalesce: the source frame can arrive single-
+    // partition and coalesce never raises a count — the fixture needs
+    // REAL multiple files so the capped tail chunks over them
+    graft.ops.TableManifest.publish(src.repartition(3), tmp) // v1: 3 files
+    val before = graft.ops.TableManifest.read(s, tmp).get._2.toSet
+    s.conf.set("spark.graft.dml.deletionVectors", "true")
+    try graft.ops.TableManifest.eraseWhereRange(s, tmp, "k", 1L, 400L)
+    finally s.conf.unset("spark.graft.dml.deletionVectors")
+    require(graft.ops.TableManifest.read(s, tmp).get._2.toSet == before,
+      "q201: merge-on-read must keep every file listed")
+    require(graft.ops.TableManifest.readDvs(s, tmp).nonEmpty,
+      "q201: expected live deletion vectors on the streamed files")
+    val q = s.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "2") // chunked: dv-coherence on path
+      .load(tmp)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .groupBy("pri")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("pri")
+  }
+
+  val q201Sql: String =
+    """WITH src AS (
+      |  SELECT o_orderkey AS k, o_orderpriority AS pri,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  WHERE o_orderkey NOT BETWEEN 1 AND 400)
+      |SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents
+      |FROM src GROUP BY 1 ORDER BY pri""".stripMargin
+
+  // ---------------------------------------------------------------- Q202
+  /** DV-DENSITY MAINTENANCE (round 18): write-once union sidecars make
+    * k repeated deletes to one file cost O(k²) sidecar bytes, so a
+    * delete pushing a file's deleted fraction past
+    * `spark.graft.dv.materializeThreshold` MATERIALIZES the file
+    * locally (survivors rewritten in the same commit, no dense sidecar,
+    * no global OPTIMIZE). The fixture: a sparse delete stays
+    * merge-on-read (REQUIRE: dv entry exists, file untouched); a broad
+    * second delete crosses the 0.3 threshold and materializes (REQUIRE:
+    * dv section empty, victim replaced). The final state hash-matches
+    * DuckDB computing both deletes algebraically — the route is an
+    * internal layout decision, never a semantics change. */
+  def q202DvDensity(s: SparkSession, dir: String): DataFrame = {
+    val tmp = freshScratch("graft-q202")
+    val src = t(s, dir, "lineitem").select(
+      col("l_orderkey").as("k"),
+      col("l_returnflag").as("flag"),
+      col("l_quantity").cast("long").as("qty"))
+    graft.ops.TableManifest.publish(src.coalesce(1), tmp)
+    val before = graft.ops.TableManifest.read(s, tmp).get._2.toSet
+    s.conf.set("spark.graft.dml.deletionVectors", "true")
+    s.conf.set("spark.graft.dv.materializeThreshold", "0.3")
+    try {
+      // ~4% of rows: sidecar route
+      graft.ops.TableManifest.eraseWhereRange(s, tmp, "qty", 0L, 2L)
+      require(graft.ops.TableManifest.readDvs(s, tmp).nonEmpty &&
+        graft.ops.TableManifest.read(s, tmp).get._2.toSet == before,
+        "q202: the sparse delete must stay merge-on-read")
+      // cumulative ~40% >= 0.3: the density trigger materializes
+      graft.ops.TableManifest.eraseWhereRange(s, tmp, "qty", 0L, 20L)
+      require(graft.ops.TableManifest.readDvs(s, tmp).isEmpty,
+        "q202: the dense delete must materialize, not grow the sidecar")
+      require(graft.ops.TableManifest.read(s, tmp).get._2.toSet
+        .intersect(before).isEmpty,
+        "q202: the victim file must be replaced by its survivors")
+    } finally {
+      s.conf.unset("spark.graft.dml.deletionVectors")
+      s.conf.unset("spark.graft.dv.materializeThreshold")
+    }
+    graft.ops.TableManifest.readTable(s, tmp)
+      .groupBy("flag")
+      .agg(count(lit(1)).as("n"), sum("qty").cast("long").as("qty"))
+      .orderBy("flag")
+  }
+
+  val q202Sql: String =
+    """SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 20
+      |GROUP BY flag ORDER BY flag""".stripMargin
+
   // ----------------------------------------------------------------
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sessionize" -> (q13Sessionize _),
@@ -7443,7 +7552,9 @@ object ExtQueries {
     "q197_rename_column" -> (q197RenameColumn _),
     "q198_rename_dml" -> (q198RenameDml _),
     "q199_dv_dml" -> (q199DvDml _),
-    "q200_dv_maintenance" -> (q200DvMaintenance _))
+    "q200_dv_maintenance" -> (q200DvMaintenance _),
+    "q201_dv_stream_tail" -> (q201DvStreamTail _),
+    "q202_dv_density" -> (q202DvDensity _))
 
   val oracleSql: Map[String, String] = Map(
     "q13_sessionize" -> q13Sql,
@@ -7635,5 +7746,7 @@ object ExtQueries {
     "q197_rename_column" -> q197Sql,
     "q198_rename_dml" -> q198Sql,
     "q199_dv_dml" -> q199Sql,
-    "q200_dv_maintenance" -> q200Sql)
+    "q200_dv_maintenance" -> q200Sql,
+    "q201_dv_stream_tail" -> q201Sql,
+    "q202_dv_density" -> q202Sql)
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.connector.read.SupportsReportStatistics
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.{SupportsMetadata, SupportsPushDownCatalystFilters}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.ops.TableManifest
@@ -81,7 +81,8 @@ private[sources] object ManifestStream {
 private[sources] final class ManifestScanBuilder(
     delegate: ParquetScanBuilder, dir: String,
     options: CaseInsensitiveStringMap,
-    renamedCarriers: Boolean = false)
+    renamedCarriers: Boolean = false,
+    dvdFiles: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownCatalystFilters
@@ -89,7 +90,8 @@ private[sources] final class ManifestScanBuilder(
     with SupportsPushDownVariantExtractions {
 
   override def build(): Scan =
-    new ManifestScan(delegate.build(), dir, options, renamedCarriers)
+    new ManifestScan(delegate.build(), dir, options, renamedCarriers,
+      dvdFiles)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
@@ -123,12 +125,15 @@ private[sources] final class ManifestScanBuilder(
   * rule replaced the relation before planning. */
 private[sources] final class ManifestScan(
     delegate: Scan, dir: String, options: CaseInsensitiveStringMap,
-    renamedCarriers: Boolean = false)
+    renamedCarriers: Boolean = false,
+    dvdFiles: Boolean = false)
     extends Scan with SupportsReportStatistics with SupportsMetadata {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
   override def toBatch: Batch = {
+    // each guard names ITS OWN failure mode: a dv-only table must not
+    // be told about renamed columns it doesn't have (and vice versa)
     if (renamedCarriers)
       sys.error(s"graft-manifest: $dir has renamed columns whose old " +
         "physical names are still carried by live files; reading it " +
@@ -136,6 +141,12 @@ private[sources] final class ManifestScan(
         "(GraftExtensions expands the scan into per-physical-name " +
         "groups) or TableManifest.readTable. OPTIMIZE the table to " +
         "rewrite the carriers and clear the mapping.")
+    if (dvdFiles)
+      sys.error(s"graft-manifest: $dir has files carrying deletion " +
+        "vectors; a plain batch scan would re-serve the deleted rows. " +
+        "Reading it requires the graft session extensions (the dv " +
+        "splice applies the bitmaps) or TableManifest.readTable. " +
+        "OPTIMIZE the table to materialize the deletions.")
     delegate.toBatch
   }
   override def supportedCustomMetrics(): Array[CustomMetric] =
@@ -252,9 +263,66 @@ private[sources] final class ManifestMicroBatchStream(
               else halt = true
           }
         }
+        // a chunk boundary must not land INSIDE a pre-rename window: a
+        // stream pinned to the post-rename logical schema whose capped
+        // catch-up stopped at a version that predates the rename would
+        // plan a range whose at-`to` schema can't spell the pinned
+        // names (planInputPartitions refuses it loudly — correct for a
+        // genuine forward rename, but a catch-up just needs the chunk
+        // extended THROUGH the rename commit; the grouping delivers the
+        // carriers). The cap is advisory here, same as the oversized
+        // single-commit case above.
+        while (vStop > from && vStop < head && !pinnedCoveredAt(vStop)) {
+          vStop += 1
+          while (vStop < head &&
+            TableManifest.readAt(spark, dir, vStop).isEmpty) vStop += 1
+        }
+        // DV-coherence: deliveries are filtered by the dvs at the
+        // chunk's own `to` (deterministic — replanning a checkpointed
+        // range must reproduce it exactly), so a chunk must not admit a
+        // file whose dv entry CHANGES later in this same catch-up
+        // window: the dv overlay rides a fileless commit the walk would
+        // skip past, and the chunked union would diverge from the
+        // uncapped run's (deleted rows served, or rewrite duplicates).
+        // Extend the boundary until every admitted file's dv entry
+        // agrees with the head's. Catch-up-only cost, zero on dv-free
+        // tables; offsets are chosen here ONCE per trigger, so
+        // consulting the live head keeps plan determinism intact.
+        val dvsAtHead = dvsAt(head)
+        if (dvsAtHead.nonEmpty) {
+          var coherent = false
+          while (!coherent && vStop < head) {
+            val dvsHere = dvsAt(vStop)
+            val freshHere = ManifestStream.freshFiles(spark, dir, from, vStop)
+            if (freshHere.exists(f => dvsHere.get(f) != dvsAtHead.get(f))) {
+              vStop += 1
+              while (vStop < head &&
+                TableManifest.readAt(spark, dir, vStop).isEmpty) vStop += 1
+            } else coherent = true
+          }
+        }
         ManifestOffset(vStop)
     }
   }
+
+  /** The dv entries committed at version `v` (empty for dv-free bodies
+    * and untracked dirs). */
+  private def dvsAt(v: Long): Map[String, (String, Long)] =
+    TableManifest.readAtFull(spark, dir, v).map(_._6)
+      .getOrElse(Map.empty)
+
+  /** Whether version `v`'s committed schema (data + declared partition
+    * columns) spells every pinned stream column. Pre-schema bodies pass
+    * (no evidence either way — the entry-based guard still stands). */
+  private def pinnedCoveredAt(v: Long): Boolean =
+    TableManifest.readAtFull(spark, dir, v).forall { t =>
+      t._2.forall { s =>
+        val names = (s.fieldNames ++
+          t._4.map(_.fieldNames).getOrElse(Array.empty[String]))
+          .map(_.toLowerCase).toSet
+        schema.fieldNames.forall(n => names(n.toLowerCase))
+      }
+    }
 
   override def reportLatestOffset(): Offset = ManifestOffset(headVersion())
 
@@ -309,25 +377,16 @@ private[sources] final class ManifestMicroBatchStream(
     val from = ManifestOffset.parse(start.json()).version
     val to = ManifestOffset.parse(end.json()).version
     val fresh = ManifestStream.freshFiles(spark, dir, from, to)
-    val (fstat, renames, dvsAtEnd) =
+    val (fstat, schemaAtTo, partAtTo, renames, dvsAtEnd) =
       if (to <= from) (Map.empty[String, (Long, Long)],
+        None: Option[StructType], None: Option[StructType],
         Seq.empty[graft.ops.TableManifest.Rename],
         Map.empty[String, (String, Long)])
       else TableManifest.readAtFull(spark, dir, to)
-        .map(t => (t._3, t._5, t._6))
-        .getOrElse((Map.empty[String, (Long, Long)],
+        .map(t => (t._3, t._2, t._4, t._5, t._6))
+        .getOrElse((Map.empty[String, (Long, Long)], None, None,
           Seq.empty[graft.ops.TableManifest.Rename],
           Map.empty[String, (String, Long)]))
-    // DELETION VECTORS: a raw parquet micro-batch cannot apply a row
-    // filter, so delivering a DV'd file would re-serve its deleted rows
-    // — refuse loudly (OPTIMIZE materializes the deletions and clears
-    // the entries). A DV ADDED to an already-delivered file never
-    // re-delivers anything (no new file), the documented
-    // file-granularity CDC caveat.
-    fresh.find(dvsAtEnd.contains).foreach(f => sys.error(
-      s"graft-manifest stream: $dir delivery range (v$from, v$to] " +
-        s"includes $f, which carries a deletion vector; OPTIMIZE the " +
-        "table to materialize the deletions before streaming this range"))
     // FORWARD guard: a RENAME COLUMN committed AFTER this stream pinned
     // its schema. The mapping entries at `to` spell logical names the
     // pinned schema doesn't know (and the pinned name survives only as
@@ -344,6 +403,27 @@ private[sources] final class ManifestMicroBatchStream(
         s"`${r.from}` -> `${r.to}` after this stream pinned its schema; " +
         "restart the stream (a fresh start pins the new logical schema " +
         "and serves every file generation)"))
+    // SCHEMA-based forward guard, independent of surviving mapping
+    // entries: if a rename commits and OPTIMIZE rewrites every carrier
+    // between two triggers, the entries at `to` are already empty — the
+    // entry check above passes — yet the range's files spell the NEW
+    // physical name and would serve NULLs under the pinned one. The
+    // at-`to` committed schema (data + declared partition columns)
+    // must cover every pinned name, or the delivery refuses loudly
+    // with the same restart path. Pre-schema bodies (None) skip the
+    // check — the entry guard still stands for them.
+    if (fresh.nonEmpty) schemaAtTo.foreach { s =>
+      val atTo = (s.fieldNames ++
+        partAtTo.map(_.fieldNames).getOrElse(Array.empty[String]))
+        .map(_.toLowerCase).toSet
+      val missing = schema.fieldNames.filterNot(n => atTo(n.toLowerCase))
+      if (missing.nonEmpty)
+        sys.error(s"graft-manifest stream: $dir delivery range " +
+          s"(v$from, v$to] does not carry pinned column(s) " +
+          s"${missing.mkString("`", "`, `", "`")} (a column was renamed " +
+          "after this stream pinned its schema); restart the stream " +
+          "(a fresh start pins the new logical schema)")
+    }
     // BACKWARD ranges (the stream pinned the POST-rename logical schema
     // and this range delivers pre-rename carrier files — an `earliest`
     // backfill over a renamed table): group the delivery by carried
@@ -352,24 +432,87 @@ private[sources] final class ManifestMicroBatchStream(
     // are POSITIONAL, so the pinned logical schema names them at the
     // stream surface. At most #renames+1 groups; the common tail case
     // (no carriers in range) stays the single-batch fast path.
+    //
+    // DELETION VECTORS: an undelivered file that carries a dv at `to`
+    // is delivered through its own sub-batch whose requested schema
+    // appends Spark's parquet row-index generator column
+    // (ROW_INDEX_TEMPORARY_COLUMN_NAME — the exact mechanism behind
+    // the V1 `_metadata.row_index`), wrapped in a reader factory that
+    // drops the deleted positions and projects the column back out. So
+    // a dv DELETE landing on a not-yet-delivered file streams exactly
+    // the live rows; splits stay parallel (row indexes are global per
+    // file, whichever split serves them). A dv added to an ALREADY
+    // delivered file re-delivers nothing (no new file) — those
+    // deletions never retro-propagate to the stream, the documented
+    // file-granularity CDC caveat (same as a rewrite re-listing rows).
     val groups = TableManifest.renameGroups(renames, fresh)
-    if (groups.length == 1 && groups.head._2.isEmpty) {
+    val freshDvd: Set[String] = fresh.iterator.filter(dvsAtEnd.contains).toSet
+    if (groups.length == 1 && groups.head._2.isEmpty && freshDvd.isEmpty) {
       val batch = batchFor(fresh, fstat, schema)
       val parts = batch.planInputPartitions()
       planned = batch.createReaderFactory()
       parts
     } else {
-      val factories = new Array[PartitionReaderFactory](groups.length)
-      val parts = groups.zipWithIndex.flatMap { case ((gFiles, subst), gi) =>
-        val phys = StructType(schema.fields.map(f =>
-          subst.get(f.name.toLowerCase)
-            .map(p => f.copy(name = p)).getOrElse(f)))
-        val b = batchFor(gFiles, fstat, phys)
-        factories(gi) = b.createReaderFactory()
-        b.planInputPartitions()
-          .map(p => GroupTaggedPartition(p, gi): InputPartition)
+      // deleted-position arrays for the range's dv'd files, resolved
+      // driver-side from the at-`to` sidecars; manifest names are
+      // unique relative paths, so the lookup is exact by construction
+      val bitmaps =
+        if (freshDvd.isEmpty)
+          graft.ops.Dv.Index("", Map.empty)
+        else graft.ops.Dv.loadBitmaps(spark, dir,
+          dvsAtEnd.filter(kv => freshDvd(kv._1)))
+      def positionsOf(f: String): Array[Long] = {
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        bitmaps.buckets.getOrElse(base, Seq.empty)
+          .collectFirst { case (name, arr) if name == f => arr }
+          .getOrElse(sys.error(
+            s"graft-manifest stream: no deletion bitmap resolved for $f"))
       }
-      planned = new GroupedReaderFactory(factories)
+      // delivery units: per rename group, ONE parquet batch for its
+      // clean files plus one dv-filtered batch PER dv'd file (each
+      // file's bitmap is its own — per-file units keep the filter
+      // exact without shipping file identity into every row)
+      val units: Seq[(Seq[String], StructType, Option[Array[Long]])] =
+        groups.flatMap { case (gFiles, subst) =>
+          val phys = StructType(schema.fields.map(f =>
+            subst.get(f.name.toLowerCase)
+              .map(p => f.copy(name = p)).getOrElse(f)))
+          val (dvd, clean) = gFiles.partition(freshDvd)
+          (if (clean.nonEmpty || dvd.isEmpty) Seq((clean, phys, None))
+           else Seq.empty) ++
+            dvd.map(f => (Seq(f), phys, Some(positionsOf(f))))
+        }
+      val factories = new Array[PartitionReaderFactory](units.length)
+      val parts = units.zipWithIndex.flatMap {
+        case ((uFiles, phys, None), ui) =>
+          val b = batchFor(uFiles, fstat, phys)
+          factories(ui) = b.createReaderFactory()
+          b.planInputPartitions()
+            .map(p => GroupTaggedPartition(p, ui): InputPartition)
+        case ((uFiles, phys, Some(deleted)), ui) =>
+          val withIdx = StructType(phys.fields :+ StructField(
+            ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            org.apache.spark.sql.types.LongType, nullable = true))
+          val idx = ManifestReadTable.index(spark, dir, uFiles, fstat,
+            Some(withIdx))
+          val (full, data) = ManifestReadTable.splitSchemas(withIdx, idx)
+          val b = ParquetScanBuilder(spark, idx, full, data, options)
+            .build().toBatch
+          factories(ui) = new DvFilteringReaderFactory(
+            b.createReaderFactory(), full,
+            full.fieldIndex(
+              ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME),
+            deleted)
+          b.planInputPartitions()
+            .map(p => GroupTaggedPartition(p, ui): InputPartition)
+      }
+      // Spark's DataSourceRDD requires every partition of one scan to
+      // agree row-vs-columnar; a trigger holding any dv-filtered unit
+      // (row-based by construction) therefore reads its clean units
+      // row-based too — dv'd triggers are the sparse exception, the
+      // all-clean fast path above stays columnar
+      planned = new GroupedReaderFactory(factories,
+        forceRows = freshDvd.nonEmpty)
       parts.toArray
     }
   }
@@ -396,12 +539,64 @@ private[sources] final case class GroupTaggedPartition(
     delegate.preferredLocations()
 }
 
+/** Reader factory for ONE deletion-vector'd file's sub-batch: the
+  * delegate parquet reader was planned with Spark's row-index generator
+  * column appended to the requested schema (row indexes are global
+  * within the file, correct under any split), and this wrapper drops
+  * every row whose index is in `deleted` (the file's sidecar positions,
+  * sorted — one binary search per row) and projects the generator
+  * column back out, so the stream surface serves exactly the pinned
+  * schema. Row-based by construction (`supportColumnarReads` = false):
+  * dv'd files are the sparse exception in a delivery range, never the
+  * bulk path. The positions array rides the task closure — bounded by
+  * the file's deleted-row count, sparse by the dv write path's contract
+  * (dense files are materialized away, never dv'd). */
+private[sources] final class DvFilteringReaderFactory(
+    delegate: PartitionReaderFactory, schema: StructType, tmpIdx: Int,
+    deleted: Array[Long]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createColumnarReader(p: InputPartition) =
+    throw new UnsupportedOperationException(
+      "dv-filtered stream partitions are row-based")
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val inner = delegate.createReader(p)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(schema.fields.zipWithIndex.collect {
+        case (f, i) if i != tmpIdx =>
+          org.apache.spark.sql.catalyst.expressions
+            .BoundReference(i, f.dataType, f.nullable)
+      }.toSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (java.util.Arrays.binarySearch(deleted,
+              r.getLong(tmpIdx)) < 0) {
+            cur = r
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
 /** Routes each [[GroupTaggedPartition]] to its group's parquet reader
   * factory. Rows/columnar batches come back POSITIONAL — the stream's
   * pinned logical schema names them — so a pre-rename file's physical
   * columns serve the logical stream schema with zero per-row work. */
 private[sources] final class GroupedReaderFactory(
-    factories: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+    factories: Array[PartitionReaderFactory],
+    forceRows: Boolean = false) extends PartitionReaderFactory {
   private def route[A](p: InputPartition)(
       f: (PartitionReaderFactory, InputPartition) => A): A = p match {
     case GroupTaggedPartition(d, g) => f(factories(g), d)
@@ -413,5 +608,7 @@ private[sources] final class GroupedReaderFactory(
   override def createColumnarReader(p: InputPartition) =
     route(p)(_.createColumnarReader(_))
   override def supportColumnarReads(p: InputPartition): Boolean =
-    route(p)(_.supportColumnarReads(_))
+    // one scan must be uniformly row-based or columnar (DataSourceRDD
+    // refuses a mix); a trigger with any dv-filtered unit forces rows
+    !forceRows && route(p)(_.supportColumnarReads(_))
 }

@@ -404,13 +404,15 @@ private final class ManifestReadTable(spark: SparkSession,
           org.apache.spark.sql.execution.datasources.v2.parquet
             .ParquetScanBuilder(SparkSession.active, idx, full, data, options),
           dir, tableOptions,
-          renamedCarriers = liveRenames.nonEmpty || liveDvs.nonEmpty)
+          renamedCarriers = liveRenames.nonEmpty,
+          dvdFiles = liveDvs.nonEmpty)
       case _ =>
         new ManifestScanBuilder(
           delegate.newScanBuilder(options)
             .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder],
           dir, tableOptions,
-          renamedCarriers = liveRenames.nonEmpty || liveDvs.nonEmpty)
+          renamedCarriers = liveRenames.nonEmpty,
+          dvdFiles = liveDvs.nonEmpty)
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions.col
   * bitmap; full-file deletes drop the file; repeat deletes union;
   * UPDATE appends replacements; copy-on-write paths and compaction
   * MATERIALIZE deletions (never resurrect); vacuum reclaims orphaned
-  * sidecars; renames compose; streams refuse dv'd ranges loudly. */
+  * sidecars; renames compose; streams deliver dv'd ranges row-filtered
+  * (round-18 — [[graft.sources]] ManifestStreamDvSpec has the matrix). */
 class DeletionVectorSpec extends SparkSpec {
 
   import spark.implicits._
@@ -23,7 +24,13 @@ class DeletionVectorSpec extends SparkSpec {
 
   private def withDv[A](f: => A): A = {
     spark.conf.set("spark.graft.dml.deletionVectors", "true")
-    try f finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    // threshold pinned OFF: these tests drive write-once sidecar
+    // mechanics on tiny files; DvDensitySpec pins the 0.5 default
+    spark.conf.set("spark.graft.dv.materializeThreshold", "1.1")
+    try f finally {
+      spark.conf.unset("spark.graft.dml.deletionVectors")
+      spark.conf.unset("spark.graft.dv.materializeThreshold")
+    }
   }
 
   /** Tracked table (k, v), k = 0..8 over exactly 3 files of known
@@ -194,21 +201,20 @@ class DeletionVectorSpec extends SparkSpec {
       "one dv per touched generation")
   }
 
-  test("streams refuse dv'd delivery ranges loudly; DSv2 batch reads are guarded or correct") {
+  test("streams DELIVER dv'd ranges (live rows only); DSv2 batch reads are guarded or correct") {
     val dir = table3("gm-dv-stream")
     withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L)) }
-    val e = intercept[Exception] {
-      val q = spark.readStream.format("graft-manifest").load(dir)
-        .writeStream.format("memory")
-        .queryName(s"dvstream${java.util.UUID.randomUUID().toString.take(6)}")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("deletion vector")),
-      s"expected the dv stream refusal: ${messages(e)}")
+    // round-18: a dv on a NOT-YET-delivered file no longer refuses —
+    // the file streams through a row-index-filtered sub-batch serving
+    // exactly its live rows (ManifestStreamDvSpec drives the matrix)
+    val name = s"dvstream${java.util.UUID.randomUUID().toString.take(6)}"
+    val q = spark.readStream.format("graft-manifest").load(dir)
+      .writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name).select("k")
+      .as[Long].collect().toSeq.sorted
+    assert(got == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L),
+      s"dv'd range delivered live rows only: $got")
     // DSv2 batch read: with the extensions the read is CORRECT (DvReads
     // splice), without them the toBatch guard is LOUD — never stale rows
     (try Right(spark.read.format("graft-manifest").load(dir)
@@ -217,7 +223,7 @@ class DeletionVectorSpec extends SparkSpec {
       case Right(rows) =>
         assert(rows == Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L), s"rows: $rows")
       case Left(ex) =>
-        assert(ex.getMessage.contains("renamed columns"), ex.getMessage)
+        assert(ex.getMessage.contains("deletion vector"), ex.getMessage)
     }
   }
 

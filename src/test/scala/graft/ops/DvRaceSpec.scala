@@ -26,7 +26,13 @@ class DvRaceSpec extends SparkSpec {
 
   private def withDv[A](f: => A): A = {
     spark.conf.set("spark.graft.dml.deletionVectors", "true")
-    try f finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    // threshold pinned OFF: these tests drive write-once sidecar
+    // mechanics on tiny files; DvDensitySpec pins the 0.5 default
+    spark.conf.set("spark.graft.dv.materializeThreshold", "1.1")
+    try f finally {
+      spark.conf.unset("spark.graft.dml.deletionVectors")
+      spark.conf.unset("spark.graft.dv.materializeThreshold")
+    }
   }
 
   /** Fires `body` exactly once, from inside the NEXT rewrite's race

@@ -156,4 +156,136 @@ class ManifestDeltaProtocolRaceSpec extends SparkSpec {
       assert((1 to 30).map(i => s"dxv-$i.parquet").toSet.subsetOf(names.toSet))
     } finally spark.conf.unset("spark.graft.manifest.checkpointInterval")
   }
+
+  // ---- round-18 DELETION-VECTOR race drills (verdict #4) ----
+
+  import spark.implicits._
+
+  /** Tracked single-file table, k = 0..99. */
+  private def dvTable(tag: String): String = {
+    val dir = Files.createTempDirectory(tag).toString
+    (0L until 100L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    dir
+  }
+
+  private def withDv[A](f: => A): A = {
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    spark.conf.set("spark.graft.dv.materializeThreshold", "1.1")
+    try f finally {
+      spark.conf.unset("spark.graft.dml.deletionVectors")
+      spark.conf.unset("spark.graft.dv.materializeThreshold")
+    }
+  }
+
+  private def dvRetry(dir: String, k: Long): Unit = {
+    var done = false
+    var attempts = 0
+    while (!done) {
+      attempts += 1
+      assert(attempts <= 100, s"dv delete k=$k starved")
+      try { TableManifest.eraseWhereEq(spark, dir, "k", Seq(k)); done = true }
+      catch {
+        case e: Throwable if e.getMessage != null &&
+            e.getMessage.contains("re-run against the new head") => ()
+      }
+    }
+  }
+
+  private def keysOf(dir: String): Seq[Long] =
+    TableManifest.readTable(spark, dir).select("k")
+      .as[Long].collect().toSeq.sorted
+
+  test("two PROCESSES racing dv DELETEs on the same victim file: no position dropped, no row resurrected") {
+    val N = 8
+    val dir = dvTable("graft-dvxp")
+    val scratch = Files.createTempDirectory("graft-dvxp-flags")
+    val ready = scratch.resolve("ready").toString
+    val go = scratch.resolve("go").toString
+    val child = spawnChild("dvdelete", dir, "dvxpB", N, ready, go, 4)
+    try {
+      awaitReadyAndGo(child, ready, go)
+      withDv { (0L until N.toLong).foreach(k => dvRetry(dir, k)) }
+      assert(child.waitFor() == 0, "child dv writer failed")
+    } finally if (child.isAlive) child.destroyForcibly()
+    // the union of BOTH processes' deletions, exactly: a CAS loser that
+    // overlaid a stale sidecar would resurrect the winner's rows here
+    val want = (0L until 100L)
+      .filterNot(k => k < N || (k >= 50L && k < 50L + N))
+    assert(keysOf(dir) == want, "every process's deletions stick")
+    val dvs = TableManifest.readDvs(spark, dir)
+    assert(dvs.size == 1 && dvs.values.head._2 == 2L * N,
+      s"one union sidecar carrying all ${2 * N} positions: $dvs")
+    // protocol-shape: the referenced sidecar exists and decodes to the
+    // exact position count
+    val dvFile = new java.io.File(new java.io.File(dir, Dv.DirName),
+      dvs.values.head._1)
+    assert(dvFile.exists(), s"referenced sidecar missing: $dvFile")
+  }
+
+  test("dv DELETEs racing OPTIMIZE (victims vanish mid-statement): retry discipline converges exactly") {
+    val N = 6
+    val dir = dvTable("graft-dvxo")
+    val scratch = Files.createTempDirectory("graft-dvxo-flags")
+    val ready = scratch.resolve("ready").toString
+    val go = scratch.resolve("go").toString
+    val child = spawnChild("dvdelete", dir, "dvxoB", N, ready, go, 4)
+    try {
+      awaitReadyAndGo(child, ready, go)
+      // hostile maintenance loop: append a fragment, then compact the
+      // whole table (materializes any dvs, renames every file) — the
+      // child's statements keep hitting vanished victims / dv drift
+      (1 to 5).foreach { i =>
+        (1000L + i to 1000L + i).map(k => (k, k)).toDF("k", "v")
+          .coalesce(1).write.format("graft-manifest").mode("append")
+          .save(dir)
+        try Compaction.compactInPlace(spark, dir,
+          targetBytes = 1L << 26, minFileBytes = 1L << 26)
+        catch { case e: Exception
+            if e.getMessage != null && e.getMessage.contains("races") => ()
+        }
+      }
+      assert(child.waitFor() == 0, "child dv writer failed under OPTIMIZE")
+    } finally if (child.isAlive) child.destroyForcibly()
+    val want = ((0L until 100L).filterNot(k => k >= 50L && k < 50L + N) ++
+      (1 to 5).map(i => 1000L + i)).sorted
+    assert(keysOf(dir) == want,
+      "deletes survive materialization; appends never lost")
+  }
+
+  test("dv DELETEs racing zero-grace vacuum: a referenced sidecar is never reclaimed out from under its commit") {
+    val N = 6
+    val dir = dvTable("graft-dvxv")
+    val scratch = Files.createTempDirectory("graft-dvxv-flags")
+    val ready = scratch.resolve("ready").toString
+    val go = scratch.resolve("go").toString
+    val child = spawnChild("dvdelete", dir, "dvxvB", N, ready, go, 4)
+    try {
+      awaitReadyAndGo(child, ready, go)
+      // the most hostile retention the protocol allows, in a tight loop
+      // against the child's executor-side sidecar writes: the in-flight
+      // floor must protect a never-referenced young sidecar (its commit
+      // may be invisible to this pass's listing)
+      (1 to 20).foreach { i =>
+        (2000L + i to 2000L + i).map(k => (k, k)).toDF("k", "v")
+          .coalesce(1).write.format("graft-manifest").mode("append")
+          .save(dir)
+        TableManifest.vacuum(spark, dir, graceMillis = 0L,
+          retainManifests = 2)
+      }
+      assert(child.waitFor() == 0, "child dv writer failed under vacuum")
+    } finally if (child.isAlive) child.destroyForcibly()
+    // every committed deletion holds AND every referenced sidecar is
+    // still readable — a reclaimed-but-referenced sidecar would throw
+    // FileNotFound right here
+    val want = ((0L until 100L).filterNot(k => k >= 50L && k < 50L + N) ++
+      (1 to 20).map(i => 2000L + i)).sorted
+    assert(keysOf(dir) == want,
+      "vacuum never gutted a live dv commit")
+    val head = TableManifest.read(spark, dir).get._1
+    assert(TableManifest.readTableAt(spark, dir, head).count() ==
+      want.size.toLong)
+  }
 }

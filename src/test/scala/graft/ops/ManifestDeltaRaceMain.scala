@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
   *    loud out-of-protocol resolution error — the drill's failure mode;
   *    a version pruned WHOLE (named "no manifest v…"/"does not exist")
   *    is legitimate retention and skipped.
+  *  - mode=dvdelete (round 18): a DELETION-VECTOR DML loop — one
+  *    merge-on-read DELETE per iteration of this process's own key
+  *    range (tag ending "A" deletes 0.., anything else 50..), honoring
+  *    the protocol's retry discipline: a loud "re-run against the new
+  *    head" abort (dv-drift or victim-vanished — the exact guards the
+  *    parent's racing dv/OPTIMIZE/vacuum traffic trips) re-runs the
+  *    statement against the fresh head. The drill's failure mode is a
+  *    delete that silently doesn't stick (the parent asserts the exact
+  *    final survivor set) or an abort loop that starves.
   *
   * Exit 0 iff the loop completed without a protocol violation. */
 object ManifestDeltaRaceMain {
@@ -42,6 +51,29 @@ object ManifestDeltaRaceMain {
       }
       mode match {
         case "append" => CasAppendLoop.run(spark, dir, tag, n)
+        case "dvdelete" =>
+          spark.conf.set("spark.graft.dml.deletionVectors", "true")
+          spark.conf.set("spark.graft.dv.materializeThreshold", "1.1")
+          val baseKey = if (tag.endsWith("A")) 0L else 50L
+          var i = 0
+          while (i < n) {
+            val k = baseKey + i
+            var done = false
+            var attempts = 0
+            while (!done) {
+              attempts += 1
+              require(attempts <= 100, s"dv delete k=$k starved")
+              try {
+                TableManifest.eraseWhereEq(spark, dir, "k", Seq(k))
+                done = true
+              } catch {
+                case e: Throwable if e.getMessage != null &&
+                    e.getMessage.contains("re-run against the new head") =>
+                  () // the protocol's mandated retry; loop re-runs
+              }
+            }
+            i += 1
+          }
         case "read" =>
           var i = 0
           while (i < n) {

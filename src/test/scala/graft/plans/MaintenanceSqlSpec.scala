@@ -101,4 +101,24 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     val e = intercept[Exception] { spark.sql(s"DESCRIBE DETAIL '$plain'") }
     assert(e.getMessage.contains("not manifest-tracked"), e.getMessage)
   }
+
+  test("DESCRIBE DETAIL surfaces n_dv_files / dv_deleted_rows / dv_max_density") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gm-detail-dv").toString
+    (0L until 10L).map(k => (k, k * 10L)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    val clean = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(clean.getLong(9) == 0L && clean.getLong(10) == 0L &&
+      clean.isNullAt(11), s"dv-free table reports zeros/NULL: $clean")
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    try TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L, 2L))
+    finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    val d = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(d.getLong(9) == 1L, s"one dv'd file: $d")
+    assert(d.getLong(10) == 2L, s"two deleted rows: $d")
+    assert(math.abs(d.getDouble(11) - 0.2) < 1e-9,
+      s"2 of 10 rows deleted = density 0.2 from the footer row count: $d")
+  }
 }
