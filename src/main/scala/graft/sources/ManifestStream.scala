@@ -51,7 +51,17 @@ import graft.ops.TableManifest
   * tail never loses a listed file; a snapshot-REPLACING writer plus
   * zero-grace vacuum can invalidate an in-flight delta, which then fails
   * loudly at scan (the batch contract, same as time travel after
-  * vacuum). */
+  * vacuum).
+  *
+  * DELETION VECTORS (round 18): a dv'd file in a delivery range streams
+  * its LIVE rows only — see [[ManifestMicroBatchStream
+  * .planInputPartitions]] (per-file row-index-filtered sub-batches) and
+  * the dv-coherent admission walk in `latestOffset` (a chunk boundary
+  * never splits a file from a later dv on it within the same catch-up
+  * window, so the chunked union equals the uncapped one). A dv added to
+  * an ALREADY-delivered file re-delivers nothing — file-granularity CDC
+  * cannot retract rows, the same documented caveat as a rewrite
+  * re-listing them. */
 private[sources] object ManifestStream {
 
   /** The files at `to` not yet delivered at `from` (version 0 = nothing
