@@ -486,8 +486,10 @@ case class OptimizeCommand(table: GraftTableRef,
   * health triple an operator sizes maintenance by: how many live files
   * carry a dv, the total deleted-row count across them, and the WORST
   * deleted fraction (dv cardinality over the file's footer row count —
-  * one footer read per dv'd file, paid only when dvs exist; NULL on a
-  * dv-free table). A dv_max_density creeping toward
+  * one footer read per dv'd file, paid only when dvs exist and fanned
+  * out as a Spark job past `spark.graft.detail.distributeThreshold`
+  * (default 32) dv'd files; NULL on a dv-free table). A dv_max_density
+  * creeping toward
   * `spark.graft.dv.materializeThreshold` (default 0.5) means the next
   * dv write on that file materializes it locally; a high n_dv_files
   * with low density is the signal to schedule an OPTIMIZE. */
@@ -526,17 +528,39 @@ case class DetailCommand(table: GraftTableRef) extends LeafRunnableCommand {
     // and forget the layout of an emptied partitioned table
     val partCols = TableManifest.layoutPartitionCols(spark, path)
     val dvs = TableManifest.readDvs(spark, path)
+    // One footer read per dv'd file — sequentially on the driver that is
+    // fine for a handful of dvs but turns DESCRIBE into a many-minute FS
+    // crawl on a table where thousands of files carry one (the exact
+    // state n_dv_files exists to surface). Past a small threshold the
+    // reads fan out as a Spark job: each executor opens its share of
+    // footers, only the per-file density doubles come back.
     val dvMaxDensity: Option[Double] =
       if (dvs.isEmpty) None
       else {
-        val conf = spark.sessionState.newHadoopConf()
-        Some(dvs.map { case (f, (_, card)) =>
+        val work = dvs.toSeq.map { case (f, (_, card)) => (f, card) }
+        val tableRoot = path
+        def density(f: String, card: Long,
+                    conf: org.apache.hadoop.conf.Configuration): Double = {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(path, f), conf)
+            new org.apache.hadoop.fs.Path(tableRoot, f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           val rows = try r.getRecordCount finally r.close()
           if (rows <= 0L) 1.0 else card.toDouble / rows
-        }.max)
+        }
+        val threshold = spark.conf
+          .getOption("spark.graft.detail.distributeThreshold")
+          .flatMap(_.toIntOption).getOrElse(32)
+        if (work.size < threshold) {
+          val conf = spark.sessionState.newHadoopConf()
+          Some(work.map { case (f, card) => density(f, card, conf) }.max)
+        } else {
+          val bc = graft.ops.Dv.confBroadcast(spark)
+          val slices = math.min(work.size,
+            spark.sparkContext.defaultParallelism).max(1)
+          Some(spark.sparkContext.parallelize(work, slices)
+            .map { case (f, card) => density(f, card, bc.value.value) }
+            .max())
+        }
       }
     Seq(Row(path, v, files.size.toLong, size.orNull, hwm.orNull,
       nCols.orNull, partCols.nonEmpty, nVersions,

@@ -120,5 +120,16 @@ class MaintenanceSqlSpec extends AnyFunSuite {
     assert(d.getLong(10) == 2L, s"two deleted rows: $d")
     assert(math.abs(d.getDouble(11) - 0.2) < 1e-9,
       s"2 of 10 rows deleted = density 0.2 from the footer row count: $d")
+    // past the distribute threshold the same footers are read as a Spark
+    // job (a many-dv table must not serialize thousands of driver-side
+    // opens); identical numbers either way
+    spark.conf.set("spark.graft.detail.distributeThreshold", "1")
+    try {
+      val dd = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+      assert(dd.getLong(9) == d.getLong(9) &&
+        dd.getLong(10) == d.getLong(10) &&
+        math.abs(dd.getDouble(11) - d.getDouble(11)) < 1e-12,
+        s"distributed footer reads match the driver path: $dd vs $d")
+    } finally spark.conf.unset("spark.graft.detail.distributeThreshold")
   }
 }
