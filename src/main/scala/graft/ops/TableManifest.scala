@@ -4352,7 +4352,27 @@ object TableManifest {
     * CAS discipline as [[spliceCommit]]. Rows already deleted by an
     * EXISTING dv are excluded from the scan (they can neither re-match
     * nor ride an UPDATE append); the fresh sidecar unions the old
-    * positions so replacing the reference loses nothing. */
+    * positions so replacing the reference loses nothing.
+    *
+    * CONFLICT AUTO-RETRY: when a concurrent dv commit re-points a
+    * victim's entry during the race window (dv DELETE racing dv DELETE
+    * on the same file), the statement's sidecars were merged from the
+    * stale entry — committing them would drop the winner's positions.
+    * Instead of bouncing that to the user, the statement cleans up its
+    * artifacts and RE-RUNS ITSELF against the fresh head (the marking
+    * pass is the whole work, so the retry costs one extra victim scan
+    * — unlike copy-on-write, where a retry means rewriting files, so
+    * the CoW splice stays loud). Bounded by
+    * `spark.graft.dml.conflictRetries` (default 3); exhaustion aborts
+    * with the same loud re-run error. Serialization is sound for the
+    * same reason the plain CAS success path is: the retry re-marks the
+    * SAME victim files against the fresh dv state, which orders this
+    * statement after the winning dv commit and before any disjoint
+    * appends that landed meanwhile (write-serializable — blind appends
+    * never conflict with row-level DML on disjoint files). Victim
+    * VANISHED stays loud: a file can vanish because OPTIMIZE respelled
+    * it, and re-nominating victims is the caller's pruning logic, not
+    * ours. */
   private def dvRewrite(spark: SparkSession, dir: String, headV: Long,
       headS: Snap, victims: Seq[String],
       deleteCond: DataFrame => org.apache.spark.sql.Column,
@@ -4360,7 +4380,8 @@ object TableManifest {
       statCols: Seq[String], opName: String,
       partCols: Seq[String],
       matchRows: Option[DataFrame => DataFrame] = None,
-      append: Option[DataFrame] = None): Long = {
+      append: Option[DataFrame] = None,
+      conflictAttempt: Int = 0): Long = {
     import org.apache.spark.sql.functions.{col, not, substring_index}
     if (victims.isEmpty && append.isEmpty) return headV
     if (victims.isEmpty) {
@@ -4594,10 +4615,21 @@ object TableManifest {
       // any drift of a victim's dv entry from what the sidecars merged.
       if (snapNow.dvs.filter(kv => victimSet(kv._1)) != oldDvRefs) {
         cleanupAbort()
+        val maxRetries = spark.conf
+          .getOption("spark.graft.dml.conflictRetries")
+          .flatMap(_.trim.toIntOption).getOrElse(3)
+        if (conflictAttempt < maxRetries)
+          // re-run the whole marking pass against the fresh head: the
+          // fresh oldDvRefs union the winner's positions, so nothing is
+          // dropped; bounded so a hostile commit storm still surfaces
+          return dvRewrite(spark, dir, v, snapNow, victims, deleteCond,
+            updated, statCols, opName, partCols, matchRows, append,
+            conflictAttempt + 1)
         sys.error(s"$opName: a concurrent commit changed a victim's " +
           s"deletion vector under $dir (this statement's sidecars were " +
           "merged from the stale entry and would drop the winner's " +
-          "deleted positions); re-run against the new head")
+          s"deleted positions; auto-retried $conflictAttempt times); " +
+          "re-run against the new head")
       }
       // materialized files splice OUT like whole-file deletes: their
       // survivors ride `moved` and their dv entries drop with the name

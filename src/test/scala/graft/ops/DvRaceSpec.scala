@@ -13,9 +13,14 @@ import graft.SparkSpec
   * resurrect the winner's deleted rows. Both commit loops
   * ([[TableManifest.spliceCommit]] and the dvRewrite CAS) therefore
   * verify per attempt that every victim's dv entry still equals the
-  * entry the rewrite was built from, and abort LOUDLY on drift — the
-  * same discipline as the victim-vanished path. The race window is
-  * driven deterministically via [[TableManifest.rewritePreCommitHook]].
+  * entry the rewrite was built from. On drift the dv path AUTO-RETRIES
+  * its own marking pass against the fresh head (bounded by
+  * `spark.graft.dml.conflictRetries`, default 3 — the marking pass is
+  * the statement's whole work, so the retry is cheap) and aborts
+  * LOUDLY on exhaustion; the CoW splice aborts loudly immediately (a
+  * retry there means rewriting files — the user's re-run reads the
+  * fresh head and re-prunes). The race window is driven
+  * deterministically via [[TableManifest.rewritePreCommitHook]].
   */
 class DvRaceSpec extends SparkSpec {
 
@@ -70,12 +75,38 @@ class DvRaceSpec extends SparkSpec {
     else d.listFiles().map(_.getName).filterNot(_.endsWith(".crc")).toSeq
   }
 
-  test("dv DELETE racing dv DELETE on the SAME file: loser aborts loudly, never drops the winner's positions") {
+  test("dv DELETE racing dv DELETE on the SAME file: loser auto-retries against the fresh head and unions") {
     val dir = table3("gm-dvrace-dvdv")
     try {
       // winner lands k=3 inside the loser's (k=4) race window — same
       // victim file {3,4,5}, so the loser's sidecar was merged from a
-      // dv entry that no longer exists
+      // dv entry that no longer exists. The loser detects the drift,
+      // reclaims its artifacts, and RE-RUNS its marking pass against
+      // the fresh head internally — both deletes land, no user re-run.
+      // (confs held at TEST scope: the retry re-reads them mid-statement,
+      // and a nested withDv's finally would unset them under it)
+      withDv {
+        onceInRaceWindow {
+          TableManifest.eraseWhereEq(spark, dir, "k", Seq(3L))
+        }
+        TableManifest.eraseWhereEq(spark, dir, "k", Seq(4L))
+      }
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L),
+        "both racing deletes applied, exactly once")
+      val dvs = TableManifest.readDvs(spark, dir)
+      assert(dvs.size == 1 && dvs.values.head._2 == 2L,
+        s"retry unioned the winner's position with its own: $dvs")
+      // the loser's first-attempt sidecar (merged from the stale entry)
+      // was reclaimed: winner's + the retry's union sidecar only
+      assert(dvFiles(dir).size == 2,
+        s"aborted-attempt sidecar not reclaimed: ${dvFiles(dir)}")
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+
+  test("dv-drift retries exhausted (conflictRetries=0): loud abort, winner's positions intact") {
+    val dir = table3("gm-dvrace-exhaust")
+    try {
+      spark.conf.set("spark.graft.dml.conflictRetries", "0")
       onceInRaceWindow {
         withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(3L)) }
       }
@@ -97,7 +128,10 @@ class DvRaceSpec extends SparkSpec {
       assert(keysOf(dir) == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L))
       assert(TableManifest.readDvs(spark, dir).values.head._2 == 2L,
         "re-run merged both statements' positions")
-    } finally TableManifest.rewritePreCommitHook = () => ()
+    } finally {
+      spark.conf.unset("spark.graft.dml.conflictRetries")
+      TableManifest.rewritePreCommitHook = () => ()
+    }
   }
 
   test("copy-on-write DELETE racing a dv DELETE on the SAME victim: splice aborts loudly instead of resurrecting") {
