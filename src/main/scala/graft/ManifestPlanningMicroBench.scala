@@ -491,6 +491,64 @@ object ManifestPlanningMicroBench {
         rm(new java.io.File(dir))
       }
     }
+
+    // STREAM CATCH-UP over a dv-heavy history (round 18): the
+    // dv-coherent admission walk (one manifest resolve per candidate
+    // version, catch-up only) plus per-file row-index sub-batches must
+    // not make draining a DML-heavy history materially dearer than a
+    // dv-free one. 40 append commits × 2 files each; the dv arm then
+    // lands 10 dv DELETEs on distinct files across the history. Drain
+    // from scratch with maxFilesPerTrigger=8, so the capped walk (and
+    // its coherence extension) runs on every trigger.
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      def build(withDvs: Boolean): String = {
+        val dir = Files.createTempDirectory(
+          if (withDvs) "gm-catchup-dv" else "gm-catchup-clean").toString
+        spark.range(0L, 1000L)
+          .select(col("id").as("k"), (col("id") % 7).as("v"))
+          .repartition(2).write.mode("overwrite").parquet(dir)
+        graft.ops.TableManifest.init(spark, dir)
+        (1 until 40).foreach { i =>
+          spark.range(i * 1000L, i * 1000L + 1000L)
+            .select(col("id").as("k"), (col("id") % 7).as("v"))
+            .repartition(2)
+            .write.format("graft-manifest").mode("append").save(dir)
+        }
+        graft.ops.TableManifest.analyze(spark, dir, Seq("k"))
+        if (withDvs) {
+          spark.conf.set("spark.graft.dml.deletionVectors", "true")
+          (0 until 10).foreach { j =>
+            graft.ops.TableManifest.eraseWhereRange(spark, dir, "k",
+              j * 4000L + 100, j * 4000L + 150)
+          }
+          spark.conf.unset("spark.graft.dml.deletionVectors")
+        }
+        dir
+      }
+      for (withDvs <- Seq(false, true)) {
+        val dir = build(withDvs)
+        val ckpt = Files.createTempDirectory("gm-catchup-ck").toString
+        val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+        val t0 = System.nanoTime()
+        val q = spark.readStream.format("graft-manifest")
+          .option("maxFilesPerTrigger", "8").load(dir)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            rows.addAndGet(df.count()); ()
+          }.start()
+        q.awaitTermination()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"stream catch-up [${if (withDvs) "10 dvs over history"
+          else "dv-free"}]: drained ${rows.get()} rows over 40 versions " +
+          f"(cap 8 files/trigger) in ${wall}%.2fs")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(dir)); rm(new java.io.File(ckpt))
+      }
+    }
     spark.stop()
   }
 }

@@ -391,4 +391,40 @@ class DeletionVectorSpec extends SparkSpec {
       }
     }
   }
+
+  test("ALTER COLUMN TYPE widening composes with deletion vectors") {
+    import org.apache.spark.sql.types.LongType
+    val dir = tmpDir("gm-dv-widen")
+    // INT columns: the dv'd footer stays int32 after the widen, so the
+    // dv read path (V1 + row_index + bitmap) must serve it through
+    // Spark's parquet type promotion under the widened read schema
+    (0 until 3).map(k => (k, k * 10)).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    TableManifest.init(spark, dir)
+    (3 until 6).map(k => (k, k * 10)).toDF("k", "v")
+      .coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    TableManifest.analyze(spark, dir, Seq("k"))
+    val preWiden = withDv {
+      TableManifest.eraseWhereEq(spark, dir, "k", Seq(1L))
+    }
+    assert(TableManifest.readDvs(spark, dir).size == 1)
+    TableManifest.widenColumnType(spark, dir, "k", LongType)
+    val t = TableManifest.readTable(spark, dir)
+    assert(t.schema("k").dataType == LongType, t.schema.treeString)
+    assert(t.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 2L, 3L, 4L, 5L), "widened read still hides the dv'd row")
+    // a NEW dv delete under the widened schema unions into the same
+    // file's sidecar (positions bind by file identity, not schema era)
+    withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(2L)) }
+    assert(TableManifest.readDvs(spark, dir).values.map(_._2).sum == 2L)
+    assert(TableManifest.readTable(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == Seq(0L, 3L, 4L, 5L))
+    // time travel to the pre-widen version: its own (int) schema, its
+    // own dv state — k=1 already hidden, k=2 still live
+    val tt = TableManifest.readTableAt(spark, dir, preWiden)
+    assert(tt.schema("k").dataType ==
+      org.apache.spark.sql.types.IntegerType, tt.schema.treeString)
+    assert(tt.select("k").as[Int].collect().sorted.toSeq ==
+      Seq(0, 2, 3, 4, 5))
+  }
 }
