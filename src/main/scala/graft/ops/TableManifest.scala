@@ -982,14 +982,30 @@ object TableManifest {
   private def headSnap(spark: SparkSession, dir: String)
       : Option[(Long, Snap)] = {
     val (fs, p) = fsFor(spark, dir)
-    headViaHint(fs, p, dir).orElse {
-      val listing = manifestListing(fs, p)
-      if (listing.isEmpty) None
-      else {
-        val v = listing.keys.max
-        Some((v, resolveSnap(fs, p, dir, v, listing)))
+    // A hostile-retention race: between finding the head (hint probe or
+    // listing) and reading its body, newer commits can land AND a
+    // zero-grace vacuum can prune the version we resolved — the head
+    // legitimately moved, so re-resolve from scratch rather than
+    // surfacing a raw FileNotFound for a table that is perfectly whole.
+    // Bounded: a chain genuinely broken (a bug, or hand-deleted bodies)
+    // keeps throwing and surfaces loudly on the last attempt.
+    var attempt = 0
+    while (true) {
+      try {
+        return headViaHint(fs, p, dir).orElse {
+          val listing = manifestListing(fs, p)
+          if (listing.isEmpty) None
+          else {
+            val v = listing.keys.max
+            Some((v, resolveSnap(fs, p, dir, v, listing)))
+          }
+        }
+      } catch {
+        case _: java.io.FileNotFoundException if attempt < 5 =>
+          attempt += 1
       }
     }
+    sys.error("unreachable")
   }
 
   /** One SPECIFIC version's resolved snapshot — None when that version's
@@ -1010,15 +1026,36 @@ object TableManifest {
   private def snapAt(spark: SparkSession, dir: String,
       version: Long): Option[Snap] = {
     val (fs, p) = fsFor(spark, dir)
-    val st = scala.util.Try(
-      fs.getFileStatus(manifestPath(p, version))).getOrElse(return None)
-    val partial = scala.collection.mutable.Map(version -> st)
-    Option(latestByDir.get(dir)).foreach { case (w, _, _, _) =>
-      if (w < version && !partial.contains(w))
-        scala.util.Try(fs.getFileStatus(manifestPath(p, w)))
-          .foreach(s => partial(w) = s)
+    var attempt = 0
+    while (true) {
+      // the getFileStatus doubles as the retention-floor check: a pruned
+      // version converges to None here, and the caller raises the NAMED
+      // "no manifest v…" error instead of a raw IO failure
+      val st = scala.util.Try(
+        fs.getFileStatus(manifestPath(p, version))).getOrElse(return None)
+      val partial = scala.collection.mutable.Map(version -> st)
+      Option(latestByDir.get(dir)).foreach { case (w, _, _, _) =>
+        if (w < version && !partial.contains(w))
+          scala.util.Try(fs.getFileStatus(manifestPath(p, w)))
+            .foreach(s => partial(w) = s)
+      }
+      try return Some(
+        resolveSnap(fs, p, dir, version, partial.toMap, forceHist = true))
+      catch {
+        // a racing vacuum is pruning this version RIGHT NOW: the floor
+        // check passed but the body (or a chain record behind it —
+        // deletion order is not ordered relative to this read) vanished
+        // mid-resolution. Re-probe: once the prune completes, the floor
+        // check above converges to None; a chain that stays broken WITH
+        // its version file retained is genuine corruption and rethrows
+        // after the bounded re-probes.
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 3) throw e
+          attempt += 1
+          Thread.sleep(20L * attempt)
+      }
     }
-    Some(resolveSnap(fs, p, dir, version, partial.toMap, forceHist = true))
+    sys.error("unreachable")
   }
 
   /** Commit-protocol checkpoint cadence: a commit whose head chain has
@@ -2966,6 +3003,16 @@ object TableManifest {
     * version, or the current head when nothing intersects. */
   def optimizeZOrderRange(spark: SparkSession, dir: String,
       cols: Seq[String], ranges: Seq[(String, Long, Long)],
+      numFiles: Int): Long =
+    // maintenance is idempotent: a lost logical conflict (another
+    // rewrite respelled a victim, or a dv landed on one) re-plans from
+    // the fresh head instead of bouncing to the operator
+    withMaintenanceRetry(spark) {
+      optimizeZOrderRangeOnce(spark, dir, cols, ranges, numFiles)
+    }
+
+  private def optimizeZOrderRangeOnce(spark: SparkSession, dir: String,
+      cols: Seq[String], ranges: Seq[(String, Long, Long)],
       numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     // ONE snapshot read: the victims and the early-return version must
@@ -3012,7 +3059,14 @@ object TableManifest {
     optimizeZOrderPartition(spark, dir, partition, Seq(a, b), numFiles)
 
   def optimizeZOrderPartition(spark: SparkSession, dir: String,
-      partition: String, cols: Seq[String], numFiles: Int): Long = {
+      partition: String, cols: Seq[String], numFiles: Int): Long =
+    withMaintenanceRetry(spark) {
+      optimizeZOrderPartitionOnce(spark, dir, partition, cols, numFiles)
+    }
+
+  private def optimizeZOrderPartitionOnce(spark: SparkSession,
+      dir: String, partition: String, cols: Seq[String],
+      numFiles: Int): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val prefix = partition.stripSuffix("/") + "/"
     val (headV, headS) = headSnapshot(spark, dir)
@@ -3057,6 +3111,37 @@ object TableManifest {
     * Specs land a concurrent committer here to pin the guards below. */
   private[graft] var rewritePreCommitHook: () => Unit = () => ()
 
+  /** A rewrite lost a LOGICAL conflict: a victim file vanished (another
+    * rewrite respelled it) or a victim's deletion-vector entry was
+    * re-pointed (a concurrent dv commit) — the statement's outputs were
+    * built from a dead snapshot, have been cleaned up, and re-running
+    * re-plans from the fresh head. Typed so idempotent MAINTENANCE ops
+    * (z-order OPTIMIZE) can auto-retry it, while user CoW DML surfaces
+    * it loudly (a second full rewrite is paid only with the user in the
+    * loop). */
+  final class ConflictAbortException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Bounded auto-retry for idempotent maintenance rewrites: each run
+    * re-plans from the fresh head, so a lost logical conflict converges
+    * by just re-running. Bounded by
+    * `spark.graft.maintenance.conflictRetries` (default 3); the last
+    * failure rethrows. Compaction needs no wrapper — its full-pass CAS
+    * already re-plans on ANY head movement. */
+  private def withMaintenanceRetry[A](spark: SparkSession)(body: => A): A = {
+    val max = spark.conf
+      .getOption("spark.graft.maintenance.conflictRetries")
+      .flatMap(_.trim.toIntOption).getOrElse(3)
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case _: ConflictAbortException if attempt < max => attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   /** The victim-set CAS splice every bounded rewrite ends with: replace
     * exactly `victims` in the head file list with `moved`, preserving the
     * hwm (re-read TOGETHER with the head per attempt) and any concurrent
@@ -3089,15 +3174,16 @@ object TableManifest {
       val hwm = snapNow.hwm
       if (!victimSet.subsetOf(files.toSet)) {
         moved.foreach(f => fs.delete(new Path(p, f), false))
-        sys.error(s"$opName: victim files disappeared under " +
-          s"$dir (concurrent rewrite); re-run against the new head")
+        throw new ConflictAbortException(s"$opName: victim files " +
+          s"disappeared under $dir (concurrent rewrite); re-run " +
+          "against the new head")
       }
       if (snapNow.dvs.filter(kv => victimSet(kv._1)) != dvExpected) {
         moved.foreach(f => fs.delete(new Path(p, f), false))
-        sys.error(s"$opName: a concurrent commit changed a victim's " +
-          s"deletion vector under $dir (the rewrite was built from " +
-          "stale deletions and would resurrect the winner's deleted " +
-          "rows); re-run against the new head")
+        throw new ConflictAbortException(s"$opName: a concurrent " +
+          s"commit changed a victim's deletion vector under $dir (the " +
+          "rewrite was built from stale deletions and would resurrect " +
+          "the winner's deleted rows); re-run against the new head")
       }
       // a racing layout change (partitioned publish / restore) with the
       // victims still listed would otherwise blend two layouts — loud
@@ -4604,8 +4690,9 @@ object TableManifest {
       val hwm = snapNow.hwm
       if (!victimSet.subsetOf(files.toSet)) {
         cleanupAbort()
-        sys.error(s"$opName: victim files disappeared under " +
-          s"$dir (concurrent rewrite); re-run against the new head")
+        throw new ConflictAbortException(s"$opName: victim files " +
+          s"disappeared under $dir (concurrent rewrite); re-run " +
+          "against the new head")
       }
       // victims still LISTED is not enough: the sidecars in dvAdds were
       // UNIONED from oldDvRefs at planning. A concurrent dv commit on
@@ -4625,11 +4712,11 @@ object TableManifest {
           return dvRewrite(spark, dir, v, snapNow, victims, deleteCond,
             updated, statCols, opName, partCols, matchRows, append,
             conflictAttempt + 1)
-        sys.error(s"$opName: a concurrent commit changed a victim's " +
-          s"deletion vector under $dir (this statement's sidecars were " +
-          "merged from the stale entry and would drop the winner's " +
-          s"deleted positions; auto-retried $conflictAttempt times); " +
-          "re-run against the new head")
+        throw new ConflictAbortException(s"$opName: a concurrent " +
+          s"commit changed a victim's deletion vector under $dir " +
+          "(this statement's sidecars were merged from the stale entry " +
+          "and would drop the winner's deleted positions; auto-retried " +
+          s"$conflictAttempt times); re-run against the new head")
       }
       // materialized files splice OUT like whole-file deletes: their
       // survivors ride `moved` and their dv entries drop with the name

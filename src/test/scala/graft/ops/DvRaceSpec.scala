@@ -158,24 +158,46 @@ class DvRaceSpec extends SparkSpec {
     } finally TableManifest.rewritePreCommitHook = () => ()
   }
 
-  test("OPTIMIZE Z-ORDER racing a dv DELETE: the re-cluster aborts loudly instead of resurrecting") {
+  test("OPTIMIZE Z-ORDER racing a dv DELETE: maintenance auto-retries and materializes, never resurrects") {
     val dir = table3("gm-dvrace-zopt")
     TableManifest.analyze(spark, dir, Seq("k", "v"))
     try {
+      // the dv lands inside the re-cluster's race window; maintenance is
+      // idempotent, so the z-order re-plans from the fresh head (reading
+      // through the winner's dv) instead of bouncing to the operator
+      onceInRaceWindow {
+        withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(7L)) }
+      }
+      TableManifest.optimizeZOrder(spark, dir, "k", "v", 2)
+      assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L),
+        "the retry materialized the winner's deletion into clean files")
+      assert(TableManifest.readDvs(spark, dir).isEmpty)
+    } finally TableManifest.rewritePreCommitHook = () => ()
+  }
+
+  test("OPTIMIZE Z-ORDER with maintenance retries disabled: the dv-drift abort stays loud") {
+    val dir = table3("gm-dvrace-zopt0")
+    TableManifest.analyze(spark, dir, Seq("k", "v"))
+    try {
+      spark.conf.set("spark.graft.maintenance.conflictRetries", "0")
       onceInRaceWindow {
         withDv { TableManifest.eraseWhereEq(spark, dir, "k", Seq(7L)) }
       }
       val err = intercept[RuntimeException] {
         TableManifest.optimizeZOrder(spark, dir, "k", "v", 2)
       }
-      assert(err.getMessage.contains("deletion vector"),
+      assert(err.isInstanceOf[TableManifest.ConflictAbortException] &&
+        err.getMessage.contains("deletion vector"),
         s"loud dv-drift abort, got: ${err.getMessage}")
       assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
-      // re-run materializes the winner's deletion into clean files
+      // the instructed re-run materializes the winner's deletion
       TableManifest.optimizeZOrder(spark, dir, "k", "v", 2)
       assert(keysOf(dir) == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L))
       assert(TableManifest.readDvs(spark, dir).isEmpty)
-    } finally TableManifest.rewritePreCommitHook = () => ()
+    } finally {
+      spark.conf.unset("spark.graft.maintenance.conflictRetries")
+      TableManifest.rewritePreCommitHook = () => ()
+    }
   }
 
   test("precision: a dv DELETE racing a dv DELETE on a DIFFERENT file commits normally") {
