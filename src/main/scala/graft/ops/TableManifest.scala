@@ -1868,6 +1868,7 @@ object TableManifest {
     import spark.implicits._
     val (fs, p) = fsFor(spark, dir)
     val listing = manifestListing(fs, p)
+    historyListedHook()
     val versions = listing.toSeq.sortBy(_._1)
     // one ascending REPLAY: each delta record folds into the running
     // state (a checkpoint resets it), so the whole ledger costs the sum
@@ -1884,29 +1885,41 @@ object TableManifest {
     // send an operator to the wrong version.
     var runningTs = Long.MinValue
     var prev = Set.empty[String]
-    val rows = versions.map { case (v, status) =>
-      val body = readBody(fs, status.getPath)
-      val snap = parseBody(v, body) match {
-        case Right(full) => full
-        case Left(d) if state != null && stateV == v - 1 =>
-          applyDelta(state, d)
-        case Left(_) => resolveSnap(fs, p, dir, v, listing)
+    val rows = versions.flatMap { case (v, status) =>
+      // a zero-grace vacuum can prune a LISTED version (or a chain
+      // record behind it) between the listing above and this body read
+      // — the version is then simply no longer SURVIVING, and the
+      // honest ledger omits it exactly as a listing taken after the
+      // prune would have; the replay re-anchors at the next version
+      // through the chain resolver (stateV no longer matches). A raw
+      // FileNotFound here would be rude, not wrong — same politeness
+      // discipline as headSnap/snapAt.
+      try {
+        val body = readBody(fs, status.getPath)
+        val snap = parseBody(v, body) match {
+          case Right(full) => full
+          case Left(d) if state != null && stateV == v - 1 =>
+            applyDelta(state, d)
+          case Left(_) => resolveSnap(fs, p, dir, v, listing)
+        }
+        state = snap; stateV = v
+        val files = snap.files
+        val bytes: Option[Long] =
+          if (files.nonEmpty && files.forall(snap.fstat.contains))
+            Some(files.iterator.map(f => snap.fstat(f)._1).sum)
+          else if (files.isEmpty) Some(0L)
+          else None
+        val cur = files.toSet
+        runningTs = math.max(runningTs, commitTimeOf(status, body))
+        val row = (v, new java.sql.Timestamp(runningTs),
+          files.size.toLong, bytes,
+          (cur -- prev).size.toLong, (prev -- cur).size.toLong,
+          snap.hwm)
+        prev = cur
+        Some(row)
+      } catch {
+        case _: java.io.FileNotFoundException => None
       }
-      state = snap; stateV = v
-      val files = snap.files
-      val bytes: Option[Long] =
-        if (files.nonEmpty && files.forall(snap.fstat.contains))
-          Some(files.iterator.map(f => snap.fstat(f)._1).sum)
-        else if (files.isEmpty) Some(0L)
-        else None
-      val cur = files.toSet
-      runningTs = math.max(runningTs, commitTimeOf(status, body))
-      val row = (v, new java.sql.Timestamp(runningTs),
-        files.size.toLong, bytes,
-        (cur -- prev).size.toLong, (prev -- cur).size.toLong,
-        snap.hwm)
-      prev = cur
-      row
     }
     rows.toDF("version", "commit_ts", "n_files", "bytes",
       "n_added", "n_removed", "hwm")
@@ -3110,6 +3123,11 @@ object TableManifest {
     * between reading the victims and committing their replacement.
     * Specs land a concurrent committer here to pin the guards below. */
   private[graft] var rewritePreCommitHook: () => Unit = () => ()
+
+  /** Test-only injection point: runs between [[history]]'s listing and
+    * its body walk — the window where a racing vacuum can prune a
+    * listed version. */
+  private[graft] var historyListedHook: () => Unit = () => ()
 
   /** A rewrite lost a LOGICAL conflict: a victim file vanished (another
     * rewrite respelled it) or a victim's deletion-vector entry was

@@ -288,4 +288,38 @@ class ManifestDeltaProtocolRaceSpec extends SparkSpec {
     assert(TableManifest.readTableAt(spark, dir, head).count() ==
       want.size.toLong)
   }
+
+  test("DESCRIBE HISTORY racing vacuum: a version pruned mid-walk is omitted, never a raw FileNotFound") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-histvac").toString
+    // interval=1: every body a checkpoint, so the ledger walk has no
+    // chain dependencies and the deterministic mid-walk prune below
+    // isolates exactly the listing-to-read window
+    spark.conf.set("spark.graft.manifest.checkpointInterval", "1")
+    try {
+      (1 to 4).foreach { i =>
+        graft.streaming.ManifestAppendSink.applyBatch(
+          Seq(i.toLong).toDF("v"), i.toLong, dir)
+      }
+      // the racing vacuum, deterministically: prune v2 AFTER history's
+      // listing saw it but BEFORE its body read
+      TableManifest.historyListedHook = () => {
+        TableManifest.historyListedHook = () => ()
+        val m = new java.io.File(dir, "_manifest")
+        assert(new java.io.File(m,
+          "v00000000000000000002.json").delete())
+        new java.io.File(m, ".v00000000000000000002.json.crc").delete()
+      }
+      val rows = TableManifest.history(spark, dir)
+        .select("version", "n_files").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(rows.map(_._1).toSeq == Seq(1L, 3L, 4L),
+        s"pruned version omitted, survivors intact: ${rows.toSeq}")
+      // deltas re-anchor against what REMAINS: v3 counts its adds vs v1
+      assert(rows.toMap.apply(3L) == 3L, s"v3 lists 3 files: ${rows.toSeq}")
+    } finally {
+      TableManifest.historyListedHook = () => ()
+      spark.conf.unset("spark.graft.manifest.checkpointInterval")
+    }
+  }
 }
