@@ -74,6 +74,29 @@ object Bpe {
     * table `(step, pair_a, pair_b, merged, cnt)` in learning order —
     * exactly what a tokenizer ships as `merges.txt`. */
   def train(docs: DataFrame, rounds: Int): DataFrame = {
+    val (merges, _, lin) = trainRounds(docs, rounds)
+    // the merge table lives driver-side (one row collected per round), so
+    // nothing downstream depends on the word-table lineage anymore — in
+    // durable mode this releases the interim persisted rounds
+    lin.close()
+    merges
+  }
+
+  /** [[train]] that ALSO returns the final-round word table `(word, cnt,
+    * syms)`. Training already materializes exactly the table a subsequent
+    * [[segment]] of the same corpus with the learned merges would rebuild —
+    * the fold over [[mergeRound]] from the same `wordCounts` start state in
+    * the same merge order — so a train-then-apply pipeline (q113) reads it
+    * here instead of re-running every merge round a second time. Interim
+    * round state stays live (the words table depends on it); it unpins via
+    * LRU/session end exactly like [[segment]]'s. */
+  def trainWithWords(docs: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val (merges, words, _) = trainRounds(docs, rounds)
+    (merges, words)
+  }
+
+  private def trainRounds(
+      docs: DataFrame, rounds: Int): (DataFrame, DataFrame, Lineage) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     val spark = docs.sparkSession
     val lin = new Lineage(spark)
@@ -96,11 +119,8 @@ object Bpe {
       }
     }
     import spark.implicits._
-    // the merge table lives driver-side (one row collected per round), so
-    // nothing downstream depends on the word-table lineage anymore — in
-    // durable mode this releases the interim persisted rounds
-    lin.close()
-    merges.result().toDF("step", "pair_a", "pair_b", "merged", "cnt")
+    (merges.result().toDF("step", "pair_a", "pair_b", "merged", "cnt"),
+      words, lin)
   }
 
   /** Segment `words` (any `(word, cnt, syms)` table, e.g. fresh

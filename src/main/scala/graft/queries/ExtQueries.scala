@@ -3550,11 +3550,13 @@ object ExtQueries {
     * and must land on the same four integers. */
   def q113BpeCompression(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
-    val merges = graft.ops.Bpe.train(docs, rounds = q109Rounds)
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-    val words = graft.ops.Bpe.wordCounts(docs)
-      .select(col("word"), col("cnt"), split(col("word"), "").as("syms"))
-    graft.ops.Bpe.segment(words, merges)
+    // train-then-apply on the SAME corpus: training's final word table IS
+    // the segmentation (same start state, same merges, same order), so read
+    // it back instead of re-running wordCounts + every merge round a second
+    // time — half the rounds, half the window shuffles (r18 optimization;
+    // Bpe.trainWithWords scaladoc + BpeSpec pin the equivalence)
+    val (_, words) = graft.ops.Bpe.trainWithWords(docs, rounds = q109Rounds)
+    words
       .select(col("word"), col("cnt"), explode(col("syms")).as("s"))
       .agg(
         countDistinct(col("word")).as("n_words"),

@@ -64,6 +64,31 @@ class BpeSpec extends SparkSpec {
     assert(m.count() == 1L, "single possible merge learned once")
   }
 
+  test("trainWithWords' final table equals segment(wordCounts, merges) (q113 reuse)") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "banana bandana ban banana",
+      2L -> "an ban banana nab",
+      3L -> "low lower lowest newest").toDF("doc_id", "text")
+    val (mergesDf, trained) = Bpe.trainWithWords(docs, rounds = 4)
+    val merges = mergesDf.orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val replayed = Bpe.segment(
+      Bpe.wordCounts(docs)
+        .select(col("word"), col("cnt"), split(col("word"), "").as("syms")),
+      merges)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+        .sortBy(_._1).toList
+    assert(canon(trained) == canon(replayed),
+      "training's final word table must be bit-identical to a fresh replay")
+    // train (the merges-only API) agrees with trainWithWords' merge table
+    val m2 = Bpe.train(docs, rounds = 4).orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(m2 == merges, "train and trainWithWords learn identical merges")
+  }
+
   test("compression accounting: symbols partition words exactly (q113 invariant)") {
     import spark.implicits._
     val docs = Seq(
