@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.ops.Cached._
+
 /** Near-duplicate *clustering*: the pair lists the dedup family emits
   * ([[Dedup.minhashPairs]], [[Similarity.bandedNearDupPairs]]) tell you who
   * matches whom; keeping one representative per duplicate *group* needs the
@@ -35,7 +37,13 @@ object Cluster {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // Cut the pair list BEFORE the three-way symmetrize union: each union
+    // branch is an independent plan subtree, so an uncut `pairs` — often a
+    // full candidate-generation pipeline (MinHash banding over every
+    // document body for q54/q145) — would compute three times just to be
+    // re-projected. The cut stores only (src, dst) id pairs.
+    val e0 =
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cachedView
     // symmetrize + self-loops: min over the *closed* neighborhood
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))

@@ -41,8 +41,15 @@ object Dedup {
       minEst: Double = 0.5): DataFrame = {
     // ONE shingle/signature/band pipeline (minhashIndexEntries) feeds both
     // the ad-hoc pair query and the persisted incremental index, so the
-    // two can never drift
-    val entries = minhashIndexEntries(docs, k, bands, rowsPerBand)
+    // two can never drift. Materialized: the entries relation feeds FOUR
+    // plan consumers (both sides of the band self-join + both signature
+    // re-attach joins), and Spark plans each subtree independently — so
+    // without the cut the tokenize/shingle/MinHash pass over every
+    // document body runs four times. The cached relation is the slim
+    // (doc_id, band, key, sig) projection — O(bands + k) longs per doc,
+    // never the text — so at corpus scale the cut stores a small multiple
+    // of the id space while saving three full passes over the bodies.
+    val entries = minhashIndexEntries(docs, k, bands, rowsPerBand).cachedView
     val sigs = entries.select("doc_id", "sig").distinct()
     val keyed = entries.select("doc_id", "band", "key")
 
@@ -113,7 +120,13 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       minEst: Double = 0.5): DataFrame = {
-    val newEntries = minhashIndexEntries(newDocs, k, bands, rowsPerBand)
+    // Materialized for the same reason as [[minhashPairs]]: the batch's
+    // entries feed five plan consumers (newKeyed in candOld + twice in
+    // candNew, newSigs in the re-attach + otherSigs union), each of which
+    // would otherwise re-run the signature pass over the batch bodies.
+    // Batch-sized by definition, so the cut is always small.
+    val newEntries =
+      minhashIndexEntries(newDocs, k, bands, rowsPerBand).cachedView
     val newKeyed = newEntries.select("band", "key", "doc_id")
     val newSigs = newEntries.select("doc_id", "sig").distinct()
     val candOld = newKeyed

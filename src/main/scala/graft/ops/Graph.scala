@@ -142,16 +142,25 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(scale >= 100, s"scale must be >= 100 for the integer damping: $scale")
     val lin = new Lineage(edges.sparkSession)
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = lin.invariant(edges.join(outDeg, "src"))
+    // Cut the caller's edge derivation ONCE before the setup fan-out: the
+    // out-degree aggregate, the edge⋈degree invariant, both branches of
+    // the node-set union and the dangling anti-join all consume `edges`,
+    // and each is an independent plan subtree — an expensive derivation
+    // (q98 feeds a lineitem self-join + distinct through here) would
+    // otherwise run four-plus times during setup. Lazy, so the first
+    // eager invariant below pays the one computation and every other
+    // consumer reads the stored (src, dst) pairs.
+    val e = lin.invariant(edges, eager = false)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = lin.invariant(e.join(outDeg, "src"))
     val nodes = lin.invariant(
-      edges.select(col("src").as("node"))
-        .union(edges.select(col("dst").as("node")))
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
         .distinct())
     val dangling =
       if (redistributeDangling)
         lin.invariant(
-          nodes.join(edges.select(col("src").as("node")).distinct(),
+          nodes.join(e.select(col("src").as("node")).distinct(),
             Seq("node"), "left_anti"))
       else null
     val nNodes = if (redistributeDangling) nodes.count() else 0L

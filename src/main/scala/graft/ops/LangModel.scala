@@ -36,12 +36,23 @@ object LangModel {
     * reorder. */
   def bigramLogProb(train: DataFrame, score: DataFrame,
       k: Double = 0.5): DataFrame = {
+    import graft.ops.Cached._
     def toks(df: DataFrame) =
       df.select(col("doc_id"), split(col("text"), " ").as("t"))
     val trainToks = toks(train)
     val unigrams = trainToks.select(explode(col("t")).as("w"))
+    // c1 feeds both the scoring join and the vocabulary count below; its
+    // shuffle (the Exchange under the final aggregate) is deduplicated at
+    // runtime by AQE stage reuse, so no explicit materialization is
+    // needed (measured: a localCheckpoint cut here was a net LOSS — the
+    // store+read of the cut cost more than the reused-exchange re-agg).
     val c1 = unigrams.groupBy("w").agg(count(lit(1)).as("c1"))
-    val vocab = unigrams.agg(countDistinct(col("w")).cast("double").as("v"))
+    // V = COUNT(DISTINCT w) over the unigrams ≡ the number of groups the
+    // c1 aggregate already produced — counting c1's rows instead of
+    // running a second distinct-aggregate over the full token explode
+    // removes an entire tokenize+explode pass over the corpus (the
+    // distinct agg was the more expensive formulation of the same number)
+    val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
 
     def bigrams(df: DataFrame) = df
       .filter(size(col("t")) >= 2)

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.ops.Cached._
 import graft.ops.{Dedup, Graph, Multimodal, RangeJoin, Sampling, Similarity, TextOps, TextStats}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3745,7 +3746,11 @@ object ExtQueries {
       .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
     val all = docs.unionByName(copies)
     val isNew = (col("doc_id") % 10 === 7) || (col("doc_id") >= 900000L)
-    val index = Dedup.minhashIndexEntries(all.filter(!isNew))
+    // the index feeds two consumers inside minhashIncrement (band probe +
+    // signature re-attach); in production it is a PERSISTED parquet table
+    // read twice — materializing the inline recompute here mirrors that
+    // deployment shape instead of running the corpus signature pass twice
+    val index = Dedup.minhashIndexEntries(all.filter(!isNew)).cachedView
     Dedup.minhashIncrement(all.filter(isNew), index)
       .orderBy("doc_id")
   }
