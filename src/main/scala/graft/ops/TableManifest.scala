@@ -3445,7 +3445,7 @@ object TableManifest {
     * [[vacuum]]. Returns the committed version. */
   def mergeByKey(spark: SparkSession, dir: String, keyCol: String,
       source: DataFrame): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, max, min}
     val (headV, headS) = headSnapshot(spark, dir)
     val headFiles = headS.files
     if (headV == 0L) sys.error(s"mergeByKey: $dir is not manifest-tracked")
@@ -3465,17 +3465,11 @@ object TableManifest {
     // rationale — a non-deterministic source passing the guard and then
     // re-materializing differently would corrupt the merge)
     val pinned = source.localCheckpoint()
-    require(pinned.filter(col(keyCol).isNull).limit(1).count() == 0L,
-      s"mergeByKey: source has NULL `$keyCol` keys")
-    require(pinned.groupBy(keyCol).count()
-      .filter(col("count") > 1L).limit(1).count() == 0L,
-      s"mergeByKey: source has duplicate `$keyCol` keys — ambiguous merge")
-    if (pinned.isEmpty) return headV // empty source: nothing to do
-    // 1. range-prune candidates against the source's key envelope —
-    // integral keys only (committed long stats); any other key type keeps
-    // every file as a candidate (conservative) and relies on the exact
-    // victim join below. A cast-to-long shortcut here would silently turn
-    // a string-keyed merge into a no-op (NULL envelope reads as "empty").
+    // range-prunability: integral keys only (committed long stats); any
+    // other key type keeps every file as a candidate (conservative) and
+    // relies on the exact victim join below. A cast-to-long shortcut for
+    // other types would silently turn a string-keyed merge into a no-op
+    // (NULL envelope reads as "empty").
     val keyIsIntegral = {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       pinned.schema(keyCol).dataType match {
@@ -3483,19 +3477,38 @@ object TableManifest {
         case _ => false
       }
     }
+    // ONE guard pass instead of four driver actions: row count, non-null
+    // key count, distinct key count and (for integral keys) the key
+    // envelope come out of a single aggregate over the pinned batch —
+    // NULL keys exist iff non-null < total, duplicates iff distinct <
+    // non-null, and the envelope rides along for the range prune below.
+    // Four separate jobs here were pure scheduling overhead per DML
+    // statement (each a full pass over the batch).
+    val guardAggs = Seq(
+      count(lit(1L)).as("__total"),
+      count(col(keyCol)).as("__nonnull"),
+      countDistinct(col(keyCol)).as("__distinct")) ++
+      (if (keyIsIntegral)
+        Seq(min(col(keyCol)).cast("long").as("__lo"),
+          max(col(keyCol)).cast("long").as("__hi"))
+      else Nil)
+    val g = pinned.agg(guardAggs.head, guardAggs.tail: _*).head()
+    val (gTotal, gNonNull, gDistinct) =
+      (g.getLong(0), g.getLong(1), g.getLong(2))
+    require(gNonNull == gTotal,
+      s"mergeByKey: source has NULL `$keyCol` keys")
+    require(gDistinct == gNonNull,
+      s"mergeByKey: source has duplicate `$keyCol` keys — ambiguous merge")
+    if (gTotal == 0L) return headV // empty source: nothing to do
+    // 1. range-prune candidates against the source's key envelope
     val candidates =
       if (!keyIsIntegral) headFiles
-      else {
-        val bounds = pinned
-          .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"))
-          .head()
-        if (bounds.isNullAt(0)) headFiles // all-NULL would have failed the guard; stay conservative
-        else filterBySegmentRanges( // a partition-column key prunes on its k=v segments
-          filterByRanges(headFiles,
-            renameAware(headS.stats, headS.renames, Seq(keyCol)),
-            Seq((keyCol, bounds.getLong(0), bounds.getLong(1)))),
-          Seq((keyCol, bounds.getLong(0), bounds.getLong(1))))
-      }
+      else if (g.isNullAt(3)) headFiles // all-NULL would have failed the guard; stay conservative
+      else filterBySegmentRanges( // a partition-column key prunes on its k=v segments
+        filterByRanges(headFiles,
+          renameAware(headS.stats, headS.renames, Seq(keyCol)),
+          Seq((keyCol, g.getLong(3), g.getLong(4)))),
+        Seq((keyCol, g.getLong(3), g.getLong(4))))
     // 2. exact victims: candidate files that HOLD a matched key. On a
     // partitioned layout the candidates are read with basePath pinned so
     // a partition-column key resolves like any other column.
@@ -4848,8 +4861,29 @@ object TableManifest {
   def diffRows(spark: SparkSession, dir: String, vOld: Long,
       vNew: Long): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, count, lit}
-    val a = readTableAt(spark, dir, vOld)
-    val b = readTableAt(spark, dir, vNew)
+    // O(delta), not O(table): a data file listed at BOTH versions and
+    // read identically there — same dv entry, under identical renames,
+    // schema and partition declaration — contributes the same multiset
+    // to both sides of the diff, so its rows cancel to delta 0 and are
+    // filtered out anyway. Scanning only the files that DIFFER turns a
+    // backfill audit on a 100 TB table into a scan of the touched slice.
+    // Any disagreement on renames/schema (the same bytes would read as
+    // different logical rows) or a pre-schema manifest (empty file lists
+    // cannot drive footer inference) falls back to the full two-version
+    // scan, which is always correct.
+    val (a, b) = (snapAt(spark, dir, vOld), snapAt(spark, dir, vNew)) match {
+      case (Some(o), Some(n))
+          if o.schema.nonEmpty && o.schema == n.schema &&
+            o.renames == n.renames && o.partSchema == n.partSchema =>
+        val common = o.files.toSet.intersect(n.files.toSet)
+        val cancelling = common.filter(f => o.dvs.get(f) == n.dvs.get(f))
+        (scanListed(spark, dir, o.files.filterNot(cancelling), o.schema,
+            o.fstat, o.partSchema, o.renames, o.dvs),
+          scanListed(spark, dir, n.files.filterNot(cancelling), n.schema,
+            n.fstat, n.partSchema, n.renames, n.dvs))
+      case _ =>
+        (readTableAt(spark, dir, vOld), readTableAt(spark, dir, vNew))
+    }
     val cols = (a.columns ++ b.columns).distinct.sorted.toSeq
     require(cols.forall(c => c != "delta" && !c.startsWith("__")),
       s"diffRows: reserved column name in schema: ${cols.mkString(", ")}")

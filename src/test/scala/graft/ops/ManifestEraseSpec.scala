@@ -173,6 +173,45 @@ class ManifestEraseSpec extends SparkSpec {
     assert((z.getLong(0), z.getLong(1), z.getLong(2)) == ((0L, 0L, 0L)))
   }
 
+  test("diffRows prunes to the delta file set: appends diff exactly and a " +
+    "dv change on a COMMON file is never cancelled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-diffprune").toString
+    // v1: two files, carried schema (publish commits it); enough rows per
+    // file that a one-row erase stays UNDER the dv materialize threshold
+    TableManifest.publish(
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "v").repartition(2), dir)
+    val v1 = TableManifest.read(spark, dir).get._1
+    // v2: append-only commit — both v1 files survive untouched, so the
+    // pruned diff scans ONLY the appended file on the new side and an
+    // empty list on the old side
+    graft.streaming.ManifestAppendSink.applyBatch(
+      Seq((40L, 400L)).toDF("k", "v").coalesce(1), 0L, dir)
+    val v2 = TableManifest.read(spark, dir).get._1
+    val d12 = TableManifest.diffRows(spark, dir, v1, v2)
+      .orderBy("k").select("k", "v", "delta").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(d12 == Seq((40L, 400L, 1L)), s"append-only delta: $d12")
+
+    // v3: a merge-on-read DELETE — the victim file stays LISTED at both
+    // versions but carries a dv at v3, so it must not cancel: the diff
+    // sees the deleted row leave
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    try TableManifest.eraseWhereEq(spark, dir, "k", Seq(2L))
+    finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    val v3 = TableManifest.read(spark, dir).get._1
+    assert(TableManifest.readDvs(spark, dir).nonEmpty,
+      "fixture: the erase must have taken the dv route")
+    val d23 = TableManifest.diffRows(spark, dir, v2, v3)
+      .orderBy("k").select("k", "v", "delta").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(d23 == Seq((2L, 20L, -1L)), s"dv'd common file must diff: $d23")
+    // and the pruned full-range diff agrees with first-principles
+    val s13 = TableManifest.diffVersions(spark, dir, v1, v3).head()
+    assert((s13.getLong(0), s13.getLong(1), s13.getLong(2)) == ((1L, 1L, 2L)),
+      s"v1->v3: one added, one removed, got (${s13.getLong(0)}, " +
+        s"${s13.getLong(1)}, ${s13.getLong(2)})")
+  }
+
   test("erase racing a streaming append loses neither the append nor replay") {
     // same interleave drill as the optimize race: the splice commit must
     // keep a mid-erase append's file AND its hwm, or rows vanish and the
