@@ -196,8 +196,12 @@ object Compaction {
       val rewritten = TableManifest.projectToDeclared(
         TableManifest.coalesceRenamed(
           TableManifest.dropDeleted(spark, dir,
-            spark.read.option("mergeSchema", "true")
-              .parquet(small.map(_.getPath.toString): _*),
+            // declared-schema scan when footers are provably homogeneous
+            // (the rewriteScan rationale) — mergeSchema inference over
+            // every small file otherwise precedes each compaction pass
+            TableManifest.rewriteScanPaths(spark, dir,
+              small.map(_.getPath.toString), tracked.flatMap(_ =>
+                TableManifest.headSnapOpt(spark, dir)), Seq.empty),
             small.map(_.getPath.getName),
             if (tracked.isDefined) TableManifest.readDvs(spark, dir)
             else Map.empty),
@@ -299,8 +303,13 @@ object Compaction {
       val rewritten = TableManifest.projectToDeclared(
         TableManifest.coalesceRenamed(
           TableManifest.dropDeleted(spark, dir,
-            spark.read.option("mergeSchema", "true")
-              .parquet(small.map(n => s"$dir/$n"): _*),
+            // declared-schema scan when footers are provably homogeneous
+            // (rewriteScan rationale); partCols deliberately empty — a
+            // partition-scoped rewrite reads data columns only, the
+            // name-carried values stay in the directory name
+            TableManifest.rewriteScanPaths(spark, dir,
+              small.map(n => s"$dir/$n"),
+              TableManifest.headSnapOpt(spark, dir), Seq.empty),
             small, TableManifest.readDvs(spark, dir)),
           TableManifest.readRenames(spark, dir)),
         TableManifest.readSchema(spark, dir), Seq.empty)

@@ -35,7 +35,17 @@ object HardNegatives {
       nCells: Int,
       topK: Int): DataFrame = {
     require(nCells >= 1 && nCells < k, s"need 1 <= nCells < k: $nCells/$k")
-    val (assigned, centroids) = KMeans.fitFull(vecs, k, iters)
+    import graft.ops.Cached._
+    // One materialization shared by everything here: the clustering
+    // (which KMeans detects as already-cut and does not re-store), the
+    // probe-side vector fetch and the candidate-side vector fetch — all
+    // scan-rooted consumers of the same quantize pipeline.
+    val vecsM = vecs.cachedView
+    val (assigned0, centroids) = KMeans.fitFull(vecsM, k, iters)
+    // the final assignment feeds both the probes' own-cluster lookup and
+    // the candidate join; it is the slim (id, cid, dist) relation, and
+    // recomputing it means re-running the k x dim distance fold per row
+    val assigned = assigned0.cachedView
     val carr = array(centroids.map { case (cid, v) =>
       struct(lit(cid).as("cid"), typedLit(v).as("cv"))
     }: _*)
@@ -43,7 +53,7 @@ object HardNegatives {
     // scoring must use exactly the metric the assignment used
     val sq = (a: Column, b: Column) => KMeans.sqDist(a, b)
     // nearest foreign cells: row-local sort of a k-element literal
-    val probeCells = vecs.join(probes.select("vec_id"), "vec_id")
+    val probeCells = vecsM.join(probes.select("vec_id"), "vec_id")
       .join(assigned.select(col("vec_id"), col("cid").as("own_cid")), "vec_id")
       .withColumn("cells", slice(
         transform(
@@ -59,7 +69,7 @@ object HardNegatives {
     val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("cand_id"))
     probeCells
       .join(assigned.select(col("vec_id").as("cand_id"), col("cid")), "cid")
-      .join(vecs.select(col("vec_id").as("cand_id"), col("qv").as("cqv")),
+      .join(vecsM.select(col("vec_id").as("cand_id"), col("qv").as("cqv")),
         "cand_id")
       .withColumn("dist", sq(col("pqv"), col("cqv")))
       .withColumn("rn", row_number().over(w))

@@ -66,12 +66,26 @@ object KMeans {
     require(k >= 1 && iters >= 1, s"k and iters must be >= 1: k=$k iters=$iters")
     val spark = vecs.sparkSession
 
+    // Pin the input ONCE: every Lloyd round's assignment (plus the init
+    // take and the final assignment) is an independent plan subtree over
+    // `vecs`, and the typical caller feeds a parquet scan + quantize
+    // pipeline — scan-rooted, so AQE's exchange reuse cannot deduplicate
+    // it and each round would re-decode the whole corpus. The cut stores
+    // the (id, quantized-vector) rows; `iters + 2` full scans collapse
+    // to one. Skipped when the caller already handed us a materialized
+    // relation (its plan is a bare RDD scan) — re-storing it would hold
+    // two copies of the corpus for nothing.
+    val alreadyCut = vecs.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val pinned =
+      if (alreadyCut) vecs else { import Cached._; vecs.cachedView }
+
     // a null vector would sail through the assignment min-fold unchanged
     // and emit (cid = -1, dist = Long.MaxValue) — an INVENTED cluster that
     // downstream group-bys (and HardNegatives' cell filter) treat as real;
     // a ragged-length vector nulls its distances and ranks unpredictably.
     // Both are corrupt input: fail loudly in-plan.
-    val nonNull = vecs.withColumn(vecCol,
+    val nonNull = pinned.withColumn(vecCol,
       when(col(vecCol).isNull,
         raise_error(concat(lit(s"KMeans: null $vecCol for "),
           col(idCol).cast("string")))).otherwise(col(vecCol)))

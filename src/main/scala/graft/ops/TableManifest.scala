@@ -2595,6 +2595,50 @@ object TableManifest {
       : (Long, Snap) =
     headSnap(spark, dir).getOrElse((0L, EmptySnap))
 
+  /** Victim/maintenance scan over listed data files (ABSOLUTE paths).
+    *
+    * Every rewrite used to read with `mergeSchema=true`, which runs a
+    * merged-footer schema-inference pass over every candidate file before
+    * reading a single row — ~200–300 ms of driver+job time per DML
+    * statement that is pure overhead whenever the footers cannot be
+    * heterogeneous in the first place. When the manifest carries a
+    * declared schema and NOTHING can make the footers diverge from it —
+    * no live renames (old physical spellings), no drop tombstones
+    * (undeclared leftover columns), flat layout (no name-carried
+    * partition values to re-derive) — the scan passes the declared
+    * schema explicitly instead: by-name matching nulls columns a file
+    * predates (what `withDeclared` adds anyway), ignores extras (what
+    * `projectToDeclared` drops anyway), and Spark 4's parquet readers
+    * upcast narrower physical types into a widened declared type
+    * (SPARK-40876), so post-`widenColumnType` files read correctly —
+    * `TypeWidenSpec` pins that interop. Any rename/drop/partition
+    * complexity, and any table without a carried schema, keeps the
+    * merged-footer read. */
+  private[ops] def rewriteScanPaths(spark: SparkSession, dir: String,
+      paths: Seq[String], snap: Option[Snap],
+      partCols: Seq[String]): DataFrame = {
+    val plain = partCols.isEmpty && snap.exists(s =>
+      s.schema.isDefined && s.renames.isEmpty && s.dropped.isEmpty)
+    if (plain)
+      spark.read.schema(snap.get.schema.get).parquet(paths: _*)
+    else {
+      val r = spark.read.option("mergeSchema", "true")
+      (if (partCols.isEmpty) r else r.option("basePath", dir))
+        .parquet(paths: _*)
+    }
+  }
+
+  /** [[rewriteScanPaths]] over manifest-RELATIVE file names. */
+  private[ops] def rewriteScan(spark: SparkSession, dir: String,
+      names: Seq[String], snap: Option[Snap],
+      partCols: Seq[String]): DataFrame =
+    rewriteScanPaths(spark, dir, names.map(f => s"$dir/$f"), snap, partCols)
+
+  /** Head snapshot for [[rewriteScanPaths]] callers outside this object
+    * (compaction) that don't already hold one. */
+  private[ops] def headSnapOpt(spark: SparkSession, dir: String): Option[Snap] =
+    headSnap(spark, dir).map(_._2)
+
   /** The copy-on-write rewrites read victim FILES directly and write
     * replacements at the table root — on a hive-partitioned layout that
     * would silently strip the name-carried partition values from every
@@ -3515,11 +3559,8 @@ object TableManifest {
     val victims =
       if (candidates.isEmpty) Seq.empty[String]
       else {
-        val reader = spark.read.option("mergeSchema", "true")
         val scan = coalesceRenamed(
-          (if (partCols.isEmpty) reader
-            else reader.option("basePath", dir))
-            .parquet(candidates.map(f => s"$dir/$f"): _*),
+          rewriteScan(spark, dir, candidates, Some(headS), partCols),
           headS.renames)
         if (!scan.columns.contains(keyCol)) Seq.empty[String]
         else {
@@ -4315,14 +4356,11 @@ object TableManifest {
               org.apache.spark.sql.functions.lit(null).cast(f.dataType))
         }
     }
-    val rawReader = spark.read.option("mergeSchema", "true")
     // raw0 stays UNPROJECTED: `_metadata` only resolves on the file
     // relation itself, never through a projection — the declared-schema
     // projection (dropColumns leftovers in victim footers must not ride
     // the rewrite back into the carried schema) is applied downstream
-    val raw0 = (if (partCols.isEmpty) rawReader
-      else rawReader.option("basePath", dir))
-      .parquet(candidates.map(f => s"$dir/$f"): _*)
+    val raw0 = rewriteScan(spark, dir, candidates, Some(headS), partCols)
     val raw = projectToDeclared(coalesceRenamed(raw0, headS.renames),
       declared, partCols)
     val scan = withDeclared(raw)
@@ -4369,13 +4407,10 @@ object TableManifest {
         statCols = (pruneRanges.map(_._1) ++ sets.map(_._1)).distinct,
         opName = "update", partCols = partCols)
     }
-    val victimReader = spark.read.option("mergeSchema", "true")
     val read = withDeclared(projectToDeclared(
       coalesceRenamed(
         dropDeleted(spark, dir,
-          (if (partCols.isEmpty) victimReader
-            else victimReader.option("basePath", dir))
-            .parquet(victims.map(f => s"$dir/$f"): _*),
+          rewriteScan(spark, dir, victims, Some(headS), partCols),
           victims, headS.dvs),
         headS.renames),
       declared, partCols))
@@ -4514,10 +4549,7 @@ object TableManifest {
           .filterNot(f => partCols.exists(_.equalsIgnoreCase(f.name))))))
     }
     val (fs, p) = fsFor(spark, dir)
-    val reader = spark.read.option("mergeSchema", "true")
-    val raw = (if (partCols.isEmpty) reader
-      else reader.option("basePath", dir))
-      .parquet(victims.map(f => s"$dir/$f"): _*)
+    val raw = rewriteScan(spark, dir, victims, Some(headS), partCols)
     // file identity + row position ride the RAW file relation
     // (`_metadata` never resolves through a projection); everything
     // downstream sees logical columns
@@ -4678,10 +4710,8 @@ object TableManifest {
           }.groupBy(_._1).map { case (b, es) => b -> es.map(_._2) }
         val bcm = spark.sparkContext.broadcast(
           Dv.Index(rootPrefix, buckets))
-        val rdr = spark.read.option("mergeSchema", "true")
-        val r0 = (if (partCols.isEmpty) rdr
-          else rdr.option("basePath", dir))
-          .parquet(materialize.keys.toSeq: _*)
+        val r0 = rewriteScanPaths(spark, dir, materialize.keys.toSeq,
+          Some(headS), partCols)
         val live = r0.filter(org.apache.spark.sql.functions.not(
           Dv.deletedCol(bcm)))
         Some(projectToDeclared(

@@ -170,6 +170,33 @@ class ManifestSchemaSpec extends SparkSpec {
     assert(headRead.columns.toSet == Set("id", "s"))
   }
 
+  test("DML rewrites read widened tables correctly: the declared-schema " +
+      "victim scan upcasts narrower physical files") {
+    // the rewriteScan fast path hands Spark the DECLARED schema instead of
+    // merged footers — this pins the one case where declared and physical
+    // types legitimately differ: files written BEFORE a widenColumnType
+    // carry the narrow type and must upcast under the declared read
+    val dir = tmpTable("widendml")
+    TableManifest.publish(
+      Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v"), dir) // k: INT files
+    TableManifest.widenColumnType(spark, dir, "k", LongType)
+    // UPDATE through the victim scan: k is declared LONG, files carry INT32
+    TableManifest.updateWhere(spark, dir,
+      Seq("v" -> (org.apache.spark.sql.functions.col("v") + 1L)),
+      Some(org.apache.spark.sql.functions.col("k") === 2L))
+    val rows = TableManifest.readTable(spark, dir)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 10L), (2L, 21L), (3L, 30L)),
+      s"widened-table UPDATE must read int32 files as longs: $rows")
+    // and a key-merge through the same scan path
+    TableManifest.mergeByKey(spark, dir, "k",
+      Seq((3L, 300L), (4L, 400L)).toDF("k", "v"))
+    val rows2 = TableManifest.readTable(spark, dir)
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(rows2 == Seq((1L, 10L), (2L, 21L), (3L, 300L), (4L, 400L)),
+      s"widened-table MERGE must read int32 files as longs: $rows2")
+  }
+
   test("manifest schema round-trips exact types, stored as a scan serves " +
       "them (nullable)") {
     val dir = tmpTable("types")
