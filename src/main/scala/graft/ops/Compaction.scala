@@ -323,14 +323,40 @@ object Compaction {
       }
       fs.delete(tmp, true)
       val smallSet = small.toSet
-      TableManifest.commitIf(spark, dir,
-        names.filterNot(smallSet) ++ moved,
-        expectedHead = headV, hwm = hwm) match {
-        case Some(_) =>
-          return Stats(inPart.size, large.size + moved.size, smallBytes)
-        case None => // lost the race: discard outputs, retry on fresh head
+      // dv state the rewrite APPLIED — a re-CAS below is only sound while
+      // the victims' dv entries still read exactly like this (a racing dv
+      // DELETE on a victim otherwise resurrects its rows in the rewrite)
+      val dvApplied = TableManifest.readDvs(spark, dir)
+        .filter(kv => smallSet(kv._1))
+      // CHEAP re-CAS: a lost race whose winner left every victim listed
+      // with unchanged dvs (the common case — another LEAF's concurrent
+      // compaction, a stats commit, an append elsewhere) re-attempts the
+      // commit against the fresh head without re-running the rewrite;
+      // only a winner that actually touched the victims (vanished file,
+      // dv drift) discards the outputs and re-plans. This is what makes
+      // compacting leaves CONCURRENTLY converge without quadratic
+      // rewrite waste — the spliceCommit discipline applied here.
+      var cas = 0
+      var replan = false
+      while (!replan && cas < 64) {
+        cas += 1
+        val (hv2, snapNow) = TableManifest.headSnapVersioned(spark, dir)
+          .getOrElse(
+            sys.error(s"compactPartition: manifest vanished under $dir"))
+        if (!smallSet.subsetOf(snapNow.files.toSet) ||
+          snapNow.dvs.filter(kv => smallSet(kv._1)) != dvApplied) {
           moved.foreach(m => fs.delete(new Path(p, m), false))
+          replan = true // victims touched: outputs are stale, re-plan
+        } else TableManifest.commitIf(spark, dir,
+          snapNow.files.filterNot(smallSet) ++ moved,
+          expectedHead = hv2, hwm = snapNow.hwm) match {
+          case Some(_) =>
+            return Stats(inPart.size, large.size + moved.size, smallBytes)
+          case None => () // head moved again; loop re-validates victims
+        }
       }
+      if (!replan)
+        sys.error(s"compactPartition of $dir:$partition lost $cas CAS races")
     }
     sys.error(s"compactPartition of $dir:$partition lost 5 manifest races")
   }
@@ -353,8 +379,32 @@ object Compaction {
       case Some((_, names)) if names.exists(_.contains("/")) =>
         val leaves = names.filter(_.contains("/"))
           .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
-        leaves.foldLeft(Stats(0, 0, 0L)) { (acc, leaf) =>
-          val s = compactPartition(spark, dir, leaf, targetBytes, minFileBytes)
+        // Overlap independent leaf compactions from a small driver pool
+        // (guide §2.6): leaves touch disjoint victim sets, so the only
+        // interaction is the manifest CAS — which the cheap re-CAS in
+        // [[compactPartition]] absorbs without re-rewriting. Serially,
+        // every leaf's read+write+commit latency added up end-to-end; a
+        // few in flight keep the cluster busy through each leaf's tail
+        // (a 100 TB table has thousands of leaves). Bounded at 4: enough
+        // to fill commit/straggler gaps, not enough to thrash the CAS.
+        val par = math.max(1, math.min(4, leaves.size))
+        val results =
+          if (par == 1)
+            leaves.map(compactPartition(spark, dir, _, targetBytes,
+              minFileBytes))
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            try scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(leaves.map(leaf =>
+                scala.concurrent.Future(
+                  compactPartition(spark, dir, leaf, targetBytes,
+                    minFileBytes)))),
+              scala.concurrent.duration.Duration.Inf)
+            finally pool.shutdown()
+          }
+        results.foldLeft(Stats(0, 0, 0L)) { (acc, s) =>
           Stats(acc.filesBefore + s.filesBefore,
             acc.filesAfter + s.filesAfter,
             acc.bytesRewritten + s.bytesRewritten)

@@ -48,18 +48,10 @@ object Maintenance {
     // hive-partitioned tables compact PER LEAF PARTITION (whole-table
     // compaction refuses the layout — a root rewrite would strip the
     // name-carried values); flat tables keep the one-call form
-    val compaction = {
-      val names = TableManifest.read(spark, dir).map(_._2).getOrElse(Seq.empty)
-      val leaves = names.filter(_.contains("/"))
-        .map(n => n.substring(0, n.lastIndexOf('/'))).distinct
-      if (leaves.isEmpty)
-        Compaction.compactInPlace(spark, dir, targetBytes, minFileBytes)
-      else leaves
-        .map(Compaction.compactPartition(spark, dir, _, targetBytes, minFileBytes))
-        .foldLeft(Compaction.Stats(0, 0, 0L))((a, b) => Compaction.Stats(
-          a.filesBefore + b.filesBefore, a.filesAfter + b.filesAfter,
-          a.bytesRewritten + b.bytesRewritten))
-    }
+    // layout dispatch + per-leaf isolation + PARALLEL leaves all live in
+    // compactTracked — one definition of partitioned maintenance
+    val compaction =
+      Compaction.compactTracked(spark, dir, targetBytes, minFileBytes)
     val statsVersion =
       if (statsCols.nonEmpty) Some(TableManifest.analyze(spark, dir, statsCols))
       else None

@@ -2639,6 +2639,10 @@ object TableManifest {
   private[ops] def headSnapOpt(spark: SparkSession, dir: String): Option[Snap] =
     headSnap(spark, dir).map(_._2)
 
+  /** Same, with the head VERSION — one consistent read for CAS callers. */
+  private[ops] def headSnapVersioned(spark: SparkSession,
+      dir: String): Option[(Long, Snap)] = headSnap(spark, dir)
+
   /** The copy-on-write rewrites read victim FILES directly and write
     * replacements at the table root — on a hive-partitioned layout that
     * would silently strip the name-carried partition values from every

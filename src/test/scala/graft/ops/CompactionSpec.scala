@@ -132,4 +132,36 @@ class CompactionSpec extends SparkSpec {
       .select("doc_id", "lang", "text"))
     assert(n == docs.count())
   }
+
+  test("tracked partitioned compaction runs leaves concurrently and " +
+      "converges: every leaf compacted, no rows lost, dvs honored") {
+    // compactTracked now overlaps leaf compactions from a driver pool;
+    // their manifest commits race each other on purpose and must
+    // converge through the cheap re-CAS (victims untouched by a sibling
+    // leaf's commit re-commit WITHOUT re-rewriting)
+    val dir = Files.createTempDirectory("graft-ctrack").toFile.getAbsolutePath
+    val src = (1L to 4000L).map(i => (i, i % 8, i * 3L))
+    import spark.implicits._
+    TableManifest.publishPartitioned(
+      src.toDF("k", "bucket", "v").repartition(6), dir, Seq("bucket"))
+    // a merge-on-read delete BEFORE compaction: the rewrite must
+    // materialize it, never resurrect the row, even on the re-CAS path
+    spark.conf.set("spark.graft.dml.deletionVectors", "true")
+    try TableManifest.eraseWhereEq(spark, dir, "k", Seq(17L))
+    finally spark.conf.unset("spark.graft.dml.deletionVectors")
+    val before = TableManifest.read(spark, dir).get._2
+    assert(before.count(_.contains("/")) > 8, s"fixture wants fragments: $before")
+    val stats = Compaction.compactTracked(spark, dir,
+      targetBytes = 1L << 30, minFileBytes = 1L << 30)
+    assert(stats.filesAfter == 8,
+      s"one compacted file per leaf partition: $stats")
+    val rows = TableManifest.readTable(spark, dir)
+      .agg(count(lit(1)), sum(col("v"))).head()
+    val live = src.filterNot(_._1 == 17L)
+    assert(rows.getLong(0) == live.size &&
+      rows.getLong(1) == live.map(_._3).sum,
+      "concurrent leaf compaction must keep exactly the live rows")
+    assert(TableManifest.readDvs(spark, dir).isEmpty,
+      "compaction materializes deletions; no dv survives the rewrite")
+  }
 }
