@@ -463,8 +463,29 @@ object Compaction {
       case None if partitioned =>
         val leaves = names.filter(_.contains("/"))
           .map(n => n.substring(0, n.lastIndexOf('/'))).distinct.sorted
-        leaves.foldLeft(Stats(0, 0, 0L)) { (acc, leaf) =>
-          val s = zorderTracked(spark, dir, Some(leaf), cols, targetBytes)
+        // overlap independent leaf re-clusters (the compactTracked
+        // pool rationale): per-leaf victim sets are disjoint, sibling
+        // commits converge through spliceCommit's cheap CAS retry, and
+        // withMaintenanceRetry re-plans only a leaf whose victims were
+        // actually touched
+        val par = math.max(1, math.min(4, leaves.size))
+        val results =
+          if (par == 1)
+            leaves.map(l => zorderTracked(spark, dir, Some(l), cols,
+              targetBytes))
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            try scala.concurrent.Await.result(
+              scala.concurrent.Future.sequence(leaves.map(leaf =>
+                scala.concurrent.Future(
+                  zorderTracked(spark, dir, Some(leaf), cols,
+                    targetBytes)))),
+              scala.concurrent.duration.Duration.Inf)
+            finally pool.shutdown()
+          }
+        results.foldLeft(Stats(0, 0, 0L)) { (acc, s) =>
           Stats(acc.filesBefore + s.filesBefore,
             acc.filesAfter + s.filesAfter,
             acc.bytesRewritten + s.bytesRewritten)
